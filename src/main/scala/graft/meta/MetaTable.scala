@@ -1,0 +1,58 @@
+package graft.meta
+
+import java.time.LocalDate
+
+/**
+ * Partition layout of a metastore table
+ * (reference: pramen/api .../api/PartitionScheme.scala:24 — day, month,
+ * year-month, year, not-partitioned, overwrite).
+ */
+sealed trait PartitionScheme
+object PartitionScheme {
+  /** One physical partition per information date (the default). */
+  case object ByDay extends PartitionScheme
+  /** Partitioned by generated year + month columns. */
+  final case class ByMonth(yearCol: String = "info_year", monthCol: String = "info_month") extends PartitionScheme
+  /** Partitioned by a generated "yyyy-MM" column. */
+  final case class ByYearMonth(yearMonthCol: String = "info_year_month") extends PartitionScheme
+  /** Partitioned by a generated year column. */
+  final case class ByYear(yearCol: String = "info_year") extends PartitionScheme
+  /** info_date kept as a data column, no physical partitioning. */
+  case object NotPartitioned extends PartitionScheme
+  /** Each save replaces the whole table (snapshot semantics). */
+  case object Overwrite extends PartitionScheme
+}
+
+/** Storage format of a metastore table. */
+sealed trait DataFormat { def name: String }
+object DataFormat {
+  case object Parquet extends DataFormat { val name = "parquet" }
+  case object Orc extends DataFormat { val name = "orc" }
+  case object Json extends DataFormat { val name = "json" }
+  final case class Csv(options: Map[String, String] = Map("header" -> "true")) extends DataFormat { val name = "csv" }
+  /** Raw (whole-file) storage: files copied per info-date directory. */
+  case object Raw extends DataFormat { val name = "raw" }
+}
+
+/**
+ * Definition of a table managed by the metastore
+ * (reference: pramen/api .../api/MetaTableDef.scala).
+ *
+ * @param name           logical table name pipelines refer to
+ * @param path           physical location (any Hadoop-compatible FS)
+ * @param format         storage format
+ * @param infoDateColumn name of the information-date column
+ * @param scheme         physical partition layout
+ */
+final case class MetaTable(
+    name: String,
+    path: String,
+    format: DataFormat = DataFormat.Parquet,
+    infoDateColumn: String = "info_date",
+    scheme: PartitionScheme = PartitionScheme.ByDay)
+
+/** Per-save statistics (reference: pramen/core .../metastore/MetaTableStats.scala). */
+final case class TableStats(recordCount: Long, sizeBytes: Option[Long])
+
+/** A (table, infoDate) partition reference. */
+final case class PartitionRef(table: String, infoDate: LocalDate)

@@ -1,0 +1,118 @@
+package graft.offset
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/**
+ * Offset value for incremental ingestion
+ * (reference: pramen/api .../api/offset/OffsetValue.scala — integral,
+ * datetime, string offset types; api/offset/OffsetType.scala).
+ */
+sealed trait OffsetValue extends Ordered[OffsetValue] {
+  def typeName: String
+  def asString: String
+}
+object OffsetValue {
+  final case class IntegralValue(v: Long) extends OffsetValue {
+    val typeName = "integral"; def asString = v.toString
+    def compare(that: OffsetValue): Int = that match {
+      case IntegralValue(o) => v.compareTo(o)
+      case o => throw new IllegalArgumentException(s"Cannot compare integral offset with ${o.typeName}")
+    }
+  }
+  final case class DateTimeValue(epochMilli: Long) extends OffsetValue {
+    val typeName = "datetime"; def asString = epochMilli.toString
+    def compare(that: OffsetValue): Int = that match {
+      case DateTimeValue(o) => epochMilli.compareTo(o)
+      case o => throw new IllegalArgumentException(s"Cannot compare datetime offset with ${o.typeName}")
+    }
+  }
+  final case class StringValue(v: String) extends OffsetValue {
+    val typeName = "string"; def asString = v
+    def compare(that: OffsetValue): Int = that match {
+      case StringValue(o) => v.compareTo(o)
+      case o => throw new IllegalArgumentException(s"Cannot compare string offset with ${o.typeName}")
+    }
+  }
+
+  def fromString(typeName: String, s: String): OffsetValue = typeName match {
+    case "integral" => IntegralValue(s.toLong)
+    case "datetime" => DateTimeValue(s.toLong)
+    case "string"   => StringValue(s)
+    case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
+  }
+}
+
+/** Offset column description (reference: pramen/api .../api/offset/OffsetInfo.scala). */
+final case class OffsetInfo(column: String, offsetType: String)
+
+/**
+ * Tracks committed offsets per table and builds incremental-read
+ * predicates (reference: pramen/core
+ * .../core/bookkeeper/OffsetManagerJdbc.scala — graft keeps a JSONL
+ * store + in-memory index).
+ *
+ * Scale: the incremental read is a *predicate on the offset column*
+ * (`col > from AND col <= to`), which Catalyst pushes into the scan
+ * (`PushedFilters`) — on a sorted/partitioned 100 TB source only the
+ * new tail is read; no full-table diff, no driver-side state beyond
+ * one (table → offset) entry.
+ */
+final class OffsetManager(storePath: Option[String] = None) {
+  private val committed = TrieMap.empty[String, OffsetValue]
+
+  storePath.foreach { p =>
+    val path = Paths.get(p)
+    if (Files.exists(path)) {
+      Files.readAllLines(path).asScala.filter(_.nonEmpty).foreach { line =>
+        line.split("\t") match {
+          case Array(table, tpe, value) => committed.put(table, OffsetValue.fromString(tpe, value))
+          case _ =>
+        }
+      }
+    }
+  }
+
+  def getLatestOffset(table: String): Option[OffsetValue] = committed.get(table)
+
+  /** Commit a new max offset after a successful incremental batch. */
+  def commit(table: String, offset: OffsetValue): Unit = {
+    val advanced = committed.get(table).forall(_ < offset)
+    if (advanced) {
+      committed.put(table, offset)
+      storePath.foreach { p =>
+        Files.write(Paths.get(p), s"$table\t${offset.typeName}\t${offset.asString}\n".getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+    }
+  }
+
+  /** Filter `df` to rows strictly after the committed offset (pushdown-friendly). */
+  def incrementalFilter(df: DataFrame, info: OffsetInfo, table: String): DataFrame =
+    getLatestOffset(table) match {
+      case Some(from) => df.where(col(info.column) > offsetLit(from))
+      case None => df
+    }
+
+  /** Compute the max offset present in a batch (one tiny agg job). */
+  def maxOffset(df: DataFrame, info: OffsetInfo): Option[OffsetValue] = {
+    val row = df.agg(max(col(info.column))).head()
+    if (row.isNullAt(0)) None
+    else Some(info.offsetType match {
+      case "integral" => OffsetValue.IntegralValue(row.getAs[Number](0).longValue())
+      case "datetime" => OffsetValue.DateTimeValue(row.getAs[java.sql.Timestamp](0).getTime)
+      case "string"   => OffsetValue.StringValue(row.getAs[String](0))
+      case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
+    })
+  }
+
+  private def offsetLit(v: OffsetValue): Column = v match {
+    case OffsetValue.IntegralValue(n) => lit(n)
+    case OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
+    case OffsetValue.StringValue(s) => lit(s)
+  }
+}

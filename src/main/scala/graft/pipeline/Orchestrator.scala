@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.expr.DateExpr
+import graft.meta.Metastore
+
+import java.time.LocalDate
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+/**
+ * A pipeline job: transformer + output table + declared inputs
+ * (reference: pramen/core .../core/pipeline/Job.scala,
+ * api/jobdef/TransformerDef).
+ *
+ * @param infoDateExpr date-DSL expression deriving the information
+ *                     date from `@runDate` (e.g. `"@runDate - 1"`).
+ */
+final case class JobDef(
+    name: String,
+    outputTable: String,
+    transformer: Transformer,
+    inputTables: Seq[String] = Seq.empty,
+    schedule: Schedule = Schedule.Daily(),
+    infoDateExpr: String = "@runDate",
+    options: Map[String, String] = Map.empty)
+
+sealed trait TaskResult { def job: String }
+object TaskResult {
+  final case class Succeeded(job: String, table: String, infoDate: LocalDate, records: Long) extends TaskResult
+  final case class Skipped(job: String, reason: String) extends TaskResult
+  final case class Failed(job: String, error: Throwable) extends TaskResult
+  final case class NotReady(job: String, reason: String) extends TaskResult
+}
+
+/**
+ * Dependency-resolving parallel pipeline runner
+ * (reference: pramen/core .../core/runner/orchestrator/OrchestratorImpl.scala,
+ * core/runner/jobrunner/ConcurrentJobRunnerImpl.scala).
+ *
+ * Topologically orders jobs by (outputTable -> inputTables) edges and
+ * runs every job whose dependencies are satisfied concurrently (the
+ * reference's parallel task runner). Already-succeeded (table,
+ * infoDate) pairs are skipped via the bookkeeper — auto-healing
+ * re-runs only what's missing. Job-level parallelism multiplies
+ * cluster utilization when independent branches exist; within a job,
+ * Spark's own parallelism does the heavy lifting.
+ */
+final class Orchestrator(
+    metastore: Metastore,
+    bookkeeper: Bookkeeper = new Bookkeeper(),
+    parallelism: Int = 4,
+    rerunSucceeded: Boolean = false) {
+
+  def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
+    validateDag(jobs)
+    val byOutput = jobs.map(j => j.outputTable -> j).toMap
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = scala.collection.mutable.Map.empty[String, Future[TaskResult]]
+
+    def futureFor(job: JobDef): Future[TaskResult] = futures.synchronized {
+      futures.getOrElseUpdate(job.name, {
+        val depJobs = job.inputTables.flatMap(byOutput.get).filterNot(_.name == job.name)
+        val depsF = Future.sequence(depJobs.map(futureFor))
+        depsF.map { deps =>
+          val failedDep = deps.collectFirst { case f: TaskResult.Failed => f }
+          failedDep match {
+            case Some(f) => TaskResult.Skipped(job.name, s"dependency '${f.job}' failed")
+            case None => runOne(job, runDate)
+          }
+        }
+      })
+    }
+
+    val results = Try(Await.result(Future.sequence(jobs.map(futureFor)), Duration.Inf))
+    pool.shutdown()
+    results match {
+      case Success(rs) => rs
+      case Failure(e) => throw e
+    }
+  }
+
+  private def runOne(job: JobDef, runDate: LocalDate): TaskResult = {
+    if (!job.schedule.isEnabled(runDate))
+      return TaskResult.Skipped(job.name, s"not scheduled on $runDate")
+    val infoDate = DateExpr("runDate" -> runDate, "date" -> runDate).evalDate(job.infoDateExpr)
+    if (!rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, infoDate))
+      return TaskResult.Skipped(job.name, s"already succeeded for $infoDate")
+
+    val reader = metastore.readerFor(
+      if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None)
+    val t0 = System.currentTimeMillis()
+    job.transformer.validate(reader, infoDate, job.options) match {
+      case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)
+      case Reason.Skip(msg) => TaskResult.Skipped(job.name, msg)
+      case _ =>
+        Try {
+          val df = job.transformer.run(reader, infoDate, job.options)
+          metastore.saveTable(job.outputTable, infoDate, df)
+        } match {
+          case Success(stats) =>
+            bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
+              "succeeded", t0, System.currentTimeMillis()))
+            TaskResult.Succeeded(job.name, job.outputTable, infoDate, stats.recordCount)
+          case Failure(e) =>
+            bookkeeper.record(RunRecord(job.outputTable, infoDate, 0L,
+              "failed", t0, System.currentTimeMillis()))
+            TaskResult.Failed(job.name, e)
+        }
+    }
+  }
+
+  /** Rejects dependency cycles and duplicate output tables up front. */
+  private def validateDag(jobs: Seq[JobDef]): Unit = {
+    val dup = jobs.groupBy(_.outputTable).collect { case (t, js) if js.size > 1 => t }
+    require(dup.isEmpty, s"Multiple jobs write the same table(s): ${dup.mkString(", ")}")
+    val byOutput = jobs.map(j => j.outputTable -> j).toMap
+    val visiting = scala.collection.mutable.Set.empty[String]
+    val done = scala.collection.mutable.Set.empty[String]
+    def visit(j: JobDef): Unit = {
+      if (done.contains(j.name)) return
+      require(visiting.add(j.name), s"Dependency cycle involving job '${j.name}'")
+      j.inputTables.flatMap(byOutput.get).filterNot(_.name == j.name).foreach(visit)
+      visiting.remove(j.name); done.add(j.name)
+    }
+    jobs.foreach(visit)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import graft.meta.MetastoreReader
+import org.apache.spark.sql.DataFrame
+
+import java.time.LocalDate
+
+/** Validation outcome (reference: pramen/api .../api/Reason.scala). */
+sealed trait Reason
+object Reason {
+  case object Ready extends Reason
+  final case class NotReady(msg: String) extends Reason
+  final case class Skip(msg: String) extends Reason
+  final case class Warning(msg: String) extends Reason
+}
+
+/**
+ * A transformation job: reads metastore tables, returns the output
+ * DataFrame for one information date
+ * (reference: pramen/api .../api/Transformer.scala:30).
+ */
+trait Transformer {
+  def validate(metastore: MetastoreReader, infoDate: LocalDate,
+               options: Map[String, String]): Reason = Reason.Ready
+
+  def run(metastore: MetastoreReader, infoDate: LocalDate,
+          options: Map[String, String]): DataFrame
+}
+
+/**
+ * Pass-through transformer with optional column projection/filter
+ * (reference: pramen/core .../core/transformers/IdentityTransformer.scala —
+ * options: input.table, empty.allowed).
+ * Options: `input.table` (required), `columns` (comma list, optional),
+ * `filter` (SQL boolean expr, optional).
+ */
+final class IdentityTransformer extends Transformer {
+  override def validate(ms: MetastoreReader, infoDate: LocalDate,
+                        options: Map[String, String]): Reason =
+    if (options.contains("input.table")) Reason.Ready
+    else Reason.NotReady("option 'input.table' is required")
+
+  override def run(ms: MetastoreReader, infoDate: LocalDate,
+                   options: Map[String, String]): DataFrame = {
+    val df = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
+    val projected = options.get("columns") match {
+      case Some(cols) => df.selectExpr(cols.split(",").map(_.trim): _*)
+      case None => df
+    }
+    options.get("filter").fold(projected)(f => projected.where(f))
+  }
+}
+
+/**
+ * SQL transformer: runs a Spark SQL statement with metastore tables
+ * registered as temp views and `@infoDate` substituted.
+ */
+final class SqlTransformer(sql: String, inputTables: Seq[String]) extends Transformer {
+  override def run(ms: MetastoreReader, infoDate: LocalDate,
+                   options: Map[String, String]): DataFrame = {
+    var spark: org.apache.spark.sql.SparkSession = null
+    inputTables.foreach { t =>
+      val df = ms.getTable(t, Some(infoDate), Some(infoDate))
+      spark = df.sparkSession
+      df.createOrReplaceTempView(t)
+    }
+    require(spark != null, "SqlTransformer needs at least one input table")
+    spark.sql(sql.replace("@infoDate", s"DATE'$infoDate'"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+import java.time.LocalDate
+
+/** Result of a sink write (reference: pramen/api .../api/SinkResult.scala). */
+final case class SinkResult(recordsSent: Long)
+
+/**
+ * A target external to the metastore; sink jobs push metastore data
+ * out (reference: pramen/api .../api/Sink.scala).
+ */
+trait GraftSink {
+  def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+           options: Map[String, String] = Map.empty): SinkResult
+}
+
+/** Column-name normalization applied before writing (reference:
+ * pramen/core .../core/sink/ColumnNameTransform.scala — NoChange /
+ * MakeUpper / MakeLower / sanitize for CSV headers). */
+sealed trait ColumnNameTransform {
+  def apply(df: DataFrame): DataFrame = this match {
+    case ColumnNameTransform.NoChange => df
+    case ColumnNameTransform.MakeUpper =>
+      df.toDF(df.columns.map(_.toUpperCase): _*)
+    case ColumnNameTransform.MakeLower =>
+      df.toDF(df.columns.map(_.toLowerCase): _*)
+    case ColumnNameTransform.Sanitize =>
+      df.toDF(df.columns.map(_.replaceAll("[^A-Za-z0-9_]", "_")): _*)
+  }
+}
+object ColumnNameTransform {
+  case object NoChange extends ColumnNameTransform
+  case object MakeUpper extends ColumnNameTransform
+  case object MakeLower extends ColumnNameTransform
+  case object Sanitize extends ColumnNameTransform
+}
+
+/**
+ * Any-format Spark write sink — parquet/csv/json/orc, optional
+ * repartition and partitionBy
+ * (reference: pramen/core .../core/sink/SparkSink.scala).
+ */
+final class SparkSink(
+    basePath: String,
+    format: String = "parquet",
+    mode: SaveMode = SaveMode.Overwrite,
+    formatOptions: Map[String, String] = Map.empty,
+    partitionBy: Seq[String] = Seq.empty,
+    numberOfPartitions: Option[Int] = None) extends GraftSink {
+
+  override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                    options: Map[String, String]): SinkResult = {
+    val out = numberOfPartitions.fold(df)(n => df.repartition(n))
+    val w = out.write.format(format).mode(mode).options(formatOptions)
+    val path = s"$basePath/$tableName/info_date=$infoDate"
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+    SinkResult(df.count())
+  }
+}
+
+/**
+ * CSV export sink with header/separator/quote controls and column-name
+ * transforms (reference: pramen/core .../core/sink/LocalCsvSink.scala,
+ * core/sink/CsvConversionParams.scala). Writes a single CSV file per
+ * (table, infoDate) — an export surface, so the coalesce(1) is the
+ * explicit contract, not an accident.
+ */
+final class LocalCsvSink(
+    outputPath: String,
+    separator: String = ",",
+    header: Boolean = true,
+    quoteAll: Boolean = false,
+    nameTransform: ColumnNameTransform = ColumnNameTransform.NoChange) extends GraftSink {
+
+  override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                    options: Map[String, String]): SinkResult = {
+    val out = nameTransform(df)
+    out.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("sep", separator)
+      .option("header", header.toString)
+      .option("quoteAll", quoteAll.toString)
+      .csv(s"$outputPath/$tableName/$infoDate")
+    SinkResult(df.count())
+  }
+}
+
+/** Runs a sink job: metastore table window → sink. */
+final class SinkJob(metastore: graft.meta.Metastore, sink: GraftSink) {
+  def run(tableName: String, infoDate: LocalDate,
+          columns: Seq[String] = Seq.empty,
+          filter: Option[String] = None): SinkResult = {
+    val df0 = metastore.getTable(tableName, Some(infoDate), Some(infoDate))
+    val df1 = if (columns.nonEmpty) df0.select(columns.map(col): _*) else df0
+    val df2 = filter.fold(df1)(df1.where)
+    sink.send(df2, tableName, infoDate)
+  }
+}
