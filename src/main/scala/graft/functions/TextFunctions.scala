@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for LLM training-data pipelines. All are
+ * compositions of built-in (codegen'd) Spark SQL functions — no Scala
+ * UDFs in the hot path, so whole-stage codegen stays intact and the
+ * same column expressions run unchanged on a 1000-executor cluster.
+ */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /**
+   * BPE-ish subword count: splits on word/number/punct boundaries the
+   * way byte-pair tokenizers pre-segment (letters runs, digit runs,
+   * single punctuation marks each count).
+   */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), x => length(x) > 0))
+
+  /** Character length. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation chars to all chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(length(text) === 0, lit(0.0)).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Ratio of uppercase letters to all letters (0 when no letters). */
+  def upperRatio(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    when(letters === 0, lit(0.0)).otherwise(uppers.cast("double") / letters)
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCountWs(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks)
+  }
+
+  /** English stopword hit ratio among whitespace tokens. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "that", "this", "it", "as", "be", "at", "by")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(EnglishStopwords: _*)))
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length sweet-spot, moderate
+   * punctuation, presence of stopwords, not shouting. The standard
+   * heuristic-filter family (Gopher/C4-style rules) expressed as one
+   * codegen'd column.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / 500.0, lit(1.0))
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.3)
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.4)
+    val caseOk = when(upperRatio(text) <= 0.3, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctOk * 0.2 + stopOk * 0.2 + caseOk * 0.2), 4)
+  }
+
+  /**
+   * 64-bit content fingerprint over normalized text (case-folded,
+   * whitespace-collapsed) — xxHash64, a distributed-friendly stand-in
+   * for a rolling Rabin hash: identical post-normalization content
+   * maps to the same bucket on any executor.
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram array over normalized text (for Jaccard / MinHash). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    filter(
+      transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => norm.substr(i + 1, lit(n))),
+      g => length(g) === n)
+  }
+
+  /** Word n-gram (shingle) array over normalized text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")),
+      s => size(split(s, " ")) === n)
+  }
+
+  /**
+   * Language ID over a fixed language set using stopword/character
+   * evidence — the classic n-gram-profile heuristic reduced to
+   * codegen-friendly marker matching. Returns the highest-scoring of
+   * en/de/fr/es/it/pt, or "und" when no evidence.
+   */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+    val scores = Seq(
+      "en" -> hits(Seq("the", "and", "of", "to", "is", "that", "with", "for")),
+      "de" -> (hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit")) +
+        when(t.rlike("[äöüß]"), 2).otherwise(0)),
+      "fr" -> (hits(Seq("le", "la", "les", "et", "est", "une", "dans", "pour")) +
+        when(t.rlike("[àâçéèêëîï]"), 2).otherwise(0)),
+      "es" -> (hits(Seq("el", "los", "las", "es", "una", "para", "con", "por")) +
+        when(t.rlike("[ñ¿¡]"), 2).otherwise(0)),
+      "it" -> (hits(Seq("il", "gli", "che", "di", "una", "per", "non", "sono")) +
+        when(t.rlike("[àèìòù]"), 1).otherwise(0)),
+      "pt" -> (hits(Seq("o", "os", "das", "em", "uma", "para", "com", "não")) +
+        when(t.rlike("[ãõç]"), 2).otherwise(0)))
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    val winner = greatest(best: _*)
+    when(winner.getField("s") <= 0, lit("und")).otherwise(winner.getField("l"))
+  }
+}

