@@ -1,13 +1,579 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.meta.{DataFormat, MetaTable, Metastore, PartitionScheme}
+import graft.offset.{OffsetInfo, OffsetManager, OffsetValue}
+import graft.operators.{AnnSearch, Dedup, EmbedDedup, NgramJaccard}
+import graft.pipeline.{IdentityTransformer, JobDef, Orchestrator}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB oracle in `oracleSql` where the
+ * semantics are ANSI-SQL-expressible (rows-only gate otherwise).
+ */
 object SparkEntry {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+   * reader rejects; read nanos as long and convert to micros. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: no double rounding at 1e18
+    else df
+  }
+
+  private val D = (s: String) => lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  /** Order-independent money sum: double sums differ in the last ulp
+   * across partitionings/engines and can flip a round-to-cents at the
+   * boundary; summing as DECIMAL(18,4) is exact and associative, and
+   * the half-cent tie must be broken while still exact decimal (a
+   * double can't represent .235 exactly), so round the DECIMAL first,
+   * THEN cast to double. SQL twin:
+   * `CAST(round(sum(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)`. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── §2.3 relational surface ────────────────────────────────────
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < D("1996-01-01") && col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    "q3_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").where(col("o_orderdate") < D("1998-01-01"))
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") > D("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_broadcast_join" -> ((s, dir) => {
+      // dims broadcast: region ⋈ nation ⋈ supplier
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+    }),
+
+    "q5_multi_join" -> ((s, dir) => {
+      // TPC-H Q5 shape: local-supplier revenue per nation
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").where(
+        col("o_orderdate") >= D("1996-01-01") && col("o_orderdate") < D("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn("running_spend", round(sum(col("o_totalprice").cast("decimal(18,4)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).cast("double"))
+        .where(col("order_seq") <= 3)
+        .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    "q_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      val p = t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
+      c.unionByName(p).distinct().groupBy("kind").agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // conditional aggregation (pivot) — one output column per priority class
+      val ord = t(s, dir, "orders")
+      def cnt(p: String): Column = sum(when(col("o_orderpriority") === p, 1).otherwise(0))
+      ord.groupBy("o_orderstatus")
+        .agg(cnt("1-URGENT").as("n_urgent"), cnt("2-HIGH").as("n_high"),
+          cnt("3-MEDIUM").as("n_medium"), cnt("4-NOT SPECIFIED").as("n_notspec"),
+          cnt("5-LOW").as("n_low"))
+    }),
+
+    "q_subquery_agg" -> ((s, dir) => {
+      // TPC-H Q17 shape: lineitems below 20% of the part's average quantity
+      val li = t(s, dir, "lineitem")
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("ap_partkey"))
+        .where(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_lines"))
+    }),
+
+    "q_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .where(col("n_orders") >= 5)
+    }),
+
+    "q_time_bucket" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    "q_case_expr" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("qty_class",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "medium")
+            .otherwise("large"))
+        .groupBy("qty_class")
+        .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 2).as("avg_price"))
+    }),
+
+    "q_outer_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          round(coalesce(sum(col("o_totalprice").cast("decimal(18,4)")), lit(0).cast("decimal(18,4)")), 2).cast("double").as("big_spend"))
+    }),
+
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
+        .where(col("c_custkey") <= 200)
+    }),
+
+    // ── §2.1 metastore & pipeline semantics ────────────────────────
+    "q_meta_roundtrip" -> ((s, dir) => {
+      // save one info-date partition, read it back through the metastore
+      val ms = new Metastore(s)
+      val path = metaPath(s"roundtrip")
+      ms.register(MetaTable("li_rt", path))
+      val d = LocalDate.parse("2024-06-01")
+      ms.saveTable("li_rt", d, t(s, dir, "lineitem"))
+      ms.getTable("li_rt", Some(d), Some(d))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "q_meta_range" -> ((s, dir) => {
+      // three info-date partitions; a 2-day range read must prune to two
+      val ms = new Metastore(s)
+      val path = metaPath("range")
+      ms.register(MetaTable("ord_rng", path))
+      val ord = t(s, dir, "orders")
+      Seq(("2024-01-01", "O"), ("2024-01-02", "F"), ("2024-01-03", "P")).foreach {
+        case (day, st) =>
+          ms.saveTable("ord_rng", LocalDate.parse(day), ord.where(col("o_orderstatus") === st))
+      }
+      ms.getTable("ord_rng", Some(LocalDate.parse("2024-01-01")), Some(LocalDate.parse("2024-01-02")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    "q_meta_latest" -> ((s, dir) => {
+      val ms = new Metastore(s)
+      val path = metaPath("latest")
+      ms.register(MetaTable("ord_lat", path))
+      val ord = t(s, dir, "orders")
+      Seq(("2024-02-01", "O"), ("2024-02-02", "F"), ("2024-02-03", "P")).foreach {
+        case (day, st) =>
+          ms.saveTable("ord_lat", LocalDate.parse(day), ord.where(col("o_orderstatus") === st))
+      }
+      ms.getLatest("ord_lat")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_identity_transform" -> ((s, dir) => {
+      // full pipeline pass: ingest → IdentityTransformer(filter) → metastore
+      val ms = new Metastore(s)
+      ms.register(MetaTable("cust_src", metaPath("ident_src")))
+      ms.register(MetaTable("cust_flt", metaPath("ident_out")))
+      val d = LocalDate.parse("2024-03-01")
+      ms.saveTable("cust_src", d, t(s, dir, "customer"))
+      val orch = new Orchestrator(ms, rerunSucceeded = true)
+      orch.run(Seq(JobDef(
+        name = "filter_customers", outputTable = "cust_flt",
+        transformer = new IdentityTransformer, inputTables = Seq("cust_src"),
+        infoDateExpr = "@runDate",
+        options = Map("input.table" -> "cust_src",
+          "columns" -> "c_custkey,c_mktsegment,c_acctbal",
+          "filter" -> "c_acctbal > 5000"))), d)
+      ms.getTable("cust_flt", Some(d), Some(d))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    }),
+
+    "q_incremental" -> ((s, dir) => {
+      // offset-managed incremental read: only rows past the committed offset
+      val om = new OffsetManager()
+      om.commit("events", OffsetValue.IntegralValue(5000L))
+      om.incrementalFilter(events(s, dir), OffsetInfo("event_id", "integral"), "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+    }),
+
+    "q_source_csv" -> ((s, dir) => {
+      // csv sink → csv source round trip through explicit schema
+      val out = metaPath("csv_rt")
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      val src = new graft.sources.SparkSource(s, out, "csv",
+        Map("header" -> "true", "inferSchema" -> "true"))
+      src.getData(LocalDate.now(), LocalDate.now()).df
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+    }),
+
+    // ── §2.4 LLM-data operators ───────────────────────────────────
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        TextFunctions.charCount(col("text")).as("n_chars_calc"))
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.upperRatio(col("text")), 4).as("upper_ratio"),
+        round(TextFunctions.meanWordLen(col("text")), 4).as("mean_word_len"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      // rows-only gate: predicted language distribution (heuristic)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"), col("lang"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      // rows-only gate: 64-bit content fingerprints (xxhash64 not in DuckDB)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // rows-only gate: near-dup candidate pairs at jaccard>=0.5
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      // rows-only gate: pairs within hamming distance 10 of 64-bit simhash
+      Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      // rows-only gate: exact shingle-jaccard verification of candidates
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id", k = 32, bands = 16)
+      NgramJaccard.verifyPairs(cand, docs, "text", "doc_id")
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      // rows-only gate: embedding-cosine near-dup pairs
+      EmbedDedup.nearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.9, bits = 8, tables = 2)
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // rows-only gate: LSH-bucketed ANN probe
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 20, bits = 6, tables = 4)
+    })
+  )
+
+  private def metaPath(name: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_meta/$name"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 5""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_suppliers, CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, order_seq, round(running_spend, 2) AS running_spend
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+        |  FROM orders
+        |) WHERE order_seq <= 3""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_union" ->
+      """SELECT kind, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |    UNION ALL
+        |    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |  )
+        |) GROUP BY kind""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_subquery_agg" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price, count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 5""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_case_expr" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+        |            WHEN l_quantity < 30 THEN 'medium'
+        |            ELSE 'large' END AS qty_class,
+        |  count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |  CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS big_spend
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_custkey) AS seg_key
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
+
+    "q_meta_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_meta_range" ->
+      """SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_meta_latest" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders WHERE o_orderstatus = 'P' GROUP BY o_orderstatus""".stripMargin,
+
+    "q_identity_transform" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "q_incremental" ->
+      """SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id > 5000 GROUP BY event_type""".stripMargin,
+
+    "q_source_csv" ->
+      """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens_bpe,
+        |  CAST(length(text) AS INTEGER) AS n_chars_calc
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  round(CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |         / length(text) END, 4) AS punct_ratio,
+        |  round(CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |         / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END, 4) AS upper_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_word_len
+        |FROM documents""".stripMargin
+    // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
+    // q_dedup_jaccard, q_dedup_embed, q_ann_topk, q_ann_lsh:
+    // rows-only gates (hash/LSH internals not ANSI-SQL-expressible)
+  )
 }

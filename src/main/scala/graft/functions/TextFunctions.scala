@@ -17,12 +17,15 @@ object TextFunctions {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /**
-   * BPE-ish subword count: splits on word/number/punct boundaries the
-   * way byte-pair tokenizers pre-segment (letters runs, digit runs,
-   * single punctuation marks each count).
+   * BPE-ish subword count: alphanumeric runs plus individual
+   * non-space punctuation marks, the way byte-pair tokenizers
+   * pre-segment text. RE2-compatible pattern (no lookaround) so the
+   * same regex is oracle-checkable.
    */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
   def tokenCountBpe(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), x => length(x) > 0))
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
   /** Character length. */
   def charCount(text: Column): Column = length(text)
@@ -111,6 +114,7 @@ object TextFunctions {
     def hits(words: Seq[String]): Column =
       words.map(w => when(t.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
     val scores = Seq(
+      "zh" -> when(t.rlike("[\\u4e00-\\u9fff]"), 10).otherwise(0),
       "en" -> hits(Seq("the", "and", "of", "to", "is", "that", "with", "for")),
       "de" -> (hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit")) +
         when(t.rlike("[äöüß]"), 2).otherwise(0)),
