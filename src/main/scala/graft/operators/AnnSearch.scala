@@ -19,8 +19,12 @@ object VectorMath {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Literal column from a driver-side vector (for query points / hyperplanes). */
-  def vecLit(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+  /** Literal column from a driver-side vector (for query points /
+   * hyperplanes). `typedlit` emits ONE Literal node holding the whole
+   * array — `array(lit, lit, …)` would emit dim× nodes and blow up
+   * the expression tree (slow analysis + Janino codegen) when dozens
+   * of planes/centroids are embedded in a single predicate. */
+  def vecLit(v: Array[Double]): Column = typedlit(v.toSeq)
 }
 
 /**
@@ -72,6 +76,34 @@ object AnnSearch {
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 
   /**
+   * Per-table LSH bucket ids as ONE array<long> column. All
+   * tables×bits hyperplanes live in a single literal matrix traversed
+   * by one lambda, so the expression tree (and Catalyst
+   * analysis/codegen time) stays O(1) in tables×bits — the naive
+   * per-plane tree made plan compilation, not data, the bottleneck.
+   */
+  def lshBucketsAll(vec: Column, planeSets: Array[Array[Array[Double]]]): Column = {
+    val tables = planeSets.length
+    val bits = planeSets(0).length
+    val flat: Seq[Seq[Double]] = planeSets.flatten.map(_.toSeq).toSeq
+    val signs = transform(typedlit(flat), p =>
+      when(VectorMath.dot(vec, p) > 0, lit(1L)).otherwise(lit(0L)))
+    val powers = typedlit((0 until bits).map(j => 1L << j))
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(
+        zip_with(slice(signs, t * bits + 1, lit(bits)), powers, (s, pw) => s * pw),
+        lit(0L), (a, b) => a + b))
+  }
+
+  /** Driver-side bucket ids of a query vector, matching `lshBucketsAll`. */
+  def queryBuckets(query: Array[Double], planeSets: Array[Array[Array[Double]]]): Seq[Long] =
+    planeSets.toIndexedSeq.map { ps =>
+      ps.zipWithIndex.map { case (p, i) =>
+        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+
+  /**
    * LSH top-k: probe only vectors whose bucket matches the query's
    * bucket in any of `tables` independent hash tables. Recall grows
    * with tables; scanned fraction ≈ tables / 2^bits.
@@ -81,14 +113,9 @@ object AnnSearch {
               seed: Long = 42L): DataFrame = {
     val dim = query.length
     val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
-    val qBuckets = planeSets.map { ps =>
-      ps.zipWithIndex.map { case (p, i) =>
-        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
-      }.reduce(_ | _)
-    }
-    val matchesAny = planeSets.zip(qBuckets).map { case (ps, qb) =>
-      lshBucket(col(vecCol), ps) === lit(qb)
-    }.reduce[Column](_ || _)
+    val qb = typedlit(queryBuckets(query, planeSets))
+    val matchesAny =
+      exists(zip_with(lshBucketsAll(col(vecCol), planeSets), qb, (b, q) => b === q), x => x)
     embeddings.where(matchesAny)
       .select(col(idCol),
         round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
@@ -123,14 +150,15 @@ object AnnSearch {
     centroids
   }
 
-  /** Index of the nearest centroid (L2) as a column expression. */
+  /** Index of the nearest centroid (L2) as a column expression: one
+   * lambda over a literal centroid matrix (tree size O(1) in k). */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val diff = aggregate(zip_with(vec, VectorMath.vecLit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v)
-      struct(diff.as("d"), lit(i).as("i"))
-    }
-    least(scored: _*).getField("i")
+    val m = typedlit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(m, c =>
+      aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
+    val scored = zip_with(dists, sequence(lit(0), lit(centroids.length - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+    array_min(scored).getField("i").cast("int")
   }
 
   /**
@@ -165,15 +193,19 @@ object EmbedDedup {
                    seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, seed + t))
+    // ids-only bucket shuffle (vectors are wide — shipping them into
+    // collect_list buckets would shuffle the whole table per hash
+    // table); cosine verify joins the (small) candidate set back to
+    // the embeddings, scanning the big table, never pair-shuffling it.
     val bucketed = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-      .select(col("doc_id"), col("vec"),
-        explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
-          struct(lit(t).as("tbl"), AnnSearch.lshBucket(col("vec"), ps).as("bkt"))
-        }: _*)).as("tb"))
-      .select(col("doc_id"), col("vec").as("text"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val pairs = Dedup.pairsFromBuckets(bucketed, Seq("tbl", "bkt"), maxBucket)
-    pairs.withColumn("cosine",
-        round(VectorMath.cosine(col("payload_a"), col("payload_b")), 6))
+      .select(col("doc_id"), posexplode(AnnSearch.lshBucketsAll(col("vec"), planeSets)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    val pairs = Dedup.idPairsFromBuckets(bucketed, Seq("tbl", "bkt"), maxBucket)
+    val vecs = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .withColumn("cosine", round(VectorMath.cosine(col("v_a"), col("v_b")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -33,17 +33,23 @@ object Dedup {
       .where(col("n_copies") > 1)
 
   /**
-   * MinHash signature as an array<bigint> of `k` hash minima over word
-   * shingles. Pure column expressions (xxhash64 with per-function
-   * seed), evaluated in one pass over the text — no UDF, no shuffle.
+   * MinHash signature as an array<bigint> of `k` hash minima over a
+   * PRE-MATERIALIZED shingle column (an attribute reference). Pure
+   * column expressions (xxhash64 with per-function seed) — no UDF, no
+   * shuffle. Passing a raw shingle *expression* here would re-run it
+   * k times per row; callers must `withColumn` the shingles first.
    */
-  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column = {
-    val shingles = TextFunctions.wordShingles(text, shingleSize)
-    val sig = transform(sequence(lit(0), lit(k - 1)),
+  def minhashSignatureFromShingles(shingles: Column, k: Int): Column = {
+    val hashed = transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => xxhash64(i, s))))
     when(size(shingles) === 0, transform(sequence(lit(0), lit(k - 1)), i => i.cast("long")))
-      .otherwise(sig)
+      .otherwise(hashed)
   }
+
+  /** Convenience over raw text; for hot paths use the FromShingles
+   * variant on a materialized column. */
+  def minhashSignature(text: Column, shingleSize: Int, k: Int): Column =
+    minhashSignatureFromShingles(TextFunctions.wordShingles(text, shingleSize), k)
 
   /**
    * MinHash + LSH near-duplicate candidate pairs.
@@ -52,22 +58,26 @@ object Dedup {
    * hash → groupBy (band, hash) buckets → intra-bucket pairs. Bucket
    * size is capped (`maxBucket`) so degenerate content (empty/boiler-
    * plate) cannot quadratically explode a reducer — the standard
-   * guard for web-scale corpora. Returns distinct (id_a, id_b) with
-   * id_a < id_b plus exact shingle-Jaccard for verification.
+   * guard for web-scale corpora. Only doc ids travel through the
+   * bucket shuffle (never document text — at 100 TB the band shuffle
+   * must stay O(ids), not O(corpus)). Returns distinct (id_a, id_b)
+   * with id_a < id_b.
    */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
     val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleSize, k))
+      .withColumn("_toks", TextFunctions.tokens(col("text")))
+      .withColumn("_sh", TextFunctions.wordShinglesFromTokens(col("_toks"), shingleSize))
+      .withColumn("sig", minhashSignatureFromShingles(col("_sh"), k))
     val banded = withSig.select(
-      col("doc_id"), col("text"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("text"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    pairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
   }
 
   /**
@@ -85,16 +95,17 @@ object Dedup {
   /**
    * 64-bit SimHash over whitespace tokens: per-bit signed vote of
    * token hashes, folded with higher-order `aggregate`/`zip_with` —
-   * single pass, no explode, no shuffle.
+   * single pass, no explode, no shuffle. Tokens are hashed ONCE into
+   * a hash array first; the per-bit votes then read the lambda
+   * variable (hashing inside the 64-bit vote would cost 64 xxhash64
+   * evaluations per token).
    */
   def simhash(text: Column): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    // single pass over tokens: 64 signed bit-votes folded as an array
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
     val votes = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) => {
         val bits = array((0 until 64).map(j =>
           when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
         zip_with(acc, bits, (a, b) => a + b)
@@ -126,29 +137,52 @@ object Dedup {
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
 
-    val pairs = pairsFromBuckets(blocked.withColumnRenamed("sh", "text"), Seq("blk", "bv"), maxBucket)
-    // "text" column here carries the simhash (pairsFromBuckets is generic over payload)
+    val pairs = pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
     pairs.withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
 
   /**
-   * Intra-bucket pair generation shared by the LSH variants:
-   * collect ids per bucket (capped), emit ordered pairs, distinct.
-   * Expects columns `doc_id`, `text` (payload) + the bucket key cols.
+   * Intra-bucket pair generation (ids only): collect ids per bucket
+   * (capped), emit ordered pairs, distinct. Only the id column ever
+   * shuffles — the scale-critical property for text dedup, where
+   * shipping payloads into buckets would shuffle the whole corpus
+   * once per band.
    */
-  private[operators] def pairsFromBuckets(df: DataFrame, keyCols: Seq[String],
-                                          maxBucket: Int): DataFrame = {
+  private[operators] def idPairsFromBuckets(df: DataFrame, keyCols: Seq[String],
+                                            maxBucket: Int): DataFrame = {
     val bucketed = df
       .groupBy(keyCols.map(col): _*)
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("text")))), 1, maxBucket).as("members"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("members"))
       .where(size(col("members")) > 1)
     bucketed.select(explode(expr(
       """
       flatten(transform(members, (a, i) ->
         transform(slice(members, i + 2, size(members)), b ->
-          struct(a.doc_id as id_a, b.doc_id as id_b, a.text as payload_a, b.text as payload_b))))
+          struct(a as id_a, b as id_b))))
+      """)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * Intra-bucket pair generation carrying a small fixed-size payload
+   * (a 64-bit simhash, a short signature — never raw text/vectors):
+   * lets the verify step run without a join back to the corpus.
+   */
+  private[operators] def pairsFromBuckets(df: DataFrame, keyCols: Seq[String],
+                                          maxBucket: Int, payloadCol: String): DataFrame = {
+    val bucketed = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col(payloadCol).as("_p")))), 1, maxBucket)
+        .as("members"))
+      .where(size(col("members")) > 1)
+    bucketed.select(explode(expr(
+      """
+      flatten(transform(members, (a, i) ->
+        transform(slice(members, i + 2, size(members)), b ->
+          struct(a.doc_id as id_a, b.doc_id as id_b, a._p as payload_a, b._p as payload_b))))
       """)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.payload_a").as("payload_a"), col("p.payload_b").as("payload_b"))
@@ -168,11 +202,16 @@ object NgramJaccard {
     when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union)
   }
 
-  /** Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs. */
+  /** Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
+   * Shingle arrays are computed once per doc on a materialized token
+   * column, then joined to the (small) candidate set — the corpus is
+   * scanned, never shuffled by pair. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                   shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("jid"),
+        array_distinct(TextFunctions.wordShinglesFromTokens(col("_toks"), shingleSize)).as("sh"))
     pairs.select("id_a", "id_b")
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
