@@ -62,7 +62,7 @@ object MultimodalPipeline {
             bytes.count(b => (b & 0xFF) > 127).toFloat / n,
             bytes.take(4).map(_ & 0xFF).sum.toFloat,
             bytes.takeRight(4).map(_ & 0xFF).sum.toFloat,
-            (bytes.hashCode() & 0x7FFFFFFF).toFloat / Int.MaxValue)
+            (java.util.Arrays.hashCode(bytes) & 0x7FFFFFFF).toFloat / Int.MaxValue)
         }
       }
   }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L9–L12: text-analysis functions with hand-computed expectations. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("t")
+
+  test("L11 token counts: whitespace and BPE-ish") {
+    val r = one("Hello, world!  This is   fine.")
+      .select(
+        TextFunctions.tokenCountWs(col("t")).as("ws"),
+        TextFunctions.tokenCountBpe(col("t")).as("bpe"),
+        TextFunctions.charCount(col("t")).as("n")).head()
+    assert(r.getInt(0) == 5)
+    // Hello , world ! This is fine . -> 8 BPE-ish tokens
+    assert(r.getInt(1) == 8)
+    assert(r.getInt(2) == 30)
+    assert(one("").select(TextFunctions.tokenCountWs(col("t"))).head().getInt(0) == 0)
+    assert(one("   ").select(TextFunctions.tokenCountWs(col("t"))).head().getInt(0) == 0)
+  }
+
+  test("L10 quality ratios") {
+    val r = one("ABc de!?")
+      .select(
+        TextFunctions.punctRatio(col("t")).as("p"),
+        TextFunctions.upperRatio(col("t")).as("u"),
+        TextFunctions.meanWordLen(col("t")).as("m")).head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 8) < 1e-9)  // ! and ? of 8 chars
+    assert(math.abs(r.getDouble(1) - 2.0 / 5) < 1e-9)  // A B of ABcde
+    assert(math.abs(r.getDouble(2) - 7.0 / 2) < 1e-9)  // 7 non-space chars / 2 words
+    val q = one("The quick brown fox jumps over the lazy dog near the river bank today.")
+      .select(TextFunctions.qualityScore(col("t"))).head().getDouble(0)
+    assert(q > 0 && q <= 1.0)
+  }
+
+  test("stopword ratio") {
+    val r = one("the cat and the dog").select(TextFunctions.stopwordRatio(col("t"))).head().getDouble(0)
+    assert(math.abs(r - 3.0 / 5) < 1e-9) // the, and, the
+    assert(one("").select(TextFunctions.stopwordRatio(col("t"))).head().getDouble(0) == 0.0)
+  }
+
+  test("L12 fingerprint is normalization-invariant and content-sensitive") {
+    val df = Seq(
+      ("a", "Hello   World"), ("b", "  hello world "), ("c", "hello worlds")
+    ).toDF("id", "t").select(col("id"), TextFunctions.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") == fps("b")) // case/whitespace normalized
+    assert(fps("a") != fps("c"))
+  }
+
+  test("L9 language id picks the evident language") {
+    val r = Seq(
+      ("en", "the cat sat on the mat with the dog and that was that"),
+      ("de", "der hund und die katze sind nicht mit einem vogel über müde straßen"),
+      ("fr", "le chat est dans la maison et les oiseaux dans une cage pour été"),
+      ("es", "el perro y los gatos en una casa para el niño con mañana"),
+      ("zh", "这是一个中文句子用于测试语言识别"),
+      ("und", "zzz qqq kkk")
+    ).toDF("want", "t").select(col("want"), TextFunctions.langId(col("t")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    r.foreach { case (want, got) => assert(got == want, s"expected $want got $got") }
+  }
+
+  test("shingles: sizes and contents") {
+    val r = one("a b c d").select(TextFunctions.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextFunctions.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+    val ng = one("abcd").select(TextFunctions.charNgrams(col("t"), 2)).head().getSeq[String](0)
+    assert(ng == Seq("ab", "bc", "cd"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** M1–M5: metastore storage, partition schemes, range/latest reads,
+  * stats, restricted reader. */
+class MetastoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshMs(scheme: PartitionScheme = PartitionScheme.ByDay,
+                      name: String = "t"): (Metastore, MetaTable) = {
+    val ms = new Metastore(spark)
+    val t = MetaTable(name, tmpDir("ms_") + s"/$name", scheme = scheme)
+    ms.register(t)
+    (ms, t)
+  }
+
+  private val d1 = LocalDate.parse("2024-06-01")
+  private val d2 = LocalDate.parse("2024-06-02")
+  private val d3 = LocalDate.parse("2024-06-03")
+
+  private def data(tag: String, n: Int) =
+    (1 to n).map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  test("M1 roundtrip: save one day, read it back with info_date attached") {
+    val (ms, _) = freshMs()
+    val stats = ms.saveTable("t", d1, data("a", 5))
+    assert(stats.recordCount == 5)
+    val back = ms.getTable("t", Some(d1), Some(d1))
+    assert(back.count() == 5)
+    assert(back.columns.contains("info_date"))
+    assert(back.select("tag").distinct().as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("M2 range read prunes partitions at plan time (ByDay)") {
+    val (ms, _) = freshMs()
+    ms.saveTable("t", d1, data("a", 3))
+    ms.saveTable("t", d2, data("b", 4))
+    ms.saveTable("t", d3, data("c", 5))
+    val df = ms.getTable("t", Some(d1), Some(d2))
+    assert(df.count() == 7)
+    // physical plan must carry the range as a partition filter, and the
+    // post-pruning scan must touch only the two matching partitions
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("info_date"),
+      s"no partition filter in scan: $scan")
+    val parts = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(parts == Seq(2), s"expected 2 selected partitions, got $parts")
+  }
+
+  test("M3 getLatest returns newest partition at/before `until`") {
+    val (ms, _) = freshMs()
+    ms.saveTable("t", d1, data("a", 1))
+    ms.saveTable("t", d3, data("c", 2))
+    assert(ms.getLatest("t").select("tag").distinct().as[String].head() == "c")
+    assert(ms.getLatest("t", Some(d2)).select("tag").distinct().as[String].head() == "a")
+    assertThrows[NoSuchElementException](ms.getLatest("t", Some(d1.minusDays(1))))
+  }
+
+  test("M4 month/year/unpartitioned/overwrite schemes") {
+    val (msM, _) = freshMs(PartitionScheme.ByMonth(), "m")
+    msM.saveTable("m", d1, data("a", 2))
+    msM.saveTable("m", LocalDate.parse("2024-07-01"), data("b", 3))
+    assert(msM.getTable("m").count() == 5)
+    assert(msM.getTable("m", Some(LocalDate.parse("2024-07-01"))).count() == 3)
+
+    val (msY, _) = freshMs(PartitionScheme.ByYear(), "y")
+    msY.saveTable("y", d1, data("a", 2))
+    assert(msY.getTable("y").columns.toSet == Set("id", "tag", "info_date"))
+
+    val (msN, _) = freshMs(PartitionScheme.NotPartitioned, "n")
+    msN.saveTable("n", d1, data("a", 2))
+    msN.saveTable("n", d2, data("b", 2))
+    assert(msN.getTable("n").count() == 4) // append semantics
+
+    val (msO, _) = freshMs(PartitionScheme.Overwrite, "o")
+    msO.saveTable("o", d1, data("a", 2))
+    msO.saveTable("o", d2, data("b", 3))
+    assert(msO.getTable("o").count() == 3) // snapshot semantics
+  }
+
+  test("M5 re-saving a day replaces only that day (dynamic overwrite) + stats") {
+    val (ms, _) = freshMs()
+    ms.saveTable("t", d1, data("a", 3))
+    ms.saveTable("t", d2, data("b", 4))
+    ms.saveTable("t", d1, data("a2", 7)) // re-run day 1
+    assert(ms.getTable("t", Some(d1), Some(d1)).count() == 7)
+    assert(ms.getTable("t", Some(d2), Some(d2)).count() == 4)
+    assert(ms.getStats("t", d1).map(_.recordCount).contains(7L))
+    assert(ms.getStats("t", d1).flatMap(_.sizeBytes).exists(_ > 0))
+    assert(ms.listAvailableDates("t") == Seq(d1, d2))
+  }
+
+  test("restricted reader rejects undeclared tables") {
+    val (ms, _) = freshMs()
+    ms.saveTable("t", d1, data("a", 1))
+    val reader = ms.readerFor(Some(Set("t")))
+    assert(reader.getTable("t").count() == 1)
+    assertThrows[IllegalArgumentException](reader.getTable("other"))
+  }
+
+  test("unregistered table raises") {
+    val ms = new Metastore(spark)
+    assertThrows[NoSuchElementException](ms.getTable("ghost"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.offset
+
+import graft.SparkSpec
+
+/** M12: incremental offsets — types, monotonic commit, persistence,
+  * pushdown-friendly filters. */
+class OffsetManagerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("offset ordering per type; cross-type comparison rejected") {
+    import OffsetValue._
+    assert(IntegralValue(5) < IntegralValue(7))
+    assert(DateTimeValue(1000) < DateTimeValue(2000))
+    assert(StringValue("a") < StringValue("b"))
+    assertThrows[IllegalArgumentException](IntegralValue(1).compare(StringValue("x")))
+    assert(fromString("integral", "42") == IntegralValue(42))
+    assert(fromString("datetime", "1700000000000") == DateTimeValue(1700000000000L))
+    assertThrows[IllegalArgumentException](fromString("uuid", "x"))
+  }
+
+  test("commit only advances forward") {
+    val om = new OffsetManager()
+    om.commit("t", OffsetValue.IntegralValue(10))
+    om.commit("t", OffsetValue.IntegralValue(5)) // regression ignored
+    assert(om.getLatestOffset("t").contains(OffsetValue.IntegralValue(10)))
+    om.commit("t", OffsetValue.IntegralValue(20))
+    assert(om.getLatestOffset("t").contains(OffsetValue.IntegralValue(20)))
+  }
+
+  test("offsets survive restart via the store file") {
+    val store = tmpDir("off_") + "/offsets.tsv"
+    val om1 = new OffsetManager(Some(store))
+    om1.commit("a", OffsetValue.IntegralValue(7))
+    om1.commit("b", OffsetValue.StringValue("k9"))
+    val om2 = new OffsetManager(Some(store))
+    assert(om2.getLatestOffset("a").contains(OffsetValue.IntegralValue(7)))
+    assert(om2.getLatestOffset("b").contains(OffsetValue.StringValue("k9")))
+  }
+
+  test("incrementalFilter reads only past the committed offset and pushes down") {
+    val dir = tmpDir("inc_")
+    (1L to 100L).map(i => (i, s"r$i")).toDF("seq", "v")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val om = new OffsetManager()
+    val info = OffsetInfo("seq", "integral")
+    assert(om.incrementalFilter(df, info, "t").count() == 100) // no offset yet
+    om.commit("t", OffsetValue.IntegralValue(90))
+    val tail = om.incrementalFilter(df, info, "t")
+    assert(tail.count() == 10)
+    // the offset predicate must reach the parquet scan
+    val scan = tail.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(seq,90)"),
+      s"offset filter not pushed: $scan")
+    // committing the new max advances the cursor
+    om.maxOffset(tail, info).foreach(om.commit("t", _))
+    assert(om.getLatestOffset("t").contains(OffsetValue.IntegralValue(100)))
+    assert(om.incrementalFilter(df, info, "t").count() == 0)
+  }
+}

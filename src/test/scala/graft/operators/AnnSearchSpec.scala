@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L6–L8: ANN search — brute force exactness, LSH recall, IVF probing. */
+class AnnSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(11)
+  private def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    (0L until 200L).map(i => (i, randVec()))
+  private lazy val emb = vecs.toDF("vec_id", "embedding").cache()
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    d / (na * nb)
+  }
+
+  test("L6 brute-force top-k matches driver-side ground truth exactly") {
+    val q = vecs(5)._2.map(_.toDouble)
+    val got = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = vecs.map { case (id, v) => (id, cosine(v, vecs(5)._2)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(got == want)
+  }
+
+  test("L6 multi-query brute force ranks per query") {
+    val queries = Seq((100L, vecs(0)._2), (200L, vecs(1)._2)).toDF("qid", "qvec")
+    val res = AnnSearch.bruteForceMulti(emb, "embedding", "vec_id", queries, "qvec", "qid", 3)
+    val byQuery = res.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(100L, 200L))
+    assert(byQuery.values.forall(_.length == 3))
+    // each query's own vector is its top hit at cosine ~1
+    assert(byQuery(100L).map(_.getLong(1)).contains(0L))
+    assert(byQuery(200L).map(_.getLong(1)).contains(1L))
+  }
+
+  test("L7 LSH probe returns the query's own vector and only bucket-mates") {
+    val q = vecs(7)._2.map(_.toDouble)
+    val res = AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 5, bits = 4, tables = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.nonEmpty)
+    assert(res.head == 7L, s"self-match should rank first: $res")
+    // probing scans a fraction of the table, not all of it
+    val scanned = AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 200, bits = 4, tables = 1).count()
+    assert(scanned < 200, s"LSH with 1 table should prune candidates, scanned=$scanned")
+  }
+
+  test("L8 k-means centroids converge and IVF probe finds the self-match") {
+    val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    assert(centroids.length == 8 && centroids.forall(_.length == dim))
+    val q = vecs(3)._2.map(_.toDouble)
+    val res = AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 5, centroids, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.head == 3L, s"self-match should rank first: $res")
+    // nprobe=8 (all cells) degenerates to exact brute force
+    val all = AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 5, centroids, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exact)
+  }
+
+  test("vector math building blocks") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorMath.dot(col("a"), col("b")).as("dot"),
+      VectorMath.norm(col("a")).as("na"),
+      VectorMath.cosine(col("a"), col("b")).as("cos")).head()
+    assert(r.getDouble(0) == 18.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9) // parallel vectors
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L1–L5: dedup family on crafted near-duplicate corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-word edit
+  private val other = "completely different content about databases and distributed systems at scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, other), (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("L1 exact dedup keeps the smallest id per identical text") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L)) // doc 2 (copy of 1) dropped
+    assert(Dedup.exactGroups(docs, "text", "doc_id").select("keeper_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("L2 minhash-LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc matched: $pairs")
+  }
+
+  test("L2 end-to-end near-dedup thresholds on verified jaccard") {
+    val nd = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L))) // only the exact copy survives 0.99
+  }
+
+  test("L3 simhash: identical text -> distance 0; near-dup close; unrelated far") {
+    val hashes = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(ham(1, 2) == 0)
+    assert(ham(1, 3) < ham(1, 4), s"near ${ham(1, 3)} !< far ${ham(1, 4)}")
+    val cand = Dedup.simhashCandidates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("L4 exact jaccard verification values") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val verified = NgramJaccard.verifyPairs(pairs, docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified((1L, 2L)) == 1.0)   // identical docs
+    assert(verified((1L, 4L)) == 0.0)   // disjoint vocabulary
+  }
+
+  test("L5 embedding near-dup finds planted duplicate vectors only") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val v0 = randVec()
+    val v0close = v0.map(x => x + 0.01f) // cosine ~1 with v0
+    val rows = Seq((0L, v0), (1L, v0close)) ++ (2L to 40L).map(i => (i, randVec()))
+    val pairs = EmbedDedup.nearDupPairs(rows.toDF("vec_id", "embedding"),
+        "embedding", "vec_id", threshold = 0.95, bits = 4, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"expected only the planted pair, got $pairs")
+  }
+
+  test("bucket cap bounds pair explosion on degenerate content") {
+    val many = (1L to 300L).map(i => (i, "same boilerplate text repeated again and again ok"))
+      .toDF("doc_id", "text")
+    val n = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 50).count()
+    // capped at C(50,2) pairs, far below C(300,2)=44850
+    assert(n <= 50L * 49 / 2, s"bucket cap not applied: $n pairs")
+  }
+}

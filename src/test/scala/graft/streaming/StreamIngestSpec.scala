@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** S6/S7: structured-streaming ingestion + kafka config plumbing. */
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S7 file stream -> watermarked windowed agg -> memory sink") {
+    val dir = tmpDir("stream_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("value", DoubleType)))
+    Seq(
+      (Timestamp.valueOf("2024-06-01 10:00:30"), "a", 1.0),
+      (Timestamp.valueOf("2024-06-01 10:01:10"), "a", 2.0),
+      (Timestamp.valueOf("2024-06-01 10:06:00"), "b", 5.0),
+      (Timestamp.valueOf("2024-06-01 10:07:00"), "a", 3.0)
+    ).toDF("ts", "k", "value").write.mode("overwrite").parquet(dir)
+
+    val stream = StreamIngest.fileStream(spark, dir, schema)
+    assert(stream.isStreaming)
+    val agg = StreamIngest.windowedCounts(stream, "ts", "k")
+    val q = StreamIngest.runToMemory(agg, "win_counts")
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("win_counts")
+      .select(col("window.start").cast("string").as("ws"), col("k"), col("n"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // both 10:00 and 10:01 events fall in the 10:00 window
+    assert(out(("2024-06-01 10:00:00", "a")) == ((2L, 3.0)))
+    assert(out(("2024-06-01 10:05:00", "b")) == ((1L, 5.0)))
+    assert(out(("2024-06-01 10:05:00", "a")) == ((1L, 3.0)))
+  }
+
+  test("S6 kafka frame/options plumbing (transport stubbed; no broker in env)") {
+    val cfg = StreamIngest.KafkaConfig("broker:9092", "events", Map("maxOffsetsPerTrigger" -> "1000"))
+    val opts = StreamIngest.kafkaReadOptions(cfg)
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "events")
+    assert(opts("maxOffsetsPerTrigger") == "1000")
+
+    val frame = StreamIngest.toKafkaFrame(Seq((1L, "x", 2.5)).toDF("id", "name", "v"), "id")
+    assert(frame.columns.toSeq == Seq("key", "value"))
+    val row = frame.head()
+    assert(row.getString(0) == "1")
+    assert(row.getString(1) == """{"id":1,"name":"x","v":2.5}""")
+  }
+}
