@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.meta.{DataFormat, MetaTable, Metastore, PartitionScheme}
 import graft.offset.{OffsetInfo, OffsetManager, OffsetValue}
-import graft.operators.{AnnSearch, Dedup, EmbedDedup, NgramJaccard}
+import graft.operators.{AnnSearch, AsofJoin, Dedup, EmbedDedup, NgramJaccard, Sessionize}
 import graft.pipeline.{IdentityTransformer, JobDef, Orchestrator}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -362,6 +362,30 @@ object SparkEntry {
         threshold = 0.35, bits = 4, tables = 4)
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // for each error event, the user's most recent click at/before it
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      AsofJoin.asof(errors, clicks, "user_id", "ts")
+        .where(col("asof_click_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"),
+          round(col("asof_click_value"), 2).as("click_value"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      // 30-minute-gap sessions per user over the event stream
+      Sessionize.sessions(events(s, dir), "user_id", "ts", "value",
+          Seq("event_id"), gapSeconds = 1800)
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          col("n_events"), col("total_value"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
@@ -574,9 +598,42 @@ object SparkEntry {
         |  round(CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
         |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_word_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.click_id, round(r.click_value, 2) AS click_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error') l
+        |ASOF JOIN (SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |           FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings
+        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
     // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_jaccard, q_dedup_embed, q_ann_topk, q_ann_lsh:
+    // q_dedup_jaccard, q_dedup_embed, q_ann_lsh:
     // rows-only gates (hash/LSH internals not ANSI-SQL-expressible)
   )
 }

@@ -19,6 +19,13 @@ object VectorMath {
     when(n === 0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Codegen'd cosine via the native `CosineSimilarity` expression —
+    * same semantics as `cosine`, compiled to a primitive loop. Callers
+    * must `GraftFunctions.ensure(spark)` once per session (operator
+    * entry points do). */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.expr.GraftFunctions.cosineSim(a, b)
+
   /** Literal column from a driver-side vector (for query points /
    * hyperplanes). `typedlit` emits ONE Literal node holding the whole
    * array — `array(lit, lit, …)` would emit dim× nodes and blow up
@@ -43,11 +50,13 @@ object AnnSearch {
    * (Spark plans orderBy+limit as TakeOrderedAndProject — partial
    * top-k per partition, k rows to the driver, never a full sort). */
   def bruteForce(embeddings: DataFrame, vecCol: String, idCol: String,
-                 query: Array[Double], k: Int): DataFrame =
+                 query: Array[Double], k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     embeddings.select(col(idCol),
-        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+        round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
 
   /** Exact top-k for a set of queries (small, broadcast): cross join
    * against the broadcast queries + windowed rank per query. */
@@ -56,7 +65,7 @@ object AnnSearch {
                       k: Int): DataFrame = {
     val joined = embeddings.crossJoin(broadcast(
         queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
-      .withColumn("cosine", round(VectorMath.cosine(col(vecCol), col("_qv")), 6))
+      .withColumn("cosine", round(VectorMath.cosineFast(col(vecCol), col("_qv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
     joined.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= k)
@@ -113,12 +122,13 @@ object AnnSearch {
               seed: Long = 42L): DataFrame = {
     val dim = query.length
     val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     val qb = typedlit(queryBuckets(query, planeSets))
     val matchesAny =
       exists(zip_with(lshBucketsAll(col(vecCol), planeSets), qb, (b, q) => b === q), x => x)
     embeddings.where(matchesAny)
       .select(col(idCol),
-        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+        round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -169,6 +179,7 @@ object AnnSearch {
   def ivfTopK(embeddings: DataFrame, vecCol: String, idCol: String,
               query: Array[Double], k: Int, centroids: Array[Array[Double]],
               nprobe: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
       (d, i)
@@ -176,7 +187,7 @@ object AnnSearch {
     embeddings.withColumn("_cell", nearestCentroid(col(vecCol), centroids))
       .where(col("_cell").isin(probeCells.toIndexedSeq: _*))
       .select(col(idCol),
-        round(VectorMath.cosine(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+        round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -191,6 +202,7 @@ object EmbedDedup {
   def nearDupPairs(embeddings: DataFrame, vecCol: String, idCol: String,
                    threshold: Double = 0.95, bits: Int = 12, tables: Int = 3,
                    seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, seed + t))
     // ids-only bucket shuffle (vectors are wide — shipping them into
@@ -205,7 +217,7 @@ object EmbedDedup {
     pairs
       .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
       .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
-      .withColumn("cosine", round(VectorMath.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(VectorMath.cosineFast(col("v_a"), col("v_b")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
