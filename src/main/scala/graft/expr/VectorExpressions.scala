@@ -106,6 +106,24 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"cosine_sim expects 2 arguments, got ${children.length}")
         CosineSimilarity(children(0), children(1))
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"simhash64 expects 1 argument, got ${children.length}")
+        SimHash64(children(0))
+      }),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"minhash_sig expects 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: k must be an integer literal, got $other")
+        }
+        MinHashSignature(children(0), k)
       }))
 
   /** Idempotent per-session registration. */
@@ -117,9 +135,12 @@ object GraftFunctions {
     }
   }
 
-  /** Column API over the registered function (call `ensure` first or
+  /** Column API over the registered functions (call `ensure` first or
     * deploy `GraftExtensions`). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def minhashSig(shingles: Column, k: Int): Column =
+    call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's expressions. */

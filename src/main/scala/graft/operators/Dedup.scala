@@ -67,10 +67,11 @@ object Dedup {
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("_toks", TextFunctions.tokens(col("text")))
       .withColumn("_sh", TextFunctions.wordShinglesFromTokens(col("_toks"), shingleSize))
-      .withColumn("sig", minhashSignatureFromShingles(col("_sh"), k))
+      .withColumn("sig", graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
     val banded = withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -129,8 +130,9 @@ object Dedup {
    */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sh", simhash(col("text")))
+      .withColumn("sh", graft.expr.GraftFunctions.simhash64(TextFunctions.tokens(col("text"))))
     val blocked = withHash.select(
       col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),

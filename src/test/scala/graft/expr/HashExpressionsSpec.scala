@@ -1,0 +1,66 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Native simhash64/minhash_sig: bit parity with the HOF formulations
+  * and with Spark's own xxhash64 builtin. */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the quick brown fox jumps over the sleepy dog",
+    "Hello, World! Mixed CASE and   spacing",
+    "单一 中文 标记 也 应该 工作",
+    "")
+
+  test("simhash64 is bit-identical to the HOF simhash") {
+    GraftFunctions.ensure(spark)
+    val df = texts.toDF("t")
+    val rows = df.select(
+      Dedup.simhash(col("t")).as("hof"),
+      GraftFunctions.simhash64(TextFunctions.tokens(col("t"))).as("native"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch: hof=${r.getLong(0)} native=${r.getLong(1)}"))
+  }
+
+  test("minhash_sig is element-identical to the HOF signature") {
+    GraftFunctions.ensure(spark)
+    val df = texts.toDF("t")
+      .withColumn("_toks", TextFunctions.tokens(col("t")))
+      .withColumn("sh", TextFunctions.wordShinglesFromTokens(col("_toks"), 3))
+    val rows = df.select(
+      Dedup.minhashSignatureFromShingles(col("sh"), 16).as("hof"),
+      GraftFunctions.minhashSig(col("sh"), 16).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch:\n hof=${r.getSeq[Long](0)}\n nat=${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("per-shingle hash agrees with the xxhash64 builtin (hash-compat contract)") {
+    GraftFunctions.ensure(spark)
+    // minhash_sig(sh, 1) over a single shingle == xxhash64(0, shingle)
+    val df = Seq("only one entry").toDF("s")
+      .select(array(col("s")).as("sh"), xxhash64(lit(0), col("s")).as("builtin"))
+      .select(element_at(GraftFunctions.minhashSig(col("sh"), 1), 1).as("native"), col("builtin"))
+    val r = df.head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("empty array sentinels and SQL registration") {
+    GraftFunctions.ensure(spark)
+    val r = Seq(Seq.empty[String]).toDF("sh")
+      .select(GraftFunctions.minhashSig(col("sh"), 4), GraftFunctions.simhash64(col("sh"))).head()
+    assert(r.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
+    assert(r.getLong(1) == 0L)
+    assert(spark.sql("SELECT simhash64(array('a','b'))").head().getLong(0) ==
+      Seq(("x")).toDF("t").select(GraftFunctions.simhash64(typedlit(Seq("a", "b")))).head().getLong(0))
+  }
+}
