@@ -41,6 +41,7 @@ final class Metastore(spark: SparkSession) {
    */
   def saveTable(name: String, infoDate: LocalDate, df: DataFrame): TableStats = {
     val t = getTableDef(name)
+    if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
     val dateLit = java.sql.Date.valueOf(infoDate)
     val withDate =
       (if (df.columns.contains(t.infoDateColumn)) df.drop(t.infoDateColumn) else df)
@@ -122,7 +123,44 @@ final class Metastore(spark: SparkSession) {
   def readerFor(allowedTables: Option[Set[String]] = None): MetastoreReader =
     new MetastoreReader(this, allowedTables)
 
+  /**
+   * Raw (whole-file) storage: each input row's `content` bytes become
+   * one file under `path/info_date=<d>/`, named by the basename of the
+   * row's `path` column (the shape `binaryFile` / `RawFileSource`
+   * produce). Writes run on executors via foreachPartition — the
+   * driver never sees file bytes — and the partition directory is
+   * replaced atomically-enough for idempotent re-runs. Reads go back
+   * through `binaryFile` with `info_date` recovered by partition
+   * discovery, so getTable/getLatest work unchanged.
+   */
+  private def saveRaw(t: MetaTable, name: String, infoDate: LocalDate, df: DataFrame): TableStats = {
+    require(df.columns.contains("path") && df.columns.contains("content"),
+      s"raw table '$name' expects (path, content) columns, got: ${df.columns.mkString(", ")}")
+    val destBase = s"${t.path}/${t.infoDateColumn}=$infoDate"
+    val destPath = new org.apache.hadoop.fs.Path(destBase)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    fs.mkdirs(destPath)
+    df.select(col("path"), col("content")).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        rows.foreach { r =>
+          val srcName = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+          val out = new org.apache.hadoop.fs.Path(s"$destBase/$srcName")
+          val stream = out.getFileSystem(conf).create(out, true)
+          try stream.write(r.getAs[Array[Byte]]("content"))
+          finally stream.close()
+        }
+    }
+    val cnt = fs.listStatus(destPath).count(_.isFile)
+    val stats = TableStats(cnt.toLong, sizeOf(t.path))
+    statsMap.put((name, infoDate), stats)
+    stats
+  }
+
   private def readWhole(t: MetaTable): DataFrame = {
+    if (t.format == DataFormat.Raw)
+      return spark.read.format("binaryFile").load(t.path)
     val base = spark.read.format(t.format.name)
       .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
       .load(t.path)

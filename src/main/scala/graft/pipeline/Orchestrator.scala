@@ -51,7 +51,9 @@ final class Orchestrator(
     metastore: Metastore,
     bookkeeper: Bookkeeper = new Bookkeeper(),
     parallelism: Int = 4,
-    rerunSucceeded: Boolean = false) {
+    rerunSucceeded: Boolean = false,
+    notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
+    lockDir: Option[String] = None) {
 
   def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
     validateDag(jobs)
@@ -77,12 +79,20 @@ final class Orchestrator(
     val results = Try(Await.result(Future.sequence(jobs.map(futureFor)), Duration.Inf))
     pool.shutdown()
     results match {
-      case Success(rs) => rs
+      case Success(rs) =>
+        notifiers.foreach(_.onPipelineCompleted(rs, runDate))
+        rs
       case Failure(e) => throw e
     }
   }
 
   private def runOne(job: JobDef, runDate: LocalDate): TaskResult = {
+    val r = runOneInner(job, runDate)
+    notifiers.foreach(_.onTaskCompleted(r, runDate))
+    r
+  }
+
+  private def runOneInner(job: JobDef, runDate: LocalDate): TaskResult = {
     if (!job.schedule.isEnabled(runDate))
       return TaskResult.Skipped(job.name, s"not scheduled on $runDate")
     val infoDate = DateExpr("runDate" -> runDate, "date" -> runDate).evalDate(job.infoDateExpr)
@@ -96,7 +106,15 @@ final class Orchestrator(
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)
       case Reason.Skip(msg) => TaskResult.Skipped(job.name, msg)
       case _ =>
-        Try {
+        // cross-pipeline exclusion: two drivers writing the same
+        // (table, infoDate) through shared storage exclude each other
+        val lock = lockDir.map(d => TokenLock.forPartition(d, job.outputTable, infoDate))
+        lock.foreach { lk =>
+          if (!lk.tryAcquire())
+            return TaskResult.Skipped(job.name,
+              s"(${job.outputTable}, $infoDate) is locked by another pipeline")
+        }
+        try Try {
           val df = job.transformer.run(reader, infoDate, job.options)
           metastore.saveTable(job.outputTable, infoDate, df)
         } match {
@@ -108,7 +126,7 @@ final class Orchestrator(
             bookkeeper.record(RunRecord(job.outputTable, infoDate, 0L,
               "failed", t0, System.currentTimeMillis()))
             TaskResult.Failed(job.name, e)
-        }
+        } finally lock.foreach(_.release())
     }
   }
 

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.meta.{MetaTable, Metastore, MetastoreReader}
+import org.apache.spark.sql.DataFrame
+
+import java.time.LocalDate
+
+/** Token locks and pipeline notifications. */
+class LocksNotificationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = LocalDate.parse("2024-06-15")
+
+  test("token lock: exclusive acquire, release, stale breaking") {
+    val dir = tmpDir("lock_")
+    val a = new TokenLock(dir, "t1")
+    val b = new TokenLock(dir, "t1")
+    assert(a.tryAcquire())
+    assert(!b.tryAcquire())    // held
+    assert(b.isLocked)
+    a.release()
+    assert(b.tryAcquire())     // free again
+    b.release()
+
+    // stale lock (owner crashed) is broken after the timeout
+    val c = new TokenLock(dir, "t2", staleMs = 0)
+    assert(new TokenLock(dir, "t2").tryAcquire())
+    Thread.sleep(5)
+    assert(c.tryAcquire(), "stale lock must be breakable")
+    c.release()
+  }
+
+  test("orchestrator skips a partition locked by another pipeline and releases its own") {
+    val lockDir = tmpDir("orlock_")
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("out", tmpDir("orlockms_") + "/out"))
+    val seed = new Transformer {
+      def run(r: MetastoreReader, dt: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, "x")).toDF("id", "v")
+    }
+    val jobs = Seq(JobDef("j", "out", seed))
+
+    // foreign lock present -> skipped
+    val foreign = TokenLock.forPartition(lockDir, "out", d)
+    assert(foreign.tryAcquire())
+    val r1 = new Orchestrator(ms, lockDir = Some(lockDir)).run(jobs, d)
+    assert(r1.head.isInstanceOf[TaskResult.Skipped])
+    foreign.release()
+
+    // free -> runs and releases afterwards
+    val r2 = new Orchestrator(ms, lockDir = Some(lockDir), rerunSucceeded = true).run(jobs, d)
+    assert(r2.head.isInstanceOf[TaskResult.Succeeded])
+    assert(!TokenLock.forPartition(lockDir, "out", d).isLocked)
+  }
+
+  test("notifiers observe per-task and pipeline completion") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("a", tmpDir("nms_") + "/a"))
+    ms.register(MetaTable("b", tmpDir("nms_") + "/b"))
+    val seed = new Transformer {
+      def run(r: MetastoreReader, dt: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, "x")).toDF("id", "v")
+    }
+    val failing = new Transformer {
+      def run(r: MetastoreReader, dt: LocalDate, o: Map[String, String]): DataFrame =
+        throw new RuntimeException("nope")
+    }
+    val n = new CollectingNotifier
+    new Orchestrator(ms, notifiers = Seq(n)).run(Seq(
+      JobDef("ok", "a", seed), JobDef("bad", "b", failing)), d)
+    assert(n.tasks.size == 2)
+    assert(n.tasks.collect { case s: TaskResult.Succeeded => s.job } == Seq("ok"))
+    assert(n.tasks.collect { case f: TaskResult.Failed => f.job } == Seq("bad"))
+    assert(n.pipelines.size == 1 && n.pipelines.head.size == 2)
+  }
+}
