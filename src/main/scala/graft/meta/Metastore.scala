@@ -27,6 +27,7 @@ import scala.collection.concurrent.TrieMap
 final class Metastore(spark: SparkSession) {
   private val tables = TrieMap.empty[String, MetaTable]
   private val statsMap = TrieMap.empty[(String, LocalDate), TableStats]
+  private val schemaHistories = TrieMap.empty[String, List[(LocalDate, org.apache.spark.sql.types.StructType)]]
 
   def register(table: MetaTable): Unit = tables.put(table.name, table)
 
@@ -80,8 +81,32 @@ final class Metastore(spark: SparkSession) {
     val cnt = read.where(col(t.infoDateColumn) === dateLit).count()
     val stats = TableStats(cnt, sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
+    recordSchema(name, infoDate, df.schema)
     stats
   }
+
+  /** Schema-evolution tracking (reference: pramen/api
+   * .../api/SchemaDifference.scala): each save records the written
+   * schema when it differs from the last; `schemaChanges` reports the
+   * field-level diffs between consecutive versions. */
+  private def recordSchema(name: String, infoDate: LocalDate,
+                           schema: org.apache.spark.sql.types.StructType): Unit =
+    schemaHistories.updateWith(name) {
+      case Some(hist) if hist.last._2 == schema => Some(hist)
+      case Some(hist) => Some(hist :+ (infoDate, schema))
+      case None => Some(List((infoDate, schema)))
+    }
+
+  /** (infoDate, schema) versions in save order, deduplicated. */
+  def schemaHistory(name: String): Seq[(LocalDate, org.apache.spark.sql.types.StructType)] =
+    schemaHistories.getOrElse(name, Nil)
+
+  /** Field changes between consecutive schema versions, keyed by the
+   * info date that introduced them. */
+  def schemaChanges(name: String): Seq[(LocalDate, Seq[FieldChange])] =
+    schemaHistory(name).sliding(2).collect {
+      case Seq((_, prev), (d, next)) => d -> SchemaEvolution.diff(prev, next)
+    }.toSeq
 
   /**
    * Read a table limited to an info-date range (inclusive). With the

@@ -31,11 +31,28 @@ object StreamIngest {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /**
+   * Streaming gap-based sessionization via `session_window` — the
+   * streaming analog of `graft.operators.Sessionize`: a session stays
+   * open while events arrive within `gap` of each other; the
+   * watermark closes and emits sessions, bounding state.
+   */
+  def sessionized(events: DataFrame, tsCol: String, keyCol: String,
+                  gap: String = "30 minutes",
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Run a streaming query into an in-memory table until input drains
    * (local smoke path; production would target parquet/kafka). */
-  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+  def runToMemory(agg: DataFrame, name: String, mode: String = "update"): StreamingQuery = {
     val q = agg.writeStream
-      .outputMode("update")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -105,6 +105,18 @@ class MetastoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](reader.getTable("other"))
   }
 
+  test("M6 schema changes across saves are tracked and diffed") {
+    val (ms, _) = freshMs(name = "ev")
+    ms.saveTable("ev", d1, data("a", 1))
+    ms.saveTable("ev", d2, data("a", 1)) // same schema -> no new version
+    ms.saveTable("ev", d3, data("a", 1).withColumn("extra", lit(5)))
+    assert(ms.schemaHistory("ev").map(_._1) == Seq(d1, d3))
+    val changes = ms.schemaChanges("ev")
+    assert(changes.size == 1)
+    assert(changes.head._1 == d3)
+    assert(changes.head._2 == Seq(FieldChange.Added("extra", "int")))
+  }
+
   test("unregistered table raises") {
     val ms = new Metastore(spark)
     assertThrows[NoSuchElementException](ms.getTable("ghost"))

@@ -37,6 +37,31 @@ class StreamIngestSpec extends SparkSpec {
     assert(out(("2024-06-01 10:05:00", "a")) == ((1L, 3.0)))
   }
 
+  test("S7 streaming session_window closes sessions at the gap") {
+    val dir = tmpDir("sess_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("value", DoubleType)))
+    Seq(
+      (Timestamp.valueOf("2024-06-01 10:00:00"), "u1", 1.0),
+      (Timestamp.valueOf("2024-06-01 10:10:00"), "u1", 2.0),  // same session
+      (Timestamp.valueOf("2024-06-01 12:00:00"), "u1", 4.0),  // new session
+      (Timestamp.valueOf("2024-06-01 23:00:00"), "u1", 0.0)   // advances watermark
+    ).toDF("ts", "k", "value").write.mode("overwrite").parquet(dir)
+
+    val agg = StreamIngest.sessionized(
+      StreamIngest.fileStream(spark, dir, schema), "ts", "k", gap = "30 minutes")
+    val q = StreamIngest.runToMemory(agg, "sessions", mode = "append")
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("sessions")
+      .select(col("session_start").cast("string"), col("n_events"), col("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // watermark has closed the first two sessions
+    assert(out("2024-06-01 10:00:00") == ((2L, 3.0)), s"got $out")
+    assert(out("2024-06-01 12:00:00") == ((1L, 4.0)), s"got $out")
+  }
+
   test("S6 kafka frame/options plumbing (transport stubbed; no broker in env)") {
     val cfg = StreamIngest.KafkaConfig("broker:9092", "events", Map("maxOffsetsPerTrigger" -> "1000"))
     val opts = StreamIngest.kafkaReadOptions(cfg)
