@@ -102,6 +102,66 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/**
+ * Native random-hyperplane LSH bucketing: for `tables` independent
+ * hash tables of `bits` hyperplanes each (flattened into one plane
+ * matrix), emits the per-table sign-bit bucket ids as array<long> —
+ * one primitive dot-product loop per plane instead of tables×bits
+ * interpreted `aggregate(zip_with(...))` trees. Output matches
+ * `AnnSearch.lshBucketsAll`.
+ */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]], bits: Int)
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % bits == 0,
+    s"plane count ${planes.length} must be a multiple of bits=$bits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_buckets expects array<float|double>, got ${t.sql}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBuckets.eval(input.asInstanceOf[ArrayData], planes, bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.expr.LshBuckets.eval($a, $planesRef, $bits, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_buckets"
+}
+
+object LshBuckets {
+  def eval(arr: ArrayData, planes: Array[Array[Double]], bits: Int, isFloat: Boolean): ArrayData = {
+    val tables = planes.length / bits
+    val dim = arr.numElements()
+    val out = new Array[Long](tables)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(dim, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * plane(i)
+        i += 1
+      }
+      if (dot > 0) out(p / bits) |= (1L << (p % bits))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSignature {
   def eval(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()

@@ -124,6 +124,24 @@ object GraftFunctions {
             s"minhash_sig: k must be an integer literal, got $other")
         }
         MinHashSignature(children(0), k)
+      }),
+    ("lsh_buckets",
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"lsh_buckets expects 3 arguments, got ${children.length}")
+        val planes = children(1) match {
+          case e if e.foldable =>
+            val outer = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: planes must be a literal matrix, got $other")
+        }
+        val bits = children(2) match {
+          case e if e.foldable && e.dataType == IntegerType => e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"lsh_buckets: bits must be an integer literal, got $other")
+        }
+        LshBuckets(children(0), planes, bits)
       }))
 
   /** Idempotent per-session registration. */
@@ -141,6 +159,10 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def minhashSig(shingles: Column, k: Int): Column =
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
+  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
+    call_function("lsh_buckets", vec,
+      org.apache.spark.sql.functions.typedlit(planes),
+      org.apache.spark.sql.functions.lit(bits))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's expressions. */

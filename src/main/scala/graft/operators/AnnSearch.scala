@@ -92,16 +92,11 @@ object AnnSearch {
    * per-plane tree made plan compilation, not data, the bottleneck.
    */
   def lshBucketsAll(vec: Column, planeSets: Array[Array[Array[Double]]]): Column = {
-    val tables = planeSets.length
     val bits = planeSets(0).length
     val flat: Seq[Seq[Double]] = planeSets.flatten.map(_.toSeq).toSeq
-    val signs = transform(typedlit(flat), p =>
-      when(VectorMath.dot(vec, p) > 0, lit(1L)).otherwise(lit(0L)))
-    val powers = typedlit((0 until bits).map(j => 1L << j))
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(
-        zip_with(slice(signs, t * bits + 1, lit(bits)), powers, (s, pw) => s * pw),
-        lit(0L), (a, b) => a + b))
+    // native codegen'd expression — one primitive dot loop per plane
+    // (callers GraftFunctions.ensure the session)
+    graft.expr.GraftFunctions.lshBuckets(vec, flat, bits)
   }
 
   /** Driver-side bucket ids of a query vector, matching `lshBucketsAll`. */

@@ -54,6 +54,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("lsh_buckets matches the driver-side bucket computation") {
+    GraftFunctions.ensure(spark)
+    import graft.operators.AnnSearch
+    val dim = 8; val bits = 4; val tables = 3
+    val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, 42L + t))
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), AnnSearch.lshBucketsAll(col("v"), planeSets).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = AnnSearch.queryBuckets(v.map(_.toDouble), planeSets)
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+  }
+
   test("empty array sentinels and SQL registration") {
     GraftFunctions.ensure(spark)
     val r = Seq(Seq.empty[String]).toDF("sh")

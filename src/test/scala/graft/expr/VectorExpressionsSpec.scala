@@ -81,7 +81,8 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 
   test("SparkSessionExtensions injector exposes the same builders") {
-    assert(GraftFunctions.all.map(_._1) == Seq("cosine_sim", "simhash64", "minhash_sig"))
+    assert(GraftFunctions.all.map(_._1) ==
+      Seq("cosine_sim", "simhash64", "minhash_sig", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible
