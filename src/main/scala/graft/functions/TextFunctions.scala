@@ -77,6 +77,35 @@ object TextFunctions {
   }
 
   /**
+   * Fraction of lines that are duplicates of an earlier line — the
+   * Gopher-style repetition filter signal. 0 for single-line/empty
+   * text; codegen-friendly (array ops, no UDF).
+   */
+  def repetitionRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    val distinctN = size(array_distinct(lines))
+    when(n <= 0, lit(0.0)).otherwise((n - distinctN).cast("double") / n)
+  }
+
+  /**
+   * Shannon entropy (bits/char) over the character distribution —
+   * low-entropy documents are boilerplate/degenerate. Computed with
+   * aggregate over the distinct characters of the normalized text.
+   */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars)
+    val uniq = array_distinct(chars)
+    val ent = aggregate(uniq, lit(0.0d), (acc, ch) => {
+      val cnt = size(filter(chars, c => c === ch)).cast("double")
+      val p = cnt / n.cast("double")
+      acc - p * log2(p)
+    })
+    when(n <= 0, lit(0.0)).otherwise(ent)
+  }
+
+  /**
    * 64-bit content fingerprint over normalized text (case-folded,
    * whitespace-collapsed) — xxHash64, a distributed-friendly stand-in
    * for a rolling Rabin hash: identical post-normalization content

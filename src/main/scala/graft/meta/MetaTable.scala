@@ -43,13 +43,19 @@ object DataFormat {
  * @param format         storage format
  * @param infoDateColumn name of the information-date column
  * @param scheme         physical partition layout
+ * @param transientCache cache reads in executor memory for the life of
+ *                       the session — for intermediate tables consumed
+ *                       by several downstream jobs of one pipeline run
+ *                       (reference: pramen/core
+ *                       .../metastore/persistence/TransientTableManager.scala)
  */
 final case class MetaTable(
     name: String,
     path: String,
     format: DataFormat = DataFormat.Parquet,
     infoDateColumn: String = "info_date",
-    scheme: PartitionScheme = PartitionScheme.ByDay)
+    scheme: PartitionScheme = PartitionScheme.ByDay,
+    transientCache: Boolean = false)
 
 /** Per-save statistics (reference: pramen/core .../metastore/MetaTableStats.scala). */
 final case class TableStats(recordCount: Long, sizeBytes: Option[Long])

@@ -77,6 +77,7 @@ final class Metastore(spark: SparkSession) {
           .save(t.path)
     }
 
+    invalidateCache(name)
     val read = readWhole(t)
     val cnt = read.where(col(t.infoDateColumn) === dateLit).count()
     val stats = TableStats(cnt, sizeOf(t.path))
@@ -161,6 +162,7 @@ final class Metastore(spark: SparkSession) {
   private def saveRaw(t: MetaTable, name: String, infoDate: LocalDate, df: DataFrame): TableStats = {
     require(df.columns.contains("path") && df.columns.contains("content"),
       s"raw table '$name' expects (path, content) columns, got: ${df.columns.mkString(", ")}")
+    invalidateCache(name)
     val destBase = s"${t.path}/${t.infoDateColumn}=$infoDate"
     val destPath = new org.apache.hadoop.fs.Path(destBase)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -183,19 +185,28 @@ final class Metastore(spark: SparkSession) {
     stats
   }
 
+  private val cachedReads = TrieMap.empty[String, DataFrame]
+
   private def readWhole(t: MetaTable): DataFrame = {
-    if (t.format == DataFormat.Raw)
-      return spark.read.format("binaryFile").load(t.path)
-    val base = spark.read.format(t.format.name)
-      .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
-      .load(t.path)
-    t.scheme match {
-      case PartitionScheme.ByMonth(y, m)   => base.drop(y, m)
-      case PartitionScheme.ByYearMonth(ym) => base.drop(ym)
-      case PartitionScheme.ByYear(y)       => base.drop(y)
-      case _ => base
+    def load: DataFrame = {
+      if (t.format == DataFormat.Raw)
+        return spark.read.format("binaryFile").load(t.path)
+      val base = spark.read.format(t.format.name)
+        .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
+        .load(t.path)
+      t.scheme match {
+        case PartitionScheme.ByMonth(y, m)   => base.drop(y, m)
+        case PartitionScheme.ByYearMonth(ym) => base.drop(ym)
+        case PartitionScheme.ByYear(y)       => base.drop(y)
+        case _ => base
+      }
     }
+    if (t.transientCache) cachedReads.getOrElseUpdate(t.name, load.cache()) else load
   }
+
+  /** Drop the transient cache of one table (after a save invalidates it). */
+  private def invalidateCache(name: String): Unit =
+    cachedReads.remove(name).foreach(_.unpersist())
 
   private def sizeOf(path: String): Option[Long] = {
     try {

@@ -65,6 +65,23 @@ class TextFunctionsSpec extends SparkSpec {
     r.foreach { case (want, got) => assert(got == want, s"expected $want got $got") }
   }
 
+  test("repetition ratio counts duplicated non-empty lines") {
+    val r = one("aaa\nbbb\naaa\n\nccc\naaa")
+      .select(TextFunctions.repetitionRatio(col("t"))).head().getDouble(0)
+    assert(math.abs(r - 2.0 / 5) < 1e-9) // 5 non-empty lines, 2 repeats of aaa
+    assert(one("").select(TextFunctions.repetitionRatio(col("t"))).head().getDouble(0) == 0.0)
+    assert(one("x\ny\nz").select(TextFunctions.repetitionRatio(col("t"))).head().getDouble(0) == 0.0)
+  }
+
+  test("char entropy: uniform text high, degenerate low") {
+    def e(s: String) = one(s).select(TextFunctions.charEntropy(col("t"))).head().getDouble(0)
+    assert(math.abs(e("aabb") - 1.0) < 1e-9)        // two symbols, uniform -> 1 bit
+    assert(e("aaaaaaaa") == 0.0)                    // single symbol -> 0 bits
+    assert(math.abs(e("abcd") - 2.0) < 1e-9)        // four uniform symbols -> 2 bits
+    assert(e("") == 0.0)
+    assert(e("the quick brown fox") > e("aaaaaaaaaaaaaaaaaaa"))
+  }
+
   test("shingles: sizes and contents") {
     val r = one("a b c d").select(TextFunctions.wordShingles(col("t"), 3)).head().getSeq[String](0)
     assert(r == Seq("a b c", "b c d"))

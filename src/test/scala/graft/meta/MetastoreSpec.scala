@@ -121,4 +121,23 @@ class MetastoreSpec extends SparkSpec {
     val ms = new Metastore(spark)
     assertThrows[NoSuchElementException](ms.getTable("ghost"))
   }
+
+  test("transient cache serves repeated reads and is invalidated by saves") {
+    val ms = new Metastore(spark)
+    val t = MetaTable("tc", tmpDir("tc_") + "/tc", transientCache = true)
+    ms.register(t)
+    ms.saveTable("tc", d1, data("a", 3))
+    val first = ms.getTable("tc", Some(d1), Some(d1))
+    assert(first.count() == 3)
+    // the read plan is served from the cache manager after materialization
+    val cached = ms.getTable("tc").queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.nonEmpty, "transient table read not served from cache")
+    // a save must invalidate: new data visible immediately
+    ms.saveTable("tc", d2, data("b", 4))
+    assert(ms.getTable("tc").count() == 7)
+    ms.saveTable("tc", d1, data("a2", 5))
+    assert(ms.getTable("tc", Some(d1), Some(d1)).count() == 5)
+  }
 }
