@@ -362,6 +362,42 @@ object SparkEntry {
         threshold = 0.35, bits = 4, tables = 4)
     }),
 
+    "q_intersect" -> ((s, dir) => {
+      // customers ordering in BOTH 1996 and 1997 (INTERSECT)
+      val ord = t(s, dir, "orders")
+      def yr(y: Int) = ord.where(col("o_orderdate") >= D(s"$y-01-01") &&
+        col("o_orderdate") < D(s"${y + 1}-01-01")).select("o_custkey")
+      yr(1996).intersect(yr(1997))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      // customers ordering in 1996 but NOT in 1997 (EXCEPT)
+      val ord = t(s, dir, "orders")
+      def yr(y: Int) = ord.where(col("o_orderdate") >= D(s"$y-01-01") &&
+        col("o_orderdate") < D(s"${y + 1}-01-01")).select("o_custkey")
+      yr(1996).except(yr(1997))
+    }),
+
+    "q_stats_agg" -> ((s, dir) => {
+      // statistical aggregate surface: exact distinct, median, stddev, corr
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured: pull a field out of the JSON props column
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // for each error event, the user's most recent click at/before it
       val ev = events(s, dir)
@@ -599,6 +635,35 @@ object SparkEntry {
         |    ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
         |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_word_len
         |FROM documents""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.click_id, round(r.click_value, 2) AS click_value
