@@ -429,6 +429,26 @@ object SparkEntry {
       AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // rows-only gate: IVF probe with a k-means coarse quantizer
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 2)
+      AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 20, centroids, nprobe = 3)
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      // rows-only gate: binary media columns → batched feature extraction
+      // (decode stubbed — no media libs in env; the distributed plumbing
+      // is the thing under test)
+      import graft.multimodal.MultimodalPipeline
+      MultimodalPipeline.extractFeatures(MultimodalPipeline.syntheticMedia(s, 300),
+          parallelism = Some(8))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 2), 4).as("mean_byte"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // rows-only gate: LSH-bucketed ANN probe
       val emb = t(s, dir, "embeddings")

@@ -29,11 +29,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.compute(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.expr.SimHash64.eval($a)")
+    defineCodeGen(ctx, ev, a => s"graft.expr.SimHash64$$.MODULE$$.compute($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -43,7 +43,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -91,10 +91,10 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSignature.eval(input.asInstanceOf[ArrayData], k)
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.expr.MinHashSignature.eval($a, $k)")
+    defineCodeGen(ctx, ev, a => s"graft.expr.MinHashSignature$$.MODULE$$.compute($a, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -126,11 +126,11 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override protected def nullSafeEval(input: Any): Any =
-    LshBuckets.eval(input.asInstanceOf[ArrayData], planes, bits, isFloat)
+    LshBuckets.compute(input.asInstanceOf[ArrayData], planes, bits, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    defineCodeGen(ctx, ev, a => s"graft.expr.LshBuckets.eval($a, $planesRef, $bits, $isFloat)")
+    defineCodeGen(ctx, ev, a => s"graft.expr.LshBuckets$$.MODULE$$.compute($a, $planesRef, $bits, $isFloat)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -140,7 +140,7 @@ case class LshBuckets(child: Expression, planes: Array[Array[Double]], bits: Int
 }
 
 object LshBuckets {
-  def eval(arr: ArrayData, planes: Array[Array[Double]], bits: Int, isFloat: Boolean): ArrayData = {
+  def compute(arr: ArrayData, planes: Array[Array[Double]], bits: Int, isFloat: Boolean): ArrayData = {
     val tables = planes.length / bits
     val dim = arr.numElements()
     val out = new Array[Long](tables)
@@ -163,7 +163,7 @@ object LshBuckets {
 }
 
 object MinHashSignature {
-  def eval(arr: ArrayData, k: Int): ArrayData = {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val minima = new Array[Long](k)
     if (n == 0) {

@@ -70,6 +70,27 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("generated code actually compiles (no silent interpreted fallback)") {
+    GraftFunctions.ensure(spark)
+    // with fallback disabled a codegen compile failure throws instead
+    // of silently degrading to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.operators.AnnSearch
+      val planes = Array.tabulate(2)(t => AnnSearch.hyperplanes(4, 4, 42L + t))
+      val df = spark.range(50)
+        .select(concat(lit("w"), col("id")).as("w"), col("id"))
+        .select(array(col("w"), lit("x")).as("toks"),
+          array(col("id").cast("float"), lit(1.0f), lit(2.0f), lit(0.5f)).as("vec"))
+        .select(
+          GraftFunctions.simhash64(col("toks")).as("sh"),
+          GraftFunctions.minhashSig(col("toks"), 8).as("sig"),
+          AnnSearch.lshBucketsAll(col("vec"), planes).as("buckets"))
+      assert(df.count() == 50)
+      assert(df.head().getSeq[Long](2).length == 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("empty array sentinels and SQL registration") {
     GraftFunctions.ensure(spark)
     val r = Seq(Seq.empty[String]).toDF("sh")
