@@ -459,8 +459,10 @@ object SparkEntry {
   )
 
   private def metaPath(name: String): String = {
+    // per-process scratch: Verify and Bench may run concurrently and
+    // must not overwrite each other's metastore fixtures
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    s"$base/graft_meta/$name"
+    s"$base/graft_meta_${ProcessHandle.current().pid()}/$name"
   }
 
   def oracleSql: Map[String, String] = Map(
