@@ -429,6 +429,17 @@ object SparkEntry {
       AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
     }),
 
+    "q_data_split" -> ((s, dir) => {
+      // rows-only gate: deterministic train/val/test labeling (hash
+      // membership is not ANSI-SQL-replicable; specs pin the
+      // disjointness/stability invariants)
+      graft.operators.Sampling.withSplitLabel(
+          t(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1),
+          Seq("train", "val", "test"))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only gate: IVF probe with a k-means coarse quantizer
       val emb = t(s, dir, "embeddings")

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L14: deterministic splits, stratified sampling, capping, mixing. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 10000L).map(i => (i, s"doc$i", (i % 7).toString))
+    .toDF("id", "text", "domain").cache()
+
+  test("deterministic split: disjoint, complete, stable, near the weights") {
+    val Seq(train, value, test) = Sampling.deterministicSplit(
+      docs, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val (nTr, nV, nTe) = (train.count(), value.count(), test.count())
+    assert(nTr + nV + nTe == 10000, "splits must partition the input")
+    assert(math.abs(nTr - 8000) < 200, s"train size off: $nTr")
+    assert(math.abs(nV - 1000) < 150 && math.abs(nTe - 1000) < 150, s"val/test off: $nV/$nTe")
+    // disjoint
+    assert(train.join(value, "id").count() == 0)
+    assert(train.join(test, "id").count() == 0)
+    // stable across invocations (same hash, not rand())
+    val again = Sampling.deterministicSplit(
+      docs, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test")).head
+    assert(again.select("id").except(train.select("id")).count() == 0)
+    // different seed -> different membership
+    val other = Sampling.deterministicSplit(
+      docs, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"), seed = 7L).head
+    assert(other.select("id").except(train.select("id")).count() > 0)
+  }
+
+  test("stratified sampling respects per-stratum fractions") {
+    val sampled = Sampling.stratifiedSample(docs, "domain",
+      Map("0" -> 0.5, "1" -> 0.1), seed = 1L)
+    val by = sampled.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n0 = docs.where(col("domain") === "0").count()
+    assert(math.abs(by("0") - n0 * 0.5) < n0 * 0.2, s"stratum 0: ${by("0")}")
+    assert(by.getOrElse("2", 0L) == 0, "unlisted strata must drop")
+  }
+
+  test("capPerKey keeps at most N deterministic rows per key") {
+    val capped = Sampling.capPerKey(docs, "domain", 10, "id")
+    val sizes = capped.groupBy("domain").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ == 10))
+    // keeps the smallest ids (the declared order)
+    assert(capped.where(col("domain") === "0").select(max("id")).as[Long].head() <= 70)
+  }
+
+  test("weightedMix replicates whole copies and samples the remainder") {
+    val a = (1L to 1000L).map(i => (i, "a")).toDF("id", "src")
+    val b = (1L to 1000L).map(i => (i, "b")).toDF("id", "src")
+    val mixed = Sampling.weightedMix(Seq((a, 2.0), (b, 0.25)), "id")
+    val by = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("a") == 2000, s"rate 2.0 must double: ${by("a")}")
+    assert(math.abs(by("b") - 250) < 80, s"rate 0.25 off: ${by("b")}")
+    // deterministic: same call, same counts
+    val again = Sampling.weightedMix(Seq((a, 2.0), (b, 0.25)), "id")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == by)
+  }
+}
