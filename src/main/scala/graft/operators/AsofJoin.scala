@@ -37,10 +37,10 @@ object AsofJoin {
 
     val l = left.select(
       left(keyCol).as("_k"), left(tsCol).as("_ts"), lit(1).as("_side"),
-      struct(left.columns.map(left(_)): _*).as("_l"), lit(null).cast(rightType).as("_r"))
+      struct(left.columns.toIndexedSeq.map(left(_)): _*).as("_l"), lit(null).cast(rightType).as("_r"))
     val r = right.select(
       right(keyCol).as("_k"), right(tsCol).as("_ts"), lit(0).as("_side"),
-      lit(null).cast(leftType).as("_l"), struct(right.columns.map(right(_)): _*).as("_r"))
+      lit(null).cast(leftType).as("_l"), struct(right.columns.toIndexedSeq.map(right(_)): _*).as("_r"))
 
     val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -51,7 +51,7 @@ object AsofJoin {
 
     val leftCols = left.columns.map(c => col(s"_l.$c").as(c))
     val rightCols = right.columns.map(c => col(s"_match.$c").as(s"$rightPrefix$c"))
-    matched.select(leftCols ++ rightCols: _*)
+    matched.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 }
 

@@ -44,7 +44,7 @@ final class IdentityTransformer extends Transformer {
                    options: Map[String, String]): DataFrame = {
     val df = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
     val projected = options.get("columns") match {
-      case Some(cols) => df.selectExpr(cols.split(",").map(_.trim): _*)
+      case Some(cols) => df.selectExpr(cols.split(",").toIndexedSeq.map(_.trim): _*)
       case None => df
     }
     options.get("filter").fold(projected)(f => projected.where(f))

@@ -24,11 +24,11 @@ sealed trait ColumnNameTransform {
   def apply(df: DataFrame): DataFrame = this match {
     case ColumnNameTransform.NoChange => df
     case ColumnNameTransform.MakeUpper =>
-      df.toDF(df.columns.map(_.toUpperCase): _*)
+      df.toDF(df.columns.toIndexedSeq.map(_.toUpperCase): _*)
     case ColumnNameTransform.MakeLower =>
-      df.toDF(df.columns.map(_.toLowerCase): _*)
+      df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     case ColumnNameTransform.Sanitize =>
-      df.toDF(df.columns.map(_.replaceAll("[^A-Za-z0-9_]", "_")): _*)
+      df.toDF(df.columns.toIndexedSeq.map(_.replaceAll("[^A-Za-z0-9_]", "_")): _*)
   }
 }
 object ColumnNameTransform {
