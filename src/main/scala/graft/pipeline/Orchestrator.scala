@@ -16,6 +16,8 @@ import scala.util.{Failure, Success, Try}
  *
  * @param infoDateExpr date-DSL expression deriving the information
  *                     date from `@runDate` (e.g. `"@runDate - 1"`).
+ * @param retries      additional attempts after a failed run (the
+ *                     reference runner's task retry policy).
  */
 final case class JobDef(
     name: String,
@@ -24,7 +26,8 @@ final case class JobDef(
     inputTables: Seq[String] = Seq.empty,
     schedule: Schedule = Schedule.Daily(),
     infoDateExpr: String = "@runDate",
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    retries: Int = 0)
 
 sealed trait TaskResult { def job: String }
 object TaskResult {
@@ -114,10 +117,17 @@ final class Orchestrator(
             return TaskResult.Skipped(job.name,
               s"(${job.outputTable}, $infoDate) is locked by another pipeline")
         }
-        try Try {
+        def attempt(): Try[graft.meta.TableStats] = Try {
           val df = job.transformer.run(reader, infoDate, job.options)
           metastore.saveTable(job.outputTable, infoDate, df)
-        } match {
+        }
+        // retry policy: re-attempt transient failures up to job.retries
+        def attemptWithRetries(left: Int): Try[graft.meta.TableStats] =
+          attempt() match {
+            case f: Failure[_] if left > 0 => attemptWithRetries(left - 1)
+            case other => other
+          }
+        try attemptWithRetries(job.retries) match {
           case Success(stats) =>
             bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
               "succeeded", t0, System.currentTimeMillis()))

@@ -52,6 +52,32 @@ final class IdentityTransformer extends Transformer {
 }
 
 /**
+ * Column type conversions over one input table
+ * (reference: pramen/core .../core/transformers/ConversionTransformer.scala).
+ * Options: `input.table` (required); `convert.<column> = <sqlType>`
+ * per column (e.g. `convert.amount = decimal(18,2)`).
+ */
+final class ConversionTransformer extends Transformer {
+  override def validate(ms: MetastoreReader, infoDate: LocalDate,
+                        options: Map[String, String]): Reason =
+    if (!options.contains("input.table")) Reason.NotReady("option 'input.table' is required")
+    else if (!options.keys.exists(_.startsWith("convert.")))
+      Reason.NotReady("at least one 'convert.<column>' option is required")
+    else Reason.Ready
+
+  override def run(ms: MetastoreReader, infoDate: LocalDate,
+                   options: Map[String, String]): DataFrame = {
+    val df = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
+    options.foldLeft(df) {
+      case (acc, (k, sqlType)) if k.startsWith("convert.") =>
+        val column = k.stripPrefix("convert.")
+        acc.withColumn(column, org.apache.spark.sql.functions.col(column).cast(sqlType))
+      case (acc, _) => acc
+    }
+  }
+}
+
+/**
  * SQL transformer: runs a Spark SQL statement with metastore tables
  * registered as temp views and `@infoDate` substituted.
  */

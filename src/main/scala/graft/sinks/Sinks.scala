@@ -87,6 +87,36 @@ final class LocalCsvSink(
   }
 }
 
+/**
+ * Export-then-exec sink: writes the data as CSV to a staging
+ * directory, then runs a configurable command with `@path` (and
+ * `@count`) substituted — the hand-off pattern for downstream systems
+ * that ingest files via their own tooling
+ * (reference: pramen/core .../core/sink/CmdLineSink.scala).
+ * The command runs once on the driver AFTER the distributed write —
+ * it never touches row data.
+ */
+final class CmdLineSink(
+    stagingPath: String,
+    commandTemplate: String,
+    timeoutSeconds: Long = 300) extends GraftSink {
+
+  override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                    options: Map[String, String]): SinkResult = {
+    val dir = s"$stagingPath/$tableName/$infoDate"
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+    val count = df.count()
+    val cmd = commandTemplate.replace("@path", dir).replace("@count", count.toString)
+    val proc = new ProcessBuilder(cmd.split("\\s+"): _*)
+      .redirectErrorStream(true).start()
+    val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"CmdLineSink timed out: $cmd") }
+    if (proc.exitValue() != 0)
+      throw new RuntimeException(s"CmdLineSink command failed (exit ${proc.exitValue()}): $cmd")
+    SinkResult(count)
+  }
+}
+
 /** Runs a sink job: metastore table window → sink. */
 final class SinkJob(metastore: graft.meta.Metastore, sink: GraftSink) {
   def run(tableName: String, infoDate: LocalDate,

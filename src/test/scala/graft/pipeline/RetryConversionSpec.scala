@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.meta.{MetaTable, Metastore, MetastoreReader}
+import graft.sinks.{CmdLineSink, SinkJob}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DecimalType
+
+import java.time.LocalDate
+import java.util.concurrent.atomic.AtomicInteger
+
+/** ConversionTransformer, job retries, CmdLineSink. */
+class RetryConversionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = LocalDate.parse("2024-06-15")
+
+  test("ConversionTransformer casts the configured columns") {
+    val ms = new Metastore(spark)
+    val base = tmpDir("conv_")
+    ms.register(MetaTable("src", s"$base/src"))
+    ms.register(MetaTable("out", s"$base/out"))
+    ms.saveTable("src", d, Seq((1L, "12.345", 7)).toDF("id", "amount", "qty"))
+    val results = new Orchestrator(ms).run(Seq(JobDef(
+      "conv", "out", new ConversionTransformer, Seq("src"),
+      options = Map("input.table" -> "src",
+        "convert.amount" -> "decimal(18,2)", "convert.qty" -> "long"))), d)
+    assert(results.head.isInstanceOf[TaskResult.Succeeded])
+    val schema = ms.getTable("out", Some(d), Some(d)).schema
+    assert(schema("amount").dataType == DecimalType(18, 2))
+    assert(schema("qty").dataType.simpleString == "bigint")
+
+    // validation gates
+    val r2 = new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+      "conv2", "out", new ConversionTransformer, Seq("src"),
+      options = Map("input.table" -> "src"))), d)
+    assert(r2.head.isInstanceOf[TaskResult.NotReady])
+  }
+
+  test("retries: a transformer that fails twice succeeds with retries=2, fails with 1") {
+    class Flaky(failures: Int) extends Transformer {
+      private val calls = new AtomicInteger()
+      def run(r: MetastoreReader, dt: LocalDate, o: Map[String, String]): DataFrame = {
+        if (calls.incrementAndGet() <= failures) throw new RuntimeException("transient")
+        Seq((1L, "ok")).toDF("id", "v")
+      }
+    }
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("r1", tmpDir("rty_") + "/r1"))
+    ms.register(MetaTable("r2", tmpDir("rty_") + "/r2"))
+    val ok = new Orchestrator(ms).run(Seq(
+      JobDef("flaky_ok", "r1", new Flaky(2), retries = 2)), d)
+    assert(ok.head.isInstanceOf[TaskResult.Succeeded], s"got ${ok.head}")
+    val bad = new Orchestrator(ms).run(Seq(
+      JobDef("flaky_bad", "r2", new Flaky(2), retries = 1)), d)
+    assert(bad.head.isInstanceOf[TaskResult.Failed])
+  }
+
+  test("CmdLineSink stages CSV then runs the command; failures surface") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("exp", tmpDir("cmd_") + "/exp"))
+    ms.saveTable("exp", d, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+
+    val staging = tmpDir("cmdstage_")
+    val marker = s"$staging/done.marker"
+    val sink = new CmdLineSink(staging, s"cp @path/_SUCCESS $marker")
+    val res = new SinkJob(ms, sink).run("exp", d)
+    assert(res.recordsSent == 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(marker)),
+      "command must have run against the staged path")
+
+    val failing = new CmdLineSink(staging, "false")
+    assertThrows[RuntimeException](new SinkJob(ms, failing).run("exp", d))
+  }
+}
