@@ -146,8 +146,9 @@ final class Metastore(spark: SparkSession) {
   def getStats(name: String, infoDate: LocalDate): Option[TableStats] = statsMap.get((name, infoDate))
 
   /** Reader facade handed to transformers (restricts to declared inputs when given). */
-  def readerFor(allowedTables: Option[Set[String]] = None): MetastoreReader =
-    new MetastoreReader(this, allowedTables)
+  def readerFor(allowedTables: Option[Set[String]] = None,
+                incremental: Option[MetastoreReader.IncrementalContext] = None): MetastoreReader =
+    new MetastoreReader(this, allowedTables, incremental)
 
   /**
    * Raw (whole-file) storage: each input row's `content` bytes become
@@ -219,9 +220,16 @@ final class Metastore(spark: SparkSession) {
 
 /**
  * Restricted read facade passed to transformers
- * (reference: pramen/api .../api/MetastoreReader.scala:28).
+ * (reference: pramen/api .../api/MetastoreReader.scala:28,
+ * core/metastore/MetastoreReaderIncremental.scala). When constructed
+ * with an incremental context, `getTableIncremental` reads only rows
+ * past this consumer's committed offset — the predicate pushes into
+ * the scan — and the orchestrator commits the advanced offset after
+ * the job succeeds (exactly-once per (consumer, table) progression,
+ * re-deliver on failure).
  */
-final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]]) {
+final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
+                            incremental: Option[MetastoreReader.IncrementalContext] = None) {
   private def check(name: String): Unit = allowed.foreach { a =>
     if (!a.contains(name))
       throw new IllegalArgumentException(
@@ -234,4 +242,37 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]]) {
     check(name); ms.getLatest(name, until)
   }
   def listAvailableDates(name: String): Seq[LocalDate] = { check(name); ms.listAvailableDates(name) }
+
+  /** Rows of `name` strictly after this consumer's committed offset on
+    * `offsetInfo.column`; the pending new max is committed by the
+    * orchestrator only after the job succeeds. */
+  def getTableIncremental(name: String, offsetInfo: graft.offset.OffsetInfo): DataFrame = {
+    check(name)
+    val ctx = incremental.getOrElse(throw new IllegalStateException(
+      "incremental reads need an orchestrator-provided incremental context"))
+    val key = s"${ctx.consumer}:$name"
+    val df = ctx.offsets.incrementalFilter(ms.getTable(name), offsetInfo, key)
+    ctx.notePending(key, () => ctx.offsets.maxOffset(df, offsetInfo))
+    df
+  }
+}
+
+object MetastoreReader {
+  /** Per-job incremental state: offsets keyed `consumer:table`; max
+    * offsets are computed and committed only after job success. */
+  final class IncrementalContext(val consumer: String,
+                                 val offsets: graft.offset.OffsetManager) {
+    private val pending = scala.collection.concurrent.TrieMap
+      .empty[String, () => Option[graft.offset.OffsetValue]]
+    private[meta] def notePending(key: String,
+                                  compute: () => Option[graft.offset.OffsetValue]): Unit =
+      pending.put(key, compute)
+    /** Called by the orchestrator after a successful run. */
+    def commitPending(): Unit = {
+      pending.foreach { case (key, compute) =>
+        compute().foreach(offsets.commit(key, _))
+      }
+      pending.clear()
+    }
+  }
 }

@@ -56,7 +56,8 @@ final class Orchestrator(
     parallelism: Int = 4,
     rerunSucceeded: Boolean = false,
     notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
-    lockDir: Option[String] = None) {
+    lockDir: Option[String] = None,
+    offsetManager: Option[graft.offset.OffsetManager] = None) {
 
   def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
     validateDag(jobs)
@@ -102,8 +103,10 @@ final class Orchestrator(
     if (!rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, infoDate))
       return TaskResult.Skipped(job.name, s"already succeeded for $infoDate")
 
+    val incCtx = offsetManager.map(om =>
+      new graft.meta.MetastoreReader.IncrementalContext(job.outputTable, om))
     val reader = metastore.readerFor(
-      if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None)
+      if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None, incCtx)
     val t0 = System.currentTimeMillis()
     job.transformer.validate(reader, infoDate, job.options) match {
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)
@@ -129,6 +132,7 @@ final class Orchestrator(
           }
         try attemptWithRetries(job.retries) match {
           case Success(stats) =>
+            incCtx.foreach(_.commitPending()) // advance offsets only on success
             bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
               "succeeded", t0, System.currentTimeMillis()))
             TaskResult.Succeeded(job.name, job.outputTable, infoDate, stats.recordCount)
