@@ -89,18 +89,49 @@ final class Metastore(spark: SparkSession) {
   /** Schema-evolution tracking (reference: pramen/api
    * .../api/SchemaDifference.scala): each save records the written
    * schema when it differs from the last; `schemaChanges` reports the
-   * field-level diffs between consecutive versions. */
+   * field-level diffs between consecutive versions. Versions persist
+   * as one JSON file each under `<table>/_graft/schema/<date>.json`
+   * (underscore-prefixed dirs are invisible to Spark readers; one
+   * file per version needs no appends, so object stores work), so a
+   * new Metastore instance recovers the history of prior runs. */
   private def recordSchema(name: String, infoDate: LocalDate,
-                           schema: org.apache.spark.sql.types.StructType): Unit =
-    schemaHistories.updateWith(name) {
-      case Some(hist) if hist.last._2 == schema => Some(hist)
-      case Some(hist) => Some(hist :+ (infoDate, schema))
-      case None => Some(List((infoDate, schema)))
+                           schema: org.apache.spark.sql.types.StructType): Unit = {
+    val hist = loadedHistory(name)
+    val changed = hist.lastOption.forall(_._2 != schema)
+    if (changed) {
+      schemaHistories.put(name, hist :+ (infoDate, schema))
+      val t = getTableDef(name)
+      val dir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/schema")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dir)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$infoDate.json"), true)
+      try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     }
+  }
 
-  /** (infoDate, schema) versions in save order, deduplicated. */
+  private def loadedHistory(name: String): List[(LocalDate, org.apache.spark.sql.types.StructType)] =
+    schemaHistories.getOrElseUpdate(name, {
+      val t = getTableDef(name)
+      val dir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/schema")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toList
+        .filter(_.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val date = LocalDate.parse(st.getPath.getName.stripSuffix(".json"))
+          val bytes = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(st.getPath)
+          try in.readFully(bytes) finally in.close()
+          date -> org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }
+        .sortBy(_._1.toEpochDay)
+    })
+
+  /** (infoDate, schema) versions in save order, deduplicated;
+    * includes versions persisted by earlier Metastore instances. */
   def schemaHistory(name: String): Seq[(LocalDate, org.apache.spark.sql.types.StructType)] =
-    schemaHistories.getOrElse(name, Nil)
+    loadedHistory(name)
 
   /** Field changes between consecutive schema versions, keyed by the
    * info date that introduced them. */

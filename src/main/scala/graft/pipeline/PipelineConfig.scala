@@ -103,7 +103,8 @@ object PipelineConfig {
         inputTables = inputs,
         schedule = opt("schedule").map(Schedule.parse).getOrElse(Schedule.Daily()),
         infoDateExpr = opt("info.date.expr").getOrElse("@runDate"),
-        options = options)
+        options = options,
+        retries = opt("retries").map(_.toInt).getOrElse(0))
     }
 
     Parsed(name, tables, jobs)

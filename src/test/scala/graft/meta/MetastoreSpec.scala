@@ -105,8 +105,8 @@ class MetastoreSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](reader.getTable("other"))
   }
 
-  test("M6 schema changes across saves are tracked and diffed") {
-    val (ms, _) = freshMs(name = "ev")
+  test("M6 schema changes across saves are tracked, diffed, and persisted") {
+    val (ms, tbl) = freshMs(name = "ev")
     ms.saveTable("ev", d1, data("a", 1))
     ms.saveTable("ev", d2, data("a", 1)) // same schema -> no new version
     ms.saveTable("ev", d3, data("a", 1).withColumn("extra", lit(5)))
@@ -115,6 +115,13 @@ class MetastoreSpec extends SparkSpec {
     assert(changes.size == 1)
     assert(changes.head._1 == d3)
     assert(changes.head._2 == Seq(FieldChange.Added("extra", "int")))
+    // a fresh Metastore instance recovers the persisted history
+    val ms2 = new Metastore(spark)
+    ms2.register(tbl)
+    assert(ms2.schemaHistory("ev").map(_._1) == Seq(d1, d3))
+    assert(ms2.schemaChanges("ev").head._2 == Seq(FieldChange.Added("extra", "int")))
+    // the _graft dir stays invisible to table reads
+    assert(ms2.getTable("ev").count() == 3)
   }
 
   test("unregistered table raises") {
