@@ -162,6 +162,60 @@ object LshBuckets {
   }
 }
 
+/**
+ * Native word-shingle generation: n-gram windows over a token array,
+ * joined with single spaces — one pass building the output array,
+ * replacing the `transform(sequence(...), i => array_join(slice(...)))`
+ * HOF chain (an interpreted slice+join per position per row) in the
+ * MinHash/Jaccard pipelines. Matches
+ * `TextFunctions.wordShinglesFromTokens` exactly (fewer than n tokens
+ * → empty array).
+ */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"word_shingles needs n > 0, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles expects array<string>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.WordShingles$$.MODULE$$.compute($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(i + j)
+        parts(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSignature {
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()

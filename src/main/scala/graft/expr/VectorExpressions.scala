@@ -125,6 +125,17 @@ object GraftFunctions {
         }
         MinHashSignature(children(0), k)
       }),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"word_shingles expects 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case e if e.foldable && e.dataType == IntegerType => e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(children(0), n)
+      }),
     ("lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -159,6 +170,8 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def minhashSig(shingles: Column, k: Int): Column =
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
+  def wordShingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),

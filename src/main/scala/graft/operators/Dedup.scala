@@ -77,7 +77,7 @@ object Dedup {
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("_toks", TextFunctions.tokens(col("text")))
-      .withColumn("_sh", TextFunctions.wordShinglesFromTokens(col("_toks"), shingleSize))
+      .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
       .withColumn("sig", graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
     val banded = withSig.select(
       col("doc_id"),
@@ -217,10 +217,11 @@ object NgramJaccard {
    * scanned, never shuffled by pair. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                   shingleSize: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("jid"),
-        array_distinct(TextFunctions.wordShinglesFromTokens(col("_toks"), shingleSize)).as("sh"))
+        array_distinct(graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize)).as("sh"))
     pairs.select("id_a", "id_b")
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

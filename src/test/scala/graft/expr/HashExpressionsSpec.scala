@@ -54,6 +54,20 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("word_shingles matches the HOF formulation on varied inputs") {
+    GraftFunctions.ensure(spark)
+    val rows = (texts :+ "one two" :+ "single").toDF("t")
+      .withColumn("toks", TextFunctions.tokens(col("t")))
+      .select(
+        TextFunctions.wordShinglesFromTokens(col("toks"), 3).as("hof"),
+        GraftFunctions.wordShingles(col("toks"), 3).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch:\n hof=${r.getSeq[String](0)}\n nat=${r.getSeq[String](1)}")
+    }
+  }
+
   test("lsh_buckets matches the driver-side bucket computation") {
     GraftFunctions.ensure(spark)
     import graft.operators.AnnSearch
