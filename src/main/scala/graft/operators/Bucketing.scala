@@ -31,3 +31,37 @@ object Bucketing {
   def read(spark: org.apache.spark.sql.SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 }
+
+/**
+ * Salted join for skewed keys: when one key holds a large fraction of
+ * the fact side, a plain hash join sends that whole key to ONE
+ * reducer. Salting splits each fact row across `salts` sub-keys and
+ * replicates the (small) build side once per salt, so the hot key
+ * spreads over `salts` reducers. AQE's skew-join handles moderate
+ * skew automatically; explicit salting is the tool when one key is
+ * pathological (null ids, empty documents, bot traffic).
+ */
+object SkewJoin {
+  import org.apache.spark.sql.functions._
+
+  /**
+   * Inner equi-join of a skewed `fact` with a small `dim`, salted
+   * `salts` ways. Result equals `fact.join(dim, keys)` exactly; the
+   * dim side is exploded `salts`× (keep it the small side).
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // salt by row POSITION, not row content: a degenerate hot key
+    // usually carries thousands of IDENTICAL rows, and any
+    // content-derived salt would map them all to the same reducer —
+    // exactly the skew we're breaking. monotonically_increasing_id is
+    // per-row-unique and rand()-free (no re-evaluation jitter on
+    // retried tasks within a stage).
+    val salted = fact.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val explodedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(explodedDim, keys :+ "_salt").drop("_salt")
+  }
+}

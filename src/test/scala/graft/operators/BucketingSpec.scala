@@ -40,6 +40,27 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("salted join equals the plain join on heavily skewed data and spreads the hot key") {
+    // 90% of the fact rows share one key — the pathological case
+    val fact = ((1L to 9000L).map(_ => (7L, "hot")) ++ (1L to 1000L).map(i => (i % 50, "cold")))
+      .toDF("k", "tag")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+
+    val plain = fact.join(dim, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), salts = 8)
+      .groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain, "salted join must equal the plain join")
+    assert(salted(7L) == 9000L + 1000 / 50) // hot key fully matched
+
+    // the hot key's IDENTICAL rows really spread across salt values —
+    // position-based salting (content hashing would collapse them to 1)
+    val saltSpread = fact.where(col("k") === 7L)
+      .select(pmod(monotonically_increasing_id(), lit(8L)).as("s"))
+      .distinct().count()
+    assert(saltSpread == 8, s"identical hot rows must spread over all salts, got $saltSpread")
+  }
+
   test("unbucketed equivalent DOES shuffle (the baseline the bucketing removes)") {
     val a = (1L to 2000L).map(i => (i % 97, i)).toDF("k", "v")
     val b = (0L until 97L).map(i => (i, s"x$i")).toDF("k", "w")
