@@ -429,6 +429,23 @@ object SparkEntry {
       AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
     }),
 
+    "q_approx_agg" -> ((s, dir) => {
+      // rows-only gate: sketch aggregates (HLL distinct, approximate
+      // percentiles) — the constant-memory form of q_stats_agg for
+      // cardinalities where exact distinct would shuffle every key;
+      // accuracy bounds are spec-checked (ApproxAggSpec)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), array(lit(0.9), lit(0.99)), lit(10000))
+            .as("price_tail"))
+        .select(col("l_returnflag"), col("approx_parts"), col("p50_qty"),
+          element_at(col("price_tail"), 1).as("p90_price"),
+          element_at(col("price_tail"), 2).as("p99_price"))
+    }),
+
     "q_data_split" -> ((s, dir) => {
       // rows-only gate: deterministic train/val/test labeling (hash
       // membership is not ANSI-SQL-replicable; specs pin the
