@@ -429,6 +429,23 @@ object SparkEntry {
       AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
     }),
 
+    "q_curation" -> ((s, dir) => {
+      // rows-only gate: the full curation pipeline (dedup → quality →
+      // lang-id → tokens → split) as one config-runnable stage
+      val ms = new Metastore(s)
+      ms.register(MetaTable("docs_raw", metaPath("cur_src")))
+      ms.register(MetaTable("docs_cur", metaPath("cur_out")))
+      val d = LocalDate.parse("2024-05-01")
+      ms.saveTable("docs_raw", d, t(s, dir, "documents"))
+      new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+        "curate", "docs_cur", new graft.pipeline.CurationTransformer,
+        Seq("docs_raw"), infoDateExpr = "@runDate",
+        options = Map("input.table" -> "docs_raw", "quality.min" -> "0.2"))), d)
+      ms.getTable("docs_cur", Some(d), Some(d))
+        .groupBy("split", "lang_pred")
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"))
+    }),
+
     "q_approx_agg" -> ((s, dir) => {
       // rows-only gate: sketch aggregates (HLL distinct, approximate
       // percentiles) — the constant-memory form of q_stats_agg for
