@@ -141,6 +141,28 @@ final class Metastore(spark: SparkSession) {
     }.toSeq
 
   /**
+   * Append rows carrying their OWN info dates (derived from `dateCol`)
+   * — the micro-batch write path for streaming ingestion, where one
+   * batch may span a date boundary and must not overwrite either
+   * day's earlier batches. ByDay tables only.
+   */
+  def appendTable(name: String, df: DataFrame, dateCol: String): TableStats = {
+    val t = getTableDef(name)
+    require(t.scheme == PartitionScheme.ByDay,
+      s"appendTable supports ByDay tables; '$name' uses ${t.scheme}")
+    invalidateCache(name)
+    val withDate =
+      (if (df.columns.contains(t.infoDateColumn)) df.drop(t.infoDateColumn) else df)
+        .withColumn(t.infoDateColumn, to_date(col(dateCol)))
+    withDate.write.format(t.format.name)
+      .mode(SaveMode.Append)
+      .partitionBy(t.infoDateColumn)
+      .save(t.path)
+    recordSchema(name, LocalDate.now(), df.schema)
+    TableStats(df.count(), sizeOf(t.path))
+  }
+
+  /**
    * Read a table limited to an info-date range (inclusive). With the
    * ByDay scheme the range becomes a partition filter — pruned at
    * planning time, not scanned.

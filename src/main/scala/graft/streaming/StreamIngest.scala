@@ -48,6 +48,26 @@ object StreamIngest {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /**
+   * Stream → metastore: each micro-batch appends into the ByDay
+   * table's info-date partitions derived from the event-time column
+   * (a batch spanning midnight lands in both days). Offsets/exactly-
+   * once are the streaming checkpoint's job; downstream batch
+   * pipelines read the table through the normal partition-pruned
+   * metastore API.
+   */
+  def streamToMetastore(stream: DataFrame, metastore: graft.meta.Metastore,
+                        table: String, tsCol: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { metastore.appendTable(table, batch, tsCol); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming query into an in-memory table until input drains
    * (local smoke path; production would target parquet/kafka). */
   def runToMemory(agg: DataFrame, name: String, mode: String = "update"): StreamingQuery = {

@@ -62,6 +62,44 @@ class StreamIngestSpec extends SparkSpec {
     assert(out("2024-06-01 12:00:00") == ((1L, 4.0)), s"got $out")
   }
 
+  test("S7/M1 stream lands in metastore info-date partitions, appending across batches") {
+    import graft.meta.{MetaTable, Metastore}
+    val srcDir = tmpDir("s2m_src_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("value", DoubleType)))
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("landed_stream", tmpDir("s2m_ms_") + "/landed"))
+    val checkpoint = tmpDir("s2m_cp_")
+
+    // batch 1 spans a date boundary
+    Seq(
+      (Timestamp.valueOf("2024-06-01 23:50:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-06-02 00:10:00"), "b", 2.0)
+    ).toDF("ts", "k", "value").write.mode("append").parquet(srcDir)
+    val q1 = StreamIngest.streamToMetastore(
+      StreamIngest.fileStream(spark, srcDir, schema), ms, "landed_stream", "ts", checkpoint)
+    q1.awaitTermination()
+
+    // batch 2 adds to an existing day — must append, not overwrite
+    Seq((Timestamp.valueOf("2024-06-02 08:00:00"), "c", 3.0))
+      .toDF("ts", "k", "value").write.mode("append").parquet(srcDir)
+    val q2 = StreamIngest.streamToMetastore(
+      StreamIngest.fileStream(spark, srcDir, schema), ms, "landed_stream", "ts", checkpoint)
+    q2.awaitTermination()
+
+    import java.time.LocalDate
+    assert(ms.listAvailableDates("landed_stream") ==
+      Seq(LocalDate.parse("2024-06-01"), LocalDate.parse("2024-06-02")))
+    assert(ms.getTable("landed_stream",
+      Some(LocalDate.parse("2024-06-01")), Some(LocalDate.parse("2024-06-01"))).count() == 1)
+    val day2 = ms.getTable("landed_stream",
+      Some(LocalDate.parse("2024-06-02")), Some(LocalDate.parse("2024-06-02")))
+    assert(day2.count() == 2, "second batch must append to the existing day")
+    // the checkpoint prevents reprocessing batch 1's files
+    assert(ms.getTable("landed_stream").count() == 3)
+  }
+
   test("S6 kafka frame/options plumbing (transport stubbed; no broker in env)") {
     val cfg = StreamIngest.KafkaConfig("broker:9092", "events", Map("maxOffsetsPerTrigger" -> "1000"))
     val opts = StreamIngest.kafkaReadOptions(cfg)
