@@ -49,8 +49,10 @@ object SimHash64 {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
+      // the xxhash64 builtin SKIPS null children, leaving the seed —
+      // match it exactly so HOF and native hashes stay bit-identical
       val h =
-        if (s == null) 0L
+        if (s == null) 42L
         else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
       while (j < 64) {
@@ -202,14 +204,16 @@ object WordShingles {
     val out = new Array[Any](total - n + 1)
     var i = 0
     while (i <= total - n) {
+      // array_join (the HOF formulation) SKIPS null elements — match it
       val parts = new Array[UTF8String](n)
       var j = 0
+      var kept = 0
       while (j < n) {
         val s = arr.getUTF8String(i + j)
-        parts(j) = if (s == null) UTF8String.EMPTY_UTF8 else s
+        if (s != null) { parts(kept) = s; kept += 1 }
         j += 1
       }
-      out(i) = UTF8String.concatWs(Space, parts: _*)
+      out(i) = UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, kept): _*)
       i += 1
     }
     new GenericArrayData(out)

@@ -94,7 +94,9 @@ object TextFunctions {
    * aggregate over the distinct characters of the normalized text.
    */
   def charEntropy(text: Column): Column = {
-    val chars = split(text, "")
+    // guard against split("") emitting empty elements (regex-engine /
+    // version dependent) — a phantom "" char would bias every entropy
+    val chars = filter(split(text, ""), c => length(c) > 0)
     val n = size(chars)
     val uniq = array_distinct(chars)
     val ent = aggregate(uniq, lit(0.0d), (acc, ch) => {

@@ -104,7 +104,11 @@ final class Metastore(spark: SparkSession) {
       val dir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/schema")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(dir)
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$infoDate.json"), true)
+      // filename leads with the save sequence so (a) two versions on
+      // the same date don't overwrite each other and (b) reload order
+      // equals save order, not date order (backfills save older dates)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, f"${hist.length}%05d_$infoDate.json"), false)
       try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     }
   }
@@ -117,15 +121,16 @@ final class Metastore(spark: SparkSession) {
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).toList
         .filter(_.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName) // seq-prefixed names: save order
         .map { st =>
-          val date = LocalDate.parse(st.getPath.getName.stripSuffix(".json"))
+          val base = st.getPath.getName.stripSuffix(".json")
+          val date = LocalDate.parse(base.substring(base.indexOf('_') + 1))
           val bytes = new Array[Byte](st.getLen.toInt)
           val in = fs.open(st.getPath)
           try in.readFully(bytes) finally in.close()
           date -> org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
         }
-        .sortBy(_._1.toEpochDay)
     })
 
   /** (infoDate, schema) versions in save order, deduplicated;
@@ -161,6 +166,23 @@ final class Metastore(spark: SparkSession) {
     recordSchema(name, LocalDate.now(), df.schema)
     TableStats(df.count(), sizeOf(t.path))
   }
+
+  /** Idempotency markers for streaming micro-batch appends (see
+    * `StreamIngest.streamToMetastore`): a replayed foreachBatch must
+    * not append twice. */
+  def batchCommitted(name: String, batchId: Long): Boolean = {
+    val p = batchMarkerPath(name, batchId)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def markBatchCommitted(name: String, batchId: Long): Unit = {
+    val p = batchMarkerPath(name, batchId)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(Array.empty[Byte]) finally out.close()
+  }
+
+  private def batchMarkerPath(name: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/batches/$batchId")
 
   /**
    * Read a table limited to an info-date range (inclusive). With the
@@ -217,14 +239,32 @@ final class Metastore(spark: SparkSession) {
     require(df.columns.contains("path") && df.columns.contains("content"),
       s"raw table '$name' expects (path, content) columns, got: ${df.columns.mkString(", ")}")
     invalidateCache(name)
+    // basename collisions would silently overwrite each other inside
+    // the partition dir — fail loudly instead (tiny names-only agg)
+    val collisions = df
+      .select(element_at(split(col("path"), "/"), -1).as("_base"))
+      .groupBy("_base").count().where(col("count") > 1).limit(5)
+      .collect().map(_.getString(0))
+    require(collisions.isEmpty,
+      s"raw table '$name': duplicate basenames would overwrite each other: ${collisions.mkString(", ")}")
     val destBase = s"${t.path}/${t.infoDateColumn}=$infoDate"
     val destPath = new org.apache.hadoop.fs.Path(destBase)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(destPath)) fs.delete(destPath, true)
     fs.mkdirs(destPath)
+    // ship the session's Hadoop settings to executors — a fresh
+    // Configuration() there would lose spark.hadoop.* overrides
+    // (object-store credentials, defaultFS)
+    val hadoopProps: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toSeq
+    }
     df.select(col("path"), col("content")).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
         rows.foreach { r =>
           val srcName = new org.apache.hadoop.fs.Path(r.getString(0)).getName
           val out = new org.apache.hadoop.fs.Path(s"$destBase/$srcName")
@@ -297,16 +337,33 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
   def listAvailableDates(name: String): Seq[LocalDate] = { check(name); ms.listAvailableDates(name) }
 
   /** Rows of `name` strictly after this consumer's committed offset on
-    * `offsetInfo.column`; the pending new max is committed by the
+    * `offsetInfo.column`, bounded ABOVE by the max observed at read
+    * time: concurrent appends during the job are excluded from both
+    * the batch and the committed offset, so nothing is ever skipped
+    * (they arrive in the next run). The pinned max is committed by the
     * orchestrator only after the job succeeds. */
   def getTableIncremental(name: String, offsetInfo: graft.offset.OffsetInfo): DataFrame = {
     check(name)
     val ctx = incremental.getOrElse(throw new IllegalStateException(
       "incremental reads need an orchestrator-provided incremental context"))
     val key = s"${ctx.consumer}:$name"
-    val df = ctx.offsets.incrementalFilter(ms.getTable(name), offsetInfo, key)
-    ctx.notePending(key, () => ctx.offsets.maxOffset(df, offsetInfo))
-    df
+    val open = ctx.offsets.incrementalFilter(ms.getTable(name), offsetInfo, key)
+    // pin the window's upper edge NOW — committing a max recomputed
+    // after the job would cover rows appended mid-job that the job
+    // never read, silently losing them
+    val upper = ctx.offsets.maxOffset(open, offsetInfo)
+    ctx.notePending(key, () => upper)
+    upper match {
+      case Some(u) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val bound = u match {
+          case graft.offset.OffsetValue.IntegralValue(n) => lit(n)
+          case graft.offset.OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
+          case graft.offset.OffsetValue.StringValue(s) => lit(s)
+        }
+        open.where(col(offsetInfo.column) <= bound)
+      case None => open
+    }
   }
 }
 

@@ -108,8 +108,13 @@ object Dedup {
    * variable (hashing inside the 64-bit vote would cost 64 xxhash64
    * evaluations per token).
    */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+  def simhash(text: Column): Column = simhashOfTokens(TextFunctions.tokens(text))
+
+  /** HOF simhash over a pre-materialized token array — the parity
+    * reference for the native `simhash64` expression (identical null
+    * handling: xxhash64 of a null token stays at the seed). */
+  def simhashOfTokens(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0L), 64),

@@ -12,13 +12,18 @@ import org.apache.hadoop.fs.Path
  * Acquisition is an atomic `create(overwrite = false)` of a token
  * file — the same primitive works on HDFS/S3A/local FS, so two
  * drivers on different machines exclude each other through shared
- * storage alone. Locks older than `staleMs` are treated as crashed
- * owners and broken.
+ * storage alone. The file carries this instance's random owner id:
+ * `release()` only deletes a lock this instance still owns, so a slow
+ * owner whose lock was stale-broken cannot delete the breaker's lock
+ * (the mutual-exclusion violation a bare delete would allow). Locks
+ * older than `staleMs` are treated as crashed owners and broken.
  */
 final class TokenLock(lockDir: String, token: String,
-                      staleMs: Long = 4L * 3600 * 1000) {
+                      staleMs: Long = 4L * 3600 * 1000,
+                      hadoopConf: Configuration = new Configuration()) {
   private val path = new Path(s"$lockDir/$token.lock")
-  private def fs = path.getFileSystem(new Configuration())
+  private val ownerId = java.util.UUID.randomUUID().toString
+  private def fs = path.getFileSystem(hadoopConf)
 
   /** True if this call acquired the lock. */
   def tryAcquire(): Boolean = {
@@ -29,8 +34,8 @@ final class TokenLock(lockDir: String, token: String,
       fs.delete(path, false) // break the stale lock
     }
     try {
-      val out = fs.create(path, false)
-      out.write(s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      val out = fs.create(path, false) // atomic: loser of a race gets IOException
+      out.write(ownerId.getBytes("UTF-8"))
       out.close()
       true
     } catch { case _: java.io.IOException => false } // lost the race
@@ -38,7 +43,21 @@ final class TokenLock(lockDir: String, token: String,
 
   def isLocked: Boolean = fs.exists(path)
 
-  def release(): Unit = if (fs.exists(path)) fs.delete(path, false)
+  /** Release only if this instance still owns the lock (its id is in
+    * the file); a lock stale-broken and re-acquired by someone else is
+    * left alone. */
+  def release(): Unit =
+    if (fs.exists(path) && currentOwner().contains(ownerId)) fs.delete(path, false)
+
+  private def currentOwner(): Option[String] =
+    try {
+      val in = fs.open(path)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        if (n <= 0) None else Some(new String(bytes, 0, n, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 }
 
 object TokenLock {

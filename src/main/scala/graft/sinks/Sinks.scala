@@ -105,7 +105,11 @@ final class CmdLineSink(
                     options: Map[String, String]): SinkResult = {
     val dir = s"$stagingPath/$tableName/$infoDate"
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
-    val count = df.count()
+    // count the STAGED files, not the input: re-running the upstream
+    // plan would execute the whole pipeline a second time, and a
+    // nondeterministic df could report a count disagreeing with what
+    // was actually handed to the command
+    val count = df.sparkSession.read.option("header", "true").csv(dir).count()
     val cmd = commandTemplate.replace("@path", dir).replace("@count", count.toString)
     val proc = new ProcessBuilder(cmd.split("\\s+"): _*)
       .redirectErrorStream(true).start()

@@ -62,8 +62,15 @@ object StreamIngest {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { metastore.appendTable(table, batch, tsCol); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between the append and
+        // the checkpoint commit replays the batch. A per-batch marker
+        // in the table's _graft dir makes the append idempotent.
+        if (!batch.isEmpty && !metastore.batchCommitted(table, batchId)) {
+          metastore.appendTable(table, batch, tsCol)
+          metastore.markBatchCommitted(table, batchId)
+        }
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -54,6 +54,23 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("null tokens: native simhash64/word_shingles match the HOF null semantics") {
+    GraftFunctions.ensure(spark)
+    // xxhash64 skips null children (hash stays at the seed); array_join
+    // skips null elements — the native loops must do the same
+    val df = Seq(1).toDF("i").select(
+      typedlit(Seq[Option[String]](Some("a"), None, Some("b"), Some("c"))).as("toks"))
+    val r = df.select(
+      GraftFunctions.simhash64(col("toks")).as("native_sh"),
+      Dedup.simhashOfTokens(col("toks")).as("hof_sh"),
+      GraftFunctions.wordShingles(col("toks"), 3).as("native_ws"),
+      TextFunctions.wordShinglesFromTokens(col("toks"), 3).as("hof_ws")).head()
+    assert(r.getLong(0) == r.getLong(1),
+      s"null simhash diverges: ${r.getLong(0)} vs ${r.getLong(1)}")
+    assert(r.getSeq[String](2) == r.getSeq[String](3),
+      s"null shingles diverge: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+  }
+
   test("word_shingles matches the HOF formulation on varied inputs") {
     GraftFunctions.ensure(spark)
     val rows = (texts :+ "one two" :+ "single").toDF("t")
