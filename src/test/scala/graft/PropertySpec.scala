@@ -1,0 +1,124 @@
+package graft
+
+import graft.expr.DateExpr
+import graft.offset.OffsetValue
+import graft.pipeline.Schedule
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.LocalDate
+
+/** Property-based checks over the pure-logic components: invariants
+  * that hold for ALL (sampled) inputs, not just hand-picked cases.
+  * Uses raw ScalaCheck generators with a deterministic seed (the
+  * scalatestplus bridge isn't in the offline artifact cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private val Cases = 200
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to Cases).foreach { _ =>
+      f(ga.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private val genDate: Gen[LocalDate] =
+    Gen.choose(0L, 40000L).map(LocalDate.ofEpochDay)
+
+  test("DateExpr: plus/minus days round-trip for any date and offset") {
+    forAll(genDate, Gen.choose(-5000, 5000)) { (d, n) =>
+      val ev = DateExpr("d" -> d)
+      assert(ev.evalDate(s"@d + $n - $n") == d)
+      assert(ev.evalDate(s"plusDays(minusDays(@d, $n), $n)") == d)
+    }
+  }
+
+  test("DateExpr: date difference is the inverse of addition") {
+    forAll(genDate, Gen.choose(-5000, 5000)) { (d, n) =>
+      val other = d.plusDays(n.toLong)
+      assert(DateExpr("a" -> other, "b" -> d).evalInt("@a - @b") == n)
+    }
+  }
+
+  test("DateExpr: beginOfMonth <= any date <= endOfMonth, same month") {
+    forAll(genDate) { d =>
+      val ev = DateExpr("d" -> d)
+      val bom = ev.evalDate("beginOfMonth(@d)")
+      val eom = ev.evalDate("endOfMonth(@d)")
+      assert(!bom.isAfter(d) && !d.isAfter(eom))
+      assert(bom.getDayOfMonth == 1 && bom.getMonth == d.getMonth)
+      assert(eom.getMonth == d.getMonth && eom.plusDays(1).getDayOfMonth == 1)
+    }
+  }
+
+  test("DateExpr: lastDayOfWeek is previous-or-same and within 6 days") {
+    val fns = Seq("lastMonday", "lastTuesday", "lastWednesday", "lastThursday",
+      "lastFriday", "lastSaturday", "lastSunday")
+    forAll(genDate, Gen.oneOf(fns)) { (d, fn) =>
+      val r = DateExpr("d" -> d).evalDate(s"$fn(@d)")
+      val gap = java.time.temporal.ChronoUnit.DAYS.between(r, d)
+      assert(gap >= 0 && gap <= 6)
+    }
+  }
+
+  test("Schedule.Monthly fires exactly once per month for any single day spec") {
+    forAll(Gen.choose(1, 31), Gen.choose(2000, 2030), Gen.choose(1, 12)) { (day, y, m) =>
+      val s = Schedule.Monthly(Seq(day))
+      val first = LocalDate.of(y, m, 1)
+      val fires = (0 until first.lengthOfMonth())
+        .map(first.plusDays(_).asInstanceOf[LocalDate])
+        .count(s.isEnabled)
+      assert(fires == 1, s"day=$day $y-$m fired $fires times")
+    }
+  }
+
+  test("Schedule.Weekly fires exactly |days| times per week") {
+    val genDays = Gen.someOf(1 to 7).suchThat(_.nonEmpty)
+    forAll(genDays, genDate) { (days, start) =>
+      val s = Schedule.Weekly(days.map(java.time.DayOfWeek.of).toSeq)
+      val fires = (0 until 7).map(start.plusDays(_)).count(s.isEnabled)
+      assert(fires == days.toSet.size)
+    }
+  }
+
+  test("OffsetValue: ordering is consistent with the underlying values") {
+    forAll(Gen.long, Gen.long) { (a, b) =>
+      assert((OffsetValue.IntegralValue(a) < OffsetValue.IntegralValue(b)) == (a < b))
+      assert((OffsetValue.DateTimeValue(a) compare OffsetValue.DateTimeValue(b)).sign == a.compareTo(b).sign)
+    }
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      assert((OffsetValue.StringValue(a) compare OffsetValue.StringValue(b)).sign == a.compareTo(b).sign)
+    }
+  }
+
+  test("OffsetValue: fromString/asString round-trips") {
+    forAll(Gen.long) { n =>
+      val v = OffsetValue.IntegralValue(n)
+      assert(OffsetValue.fromString(v.typeName, v.asString) == v)
+    }
+    forAll(Gen.alphaNumStr) { s =>
+      val v = OffsetValue.StringValue(s)
+      assert(OffsetValue.fromString(v.typeName, v.asString) == v)
+    }
+  }
+
+  test("SqlGenerator: single-day window collapses to equality for every dialect") {
+    import graft.sql.{SqlConfig, SqlDialect, SqlGenerator}
+    val dialects = Seq(SqlDialect.Generic, SqlDialect.Postgres, SqlDialect.MySql,
+      SqlDialect.Oracle, SqlDialect.SqlServer)
+    forAll(genDate, Gen.oneOf(dialects)) { (d, dia) =>
+      val g = new SqlGenerator(dia, SqlConfig("dt"))
+      val q = g.getDataQuery("t", d, d)
+      assert(q.contains("dt = ") && !q.contains(">="))
+    }
+  }
+}
