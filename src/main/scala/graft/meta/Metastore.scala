@@ -62,7 +62,13 @@ final class Metastore(spark: SparkSession) {
         (Seq.empty, withDate)
     }
 
-    val writer = toWrite.write.format(t.format.name)
+    // row count observed DURING the write job (collectMetrics node) —
+    // a post-write re-scan would pay a second read of the partition on
+    // every save, which at 100 TB doubles the write path's input cost
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = toWrite.observe(obs, count(lit(1)).as("cnt"))
+
+    val writer = observed.write.format(t.format.name)
       .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
 
     t.scheme match {
@@ -78,8 +84,7 @@ final class Metastore(spark: SparkSession) {
     }
 
     invalidateCache(name)
-    val read = readWhole(t)
-    val cnt = read.where(col(t.infoDateColumn) === dateLit).count()
+    val cnt = obs.get("cnt").asInstanceOf[Long]
     val stats = TableStats(cnt, sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
     recordSchema(name, infoDate, df.schema)
@@ -159,12 +164,22 @@ final class Metastore(spark: SparkSession) {
     val withDate =
       (if (df.columns.contains(t.infoDateColumn)) df.drop(t.infoDateColumn) else df)
         .withColumn(t.infoDateColumn, to_date(col(dateCol)))
-    withDate.write.format(t.format.name)
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = withDate.observe(obs,
+      count(lit(1)).as("cnt"), max(col(t.infoDateColumn)).as("max_d"))
+    observed.write.format(t.format.name)
       .mode(SaveMode.Append)
       .partitionBy(t.infoDateColumn)
       .save(t.path)
-    recordSchema(name, LocalDate.now(), df.schema)
-    TableStats(df.count(), sizeOf(t.path))
+    val cnt = obs.get("cnt").asInstanceOf[Long]
+    // schema versions are keyed by the max info date in the batch (a
+    // deterministic property of the data), not wall-clock now()
+    val maxDate = Option(obs.get("max_d")).collect {
+      case d: java.sql.Date => d.toLocalDate
+      case d: java.time.LocalDate => d
+    }
+    recordSchema(name, maxDate.getOrElse(LocalDate.EPOCH), df.schema)
+    TableStats(cnt, sizeOf(t.path))
   }
 
   /** Idempotency markers for streaming micro-batch appends (see
@@ -211,11 +226,37 @@ final class Metastore(spark: SparkSession) {
     getTable(name, Some(latest), Some(latest))
   }
 
-  /** Distinct info dates present (partition listing — metadata-only for ByDay). */
+  /**
+   * Distinct info dates present. For day-partitioned tables (including
+   * Raw) the dates are recovered from the `info_date=<d>` directory
+   * names — one filesystem listing, NO Spark job — so `getLatest`, the
+   * most common read API, never scans data to find its partition. A
+   * 10-year 100 TB table answers this from ~3650 directory entries.
+   * Month/year-grouped and unpartitioned schemes fall back to a
+   * column-pruned distinct scan (the date is not recoverable from
+   * their directory names).
+   */
   def listAvailableDates(name: String): Seq[LocalDate] = {
     val t = getTableDef(name)
-    readWhole(t).select(col(t.infoDateColumn)).distinct().collect()
-      .map(r => r.getDate(0).toLocalDate).toSeq.sortBy(_.toEpochDay)
+    t.scheme match {
+      case PartitionScheme.ByDay =>
+        val base = new org.apache.hadoop.fs.Path(t.path)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(base)) Seq.empty
+        else {
+          val prefix = s"${t.infoDateColumn}="
+          fs.listStatus(base).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+            .flatMap { st =>
+              // tolerate foreign dirs; only well-formed dates count
+              scala.util.Try(LocalDate.parse(st.getPath.getName.stripPrefix(prefix))).toOption
+            }
+            .sortBy(_.toEpochDay)
+        }
+      case _ =>
+        readWhole(t).select(col(t.infoDateColumn)).distinct().collect()
+          .map(r => r.getDate(0).toLocalDate).toSeq.sortBy(_.toEpochDay)
+    }
   }
 
   def getStats(name: String, infoDate: LocalDate): Option[TableStats] = statsMap.get((name, infoDate))

@@ -53,11 +53,16 @@ final class SparkSink(
 
   override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
                     options: Map[String, String]): SinkResult = {
+    // record count observed inside the write job itself — a count()
+    // after the save would re-execute the whole upstream plan
+    val obs = new org.apache.spark.sql.Observation()
     val out = numberOfPartitions.fold(df)(n => df.repartition(n))
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
     val w = out.write.format(format).mode(mode).options(formatOptions)
     val path = s"$basePath/$tableName/info_date=$infoDate"
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
-    SinkResult(df.count())
+    SinkResult(obs.get("cnt").asInstanceOf[Long])
   }
 }
 
@@ -77,13 +82,15 @@ final class LocalCsvSink(
 
   override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
                     options: Map[String, String]): SinkResult = {
-    val out = nameTransform(df)
+    val obs = new org.apache.spark.sql.Observation()
+    val out = nameTransform(df).observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("cnt"))
     out.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("sep", separator)
       .option("header", header.toString)
       .option("quoteAll", quoteAll.toString)
       .csv(s"$outputPath/$tableName/$infoDate")
-    SinkResult(df.count())
+    SinkResult(obs.get("cnt").asInstanceOf[Long])
   }
 }
 

@@ -124,6 +124,41 @@ class MetastoreSpec extends SparkSpec {
     assert(ms2.getTable("ev").count() == 3)
   }
 
+  test("M3b ByDay date listing launches NO Spark job (directory listing only)") {
+    val (ms, _) = freshMs(name = "nolist")
+    ms.saveTable("nolist", d1, data("a", 2))
+    ms.saveTable("nolist", d3, data("b", 2))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(ms.listAvailableDates("nolist") == Seq(d1, d3))
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"date listing launched ${jobs.get()} Spark job(s); must be metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("M5b save stats come from the write job itself (no post-write re-scan)") {
+    val (ms, _) = freshMs(name = "onescan")
+    // count the jobs one save launches; the observe()-based stats path
+    // must not add a read job after the write
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stats = ms.saveTable("onescan", d1, data("a", 9))
+      Thread.sleep(500)
+      assert(stats.recordCount == 9)
+      assert(jobs.get() == 1, s"one save should be one job (the write), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("unregistered table raises") {
     val ms = new Metastore(spark)
     assertThrows[NoSuchElementException](ms.getTable("ghost"))

@@ -73,6 +73,39 @@ class SourcesSinksSpec extends SparkSpec {
     assert(lines.exists(_.startsWith("id;Name_Col;v")), s"header wrong: ${lines.toSeq}")
   }
 
+  test("S4b sinks execute the input plan exactly once (observed count, no recount)") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("once", tmpDir("once_") + "/once"))
+    ms.saveTable("once", d, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // build the input df up front: the parquet schema-inference job at
+    // read time is not part of what the sink executes
+    val input = ms.getTable("once", Some(d), Some(d))
+
+    val n1 = jobsDuring {
+      val r = new SparkSink(tmpDir("so_"), format = "parquet").send(input, "once", d)
+      assert(r.recordsSent == 3)
+    }
+    assert(n1 == 1, s"SparkSink should run one job (the write), saw $n1")
+
+    val n2 = jobsDuring {
+      val r = new LocalCsvSink(tmpDir("sc_")).send(input, "once", d)
+      assert(r.recordsSent == 3)
+    }
+    assert(n2 == 1, s"LocalCsvSink should run one job (the write), saw $n2")
+  }
+
   test("IngestionJob: batch ingest and offset-advancing incremental ingest") {
     val srcDir = tmpDir("ing_")
     (1L to 20L).map(i => (i, i * 10)).toDF("seq", "v").write.mode("overwrite").parquet(srcDir)
