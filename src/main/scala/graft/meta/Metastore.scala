@@ -37,10 +37,16 @@ final class Metastore(spark: SparkSession) {
   def isTableRegistered(name: String): Boolean = tables.contains(name)
 
   /**
-   * Save a DataFrame as the data for `infoDate`. Overwrites that
-   * info-date's partition only (dynamic overwrite). Returns stats.
+   * Save a DataFrame as the data for `infoDate`. With the default
+   * Overwrite mode, replaces that info-date's partition only (dynamic
+   * overwrite — the idempotent full-rerun semantics). With Append,
+   * adds to the partition without touching earlier rows — the
+   * incremental-batch semantics: several batches of one day coexist
+   * (reference: pramen/core .../IncrementalIngestionJob.scala:156 —
+   * append for incremental, overwrite only on explicit rerun).
    */
-  def saveTable(name: String, infoDate: LocalDate, df: DataFrame): TableStats = {
+  def saveTable(name: String, infoDate: LocalDate, df: DataFrame,
+                mode: SaveMode = SaveMode.Overwrite): TableStats = {
     val t = getTableDef(name)
     if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
     val dateLit = java.sql.Date.valueOf(infoDate)
@@ -76,6 +82,8 @@ final class Metastore(spark: SparkSession) {
         writer.mode(SaveMode.Overwrite).save(t.path)
       case PartitionScheme.NotPartitioned =>
         writer.mode(SaveMode.Append).save(t.path)
+      case _ if mode == SaveMode.Append =>
+        writer.mode(SaveMode.Append).partitionBy(partCols: _*).save(t.path)
       case _ =>
         writer.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -91,6 +91,12 @@ final class OffsetManager(storePath: Option[String] = None) {
     }
   }
 
+  /** Bound `df` at/below a pinned max offset — used to freeze an
+    * incremental batch's upper edge so rows appended to the source
+    * mid-job fall outside both the save and the committed offset. */
+  def boundedAbove(df: DataFrame, info: OffsetInfo, upper: OffsetValue): DataFrame =
+    df.where(col(info.column) <= offsetLit(upper))
+
   /** Filter `df` to rows strictly after the committed offset (pushdown-friendly). */
   def incrementalFilter(df: DataFrame, info: OffsetInfo, table: String): DataFrame =
     getLatestOffset(table) match {

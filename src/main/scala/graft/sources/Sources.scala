@@ -172,14 +172,35 @@ final class IngestionJob(
     metastore.saveTable(outputTable, infoDate, res.df)
   }
 
-  /** Incremental ingest: read past the committed offset, advance it. */
+  /**
+   * Incremental ingest: read past the committed offset, APPEND the
+   * batch, advance the offset.
+   *
+   * Two ordering guarantees (reference: pramen/core
+   * .../core/pipeline/IncrementalIngestionJob.scala:156):
+   *  - the max offset is pinned BEFORE the save and the batch is
+   *    bounded `<= max` — rows appended to the source between the pin
+   *    and the save fall outside both the saved batch and the
+   *    committed offset, so they deliver on the next run instead of
+   *    being silently skipped (the lazy-plan re-execution race);
+   *  - the batch is saved with Append, so a second incremental run on
+   *    the same infoDate adds to the partition rather than dynamic-
+   *    overwriting the first batch away; partition overwrite stays
+   *    reserved for explicit full re-runs (`ingest`).
+   */
   def ingestIncremental(outputTable: String, infoDate: LocalDate): graft.meta.TableStats = {
     val info = source.getOffsetInfo.getOrElse(
       throw new IllegalStateException("source has no offset column configured"))
     val from = offsets.getLatestOffset(outputTable)
     val res = source.getDataIncremental(from)
-    val stats = metastore.saveTable(outputTable, infoDate, res.df)
-    offsets.maxOffset(res.df, info).foreach(offsets.commit(outputTable, _))
-    stats
+    offsets.maxOffset(res.df, info) match {
+      case None => graft.meta.TableStats(0L, None) // nothing new: no save, no commit
+      case Some(pinned) =>
+        val bounded = offsets.boundedAbove(res.df, info, pinned)
+        val stats = metastore.saveTable(outputTable, infoDate, bounded,
+          org.apache.spark.sql.SaveMode.Append)
+        offsets.commit(outputTable, pinned) // only after a successful save
+        stats
+    }
   }
 }

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 
 import java.time.LocalDate
 
+/** Shared across executions of the growing-source plan (local mode: one JVM). */
+object GrowingSourceState {
+  val executions = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** S1/S3/S4/S5: batch sources, raw-file source, sinks, ingestion jobs. */
 class SourcesSinksSpec extends SparkSpec {
   import spark.implicits._
@@ -104,6 +109,74 @@ class SourcesSinksSpec extends SparkSpec {
       assert(r.recordsSent == 3)
     }
     assert(n2 == 1, s"LocalCsvSink should run one job (the write), saw $n2")
+  }
+
+  test("incremental ingest APPENDS: a second batch on the same infoDate keeps the first") {
+    val srcDir = tmpDir("incapp_")
+    (1L to 20L).map(i => (i, i * 10)).toDF("seq", "v").write.mode("overwrite").parquet(srcDir)
+    val src = new SparkSource(spark, srcDir, offsetInfo = Some(OffsetInfo("seq", "integral")))
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("same_day", tmpDir("incappout_") + "/t"))
+    val job = new IngestionJob(src, ms, new OffsetManager())
+
+    assert(job.ingestIncremental("same_day", d).recordCount == 20)
+    // 5 more rows land; the SAME infoDate runs again (intra-day batches)
+    (1L to 25L).map(i => (i, i * 10)).toDF("seq", "v").write.mode("overwrite").parquet(srcDir)
+    assert(job.ingestIncremental("same_day", d).recordCount == 5)
+    assert(ms.getTable("same_day", Some(d), Some(d)).count() == 25,
+      "second intra-day batch must not dynamic-overwrite the first")
+    // nothing new -> no save, no commit, and crucially no empty overwrite
+    assert(job.ingestIncremental("same_day", d).recordCount == 0)
+    assert(ms.getTable("same_day", Some(d), Some(d)).count() == 25)
+  }
+
+  test("incremental ingest pins the offset BEFORE saving: mid-job source growth is never skipped") {
+    // a source whose data GROWS between plan executions: rows 1..20 on
+    // the first execution, 1..25 from the second on — models rows
+    // appended to the source while the ingest job runs
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.types._
+    val src = new GraftSource {
+      override def hasInfoDateColumn = false
+      override def getRecordCount(from: LocalDate, to: LocalDate): Long = 0L
+      override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]) =
+        throw new UnsupportedOperationException
+      override def getOffsetInfo = Some(OffsetInfo("seq", "integral"))
+      override def getDataIncremental(offsetFrom: Option[graft.offset.OffsetValue],
+                                      columns: Seq[String]): SourceResult = {
+        val schema = StructType(Seq(StructField("seq", LongType)))
+        val rdd = spark.sparkContext.parallelize(Seq(1), 1).mapPartitions { _ =>
+          val exec = GrowingSourceState.executions.incrementAndGet()
+          val upTo = if (exec >= 2) 25L else 20L
+          (1L to upTo).iterator.map(Row(_))
+        }
+        val df = spark.createDataFrame(rdd, schema)
+        val filtered = offsetFrom match {
+          case Some(graft.offset.OffsetValue.IntegralValue(n)) => df.where(col("seq") > n)
+          case _ => df
+        }
+        SourceResult(filtered)
+      }
+    }
+    GrowingSourceState.executions.set(0)
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("race", tmpDir("incrace_") + "/t"))
+    val om = new OffsetManager()
+    val job = new IngestionJob(src, ms, om)
+
+    // run 1: the pin (execution 1) sees max=20; the save (execution 2)
+    // sees 25 rows but must be bounded <= 20
+    val s1 = job.ingestIncremental("race", d)
+    assert(s1.recordCount == 20, s"first run must save exactly the pinned window, got ${s1.recordCount}")
+    import graft.offset.OffsetValue
+    assert(om.getLatestOffset("race").contains(OffsetValue.IntegralValue(20L)),
+      s"committed offset must be the pinned max of what was SAVED, got ${om.getLatestOffset("race")}")
+
+    // run 2: rows 21..25 (the mid-job growth) deliver now — nothing lost
+    val s2 = job.ingestIncremental("race", d.plusDays(1))
+    assert(s2.recordCount == 5, s"mid-job growth must re-deliver on the next run, got ${s2.recordCount}")
+    assert(om.getLatestOffset("race").contains(OffsetValue.IntegralValue(25L)))
+    assert(ms.getTable("race").count() == 25)
   }
 
   test("IngestionJob: batch ingest and offset-advancing incremental ingest") {
