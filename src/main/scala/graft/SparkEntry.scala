@@ -289,6 +289,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
     }),
 
+    "q_backfill" -> ((s, dir) => {
+      // historical (--date-from/--date-to) fill-gaps run: 5 info-date
+      // partitions of customer segments, days 2 and 4 pre-completed;
+      // the backfill must run exactly the 3 missing days, after which
+      // the union over the range equals the plain per-segment rollup
+      val ms = new Metastore(s)
+      ms.register(MetaTable("bf_src", metaPath("bf_src")))
+      ms.register(MetaTable("bf_out", metaPath("bf_out")))
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val days = (1 to 5).map(i => LocalDate.parse(f"2024-05-0$i%d"))
+      val cust = t(s, dir, "customer")
+      segs.zip(days).foreach { case (seg, d) =>
+        ms.saveTable("bf_src", d, cust.where(col("c_mktsegment") === seg))
+      }
+      val bk = new graft.pipeline.Bookkeeper()
+      val jobs = Seq(JobDef("bf", "bf_out", new IdentityTransformer, Seq("bf_src"),
+        options = Map("input.table" -> "bf_src")))
+      val orch = new Orchestrator(ms, bk)
+      // seed: days 2 and 4 already ran
+      orch.runWith(jobs, graft.pipeline.RunParams.Rerun(days(1)))
+      orch.runWith(jobs, graft.pipeline.RunParams.Rerun(days(3)))
+      // the backfill fills the gaps (days 1, 3, 5)
+      orch.runWith(jobs, graft.pipeline.RunParams.Historical(days.head, days.last))
+      ms.getTable("bf_out", Some(days.head), Some(days.last))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+
     "q_source_csv" -> ((s, dir) => {
       // csv sink → csv source round trip through explicit schema
       val out = metaPath("csv_rt")
@@ -673,6 +701,11 @@ object SparkEntry {
 
     "q_source_csv" ->
       """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_backfill" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q_dedup_exact" ->

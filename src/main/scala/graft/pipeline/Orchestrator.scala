@@ -14,10 +14,18 @@ import scala.util.{Failure, Success, Try}
  * (reference: pramen/core .../core/pipeline/Job.scala,
  * api/jobdef/TransformerDef).
  *
- * @param infoDateExpr date-DSL expression deriving the information
- *                     date from `@runDate` (e.g. `"@runDate - 1"`).
- * @param retries      additional attempts after a failed run (the
- *                     reference runner's task retry policy).
+ * @param infoDateExpr    date-DSL expression deriving the information
+ *                        date from `@runDate` (e.g. `"@runDate - 1"`).
+ * @param retries         additional attempts after a failed run (the
+ *                        reference runner's task retry policy).
+ * @param trackDays       how many days back to watch inputs for
+ *                        late-arriving data: an input success recorded
+ *                        AFTER this job's output ran triggers a re-run
+ *                        of the affected info date (reference:
+ *                        api/status/MetastoreDependency trackDays).
+ * @param initialDateExpr info date to start catch-up from when the job
+ *                        has never run (reference: the runner's
+ *                        initial.sourcing.date.expr).
  */
 final case class JobDef(
     name: String,
@@ -27,7 +35,9 @@ final case class JobDef(
     schedule: Schedule = Schedule.Daily(),
     infoDateExpr: String = "@runDate",
     options: Map[String, String] = Map.empty,
-    retries: Int = 0)
+    retries: Int = 0,
+    trackDays: Int = 0,
+    initialDateExpr: String = "@runDate")
 
 sealed trait TaskResult { def job: String }
 object TaskResult {
@@ -59,22 +69,68 @@ final class Orchestrator(
     lockDir: Option[String] = None,
     offsetManager: Option[graft.offset.OffsetManager] = None) {
 
-  def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
+  def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] =
+    runTree(jobs, job => Seq(runOne(job, runDate)), rs => notifiers.foreach(_.onPipelineCompleted(rs, runDate)))
+
+  /**
+   * Run under explicit run params — the daily-operations entry point
+   * (reference: pramen/core .../core/runner/splitter):
+   *
+   *  - `RunParams.Normal`: today's slot + automatic catch-up of missed
+   *    slots (`Late`) + re-runs of dates whose inputs landed after the
+   *    output ran (`Update`, within each job's `trackDays`);
+   *  - `RunParams.Rerun`: force one date;
+   *  - `RunParams.Historical`: `--date-from/--date-to` backfill,
+   *    fill-gaps or force-rerun.
+   *
+   * Dates are decided per job by [[ScheduleStrategy.daysToRun]] and
+   * executed in date order; jobs still run in dependency (topological)
+   * order with independent branches in parallel, so a multi-day
+   * backfill completes table-by-table for each date with parents
+   * before children.
+   */
+  def runWith(jobs: Seq[JobDef], params: RunParams,
+              minimumDate: Option[LocalDate] = None): Seq[TaskResult] = {
+    val asOf = params match {
+      case RunParams.Normal(d, _, _) => d
+      case RunParams.Rerun(d) => d
+      case RunParams.Historical(_, to, _, _) => to
+    }
+    runTree(jobs, job => {
+      val tasks = ScheduleStrategy.daysToRun(job, bookkeeper, params, minimumDate)
+      if (tasks.isEmpty) Seq(TaskResult.Skipped(job.name, s"nothing to run for $params"))
+      else tasks.map { t =>
+        val force = t.reason == RunReason.Rerun || t.reason == RunReason.Update
+        val r =
+          if (!force && !rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, t.infoDate))
+            TaskResult.Skipped(job.name, s"already succeeded for ${t.infoDate}")
+          else executeTask(job, t.infoDate)
+        notifiers.foreach(_.onTaskCompleted(r, asOf))
+        r
+      }
+    }, rs => notifiers.foreach(_.onPipelineCompleted(rs, asOf)))
+  }
+
+  /** Dependency-ordered parallel execution skeleton: each job's body
+    * runs after all jobs producing its inputs; a failed dependency
+    * task skips the dependent job. */
+  private def runTree(jobs: Seq[JobDef], body: JobDef => Seq[TaskResult],
+                      onDone: Seq[TaskResult] => Unit): Seq[TaskResult] = {
     validateDag(jobs)
     val byOutput = jobs.map(j => j.outputTable -> j).toMap
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = scala.collection.mutable.Map.empty[String, Future[TaskResult]]
+    val futures = scala.collection.mutable.Map.empty[String, Future[Seq[TaskResult]]]
 
-    def futureFor(job: JobDef): Future[TaskResult] = futures.synchronized {
+    def futureFor(job: JobDef): Future[Seq[TaskResult]] = futures.synchronized {
       futures.getOrElseUpdate(job.name, {
         val depJobs = job.inputTables.flatMap(byOutput.get).filterNot(_.name == job.name)
         val depsF = Future.sequence(depJobs.map(futureFor))
         depsF.map { deps =>
-          val failedDep = deps.collectFirst { case f: TaskResult.Failed => f }
+          val failedDep = deps.flatten.collectFirst { case f: TaskResult.Failed => f }
           failedDep match {
-            case Some(f) => TaskResult.Skipped(job.name, s"dependency '${f.job}' failed")
-            case None => runOne(job, runDate)
+            case Some(f) => Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
+            case None => body(job)
           }
         }
       })
@@ -84,8 +140,9 @@ final class Orchestrator(
     pool.shutdown()
     results match {
       case Success(rs) =>
-        notifiers.foreach(_.onPipelineCompleted(rs, runDate))
-        rs
+        val flat = rs.flatten
+        onDone(flat)
+        flat
       case Failure(e) => throw e
     }
   }
@@ -102,7 +159,12 @@ final class Orchestrator(
     val infoDate = DateExpr("runDate" -> runDate, "date" -> runDate).evalDate(job.infoDateExpr)
     if (!rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, infoDate))
       return TaskResult.Skipped(job.name, s"already succeeded for $infoDate")
+    executeTask(job, infoDate)
+  }
 
+  /** Run one (job, infoDate) task: validate, lock, retry, record.
+    * Schedule/bookkeeping decisions happen in the caller. */
+  private def executeTask(job: JobDef, infoDate: LocalDate): TaskResult = {
     val incCtx = offsetManager.map(om =>
       new graft.meta.MetastoreReader.IncrementalContext(job.outputTable, om))
     val reader = metastore.readerFor(

@@ -104,28 +104,57 @@ object PipelineConfig {
         schedule = opt("schedule").map(Schedule.parse).getOrElse(Schedule.Daily()),
         infoDateExpr = opt("info.date.expr").getOrElse("@runDate"),
         options = options,
-        retries = opt("retries").map(_.toInt).getOrElse(0))
+        retries = opt("retries").map(_.toInt).getOrElse(0),
+        trackDays = opt("track.days").map(_.toInt).getOrElse(0),
+        initialDateExpr = opt("initial.date.expr").getOrElse("@runDate"))
     }
 
     Parsed(name, tables, jobs)
   }
 
-  /** CLI entry (the reference's runner analog):
-    * `PipelineRunner <config-file> [runDate=today]`. Prints one status
-    * line per task and exits non-zero if anything failed. */
+  /**
+   * CLI entry (the reference's runner analog):
+   * {{{
+   * PipelineConfig <config-file> [runDate]                      # normal daily run (catch-up + late-data re-runs)
+   * PipelineConfig <config-file> <runDate> --rerun              # force re-run one date
+   * PipelineConfig <config-file> --date-from D --date-to D      # historical backfill (fill gaps)
+   *     [--force-rerun] [--inverse-order]                       # re-run completed days / newest first
+   * PipelineConfig <config-file> [runDate] --new-only|--late-only
+   * }}}
+   * Prints one status line per task and exits non-zero if anything
+   * failed (reference: pramen/core .../core/app/config/RuntimeConfig.scala
+   * — `--rerun`, `--date-from/--date-to`, `--mode`).
+   */
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: PipelineConfig <config-file> [runDate yyyy-MM-dd]")
-    val runDate = if (args.length > 1) LocalDate.parse(args(1)) else LocalDate.now()
+    require(args.nonEmpty, "usage: PipelineConfig <config-file> [runDate yyyy-MM-dd] [flags]")
+    val (flags, positional) = args.tail.partition(_.startsWith("--"))
+    def flagValue(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    val runDate = positional.headOption
+      .filterNot(p => flags.exists(f => flagValue(f).contains(p)))
+      .map(LocalDate.parse).getOrElse(LocalDate.now())
+    val params: RunParams = (flagValue("--date-from"), flagValue("--date-to")) match {
+      case (Some(from), Some(to)) =>
+        RunParams.Historical(LocalDate.parse(from), LocalDate.parse(to),
+          mode = if (flags.contains("--force-rerun")) RunMode.ForceRun else RunMode.FillGaps,
+          inverseDateOrder = flags.contains("--inverse-order"))
+      case _ if flags.contains("--rerun") => RunParams.Rerun(runDate)
+      case _ => RunParams.Normal(runDate,
+        newOnly = flags.contains("--new-only"), lateOnly = flags.contains("--late-only"))
+    }
     val spark = SparkSession.builder()
       .appName(s"graft:${args(0)}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val results = run(spark, load(args(0)), runDate, notifiers = Seq(new ConsoleNotifier))
+    val results = runParams(spark, load(args(0)), params, notifiers = Seq(new ConsoleNotifier))
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
   }
 
-  /** Register the declared tables and run the declared jobs. */
+  /** Register the declared tables and run the declared jobs (single
+    * run-date legacy surface). */
   def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
           bookkeeper: Bookkeeper = new Bookkeeper(),
           notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
@@ -135,5 +164,17 @@ object PipelineConfig {
     parsed.tables.foreach(ms.register)
     new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
       rerunSucceeded = rerunSucceeded).run(parsed.jobs, runDate)
+  }
+
+  /** Register the declared tables and run under explicit run params
+    * (normal/rerun/historical). */
+  def runParams(spark: SparkSession, parsed: Parsed, params: RunParams,
+                bookkeeper: Bookkeeper = new Bookkeeper(),
+                notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
+                lockDir: Option[String] = None): Seq[TaskResult] = {
+    val ms = new Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir)
+      .runWith(parsed.jobs, params)
   }
 }
