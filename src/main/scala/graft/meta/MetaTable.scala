@@ -32,6 +32,11 @@ object DataFormat {
   final case class Csv(options: Map[String, String] = Map("header" -> "true")) extends DataFormat { val name = "csv" }
   /** Raw (whole-file) storage: files copied per info-date directory. */
   case object Raw extends DataFormat { val name = "raw" }
+  /** Delta Lake table (reference: pramen/core
+    * .../core/metastore/peristence/MetastorePersistenceDelta.scala).
+    * Requires delta-spark on the classpath; the metastore fails with a
+    * clear message when it is absent. */
+  case object Delta extends DataFormat { val name = "delta" }
 }
 
 /**

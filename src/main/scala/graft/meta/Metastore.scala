@@ -49,6 +49,7 @@ final class Metastore(spark: SparkSession) {
                 mode: SaveMode = SaveMode.Overwrite): TableStats = {
     val t = getTableDef(name)
     if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
+    if (t.format == DataFormat.Delta) Metastore.requireDelta()
     val dateLit = java.sql.Date.valueOf(infoDate)
     val withDate =
       (if (df.columns.contains(t.infoDateColumn)) df.drop(t.infoDateColumn) else df)
@@ -334,6 +335,7 @@ final class Metastore(spark: SparkSession) {
     def load: DataFrame = {
       if (t.format == DataFormat.Raw)
         return spark.read.format("binaryFile").load(t.path)
+      if (t.format == DataFormat.Delta) Metastore.requireDelta()
       val base = spark.read.format(t.format.name)
         .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
         .load(t.path)
@@ -414,6 +416,19 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
       case None => open
     }
   }
+}
+
+object Metastore {
+  /** True when the delta-spark datasource is on the classpath. */
+  def deltaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private[meta] def requireDelta(): Unit =
+    if (!deltaAvailable)
+      throw new IllegalStateException(
+        "DataFormat.Delta needs delta-spark on the classpath " +
+          "(io.delta:delta-spark_2.13); it was not found")
 }
 
 object MetastoreReader {

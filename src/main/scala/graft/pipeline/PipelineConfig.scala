@@ -17,7 +17,7 @@ import java.time.LocalDate
  * {{{
  * pipeline.name = daily
  * table.sales.path = /data/ms/sales
- * table.sales.format = parquet            # parquet|orc|json|csv|raw
+ * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
  * job.1.name = filter_sales
  * job.1.output = sales_clean
@@ -61,6 +61,7 @@ object PipelineConfig {
         case "json"    => DataFormat.Json
         case "csv"     => DataFormat.Csv()
         case "raw"     => DataFormat.Raw
+        case "delta"   => DataFormat.Delta
         case other => throw new IllegalArgumentException(s"table.$t.format: unknown format '$other'")
       }
       val scheme = opt("partition").getOrElse("day") match {

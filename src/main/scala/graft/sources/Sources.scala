@@ -101,7 +101,9 @@ final class JdbcSource(
     dialect: SqlDialect = SqlDialect.Generic,
     connectionOptions: Map[String, String] = Map.empty,
     numPartitions: Int = 1,
-    partitionColumn: Option[String] = None) extends GraftSource {
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect, SqlConfig(infoDateColumn))
 
@@ -112,26 +114,55 @@ final class JdbcSource(
 
   def countQuery(from: LocalDate, to: LocalDate): String = gen.getCountQuery(table, from, to)
 
-  private def jdbcRead(sql: String): DataFrame = {
-    val base = spark.read.format("jdbc")
-      .option("url", url)
-      .option("dbtable", gen.getDtable(sql))
-      .options(connectionOptions)
-    val reader = partitionColumn match {
-      case Some(pc) if numPartitions > 1 =>
-        // range-partitioned parallel read: executors each pull a slice
-        base.option("partitionColumn", pc)
-          .option("numPartitions", numPartitions.toString)
+  /** The min/max probe issued when a partitioned read has no
+    * configured bounds (one cheap aggregate on the RDBMS). */
+  def boundsQuery(from: LocalDate, to: LocalDate): String =
+    gen.getBoundsQuery(table, partitionColumn.getOrElse(
+      throw new IllegalStateException("boundsQuery needs a partitionColumn")), from, to)
+
+  /**
+   * The full option map for one read. Spark's JDBC source requires
+   * partitionColumn, lowerBound, upperBound and numPartitions all
+   * together — a partitioned read without bounds throws at runtime, so
+   * bounds are either taken from config or probed via
+   * [[boundsQuery]] before the data read.
+   */
+  def jdbcOptions(sql: String, bounds: Option[(Long, Long)]): Map[String, String] = {
+    val base = connectionOptions ++ Map("url" -> url, "dbtable" -> gen.getDtable(sql))
+    (partitionColumn, bounds) match {
+      case (Some(pc), Some((lo, hi))) if numPartitions > 1 =>
+        base ++ Map(
+          "partitionColumn" -> pc,
+          "lowerBound" -> lo.toString,
+          "upperBound" -> hi.toString,
+          "numPartitions" -> numPartitions.toString)
       case _ => base
     }
-    reader.load()
   }
+
+  private def probeBounds(from: LocalDate, to: LocalDate): Option[(Long, Long)] =
+    (lowerBound, upperBound) match {
+      case (Some(lo), Some(hi)) => Some((lo, hi))
+      case _ if partitionColumn.isDefined && numPartitions > 1 =>
+        // single-partition probe read of MIN/MAX over the same window
+        val row = spark.read.format("jdbc")
+          .options(connectionOptions)
+          .option("url", url)
+          .option("dbtable", gen.getDtable(boundsQuery(from, to)))
+          .load().head()
+        if (row.isNullAt(0) || row.isNullAt(1)) None // empty window: plain read
+        else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
+      case _ => None
+    }
+
+  private def jdbcRead(sql: String, bounds: Option[(Long, Long)] = None): DataFrame =
+    spark.read.format("jdbc").options(jdbcOptions(sql, bounds)).load()
 
   override def getRecordCount(from: LocalDate, to: LocalDate): Long =
     jdbcRead(countQuery(from, to)).head().getAs[Number](0).longValue()
 
   override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult =
-    SourceResult(jdbcRead(dataQuery(from, to, columns)))
+    SourceResult(jdbcRead(dataQuery(from, to, columns), probeBounds(from, to)))
 }
 
 /**

@@ -80,6 +80,15 @@ final class SqlGenerator(dialect: SqlDialect, cfg: SqlConfig) {
     s"SELECT $cols FROM ${id(table)} WHERE ${id(offsetCol)} > $offsetFrom"
   }
 
+  /** Min/max probe for a partition column over the date window — the
+    * bounds Spark's range-partitioned JDBC read requires (reference:
+    * pramen/core .../core/reader/TableReaderJdbc.scala — the
+    * partitioned read path must supply lowerBound/upperBound). */
+  def getBoundsQuery(table: String, partitionColumn: String,
+                     from: LocalDate, to: LocalDate): String =
+    s"SELECT MIN(${id(partitionColumn)}) AS lo, MAX(${id(partitionColumn)}) AS hi " +
+      s"FROM ${id(table)} WHERE ${dateWhere(from, to)}"
+
   /** Wraps an arbitrary SQL query so it can be used as a JDBC dbtable. */
   def getDtable(sql: String): String = s"($sql) t"
 }

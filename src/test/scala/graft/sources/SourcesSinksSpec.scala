@@ -58,6 +58,30 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sizes == Seq(2L, 3L))
   }
 
+  test("S2 JdbcSource partitioned reads carry all four range options (or none)") {
+    val src = new JdbcSource(spark, "jdbc:postgresql://h/db", "sales", "info_date",
+      numPartitions = 8, partitionColumn = Some("id"),
+      connectionOptions = Map("user" -> "u"))
+    val sql = src.dataQuery(d, d)
+    // bounds present -> the complete quadruple Spark requires
+    val opts = src.jdbcOptions(sql, Some((5L, 5000L)))
+    assert(opts("partitionColumn") == "id" && opts("numPartitions") == "8" &&
+      opts("lowerBound") == "5" && opts("upperBound") == "5000",
+      s"partitioned read must set all four options together: $opts")
+    assert(opts("user") == "u" && opts("url").startsWith("jdbc:postgresql"))
+    // no bounds (empty window probe) -> a plain unpartitioned read, not
+    // the three-of-four combination Spark rejects
+    val plain = src.jdbcOptions(sql, None)
+    assert(!plain.contains("partitionColumn") && !plain.contains("numPartitions"),
+      s"boundless read must not carry partitioning options: $plain")
+    // the probe the read issues first
+    assert(src.boundsQuery(d, d) ==
+      "SELECT MIN(id) AS lo, MAX(id) AS hi FROM sales WHERE info_date = DATE '2024-06-01'")
+    // unpartitioned source: never any partition options
+    val single = new JdbcSource(spark, "jdbc:h2:mem", "t", "info_date")
+    assert(!single.jdbcOptions(single.dataQuery(d, d), Some((1L, 2L))).contains("partitionColumn"))
+  }
+
   test("S4 SparkSink writes the requested format/partitioning; S5 csv sink transforms names") {
     val ms = new Metastore(spark)
     ms.register(MetaTable("src", tmpDir("snk_") + "/src"))

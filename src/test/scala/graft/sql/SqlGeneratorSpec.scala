@@ -36,6 +36,17 @@ class SqlGeneratorSpec extends AnyFunSuite {
       .contains("[my table]"))
   }
 
+  test("bounds probe query per dialect (partitioned-read min/max)") {
+    val g = new SqlGenerator(SqlDialect.Generic, SqlConfig("info_date"))
+    assert(g.getBoundsQuery("sales", "id", from, to) ==
+      "SELECT MIN(id) AS lo, MAX(id) AS hi FROM sales " +
+        "WHERE info_date >= DATE '2024-06-01' AND info_date <= DATE '2024-06-30'")
+    val q = new SqlGenerator(SqlDialect.SqlServer, SqlConfig("info date", identifierQuoting = true))
+    assert(q.getBoundsQuery("my table", "row id", from, from) ==
+      "SELECT MIN([row id]) AS lo, MAX([row id]) AS hi FROM [my table] " +
+        "WHERE [info date] = CONVERT(DATE, '2024-06-01')")
+  }
+
   test("date literal and limit per dialect") {
     val base = "SELECT * FROM t WHERE d = X"
     assert(SqlDialect.Oracle.dateLiteral(from) == "date'2024-06-01'")
