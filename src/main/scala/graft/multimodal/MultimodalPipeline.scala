@@ -69,21 +69,27 @@ object MultimodalPipeline {
 
   /**
    * Batched feature extraction: binary column → fixed-dim float
-   * feature vector. Runs codec per-partition (no per-row overhead,
-   * no driver involvement); repartitions first so decode parallelism
-   * matches the cluster, not the file layout.
+   * feature vector. Runs the codec over bounded `batchSize`-row groups
+   * pulled lazily from the partition iterator — peak executor memory
+   * is one batch of payloads, NOT the whole partition (a partition of
+   * real media at 100 TB can be gigabytes; buffering it whole is an
+   * OOM). Repartitions first so decode parallelism matches the
+   * cluster, not the file layout.
    */
   def extractFeatures(media: DataFrame, codec: Codec = StubCodec,
-                      parallelism: Option[Int] = None): DataFrame = {
+                      parallelism: Option[Int] = None,
+                      batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = media.sparkSession
     val prepared = parallelism.fold(media)(media.repartition(_))
     val rdd = prepared.select("media_id", "kind", "content").rdd.mapPartitions { rows =>
-      val buffered = rows.toArray
-      val feats = codec.decodeBatch(buffered.iterator.map(_.getAs[Array[Byte]]("content"))).toArray
-      buffered.iterator.zip(feats.iterator).map { case (r, f) =>
-        val bytes = r.getAs[Array[Byte]]("content")
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-          if (bytes == null) 0L else bytes.length.toLong, f)
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = codec.decodeBatch(batch.iterator.map(_.getAs[Array[Byte]]("content")))
+        batch.iterator.zip(feats).map { case (r, f) =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            if (bytes == null) 0L else bytes.length.toLong, f)
+        }
       }
     }
     spark.createDataFrame(rdd, featureSchema)

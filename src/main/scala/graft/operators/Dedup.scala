@@ -16,21 +16,47 @@ object Dedup {
 
   /**
    * Exact dedup on content: keep the smallest `idCol` per identical
-   * text. The window partitions on a 128-bit double fingerprint (two
-   * independent xxhash64 seeds) rather than the text itself, so the
-   * shuffle carries 16 bytes per row instead of the whole corpus —
-   * the difference between shuffling 2 TB and 100 TB. Collision odds
-   * at 128 bits are ~n²/2¹²⁹ (≪10⁻²⁰ at 10¹² docs); ties broken
-   * deterministically by id.
+   * text, keyed by a 128-bit double fingerprint (two independent
+   * xxhash64 seeds; collision odds ~n²/2¹²⁹, ≪10⁻²⁰ at 10¹² docs),
+   * ties broken deterministically by id.
+   *
+   * Minority-shuffle plan: most of a real corpus is unique, and
+   * unique rows don't need a shuffle at all —
+   *  1. an ids-free aggregation finds fingerprints with >1 copy (the
+   *     shuffle carries only (fp1, fp2, count) = 24 bytes per GROUP);
+   *  2. that dup-fingerprint set — tiny for web corpora — broadcasts;
+   *  3. the unique majority passes through via a broadcast ANTI join
+   *     (zero shuffle of row data); only rows in duplicate groups go
+   *     through the keep-smallest-id window shuffle.
+   * So full-row shuffle volume is O(duplicates), not O(corpus). Costs
+   * one extra scan of the input; at 100 TB a scan is far cheaper than
+   * a full-corpus shuffle. If duplicate GROUPS are expected to be too
+   * numerous to broadcast (hundreds of millions), set
+   * `broadcastDupSet = false` to fall back to the classic one-shot
+   * full-row window shuffle.
    */
-  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def exact(docs: DataFrame, textCol: String, idCol: String,
+            broadcastDupSet: Boolean = true): DataFrame = {
     // both hash the RAW text (exactness contract) with independent seeds
     val fp1 = xxhash64(col(textCol))
     val fp2 = xxhash64(lit(0x9E3779B9L), col(textCol))
-    val w = Window.partitionBy(fp1, fp2).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+    if (!broadcastDupSet) {
+      val w = Window.partitionBy(fp1, fp2).orderBy(col(idCol))
+      return docs.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn")
+    }
+    val withFp = docs.withColumn("_fp1", fp1).withColumn("_fp2", fp2)
+    val dupFps = withFp.groupBy("_fp1", "_fp2")
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+      .select("_fp1", "_fp2")
+    val unique = withFp.join(broadcast(dupFps), Seq("_fp1", "_fp2"), "left_anti")
+    val w = Window.partitionBy(col("_fp1"), col("_fp2")).orderBy(col(idCol))
+    val keepers = withFp.join(broadcast(dupFps), Seq("_fp1", "_fp2"), "left_semi")
+      .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
+    unique.union(keepers).drop("_fp1", "_fp2")
   }
 
   /** Exact-dedup summary: groups with duplicates (keeper id + count). */

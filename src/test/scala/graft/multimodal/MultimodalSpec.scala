@@ -3,6 +3,14 @@ package graft.multimodal
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Shared executor/driver probe (local mode: one JVM). */
+object BatchProbe {
+  private val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  def observe(n: Int): Unit = maxSeen.getAndUpdate(m => math.max(m, n))
+  def max(): Int = maxSeen.get()
+  def reset(): Unit = maxSeen.set(0)
+}
+
 /** L13: multimodal binary-column plumbing (codec stubbed by design). */
 class MultimodalSpec extends SparkSpec {
 
@@ -19,6 +27,29 @@ class MultimodalSpec extends SparkSpec {
     val again = MultimodalPipeline.extractFeatures(media, parallelism = Some(2))
       .where(col("media_id") === 7L).head()
     assert(r.getSeq[Float](3) == again.getSeq[Float](3))
+  }
+
+  test("decode batches are bounded: a partition never buffers whole, output identical") {
+    val media = MultimodalPipeline.syntheticMedia(spark, 100).repartition(1) // one 100-row partition
+    // codec that records the largest batch it was handed
+    val codec = new MultimodalPipeline.Codec {
+      def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] = {
+        var n = 0
+        val out = payloads.map { b => n += 1; BatchProbe.observe(n); MultimodalPipeline.StubCodec.decodeBatch(Iterator(b)).next() }
+        out
+      }
+    }
+    BatchProbe.reset()
+    val bounded = MultimodalPipeline.extractFeatures(media, codec, batchSize = 16)
+    val rows = bounded.collect()
+    assert(rows.length == 100)
+    assert(BatchProbe.max() <= 16,
+      s"a 100-row partition with batchSize=16 must never hand the codec more than 16 rows, saw ${BatchProbe.max()}")
+    // identical output to the default path
+    val default = MultimodalPipeline.extractFeatures(media).collect()
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(rows.sortBy(key).map(_.getSeq[Float](3)).toSeq ==
+      default.sortBy(key).map(_.getSeq[Float](3)).toSeq)
   }
 
   test("frame sampling explodes k offsets per video row only") {

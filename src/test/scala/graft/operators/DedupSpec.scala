@@ -21,6 +21,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactGroups(docs, "text", "doc_id").select("keeper_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("L1b minority-shuffle plan: unique majority avoids the window shuffle; fallback identical") {
+    // plan shape: the anti-join (unique-majority) branch joins against a
+    // BROADCAST of the dup-fp set — its rows reach the union without any
+    // hash-partitioned exchange; only the dup branch has the window
+    val out = Dedup.exact(docs, "text", "doc_id")
+    out.collect() // finalize adaptive plan
+    val full = out.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head // adaptive dump repeats the tree
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-fp set must broadcast:\n$plan")
+    assert("LeftAnti".r.findAllIn(plan).size >= 1, s"unique majority must pass via anti join:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size == 1, s"exactly one window (dup minority only):\n$plan")
+    // behavior parity with the classic full-shuffle plan
+    val classic = Dedup.exact(docs, "text", "doc_id", broadcastDupSet = false)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val minority = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(classic == minority && minority == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("L2 minhash-LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
