@@ -53,8 +53,13 @@ final case class OffsetInfo(column: String, offsetType: String)
 /**
  * Tracks committed offsets per table and builds incremental-read
  * predicates (reference: pramen/core
- * .../core/bookkeeper/OffsetManagerJdbc.scala — graft keeps a JSONL
- * store + in-memory index).
+ * .../core/bookkeeper/OffsetManagerJdbc.scala).
+ *
+ * Persistence is a DIRECTORY of one-file-per-commit, each written to
+ * a hidden temp name and atomically renamed into place — concurrent
+ * drivers committing through shared storage cannot interleave partial
+ * lines. Commits only ever advance, so a reload replays commit files
+ * in any order and keeps the max per table.
  *
  * Scale: the incremental read is a *predicate on the offset column*
  * (`col > from AND col <= to`), which Catalyst pushes into the scan
@@ -64,16 +69,22 @@ final case class OffsetInfo(column: String, offsetType: String)
  */
 final class OffsetManager(storePath: Option[String] = None) {
   private val committed = TrieMap.empty[String, OffsetValue]
+  private val writerId = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   storePath.foreach { p =>
-    val path = Paths.get(p)
-    if (Files.exists(path)) {
-      Files.readAllLines(path).asScala.filter(_.nonEmpty).foreach { line =>
-        line.split("\t") match {
-          case Array(table, tpe, value) => committed.put(table, OffsetValue.fromString(tpe, value))
-          case _ =>
+    val dir = Paths.get(p)
+    if (Files.isDirectory(dir)) {
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tsv"))
+        .foreach { f =>
+          new String(Files.readAllBytes(f), "UTF-8").trim.split("\t") match {
+            case Array(table, tpe, value) =>
+              val v = OffsetValue.fromString(tpe, value)
+              if (committed.get(table).forall(_ < v)) committed.put(table, v)
+            case _ =>
+          }
         }
-      }
     }
   }
 
@@ -85,8 +96,14 @@ final class OffsetManager(storePath: Option[String] = None) {
     if (advanced) {
       committed.put(table, offset)
       storePath.foreach { p =>
-        Files.write(Paths.get(p), s"$table\t${offset.typeName}\t${offset.asString}\n".getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        val dir = Paths.get(p)
+        Files.createDirectories(dir)
+        val name = f"${System.currentTimeMillis()}%013d_${writerId}_${seq.getAndIncrement()}%06d.tsv"
+        val tmp = dir.resolve(s".$name.tmp")
+        Files.write(tmp, s"$table\t${offset.typeName}\t${offset.asString}\n".getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmp, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
   }

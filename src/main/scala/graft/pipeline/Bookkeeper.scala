@@ -22,17 +22,31 @@ final case class RunRecord(
  * Pipeline state journal enabling auto-healing: a (table, infoDate)
  * that already succeeded is skipped on re-run
  * (reference: pramen/core .../core/bookkeeper/Bookkeeper.scala — the
- * JDBC/Mongo/HadoopFS variants; graft persists JSONL on any local/
- * shared FS and keeps a hot in-memory index; the store is append-only
- * so concurrent pipelines on a shared FS only ever add lines).
+ * JDBC/Mongo/HadoopFS variants, esp. BookkeeperHadoop's shared-FS
+ * semantics).
+ *
+ * Persistence is a DIRECTORY of one-JSON-file-per-record, each
+ * written to a hidden temp name and atomically renamed into place —
+ * two drivers journaling through shared storage can never interleave
+ * partial lines or clobber each other (a single shared append file
+ * cannot guarantee that on object stores or NFS). Record filenames
+ * lead with finishedAtMs + a per-writer id, so a reload applies
+ * records in completion order and the newest record per
+ * (table, infoDate) wins.
  */
 final class Bookkeeper(journalPath: Option[String] = None) {
   private val records = TrieMap.empty[(String, LocalDate), RunRecord]
+  private val writerId = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   journalPath.foreach { p =>
-    val path = Paths.get(p)
-    if (Files.exists(path)) {
-      Files.readAllLines(path).asScala.filter(_.nonEmpty).foreach { line =>
+    val dir = Paths.get(p)
+    if (Files.isDirectory(dir)) {
+      val files = Files.list(dir).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      files.foreach { f =>
+        val line = new String(Files.readAllBytes(f), "UTF-8")
         parseLine(line).foreach(r => records.put((r.table, r.infoDate), r))
       }
     }
@@ -41,9 +55,15 @@ final class Bookkeeper(journalPath: Option[String] = None) {
   def record(r: RunRecord): Unit = {
     records.put((r.table, r.infoDate), r)
     journalPath.foreach { p =>
-      val line = s"""{"table":"${r.table}","infoDate":"${r.infoDate}","recordCount":${r.recordCount},"status":"${r.status}","startedAtMs":${r.startedAtMs},"finishedAtMs":${r.finishedAtMs}}""" + "\n"
-      Files.write(Paths.get(p), line.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val dir = Paths.get(p)
+      Files.createDirectories(dir)
+      val json = s"""{"table":"${r.table}","infoDate":"${r.infoDate}","recordCount":${r.recordCount},"status":"${r.status}","startedAtMs":${r.startedAtMs},"finishedAtMs":${r.finishedAtMs}}"""
+      val name = f"${r.finishedAtMs}%013d_${writerId}_${seq.getAndIncrement()}%06d.json"
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, json.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

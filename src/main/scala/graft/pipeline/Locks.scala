@@ -29,9 +29,21 @@ final class TokenLock(lockDir: String, token: String,
   def tryAcquire(): Boolean = {
     fs.mkdirs(new Path(lockDir))
     if (fs.exists(path)) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(path).getModificationTime
+      val observedMtime = fs.getFileStatus(path).getModificationTime
+      val age = System.currentTimeMillis() - observedMtime
       if (age <= staleMs) return false
-      fs.delete(path, false) // break the stale lock
+      // Re-check immediately before breaking: if another driver broke
+      // this stale lock and created a FRESH one in the window since our
+      // age check, the mtime changed — deleting it would destroy a live
+      // lock and let two acquirers through. Only delete while the file
+      // still matches the stale state we observed. (A residual race
+      // remains between this check and the delete; closing it fully
+      // needs a lease/rename protocol, which plain FS create/delete
+      // cannot express.)
+      try {
+        if (fs.getFileStatus(path).getModificationTime != observedMtime) return false
+        fs.delete(path, false) // break the stale lock
+      } catch { case _: java.io.FileNotFoundException => () } // someone else broke it
     }
     try {
       val out = fs.create(path, false) // atomic: loser of a race gets IOException

@@ -51,10 +51,19 @@ object StreamIngest {
   /**
    * Stream → metastore: each micro-batch appends into the ByDay
    * table's info-date partitions derived from the event-time column
-   * (a batch spanning midnight lands in both days). Offsets/exactly-
-   * once are the streaming checkpoint's job; downstream batch
+   * (a batch spanning midnight lands in both days). Downstream batch
    * pipelines read the table through the normal partition-pruned
    * metastore API.
+   *
+   * Delivery contract — at-least-once with a NARROW duplicate window,
+   * not exactly-once: the per-batch marker makes checkpoint-driven
+   * replays (the common restart path) idempotent, but a crash in the
+   * instant between the completed append and the marker write replays
+   * that one batch and appends it twice. A plain parquet directory
+   * has no transaction that could close this window (the append and
+   * the marker are separate FS operations); upgrading the table to
+   * `DataFormat.Delta` and doing marker-plus-data in one transactional
+   * commit is the exactly-once path.
    */
   def streamToMetastore(stream: DataFrame, metastore: graft.meta.Metastore,
                         table: String, tsCol: String,
@@ -63,9 +72,10 @@ object StreamIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once: a crash between the append and
-        // the checkpoint commit replays the batch. A per-batch marker
-        // in the table's _graft dir makes the append idempotent.
+        // marker BEFORE means a crash mid-append drops the batch (data
+        // loss); marker AFTER means a crash post-append duplicates it.
+        // Loss is unrecoverable, duplicates are detectable/dedupable —
+        // so the marker goes after.
         if (!batch.isEmpty && !metastore.batchCommitted(table, batchId)) {
           metastore.appendTable(table, batch, tsCol)
           metastore.markBatchCommitted(table, batchId)

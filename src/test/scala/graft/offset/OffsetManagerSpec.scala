@@ -27,14 +27,27 @@ class OffsetManagerSpec extends SparkSpec {
     assert(om.getLatestOffset("t").contains(OffsetValue.IntegralValue(20)))
   }
 
-  test("offsets survive restart via the store file") {
-    val store = tmpDir("off_") + "/offsets.tsv"
+  test("offsets survive restart via the store dir") {
+    val store = tmpDir("off_") + "/offsets"
     val om1 = new OffsetManager(Some(store))
     om1.commit("a", OffsetValue.IntegralValue(7))
     om1.commit("b", OffsetValue.StringValue("k9"))
     val om2 = new OffsetManager(Some(store))
     assert(om2.getLatestOffset("a").contains(OffsetValue.IntegralValue(7)))
     assert(om2.getLatestOffset("b").contains(OffsetValue.StringValue("k9")))
+  }
+
+  test("two concurrent offset writers on shared storage: no corruption, max wins") {
+    val store = tmpDir("offc_") + "/offsets"
+    val omA = new OffsetManager(Some(store))
+    val omB = new OffsetManager(Some(store))
+    val threads = Seq(
+      new Thread(() => (1 to 100).foreach(i => omA.commit("t", OffsetValue.IntegralValue(i.toLong)))),
+      new Thread(() => (1 to 100).foreach(i => omB.commit("u", OffsetValue.IntegralValue(i.toLong * 2)))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fresh = new OffsetManager(Some(store))
+    assert(fresh.getLatestOffset("t").contains(OffsetValue.IntegralValue(100L)))
+    assert(fresh.getLatestOffset("u").contains(OffsetValue.IntegralValue(200L)))
   }
 
   test("incrementalFilter reads only past the committed offset and pushes down") {

@@ -118,7 +118,7 @@ class OrchestratorSpec extends SparkSpec {
   }
 
   test("bookkeeper journal persists across restarts") {
-    val path = tmpDir("bk_") + "/journal.jsonl"
+    val path = tmpDir("bk_") + "/journal"
     val bk1 = new Bookkeeper(Some(path))
     bk1.record(RunRecord("t", runDate, 42, "succeeded", 1, 2))
     bk1.record(RunRecord("t", runDate.plusDays(1), 0, "failed", 3, 4))
@@ -126,5 +126,25 @@ class OrchestratorSpec extends SparkSpec {
     assert(bk2.isAlreadyRan("t", runDate))
     assert(!bk2.isAlreadyRan("t", runDate.plusDays(1)))
     assert(bk2.get("t", runDate).map(_.recordCount).contains(42L))
+  }
+
+  test("two concurrent bookkeepers on shared storage lose no records") {
+    val path = tmpDir("bkc_") + "/journal"
+    val bkA = new Bookkeeper(Some(path))
+    val bkB = new Bookkeeper(Some(path))
+    val n = 100
+    val threads = Seq(
+      new Thread(() => (0 until n).foreach(i =>
+        bkA.record(RunRecord("ta", runDate.plusDays(i.toLong), i.toLong, "succeeded", i.toLong, i.toLong + 1)))),
+      new Thread(() => (0 until n).foreach(i =>
+        bkB.record(RunRecord("tb", runDate.plusDays(i.toLong), i.toLong, "succeeded", i.toLong, i.toLong + 1)))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // a fresh reader sees every record from both writers, none corrupt
+    val fresh = new Bookkeeper(Some(path))
+    (0 until n).foreach { i =>
+      assert(fresh.get("ta", runDate.plusDays(i.toLong)).map(_.recordCount).contains(i.toLong))
+      assert(fresh.get("tb", runDate.plusDays(i.toLong)).map(_.recordCount).contains(i.toLong))
+    }
+    assert(fresh.all.size == 2 * n)
   }
 }
