@@ -53,6 +53,14 @@ object DataFormat {
  *                       by several downstream jobs of one pipeline run
  *                       (reference: pramen/core
  *                       .../metastore/persistence/TransientTableManager.scala)
+ * @param catalogSync    register the table in the Spark session catalog
+ *                       on first save and recover partitions after each
+ *                       save, so BI/SQL users read it as
+ *                       `spark.table(catalogName)` with partition
+ *                       pruning intact (reference: pramen/core
+ *                       .../core/metastore/MetastoreImpl.scala Hive
+ *                       paths, metastore/model/HiveConfig.scala)
+ * @param catalogName    catalog identifier when it differs from `name`
  */
 final case class MetaTable(
     name: String,
@@ -60,7 +68,9 @@ final case class MetaTable(
     format: DataFormat = DataFormat.Parquet,
     infoDateColumn: String = "info_date",
     scheme: PartitionScheme = PartitionScheme.ByDay,
-    transientCache: Boolean = false)
+    transientCache: Boolean = false,
+    catalogSync: Boolean = false,
+    catalogName: Option[String] = None)
 
 /** Per-save statistics (reference: pramen/core .../metastore/MetaTableStats.scala). */
 final case class TableStats(recordCount: Long, sizeBytes: Option[Long])

@@ -93,11 +93,35 @@ final class Metastore(spark: SparkSession) {
     }
 
     invalidateCache(name)
+    syncCatalog(t)
     val cnt = obs.get("cnt").asInstanceOf[Long]
     val stats = TableStats(cnt, sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
     recordSchema(name, infoDate, df.schema)
     stats
+  }
+
+  /**
+   * Catalog integration (reference: pramen/core
+   * .../core/metastore/MetastoreImpl.scala Hive paths): registers the
+   * physical location as an EXTERNAL datasource table on first save
+   * and recovers newly written partitions after each save, so
+   * `spark.table(...)` / SQL sees every info date with partition
+   * pruning intact. Works against whatever catalog the session has
+   * (in-memory here; Hive metastore / Glue on a real cluster — the
+   * same API).
+   */
+  private def syncCatalog(t: MetaTable): Unit = if (t.catalogSync) {
+    val ident = t.catalogName.getOrElse(t.name)
+    val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
+    if (!spark.catalog.tableExists(ident))
+      spark.sql(s"CREATE TABLE $quoted USING ${t.format.name} LOCATION '${t.path}'")
+    t.scheme match {
+      case PartitionScheme.NotPartitioned | PartitionScheme.Overwrite => ()
+      case _ =>
+        spark.catalog.recoverPartitions(ident) // MSCK: register new info dates
+        spark.catalog.refreshTable(ident)
+    }
   }
 
   /** Schema-evolution tracking (reference: pramen/api
@@ -180,6 +204,7 @@ final class Metastore(spark: SparkSession) {
       .mode(SaveMode.Append)
       .partitionBy(t.infoDateColumn)
       .save(t.path)
+    syncCatalog(t)
     val cnt = obs.get("cnt").asInstanceOf[Long]
     // schema versions are keyed by the max info date in the batch (a
     // deterministic property of the data), not wall-clock now()

@@ -78,7 +78,9 @@ object PipelineConfig {
         format = format,
         infoDateColumn = opt("info.date.column").getOrElse("info_date"),
         scheme = scheme,
-        transientCache = opt("transient").contains("true"))
+        transientCache = opt("transient").contains("true"),
+        catalogSync = opt("catalog.sync").contains("true"),
+        catalogName = opt("catalog.name"))
     }
 
     val jobIds = kv.keys.collect { case k if k.startsWith("job.") => k.split("\\.")(1) }

@@ -1,0 +1,59 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+
+/** Catalog registration of metastore tables (reference: pramen/core
+  * .../core/metastore/MetastoreImpl.scala Hive paths): saved tables are
+  * readable as `spark.table(...)` with pruned partitions, and new info
+  * dates appear after each save (partition recovery). */
+class CatalogSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d1 = LocalDate.parse("2024-06-01")
+  private val d2 = LocalDate.parse("2024-06-02")
+  private val d3 = LocalDate.parse("2024-06-03")
+
+  private def data(tag: String, n: Int) =
+    (1 to n).map(i => (i.toLong, tag)).toDF("id", "tag")
+
+  test("saved table is readable via spark.table with partition pruning; new saves appear") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("cat_t", tmpDir("cat_") + "/t", catalogSync = true))
+    ms.saveTable("cat_t", d1, data("a", 3))
+    ms.saveTable("cat_t", d2, data("b", 4))
+
+    val viaCatalog = spark.table("cat_t")
+    assert(viaCatalog.count() == 7)
+    assert(viaCatalog.columns.contains("info_date"))
+
+    // a date filter prunes to one partition through the catalog table
+    val pruned = viaCatalog.where(col("info_date") === java.sql.Date.valueOf(d1))
+    assert(pruned.count() == 3)
+    val parts = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(parts.forall(_ == 1), s"catalog read must prune partitions, got $parts")
+
+    // a later save is visible without re-registering (partition recovery)
+    ms.saveTable("cat_t", d3, data("c", 5))
+    assert(spark.table("cat_t").count() == 12)
+    assert(spark.sql("SELECT count(*) FROM cat_t WHERE info_date = DATE'2024-06-03'")
+      .head().getLong(0) == 5)
+  }
+
+  test("catalogName overrides the identifier; no sync when disabled") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("internal_name", tmpDir("cat2_") + "/t",
+      catalogSync = true, catalogName = Some("analytics_events")))
+    ms.register(MetaTable("quiet", tmpDir("cat3_") + "/t"))
+    ms.saveTable("internal_name", d1, data("a", 2))
+    ms.saveTable("quiet", d1, data("b", 2))
+    assert(spark.table("analytics_events").count() == 2)
+    assert(!spark.catalog.tableExists("internal_name"))
+    assert(!spark.catalog.tableExists("quiet"))
+  }
+}
