@@ -32,6 +32,55 @@ final class ConsoleNotifier extends PipelineNotificationTarget {
   }
 }
 
+/**
+ * Structured end-of-pipeline report with per-task failure details
+ * (reference: pramen/core .../core/notify/PipelineNotificationBuilderHtml.scala,
+ * core/notify/Sendable.scala — graft renders a plain-text message and
+ * hands it to a pluggable transport; SMTP itself is out of scope in
+ * this zero-egress environment, the rendering + hand-off surface is
+ * the reference's).
+ */
+object RunReport {
+  final case class Line(job: String, status: String, detail: String)
+  final case class Report(subject: String, lines: Seq[Line], body: String,
+                          succeeded: Int, failed: Int, skipped: Int, notReady: Int)
+
+  def build(pipelineName: String, results: Seq[TaskResult], runDate: LocalDate): Report = {
+    val lines = results.map {
+      case TaskResult.Succeeded(j, t, d, n) => Line(j, "SUCCESS", s"$t@$d: $n records")
+      case TaskResult.Skipped(j, why)       => Line(j, "SKIPPED", why)
+      case TaskResult.NotReady(j, why)      => Line(j, "NOT READY", why)
+      case TaskResult.Failed(j, e)          =>
+        // failure detail: exception class, message, and the topmost
+        // in-repo stack frame — what an operator needs at 3am
+        val frame = e.getStackTrace.headOption.map(f => s" at $f").getOrElse("")
+        Line(j, "FAILED", s"${e.getClass.getSimpleName}: ${e.getMessage}$frame")
+    }
+    val nOk = lines.count(_.status == "SUCCESS")
+    val nFail = lines.count(_.status == "FAILED")
+    val nSkip = lines.count(_.status == "SKIPPED")
+    val nNr = lines.count(_.status == "NOT READY")
+    val verdict = if (nFail > 0) "FAILED" else "succeeded"
+    val subject = s"Pipeline '$pipelineName' $verdict for $runDate " +
+      s"($nOk ok, $nFail failed, $nSkip skipped, $nNr not ready)"
+    val body = (subject +: "" +: lines.map(l => f"  ${l.status}%-9s ${l.job}%-24s ${l.detail}"))
+      .mkString("\n")
+    Report(subject, lines, body, nOk, nFail, nSkip, nNr)
+  }
+}
+
+/** Transport for rendered reports (console default; swap for SMTP/webhook). */
+trait ReportTransport { def send(report: RunReport.Report): Unit }
+
+/** Renders the end-of-run report with failure details and hands it to
+  * the transport. */
+final class ReportingNotifier(pipelineName: String,
+                              transport: ReportTransport = r => System.err.println(r.body))
+    extends PipelineNotificationTarget {
+  override def onPipelineCompleted(results: Seq[TaskResult], runDate: LocalDate): Unit =
+    transport.send(RunReport.build(pipelineName, results, runDate))
+}
+
 /** Collects notifications in memory (tests, programmatic consumers). */
 final class CollectingNotifier extends PipelineNotificationTarget {
   private val buf = new java.util.concurrent.ConcurrentLinkedQueue[TaskResult]()

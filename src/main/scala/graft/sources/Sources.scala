@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.time.LocalDate
+import scala.jdk.CollectionConverters._
 
 /** Result of a source read (reference: pramen/api .../api/SourceResult.scala). */
 final case class SourceResult(df: DataFrame, recordCount: Option[Long] = None)
@@ -189,6 +190,72 @@ final class RawFileSource(
     val df = readAll()
     SourceResult(if (columns.isEmpty) df else df.select(columns.map(col): _*))
   }
+}
+
+/**
+ * Local-filesystem staged ingestion
+ * (reference: pramen/core .../core/source/LocalSparkSource.scala):
+ * files that exist only on the DRIVER's local disk are copied to a
+ * cluster-visible Hadoop temp path first, then read through the
+ * normal Spark datasource — executors never touch the driver's disk.
+ * `close()` removes the staged copy.
+ */
+final class LocalSparkSource(
+    spark: SparkSession,
+    localPath: String,
+    hadoopTempPath: String,
+    format: String = "csv",
+    options: Map[String, String] = Map.empty,
+    fileNamePattern: String = "*",
+    recursive: Boolean = false,
+    infoDateColumn: Option[String] = None,
+    infoDateType: String = "date") extends GraftSource {
+
+  private var staged: Option[String] = None
+
+  override def hasInfoDateColumn: Boolean = infoDateColumn.isDefined
+
+  /** Copy matching local files into a fresh temp dir (once per source instance). */
+  private[sources] def stage(): String = staged.getOrElse {
+    val fs = new org.apache.hadoop.fs.Path(hadoopTempPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(
+      hadoopTempPath, s"graft_local_${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(dest)
+    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$fileNamePattern")
+    val base = java.nio.file.Paths.get(localPath)
+    val stream =
+      if (recursive) java.nio.file.Files.walk(base)
+      else java.nio.file.Files.list(base)
+    try {
+      stream.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          matcher.matches(p.getFileName) &&
+          !p.getFileName.toString.startsWith("."))
+        .foreach { p =>
+          fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString),
+            new org.apache.hadoop.fs.Path(dest, p.getFileName.toString))
+        }
+    } finally stream.close()
+    staged = Some(dest.toString)
+    dest.toString
+  }
+
+  /** Delete the staged copy. */
+  def close(): Unit = staged.foreach { d =>
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    staged = None
+  }
+
+  private def reader(): SparkSource =
+    new SparkSource(spark, stage(), format, options, infoDateColumn, infoDateType)
+
+  override def getRecordCount(from: LocalDate, to: LocalDate): Long =
+    reader().getRecordCount(from, to)
+
+  override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult =
+    reader().getData(from, to, columns)
 }
 
 /** Runs ingestion: source window/tail → metastore table (an "ingestion job"). */

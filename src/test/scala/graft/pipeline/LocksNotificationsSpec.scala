@@ -54,6 +54,29 @@ class LocksNotificationsSpec extends SparkSpec {
     assert(!TokenLock.forPartition(lockDir, "out", d).isLocked)
   }
 
+  test("run report renders failure details (class, message, frame) and counts") {
+    val boom = new RuntimeException("disk exploded")
+    val results = Seq(
+      TaskResult.Succeeded("jobA", "t1", java.time.LocalDate.parse("2024-06-01"), 42L),
+      TaskResult.Failed("jobB", boom),
+      TaskResult.Skipped("jobC", "already succeeded"),
+      TaskResult.NotReady("jobD", "input missing"))
+    val r = RunReport.build("nightly", results, java.time.LocalDate.parse("2024-06-01"))
+    assert(r.succeeded == 1 && r.failed == 1 && r.skipped == 1 && r.notReady == 1)
+    assert(r.subject.contains("FAILED") && r.subject.contains("nightly"))
+    assert(r.body.contains("RuntimeException: disk exploded"))
+    assert(r.body.contains(" at "), "failure line must carry the top stack frame")
+    assert(r.body.contains("t1@2024-06-01: 42 records"))
+    // transport hand-off happens on pipeline completion
+    var sent: Option[RunReport.Report] = None
+    val notifier = new ReportingNotifier("nightly", r2 => sent = Some(r2))
+    notifier.onPipelineCompleted(results, java.time.LocalDate.parse("2024-06-01"))
+    assert(sent.exists(_.failed == 1))
+    // an all-green run reports success in the subject
+    val green = RunReport.build("nightly", results.take(1), java.time.LocalDate.parse("2024-06-01"))
+    assert(green.subject.contains("succeeded"))
+  }
+
   test("notifiers observe per-task and pipeline completion") {
     val ms = new Metastore(spark)
     ms.register(MetaTable("a", tmpDir("nms_") + "/a"))

@@ -58,6 +58,32 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sizes == Seq(2L, 3L))
   }
 
+  test("LocalSparkSource stages driver-local files to a Hadoop path and cleans up") {
+    val localDir = tmpDir("lsrc_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/a.csv"),
+      "id,v\n1,x\n2,y\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/b.csv"),
+      "id,v\n3,z\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/skip.txt"),
+      "not,me\n".getBytes)
+    val tempHadoop = tmpDir("lstage_")
+    val src = new LocalSparkSource(spark, localDir, tempHadoop,
+      format = "csv", options = Map("header" -> "true", "inferSchema" -> "true"),
+      fileNamePattern = "*.csv")
+    assert(src.getRecordCount(d, d) == 3) // only the two csv files staged
+    val df = src.getData(d, d).df
+    assert(df.columns.toSet == Set("id", "v"))
+    val stagedDir = src.stage()
+    val staged = java.nio.file.Files.list(java.nio.file.Paths.get(
+      stagedDir.stripPrefix("file:"))).iterator()
+    val visible = Iterator.continually(staged).takeWhile(_.hasNext).map(_.next())
+      .filterNot(_.getFileName.toString.startsWith(".")).toSeq // Hadoop .crc files
+    assert(visible.map(_.getFileName.toString).sorted == Seq("a.csv", "b.csv"))
+    src.close()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(stagedDir.stripPrefix("file:"))),
+      "close() must remove the staged copy")
+  }
+
   test("S2 JdbcSource partitioned reads carry all four range options (or none)") {
     val src = new JdbcSource(spark, "jdbc:postgresql://h/db", "sales", "info_date",
       numPartitions = 8, partitionColumn = Some("id"),
