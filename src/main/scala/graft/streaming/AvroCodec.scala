@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import java.io.ByteArrayOutputStream
+import scala.jdk.CollectionConverters._
+
+/**
+ * Kafka Avro payload layer
+ * (reference: pramen/extras .../extras/source/KafkaAvroSource.scala,
+ * extras/sink/KafkaAvroSink.scala — which delegate the same job to
+ * ABRiS): Avro schema derivation from the Spark schema, Confluent
+ * wire-format framing (magic byte 0x00 + 4-byte big-endian schema id
+ * + Avro binary body), and encode/decode between DataFrame rows and
+ * framed `binary` values. Built on avro-core only — no broker, no
+ * registry client needed to exercise it; on a real cluster the schema
+ * id comes from the registry and `format("kafka")` carries the frame.
+ *
+ * Serialization is per-row byte work (inherently imperative), so this
+ * is one of the few legitimate `mapPartitions` sites in the repo: the
+ * datum writer/reader and parsed schema are built once per partition,
+ * not per row.
+ */
+object AvroCodec {
+
+  /** Derive the Avro schema for a Spark schema. Nullable fields map to
+    * `union(null, T)`; dates to int days, timestamps to long micros
+    * (the Avro logical-type conventions). */
+  def avroSchemaFor(schema: StructType, name: String = "row",
+                    namespace: String = "graft"): Schema = {
+    def fieldSchema(dt: DataType, path: String): Schema = dt match {
+      case LongType | TimestampType => Schema.create(Schema.Type.LONG)
+      case IntegerType | DateType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(elem, containsNull) =>
+        Schema.createArray(maybeNullable(fieldSchema(elem, path + ".elem"), containsNull))
+      case st: StructType => record(st, path.replace('.', '_'))
+      case other => throw new IllegalArgumentException(
+        s"AvroCodec: unsupported Spark type $other at $path")
+    }
+    def maybeNullable(s: Schema, nullable: Boolean): Schema =
+      if (nullable) Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+      else s
+    def record(st: StructType, recName: String): Schema = {
+      val fields = st.fields.map { f =>
+        new Schema.Field(f.name, maybeNullable(fieldSchema(f.dataType, s"$recName.${f.name}"), f.nullable),
+          null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      }
+      Schema.createRecord(recName, null, namespace, false, fields.toList.asJava)
+    }
+    record(schema, name)
+  }
+
+  /** Confluent wire format: 0x00 magic + 4-byte big-endian schema id + body. */
+  private[streaming] def frame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 5)
+    out.write(0)
+    out.write((schemaId >>> 24) & 0xFF); out.write((schemaId >>> 16) & 0xFF)
+    out.write((schemaId >>> 8) & 0xFF); out.write(schemaId & 0xFF)
+    out.write(body)
+    out.toByteArray
+  }
+
+  private[streaming] def unframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == 0,
+      s"not a Confluent-framed Avro payload (magic=${if (bytes.isEmpty) "?" else bytes(0)})")
+    val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+      ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+
+  // ── Spark value <-> Avro value ────────────────────────────────────
+
+  private def toAvro(v: Any, dt: DataType, schema: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
+    case (t: java.sql.Timestamp, TimestampType) =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case (t: java.time.Instant, TimestampType) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (s: scala.collection.Seq[_], ArrayType(elem, _)) =>
+      val es = nonNull(resolve(schema, Schema.Type.ARRAY)).getElementType
+      s.map(x => toAvro(x, elem, es)).asJava
+    case (r: Row, st: StructType) => rowToRecord(r, st, nonNull(resolve(schema, Schema.Type.RECORD)))
+    case (x, _) => x
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (i: java.lang.Integer, DateType) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (l: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(l / 1000L); ts.setNanos(((l % 1000000L) * 1000L).toInt); ts
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (l: java.util.List[_], ArrayType(elem, _)) => l.asScala.map(fromAvro(_, elem)).toSeq
+    case (r: GenericRecord, st: StructType) => recordToRow(r, st)
+    case (x, _) => x
+  }
+
+  /** Unwrap union(null, T) and find the branch of the wanted type. */
+  private def resolve(s: Schema, wanted: Schema.Type): Schema =
+    if (s.getType == Schema.Type.UNION) s.getTypes.asScala.find(_.getType == wanted).getOrElse(s)
+    else s
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def rowToRecord(r: Row, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      rec.put(f.name, toAvro(if (r.isNullAt(i)) null else r.get(i), f.dataType,
+        schema.getField(f.name).schema()))
+    }
+    rec
+  }
+
+  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+    Row(st.fields.map(f => fromAvro(rec.get(f.name), f.dataType)).toIndexedSeq: _*)
+
+  // ── DataFrame surface ─────────────────────────────────────────────
+
+  /**
+   * Encode every row into one Confluent-framed Avro `value` (binary)
+   * column — the Kafka sink payload shape. Optional `keyCol` is
+   * carried through as a string key.
+   */
+  def encode(df: DataFrame, schemaId: Int, keyCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val sparkSchema = df.schema
+    val valueIdx = keyCol.map(df.columns.indexOf(_))
+    val avroJson = avroSchemaFor(sparkSchema).toString
+    val outSchema = StructType(
+      keyCol.map(_ => StructField("key", StringType)).toSeq :+
+        StructField("value", BinaryType, nullable = false))
+    val rdd = df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      rows.map { r =>
+        val out = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        writer.write(rowToRecord(r, sparkSchema, schema), enc)
+        enc.flush()
+        val value = frame(schemaId, out.toByteArray)
+        valueIdx match {
+          case Some(i) => Row(String.valueOf(r.get(i)), value)
+          case None => Row(value)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Decode a framed Avro `value` column back into typed columns.
+   * `expectSchemaId`, when given, rejects payloads written under a
+   * different registry schema (the reader-schema mismatch guard a
+   * registry client would enforce).
+   */
+  def decode(df: DataFrame, sparkSchema: StructType, valueCol: String = "value",
+             expectSchemaId: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val avroJson = avroSchemaFor(sparkSchema).toString
+    val idx = df.columns.indexOf(valueCol)
+    require(idx >= 0, s"column '$valueCol' not found in ${df.columns.mkString(", ")}")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { r =>
+        val (id, body) = unframe(r.getAs[Array[Byte]](idx))
+        expectSchemaId.foreach(e => require(id == e,
+          s"schema id mismatch: payload written under id $id, reader expects $e"))
+        val dec = DecoderFactory.get().binaryDecoder(body, null)
+        recordToRow(reader.read(null, dec), sparkSchema)
+      }
+    }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+}

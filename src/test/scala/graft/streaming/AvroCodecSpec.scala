@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** S6b: Kafka Avro payload layer — schema derivation, Confluent
+  * framing, row roundtrip. No broker needed; transport is the only
+  * absent piece. */
+class AvroCodecSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("flag", BooleanType, nullable = false),
+    StructField("day", DateType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("blob", BinaryType, nullable = true),
+    StructField("tags", ArrayType(StringType), nullable = true),
+    StructField("nested", StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true))), nullable = true)))
+
+  private def sample = {
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "alpha", 0.5, true, java.sql.Date.valueOf("2024-06-01"), ts,
+        Array[Byte](1, 2, 3), Seq("x", "y"), Row(7, "inner")),
+      Row(2L, null, null, false, null, null, null, null, null)
+    )), schema)
+  }
+
+  test("avro schema derivation: unions for nullables, logical-type conventions") {
+    val s = AvroCodec.avroSchemaFor(schema)
+    assert(s.getField("id").schema().getType == org.apache.avro.Schema.Type.LONG)
+    assert(s.getField("name").schema().getType == org.apache.avro.Schema.Type.UNION)
+    assert(s.getField("day").schema().toString.contains("int"))   // epoch days
+    assert(s.getField("ts").schema().toString.contains("long"))   // micros
+    assert(s.getField("nested").schema().toString.contains("record"))
+  }
+
+  test("confluent framing: magic 0, big-endian id, body preserved; junk rejected") {
+    val framed = AvroCodec.frame(0x01020304, Array[Byte](9, 8, 7))
+    assert(framed.take(5).toSeq == Seq[Byte](0, 1, 2, 3, 4))
+    val (id, body) = AvroCodec.unframe(framed)
+    assert(id == 0x01020304 && body.toSeq == Seq[Byte](9, 8, 7))
+    assertThrows[IllegalArgumentException](AvroCodec.unframe(Array[Byte](42, 0, 0, 0, 0, 1)))
+  }
+
+  test("encode/decode roundtrip preserves every type including nulls") {
+    val encoded = AvroCodec.encode(sample, schemaId = 7, keyCol = Some("id"))
+    assert(encoded.columns.toSeq == Seq("key", "value"))
+    assert(encoded.count() == 2)
+
+    val decoded = AvroCodec.decode(encoded, schema, expectSchemaId = Some(7))
+      .collect().sortBy(_.getLong(0))
+    val orig = sample.collect().sortBy(_.getLong(0))
+    decoded.zip(orig).foreach { case (d, o) =>
+      assert(d.getLong(0) == o.getLong(0))
+      assert(d.get(1) == o.get(1) && d.get(2) == o.get(2) && d.get(3) == o.get(3))
+      assert(d.get(4) == o.get(4), "date roundtrip")
+      assert(d.get(5) == o.get(5), s"timestamp roundtrip: ${d.get(5)} vs ${o.get(5)}")
+      assert((d.get(6) == null && o.get(6) == null) ||
+        d.getAs[Array[Byte]](6).toSeq == o.getAs[Array[Byte]](6).toSeq)
+      assert(d.get(7) == o.get(7), "array roundtrip")
+      assert(d.get(8) == o.get(8), "nested struct roundtrip")
+    }
+  }
+
+  test("schema-id mismatch is rejected like a registry would") {
+    val encoded = AvroCodec.encode(sample.select("id", "flag"), schemaId = 7)
+    val narrow = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("flag", BooleanType, nullable = false)))
+    val e = intercept[org.apache.spark.SparkException](
+      AvroCodec.decode(encoded, narrow, expectSchemaId = Some(9)).collect())
+    assert(e.getCause != null || e.getMessage.contains("mismatch"))
+  }
+}
