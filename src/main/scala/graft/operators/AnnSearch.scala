@@ -166,21 +166,56 @@ object AnnSearch {
     array_min(scored).getField("i").cast("int")
   }
 
+  /** The `nprobe` cell ids nearest to a query (driver-side: k×dim doubles). */
+  def probeCells(query: Array[Double], centroids: Array[Array[Double]],
+                 nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toIndexedSeq
+
   /**
-   * IVF top-k: assign vectors to their nearest centroid once (a
-   * persisted `cell` column in a real deployment), probe the
-   * `nprobe` cells nearest to the query.
+   * IVF top-k over a raw table: assigns cells inline, then probes the
+   * `nprobe` cells nearest to the query. For repeated querying use the
+   * PERSISTED index ([[writeIvfIndex]] + [[ivfTopKIndexed]]) — this
+   * inline form re-computes every row's cell per query.
    */
   def ivfTopK(embeddings: DataFrame, vecCol: String, idCol: String,
               query: Array[Double], k: Int, centroids: Array[Array[Double]],
               nprobe: Int = 2): DataFrame = {
     graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      (d, i)
-    }.sortBy(_._1).take(nprobe).map(_._2)
-    embeddings.withColumn("_cell", nearestCentroid(col(vecCol), centroids))
-      .where(col("_cell").isin(probeCells.toIndexedSeq: _*))
+    ivfTopKIndexed(ivfIndex(embeddings, vecCol, centroids), vecCol, idCol,
+      query, k, centroids, nprobe)
+  }
+
+  /** The IVF index as data: the table plus its persisted `cell` column. */
+  def ivfIndex(embeddings: DataFrame, vecCol: String,
+               centroids: Array[Array[Double]]): DataFrame =
+    embeddings.withColumn("cell", nearestCentroid(col(vecCol), centroids))
+
+  /**
+   * Materialize the IVF index partitioned BY CELL — the production
+   * layout: each probe then touches only `nprobe` of k partition
+   * directories (partition pruning at the file level), so a query
+   * against a 100 TB index reads nprobe/k of the files and computes
+   * zero cell assignments. Write once, probe many.
+   */
+  def writeIvfIndex(embeddings: DataFrame, vecCol: String, path: String,
+                    centroids: Array[Array[Double]]): Unit =
+    ivfIndex(embeddings, vecCol, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /**
+   * Probe an indexed table (a `cell` column present — e.g. read back
+   * from [[writeIvfIndex]]): no per-row cell computation; the cell
+   * filter prunes partitions when the index is cell-partitioned.
+   */
+  def ivfTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
+                     query: Array[Double], k: Int, centroids: Array[Array[Double]],
+                     nprobe: Int = 2): DataFrame = {
+    graft.expr.GraftFunctions.ensure(indexed.sparkSession)
+    val cells = probeCells(query, centroids, nprobe)
+    indexed.where(col("cell").isin(cells: _*))
       .select(col(idCol),
         round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

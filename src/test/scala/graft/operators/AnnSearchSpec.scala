@@ -68,6 +68,30 @@ class AnnSearchSpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("L8b persisted IVF index: cell-partitioned probe prunes files, zero assignments") {
+    val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val path = tmpDir("ivf_")
+    AnnSearch.writeIvfIndex(emb, "embedding", path, centroids)
+    // the layout on disk is one directory per cell
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8, s"cell dirs: ${cellDirs.map(_.getName).toSeq}")
+
+    val indexed = spark.read.parquet(path)
+    val q = vecs(3)._2.map(_.toDouble)
+    val probe = AnnSearch.ivfTopKIndexed(indexed, "embedding", "vec_id", q, 5, centroids, nprobe = 3)
+    // identical results to the inline (assign-per-query) form
+    val inline = AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 5, centroids, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probe.select("vec_id").as[Long].collect().toSeq == inline)
+    // and the probe PRUNES: the scan selects <= nprobe of the cell partitions
+    val parts = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.selectedPartitions.partitionCount, s.toString.contains("PartitionFilters"))
+    }
+    assert(parts.nonEmpty && parts.forall { case (n, hasFilter) => n <= 3 && hasFilter },
+      s"cell filter must partition-prune the index scan: $parts")
+  }
+
   test("vector math building blocks") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val r = df.select(
