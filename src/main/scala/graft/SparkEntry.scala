@@ -334,6 +334,17 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    "q_decontam" -> ((s, dir) => {
+      // benchmark decontamination over the documents table: every 40th
+      // doc is the "benchmark"; exact copies and n-gram leaks of those
+      // docs are dropped from the training corpus
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
+      graft.operators.Decontaminate
+        .clean(docs, "text", "doc_id", bench, "q", shingleSize = 5, minOverlap = 1)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "q_token_count" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(

@@ -234,6 +234,50 @@ object Dedup {
  * Exact n-gram Jaccard similarity — the verification pass after any
  * LSH candidate generation (candidates only, never all pairs).
  */
+/**
+ * Benchmark decontamination — removing training documents that leak
+ * evaluation data (shared word n-grams with a benchmark/test corpus),
+ * the standard pre-training hygiene step.
+ *
+ * Scale shape: the benchmark is small by construction, so its hashed
+ * shingle set BROADCASTS; training shingles stream through a
+ * broadcast semi join (no shuffle of the corpus), and only MATCHING
+ * (doc, shingle-hash) pairs — rare by construction — reach the
+ * per-doc overlap count; the contaminated-id set then broadcasts
+ * into an anti join, so the corpus itself is never shuffled at all.
+ */
+object Decontaminate {
+
+  /** (id, n_overlap) for docs sharing >= `minOverlap` distinct word
+    * `shingleSize`-grams with any benchmark document. */
+  def contaminatedIds(docs: DataFrame, textCol: String, idCol: String,
+                      benchmark: DataFrame, benchTextCol: String,
+                      shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    def shingles(c: String): Column =
+      graft.expr.GraftFunctions.wordShingles(TextFunctions.tokens(col(c)), shingleSize)
+    val benchSh = benchmark
+      .select(explode(shingles(benchTextCol)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("_h")).distinct()
+    docs
+      .select(col(idCol), explode(shingles(textCol)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+      .join(broadcast(benchSh), Seq("_h"), "left_semi") // corpus-side: filter, no shuffle
+      .distinct()                                        // matching pairs only
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
+  /** The corpus minus contaminated documents. */
+  def clean(docs: DataFrame, textCol: String, idCol: String,
+            benchmark: DataFrame, benchTextCol: String,
+            shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val bad = contaminatedIds(docs, textCol, idCol, benchmark, benchTextCol,
+      shingleSize, minOverlap).select(idCol)
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+}
+
 object NgramJaccard {
 
   def jaccard(a: Column, b: Column): Column = {

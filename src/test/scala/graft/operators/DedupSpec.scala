@@ -40,6 +40,43 @@ class DedupSpec extends SparkSpec {
     assert(classic == minority && minority == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("L16 decontamination removes docs sharing benchmark n-grams, keeps the rest") {
+    val bench = Seq(
+      (1L, "what is the capital of france and when was it founded exactly"),
+      (2L, "solve the integral of x squared dx over the unit interval")
+    ).toDF("qid", "question")
+    val corpus = Seq(
+      // verbatim leak of benchmark question 1
+      (10L, "trivia dump: what is the capital of france and when was it founded exactly answer paris"),
+      // partial 5-gram overlap with question 2
+      (11L, "calculus homework help solve the integral of x squared dx step by step"),
+      // clean documents
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (13L, "completely different content about databases and distributed systems at scale")
+    ).toDF("doc_id", "text")
+
+    val bad = Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, "question",
+      shingleSize = 5, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bad == Set(10L, 11L), s"contaminated set wrong: $bad")
+
+    val kept = Decontaminate.clean(corpus, "text", "doc_id", bench, "question",
+      shingleSize = 5, minOverlap = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+
+    // a stricter overlap threshold spares the partial-overlap doc
+    val strict = Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, "question",
+      shingleSize = 5, minOverlap = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(10L), s"minOverlap must gate partial leaks: $strict")
+
+    // the corpus is never shuffled: benchmark set and contaminated ids broadcast
+    val plan = Decontaminate.clean(corpus, "text", "doc_id", bench, "question").queryExecution
+      .executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Broadcast"), s"decontamination must broadcast the small sides:\n$plan")
+  }
+
   test("L2 minhash-LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
