@@ -345,6 +345,27 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    "q_pii_scrub" -> ((s, dir) => {
+      // deterministic synthetic PII appended per doc, then scrubbed —
+      // proves regex parity with the oracle on real matches
+      val docs = t(s, dir, "documents")
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555 010 "), (lit(1000) + col("doc_id") % 9000).cast("string"))
+      docs.select(col("doc_id"),
+        graft.operators.TextPrep.scrubPii(aug).as("clean_text"),
+        size(regexp_extract_all(aug, lit(graft.operators.TextPrep.EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(graft.operators.TextPrep.Ipv4Pattern), lit(0))).as("n_ips"),
+        size(regexp_extract_all(aug, lit(graft.operators.TextPrep.PhonePattern), lit(0))).as("n_phones"))
+    }),
+
+    "q_chunk" -> ((s, dir) => {
+      graft.operators.TextPrep.chunk(t(s, dir, "documents"), "text", "doc_id",
+          maxTokens = 64, overlap = 8)
+        .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+    }),
+
     "q_token_count" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(
@@ -718,6 +739,38 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 010 ' ||
+        |    CAST(1000 + doc_id % 9000 AS VARCHAR) AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d(?:[ -]?\d){12,18}\b', '<CARD>', 'g'),
+        |    '\+?\d[\d\s().-]{6,}\d', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(a, '\+?\d[\d\s().-]{6,}\d')) AS INT) AS n_phones
+        |FROM aug""".stripMargin,
+
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 8, 1), 56)) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS chunk_id,
+        |  array_to_string(t[s:least(s + 63, len(t))], ' ') AS chunk_text,
+        |  CAST(least(len(t) - s + 1, 64) AS INT) AS n_chunk_tokens
+        |FROM st""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L17/L18: PII scrubbing and fixed-token-window chunking. */
+class TextPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("L17 PII scrub masks emails, IPs, phones and card numbers with typed tokens") {
+    val df = Seq(
+      (1L, "write to jane.doe+spam@mail.example.com or admin@sub.domain.io today"),
+      (2L, "server at 192.168.0.17 and backup at 10.0.0.1 went down"),
+      (3L, "call +1 (555) 010-4477 or 0044 7700 900123 now"),
+      (4L, "card 4111 1111 1111 1111 expires soon"),
+      (5L, "no pii here just words")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextPrep.scrubPii(col("text")).as("clean"),
+        TextPrep.piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "write to <EMAIL> or <EMAIL> today")
+    assert(out(2L).getString(1) == "server at <IP> and backup at <IP> went down")
+    assert(out(3L).getString(1).contains("<PHONE>") && !out(3L).getString(1).exists(_.isDigit))
+    assert(out(4L).getString(1) == "card <CARD> expires soon",
+      s"card must win over phone: ${out(4L).getString(1)}")
+    assert(out(5L).getString(1) == "no pii here just words")
+    assert(out(1L).getStruct(2).getInt(0) == 2) // emails
+    assert(out(2L).getStruct(2).getInt(1) == 2) // ips
+    assert(out(4L).getStruct(2).getInt(3) == 1) // cards
+  }
+
+  test("L18 chunking: windows, overlap, coverage, short and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, ""), (4L, "   ")                           // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextPrep.chunk(docs, "text", "doc_id", maxTokens = 4, overlap = 1)
+    val rows = out.select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows.filter(_._1 == 1L).map(_._3) == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"),
+      s"stride-3 windows over 10 tokens: $rows")
+    assert(rows.filter(_._1 == 1L).map(_._4) == Seq(4, 4, 4))
+    assert(rows.filter(_._1 == 2L) == Seq((2L, 0, "a b c", 3)))
+    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L), "empty docs produce no chunks")
+    // consecutive chunks share exactly `overlap` tokens; union covers the doc
+    val toks1 = rows.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    toks1.sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)); case _ => }
+    assert(toks1.flatten.distinct.size == 10)
+    // no overlap mode tiles exactly
+    val flat = TextPrep.chunk(docs, "text", "doc_id", maxTokens = 4)
+      .where(col("doc_id") === 1L).select("chunk_text").as[String].collect().toSeq
+    assert(flat == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+  }
+}
