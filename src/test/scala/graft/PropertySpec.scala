@@ -111,6 +111,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ScheduleStrategy: fill-gaps ∪ already-ran tiles the range exactly, disjointly") {
+    import graft.pipeline._
+    forAll(genDate, Gen.choose(1, 30), Gen.choose(0L, Long.MaxValue)) { (from, span, mask) =>
+      val to = from.plusDays(span.toLong)
+      val all = ScheduleStrategy.infoDateRange(from, to, "@runDate", Schedule.Daily())
+      val ran = all.zipWithIndex.collect { case (d, i) if (mask >> (i % 60) & 1L) == 1L => d }
+      val bk = new Bookkeeper()
+      ran.foreach(d => bk.record(RunRecord("out", d, 1, "succeeded", 0, 1)))
+      val job = JobDef("j", "out", new IdentityTransformer)
+      val fill = ScheduleStrategy.daysToRun(job, bk,
+        RunParams.Historical(from, to)).map(_.infoDate)
+      assert(fill.intersect(ran).isEmpty, "fill-gaps must never re-run completed dates")
+      assert((fill ++ ran).sorted == all.sorted, "gaps + completed must tile the range")
+      // force-rerun covers everything regardless of bookkeeping
+      val force = ScheduleStrategy.daysToRun(job, bk,
+        RunParams.Historical(from, to, RunMode.ForceRun)).map(_.infoDate)
+      assert(force.sorted == all.sorted)
+    }
+  }
+
+  test("ScheduleStrategy: late catch-up + new slot leave no gap after last processed") {
+    import graft.pipeline._
+    forAll(genDate, Gen.choose(1, 40)) { (lp, gap) =>
+      val runDate = lp.plusDays(gap.toLong)
+      val late = ScheduleStrategy.lateDates(runDate, Schedule.Daily(), "@runDate",
+        "@runDate", Some(lp)).map(_.infoDate)
+      // every date strictly between lastProcessed and runDate is late
+      assert(late == (1 until gap).map(i => lp.plusDays(i.toLong)).toList)
+      assert(late.forall(d => d.isAfter(lp) && d.isBefore(runDate)))
+    }
+  }
+
   test("SqlGenerator: single-day window collapses to equality for every dialect") {
     import graft.sql.{SqlConfig, SqlDialect, SqlGenerator}
     val dialects = Seq(SqlDialect.Generic, SqlDialect.Postgres, SqlDialect.MySql,
