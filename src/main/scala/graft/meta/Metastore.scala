@@ -297,8 +297,9 @@ final class Metastore(spark: SparkSession) {
 
   /** Reader facade handed to transformers (restricts to declared inputs when given). */
   def readerFor(allowedTables: Option[Set[String]] = None,
-                incremental: Option[MetastoreReader.IncrementalContext] = None): MetastoreReader =
-    new MetastoreReader(this, allowedTables, incremental)
+                incremental: Option[MetastoreReader.IncrementalContext] = None,
+                currentInfoDate: Option[LocalDate] = None): MetastoreReader =
+    new MetastoreReader(this, allowedTables, incremental, currentInfoDate)
 
   /**
    * Raw (whole-file) storage: each input row's `content` bytes become
@@ -361,9 +362,15 @@ final class Metastore(spark: SparkSession) {
       if (t.format == DataFormat.Raw)
         return spark.read.format("binaryFile").load(t.path)
       if (t.format == DataFormat.Delta) Metastore.requireDelta()
-      val base = spark.read.format(t.format.name)
+      // evolved tables (>1 recorded schema version) read with schema
+      // merging so columns added later surface (null for older days);
+      // unevolved tables skip it — merging reads every file's footer,
+      // a real cost at 100 TB, so it's paid only where schemas differ
+      val evolved = (t.format == DataFormat.Parquet || t.format == DataFormat.Orc) &&
+        loadedHistory(t.name).map(_._2).distinct.size > 1
+      val rdr = spark.read.format(t.format.name)
         .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
-        .load(t.path)
+      val base = (if (evolved) rdr.option("mergeSchema", "true") else rdr).load(t.path)
       t.scheme match {
         case PartitionScheme.ByMonth(y, m)   => base.drop(y, m)
         case PartitionScheme.ByYearMonth(ym) => base.drop(ym)
@@ -398,7 +405,8 @@ final class Metastore(spark: SparkSession) {
  * re-deliver on failure).
  */
 final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
-                            incremental: Option[MetastoreReader.IncrementalContext] = None) {
+                            incremental: Option[MetastoreReader.IncrementalContext] = None,
+                            currentInfoDate: Option[LocalDate] = None) {
   private def check(name: String): Unit = allowed.foreach { a =>
     if (!a.contains(name))
       throw new IllegalArgumentException(
@@ -407,6 +415,24 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
   def getTable(name: String, from: Option[LocalDate] = None, to: Option[LocalDate] = None): DataFrame = {
     check(name); ms.getTable(name, from, to)
   }
+
+  /**
+   * The "current batch" of a table (reference: pramen/api
+   * .../api/MetastoreReader.scala:45 `getCurrentBatch`): under an
+   * incremental context with an offset column, the not-yet-processed
+   * delta (including re-delivered chunks from failed runs); otherwise
+   * the current information date's slice — the method incremental-
+   * schedule transformers should read inputs through, so the same
+   * transformer runs correctly under both schedules.
+   */
+  def getCurrentBatch(name: String, offsetInfo: Option[graft.offset.OffsetInfo] = None): DataFrame =
+    (incremental, offsetInfo) match {
+      case (Some(_), Some(info)) => getTableIncremental(name, info)
+      case _ =>
+        val d = currentInfoDate.getOrElse(throw new IllegalStateException(
+          "getCurrentBatch outside an orchestrator run needs an explicit date: use getTable(name, from, to)"))
+        getTable(name, Some(d), Some(d))
+    }
   def getLatest(name: String, until: Option[LocalDate] = None): DataFrame = {
     check(name); ms.getLatest(name, until)
   }

@@ -168,7 +168,8 @@ final class Orchestrator(
     val incCtx = offsetManager.map(om =>
       new graft.meta.MetastoreReader.IncrementalContext(job.outputTable, om))
     val reader = metastore.readerFor(
-      if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None, incCtx)
+      if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None, incCtx,
+      currentInfoDate = Some(infoDate))
     val t0 = System.currentTimeMillis()
     job.transformer.validate(reader, infoDate, job.options) match {
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)

@@ -159,6 +159,31 @@ class MetastoreSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("M6b evolved tables read with merged schema: late-added columns surface") {
+    val (ms, _) = freshMs(name = "evo")
+    ms.saveTable("evo", d1, data("a", 2))
+    ms.saveTable("evo", d2, data("b", 3).withColumn("extra", lit(7)))
+    val whole = ms.getTable("evo")
+    assert(whole.columns.contains("extra"),
+      s"late-added column must surface on whole-table reads: ${whole.columns.toSeq}")
+    assert(whole.count() == 5)
+    assert(whole.where(col("extra").isNull).count() == 2, "old days read null for new columns")
+    assert(whole.where(col("extra") === 7).count() == 3)
+    // a fresh instance recovers the evolution flag from persisted history
+    val ms2 = new Metastore(spark)
+    ms2.register(MetaTable("evo", ms.getTableDef("evo").path))
+    assert(ms2.getTable("evo").columns.contains("extra"))
+  }
+
+  test("getCurrentBatch: info-date slice under an orchestrator date, clear error outside") {
+    val (ms, _) = freshMs(name = "cb")
+    ms.saveTable("cb", d1, data("a", 2))
+    ms.saveTable("cb", d2, data("b", 4))
+    val reader = ms.readerFor(Some(Set("cb")), currentInfoDate = Some(d2))
+    assert(reader.getCurrentBatch("cb").count() == 4)
+    assertThrows[IllegalStateException](ms.readerFor().getCurrentBatch("cb"))
+  }
+
   test("unregistered table raises") {
     val ms = new Metastore(spark)
     assertThrows[NoSuchElementException](ms.getTable("ghost"))

@@ -17,7 +17,9 @@ class IncrementalTransformerSpec extends SparkSpec {
 
   private class DeltaSum(var boom: Boolean = false) extends Transformer {
     def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
-      val delta = r.getTableIncremental("events_in", offInfo)
+      // getCurrentBatch with an offset column == getTableIncremental
+      // under an incremental context (the reference's dispatch)
+      val delta = r.getCurrentBatch("events_in", Some(offInfo))
       if (boom) throw new RuntimeException("mid-run failure")
       delta.agg(count(lit(1)).as("n"), coalesce(sum("event_id"), lit(0L)).as("id_sum"))
     }
