@@ -74,4 +74,27 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = ns.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}")
   }
+
+  test("q_chunk never shuffles: scan -> explode -> project only") {
+    val ns = nodes(plan("q_chunk"))
+    val shuffles = ns.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"chunking must be shuffle-free, got ${shuffles.size} exchange(s)")
+    assert(ns.exists(_.getClass.getSimpleName == "GenerateExec"),
+      "chunking should explode via a Generate node")
+  }
+
+  test("q_decontam shuffles only matched shingles, never the corpus rows") {
+    val ns = nodes(plan("q_decontam"))
+    // corpus-side joins are broadcast (bench shingles + contaminated ids)
+    val bhj = ns.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected broadcast semi + anti joins, got ${bhj.size}")
+    assert(bhj.exists(_.joinType.toString == "LeftAnti") &&
+      bhj.exists(_.joinType.toString == "LeftSemi"),
+      s"join types: ${bhj.map(_.joinType)}")
+    // the only shuffles aggregate matched (id, hash) pairs / distinct
+    // bench hashes — never rows carrying document text
+    val shuffled = ns.collect { case s: ShuffleExchangeExec => s.child.schema.fieldNames.toSeq }
+    assert(shuffled.forall(cols => !cols.contains("text")),
+      s"document text must never shuffle: $shuffled")
+  }
 }
