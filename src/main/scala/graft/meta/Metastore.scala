@@ -80,7 +80,9 @@ final class Metastore(spark: SparkSession) {
 
     t.scheme match {
       case PartitionScheme.Overwrite =>
-        writer.mode(SaveMode.Overwrite).save(t.path)
+        // snapshot table: Append still adds to the current snapshot
+        // (an incremental batch must never erase the prior batches)
+        writer.mode(mode).save(t.path)
       case PartitionScheme.NotPartitioned =>
         writer.mode(SaveMode.Append).save(t.path)
       case _ if mode == SaveMode.Append =>
@@ -114,14 +116,23 @@ final class Metastore(spark: SparkSession) {
   private def syncCatalog(t: MetaTable): Unit = if (t.catalogSync) {
     val ident = t.catalogName.getOrElse(t.name)
     val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
-    if (!spark.catalog.tableExists(ident))
-      spark.sql(s"CREATE TABLE $quoted USING ${t.format.name} LOCATION '${t.path}'")
+    if (!spark.catalog.tableExists(ident)) {
+      val opts = t.format match {
+        case DataFormat.Csv(o) if o.nonEmpty =>
+          o.map { case (k, v) => s"'$k' '${v.replace("'", "''")}'" }
+            .mkString(" OPTIONS (", ", ", ")")
+        case _ => ""
+      }
+      spark.sql(s"CREATE TABLE $quoted USING ${t.format.name}$opts LOCATION '${t.path}'")
+    }
     t.scheme match {
       case PartitionScheme.NotPartitioned | PartitionScheme.Overwrite => ()
-      case _ =>
-        spark.catalog.recoverPartitions(ident) // MSCK: register new info dates
-        spark.catalog.refreshTable(ident)
+      case _ => spark.catalog.recoverPartitions(ident) // MSCK: register new info dates
     }
+    // ALWAYS drop the cached relation/file listing: overwrites delete
+    // files the cached index still points to (read fails), appends add
+    // files it misses (silent stale counts)
+    spark.catalog.refreshTable(ident)
   }
 
   /** Schema-evolution tracking (reference: pramen/api

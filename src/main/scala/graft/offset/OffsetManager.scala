@@ -74,17 +74,20 @@ final class OffsetManager(storePath: Option[String] = None) {
 
   storePath.foreach { p =>
     val dir = Paths.get(p)
+    def absorb(line: String): Unit = line.trim.split("\t") match {
+      case Array(table, tpe, value) =>
+        val v = OffsetValue.fromString(tpe, value)
+        if (committed.get(table).forall(_ < v)) committed.put(table, v)
+      case _ =>
+    }
     if (Files.isDirectory(dir)) {
       Files.list(dir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".tsv"))
-        .foreach { f =>
-          new String(Files.readAllBytes(f), "UTF-8").trim.split("\t") match {
-            case Array(table, tpe, value) =>
-              val v = OffsetValue.fromString(tpe, value)
-              if (committed.get(table).forall(_ < v)) committed.put(table, v)
-            case _ =>
-          }
-        }
+        .foreach(f => absorb(new String(Files.readAllBytes(f), "UTF-8")))
+    } else if (Files.isRegularFile(dir)) {
+      // legacy single-append-file store: absorb lines; replaced by the
+      // directory layout on the first commit
+      Files.readAllLines(dir).asScala.filter(_.nonEmpty).foreach(absorb)
     }
   }
 
@@ -97,15 +100,29 @@ final class OffsetManager(storePath: Option[String] = None) {
       committed.put(table, offset)
       storePath.foreach { p =>
         val dir = Paths.get(p)
+        if (Files.isRegularFile(dir)) synchronized {
+          // migrate a legacy append file: its offsets are already in
+          // memory (absorbed at load); re-persist them as record files
+          if (Files.isRegularFile(dir)) {
+            Files.delete(dir)
+            Files.createDirectories(dir)
+            committed.toSeq.filterNot(_._1 == table)
+              .foreach { case (t, v) => persist(dir, t, v) }
+          }
+        }
         Files.createDirectories(dir)
-        val name = f"${System.currentTimeMillis()}%013d_${writerId}_${seq.getAndIncrement()}%06d.tsv"
-        val tmp = dir.resolve(s".$name.tmp")
-        Files.write(tmp, s"$table\t${offset.typeName}\t${offset.asString}\n".getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-        Files.move(tmp, dir.resolve(name),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        persist(dir, table, offset)
       }
     }
+  }
+
+  private def persist(dir: java.nio.file.Path, table: String, offset: OffsetValue): Unit = {
+    val name = f"${System.currentTimeMillis()}%013d_${writerId}_${seq.getAndIncrement()}%06d.tsv"
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, s"$table\t${offset.typeName}\t${offset.asString}\n".getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Bound `df` at/below a pinned max offset — used to freeze an

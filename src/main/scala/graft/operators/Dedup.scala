@@ -29,11 +29,16 @@ object Dedup {
    *     (zero shuffle of row data); only rows in duplicate groups go
    *     through the keep-smallest-id window shuffle.
    * So full-row shuffle volume is O(duplicates), not O(corpus). Costs
-   * one extra scan of the input; at 100 TB a scan is far cheaper than
-   * a full-corpus shuffle. If duplicate GROUPS are expected to be too
+   * two extra scans of the input (the dup-fp aggregation plus the
+   * second join branch); at 100 TB scans are far cheaper than a
+   * full-corpus shuffle. The input must be DETERMINISTIC across
+   * re-evaluations (a plain table read is; a `sample`/`limit` without
+   * a prior materialization is not) — the three branches must see the
+   * same fingerprints. If duplicate GROUPS are expected to be too
    * numerous to broadcast (hundreds of millions), set
    * `broadcastDupSet = false` to fall back to the classic one-shot
-   * full-row window shuffle.
+   * full-row window shuffle, which also lifts the determinism
+   * requirement (single evaluation).
    */
   def exact(docs: DataFrame, textCol: String, idCol: String,
             broadcastDupSet: Boolean = true): DataFrame = {

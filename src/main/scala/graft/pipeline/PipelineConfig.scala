@@ -128,24 +128,42 @@ object PipelineConfig {
    * failed (reference: pramen/core .../core/app/config/RuntimeConfig.scala
    * — `--rerun`, `--date-from/--date-to`, `--mode`).
    */
+  /** Flags that take a value; every other `--flag` is boolean. */
+  private val ValueFlags = Set("--date-from", "--date-to")
+
+  /** (boolean flags + value flags, positional args) — value-flag
+    * values are NOT positional, boolean flags never swallow the next
+    * arg. Exposed for the spec. */
+  private[pipeline] def parseArgs(rest: Seq[String]): (Set[String], Map[String, String], Seq[String]) = {
+    val bools = scala.collection.mutable.Set.empty[String]
+    val values = scala.collection.mutable.Map.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < rest.length) {
+      val a = rest(i)
+      if (ValueFlags.contains(a)) {
+        require(i + 1 < rest.length, s"$a needs a value")
+        values.put(a, rest(i + 1)); i += 2
+      } else if (a.startsWith("--")) { bools.add(a); i += 1 }
+      else { positional += a; i += 1 }
+    }
+    (bools.toSet, values.toMap, positional.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PipelineConfig <config-file> [runDate yyyy-MM-dd] [flags]")
-    val (flags, positional) = args.tail.partition(_.startsWith("--"))
-    def flagValue(name: String): Option[String] = {
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
-    }
-    val runDate = positional.headOption
-      .filterNot(p => flags.exists(f => flagValue(f).contains(p)))
-      .map(LocalDate.parse).getOrElse(LocalDate.now())
-    val params: RunParams = (flagValue("--date-from"), flagValue("--date-to")) match {
+    val (flags, flagValues, positional) = parseArgs(args.toIndexedSeq.tail)
+    val runDate = positional.headOption.map(LocalDate.parse).getOrElse(LocalDate.now())
+    val params: RunParams = (flagValues.get("--date-from"), flagValues.get("--date-to")) match {
       case (Some(from), Some(to)) =>
         RunParams.Historical(LocalDate.parse(from), LocalDate.parse(to),
           mode = if (flags.contains("--force-rerun")) RunMode.ForceRun else RunMode.FillGaps,
           inverseDateOrder = flags.contains("--inverse-order"))
-      case _ if flags.contains("--rerun") => RunParams.Rerun(runDate)
-      case _ => RunParams.Normal(runDate,
+      case (None, None) if flags.contains("--rerun") => RunParams.Rerun(runDate)
+      case (None, None) => RunParams.Normal(runDate,
         newOnly = flags.contains("--new-only"), lateOnly = flags.contains("--late-only"))
+      case _ => throw new IllegalArgumentException(
+        "--date-from and --date-to must be given together")
     }
     val spark = SparkSession.builder()
       .appName(s"graft:${args(0)}")

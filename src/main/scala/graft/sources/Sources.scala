@@ -233,8 +233,13 @@ final class LocalSparkSource(
           matcher.matches(p.getFileName) &&
           !p.getFileName.toString.startsWith("."))
         .foreach { p =>
+          // stage under the RELATIVE path flattened with a separator
+          // that can't appear in file names — a/part-0.csv and
+          // b/part-0.csv must not overwrite each other in the flat
+          // staging dir (recursive trees commonly repeat basenames)
+          val rel = base.relativize(p).toString.replace(java.io.File.separatorChar, '~')
           fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(p.toAbsolutePath.toString),
-            new org.apache.hadoop.fs.Path(dest, p.getFileName.toString))
+            new org.apache.hadoop.fs.Path(dest, rel))
         }
     } finally stream.close()
     staged = Some(dest.toString)

@@ -99,7 +99,11 @@ object AvroCodec {
     case (null, _) => null
     case (i: java.lang.Integer, DateType) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (l: java.lang.Long, TimestampType) =>
-      val ts = new java.sql.Timestamp(l / 1000L); ts.setNanos(((l % 1000000L) * 1000L).toInt); ts
+      // floorDiv/floorMod: plain /,% are wrong for pre-epoch micros
+      // (negative nanos would throw in setNanos; /1000 truncates the
+      // wrong way)
+      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000L))
+      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt); ts
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
@@ -139,7 +143,11 @@ object AvroCodec {
   def encode(df: DataFrame, schemaId: Int, keyCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val sparkSchema = df.schema
-    val valueIdx = keyCol.map(df.columns.indexOf(_))
+    val keyIdx = keyCol.map { c =>
+      val i = df.columns.indexOf(c)
+      require(i >= 0, s"key column '$c' not found in ${df.columns.mkString(", ")}")
+      i
+    }
     val avroJson = avroSchemaFor(sparkSchema).toString
     val outSchema = StructType(
       keyCol.map(_ => StructField("key", StringType)).toSeq :+
@@ -153,7 +161,7 @@ object AvroCodec {
         writer.write(rowToRecord(r, sparkSchema, schema), enc)
         enc.flush()
         val value = frame(schemaId, out.toByteArray)
-        valueIdx match {
+        keyIdx match {
           case Some(i) => Row(String.valueOf(r.get(i)), value)
           case None => Row(value)
         }

@@ -159,6 +159,16 @@ class MetastoreSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("M5c Append mode on an Overwrite-scheme table keeps prior batches") {
+    val (ms, _) = freshMs(PartitionScheme.Overwrite, "snap")
+    ms.saveTable("snap", d1, data("a", 2))
+    ms.saveTable("snap", d1, data("b", 3), org.apache.spark.sql.SaveMode.Append)
+    assert(ms.getTable("snap").count() == 5,
+      "an incremental append must not erase the snapshot's earlier batches")
+    ms.saveTable("snap", d2, data("c", 1)) // default overwrite: snapshot semantics
+    assert(ms.getTable("snap").count() == 1)
+  }
+
   test("M6b evolved tables read with merged schema: late-added columns surface") {
     val (ms, _) = freshMs(name = "evo")
     ms.saveTable("evo", d1, data("a", 2))

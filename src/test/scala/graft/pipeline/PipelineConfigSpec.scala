@@ -79,6 +79,18 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.getAs[Double]("total") == 20.0) // 2+4+6+8
   }
 
+  test("CLI arg parsing: boolean flags never swallow the run date; partial ranges rejected") {
+    val (flags, values, pos) = PipelineConfig.parseArgs(
+      Seq("--rerun", "2024-05-05"))
+    assert(flags == Set("--rerun") && pos == Seq("2024-05-05") && values.isEmpty,
+      "a date after a boolean flag must stay positional")
+    val (f2, v2, p2) = PipelineConfig.parseArgs(
+      Seq("--date-from", "2024-01-01", "--date-to", "2024-01-05", "--force-rerun"))
+    assert(v2 == Map("--date-from" -> "2024-01-01", "--date-to" -> "2024-01-05"))
+    assert(f2 == Set("--force-rerun") && p2.isEmpty)
+    assertThrows[IllegalArgumentException](PipelineConfig.parseArgs(Seq("--date-from")))
+  }
+
   test("errors: malformed line, missing path, unknown transformer class") {
     assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
     assertThrows[IllegalArgumentException](PipelineConfig.parse(

@@ -84,6 +84,22 @@ class SourcesSinksSpec extends SparkSpec {
       "close() must remove the staged copy")
   }
 
+  test("LocalSparkSource recursive staging keeps same-basename files apart") {
+    val localDir = tmpDir("lrec_")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$localDir/a"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$localDir/b"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/a/part.csv"),
+      "id\n1\n2\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/b/part.csv"),
+      "id\n3\n".getBytes)
+    val src = new LocalSparkSource(spark, localDir, tmpDir("lrecst_"),
+      format = "csv", options = Map("header" -> "true", "inferSchema" -> "true"),
+      fileNamePattern = "*.csv", recursive = true)
+    assert(src.getRecordCount(d, d) == 3,
+      "a/part.csv and b/part.csv must both survive staging")
+    src.close()
+  }
+
   test("S2 JdbcSource partitioned reads carry all four range options (or none)") {
     val src = new JdbcSource(spark, "jdbc:postgresql://h/db", "sales", "info_date",
       numPartitions = 8, partitionColumn = Some("id"),

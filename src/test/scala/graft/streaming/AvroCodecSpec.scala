@@ -68,6 +68,18 @@ class AvroCodecSpec extends SparkSpec {
     }
   }
 
+  test("pre-epoch timestamps with fractional seconds round-trip") {
+    val s = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    val early = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, early), Row(2L, java.sql.Timestamp.valueOf("1955-06-01 01:02:03.25")))), s)
+    val back = AvroCodec.decode(AvroCodec.encode(df, 1), s).collect().sortBy(_.getLong(0))
+    assert(back(0).getTimestamp(1) == early)
+    assert(back(1).getTimestamp(1) == java.sql.Timestamp.valueOf("1955-06-01 01:02:03.25"))
+  }
+
   test("schema-id mismatch is rejected like a registry would") {
     val encoded = AvroCodec.encode(sample.select("id", "flag"), schemaId = 7)
     val narrow = StructType(Seq(
