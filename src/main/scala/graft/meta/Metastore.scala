@@ -104,6 +104,66 @@ final class Metastore(spark: SparkSession) {
   }
 
   /**
+   * Rewrite one info-date partition into `targetFiles` files (or a
+   * count derived from the partition's size at ~`targetBytes` per
+   * file). Streaming micro-batch appends and incremental batches
+   * accumulate small files — at 100 TB a day's partition can hold
+   * tens of thousands of them, and scan planning/footer reads start
+   * dominating query time. Compaction is idempotent (the dynamic
+   * overwrite replaces exactly this partition) and safe to re-run.
+   * ByDay tables only (the partition is the rewrite unit).
+   */
+  def compactPartition(name: String, infoDate: LocalDate,
+                       targetFiles: Option[Int] = None,
+                       targetBytes: Long = 128L * 1024 * 1024): TableStats = {
+    val t = getTableDef(name)
+    require(t.scheme == PartitionScheme.ByDay,
+      s"compactPartition supports ByDay tables; '$name' uses ${t.scheme}")
+    val partDir = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = targetFiles.getOrElse {
+      val size = sizeOf(partDir.toString).getOrElse(0L)
+      math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
+    }
+    // Spark refuses to overwrite a path it is reading in the same plan,
+    // so: compact into a staging dir, then swap the data files in.
+    // The swap window is non-transactional (like any plain-FS rewrite);
+    // Delta-format tables get a transactional rewrite instead.
+    val staging = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate")
+    val obs = new org.apache.spark.sql.Observation()
+    getTable(name, Some(infoDate), Some(infoDate))
+      .drop(t.infoDateColumn)
+      .repartition(n)
+      .observe(obs, count(lit(1)).as("cnt"))
+      .write.format(t.format.name)
+      .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
+      .mode(SaveMode.Overwrite)
+      .save(staging.toString)
+    invalidateCache(name)
+    fs.delete(partDir, true)
+    fs.mkdirs(partDir)
+    fs.listStatus(staging)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .foreach(st => fs.rename(st.getPath, new org.apache.hadoop.fs.Path(partDir, st.getPath.getName)))
+    fs.delete(staging, true)
+    syncCatalog(t)
+    val stats = TableStats(obs.get("cnt").asInstanceOf[Long], sizeOf(t.path))
+    statsMap.put((name, infoDate), stats)
+    stats
+  }
+
+  /** Data files currently in one info-date partition (for compaction
+    * policies: "compact when fileCount > N"). */
+  def partitionFileCount(name: String, infoDate: LocalDate): Int = {
+    val t = getTableDef(name)
+    val p = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_")
+      && !st.getPath.getName.startsWith("."))
+  }
+
+  /**
    * Catalog integration (reference: pramen/core
    * .../core/metastore/MetastoreImpl.scala Hive paths): registers the
    * physical location as an EXTERNAL datasource table on first save

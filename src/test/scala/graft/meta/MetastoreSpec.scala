@@ -169,6 +169,27 @@ class MetastoreSpec extends SparkSpec {
     assert(ms.getTable("snap").count() == 1)
   }
 
+  test("M23 partition compaction collapses small-file swarms, rows intact") {
+    val (ms, _) = freshMs(name = "cpt")
+    // ten tiny appended batches -> at least ten data files in the day
+    (1 to 10).foreach { i =>
+      ms.saveTable("cpt", d1, data(s"b$i", 10).repartition(2),
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val before = ms.partitionFileCount("cpt", d1)
+    assert(before >= 10, s"expected a small-file swarm, got $before files")
+    val stats = ms.compactPartition("cpt", d1, targetFiles = Some(2))
+    assert(stats.recordCount == 100)
+    assert(ms.partitionFileCount("cpt", d1) == 2,
+      s"compaction should leave 2 files, got ${ms.partitionFileCount("cpt", d1)}")
+    val back = ms.getTable("cpt", Some(d1), Some(d1))
+    assert(back.count() == 100)
+    assert(back.select("tag").distinct().count() == 10, "every batch's rows survive")
+    // idempotent: compacting again is a no-op shape-wise
+    ms.compactPartition("cpt", d1, targetFiles = Some(2))
+    assert(ms.getTable("cpt", Some(d1), Some(d1)).count() == 100)
+  }
+
   test("M6b evolved tables read with merged schema: late-added columns surface") {
     val (ms, _) = freshMs(name = "evo")
     ms.saveTable("evo", d1, data("a", 2))
