@@ -21,7 +21,7 @@ import java.time.LocalDate
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
  * job.1.name = filter_sales
  * job.1.output = sales_clean
- * job.1.transformer = identity            # identity | sql | <FQCN of a Transformer>
+ * job.1.transformer = identity            # identity | sql | process | <FQCN of a Transformer>
  * job.1.inputs = sales
  * job.1.schedule = daily                  # daily | weekly:1,7 | monthly:1,last | incremental
  * job.1.info.date.expr = @runDate - 1
@@ -93,6 +93,8 @@ object PipelineConfig {
       val transformer: Transformer = req("transformer") match {
         case "identity" => new IdentityTransformer
         case "sql" => new SqlTransformer(req("sql"), inputs)
+        case "process" => new ProcessTransformer(req("command"), req("staging"), inputs,
+          timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(600L))
         case fqcn => // reference-style transformer.class: instantiate by name
           Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Transformer]
       }

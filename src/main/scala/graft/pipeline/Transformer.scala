@@ -78,6 +78,61 @@ final class ConversionTransformer extends Transformer {
 }
 
 /**
+ * External-process transformer — the language-interop surface
+ * (reference: pramen-py, whose Python transformers exchange data with
+ * the JVM pipeline through metastore storage rather than in-process
+ * calls). graft generalizes that contract to ANY runtime that reads
+ * and writes parquet:
+ *
+ *  1. each declared input table's info-date slice is staged as
+ *     parquet under `<staging>/in/<table>`;
+ *  2. `command` runs once on the driver with `@in`, `@out` and
+ *     `@infoDate` substituted (e.g.
+ *     `python3 my_transform.py --in @in --out @out --date @infoDate`);
+ *  3. the process writes its result as parquet to `@out`, which
+ *     becomes the job's output DataFrame.
+ *
+ * The process never talks to Spark — executors write/read the staged
+ * parquet in parallel; only the hand-off is driver-side. Options:
+ * `command` may also come from job options (`process.command`).
+ */
+final class ProcessTransformer(command: String, stagingDir: String,
+                               inputTables: Seq[String],
+                               timeoutSeconds: Long = 600) extends Transformer {
+  override def validate(ms: MetastoreReader, infoDate: LocalDate,
+                        options: Map[String, String]): Reason =
+    if (command.nonEmpty || options.contains("process.command")) Reason.Ready
+    else Reason.NotReady("a command is required (constructor or option 'process.command')")
+
+  override def run(ms: MetastoreReader, infoDate: LocalDate,
+                   options: Map[String, String]): DataFrame = {
+    require(inputTables.nonEmpty, "ProcessTransformer needs at least one input table")
+    val runDir = s"$stagingDir/$infoDate"
+    val inDir = s"$runDir/in"
+    val outDir = s"$runDir/out"
+    var spark: org.apache.spark.sql.SparkSession = null
+    inputTables.foreach { t =>
+      val df = ms.getTable(t, Some(infoDate), Some(infoDate))
+      spark = df.sparkSession
+      df.write.mode("overwrite").parquet(s"$inDir/$t")
+    }
+    val cmd = options.getOrElse("process.command", command)
+      .replace("@infoDate", infoDate.toString)
+      .replace("@in", inDir)
+      .replace("@out", outDir)
+    val proc = new ProcessBuilder(cmd.split("\\s+"): _*)
+      .redirectErrorStream(true).start()
+    val output = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"ProcessTransformer timed out: $cmd") }
+    if (proc.exitValue() != 0)
+      throw new RuntimeException(
+        s"ProcessTransformer command failed (exit ${proc.exitValue()}): $cmd\n$output")
+    spark.read.parquet(outDir)
+  }
+}
+
+/**
  * SQL transformer: runs a Spark SQL statement with metastore tables
  * registered as temp views and `@infoDate` substituted.
  */

@@ -37,6 +37,33 @@ class RetryConversionSpec extends SparkSpec {
     assert(r2.head.isInstanceOf[TaskResult.NotReady])
   }
 
+  test("ProcessTransformer: parquet exchange with an external process end-to-end") {
+    val ms = new Metastore(spark)
+    val base = tmpDir("proc_")
+    ms.register(MetaTable("p_in", s"$base/in_t"))
+    ms.register(MetaTable("p_out", s"$base/out_t"))
+    ms.saveTable("p_in", d, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+
+    // the "foreign runtime" is a shell script copying input parquet to
+    // the output dir — the exchange contract is what's under test
+    val script = java.nio.file.Paths.get(s"$base/transform.sh")
+    java.nio.file.Files.write(script,
+      "#!/bin/sh\nmkdir -p \"$2\" && cp \"$1\"/p_in/*.parquet \"$2\"/\n".getBytes)
+    script.toFile.setExecutable(true)
+
+    val t = new ProcessTransformer(s"$script @in @out", s"$base/stage", Seq("p_in"))
+    val orch = new Orchestrator(ms)
+    val results = orch.run(Seq(JobDef("px", "p_out", t, Seq("p_in"))), d)
+    assert(results.head.isInstanceOf[TaskResult.Succeeded], s"got: $results")
+    assert(ms.getTable("p_out", Some(d), Some(d)).count() == 3)
+
+    // a failing process surfaces its output in the error
+    val bad = new ProcessTransformer("false", s"$base/stage2", Seq("p_in"))
+    val r2 = new Orchestrator(ms).run(
+      Seq(JobDef("pb", "p_out", bad, Seq("p_in"))), d.plusDays(1))
+    assert(r2.head.isInstanceOf[TaskResult.Failed])
+  }
+
   test("retries: a transformer that fails twice succeeds with retries=2, fails with 1") {
     class Flaky(failures: Int) extends Transformer {
       private val calls = new AtomicInteger()
