@@ -111,6 +111,22 @@ final class Orchestrator(
     }, rs => notifiers.foreach(_.onPipelineCompleted(rs, asOf)))
   }
 
+  /**
+   * Dry run: the (job → dates+reasons) plan `runWith` would execute,
+   * without executing anything — the operator's pre-flight check for
+   * backfills ("which 4,000 partitions will this touch?") before
+   * committing a cluster to them. Uses the same strategy code path,
+   * so the plan IS what a real run would do given unchanged
+   * bookkeeping. Update-cascade caveat: parents' re-runs happen
+   * during a real run and can add child Update dates the dry run
+   * cannot see yet.
+   */
+  def plan(jobs: Seq[JobDef], params: RunParams,
+           minimumDate: Option[LocalDate] = None): Seq[(JobDef, Seq[TaskPreDef])] = {
+    validateDag(jobs)
+    jobs.map(j => j -> ScheduleStrategy.daysToRun(j, bookkeeper, params, minimumDate).toSeq)
+  }
+
   /** Dependency-ordered parallel execution skeleton: each job's body
     * runs after all jobs producing its inputs; a failed dependency
     * task skips the dependent job. */

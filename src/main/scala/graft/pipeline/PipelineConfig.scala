@@ -171,6 +171,18 @@ object PipelineConfig {
       .appName(s"graft:${args(0)}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    if (flags.contains("--dry-run")) {
+      val parsed = load(args(0))
+      val ms = new Metastore(spark)
+      parsed.tables.foreach(ms.register)
+      new Orchestrator(ms).plan(parsed.jobs, params).foreach { case (job, tasks) =>
+        val dates = tasks.map(t => s"${t.infoDate}(${t.reason})").mkString(", ")
+        System.err.println(s"[graft dry-run] ${job.name} -> ${job.outputTable}: " +
+          (if (tasks.isEmpty) "nothing to run" else dates))
+      }
+      spark.stop()
+      return
+    }
     val results = runParams(spark, load(args(0)), params, notifiers = Seq(new ConsoleNotifier))
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)

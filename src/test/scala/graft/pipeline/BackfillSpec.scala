@@ -203,6 +203,22 @@ class BackfillSpec extends SparkSpec {
     assert(ran.toSet == expect.toSet, s"catch-up ran the wrong set: $ran")
   }
 
+  test("plan (dry run) reports exactly what runWith would execute, running nothing") {
+    val bk = new Bookkeeper()
+    val (ms, jobs) = pipeline(bk)
+    val days = (1 to 3).map(i => day(f"2024-06-0$i%d"))
+    days.foreach(d => ms.saveTable("src", d, Seq((d.toString, 1)).toDF("k", "v")))
+    val orch = new Orchestrator(ms, bk)
+    assert(orch.runWith(jobs, RunParams.Rerun(days(1))).forall(_.isInstanceOf[TaskResult.Succeeded]))
+
+    val planned = orch.plan(jobs, RunParams.Historical(days.head, days.last))
+    planned.foreach { case (_, tasks) =>
+      assert(tasks.map(_.infoDate) == Seq(days(0), days(2)), s"plan wrong: $tasks")
+    }
+    // planning executed nothing
+    assert(ms.listAvailableDates("dst") == Seq(days(1)))
+  }
+
   test("rerun forces execution despite a succeeded bookkeeper record") {
     val bk = new Bookkeeper()
     val (ms, jobs) = pipeline(bk)
