@@ -89,24 +89,47 @@ final class Orchestrator(
    * backfill completes table-by-table for each date with parents
    * before children.
    */
+  /**
+   * @param dateParallelism how many of one job's dates run
+   *        concurrently. Default 1 (sequential, date order) — always
+   *        correct, required for cumulative tables whose day N reads
+   *        day N-1. Raise it for jobs whose dates are independent
+   *        (ingestion, per-day transforms): a 4,000-partition
+   *        historical backfill at 1 date a time starves a big
+   *        cluster; at 8–16 the writes pipeline while Spark
+   *        parallelizes within each date as usual. Different dates
+   *        write different partitions, so concurrent saves don't
+   *        conflict.
+   */
   def runWith(jobs: Seq[JobDef], params: RunParams,
-              minimumDate: Option[LocalDate] = None): Seq[TaskResult] = {
+              minimumDate: Option[LocalDate] = None,
+              dateParallelism: Int = 1): Seq[TaskResult] = {
+    require(dateParallelism >= 1, s"dateParallelism must be >= 1: $dateParallelism")
     val asOf = params match {
       case RunParams.Normal(d, _, _) => d
       case RunParams.Rerun(d) => d
       case RunParams.Historical(_, to, _, _) => to
     }
+    def runTask(job: JobDef)(t: TaskPreDef): TaskResult = {
+      val force = t.reason == RunReason.Rerun || t.reason == RunReason.Update
+      val r =
+        if (!force && !rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, t.infoDate))
+          TaskResult.Skipped(job.name, s"already succeeded for ${t.infoDate}")
+        else executeTask(job, t.infoDate)
+      notifiers.foreach(_.onTaskCompleted(r, asOf))
+      r
+    }
     runTree(jobs, job => {
       val tasks = ScheduleStrategy.daysToRun(job, bookkeeper, params, minimumDate)
       if (tasks.isEmpty) Seq(TaskResult.Skipped(job.name, s"nothing to run for $params"))
-      else tasks.map { t =>
-        val force = t.reason == RunReason.Rerun || t.reason == RunReason.Update
-        val r =
-          if (!force && !rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, t.infoDate))
-            TaskResult.Skipped(job.name, s"already succeeded for ${t.infoDate}")
-          else executeTask(job, t.infoDate)
-        notifiers.foreach(_.onTaskCompleted(r, asOf))
-        r
+      else if (dateParallelism == 1) tasks.map(runTask(job))
+      else {
+        val pool = Executors.newFixedThreadPool(dateParallelism)
+        val ec = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(tasks.map(t => Future(runTask(job)(t))(ec)))(
+            implicitly, ec), Duration.Inf)
+        finally pool.shutdown()
       }
     }, rs => notifiers.foreach(_.onPipelineCompleted(rs, asOf)))
   }

@@ -203,6 +203,20 @@ class BackfillSpec extends SparkSpec {
     assert(ran.toSet == expect.toSet, s"catch-up ran the wrong set: $ran")
   }
 
+  test("date-parallel backfill: independent dates run concurrently, results identical") {
+    val bk = new Bookkeeper()
+    val (ms, jobs) = pipeline(bk)
+    val days = (1 to 6).map(i => day(f"2024-06-0$i%d"))
+    days.foreach(d => ms.saveTable("src", d, Seq((d.toString, 1)).toDF("k", "v")))
+    val orch = new Orchestrator(ms, bk)
+    val results = orch.runWith(jobs,
+      RunParams.Historical(days.head, days.last), dateParallelism = 3)
+    val ran = results.collect { case s: TaskResult.Succeeded => (s.table, s.infoDate) }
+    assert(ran.toSet == days.flatMap(d => Seq(("mid", d), ("dst", d))).toSet, s"ran: $ran")
+    assert(ms.listAvailableDates("dst").toSet == days.toSet)
+    days.foreach(d => assert(ms.getTable("dst", Some(d), Some(d)).count() == 1))
+  }
+
   test("plan (dry run) reports exactly what runWith would execute, running nothing") {
     val bk = new Bookkeeper()
     val (ms, jobs) = pipeline(bk)
