@@ -47,19 +47,7 @@ final class SparkSource(
   override def hasInfoDateColumn: Boolean = infoDateColumn.isDefined
 
   private def windowFilter(df: DataFrame, from: LocalDate, to: LocalDate): DataFrame =
-    infoDateColumn match {
-      case None => df
-      case Some(c) => infoDateType match {
-        case "date" =>
-          df.where(col(c) >= java.sql.Date.valueOf(from) && col(c) <= java.sql.Date.valueOf(to))
-        case "timestamp" =>
-          df.where(col(c) >= java.sql.Timestamp.valueOf(from.atStartOfDay()) &&
-            col(c) < java.sql.Timestamp.valueOf(to.plusDays(1).atStartOfDay()))
-        case "string" =>
-          df.where(col(c) >= from.toString && col(c) <= to.toString)
-        case other => throw new IllegalArgumentException(s"Unknown info date type: $other")
-      }
-    }
+    SourceWindow.filter(df, infoDateColumn, infoDateType, from, to)
 
   override def getRecordCount(from: LocalDate, to: LocalDate): Long =
     windowFilter(readAll(), from, to).count()
@@ -75,6 +63,84 @@ final class SparkSource(
     val info = offsetInfo.getOrElse(
       throw new IllegalStateException("offsetInfo not configured for incremental reads"))
     val df = readAll()
+    val filtered = offsetFrom match {
+      case Some(OffsetValue.IntegralValue(n)) => df.where(col(info.column) > n)
+      case Some(OffsetValue.DateTimeValue(ms)) => df.where(col(info.column) > new java.sql.Timestamp(ms))
+      case Some(OffsetValue.StringValue(s)) => df.where(col(info.column) > s)
+      case None => df
+    }
+    SourceResult(if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*))
+  }
+}
+
+/** Info-date window predicate shared by the date-windowed sources —
+  * always a plain comparison on the column, so it pushes into scans. */
+private[sources] object SourceWindow {
+  def filter(df: DataFrame, infoDateColumn: Option[String], infoDateType: String,
+             from: LocalDate, to: LocalDate): DataFrame =
+    infoDateColumn match {
+      case None => df
+      case Some(c) => infoDateType match {
+        case "date" =>
+          df.where(col(c) >= java.sql.Date.valueOf(from) && col(c) <= java.sql.Date.valueOf(to))
+        case "timestamp" =>
+          df.where(col(c) >= java.sql.Timestamp.valueOf(from.atStartOfDay()) &&
+            col(c) < java.sql.Timestamp.valueOf(to.plusDays(1).atStartOfDay()))
+        case "string" =>
+          df.where(col(c) >= from.toString && col(c) <= to.toString)
+        case other => throw new IllegalArgumentException(s"Unknown info date type: $other")
+      }
+    }
+}
+
+/**
+ * Catalog-backed source (reference: pramen/api `Query.Table` and
+ * `Query.Sql` — sources can name a catalog table or an arbitrary SQL
+ * statement, not just a path): reads `spark.table(name)` or
+ * `spark.sql(statement)` and windows on the info-date column. Date
+ * filters on a catalog table prune its partitions exactly like path
+ * reads; for SQL, `@infoDateFrom`/`@infoDateTo` are substituted so
+ * the predicate can live INSIDE the statement (pushed into whatever
+ * the SQL reads) instead of wrapping it.
+ */
+final class CatalogSource(
+    spark: SparkSession,
+    tableOrSql: String,
+    isSql: Boolean = false,
+    infoDateColumn: Option[String] = None,
+    infoDateType: String = "date",
+    offsetInfo: Option[OffsetInfo] = None) extends GraftSource {
+
+  override def hasInfoDateColumn: Boolean = infoDateColumn.isDefined
+
+  private def readAll(from: LocalDate, to: LocalDate): DataFrame =
+    if (isSql) {
+      val sql = tableOrSql
+        .replace("@infoDateFrom", s"DATE'$from'")
+        .replace("@infoDateTo", s"DATE'$to'")
+      val df = spark.sql(sql)
+      // window already substituted inside the statement? Only wrap when
+      // the column survives into the result.
+      if (tableOrSql.contains("@infoDateFrom") || tableOrSql.contains("@infoDateTo")) df
+      else SourceWindow.filter(df, infoDateColumn, infoDateType, from, to)
+    } else
+      SourceWindow.filter(spark.table(tableOrSql), infoDateColumn, infoDateType, from, to)
+
+  override def getRecordCount(from: LocalDate, to: LocalDate): Long =
+    readAll(from, to).count()
+
+  override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult = {
+    val df = readAll(from, to)
+    SourceResult(if (columns.isEmpty) df else df.select(columns.map(col): _*))
+  }
+
+  override def getOffsetInfo: Option[OffsetInfo] = offsetInfo
+
+  override def getDataIncremental(offsetFrom: Option[OffsetValue], columns: Seq[String]): SourceResult = {
+    val info = offsetInfo.getOrElse(
+      throw new IllegalStateException("offsetInfo not configured for incremental reads"))
+    require(!isSql, "incremental reads need a table, not a SQL statement")
+    val df = spark.table(tableOrSql)
     val filtered = offsetFrom match {
       case Some(OffsetValue.IntegralValue(n)) => df.where(col(info.column) > n)
       case Some(OffsetValue.DateTimeValue(ms)) => df.where(col(info.column) > new java.sql.Timestamp(ms))

@@ -58,6 +58,31 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sizes == Seq(2L, 3L))
   }
 
+  test("CatalogSource reads tables and SQL with the date window pushed in") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("cat_src", tmpDir("catsrc_") + "/t", catalogSync = true))
+    ms.saveTable("cat_src", d, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ms.saveTable("cat_src", d.plusDays(1), Seq((3L, "c")).toDF("id", "v"))
+
+    // table mode: the window prunes to one day
+    val tsrc = new CatalogSource(spark, "cat_src", infoDateColumn = Some("info_date"))
+    assert(tsrc.getRecordCount(d, d) == 2)
+    assert(tsrc.getData(d.plusDays(1), d.plusDays(1), Seq("id")).df
+      .as[Long].collect().toSeq == Seq(3L))
+
+    // sql mode with the window substituted INSIDE the statement
+    val ssrc = new CatalogSource(spark,
+      "SELECT id, v FROM cat_src WHERE info_date BETWEEN @infoDateFrom AND @infoDateTo",
+      isSql = true)
+    assert(ssrc.getRecordCount(d, d.plusDays(1)) == 3)
+    assert(ssrc.getRecordCount(d, d) == 2)
+
+    // incremental over a catalog table
+    val isrc = new CatalogSource(spark, "cat_src",
+      offsetInfo = Some(OffsetInfo("id", "integral")))
+    assert(isrc.getDataIncremental(Some(graft.offset.OffsetValue.IntegralValue(1L))).df.count() == 2)
+  }
+
   test("LocalSparkSource stages driver-local files to a Hadoop path and cleans up") {
     val localDir = tmpDir("lsrc_")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$localDir/a.csv"),
