@@ -119,4 +119,10 @@ object StreamIngest {
     df.select(
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+
+  /** Decode a kafka reader frame's JSON `value` back into typed
+    * columns (inverse of [[toKafkaFrame]]); rows that fail to parse
+    * surface as nulls for inspection rather than vanishing. */
+  def fromKafkaFrame(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("_r")).select(col("_r.*"))
 }

@@ -107,10 +107,15 @@ class StreamIngestSpec extends SparkSpec {
     assert(opts("subscribe") == "events")
     assert(opts("maxOffsetsPerTrigger") == "1000")
 
-    val frame = StreamIngest.toKafkaFrame(Seq((1L, "x", 2.5)).toDF("id", "name", "v"), "id")
+    val df = Seq((1L, "x", 2.5)).toDF("id", "name", "v")
+    val frame = StreamIngest.toKafkaFrame(df, "id")
     assert(frame.columns.toSeq == Seq("key", "value"))
     val row = frame.head()
     assert(row.getString(0) == "1")
     assert(row.getString(1) == """{"id":1,"name":"x","v":2.5}""")
+
+    // decode roundtrip: frame -> typed columns
+    val back = StreamIngest.fromKafkaFrame(frame, df.schema).head()
+    assert(back.getLong(0) == 1L && back.getString(1) == "x" && back.getDouble(2) == 2.5)
   }
 }
