@@ -131,7 +131,7 @@ object PipelineConfig {
    * — `--rerun`, `--date-from/--date-to`, `--mode`).
    */
   /** Flags that take a value; every other `--flag` is boolean. */
-  private val ValueFlags = Set("--date-from", "--date-to")
+  private val ValueFlags = Set("--date-from", "--date-to", "--date-parallelism")
 
   /** (boolean flags + value flags, positional args) — value-flag
     * values are NOT positional, boolean flags never swallow the next
@@ -183,7 +183,9 @@ object PipelineConfig {
       spark.stop()
       return
     }
-    val results = runParams(spark, load(args(0)), params, notifiers = Seq(new ConsoleNotifier))
+    val results = runParams(spark, load(args(0)), params,
+      notifiers = Seq(new ConsoleNotifier),
+      dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1))
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
   }
@@ -206,10 +208,11 @@ object PipelineConfig {
   def runParams(spark: SparkSession, parsed: Parsed, params: RunParams,
                 bookkeeper: Bookkeeper = new Bookkeeper(),
                 notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
-                lockDir: Option[String] = None): Seq[TaskResult] = {
+                lockDir: Option[String] = None,
+                dateParallelism: Int = 1): Seq[TaskResult] = {
     val ms = new Metastore(spark)
     parsed.tables.foreach(ms.register)
     new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir)
-      .runWith(parsed.jobs, params)
+      .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }
 }
