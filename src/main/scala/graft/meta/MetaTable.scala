@@ -77,3 +77,9 @@ final case class TableStats(recordCount: Long, sizeBytes: Option[Long])
 
 /** A (table, infoDate) partition reference. */
 final case class PartitionRef(table: String, infoDate: LocalDate)
+
+/** Bookkeeping facts about one (table, infoDate) run, surfaced to
+  * transformers (reference: pramen/api .../api/MetaTableRunInfo). */
+final case class TableRunInfo(table: String, infoDate: LocalDate,
+                              recordCount: Long, status: String,
+                              startedAtMs: Long, finishedAtMs: Long)

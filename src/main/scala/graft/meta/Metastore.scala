@@ -366,11 +366,54 @@ final class Metastore(spark: SparkSession) {
 
   def getStats(name: String, infoDate: LocalDate): Option[TableStats] = statsMap.get((name, infoDate))
 
+  /**
+   * Key-value metadata attached to a (table, infoDate) partition
+   * (reference: pramen/api .../api/MetadataManager.scala — pipelines
+   * annotate partitions with lineage/quality facts downstream jobs
+   * read). One file per key under `_graft/meta_kv/<date>/`, so
+   * concurrent writers of different keys never conflict and object
+   * stores need no appends.
+   */
+  def setMetadata(name: String, infoDate: LocalDate, key: String, value: String): Unit = {
+    require(key.nonEmpty && !key.contains('/'), s"invalid metadata key: '$key'")
+    val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, key), true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def getMetadata(name: String, infoDate: LocalDate, key: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate/$key")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  def listMetadata(name: String, infoDate: LocalDate): Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(_.isFile).flatMap { st =>
+      getMetadata(name, infoDate, st.getPath.getName).map(st.getPath.getName -> _)
+    }.toMap
+  }
+
   /** Reader facade handed to transformers (restricts to declared inputs when given). */
   def readerFor(allowedTables: Option[Set[String]] = None,
                 incremental: Option[MetastoreReader.IncrementalContext] = None,
-                currentInfoDate: Option[LocalDate] = None): MetastoreReader =
-    new MetastoreReader(this, allowedTables, incremental, currentInfoDate)
+                currentInfoDate: Option[LocalDate] = None,
+                runReason: String = "New",
+                runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None): MetastoreReader =
+    new MetastoreReader(this, allowedTables, incremental, currentInfoDate, runReason, runInfo)
 
   /**
    * Raw (whole-file) storage: each input row's `content` bytes become
@@ -477,7 +520,9 @@ final class Metastore(spark: SparkSession) {
  */
 final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
                             incremental: Option[MetastoreReader.IncrementalContext] = None,
-                            currentInfoDate: Option[LocalDate] = None) {
+                            currentInfoDate: Option[LocalDate] = None,
+                            runReason: String = "New",
+                            runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None) {
   private def check(name: String): Unit = allowed.foreach { a =>
     if (!a.contains(name))
       throw new IllegalArgumentException(
@@ -508,6 +553,44 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
     check(name); ms.getLatest(name, until)
   }
   def listAvailableDates(name: String): Seq[LocalDate] = { check(name); ms.listAvailableDates(name) }
+
+  /** Newest info date at/before `until` — metadata-only for ByDay
+    * tables (reference: api/MetastoreReader.getLatestAvailableDate). */
+  def getLatestAvailableDate(name: String, until: Option[LocalDate] = None): Option[LocalDate] = {
+    check(name)
+    ms.listAvailableDates(name).filter(d => until.forall(u => !d.isAfter(u))).lastOption
+  }
+
+  /** True when any data exists in the (optional) window
+    * (reference: api/MetastoreReader.isDataAvailable) — dependency
+    * checks in validate() without launching a scan for ByDay tables. */
+  def isDataAvailable(name: String, from: Option[LocalDate] = None,
+                      until: Option[LocalDate] = None): Boolean = {
+    check(name)
+    ms.listAvailableDates(name)
+      .exists(d => from.forall(f => !d.isBefore(f)) && until.forall(u => !d.isAfter(u)))
+  }
+
+  /** The table's registered definition (format, scheme, path). */
+  def getTableDef(name: String): MetaTable = { check(name); ms.getTableDef(name) }
+
+  /** Key-value partition metadata (lineage/quality annotations). */
+  def getMetadata(name: String, infoDate: LocalDate, key: String): Option[String] = {
+    check(name); ms.getMetadata(name, infoDate, key)
+  }
+
+  /** Bookkeeping facts about a (table, infoDate) run, when the
+    * orchestrator supplied its journal. */
+  def getTableRunInfo(name: String, infoDate: LocalDate): Option[TableRunInfo] = {
+    check(name); runInfo(name, infoDate)
+  }
+
+  /** Why this task is running: New | Late | Update | Rerun
+    * (reference: api/status/TaskRunReason via getRunReason). */
+  def getRunReason: String = runReason
+
+  /** True when running under an incremental context. */
+  def isIncremental: Boolean = incremental.isDefined
 
   /** Rows of `name` strictly after this consumer's committed offset on
     * `offsetInfo.column`, bounded ABOVE by the max observed at read

@@ -115,7 +115,7 @@ final class Orchestrator(
       val r =
         if (!force && !rerunSucceeded && bookkeeper.isAlreadyRan(job.outputTable, t.infoDate))
           TaskResult.Skipped(job.name, s"already succeeded for ${t.infoDate}")
-        else executeTask(job, t.infoDate)
+        else executeTask(job, t.infoDate, reason = t.reason.toString)
       notifiers.foreach(_.onTaskCompleted(r, asOf))
       r
     }
@@ -203,12 +203,17 @@ final class Orchestrator(
 
   /** Run one (job, infoDate) task: validate, lock, retry, record.
     * Schedule/bookkeeping decisions happen in the caller. */
-  private def executeTask(job: JobDef, infoDate: LocalDate): TaskResult = {
+  private def executeTask(job: JobDef, infoDate: LocalDate,
+                          reason: String = "New"): TaskResult = {
     val incCtx = offsetManager.map(om =>
       new graft.meta.MetastoreReader.IncrementalContext(job.outputTable, om))
     val reader = metastore.readerFor(
       if (job.inputTables.nonEmpty) Some(job.inputTables.toSet) else None, incCtx,
-      currentInfoDate = Some(infoDate))
+      currentInfoDate = Some(infoDate),
+      runReason = reason,
+      runInfo = (t, d) => bookkeeper.get(t, d).map(r =>
+        graft.meta.TableRunInfo(r.table, r.infoDate, r.recordCount, r.status,
+          r.startedAtMs, r.finishedAtMs)))
     val t0 = System.currentTimeMillis()
     job.transformer.validate(reader, infoDate, job.options) match {
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)

@@ -215,6 +215,29 @@ class MetastoreSpec extends SparkSpec {
     assertThrows[IllegalStateException](ms.readerFor().getCurrentBatch("cb"))
   }
 
+  test("reader surface: latest-available date, availability, table def, metadata") {
+    val (ms, _) = freshMs(name = "surf")
+    ms.saveTable("surf", d1, data("a", 2))
+    ms.saveTable("surf", d3, data("b", 3))
+    val r = ms.readerFor(Some(Set("surf")))
+    assert(r.getLatestAvailableDate("surf").contains(d3))
+    assert(r.getLatestAvailableDate("surf", Some(d2)).contains(d1))
+    assert(r.isDataAvailable("surf"))
+    assert(r.isDataAvailable("surf", Some(d2), Some(d3)))
+    assert(!r.isDataAvailable("surf", Some(d2), Some(d2)))
+    assert(r.getTableDef("surf").scheme == PartitionScheme.ByDay)
+    assert(!r.isIncremental && r.getRunReason == "New")
+    // partition metadata roundtrip
+    ms.setMetadata("surf", d1, "source.rows", "12345")
+    ms.setMetadata("surf", d1, "quality", "passed")
+    assert(r.getMetadata("surf", d1, "source.rows").contains("12345"))
+    assert(r.getMetadata("surf", d1, "missing").isEmpty)
+    assert(ms.listMetadata("surf", d1) == Map("source.rows" -> "12345", "quality" -> "passed"))
+    // metadata dirs stay invisible to reads
+    assert(ms.getTable("surf").count() == 5)
+    assertThrows[IllegalArgumentException](r.getTableDef("other"))
+  }
+
   test("unregistered table raises") {
     val ms = new Metastore(spark)
     assertThrows[NoSuchElementException](ms.getTable("ghost"))

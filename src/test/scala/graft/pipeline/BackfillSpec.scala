@@ -233,6 +233,31 @@ class BackfillSpec extends SparkSpec {
     assert(ms.listAvailableDates("dst") == Seq(days(1)))
   }
 
+  test("run reason and input run-info are visible to transformers") {
+    val bk = new Bookkeeper()
+    val ms = new Metastore(spark)
+    val base = tmpDir("reason_")
+    ms.register(MetaTable("rsrc", s"$base/src"))
+    ms.register(MetaTable("rout", s"$base/out"))
+    val d1 = day("2024-06-01")
+    ms.saveTable("rsrc", d1, Seq(("a", 1)).toDF("k", "v"))
+    bk.record(RunRecord("rsrc", d1, 1, "succeeded", 10, 20))
+    @volatile var seen: (String, Option[graft.meta.TableRunInfo]) = ("", None)
+    val t = new Transformer {
+      def run(r: graft.meta.MetastoreReader, dd: java.time.LocalDate, o: Map[String, String]) = {
+        seen = (r.getRunReason, r.getTableRunInfo("rsrc", dd))
+        r.getTable("rsrc", Some(dd), Some(dd))
+      }
+    }
+    val jobs = Seq(JobDef("rj", "rout", t, Seq("rsrc")))
+    val orch = new Orchestrator(ms, bk)
+    orch.runWith(jobs, RunParams.Normal(d1))
+    assert(seen._1 == "New")
+    assert(seen._2.exists(i => i.recordCount == 1 && i.status == "succeeded"))
+    orch.runWith(jobs, RunParams.Rerun(d1))
+    assert(seen._1 == "Rerun")
+  }
+
   test("rerun forces execution despite a succeeded bookkeeper record") {
     val bk = new Bookkeeper()
     val (ms, jobs) = pipeline(bk)
