@@ -105,6 +105,13 @@ final class Orchestrator(
               minimumDate: Option[LocalDate] = None,
               dateParallelism: Int = 1): Seq[TaskResult] = {
     require(dateParallelism >= 1, s"dateParallelism must be >= 1: $dateParallelism")
+    // incremental consumption is inherently sequential: two dates of
+    // the same job running concurrently would BOTH read "past the
+    // committed offset" before either commits, consuming the same
+    // delta twice
+    require(dateParallelism == 1 || offsetManager.isEmpty,
+      "dateParallelism > 1 cannot be combined with an offset manager: " +
+        "concurrent dates would consume the same incremental delta twice")
     val asOf = params match {
       case RunParams.Normal(d, _, _) => d
       case RunParams.Rerun(d) => d

@@ -217,6 +217,13 @@ class BackfillSpec extends SparkSpec {
     days.foreach(d => assert(ms.getTable("dst", Some(d), Some(d)).count() == 1))
   }
 
+  test("date parallelism is rejected under an offset manager (double-consume guard)") {
+    val (ms, jobs) = pipeline(new Bookkeeper())
+    val orch = new Orchestrator(ms, offsetManager = Some(new graft.offset.OffsetManager()))
+    assertThrows[IllegalArgumentException](
+      orch.runWith(jobs, RunParams.Normal(day("2024-06-01")), dateParallelism = 4))
+  }
+
   test("plan (dry run) reports exactly what runWith would execute, running nothing") {
     val bk = new Bookkeeper()
     val (ms, jobs) = pipeline(bk)
