@@ -119,6 +119,9 @@ final class Metastore(spark: SparkSession) {
     val t = getTableDef(name)
     require(t.scheme == PartitionScheme.ByDay,
       s"compactPartition supports ByDay tables; '$name' uses ${t.scheme}")
+    require(t.format != DataFormat.Delta,
+      s"compactPartition swaps files outside the _delta_log transaction and would corrupt " +
+        s"Delta table '$name'; compact Delta tables with OPTIMIZE / a replaceWhere rewrite")
     val partDir = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = targetFiles.getOrElse {
@@ -128,7 +131,8 @@ final class Metastore(spark: SparkSession) {
     // Spark refuses to overwrite a path it is reading in the same plan,
     // so: compact into a staging dir, then swap the data files in.
     // The swap window is non-transactional (like any plain-FS rewrite);
-    // Delta-format tables get a transactional rewrite instead.
+    // Delta-format tables are rejected above — their file layout is
+    // owned by the _delta_log and must be rewritten transactionally.
     val staging = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate")
     val obs = new org.apache.spark.sql.Observation()
     getTable(name, Some(infoDate), Some(infoDate))
@@ -177,13 +181,17 @@ final class Metastore(spark: SparkSession) {
     val ident = t.catalogName.getOrElse(t.name)
     val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
     if (!spark.catalog.tableExists(ident)) {
+      // Spark SQL string literals are backslash-escaped (doubling the
+      // quote, the ANSI convention, concatenates adjacent literals and
+      // silently drops the quote from the value)
+      def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       val opts = t.format match {
         case DataFormat.Csv(o) if o.nonEmpty =>
-          o.map { case (k, v) => s"'$k' '${v.replace("'", "''")}'" }
+          o.map { case (k, v) => s"${lit(k)} ${lit(v)}" }
             .mkString(" OPTIONS (", ", ", ")")
         case _ => ""
       }
-      spark.sql(s"CREATE TABLE $quoted USING ${t.format.name}$opts LOCATION '${t.path}'")
+      spark.sql(s"CREATE TABLE $quoted USING ${t.format.name}$opts LOCATION ${lit(t.path)}")
     }
     t.scheme match {
       case PartitionScheme.NotPartitioned | PartitionScheme.Overwrite => ()

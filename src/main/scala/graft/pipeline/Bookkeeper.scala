@@ -93,6 +93,14 @@ final class Bookkeeper(journalPath: Option[String] = None) {
     records.values.filter(r => r.table == table && r.status == "succeeded")
       .map(_.infoDate).maxByOption(_.toEpochDay)
 
+  /** Newest successful record with infoDate <= `until` — the slice a
+    * dependent's `getTable(..., to = until)` / `getLatest` read
+    * actually consumed. */
+  def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
+    records.values
+      .filter(r => r.table == table && r.status == "succeeded" && !r.infoDate.isAfter(until))
+      .maxByOption(_.infoDate.toEpochDay)
+
   def all: Seq[RunRecord] = records.values.toSeq
 
   // minimal JSON field extraction for our own fixed-shape lines

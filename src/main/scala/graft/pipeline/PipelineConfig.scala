@@ -16,6 +16,10 @@ import java.time.LocalDate
  *
  * {{{
  * pipeline.name = daily
+ * bookkeeping.path = /data/state/journal  # durable run journal — REQUIRED for
+ *                                         # cross-invocation skip-if-done, FillGaps,
+ *                                         # catch-up and trackDays late-data detection
+ * lock.dir = /data/state/locks            # optional (table, infoDate) run locks
  * table.sales.path = /data/ms/sales
  * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
@@ -33,7 +37,9 @@ import java.time.LocalDate
  */
 object PipelineConfig {
 
-  final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef])
+  final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
+                          bookkeepingPath: Option[String] = None,
+                          lockDir: Option[String] = None)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -114,7 +120,14 @@ object PipelineConfig {
         initialDateExpr = opt("initial.date.expr").getOrElse("@runDate"))
     }
 
-    Parsed(name, tables, jobs)
+    // durable pipeline state: without `bookkeeping.path` every CLI
+    // invocation starts from an empty journal, so skip-if-done,
+    // FillGaps backfills, missed-slot catch-up and trackDays late-data
+    // detection all see no history — the cross-invocation modes only
+    // work when this key points at shared storage
+    Parsed(name, tables, jobs,
+      bookkeepingPath = kv.get("bookkeeping.path"),
+      lockDir = kv.get("lock.dir"))
   }
 
   /**
@@ -171,11 +184,15 @@ object PipelineConfig {
       .appName(s"graft:${args(0)}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    val parsed = load(args(0))
+    // the durable journal (bookkeeping.path) is what makes runs see
+    // each other: planning/dry-run against an in-memory Bookkeeper
+    // would re-run every completed date and never detect late data
+    val bookkeeper = new Bookkeeper(parsed.bookkeepingPath)
     if (flags.contains("--dry-run")) {
-      val parsed = load(args(0))
       val ms = new Metastore(spark)
       parsed.tables.foreach(ms.register)
-      new Orchestrator(ms).plan(parsed.jobs, params).foreach { case (job, tasks) =>
+      new Orchestrator(ms, bookkeeper).plan(parsed.jobs, params).foreach { case (job, tasks) =>
         val dates = tasks.map(t => s"${t.infoDate}(${t.reason})").mkString(", ")
         System.err.println(s"[graft dry-run] ${job.name} -> ${job.outputTable}: " +
           (if (tasks.isEmpty) "nothing to run" else dates))
@@ -183,8 +200,10 @@ object PipelineConfig {
       spark.stop()
       return
     }
-    val results = runParams(spark, load(args(0)), params,
+    val results = runParams(spark, parsed, params,
+      bookkeeper = bookkeeper,
       notifiers = Seq(new ConsoleNotifier),
+      lockDir = parsed.lockDir,
       dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1))
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)

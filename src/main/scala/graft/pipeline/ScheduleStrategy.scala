@@ -136,8 +136,14 @@ object ScheduleStrategy {
         .filter { d =>
           bookkeeper.get(outputTable, d) match {
             case Some(out) if out.status == "succeeded" =>
-              inputTables.exists(in => bookkeeper.get(in, d).exists(r =>
-                r.status == "succeeded" && r.finishedAtMs > out.finishedAtMs))
+              // compare against the input's LATEST successful record at
+              // or before d — the slice the output's read consumed —
+              // not an exact-date record: when the input job uses a
+              // different infoDateExpr (or a sparser schedule) than the
+              // output, no input record exists at exactly d and an
+              // exact-match lookup would never detect the late data
+              inputTables.exists(in => bookkeeper.latestSuccessRecord(in, d).exists(
+                _.finishedAtMs > out.finishedAtMs))
             case _ => false // never ran -> lateDates' concern, not an update
           }
         }

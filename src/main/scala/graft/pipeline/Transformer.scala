@@ -122,9 +122,21 @@ final class ProcessTransformer(command: String, stagingDir: String,
       .replace("@out", outDir)
     val proc = new ProcessBuilder(cmd.split("\\s+"): _*)
       .redirectErrorStream(true).start()
-    val output = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    // drain stdout on a daemon thread: a blocking readAllBytes here
+    // would wait until the child closes stdout, so a hung child that
+    // keeps the pipe open would defeat the timeout entirely (and a
+    // chatty child could deadlock on a full pipe if nobody reads)
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => {
+      try proc.getInputStream.transferTo(outBuf)
+      catch { case _: java.io.IOException => () } // stream torn down on kill
+    }, "graft-process-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"ProcessTransformer timed out: $cmd") }
+    drainer.join(10000) // process exited → pipe closes → drain completes
+    val output = new String(outBuf.toByteArray, "UTF-8")
     if (proc.exitValue() != 0)
       throw new RuntimeException(
         s"ProcessTransformer command failed (exit ${proc.exitValue()}): $cmd\n$output")

@@ -45,6 +45,22 @@ class CatalogSyncSpec extends SparkSpec {
       .head().getLong(0) == 5)
   }
 
+  test("CSV option values survive SQL-literal escaping (quote char = ')") {
+    // the registered DDL carries the CSV options as SQL string
+    // literals; a value that IS a single quote exercises the escaping
+    // (doubling, the ANSI convention, concatenates adjacent literals
+    // in Spark SQL and silently drops the quote)
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("cat_csv", tmpDir("catq_") + "/t",
+      format = DataFormat.Csv(Map("header" -> "true", "quote" -> "'")),
+      catalogSync = true))
+    // a value containing the separator needs the quote char to roundtrip
+    ms.saveTable("cat_csv", d1, Seq((1L, "a,b")).toDF("id", "v"))
+    val rows = spark.table("cat_csv").select("v").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("a,b"),
+      s"catalog read must parse with quote=' intact, got ${rows.toSeq}")
+  }
+
   test("catalogName overrides the identifier; no sync when disabled") {
     val ms = new Metastore(spark)
     ms.register(MetaTable("internal_name", tmpDir("cat2_") + "/t",

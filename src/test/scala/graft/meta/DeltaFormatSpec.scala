@@ -26,6 +26,13 @@ class DeltaFormatSpec extends SparkSpec {
     assert(parsed.tables.head.format == DataFormat.Delta)
   }
 
+  test("compactPartition refuses Delta tables (file swap would corrupt the _delta_log)") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("dlc", tmpDir("dlc_") + "/dlc", format = DataFormat.Delta))
+    val e = intercept[IllegalArgumentException](ms.compactPartition("dlc", d1))
+    assert(e.getMessage.contains("Delta"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("delta tables roundtrip when the datasource is present, fail clearly when absent") {
     val ms = new Metastore(spark)
     ms.register(MetaTable("dl", tmpDir("dl_") + "/dl", format = DataFormat.Delta))

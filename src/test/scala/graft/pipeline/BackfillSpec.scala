@@ -96,6 +96,26 @@ class BackfillSpec extends SparkSpec {
     assert(narrow.isEmpty)
   }
 
+  test("updatedDates maps through differing info-date exprs (latest-at-or-before input)") {
+    val bk = new Bookkeeper()
+    val d1 = day("2024-06-01"); val d3 = day("2024-06-03")
+    // the input job lands data only at d1 (different infoDateExpr /
+    // sparser schedule); the output at d3 consumed the input's latest
+    // <= d3 slice (d1), and the input re-landed AFTER the output ran —
+    // an exact-date lookup at d3 would find no input record and miss it
+    bk.record(RunRecord("out", d3, 1, "succeeded", 0, 100))
+    bk.record(RunRecord("in", d1, 1, "succeeded", 150, 200))
+    val upd = ScheduleStrategy.updatedDates(day("2024-06-05"), 5, Schedule.Daily(),
+      "@runDate", "out", Seq("in"), bk)
+    assert(upd == List(TaskPreDef(d3, RunReason.Update)))
+    // input landed BEFORE the output ran -> up to date, nothing flagged
+    val bk2 = new Bookkeeper()
+    bk2.record(RunRecord("in", d1, 1, "succeeded", 0, 50))
+    bk2.record(RunRecord("out", d3, 1, "succeeded", 60, 100))
+    assert(ScheduleStrategy.updatedDates(day("2024-06-05"), 5, Schedule.Daily(),
+      "@runDate", "out", Seq("in"), bk2).isEmpty)
+  }
+
   test("minimumDate filters out prehistoric dates") {
     val bk = new Bookkeeper()
     val job = JobDef("j", "out", new IdentityTransformer)

@@ -79,6 +79,30 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.getAs[Double]("total") == 20.0) // 2+4+6+8
   }
 
+  test("bookkeeping.path makes pipeline state durable across invocations") {
+    val base = tmpDir("plbk_")
+    val parsed = PipelineConfig.parse(
+      s"""bookkeeping.path = $base/journal
+         |lock.dir = $base/locks
+         |table.numbers.path = $base/numbers
+         |job.1.output = numbers
+         |job.1.transformer = graft.pipeline.SeedNumbersTransformer
+         |""".stripMargin)
+    assert(parsed.bookkeepingPath.contains(s"$base/journal"))
+    assert(parsed.lockDir.contains(s"$base/locks"))
+
+    // two invocations, each with a FRESH Bookkeeper over the configured
+    // path (what the CLI constructs): the second must skip the
+    // completed date instead of re-running it
+    val r1 = PipelineConfig.runParams(spark, parsed, RunParams.Normal(runDate),
+      bookkeeper = new Bookkeeper(parsed.bookkeepingPath), lockDir = parsed.lockDir)
+    assert(r1.exists(_.isInstanceOf[TaskResult.Succeeded]), s"first run: $r1")
+    val r2 = PipelineConfig.runParams(spark, parsed, RunParams.Normal(runDate),
+      bookkeeper = new Bookkeeper(parsed.bookkeepingPath), lockDir = parsed.lockDir)
+    assert(r2.nonEmpty && r2.forall(_.isInstanceOf[TaskResult.Skipped]),
+      s"durable journal must make the rerun a skip: $r2")
+  }
+
   test("CLI arg parsing: boolean flags never swallow the run date; partial ranges rejected") {
     val (flags, values, pos) = PipelineConfig.parseArgs(
       Seq("--rerun", "2024-05-05"))

@@ -64,6 +64,23 @@ class RetryConversionSpec extends SparkSpec {
     assert(r2.head.isInstanceOf[TaskResult.Failed])
   }
 
+  test("ProcessTransformer timeout fires for a hung child that keeps stdout open") {
+    // `sleep` writes nothing and never closes stdout: a blocking
+    // stdout read before waitFor would defeat the timeout entirely
+    val ms = new Metastore(spark)
+    val base = tmpDir("proct_")
+    ms.register(MetaTable("pt_in", s"$base/in_t"))
+    ms.saveTable("pt_in", d, Seq((1L, "a")).toDF("id", "v"))
+    val hung = new ProcessTransformer("sleep 30", s"$base/stage", Seq("pt_in"),
+      timeoutSeconds = 2)
+    val t0 = System.nanoTime()
+    val ex = intercept[RuntimeException](
+      hung.run(ms.readerFor(), d, Map.empty))
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(ex.getMessage.contains("timed out"), ex.getMessage)
+    assert(elapsedSec < 15, s"timeout must bound the hung child, took ${elapsedSec}s")
+  }
+
   test("retries: a transformer that fails twice succeeds with retries=2, fails with 1") {
     class Flaky(failures: Int) extends Transformer {
       private val calls = new AtomicInteger()
