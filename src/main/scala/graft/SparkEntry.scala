@@ -334,6 +334,19 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    "q_dedup_groups" -> ((s, dir) => {
+      // connected components turn candidate PAIRS into dup GROUPS
+      // (transitive closure: A~B, B~C collapse to one group). The edge
+      // set here is SQL-expressible on purpose — consecutive doc_ids
+      // sharing a language — so the oracle can replay it with a
+      // recursive CTE; production pairs come from MinHash/SimHash.
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val pairs = docs.as("x").join(docs.as("y"),
+          col("x.doc_id") + 1 === col("y.doc_id") && col("x.lang") === col("y.lang"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      graft.operators.DupGroups.connectedComponents(pairs, "a", "b")
+    }),
+
     "q_decontam" -> ((s, dir) => {
       // benchmark decontamination over the documents table: every 40th
       // doc is the "benchmark"; exact copies and n-gram leaks of those
@@ -778,6 +791,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn = 1""".stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM documents x JOIN documents y
+        |    ON y.doc_id = x.doc_id + 1 AND x.lang = y.lang
+        |),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b
+        |)
+        |SELECT id, min(comp) AS group_id FROM reach GROUP BY id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a candidate-pair list — the step that
+ * turns near-duplicate PAIRS (MinHash/SimHash/embedding buckets emit
+ * pairs) into duplicate GROUPS, so "keep one representative per
+ * cluster" is well-defined even when similarity is only transitive
+ * (A~B, B~C but A!~C must still collapse to one kept document).
+ *
+ * Algorithm: alternating hook + compress min-label propagation (the
+ * Shiloach–Vishkin shape, same family as the MapReduce large-star/
+ * small-star algorithm):
+ *
+ *  - hook:     comp(u) <- min(comp(u), min over neighbors v comp(v))
+ *  - compress: comp(u) <- comp(comp(u))   (pointer jumping)
+ *
+ * Compress doubles the labeled distance per round, so a path of
+ * length L converges in O(log L) rounds — NOT the O(L) of plain
+ * label propagation, which matters when boilerplate chains thousands
+ * of documents into one long component. Each round is two shuffles of
+ * (id, comp) pairs (16 bytes/row) — never the documents themselves —
+ * and the label set only shrinks toward one row per node, so at
+ * 100 TB the cost is bounded by the PAIR count the candidate
+ * generators emit, not the corpus size.
+ *
+ * Convergence is detected by the sum of labels: comp(u) is always a
+ * node id within u's component and only ever decreases, so the sum is
+ * strictly monotone until the fixpoint — an unchanged sum IS the
+ * fixpoint, checked with one tiny aggregate per round. Lineage is
+ * truncated per round with localCheckpoint (use reliable
+ * checkpointing on a real cluster for executor-loss tolerance).
+ */
+object DupGroups {
+
+  /**
+   * Label every node that appears in `pairs` with the smallest node id
+   * of its connected component. Returns (`id`, `group_id`). Nodes not
+   * mentioned in any pair are their own singleton groups and are NOT
+   * emitted — callers union them back if needed (see
+   * [[keepRepresentatives]], which does).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    // undirected adjacency: both orientations, self-loops dropped,
+    // deduplicated once so repeated candidate pairs don't multiply
+    // every subsequent join
+    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // initial labels: min of self and direct neighbors (a free first hook)
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      .localCheckpoint()
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // hook: per node, the minimum label among its neighbors
+      // (join + agg rather than a self-referencing union — Catalyst's
+      // union constraint propagation rejects children sharing
+      // attribute lineage with the loop-carried `labels` plan)
+      val nbrMin = und.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("comp").as("nmin"))
+      val hooked = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // compress: jump to the label's own label (comp values are node
+      // ids, so they can be looked up as ids; roots resolve to
+      // themselves, non-root targets halve the remaining distance)
+      val compressed = hooked.as("x")
+        .join(hooked.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("x.comp") === col("cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("ccomp"), col("x.comp")).as("comp"))
+        .localCheckpoint()
+      val s = labelSum(compressed)
+      converged = s.compareTo(prev) == 0
+      prev = s
+      labels = compressed
+      it += 1
+    }
+    labels.select(col("id"), col("comp").as("group_id"))
+  }
+
+  /**
+   * The dedup ending: keep exactly one document per duplicate group —
+   * the group's minimum id — and every document that is in no group.
+   * One broadcast-friendly anti join against the (small) set of
+   * non-representative members; the corpus itself is never shuffled.
+   */
+  def keepRepresentatives(corpus: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol, maxIter)
+      .where(col("id") =!= col("group_id"))
+      .select(col("id").as("_drop_id"))
+    corpus.join(broadcast(drop), col(idCol) === col("_drop_id"), "left_anti")
+  }
+}
