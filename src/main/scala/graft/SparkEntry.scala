@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.meta.{DataFormat, MetaTable, Metastore, PartitionScheme}
 import graft.offset.{OffsetInfo, OffsetManager, OffsetValue}
-import graft.operators.{AnnSearch, AsofJoin, Dedup, EmbedDedup, NgramJaccard, Sessionize}
+import graft.operators.{AnnSearch, AsofJoin, Dedup, EmbedDedup, NgramJaccard, RangeJoin, Sessionize}
 import graft.pipeline.{IdentityTransformer, JobDef, Orchestrator}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -495,6 +495,21 @@ object SparkEntry {
           col("n_events"), col("total_value"))
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval join via time buckets (equi-join, no nested
+      // loop): urgent orders open a 3-day window; small-quantity line
+      // items shipping inside any window match it
+      val pts = t(s, dir, "lineitem").where(col("l_quantity") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      val iv = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("w_end"))
+      RangeJoin.pointInInterval(pts, "l_shipdate", iv, "w_start", "w_end",
+          bucketSeconds = 3L * 86400)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_points"), dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select("embedding")
@@ -791,6 +806,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn = 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_points,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
+        |WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity <= 2
+        |GROUP BY o.o_orderkey""".stripMargin,
 
     "q_dedup_groups" ->
       """WITH RECURSIVE pairs AS (
