@@ -397,6 +397,18 @@ object SparkEntry {
         round(TextFunctions.meanWordLen(col("text")), 4).as("mean_word_len"))
     }),
 
+    "q_ngram_freq" -> ((s, dir) => {
+      // corpus bigram frequency, top 100 — one scan, explode-only row
+      // multiplication, single groupBy shuffle, TakeOrdered top-k.
+      // Deterministic tie-break (freq desc, gram asc) so the LIMIT
+      // boundary matches the oracle exactly.
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("gram"))
+        .limit(100)
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       // rows-only gate: predicted language distribution (heuristic)
       t(s, dir, "documents")
@@ -829,6 +841,15 @@ object SparkEntry {
         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b
         |)
         |SELECT id, min(comp) AS group_id FROM reach GROUP BY id""".stripMargin,
+
+    "q_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |pos AS (
+        |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS s
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT t[s] || ' ' || t[s+1] AS gram, count(*) AS freq
+        |FROM pos GROUP BY 1 ORDER BY freq DESC, gram LIMIT 100""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
