@@ -26,6 +26,14 @@ import scala.util.{Failure, Success, Try}
  * @param initialDateExpr info date to start catch-up from when the job
  *                        has never run (reference: the runner's
  *                        initial.sourcing.date.expr).
+ * @param sink            when set, the transformer's output goes to
+ *                        this sink INSTEAD of a metastore table —
+ *                        `outputTable` becomes a virtual name (the
+ *                        reference's "table->sink" convention) used
+ *                        for bookkeeping, locking and DAG edges only
+ *                        (reference: pramen/core
+ *                        .../core/pipeline/SinkJob.scala,
+ *                        TransferJob.scala).
  */
 final case class JobDef(
     name: String,
@@ -37,7 +45,13 @@ final case class JobDef(
     options: Map[String, String] = Map.empty,
     retries: Int = 0,
     trackDays: Int = 0,
-    initialDateExpr: String = "@runDate")
+    initialDateExpr: String = "@runDate",
+    sink: Option[SinkTarget] = None)
+
+/** A sink destination for a sink/transfer job: the sink plus the
+  * logical table name handed to `GraftSink.send` (sinks key their
+  * output layout by it). */
+final case class SinkTarget(sink: graft.sinks.GraftSink, tableName: String)
 
 sealed trait TaskResult { def job: String }
 object TaskResult {
@@ -236,7 +250,12 @@ final class Orchestrator(
         }
         def attempt(): Try[graft.meta.TableStats] = Try {
           val df = job.transformer.run(reader, infoDate, job.options)
-          metastore.saveTable(job.outputTable, infoDate, df)
+          job.sink match {
+            case Some(st) => // sink/transfer job: data leaves the metastore
+              val r = st.sink.send(df, st.tableName, infoDate, job.options)
+              graft.meta.TableStats(r.recordsSent, None)
+            case None => metastore.saveTable(job.outputTable, infoDate, df)
+          }
         }
         // retry policy: re-attempt transient failures up to job.retries
         def attemptWithRetries(left: Int): Try[graft.meta.TableStats] =

@@ -33,6 +33,25 @@ import java.time.LocalDate
  * job.1.option.filter = amount > 0
  * job.2.transformer = sql
  * job.2.sql = SELECT count(*) AS n FROM sales_clean
+ *
+ * # operation types beyond transformations (reference:
+ * # core/pipeline/OperationType.scala — same aliases):
+ * source.raw_files.type = spark           # spark | catalog | raw
+ * source.raw_files.path = /landing/sales
+ * source.raw_files.format = csv
+ * source.raw_files.option.header = true
+ * source.raw_files.info.date.column = txn_date
+ * sink.exports.type = localcsv            # spark | localcsv | cmdline
+ * sink.exports.path = /exports
+ * job.3.type = ingestion                  # source -> metastore table
+ * job.3.source = raw_files
+ * job.3.output = sales
+ * job.4.type = sink                       # metastore table -> sink
+ * job.4.input = sales_clean
+ * job.4.sink = exports
+ * job.5.type = transfer                   # source -> sink directly
+ * job.5.source = raw_files
+ * job.5.sink = exports
  * }}}
  */
 object PipelineConfig {
@@ -89,6 +108,70 @@ object PipelineConfig {
         catalogName = opt("catalog.name"))
     }
 
+    // ── source declarations (reference: pramen.sources HOCON block) ──
+    val sourceNames = kv.keys.collect { case k if k.startsWith("source.") => k.split("\\.")(1) }
+      .toSeq.distinct
+    val sources: Map[String, SparkSession => graft.sources.GraftSource] = sourceNames.map { s =>
+      def opt(k: String) = kv.get(s"source.$s.$k")
+      def req(k: String) = opt(k).getOrElse(
+        throw new IllegalArgumentException(s"source.$s.$k is required"))
+      val srcOptions = kv.collect {
+        case (k, v) if k.startsWith(s"source.$s.option.") => k.stripPrefix(s"source.$s.option.") -> v
+      }
+      val infoCol = opt("info.date.column")
+      val infoType = opt("info.date.type").getOrElse("date")
+      val build: SparkSession => graft.sources.GraftSource = opt("type").getOrElse("spark") match {
+        case "spark" =>
+          val path = req("path"); val fmt = opt("format").getOrElse("parquet")
+          sp => new graft.sources.SparkSource(sp, path, fmt, srcOptions, infoCol, infoType)
+        case "catalog" =>
+          val stmt = opt("table").orElse(opt("sql")).getOrElse(
+            throw new IllegalArgumentException(s"source.$s needs 'table' or 'sql'"))
+          val isSql = opt("table").isEmpty
+          sp => new graft.sources.CatalogSource(sp, stmt, isSql, infoCol, infoType)
+        case "raw" =>
+          val path = req("path")
+          sp => new graft.sources.RawFileSource(sp, path)
+        case other => throw new IllegalArgumentException(s"source.$s.type: unknown type '$other'")
+      }
+      s -> build
+    }.toMap
+
+    // ── sink declarations (reference: pramen.sinks HOCON block) ──
+    val sinkNames = kv.keys.collect { case k if k.startsWith("sink.") => k.split("\\.")(1) }
+      .toSeq.distinct
+    val sinks: Map[String, graft.sinks.GraftSink] = sinkNames.map { s =>
+      def opt(k: String) = kv.get(s"sink.$s.$k")
+      def req(k: String) = opt(k).getOrElse(
+        throw new IllegalArgumentException(s"sink.$s.$k is required"))
+      val sinkOptions = kv.collect {
+        case (k, v) if k.startsWith(s"sink.$s.option.") => k.stripPrefix(s"sink.$s.option.") -> v
+      }
+      val sink: graft.sinks.GraftSink = opt("type").getOrElse("spark") match {
+        case "spark" =>
+          new graft.sinks.SparkSink(req("path"), opt("format").getOrElse("parquet"),
+            formatOptions = sinkOptions,
+            partitionBy = opt("partition.by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+            numberOfPartitions = opt("partitions").map(_.toInt))
+        case "localcsv" =>
+          new graft.sinks.LocalCsvSink(req("path"),
+            separator = opt("separator").getOrElse(","),
+            header = !opt("header").contains("false"),
+            quoteAll = opt("quote.all").contains("true"),
+            nameTransform = opt("name.transform").getOrElse("none") match {
+              case "upper" => graft.sinks.ColumnNameTransform.MakeUpper
+              case "lower" => graft.sinks.ColumnNameTransform.MakeLower
+              case "sanitize" => graft.sinks.ColumnNameTransform.Sanitize
+              case _ => graft.sinks.ColumnNameTransform.NoChange
+            })
+        case "cmdline" =>
+          new graft.sinks.CmdLineSink(req("staging"), req("command"),
+            timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(300L))
+        case other => throw new IllegalArgumentException(s"sink.$s.type: unknown type '$other'")
+      }
+      s -> sink
+    }.toMap
+
     val jobIds = kv.keys.collect { case k if k.startsWith("job.") => k.split("\\.")(1) }
       .toSeq.distinct.sortBy(_.toInt)
     val jobs = jobIds.map { j =>
@@ -96,28 +179,63 @@ object PipelineConfig {
       def req(s: String) = opt(s).getOrElse(
         throw new IllegalArgumentException(s"job.$j.$s is required"))
       val inputs = opt("inputs").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
-      val transformer: Transformer = req("transformer") match {
-        case "identity" => new IdentityTransformer
-        case "sql" => new SqlTransformer(req("sql"), inputs)
-        case "process" => new ProcessTransformer(req("command"), req("staging"), inputs,
-          timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(600L))
-        case fqcn => // reference-style transformer.class: instantiate by name
-          Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Transformer]
-      }
       val options = kv.collect {
         case (k, v) if k.startsWith(s"job.$j.option.") => k.stripPrefix(s"job.$j.option.") -> v
       }
+      def sourceOf(name: String) = sources.getOrElse(name,
+        throw new IllegalArgumentException(s"job.$j.source: source '$name' is not declared"))
+      def sinkOf(name: String) = sinks.getOrElse(name,
+        throw new IllegalArgumentException(s"job.$j.sink: sink '$name' is not declared"))
+
+      // operation type (reference: pramen/core
+      // .../core/pipeline/OperationType.scala — ingestion |
+      // transformation | sink | transfer, with the same aliases)
+      val (outputTable, transformer, jobInputs, sinkTarget) =
+        opt("type").getOrElse("transformation") match {
+          case "transformation" | "transformer" | "transform" =>
+            val t: Transformer = req("transformer") match {
+              case "identity" => new IdentityTransformer
+              case "sql" => new SqlTransformer(req("sql"), inputs)
+              case "process" => new ProcessTransformer(req("command"), req("staging"), inputs,
+                timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(600L))
+              case fqcn => // reference-style transformer.class: instantiate by name
+                Class.forName(fqcn).getDeclaredConstructor().newInstance().asInstanceOf[Transformer]
+            }
+            (req("output"), t, inputs, None)
+          case "ingestion" | "sourcing" | "extract" =>
+            (req("output"), new IngestionTransformer(sourceOf(req("source"))), inputs, None)
+          case "sink" | "load" =>
+            val input = opt("input").orElse(inputs.headOption).getOrElse(
+              throw new IllegalArgumentException(s"job.$j (sink) needs 'input' or 'inputs'"))
+            val sinkName = req("sink")
+            (opt("output").getOrElse(s"$input->$sinkName"),
+              new IdentityTransformer, Seq(input), Some(SinkTarget(sinkOf(sinkName), input)))
+          case "transfer" | "source2sink" =>
+            val srcName = req("source"); val sinkName = req("sink")
+            (opt("output").getOrElse(s"$srcName->$sinkName"),
+              new IngestionTransformer(sourceOf(srcName)), inputs,
+              Some(SinkTarget(sinkOf(sinkName), srcName)))
+          case other => throw new IllegalArgumentException(s"job.$j.type: unknown type '$other'")
+        }
+
       JobDef(
         name = opt("name").getOrElse(s"job_$j"),
-        outputTable = req("output"),
+        outputTable = outputTable,
         transformer = transformer,
-        inputTables = inputs,
+        inputTables = jobInputs,
         schedule = opt("schedule").map(Schedule.parse).getOrElse(Schedule.Daily()),
         infoDateExpr = opt("info.date.expr").getOrElse("@runDate"),
-        options = options,
+        options = sinkTarget match {
+          // a sink job's reader is the IdentityTransformer — point it
+          // at the input table unless the config already did
+          case Some(_) if jobInputs.nonEmpty && !options.contains("input.table") =>
+            options + ("input.table" -> jobInputs.head)
+          case _ => options
+        },
         retries = opt("retries").map(_.toInt).getOrElse(0),
         trackDays = opt("track.days").map(_.toInt).getOrElse(0),
-        initialDateExpr = opt("initial.date.expr").getOrElse("@runDate"))
+        initialDateExpr = opt("initial.date.expr").getOrElse("@runDate"),
+        sink = sinkTarget)
     }
 
     // durable pipeline state: without `bookkeeping.path` every CLI

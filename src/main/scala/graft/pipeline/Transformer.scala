@@ -78,6 +78,23 @@ final class ConversionTransformer extends Transformer {
 }
 
 /**
+ * Adapter that runs a SOURCE read as a pipeline job — the "ingestion"
+ * operation type (reference: pramen/core
+ * .../core/pipeline/OperationType.scala `ingestion|sourcing|extract`,
+ * IngestionJob.scala): the source's info-date window becomes the
+ * job's output DataFrame, which the orchestrator lands in the output
+ * metastore table like any other job (bookkeeping, retries, locks and
+ * late-data tracking included). The source is built lazily against
+ * the active session so config parsing stays Spark-free.
+ */
+final class IngestionTransformer(build: org.apache.spark.sql.SparkSession => graft.sources.GraftSource)
+    extends Transformer {
+  override def run(ms: MetastoreReader, infoDate: LocalDate,
+                   options: Map[String, String]): DataFrame =
+    build(org.apache.spark.sql.SparkSession.active).getData(infoDate, infoDate).df
+}
+
+/**
  * External-process transformer — the language-interop surface
  * (reference: pramen-py, whose Python transformers exchange data with
  * the JVM pipeline through metastore storage rather than in-process
