@@ -17,9 +17,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen compiler, parquet footer reads) so the
-    // first measured query doesn't absorb one-time JVM startup cost
+    // warm the session (codegen compiler, parquet footer reads, AND the
+    // parquet write path — output committer + writer codegen init costs
+    // ~3 s that would otherwise land on whichever metastore-writing
+    // query happens to run first) so the first measured query doesn't
+    // absorb one-time JVM startup cost
     spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop").mode("overwrite").save()
+    val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.mode("overwrite").parquet(warmDir.resolve("warm").toString)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
