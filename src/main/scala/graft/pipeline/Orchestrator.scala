@@ -34,6 +34,34 @@ import scala.util.{Failure, Success, Try}
  *                        (reference: pramen/core
  *                        .../core/pipeline/SinkJob.scala,
  *                        TransferJob.scala).
+ * @param outputTransforms declarative column rewrites applied to the
+ *                        job's output before it is saved/sent, in
+ *                        order (later transforms see earlier ones);
+ *                        empty/"drop" expression drops the column
+ *                        (reference: api/jobdef/TransformExpression,
+ *                        core/utils/SparkUtils.applyTransformations).
+ * @param outputFilters   SQL predicates applied after the transforms;
+ *                        `@infoDate` substitutes the task's info date
+ *                        as a date literal (reference:
+ *                        SparkUtils.applyFilters).
+ * @param outputColumns   final projection after transforms + filters
+ *                        (reference: OperationDef columns).
+ * @param minimumRecords  fail the task when the output has fewer rows
+ *                        (the partition IS saved — the failure marks
+ *                        the run for re-delivery, it doesn't roll the
+ *                        write back); 0 disables (reference: pramen's
+ *                        minimum.records / fail.if.no.data options).
+ * @param sparkConf       session conf overrides set for the duration
+ *                        of this job's run and restored after —
+ *                        per-operation tuning such as
+ *                        spark.sql.shuffle.partitions for a small
+ *                        dimension job (reference: OperationDef
+ *                        extraOptions / spark.conf block).
+ * @param optionalInputs  inputs whose producing job may fail without
+ *                        skipping this job (the reference's optional
+ *                        MetastoreDependency): the transformer then
+ *                        decides via `validate` whether it can run
+ *                        from what's available.
  */
 final case class JobDef(
     name: String,
@@ -46,7 +74,40 @@ final case class JobDef(
     retries: Int = 0,
     trackDays: Int = 0,
     initialDateExpr: String = "@runDate",
-    sink: Option[SinkTarget] = None)
+    sink: Option[SinkTarget] = None,
+    outputTransforms: Seq[OutputTransform] = Seq.empty,
+    outputFilters: Seq[String] = Seq.empty,
+    outputColumns: Seq[String] = Seq.empty,
+    minimumRecords: Long = 0L,
+    sparkConf: Map[String, String] = Map.empty,
+    optionalInputs: Set[String] = Set.empty)
+
+/** One declarative output rewrite: `column <- expression`; a missing,
+  * empty or literal-"drop" expression drops the column instead. */
+final case class OutputTransform(column: String, expression: Option[String])
+
+object OutputTransform {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, expr}
+
+  /** Shape a job's output: transforms (in order) → filters (with
+    * `@infoDate` substituted) → column projection. Purely
+    * declarative — every step stays inside the job's single Catalyst
+    * plan, so filters still push down and unused transform columns
+    * are pruned. */
+  def shape(df: DataFrame, job: JobDef, infoDate: LocalDate): DataFrame = {
+    val transformed = job.outputTransforms.foldLeft(df) { (acc, t) =>
+      t.expression.map(_.trim).filter(e => e.nonEmpty && !e.equalsIgnoreCase("drop")) match {
+        case Some(e) => acc.withColumn(t.column, expr(e))
+        case None => acc.drop(t.column)
+      }
+    }
+    val filtered = job.outputFilters.foldLeft(transformed)((acc, f) =>
+      acc.filter(expr(f.replace("@infoDate", s"date'$infoDate'"))))
+    if (job.outputColumns.nonEmpty) filtered.select(job.outputColumns.map(col): _*)
+    else filtered
+  }
+}
 
 /** A sink destination for a sink/transfer job: the sink plus the
   * logical table name handed to `GraftSink.send` (sinks key their
@@ -187,10 +248,21 @@ final class Orchestrator(
         val depJobs = job.inputTables.flatMap(byOutput.get).filterNot(_.name == job.name)
         val depsF = Future.sequence(depJobs.map(futureFor))
         depsF.map { deps =>
-          val failedDep = deps.flatten.collectFirst { case f: TaskResult.Failed => f }
+          // optional (passive) dependencies may fail without blocking
+          // this job — the transformer's validate decides whether it
+          // can run from what's available (reference: optional
+          // MetastoreDependency)
+          val required = depJobs.zip(deps).filterNot {
+            case (d, _) => job.optionalInputs.contains(d.outputTable)
+          }
+          val failedDep = required.flatMap(_._2).collectFirst { case f: TaskResult.Failed => f }
           failedDep match {
             case Some(f) => Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
-            case None => body(job)
+            // conf overrides wrap ALL of the job's dates (so concurrent
+            // dates of one job never race on restore); two parallel
+            // jobs overriding the SAME key do race on the shared
+            // session conf — don't combine that
+            case None => withSparkConf(job.sparkConf)(body(job))
           }
         }
       })
@@ -249,7 +321,8 @@ final class Orchestrator(
               s"(${job.outputTable}, $infoDate) is locked by another pipeline")
         }
         def attempt(): Try[graft.meta.TableStats] = Try {
-          val df = job.transformer.run(reader, infoDate, job.options)
+          val df = OutputTransform.shape(
+            job.transformer.run(reader, infoDate, job.options), job, infoDate)
           job.sink match {
             case Some(st) => // sink/transfer job: data leaves the metastore
               val r = st.sink.send(df, st.tableName, infoDate, job.options)
@@ -264,6 +337,14 @@ final class Orchestrator(
             case other => other
           }
         try attemptWithRetries(job.retries) match {
+          case Success(stats) if stats.recordCount < job.minimumRecords =>
+            // the write happened (no rollback) but the run is recorded
+            // failed so skip-if-done re-delivers it once the source has
+            // enough data (reference: pramen minimum.records semantics)
+            bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
+              "failed", t0, System.currentTimeMillis()))
+            TaskResult.Failed(job.name, new IllegalStateException(
+              s"minimum.records not met: got ${stats.recordCount}, need ${job.minimumRecords}"))
           case Success(stats) =>
             incCtx.foreach(_.commitPending()) // advance offsets only on success
             bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
@@ -274,6 +355,23 @@ final class Orchestrator(
               "failed", t0, System.currentTimeMillis()))
             TaskResult.Failed(job.name, e)
         } finally lock.foreach(_.release())
+    }
+  }
+
+  /** Set per-job session conf overrides for the duration of `body`,
+    * restoring each key's previous value (or unsetting it) after —
+    * jobs tune e.g. shuffle partitions without leaking the setting
+    * into the rest of the pipeline. Runtime (SQL) confs only; static
+    * confs throw, which surfaces as the task's failure. */
+  private def withSparkConf[A](overrides: Map[String, String])(body: => A): A = {
+    if (overrides.isEmpty) return body
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+    val saved = overrides.keys.map(k => k -> conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 

@@ -235,7 +235,31 @@ object PipelineConfig {
         retries = opt("retries").map(_.toInt).getOrElse(0),
         trackDays = opt("track.days").map(_.toInt).getOrElse(0),
         initialDateExpr = opt("initial.date.expr").getOrElse("@runDate"),
-        sink = sinkTarget)
+        sink = sinkTarget,
+        // declarative output shaping (reference: OperationDef
+        // schema.transformations / filters / columns blocks)
+        outputTransforms = kv.keys
+          .collect { case k if k.startsWith(s"job.$j.transformation.") => k.split("\\.")(3) }
+          .toSeq.distinct.sortBy(_.toInt)
+          .map(n => OutputTransform(
+            kv.getOrElse(s"job.$j.transformation.$n.col",
+              throw new IllegalArgumentException(s"job.$j.transformation.$n.col is required")),
+            kv.get(s"job.$j.transformation.$n.expr"))),
+        outputFilters = kv.keys
+          .collect { case k if k.startsWith(s"job.$j.filter.") => k.split("\\.")(3) }
+          .toSeq.distinct.sortBy(_.toInt)
+          .map(n => kv(s"job.$j.filter.$n")),
+        outputColumns = opt("columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+        // fail.if.no.data is minimum.records = 1 (reference keeps both keys)
+        minimumRecords = math.max(
+          opt("minimum.records").map(_.toLong).getOrElse(0L),
+          if (opt("fail.if.no.data").contains("true")) 1L else 0L),
+        sparkConf = kv.collect {
+          case (k, v) if k.startsWith(s"job.$j.spark.conf.") =>
+            k.stripPrefix(s"job.$j.spark.conf.") -> v
+        },
+        optionalInputs = opt("optional.inputs")
+          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
     }
 
     // durable pipeline state: without `bookkeeping.path` every CLI
