@@ -26,6 +26,9 @@ object Bench {
     val warmDir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").parquet(warmDir.resolve("warm").toString)
+    // the warm write's only job was to exist — don't leak a parquet
+    // copy of nation into the temp dir on every bench invocation
+    org.apache.commons.io.FileUtils.deleteQuietly(warmDir.toFile)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -139,8 +139,11 @@ object SparkEntry {
     }),
 
     "q_anti_join" -> ((s, dir) => {
+      // customers with no URGENT order — the plain no-orders version is
+      // vacuously empty on this data, which made the gate a 0-row match
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_acctbal")
     }),
 
@@ -689,7 +692,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -59,8 +59,16 @@ object DupGroups {
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint()
 
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    // no candidate edges (every pair was a self-loop, or `pairs` is
+    // empty — a normal production case): nothing to group
+    if (labels.isEmpty) return labels.select(col("id"), col("comp").as("group_id"))
+
+    // sum(...) over an empty frame is SQL NULL; treat it as zero so an
+    // all-filtered intermediate round can't NPE the comparison
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
 
     var prev = labelSum(labels)
     var it = 0
@@ -90,6 +98,13 @@ object DupGroups {
       labels = compressed
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "labels would be partially propagated (documents kept that " +
+          "belong to an already-represented group). Raise maxIter: " +
+          "compress doubles the resolved distance per round, so even " +
+          "a path of 2^50 nodes fits in the default 50.")
     labels.select(col("id"), col("comp").as("group_id"))
   }
 

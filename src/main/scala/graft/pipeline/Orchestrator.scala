@@ -259,9 +259,13 @@ final class Orchestrator(
           failedDep match {
             case Some(f) => Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
             // conf overrides wrap ALL of the job's dates (so concurrent
-            // dates of one job never race on restore); two parallel
-            // jobs overriding the SAME key do race on the shared
-            // session conf — don't combine that
+            // dates of one job never race on restore). The overrides
+            // mutate the SHARED session conf: every job running
+            // concurrently with this one executes under these values
+            // until the restore — not just jobs touching the same key.
+            // Keep sparkConf-carrying jobs serial (parallelism = 1) or
+            // give them a dedicated spark.newSession() when that
+            // cross-talk matters.
             case None => withSparkConf(job.sparkConf)(body(job))
           }
         }

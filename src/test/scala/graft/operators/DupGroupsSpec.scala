@@ -58,6 +58,26 @@ class DupGroupsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("empty pairs and self-loop-only pairs yield no groups (and no crash)") {
+    assert(components(Seq.empty) == Map.empty)
+    assert(components(Seq((5L, 5L), (9L, 9L))) == Map.empty)
+    // keepRepresentatives on a corpus with no duplicate candidates
+    // returns the corpus unchanged — the normal production case
+    val corpus = (1L to 4L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = DupGroups.keepRepresentatives(
+        corpus, "doc_id", Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("maxIter exhaustion raises instead of returning partial labels") {
+    val pairs = (1L until 40L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIter = 1)
+        .collect()
+    }
+  }
+
   test("keepRepresentatives keeps the group minimum plus all unpaired docs") {
     val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 3L), (3L, 4L), (6L, 7L)).toDF("a", "b")
