@@ -42,8 +42,20 @@ object DupGroups {
    * emitted — callers union them back if needed (see
    * [[keepRepresentatives]], which does).
    */
+  /**
+   * Edge-count threshold below which the component labels are resolved
+   * with a driver-side union-find instead of iterative Spark rounds.
+   * Candidate pairs are the OUTPUT of LSH candidate generation — tiny
+   * relative to the corpus (a corpus with 2M near-dup pairs at 16
+   * bytes/pair is ~32 MB on the driver) — so in the common case the
+   * whole O(log L)-round job cascade collapses to one collect. Above
+   * the threshold the distributed hook+compress path runs unchanged.
+   */
+  val DriverResolveMaxEdges: Long = 2L * 1000 * 1000
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverResolveMaxEdges: Long = DriverResolveMaxEdges): DataFrame = {
     // undirected adjacency: both orientations, self-loops dropped,
     // deduplicated once so repeated candidate pairs don't multiply
     // every subsequent join
@@ -52,6 +64,25 @@ object DupGroups {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+
+    // small-graph fast path: one count (ids only — und is checkpointed,
+    // so this is cheap and reused) decides whether the edge list fits on
+    // the driver; integral ids only, other key types take the
+    // distributed path below
+    val integralIds = und.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && und.count() <= driverResolveMaxEdges) {
+      val spark = pairs.sparkSession
+      val edges = und.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = unionFindLabels(edges)
+      import spark.implicits._
+      val out = labels.toSeq.toDF("id", "group_id")
+      return if (und.schema.head.dataType == org.apache.spark.sql.types.IntegerType)
+        out.select(col("id").cast("int").as("id"), col("group_id").cast("int").as("group_id"))
+      else out
+    }
 
     // initial labels: min of self and direct neighbors (a free first hook)
     var labels = und.groupBy(col("src").as("id"))
@@ -106,6 +137,24 @@ object DupGroups {
           "compress doubles the resolved distance per round, so even " +
           "a path of 2^50 nodes fits in the default 50.")
     labels.select(col("id"), col("comp").as("group_id"))
+  }
+
+  /** Path-compressing union-find, labels normalized to the component
+    * minimum id — the same contract as the distributed path. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x // compress
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /**

@@ -6,9 +6,18 @@ import graft.SparkSpec
 class DupGroupsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+  /** Resolve components through BOTH the driver union-find fast path
+    * and the distributed hook+compress path, assert they agree, and
+    * return the result — every graph in this suite covers both. */
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val fast = DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b",
+        driverResolveMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, "driver fast path and distributed path disagree")
+    fast
+  }
 
   /** Ground truth by union-find. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -73,7 +82,8 @@ class DupGroupsSpec extends SparkSpec {
   test("maxIter exhaustion raises instead of returning partial labels") {
     val pairs = (1L until 40L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
-      DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIter = 1)
+      DupGroups.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIter = 1,
+          driverResolveMaxEdges = -1L)
         .collect()
     }
   }
