@@ -46,7 +46,8 @@ final class Metastore(spark: SparkSession) {
    * append for incremental, overwrite only on explicit rerun).
    */
   def saveTable(name: String, infoDate: LocalDate, df: DataFrame,
-                mode: SaveMode = SaveMode.Overwrite): TableStats = {
+                mode: SaveMode = SaveMode.Overwrite,
+                trackSchema: Boolean = true): TableStats = {
     val t = getTableDef(name)
     if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
     if (t.format == DataFormat.Delta) Metastore.requireDelta()
@@ -99,7 +100,9 @@ final class Metastore(spark: SparkSession) {
     val cnt = obs.get("cnt").asInstanceOf[Long]
     val stats = TableStats(cnt, sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
-    recordSchema(name, infoDate, df.schema)
+    // trackSchema=false: the job declared its schema drifts by design
+    // (ignore.schema.change) — don't flag evolution on every save
+    if (trackSchema) recordSchema(name, infoDate, df.schema)
     stats
   }
 

@@ -86,8 +86,10 @@ final class Bookkeeper(journalPath: Option[String] = None) {
 
   def get(table: String, infoDate: LocalDate): Option[RunRecord] = records.get((table, infoDate))
 
+  /** Done means succeeded OR durably skipped (`Reason.Skip` records a
+    * "skipped" slot precisely so it is never re-offered). */
   def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
-    records.get((table, infoDate)).exists(_.status == "succeeded")
+    records.get((table, infoDate)).exists(r => r.status == "succeeded" || r.status == "skipped")
 
   def latestSuccess(table: String): Option[LocalDate] =
     records.values.filter(r => r.table == table && r.status == "succeeded")

@@ -25,7 +25,9 @@ final class ConsoleNotifier extends PipelineNotificationTarget {
   }
 
   private def describe(r: TaskResult): String = r match {
-    case TaskResult.Succeeded(j, t, d, n) => s"job '$j' OK → $t@$d ($n records)"
+    case TaskResult.Succeeded(j, t, d, n, ws) =>
+      val w = if (ws.isEmpty) "" else s" [warnings: ${ws.mkString("; ")}]"
+      s"job '$j' OK → $t@$d ($n records)$w"
     case TaskResult.Skipped(j, why)       => s"job '$j' skipped: $why"
     case TaskResult.NotReady(j, why)      => s"job '$j' not ready: $why"
     case TaskResult.Failed(j, e)          => s"job '$j' FAILED: ${e.getMessage}"
@@ -47,7 +49,9 @@ object RunReport {
 
   def build(pipelineName: String, results: Seq[TaskResult], runDate: LocalDate): Report = {
     val lines = results.map {
-      case TaskResult.Succeeded(j, t, d, n) => Line(j, "SUCCESS", s"$t@$d: $n records")
+      case TaskResult.Succeeded(j, t, d, n, ws) =>
+        val w = if (ws.isEmpty) "" else s" — warnings: ${ws.mkString("; ")}"
+        Line(j, if (ws.isEmpty) "SUCCESS" else "WARNING", s"$t@$d: $n records$w")
       case TaskResult.Skipped(j, why)       => Line(j, "SKIPPED", why)
       case TaskResult.NotReady(j, why)      => Line(j, "NOT READY", why)
       case TaskResult.Failed(j, e)          =>
@@ -56,7 +60,8 @@ object RunReport {
         val frame = e.getStackTrace.headOption.map(f => s" at $f").getOrElse("")
         Line(j, "FAILED", s"${e.getClass.getSimpleName}: ${e.getMessage}$frame")
     }
-    val nOk = lines.count(_.status == "SUCCESS")
+    // WARNING is a success with attached warnings, not a failure class
+    val nOk = lines.count(l => l.status == "SUCCESS" || l.status == "WARNING")
     val nFail = lines.count(_.status == "FAILED")
     val nSkip = lines.count(_.status == "SKIPPED")
     val nNr = lines.count(_.status == "NOT READY")

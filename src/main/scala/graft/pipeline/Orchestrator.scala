@@ -62,6 +62,38 @@ import scala.util.{Failure, Success, Try}
  *                        MetastoreDependency): the transformer then
  *                        decides via `validate` whether it can run
  *                        from what's available.
+ * @param isCritical      a failure of this job aborts the whole
+ *                        pipeline: jobs not yet started are skipped
+ *                        (reference: OperationDef isCritical).
+ * @param alwaysAttempt   run this job even when a required dependency
+ *                        job failed — its own `validate` decides
+ *                        whether stale inputs are usable (reference:
+ *                        OperationDef alwaysAttempt).
+ * @param ignoreSchemaChange don't track/flag schema evolution for this
+ *                        job's saves — for tables whose schema drifts
+ *                        by design (reference: ignore.schema.change).
+ * @param consumeThreads  how many of the orchestrator's `parallelism`
+ *                        slots this job occupies while running — a
+ *                        heavy job can claim several slots so fewer
+ *                        siblings run beside it (reference:
+ *                        OperationDef consumeThreads).
+ * @param processingTimestampColumn when set, a timestamp column of
+ *                        this name (the task's start instant, one
+ *                        value per task) is added to the output
+ *                        (reference: processing.timestamp.column).
+ * @param expectedDelayDays source data for this job arrives N days
+ *                        late: Normal-mode runs shift the effective
+ *                        run date back by N, so the slot is attempted
+ *                        only once its data can exist (reference:
+ *                        expected.delay.days).
+ * @param warnMaxExecutionTimeSeconds attach a warning to the task
+ *                        result (and notifications) when the task ran
+ *                        longer than this (reference:
+ *                        warn.maximum.execution.time.seconds).
+ * @param killMaxExecutionTimeSeconds fail the attempt when it exceeds
+ *                        this wall-clock budget — a hung source can't
+ *                        pin the pipeline forever (reference:
+ *                        kill.maximum.execution.time.seconds).
  */
 final case class JobDef(
     name: String,
@@ -80,7 +112,15 @@ final case class JobDef(
     outputColumns: Seq[String] = Seq.empty,
     minimumRecords: Long = 0L,
     sparkConf: Map[String, String] = Map.empty,
-    optionalInputs: Set[String] = Set.empty)
+    optionalInputs: Set[String] = Set.empty,
+    isCritical: Boolean = false,
+    alwaysAttempt: Boolean = false,
+    ignoreSchemaChange: Boolean = false,
+    consumeThreads: Int = 1,
+    processingTimestampColumn: Option[String] = None,
+    expectedDelayDays: Int = 0,
+    warnMaxExecutionTimeSeconds: Option[Int] = None,
+    killMaxExecutionTimeSeconds: Option[Int] = None)
 
 /** One declarative output rewrite: `column <- expression`; a missing,
   * empty or literal-"drop" expression drops the column instead. */
@@ -116,7 +156,11 @@ final case class SinkTarget(sink: graft.sinks.GraftSink, tableName: String)
 
 sealed trait TaskResult { def job: String }
 object TaskResult {
-  final case class Succeeded(job: String, table: String, infoDate: LocalDate, records: Long) extends TaskResult
+  /** @param warnings non-fatal conditions surfaced to notifications:
+    *   validation `Reason.Warning` messages and execution-time budget
+    *   overruns (reference: RunStatus warnings). */
+  final case class Succeeded(job: String, table: String, infoDate: LocalDate, records: Long,
+                             warnings: Seq[String] = Nil) extends TaskResult
   final case class Skipped(job: String, reason: String) extends TaskResult
   final case class Failed(job: String, error: Throwable) extends TaskResult
   final case class NotReady(job: String, reason: String) extends TaskResult
@@ -234,14 +278,40 @@ final class Orchestrator(
 
   /** Dependency-ordered parallel execution skeleton: each job's body
     * runs after all jobs producing its inputs; a failed dependency
-    * task skips the dependent job. */
+    * task skips the dependent job (unless the job opts into
+    * `alwaysAttempt`). Concurrency is bounded by a fair semaphore of
+    * `parallelism` permits; a job holds `consumeThreads` of them while
+    * its body runs, so a heavy job keeps siblings off the cluster. A
+    * failed `isCritical` job flips the abort flag: bodies not yet
+    * started turn into skips. */
   private def runTree(jobs: Seq[JobDef], body: JobDef => Seq[TaskResult],
                       onDone: Seq[TaskResult] => Unit): Seq[TaskResult] = {
     validateDag(jobs)
     val byOutput = jobs.map(j => j.outputTable -> j).toMap
-    val pool = Executors.newFixedThreadPool(parallelism)
+    // cached pool + semaphore rather than a fixed pool: permit waiters
+    // park in their own threads, so weighted acquisition can never
+    // deadlock against the thread budget
+    val pool = Executors.newCachedThreadPool()
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val slots = new java.util.concurrent.Semaphore(parallelism, true)
+    val aborted = new java.util.concurrent.atomic.AtomicReference[String](null)
     val futures = scala.collection.mutable.Map.empty[String, Future[Seq[TaskResult]]]
+
+    def runBody(job: JobDef): Seq[TaskResult] = {
+      val permits = math.min(math.max(job.consumeThreads, 1), parallelism)
+      slots.acquire(permits)
+      try {
+        val crit = aborted.get()
+        if (crit != null)
+          Seq(TaskResult.Skipped(job.name, s"pipeline aborted: critical job '$crit' failed"))
+        else {
+          val rs = withSparkConf(job.sparkConf)(body(job))
+          if (job.isCritical && rs.exists(_.isInstanceOf[TaskResult.Failed]))
+            aborted.compareAndSet(null, job.name)
+          rs
+        }
+      } finally slots.release(permits)
+    }
 
     def futureFor(job: JobDef): Future[Seq[TaskResult]] = futures.synchronized {
       futures.getOrElseUpdate(job.name, {
@@ -257,7 +327,10 @@ final class Orchestrator(
           }
           val failedDep = required.flatMap(_._2).collectFirst { case f: TaskResult.Failed => f }
           failedDep match {
-            case Some(f) => Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
+            // alwaysAttempt: the job runs despite the failed parent —
+            // its validate sees what data actually exists and decides
+            case Some(f) if !job.alwaysAttempt =>
+              Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
             // conf overrides wrap ALL of the job's dates (so concurrent
             // dates of one job never race on restore). The overrides
             // mutate the SHARED session conf: every job running
@@ -266,7 +339,7 @@ final class Orchestrator(
             // Keep sparkConf-carrying jobs serial (parallelism = 1) or
             // give them a dedicated spark.newSession() when that
             // cross-talk matters.
-            case None => withSparkConf(job.sparkConf)(body(job))
+            case _ => runBody(job)
           }
         }
       })
@@ -312,10 +385,24 @@ final class Orchestrator(
         graft.meta.TableRunInfo(r.table, r.infoDate, r.recordCount, r.status,
           r.startedAtMs, r.finishedAtMs)))
     val t0 = System.currentTimeMillis()
-    job.transformer.validate(reader, infoDate, job.options) match {
+    val validation = job.transformer.validate(reader, infoDate, job.options)
+    validation match {
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)
-      case Reason.Skip(msg) => TaskResult.Skipped(job.name, msg)
+      case Reason.Skip(msg) =>
+        // a durable skip: the slot is recorded done, so Normal-mode
+        // catch-up won't keep re-offering it (reference: Reason.Skip)
+        bookkeeper.record(RunRecord(job.outputTable, infoDate, 0L,
+          "skipped", t0, System.currentTimeMillis()))
+        TaskResult.Skipped(job.name, msg)
+      case Reason.SkipOnce(msg) =>
+        // skip THIS run only: nothing recorded, the next Normal run
+        // offers the date again (reference: Reason.SkipOnce)
+        TaskResult.Skipped(job.name, msg)
       case _ =>
+        val validationWarnings = validation match {
+          case Reason.Warning(m) => Seq(m)
+          case _ => Nil
+        }
         // cross-pipeline exclusion: two drivers writing the same
         // (table, infoDate) through shared storage exclude each other
         val lock = lockDir.map(d => TokenLock.forPartition(d, job.outputTable, infoDate))
@@ -325,18 +412,45 @@ final class Orchestrator(
               s"(${job.outputTable}, $infoDate) is locked by another pipeline")
         }
         def attempt(): Try[graft.meta.TableStats] = Try {
-          val df = OutputTransform.shape(
+          val shaped = OutputTransform.shape(
             job.transformer.run(reader, infoDate, job.options), job, infoDate)
+          // one instant per task (the task's start), not per row —
+          // deterministic within the task and stable across its retries
+          val df = job.processingTimestampColumn.fold(shaped)(c =>
+            shaped.withColumn(c, org.apache.spark.sql.functions.lit(
+              new java.sql.Timestamp(t0))))
           job.sink match {
             case Some(st) => // sink/transfer job: data leaves the metastore
               val r = st.sink.send(df, st.tableName, infoDate, job.options)
               graft.meta.TableStats(r.recordsSent, None)
-            case None => metastore.saveTable(job.outputTable, infoDate, df)
+            case None => metastore.saveTable(job.outputTable, infoDate, df,
+              trackSchema = !job.ignoreSchemaChange)
           }
         }
+        // wall-clock budget: a hung attempt (stuck source, dead
+        // executor wait) is abandoned rather than pinning the slot
+        // forever; the worker thread is interrupted best-effort
+        def attemptBounded(): Try[graft.meta.TableStats] =
+          job.killMaxExecutionTimeSeconds match {
+            case None => attempt()
+            case Some(budget) =>
+              val ex = Executors.newSingleThreadExecutor()
+              val fut = ex.submit(new java.util.concurrent.Callable[Try[graft.meta.TableStats]] {
+                def call(): Try[graft.meta.TableStats] = attempt()
+              })
+              try fut.get(budget.toLong, java.util.concurrent.TimeUnit.SECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  fut.cancel(true)
+                  Failure(new java.util.concurrent.TimeoutException(
+                    s"task killed after exceeding kill.maximum.execution.time of ${budget}s"))
+                case e: java.util.concurrent.ExecutionException =>
+                  Failure(Option(e.getCause).getOrElse(e))
+              } finally ex.shutdownNow()
+          }
         // retry policy: re-attempt transient failures up to job.retries
         def attemptWithRetries(left: Int): Try[graft.meta.TableStats] =
-          attempt() match {
+          attemptBounded() match {
             case f: Failure[_] if left > 0 => attemptWithRetries(left - 1)
             case other => other
           }
@@ -351,9 +465,15 @@ final class Orchestrator(
               s"minimum.records not met: got ${stats.recordCount}, need ${job.minimumRecords}"))
           case Success(stats) =>
             incCtx.foreach(_.commitPending()) // advance offsets only on success
+            val t1 = System.currentTimeMillis()
+            val timeWarnings = job.warnMaxExecutionTimeSeconds.toSeq.collect {
+              case budget if (t1 - t0) / 1000.0 > budget =>
+                s"task ran ${(t1 - t0) / 1000}s, over the ${budget}s warning threshold"
+            }
             bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
-              "succeeded", t0, System.currentTimeMillis()))
-            TaskResult.Succeeded(job.name, job.outputTable, infoDate, stats.recordCount)
+              "succeeded", t0, t1))
+            TaskResult.Succeeded(job.name, job.outputTable, infoDate, stats.recordCount,
+              validationWarnings ++ timeWarnings)
           case Failure(e) =>
             bookkeeper.record(RunRecord(job.outputTable, infoDate, 0L,
               "failed", t0, System.currentTimeMillis()))

@@ -174,6 +174,9 @@ object PipelineConfig {
 
     val jobIds = kv.keys.collect { case k if k.startsWith("job.") => k.split("\\.")(1) }
       .toSeq.distinct.sortBy(_.toInt)
+      // disabled operations are dropped at parse time (reference:
+      // OperationDef DISABLED_KEY — both spellings accepted)
+      .filterNot(j => kv.get(s"job.$j.disabled").orElse(kv.get(s"job.$j.disable")).contains("true"))
     val jobs = jobIds.map { j =>
       def opt(s: String) = kv.get(s"job.$j.$s")
       def req(s: String) = opt(s).getOrElse(
@@ -259,7 +262,16 @@ object PipelineConfig {
             k.stripPrefix(s"job.$j.spark.conf.") -> v
         },
         optionalInputs = opt("optional.inputs")
-          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty))
+          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+        // per-operation runtime policy (reference: OperationDef)
+        isCritical = opt("critical").contains("true"),
+        alwaysAttempt = opt("always.attempt").contains("true"),
+        ignoreSchemaChange = opt("ignore.schema.change").contains("true"),
+        consumeThreads = opt("consume.threads").map(_.toInt).getOrElse(1),
+        processingTimestampColumn = opt("processing.timestamp.column"),
+        expectedDelayDays = opt("expected.delay.days").map(_.toInt).getOrElse(0),
+        warnMaxExecutionTimeSeconds = opt("warn.maximum.execution.time.seconds").map(_.toInt),
+        killMaxExecutionTimeSeconds = opt("kill.maximum.execution.time.seconds").map(_.toInt))
     }
 
     // durable pipeline state: without `bookkeeping.path` every CLI

@@ -158,7 +158,14 @@ object ScheduleStrategy {
   def daysToRun(job: JobDef, bookkeeper: Bookkeeper, params: RunParams,
                 minimumDate: Option[LocalDate] = None): List[TaskPreDef] = {
     val picked = params match {
-      case RunParams.Normal(runDate, newOnly, lateOnly) =>
+      case RunParams.Normal(rawRunDate, newOnly, lateOnly) =>
+        // expected.delay.days: the job's source lands N days late, so
+        // the whole Normal decision runs as of N days ago — the slot
+        // for a date is attempted only once its data can exist, and
+        // not-yet-expected dates are never flagged as missed
+        // (reference: ScheduleStrategySourcing getNew(runDate
+        // .minusDays(delayDays), ...))
+        val runDate = rawRunDate.minusDays(job.expectedDelayDays.toLong)
         val newDay =
           if (lateOnly || !job.schedule.isEnabled(runDate)) Nil
           else List(TaskPreDef(evalInfoDate(runDate, job.infoDateExpr), RunReason.New))

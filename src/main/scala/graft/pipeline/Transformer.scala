@@ -10,7 +10,11 @@ sealed trait Reason
 object Reason {
   case object Ready extends Reason
   final case class NotReady(msg: String) extends Reason
+  /** Skip the date for good: recorded as done, never re-offered. */
   final case class Skip(msg: String) extends Reason
+  /** Skip THIS run only: nothing recorded, the next Normal-mode run
+    * offers the date again (reference: api/Reason.SkipOnce). */
+  final case class SkipOnce(msg: String) extends Reason
   final case class Warning(msg: String) extends Reason
 }
 

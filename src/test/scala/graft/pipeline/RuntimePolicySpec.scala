@@ -1,0 +1,258 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.meta.{MetaTable, Metastore, MetastoreReader}
+import org.apache.spark.sql.DataFrame
+
+import java.time.LocalDate
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Per-operation runtime policy (reference: pramen/core
+  * .../core/pipeline/OperationDef.scala — isCritical, alwaysAttempt,
+  * ignoreSchemaChange, consumeThreads, processingTimestampColumn,
+  * expectedDelayDays, warn/kill max execution time) and the
+  * Skip-vs-SkipOnce validation contract (api/Reason.scala). */
+class RuntimePolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val runDate = LocalDate.parse("2024-06-15")
+
+  private def newMs(tables: String*): Metastore = {
+    val ms = new Metastore(spark)
+    val base = tmpDir("policy_")
+    tables.foreach(t => ms.register(MetaTable(t, s"$base/$t")))
+    ms
+  }
+
+  private def seed(n: Int): Transformer = new Transformer {
+    def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+      (1 to n).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+  }
+
+  private val failing: Transformer = new Transformer {
+    def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+      throw new RuntimeException("boom")
+  }
+
+  test("isCritical failure aborts jobs that have not started yet") {
+    val ms = newMs("a", "b")
+    // b runs strictly after a (dependency edge) and would normally be
+    // attempted despite a's failure (alwaysAttempt) — but a is critical,
+    // so by b's turn the pipeline is aborted
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("a_job", "a", failing, isCritical = true),
+      JobDef("b_job", "b", seed(2), inputTables = Seq("a"), alwaysAttempt = true)), runDate)
+    val byJob = results.map(r => r.job -> r).toMap
+    assert(byJob("a_job").isInstanceOf[TaskResult.Failed])
+    byJob("b_job") match {
+      case TaskResult.Skipped(_, why) => assert(why.contains("aborted"), why)
+      case other => fail(s"expected abort-skip, got $other")
+    }
+  }
+
+  test("alwaysAttempt runs a job whose required dependency failed") {
+    val ms = newMs("a", "b", "c")
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("a_job", "a", failing),
+      // b declares a as input but attempts anyway and succeeds without it
+      JobDef("b_job", "b", seed(3), inputTables = Seq("a"), alwaysAttempt = true),
+      // c has no alwaysAttempt: the failed dependency skips it
+      JobDef("c_job", "c", seed(3), inputTables = Seq("a"))), runDate)
+    val byJob = results.map(r => r.job -> r).toMap
+    assert(byJob("b_job").isInstanceOf[TaskResult.Succeeded])
+    assert(byJob("c_job").isInstanceOf[TaskResult.Skipped])
+  }
+
+  test("consumeThreads limits how many heavy jobs run concurrently") {
+    val ms = newMs("t1", "t2", "t3", "t4")
+    val running = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    def heavy: Transformer = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        val now = running.incrementAndGet()
+        peak.updateAndGet(p => math.max(p, now))
+        Thread.sleep(150)
+        running.decrementAndGet()
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    // parallelism 2, every job claims 2 slots -> strictly serial
+    val results = new Orchestrator(ms, parallelism = 2).run(
+      (1 to 4).map(i => JobDef(s"j$i", s"t$i", heavy, consumeThreads = 2)), runDate)
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), results.toString)
+    assert(peak.get() == 1, s"weighted jobs overlapped: peak=${peak.get()}")
+  }
+
+  test("processingTimestampColumn adds one task-level timestamp to the output") {
+    val ms = newMs("stamped")
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("s_job", "stamped", seed(5), processingTimestampColumn = Some("processed_at"))),
+      runDate)
+    assert(results.head.isInstanceOf[TaskResult.Succeeded])
+    val out = ms.getTable("stamped", Some(runDate), Some(runDate))
+    assert(out.schema("processed_at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.select("processed_at").distinct().count() == 1) // per task, not per row
+  }
+
+  test("expectedDelayDays shifts the Normal-mode slot back") {
+    val bk = new Bookkeeper()
+    val job = JobDef("d_job", "delayed", seed(1), expectedDelayDays = 2,
+      infoDateExpr = "@runDate", initialDateExpr = "@runDate")
+    val tasks = ScheduleStrategy.daysToRun(job, bk, RunParams.Normal(runDate))
+    // the effective run date is runDate-2: that one slot, nothing later
+    assert(tasks.map(_.infoDate) == List(runDate.minusDays(2)))
+    // an undelayed twin sees runDate itself
+    val undelayed = job.copy(expectedDelayDays = 0)
+    assert(ScheduleStrategy.daysToRun(undelayed, bk, RunParams.Normal(runDate))
+      .map(_.infoDate) == List(runDate))
+  }
+
+  test("warnMaxExecutionTimeSeconds attaches a warning; validate Warning flows through") {
+    val ms = newMs("warned")
+    val slowWithWarning = new Transformer {
+      override def validate(r: MetastoreReader, d: LocalDate, o: Map[String, String]): Reason =
+        Reason.Warning("input looked thin")
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        Thread.sleep(20)
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("w_job", "warned", slowWithWarning, warnMaxExecutionTimeSeconds = Some(0))),
+      runDate)
+    results.head match {
+      case TaskResult.Succeeded(_, _, _, n, warnings) =>
+        assert(n == 1)
+        assert(warnings.exists(_.contains("input looked thin")), warnings.toString)
+        assert(warnings.exists(_.contains("warning threshold")), warnings.toString)
+      case other => fail(s"expected success with warnings, got $other")
+    }
+    // the run report renders warning successes as WARNING but counts them ok
+    val report = RunReport.build("p", results, runDate)
+    assert(report.succeeded == 1 && report.failed == 0)
+    assert(report.lines.head.status == "WARNING")
+  }
+
+  test("killMaxExecutionTimeSeconds fails a hung task instead of pinning the slot") {
+    val ms = newMs("hung")
+    val hanging = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        Thread.sleep(120000) // interruptible hang
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val t0 = System.currentTimeMillis()
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("h_job", "hung", hanging, killMaxExecutionTimeSeconds = Some(1))), runDate)
+    val elapsed = System.currentTimeMillis() - t0
+    results.head match {
+      case TaskResult.Failed(_, e) =>
+        assert(e.isInstanceOf[java.util.concurrent.TimeoutException], e.toString)
+        assert(e.getMessage.contains("kill.maximum.execution.time"), e.getMessage)
+      case other => fail(s"expected kill failure, got $other")
+    }
+    assert(elapsed < 30000, s"kill took ${elapsed}ms")
+    // the failure is recorded: the slot re-delivers on the next run
+    assert(!new Orchestrator(ms).run(Seq(
+      JobDef("h_job", "hung", seed(1))), runDate).head.isInstanceOf[TaskResult.Skipped])
+  }
+
+  test("ignoreSchemaChange suppresses schema-evolution tracking for the job's saves") {
+    val ms = newMs("drifting", "tracked")
+    val wide = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, "x", 9.9)).toDF("id", "v", "extra")
+    }
+    // day 1 with the narrow schema, day 2 with the wide one
+    new Orchestrator(ms).run(Seq(JobDef("d1", "drifting", seed(1), ignoreSchemaChange = true)), runDate)
+    new Orchestrator(ms).run(Seq(JobDef("d2", "drifting", wide, ignoreSchemaChange = true)),
+      runDate.plusDays(1))
+    assert(ms.schemaChanges("drifting").isEmpty)
+    // the tracked twin records the added column
+    new Orchestrator(ms).run(Seq(JobDef("t1", "tracked", seed(1))), runDate)
+    new Orchestrator(ms).run(Seq(JobDef("t2", "tracked", wide)), runDate.plusDays(1))
+    assert(ms.schemaChanges("tracked").nonEmpty)
+  }
+
+  test("Reason.Skip is durable (never re-offered); SkipOnce re-offers next run") {
+    val bk = new Bookkeeper()
+    val ms = newMs("skippy", "oncey")
+    var ranSkippy = 0
+    var ranOncey = 0
+    val skipT = new Transformer {
+      override def validate(r: MetastoreReader, d: LocalDate, o: Map[String, String]): Reason =
+        Reason.Skip("nothing to do, ever")
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        ranSkippy += 1; Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val skipOnceT = new Transformer {
+      override def validate(r: MetastoreReader, d: LocalDate, o: Map[String, String]): Reason =
+        Reason.SkipOnce("not this run")
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        ranOncey += 1; Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val jobs = Seq(JobDef("sk", "skippy", skipT), JobDef("on", "oncey", skipOnceT))
+    val orch = new Orchestrator(ms, bookkeeper = bk)
+    val first = orch.runWith(jobs, RunParams.Normal(runDate))
+    assert(first.forall(_.isInstanceOf[TaskResult.Skipped]), first.toString)
+    // Skip recorded the slot as done; SkipOnce left no trace
+    assert(bk.isAlreadyRan("skippy", runDate))
+    assert(!bk.isAlreadyRan("oncey", runDate))
+    // next day's Normal run: skippy's date is NOT re-offered as late,
+    // oncey's is (and gets skipped again by its validate)
+    val second = orch.runWith(jobs, RunParams.Normal(runDate.plusDays(1)))
+    val reasons = second.collect { case TaskResult.Skipped(j, why) => (j, why) }
+    assert(!reasons.exists { case (j, w) => j == "sk" && w.contains("nothing to do") && second.size > 2 })
+    assert(ranSkippy == 0 && ranOncey == 0) // validate gated every attempt
+    // oncey was offered twice (new slot day1, late catch-up day2 + new day2)
+    val onceySkips = (first ++ second).collect {
+      case TaskResult.Skipped("on", w) if w.contains("not this run") => w
+    }
+    assert(onceySkips.size >= 2, s"SkipOnce date was not re-offered: $onceySkips")
+  }
+
+  test("disabled jobs are dropped at config parse time") {
+    val conf =
+      """pipeline.name = p
+        |table.a.path = /tmp/x/a
+        |table.b.path = /tmp/x/b
+        |job.1.output = a
+        |job.1.transformer = identity
+        |job.1.option.input.table = a
+        |job.2.output = b
+        |job.2.transformer = identity
+        |job.2.option.input.table = b
+        |job.2.disabled = true
+        |""".stripMargin
+    val parsed = PipelineConfig.parse(conf)
+    assert(parsed.jobs.map(_.outputTable) == Seq("a"))
+  }
+
+  test("runtime-policy keys parse from config") {
+    val conf =
+      """pipeline.name = p
+        |table.a.path = /tmp/x/a
+        |job.1.output = a
+        |job.1.transformer = identity
+        |job.1.option.input.table = a
+        |job.1.critical = true
+        |job.1.always.attempt = true
+        |job.1.ignore.schema.change = true
+        |job.1.consume.threads = 3
+        |job.1.processing.timestamp.column = loaded_at
+        |job.1.expected.delay.days = 2
+        |job.1.warn.maximum.execution.time.seconds = 30
+        |job.1.kill.maximum.execution.time.seconds = 600
+        |""".stripMargin
+    val j = PipelineConfig.parse(conf).jobs.head
+    assert(j.isCritical && j.alwaysAttempt && j.ignoreSchemaChange)
+    assert(j.consumeThreads == 3)
+    assert(j.processingTimestampColumn.contains("loaded_at"))
+    assert(j.expectedDelayDays == 2)
+    assert(j.warnMaxExecutionTimeSeconds.contains(30))
+    assert(j.killMaxExecutionTimeSeconds.contains(600))
+  }
+}
