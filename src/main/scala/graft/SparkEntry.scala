@@ -382,6 +382,43 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
     }),
 
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet-style cross-corpus segment dedup: segments = consecutive
+      // 10-token windows (this corpus has no newlines), drop every
+      // segment seen more than twice corpus-wide, rebuild in place
+      val seg: Column => Column = txt => {
+        val toks = split(lower(trim(txt)), "\\s+")
+        transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(10)),
+          st => array_join(slice(toks, st, lit(10)), " "))
+      }
+      graft.operators.TextPrep.dedupSegments(
+          t(s, dir, "documents"), "doc_id", "text", seg, " ", minRepeats = 2)
+        .select(col("doc_id"), col("text_clean"))
+    }),
+
+    "q_pack" -> ((s, dir) => {
+      // rows-only gate: chunk to 32-token windows, next-fit pack into
+      // 128-token training sequences, report per-sequence roll-ups
+      val chunks = graft.operators.TextPrep.chunk(
+          t(s, dir, "documents"), "text", "doc_id", maxTokens = 32)
+        .select((col("doc_id") * 10000 + col("chunk_id")).as("chunk_id"),
+          col("n_chunk_tokens"))
+      val packed = graft.operators.Packing.pack(
+        chunks, "chunk_id", "n_chunk_tokens", capacity = 128, numPartitions = 8)
+      graft.operators.Packing.sequenceStats(packed, 128)
+    }),
+
+    "q_ann_quant" -> ((s, dir) => {
+      // int8-quantized cosine top-k vs a DuckDB twin that replicates
+      // the max-abs/127 scheme on DOUBLE[] lists
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.operators.EmbeddingQuant.topK(
+        graft.operators.EmbeddingQuant.quantize(emb, "vec_id", "embedding"),
+        "vec_id", q, 20)
+    }),
+
     "q_token_count" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.select(
@@ -936,7 +973,35 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings
-        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 10)) AS s FROM toks),
+        |segs AS (
+        |  SELECT doc_id, s, array_to_string(t[s:s+9], ' ') AS seg FROM st),
+        |freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2),
+        |kept AS (SELECT doc_id, s, seg FROM segs WHERE seg NOT IN (SELECT seg FROM freq)),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY s) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id""".stripMargin,
+
+    "q_ann_quant" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN s = 0 THEN list_transform(emb, x -> 0.0)
+        |         ELSE list_transform(emb, x -> round(x / s)) END AS c
+        |  FROM base)
+        |SELECT vec_id, round(list_cosine_similarity(c,
+        |    (SELECT c FROM codes WHERE vec_id = 0)), 6) AS cosine
+        |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
     // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_jaccard, q_dedup_embed, q_ann_lsh:
     // rows-only gates (hash/LSH internals not ANSI-SQL-expressible)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Int8 embedding quantization: store each vector as one float scale +
+ * an array<tinyint> of codes — 4× smaller than float32, which at
+ * 100 TB of embeddings is the difference between a table that fits
+ * the page cache and one that doesn't. Symmetric max-abs scheme
+ * (code = round(x / maxAbs * 127)), the same shape faiss/SQ8 and
+ * every int8 inference stack use.
+ *
+ * Cosine similarity is scale-invariant, so ANN over the quantized
+ * table computes cosine DIRECTLY on the int8 codes (cast to double
+ * lane-wise inside the codegen'd loop) — no dequantization pass, no
+ * extra memory; the only cost is the quantization error (|Δcos|
+ * ≤ ~1/127 per the spec's measured bound).
+ *
+ * All pure column compositions (transform/aggregate HOFs + the native
+ * cosine expression) — no UDFs, one scan to quantize, one scan to
+ * probe.
+ */
+object EmbeddingQuant {
+
+  /** Per-vector scale: maxAbs / 127 (0-vectors quantize to scale 0,
+    * codes all-0, and dequantize back to exact zeros). */
+  def scaleOf(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))).cast("double") / 127.0d
+
+  /** array<tinyint> codes given an ALREADY-MATERIALIZED scale column.
+    * The scale must be a bound column, not a recomputed expression —
+    * an inline `scaleOf(vec)` here would re-run the O(d) array_max for
+    * every element, turning quantization O(d²). */
+  def codesOf(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0d, lit(0))
+        .otherwise(round(x.cast("double") / scale)).cast("tinyint"))
+
+  /** Quantize an embedding table: keeps `idCol`, adds `scale` +
+    * `codes`. Write THIS as the stored index table. */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), scaleOf(col(vecCol)).as("scale"), col(vecCol).as("_v"))
+      .select(col(idCol), col("scale"), codesOf(col("_v"), col("scale")).as("codes"))
+
+  /** Reconstruct approximate float vectors (for rescoring pipelines). */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale).cast("float"))
+
+  /** Exact top-k by cosine over the QUANTIZED table for one query
+    * vector (the query is quantized with the same scheme, so both
+    * sides pay the same rounding): one scan + TakeOrdered, no shuffle
+    * of the table — the same plan as AnnSearch.bruteForce, on a table
+    * a quarter the size. */
+  def topK(quantized: DataFrame, idCol: String,
+           query: Array[Double], k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensure(quantized.sparkSession)
+    // same operation ORDER as codesOf (x / (maxAbs/127), then round):
+    // a*127/b and a/(b/127) differ in the last ulp, which matters when
+    // a twin implementation (the correctness oracle) must bit-match
+    val qscale = math.max(query.map(math.abs).max, Double.MinPositiveValue) / 127.0d
+    // HALF_UP (away from zero), matching SQL round() — math.round
+    // would round -2.5 to -2 and silently skew negative codes by one
+    val qCodes = query.map(x =>
+      BigDecimal(x / qscale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    quantized.select(col(idCol),
+        round(VectorMath.cosineFast(
+          transform(col("codes"), c => c.cast("double")),
+          VectorMath.vecLit(qCodes)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

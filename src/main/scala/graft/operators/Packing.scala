@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing: assign token-counted chunks to fixed-capacity
+ * training sequences (the concat-and-pack step before a pre-training
+ * run, where every sequence must fit the model's context window and
+ * padding waste is money).
+ *
+ * Algorithm: greedy NEXT-FIT per partition — chunks stream through in
+ * (id) order and a chunk that would overflow the open bin closes it
+ * and starts the next. Next-fit is 2-competitive (never more than 2×
+ * the optimal bin count) and needs exactly one sequential pass with
+ * O(1) state, which is why it is THE streaming packing choice at
+ * scale: no sort by size, no cross-partition coordination, each
+ * partition packs independently and the sequence id namespaces the
+ * partition id into the high bits. Keeping id order also keeps a
+ * document's chunks adjacent in the packed sequence — the locality
+ * pre-training wants.
+ *
+ * This is genuine per-partition imperative logic (the bin state is a
+ * loop-carried dependency no window/cumsum can express, because the
+ * bin boundary depends on every previous decision), i.e. the one
+ * shape where `mapPartitions` is the right Spark tool rather than a
+ * workaround.
+ *
+ * Chunks larger than `capacity` get a sequence of their own (callers
+ * that want a hard failure instead should pre-filter) — truncation is
+ * a modeling decision, not a packing one.
+ */
+object Packing {
+
+  /**
+   * Pack `chunks` rows into sequences of at most `capacity` tokens.
+   * Returns (`idCol`, `tokensCol`, `seq_id`); join back on `idCol`
+   * for the chunk payloads (ids + token counts pack ~16 bytes/row —
+   * the text itself never moves through the packer).
+   *
+   * @param numPartitions when > 0, repartition by hash(id) first —
+   *        deterministic bin assignment for a given partition count;
+   *        0 keeps the incoming partitioning (no shuffle at all).
+   */
+  def pack(chunks: DataFrame, idCol: String, tokensCol: String,
+           capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val slim = chunks.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+    val parted =
+      if (numPartitions > 0) slim.repartition(numPartitions, col(idCol))
+      else slim
+    val packed = parted.sortWithinPartitions(idCol)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, tok) =>
+          if (fill > 0L && fill + tok > capacity) { bin += 1; fill = 0L }
+          fill += tok
+          // 24 bits of partition id, 40 bits of local bin counter
+          (id, tok, (pid << 40) | bin)
+        }
+      }
+    packed.toDF(idCol, tokensCol, "seq_id")
+  }
+
+  /** Per-sequence roll-up: chunk count, token total, fill ratio. */
+  def sequenceStats(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col(packed.columns(1))).as("seq_tokens"))
+      .withColumn("fill_ratio", round(col("seq_tokens") / capacity.toDouble, 4))
+}

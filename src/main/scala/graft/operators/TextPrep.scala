@@ -84,4 +84,80 @@ object TextPrep {
         least(col("_n") - col("_start") + 1, lit(maxTokens)).cast("int"))
       .drop("_toks", "_n", "_start")
   }
+
+  // ── cross-corpus segment (line) dedup ─────────────────────────────
+
+  /** Lines as segments: the CCNet-style boilerplate scrub — drop every
+    * line that repeats more than `minRepeats` times corpus-wide
+    * (headers, nav bars, cookie banners). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minRepeats: Int): DataFrame =
+    dedupSegments(docs, idCol, textCol,
+      t => split(t, "\n"), "\n", minRepeats)
+
+  /**
+   * Remove segments that occur more than `minRepeats` times across the
+   * WHOLE corpus (CCNet's paragraph/line dedup generalized to any
+   * segmentation). `segmenter` maps the text column to an
+   * array<string> of segments; surviving segments are rejoined with
+   * `joiner` into `text_clean`.
+   *
+   * Plan shape (the 100 TB story): pass 1 explodes segments and
+   * aggregates xxhash64(segment) counts — the shuffle carries (hash,
+   * partial count), never text. The frequent-hash set is bounded by
+   * totalSegments / minRepeats and in practice is the (tiny)
+   * boilerplate vocabulary; it is collected and compiled into an
+   * `isInCollection` hash-set predicate (codegen'd O(1) probe), so
+   * pass 2 rebuilds every document IN PLACE — zero shuffle of the
+   * corpus, no join, no explode. If the frequent set ever exceeds
+   * `maxDriverSet`, the rebuild falls back to explode → broadcast
+   * anti join → positional reassembly (one corpus-sized shuffle),
+   * which has no set-size limit.
+   *
+   * Hash note: membership is by 64-bit xxhash64, so two DIFFERENT
+   * segments colliding would both be dropped — at 2^-64 per pair this
+   * is the standard fingerprint-dedup trade (same as exact dedup's
+   * 128-bit window key, see Dedup.exact).
+   */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    segmenter: Column => Column, joiner: String,
+                    minRepeats: Int,
+                    maxDriverSet: Int = 5 * 1000 * 1000): DataFrame = {
+    require(minRepeats >= 1, s"minRepeats must be >= 1: $minRepeats")
+    val segs = docs.select(explode(segmenter(col(textCol))).as("_seg"))
+    val freqDf = segs.groupBy(xxhash64(col("_seg")).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > minRepeats)
+      .select(col("_h"))
+    val capped = freqDf.limit(maxDriverSet + 1).collect().map(_.getLong(0))
+    if (capped.length > maxDriverSet)
+      return rebuildByJoin(docs, idCol, textCol, segmenter, joiner, freqDf)
+    val keep: Column => Column =
+      if (capped.isEmpty) _ => lit(true)
+      else s => !xxhash64(s).isInCollection(capped)
+    docs.withColumn("text_clean",
+      array_join(filter(segmenter(col(textCol)), keep), joiner))
+  }
+
+  /** Fallback rebuild for frequent sets too large to hold on the
+    * driver: positional explode, broadcast anti join against the
+    * frequent hashes, order-preserving reassembly. One corpus-sized
+    * shuffle (the groupBy), unbounded set size. */
+  private def rebuildByJoin(docs: DataFrame, idCol: String, textCol: String,
+                            segmenter: Column => Column, joiner: String,
+                            freqDf: DataFrame): DataFrame = {
+    val segRows = docs.select(col(idCol),
+      posexplode(segmenter(col(textCol))).as(Seq("_pos", "_seg")))
+    val kept = segRows.join(broadcast(freqDf),
+      xxhash64(col("_seg")) === col("_h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          x => x.getField("_seg")),
+        joiner).as("text_clean"))
+    // docs whose every segment was boilerplate vanish from the groupBy —
+    // restore them as empty strings so the contract matches the in-place path
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Int8 embedding quantization + quantized-cosine ANN. */
+class EmbeddingQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("roundtrip error is bounded by the scale (scheme correctness)") {
+    val q = EmbeddingQuant.quantize(embeddings, "vec_id", "embedding")
+    val joined = embeddings.join(q, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        zip_with(col("embedding"),
+          EmbeddingQuant.dequantize(col("codes"), col("scale")),
+          (a, b) => abs(a - b)).as("errs"))
+      .select(col("vec_id"), (array_max(col("errs")) <= col("scale") * 0.5001).as("ok"))
+    assert(joined.where(!col("ok")).count() == 0)
+  }
+
+  test("codes stay in int8 range; zero vectors quantize to zero codes") {
+    val d = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, -2f, 0.5f))).toDF("vec_id", "embedding")
+    val q = EmbeddingQuant.quantize(d, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](2)).toMap
+    assert(q(1L).forall(_ == 0))
+    assert(q(2L).max == 127 || q(2L).min == -127) // maxAbs element saturates
+  }
+
+  test("quantized top-k recalls >= 9/10 of the exact top-10 and cosines agree to ~1/127") {
+    val query = embeddings.where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val exact = AnnSearch.bruteForce(embeddings, "embedding", "vec_id", query, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q = EmbeddingQuant.quantize(embeddings, "vec_id", "embedding")
+    val approx = EmbeddingQuant.topK(q, "vec_id", query, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val recall = exact.keySet.intersect(approx.keySet).size
+    assert(recall >= 9, s"recall@10 = $recall/10")
+    // cosine drift on the overlap stays within quantization noise
+    exact.keySet.intersect(approx.keySet).foreach { id =>
+      assert(math.abs(exact(id) - approx(id)) < 0.02,
+        s"id $id: exact ${exact(id)} vs quant ${approx(id)}")
+    }
+  }
+
+  test("plan shape: quantized top-k is scan + TakeOrdered, no table shuffle") {
+    val q = EmbeddingQuant.quantize(embeddings, "vec_id", "embedding")
+    val plan = EmbeddingQuant.topK(q, "vec_id", Array.fill(64)(0.1), 10)
+      .queryExecution.executedPlan.toString
+    val body = plan.split("== Initial Plan ==").head
+    assert(body.contains("TakeOrderedAndProject"), body)
+    assert(!body.contains("Exchange"), s"unexpected shuffle:\n$body")
+  }
+}
