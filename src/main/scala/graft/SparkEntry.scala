@@ -20,6 +20,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents table read with scan-starvation protection: a small
+   * corpus arrives as ONE parquet split, so every explode-heavy text
+   * operator (shingles, n-grams, chunking) would run its whole
+   * row-multiplying, CPU-bound phase on a single core while 31 idle.
+   * When the scan has fewer splits than `min`, redistribute once —
+   * the shuffle moves only the (small, that's the premise) corpus. At
+   * real scale the scan has thousands of splits and this is a no-op:
+   * no extra exchange in the plan. getNumPartitions only plans (no
+   * job). */
+  private def docs(s: SparkSession, dir: String, min: Int = 16): DataFrame = {
+    val df = t(s, dir, "documents")
+    if (df.rdd.getNumPartitions >= min) df else df.repartition(2 * min)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
    * reader rejects; read nanos as long and convert to micros. */
   private def events(s: SparkSession, dir: String): DataFrame = {
@@ -333,7 +347,7 @@ object SparkEntry {
 
     // ── §2.4 LLM-data operators ───────────────────────────────────
     "q_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.exact(docs(s, dir), "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
     }),
 
@@ -343,8 +357,8 @@ object SparkEntry {
       // set here is SQL-expressible on purpose — consecutive doc_ids
       // sharing a language — so the oracle can replay it with a
       // recursive CTE; production pairs come from MinHash/SimHash.
-      val docs = t(s, dir, "documents").select("doc_id", "lang")
-      val pairs = docs.as("x").join(docs.as("y"),
+      val dd = docs(s, dir).select("doc_id", "lang")
+      val pairs = dd.as("x").join(dd.as("y"),
           col("x.doc_id") + 1 === col("y.doc_id") && col("x.lang") === col("y.lang"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       graft.operators.DupGroups.connectedComponents(pairs, "a", "b")
@@ -354,22 +368,22 @@ object SparkEntry {
       // benchmark decontamination over the documents table: every 40th
       // doc is the "benchmark"; exact copies and n-gram leaks of those
       // docs are dropped from the training corpus
-      val docs = t(s, dir, "documents")
-      val bench = docs.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
+      val dd = docs(s, dir)
+      val bench = dd.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
       graft.operators.Decontaminate
-        .clean(docs, "text", "doc_id", bench, "q", shingleSize = 5, minOverlap = 1)
+        .clean(dd, "text", "doc_id", bench, "q", shingleSize = 5, minOverlap = 1)
         .select("doc_id", "lang", "n_chars")
     }),
 
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic synthetic PII appended per doc, then scrubbed —
       // proves regex parity with the oracle on real matches
-      val docs = t(s, dir, "documents")
+      val dd = docs(s, dir)
       val aug = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
         lit(".7 call +1 555 010 "), (lit(1000) + col("doc_id") % 9000).cast("string"))
-      docs.select(col("doc_id"),
+      dd.select(col("doc_id"),
         graft.operators.TextPrep.scrubPii(aug).as("clean_text"),
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.EmailPattern), lit(0))).as("n_emails"),
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.Ipv4Pattern), lit(0))).as("n_ips"),
@@ -377,7 +391,7 @@ object SparkEntry {
     }),
 
     "q_chunk" -> ((s, dir) => {
-      graft.operators.TextPrep.chunk(t(s, dir, "documents"), "text", "doc_id",
+      graft.operators.TextPrep.chunk(docs(s, dir), "text", "doc_id",
           maxTokens = 64, overlap = 8)
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
     }),
@@ -392,7 +406,7 @@ object SparkEntry {
           st => array_join(slice(toks, st, lit(10)), " "))
       }
       graft.operators.TextPrep.dedupSegments(
-          t(s, dir, "documents"), "doc_id", "text", seg, " ", minRepeats = 2)
+          docs(s, dir), "doc_id", "text", seg, " ", minRepeats = 2)
         .select(col("doc_id"), col("text_clean"))
     }),
 
@@ -400,7 +414,7 @@ object SparkEntry {
       // rows-only gate: chunk to 32-token windows, next-fit pack into
       // 128-token training sequences, report per-sequence roll-ups
       val chunks = graft.operators.TextPrep.chunk(
-          t(s, dir, "documents"), "text", "doc_id", maxTokens = 32)
+          docs(s, dir), "text", "doc_id", maxTokens = 32)
         .select((col("doc_id") * 10000 + col("chunk_id")).as("chunk_id"),
           col("n_chunk_tokens"))
       val packed = graft.operators.Packing.pack(
@@ -420,8 +434,8 @@ object SparkEntry {
     }),
 
     "q_token_count" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      docs.select(
+      val dd = docs(s, dir)
+      dd.select(
         col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
         TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
@@ -429,8 +443,8 @@ object SparkEntry {
     }),
 
     "q_text_quality" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      docs.select(
+      val dd = docs(s, dir)
+      dd.select(
         col("doc_id"),
         round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextFunctions.upperRatio(col("text")), 4).as("upper_ratio"),
@@ -442,7 +456,7 @@ object SparkEntry {
       // multiplication, single groupBy shuffle, TakeOrdered top-k.
       // Deterministic tie-break (freq desc, gram asc) so the LIMIT
       // boundary matches the oracle exactly.
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("gram"))
@@ -451,31 +465,31 @@ object SparkEntry {
 
     "q_lang_id" -> ((s, dir) => {
       // rows-only gate: predicted language distribution (heuristic)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"), col("lang"))
     }),
 
     "q_fingerprint" -> ((s, dir) => {
       // rows-only gate: 64-bit content fingerprints (xxhash64 not in DuckDB)
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
       // rows-only gate: near-dup candidate pairs at jaccard>=0.5
-      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+      Dedup.minhashNearDups(docs(s, dir), "text", "doc_id", threshold = 0.5)
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only gate: pairs within hamming distance 10 of 64-bit simhash
-      Dedup.simhashCandidates(t(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
+      Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 10)
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
       // rows-only gate: exact shingle-jaccard verification of candidates
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashCandidates(docs, "text", "doc_id", k = 32, bands = 16)
-      NgramJaccard.verifyPairs(cand, docs, "text", "doc_id")
+      val dd = docs(s, dir)
+      val cand = Dedup.minhashCandidates(dd, "text", "doc_id", k = 32, bands = 16)
+      NgramJaccard.verifyPairs(cand, dd, "text", "doc_id")
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
@@ -576,7 +590,7 @@ object SparkEntry {
       ms.register(MetaTable("docs_raw", metaPath("cur_src")))
       ms.register(MetaTable("docs_cur", metaPath("cur_out")))
       val d = LocalDate.parse("2024-05-01")
-      ms.saveTable("docs_raw", d, t(s, dir, "documents"))
+      ms.saveTable("docs_raw", d, docs(s, dir))
       new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
         "curate", "docs_cur", new graft.pipeline.CurationTransformer,
         Seq("docs_raw"), infoDateExpr = "@runDate",
@@ -608,7 +622,7 @@ object SparkEntry {
       // membership is not ANSI-SQL-replicable; specs pin the
       // disjointness/stability invariants)
       graft.operators.Sampling.withSplitLabel(
-          t(s, dir, "documents"), "doc_id", Seq(0.8, 0.1, 0.1),
+          docs(s, dir), "doc_id", Seq(0.8, 0.1, 0.1),
           Seq("train", "val", "test"))
         .groupBy("split").agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("total_chars"))
