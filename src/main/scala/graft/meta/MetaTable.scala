@@ -23,6 +23,29 @@ object PartitionScheme {
   case object Overwrite extends PartitionScheme
 }
 
+/** Read-caching policy of a metastore table
+  * (reference: pramen/api .../api/CachePolicy.scala). */
+sealed trait CachePolicy { def name: String }
+object CachePolicy {
+  /** Every read re-plans from storage (the default). */
+  case object NoCache extends CachePolicy { val name = "no_cache" }
+  /** Reads cached with Spark's default storage level (deserialized
+    * memory, spill to disk) for the session — for intermediate tables
+    * several downstream jobs consume in one run. */
+  case object Cache extends CachePolicy { val name = "cache" }
+  /** Reads persisted to executor DISK only — caching for tables too
+    * large for the memory fraction, still skipping source re-reads
+    * and decode. */
+  case object Persist extends CachePolicy { val name = "persist" }
+
+  def parse(s: String): CachePolicy = s.trim.toLowerCase match {
+    case "cache" => Cache
+    case "persist" => Persist
+    case "no_cache" | "nocache" | "none" => NoCache
+    case other => throw new IllegalArgumentException(s"unknown cache policy '$other'")
+  }
+}
+
 /** Storage format of a metastore table. */
 sealed trait DataFormat { def name: String }
 object DataFormat {
@@ -61,6 +84,9 @@ object DataFormat {
  *                       .../core/metastore/MetastoreImpl.scala Hive
  *                       paths, metastore/model/HiveConfig.scala)
  * @param catalogName    catalog identifier when it differs from `name`
+ * @param cachePolicy    read-caching override (reference:
+ *                       api/CachePolicy) — unset falls back to
+ *                       `transientCache` (Cache when true)
  */
 final case class MetaTable(
     name: String,
@@ -70,7 +96,12 @@ final case class MetaTable(
     scheme: PartitionScheme = PartitionScheme.ByDay,
     transientCache: Boolean = false,
     catalogSync: Boolean = false,
-    catalogName: Option[String] = None)
+    catalogName: Option[String] = None,
+    cachePolicy: Option[CachePolicy] = None) {
+  /** The policy actually applied to reads. */
+  def effectiveCachePolicy: CachePolicy =
+    cachePolicy.getOrElse(if (transientCache) CachePolicy.Cache else CachePolicy.NoCache)
+}
 
 /** Per-save statistics (reference: pramen/core .../metastore/MetaTableStats.scala). */
 final case class TableStats(recordCount: Long, sizeBytes: Option[Long])

@@ -503,7 +503,12 @@ final class Metastore(spark: SparkSession) {
         case _ => base
       }
     }
-    if (t.transientCache) cachedReads.getOrElseUpdate(t.name, load.cache()) else load
+    t.effectiveCachePolicy match {
+      case CachePolicy.NoCache => load
+      case CachePolicy.Cache => cachedReads.getOrElseUpdate(t.name, load.cache())
+      case CachePolicy.Persist => cachedReads.getOrElseUpdate(t.name,
+        load.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
   }
 
   /** Drop the transient cache of one table (after a save invalidates it). */

@@ -47,7 +47,8 @@ object RunReport {
   final case class Report(subject: String, lines: Seq[Line], body: String,
                           succeeded: Int, failed: Int, skipped: Int, notReady: Int)
 
-  def build(pipelineName: String, results: Seq[TaskResult], runDate: LocalDate): Report = {
+  def build(pipelineName: String, results: Seq[TaskResult], runDate: LocalDate,
+            customEntries: Seq[String] = Nil): Report = {
     val lines = results.map {
       case TaskResult.Succeeded(j, t, d, n, ws) =>
         val w = if (ws.isEmpty) "" else s" — warnings: ${ws.mkString("; ")}"
@@ -68,8 +69,11 @@ object RunReport {
     val verdict = if (nFail > 0) "FAILED" else "succeeded"
     val subject = s"Pipeline '$pipelineName' $verdict for $runDate " +
       s"($nOk ok, $nFail failed, $nSkip skipped, $nNr not ready)"
-    val body = (subject +: "" +: lines.map(l => f"  ${l.status}%-9s ${l.job}%-24s ${l.detail}"))
-      .mkString("\n")
+    val custom =
+      if (customEntries.isEmpty) Nil
+      else "" +: "Custom notifications:" +: customEntries.map(e => "  " + e.replace("\n", "\n  "))
+    val body = ((subject +: "" +: lines.map(l => f"  ${l.status}%-9s ${l.job}%-24s ${l.detail}"))
+      ++ custom).mkString("\n")
     Report(subject, lines, body, nOk, nFail, nSkip, nNr)
   }
 }
@@ -80,10 +84,11 @@ trait ReportTransport { def send(report: RunReport.Report): Unit }
 /** Renders the end-of-run report with failure details and hands it to
   * the transport. */
 final class ReportingNotifier(pipelineName: String,
-                              transport: ReportTransport = r => System.err.println(r.body))
+                              transport: ReportTransport = r => System.err.println(r.body),
+                              builder: NotificationBuilder = NotificationBuilder.global)
     extends PipelineNotificationTarget {
   override def onPipelineCompleted(results: Seq[TaskResult], runDate: LocalDate): Unit =
-    transport.send(RunReport.build(pipelineName, results, runDate))
+    transport.send(RunReport.build(pipelineName, results, runDate, builder.drain()))
 }
 
 /** Collects notifications in memory (tests, programmatic consumers). */

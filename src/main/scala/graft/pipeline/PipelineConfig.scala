@@ -105,7 +105,8 @@ object PipelineConfig {
         scheme = scheme,
         transientCache = opt("transient").contains("true"),
         catalogSync = opt("catalog.sync").contains("true"),
-        catalogName = opt("catalog.name"))
+        catalogName = opt("catalog.name"),
+        cachePolicy = opt("cache.policy").map(graft.meta.CachePolicy.parse))
     }
 
     // ── source declarations (reference: pramen.sources HOCON block) ──
