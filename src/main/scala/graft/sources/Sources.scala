@@ -170,9 +170,12 @@ final class JdbcSource(
     numPartitions: Int = 1,
     partitionColumn: Option[String] = None,
     lowerBound: Option[Long] = None,
-    upperBound: Option[Long] = None) extends GraftSource {
+    upperBound: Option[Long] = None,
+    infoDateType: graft.sql.SqlColumnType = graft.sql.SqlColumnType.Date,
+    dateFormatApp: String = "yyyy-MM-dd") extends GraftSource {
 
-  private val gen = new SqlGenerator(dialect, SqlConfig(infoDateColumn))
+  private val gen = new SqlGenerator(dialect,
+    SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
 
   override def hasInfoDateColumn: Boolean = true
 

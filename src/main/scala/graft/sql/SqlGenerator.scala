@@ -3,13 +3,35 @@ package graft.sql
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
+/** How the information-date column is typed in the SOURCE database —
+  * literals in generated WHERE clauses must match it (reference:
+  * pramen/api .../api/sql/SqlColumnType.scala). */
+sealed trait SqlColumnType
+object SqlColumnType {
+  case object Date extends SqlColumnType
+  case object Datetime extends SqlColumnType
+  /** Dates stored as strings in `dateFormatApp`. */
+  case object StringType extends SqlColumnType
+  /** Dates stored as numbers, e.g. 20240615 for yyyyMMdd. */
+  case object Number extends SqlColumnType
+
+  def parse(s: String): SqlColumnType = s.trim.toLowerCase match {
+    case "date" => Date
+    case "datetime" => Datetime
+    case "string" => StringType
+    case "number" => Number
+    case other => throw new IllegalArgumentException(s"unknown info.date.type '$other'")
+  }
+}
+
 /**
  * SQL generation for JDBC ingestion queries across RDBMS dialects
  * (reference: pramen/api .../api/sql/SqlGeneratorBase.scala,
- * core/sql/dialects — date-literal syntax, identifier quoting, and
- * limit clauses differ per engine; the generated query pushes the
- * info-date range into the source database so only the requested
- * window leaves the RDBMS).
+ * core/sql/SqlGenerator{PostgreSQL,MySQL,Oracle,Microsoft,Hive,
+ * Databricks,Db2,HsqlDb,Denodo,Sas,Generic}.scala — date-literal
+ * syntax, identifier quoting, and limit clauses differ per engine;
+ * the generated query pushes the info-date range into the source
+ * database so only the requested window leaves the RDBMS).
  */
 sealed trait SqlDialect {
   def name: String
@@ -18,6 +40,8 @@ sealed trait SqlDialect {
   def limitClause(sql: String, n: Int): String = s"$sql LIMIT $n"
 }
 object SqlDialect {
+  private val Iso = DateTimeFormatter.ISO_LOCAL_DATE
+
   case object Generic extends SqlDialect { val name = "generic" }
   case object Postgres extends SqlDialect { val name = "postgresql" }
   case object MySql extends SqlDialect {
@@ -26,26 +50,69 @@ object SqlDialect {
   }
   case object Oracle extends SqlDialect {
     val name = "oracle"
-    override def dateLiteral(d: LocalDate): String = s"date'${d.format(DateTimeFormatter.ISO_LOCAL_DATE)}'"
+    override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
     override def limitClause(sql: String, n: Int): String = s"SELECT * FROM ($sql) WHERE ROWNUM <= $n"
   }
   case object SqlServer extends SqlDialect {
     val name = "sqlserver"
     override def quote(ident: String): String = s"[$ident]"
-    override def dateLiteral(d: LocalDate): String = s"CONVERT(DATE, '${d.format(DateTimeFormatter.ISO_LOCAL_DATE)}')"
+    override def dateLiteral(d: LocalDate): String = s"CONVERT(DATE, '${d.format(Iso)}')"
     override def limitClause(sql: String, n: Int): String =
       sql.replaceFirst("(?i)^SELECT ", s"SELECT TOP $n ")
   }
+  /** Hive over JDBC: backtick identifiers, `to_date` literals. */
+  case object Hive extends SqlDialect {
+    val name = "hive"
+    override def quote(ident: String): String = s"`$ident`"
+    override def dateLiteral(d: LocalDate): String = s"to_date('${d.format(Iso)}')"
+  }
+  /** Databricks SQL warehouses: Spark-SQL dialect — backticks, ANSI
+    * date literals. */
+  case object Databricks extends SqlDialect {
+    val name = "databricks"
+    override def quote(ident: String): String = s"`$ident`"
+    override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
+  }
+  case object Db2 extends SqlDialect {
+    val name = "db2"
+    override def dateLiteral(d: LocalDate): String = s"DATE '${d.format(Iso)}'"
+  }
+  case object HsqlDb extends SqlDialect {
+    val name = "hsqldb"
+    override def dateLiteral(d: LocalDate): String = s"TO_DATE('${d.format(Iso)}', 'YYYY-MM-DD')"
+  }
+  /** Denodo virtual databases: no reliable LIMIT pushdown across
+    * underlying sources — limits are applied Spark-side instead. */
+  case object Denodo extends SqlDialect {
+    val name = "denodo"
+    override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
+    override def limitClause(sql: String, n: Int): String = sql
+  }
+  /** SAS sharenet JDBC: name literals quoted as 'ident'n. */
+  case object Sas extends SqlDialect {
+    val name = "sas"
+    override def quote(ident: String): String = s"'$ident'n"
+    override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
+  }
 
-  def forName(n: String): SqlDialect = Seq(Generic, Postgres, MySql, Oracle, SqlServer)
-    .find(_.name == n.toLowerCase)
+  val All: Seq[SqlDialect] =
+    Seq(Generic, Postgres, MySql, Oracle, SqlServer, Hive, Databricks, Db2, HsqlDb, Denodo, Sas)
+
+  def forName(n: String): SqlDialect = All.find(_.name == n.toLowerCase)
     .getOrElse(throw new IllegalArgumentException(s"Unknown SQL dialect: $n"))
 }
 
+/**
+ * @param infoDateType  source-side type of the info-date column: DATE
+ *        columns get engine date literals; STRING/NUMBER columns get
+ *        the date rendered through `dateFormatApp` as a quoted string
+ *        / bare number (reference: api/sql/SqlConfig.scala)
+ */
 final case class SqlConfig(
     infoDateColumn: String,
     dateFormatApp: String = "yyyy-MM-dd",
-    identifierQuoting: Boolean = false)
+    identifierQuoting: Boolean = false,
+    infoDateType: SqlColumnType = SqlColumnType.Date)
 
 /**
  * Builds SELECT/COUNT queries for a date window over a source table
@@ -55,10 +122,19 @@ final case class SqlConfig(
 final class SqlGenerator(dialect: SqlDialect, cfg: SqlConfig) {
   private def id(s: String): String = if (cfg.identifierQuoting) dialect.quote(s) else s
 
+  private val appFmt = DateTimeFormatter.ofPattern(cfg.dateFormatApp)
+
+  /** Info-date literal respecting the column's source-side type. */
+  def dateValue(d: LocalDate): String = cfg.infoDateType match {
+    case SqlColumnType.Date | SqlColumnType.Datetime => dialect.dateLiteral(d)
+    case SqlColumnType.StringType => s"'${d.format(appFmt)}'"
+    case SqlColumnType.Number => d.format(appFmt)
+  }
+
   private def dateWhere(from: LocalDate, to: LocalDate): String = {
     val c = id(cfg.infoDateColumn)
-    if (from == to) s"$c = ${dialect.dateLiteral(from)}"
-    else s"$c >= ${dialect.dateLiteral(from)} AND $c <= ${dialect.dateLiteral(to)}"
+    if (from == to) s"$c = ${dateValue(from)}"
+    else s"$c >= ${dateValue(from)} AND $c <= ${dateValue(to)}"
   }
 
   def getDataQuery(table: String, from: LocalDate, to: LocalDate,

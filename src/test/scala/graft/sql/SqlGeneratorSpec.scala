@@ -62,4 +62,36 @@ class SqlGeneratorSpec extends AnyFunSuite {
     assert(SqlDialect.forName("mysql") == SqlDialect.MySql)
     assertThrows[IllegalArgumentException](SqlDialect.forName("db2000"))
   }
+
+  test("warehouse dialects: hive/databricks/db2/hsqldb/denodo/sas") {
+    assert(SqlDialect.Hive.dateLiteral(from) == "to_date('2024-06-01')")
+    assert(SqlDialect.Hive.quote("my col") == "`my col`")
+    assert(SqlDialect.Databricks.dateLiteral(from) == "date'2024-06-01'")
+    assert(SqlDialect.Databricks.quote("c") == "`c`")
+    assert(SqlDialect.Db2.dateLiteral(from) == "DATE '2024-06-01'")
+    assert(SqlDialect.HsqlDb.dateLiteral(from) == "TO_DATE('2024-06-01', 'YYYY-MM-DD')")
+    // Denodo: limits never push into the federated query
+    assert(SqlDialect.Denodo.limitClause("SELECT * FROM t", 5) == "SELECT * FROM t")
+    assert(SqlDialect.Denodo.dateLiteral(from) == "date'2024-06-01'")
+    // SAS name literals
+    assert(SqlDialect.Sas.quote("my col") == "'my col'n")
+    assert(SqlDialect.forName("databricks") == SqlDialect.Databricks)
+    assert(SqlDialect.All.size == 11)
+  }
+
+  test("info-date column typed STRING or NUMBER renders app-format literals") {
+    val str = new SqlGenerator(SqlDialect.Generic,
+      SqlConfig("d", dateFormatApp = "yyyy-MM-dd", infoDateType = SqlColumnType.StringType))
+    assert(str.getDataQuery("t", from, from) == "SELECT * FROM t WHERE d = '2024-06-01'")
+    val num = new SqlGenerator(SqlDialect.Oracle,
+      SqlConfig("dk", dateFormatApp = "yyyyMMdd", infoDateType = SqlColumnType.Number))
+    assert(num.getDataQuery("t", from, to) ==
+      "SELECT * FROM t WHERE dk >= 20240601 AND dk <= 20240630")
+    // DATE type keeps the engine literal
+    val dt = new SqlGenerator(SqlDialect.Hive, SqlConfig("d"))
+    assert(dt.getCountQuery("t", from, from) ==
+      "SELECT COUNT(*) FROM t WHERE d = to_date('2024-06-01')")
+    assert(SqlColumnType.parse("number") == SqlColumnType.Number)
+    assertThrows[IllegalArgumentException](SqlColumnType.parse("uuid"))
+  }
 }
