@@ -422,6 +422,15 @@ object SparkEntry {
       graft.operators.Packing.sequenceStats(packed, 128)
     }),
 
+    "q_cluster" -> ((s, dir) => {
+      // rows-only gate: k-means corpus composition — per-cluster size
+      // and inertia contributions (deterministic seeded fit)
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.fit(emb, "embedding", k = 8, iters = 3)
+      graft.operators.Clustering.stats(
+        graft.operators.Clustering.assign(emb, "embedding", cents))
+    }),
+
     "q_ann_quant" -> ((s, dir) => {
       // int8-quantized cosine top-k vs a DuckDB twin that replicates
       // the max-abs/127 scheme on DOUBLE[] lists

@@ -49,6 +49,22 @@ object StreamIngest {
         col("n_events"), col("total_value"))
 
   /**
+   * Streaming exact dedup: drop duplicate keys across micro-batches
+   * while keeping state FINITE — `dropDuplicatesWithinWatermark`
+   * expires a key's dedup state once the watermark passes its event
+   * time, so the state store holds only the watermark window, not the
+   * whole stream's key history (the property that keeps a 100 TB/day
+   * ingest's state bounded; a plain `dropDuplicates` on a stream
+   * grows state forever). Duplicates arriving later than `watermark`
+   * are NOT caught — the batch-side exact dedup (Dedup.exact) is the
+   * backstop, same contract as any streaming/batch lambda split.
+   */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
    * Stream → metastore: each micro-batch appends into the ByDay
    * table's info-date partitions derived from the event-time column
    * (a batch spanning midnight lands in both days). Downstream batch

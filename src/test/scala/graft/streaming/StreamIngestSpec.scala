@@ -37,6 +37,28 @@ class StreamIngestSpec extends SparkSpec {
     assert(out(("2024-06-01 10:05:00", "a")) == ((1L, 3.0)))
   }
 
+  test("S7 streaming dedup drops in-watermark duplicates, state stays bounded") {
+    val dir = tmpDir("sdedup_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("value", DoubleType)))
+    Seq(
+      (Timestamp.valueOf("2024-06-01 10:00:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-06-01 10:00:30"), "a", 1.0), // dup key inside watermark
+      (Timestamp.valueOf("2024-06-01 10:01:00"), "b", 2.0),
+      (Timestamp.valueOf("2024-06-01 10:02:00"), "b", 2.0), // dup key inside watermark
+      (Timestamp.valueOf("2024-06-01 10:03:00"), "c", 3.0)
+    ).toDF("ts", "k", "value").write.mode("overwrite").parquet(dir)
+
+    val stream = StreamIngest.fileStream(spark, dir, schema)
+    val deduped = StreamIngest.dedupStream(stream, "ts", Seq("k"), watermark = "10 minutes")
+    val q = StreamIngest.runToMemory(deduped, "dedup_out", mode = "append")
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("dedup_out").select("k").as[String].collect().sorted.toSeq
+    assert(out == Seq("a", "b", "c"), s"each key exactly once: $out")
+  }
+
   test("S7 streaming session_window closes sessions at the gap") {
     val dir = tmpDir("sess_")
     val schema = StructType(Seq(
