@@ -23,6 +23,26 @@ object PartitionScheme {
   case object Overwrite extends PartitionScheme
 }
 
+/** How catalog-synced tables register new partitions after a save
+  * (reference: pramen/core .../core/metastore/model/HiveConfig.scala —
+  * the repair-table vs add-partition query templates). */
+sealed trait CatalogRepair
+object CatalogRepair {
+  /** `MSCK REPAIR` / `recoverPartitions`: lists EVERY partition
+    * directory — correct for any scheme, O(all partitions) per save. */
+  case object Recover extends CatalogRepair
+  /** `ALTER TABLE ... ADD PARTITION` of exactly the saved info date —
+    * O(1) per save; ByDay tables only (falls back to Recover for
+    * derived-column schemes). */
+  case object AddPartition extends CatalogRepair
+
+  def parse(s: String): CatalogRepair = s.trim.toLowerCase match {
+    case "recover" | "msck" => Recover
+    case "add_partition" | "addpartition" => AddPartition
+    case other => throw new IllegalArgumentException(s"unknown catalog repair mode '$other'")
+  }
+}
+
 /** Read-caching policy of a metastore table
   * (reference: pramen/api .../api/CachePolicy.scala). */
 sealed trait CachePolicy { def name: String }
@@ -87,6 +107,14 @@ object DataFormat {
  * @param cachePolicy    read-caching override (reference:
  *                       api/CachePolicy) — unset falls back to
  *                       `transientCache` (Cache when true)
+ * @param catalogRepair  how catalog sync registers partitions after a
+ *                       save: full recover (MSCK) or O(1) ADD
+ *                       PARTITION of the saved date (ByDay only)
+ * @param readOptions    datasource options applied to every read of
+ *                       this table (reference: MetaTableDef
+ *                       readOptions)
+ * @param writeOptions   datasource options applied to every write
+ *                       (reference: MetaTableDef writeOptions)
  */
 final case class MetaTable(
     name: String,
@@ -97,7 +125,10 @@ final case class MetaTable(
     transientCache: Boolean = false,
     catalogSync: Boolean = false,
     catalogName: Option[String] = None,
-    cachePolicy: Option[CachePolicy] = None) {
+    cachePolicy: Option[CachePolicy] = None,
+    catalogRepair: CatalogRepair = CatalogRepair.Recover,
+    readOptions: Map[String, String] = Map.empty,
+    writeOptions: Map[String, String] = Map.empty) {
   /** The policy actually applied to reads. */
   def effectiveCachePolicy: CachePolicy =
     cachePolicy.getOrElse(if (transientCache) CachePolicy.Cache else CachePolicy.NoCache)

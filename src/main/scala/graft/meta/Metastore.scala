@@ -78,6 +78,7 @@ final class Metastore(spark: SparkSession) {
 
     val writer = observed.write.format(t.format.name)
       .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
+      .options(t.writeOptions) // per-table overrides win over format defaults
 
     t.scheme match {
       case PartitionScheme.Overwrite =>
@@ -96,7 +97,7 @@ final class Metastore(spark: SparkSession) {
     }
 
     invalidateCache(name)
-    syncCatalog(t)
+    syncCatalog(t, Some(infoDate))
     val cnt = obs.get("cnt").asInstanceOf[Long]
     val stats = TableStats(cnt, sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
@@ -180,14 +181,14 @@ final class Metastore(spark: SparkSession) {
    * (in-memory here; Hive metastore / Glue on a real cluster — the
    * same API).
    */
-  private def syncCatalog(t: MetaTable): Unit = if (t.catalogSync) {
+  private def syncCatalog(t: MetaTable, savedDate: Option[LocalDate] = None): Unit = if (t.catalogSync) {
     val ident = t.catalogName.getOrElse(t.name)
     val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
+    // Spark SQL string literals are backslash-escaped (doubling the
+    // quote, the ANSI convention, concatenates adjacent literals and
+    // silently drops the quote from the value)
+    def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if (!spark.catalog.tableExists(ident)) {
-      // Spark SQL string literals are backslash-escaped (doubling the
-      // quote, the ANSI convention, concatenates adjacent literals and
-      // silently drops the quote from the value)
-      def lit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
       val opts = t.format match {
         case DataFormat.Csv(o) if o.nonEmpty =>
           o.map { case (k, v) => s"${lit(k)} ${lit(v)}" }
@@ -198,6 +199,16 @@ final class Metastore(spark: SparkSession) {
     }
     t.scheme match {
       case PartitionScheme.NotPartitioned | PartitionScheme.Overwrite => ()
+      case PartitionScheme.ByDay
+        if t.catalogRepair == CatalogRepair.AddPartition && savedDate.isDefined =>
+        // O(1) registration of exactly the touched partition
+        // (reference: HiveQueryTemplates addPartitionTemplate) — a full
+        // MSCK lists EVERY partition directory, which at a decade of
+        // daily partitions turns each save into a 3,650-dir listing
+        val d = savedDate.get.toString
+        spark.sql(s"ALTER TABLE $quoted ADD IF NOT EXISTS " +
+          s"PARTITION (`${t.infoDateColumn}` = ${lit(d)}) " +
+          s"LOCATION ${lit(s"${t.path}/${t.infoDateColumn}=$d")}")
       case _ => spark.catalog.recoverPartitions(ident) // MSCK: register new info dates
     }
     // ALWAYS drop the cached relation/file listing: overwrites delete
@@ -495,6 +506,7 @@ final class Metastore(spark: SparkSession) {
         loadedHistory(t.name).map(_._2).distinct.size > 1
       val rdr = spark.read.format(t.format.name)
         .options(t.format match { case DataFormat.Csv(o) => o; case _ => Map.empty[String, String] })
+        .options(t.readOptions) // per-table overrides win over format defaults
       val base = (if (evolved) rdr.option("mergeSchema", "true") else rdr).load(t.path)
       t.scheme match {
         case PartitionScheme.ByMonth(y, m)   => base.drop(y, m)

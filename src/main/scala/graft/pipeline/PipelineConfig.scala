@@ -106,7 +106,17 @@ object PipelineConfig {
         transientCache = opt("transient").contains("true"),
         catalogSync = opt("catalog.sync").contains("true"),
         catalogName = opt("catalog.name"),
-        cachePolicy = opt("cache.policy").map(graft.meta.CachePolicy.parse))
+        cachePolicy = opt("cache.policy").map(graft.meta.CachePolicy.parse),
+        catalogRepair = opt("catalog.repair").map(graft.meta.CatalogRepair.parse)
+          .getOrElse(graft.meta.CatalogRepair.Recover),
+        readOptions = kv.collect {
+          case (k, v) if k.startsWith(s"table.$t.read.option.") =>
+            k.stripPrefix(s"table.$t.read.option.") -> v
+        },
+        writeOptions = kv.collect {
+          case (k, v) if k.startsWith(s"table.$t.write.option.") =>
+            k.stripPrefix(s"table.$t.write.option.") -> v
+        })
     }
 
     // ── source declarations (reference: pramen.sources HOCON block) ──

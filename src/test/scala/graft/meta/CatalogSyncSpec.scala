@@ -61,6 +61,39 @@ class CatalogSyncSpec extends SparkSpec {
       s"catalog read must parse with quote=' intact, got ${rows.toSeq}")
   }
 
+  test("AddPartition repair registers exactly the saved date, O(1) per save") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("cat_add", tmpDir("cata_") + "/t",
+      catalogSync = true, catalogRepair = CatalogRepair.AddPartition))
+    ms.saveTable("cat_add", d1, data("a", 3))
+    ms.saveTable("cat_add", d2, data("b", 4))
+    // both saves visible through the catalog without any MSCK
+    assert(spark.table("cat_add").count() == 7)
+    val parts = spark.sql("SHOW PARTITIONS cat_add").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("info_date=2024-06-01", "info_date=2024-06-02"))
+    // re-saving an existing date is idempotent (ADD IF NOT EXISTS)
+    ms.saveTable("cat_add", d1, data("a2", 2))
+    assert(spark.sql("SELECT count(*) FROM cat_add WHERE info_date = DATE'2024-06-01'")
+      .head().getLong(0) == 2)
+  }
+
+  test("per-table read/write options flow into every write and read") {
+    val ms = new Metastore(spark)
+    // CSV gives observable knobs on both sides: write without header,
+    // read back with a custom delimiter declared per table
+    ms.register(MetaTable("opt_t", tmpDir("opts_") + "/t",
+      format = DataFormat.Csv(Map("header" -> "true")),
+      readOptions = Map("header" -> "false", "inferSchema" -> "false"),
+      writeOptions = Map("header" -> "false")))
+    ms.saveTable("opt_t", d1, Seq((1L, "x")).toDF("id", "v"))
+    // writeOptions won over the format default: no header row written,
+    // and the header-less read sees exactly one data row with default names
+    val back = ms.getTable("opt_t", Some(d1), Some(d1))
+    assert(back.count() == 1)
+    assert(back.columns.exists(_.startsWith("_c")),
+      s"read must use per-table options (no header -> _c columns), got ${back.columns.toSeq}")
+  }
+
   test("catalogName overrides the identifier; no sync when disabled") {
     val ms = new Metastore(spark)
     ms.register(MetaTable("internal_name", tmpDir("cat2_") + "/t",
