@@ -99,7 +99,7 @@ final class Metastore(spark: SparkSession) {
     invalidateCache(name)
     syncCatalog(t, Some(infoDate))
     val cnt = obs.get("cnt").asInstanceOf[Long]
-    val stats = TableStats(cnt, sizeOf(t.path))
+    val stats = TableStats(cnt, sizeOf(statsScope(t, infoDate)))
     statsMap.put((name, infoDate), stats)
     // trackSchema=false: the job declared its schema drifts by design
     // (ignore.schema.change) — don't flag evolution on every save
@@ -306,7 +306,9 @@ final class Metastore(spark: SparkSession) {
       case d: java.time.LocalDate => d
     }
     recordSchema(name, maxDate.getOrElse(LocalDate.EPOCH), df.schema)
-    TableStats(cnt, sizeOf(t.path))
+    // a micro-batch may span several dates; sizing them would walk the
+    // table per batch (and batches are frequent) — record count only
+    TableStats(cnt, None)
   }
 
   /** Idempotency markers for streaming micro-batch appends (see
@@ -486,7 +488,7 @@ final class Metastore(spark: SparkSession) {
         }
     }
     val cnt = fs.listStatus(destPath).count(_.isFile)
-    val stats = TableStats(cnt.toLong, sizeOf(t.path))
+    val stats = TableStats(cnt.toLong, sizeOf(destPath.toString))
     statsMap.put((name, infoDate), stats)
     stats
   }
@@ -526,6 +528,21 @@ final class Metastore(spark: SparkSession) {
   /** Drop the transient cache of one table (after a save invalidates it). */
   private def invalidateCache(name: String): Unit =
     cachedReads.remove(name).foreach(_.unpersist())
+
+  /** The directory a save's size stats are measured over: the written
+    * partition when the scheme makes it addressable, the whole table
+    * otherwise. Sizing `t.path` on every save would getContentSummary
+    * the ENTIRE table — at a decade of daily partitions that walk is
+    * O(all files ever written), per save. */
+  private def statsScope(t: MetaTable, infoDate: LocalDate): String = t.scheme match {
+    case PartitionScheme.ByDay => s"${t.path}/${t.infoDateColumn}=$infoDate"
+    case PartitionScheme.ByMonth(y, m) =>
+      s"${t.path}/$y=${infoDate.getYear}/$m=${infoDate.getMonthValue}"
+    case PartitionScheme.ByYearMonth(ym) =>
+      f"${t.path}/$ym=${infoDate.getYear}%04d-${infoDate.getMonthValue}%02d"
+    case PartitionScheme.ByYear(y) => s"${t.path}/$y=${infoDate.getYear}"
+    case _ => t.path // snapshot tables: the table IS the save
+  }
 
   private def sizeOf(path: String): Option[Long] = {
     try {
