@@ -396,6 +396,11 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
     }),
 
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition metrics vs an exact DuckDB twin
+      graft.operators.TextPrep.repetitionMetrics(docs(s, dir), "doc_id", "text")
+    }),
+
     "q_line_dedup" -> ((s, dir) => {
       // CCNet-style cross-corpus segment dedup: segments = consecutive
       // 10-token windows (this corpus has no newlines), drop every
@@ -997,6 +1002,24 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings
         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[s] || ' ' || t[s+1] AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(s)
+        |  WHERE len(t) >= 2),
+        |per AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS tot
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |tok AS (SELECT doc_id, len(t) AS nt, len(list_distinct(t)) AS dt FROM toks)
+        |SELECT k.doc_id,
+        |  coalesce(round(p.mx * 1.0 / p.tot, 6), 0.0) AS top_bigram_frac,
+        |  CASE WHEN p.doc_id IS NULL THEN 1.0
+        |       ELSE round(k.dt * 1.0 / k.nt, 6) END AS distinct_token_ratio
+        |FROM tok k LEFT JOIN per p ON k.doc_id = p.doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH toks AS (

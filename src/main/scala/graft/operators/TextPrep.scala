@@ -139,6 +139,45 @@ object TextPrep {
       array_join(filter(segmenter(col(textCol)), keep), joiner))
   }
 
+  // ── per-document repetition metrics ───────────────────────────────
+
+  /**
+   * Gopher/MassiveText-style repetition metrics per document:
+   * `top_bigram_frac` (occurrences of the single most frequent word
+   * bigram over all bigram slots — degenerate docs repeat one phrase)
+   * and `distinct_token_ratio` (type/token ratio — low means looping
+   * text). Documents with fewer than two tokens score 0 and 1.
+   *
+   * This is an AGGREGATION shape, not a per-row function: a per-row
+   * HOF would re-scan the token array per bigram (O(len²) per doc), so
+   * the plan explodes bigrams once and aggregates twice — the shuffle
+   * carries (doc_id, bigram, count) with map-side partial counts,
+   * never the document text.
+   */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol), toks.as("_t"))
+      .withColumn("_nt", size(col("_t")))
+      .withColumn("_dt", size(array_distinct(col("_t"))))
+    val grams = base
+      .select(col(idCol), col("_nt"), col("_dt"),
+        explode(TextFunctions.wordShinglesFromTokens(col("_t"), 2)).as("_g"))
+    val perDoc = grams
+      .groupBy(col(idCol), col("_nt"), col("_dt"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol), col("_nt"), col("_dt"))
+      .agg(max(col("_c")).as("_mx"), sum(col("_c")).as("_tot"))
+      .select(col(idCol),
+        round(col("_mx") * 1.0 / col("_tot"), 6).as("top_bigram_frac"),
+        round(col("_dt") * 1.0 / col("_nt"), 6).as("distinct_token_ratio"))
+    // docs with < 2 tokens have no bigrams and fall out of the agg
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("distinct_token_ratio"), lit(1.0)).as("distinct_token_ratio"))
+  }
+
   /** Fallback rebuild for frequent sets too large to hold on the
     * driver: positional explode, broadcast anti join against the
     * frequent hashes, order-preserving reassembly. One corpus-sized

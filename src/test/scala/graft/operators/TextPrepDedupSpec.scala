@@ -61,4 +61,21 @@ class TextPrepDedupSpec extends SparkSpec {
     val body = plan.split("== Initial Plan ==").head
     assert(!body.contains("Exchange"), s"corpus rebuild should be shuffle-free:\n$body")
   }
+
+  test("repetition metrics: top-bigram fraction and type-token ratio") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),            // bigram "spam spam" fills all 3 slots
+      (2L, "a b c d"),                        // all bigrams unique
+      (3L, "x"),                              // no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val m = TextPrep.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) == ((1.0, 0.25)))            // 3/3 bigrams, 1 distinct of 4 tokens
+    assert(m(2L) == ((round6(1.0 / 3), 1.0)))
+    assert(m(3L) == ((0.0, 1.0)))
+    assert(m(4L) == ((0.0, 1.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
