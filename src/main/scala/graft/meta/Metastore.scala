@@ -27,7 +27,10 @@ import scala.collection.concurrent.TrieMap
 final class Metastore(spark: SparkSession) {
   private val tables = TrieMap.empty[String, MetaTable]
   private val statsMap = TrieMap.empty[(String, LocalDate), TableStats]
-  private val schemaHistories = TrieMap.empty[String, List[(LocalDate, org.apache.spark.sql.types.StructType)]]
+  // (infoDate, schema, flagged): flagged=false versions come from
+  // ignore.schema.change jobs — recorded so evolved reads stay correct
+  // (mergeSchema), but invisible to schemaChanges
+  private val schemaHistories = TrieMap.empty[String, List[(LocalDate, org.apache.spark.sql.types.StructType, Boolean)]]
 
   def register(table: MetaTable): Unit = tables.put(table.name, table)
 
@@ -101,9 +104,10 @@ final class Metastore(spark: SparkSession) {
     val cnt = obs.get("cnt").asInstanceOf[Long]
     val stats = TableStats(cnt, sizeOf(statsScope(t, infoDate)))
     statsMap.put((name, infoDate), stats)
-    // trackSchema=false: the job declared its schema drifts by design
-    // (ignore.schema.change) — don't flag evolution on every save
-    if (trackSchema) recordSchema(name, infoDate, df.schema)
+    // trackSchema=false (ignore.schema.change): the version is still
+    // RECORDED — evolved reads need the history to know to mergeSchema
+    // — but marked quiet so schemaChanges never surfaces it
+    recordSchema(name, infoDate, df.schema, flagged = trackSchema)
     stats
   }
 
@@ -226,25 +230,28 @@ final class Metastore(spark: SparkSession) {
    * file per version needs no appends, so object stores work), so a
    * new Metastore instance recovers the history of prior runs. */
   private def recordSchema(name: String, infoDate: LocalDate,
-                           schema: org.apache.spark.sql.types.StructType): Unit = {
+                           schema: org.apache.spark.sql.types.StructType,
+                           flagged: Boolean = true): Unit = {
     val hist = loadedHistory(name)
     val changed = hist.lastOption.forall(_._2 != schema)
     if (changed) {
-      schemaHistories.put(name, hist :+ (infoDate, schema))
+      schemaHistories.put(name, hist :+ ((infoDate, schema, flagged)))
       val t = getTableDef(name)
       val dir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/schema")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(dir)
       // filename leads with the save sequence so (a) two versions on
       // the same date don't overwrite each other and (b) reload order
-      // equals save order, not date order (backfills save older dates)
+      // equals save order, not date order (backfills save older dates);
+      // a ".quiet" tag marks versions schemaChanges must not surface
+      val tag = if (flagged) "" else ".quiet"
       val out = fs.create(
-        new org.apache.hadoop.fs.Path(dir, f"${hist.length}%05d_$infoDate.json"), false)
+        new org.apache.hadoop.fs.Path(dir, f"${hist.length}%05d_$infoDate$tag.json"), false)
       try out.write(schema.json.getBytes("UTF-8")) finally out.close()
     }
   }
 
-  private def loadedHistory(name: String): List[(LocalDate, org.apache.spark.sql.types.StructType)] =
+  private def loadedHistory(name: String): List[(LocalDate, org.apache.spark.sql.types.StructType, Boolean)] =
     schemaHistories.getOrElseUpdate(name, {
       val t = getTableDef(name)
       val dir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/schema")
@@ -255,25 +262,31 @@ final class Metastore(spark: SparkSession) {
         .sortBy(_.getPath.getName) // seq-prefixed names: save order
         .map { st =>
           val base = st.getPath.getName.stripSuffix(".json")
-          val date = LocalDate.parse(base.substring(base.indexOf('_') + 1))
+          val flagged = !base.endsWith(".quiet")
+          val core = base.stripSuffix(".quiet")
+          val date = LocalDate.parse(core.substring(core.indexOf('_') + 1))
           val bytes = new Array[Byte](st.getLen.toInt)
           val in = fs.open(st.getPath)
           try in.readFully(bytes) finally in.close()
-          date -> org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          (date, org.apache.spark.sql.types.DataType.fromJson(new String(bytes, "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType], flagged)
         }
     })
 
   /** (infoDate, schema) versions in save order, deduplicated;
     * includes versions persisted by earlier Metastore instances. */
   def schemaHistory(name: String): Seq[(LocalDate, org.apache.spark.sql.types.StructType)] =
-    loadedHistory(name)
+    loadedHistory(name).map(v => (v._1, v._2))
 
   /** Field changes between consecutive schema versions, keyed by the
-   * info date that introduced them. */
+   * info date that introduced them. Versions written by
+   * ignore.schema.change jobs (flagged=false) are not SURFACED here —
+   * but they stay in the history, so evolved reads still mergeSchema
+   * (read correctness must not depend on the notification flag). */
   def schemaChanges(name: String): Seq[(LocalDate, Seq[FieldChange])] =
-    schemaHistory(name).sliding(2).collect {
-      case Seq((_, prev), (d, next)) => d -> SchemaEvolution.diff(prev, next)
+    loadedHistory(name).sliding(2).collect {
+      case Seq((_, prev, _), (d, next, flagged)) if flagged =>
+        d -> SchemaEvolution.diff(prev, next)
     }.toSeq
 
   /**

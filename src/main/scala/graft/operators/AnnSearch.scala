@@ -155,16 +155,22 @@ object AnnSearch {
     centroids
   }
 
-  /** Index of the nearest centroid (L2) as a column expression: one
-   * lambda over a literal centroid matrix (tree size O(1) in k). */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+  /** Nearest centroid (L2) as a `struct(d, i)` column — squared
+   * distance and index — from one lambda over a literal centroid
+   * matrix (tree size O(1) in k). Shared by IVF assignment and
+   * Clustering so the two can never disagree on tie-breaks. */
+  def nearestCentroidScored(vec: Column, centroids: Array[Array[Double]]): Column = {
     val m = typedlit(centroids.map(_.toSeq).toSeq)
     val dists = transform(m, c =>
       aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
     val scored = zip_with(dists, sequence(lit(0), lit(centroids.length - 1)),
       (d, i) => struct(d.as("d"), i.as("i")))
-    array_min(scored).getField("i").cast("int")
+    array_min(scored)
   }
+
+  /** Index of the nearest centroid (L2). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    nearestCentroidScored(vec, centroids).getField("i").cast("int")
 
   /** The `nprobe` cell ids nearest to a query (driver-side: k×dim doubles). */
   def probeCells(query: Array[Double], centroids: Array[Array[Double]],

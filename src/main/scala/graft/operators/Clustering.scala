@@ -24,22 +24,16 @@ object Clustering {
     AnnSearch.kmeansCentroids(embeddings, vecCol, k, iters, seed)
 
   /** Assign every row to its nearest centroid: adds `cluster` and the
-    * squared L2 `dist2` to it. One scan, no shuffle. */
+    * squared L2 `dist2` to it. One scan, no shuffle. The distance/
+    * argmin expression is AnnSearch's (shared with IVF assignment), so
+    * fit-time and assign-time decisions can never drift apart. */
   def assign(embeddings: DataFrame, vecCol: String,
-             centroids: Array[Array[Double]]): DataFrame = {
-    val m = typedlit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(m, c =>
-      aggregate(zip_with(col(vecCol), c, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, v) => acc + v))
-    val best = array_min(zip_with(dists,
-      sequence(lit(0), lit(centroids.length - 1)),
-      (d, i) => struct(d.as("d"), i.as("i"))))
+             centroids: Array[Array[Double]]): DataFrame =
     embeddings
-      .withColumn("_b", best)
+      .withColumn("_b", AnnSearch.nearestCentroidScored(col(vecCol), centroids))
       .withColumn("cluster", col("_b.i").cast("int"))
       .withColumn("dist2", col("_b.d"))
       .drop("_b")
-  }
 
   /** Per-cluster composition: size, mean/max squared distance
     * (inertia contributions) — the corpus-report roll-up. */

@@ -42,9 +42,12 @@ final class Bookkeeper(journalPath: Option[String] = None) {
   journalPath.foreach { p =>
     val dir = Paths.get(p)
     if (Files.isDirectory(dir)) {
-      val files = Files.list(dir).iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(".json"))
-        .toSeq.sortBy(_.getFileName.toString)
+      val stream = Files.list(dir) // must close: holds a directory fd
+      val files =
+        try stream.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally stream.close()
       files.foreach { f =>
         val line = new String(Files.readAllBytes(f), "UTF-8")
         parseLine(line).foreach(r => records.put((r.table, r.infoDate), r))

@@ -37,12 +37,14 @@ final class Journal(path: Option[String] = None) {
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   path.map(Paths.get(_)).filter(Files.isDirectory(_)).foreach { dir =>
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir) // must close: holds a directory fd
+    try stream.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .toSeq.sortBy(_.getFileName.toString)
       .foreach { f =>
         parseLine(new String(Files.readAllBytes(f), "UTF-8")).foreach(events.add)
       }
+    finally stream.close()
   }
 
   def append(e: TaskEvent): Unit = {
@@ -70,11 +72,32 @@ final class Journal(path: Option[String] = None) {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r") + "\""
 
+  /** Single-pass left-to-right JSON-string unescape — sequential
+    * global replaces would corrupt e.g. `C:\\network` (the `\\` + `n`
+    * must decode to `\` + `n`, not newline). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parseLine(line: String): Option[TaskEvent] = {
     def str(k: String): Option[String] =
       (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
-        .map(_.group(1).replace("\\n", "\n").replace("\\r", "\r")
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(m => unescape(m.group(1)))
     def num(k: String): Option[Long] =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
     for {

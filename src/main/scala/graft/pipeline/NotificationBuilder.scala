@@ -46,6 +46,11 @@ final class NotificationBuilder {
 
 object NotificationBuilder {
   /** The instance handed to user code (reference:
-    * `Pramen.instance.notificationBuilder`). */
+    * `Pramen.instance.notificationBuilder` — the same process-global
+    * shape). PROCESS-WIDE: when several pipelines share one JVM, the
+    * first report to drain takes every pending entry, including
+    * another pipeline's. Drivers running concurrent pipelines should
+    * construct one `NotificationBuilder` per pipeline and pass it to
+    * that pipeline's `ReportingNotifier` and transformers instead. */
   val global: NotificationBuilder = new NotificationBuilder
 }

@@ -429,12 +429,17 @@ final class Orchestrator(
         }
         // wall-clock budget: a hung attempt (stuck source, dead
         // executor wait) is abandoned rather than pinning the slot
-        // forever; the worker thread is interrupted best-effort
+        // forever; the worker thread is interrupted best-effort and
+        // runs as a daemon so an uninterruptible hang can't block exit
         def attemptBounded(): Try[graft.meta.TableStats] =
           job.killMaxExecutionTimeSeconds match {
             case None => attempt()
             case Some(budget) =>
-              val ex = Executors.newSingleThreadExecutor()
+              val ex = Executors.newSingleThreadExecutor(r => {
+                val t = new Thread(r, s"graft-kill-budget-${job.name}")
+                t.setDaemon(true)
+                t
+              })
               val fut = ex.submit(new java.util.concurrent.Callable[Try[graft.meta.TableStats]] {
                 def call(): Try[graft.meta.TableStats] = attempt()
               })
@@ -448,9 +453,13 @@ final class Orchestrator(
                   Failure(Option(e.getCause).getOrElse(e))
               } finally ex.shutdownNow()
           }
-        // retry policy: re-attempt transient failures up to job.retries
+        // retry policy: re-attempt transient failures up to job.retries.
+        // A kill-timeout is NOT retried: cancel(true) is best-effort and
+        // the abandoned attempt's write may still be executing — a retry
+        // would race a second writer onto the same (table, infoDate)
         def attemptWithRetries(left: Int): Try[graft.meta.TableStats] =
           attemptBounded() match {
+            case f @ Failure(_: java.util.concurrent.TimeoutException) => f
             case f: Failure[_] if left > 0 => attemptWithRetries(left - 1)
             case other => other
           }

@@ -37,6 +37,10 @@ sealed trait SqlDialect {
   def name: String
   def quote(ident: String): String = "\"" + ident + "\""
   def dateLiteral(d: LocalDate): String = s"DATE '${d.format(DateTimeFormatter.ISO_LOCAL_DATE)}'"
+  /** Midnight-of-day timestamp literal — the boundary value for
+    * datetime-typed info-date columns. */
+  def timestampLiteral(d: LocalDate): String =
+    s"TIMESTAMP '${d.format(DateTimeFormatter.ISO_LOCAL_DATE)} 00:00:00'"
   def limitClause(sql: String, n: Int): String = s"$sql LIMIT $n"
 }
 object SqlDialect {
@@ -126,15 +130,24 @@ final class SqlGenerator(dialect: SqlDialect, cfg: SqlConfig) {
 
   /** Info-date literal respecting the column's source-side type. */
   def dateValue(d: LocalDate): String = cfg.infoDateType match {
-    case SqlColumnType.Date | SqlColumnType.Datetime => dialect.dateLiteral(d)
+    case SqlColumnType.Date => dialect.dateLiteral(d)
+    case SqlColumnType.Datetime => dialect.timestampLiteral(d)
     case SqlColumnType.StringType => s"'${d.format(appFmt)}'"
     case SqlColumnType.Number => d.format(appFmt)
   }
 
   private def dateWhere(from: LocalDate, to: LocalDate): String = {
     val c = id(cfg.infoDateColumn)
-    if (from == to) s"$c = ${dateValue(from)}"
-    else s"$c >= ${dateValue(from)} AND $c <= ${dateValue(to)}"
+    cfg.infoDateType match {
+      // a datetime column holds intra-day times: a day (or day range)
+      // is the half-open interval [from 00:00, to+1 00:00) — an
+      // equality/closed-range on the DATE would match only midnight
+      // rows and silently drop the rest of every day
+      case SqlColumnType.Datetime =>
+        s"$c >= ${dateValue(from)} AND $c < ${dateValue(to.plusDays(1))}"
+      case _ if from == to => s"$c = ${dateValue(from)}"
+      case _ => s"$c >= ${dateValue(from)} AND $c <= ${dateValue(to)}"
+    }
   }
 
   def getDataQuery(table: String, from: LocalDate, to: LocalDate,

@@ -34,8 +34,12 @@ class JournalSpec extends SparkSpec {
     val j = new Journal(Some(dir))
     val e = TaskEvent("p", "j", "t", Some(runDate), "failed", 0L,
       "line1\nline2 \"quoted\" back\\slash", 42L)
-    j.append(e)
-    assert(new Journal(Some(dir)).all == Seq(e))
+    // the adversarial case: a literal backslash followed by 'n' (e.g. a
+    // Windows path C:\network or a regex \n+) must NOT decode to newline
+    val e2 = TaskEvent("p", "j2", "t", None, "failed", 0L,
+      "path C:\\network and regex \\n+ and \\\\n doubled", 43L)
+    j.append(e); j.append(e2)
+    assert(new Journal(Some(dir)).all == Seq(e, e2))
   }
 
   test("two journals writing one directory interleave without loss") {

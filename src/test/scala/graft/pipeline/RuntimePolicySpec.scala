@@ -169,6 +169,12 @@ class RuntimePolicySpec extends SparkSpec {
     new Orchestrator(ms).run(Seq(JobDef("d2", "drifting", wide, ignoreSchemaChange = true)),
       runDate.plusDays(1))
     assert(ms.schemaChanges("drifting").isEmpty)
+    // the flag must not cost read correctness: a cross-day read of the
+    // evolved table still merges schemas and surfaces the added column
+    val both = ms.getTable("drifting", Some(runDate), Some(runDate.plusDays(1)))
+    assert(both.columns.contains("extra"),
+      s"evolved read lost the added column: ${both.columns.toSeq}")
+    assert(both.count() == 2)
     // the tracked twin records the added column
     new Orchestrator(ms).run(Seq(JobDef("t1", "tracked", seed(1))), runDate)
     new Orchestrator(ms).run(Seq(JobDef("t2", "tracked", wide)), runDate.plusDays(1))

@@ -94,4 +94,11 @@ class SqlGeneratorSpec extends AnyFunSuite {
     assert(SqlColumnType.parse("number") == SqlColumnType.Number)
     assertThrows[IllegalArgumentException](SqlColumnType.parse("uuid"))
   }
+  test("datetime-typed info-date columns get half-open day ranges") {
+    val g = new SqlGenerator(SqlDialect.Generic, SqlConfig("ts_col", infoDateType = SqlColumnType.Datetime))
+    assert(g.getDataQuery("t", from, from) ==
+      "SELECT * FROM t WHERE ts_col >= TIMESTAMP '2024-06-01 00:00:00' AND ts_col < TIMESTAMP '2024-06-02 00:00:00'")
+    assert(g.getCountQuery("t", from, to) ==
+      "SELECT COUNT(*) FROM t WHERE ts_col >= TIMESTAMP '2024-06-01 00:00:00' AND ts_col < TIMESTAMP '2024-07-01 00:00:00'")
+  }
 }
