@@ -90,4 +90,32 @@ object Sampling {
     }
     parts.flatten.reduce(_ unionByName _)
   }
+
+  /**
+   * Temperature-scaled mixing rates from corpus sizes — the standard
+   * multi-source recipe (multilingual/LLM data mixes): each source's
+   * sampling probability is proportional to size^alpha, so alpha = 1
+   * keeps natural proportions, alpha = 0 is uniform over sources, and
+   * intermediate values (0.2–0.7 in practice) up-weight small sources
+   * without letting any one dominate. Returned rates are normalized
+   * so the mixed corpus totals ~`targetRows`; feed them straight to
+   * [[weightedMix]] (rates > 1 mean epoch replication of a small
+   * source).
+   *
+   * `sizes` come from cheap count aggregates (or bookkeeper stats) —
+   * this is a driver-side recipe computation, no Spark work here.
+   */
+  def temperatureRates(sizes: Seq[Long], alpha: Double,
+                       targetRows: Long): Seq[Double] = {
+    require(sizes.nonEmpty, "temperatureRates needs at least one source")
+    require(sizes.forall(_ > 0), s"sizes must be positive: $sizes")
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    val weights = sizes.map(n => math.pow(n.toDouble, alpha))
+    val total = weights.sum
+    // expected rows from source i at rate r_i = r_i * n_i; solve
+    // r_i = targetRows * (w_i / total) / n_i
+    sizes.zip(weights).map { case (n, w) =>
+      targetRows * (w / total) / n
+    }
+  }
 }

@@ -61,4 +61,31 @@ class SamplingSpec extends SparkSpec {
       .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == by)
   }
+
+  test("temperature rates: alpha=1 natural, alpha=0 uniform, total hits target") {
+    val sizes = Seq(1000000L, 10000L, 100L)
+    // alpha=1: rates equal across sources (each source contributes its
+    // natural share, so the per-row rate is the same constant)
+    val nat = Sampling.temperatureRates(sizes, alpha = 1.0, targetRows = 505050L)
+    assert(nat.forall(r => math.abs(r - nat.head) < 1e-9))
+    // alpha=0: equal EXPECTED ROWS per source regardless of size
+    val uni = Sampling.temperatureRates(sizes, alpha = 0.0, targetRows = 300L)
+    val rows = uni.zip(sizes).map { case (r, n) => r * n }
+    assert(rows.forall(x => math.abs(x - 100.0) < 1e-6), rows.toString)
+    // any alpha: expected total equals the target
+    Seq(0.0, 0.3, 0.7, 1.0).foreach { a =>
+      val rates = Sampling.temperatureRates(sizes, a, targetRows = 42000L)
+      val tot = rates.zip(sizes).map { case (r, n) => r * n }.sum
+      assert(math.abs(tot - 42000.0) < 1e-6, s"alpha=$a total=$tot")
+      // smaller sources never get a LOWER rate than bigger ones
+      assert(rates == rates.sorted, s"alpha=$a rates=$rates")
+    }
+    // a fractional-temperature mix through weightedMix lands near the target
+    val a = (1L to 2000L).map(i => (i, "big")).toDF("id", "src")
+    val b = (1L to 100L).map(i => (i + 10000L, "small")).toDF("id", "src")
+    val rates = Sampling.temperatureRates(Seq(2000L, 100L), 0.5, 1000L)
+    val mixed = Sampling.weightedMix(Seq(a -> rates(0), b -> rates(1)), "id")
+    val n = mixed.count()
+    assert(n > 800 && n < 1200, s"mixed $n rows for target 1000")
+  }
 }
