@@ -136,8 +136,12 @@ object AnnSearch {
   def kmeansCentroids(embeddings: DataFrame, vecCol: String,
                       k: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // init from DISTINCT vectors: a corpus with duplicated embeddings
+    // (near-dup docs, replicated epochs) would otherwise seed the same
+    // point several times and permanently collapse those clusters
     var centroids: Array[Array[Double]] = embeddings
-      .select(col(vecCol)).orderBy(xxhash64(col(vecCol).cast("string"), lit(seed))).limit(k)
+      .select(col(vecCol)).distinct()
+      .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed))).limit(k)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 1 to iters) {
       val assigned = embeddings.withColumn("_c", nearestCentroid(col(vecCol), centroids))

@@ -159,9 +159,14 @@ object TextPrep {
     val base = docs.select(col(idCol), toks.as("_t"))
       .withColumn("_nt", size(col("_t")))
       .withColumn("_dt", size(array_distinct(col("_t"))))
+    // count by the 64-bit HASH of the bigram, not the string: only the
+    // counts matter, so the (doc, gram) shuffle carries 16 bytes per
+    // slot instead of the gram text (within-doc hash collisions shift
+    // a max count with probability ~slots²/2^64 — noise, not signal)
     val grams = base
       .select(col(idCol), col("_nt"), col("_dt"),
-        explode(TextFunctions.wordShinglesFromTokens(col("_t"), 2)).as("_g"))
+        explode(TextFunctions.wordShinglesFromTokens(col("_t"), 2)).as("_gs"))
+      .select(col(idCol), col("_nt"), col("_dt"), xxhash64(col("_gs")).as("_g"))
     val perDoc = grams
       .groupBy(col(idCol), col("_nt"), col("_dt"), col("_g"))
       .agg(count(lit(1)).as("_c"))
