@@ -170,22 +170,41 @@ object Dedup {
    * least one block (pigeonhole), so grouping by (blockIdx, blockVal)
    * finds all such pairs with 4 bucket shuffles and zero cross joins.
    * Returned pairs carry the exact hamming distance for filtering.
+   *
+   * Mass duplication (the normal shape of an uncurated crawl: many
+   * exact copies) is pre-grouped by IDENTICAL hash first — each
+   * member pairs to its group's minimum id (hamming 0, a star), and
+   * only one representative per distinct hash enters the buckets. A
+   * group of g copies emits g-1 star pairs instead of flooding every
+   * block bucket with O(g²) pairs. The pair set is therefore
+   * TRANSITIVELY complete (connected components are identical to the
+   * exhaustive set's), not pairwise-exhaustive — feed it to
+   * [[DupGroups.connectedComponents]]/[[DupGroups.keepRepresentatives]],
+   * which only need connectivity.
    */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("sh", graft.expr.GraftFunctions.simhash64(TextFunctions.tokens(col("text"))))
-    val blocked = withHash.select(
+    val groups = withHash.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
+    // identical-hash members star onto the representative (rep == the
+    // group min, so pairs come out ordered)
+    val starPairs = withHash.join(groups, "sh")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
+    // distinct hashes only enter the block buckets
+    val reps = groups.select(col("rep").as("doc_id"), col("sh"))
+    val blocked = reps.select(
       col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-
-    val pairs = pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
-    pairs.withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
+    val repPairs = pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
+      .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
+    starPairs.unionByName(repPairs)
   }
 
   /**
