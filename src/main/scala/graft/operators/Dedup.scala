@@ -106,7 +106,22 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
-    val withSig = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // mass-duplication pre-grouping (see simhashCandidates): EXACT text
+    // copies — the dominant duplicate class in an uncurated crawl —
+    // star onto their group's min id (jaccard is exactly 1, so any
+    // downstream verify threshold keeps the stars), and one
+    // representative per distinct text runs the shingle/band pipeline.
+    // g copies emit g-1 pairs instead of O(g²) across every band.
+    // Pair set is transitively complete, not pairwise-exhaustive.
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("_fp", xxhash64(col("text")))
+    val groups = keyed.groupBy(col("_fp")).agg(min(col("doc_id")).as("rep"))
+    val starPairs = keyed.join(groups, "_fp")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    val reps = keyed.join(groups, "_fp").where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val withSig = reps
       .withColumn("_toks", TextFunctions.tokens(col("text")))
       .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
       .withColumn("sig", graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
@@ -116,7 +131,7 @@ object Dedup {
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    starPairs.unionByName(idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket))
   }
 
   /**
