@@ -9,9 +9,27 @@ import java.time.LocalDate
  * reference's email transport is out of scope in this environment, the
  * hook surface is the same).
  */
+/** Pipeline-level execution context handed to notification targets
+  * (reference: pramen/api .../api/PipelineInfo.scala — trimmed to the
+  * fields this environment can populate honestly). */
+final case class PipelineInfo(
+    pipelineName: String,
+    environment: String,
+    runDate: LocalDate,
+    startedAtMs: Long,
+    finishedAtMs: Long,
+    sparkApplicationId: Option[String],
+    /** "succeeded" | "failed" | "warning" (succeeded with warnings) */
+    status: String,
+    failureException: Option[Throwable])
+
 trait PipelineNotificationTarget {
   def onTaskCompleted(result: TaskResult, runDate: LocalDate): Unit = ()
   def onPipelineCompleted(results: Seq[TaskResult], runDate: LocalDate): Unit = ()
+  /** Rich completion hook with pipeline context; the default delegates
+    * to the plain hook so existing targets keep working. */
+  def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit =
+    onPipelineCompleted(results, info.runDate)
 }
 
 /** Logs task and pipeline outcomes to stderr. */

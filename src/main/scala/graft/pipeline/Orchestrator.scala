@@ -186,10 +186,32 @@ final class Orchestrator(
     rerunSucceeded: Boolean = false,
     notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
     lockDir: Option[String] = None,
-    offsetManager: Option[graft.offset.OffsetManager] = None) {
+    offsetManager: Option[graft.offset.OffsetManager] = None,
+    pipelineName: String = "pipeline",
+    environment: String = "local") {
 
-  def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] =
-    runTree(jobs, job => Seq(runOne(job, runDate)), rs => notifiers.foreach(_.onPipelineCompleted(rs, runDate)))
+  /** Completion context for notification targets: status rolls up the
+    * task results ("failed" > "warning" > "succeeded"). */
+  private def pipelineInfo(runDate: LocalDate, startedAtMs: Long,
+                           rs: Seq[TaskResult]): PipelineInfo = {
+    val firstFailure = rs.collectFirst { case TaskResult.Failed(_, e) => e }
+    val hasWarnings = rs.exists {
+      case TaskResult.Succeeded(_, _, _, _, ws) => ws.nonEmpty
+      case _ => false
+    }
+    PipelineInfo(pipelineName, environment, runDate, startedAtMs,
+      System.currentTimeMillis(),
+      scala.util.Try(org.apache.spark.sql.SparkSession.active.sparkContext.applicationId).toOption,
+      status = if (firstFailure.isDefined) "failed"
+               else if (hasWarnings) "warning" else "succeeded",
+      failureException = firstFailure)
+  }
+
+  def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
+    val t0 = System.currentTimeMillis()
+    runTree(jobs, job => Seq(runOne(job, runDate)),
+      rs => notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(runDate, t0, rs), rs)))
+  }
 
   /**
    * Run under explicit run params — the daily-operations entry point
@@ -236,6 +258,7 @@ final class Orchestrator(
       case RunParams.Rerun(d) => d
       case RunParams.Historical(_, to, _, _) => to
     }
+    val startedAtMs = System.currentTimeMillis()
     def runTask(job: JobDef)(t: TaskPreDef): TaskResult = {
       val force = t.reason == RunReason.Rerun || t.reason == RunReason.Update
       val r =
@@ -257,7 +280,7 @@ final class Orchestrator(
             implicitly, ec), Duration.Inf)
         finally pool.shutdown()
       }
-    }, rs => notifiers.foreach(_.onPipelineCompleted(rs, asOf)))
+    }, rs => notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(asOf, startedAtMs, rs), rs)))
   }
 
   /**

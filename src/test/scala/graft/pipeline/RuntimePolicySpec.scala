@@ -220,6 +220,37 @@ class RuntimePolicySpec extends SparkSpec {
     assert(onceySkips.size >= 2, s"SkipOnce date was not re-offered: $onceySkips")
   }
 
+  test("notification targets receive pipeline context (status roll-up)") {
+    val ms = newMs("ok1", "bad1")
+    var infos = Vector.empty[PipelineInfo]
+    val target = new PipelineNotificationTarget {
+      override def onPipelineCompletedInfo(info: PipelineInfo, rs: Seq[TaskResult]): Unit =
+        infos :+= info
+    }
+    val orch = new Orchestrator(ms, notifiers = Seq(target),
+      pipelineName = "nightly", environment = "test")
+    orch.run(Seq(JobDef("ok", "ok1", seed(2))), runDate)
+    orch.run(Seq(JobDef("bad", "bad1", failing)), runDate)
+    assert(infos.map(_.status) == Vector("succeeded", "failed"))
+    val i = infos.head
+    assert(i.pipelineName == "nightly" && i.environment == "test")
+    assert(i.runDate == runDate && i.finishedAtMs >= i.startedAtMs)
+    assert(i.sparkApplicationId.nonEmpty)
+    assert(infos(1).failureException.exists(_.getMessage == "boom"))
+    // warning roll-up: success with warnings -> "warning"
+    val warn = new Transformer {
+      override def validate(r: MetastoreReader, d: LocalDate, o: Map[String, String]): Reason =
+        Reason.Warning("thin")
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        import spark.implicits._
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val ms2 = newMs("w1")
+    new Orchestrator(ms2, notifiers = Seq(target)).run(Seq(JobDef("w", "w1", warn)), runDate)
+    assert(infos.last.status == "warning")
+  }
+
   test("disabled jobs are dropped at config parse time") {
     val conf =
       """pipeline.name = p
