@@ -58,7 +58,8 @@ object PipelineConfig {
 
   final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
                           bookkeepingPath: Option[String] = None,
-                          lockDir: Option[String] = None)
+                          lockDir: Option[String] = None,
+                          environment: String = "local")
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -292,7 +293,8 @@ object PipelineConfig {
     // work when this key points at shared storage
     Parsed(name, tables, jobs,
       bookkeepingPath = kv.get("bookkeeping.path"),
-      lockDir = kv.get("lock.dir"))
+      lockDir = kv.get("lock.dir"),
+      environment = kv.getOrElse("environment.name", "local"))
   }
 
   /**
@@ -384,7 +386,8 @@ object PipelineConfig {
     val ms = new Metastore(spark)
     parsed.tables.foreach(ms.register)
     new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
-      rerunSucceeded = rerunSucceeded).run(parsed.jobs, runDate)
+      rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
+      environment = parsed.environment).run(parsed.jobs, runDate)
   }
 
   /** Register the declared tables and run under explicit run params
@@ -396,7 +399,8 @@ object PipelineConfig {
                 dateParallelism: Int = 1): Seq[TaskResult] = {
     val ms = new Metastore(spark)
     parsed.tables.foreach(ms.register)
-    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir)
+    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
+        pipelineName = parsed.name, environment = parsed.environment)
       .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }
 }
