@@ -245,33 +245,49 @@ object EmbedDedup {
     graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, seed + t))
-    // mass-duplication pre-grouping (see Dedup.simhashCandidates):
-    // BIT-IDENTICAL vectors (re-crawled/replicated docs share
-    // embeddings) star onto their group min with cosine exactly 1 —
-    // always >= any threshold — and one representative per distinct
-    // vector enters the hash tables; g copies emit g-1 pairs instead
-    // of O(g²) per table. Transitively complete, not exhaustive.
-    val keyed = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
-    val groups = keyed.groupBy(col("vec")).agg(min(col("doc_id")).as("rep"))
-    val starPairs = keyed.join(groups, "vec")
-      .where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
-    val reps = groups.select(col("rep").as("doc_id"), col("vec"))
+    val base = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+
     // ids-only bucket shuffle (vectors are wide — shipping them into
     // collect_list buckets would shuffle the whole table per hash
     // table); cosine verify joins the (small) candidate set back to
     // the embeddings, scanning the big table, never pair-shuffling it.
-    val bucketed = reps
-      .select(col("doc_id"), posexplode(AnnSearch.lshBucketsAll(col("vec"), planeSets)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
-    val pairs = Dedup.idPairsFromBuckets(bucketed, Seq("tbl", "bkt"), maxBucket)
-    val vecs = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
-    val repPairs = pairs
-      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
-      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
-      .withColumn("cosine", round(VectorMath.cosineFast(col("v_a"), col("v_b")), 6))
-      .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-    starPairs.unionByName(repPairs)
+    def lshPairs(input: DataFrame): DataFrame = {
+      val bucketed = input
+        .select(col("doc_id"), posexplode(AnnSearch.lshBucketsAll(col("vec"), planeSets)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+      val pairs = Dedup.idPairsFromBuckets(bucketed, Seq("tbl", "bkt"), maxBucket)
+      val vecs = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      pairs
+        .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+        .withColumn("cosine", round(VectorMath.cosineFast(col("v_a"), col("v_b")), 6))
+        .where(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+
+    // adaptive mass-duplication handling, same scheme as
+    // Dedup.minhashCandidates: BIT-IDENTICAL vectors (re-crawled/
+    // replicated docs share embeddings) are probed ids-only by a
+    // 64-bit vector fingerprint; stars carry cosine exactly 1 (a
+    // fingerprint collision mislabeling a pair is the standard
+    // 2^-64-per-pair fingerprint trade, same as exact dedup)
+    val keyed = base.select(col("doc_id"), xxhash64(col("vec")).as("_k"))
+    val (dupRows, nGroups, dupG) = Dedup.dupGroupsOf(keyed)
+    if (dupRows == 0) lshPairs(base)
+    else if (nGroups <= Dedup.MaxBroadcastDupGroups && dupRows * 20 < keyed.count()) {
+      val stars = keyed.join(broadcast(dupG), "_k")
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
+      stars.unionByName(lshPairs(base)).dropDuplicates("id_a", "id_b")
+    } else {
+      val withKey = base.withColumn("_k", xxhash64(col("vec")))
+      val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
+      val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
+      val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("vec"))
+      stars.unionByName(lshPairs(reps))
+    }
   }
 }

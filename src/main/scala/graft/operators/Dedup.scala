@@ -101,37 +101,77 @@ object Dedup {
    * must stay O(ids), not O(corpus)). Returns distinct (id_a, id_b)
    * with id_a < id_b.
    */
+  /** Dup-group count above which the dup-group set stops being
+    * broadcastable for star generation. */
+  private[operators] val MaxBroadcastDupGroups = 100 * 1000
+
+  /** Duplicate probe over an ids-only (doc_id, _k) frame: ONE
+    * aggregate returns (duplicateMemberRows, dupGroupCount) plus the
+    * dup-group frame — the signals that decide the dedup plan shape
+    * (duplicate ROW share drives bucket flooding; group count drives
+    * broadcastability). */
+  private[operators] def dupGroupsOf(keyed: DataFrame): (Long, Long, DataFrame) = {
+    val g = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"), count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+    val probe = g.agg(coalesce(sum(col("_n") - 1), lit(0L)).as("dupRows"),
+      count(lit(1)).as("nGroups")).head()
+    (probe.getLong(0), probe.getLong(1), g.select(col("_k"), col("rep")))
+  }
+
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val r = k / bands
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
-    // mass-duplication pre-grouping (see simhashCandidates): EXACT text
-    // copies — the dominant duplicate class in an uncurated crawl —
-    // star onto their group's min id (jaccard is exactly 1, so any
-    // downstream verify threshold keeps the stars), and one
-    // representative per distinct text runs the shingle/band pipeline.
-    // g copies emit g-1 pairs instead of O(g²) across every band.
-    // Pair set is transitively complete, not pairwise-exhaustive.
-    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("_fp", xxhash64(col("text")))
-    val groups = keyed.groupBy(col("_fp")).agg(min(col("doc_id")).as("rep"))
-    val starPairs = keyed.join(groups, "_fp")
-      .where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
-    val reps = keyed.join(groups, "_fp").where(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("text"))
-    val withSig = reps
-      .withColumn("_toks", TextFunctions.tokens(col("text")))
-      .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
-      .withColumn("sig", graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
-    val banded = withSig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
 
-    starPairs.unionByName(idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket))
+    def banding(input: DataFrame): DataFrame = {
+      val withSig = input
+        .withColumn("_toks", TextFunctions.tokens(col("text")))
+        .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
+        .withColumn("sig", graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
+      val banded = withSig.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    }
+
+    // Mass-duplication handling is ADAPTIVE on an ids-only dup probe
+    // (exact-text copies are the dominant duplicate class of an
+    // uncurated crawl, but a curated corpus has none and must not pay
+    // for them):
+    //  - no duplicates: the original single-pass band pipeline, no
+    //    extra plan nodes at all;
+    //  - light duplication (< ~5% of rows, dup-group set
+    //    broadcastable): the full corpus still runs the bands (too few
+    //    copies to flood buckets) + star pairs (group min -> member,
+    //    jaccard exactly 1) from a broadcast join, which also
+    //    guarantees intra-group edges when a bucket cap truncates;
+    //  - heavy duplication: the corpus pre-groups by text fingerprint
+    //    (this is the one path that shuffles text — worth it there)
+    //    and only one representative per distinct text enters the
+    //    bands: g copies cost g-1 star pairs instead of O(g²) per
+    //    band. Pair sets stay transitively complete in every branch.
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val keyed = base.select(col("doc_id"), xxhash64(col("text")).as("_k"))
+    val (dupRows, nGroups, dupG) = dupGroupsOf(keyed)
+    if (dupRows == 0) banding(base)
+    else if (nGroups <= MaxBroadcastDupGroups && dupRows * 20 < keyed.count()) {
+      val stars = keyed.join(broadcast(dupG), "_k")
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      stars.unionByName(banding(base)).dropDuplicates("id_a", "id_b")
+    } else {
+      val withKey = base.withColumn("_k", xxhash64(col("text")))
+      val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
+      val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"))
+      stars.unionByName(banding(reps))
+    }
   }
 
   /**
@@ -202,24 +242,32 @@ object Dedup {
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("sh", graft.expr.GraftFunctions.simhash64(TextFunctions.tokens(col("text"))))
+      .select(col("doc_id"), col("sh")) // ids + 8 bytes from here on
+
+    def bucketPairs(input: DataFrame): DataFrame = {
+      val blocked = input.select(
+        col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
+        .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming").distinct()
+    }
+
+    // identical-hash pre-grouping is UNCONDITIONAL here: the frame is
+    // already ids + 8 bytes, so grouping and the star join shuffle
+    // almost nothing, and two rows with the same simhash never have a
+    // reason to co-occupy a block bucket (they'd only emit the pairs
+    // the stars already encode). Stars are hamming 0 exactly — the
+    // metric is a function of the hash itself. The pair set is
+    // transitively complete, not pairwise-exhaustive.
     val groups = withHash.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
-    // identical-hash members star onto the representative (rep == the
-    // group min, so pairs come out ordered)
-    val starPairs = withHash.join(groups, "sh")
+    val stars = withHash.join(groups, "sh")
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
-    // distinct hashes only enter the block buckets
-    val reps = groups.select(col("rep").as("doc_id"), col("sh"))
-    val blocked = reps.select(
-      col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-    val repPairs = pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
-      .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
-    starPairs.unionByName(repPairs)
+    stars.unionByName(bucketPairs(groups.select(col("rep").as("doc_id"), col("sh"))))
   }
 
   /**

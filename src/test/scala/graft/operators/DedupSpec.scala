@@ -124,11 +124,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"expected only the planted pair, got $pairs")
   }
 
-  test("bucket cap bounds pair explosion on degenerate content") {
+  test("bucket cap + dup stars bound pair explosion on degenerate content") {
     val many = (1L to 300L).map(i => (i, "same boilerplate text repeated again and again ok"))
       .toDF("doc_id", "text")
-    val n = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 50).count()
-    // capped at C(50,2) pairs, far below C(300,2)=44850
-    assert(n <= 50L * 49 / 2, s"bucket cap not applied: $n pairs")
+    val cand = Dedup.minhashCandidates(many, "text", "doc_id", maxBucket = 50)
+    val n = cand.count()
+    // bucket pairs capped at C(50,2) + at most g-1 dup star pairs,
+    // far below the exhaustive C(300,2)=44850
+    assert(n <= 50L * 49 / 2 + 299, s"bucket cap not applied: $n pairs")
+    // the stars keep the pair set transitively complete despite the
+    // cap: every doc is reachable from the group representative
+    val ids = cand.select("id_a").union(cand.select("id_b"))
+      .distinct().count()
+    assert(ids == 300, s"stars must cover all capped-out members: $ids")
   }
 }
