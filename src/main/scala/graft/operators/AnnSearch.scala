@@ -272,9 +272,9 @@ object EmbedDedup {
     // fingerprint collision mislabeling a pair is the standard
     // 2^-64-per-pair fingerprint trade, same as exact dedup)
     val keyed = base.select(col("doc_id"), xxhash64(col("vec")).as("_k"))
-    val (dupRows, nGroups, dupG) = Dedup.dupGroupsOf(keyed)
+    val (dupRows, nGroups, totalRows, dupG) = Dedup.dupGroupsOf(keyed)
     if (dupRows == 0) lshPairs(base)
-    else if (nGroups <= Dedup.MaxBroadcastDupGroups && dupRows * 20 < keyed.count()) {
+    else if (nGroups <= Dedup.MaxBroadcastDupGroups && dupRows * 20 < totalRows) {
       val stars = keyed.join(broadcast(dupG), "_k")
         .where(col("doc_id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))

@@ -106,16 +106,19 @@ object Dedup {
   private[operators] val MaxBroadcastDupGroups = 100 * 1000
 
   /** Duplicate probe over an ids-only (doc_id, _k) frame: ONE
-    * aggregate returns (duplicateMemberRows, dupGroupCount) plus the
-    * dup-group frame — the signals that decide the dedup plan shape
-    * (duplicate ROW share drives bucket flooding; group count drives
-    * broadcastability). */
-  private[operators] def dupGroupsOf(keyed: DataFrame): (Long, Long, DataFrame) = {
-    val g = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"), count(lit(1)).as("_n"))
-      .where(col("_n") > 1)
-    val probe = g.agg(coalesce(sum(col("_n") - 1), lit(0L)).as("dupRows"),
-      count(lit(1)).as("nGroups")).head()
-    (probe.getLong(0), probe.getLong(1), g.select(col("_k"), col("rep")))
+    * aggregate pass returns (duplicateMemberRows, dupGroupCount,
+    * totalRows) plus the dup-group frame — the signals that decide
+    * the dedup plan shape (duplicate ROW share drives bucket
+    * flooding; group count drives broadcastability; total rows is
+    * folded in so no branch pays a second corpus count). */
+  private[operators] def dupGroupsOf(keyed: DataFrame): (Long, Long, Long, DataFrame) = {
+    val byKey = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"), count(lit(1)).as("_n"))
+    val g = byKey.where(col("_n") > 1)
+    val probe = byKey.agg(
+      coalesce(sum(when(col("_n") > 1, col("_n") - 1).otherwise(0L)), lit(0L)).as("dupRows"),
+      count(when(col("_n") > 1, 1)).as("nGroups"),
+      coalesce(sum(col("_n")), lit(0L)).as("totalRows")).head()
+    (probe.getLong(0), probe.getLong(1), probe.getLong(2), g.select(col("_k"), col("rep")))
   }
 
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
@@ -155,9 +158,9 @@ object Dedup {
     //    band. Pair sets stay transitively complete in every branch.
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keyed = base.select(col("doc_id"), xxhash64(col("text")).as("_k"))
-    val (dupRows, nGroups, dupG) = dupGroupsOf(keyed)
+    val (dupRows, nGroups, totalRows, dupG) = dupGroupsOf(keyed)
     if (dupRows == 0) banding(base)
-    else if (nGroups <= MaxBroadcastDupGroups && dupRows * 20 < keyed.count()) {
+    else if (nGroups <= MaxBroadcastDupGroups && dupRows * 20 < totalRows) {
       val stars = keyed.join(broadcast(dupG), "_k")
         .where(col("doc_id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
