@@ -113,6 +113,7 @@ final case class JobDef(
     minimumRecords: Long = 0L,
     sparkConf: Map[String, String] = Map.empty,
     optionalInputs: Set[String] = Set.empty,
+    dependencies: Seq[Dependency] = Seq.empty,
     isCritical: Boolean = false,
     alwaysAttempt: Boolean = false,
     ignoreSchemaChange: Boolean = false,
@@ -125,6 +126,31 @@ final case class JobDef(
 /** One declarative output rewrite: `column <- expression`; a missing,
   * empty or literal-"drop" expression drops the column instead. */
 final case class OutputTransform(column: String, expression: Option[String])
+
+/**
+ * A declarative date-windowed dependency (reference: pramen/api
+ * .../api/status/MetastoreDependency.scala): before the task runs,
+ * every listed table must have data in the window derived from the
+ * task's info date by the date-expression DSL — e.g. a weekly roll-up
+ * declaring `dateFromExpr = "@infoDate - 6"` refuses to run (NotReady,
+ * so dependents wait too) until the whole week landed.
+ *
+ * @param dateUntilExpr  window end; unset = up to the info date
+ * @param optional       missing data does not gate the run — the
+ *                       transformer's own `validate` decides
+ * @param passive        tracked for update detection only; adds no
+ *                       DAG edge and never gates
+ * @param triggerUpdates a late landing in these tables re-runs this
+ *                       job's already-succeeded dates (feeds the
+ *                       trackDays late-data machinery)
+ */
+final case class Dependency(
+    tables: Seq[String],
+    dateFromExpr: String,
+    dateUntilExpr: Option[String] = None,
+    optional: Boolean = false,
+    passive: Boolean = false,
+    triggerUpdates: Boolean = false)
 
 object OutputTransform {
   import org.apache.spark.sql.DataFrame
@@ -338,15 +364,21 @@ final class Orchestrator(
 
     def futureFor(job: JobDef): Future[Seq[TaskResult]] = futures.synchronized {
       futures.getOrElseUpdate(job.name, {
-        val depJobs = job.inputTables.flatMap(byOutput.get).filterNot(_.name == job.name)
+        // DAG edges: declared inputs plus non-passive dependency tables
+        // (passive deps are tracked for update detection only)
+        val edgeTables = job.inputTables ++
+          job.dependencies.filterNot(_.passive).flatMap(_.tables)
+        val depJobs = edgeTables.distinct.flatMap(byOutput.get).filterNot(_.name == job.name)
         val depsF = Future.sequence(depJobs.map(futureFor))
         depsF.map { deps =>
           // optional (passive) dependencies may fail without blocking
           // this job — the transformer's validate decides whether it
           // can run from what's available (reference: optional
           // MetastoreDependency)
+          val optionalTables = job.optionalInputs ++
+            job.dependencies.filter(_.optional).flatMap(_.tables)
           val required = depJobs.zip(deps).filterNot {
-            case (d, _) => job.optionalInputs.contains(d.outputTable)
+            case (d, _) => optionalTables.contains(d.outputTable)
           }
           val failedDep = required.flatMap(_._2).collectFirst { case f: TaskResult.Failed => f }
           failedDep match {
@@ -408,6 +440,21 @@ final class Orchestrator(
         graft.meta.TableRunInfo(r.table, r.infoDate, r.recordCount, r.status,
           r.startedAtMs, r.finishedAtMs)))
     val t0 = System.currentTimeMillis()
+    // declarative dependency windows gate BEFORE validate: a gating
+    // table with no partition inside its derived window leaves the
+    // task NotReady (dependents skip too), the reference's
+    // MissingDependencies semantics
+    val missingDeps = job.dependencies.filterNot(d => d.optional || d.passive).flatMap { d =>
+      val ev = DateExpr("infoDate" -> infoDate, "date" -> infoDate)
+      val from = ev.evalDate(d.dateFromExpr)
+      val until = d.dateUntilExpr.map(ev.evalDate).getOrElse(infoDate)
+      d.tables.filterNot(t => metastore.listAvailableDates(t)
+          .exists(dd => !dd.isBefore(from) && !dd.isAfter(until)))
+        .map(t => s"$t[$from..$until]")
+    }
+    if (missingDeps.nonEmpty)
+      return TaskResult.NotReady(job.name,
+        s"dependency window(s) not satisfied: ${missingDeps.mkString(", ")}")
     val validation = job.transformer.validate(reader, infoDate, job.options)
     validation match {
       case Reason.NotReady(msg) => TaskResult.NotReady(job.name, msg)
@@ -541,7 +588,8 @@ final class Orchestrator(
     def visit(j: JobDef): Unit = {
       if (done.contains(j.name)) return
       require(visiting.add(j.name), s"Dependency cycle involving job '${j.name}'")
-      j.inputTables.flatMap(byOutput.get).filterNot(_.name == j.name).foreach(visit)
+      (j.inputTables ++ j.dependencies.filterNot(_.passive).flatMap(_.tables))
+        .distinct.flatMap(byOutput.get).filterNot(_.name == j.name).foreach(visit)
       visiting.remove(j.name); done.add(j.name)
     }
     jobs.foreach(visit)

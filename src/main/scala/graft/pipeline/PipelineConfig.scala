@@ -275,6 +275,22 @@ object PipelineConfig {
         },
         optionalInputs = opt("optional.inputs")
           .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty),
+        // declarative date-windowed dependencies (reference:
+        // api/status/MetastoreDependency — job.N.dependency.M.* blocks)
+        dependencies = kv.keys
+          .collect { case k if k.startsWith(s"job.$j.dependency.") => k.split("\\.")(3) }
+          .toSeq.distinct.sortBy(_.toInt)
+          .map { m =>
+            def dopt(s: String) = kv.get(s"job.$j.dependency.$m.$s")
+            Dependency(
+              tables = dopt("tables").getOrElse(throw new IllegalArgumentException(
+                s"job.$j.dependency.$m.tables is required")).split(",").map(_.trim).toSeq,
+              dateFromExpr = dopt("date.from").getOrElse("@infoDate"),
+              dateUntilExpr = dopt("date.until"),
+              optional = dopt("optional").contains("true"),
+              passive = dopt("passive").contains("true"),
+              triggerUpdates = dopt("trigger.updates").contains("true"))
+          },
         // per-operation runtime policy (reference: OperationDef)
         isCritical = opt("critical").contains("true"),
         alwaysAttempt = opt("always.attempt").contains("true"),

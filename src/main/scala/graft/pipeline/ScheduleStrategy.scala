@@ -176,7 +176,12 @@ object ScheduleStrategy {
         val updated =
           if (newOnly) Nil
           else updatedDates(runDate, job.trackDays, job.schedule, job.infoDateExpr,
-            job.outputTable, job.inputTables, bookkeeper)
+            job.outputTable,
+            // triggerUpdates dependencies watch their tables for late
+            // landings alongside the declared inputs
+            (job.inputTables ++
+              job.dependencies.filter(_.triggerUpdates).flatMap(_.tables)).distinct,
+            bookkeeper)
         // reasons earlier in the list win the per-date dedup (a date
         // that is both Update and Late keeps the forcing reason)
         (updated ++ late ++ newDay)

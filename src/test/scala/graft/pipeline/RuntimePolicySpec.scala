@@ -220,6 +220,62 @@ class RuntimePolicySpec extends SparkSpec {
     assert(onceySkips.size >= 2, s"SkipOnce date was not re-offered: $onceySkips")
   }
 
+  test("date-windowed dependencies gate the run until the window has data") {
+    val ms = newMs("weekly_src", "weekly_out")
+    // the roll-up declares it needs the full trailing week of its input
+    val job = JobDef("roll", "weekly_out", new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+        r.getTable("weekly_src", Some(d.minusDays(6)), Some(d))
+          .groupBy().count()
+    }, inputTables = Seq("weekly_src"),
+      dependencies = Seq(Dependency(Seq("weekly_src"), "@infoDate - 6")))
+    // no data at all -> NotReady, not Failed
+    val r1 = new Orchestrator(ms).run(Seq(job), runDate)
+    r1.head match {
+      case TaskResult.NotReady(_, why) => assert(why.contains("weekly_src"), why)
+      case other => fail(s"expected NotReady, got $other")
+    }
+    // data INSIDE the window satisfies the gate
+    ms.saveTable("weekly_src", runDate.minusDays(3), Seq((1L, "x")).toDF("id", "v"))
+    assert(new Orchestrator(ms).run(Seq(job), runDate)
+      .head.isInstanceOf[TaskResult.Succeeded])
+    // data ONLY OUTSIDE the window does not (fresh output table so
+    // skip-if-done doesn't shortcut)
+    val ms2 = newMs("weekly_src", "weekly_out")
+    ms2.saveTable("weekly_src", runDate.minusDays(30), Seq((1L, "x")).toDF("id", "v"))
+    assert(new Orchestrator(ms2).run(Seq(job), runDate)
+      .head.isInstanceOf[TaskResult.NotReady])
+    // optional dependencies never gate
+    val opt = job.copy(dependencies = Seq(
+      Dependency(Seq("weekly_src"), "@infoDate - 6", optional = true)))
+    val ms3 = newMs("weekly_src", "weekly_out")
+    ms3.saveTable("weekly_src", runDate.minusDays(30), Seq((1L, "x")).toDF("id", "v"))
+    assert(!new Orchestrator(ms3).run(Seq(opt), runDate)
+      .head.isInstanceOf[TaskResult.NotReady])
+  }
+
+  test("dependency config block parses and feeds update tracking") {
+    val conf =
+      """pipeline.name = p
+        |table.a.path = /tmp/x/a
+        |job.1.output = a
+        |job.1.transformer = identity
+        |job.1.option.input.table = a
+        |job.1.dependency.1.tables = src1, src2
+        |job.1.dependency.1.date.from = @infoDate - 6
+        |job.1.dependency.1.date.until = @infoDate - 1
+        |job.1.dependency.1.trigger.updates = true
+        |job.1.dependency.2.tables = lookup
+        |job.1.dependency.2.passive = true
+        |""".stripMargin
+    val j = PipelineConfig.parse(conf).jobs.head
+    assert(j.dependencies.size == 2)
+    val d1 = j.dependencies.head
+    assert(d1.tables == Seq("src1", "src2") && d1.dateFromExpr == "@infoDate - 6")
+    assert(d1.dateUntilExpr.contains("@infoDate - 1") && d1.triggerUpdates)
+    assert(j.dependencies(1).passive)
+  }
+
   test("notification targets receive pipeline context (status roll-up)") {
     val ms = newMs("ok1", "bad1")
     var infos = Vector.empty[PipelineInfo]
