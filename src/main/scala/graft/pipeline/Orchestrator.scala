@@ -493,8 +493,17 @@ final class Orchestrator(
             case Some(st) => // sink/transfer job: data leaves the metastore
               val r = st.sink.send(df, st.tableName, infoDate, job.options)
               graft.meta.TableStats(r.recordsSent, None)
-            case None => metastore.saveTable(job.outputTable, infoDate, df,
-              trackSchema = !job.ignoreSchemaChange)
+            case None =>
+              val stats = metastore.saveTable(job.outputTable, infoDate, df,
+                trackSchema = !job.ignoreSchemaChange)
+              // post-save hook: reader additionally covers the fresh
+              // output partition
+              job.transformer.postProcess(job.outputTable,
+                metastore.readerFor(
+                  Some((job.inputTables :+ job.outputTable).toSet),
+                  currentInfoDate = Some(infoDate)),
+                infoDate, job.options)
+              stats
           }
         }
         // wall-clock budget: a hung attempt (stuck source, dead

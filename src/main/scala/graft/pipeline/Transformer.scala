@@ -29,6 +29,15 @@ trait Transformer {
 
   def run(metastore: MetastoreReader, infoDate: LocalDate,
           options: Map[String, String]): DataFrame
+
+  /** Called after the output is SAVED — the reader can query the
+    * fresh output partition (post-save validation, downstream
+    * hand-offs). A throw fails the task; the partition stays written
+    * and the failed bookkeeping record re-delivers the slot, the same
+    * contract as minimum.records (reference: api/Transformer
+    * postProcess). */
+  def postProcess(outputTableName: String, metastore: MetastoreReader,
+                  infoDate: LocalDate, options: Map[String, String]): Unit = ()
 }
 
 /**

@@ -220,6 +220,34 @@ class RuntimePolicySpec extends SparkSpec {
     assert(onceySkips.size >= 2, s"SkipOnce date was not re-offered: $onceySkips")
   }
 
+  test("postProcess sees the saved output; a throw fails the task but keeps the data") {
+    val ms = newMs("pp_out")
+    var seen = -1L
+    val okT = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      override def postProcess(out: String, r: MetastoreReader, d: LocalDate,
+                               o: Map[String, String]): Unit =
+        seen = r.getTable(out, Some(d), Some(d)).count()
+    }
+    assert(new Orchestrator(ms).run(Seq(JobDef("ok", "pp_out", okT)), runDate)
+      .head.isInstanceOf[TaskResult.Succeeded])
+    assert(seen == 2, s"postProcess read $seen rows of the fresh partition")
+
+    val ms2 = newMs("pp_bad")
+    val badT = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, "x")).toDF("id", "v")
+      override def postProcess(out: String, r: MetastoreReader, d: LocalDate,
+                               o: Map[String, String]): Unit =
+        throw new IllegalStateException("reconciliation failed")
+    }
+    val r = new Orchestrator(ms2).run(Seq(JobDef("bad", "pp_bad", badT)), runDate)
+    assert(r.head.isInstanceOf[TaskResult.Failed])
+    // the partition stays written (re-delivery semantics, not rollback)
+    assert(ms2.getTable("pp_bad", Some(runDate), Some(runDate)).count() == 1)
+  }
+
   test("date-windowed dependencies gate the run until the window has data") {
     val ms = newMs("weekly_src", "weekly_out")
     // the roll-up declares it needs the full trailing week of its input
