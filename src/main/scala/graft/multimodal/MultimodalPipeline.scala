@@ -115,4 +115,56 @@ object MultimodalPipeline {
       .withColumn("frame_ts_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
       .select(col("media_id"), col("frame_ts_ms"), col("content"))
+
+  /** Pluggable payload→payload batch transform (resize, transcode,
+    * re-encode) — binary in, binary out, batch-at-a-time like
+    * [[Codec]]. */
+  trait PayloadCodec extends Serializable {
+    def transformBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Byte]]
+  }
+
+  /** Deterministic resize stand-in: folds the payload into a
+    * width×height/256-byte pseudo-bitmap (real deployment: an image
+    * library decode → scale → re-encode). */
+  final case class StubResize(width: Int, height: Int) extends PayloadCodec {
+    def transformBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Byte]] =
+      payloads.map { bytes =>
+        val out = new Array[Byte](math.max(1, width * height / 256))
+        if (bytes != null) {
+          var i = 0
+          while (i < bytes.length) { out(i % out.length) = (out(i % out.length) ^ bytes(i)).toByte; i += 1 }
+        }
+        out
+      }
+  }
+
+  /**
+   * Resize stage: IMAGE payloads run through the codec in bounded
+   * batches (same lazy `grouped` iterator memory shape as
+   * [[extractFeatures]] — peak memory is one batch, never a
+   * partition); width/height metadata is rewritten to the target;
+   * audio/video rows pass through untouched. Schema in = schema out
+   * ([[mediaMetaSchema]]), so stages chain.
+   */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+                   codec: PayloadCodec = null,
+                   batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val c = Option(codec).getOrElse(StubResize(width, height))
+    val spark = media.sparkSession
+    val cols = mediaMetaSchema.fieldNames
+    val rdd = media.select(cols.map(col).toIndexedSeq: _*).rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val (images, others) = batch.partition(_.getAs[String]("kind") == "image")
+        val resized = c.transformBatch(images.iterator.map(_.getAs[Array[Byte]]("content")))
+        val newImages = images.iterator.zip(resized).map { case (r, bytes) =>
+          Row(r.getAs[Long]("media_id"), "image", r.getAs[String]("mime"),
+            Integer.valueOf(width), Integer.valueOf(height),
+            r.getAs[java.lang.Long]("duration_ms"), bytes)
+        }
+        newImages ++ others.iterator
+      }
+    }
+    spark.createDataFrame(rdd, mediaMetaSchema)
+  }
 }

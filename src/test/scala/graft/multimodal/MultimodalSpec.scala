@@ -65,4 +65,30 @@ class MultimodalSpec extends SparkSpec {
       assert(n == dur / 10000 + 1, s"id=$id dur=$dur frames=$n")
     }
   }
+
+  test("resize rewrites image payloads + dims in bounded batches; others pass through") {
+    val media = MultimodalPipeline.syntheticMedia(spark, 30)
+    val out = MultimodalPipeline.resizeImages(media, 320, 240, batchSize = 4)
+    assert(out.schema == MultimodalPipeline.mediaMetaSchema)
+    assert(out.count() == 30)
+    val images = out.where(org.apache.spark.sql.functions.col("kind") === "image").collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.getAs[Int]("width") == 320 && r.getAs[Int]("height") == 240)
+      assert(r.getAs[Array[Byte]]("content").length == 320 * 240 / 256)
+    }
+    // non-image rows keep their original payloads and metadata
+    val origAudio = media.where(org.apache.spark.sql.functions.col("kind") =!= "image")
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    val outAudio = out.where(org.apache.spark.sql.functions.col("kind") =!= "image")
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(outAudio == origAudio)
+    // deterministic regardless of batch size (compare payload CONTENTS
+    // — Row.toString renders arrays by identity)
+    def snapshot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content").toSeq)
+      .sortBy(_._1).toSeq
+    assert(snapshot(MultimodalPipeline.resizeImages(media, 320, 240, batchSize = 7)) ==
+      snapshot(out))
+  }
 }
