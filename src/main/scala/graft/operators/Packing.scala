@@ -54,17 +54,24 @@ object Packing {
     val packed = parted.sortWithinPartitions(idCol)
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var bin = 0L
-        var fill = 0L
-        it.map { case (id, tok) =>
-          if (fill > 0L && fill + tok > capacity) { bin += 1; fill = 0L }
-          fill += tok
-          // 24 bits of partition id, 40 bits of local bin counter
-          (id, tok, (pid << 40) | bin)
-        }
+        packPartition(it, org.apache.spark.TaskContext.getPartitionId().toLong, capacity)
       }
     packed.toDF(idCol, tokensCol, "seq_id")
+  }
+
+  /** The pure next-fit loop over one partition's (id, tokens) stream —
+    * separated so the invariants (no overflow, 2-competitiveness,
+    * oversized isolation) are property-testable without a cluster.
+    * seq_id = 24 bits of partition id, 40 bits of local bin counter. */
+  private[graft] def packPartition(it: Iterator[(Long, Long)], pid: Long,
+                                       capacity: Long): Iterator[(Long, Long, Long)] = {
+    var bin = 0L
+    var fill = 0L
+    it.map { case (id, tok) =>
+      if (fill > 0L && fill + tok > capacity) { bin += 1; fill = 0L }
+      fill += tok
+      (id, tok, (pid << 40) | bin)
+    }
   }
 
   /** Per-sequence roll-up: chunk count, token total, fill ratio. */

@@ -70,6 +70,26 @@ object Sampling {
   }
 
   /**
+   * Cap each key's TOTAL BUDGET (token count, byte size) rather than
+   * its row count — the curation form of "no domain dominates": rows
+   * are taken in `orderCol` order while the running total stays
+   * within `maxBudget`; the first row of a key is always kept even if
+   * it alone exceeds the budget (dropping whole keys is a filtering
+   * decision, not a capping one). One hash shuffle on the key, same
+   * plan shape as [[capPerKey]].
+   */
+  def capPerKeyByBudget(df: DataFrame, keyCol: String, budgetCol: String,
+                        maxBudget: Long, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(budgetCol)).over(w))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+      .where(col("_cum") <= maxBudget || col("_rn") === 1)
+      .drop("_cum", "_rn")
+  }
+
+  /**
    * Weighted corpus mixing: deterministically sample each source at
    * its rate (rates > 1 replicate whole copies plus a sampled
    * remainder — epoch up-weighting) and union. The building block of

@@ -153,4 +153,33 @@ class PropertySpec extends AnyFunSuite {
       assert(q.contains("dt = ") && !q.contains(">="))
     }
   }
+
+  test("Packing next-fit: never overflows, keeps every chunk, stays 2-competitive") {
+    val genTokens = Gen.nonEmptyListOf(Gen.choose(1L, 600L))
+    val genCap = Gen.choose(64L, 512L)
+    forAll(genTokens, genCap) { (tokens, cap) =>
+      val chunks = tokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val packed = graft.operators.Packing
+        .packPartition(chunks.iterator, pid = 3L, capacity = cap).toList
+      // every chunk present exactly once, in order, tokens untouched
+      assert(packed.map(p => (p._1, p._2)) == chunks)
+      val byBin = packed.groupBy(_._3)
+      byBin.foreach { case (_, members) =>
+        val total = members.map(_._2).sum
+        // a bin only exceeds capacity when a SINGLE oversized chunk owns it
+        if (total > cap)
+          assert(members.size == 1 && members.head._2 > cap,
+            s"overflowing bin with ${members.size} members (cap $cap): $members")
+      }
+      // bins are contiguous ids starting at pid<<40
+      val ids = byBin.keys.toList.sorted
+      assert(ids == (0L until ids.size).map(b => (3L << 40) | b).toList)
+      // next-fit is 2-competitive vs the LP bound ceil(sum/cap) when
+      // no chunk is oversized
+      if (tokens.forall(_ <= cap)) {
+        val opt = (tokens.sum + cap - 1) / cap
+        assert(byBin.size <= 2 * opt, s"${byBin.size} bins for optimal $opt")
+      }
+    }
+  }
 }

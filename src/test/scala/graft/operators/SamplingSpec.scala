@@ -88,4 +88,15 @@ class SamplingSpec extends SparkSpec {
     val n = mixed.count()
     assert(n > 800 && n < 1200, s"mixed $n rows for target 1000")
   }
+
+  test("capPerKeyByBudget: running token totals respect the cap; first row always kept") {
+    val rows = Seq(
+      ("a", 1L, 400L), ("a", 2L, 400L), ("a", 3L, 400L),   // third row would exceed 1000
+      ("b", 1L, 5000L),                                    // single over-budget row kept
+      ("c", 1L, 100L), ("c", 2L, 100L))                    // all within budget
+      .toDF("domain", "seq", "n_tokens")
+    val kept = Sampling.capPerKeyByBudget(rows, "domain", "n_tokens", 1000L, "seq")
+      .select("domain", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("b", 1L), ("c", 1L), ("c", 2L)))
+  }
 }
