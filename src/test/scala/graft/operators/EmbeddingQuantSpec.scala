@@ -46,6 +46,30 @@ class EmbeddingQuantSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ8: probes prune to nprobe cell partitions, recall holds vs float IVF") {
+    val dir = tmpDir("ivfsq8_")
+    val cents = AnnSearch.kmeansCentroids(embeddings, "embedding", k = 8, iters = 3)
+    EmbeddingQuant.writeIvfIndexQuantized(embeddings, "vec_id", "embedding", s"$dir/ix", cents)
+    val indexed = spark.read.parquet(s"$dir/ix")
+    val query = embeddings.where(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+    val probed = EmbeddingQuant.ivfTopKQuantized(indexed, "vec_id", query, 10, cents, nprobe = 3)
+    // partition pruning: the scan touches at most nprobe of 8 cell dirs
+    val parts = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(parts.nonEmpty && parts.forall(_ <= 3), s"pruned partitions: $parts")
+
+    // recall vs the float IVF probe with the same centroids/nprobe
+    val floatIvf = AnnSearch.ivfTopK(embeddings, "embedding", "vec_id", query, 10, cents, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val quantIds = probed.collect().map(_.getLong(0)).toSet
+    assert(floatIvf.intersect(quantIds).size >= 8,
+      s"IVF-SQ8 diverged from float IVF: $quantIds vs $floatIvf")
+  }
+
   test("plan shape: quantized top-k is scan + TakeOrdered, no table shuffle") {
     val q = EmbeddingQuant.quantize(embeddings, "vec_id", "embedding")
     val plan = EmbeddingQuant.topK(q, "vec_id", Array.fill(64)(0.1), 10)
