@@ -34,6 +34,18 @@ import java.time.LocalDate
  * job.2.transformer = sql
  * job.2.sql = SELECT count(*) AS n FROM sales_clean
  *
+ * # per-operation runtime policy + declarative dependencies:
+ * job.1.critical = true                   # failure aborts the pipeline
+ * job.1.consume.threads = 2               # weighted parallelism slots
+ * job.1.expected.delay.days = 1           # source lands a day late
+ * job.1.kill.maximum.execution.time.seconds = 3600
+ * job.1.dependency.1.tables = sales
+ * job.1.dependency.1.date.from = @infoDate - 6   # gate: full week present
+ * job.1.dependency.1.trigger.updates = true      # late landings re-run
+ * table.sales.cache.policy = persist      # cache | persist | no_cache
+ * table.sales.catalog.repair = add_partition    # O(1) registration per save
+ * table.sales.write.option.maxRecordsPerFile = 5000000
+ *
  * # operation types beyond transformations (reference:
  * # core/pipeline/OperationType.scala — same aliases):
  * source.raw_files.type = spark           # spark | catalog | raw
