@@ -156,8 +156,15 @@ object MultimodalPipeline {
     val rdd = media.select(cols.map(col).toIndexedSeq: _*).rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val (images, others) = batch.partition(_.getAs[String]("kind") == "image")
-        val resized = c.transformBatch(images.iterator.map(_.getAs[Array[Byte]]("content")))
-        val newImages = images.iterator.zip(resized).map { case (r, bytes) =>
+        val resized = c.transformBatch(
+          images.iterator.map(_.getAs[Array[Byte]]("content"))).toArray
+        // a codec that under-emits would silently TRUNCATE the zip and
+        // drop trailing rows — enforce the 1:1 contract loudly instead
+        require(resized.length == images.size,
+          s"PayloadCodec returned ${resized.length} outputs for ${images.size} " +
+            "inputs; transformBatch must emit exactly one payload per input " +
+            "(filtering is a separate stage's decision)")
+        val newImages = images.iterator.zip(resized.iterator).map { case (r, bytes) =>
           Row(r.getAs[Long]("media_id"), "image", r.getAs[String]("mime"),
             Integer.valueOf(width), Integer.valueOf(height),
             r.getAs[java.lang.Long]("duration_ms"), bytes)

@@ -138,11 +138,23 @@ object AnnSearch {
     val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     // init from DISTINCT vectors: a corpus with duplicated embeddings
     // (near-dup docs, replicated epochs) would otherwise seed the same
-    // point several times and permanently collapse those clusters
-    var centroids: Array[Array[Double]] = embeddings
-      .select(col(vecCol)).distinct()
-      .orderBy(xxhash64(col(vecCol).cast("string"), lit(seed))).limit(k)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // point several times and permanently collapse those clusters.
+    // Distinctness is decided on an 8-byte fingerprint so the seed
+    // selection shuffles (hash, order) pairs, never the wide vectors —
+    // a full-vector distinct() would hash-shuffle the whole table for
+    // k seed rows. The winning hashes broadcast back to fetch vectors.
+    var centroids: Array[Array[Double]] = {
+      val hashed = embeddings.select(col(vecCol).as("_v"),
+        xxhash64(col(vecCol)).as("_h"),
+        xxhash64(col(vecCol).cast("string"), lit(seed)).as("_ord"))
+      val seedHashes = hashed.groupBy(col("_h")).agg(min(col("_ord")).as("_o"))
+        .orderBy(col("_o")).limit(k) // TakeOrdered over 16-byte rows
+      hashed.join(broadcast(seedHashes), "_h")
+        .where(col("_ord") === col("_o"))
+        .dropDuplicates("_h") // g copies of a seed vector tie on _ord
+        .select(col("_v")).limit(k)
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    }
     for (_ <- 1 to iters) {
       val assigned = embeddings.withColumn("_c", nearestCentroid(col(vecCol), centroids))
       val sums = assigned.groupBy("_c")

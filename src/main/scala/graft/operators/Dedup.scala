@@ -110,7 +110,13 @@ object Dedup {
     * totalRows) plus the dup-group frame — the signals that decide
     * the dedup plan shape (duplicate ROW share drives bucket
     * flooding; group count drives broadcastability; total rows is
-    * folded in so no branch pays a second corpus count). */
+    * folded in so no branch pays a second corpus count).
+    *
+    * DETERMINISM: the probe is a separate evaluation of the input's
+    * lineage from the stars/banding that follow — the same contract
+    * as [[exact]]'s multi-branch plan: the input must be
+    * deterministic across re-evaluations (a table read is; `sample`/
+    * `limit` without a prior materialization is not). */
   private[operators] def dupGroupsOf(keyed: DataFrame): (Long, Long, Long, DataFrame) = {
     val byKey = keyed.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"), count(lit(1)).as("_n"))
     val g = byKey.where(col("_n") > 1)

@@ -131,18 +131,27 @@ final case class OutputTransform(column: String, expression: Option[String])
  * A declarative date-windowed dependency (reference: pramen/api
  * .../api/status/MetastoreDependency.scala): before the task runs,
  * every listed table must have data in the window derived from the
- * task's info date by the date-expression DSL — e.g. a weekly roll-up
- * declaring `dateFromExpr = "@infoDate - 6"` refuses to run (NotReady,
- * so dependents wait too) until the whole week landed.
+ * task's info date by the date-expression DSL, else the task is
+ * NotReady and dependents skip. By default ONE partition anywhere in
+ * the window satisfies (the reference's isDataAvailable contract);
+ * a weekly roll-up that must see the complete week sets
+ * `requireAll = true` — e.g. `dateFromExpr = "@infoDate - 6",
+ * requireAll = true` refuses to run until all 7 days landed.
  *
  * @param dateUntilExpr  window end; unset = up to the info date
  * @param optional       missing data does not gate the run — the
  *                       transformer's own `validate` decides
- * @param passive        tracked for update detection only; adds no
- *                       DAG edge and never gates
+ * @param passive        tracked for update detection only (implies
+ *                       the triggerUpdates watch); adds no DAG edge
+ *                       and never gates
  * @param triggerUpdates a late landing in these tables re-runs this
  *                       job's already-succeeded dates (feeds the
  *                       trackDays late-data machinery)
+ * @param requireAll     gate on EVERY calendar date of the window
+ *                       having data, not just one partition — the
+ *                       complete-week contract for roll-ups; default
+ *                       false matches the reference's isDataAvailable
+ *                       (any partition in the window satisfies)
  */
 final case class Dependency(
     tables: Seq[String],
@@ -150,7 +159,8 @@ final case class Dependency(
     dateUntilExpr: Option[String] = None,
     optional: Boolean = false,
     passive: Boolean = false,
-    triggerUpdates: Boolean = false)
+    triggerUpdates: Boolean = false,
+    requireAll: Boolean = false)
 
 object OutputTransform {
   import org.apache.spark.sql.DataFrame
@@ -217,7 +227,10 @@ final class Orchestrator(
     environment: String = "local") {
 
   /** Completion context for notification targets: status rolls up the
-    * task results ("failed" > "warning" > "succeeded"). */
+    * task results ("failed" > "warning" > "not_ready" > "succeeded").
+    * A run where nothing succeeded and something was NotReady must NOT
+    * report green — the pipeline processed no data and operators need
+    * to see that. */
   private def pipelineInfo(runDate: LocalDate, startedAtMs: Long,
                            rs: Seq[TaskResult]): PipelineInfo = {
     val firstFailure = rs.collectFirst { case TaskResult.Failed(_, e) => e }
@@ -225,11 +238,15 @@ final class Orchestrator(
       case TaskResult.Succeeded(_, _, _, _, ws) => ws.nonEmpty
       case _ => false
     }
+    val nothingRan = !rs.exists(_.isInstanceOf[TaskResult.Succeeded]) &&
+      rs.exists(_.isInstanceOf[TaskResult.NotReady])
     PipelineInfo(pipelineName, environment, runDate, startedAtMs,
       System.currentTimeMillis(),
       scala.util.Try(org.apache.spark.sql.SparkSession.active.sparkContext.applicationId).toOption,
       status = if (firstFailure.isDefined) "failed"
-               else if (hasWarnings) "warning" else "succeeded",
+               else if (hasWarnings) "warning"
+               else if (nothingRan) "not_ready"
+               else "succeeded",
       failureException = firstFailure)
   }
 
@@ -380,12 +397,18 @@ final class Orchestrator(
           val required = depJobs.zip(deps).filterNot {
             case (d, _) => optionalTables.contains(d.outputTable)
           }
-          val failedDep = required.flatMap(_._2).collectFirst { case f: TaskResult.Failed => f }
+          // a NotReady parent gates like a failed one: its output for
+          // this date was NOT produced, and running the dependent
+          // would silently read the stale prior partition
+          val failedDep = required.flatMap(_._2).collectFirst {
+            case f: TaskResult.Failed => (f.job, "failed")
+            case nr: TaskResult.NotReady => (nr.job, "not ready")
+          }
           failedDep match {
             // alwaysAttempt: the job runs despite the failed parent —
             // its validate sees what data actually exists and decides
-            case Some(f) if !job.alwaysAttempt =>
-              Seq(TaskResult.Skipped(job.name, s"dependency '${f.job}' failed"))
+            case Some((dep, why)) if !job.alwaysAttempt =>
+              Seq(TaskResult.Skipped(job.name, s"dependency '$dep' $why"))
             // conf overrides wrap ALL of the job's dates (so concurrent
             // dates of one job never race on restore). The overrides
             // mutate the SHARED session conf: every job running
@@ -441,16 +464,29 @@ final class Orchestrator(
           r.startedAtMs, r.finishedAtMs)))
     val t0 = System.currentTimeMillis()
     // declarative dependency windows gate BEFORE validate: a gating
-    // table with no partition inside its derived window leaves the
-    // task NotReady (dependents skip too), the reference's
-    // MissingDependencies semantics
+    // table without data inside its derived window leaves the task
+    // NotReady (dependents skip too), the reference's
+    // MissingDependencies semantics. Default = at least one partition
+    // in the window (the reference's isDataAvailable contract);
+    // requireAll = every calendar date present. An unregistered table
+    // is reported as NotReady, not thrown — a config typo must fail
+    // THIS task, not abort the whole pipeline's future tree.
     val missingDeps = job.dependencies.filterNot(d => d.optional || d.passive).flatMap { d =>
       val ev = DateExpr("infoDate" -> infoDate, "date" -> infoDate)
       val from = ev.evalDate(d.dateFromExpr)
       val until = d.dateUntilExpr.map(ev.evalDate).getOrElse(infoDate)
-      d.tables.filterNot(t => metastore.listAvailableDates(t)
-          .exists(dd => !dd.isBefore(from) && !dd.isAfter(until)))
-        .map(t => s"$t[$from..$until]")
+      d.tables.flatMap { t =>
+        if (!metastore.isTableRegistered(t)) Some(s"$t[not registered in metastore]")
+        else {
+          val have = metastore.listAvailableDates(t)
+            .filter(dd => !dd.isBefore(from) && !dd.isAfter(until)).toSet
+          val satisfied =
+            if (d.requireAll)
+              Iterator.iterate(from)(_.plusDays(1)).takeWhile(!_.isAfter(until)).forall(have.contains)
+            else have.nonEmpty
+          if (satisfied) None else Some(s"$t[$from..$until]")
+        }
+      }
     }
     if (missingDeps.nonEmpty)
       return TaskResult.NotReady(job.name,
@@ -496,11 +532,13 @@ final class Orchestrator(
             case None =>
               val stats = metastore.saveTable(job.outputTable, infoDate, df,
                 trackSchema = !job.ignoreSchemaChange)
-              // post-save hook: reader additionally covers the fresh
-              // output partition
+              // post-save hook: same reader scope as run() — restricted
+              // only when run()'s was — plus the fresh output partition
               job.transformer.postProcess(job.outputTable,
                 metastore.readerFor(
-                  Some((job.inputTables :+ job.outputTable).toSet),
+                  if (job.inputTables.nonEmpty)
+                    Some((job.inputTables :+ job.outputTable).toSet)
+                  else None,
                   currentInfoDate = Some(infoDate)),
                 infoDate, job.options)
               stats

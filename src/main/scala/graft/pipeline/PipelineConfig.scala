@@ -291,7 +291,14 @@ object PipelineConfig {
         // api/status/MetastoreDependency — job.N.dependency.M.* blocks)
         dependencies = kv.keys
           .collect { case k if k.startsWith(s"job.$j.dependency.") => k.split("\\.")(3) }
-          .toSeq.distinct.sortBy(_.toInt)
+          .toSeq.distinct
+          .map { tok =>
+            require(tok.nonEmpty && tok.forall(_.isDigit),
+              s"job.$j.dependency.* keys must be indexed " +
+                s"(job.$j.dependency.<n>.<key>), saw 'job.$j.dependency.$tok...'")
+            tok
+          }
+          .sortBy(_.toInt)
           .map { m =>
             def dopt(s: String) = kv.get(s"job.$j.dependency.$m.$s")
             Dependency(
@@ -301,7 +308,8 @@ object PipelineConfig {
               dateUntilExpr = dopt("date.until"),
               optional = dopt("optional").contains("true"),
               passive = dopt("passive").contains("true"),
-              triggerUpdates = dopt("trigger.updates").contains("true"))
+              triggerUpdates = dopt("trigger.updates").contains("true"),
+              requireAll = dopt("require.all").contains("true"))
           },
         // per-operation runtime policy (reference: OperationDef)
         isCritical = opt("critical").contains("true"),

@@ -178,9 +178,11 @@ object ScheduleStrategy {
           else updatedDates(runDate, job.trackDays, job.schedule, job.infoDateExpr,
             job.outputTable,
             // triggerUpdates dependencies watch their tables for late
-            // landings alongside the declared inputs
+            // landings alongside the declared inputs; passive deps are
+            // BY DEFINITION update-tracking-only, so they join the
+            // watch without needing the flag spelled out
             (job.inputTables ++
-              job.dependencies.filter(_.triggerUpdates).flatMap(_.tables)).distinct,
+              job.dependencies.filter(d => d.triggerUpdates || d.passive).flatMap(_.tables)).distinct,
             bookkeeper)
         // reasons earlier in the list win the per-date dedup (a date
         // that is both Update and Late keeps the forcing reason)

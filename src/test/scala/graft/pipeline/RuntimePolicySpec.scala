@@ -282,6 +282,40 @@ class RuntimePolicySpec extends SparkSpec {
       .head.isInstanceOf[TaskResult.NotReady])
   }
 
+  test("NotReady parents gate dependents; requireAll demands the full window") {
+    val ms = newMs("gated_src", "gated_mid", "gated_out")
+    val mid = JobDef("mid", "gated_mid", seed(2), inputTables = Seq("gated_src"),
+      dependencies = Seq(Dependency(Seq("gated_src"), "@infoDate")))
+    val outj = JobDef("out", "gated_out", seed(2), inputTables = Seq("gated_mid"))
+    val rs = new Orchestrator(ms).run(Seq(mid, outj), runDate)
+    val byJob = rs.map(r => r.job -> r).toMap
+    assert(byJob("mid").isInstanceOf[TaskResult.NotReady])
+    byJob("out") match {
+      case TaskResult.Skipped(_, why) => assert(why.contains("not ready"), why)
+      case other => fail(s"dependent must skip behind a NotReady parent, got $other")
+    }
+    // requireAll: 2 of 3 days present is not enough; 3 of 3 is
+    val ms2 = newMs("wk_src", "wk_out")
+    ms2.saveTable("wk_src", runDate.minusDays(2), Seq((1L, "x")).toDF("id", "v"))
+    ms2.saveTable("wk_src", runDate.minusDays(1), Seq((1L, "x")).toDF("id", "v"))
+    val strict = JobDef("wk", "wk_out", seed(1),
+      dependencies = Seq(Dependency(Seq("wk_src"), "@infoDate - 2", requireAll = true)))
+    assert(new Orchestrator(ms2).run(Seq(strict), runDate)
+      .head.isInstanceOf[TaskResult.NotReady])
+    ms2.saveTable("wk_src", runDate, Seq((1L, "x")).toDF("id", "v"))
+    assert(new Orchestrator(ms2).run(Seq(strict), runDate)
+      .head.isInstanceOf[TaskResult.Succeeded])
+    // an unregistered dependency table fails THIS task as NotReady,
+    // not the whole pipeline run
+    val typo = JobDef("typo", "gated_out", seed(1),
+      dependencies = Seq(Dependency(Seq("salez"), "@infoDate")))
+    val r3 = new Orchestrator(newMs("gated_out")).run(Seq(typo), runDate)
+    r3.head match {
+      case TaskResult.NotReady(_, why) => assert(why.contains("not registered"), why)
+      case other => fail(s"expected NotReady for unregistered table, got $other")
+    }
+  }
+
   test("dependency config block parses and feeds update tracking") {
     val conf =
       """pipeline.name = p
