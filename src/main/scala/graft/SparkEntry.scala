@@ -597,6 +597,15 @@ object SparkEntry {
       AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 20)
     }),
 
+    "q_ann_multi" -> ((s, dir) => {
+      // batched exact top-k: bounded per-query heap aggregate, never
+      // the corpus-shuffling window (plan pinned by TopKAggregateSpec)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnSearch.bruteForceMulti(emb, "embedding", "vec_id", queries, "qvec", "qid", 10)
+    }),
+
     "q_curation" -> ((s, dir) => {
       // rows-only gate: the full curation pipeline (dedup → quality →
       // lang-id → tokens → split) as one config-runnable stage
@@ -1002,6 +1011,18 @@ object SparkEntry {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
         |FROM embeddings
         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_ann_multi" ->
+      """SELECT query_id, vec_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        |) WHERE rk <= 10""".stripMargin,
 
     "q_repetition" ->
       """WITH toks AS (

@@ -136,6 +136,17 @@ object GraftFunctions {
         }
         WordShingles(children(0), n)
       }),
+    ("top_k_rows",
+      new ExpressionInfo(classOf[TopKRows].getName, "top_k_rows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"top_k_rows expects 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case e if e.foldable && e.dataType == IntegerType => e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"top_k_rows: k must be an integer literal, got $other")
+        }
+        TopKRows(children(0), k)
+      }),
     ("lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -172,6 +183,8 @@ object GraftFunctions {
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
+  def topKRows(scored: Column, k: Int): Column =
+    call_function("top_k_rows", scored, org.apache.spark.sql.functions.lit(k))
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),

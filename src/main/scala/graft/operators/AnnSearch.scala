@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns as pure column
@@ -59,18 +58,33 @@ object AnnSearch {
   }
 
   /** Exact top-k for a set of queries (small, broadcast): cross join
-   * against the broadcast queries + windowed rank per query. */
+   * against the broadcast queries, then a BOUNDED per-query top-k via
+   * the partial-aggregating `top_k_rows` heap aggregate — the map
+   * side emits ≤ k rows per query per partition, so the one shuffle
+   * carries ≤ k × queries × partitions tiny rows no matter how big
+   * the corpus is. (A `Window.partitionBy(query_id)` formulation
+   * would instead shuffle corpus × queries scored rows into #queries
+   * reducers — the multi-query scale-killer this replaces.) */
   def bruteForceMulti(embeddings: DataFrame, vecCol: String, idCol: String,
                       queries: DataFrame, queryVecCol: String, queryIdCol: String,
                       k: Int): DataFrame = {
-    val joined = embeddings.crossJoin(broadcast(
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
+    val scored = embeddings.crossJoin(broadcast(
         queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
-      .withColumn("cosine", round(VectorMath.cosineFast(col(vecCol), col("_qv")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol))
-    joined.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"))
+      .select(col("query_id"),
+        struct(round(VectorMath.cosineFast(col(vecCol), col("_qv")), 6).as("cosine"),
+          col(idCol)).as("_scored"))
+    topKPerQuery(scored, idCol, k)
   }
+
+  /** groupBy(query_id) + heap-aggregate a `_scored` struct(cosine, id)
+   * column down to k rows, exploded back to (query_id, id, cosine)
+   * best-first. Shared by every multi-query probe path. */
+  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.expr.GraftFunctions.topKRows(col("_scored"), k).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("_e"))
+      .select(col("query_id"), col(s"_e.$idCol").as(idCol), col("_e.cosine").as("cosine"))
 
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -242,6 +256,36 @@ object AnnSearch {
         round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /**
+   * Batched probe of a persisted IVF index — the production "embed a
+   * batch, probe the index" shape. The union of every query's probe
+   * cells becomes ONE static `isin` filter, so a cell-partitioned
+   * index still prunes to ≤ queries × nprobe of k partition dirs at
+   * plan time; the (query_id, cell, vector) probe rows broadcast-join
+   * on `cell`, so each index row is scored only against the queries
+   * that actually probed its cell; the bounded `top_k_rows` heap
+   * aggregate keeps the single shuffle at ≤ k rows per query per
+   * partition (no corpus-sized window — see [[bruteForceMulti]]).
+   */
+  def ivfTopKIndexedMulti(indexed: DataFrame, vecCol: String, idCol: String,
+                          queries: Seq[(Long, Array[Double])], k: Int,
+                          centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val spark = indexed.sparkSession
+    graft.expr.GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      probeCells(q, centroids, nprobe).map(c => (qid, c, q.toSeq))
+    }
+    val allCells = probeRows.map(_._2).distinct
+    val probes = probeRows.toDF("query_id", "cell", "_qv")
+    val scored = indexed.where(col("cell").isin(allCells: _*))
+      .join(broadcast(probes), "cell")
+      .select(col("query_id"),
+        struct(round(VectorMath.cosineFast(col(vecCol), col("_qv")), 6).as("cosine"),
+          col(idCol)).as("_scored"))
+    topKPerQuery(scored, idCol, k)
   }
 }
 

@@ -76,6 +76,45 @@ object EmbeddingQuant {
     topK(indexed.where(col("cell").isin(cells: _*)), idCol, query, k)
   }
 
+  /** Driver-side query quantization, bit-matching `codesOf`.
+    * Same operation ORDER as codesOf (x / (maxAbs/127), then round):
+    * a*127/b and a/(b/127) differ in the last ulp, which matters when
+    * a twin implementation (the correctness oracle) must bit-match.
+    * HALF_UP (away from zero), matching SQL round() — math.round
+    * would round -2.5 to -2 and silently skew negative codes by one. */
+  private[graft] def quantizeQuery(query: Array[Double]): Array[Double] = {
+    val qscale = math.max(query.map(math.abs).max, Double.MinPositiveValue) / 127.0d
+    query.map(x =>
+      BigDecimal(x / qscale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /**
+   * Batched probe of an IVF-SQ8 index: same plan shape as
+   * [[AnnSearch.ivfTopKIndexedMulti]] (static union-of-cells pruning,
+   * broadcast probe join, bounded `top_k_rows` shuffle), with cosine
+   * computed on the int8 codes against per-query quantized codes.
+   */
+  def ivfTopKQuantizedMulti(indexed: DataFrame, idCol: String,
+                            queries: Seq[(Long, Array[Double])], k: Int,
+                            centroids: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    val spark = indexed.sparkSession
+    graft.expr.GraftFunctions.ensure(spark)
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val qc = quantizeQuery(q).toSeq
+      AnnSearch.probeCells(q, centroids, nprobe).map(c => (qid, c, qc))
+    }
+    val allCells = probeRows.map(_._2).distinct
+    val probes = probeRows.toDF("query_id", "cell", "_qc")
+    val scored = indexed.where(col("cell").isin(allCells: _*))
+      .join(broadcast(probes), "cell")
+      .select(col("query_id"),
+        struct(round(VectorMath.cosineFast(
+          transform(col("codes"), c => c.cast("double")), col("_qc")), 6).as("cosine"),
+          col(idCol)).as("_scored"))
+    AnnSearch.topKPerQuery(scored, idCol, k)
+  }
+
   /** Exact top-k by cosine over the QUANTIZED table for one query
     * vector (the query is quantized with the same scheme, so both
     * sides pay the same rounding): one scan + TakeOrdered, no shuffle
@@ -84,14 +123,7 @@ object EmbeddingQuant {
   def topK(quantized: DataFrame, idCol: String,
            query: Array[Double], k: Int): DataFrame = {
     graft.expr.GraftFunctions.ensure(quantized.sparkSession)
-    // same operation ORDER as codesOf (x / (maxAbs/127), then round):
-    // a*127/b and a/(b/127) differ in the last ulp, which matters when
-    // a twin implementation (the correctness oracle) must bit-match
-    val qscale = math.max(query.map(math.abs).max, Double.MinPositiveValue) / 127.0d
-    // HALF_UP (away from zero), matching SQL round() — math.round
-    // would round -2.5 to -2 and silently skew negative codes by one
-    val qCodes = query.map(x =>
-      BigDecimal(x / qscale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val qCodes = quantizeQuery(query)
     quantized.select(col(idCol),
         round(VectorMath.cosineFast(
           transform(col("codes"), c => c.cast("double")),
