@@ -125,10 +125,14 @@ case class TopKRows(
     else row.asInstanceOf[UnsafeRow]
 
   override def eval(buffer: TopKRows.Buffer): Any = {
-    val rows = new Array[UnsafeRow](buffer.heap.size())
+    // drain a COPY: eval must not mutate the buffer — Spark may call it
+    // repeatedly on the same buffer (e.g. top_k_rows in a window frame),
+    // and a destructive drain would leave later calls an empty heap.
+    val heap = new java.util.PriorityQueue[UnsafeRow](buffer.heap)
+    val rows = new Array[UnsafeRow](heap.size())
     var i = rows.length - 1
     // draining the worst-first heap fills best-first from the back
-    while (i >= 0) { rows(i) = buffer.heap.poll(); i -= 1 }
+    while (i >= 0) { rows(i) = heap.poll(); i -= 1 }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
