@@ -147,6 +147,12 @@ object GraftFunctions {
         }
         TopKRows(children(0), k)
       }),
+    ("vector_sum",
+      new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"vector_sum expects 1 argument, got ${children.length}")
+        VectorSum(children(0))
+      }),
     ("lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -185,6 +191,7 @@ object GraftFunctions {
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   def topKRows(scored: Column, k: Int): Column =
     call_function("top_k_rows", scored, org.apache.spark.sql.functions.lit(k))
+  def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),

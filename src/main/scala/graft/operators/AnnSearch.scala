@@ -149,7 +149,7 @@ object AnnSearch {
    */
   def kmeansCentroids(embeddings: DataFrame, vecCol: String,
                       k: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     // init from DISTINCT vectors: a corpus with duplicated embeddings
     // (near-dup docs, replicated epochs) would otherwise seed the same
     // point several times and permanently collapse those clusters.
@@ -166,14 +166,22 @@ object AnnSearch {
       hashed.join(broadcast(seedHashes), "_h")
         .where(col("_ord") === col("_o"))
         .dropDuplicates("_h") // g copies of a seed vector tie on _ord
-        .select(col("_v")).limit(k)
+        // ordered final collect: without it the centroid ORDER — hence
+        // cluster ids, IVF cell directory names, SQ8 partition layout —
+        // would depend on partition layout, breaking cross-run
+        // reproducibility of persisted indexes. ≤ k rows; sort is free.
+        .orderBy(col("_o"), col("_h")).select(col("_v")).limit(k)
         .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     }
     for (_ <- 1 to iters) {
       val assigned = embeddings.withColumn("_c", nearestCentroid(col(vecCol), centroids))
+      // ONE array-summing aggregate keeps the plan O(1) in dim — the
+      // per-element `sum(element_at(vec, i))` formulation would put
+      // dim aggregate expressions into Catalyst/Janino and stall the
+      // driver at production dims (1024–4096). See expr.VectorSum.
       val sums = assigned.groupBy("_c")
         .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(i => sum(element_at(col(vecCol), i + 1))): _*).as("s"))
+          graft.expr.GraftFunctions.vectorSum(col(vecCol)).as("s"))
         .collect()
       val updated = centroids.clone()
       sums.foreach { r =>
