@@ -660,6 +660,22 @@ object SparkEntry {
       AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 20, centroids, nprobe = 3)
     }),
 
+    "q_ann_ivf_multi" -> ((s, dir) => {
+      // rows-only gate: BATCHED probe of the persisted cell-partitioned
+      // IVF index — union-of-cells static pruning, broadcast probe join,
+      // bounded top_k_rows shuffle (per-query parity + pruning + plan
+      // pinned by AnnSearchSpec / EmbeddingQuantSpec)
+      val emb = t(s, dir, "embeddings")
+      val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 2)
+      val path = metaPath("ivf_multi_ix")
+      AnnSearch.writeIvfIndex(emb, "embedding", path, centroids)
+      val queries = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .toSeq
+      AnnSearch.ivfTopKIndexedMulti(s.read.parquet(path), "embedding", "vec_id",
+        queries, k = 10, centroids, nprobe = 3)
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       // rows-only gate: binary media columns → batched feature extraction
       // (decode stubbed — no media libs in env; the distributed plumbing
@@ -1070,7 +1086,8 @@ object SparkEntry {
         |    (SELECT c FROM codes WHERE vec_id = 0)), 6) AS cosine
         |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
     // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_jaccard, q_dedup_embed, q_ann_lsh:
-    // rows-only gates (hash/LSH internals not ANSI-SQL-expressible)
+    // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
+    // q_ann_ivf_multi:
+    // rows-only gates (hash/LSH/k-means internals not ANSI-SQL-expressible)
   )
 }

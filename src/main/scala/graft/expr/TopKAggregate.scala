@@ -30,6 +30,12 @@ import org.apache.spark.sql.types._
  *
  * The heap buffer holds ≤ k copied `UnsafeRow`s (score + payload),
  * serialized length-prefixed between partial and final aggregation.
+ *
+ * Null semantics: rows whose SCORE (field 0) is null are dropped —
+ * they can't rank. (A window `row_number` formulation would instead
+ * sort them last and could return them when a group has < k scored
+ * rows; callers who need null-scored rows must filter/score them
+ * upstream.) A null struct is likewise skipped.
  */
 case class TopKRows(
     child: Expression,

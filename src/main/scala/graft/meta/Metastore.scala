@@ -32,6 +32,10 @@ final class Metastore(spark: SparkSession) {
   // (mergeSchema), but invisible to schemaChanges
   private val schemaHistories = TrieMap.empty[String, List[(LocalDate, org.apache.spark.sql.types.StructType, Boolean)]]
 
+  /** The session this metastore runs on (Orchestrator needs it for
+    * job-group cancellation of timed-out tasks). */
+  private[graft] def session: SparkSession = spark
+
   def register(table: MetaTable): Unit = tables.put(table.name, table)
 
   def getTableDef(name: String): MetaTable =

@@ -80,11 +80,19 @@ object AnnSearch {
   /** groupBy(query_id) + heap-aggregate a `_scored` struct(cosine, id)
    * column down to k rows, exploded back to (query_id, id, cosine)
    * best-first. Shared by every multi-query probe path. */
-  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  private[graft] def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    // output columns query_id/cosine are fixed; an id column by either
+    // name would produce a duplicate-name result that breaks callers
+    require(idCol != "query_id" && idCol != "cosine",
+      s"topKPerQuery: id column '$idCol' collides with a reserved output column")
     scored.groupBy("query_id")
       .agg(graft.expr.GraftFunctions.topKRows(col("_scored"), k).as("_tk"))
       .select(col("query_id"), explode(col("_tk")).as("_e"))
-      .select(col("query_id"), col(s"_e.$idCol").as(idCol), col("_e.cosine").as("cosine"))
+      // getField, not col("_e.$idCol"): an id column named e.g. "a.b"
+      // would be mis-parsed as a nested path by the string form
+      .select(col("query_id"), col("_e").getField(idCol).as(idCol),
+        col("_e").getField("cosine").as("cosine"))
+  }
 
   /** Deterministic random hyperplanes (seeded) for sign-bit LSH. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {

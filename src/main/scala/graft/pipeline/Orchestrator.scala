@@ -477,6 +477,11 @@ final class Orchestrator(
       val until = d.dateUntilExpr.map(ev.evalDate).getOrElse(infoDate)
       d.tables.flatMap { t =>
         if (!metastore.isTableRegistered(t)) Some(s"$t[not registered in metastore]")
+        else if (from.isAfter(until))
+          // inverted window: the date iteration below would be EMPTY, so
+          // requireAll's forall passed vacuously and a misconfigured
+          // window silently un-gated the job. Gate it instead.
+          Some(s"$t[inverted window $from..$until]")
         else {
           val have = metastore.listAvailableDates(t)
             .filter(dd => !dd.isBefore(from) && !dd.isAfter(until)).toSet
@@ -557,13 +562,25 @@ final class Orchestrator(
                 t.setDaemon(true)
                 t
               })
+              // job-group tag: interrupting the worker thread does NOT
+              // stop Spark jobs it already submitted — they'd keep
+              // burning the cluster after the "kill". Tag everything the
+              // attempt submits (setJobGroup is thread-local) so the
+              // timeout handler can cancel the group on the cluster too.
+              val sc = metastore.session.sparkContext
+              val jobGroup = s"graft-kill-${job.name}-$infoDate-$t0"
               val fut = ex.submit(new java.util.concurrent.Callable[Try[graft.meta.TableStats]] {
-                def call(): Try[graft.meta.TableStats] = attempt()
+                def call(): Try[graft.meta.TableStats] = {
+                  sc.setJobGroup(jobGroup, s"graft task ${job.name} @ $infoDate",
+                    interruptOnCancel = true)
+                  try attempt() finally sc.clearJobGroup()
+                }
               })
               try fut.get(budget.toLong, java.util.concurrent.TimeUnit.SECONDS)
               catch {
                 case _: java.util.concurrent.TimeoutException =>
                   fut.cancel(true)
+                  sc.cancelJobGroup(jobGroup)
                   Failure(new java.util.concurrent.TimeoutException(
                     s"task killed after exceeding kill.maximum.execution.time of ${budget}s"))
                 case e: java.util.concurrent.ExecutionException =>

@@ -40,7 +40,8 @@ import java.time.LocalDate
  * job.1.expected.delay.days = 1           # source lands a day late
  * job.1.kill.maximum.execution.time.seconds = 3600
  * job.1.dependency.1.tables = sales
- * job.1.dependency.1.date.from = @infoDate - 6   # gate: full week present
+ * job.1.dependency.1.date.from = @infoDate - 6   # gate window start
+ * job.1.dependency.1.require.all = true          # full week present (default: any partition)
  * job.1.dependency.1.trigger.updates = true      # late landings re-run
  * table.sales.cache.policy = persist      # cache | persist | no_cache
  * table.sales.catalog.repair = add_partition    # O(1) registration per save

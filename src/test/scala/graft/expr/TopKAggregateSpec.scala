@@ -95,6 +95,24 @@ class TopKAggregateSpec extends SparkSpec {
     assert(df.exceptAll(want).isEmpty && want.exceptAll(df).isEmpty)
   }
 
+  test("window-frame use: repeated eval on one buffer is non-destructive (r6 eval-copy fix)") {
+    ensure()
+    // a running frame evaluates the SAME buffer once per row — before
+    // the r6 fix the first eval drained the heap, so every later row
+    // saw an empty array. Pin the fix.
+    val df = Seq((1L, 0.9, 10L), (1L, 0.8, 11L), (1L, 0.7, 12L))
+      .toDF("query_id", "cosine", "id")
+    df.createOrReplaceTempView("tk_scored")
+    val rows = spark.sql(
+      """SELECT id, size(top_k_rows(struct(cosine, id), 2)
+        |  OVER (PARTITION BY query_id ORDER BY id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS n
+        |FROM tk_scored""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(10L -> 1, 11L -> 2, 12L -> 2),
+      s"running-frame sizes must grow (capped at k): $rows")
+  }
+
   test("string tie-break fields order ascending") {
     ensure()
     val df = Seq((1L, 0.5, "b"), (1L, 0.5, "a"), (1L, 0.5, "c"))

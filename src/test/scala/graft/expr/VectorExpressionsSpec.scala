@@ -82,7 +82,8 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
-      Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows", "lsh_buckets"))
+      Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
+        "vector_sum", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible

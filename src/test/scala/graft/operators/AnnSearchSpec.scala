@@ -92,6 +92,57 @@ class AnnSearchSpec extends SparkSpec {
       s"cell filter must partition-prune the index scan: $parts")
   }
 
+  test("L8b batched probe: per-query parity, <= queries*nprobe pruned dirs, bounded heap shuffle") {
+    val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val path = tmpDir("ivf_multi_")
+    AnnSearch.writeIvfIndex(emb, "embedding", path, centroids)
+    val indexed = spark.read.parquet(path)
+    val queries = Seq(3L, 17L, 42L).map(i => (i, vecs(i.toInt)._2.map(_.toDouble)))
+
+    val multi = AnnSearch.ivfTopKIndexedMulti(indexed, "embedding", "vec_id",
+      queries, k = 5, centroids, nprobe = 3)
+    val byQuery = multi.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+
+    // (a) row-for-row parity with the single-query indexed probe
+    queries.foreach { case (qid, q) =>
+      val single = AnnSearch.ivfTopKIndexed(indexed, "embedding", "vec_id",
+          q, 5, centroids, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byQuery(qid) == single, s"query $qid: multi ${byQuery(qid)} vs single $single")
+    }
+
+    // (b) the ONE index scan prunes to at most queries*nprobe cell dirs
+    val parts = fileScans(multi).map(_.selectedPartitions.partitionCount)
+    assert(parts.nonEmpty && parts.forall(_ <= queries.length * 3),
+      s"union-of-cells isin must partition-prune the batched scan: $parts")
+
+    // (c) bounded per-query heap aggregate, not a corpus window
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows"),
+      s"map-side partial top_k_rows must bound the shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus-sized window allowed:\n$plan")
+  }
+
+  test("L8 centroids are identical across shuffle-partition settings (reproducible indexes)") {
+    // cluster ids name persisted IVF cell directories and SQ8
+    // partitions; a layout-dependent centroid ORDER would silently
+    // re-label an index on the next cluster with different parallelism
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "32")
+      val a = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+      spark.conf.set(key, "5")
+      val b = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+      assert(a.length == b.length)
+      a.zip(b).zipWithIndex.foreach { case ((ca, cb), i) =>
+        assert(ca.toSeq == cb.toSeq, s"centroid $i differs across partition layouts")
+      }
+    } finally spark.conf.set(key, orig)
+  }
+
   test("vector math building blocks") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val r = df.select(

@@ -70,6 +70,37 @@ class EmbeddingQuantSpec extends SparkSpec {
       s"IVF-SQ8 diverged from float IVF: $quantIds vs $floatIvf")
   }
 
+  test("IVF-SQ8 batched probe: parity with per-query probes, pruning and bounded shuffle hold") {
+    val dir = tmpDir("ivfsq8m_")
+    val cents = AnnSearch.kmeansCentroids(embeddings, "embedding", k = 8, iters = 3)
+    EmbeddingQuant.writeIvfIndexQuantized(embeddings, "vec_id", "embedding", s"$dir/ix", cents)
+    val indexed = spark.read.parquet(s"$dir/ix")
+    val queries = Seq(7L, 21L, 33L).map { i =>
+      (i, embeddings.where(col("vec_id") === i)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray)
+    }
+
+    val multi = EmbeddingQuant.ivfTopKQuantizedMulti(indexed, "vec_id",
+      queries, k = 10, cents, nprobe = 3)
+    val byQuery = multi.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+
+    // per-query parity with the single-query quantized probe
+    queries.foreach { case (qid, q) =>
+      val single = EmbeddingQuant.ivfTopKQuantized(indexed, "vec_id", q, 10, cents, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byQuery(qid) == single, s"query $qid: multi ${byQuery(qid)} vs single $single")
+    }
+
+    // one pruned scan (≤ queries×nprobe cell dirs) + bounded heap aggregate
+    val parts = fileScans(multi).map(_.selectedPartitions.partitionCount)
+    assert(parts.nonEmpty && parts.forall(_ <= queries.length * 3), s"pruned partitions: $parts")
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows"), s"bounded shuffle missing:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus window allowed:\n$plan")
+  }
+
   test("plan shape: quantized top-k is scan + TakeOrdered, no table shuffle") {
     val q = EmbeddingQuant.quantize(embeddings, "vec_id", "embedding")
     val plan = EmbeddingQuant.topK(q, "vec_id", Array.fill(64)(0.1), 10)

@@ -316,6 +316,61 @@ class RuntimePolicySpec extends SparkSpec {
     }
   }
 
+  test("inverted dependency window gates instead of passing vacuously (requireAll)") {
+    // date.from AFTER date.until makes the calendar iteration empty;
+    // forall over empty is true, so before the guard a misconfigured
+    // window silently UN-gated the job that any-partition mode gates
+    val ms = newMs("inv_src", "inv_out")
+    ms.saveTable("inv_src", runDate, Seq((1L, "x")).toDF("id", "v"))
+    val inverted = JobDef("inv", "inv_out", seed(1),
+      dependencies = Seq(Dependency(Seq("inv_src"), "@infoDate + 3",
+        dateUntilExpr = Some("@infoDate"), requireAll = true)))
+    new Orchestrator(ms).run(Seq(inverted), runDate).head match {
+      case TaskResult.NotReady(_, why) => assert(why.contains("inverted"), why)
+      case other => fail(s"inverted window must gate as NotReady, got $other")
+    }
+    // any-partition mode gates the same window too
+    val invertedAny = JobDef("inv2", "inv_out", seed(1),
+      dependencies = Seq(Dependency(Seq("inv_src"), "@infoDate + 3",
+        dateUntilExpr = Some("@infoDate"))))
+    assert(new Orchestrator(ms).run(Seq(invertedAny), runDate)
+      .head.isInstanceOf[TaskResult.NotReady])
+  }
+
+  test("kill-timeout cancels the task's Spark job group (cluster work stops)") {
+    val ms = newMs("jg_out")
+    val sawCancel = new AtomicInteger(0)
+    val sparkHog = new Transformer {
+      def run(r: MetastoreReader, d: LocalDate, o: Map[String, String]): DataFrame = {
+        // a genuinely RUNNING Spark job (not a sleeping thread): each of
+        // the 4 tasks spins ~60 s, so only a job-group cancel stops it
+        try {
+          spark.range(0, 4, 1, 4).rdd.foreach { _ =>
+            val end = System.currentTimeMillis() + 60000
+            var x = 0L
+            while (System.currentTimeMillis() < end) { x += 1 }
+          }
+        } catch {
+          case e: Throwable => sawCancel.incrementAndGet(); throw e
+        }
+        Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    val t0 = System.currentTimeMillis()
+    val results = new Orchestrator(ms).run(Seq(
+      JobDef("jg_job", "jg_out", sparkHog, killMaxExecutionTimeSeconds = Some(2))), runDate)
+    assert(results.head.isInstanceOf[TaskResult.Failed], results.head.toString)
+    // the submitted Spark job must die with the task — wait for the
+    // cancellation to surface in the worker (well under the 60 s the
+    // job would otherwise burn)
+    val deadline = System.currentTimeMillis() + 30000
+    while (sawCancel.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val elapsed = System.currentTimeMillis() - t0
+    assert(sawCancel.get() > 0,
+      s"job group was not cancelled — Spark job kept running (${elapsed}ms)")
+    assert(elapsed < 45000, s"cancellation took ${elapsed}ms")
+  }
+
   test("dependency config block parses and feeds update tracking") {
     val conf =
       """pipeline.name = p
