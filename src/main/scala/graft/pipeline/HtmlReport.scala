@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.meta.FieldChange
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, ZoneOffset}
+
+/**
+ * HTML end-of-run report: the formatted operator-facing counterpart of
+ * the plain-text [[RunReport]]
+ * (reference: pramen/core .../core/notify/pipeline/PipelineNotificationBuilderHtml.scala
+ * and core/src/main/resources/email_template/ — the reference renders
+ * the same sections into an email body; graft renders a standalone
+ * document and hands it to a pluggable transport, SMTP itself being
+ * out of scope in this zero-egress environment).
+ *
+ * Sections, in order: status banner, run header (pipeline,
+ * environment, run date, Spark application id), execution info
+ * (started / finished / elapsed), per-task table with row status
+ * colors, exception blocks for failed tasks (full stack trace in
+ * `<pre>`), schema-difference tables, custom notification entries,
+ * signature. Everything user-originated is HTML-escaped; custom
+ * entries render in `<pre>` so NotificationBuilder's aligned text
+ * tables survive.
+ *
+ * Pure string/layout code — no I/O, no clock reads (timestamps come
+ * from [[PipelineInfo]]), so output is byte-deterministic and
+ * golden-file testable.
+ */
+object HtmlReport {
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss 'UTC'")
+
+  private[pipeline] def escape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  private def fmtTs(ms: Long): String =
+    Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC).format(tsFmt)
+
+  private def fmtElapsed(ms: Long): String = {
+    val s = ms / 1000
+    if (s < 60) s"$s s"
+    else if (s < 3600) f"${s / 60}%d m ${s % 60}%02d s"
+    else f"${s / 3600}%d h ${(s % 3600) / 60}%02d m"
+  }
+
+  private def statusColor(status: String): String = status match {
+    case "SUCCESS" => "#2e7d32"
+    case "WARNING" => "#b26a00"
+    case "FAILED" => "#c62828"
+    case _ => "#546e7a" // SKIPPED / NOT READY
+  }
+
+  /** Render the full HTML document. `schemaChanges` entries are
+    * (table, infoDate, field changes) — feed `Metastore.schemaChanges`
+    * output for the pipeline's tables. */
+  def render(info: PipelineInfo, results: Seq[TaskResult],
+             customEntries: Seq[String] = Nil,
+             schemaChanges: Seq[(String, LocalDate, Seq[FieldChange])] = Nil): String = {
+    val report = RunReport.build(info.pipelineName, results, info.runDate)
+    val banner = info.status match {
+      case "failed" => ("Pipeline FAILED", "#c62828")
+      case "warning" => ("Pipeline succeeded with warnings", "#b26a00")
+      case _ => ("Pipeline succeeded", "#2e7d32")
+    }
+
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"utf-8\"/>\n"
+    sb ++= s"<title>${escape(report.subject)}</title>\n"
+    sb ++= """<style>
+             |body { font-family: sans-serif; margin: 16px; color: #212121; }
+             |table { border-collapse: collapse; margin: 8px 0; }
+             |th, td { border: 1px solid #b0bec5; padding: 4px 10px; text-align: left; }
+             |th { background: #eceff1; }
+             |pre { background: #f5f5f5; padding: 8px; overflow-x: auto; }
+             |.banner { padding: 10px 14px; color: #fff; font-size: 1.2em; font-weight: bold; }
+             |.kv td:first-child { font-weight: bold; background: #eceff1; }
+             |</style>
+             |""".stripMargin
+    sb ++= "</head>\n<body>\n"
+
+    // ── status banner + run header ──
+    sb ++= s"""<div class="banner" style="background:${banner._2}">${escape(banner._1)}</div>\n"""
+    sb ++= "<table class=\"kv\">\n"
+    sb ++= s"<tr><td>Pipeline</td><td>${escape(info.pipelineName)}</td></tr>\n"
+    sb ++= s"<tr><td>Environment</td><td>${escape(info.environment)}</td></tr>\n"
+    sb ++= s"<tr><td>Run date</td><td>${info.runDate}</td></tr>\n"
+    info.sparkApplicationId.foreach(id =>
+      sb ++= s"<tr><td>Spark application</td><td>${escape(id)}</td></tr>\n")
+    sb ++= "</table>\n"
+
+    // ── execution info ──
+    sb ++= "<h3>Execution</h3>\n<table class=\"kv\">\n"
+    sb ++= s"<tr><td>Started</td><td>${fmtTs(info.startedAtMs)}</td></tr>\n"
+    sb ++= s"<tr><td>Finished</td><td>${fmtTs(info.finishedAtMs)}</td></tr>\n"
+    sb ++= s"<tr><td>Elapsed</td><td>${fmtElapsed(info.finishedAtMs - info.startedAtMs)}</td></tr>\n"
+    sb ++= s"<tr><td>Tasks</td><td>${report.succeeded} ok, ${report.failed} failed, " +
+      s"${report.skipped} skipped, ${report.notReady} not ready</td></tr>\n"
+    sb ++= "</table>\n"
+
+    // ── task table ──
+    sb ++= "<h3>Tasks</h3>\n<table>\n<tr><th>Job</th><th>Status</th><th>Detail</th></tr>\n"
+    report.lines.foreach { l =>
+      sb ++= s"""<tr><td>${escape(l.job)}</td><td style="color:${statusColor(l.status)};""" +
+        s"""font-weight:bold">${escape(l.status)}</td><td>${escape(l.detail)}</td></tr>\n"""
+    }
+    sb ++= "</table>\n"
+
+    // ── exception blocks (failed tasks, then the pipeline-level one) ──
+    val failures = results.collect { case TaskResult.Failed(j, e) => (j, e) }
+    if (failures.nonEmpty || info.failureException.nonEmpty) {
+      sb ++= "<h3>Failures</h3>\n"
+      failures.foreach { case (job, e) =>
+        sb ++= s"<h4>Job ${escape(job)}</h4>\n<pre>${escape(stackTraceOf(e))}</pre>\n"
+      }
+      info.failureException.foreach(e =>
+        sb ++= s"<h4>Pipeline</h4>\n<pre>${escape(stackTraceOf(e))}</pre>\n")
+    }
+
+    // ── schema differences ──
+    if (schemaChanges.nonEmpty) {
+      sb ++= "<h3>Schema changes</h3>\n"
+      schemaChanges.foreach { case (table, date, changes) =>
+        sb ++= s"<h4>${escape(table)} @ $date</h4>\n"
+        sb ++= "<table>\n<tr><th>Change</th><th>Field</th><th>Type</th></tr>\n"
+        changes.foreach {
+          case FieldChange.Added(n, t) =>
+            sb ++= s"<tr><td>added</td><td>${escape(n)}</td><td>${escape(t)}</td></tr>\n"
+          case FieldChange.Removed(n, t) =>
+            sb ++= s"<tr><td>removed</td><td>${escape(n)}</td><td>${escape(t)}</td></tr>\n"
+          case FieldChange.TypeChanged(n, o, nw) =>
+            sb ++= s"<tr><td>type changed</td><td>${escape(n)}</td>" +
+              s"<td>${escape(o)} &rarr; ${escape(nw)}</td></tr>\n"
+        }
+        sb ++= "</table>\n"
+      }
+    }
+
+    // ── custom entries (NotificationBuilder) ──
+    if (customEntries.nonEmpty) {
+      sb ++= "<h3>Notifications</h3>\n"
+      customEntries.foreach(e => sb ++= s"<pre>${escape(e)}</pre>\n")
+    }
+
+    sb ++= "<hr/>\n<p style=\"color:#78909c\">Generated by graft pipeline runner</p>\n"
+    sb ++= "</body>\n</html>\n"
+    sb.toString
+  }
+
+  private def stackTraceOf(e: Throwable): String = {
+    val sw = new java.io.StringWriter()
+    e.printStackTrace(new java.io.PrintWriter(sw))
+    sw.toString.stripLineEnd
+  }
+}
+
+/** Transport for rendered HTML reports. SMTP delivery is deliberately
+  * stubbed in this environment — [[FileHtmlTransport]] writes the
+  * document where an operator (or a mail relay side-car) picks it up. */
+trait HtmlTransport { def send(subject: String, html: String): Unit }
+
+/** Writes each report as an .html file into `dir` (atomic rename, so a
+  * half-written report is never picked up). */
+final class FileHtmlTransport(dir: String) extends HtmlTransport {
+  override def send(subject: String, html: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val safe = subject.replaceAll("[^A-Za-z0-9._-]+", "_").take(120)
+    val tmp = d.resolve(s".$safe.tmp")
+    java.nio.file.Files.writeString(tmp, html)
+    java.nio.file.Files.move(tmp, d.resolve(s"$safe.html"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Pipeline notification target that renders the HTML report on
+  * completion and hands it to the transport, draining the
+  * NotificationBuilder's custom entries like [[ReportingNotifier]]
+  * does for the text report. */
+final class HtmlReportingNotifier(
+    transport: HtmlTransport,
+    builder: NotificationBuilder = NotificationBuilder.global,
+    schemaChanges: () => Seq[(String, LocalDate, Seq[FieldChange])] = () => Nil)
+  extends PipelineNotificationTarget {
+  override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
+    val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
+    transport.send(subject,
+      HtmlReport.render(info, results, builder.drain(), schemaChanges()))
+  }
+}
