@@ -49,12 +49,12 @@ import java.time.LocalDate
  *
  * # operation types beyond transformations (reference:
  * # core/pipeline/OperationType.scala — same aliases):
- * source.raw_files.type = spark           # spark | catalog | raw
+ * source.raw_files.type = spark           # spark | catalog | raw | factory FQCN
  * source.raw_files.path = /landing/sales
  * source.raw_files.format = csv
  * source.raw_files.option.header = true
  * source.raw_files.info.date.column = txn_date
- * sink.exports.type = localcsv            # spark | localcsv | cmdline
+ * sink.exports.type = localcsv            # spark | localcsv | cmdline | factory FQCN
  * sink.exports.path = /exports
  * job.3.type = ingestion                  # source -> metastore table
  * job.3.source = raw_files
@@ -76,6 +76,42 @@ object PipelineConfig {
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Instantiate a user FQCN as a factory: a Scala `object` (resolved
+    * via its MODULE$ singleton, with or without the trailing `$` in
+    * config) or a class with a no-arg constructor. Errors carry the
+    * config key so a typo'd class name points at its line. */
+  private def instantiate[T](fqcn: String, key: String)(
+      implicit ct: scala.reflect.ClassTag[T]): T = {
+    val cls =
+      try Class.forName(fqcn)
+      catch {
+        case e: ClassNotFoundException =>
+          try Class.forName(fqcn + "$")
+          catch { case _: ClassNotFoundException =>
+            throw new IllegalArgumentException(s"$key: class not found: '$fqcn'", e) }
+      }
+    // a plain class instantiates via its no-arg constructor; a Scala
+    // `object` (whose mirror class has no public constructor) resolves
+    // through the module class's MODULE$ singleton
+    val inst =
+      try {
+        try cls.getDeclaredConstructor().newInstance()
+        catch {
+          case _: NoSuchMethodException =>
+            val modCls = if (cls.getName.endsWith("$")) cls else Class.forName(cls.getName + "$")
+            modCls.getField("MODULE$").get(null)
+        }
+      } catch {
+        case e: ReflectiveOperationException =>
+          throw new IllegalArgumentException(
+            s"$key: cannot instantiate '$fqcn' (need a no-arg constructor or an object)", e)
+      }
+    if (!ct.runtimeClass.isInstance(inst))
+      throw new IllegalArgumentException(
+        s"$key: '$fqcn' does not implement ${ct.runtimeClass.getName}")
+    inst.asInstanceOf[T]
+  }
 
   def parse(text: String): Parsed = {
     val kv: Map[String, String] = text.linesIterator
@@ -157,6 +193,17 @@ object PipelineConfig {
         case "raw" =>
           val path = req("path")
           sp => new graft.sources.RawFileSource(sp, path)
+        case fqcn if fqcn.contains(".") =>
+          // user-provided factory FQCN, same contract as the
+          // reference's ExternalChannelFactory — transformers already
+          // accept FQCNs, sources/sinks get the symmetric path.
+          // Instantiated at PARSE time so a typo'd class name fails the
+          // config load, not the Nth job of tonight's run.
+          val factory = instantiate[graft.sources.SourceFactory](fqcn, s"source.$s.type")
+          val allOpts = kv.collect {
+            case (k, v) if k.startsWith(s"source.$s.") => k.stripPrefix(s"source.$s.") -> v
+          }
+          sp => factory(sp, allOpts)
         case other => throw new IllegalArgumentException(s"source.$s.type: unknown type '$other'")
       }
       s -> build
@@ -192,6 +239,12 @@ object PipelineConfig {
         case "cmdline" =>
           new graft.sinks.CmdLineSink(req("staging"), req("command"),
             timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(300L))
+        case fqcn if fqcn.contains(".") =>
+          val factory = instantiate[graft.sinks.SinkFactory](fqcn, s"sink.$s.type")
+          val allOpts = kv.collect {
+            case (k, v) if k.startsWith(s"sink.$s.") => k.stripPrefix(s"sink.$s.") -> v
+          }
+          factory(allOpts)
         case other => throw new IllegalArgumentException(s"sink.$s.type: unknown type '$other'")
       }
       s -> sink

@@ -17,6 +17,18 @@ trait GraftSink {
            options: Map[String, String] = Map.empty): SinkResult
 }
 
+/**
+ * Factory for config-declared CUSTOM sinks (reference:
+ * pramen/api .../api/ExternalChannelFactory.scala:25). Set
+ * `sink.<name>.type` to the factory's fully-qualified class (or
+ * object) name; `options` carries every `sink.<name>.*` key with the
+ * prefix stripped. A SparkSession is not part of the contract — sinks
+ * receive live DataFrames (`df.sparkSession` when needed).
+ */
+trait SinkFactory {
+  def apply(options: Map[String, String]): GraftSink
+}
+
 /** Column-name normalization applied before writing (reference:
  * pramen/core .../core/sink/ColumnNameTransform.scala — NoChange /
  * MakeUpper / MakeLower / sanitize for CSV headers). */

@@ -26,6 +26,19 @@ trait GraftSource {
 }
 
 /**
+ * Factory for config-declared CUSTOM sources (reference:
+ * pramen/api .../api/ExternalChannelFactory.scala:25 — the reference
+ * instantiates user source/sink factories by class name from config).
+ * Set `source.<name>.type` to the factory's fully-qualified class (or
+ * object) name; `options` carries every `source.<name>.*` key with the
+ * prefix stripped, so `path`, `format` and `option.*` are all visible,
+ * the same scope the reference hands its factories as `conf`.
+ */
+trait SourceFactory {
+  def apply(spark: SparkSession, options: Map[String, String]): GraftSource
+}
+
+/**
  * Batch source over any Spark DataSource format — parquet, csv, json,
  * orc (reference: pramen/core .../core/source/SparkSource.scala).
  * The info-date window becomes a plan-time filter: pushed to the scan

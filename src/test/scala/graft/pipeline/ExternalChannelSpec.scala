@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sinks.{GraftSink, SinkFactory, SinkResult}
+import graft.sources.{GraftSource, SourceFactory, SourceResult}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.time.LocalDate
+
+/** A config-instantiable custom source: serves `rows` synthetic rows,
+  * windowed on a synthetic date column (factory contract under test —
+  * reference: api/ExternalChannelFactory.scala:25). */
+object FixtureSourceFactory extends SourceFactory {
+  override def apply(spark: SparkSession, options: Map[String, String]): GraftSource =
+    new GraftSource {
+      private val rows = options.getOrElse("rows", "3").toInt
+      private val tag = options.getOrElse("option.tag", "none")
+      override def hasInfoDateColumn: Boolean = false
+      override def getRecordCount(from: LocalDate, to: LocalDate): Long = rows.toLong
+      override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult = {
+        import spark.implicits._
+        SourceResult((1 to rows).map(i => (i.toLong, s"$tag-$i")).toDF("id", "v"))
+      }
+    }
+}
+
+/** A config-instantiable custom sink (class form: no-arg constructor)
+  * collecting what it was sent into a static buffer the spec reads. */
+class FixtureSinkFactory extends SinkFactory {
+  override def apply(options: Map[String, String]): GraftSink =
+    new GraftSink {
+      override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                        opts: Map[String, String]): SinkResult = {
+        val n = df.count()
+        FixtureSinkFactory.sent.add((tableName, infoDate, n, options.getOrElse("label", "?")))
+        SinkResult(n)
+      }
+    }
+}
+object FixtureSinkFactory {
+  val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, LocalDate, Long, String)]()
+}
+
+/** FQCN source/sink factories declared in config — the reference's
+  * ExternalChannelFactory surface (transformers already took FQCNs;
+  * sources/sinks get the symmetric path). */
+class ExternalChannelSpec extends SparkSpec {
+
+  private val d = LocalDate.parse("2024-06-15")
+
+  test("config-declared custom source feeds the metastore and a custom sink exports it") {
+    val base = tmpDir("extchan_")
+    val conf =
+      s"""pipeline.name = ext
+         |table.fixture_data.path = $base/ms/fixture_data
+         |source.fx.type = graft.pipeline.FixtureSourceFactory
+         |source.fx.rows = 4
+         |source.fx.option.tag = ext
+         |sink.collect.type = graft.pipeline.FixtureSinkFactory
+         |sink.collect.label = run1
+         |job.1.type = ingestion
+         |job.1.source = fx
+         |job.1.output = fixture_data
+         |job.2.type = sink
+         |job.2.input = fixture_data
+         |job.2.sink = collect
+         |""".stripMargin
+    val parsed = PipelineConfig.parse(conf)
+    FixtureSinkFactory.sent.clear()
+    val results = PipelineConfig.runParams(spark, parsed, RunParams.Normal(d))
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), s"results: $results")
+
+    // the custom source's rows landed in the metastore
+    val ms = new graft.meta.Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    val landed = ms.getTable("fixture_data", Some(d), Some(d))
+    assert(landed.count() == 4)
+    assert(landed.select("v").collect().map(_.getString(0)).forall(_.startsWith("ext-")),
+      "factory options (source.fx.option.tag) must reach the source")
+
+    // and the custom sink received them, with its own config visible
+    val sent = FixtureSinkFactory.sent.toArray(Array.empty[(String, LocalDate, Long, String)])
+    assert(sent.length == 1 && sent.head._3 == 4L, sent.toSeq.toString)
+    assert(sent.head._4 == "run1", "factory options (sink.collect.label) must reach the sink")
+  }
+
+  test("factory errors point at the config key") {
+    val e1 = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "source.s1.type = no.such.ClassAtAll\njob.1.type = ingestion\njob.1.source = s1\njob.1.output = t\ntable.t.path = /tmp/t"))
+    assert(e1.getMessage.contains("source.s1.type"), e1.getMessage)
+    // a real class that is NOT a factory fails with the trait name
+    val e2 = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "sink.k1.type = graft.pipeline.IdentityTransformer\njob.1.type = sink\njob.1.input = t\njob.1.sink = k1\ntable.t.path = /tmp/t"))
+    assert(e2.getMessage.contains("SinkFactory"), e2.getMessage)
+    // dot-less unknown types still fail as before
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(
+      "source.s2.type = teleport\njob.1.type = ingestion\njob.1.source = s2\njob.1.output = t\ntable.t.path = /tmp/t"))
+  }
+}
