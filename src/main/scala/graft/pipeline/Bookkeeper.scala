@@ -19,6 +19,27 @@ final case class RunRecord(
     finishedAtMs: Long)
 
 /**
+ * Bookkeeping contract the orchestration layer runs against
+ * (reference: pramen/core .../core/bookkeeper/Bookkeeper.scala — the
+ * base trait its JDBC/Mongo/HadoopFS variants implement). graft ships
+ * the shared-filesystem [[Bookkeeper]] and the RDBMS-backed
+ * [[graft.rdb.BookkeeperJdbc]].
+ */
+trait BookkeeperStore {
+  def record(r: RunRecord): Unit
+  def get(table: String, infoDate: LocalDate): Option[RunRecord]
+  /** Done means succeeded OR durably skipped (`Reason.Skip` records a
+    * "skipped" slot precisely so it is never re-offered). */
+  def isAlreadyRan(table: String, infoDate: LocalDate): Boolean
+  def latestSuccess(table: String): Option[LocalDate]
+  /** Newest successful record with infoDate <= `until` — the slice a
+    * dependent's `getTable(..., to = until)` / `getLatest` read
+    * actually consumed. */
+  def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord]
+  def all: Seq[RunRecord]
+}
+
+/**
  * Pipeline state journal enabling auto-healing: a (table, infoDate)
  * that already succeeded is skipped on re-run
  * (reference: pramen/core .../core/bookkeeper/Bookkeeper.scala — the
@@ -34,7 +55,7 @@ final case class RunRecord(
  * records in completion order and the newest record per
  * (table, infoDate) wins.
  */
-final class Bookkeeper(journalPath: Option[String] = None) {
+final class Bookkeeper(journalPath: Option[String] = None) extends BookkeeperStore {
   private val records = TrieMap.empty[(String, LocalDate), RunRecord]
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)

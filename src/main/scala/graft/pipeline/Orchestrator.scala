@@ -217,7 +217,7 @@ object TaskResult {
  */
 final class Orchestrator(
     metastore: Metastore,
-    bookkeeper: Bookkeeper = new Bookkeeper(),
+    bookkeeper: BookkeeperStore = new Bookkeeper(),
     parallelism: Int = 4,
     rerunSucceeded: Boolean = false,
     notifiers: Seq[PipelineNotificationTarget] = Seq.empty,

@@ -469,7 +469,7 @@ object PipelineConfig {
   /** Register the declared tables and run the declared jobs (single
     * run-date legacy surface). */
   def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
-          bookkeeper: Bookkeeper = new Bookkeeper(),
+          bookkeeper: BookkeeperStore = new Bookkeeper(),
           notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
           lockDir: Option[String] = None,
           rerunSucceeded: Boolean = false): Seq[TaskResult] = {
@@ -483,7 +483,7 @@ object PipelineConfig {
   /** Register the declared tables and run under explicit run params
     * (normal/rerun/historical). */
   def runParams(spark: SparkSession, parsed: Parsed, params: RunParams,
-                bookkeeper: Bookkeeper = new Bookkeeper(),
+                bookkeeper: BookkeeperStore = new Bookkeeper(),
                 notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
                 lockDir: Option[String] = None,
                 dateParallelism: Int = 1): Seq[TaskResult] = {

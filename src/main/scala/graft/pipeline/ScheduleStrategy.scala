@@ -128,7 +128,7 @@ object ScheduleStrategy {
   def updatedDates(runDate: LocalDate, trackDays: Int, schedule: Schedule,
                    infoDateExpr: String, outputTable: String,
                    inputTables: Seq[String],
-                   bookkeeper: Bookkeeper): List[TaskPreDef] = {
+                   bookkeeper: BookkeeperStore): List[TaskPreDef] = {
     if (trackDays <= 0 || inputTables.isEmpty) Nil
     else
       infoDateRange(runDate.minusDays(trackDays.toLong), runDate.minusDays(1),
@@ -155,7 +155,7 @@ object ScheduleStrategy {
    * under the given params
    * (reference: ScheduleStrategySourcing.scala `getDaysToRun`).
    */
-  def daysToRun(job: JobDef, bookkeeper: Bookkeeper, params: RunParams,
+  def daysToRun(job: JobDef, bookkeeper: BookkeeperStore, params: RunParams,
                 minimumDate: Option[LocalDate] = None): List[TaskPreDef] = {
     val picked = params match {
       case RunParams.Normal(rawRunDate, newOnly, lateOnly) =>

@@ -1,0 +1,137 @@
+package graft.rdb
+
+import graft.sql.SqlDialect
+
+/**
+ * Minimal SQL execution abstraction the RDBMS-backed stores run on
+ * (reference: pramen/core .../core/rdb/PramenDb.scala:37 — the
+ * reference talks to its bookkeeping database through Slick; graft
+ * keeps a two-method surface so the same DAOs run on a pooled
+ * `java.sql.Connection` in production and on an in-memory fake in this
+ * driverless environment).
+ *
+ * `query` returns rows as column-name → string-value maps — every
+ * bookkeeping column is a string, long or date rendered as ISO text,
+ * so typed getters would buy nothing and each RDBMS driver's type
+ * quirks stay out of the DAO layer.
+ */
+trait SqlExecutor {
+  /** DDL or DML; returns the update count (0 for DDL). Must throw on
+    * constraint violations — [[TokenLockJdbc]] relies on a duplicate-
+    * key INSERT failing. */
+  def executeUpdate(sql: String): Int
+  def query(sql: String): Seq[Map[String, String]]
+}
+
+/** Production executor over a live JDBC connection (java.sql ships
+  * with the JDK; an actual driver jar is deployment-provided). One
+  * statement per call, autocommit — each bookkeeping write must be
+  * durable the moment the task completes, exactly like the
+  * atomic-rename filesystem stores. */
+final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
+  override def executeUpdate(sql: String): Int = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+  override def query(sql: String): Seq[Map[String, String]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val meta = rs.getMetaData
+      val cols = (1 to meta.getColumnCount).map(i => meta.getColumnLabel(i).toLowerCase)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+      while (rs.next())
+        buf += cols.map(c => c -> Option(rs.getString(c)).orNull).toMap
+      buf.toSeq
+    } finally st.close()
+  }
+}
+
+/**
+ * The bookkeeping database: owns the schema (DDL through the existing
+ * [[graft.sql.SqlDialect]] layer, so identifier quoting matches the
+ * target RDBMS) and a persisted schema version for forward migrations
+ * (reference: PramenDb.initDatabase / initTable / addColumn —
+ * version-stepped DDL, same contract re-expressed without Slick).
+ *
+ * Tables:
+ *  - `bookkeeping`: latest run record per (table, info_date) — the
+ *    relational twin of the FS Bookkeeper's newest-file-wins layout.
+ *  - `offsets`: committed incremental offset per table.
+ *  - `locks`: one row per held token; the PRIMARY KEY makes acquire a
+ *    single atomic INSERT — the database is the arbiter, the way the
+ *    FS lock uses atomic file create.
+ *  - `schema_version`: single row, stepped by migrations.
+ */
+final class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
+                    tablePrefix: String = "") {
+  import GraftDb.CurrentVersion
+
+  private def q(ident: String): String = dialect.quote(tablePrefix + ident)
+  private[rdb] def table(name: String): String = q(name)
+
+  /** SQL string literal with quote doubling — values here are
+    * pipeline-controlled (table names, statuses), but a table name
+    * containing a quote must not produce broken SQL. */
+  private[rdb] def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Create missing tables and apply version-stepped migrations.
+    * Idempotent: `IF NOT EXISTS` guards creation, the persisted
+    * version gates each migration step exactly once. */
+  def initialize(): Unit = {
+    ddl().foreach(executor.executeUpdate)
+    val v = schemaVersion()
+    if (v < 0)
+      executor.executeUpdate(
+        s"INSERT INTO ${q("schema_version")} (version) VALUES ($CurrentVersion)")
+    else if (v < CurrentVersion) {
+      migrations.drop(v).foreach { step => step.foreach(executor.executeUpdate) }
+      executor.executeUpdate(
+        s"UPDATE ${q("schema_version")} SET version = $CurrentVersion")
+    }
+  }
+
+  /** The full DDL for a fresh database, in creation order. */
+  def ddl(): Seq[String] = Seq(
+    s"""CREATE TABLE IF NOT EXISTS ${q("bookkeeping")} (
+       |  ${dialect.quote("table_name")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("info_date")} VARCHAR(10) NOT NULL,
+       |  ${dialect.quote("record_count")} BIGINT NOT NULL,
+       |  ${dialect.quote("status")} VARCHAR(20) NOT NULL,
+       |  ${dialect.quote("started_at_ms")} BIGINT NOT NULL,
+       |  ${dialect.quote("finished_at_ms")} BIGINT NOT NULL,
+       |  PRIMARY KEY (${dialect.quote("table_name")}, ${dialect.quote("info_date")})
+       |)""".stripMargin,
+    s"""CREATE TABLE IF NOT EXISTS ${q("offsets")} (
+       |  ${dialect.quote("table_name")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("offset_type")} VARCHAR(20) NOT NULL,
+       |  ${dialect.quote("offset_value")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("committed_at_ms")} BIGINT NOT NULL,
+       |  PRIMARY KEY (${dialect.quote("table_name")})
+       |)""".stripMargin,
+    s"""CREATE TABLE IF NOT EXISTS ${q("locks")} (
+       |  ${dialect.quote("token")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("owner")} VARCHAR(40) NOT NULL,
+       |  ${dialect.quote("acquired_at_ms")} BIGINT NOT NULL,
+       |  PRIMARY KEY (${dialect.quote("token")})
+       |)""".stripMargin,
+    s"""CREATE TABLE IF NOT EXISTS ${q("schema_version")} (
+       |  ${dialect.quote("version")} INT NOT NULL
+       |)""".stripMargin)
+
+  /** Migration steps, one Seq[SQL] per version bump (index i migrates
+    * version i+1 → i+2... i.e. migrations(v) applies when the stored
+    * version is > v steps behind). Currently none — the scaffold is
+    * the contract, mirroring PramenDb's stepped addColumn calls. */
+  private[rdb] def migrations: Seq[Seq[String]] = Seq.empty
+
+  /** Stored schema version; -1 when uninitialized. */
+  def schemaVersion(): Int =
+    executor.query(s"SELECT version FROM ${q("schema_version")}")
+      .headOption.flatMap(_.get("version")).map(_.toInt).getOrElse(-1)
+}
+
+object GraftDb {
+  /** Bump together with an appended [[GraftDb.migrations]] step. */
+  val CurrentVersion = 1
+}

@@ -1,0 +1,154 @@
+package graft.rdb
+
+import graft.offset.OffsetValue
+import graft.pipeline.{BookkeeperStore, RunRecord}
+
+import java.time.LocalDate
+
+/**
+ * RDBMS-backed bookkeeping (reference: pramen/core
+ * .../core/bookkeeper/BookkeeperJdbc.scala:342): fleets of pipeline
+ * drivers coordinate skip-if-done / catch-up state through a shared
+ * database instead of a shared filesystem. Same [[BookkeeperStore]]
+ * contract as the FS [[graft.pipeline.Bookkeeper]], so the
+ * orchestrator is storage-agnostic.
+ *
+ * Writes are last-write-wins per (table, info_date) — DELETE + INSERT
+ * in favor of engine-specific upsert syntax, since each statement
+ * autocommits and a lost race between the two leaves the newer
+ * record, which is the FS store's newest-file-wins semantics anyway.
+ * Reads hit the database every time: cross-driver visibility is the
+ * point of the JDBC variant, a warm cache would defeat it.
+ */
+final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
+  private val t = db.table("bookkeeping")
+  private def d(ident: String) = db.dialect.quote(ident)
+
+  override def record(r: RunRecord): Unit = {
+    db.executor.executeUpdate(
+      s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(r.table)} " +
+        s"AND ${d("info_date")} = ${db.lit(r.infoDate.toString)}")
+    db.executor.executeUpdate(
+      s"INSERT INTO $t (${d("table_name")}, ${d("info_date")}, ${d("record_count")}, " +
+        s"${d("status")}, ${d("started_at_ms")}, ${d("finished_at_ms")}) VALUES " +
+        s"(${db.lit(r.table)}, ${db.lit(r.infoDate.toString)}, ${r.recordCount}, " +
+        s"${db.lit(r.status)}, ${r.startedAtMs}, ${r.finishedAtMs})")
+  }
+
+  override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
+    db.executor.query(
+      s"SELECT * FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
+        s"AND ${d("info_date")} = ${db.lit(infoDate.toString)}")
+      .headOption.map(fromRow)
+
+  override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
+    get(table, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
+
+  override def latestSuccess(table: String): Option[LocalDate] =
+    db.executor.query(
+      s"SELECT MAX(${d("info_date")}) AS latest FROM $t " +
+        s"WHERE ${d("table_name")} = ${db.lit(table)} " +
+        s"AND ${d("status")} = 'succeeded'")
+      .headOption.flatMap(r => Option(r.getOrElse("latest", null)))
+      .map(LocalDate.parse)
+
+  override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
+    // ISO yyyy-MM-dd strings order lexicographically = chronologically,
+    // so MAX/ORDER BY on the varchar column is correct in every dialect
+    db.executor.query(
+      s"SELECT * FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
+        s"AND ${d("status")} = 'succeeded' " +
+        s"AND ${d("info_date")} <= ${db.lit(until.toString)} " +
+        s"ORDER BY ${d("info_date")} DESC")
+      .headOption.map(fromRow)
+
+  override def all: Seq[RunRecord] = db.executor.query(s"SELECT * FROM $t").map(fromRow)
+
+  private def fromRow(row: Map[String, String]): RunRecord = RunRecord(
+    row("table_name"), LocalDate.parse(row("info_date")), row("record_count").toLong,
+    row("status"), row("started_at_ms").toLong, row("finished_at_ms").toLong)
+}
+
+/**
+ * RDBMS-backed committed-offset store (reference: pramen/core
+ * .../core/bookkeeper/OffsetManagerJdbc.scala) — the relational twin
+ * of [[graft.offset.OffsetManager]]'s per-table offset files, same
+ * monotonic-commit contract: a commit below the stored offset is
+ * ignored (concurrent drivers race benignly).
+ */
+final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.currentTimeMillis()) {
+  private val t = db.table("offsets")
+  private def d(ident: String) = db.dialect.quote(ident)
+
+  def getLatestOffset(table: String): Option[OffsetValue] =
+    db.executor.query(
+      s"SELECT ${d("offset_type")}, ${d("offset_value")} FROM $t " +
+        s"WHERE ${d("table_name")} = ${db.lit(table)}")
+      .headOption.map(r => OffsetValue.fromString(r("offset_type"), r("offset_value")))
+
+  def commit(table: String, offset: OffsetValue): Unit = {
+    val keep = getLatestOffset(table) match {
+      case Some(cur) if cur.compare(offset) >= 0 => false // monotonic: never move back
+      case _ => true
+    }
+    if (keep) {
+      db.executor.executeUpdate(
+        s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(table)}")
+      db.executor.executeUpdate(
+        s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, ${d("offset_value")}, " +
+          s"${d("committed_at_ms")}) VALUES (${db.lit(table)}, ${db.lit(offset.typeName)}, " +
+          s"${db.lit(offset.asString)}, ${nowMs()})")
+    }
+  }
+}
+
+/**
+ * Database-arbitrated run lock (reference: pramen/core
+ * .../core/lock/TokenLockJdbc.scala): the PRIMARY KEY on `token`
+ * makes acquisition one atomic INSERT — exactly the role the FS
+ * lock's atomic file-create plays, with the same stale-break contract
+ * (a lock older than `staleMs` is presumed dead and broken).
+ */
+final class TokenLockJdbc(db: GraftDb, token: String,
+                          staleMs: Long = 4L * 3600 * 1000,
+                          nowMs: () => Long = () => System.currentTimeMillis()) {
+  private val t = db.table("locks")
+  private def d(ident: String) = db.dialect.quote(ident)
+  private val ownerId = java.util.UUID.randomUUID().toString
+
+  def tryAcquire(): Boolean = {
+    def insert(): Boolean =
+      try {
+        db.executor.executeUpdate(
+          s"INSERT INTO $t (${d("token")}, ${d("owner")}, ${d("acquired_at_ms")}) " +
+            s"VALUES (${db.lit(token)}, ${db.lit(ownerId)}, ${nowMs()})")
+        true
+      } catch { case _: Exception => false } // duplicate key: somebody holds it
+
+    if (insert()) true
+    else {
+      // stale-break: delete only if still the SAME old acquisition
+      // (predicated DELETE — if the holder refreshed or a third party
+      // broke+re-acquired between our read and delete, we touch nothing)
+      val held = db.executor.query(
+        s"SELECT ${d("owner")}, ${d("acquired_at_ms")} FROM $t " +
+          s"WHERE ${d("token")} = ${db.lit(token)}").headOption
+      held match {
+        case Some(row) if nowMs() - row("acquired_at_ms").toLong > staleMs =>
+          val n = db.executor.executeUpdate(
+            s"DELETE FROM $t WHERE ${d("token")} = ${db.lit(token)} " +
+              s"AND ${d("owner")} = ${db.lit(row("owner"))} " +
+              s"AND ${d("acquired_at_ms")} = ${row("acquired_at_ms")}")
+          n > 0 && insert()
+        case _ => false
+      }
+    }
+  }
+
+  def release(): Unit =
+    // owner-predicated: releasing a lock someone else stale-broke and
+    // re-acquired must not free THEIR lock
+    db.executor.executeUpdate(
+      s"DELETE FROM $t WHERE ${d("token")} = ${db.lit(token)} " +
+        s"AND ${d("owner")} = ${db.lit(ownerId)}")
+}

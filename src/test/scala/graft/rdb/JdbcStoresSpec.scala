@@ -1,0 +1,234 @@
+package graft.rdb
+
+import graft.offset.OffsetValue
+import graft.pipeline.RunRecord
+import graft.sql.SqlDialect
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.LocalDate
+
+/** In-memory executor interpreting exactly the statement shapes the
+  * DAOs generate (Generic dialect, double-quoted identifiers) — no
+  * JDBC driver ships in this environment, so behavior specs run
+  * against this and SQL-text specs pin what a real database would
+  * receive (the same driverless strategy as the S2 JDBC source). */
+final class FakeDb extends SqlExecutor {
+  val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val tables = scala.collection.mutable.Map.empty[String, Vector[Map[String, String]]]
+  private val pks = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  private def ws(s: String) = s.replaceAll("\\s+", " ").trim
+  private def unq(s: String) = s.stripPrefix("\"").stripSuffix("\"")
+
+  override def executeUpdate(sql: String): Int = {
+    statements += sql
+    val s = ws(sql)
+    if (s.startsWith("CREATE TABLE IF NOT EXISTS")) {
+      val name = unq(s.stripPrefix("CREATE TABLE IF NOT EXISTS ").takeWhile(_ != ' '))
+      if (!tables.contains(name)) {
+        tables(name) = Vector.empty
+        pks(name) = "PRIMARY KEY \\(([^)]*)\\)".r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").map(c => unq(c.trim)).toSeq).getOrElse(Nil)
+      }
+      0
+    } else if (s.startsWith("INSERT INTO")) {
+      val m = "INSERT INTO (\\S+) \\(([^)]*)\\) VALUES \\((.*)\\)".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"unparsed INSERT: $s"))
+      val name = unq(m.group(1))
+      val cols = m.group(2).split(",").map(c => unq(c.trim))
+      val vals = splitValues(m.group(3))
+      val row = cols.zip(vals).toMap
+      val pk = pks.getOrElse(name, Nil)
+      if (pk.nonEmpty && tables(name).exists(r => pk.forall(c => r.get(c) == row.get(c))))
+        throw new RuntimeException(s"duplicate key on $name (${pk.mkString(",")})")
+      tables(name) = tables(name) :+ row
+      1
+    } else if (s.startsWith("DELETE FROM")) {
+      val m = "DELETE FROM (\\S+)(?: WHERE (.*))?$".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"unparsed DELETE: $s"))
+      val name = unq(m.group(1))
+      val pred = predicate(Option(m.group(2)))
+      val (gone, kept) = tables.getOrElse(name, Vector.empty).partition(pred)
+      tables(name) = kept
+      gone.size
+    } else if (s.startsWith("UPDATE")) {
+      val m = "UPDATE (\\S+) SET (\\w+) = (\\S+)".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"unparsed UPDATE: $s"))
+      val name = unq(m.group(1))
+      tables(name) = tables(name).map(_.updated(m.group(2), m.group(3)))
+      tables(name).size
+    } else sys.error(s"unparsed statement: $s")
+  }
+
+  override def query(sql: String): Seq[Map[String, String]] = {
+    statements += sql
+    val s = ws(sql)
+    val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (\\S+) DESC)?$".r
+      .findFirstMatchIn(s).getOrElse(sys.error(s"unparsed SELECT: $s"))
+    val name = unq(m.group(2))
+    var rows = tables.getOrElse(name, Vector.empty).filter(predicate(Option(m.group(3))))
+    Option(m.group(4)).foreach(c => rows = rows.sortBy(_(unq(c))).reverse)
+    val proj = m.group(1).trim
+    if (proj == "*") rows
+    else if (proj.startsWith("MAX(")) {
+      val mm = "MAX\\((\\S+)\\) AS (\\w+)".r.findFirstMatchIn(proj).get
+      val col = unq(mm.group(1))
+      Seq(Map(mm.group(2) -> rows.map(_(col)).maxOption.orNull))
+    } else rows.map(r => proj.split(",").map(c => unq(c.trim)).map(c => c -> r(c)).toMap)
+  }
+
+  /** `a = 'v' AND b <= 'w' AND c = 123` conjunctions, the only WHERE
+    * shape the DAOs emit. */
+  private def predicate(where: Option[String]): Map[String, String] => Boolean =
+    where match {
+      case None => _ => true
+      case Some(w) =>
+        val conds = w.split(" AND ").map { c =>
+          val m = "(\\S+) (<=|=) (.*)".r.findFirstMatchIn(c.trim)
+            .getOrElse(sys.error(s"unparsed condition: $c"))
+          (unq(m.group(1)), m.group(2), unlit(m.group(3)))
+        }
+        row => conds.forall {
+          case (col, "=", v) => row.get(col).contains(v)
+          case (col, "<=", v) => row.get(col).exists(_ <= v)
+          case other => sys.error(s"unhandled op: $other")
+        }
+    }
+
+  private def unlit(v: String): String =
+    if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'").replace("''", "'") else v
+
+  private def splitValues(s: String): Seq[String] = {
+    // split on commas outside quotes
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new StringBuilder; var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString.trim; cur = new StringBuilder
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    out.toSeq.map(unlit)
+  }
+}
+
+class JdbcStoresSpec extends AnyFunSuite {
+  private val d = LocalDate.parse("2024-06-15")
+  private def freshDb(): (GraftDb, FakeDb) = {
+    val fake = new FakeDb
+    val db = new GraftDb(SqlDialect.Generic, fake)
+    db.initialize()
+    (db, fake)
+  }
+
+  test("initialize creates the four tables and stamps the schema version; re-init is a no-op") {
+    val (db, fake) = freshDb()
+    assert(db.schemaVersion() == GraftDb.CurrentVersion)
+    val creates = fake.statements.count(_.startsWith("CREATE TABLE IF NOT EXISTS"))
+    assert(creates == 4)
+    db.initialize() // idempotent
+    assert(db.schemaVersion() == GraftDb.CurrentVersion)
+    assert(fake.statements.count(_.startsWith("INSERT INTO \"schema_version\"")) == 1)
+  }
+
+  test("bookkeeper: record/get/isAlreadyRan/latestSuccess round-trip, last write wins") {
+    val (db, _) = freshDb()
+    val bk = new BookkeeperJdbc(db)
+    bk.record(RunRecord("sales", d, 100L, "failed", 1L, 2L))
+    assert(!bk.isAlreadyRan("sales", d))
+    bk.record(RunRecord("sales", d, 120L, "succeeded", 3L, 4L)) // upsert
+    assert(bk.isAlreadyRan("sales", d))
+    assert(bk.get("sales", d).map(_.recordCount).contains(120L))
+    bk.record(RunRecord("sales", d.minusDays(1), 80L, "succeeded", 1L, 2L))
+    bk.record(RunRecord("sales", d.plusDays(1), 90L, "skipped", 1L, 2L))
+    assert(bk.latestSuccess("sales").contains(d)) // skipped is not success
+    assert(bk.latestSuccessRecord("sales", d.minusDays(1)).map(_.recordCount).contains(80L))
+    assert(bk.all.size == 3)
+    assert(bk.get("nope", d).isEmpty && bk.latestSuccess("nope").isEmpty)
+  }
+
+  test("bookkeeper generates dialect-quoted SQL (MySQL backticks, escaped literals)") {
+    val fake = new FakeDb
+    val db = new GraftDb(SqlDialect.MySql, fake)
+    new BookkeeperJdbc(db).record(RunRecord("o'brien", d, 1L, "succeeded", 1L, 2L))
+    val insert = fake.statements.find(_.startsWith("INSERT")).get
+    assert(insert.contains("`bookkeeping`") && insert.contains("`table_name`"), insert)
+    assert(insert.contains("'o''brien'"), s"quote must be doubled: $insert")
+  }
+
+  test("offsets: commit is monotonic, type round-trips") {
+    val (db, _) = freshDb()
+    val os = new OffsetStoreJdbc(db, nowMs = () => 1000L)
+    assert(os.getLatestOffset("ev").isEmpty)
+    os.commit("ev", OffsetValue.IntegralValue(100))
+    assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(100)))
+    os.commit("ev", OffsetValue.IntegralValue(50)) // below stored: ignored
+    assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(100)))
+    os.commit("ev", OffsetValue.IntegralValue(200))
+    assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(200)))
+  }
+
+  test("lock: primary-key INSERT arbitration — second acquirer loses, release frees") {
+    val (db, _) = freshDb()
+    val a = new TokenLockJdbc(db, "sales_2024-06-15")
+    val b = new TokenLockJdbc(db, "sales_2024-06-15")
+    assert(a.tryAcquire())
+    assert(!b.tryAcquire(), "held lock must not double-acquire")
+    assert(new TokenLockJdbc(db, "other_token").tryAcquire(), "unrelated tokens independent")
+    a.release()
+    assert(b.tryAcquire(), "released lock must be acquirable")
+    a.release() // a no longer owns it: must NOT free b's lock
+    assert(!new TokenLockJdbc(db, "sales_2024-06-15").tryAcquire(),
+      "owner-predicated release must not free another holder's lock")
+  }
+
+  test("lock: stale locks are broken with a predicated delete") {
+    val (db, _) = freshDb()
+    var now = 0L
+    val dead = new TokenLockJdbc(db, "t", staleMs = 1000L, nowMs = () => now)
+    assert(dead.tryAcquire())
+    val thief = new TokenLockJdbc(db, "t", staleMs = 1000L, nowMs = () => now)
+    now = 500L
+    assert(!thief.tryAcquire(), "fresh lock must not be broken")
+    now = 2000L
+    assert(thief.tryAcquire(), "stale lock must be broken and re-acquired")
+    val third = new TokenLockJdbc(db, "t", staleMs = 1000L, nowMs = () => now)
+    assert(!third.tryAcquire(), "freshly re-acquired lock is held again")
+  }
+
+  test("orchestrator runs against the JDBC bookkeeper: skip-if-done crosses drivers") {
+    import graft.SparkSpec
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val (db, _) = freshDb()
+    val ms = new graft.meta.Metastore(spark)
+    val base = java.nio.file.Files.createTempDirectory("jdbc_bk_").toString
+    ms.register(graft.meta.MetaTable("t1", s"$base/t1"))
+    var runs = 0
+    val tf = new graft.pipeline.Transformer {
+      def run(r: graft.meta.MetastoreReader, dd: LocalDate,
+              o: Map[String, String]): org.apache.spark.sql.DataFrame = {
+        runs += 1; Seq((1L, "x")).toDF("id", "v")
+      }
+    }
+    // driver 1 runs the task; driver 2 (separate Orchestrator, SHARED
+    // database) sees it done and skips — the coordination the FS store
+    // can only give co-mounted drivers
+    val r1 = new graft.pipeline.Orchestrator(ms, bookkeeper = new BookkeeperJdbc(db))
+      .run(Seq(graft.pipeline.JobDef("j", "t1", tf)), d)
+    assert(r1.head.isInstanceOf[graft.pipeline.TaskResult.Succeeded])
+    val r2 = new graft.pipeline.Orchestrator(ms, bookkeeper = new BookkeeperJdbc(db))
+      .run(Seq(graft.pipeline.JobDef("j", "t1", tf)), d)
+    assert(r2.head.isInstanceOf[graft.pipeline.TaskResult.Skipped], r2.head.toString)
+    assert(runs == 1, s"second driver must skip the done slot, ran $runs times")
+  }
+
+  test("DDL text: primary keys arbitrate locks and bookkeeping upserts") {
+    val db = new GraftDb(SqlDialect.Generic, new FakeDb)
+    val ddl = db.ddl()
+    assert(ddl.exists(s => s.contains("\"locks\"") && s.contains("PRIMARY KEY (\"token\")")))
+    assert(ddl.exists(s => s.contains("\"bookkeeping\"")
+      && s.contains("PRIMARY KEY (\"table_name\", \"info_date\")")))
+    assert(ddl.exists(_.contains("\"offsets\"")))
+  }
+}
