@@ -29,16 +29,26 @@ object Bench {
     // the warm write's only job was to exist — don't leak a parquet
     // copy of nation into the temp dir on every bench invocation
     org.apache.commons.io.FileUtils.deleteQuietly(warmDir.toFile)
+    // median of 3 in-process runs per query: single-run numbers on a
+    // shared host have produced ±10× outliers (GC, page-cache, noisy
+    // neighbors) that read as regressions on untouched queries; the
+    // median discards one bad run entirely. Side-effecting queries
+    // (metastore writes, index builds) are overwrite-idempotent by
+    // construction, so repeats measure the same work.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -345,21 +345,22 @@ object EmbedDedup {
     // 2^-64-per-pair fingerprint trade, same as exact dedup)
     val keyed = base.select(col("doc_id"), xxhash64(col("vec")).as("_k"))
     val (dupRows, nGroups, totalRows, dupG) = Dedup.dupGroupsOf(keyed)
-    if (dupRows == 0) lshPairs(base)
-    else if (nGroups <= Dedup.MaxBroadcastDupGroups && dupRows * 20 < totalRows) {
-      val stars = keyed.join(broadcast(dupG), "_k")
-        .where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
-      stars.unionByName(lshPairs(base)).dropDuplicates("id_a", "id_b")
-    } else {
-      val withKey = base.withColumn("_k", xxhash64(col("vec")))
-      val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
-      val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
-        .where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
-      val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("vec"))
-      stars.unionByName(lshPairs(reps))
+    Dedup.DupPlan.choose(dupRows, nGroups, totalRows) match {
+      case Dedup.DupPlan.NoDups => lshPairs(base)
+      case Dedup.DupPlan.BroadcastStars =>
+        val stars = keyed.join(broadcast(dupG), "_k")
+          .where(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
+        stars.unionByName(lshPairs(base)).dropDuplicates("id_a", "id_b")
+      case Dedup.DupPlan.PreGroup =>
+        val withKey = base.withColumn("_k", xxhash64(col("vec")))
+        val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
+        val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
+          .where(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(1.0d).as("cosine"))
+        val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
+          .select(col("doc_id"), col("vec"))
+        stars.unionByName(lshPairs(reps))
     }
   }
 }

@@ -105,6 +105,26 @@ object Dedup {
     * broadcastable for star generation. */
   private[operators] val MaxBroadcastDupGroups = 100 * 1000
 
+  /** The adaptive mass-duplication plan choice, shared by MinHash and
+    * embedding dedup (one decision function so the two can never
+    * disagree, and so the thresholds are unit-testable — the 10×
+    * scale smoke pins them). */
+  private[operators] sealed trait DupPlan
+  private[operators] object DupPlan {
+    /** Curated corpus: single-pass banding, zero extra plan nodes. */
+    case object NoDups extends DupPlan
+    /** Light duplication: full corpus bands + broadcast star pairs. */
+    case object BroadcastStars extends DupPlan
+    /** Heavy duplication: pre-group by fingerprint, band only the
+      * representatives — g copies cost g-1 stars, not O(g²)/band. */
+    case object PreGroup extends DupPlan
+
+    def choose(dupRows: Long, nGroups: Long, totalRows: Long): DupPlan =
+      if (dupRows == 0) NoDups
+      else if (nGroups <= MaxBroadcastDupGroups && dupRows * 20 < totalRows) BroadcastStars
+      else PreGroup
+  }
+
   /** Duplicate probe over an ids-only (doc_id, _k) frame: ONE
     * aggregate pass returns (duplicateMemberRows, dupGroupCount,
     * totalRows) plus the dup-group frame — the signals that decide
@@ -165,21 +185,22 @@ object Dedup {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val keyed = base.select(col("doc_id"), xxhash64(col("text")).as("_k"))
     val (dupRows, nGroups, totalRows, dupG) = dupGroupsOf(keyed)
-    if (dupRows == 0) banding(base)
-    else if (nGroups <= MaxBroadcastDupGroups && dupRows * 20 < totalRows) {
-      val stars = keyed.join(broadcast(dupG), "_k")
-        .where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
-      stars.unionByName(banding(base)).dropDuplicates("id_a", "id_b")
-    } else {
-      val withKey = base.withColumn("_k", xxhash64(col("text")))
-      val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
-      val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
-        .where(col("doc_id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
-      val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text"))
-      stars.unionByName(banding(reps))
+    DupPlan.choose(dupRows, nGroups, totalRows) match {
+      case DupPlan.NoDups => banding(base)
+      case DupPlan.BroadcastStars =>
+        val stars = keyed.join(broadcast(dupG), "_k")
+          .where(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+        stars.unionByName(banding(base)).dropDuplicates("id_a", "id_b")
+      case DupPlan.PreGroup =>
+        val withKey = base.withColumn("_k", xxhash64(col("text")))
+        val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
+        val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
+          .where(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+        val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
+          .select(col("doc_id"), col("text"))
+        stars.unionByName(banding(reps))
     }
   }
 

@@ -129,7 +129,11 @@ object TextPrep {
       .agg(count(lit(1)).as("_n"))
       .where(col("_n") > minRepeats)
       .select(col("_h"))
-    val capped = freqDf.limit(maxDriverSet + 1).collect().map(_.getLong(0))
+    // primitive collect: the cap is 5M hashes — as Rows that is 5M boxed
+    // objects churning the driver heap; the Long encoder materializes a
+    // primitive Array[Long] directly
+    val capped = freqDf.limit(maxDriverSet + 1)
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
     if (capped.length > maxDriverSet)
       return rebuildByJoin(docs, idCol, textCol, segmenter, joiner, freqDf)
     val keep: Column => Column =
