@@ -221,10 +221,20 @@ object PipelineConfig {
       }
       val sink: graft.sinks.GraftSink = opt("type").getOrElse("spark") match {
         case "spark" =>
+          // _INFO metadata file on export (reference: extras/infofile —
+          // same keys: generate flag, source application, country)
+          val infoFile =
+            if (opt("info.file").contains("true"))
+              Some(graft.sinks.InfoFileConfig(
+                application = opt("info.file.application").getOrElse("graft"),
+                country = opt("info.file.country").getOrElse("ZZ"),
+                historyType = opt("info.file.history.type").getOrElse("snapshot")))
+            else None
           new graft.sinks.SparkSink(req("path"), opt("format").getOrElse("parquet"),
             formatOptions = sinkOptions,
             partitionBy = opt("partition.by").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
-            numberOfPartitions = opt("partitions").map(_.toInt))
+            numberOfPartitions = opt("partitions").map(_.toInt),
+            infoFile = infoFile)
         case "localcsv" =>
           new graft.sinks.LocalCsvSink(req("path"),
             separator = opt("separator").getOrElse(","),

@@ -55,16 +55,25 @@ object ColumnNameTransform {
  * repartition and partitionBy
  * (reference: pramen/core .../core/sink/SparkSink.scala).
  */
+/** `_INFO` generation settings for a sink (reference: pramen/extras
+  * .../extras/infofile/InfoFileGeneration.scala config keys —
+  * source application, country, history type). */
+final case class InfoFileConfig(application: String, country: String,
+                                historyType: String = "snapshot",
+                                zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+
 final class SparkSink(
     basePath: String,
     format: String = "parquet",
     mode: SaveMode = SaveMode.Overwrite,
     formatOptions: Map[String, String] = Map.empty,
     partitionBy: Seq[String] = Seq.empty,
-    numberOfPartitions: Option[Int] = None) extends GraftSink {
+    numberOfPartitions: Option[Int] = None,
+    infoFile: Option[InfoFileConfig] = None) extends GraftSink {
 
   override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
                     options: Map[String, String]): SinkResult = {
+    val t0 = System.currentTimeMillis()
     // record count observed inside the write job itself — a count()
     // after the save would re-execute the whole upstream plan
     val obs = new org.apache.spark.sql.Observation()
@@ -74,7 +83,17 @@ final class SparkSink(
     val w = out.write.format(format).mode(mode).options(formatOptions)
     val path = s"$basePath/$tableName/info_date=$infoDate"
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
-    SinkResult(obs.get("cnt").asInstanceOf[Long])
+    val n = obs.get("cnt").asInstanceOf[Long]
+    // the metadata file lands AFTER the data: consumers polling for
+    // _INFO see it only once the export is complete
+    infoFile.foreach { c =>
+      InfoFile.write(path,
+        InfoFile.render(c.application, c.country, c.historyType, tableName,
+          infoDate, n, version = 1, c.zone,
+          Seq(InfoFile.Checkpoint("Sink", "Sink", 1, t0, System.currentTimeMillis(), n))),
+        df.sparkSession.sparkContext.hadoopConfiguration)
+    }
+    SinkResult(n)
   }
 }
 
