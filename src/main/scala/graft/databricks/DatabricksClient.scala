@@ -1,0 +1,126 @@
+package graft.databricks
+
+/**
+ * Databricks job-submission client (reference: pramen/core
+ * .../core/databricks/DatabricksClientImpl.scala,
+ * core/databricks/Responses.scala — DBFS file upload + transient-job
+ * submit + poll-to-completion against the Jobs 2.1 API).
+ *
+ * HTTP goes through the [[HttpTransport]] seam: production uses the
+ * JDK's `java.net.http` (no extra dependency), and this zero-egress
+ * environment exercises the full protocol — URLs, bearer auth,
+ * payload shapes, polling state machine, failure mapping — against a
+ * scripted fake, the same driverless strategy as the JDBC layer.
+ */
+trait HttpTransport {
+  /** POST `body` (JSON) to `url`; returns (statusCode, responseBody). */
+  def post(url: String, body: String, headers: Map[String, String]): (Int, String)
+  def get(url: String, headers: Map[String, String]): (Int, String)
+}
+
+/** JDK-native transport — no client library dependency. */
+final class JdkHttpTransport(timeoutSeconds: Long = 60) extends HttpTransport {
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+
+  private def send(b: java.net.http.HttpRequest.Builder,
+                   headers: Map[String, String]): (Int, String) = {
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.timeout(java.time.Duration.ofSeconds(timeoutSeconds)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  override def post(url: String, body: String, headers: Map[String, String]): (Int, String) =
+    send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json"), headers)
+
+  override def get(url: String, headers: Map[String, String]): (Int, String) =
+    send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers)
+}
+
+/** Terminal outcome of a polled run. */
+final case class RunResult(runId: Long, lifeCycleState: String, resultState: String,
+                           runPageUrl: String) {
+  def isSuccess: Boolean = resultState == "SUCCESS"
+}
+
+final class DatabricksClient(host: String, token: String, http: HttpTransport,
+                             pollIntervalMs: Long = 5000,
+                             sleeper: Long => Unit = Thread.sleep) {
+  private val baseUrl = host.stripSuffix("/")
+  private val auth = Map("Authorization" -> s"Bearer $token")
+
+  private[databricks] def createFileUrl = s"$baseUrl/api/2.0/dbfs/put"
+  private[databricks] def runSubmitUrl = s"$baseUrl/api/2.1/jobs/runs/submit"
+  private[databricks] def runStatusUrl(runId: Long) =
+    s"$baseUrl/api/2.1/jobs/runs/get?run_id=$runId"
+
+  /** Upload a small file to DBFS (the reference stages pramen-py job
+    * configs this way before submitting the run that reads them). */
+  def createFile(content: String, destination: String, overwrite: Boolean = false): Unit = {
+    val payload = Json.obj(
+      "path" -> Json.str(destination),
+      "contents" -> Json.str(java.util.Base64.getEncoder.encodeToString(
+        content.getBytes("UTF-8"))),
+      "overwrite" -> overwrite.toString)
+    val (code, body) = http.post(createFileUrl, payload, auth)
+    if (code >= 400)
+      throw new RuntimeException(s"Failed to create file at $destination: $body")
+  }
+
+  /** Submit a transient (one-time) job and block until it terminates;
+    * throws on submit rejection or non-SUCCESS terminal state. */
+  def runTransientJob(jobJson: String): RunResult = {
+    val (code, body) = http.post(runSubmitUrl, jobJson, auth)
+    if (code < 200 || code >= 300)
+      throw new RuntimeException(s"Could not submit a run to Databricks. Response: $body")
+    val runId = Json.long(body, "run_id").getOrElse(
+      throw new RuntimeException(s"Submit response carried no run_id: $body"))
+    val result = waitForFinish(runId)
+    if (!result.isSuccess)
+      throw new RuntimeException(s"Databricks run $runId failed: " +
+        s"${result.lifeCycleState}/${result.resultState} (${result.runPageUrl})")
+    result
+  }
+
+  /** Poll until the run leaves the pending life-cycle states
+    * (reference semantics: TERMINATED and INTERNAL_ERROR are
+    * terminal; everything else keeps polling). */
+  private[databricks] def waitForFinish(runId: Long): RunResult = {
+    var status = runStatus(runId)
+    while (status.lifeCycleState != "TERMINATED" && status.lifeCycleState != "INTERNAL_ERROR") {
+      sleeper(pollIntervalMs)
+      status = runStatus(runId)
+    }
+    status
+  }
+
+  private[databricks] def runStatus(runId: Long): RunResult = {
+    val (_, body) = http.get(runStatusUrl(runId), auth)
+    RunResult(runId,
+      Json.field(body, "life_cycle_state").getOrElse("UNKNOWN"),
+      Json.field(body, "result_state").getOrElse(""),
+      Json.field(body, "run_page_url").getOrElse(""))
+  }
+}
+
+/** Minimal fixed-shape JSON helpers (same approach as the bookkeeper
+  * journal: the API's relevant fields are flat strings/longs, a
+  * parser dependency would buy nothing in this environment). */
+private[databricks] object Json {
+  def str(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  def obj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
+  def field(json: String, name: String): Option[String] =
+    ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+  def long(json: String, name: String): Option[Long] =
+    ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+}

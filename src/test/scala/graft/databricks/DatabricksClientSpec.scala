@@ -1,0 +1,91 @@
+package graft.databricks
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol specs against a scripted transport — no egress in this
+  * environment, so URLs/auth/payloads/polling are what's verifiable
+  * (reference: core/databricks/DatabricksClientImpl.scala). */
+final class FakeTransport extends HttpTransport {
+  val posts = scala.collection.mutable.ArrayBuffer.empty[(String, String, Map[String, String])]
+  val gets = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+  var postResponses: List[(Int, String)] = Nil
+  var getResponses: List[(Int, String)] = Nil
+
+  override def post(url: String, body: String, headers: Map[String, String]): (Int, String) = {
+    posts += ((url, body, headers))
+    val r = postResponses.head; postResponses = postResponses.tail; r
+  }
+  override def get(url: String, headers: Map[String, String]): (Int, String) = {
+    gets += ((url, headers))
+    val r = getResponses.head; getResponses = getResponses.tail; r
+  }
+}
+
+class DatabricksClientSpec extends AnyFunSuite {
+  private def client(t: FakeTransport) =
+    new DatabricksClient("https://dbx.example.com/", "tok123", t,
+      pollIntervalMs = 1, sleeper = _ => ())
+
+  test("createFile posts base64 content to the dbfs put endpoint with bearer auth") {
+    val t = new FakeTransport
+    t.postResponses = List((200, "{}"))
+    client(t).createFile("hello config", "/pramen/cfg.yml", overwrite = true)
+    val (url, body, headers) = t.posts.head
+    assert(url == "https://dbx.example.com/api/2.0/dbfs/put", "trailing slash must strip")
+    assert(headers("Authorization") == "Bearer tok123")
+    assert(body.contains("\"path\": \"/pramen/cfg.yml\""))
+    val b64 = java.util.Base64.getEncoder.encodeToString("hello config".getBytes("UTF-8"))
+    assert(body.contains(s""""contents": "$b64""""), body)
+    assert(body.contains("\"overwrite\": true"))
+  }
+
+  test("createFile surfaces 4xx failures") {
+    val t = new FakeTransport
+    t.postResponses = List((403, """{"error":"nope"}"""))
+    val e = intercept[RuntimeException](client(t).createFile("x", "/y"))
+    assert(e.getMessage.contains("/y") && e.getMessage.contains("nope"))
+  }
+
+  test("runTransientJob submits, polls through pending states, returns on TERMINATED/SUCCESS") {
+    val t = new FakeTransport
+    t.postResponses = List((200, """{"run_id": 42}"""))
+    t.getResponses = List(
+      (200, """{"run_id":"42","state":{"life_cycle_state":"PENDING"}}"""),
+      (200, """{"run_id":"42","state":{"life_cycle_state":"RUNNING"}}"""),
+      (200, """{"run_id":"42","run_page_url":"https://dbx/run/42","state":{"life_cycle_state":"TERMINATED","result_state":"SUCCESS"}}"""))
+    val r = client(t).runTransientJob("""{"run_name":"graft-job"}""")
+    assert(r.runId == 42L && r.isSuccess)
+    assert(t.posts.head._1.endsWith("/api/2.1/jobs/runs/submit"))
+    assert(t.gets.map(_._1).distinct ==
+      Seq("https://dbx.example.com/api/2.1/jobs/runs/get?run_id=42"))
+    assert(t.gets.size == 3, "must poll until a terminal life-cycle state")
+  }
+
+  test("runTransientJob throws on submit rejection and on failed terminal states") {
+    val t1 = new FakeTransport
+    t1.postResponses = List((400, """{"error":"bad cluster"}"""))
+    assert(intercept[RuntimeException](client(t1).runTransientJob("{}"))
+      .getMessage.contains("bad cluster"))
+
+    val t2 = new FakeTransport
+    t2.postResponses = List((200, """{"run_id": 7}"""))
+    t2.getResponses = List(
+      (200, """{"state":{"life_cycle_state":"TERMINATED","result_state":"FAILED"}}"""))
+    val e2 = intercept[RuntimeException](client(t2).runTransientJob("{}"))
+    assert(e2.getMessage.contains("TERMINATED/FAILED"), e2.getMessage)
+
+    val t3 = new FakeTransport
+    t3.postResponses = List((200, """{"run_id": 8}"""))
+    t3.getResponses = List(
+      (200, """{"state":{"life_cycle_state":"INTERNAL_ERROR"}}"""))
+    assert(intercept[RuntimeException](client(t3).runTransientJob("{}"))
+      .getMessage.contains("INTERNAL_ERROR"))
+  }
+
+  test("json helpers: escaping and field extraction") {
+    assert(Json.str("a\"b\\c") == "\"a\\\"b\\\\c\"")
+    assert(Json.long("""{"run_id": 42, "x": 1}""", "run_id").contains(42L))
+    assert(Json.field("""{"a" : "v1"}""", "a").contains("v1"))
+    assert(Json.field("""{"a":"v"}""", "missing").isEmpty)
+  }
+}
