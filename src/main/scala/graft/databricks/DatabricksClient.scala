@@ -106,6 +106,35 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
   }
 }
 
+/**
+ * Job-definition templating for transient runs (reference: pramen/core
+ * .../core/databricks/PramenPyJobTemplate.scala — the reference holds
+ * the user's job map in config and substitutes the python class,
+ * metastore config location and info date into its string values).
+ * graft keeps the template as the JSON document `runTransientJob`
+ * takes, with `@name` tokens replaced by JSON-escaped values — a
+ * substituted value containing quotes or newlines cannot break the
+ * document.
+ */
+object DatabricksJobTemplate {
+  /** Replace each `@key` token with its JSON-string-escaped value.
+    * Longer keys substitute first so `@infoDateStr` is never clipped
+    * by `@infoDate`. */
+  def render(templateJson: String, vars: Map[String, String]): String =
+    vars.toSeq.sortBy(-_._1.length).foldLeft(templateJson) { case (acc, (k, v)) =>
+      acc.replace("@" + k, Json.str(v).stripPrefix("\"").stripSuffix("\""))
+    }
+
+  /** The standard variable set for a transformer run (the reference's
+    * PYTHON_CLASS_VAR / METASTORE_CONFIG_VAR / INFO_DATE_VAR trio,
+    * generalized past python). */
+  def transformerVars(transformerClass: String, configLocation: String,
+                      infoDate: java.time.LocalDate): Map[String, String] =
+    Map("transformerClass" -> transformerClass,
+      "configLocation" -> configLocation,
+      "infoDate" -> infoDate.toString)
+}
+
 /** Minimal fixed-shape JSON helpers (same approach as the bookkeeper
   * journal: the API's relevant fields are flat strings/longs, a
   * parser dependency would buy nothing in this environment). */

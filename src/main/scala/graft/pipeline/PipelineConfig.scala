@@ -20,6 +20,7 @@ import java.time.LocalDate
  *                                         # cross-invocation skip-if-done, FillGaps,
  *                                         # catch-up and trackDays late-data detection
  * lock.dir = /data/state/locks            # optional (table, infoDate) run locks
+ * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * table.sales.path = /data/ms/sales
  * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
@@ -72,7 +73,8 @@ object PipelineConfig {
   final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
                           bookkeepingPath: Option[String] = None,
                           lockDir: Option[String] = None,
-                          environment: String = "local")
+                          environment: String = "local",
+                          htmlReportDir: Option[String] = None)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -394,7 +396,8 @@ object PipelineConfig {
     Parsed(name, tables, jobs,
       bookkeepingPath = kv.get("bookkeeping.path"),
       lockDir = kv.get("lock.dir"),
-      environment = kv.getOrElse("environment.name", "local"))
+      environment = kv.getOrElse("environment.name", "local"),
+      htmlReportDir = kv.get("notification.html.dir"))
   }
 
   /**
@@ -467,9 +470,13 @@ object PipelineConfig {
       spark.stop()
       return
     }
+    // notification.html.dir: drop the rendered HTML end-of-run report
+    // where an operator (or a mail-relay side-car) picks it up
+    val htmlNotifier = parsed.htmlReportDir.map(dir =>
+      new HtmlReportingNotifier(new FileHtmlTransport(dir))).toSeq
     val results = runParams(spark, parsed, params,
       bookkeeper = bookkeeper,
-      notifiers = Seq(new ConsoleNotifier),
+      notifiers = new ConsoleNotifier +: htmlNotifier,
       lockDir = parsed.lockDir,
       dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1))
     spark.stop()

@@ -82,6 +82,22 @@ class DatabricksClientSpec extends AnyFunSuite {
       .getMessage.contains("INTERNAL_ERROR"))
   }
 
+  test("job template substitutes variables JSON-escaped, longest key first") {
+    val template =
+      """{"run_name": "graft @transformerClass @infoDate",
+        |"notebook_params": {"config": "@configLocation", "note": "@noteLong"}}""".stripMargin
+    val rendered = DatabricksJobTemplate.render(template,
+      DatabricksJobTemplate.transformerVars(
+        "jobs.MyTransform", "dbfs:/cfg/a.yml", java.time.LocalDate.parse("2024-06-15"))
+        ++ Map("note" -> "WRONG", "noteLong" -> "has \"quotes\"\nand newline"))
+    assert(rendered.contains("graft jobs.MyTransform 2024-06-15"))
+    assert(rendered.contains("\"config\": \"dbfs:/cfg/a.yml\""))
+    // longest-key-first: @noteLong must not be clipped by @note; the
+    // quotes and newline arrive JSON-escaped so the document stays valid
+    assert(rendered.contains("has \\\"quotes\\\"\\u000aand newline"), rendered)
+    assert(!rendered.contains("WRONGLong"))
+  }
+
   test("json helpers: escaping and field extraction") {
     assert(Json.str("a\"b\\c") == "\"a\\\"b\\\\c\"")
     assert(Json.long("""{"run_id": 42, "x": 1}""", "run_id").contains(42L))

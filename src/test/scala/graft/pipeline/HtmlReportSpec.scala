@@ -108,6 +108,37 @@ class HtmlReportSpec extends SparkSpec {
       "atomic rename must leave no temp files")
   }
 
+  test("notification.html.dir parses and a config run drops the report file") {
+    val base = tmpDir("html_cfg_")
+    val conf =
+      s"""pipeline.name = nightly
+         |notification.html.dir = $base/reports
+         |table.t.path = $base/ms/t
+         |job.1.output = t
+         |job.1.transformer = identity
+         |job.1.option.rows = 2
+         |""".stripMargin
+    val parsed = PipelineConfig.parse(conf)
+    assert(parsed.htmlReportDir.contains(s"$base/reports"))
+    // the CLI wires parsed.htmlReportDir into an HtmlReportingNotifier;
+    // replicate that wiring end-to-end
+    import spark.implicits._
+    val seeded = parsed.copy(jobs = parsed.jobs.map(_.copy(
+      transformer = new Transformer {
+        def run(r: graft.meta.MetastoreReader, dd: java.time.LocalDate,
+                o: Map[String, String]) = Seq((1L, "x")).toDF("id", "v")
+      })))
+    val notifier = new HtmlReportingNotifier(
+      new FileHtmlTransport(parsed.htmlReportDir.get), builder = new NotificationBuilder)
+    val results = PipelineConfig.runParams(spark, seeded, RunParams.Normal(runDate),
+      notifiers = Seq(notifier))
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), results.toString)
+    val files = new java.io.File(s"$base/reports").listFiles()
+    assert(files.length == 1 && files.head.getName.endsWith(".html"), files.toSeq.toString)
+    val html = java.nio.file.Files.readString(files.head.toPath)
+    assert(html.contains("nightly") && html.contains("Pipeline succeeded"))
+  }
+
   test("escape covers the four HTML metacharacters") {
     assert(HtmlReport.escape("""a<b>&"c"""") == "a&lt;b&gt;&amp;&quot;c&quot;")
   }
