@@ -35,7 +35,14 @@ object Bench {
     // median discards one bad run entirely. Side-effecting queries
     // (metastore writes, index builds) are overwrite-idempotent by
     // construction, so repeats measure the same work.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive integer, got '$s'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

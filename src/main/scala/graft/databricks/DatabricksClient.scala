@@ -85,12 +85,14 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
     result
   }
 
-  /** Poll until the run leaves the pending life-cycle states
-    * (reference semantics: TERMINATED and INTERNAL_ERROR are
-    * terminal; everything else keeps polling). */
+  /** Terminal life-cycle states per the Jobs API: TERMINATED (ran to
+    * an end state), SKIPPED (never ran — e.g. concurrency limit) and
+    * INTERNAL_ERROR. Anything else keeps polling. */
+  private val TerminalStates = Set("TERMINATED", "SKIPPED", "INTERNAL_ERROR")
+
   private[databricks] def waitForFinish(runId: Long): RunResult = {
     var status = runStatus(runId)
-    while (status.lifeCycleState != "TERMINATED" && status.lifeCycleState != "INTERNAL_ERROR") {
+    while (!TerminalStates.contains(status.lifeCycleState)) {
       sleeper(pollIntervalMs)
       status = runStatus(runId)
     }
@@ -98,7 +100,13 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
   }
 
   private[databricks] def runStatus(runId: Long): RunResult = {
-    val (_, body) = http.get(runStatusUrl(runId), auth)
+    val (code, body) = http.get(runStatusUrl(runId), auth)
+    // a failed status call must throw, not poll forever: an error body
+    // carries no life_cycle_state, which would read as a permanent
+    // non-terminal "UNKNOWN" (expired token, deleted run, bad host)
+    if (code < 200 || code >= 300)
+      throw new RuntimeException(s"Databricks run-status call failed for run $runId " +
+        s"(HTTP $code): $body")
     RunResult(runId,
       Json.field(body, "life_cycle_state").getOrElse("UNKNOWN"),
       Json.field(body, "result_state").getOrElse(""),

@@ -18,9 +18,21 @@ import org.apache.hadoop.fs.Path
  * (the mutual-exclusion violation a bare delete would allow). Locks
  * older than `staleMs` are treated as crashed owners and broken.
  */
+/** Run-lock contract the orchestrator acquires around each (table,
+  * infoDate) task (reference: pramen/core .../core/lock/TokenLock.scala
+  * — the base trait behind its HadoopPath and JDBC variants). graft
+  * ships the shared-FS [[TokenLock]] and the database-arbitrated
+  * [[graft.rdb.TokenLockJdbc]]. */
+trait RunLock {
+  /** True if this call acquired the lock. */
+  def tryAcquire(): Boolean
+  /** Release only if this instance still owns the lock. */
+  def release(): Unit
+}
+
 final class TokenLock(lockDir: String, token: String,
                       staleMs: Long = 4L * 3600 * 1000,
-                      hadoopConf: Configuration = new Configuration()) {
+                      hadoopConf: Configuration = new Configuration()) extends RunLock {
   private val path = new Path(s"$lockDir/$token.lock")
   private val ownerId = java.util.UUID.randomUUID().toString
   private def fs = path.getFileSystem(hadoopConf)

@@ -224,7 +224,14 @@ final class Orchestrator(
     lockDir: Option[String] = None,
     offsetManager: Option[graft.offset.OffsetManager] = None,
     pipelineName: String = "pipeline",
-    environment: String = "local") {
+    environment: String = "local",
+    lockFactory: Option[(String, LocalDate) => RunLock] = None) {
+
+  /** Per-task lock source: an explicit factory (e.g. database locks
+    * via `graft.rdb.TokenLockJdbc`) wins over the FS `lock.dir`. */
+  private val lockProvider: Option[(String, LocalDate) => RunLock] =
+    lockFactory.orElse(lockDir.map(d =>
+      (table: String, infoDate: LocalDate) => TokenLock.forPartition(d, table, infoDate)))
 
   /** Completion context for notification targets: status rolls up the
     * task results ("failed" > "warning" > "not_ready" > "succeeded").
@@ -516,7 +523,7 @@ final class Orchestrator(
         }
         // cross-pipeline exclusion: two drivers writing the same
         // (table, infoDate) through shared storage exclude each other
-        val lock = lockDir.map(d => TokenLock.forPartition(d, job.outputTable, infoDate))
+        val lock = lockProvider.map(f => f(job.outputTable, infoDate))
         lock.foreach { lk =>
           if (!lk.tryAcquire())
             return TaskResult.Skipped(job.name,

@@ -94,13 +94,16 @@ object PipelineConfig {
             throw new IllegalArgumentException(s"$key: class not found: '$fqcn'", e) }
       }
     // a plain class instantiates via its no-arg constructor; a Scala
-    // `object` (whose mirror class has no public constructor) resolves
-    // through the module class's MODULE$ singleton
+    // `object` resolves through the module class's MODULE$ singleton.
+    // The ctor attempt can fail two ways for an object: the mirror
+    // class has NO no-arg ctor (NoSuchMethod) and the module class
+    // named with '$' has a PRIVATE one (IllegalAccess) — both fall
+    // through to MODULE$.
     val inst =
       try {
         try cls.getDeclaredConstructor().newInstance()
         catch {
-          case _: NoSuchMethodException =>
+          case _: NoSuchMethodException | _: IllegalAccessException =>
             val modCls = if (cls.getName.endsWith("$")) cls else Class.forName(cls.getName + "$")
             modCls.getField("MODULE$").get(null)
         }

@@ -63,8 +63,8 @@ final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
  *    FS lock uses atomic file create.
  *  - `schema_version`: single row, stepped by migrations.
  */
-final class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
-                    tablePrefix: String = "") {
+class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
+              tablePrefix: String = "") {
   import GraftDb.CurrentVersion
 
   private def q(ident: String): String = dialect.quote(tablePrefix + ident)
@@ -77,19 +77,25 @@ final class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
 
   /** Create missing tables and apply version-stepped migrations.
     * Idempotent: `IF NOT EXISTS` guards creation, the persisted
-    * version gates each migration step exactly once. */
+    * version gates each migration step exactly once. A database at
+    * stored version v replays `migrations(v-1 ...)`: `migrations(i)`
+    * upgrades version i+1 → i+2, so v=1 replays from index 0. */
   def initialize(): Unit = {
     ddl().foreach(executor.executeUpdate)
     val v = schemaVersion()
     if (v < 0)
       executor.executeUpdate(
-        s"INSERT INTO ${q("schema_version")} (version) VALUES ($CurrentVersion)")
-    else if (v < CurrentVersion) {
-      migrations.drop(v).foreach { step => step.foreach(executor.executeUpdate) }
+        s"INSERT INTO ${q("schema_version")} (version) VALUES ($currentVersion)")
+    else if (v < currentVersion) {
+      migrations.slice(v - 1, currentVersion - 1)
+        .foreach { step => step.foreach(executor.executeUpdate) }
       executor.executeUpdate(
-        s"UPDATE ${q("schema_version")} SET version = $CurrentVersion")
+        s"UPDATE ${q("schema_version")} SET version = $currentVersion")
     }
   }
+
+  /** Overridable for migration tests; production = [[GraftDb.CurrentVersion]]. */
+  protected def currentVersion: Int = CurrentVersion
 
   /** The full DDL for a fresh database, in creation order. */
   def ddl(): Seq[String] = Seq(
@@ -119,11 +125,11 @@ final class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
        |  ${dialect.quote("version")} INT NOT NULL
        |)""".stripMargin)
 
-  /** Migration steps, one Seq[SQL] per version bump (index i migrates
-    * version i+1 → i+2... i.e. migrations(v) applies when the stored
-    * version is > v steps behind). Currently none — the scaffold is
-    * the contract, mirroring PramenDb's stepped addColumn calls. */
-  private[rdb] def migrations: Seq[Seq[String]] = Seq.empty
+  /** Migration steps: `migrations(i)` upgrades schema version i+1 to
+    * i+2 (append one entry per [[GraftDb.CurrentVersion]] bump).
+    * Currently none — the scaffold is the contract, mirroring
+    * PramenDb's stepped addColumn calls. */
+  protected def migrations: Seq[Seq[String]] = Seq.empty
 
   /** Stored schema version; -1 when uninitialized. */
   def schemaVersion(): Int =

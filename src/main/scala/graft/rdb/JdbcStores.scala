@@ -25,14 +25,22 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
   private def d(ident: String) = db.dialect.quote(ident)
 
   override def record(r: RunRecord): Unit = {
-    db.executor.executeUpdate(
-      s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(r.table)} " +
-        s"AND ${d("info_date")} = ${db.lit(r.infoDate.toString)}")
-    db.executor.executeUpdate(
-      s"INSERT INTO $t (${d("table_name")}, ${d("info_date")}, ${d("record_count")}, " +
-        s"${d("status")}, ${d("started_at_ms")}, ${d("finished_at_ms")}) VALUES " +
-        s"(${db.lit(r.table)}, ${db.lit(r.infoDate.toString)}, ${r.recordCount}, " +
-        s"${db.lit(r.status)}, ${r.startedAtMs}, ${r.finishedAtMs})")
+    def deleteInsert(): Unit = {
+      db.executor.executeUpdate(
+        s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(r.table)} " +
+          s"AND ${d("info_date")} = ${db.lit(r.infoDate.toString)}")
+      db.executor.executeUpdate(
+        s"INSERT INTO $t (${d("table_name")}, ${d("info_date")}, ${d("record_count")}, " +
+          s"${d("status")}, ${d("started_at_ms")}, ${d("finished_at_ms")}) VALUES " +
+          s"(${db.lit(r.table)}, ${db.lit(r.infoDate.toString)}, ${r.recordCount}, " +
+          s"${db.lit(r.status)}, ${r.startedAtMs}, ${r.finishedAtMs})")
+    }
+    // two drivers recording the same slot can interleave (DELETE,
+    // DELETE, INSERT, INSERT) — the loser's INSERT hits the primary
+    // key. One retry re-runs the DELETE+INSERT and wins (last write),
+    // instead of failing a task whose data write already succeeded.
+    try deleteInsert()
+    catch { case _: Exception => deleteInsert() }
   }
 
   override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
@@ -54,12 +62,15 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
 
   override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
     // ISO yyyy-MM-dd strings order lexicographically = chronologically,
-    // so MAX/ORDER BY on the varchar column is correct in every dialect
-    db.executor.query(
+    // so MAX/ORDER BY on the varchar column is correct in every
+    // dialect. LIMIT 1 through the dialect: without it every
+    // dependency evaluation would ship the table's whole success
+    // history over JDBC to keep one row.
+    db.executor.query(db.dialect.limitClause(
       s"SELECT * FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
         s"AND ${d("status")} = 'succeeded' " +
         s"AND ${d("info_date")} <= ${db.lit(until.toString)} " +
-        s"ORDER BY ${d("info_date")} DESC")
+        s"ORDER BY ${d("info_date")} DESC", 1))
       .headOption.map(fromRow)
 
   override def all: Seq[RunRecord] = db.executor.query(s"SELECT * FROM $t").map(fromRow)
@@ -111,7 +122,8 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
  */
 final class TokenLockJdbc(db: GraftDb, token: String,
                           staleMs: Long = 4L * 3600 * 1000,
-                          nowMs: () => Long = () => System.currentTimeMillis()) {
+                          nowMs: () => Long = () => System.currentTimeMillis())
+  extends graft.pipeline.RunLock {
   private val t = db.table("locks")
   private def d(ident: String) = db.dialect.quote(ident)
   private val ownerId = java.util.UUID.randomUUID().toString
@@ -123,7 +135,21 @@ final class TokenLockJdbc(db: GraftDb, token: String,
           s"INSERT INTO $t (${d("token")}, ${d("owner")}, ${d("acquired_at_ms")}) " +
             s"VALUES (${db.lit(token)}, ${db.lit(ownerId)}, ${nowMs()})")
         true
-      } catch { case _: Exception => false } // duplicate key: somebody holds it
+      } catch {
+        case e: Exception =>
+          // duplicate key vs database outage: SQLState classes differ
+          // per driver, so probe — a visible row means someone holds
+          // the lock (return false below); no row AND the probe itself
+          // working means the insert failure was NOT a duplicate.
+          // Rethrow then: reporting an unreachable database as "lock
+          // held" would silently skip every task in the fleet.
+          val held =
+            try db.executor.query(
+              s"SELECT ${d("owner")} FROM $t WHERE ${d("token")} = ${db.lit(token)}").nonEmpty
+            catch { case _: Exception => throw e }
+          if (!held) throw e
+          false
+      }
 
     if (insert()) true
     else {

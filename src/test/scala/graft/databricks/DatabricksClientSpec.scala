@@ -82,6 +82,28 @@ class DatabricksClientSpec extends AnyFunSuite {
       .getMessage.contains("INTERNAL_ERROR"))
   }
 
+  test("poll treats SKIPPED as terminal and fails instead of spinning") {
+    val t = new FakeTransport
+    t.postResponses = List((200, """{"run_id": 9}"""))
+    t.getResponses = List(
+      (200, """{"state":{"life_cycle_state":"SKIPPED"}}"""))
+    val e = intercept[RuntimeException](client(t).runTransientJob("{}"))
+    assert(e.getMessage.contains("SKIPPED"), e.getMessage)
+    assert(t.gets.size == 1, "SKIPPED is terminal — no further polling")
+  }
+
+  test("a failed run-status call throws instead of polling forever") {
+    val t = new FakeTransport
+    t.postResponses = List((200, """{"run_id": 10}"""))
+    // an expired token returns 403 with an error body carrying no
+    // life_cycle_state — before the fix this read as a permanent
+    // non-terminal UNKNOWN and the client looped forever
+    t.getResponses = List((403, """{"error_code":"PERMISSION_DENIED"}"""))
+    val e = intercept[RuntimeException](client(t).runTransientJob("{}"))
+    assert(e.getMessage.contains("403") && e.getMessage.contains("PERMISSION_DENIED"),
+      e.getMessage)
+  }
+
   test("job template substitutes variables JSON-escaped, longest key first") {
     val template =
       """{"run_name": "graft @transformerClass @infoDate",

@@ -84,6 +84,20 @@ class ExternalChannelSpec extends SparkSpec {
     assert(sent.head._4 == "run1", "factory options (sink.collect.label) must reach the sink")
   }
 
+  test("object factories resolve with a trailing $ in the FQCN too") {
+    // the module class's ctor is PRIVATE (IllegalAccessException, not
+    // NoSuchMethod) — the MODULE$ fallback must still fire
+    val parsed = PipelineConfig.parse(
+      s"""table.t.path = /tmp/t
+         |source.s.type = graft.pipeline.FixtureSourceFactory$$
+         |source.s.rows = 2
+         |job.1.type = ingestion
+         |job.1.source = s
+         |job.1.output = t
+         |""".stripMargin)
+    assert(parsed.jobs.size == 1)
+  }
+
   test("factory errors point at the config key") {
     val e1 = intercept[IllegalArgumentException](PipelineConfig.parse(
       "source.s1.type = no.such.ClassAtAll\njob.1.type = ingestion\njob.1.source = s1\njob.1.output = t\ntable.t.path = /tmp/t"))

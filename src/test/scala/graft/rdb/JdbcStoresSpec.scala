@@ -63,11 +63,12 @@ final class FakeDb extends SqlExecutor {
   override def query(sql: String): Seq[Map[String, String]] = {
     statements += sql
     val s = ws(sql)
-    val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (\\S+) DESC)?$".r
+    val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (\\S+) DESC)?(?: LIMIT (\\d+))?$".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"unparsed SELECT: $s"))
     val name = unq(m.group(2))
     var rows = tables.getOrElse(name, Vector.empty).filter(predicate(Option(m.group(3))))
     Option(m.group(4)).foreach(c => rows = rows.sortBy(_(unq(c))).reverse)
+    Option(m.group(5)).foreach(n => rows = rows.take(n.toInt))
     val proj = m.group(1).trim
     if (proj == "*") rows
     else if (proj.startsWith("MAX(")) {
@@ -221,6 +222,97 @@ class JdbcStoresSpec extends AnyFunSuite {
       .run(Seq(graft.pipeline.JobDef("j", "t1", tf)), d)
     assert(r2.head.isInstanceOf[graft.pipeline.TaskResult.Skipped], r2.head.toString)
     assert(runs == 1, s"second driver must skip the done slot, ran $runs times")
+  }
+
+  test("orchestrator lockFactory: a held database lock skips the task") {
+    import graft.SparkSpec
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val (db, _) = freshDb()
+    val ms = new graft.meta.Metastore(spark)
+    val base = java.nio.file.Files.createTempDirectory("jdbc_lock_").toString
+    ms.register(graft.meta.MetaTable("lt", s"$base/lt"))
+    val tf = new graft.pipeline.Transformer {
+      def run(r: graft.meta.MetastoreReader, dd: LocalDate,
+              o: Map[String, String]): org.apache.spark.sql.DataFrame =
+        Seq((1L, "x")).toDF("id", "v")
+    }
+    // another driver holds (lt, d) through the shared database
+    val foreign = new TokenLockJdbc(db, s"lt_$d")
+    assert(foreign.tryAcquire())
+    val orch = new graft.pipeline.Orchestrator(ms,
+      lockFactory = Some((t, dd) => new TokenLockJdbc(db, s"${t}_$dd")))
+    orch.run(Seq(graft.pipeline.JobDef("lj", "lt", tf)), d).head match {
+      case graft.pipeline.TaskResult.Skipped(_, why) => assert(why.contains("locked"), why)
+      case other => fail(s"held db lock must skip the task, got $other")
+    }
+    // released -> the task runs and its own lock is released after
+    foreign.release()
+    assert(orch.run(Seq(graft.pipeline.JobDef("lj", "lt", tf)), d)
+      .head.isInstanceOf[graft.pipeline.TaskResult.Succeeded])
+    assert(new TokenLockJdbc(db, s"lt_$d").tryAcquire(),
+      "task completion must release its lock")
+  }
+
+  test("migrations replay from the stored version exactly once") {
+    // a v1 database upgrading to a v2 schema must run migrations(0)
+    val fake = new FakeDb
+    class V2Db(ex: SqlExecutor) extends GraftDb(SqlDialect.Generic, ex) {
+      override protected def currentVersion: Int = 2
+      override protected def migrations: Seq[Seq[String]] =
+        Seq(Seq("UPDATE \"bookkeeping\" SET status = 'migrated_v2'"))
+    }
+    new GraftDb(SqlDialect.Generic, fake).initialize() // stamps v1
+    assert(new GraftDb(SqlDialect.Generic, fake).schemaVersion() == 1)
+    val v2 = new V2Db(fake)
+    v2.initialize()
+    assert(fake.statements.count(_.contains("migrated_v2")) == 1,
+      "the v1->v2 migration step must run (off-by-one would skip it)")
+    assert(v2.schemaVersion() == 2)
+    v2.initialize() // idempotent: already at v2, no replay
+    assert(fake.statements.count(_.contains("migrated_v2")) == 1)
+  }
+
+  test("bookkeeper record survives a lost delete+insert race (retry wins)") {
+    val (db, _) = freshDb()
+    val bk = new BookkeeperJdbc(db)
+    // simulate the interleaving: another driver's row lands between
+    // our DELETE and INSERT -> first INSERT hits the primary key
+    bk.record(RunRecord("sales", d, 1L, "succeeded", 1L, 2L))
+    val racing = new SqlExecutor {
+      var armed = true
+      override def executeUpdate(sql: String): Int =
+        if (armed && sql.startsWith("INSERT INTO \"bookkeeping\"")) {
+          armed = false
+          // the other driver re-inserted first: duplicate key
+          db.executor.executeUpdate(sql)
+          throw new RuntimeException("duplicate key on bookkeeping")
+        } else db.executor.executeUpdate(sql)
+      override def query(sql: String): Seq[Map[String, String]] = db.executor.query(sql)
+    }
+    new BookkeeperJdbc(new GraftDb(db.dialect, racing))
+      .record(RunRecord("sales", d, 99L, "succeeded", 3L, 4L))
+    assert(new BookkeeperJdbc(db).get("sales", d).map(_.recordCount).contains(99L),
+      "retry must land the newer record instead of failing the task")
+  }
+
+  test("lock acquire distinguishes a held lock from a database outage") {
+    val (db, _) = freshDb()
+    // outage: INSERT and the probe both fail -> must THROW, because a
+    // false would report the task "locked by another pipeline" and
+    // silently skip the whole fleet
+    val dead = new SqlExecutor {
+      override def executeUpdate(sql: String): Int = throw new RuntimeException("connection refused")
+      override def query(sql: String): Seq[Map[String, String]] =
+        throw new RuntimeException("connection refused")
+    }
+    val e = intercept[RuntimeException] {
+      new TokenLockJdbc(new GraftDb(SqlDialect.Generic, dead), "t").tryAcquire()
+    }
+    assert(e.getMessage.contains("connection refused"))
+    // held: INSERT fails but the row is visible -> false, no throw
+    assert(new TokenLockJdbc(db, "held").tryAcquire())
+    assert(!new TokenLockJdbc(db, "held").tryAcquire())
   }
 
   test("DDL text: primary keys arbitrate locks and bookkeeping upserts") {
