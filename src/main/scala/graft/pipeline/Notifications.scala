@@ -96,6 +96,30 @@ object RunReport {
   }
 }
 
+/** Recipient-list validation result (reference: pramen/core
+  * .../core/notify/pipeline/ValidatedEmails.scala). */
+final case class ValidatedEmails(valid: Seq[String],
+                                 invalidFormat: Seq[String],
+                                 invalidDomain: Seq[String])
+
+/** Recipient-list validation for notification config (reference:
+  * pramen/core .../core/notify/pipeline/PipelineNotificationEmail.scala
+  * — same contract: `,`/`;`-separated list, one-`@` well-formedness,
+  * optional allow-listed domains with or without a leading `@`).
+  * Invalid entries are REPORTED, not dropped silently — a typo'd
+  * on-call address that vanishes without trace is how outage mail
+  * goes nowhere for months. */
+object EmailValidation {
+  def validate(emails: String, allowedDomains: Seq[String] = Nil): ValidatedEmails = {
+    val domains = allowedDomains.map(_.trim.toLowerCase.stripPrefix("@"))
+    val (wellFormed, badFormat) = emails.split("[,;]").map(_.trim).filter(_.nonEmpty)
+      .toSeq.partition(_.matches("^[^@\\s]+@[^@\\s]+$"))
+    val (allowed, badDomain) = wellFormed.partition(e =>
+      domains.isEmpty || domains.contains(e.split("@").last.toLowerCase))
+    ValidatedEmails(allowed, badFormat, badDomain)
+  }
+}
+
 /** Transport for rendered reports (console default; swap for SMTP/webhook). */
 trait ReportTransport { def send(report: RunReport.Report): Unit }
 

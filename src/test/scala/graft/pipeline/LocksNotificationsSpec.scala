@@ -12,6 +12,18 @@ class LocksNotificationsSpec extends SparkSpec {
 
   private val d = LocalDate.parse("2024-06-15")
 
+  test("email validation splits, well-forms, and domain-filters recipient lists") {
+    val v = EmailValidation.validate(
+      "ops@acme.com, bad-address; second@acme.com ,third@other.io,,x@@y.com",
+      allowedDomains = Seq("@Acme.com"))
+    assert(v.valid == Seq("ops@acme.com", "second@acme.com"))
+    assert(v.invalidFormat == Seq("bad-address", "x@@y.com"))
+    assert(v.invalidDomain == Seq("third@other.io"))
+    // no allow-list: any well-formed address passes
+    val open = EmailValidation.validate("a@b.c; d@e.f")
+    assert(open.valid == Seq("a@b.c", "d@e.f") && open.invalidDomain.isEmpty)
+  }
+
   test("token lock: exclusive acquire, release, stale breaking") {
     val dir = tmpDir("lock_")
     val a = new TokenLock(dir, "t1")
