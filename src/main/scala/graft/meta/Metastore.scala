@@ -702,7 +702,7 @@ object MetastoreReader {
   /** Per-job incremental state: offsets keyed `consumer:table`; max
     * offsets are computed and committed only after job success. */
   final class IncrementalContext(val consumer: String,
-                                 val offsets: graft.offset.OffsetManager) {
+                                 val offsets: graft.offset.OffsetStore) {
     private val pending = scala.collection.concurrent.TrieMap
       .empty[String, () => Option[graft.offset.OffsetValue]]
     private[meta] def notePending(key: String,

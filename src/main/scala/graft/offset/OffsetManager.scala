@@ -51,6 +51,53 @@ object OffsetValue {
 final case class OffsetInfo(column: String, offsetType: String)
 
 /**
+ * Committed-offset storage contract plus the (storage-independent)
+ * incremental-predicate builders (reference: pramen/core
+ * .../core/bookkeeper/OffsetManager.scala — the base trait behind its
+ * JDBC variant). graft ships the shared-FS [[OffsetManager]] and the
+ * database-backed [[graft.rdb.OffsetStoreJdbc]]; ingestion jobs and
+ * the orchestrator's incremental context run against this trait.
+ */
+trait OffsetStore {
+  def getLatestOffset(table: String): Option[OffsetValue]
+  /** Commit a new max offset after a successful incremental batch.
+    * Implementations are monotonic: a commit at/below the stored
+    * offset is ignored. */
+  def commit(table: String, offset: OffsetValue): Unit
+
+  /** Bound `df` at/below a pinned max offset — used to freeze an
+    * incremental batch's upper edge so rows appended to the source
+    * mid-job fall outside both the save and the committed offset. */
+  final def boundedAbove(df: DataFrame, info: OffsetInfo, upper: OffsetValue): DataFrame =
+    df.where(col(info.column) <= offsetLit(upper))
+
+  /** Filter `df` to rows strictly after the committed offset (pushdown-friendly). */
+  final def incrementalFilter(df: DataFrame, info: OffsetInfo, table: String): DataFrame =
+    getLatestOffset(table) match {
+      case Some(from) => df.where(col(info.column) > offsetLit(from))
+      case None => df
+    }
+
+  /** Compute the max offset present in a batch (one tiny agg job). */
+  final def maxOffset(df: DataFrame, info: OffsetInfo): Option[OffsetValue] = {
+    val row = df.agg(max(col(info.column))).head()
+    if (row.isNullAt(0)) None
+    else Some(info.offsetType match {
+      case "integral" => OffsetValue.IntegralValue(row.getAs[Number](0).longValue())
+      case "datetime" => OffsetValue.DateTimeValue(row.getAs[java.sql.Timestamp](0).getTime)
+      case "string"   => OffsetValue.StringValue(row.getAs[String](0))
+      case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
+    })
+  }
+
+  private def offsetLit(v: OffsetValue): Column = v match {
+    case OffsetValue.IntegralValue(n) => lit(n)
+    case OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
+    case OffsetValue.StringValue(s) => lit(s)
+  }
+}
+
+/**
  * Tracks committed offsets per table and builds incremental-read
  * predicates (reference: pramen/core
  * .../core/bookkeeper/OffsetManagerJdbc.scala).
@@ -67,7 +114,7 @@ final case class OffsetInfo(column: String, offsetType: String)
  * new tail is read; no full-table diff, no driver-side state beyond
  * one (table → offset) entry.
  */
-final class OffsetManager(storePath: Option[String] = None) {
+final class OffsetManager(storePath: Option[String] = None) extends OffsetStore {
   private val committed = TrieMap.empty[String, OffsetValue]
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -125,34 +172,4 @@ final class OffsetManager(storePath: Option[String] = None) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Bound `df` at/below a pinned max offset — used to freeze an
-    * incremental batch's upper edge so rows appended to the source
-    * mid-job fall outside both the save and the committed offset. */
-  def boundedAbove(df: DataFrame, info: OffsetInfo, upper: OffsetValue): DataFrame =
-    df.where(col(info.column) <= offsetLit(upper))
-
-  /** Filter `df` to rows strictly after the committed offset (pushdown-friendly). */
-  def incrementalFilter(df: DataFrame, info: OffsetInfo, table: String): DataFrame =
-    getLatestOffset(table) match {
-      case Some(from) => df.where(col(info.column) > offsetLit(from))
-      case None => df
-    }
-
-  /** Compute the max offset present in a batch (one tiny agg job). */
-  def maxOffset(df: DataFrame, info: OffsetInfo): Option[OffsetValue] = {
-    val row = df.agg(max(col(info.column))).head()
-    if (row.isNullAt(0)) None
-    else Some(info.offsetType match {
-      case "integral" => OffsetValue.IntegralValue(row.getAs[Number](0).longValue())
-      case "datetime" => OffsetValue.DateTimeValue(row.getAs[java.sql.Timestamp](0).getTime)
-      case "string"   => OffsetValue.StringValue(row.getAs[String](0))
-      case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
-    })
-  }
-
-  private def offsetLit(v: OffsetValue): Column = v match {
-    case OffsetValue.IntegralValue(n) => lit(n)
-    case OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
-    case OffsetValue.StringValue(s) => lit(s)
-  }
 }

@@ -222,7 +222,7 @@ final class Orchestrator(
     rerunSucceeded: Boolean = false,
     notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
     lockDir: Option[String] = None,
-    offsetManager: Option[graft.offset.OffsetManager] = None,
+    offsetManager: Option[graft.offset.OffsetStore] = None,
     pipelineName: String = "pipeline",
     environment: String = "local",
     lockFactory: Option[(String, LocalDate) => RunLock] = None) {

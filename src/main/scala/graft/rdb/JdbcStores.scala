@@ -87,7 +87,8 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
  * monotonic-commit contract: a commit below the stored offset is
  * ignored (concurrent drivers race benignly).
  */
-final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.currentTimeMillis()) {
+final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.currentTimeMillis())
+  extends graft.offset.OffsetStore {
   private val t = db.table("offsets")
   private def d(ident: String) = db.dialect.quote(ident)
 

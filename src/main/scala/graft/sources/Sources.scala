@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.offset.{OffsetInfo, OffsetManager, OffsetValue}
+import graft.offset.{OffsetInfo, OffsetManager, OffsetStore, OffsetValue}
 import graft.sql.{SqlConfig, SqlDialect, SqlGenerator}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -349,7 +349,7 @@ final class LocalSparkSource(
 final class IngestionJob(
     source: GraftSource,
     metastore: graft.meta.Metastore,
-    offsets: OffsetManager = new OffsetManager()) {
+    offsets: OffsetStore = new OffsetManager()) {
 
   /** Batch ingest of one info-date window. */
   def ingest(outputTable: String, infoDate: LocalDate): graft.meta.TableStats = {

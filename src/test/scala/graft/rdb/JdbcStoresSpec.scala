@@ -315,6 +315,47 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(!new TokenLockJdbc(db, "held").tryAcquire())
   }
 
+  test("incremental transformer runs against the JDBC offset store (delta-only reads)") {
+    import graft.SparkSpec
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (db, _) = freshDb()
+    val ms = new graft.meta.Metastore(spark)
+    val base = java.nio.file.Files.createTempDirectory("jdbc_off_").toString
+    ms.register(graft.meta.MetaTable("ev_in", s"$base/in",
+      scheme = graft.meta.PartitionScheme.NotPartitioned))
+    ms.register(graft.meta.MetaTable("ev_out", s"$base/out",
+      scheme = graft.meta.PartitionScheme.NotPartitioned))
+    val offInfo = graft.offset.OffsetInfo("event_id", "integral")
+    val tf = new graft.pipeline.Transformer {
+      def run(r: graft.meta.MetastoreReader, dd: LocalDate,
+              o: Map[String, String]): org.apache.spark.sql.DataFrame =
+        r.getCurrentBatch("ev_in", Some(offInfo))
+          .agg(count(lit(1)).as("n"), coalesce(sum("event_id"), lit(0L)).as("id_sum"))
+    }
+    // offsets live in the shared DATABASE: a second orchestrator (new
+    // OffsetStoreJdbc over the same db) sees the first run's offset
+    def runOnce(day: String) = new graft.pipeline.Orchestrator(ms,
+        offsetManager = Some(new OffsetStoreJdbc(db)), rerunSucceeded = true)
+      .run(Seq(graft.pipeline.JobDef("delta", "ev_out", tf, Seq("ev_in"))),
+        LocalDate.parse(day))
+
+    ms.saveTable("ev_in", LocalDate.parse("2024-06-01"),
+      (1L to 10L).map(i => (i, s"e$i")).toDF("event_id", "v"))
+    assert(runOnce("2024-06-01").head.isInstanceOf[graft.pipeline.TaskResult.Succeeded])
+    ms.saveTable("ev_in", LocalDate.parse("2024-06-02"),
+      (11L to 15L).map(i => (i, s"e$i")).toDF("event_id", "v"))
+    assert(runOnce("2024-06-02").head.isInstanceOf[graft.pipeline.TaskResult.Succeeded])
+    val rows = ms.getTable("ev_out").select("n", "id_sum")
+      .as[(Long, Long)].collect().toSet
+    assert(rows.contains((5L, 65L)),
+      s"second run must see only the 5 new rows via the db-stored offset: $rows")
+    assert(new OffsetStoreJdbc(db).getLatestOffset("delta_sums:ev_in")
+      .orElse(new OffsetStoreJdbc(db).getLatestOffset("ev_out:ev_in")).nonEmpty,
+      "committed offset must be visible in the shared database")
+  }
+
   test("DDL text: primary keys arbitrate locks and bookkeeping upserts") {
     val db = new GraftDb(SqlDialect.Generic, new FakeDb)
     val ddl = db.ddl()
