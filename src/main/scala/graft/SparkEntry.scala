@@ -465,6 +465,17 @@ object SparkEntry {
         round(TextFunctions.meanWordLen(col("text")), 4).as("mean_word_len"))
     }),
 
+    "q_normalize" -> ((s, dir) => {
+      // unicode NFC + whitespace canonicalization — the text
+      // canonicalization ahead of dedup/fingerprinting (mixed composed/
+      // decomposed encodings of the same glyphs hash differently);
+      // native codegen'd normalize_text vs DuckDB's nfc_normalize
+      graft.expr.GraftFunctions.ensure(s)
+      docs(s, dir).select(col("doc_id"),
+        graft.expr.GraftFunctions.normalizeText(col("text"), "NFC").as("text_nfc"),
+        regexp_replace(trim(col("text")), "[ \\t\\r\\n]+", " ").as("text_ws"))
+    }),
+
     "q_ngram_freq" -> ((s, dir) => {
       // corpus bigram frequency, top 100 — one scan, explode-only row
       // multiplication, single groupBy shuffle, TakeOrdered top-k.
@@ -935,6 +946,11 @@ object SparkEntry {
         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b
         |)
         |SELECT id, min(comp) AS group_id FROM reach GROUP BY id""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  regexp_replace(trim(text), '[ \t\r\n]+', ' ', 'g') AS text_ws
+        |FROM documents""".stripMargin,
 
     "q_ngram_freq" ->
       """WITH toks AS (

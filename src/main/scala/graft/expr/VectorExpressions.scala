@@ -153,6 +153,18 @@ object GraftFunctions {
         require(children.length == 1, s"vector_sum expects 1 argument, got ${children.length}")
         VectorSum(children(0))
       }),
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"normalize_text expects 2 arguments, got ${children.length}")
+        val form = children(1) match {
+          case e if e.foldable && e.dataType == StringType =>
+            e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          case other => throw new IllegalArgumentException(
+            s"normalize_text: form must be a string literal, got $other")
+        }
+        NormalizeText(children(0), form)
+      }),
     ("lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -192,6 +204,8 @@ object GraftFunctions {
   def topKRows(scored: Column, k: Int): Column =
     call_function("top_k_rows", scored, org.apache.spark.sql.functions.lit(k))
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    call_function("normalize_text", text, org.apache.spark.sql.functions.lit(form))
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),
