@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * and token counts — the SAME text hashes differently. Spark ships no
  * normalizer function, and a Scala UDF would pay per-row
  * serialization and break whole-stage codegen. The generated code
- * calls one static helper with an `isNormalized` fast path, so the
- * (overwhelmingly common) already-normalized row allocates nothing.
+ * calls one helper with an `isNormalized` fast path, so the
+ * (overwhelmingly common) already-normalized row pays one decode scan
+ * and skips the re-encode + new UTF8String entirely.
  */
 case class NormalizeText(child: Expression, form: String) extends UnaryExpression {
 
@@ -49,14 +50,18 @@ case class NormalizeText(child: Expression, form: String) extends UnaryExpressio
 }
 
 object NormalizeText {
-  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+  // pre-resolved: Form.valueOf is a string-hash map lookup that would
+  // otherwise run once PER ROW for a value fixed at analysis time
+  private val FormOf: Map[String, java.text.Normalizer.Form] =
+    java.text.Normalizer.Form.values().map(f => f.name -> f).toMap
+  val Forms: Set[String] = FormOf.keySet
 
   def normalizeUtf8(s: UTF8String, form: String): UTF8String = {
-    val f = java.text.Normalizer.Form.valueOf(form)
+    val f = FormOf(form)
     val str = s.toString
     // fast path: corpus text is overwhelmingly already in the target
-    // form — isNormalized is a scan with no allocation, and returning
-    // the input UTF8String unchanged skips the re-encode entirely
+    // form — isNormalized only scans, and returning the input
+    // UTF8String unchanged skips the re-encode
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }

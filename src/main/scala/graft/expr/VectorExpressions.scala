@@ -159,7 +159,10 @@ object GraftFunctions {
         require(children.length == 2, s"normalize_text expects 2 arguments, got ${children.length}")
         val form = children(1) match {
           case e if e.foldable && e.dataType == StringType =>
-            e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+            // eval can be null for a foldable CAST(NULL AS STRING)
+            Option(e.eval()).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                "normalize_text: form must be a non-null string literal"))
           case other => throw new IllegalArgumentException(
             s"normalize_text: form must be a string literal, got $other")
         }

@@ -672,14 +672,7 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
     val upper = ctx.offsets.maxOffset(open, offsetInfo)
     ctx.notePending(key, () => upper)
     upper match {
-      case Some(u) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val bound = u match {
-          case graft.offset.OffsetValue.IntegralValue(n) => lit(n)
-          case graft.offset.OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
-          case graft.offset.OffsetValue.StringValue(s) => lit(s)
-        }
-        open.where(col(offsetInfo.column) <= bound)
+      case Some(u) => ctx.offsets.boundedAbove(open, offsetInfo, u)
       case None => open
     }
   }

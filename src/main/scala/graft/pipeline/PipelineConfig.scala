@@ -21,6 +21,8 @@ import java.time.LocalDate
  *                                         # catch-up and trackDays late-data detection
  * lock.dir = /data/state/locks            # optional (table, infoDate) run locks
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
+ * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
+ * notification.email.allowed.domains = acme.com
  * table.sales.path = /data/ms/sales
  * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
@@ -74,7 +76,8 @@ object PipelineConfig {
                           bookkeepingPath: Option[String] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
-                          htmlReportDir: Option[String] = None)
+                          htmlReportDir: Option[String] = None,
+                          notifyEmails: Seq[String] = Nil)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -400,7 +403,22 @@ object PipelineConfig {
       bookkeepingPath = kv.get("bookkeeping.path"),
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
-      htmlReportDir = kv.get("notification.html.dir"))
+      htmlReportDir = kv.get("notification.html.dir"),
+      // recipients validated AT PARSE: a typo'd on-call address must
+      // fail the config load, not silently drop from outage mail
+      notifyEmails = kv.get("notification.email.to").map { to =>
+        val domains = kv.get("notification.email.allowed.domains")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val v = EmailValidation.validate(to, domains)
+        if (v.invalidFormat.nonEmpty || v.invalidDomain.nonEmpty)
+          throw new IllegalArgumentException("notification.email.to: " +
+            (if (v.invalidFormat.nonEmpty)
+              s"malformed: ${v.invalidFormat.mkString(", ")}" else "") +
+            (if (v.invalidFormat.nonEmpty && v.invalidDomain.nonEmpty) "; " else "") +
+            (if (v.invalidDomain.nonEmpty)
+              s"outside allowed domains: ${v.invalidDomain.mkString(", ")}" else ""))
+        v.valid
+      }.getOrElse(Nil))
   }
 
   /**

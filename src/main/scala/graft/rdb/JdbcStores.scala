@@ -99,17 +99,40 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
       .headOption.map(r => OffsetValue.fromString(r("offset_type"), r("offset_value")))
 
   def commit(table: String, offset: OffsetValue): Unit = {
-    val keep = getLatestOffset(table) match {
-      case Some(cur) if cur.compare(offset) >= 0 => false // monotonic: never move back
-      case _ => true
-    }
-    if (keep) {
-      db.executor.executeUpdate(
-        s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(table)}")
-      db.executor.executeUpdate(
-        s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, ${d("offset_value")}, " +
-          s"${d("committed_at_ms")}) VALUES (${db.lit(table)}, ${db.lit(offset.typeName)}, " +
-          s"${db.lit(offset.asString)}, ${nowMs()})")
+    // optimistic CAS: a plain read-delete-insert would let two racing
+    // drivers move the stored offset BACKWARDS (A reads 10, commits 20;
+    // B read 10 too and commits 15 over it) — the monotonic contract
+    // violation that double-processes rows. The DELETE is predicated on
+    // the exact observed value, so a lost race deletes nothing and the
+    // loser re-reads.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      getLatestOffset(table) match {
+        case Some(cur) if cur.compare(offset) >= 0 => done = true // monotonic: ignore
+        case observed =>
+          val cleared = observed match {
+            case None => true // nothing to replace; PK arbitrates the insert race
+            case Some(cur) =>
+              db.executor.executeUpdate(
+                s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
+                  s"AND ${d("offset_type")} = ${db.lit(cur.typeName)} " +
+                  s"AND ${d("offset_value")} = ${db.lit(cur.asString)}") > 0
+          }
+          if (cleared) {
+            try {
+              db.executor.executeUpdate(
+                s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, ${d("offset_value")}, " +
+                  s"${d("committed_at_ms")}) VALUES (${db.lit(table)}, ${db.lit(offset.typeName)}, " +
+                  s"${db.lit(offset.asString)}, ${nowMs()})")
+              done = true
+            } catch { case _: Exception => () } // lost the empty-slot insert race: re-read
+          }
+          if (!done && attempts >= 8)
+            throw new IllegalStateException(
+              s"offset commit for '$table' lost $attempts CAS races — pathological contention")
+      }
     }
   }
 }

@@ -24,6 +24,22 @@ class LocksNotificationsSpec extends SparkSpec {
     assert(open.valid == Seq("a@b.c", "d@e.f") && open.invalidDomain.isEmpty)
   }
 
+  test("notification.email.to: parse keeps valid recipients, rejects typos loudly") {
+    val good = PipelineConfig.parse(
+      """pipeline.name = p
+        |notification.email.to = ops@acme.com; oncall@acme.com
+        |notification.email.allowed.domains = acme.com
+        |""".stripMargin)
+    assert(good.notifyEmails == Seq("ops@acme.com", "oncall@acme.com"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      """pipeline.name = p
+        |notification.email.to = ops@acme.com, not-an-address, out@other.io
+        |notification.email.allowed.domains = acme.com
+        |""".stripMargin))
+    assert(e.getMessage.contains("not-an-address"), e.getMessage)
+    assert(e.getMessage.contains("out@other.io"), e.getMessage)
+  }
+
   test("token lock: exclusive acquire, release, stale breaking") {
     val dir = tmpDir("lock_")
     val a = new TokenLock(dir, "t1")

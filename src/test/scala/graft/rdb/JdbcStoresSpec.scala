@@ -169,6 +169,31 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(200)))
   }
 
+  test("offset commit CAS: a racing higher commit is never moved backwards") {
+    val (db, _) = freshDb()
+    val os = new OffsetStoreJdbc(db, nowMs = () => 1L)
+    os.commit("ev", OffsetValue.IntegralValue(10))
+    // interpose: by the time OUR CAS delete (predicated on value 10)
+    // runs, another driver has already advanced the offset to 20 —
+    // the plain delete+insert would regress it to 15
+    val racing = new SqlExecutor {
+      var armed = true
+      override def executeUpdate(sql: String): Int = {
+        if (armed && sql.startsWith("DELETE FROM \"offsets\"")) {
+          armed = false
+          new OffsetStoreJdbc(db, nowMs = () => 2L).commit("ev", OffsetValue.IntegralValue(20))
+        }
+        db.executor.executeUpdate(sql)
+      }
+      override def query(sql: String): Seq[Map[String, String]] = db.executor.query(sql)
+    }
+    new OffsetStoreJdbc(new GraftDb(db.dialect, racing), nowMs = () => 3L)
+      .commit("ev", OffsetValue.IntegralValue(15))
+    assert(new OffsetStoreJdbc(db).getLatestOffset("ev")
+      .contains(OffsetValue.IntegralValue(20)),
+      "a lost CAS race must re-read and keep the higher offset")
+  }
+
   test("lock: primary-key INSERT arbitration — second acquirer loses, release frees") {
     val (db, _) = freshDb()
     val a = new TokenLockJdbc(db, "sales_2024-06-15")
@@ -351,9 +376,10 @@ class JdbcStoresSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(rows.contains((5L, 65L)),
       s"second run must see only the 5 new rows via the db-stored offset: $rows")
-    assert(new OffsetStoreJdbc(db).getLatestOffset("delta_sums:ev_in")
-      .orElse(new OffsetStoreJdbc(db).getLatestOffset("ev_out:ev_in")).nonEmpty,
-      "committed offset must be visible in the shared database")
+    // offset key contract: consumer (= job outputTable) ":" input table
+    assert(new OffsetStoreJdbc(db).getLatestOffset("ev_out:ev_in")
+      .contains(graft.offset.OffsetValue.IntegralValue(15)),
+      "committed offset must be visible in the shared database under consumer:input")
   }
 
   test("DDL text: primary keys arbitrate locks and bookkeeping upserts") {
