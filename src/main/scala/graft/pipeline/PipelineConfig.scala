@@ -23,6 +23,7 @@ import java.time.LocalDate
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.allowed.domains = acme.com
+ * notification.targets = com.acme.PagerTarget  # FQCNs of PipelineNotificationTarget
  * table.sales.path = /data/ms/sales
  * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
  * table.sales.partition = day             # day|month|year|yearmonth|none|overwrite
@@ -77,7 +78,8 @@ object PipelineConfig {
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
-                          notifyEmails: Seq[String] = Nil)
+                          notifyEmails: Seq[String] = Nil,
+                          notificationTargets: Seq[PipelineNotificationTarget] = Nil)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -418,7 +420,14 @@ object PipelineConfig {
             (if (v.invalidDomain.nonEmpty)
               s"outside allowed domains: ${v.invalidDomain.mkString(", ")}" else ""))
         v.valid
-      }.getOrElse(Nil))
+      }.getOrElse(Nil),
+      // user notification targets by FQCN (reference:
+      // core/notify/PipelineNotificationTargetFactory.scala:28 —
+      // pipeline.notification.targets), instantiated at parse time
+      // like the other FQCN channels so typos fail the config load
+      notificationTargets = kv.get("notification.targets")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")))
   }
 
   /**
@@ -497,7 +506,7 @@ object PipelineConfig {
       new HtmlReportingNotifier(new FileHtmlTransport(dir))).toSeq
     val results = runParams(spark, parsed, params,
       bookkeeper = bookkeeper,
-      notifiers = new ConsoleNotifier +: htmlNotifier,
+      notifiers = (new ConsoleNotifier +: htmlNotifier) ++ parsed.notificationTargets,
       lockDir = parsed.lockDir,
       dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1))
     spark.stop()

@@ -41,6 +41,26 @@ object FixtureSinkFactory {
   val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, LocalDate, Long, String)]()
 }
 
+/** A config-instantiable notification target (FQCN path). */
+class FixtureTarget extends PipelineNotificationTarget {
+  override def onPipelineCompleted(results: Seq[TaskResult],
+                                   runDate: LocalDate): Unit =
+    FixtureTarget.completed.incrementAndGet()
+}
+object FixtureTarget {
+  val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** A config-instantiable seed transformer (FQCN path). */
+class FixtureSeed extends Transformer {
+  def run(r: graft.meta.MetastoreReader, d: LocalDate,
+          o: Map[String, String]): DataFrame = {
+    val s = graft.SparkSpec.session
+    import s.implicits._
+    Seq((1L, "x")).toDF("id", "v")
+  }
+}
+
 /** FQCN source/sink factories declared in config — the reference's
   * ExternalChannelFactory surface (transformers already took FQCNs;
   * sources/sinks get the symmetric path). */
@@ -96,6 +116,27 @@ class ExternalChannelSpec extends SparkSpec {
          |job.1.output = t
          |""".stripMargin)
     assert(parsed.jobs.size == 1)
+  }
+
+  test("notification.targets: config-declared FQCN targets observe the pipeline run") {
+    val base = tmpDir("notif_tgt_")
+    FixtureTarget.completed.set(0)
+    val parsed = PipelineConfig.parse(
+      s"""pipeline.name = p
+         |notification.targets = graft.pipeline.FixtureTarget
+         |table.t.path = $base/t
+         |job.1.output = t
+         |job.1.transformer = graft.pipeline.FixtureSeed
+         |""".stripMargin)
+    assert(parsed.notificationTargets.size == 1)
+    val results = PipelineConfig.runParams(spark, parsed, RunParams.Normal(d),
+      notifiers = parsed.notificationTargets)
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), results.toString)
+    assert(FixtureTarget.completed.get() == 1, "config-declared target must observe completion")
+    // a typo'd target FQCN fails the parse, pointing at the key
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "notification.targets = no.such.Target\ntable.t.path = /tmp/t"))
+    assert(e.getMessage.contains("notification.targets"), e.getMessage)
   }
 
   test("factory errors point at the config key") {
