@@ -25,6 +25,12 @@ case class NormalizeText(child: Expression, form: String) extends UnaryExpressio
 
   override def dataType: DataType = StringType
 
+  // resolved ONCE at first use (after checkInputDataTypes has vetted
+  // the name) — the per-row path must not pay a string-keyed map
+  // lookup for a value fixed at analysis time
+  @transient private lazy val resolvedForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
@@ -35,13 +41,18 @@ case class NormalizeText(child: Expression, form: String) extends UnaryExpressio
     else TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(input: Any): Any =
-    NormalizeText.normalizeUtf8(input.asInstanceOf[UTF8String], form)
+    NormalizeText.normalizeUtf8(input.asInstanceOf[UTF8String], resolvedForm)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the resolved Form rides the codegen references array, so the
+    // generated per-row call passes the enum constant directly
+    val formRef = ctx.addReferenceObj("normForm", resolvedForm,
+      classOf[java.text.Normalizer.Form].getName)
     // MODULE$ call: companion helpers get no static forwarder, the
     // generated class must go through the module instance
     defineCodeGen(ctx, ev, c =>
-      s"""graft.expr.NormalizeText$$.MODULE$$.normalizeUtf8($c, "$form")""")
+      s"""graft.expr.NormalizeText$$.MODULE$$.normalizeUtf8($c, $formRef)""")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
@@ -50,14 +61,9 @@ case class NormalizeText(child: Expression, form: String) extends UnaryExpressio
 }
 
 object NormalizeText {
-  // pre-resolved: Form.valueOf is a string-hash map lookup that would
-  // otherwise run once PER ROW for a value fixed at analysis time
-  private val FormOf: Map[String, java.text.Normalizer.Form] =
-    java.text.Normalizer.Form.values().map(f => f.name -> f).toMap
-  val Forms: Set[String] = FormOf.keySet
+  val Forms: Set[String] = java.text.Normalizer.Form.values().map(_.name).toSet
 
-  def normalizeUtf8(s: UTF8String, form: String): UTF8String = {
-    val f = FormOf(form)
+  def normalizeUtf8(s: UTF8String, f: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     // fast path: corpus text is overwhelmingly already in the target
     // form — isNormalized only scans, and returning the input

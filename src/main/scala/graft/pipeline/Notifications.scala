@@ -114,8 +114,13 @@ object EmailValidation {
     val domains = allowedDomains.map(_.trim.toLowerCase.stripPrefix("@"))
     val (wellFormed, badFormat) = emails.split("[,;]").map(_.trim).filter(_.nonEmpty)
       .toSeq.partition(_.matches("^[^@\\s]+@[^@\\s]+$"))
-    val (allowed, badDomain) = wellFormed.partition(e =>
-      domains.isEmpty || domains.contains(e.split("@").last.toLowerCase))
+    // subdomains of an allowed domain pass too: allowing acme.com must
+    // not reject ops@mail.acme.com (exact-suffix match on a dot
+    // boundary, so acme.com never admits evilacme.com)
+    val (allowed, badDomain) = wellFormed.partition { e =>
+      val dom = e.split("@").last.toLowerCase
+      domains.isEmpty || domains.exists(d => dom == d || dom.endsWith("." + d))
+    }
     ValidatedEmails(allowed, badFormat, badDomain)
   }
 }

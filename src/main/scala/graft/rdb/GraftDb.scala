@@ -16,27 +16,38 @@ import graft.sql.SqlDialect
  * quirks stay out of the DAO layer.
  */
 trait SqlExecutor {
-  /** DDL or DML; returns the update count (0 for DDL). Must throw on
-    * constraint violations — [[TokenLockJdbc]] relies on a duplicate-
-    * key INSERT failing. */
-  def executeUpdate(sql: String): Int
-  def query(sql: String): Seq[Map[String, String]]
+  /** DDL or DML with `?` placeholders bound from `params` in order;
+    * returns the update count (0 for DDL). Must throw on constraint
+    * violations — [[TokenLockJdbc]] relies on a duplicate-key INSERT
+    * failing. Data-derived values (offsets are MAXes of source
+    * columns) MUST travel through `params`, never spliced into the
+    * SQL text — a backslash in a string offset would otherwise break
+    * the statement (or inject) on backslash-escaping dialects. */
+  def executeUpdate(sql: String, params: Seq[Any] = Nil): Int
+  def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]]
 }
 
 /** Production executor over a live JDBC connection (java.sql ships
   * with the JDK; an actual driver jar is deployment-provided). One
   * statement per call, autocommit — each bookkeeping write must be
   * durable the moment the task completes, exactly like the
-  * atomic-rename filesystem stores. */
+  * atomic-rename filesystem stores. Parameterized calls go through
+  * `PreparedStatement` bind values — the driver does the escaping. */
 final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
-  override def executeUpdate(sql: String): Int = {
-    val st = conn.createStatement()
-    try st.executeUpdate(sql) finally st.close()
-  }
-  override def query(sql: String): Seq[Map[String, String]] = {
-    val st = conn.createStatement()
+  override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
+    if (params.isEmpty) {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } else {
+      val ps = conn.prepareStatement(sql)
+      try { bind(ps, params); ps.executeUpdate() } finally ps.close()
+    }
+
+  override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] = {
+    val st = conn.prepareStatement(sql)
     try {
-      val rs = st.executeQuery(sql)
+      bind(st, params)
+      val rs = st.executeQuery()
       val meta = rs.getMetaData
       val cols = (1 to meta.getColumnCount).map(i => meta.getColumnLabel(i).toLowerCase)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
@@ -45,6 +56,14 @@ final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
       buf.toSeq
     } finally st.close()
   }
+
+  private def bind(ps: java.sql.PreparedStatement, params: Seq[Any]): Unit =
+    params.zipWithIndex.foreach {
+      case (v: String, i) => ps.setString(i + 1, v)
+      case (v: Long, i)   => ps.setLong(i + 1, v)
+      case (v: Int, i)    => ps.setInt(i + 1, v)
+      case (v, i)         => ps.setObject(i + 1, v)
+    }
 }
 
 /**
@@ -70,25 +89,20 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
   private def q(ident: String): String = dialect.quote(tablePrefix + ident)
   private[rdb] def table(name: String): String = q(name)
 
-  /** SQL string literal with quote doubling — values here are
-    * pipeline-controlled (table names, statuses), but a table name
-    * containing a quote must not produce broken SQL. */
-  private[rdb] def lit(s: String): String = "'" + s.replace("'", "''") + "'"
-
   /** Create missing tables and apply version-stepped migrations.
     * Idempotent: `IF NOT EXISTS` guards creation, the persisted
     * version gates each migration step exactly once. A database at
     * stored version v replays `migrations(v-1 ...)`: `migrations(i)`
     * upgrades version i+1 → i+2, so v=1 replays from index 0. */
   def initialize(): Unit = {
-    ddl().foreach(executor.executeUpdate)
+    ddl().foreach(executor.executeUpdate(_))
     val v = schemaVersion()
     if (v < 0)
       executor.executeUpdate(
         s"INSERT INTO ${q("schema_version")} (version) VALUES ($currentVersion)")
     else if (v < currentVersion) {
       migrations.slice(v - 1, currentVersion - 1)
-        .foreach { step => step.foreach(executor.executeUpdate) }
+        .foreach { step => step.foreach(executor.executeUpdate(_)) }
       executor.executeUpdate(
         s"UPDATE ${q("schema_version")} SET version = $currentVersion")
     }

@@ -13,6 +13,10 @@ import java.time.LocalDate
  * contract as the FS [[graft.pipeline.Bookkeeper]], so the
  * orchestrator is storage-agnostic.
  *
+ * Every value position is a `?` bind parameter (the reference uses
+ * parameterized Slick queries throughout) — table names and offsets
+ * are data-derived strings and must never be spliced into SQL text.
+ *
  * Writes are last-write-wins per (table, info_date) — DELETE + INSERT
  * in favor of engine-specific upsert syntax, since each statement
  * autocommits and a lost race between the two leaves the newer
@@ -27,13 +31,13 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
   override def record(r: RunRecord): Unit = {
     def deleteInsert(): Unit = {
       db.executor.executeUpdate(
-        s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(r.table)} " +
-          s"AND ${d("info_date")} = ${db.lit(r.infoDate.toString)}")
+        s"DELETE FROM $t WHERE ${d("table_name")} = ? AND ${d("info_date")} = ?",
+        Seq(r.table, r.infoDate.toString))
       db.executor.executeUpdate(
         s"INSERT INTO $t (${d("table_name")}, ${d("info_date")}, ${d("record_count")}, " +
           s"${d("status")}, ${d("started_at_ms")}, ${d("finished_at_ms")}) VALUES " +
-          s"(${db.lit(r.table)}, ${db.lit(r.infoDate.toString)}, ${r.recordCount}, " +
-          s"${db.lit(r.status)}, ${r.startedAtMs}, ${r.finishedAtMs})")
+          s"(?, ?, ?, ?, ?, ?)",
+        Seq(r.table, r.infoDate.toString, r.recordCount, r.status, r.startedAtMs, r.finishedAtMs))
     }
     // two drivers recording the same slot can interleave (DELETE,
     // DELETE, INSERT, INSERT) — the loser's INSERT hits the primary
@@ -45,8 +49,8 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
 
   override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
     db.executor.query(
-      s"SELECT * FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
-        s"AND ${d("info_date")} = ${db.lit(infoDate.toString)}")
+      s"SELECT * FROM $t WHERE ${d("table_name")} = ? AND ${d("info_date")} = ?",
+      Seq(table, infoDate.toString))
       .headOption.map(fromRow)
 
   override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
@@ -55,8 +59,8 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
   override def latestSuccess(table: String): Option[LocalDate] =
     db.executor.query(
       s"SELECT MAX(${d("info_date")}) AS latest FROM $t " +
-        s"WHERE ${d("table_name")} = ${db.lit(table)} " +
-        s"AND ${d("status")} = 'succeeded'")
+        s"WHERE ${d("table_name")} = ? AND ${d("status")} = ?",
+      Seq(table, "succeeded"))
       .headOption.flatMap(r => Option(r.getOrElse("latest", null)))
       .map(LocalDate.parse)
 
@@ -67,10 +71,11 @@ final class BookkeeperJdbc(db: GraftDb) extends BookkeeperStore {
     // dependency evaluation would ship the table's whole success
     // history over JDBC to keep one row.
     db.executor.query(db.dialect.limitClause(
-      s"SELECT * FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
-        s"AND ${d("status")} = 'succeeded' " +
-        s"AND ${d("info_date")} <= ${db.lit(until.toString)} " +
-        s"ORDER BY ${d("info_date")} DESC", 1))
+      s"SELECT * FROM $t WHERE ${d("table_name")} = ? " +
+        s"AND ${d("status")} = ? " +
+        s"AND ${d("info_date")} <= ? " +
+        s"ORDER BY ${d("info_date")} DESC", 1),
+      Seq(table, "succeeded", until.toString))
       .headOption.map(fromRow)
 
   override def all: Seq[RunRecord] = db.executor.query(s"SELECT * FROM $t").map(fromRow)
@@ -95,7 +100,7 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
   def getLatestOffset(table: String): Option[OffsetValue] =
     db.executor.query(
       s"SELECT ${d("offset_type")}, ${d("offset_value")} FROM $t " +
-        s"WHERE ${d("table_name")} = ${db.lit(table)}")
+        s"WHERE ${d("table_name")} = ?", Seq(table))
       .headOption.map(r => OffsetValue.fromString(r("offset_type"), r("offset_value")))
 
   def commit(table: String, offset: OffsetValue): Unit = {
@@ -116,18 +121,31 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
             case None => true // nothing to replace; PK arbitrates the insert race
             case Some(cur) =>
               db.executor.executeUpdate(
-                s"DELETE FROM $t WHERE ${d("table_name")} = ${db.lit(table)} " +
-                  s"AND ${d("offset_type")} = ${db.lit(cur.typeName)} " +
-                  s"AND ${d("offset_value")} = ${db.lit(cur.asString)}") > 0
+                s"DELETE FROM $t WHERE ${d("table_name")} = ? " +
+                  s"AND ${d("offset_type")} = ? AND ${d("offset_value")} = ?",
+                Seq(table, cur.typeName, cur.asString)) > 0
           }
           if (cleared) {
             try {
               db.executor.executeUpdate(
                 s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, ${d("offset_value")}, " +
-                  s"${d("committed_at_ms")}) VALUES (${db.lit(table)}, ${db.lit(offset.typeName)}, " +
-                  s"${db.lit(offset.asString)}, ${nowMs()})")
+                  s"${d("committed_at_ms")}) VALUES (?, ?, ?, ?)",
+                Seq(table, offset.typeName, offset.asString, nowMs()))
               done = true
-            } catch { case _: Exception => () } // lost the empty-slot insert race: re-read
+            } catch {
+              case e: Exception =>
+                // lost-the-insert-race vs database outage: probe the
+                // slot. A working probe means the failure was a
+                // duplicate key (another driver won — loop re-reads);
+                // a failing probe means the database itself is gone,
+                // and reporting THAT as "CAS races" would send the
+                // operator chasing phantom contention.
+                try getLatestOffset(table)
+                catch {
+                  case _: Exception => throw new IllegalStateException(
+                    s"offset commit for '$table': database unreachable", e)
+                }
+            }
           }
           if (!done && attempts >= 8)
             throw new IllegalStateException(
@@ -153,11 +171,17 @@ final class TokenLockJdbc(db: GraftDb, token: String,
   private val ownerId = java.util.UUID.randomUUID().toString
 
   def tryAcquire(): Boolean = {
-    def insert(): Boolean =
+    // `retryOnVanish`: the holder can release between our failed
+    // INSERT and the verification probe — the probe then finds no row
+    // and the duplicate-key failure looks like an outage. One fresh
+    // INSERT attempt disambiguates; only a second failure with an
+    // empty probe is a real error.
+    def insert(retryOnVanish: Boolean): Boolean =
       try {
         db.executor.executeUpdate(
           s"INSERT INTO $t (${d("token")}, ${d("owner")}, ${d("acquired_at_ms")}) " +
-            s"VALUES (${db.lit(token)}, ${db.lit(ownerId)}, ${nowMs()})")
+            s"VALUES (?, ?, ?)",
+          Seq(token, ownerId, nowMs()))
         true
       } catch {
         case e: Exception =>
@@ -169,27 +193,28 @@ final class TokenLockJdbc(db: GraftDb, token: String,
           // held" would silently skip every task in the fleet.
           val held =
             try db.executor.query(
-              s"SELECT ${d("owner")} FROM $t WHERE ${d("token")} = ${db.lit(token)}").nonEmpty
+              s"SELECT ${d("owner")} FROM $t WHERE ${d("token")} = ?", Seq(token)).nonEmpty
             catch { case _: Exception => throw e }
-          if (!held) throw e
-          false
+          if (held) false
+          else if (retryOnVanish) insert(retryOnVanish = false)
+          else throw e
       }
 
-    if (insert()) true
+    if (insert(retryOnVanish = true)) true
     else {
       // stale-break: delete only if still the SAME old acquisition
       // (predicated DELETE — if the holder refreshed or a third party
       // broke+re-acquired between our read and delete, we touch nothing)
       val held = db.executor.query(
         s"SELECT ${d("owner")}, ${d("acquired_at_ms")} FROM $t " +
-          s"WHERE ${d("token")} = ${db.lit(token)}").headOption
+          s"WHERE ${d("token")} = ?", Seq(token)).headOption
       held match {
         case Some(row) if nowMs() - row("acquired_at_ms").toLong > staleMs =>
           val n = db.executor.executeUpdate(
-            s"DELETE FROM $t WHERE ${d("token")} = ${db.lit(token)} " +
-              s"AND ${d("owner")} = ${db.lit(row("owner"))} " +
-              s"AND ${d("acquired_at_ms")} = ${row("acquired_at_ms")}")
-          n > 0 && insert()
+            s"DELETE FROM $t WHERE ${d("token")} = ? " +
+              s"AND ${d("owner")} = ? AND ${d("acquired_at_ms")} = ?",
+            Seq(token, row("owner"), row("acquired_at_ms").toLong))
+          n > 0 && insert(retryOnVanish = false)
         case _ => false
       }
     }
@@ -199,6 +224,6 @@ final class TokenLockJdbc(db: GraftDb, token: String,
     // owner-predicated: releasing a lock someone else stale-broke and
     // re-acquired must not free THEIR lock
     db.executor.executeUpdate(
-      s"DELETE FROM $t WHERE ${d("token")} = ${db.lit(token)} " +
-        s"AND ${d("owner")} = ${db.lit(ownerId)}")
+      s"DELETE FROM $t WHERE ${d("token")} = ? AND ${d("owner")} = ?",
+      Seq(token, ownerId))
 }

@@ -71,6 +71,19 @@ class TextNormalizeSpec extends SparkSpec {
       "decomposed input must arrive composed through the codegen path")
   }
 
+  test("per-row path receives the pre-resolved Form constant, not a string name") {
+    ensure()
+    val df = spark.range(4).select(
+      GraftFunctions.normalizeText(concat(lit("a"), col("id")), "NFC").as("n"))
+    df.collect()
+    val code = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(code.contains("normalizeUtf8"), "expression must stay in codegen")
+    assert(code.contains("Normalizer$Form"),
+      "generated call must pass the Form reference object")
+    assert(!code.contains("\"NFC\""),
+      s"generated per-row call must not carry the form as a string (would re-resolve per row)")
+  }
+
   test("registered SQL function works and already-normalized text round-trips unchanged") {
     ensure()
     Seq("abc", "x").toDF("t").createOrReplaceTempView("tn_sql")

@@ -24,6 +24,15 @@ class LocksNotificationsSpec extends SparkSpec {
     assert(open.valid == Seq("a@b.c", "d@e.f") && open.invalidDomain.isEmpty)
   }
 
+  test("email validation admits subdomains of an allowed domain, on dot boundaries only") {
+    val v = EmailValidation.validate(
+      "ops@mail.acme.com, a@acme.com, evil@evilacme.com, b@acme.com.attacker.io",
+      allowedDomains = Seq("acme.com"))
+    assert(v.valid == Seq("ops@mail.acme.com", "a@acme.com"))
+    assert(v.invalidDomain == Seq("evil@evilacme.com", "b@acme.com.attacker.io"),
+      "suffix match must be anchored at a dot boundary")
+  }
+
   test("notification.email.to: parse keeps valid recipients, rejects typos loudly") {
     val good = PipelineConfig.parse(
       """pipeline.name = p

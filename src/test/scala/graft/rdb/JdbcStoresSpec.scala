@@ -14,13 +14,39 @@ import java.time.LocalDate
   * receive (the same driverless strategy as the S2 JDBC source). */
 final class FakeDb extends SqlExecutor {
   val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+  /** Raw (sql, params) pairs as handed to the seam — pins that values
+    * travel as bind parameters, not spliced literals. */
+  val prepared = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Any])]
   private val tables = scala.collection.mutable.Map.empty[String, Vector[Map[String, String]]]
   private val pks = scala.collection.mutable.Map.empty[String, Seq[String]]
 
   private def ws(s: String) = s.replaceAll("\\s+", " ").trim
-  private def unq(s: String) = s.stripPrefix("\"").stripSuffix("\"")
+  // strips Generic double quotes and MySQL backticks
+  private def unq(s: String) = s.replaceAll("^[\"`]|[\"`]$", "")
 
-  override def executeUpdate(sql: String): Int = {
+  /** Render `?` placeholders as literals so the text-interpreting fake
+    * can parse the statement (quote doubling matches unlit below). */
+  private def bound(sql: String, params: Seq[Any]): String = {
+    val it = params.iterator
+    val sb = new StringBuilder; var inQ = false
+    sql.foreach {
+      case '\'' => inQ = !inQ; sb += '\''
+      case '?' if !inQ && it.hasNext => sb ++= (it.next() match {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case other => other.toString
+      })
+      case c => sb += c
+    }
+    require(!it.hasNext, s"more params than placeholders: $sql")
+    sb.toString
+  }
+
+  override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int = {
+    prepared += ((sql, params))
+    doUpdate(bound(sql, params))
+  }
+
+  private def doUpdate(sql: String): Int = {
     statements += sql
     val s = ws(sql)
     if (s.startsWith("CREATE TABLE IF NOT EXISTS")) {
@@ -60,9 +86,11 @@ final class FakeDb extends SqlExecutor {
     } else sys.error(s"unparsed statement: $s")
   }
 
-  override def query(sql: String): Seq[Map[String, String]] = {
-    statements += sql
-    val s = ws(sql)
+  override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] = {
+    prepared += ((sql, params))
+    val bsql = bound(sql, params)
+    statements += bsql
+    val s = ws(bsql)
     val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (\\S+) DESC)?(?: LIMIT (\\d+))?$".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"unparsed SELECT: $s"))
     val name = unq(m.group(2))
@@ -148,13 +176,33 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(bk.get("nope", d).isEmpty && bk.latestSuccess("nope").isEmpty)
   }
 
-  test("bookkeeper generates dialect-quoted SQL (MySQL backticks, escaped literals)") {
+  test("bookkeeper generates dialect-quoted SQL with ? placeholders; values ride params") {
     val fake = new FakeDb
     val db = new GraftDb(SqlDialect.MySql, fake)
-    new BookkeeperJdbc(db).record(RunRecord("o'brien", d, 1L, "succeeded", 1L, 2L))
-    val insert = fake.statements.find(_.startsWith("INSERT")).get
-    assert(insert.contains("`bookkeeping`") && insert.contains("`table_name`"), insert)
-    assert(insert.contains("'o''brien'"), s"quote must be doubled: $insert")
+    new BookkeeperJdbc(db).record(RunRecord("o'brien \\ co", d, 1L, "succeeded", 1L, 2L))
+    val (insertSql, insertParams) = fake.prepared.find(_._1.startsWith("INSERT")).get
+    assert(insertSql.contains("`bookkeeping`") && insertSql.contains("`table_name`"), insertSql)
+    assert(insertSql.contains("VALUES (?, ?, ?, ?, ?, ?)"),
+      s"values must be bind parameters, not spliced literals: $insertSql")
+    assert(insertParams.head == "o'brien \\ co",
+      s"quote/backslash values must reach the seam verbatim: $insertParams")
+    assert(!insertSql.contains("o'brien"), "no value text in the SQL")
+    // round-trips intact through the store
+    assert(new BookkeeperJdbc(db).get("o'brien \\ co", d).map(_.recordCount).contains(1L))
+  }
+
+  test("string offsets with quotes and backslashes round-trip as bind parameters") {
+    val (db, fake) = freshDb()
+    val os = new OffsetStoreJdbc(db, nowMs = () => 1L)
+    val nasty = "id-'quote'\\back\\slash"
+    os.commit("t", OffsetValue.StringValue(nasty))
+    assert(os.getLatestOffset("t").contains(OffsetValue.StringValue(nasty)))
+    // advance: the CAS DELETE carries the old nasty value as a param too
+    os.commit("t", OffsetValue.StringValue(nasty + "z"))
+    assert(os.getLatestOffset("t").contains(OffsetValue.StringValue(nasty + "z")))
+    val valueTexts = fake.prepared.map(_._1)
+    assert(!valueTexts.exists(_.contains("back\\slash")),
+      "data-derived offset values must never appear in SQL text")
   }
 
   test("offsets: commit is monotonic, type round-trips") {
@@ -178,14 +226,15 @@ class JdbcStoresSpec extends AnyFunSuite {
     // the plain delete+insert would regress it to 15
     val racing = new SqlExecutor {
       var armed = true
-      override def executeUpdate(sql: String): Int = {
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int = {
         if (armed && sql.startsWith("DELETE FROM \"offsets\"")) {
           armed = false
           new OffsetStoreJdbc(db, nowMs = () => 2L).commit("ev", OffsetValue.IntegralValue(20))
         }
-        db.executor.executeUpdate(sql)
+        db.executor.executeUpdate(sql, params)
       }
-      override def query(sql: String): Seq[Map[String, String]] = db.executor.query(sql)
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
+        db.executor.query(sql, params)
     }
     new OffsetStoreJdbc(new GraftDb(db.dialect, racing), nowMs = () => 3L)
       .commit("ev", OffsetValue.IntegralValue(15))
@@ -306,14 +355,15 @@ class JdbcStoresSpec extends AnyFunSuite {
     bk.record(RunRecord("sales", d, 1L, "succeeded", 1L, 2L))
     val racing = new SqlExecutor {
       var armed = true
-      override def executeUpdate(sql: String): Int =
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
         if (armed && sql.startsWith("INSERT INTO \"bookkeeping\"")) {
           armed = false
           // the other driver re-inserted first: duplicate key
-          db.executor.executeUpdate(sql)
+          db.executor.executeUpdate(sql, params)
           throw new RuntimeException("duplicate key on bookkeeping")
-        } else db.executor.executeUpdate(sql)
-      override def query(sql: String): Seq[Map[String, String]] = db.executor.query(sql)
+        } else db.executor.executeUpdate(sql, params)
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
+        db.executor.query(sql, params)
     }
     new BookkeeperJdbc(new GraftDb(db.dialect, racing))
       .record(RunRecord("sales", d, 99L, "succeeded", 3L, 4L))
@@ -327,8 +377,9 @@ class JdbcStoresSpec extends AnyFunSuite {
     // false would report the task "locked by another pipeline" and
     // silently skip the whole fleet
     val dead = new SqlExecutor {
-      override def executeUpdate(sql: String): Int = throw new RuntimeException("connection refused")
-      override def query(sql: String): Seq[Map[String, String]] =
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
+        throw new RuntimeException("connection refused")
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
         throw new RuntimeException("connection refused")
     }
     val e = intercept[RuntimeException] {
@@ -380,6 +431,98 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(new OffsetStoreJdbc(db).getLatestOffset("ev_out:ev_in")
       .contains(graft.offset.OffsetValue.IntegralValue(15)),
       "committed offset must be visible in the shared database under consumer:input")
+  }
+
+  test("offset commit distinguishes a database outage from CAS contention") {
+    val (db, _) = freshDb()
+    new OffsetStoreJdbc(db, nowMs = () => 1L).commit("ev", OffsetValue.IntegralValue(10))
+    // flaky-then-dead: reads work long enough to enter the CAS loop,
+    // then the database dies at the INSERT and stays dead — the error
+    // must say "unreachable", not blame phantom CAS races
+    val flakyThenDead = new SqlExecutor {
+      @volatile var dead = false
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int = {
+        if (sql.startsWith("INSERT INTO \"offsets\"")) dead = true
+        if (dead) throw new RuntimeException("connection refused")
+        db.executor.executeUpdate(sql, params)
+      }
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
+        if (dead) throw new RuntimeException("connection refused")
+        else db.executor.query(sql, params)
+    }
+    val e = intercept[IllegalStateException] {
+      new OffsetStoreJdbc(new GraftDb(db.dialect, flakyThenDead), nowMs = () => 2L)
+        .commit("ev", OffsetValue.IntegralValue(20))
+    }
+    assert(e.getMessage.contains("database unreachable"), e.getMessage)
+    assert(!e.getMessage.contains("CAS races"), e.getMessage)
+    assert(e.getCause != null && e.getCause.getMessage.contains("connection refused"))
+  }
+
+  test("lock acquire retries once when the holder releases between INSERT failure and probe") {
+    val (db, _) = freshDb()
+    // interleaving: our INSERT loses to a holder who releases before
+    // our verification probe runs — the probe finds no row, and
+    // without the retry the benign contention surfaces as a hard error
+    val vanishing = new SqlExecutor {
+      var state = 0 // 0: fail first insert; 1: probe sees empty; 2: retry succeeds
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
+        if (sql.startsWith("INSERT INTO \"locks\"") && state == 0) {
+          state = 1
+          throw new RuntimeException("duplicate key on locks")
+        } else db.executor.executeUpdate(sql, params)
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] = {
+        val rows = db.executor.query(sql, params)
+        if (state == 1) { state = 2; Seq.empty } // holder vanished
+        else rows
+      }
+    }
+    assert(new TokenLockJdbc(new GraftDb(db.dialect, vanishing), "t").tryAcquire(),
+      "released-between-failure-and-probe must acquire on the retry, not rethrow")
+    // and the token is genuinely held afterwards
+    assert(!new TokenLockJdbc(db, "t").tryAcquire())
+  }
+
+  test("ConnectionExecutor binds params through PreparedStatement (never string concat)") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    val preparedSql = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bindings = scala.collection.mutable.ArrayBuffer.empty[(Int, Any)]
+    def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+            h(m.getName, if (args == null) Array.empty else args)
+        }).asInstanceOf[T]
+    val rsMeta = proxy(classOf[java.sql.ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(0)
+      case _ => null
+    }
+    val rs = proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _) => java.lang.Boolean.FALSE
+      case ("getMetaData", _) => rsMeta
+      case _ => null
+    }
+    val ps = proxy(classOf[java.sql.PreparedStatement]) {
+      case ("executeUpdate", _) => Integer.valueOf(1)
+      case ("executeQuery", _) => rs
+      case (n, args) if n.startsWith("set") && args.length == 2 =>
+        bindings += ((args(0).asInstanceOf[Integer].intValue(), args(1))); null
+      case _ => null
+    }
+    val conn = proxy(classOf[java.sql.Connection]) {
+      case ("prepareStatement", args) =>
+        preparedSql += args(0).asInstanceOf[String]; ps
+      case ("createStatement", _) =>
+        fail("parameterized calls must not go through a plain Statement")
+      case _ => null
+    }
+    val ex = new ConnectionExecutor(conn)
+    ex.executeUpdate("INSERT INTO t (a, b) VALUES (?, ?)", Seq("o'brien \\x", 42L))
+    ex.query("SELECT * FROM t WHERE a = ?", Seq("v"))
+    assert(preparedSql.toSeq == Seq(
+      "INSERT INTO t (a, b) VALUES (?, ?)", "SELECT * FROM t WHERE a = ?"))
+    assert(bindings.toSet == Set((1, "o'brien \\x"), (2, java.lang.Long.valueOf(42L)), (1, "v")),
+      s"values must arrive as typed bind calls: $bindings")
   }
 
   test("DDL text: primary keys arbitrate locks and bookkeeping upserts") {
