@@ -20,6 +20,22 @@ import java.time.LocalDate
  *                                         # cross-invocation skip-if-done, FillGaps,
  *                                         # catch-up and trackDays late-data detection
  * lock.dir = /data/state/locks            # optional (table, infoDate) run locks
+ *
+ * # OR: one bookkeeping DATABASE instead of shared-FS files — drivers
+ * # without a common mount coordinate skip-if-done, run locks and
+ * # incremental offsets through the RDBMS (reference: pramen
+ * # `pramen.bookkeeping.jdbc` app config + core/rdb/PramenDb.scala).
+ * # When configured it takes precedence over bookkeeping.path/lock.dir.
+ * bookkeeping.jdbc.url = jdbc:postgresql://db:5432/graft
+ * bookkeeping.jdbc.user = graft
+ * bookkeeping.jdbc.password = ...
+ * bookkeeping.jdbc.dialect = postgresql   # any graft.sql.SqlDialect name
+ * bookkeeping.jdbc.table.prefix = graft_
+ * bookkeeping.jdbc.locks = true           # db-arbitrated (table, date) run locks
+ * bookkeeping.jdbc.offsets = true         # db-committed incremental offsets
+ *                                         # (set false to combine with --date-parallelism)
+ * bookkeeping.jdbc.executor.factory = com.acme.PooledExecutorFactory  # optional
+ *                                         # SqlExecutorFactory FQCN (pooling, tests)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.allowed.domains = acme.com
@@ -73,13 +89,34 @@ import java.time.LocalDate
  */
 object PipelineConfig {
 
+  /** Config-declared bookkeeping database (reference: pramen/core
+    * .../core/rdb/PramenDb.scala behind `pramen.bookkeeping.jdbc`):
+    * carries everything needed to open the shared database at RUN
+    * time — parse time only validates (dialect name, factory FQCN),
+    * it must not connect. */
+  final case class JdbcBookkeeping(
+      dialect: graft.sql.SqlDialect,
+      tablePrefix: String,
+      locks: Boolean,
+      offsets: Boolean,
+      makeExecutor: () => graft.rdb.SqlExecutor) {
+    /** Open the database and ensure its schema (idempotent,
+      * version-gated migrations). */
+    def connect(): graft.rdb.GraftDb = {
+      val db = new graft.rdb.GraftDb(dialect, makeExecutor(), tablePrefix)
+      db.initialize()
+      db
+    }
+  }
+
   final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
                           bookkeepingPath: Option[String] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
                           notifyEmails: Seq[String] = Nil,
-                          notificationTargets: Seq[PipelineNotificationTarget] = Nil)
+                          notificationTargets: Seq[PipelineNotificationTarget] = Nil,
+                          jdbc: Option[JdbcBookkeeping] = None)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -427,8 +464,59 @@ object PipelineConfig {
       // like the other FQCN channels so typos fail the config load
       notificationTargets = kv.get("notification.targets")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")))
+        .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")),
+      jdbc = {
+        val url = kv.get("bookkeeping.jdbc.url")
+        val factoryFqcn = kv.get("bookkeeping.jdbc.executor.factory")
+        if (url.isEmpty && factoryFqcn.isEmpty) None
+        else Some {
+          // factory FQCN resolved AT PARSE (typos fail the config
+          // load); the connection itself opens at run time
+          val makeExecutor: () => graft.rdb.SqlExecutor = factoryFqcn match {
+            case Some(fqcn) =>
+              val f = instantiate[graft.rdb.SqlExecutorFactory](
+                fqcn, "bookkeeping.jdbc.executor.factory")
+              val opts = kv.collect {
+                case (k, v) if k.startsWith("bookkeeping.jdbc.") =>
+                  k.stripPrefix("bookkeeping.jdbc.") -> v
+              }
+              () => f(opts)
+            case None =>
+              val u = url.get
+              val user = kv.get("bookkeeping.jdbc.user").orNull
+              val password = kv.get("bookkeeping.jdbc.password").orNull
+              () => new graft.rdb.ConnectionExecutor(
+                java.sql.DriverManager.getConnection(u, user, password))
+          }
+          JdbcBookkeeping(
+            dialect = graft.sql.SqlDialect.forName(
+              kv.getOrElse("bookkeeping.jdbc.dialect", "generic")),
+            tablePrefix = kv.getOrElse("bookkeeping.jdbc.table.prefix", ""),
+            locks = !kv.get("bookkeeping.jdbc.locks").contains("false"),
+            offsets = !kv.get("bookkeeping.jdbc.offsets").contains("false"),
+            makeExecutor = makeExecutor)
+        }
+      })
   }
+
+  /** Resolve the durable stores for a run: a config-declared
+    * bookkeeping DATABASE wins over the FS journal and `lock.dir`
+    * (the reference behaves the same way — JDBC bookkeeping is the
+    * production mode, files the fallback); `fallback` is the
+    * caller-provided or default FS bookkeeper otherwise. */
+  private def resolveStores(parsed: Parsed, fallback: BookkeeperStore)
+      : (BookkeeperStore, Option[graft.offset.OffsetStore],
+         Option[(String, LocalDate) => RunLock]) =
+    parsed.jdbc match {
+      case Some(j) =>
+        val db = j.connect()
+        (new graft.rdb.BookkeeperJdbc(db),
+          if (j.offsets) Some(new graft.rdb.OffsetStoreJdbc(db)) else None,
+          if (j.locks)
+            Some((t: String, d: LocalDate) => new graft.rdb.TokenLockJdbc(db, s"${t}_$d"))
+          else None)
+      case None => (fallback, None, None)
+    }
 
   /**
    * CLI entry (the reference's runner analog):
@@ -492,7 +580,10 @@ object PipelineConfig {
     if (flags.contains("--dry-run")) {
       val ms = new Metastore(spark)
       parsed.tables.foreach(ms.register)
-      new Orchestrator(ms, bookkeeper).plan(parsed.jobs, params).foreach { case (job, tasks) =>
+      // dry-run planning must see the SAME history real runs see,
+      // including a config-declared bookkeeping database
+      val (planBk, _, _) = resolveStores(parsed, bookkeeper)
+      new Orchestrator(ms, planBk).plan(parsed.jobs, params).foreach { case (job, tasks) =>
         val dates = tasks.map(t => s"${t.infoDate}(${t.reason})").mkString(", ")
         System.err.println(s"[graft dry-run] ${job.name} -> ${job.outputTable}: " +
           (if (tasks.isEmpty) "nothing to run" else dates))
@@ -522,7 +613,9 @@ object PipelineConfig {
           rerunSucceeded: Boolean = false): Seq[TaskResult] = {
     val ms = new Metastore(spark)
     parsed.tables.foreach(ms.register)
-    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
+    val (bk, offsets, lockFac) = resolveStores(parsed, bookkeeper)
+    new Orchestrator(ms, bk, notifiers = notifiers, lockDir = lockDir,
+      offsetManager = offsets, lockFactory = lockFac,
       rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
       environment = parsed.environment).run(parsed.jobs, runDate)
   }
@@ -536,7 +629,9 @@ object PipelineConfig {
                 dateParallelism: Int = 1): Seq[TaskResult] = {
     val ms = new Metastore(spark)
     parsed.tables.foreach(ms.register)
-    new Orchestrator(ms, bookkeeper, notifiers = notifiers, lockDir = lockDir,
+    val (bk, offsets, lockFac) = resolveStores(parsed, bookkeeper)
+    new Orchestrator(ms, bk, notifiers = notifiers, lockDir = lockDir,
+        offsetManager = offsets, lockFactory = lockFac,
         pipelineName = parsed.name, environment = parsed.environment)
       .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }

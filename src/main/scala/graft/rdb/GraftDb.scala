@@ -27,6 +27,16 @@ trait SqlExecutor {
   def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]]
 }
 
+/** Builds the [[SqlExecutor]] a config-declared bookkeeping database
+  * runs on (`bookkeeping.jdbc.executor.factory = <FQCN>`). The
+  * production default is a [[ConnectionExecutor]] over
+  * `DriverManager`; a factory swaps in pooled connections or — in
+  * driverless test environments — an in-memory executor. Receives
+  * every `bookkeeping.jdbc.*` key (prefix stripped). */
+trait SqlExecutorFactory {
+  def apply(options: Map[String, String]): SqlExecutor
+}
+
 /** Production executor over a live JDBC connection (java.sql ships
   * with the JDK; an actual driver jar is deployment-provided). One
   * statement per call, autocommit — each bookkeeping write must be
