@@ -48,7 +48,9 @@ final case class RunResult(runId: Long, lifeCycleState: String, resultState: Str
 
 final class DatabricksClient(host: String, token: String, http: HttpTransport,
                              pollIntervalMs: Long = 5000,
-                             sleeper: Long => Unit = Thread.sleep) {
+                             sleeper: Long => Unit = Thread.sleep,
+                             maxWaitMs: Long = 12L * 3600 * 1000,
+                             nowMs: () => Long = () => System.currentTimeMillis()) {
   private val baseUrl = host.stripSuffix("/")
   private val auth = Map("Authorization" -> s"Bearer $token")
 
@@ -91,8 +93,15 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
   private val TerminalStates = Set("TERMINATED", "SKIPPED", "INTERNAL_ERROR")
 
   private[databricks] def waitForFinish(runId: Long): RunResult = {
+    // hard deadline: a run stuck in a queued/pending life-cycle state
+    // (zombie cluster, concurrency starvation) must fail the pipeline
+    // task loudly, not hold its thread forever
+    val deadline = nowMs() + maxWaitMs
     var status = runStatus(runId)
     while (!TerminalStates.contains(status.lifeCycleState)) {
+      if (nowMs() >= deadline)
+        throw new RuntimeException(s"Databricks run $runId did not reach a terminal " +
+          s"state within $maxWaitMs ms (last: ${status.lifeCycleState}); giving up")
       sleeper(pollIntervalMs)
       status = runStatus(runId)
     }
@@ -107,10 +116,20 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
     if (code < 200 || code >= 300)
       throw new RuntimeException(s"Databricks run-status call failed for run $runId " +
         s"(HTTP $code): $body")
+    // life-cycle fields come from the TOP-LEVEL "state" object: a
+    // multi-task run carries one state per task inside `tasks`, and a
+    // first-match-anywhere read could latch a task still RUNNING after
+    // the run itself TERMINATED
+    val root = Json.parseObj(body)
+    val state = root.get("state") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => root // 2.0-style flat body
+    }
+    def strAt(m: Map[String, Any], k: String) = m.get(k).collect { case s: String => s }
     RunResult(runId,
-      Json.field(body, "life_cycle_state").getOrElse("UNKNOWN"),
-      Json.field(body, "result_state").getOrElse(""),
-      Json.field(body, "run_page_url").getOrElse(""))
+      strAt(state, "life_cycle_state").getOrElse("UNKNOWN"),
+      strAt(state, "result_state").getOrElse(""),
+      strAt(root, "run_page_url").getOrElse(""))
   }
 }
 
@@ -125,13 +144,26 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
  * document.
  */
 object DatabricksJobTemplate {
-  /** Replace each `@key` token with its JSON-string-escaped value.
-    * Longer keys substitute first so `@infoDateStr` is never clipped
-    * by `@infoDate`. */
-  def render(templateJson: String, vars: Map[String, String]): String =
-    vars.toSeq.sortBy(-_._1.length).foldLeft(templateJson) { case (acc, (k, v)) =>
-      acc.replace("@" + k, Json.str(v).stripPrefix("\"").stripSuffix("\""))
-    }
+  private val Token = "@([A-Za-z][A-Za-z0-9_]*)".r
+
+  /** Replace each `@key` token with its JSON-string-escaped value in
+    * ONE pass over the original template — a substituted value that
+    * itself contains an `@key` token is never rescanned (sequential
+    * replacement would let user data inject into later variables).
+    * Per token, the longest matching key wins so `@infoDateStr` is
+    * never clipped by `@infoDate`. */
+  def render(templateJson: String, vars: Map[String, String]): String = {
+    val keysByLength = vars.keys.toSeq.sortBy(-_.length)
+    Token.replaceAllIn(templateJson, m => {
+      val tok = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        keysByLength.find(tok.startsWith) match {
+          case Some(k) =>
+            Json.str(vars(k)).stripPrefix("\"").stripSuffix("\"") + tok.substring(k.length)
+          case None => m.matched // unknown token: left verbatim
+        })
+    })
+  }
 
   /** The standard variable set for a transformer run (the reference's
     * PYTHON_CLASS_VAR / METASTORE_CONFIG_VAR / INFO_DATE_VAR trio,
@@ -143,9 +175,11 @@ object DatabricksJobTemplate {
       "infoDate" -> infoDate.toString)
 }
 
-/** Minimal fixed-shape JSON helpers (same approach as the bookkeeper
-  * journal: the API's relevant fields are flat strings/longs, a
-  * parser dependency would buy nothing in this environment). */
+/** Minimal JSON helpers: render (escaped strings, flat objects) and a
+  * small recursive-descent parser — regex extraction read the FIRST
+  * `"field": "..."` anywhere in the body, which breaks on multi-task
+  * run states nested in `tasks` and on values with escaped quotes. A
+  * parser dependency would buy nothing in this environment. */
 private[databricks] object Json {
   def str(s: String): String =
     "\"" + s.flatMap {
@@ -156,8 +190,118 @@ private[databricks] object Json {
     } + "\""
   def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => s"${str(k)}: $v" }.mkString("{", ", ", "}")
+
+  /** Parse a JSON document to Map[String, Any] / List[Any] / String /
+    * Long / Double / Boolean / null; None on malformed input. */
+  def parse(json: String): Option[Any] =
+    try {
+      val p = new Parser(json)
+      val v = p.value()
+      p.skipWs()
+      if (p.atEnd) Some(v) else None
+    } catch { case _: Exception => None }
+
+  /** Top-level object fields; empty map when the body is not an object
+    * (error pages, truncated responses) so callers degrade to their
+    * "UNKNOWN" defaults instead of crashing the poll loop. */
+  def parseObj(json: String): Map[String, Any] = parse(json) match {
+    case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+
   def field(json: String, name: String): Option[String] =
-    ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+    parseObj(json).get(name).collect { case s: String => s }
   def long(json: String, name: String): Option[Long] =
-    ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong)
+    parseObj(json).get(name).collect { case l: Long => l }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def ch: Char = { require(i < s.length, "unexpected end"); s.charAt(i) }
+    private def expect(lit: String): Unit = {
+      require(s.regionMatches(i, lit, 0, lit.length), s"expected $lit at $i")
+      i += lit.length
+    }
+
+    def value(): Any = { skipWs(); ch match {
+      case '{' => objValue()
+      case '[' => arrValue()
+      case '"' => stringValue()
+      case 't' => expect("true"); true
+      case 'f' => expect("false"); false
+      case 'n' => expect("null"); null
+      case _   => numberValue()
+    }}
+
+    private def objValue(): Map[String, Any] = {
+      i += 1; skipWs()
+      val b = Map.newBuilder[String, Any]
+      if (ch == '}') { i += 1; return b.result() }
+      var more = true
+      while (more) {
+        skipWs()
+        val k = stringValue()
+        skipWs(); require(ch == ':', s"expected : at $i"); i += 1
+        b += k -> value()
+        skipWs()
+        ch match {
+          case ',' => i += 1
+          case '}' => i += 1; more = false
+          case c   => throw new IllegalArgumentException(s"expected , or }} got $c at $i")
+        }
+      }
+      b.result()
+    }
+
+    private def arrValue(): List[Any] = {
+      i += 1; skipWs()
+      val b = List.newBuilder[Any]
+      if (ch == ']') { i += 1; return b.result() }
+      var more = true
+      while (more) {
+        b += value()
+        skipWs()
+        ch match {
+          case ',' => i += 1
+          case ']' => i += 1; more = false
+          case c   => throw new IllegalArgumentException(s"expected , or ] got $c at $i")
+        }
+      }
+      b.result()
+    }
+
+    private def stringValue(): String = {
+      require(ch == '"', s"expected string at $i"); i += 1
+      val sb = new StringBuilder
+      while (ch != '"') {
+        if (ch == '\\') {
+          i += 1
+          sb += (ch match {
+            case '"'  => '"'
+            case '\\' => '\\'
+            case '/'  => '/'
+            case 'b'  => '\b'
+            case 'f'  => '\f'
+            case 'n'  => '\n'
+            case 'r'  => '\r'
+            case 't'  => '\t'
+            case 'u'  =>
+              val cp = Integer.parseInt(s.substring(i + 1, i + 5), 16); i += 4; cp.toChar
+            case c => throw new IllegalArgumentException(s"bad escape \\$c at $i")
+          })
+          i += 1
+        } else { sb += ch; i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+
+    private def numberValue(): Any = {
+      val start = i
+      while (i < s.length && (ch.isDigit || "+-.eE".indexOf(ch) >= 0)) i += 1
+      val text = s.substring(start, i)
+      if (text.exists(c => c == '.' || c == 'e' || c == 'E')) text.toDouble else text.toLong
+    }
+  }
 }

@@ -126,4 +126,65 @@ class DatabricksClientSpec extends AnyFunSuite {
     assert(Json.field("""{"a" : "v1"}""", "a").contains("v1"))
     assert(Json.field("""{"a":"v"}""", "missing").isEmpty)
   }
+
+  test("poll gives up at maxWaitMs when the run never reaches a terminal state") {
+    val t = new FakeTransport
+    t.postResponses = List((200, """{"run_id": 11}"""))
+    // endless PENDING: a zombie queue must not hold the task thread forever
+    t.getResponses = List.fill(1000)(
+      (200, """{"state":{"life_cycle_state":"PENDING"}}"""))
+    var clock = 0L
+    val c = new DatabricksClient("https://dbx.example.com", "tok", t,
+      pollIntervalMs = 1, sleeper = _ => clock += 60000L,
+      maxWaitMs = 300000L, nowMs = () => clock)
+    val e = intercept[RuntimeException](c.runTransientJob("{}"))
+    assert(e.getMessage.contains("300000 ms") && e.getMessage.contains("PENDING"), e.getMessage)
+    assert(t.gets.size == 6, s"5 minutes at one poll per minute, then give up: ${t.gets.size}")
+  }
+
+  test("run state comes from the TOP-LEVEL state object, not a task's nested state") {
+    val t = new FakeTransport
+    t.postResponses = List((200, """{"run_id": 42}"""))
+    // real multi-task Jobs 2.1 body: a task-level state still says
+    // RUNNING while the run itself TERMINATED — first-match-anywhere
+    // extraction would latch RUNNING and poll forever
+    t.getResponses = List((200,
+      """{"run_id": 42,
+        | "tasks": [{"task_key": "a", "state": {"life_cycle_state": "RUNNING"}},
+        |           {"task_key": "b", "state": {"life_cycle_state": "TERMINATED", "result_state": "FAILED"}}],
+        | "state": {"life_cycle_state": "TERMINATED", "result_state": "SUCCESS"},
+        | "run_page_url": "https://dbx/run?name=\"quoted\""}""".stripMargin))
+    val r = client(t).runTransientJob("{}")
+    assert(r.isSuccess, "must read the run-level state, not task b's FAILED")
+    assert(t.gets.size == 1, "TERMINATED at the run level ends polling")
+    assert(r.runPageUrl == "https://dbx/run?name=\"quoted\"",
+      "escaped quotes in string values must parse intact")
+  }
+
+  test("template render is single-pass: substituted values are never rescanned") {
+    // user data that LOOKS like a template token must arrive as data
+    val rendered = DatabricksJobTemplate.render(
+      """{"cls": "@transformerClass", "cfg": "@configLocation"}""",
+      Map("transformerClass" -> "evil @configLocation",
+          "configLocation" -> "dbfs:/secret.yml"))
+    assert(rendered.contains("\"cls\": \"evil @configLocation\""),
+      s"value must not be re-substituted: $rendered")
+    assert(rendered.contains("\"cfg\": \"dbfs:/secret.yml\""))
+    // unknown tokens stay verbatim (same as the sequential renderer)
+    assert(DatabricksJobTemplate.render("""{"x": "@unknownVar"}""", Map("a" -> "b"))
+      == """{"x": "@unknownVar"}""")
+  }
+
+  test("json parser: nested structures, arrays, numbers, escapes, malformed input") {
+    val parsed = Json.parseObj(
+      """{"a": [1, 2.5, {"b": "c\nd"}], "t": true, "n": null, "neg": -7}""")
+    assert(parsed("a").asInstanceOf[List[Any]].head == 1L)
+    assert(parsed("a").asInstanceOf[List[Any]](1) == 2.5)
+    assert(parsed("a").asInstanceOf[List[Any]](2).asInstanceOf[Map[String, Any]]("b") == "c\nd")
+    assert(parsed("t") == true && parsed("neg") == -7L)
+    assert(Json.parse("""{"broken": """).isEmpty)
+    assert(Json.parseObj("<html>error page</html>").isEmpty)
+    assert(Json.parse("{\"u\": \"\\u00e9\"}").contains(Map("u" -> "\u00e9")),
+      "\\u escapes must decode")
+  }
 }
