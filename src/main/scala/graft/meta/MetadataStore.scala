@@ -1,0 +1,21 @@
+package graft.meta
+
+import java.time.LocalDate
+
+/**
+ * Storage contract for key-value metadata attached to a (table,
+ * infoDate) partition (reference: pramen/api
+ * .../api/MetadataManager.scala and its FS/JDBC twins
+ * core/metadata/MetadataManagerPersistence*.scala — pipelines annotate
+ * partitions with lineage/quality facts downstream jobs read).
+ *
+ * The default is the metastore's own per-table `_graft/meta_kv/` file
+ * layout; [[graft.rdb.MetadataStoreJdbc]] moves the same surface into
+ * the bookkeeping database so drivers without a shared mount see each
+ * other's annotations.
+ */
+trait MetadataStore {
+  def set(table: String, infoDate: LocalDate, key: String, value: String): Unit
+  def get(table: String, infoDate: LocalDate, key: String): Option[String]
+  def list(table: String, infoDate: LocalDate): Map[String, String]
+}

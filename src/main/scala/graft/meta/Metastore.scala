@@ -24,7 +24,8 @@ import scala.collection.concurrent.TrieMap
  *    corrections) without touching other partitions.
  *  - No driver-side data movement: save/read are pure DataFrame ops.
  */
-final class Metastore(spark: SparkSession) {
+final class Metastore(spark: SparkSession,
+                      metadataStore: Option[MetadataStore] = None) {
   private val tables = TrieMap.empty[String, MetaTable]
   private val statsMap = TrieMap.empty[(String, LocalDate), TableStats]
   // (infoDate, schema, flagged): flagged=false versions come from
@@ -411,42 +412,54 @@ final class Metastore(spark: SparkSession) {
    * Key-value metadata attached to a (table, infoDate) partition
    * (reference: pramen/api .../api/MetadataManager.scala — pipelines
    * annotate partitions with lineage/quality facts downstream jobs
-   * read). One file per key under `_graft/meta_kv/<date>/`, so
-   * concurrent writers of different keys never conflict and object
-   * stores need no appends.
+   * read). Default storage is one file per key under
+   * `_graft/meta_kv/<date>/`, so concurrent writers of different keys
+   * never conflict and object stores need no appends; a configured
+   * [[MetadataStore]] (e.g. the bookkeeping database) replaces the
+   * file layout wholesale.
    */
   def setMetadata(name: String, infoDate: LocalDate, key: String, value: String): Unit = {
     require(key.nonEmpty && !key.contains('/'), s"invalid metadata key: '$key'")
-    val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, key), true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-  }
-
-  def getMetadata(name: String, infoDate: LocalDate, key: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate/$key")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        Some(new String(bytes, "UTF-8"))
-      } finally in.close()
+    metadataStore match {
+      case Some(store) => store.set(name, infoDate, key, value)
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(dir)
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, key), true)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
     }
   }
 
-  def listMetadata(name: String, infoDate: LocalDate): Map[String, String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir).filter(_.isFile).flatMap { st =>
-      getMetadata(name, infoDate, st.getPath.getName).map(st.getPath.getName -> _)
-    }.toMap
-  }
+  def getMetadata(name: String, infoDate: LocalDate, key: String): Option[String] =
+    metadataStore match {
+      case Some(store) => store.get(name, infoDate, key)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate/$key")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            Some(new String(bytes, "UTF-8"))
+          } finally in.close()
+        }
+    }
+
+  def listMetadata(name: String, infoDate: LocalDate): Map[String, String] =
+    metadataStore match {
+      case Some(store) => store.list(name, infoDate)
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) Map.empty
+        else fs.listStatus(dir).filter(_.isFile).flatMap { st =>
+          getMetadata(name, infoDate, st.getPath.getName).map(st.getPath.getName -> _)
+        }.toMap
+    }
 
   /** Reader facade handed to transformers (restricts to declared inputs when given). */
   def readerFor(allowedTables: Option[Set[String]] = None,

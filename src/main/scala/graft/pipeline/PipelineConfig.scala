@@ -34,6 +34,8 @@ import java.time.LocalDate
  * bookkeeping.jdbc.locks = true           # db-arbitrated (table, date) run locks
  * bookkeeping.jdbc.offsets = true         # db-committed incremental offsets
  *                                         # (set false to combine with --date-parallelism)
+ * bookkeeping.jdbc.metadata = true        # partition key-value metadata in the db
+ *                                         # (false keeps the _graft/meta_kv file layout)
  * bookkeeping.jdbc.executor.factory = com.acme.PooledExecutorFactory  # optional
  *                                         # SqlExecutorFactory FQCN (pooling, tests)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
@@ -99,6 +101,7 @@ object PipelineConfig {
       tablePrefix: String,
       locks: Boolean,
       offsets: Boolean,
+      metadata: Boolean,
       makeExecutor: () => graft.rdb.SqlExecutor) {
     /** Open the database and ensure its schema (idempotent,
       * version-gated migrations). */
@@ -494,28 +497,35 @@ object PipelineConfig {
             tablePrefix = kv.getOrElse("bookkeeping.jdbc.table.prefix", ""),
             locks = !kv.get("bookkeeping.jdbc.locks").contains("false"),
             offsets = !kv.get("bookkeeping.jdbc.offsets").contains("false"),
+            metadata = !kv.get("bookkeeping.jdbc.metadata").contains("false"),
             makeExecutor = makeExecutor)
         }
       })
   }
+
+  private[pipeline] final case class ResolvedStores(
+      bookkeeper: BookkeeperStore,
+      offsets: Option[graft.offset.OffsetStore],
+      lockFactory: Option[(String, LocalDate) => RunLock],
+      metadata: Option[graft.meta.MetadataStore])
 
   /** Resolve the durable stores for a run: a config-declared
     * bookkeeping DATABASE wins over the FS journal and `lock.dir`
     * (the reference behaves the same way — JDBC bookkeeping is the
     * production mode, files the fallback); `fallback` is the
     * caller-provided or default FS bookkeeper otherwise. */
-  private def resolveStores(parsed: Parsed, fallback: BookkeeperStore)
-      : (BookkeeperStore, Option[graft.offset.OffsetStore],
-         Option[(String, LocalDate) => RunLock]) =
+  private[pipeline] def resolveStores(parsed: Parsed, fallback: BookkeeperStore): ResolvedStores =
     parsed.jdbc match {
       case Some(j) =>
         val db = j.connect()
-        (new graft.rdb.BookkeeperJdbc(db),
+        ResolvedStores(
+          new graft.rdb.BookkeeperJdbc(db),
           if (j.offsets) Some(new graft.rdb.OffsetStoreJdbc(db)) else None,
           if (j.locks)
             Some((t: String, d: LocalDate) => new graft.rdb.TokenLockJdbc(db, s"${t}_$d"))
-          else None)
-      case None => (fallback, None, None)
+          else None,
+          if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
+      case None => ResolvedStores(fallback, None, None, None)
     }
 
   /**
@@ -582,7 +592,7 @@ object PipelineConfig {
       parsed.tables.foreach(ms.register)
       // dry-run planning must see the SAME history real runs see,
       // including a config-declared bookkeeping database
-      val (planBk, _, _) = resolveStores(parsed, bookkeeper)
+      val planBk = resolveStores(parsed, bookkeeper).bookkeeper
       new Orchestrator(ms, planBk).plan(parsed.jobs, params).foreach { case (job, tasks) =>
         val dates = tasks.map(t => s"${t.infoDate}(${t.reason})").mkString(", ")
         System.err.println(s"[graft dry-run] ${job.name} -> ${job.outputTable}: " +
@@ -611,11 +621,11 @@ object PipelineConfig {
           notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
           lockDir: Option[String] = None,
           rerunSucceeded: Boolean = false): Seq[TaskResult] = {
-    val ms = new Metastore(spark)
+    val stores = resolveStores(parsed, bookkeeper)
+    val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)
-    val (bk, offsets, lockFac) = resolveStores(parsed, bookkeeper)
-    new Orchestrator(ms, bk, notifiers = notifiers, lockDir = lockDir,
-      offsetManager = offsets, lockFactory = lockFac,
+    new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
+      offsetManager = stores.offsets, lockFactory = stores.lockFactory,
       rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
       environment = parsed.environment).run(parsed.jobs, runDate)
   }
@@ -627,11 +637,11 @@ object PipelineConfig {
                 notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
                 lockDir: Option[String] = None,
                 dateParallelism: Int = 1): Seq[TaskResult] = {
-    val ms = new Metastore(spark)
+    val stores = resolveStores(parsed, bookkeeper)
+    val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)
-    val (bk, offsets, lockFac) = resolveStores(parsed, bookkeeper)
-    new Orchestrator(ms, bk, notifiers = notifiers, lockDir = lockDir,
-        offsetManager = offsets, lockFactory = lockFac,
+    new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
+        offsetManager = stores.offsets, lockFactory = stores.lockFactory,
         pipelineName = parsed.name, environment = parsed.environment)
       .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }

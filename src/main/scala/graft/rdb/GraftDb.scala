@@ -90,6 +90,9 @@ final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
  *  - `locks`: one row per held token; the PRIMARY KEY makes acquire a
  *    single atomic INSERT — the database is the arbiter, the way the
  *    FS lock uses atomic file create.
+ *  - `metadata`: key-value annotations per (table, info_date)
+ *    partition — the relational twin of the metastore's
+ *    `_graft/meta_kv/` file layout.
  *  - `schema_version`: single row, stepped by migrations.
  */
 class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
@@ -144,6 +147,13 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
        |  ${dialect.quote("owner")} VARCHAR(40) NOT NULL,
        |  ${dialect.quote("acquired_at_ms")} BIGINT NOT NULL,
        |  PRIMARY KEY (${dialect.quote("token")})
+       |)""".stripMargin,
+    s"""CREATE TABLE IF NOT EXISTS ${q("metadata")} (
+       |  ${dialect.quote("table_name")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("info_date")} VARCHAR(10) NOT NULL,
+       |  ${dialect.quote("meta_key")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("meta_value")} VARCHAR(4000) NOT NULL,
+       |  PRIMARY KEY (${dialect.quote("table_name")}, ${dialect.quote("info_date")}, ${dialect.quote("meta_key")})
        |)""".stripMargin,
     s"""CREATE TABLE IF NOT EXISTS ${q("schema_version")} (
        |  ${dialect.quote("version")} INT NOT NULL

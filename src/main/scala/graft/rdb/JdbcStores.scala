@@ -156,6 +156,48 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
 }
 
 /**
+ * Partition metadata in the bookkeeping database (reference:
+ * pramen/core .../core/metadata/MetadataManagerJdbc.scala:28) — the
+ * relational twin of the metastore's `_graft/meta_kv/` files, same
+ * [[graft.meta.MetadataStore]] surface. Last write wins per (table,
+ * info_date, key), the FS layout's overwrite semantics.
+ */
+final class MetadataStoreJdbc(db: GraftDb) extends graft.meta.MetadataStore {
+  private val t = db.table("metadata")
+  private def d(ident: String) = db.dialect.quote(ident)
+
+  override def set(table: String, infoDate: LocalDate, key: String, value: String): Unit = {
+    def deleteInsert(): Unit = {
+      db.executor.executeUpdate(
+        s"DELETE FROM $t WHERE ${d("table_name")} = ? AND ${d("info_date")} = ? " +
+          s"AND ${d("meta_key")} = ?",
+        Seq(table, infoDate.toString, key))
+      db.executor.executeUpdate(
+        s"INSERT INTO $t (${d("table_name")}, ${d("info_date")}, ${d("meta_key")}, " +
+          s"${d("meta_value")}) VALUES (?, ?, ?, ?)",
+        Seq(table, infoDate.toString, key, value))
+    }
+    // same lost-race retry as the bookkeeper's DELETE+INSERT upsert
+    try deleteInsert()
+    catch { case _: Exception => deleteInsert() }
+  }
+
+  override def get(table: String, infoDate: LocalDate, key: String): Option[String] =
+    db.executor.query(
+      s"SELECT ${d("meta_value")} FROM $t WHERE ${d("table_name")} = ? " +
+        s"AND ${d("info_date")} = ? AND ${d("meta_key")} = ?",
+      Seq(table, infoDate.toString, key))
+      .headOption.map(_("meta_value"))
+
+  override def list(table: String, infoDate: LocalDate): Map[String, String] =
+    db.executor.query(
+      s"SELECT ${d("meta_key")}, ${d("meta_value")} FROM $t " +
+        s"WHERE ${d("table_name")} = ? AND ${d("info_date")} = ?",
+      Seq(table, infoDate.toString))
+      .map(r => r("meta_key") -> r("meta_value")).toMap
+}
+
+/**
  * Database-arbitrated run lock (reference: pramen/core
  * .../core/lock/TokenLockJdbc.scala): the PRIMARY KEY on `token`
  * makes acquisition one atomic INSERT — exactly the role the FS

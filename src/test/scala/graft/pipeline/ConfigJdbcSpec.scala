@@ -155,6 +155,25 @@ class ConfigJdbcSpec extends SparkSpec {
       "locks=false must ignore database lock rows")
   }
 
+  test("bookkeeping.jdbc.metadata selects the database metadata store; false keeps files") {
+    SharedDbFactory.reset()
+    val base = java.nio.file.Files.createTempDirectory("cfg_jdbc_meta_").toString
+    val withDb = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base)), new Bookkeeper())
+    assert(withDb.metadata.isDefined, "jdbc config defaults metadata to the database")
+    // the resolved store is live: a round-trip lands in the shared db
+    withDb.metadata.get.set("ev_out", d, "lineage", "run-1")
+    assert(SharedDbFactory.current.statements.exists(_.startsWith("INSERT INTO \"metadata\"")))
+    val secondDriver = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base)), new Bookkeeper())
+    assert(secondDriver.metadata.get.get("ev_out", d, "lineage").contains("run-1"),
+      "annotations must be visible across drivers through the database")
+    val fsOnly = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base) + "bookkeeping.jdbc.metadata = false\n"),
+      new Bookkeeper())
+    assert(fsOnly.metadata.isEmpty, "metadata=false keeps the _graft/meta_kv file layout")
+  }
+
   test("parse-time validation: typo'd factory FQCN and unknown dialect fail the config load") {
     val e1 = intercept[IllegalArgumentException](PipelineConfig.parse(
       "bookkeeping.jdbc.executor.factory = graft.pipeline.NoSuchFactory\n"))

@@ -150,11 +150,11 @@ class JdbcStoresSpec extends AnyFunSuite {
     (db, fake)
   }
 
-  test("initialize creates the four tables and stamps the schema version; re-init is a no-op") {
+  test("initialize creates the five tables and stamps the schema version; re-init is a no-op") {
     val (db, fake) = freshDb()
     assert(db.schemaVersion() == GraftDb.CurrentVersion)
     val creates = fake.statements.count(_.startsWith("CREATE TABLE IF NOT EXISTS"))
-    assert(creates == 4)
+    assert(creates == 5)
     db.initialize() // idempotent
     assert(db.schemaVersion() == GraftDb.CurrentVersion)
     assert(fake.statements.count(_.startsWith("INSERT INTO \"schema_version\"")) == 1)
@@ -532,5 +532,40 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(ddl.exists(s => s.contains("\"bookkeeping\"")
       && s.contains("PRIMARY KEY (\"table_name\", \"info_date\")")))
     assert(ddl.exists(_.contains("\"offsets\"")))
+    assert(ddl.exists(s => s.contains("\"metadata\"")
+      && s.contains("PRIMARY KEY (\"table_name\", \"info_date\", \"meta_key\")")))
+  }
+
+  test("metadata: set/get/list round-trip, overwrite, cross-driver visibility") {
+    val (db, _) = freshDb()
+    val a = new MetadataStoreJdbc(db)
+    assert(a.get("sales", d, "source").isEmpty && a.list("sales", d).isEmpty)
+    a.set("sales", d, "source", "crawl-7")
+    a.set("sales", d, "quality", "0.93")
+    a.set("sales", d.plusDays(1), "source", "crawl-8") // other partition: independent
+    a.set("other", d, "source", "nope")                // other table: independent
+    // a DIFFERENT driver (fresh DAO, shared database) sees the values
+    val b = new MetadataStoreJdbc(db)
+    assert(b.get("sales", d, "source").contains("crawl-7"))
+    assert(b.list("sales", d) == Map("source" -> "crawl-7", "quality" -> "0.93"))
+    b.set("sales", d, "source", "crawl-7b") // overwrite: last write wins
+    assert(a.get("sales", d, "source").contains("crawl-7b"))
+    assert(a.list("sales", d.plusDays(1)) == Map("source" -> "crawl-8"))
+  }
+
+  test("metastore metadata surface runs on the database store when configured") {
+    import graft.SparkSpec
+    val spark = SparkSpec.session
+    val (db, fake) = freshDb()
+    val ms = new graft.meta.Metastore(spark, metadataStore = Some(new MetadataStoreJdbc(db)))
+    // no table registration needed: values live in the database, not
+    // under the table's path (the FS layout requires getTableDef)
+    ms.setMetadata("t1", d, "lineage", "job-42")
+    assert(ms.getMetadata("t1", d, "lineage").contains("job-42"))
+    assert(ms.listMetadata("t1", d) == Map("lineage" -> "job-42"))
+    assert(fake.statements.exists(_.startsWith("INSERT INTO \"metadata\"")),
+      "the annotation must land in the database")
+    // key validation stays on the shared surface
+    intercept[IllegalArgumentException](ms.setMetadata("t1", d, "bad/key", "x"))
   }
 }
