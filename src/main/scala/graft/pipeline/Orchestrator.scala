@@ -225,7 +225,8 @@ final class Orchestrator(
     offsetManager: Option[graft.offset.OffsetStore] = None,
     pipelineName: String = "pipeline",
     environment: String = "local",
-    lockFactory: Option[(String, LocalDate) => RunLock] = None) {
+    lockFactory: Option[(String, LocalDate) => RunLock] = None,
+    state: Option[PipelineState] = None) {
 
   /** Per-task lock source: an explicit factory (e.g. database locks
     * via `graft.rdb.TokenLockJdbc`) wins over the FS `lock.dir`. */
@@ -260,7 +261,10 @@ final class Orchestrator(
   def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
     val t0 = System.currentTimeMillis()
     runTree(jobs, job => Seq(runOne(job, runDate)),
-      rs => notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(runDate, t0, rs), rs)))
+      rs => {
+        state.foreach(_.pipelineCompleted()) // disarm the shutdown hook first
+        notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(runDate, t0, rs), rs))
+      })
   }
 
   /**
@@ -330,7 +334,10 @@ final class Orchestrator(
             implicitly, ec), Duration.Inf)
         finally pool.shutdown()
       }
-    }, rs => notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(asOf, startedAtMs, rs), rs)))
+    }, rs => {
+      state.foreach(_.pipelineCompleted()) // disarm the shutdown hook first
+      notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(asOf, startedAtMs, rs), rs))
+    })
   }
 
   /**
@@ -529,7 +536,19 @@ final class Orchestrator(
             return TaskResult.Skipped(job.name,
               s"(${job.outputTable}, $infoDate) is locked by another pipeline")
         }
+        // one job group per task attempt, set on whichever thread runs
+        // the attempt: the kill-timeout handler AND the graceful-
+        // shutdown path cancel cluster-side work through this tag
+        val jobGroup = s"graft-task-${job.name}-$infoDate-$t0"
+        val sc = metastore.session.sparkContext
+        state.foreach(_.taskStarted(job.name, infoDate, lock,
+          () => sc.cancelJobGroup(jobGroup)))
         def attempt(): Try[graft.meta.TableStats] = Try {
+          sc.setJobGroup(jobGroup, s"graft task ${job.name} @ $infoDate",
+            interruptOnCancel = true)
+          try attemptBody() finally sc.clearJobGroup()
+        }
+        def attemptBody(): graft.meta.TableStats = {
           val shaped = OutputTransform.shape(
             job.transformer.run(reader, infoDate, job.options), job, infoDate)
           // one instant per task (the task's start), not per row —
@@ -571,17 +590,12 @@ final class Orchestrator(
               })
               // job-group tag: interrupting the worker thread does NOT
               // stop Spark jobs it already submitted — they'd keep
-              // burning the cluster after the "kill". Tag everything the
-              // attempt submits (setJobGroup is thread-local) so the
-              // timeout handler can cancel the group on the cluster too.
-              val sc = metastore.session.sparkContext
-              val jobGroup = s"graft-kill-${job.name}-$infoDate-$t0"
+              // burning the cluster after the "kill". attempt() tags
+              // everything it submits (setJobGroup is thread-local, so
+              // it must happen ON the worker thread) and the timeout
+              // handler cancels the group on the cluster too.
               val fut = ex.submit(new java.util.concurrent.Callable[Try[graft.meta.TableStats]] {
-                def call(): Try[graft.meta.TableStats] = {
-                  sc.setJobGroup(jobGroup, s"graft task ${job.name} @ $infoDate",
-                    interruptOnCancel = true)
-                  try attempt() finally sc.clearJobGroup()
-                }
+                def call(): Try[graft.meta.TableStats] = attempt()
               })
               try fut.get(budget.toLong, java.util.concurrent.TimeUnit.SECONDS)
               catch {
@@ -604,7 +618,8 @@ final class Orchestrator(
             case f: Failure[_] if left > 0 => attemptWithRetries(left - 1)
             case other => other
           }
-        try attemptWithRetries(job.retries) match {
+        try {
+          val result = attemptWithRetries(job.retries) match {
           case Success(stats) if stats.recordCount < job.minimumRecords =>
             // the write happened (no rollback) but the run is recorded
             // failed so skip-if-done re-delivers it once the source has
@@ -628,7 +643,13 @@ final class Orchestrator(
             bookkeeper.record(RunRecord(job.outputTable, infoDate, 0L,
               "failed", t0, System.currentTimeMillis()))
             TaskResult.Failed(job.name, e)
-        } finally lock.foreach(_.release())
+          }
+          state.foreach(_.taskCompleted(result))
+          result
+        } finally {
+          lock.foreach(_.release())
+          state.foreach(_.taskEnded(job.name, infoDate))
+        }
     }
   }
 

@@ -41,6 +41,9 @@ import java.time.LocalDate
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.allowed.domains = acme.com
+ * notification.smtp.host = mail.acme.com  # mail the HTML report to email.to
+ * notification.smtp.port = 25             # (plain SMTP relay; TLS/auth is a
+ * notification.smtp.from = graft@acme.com #  side-car relay's job)
  * notification.targets = com.acme.PagerTarget  # FQCNs of PipelineNotificationTarget
  * table.sales.path = /data/ms/sales
  * table.sales.format = parquet            # parquet|orc|json|csv|raw|delta
@@ -112,6 +115,10 @@ object PipelineConfig {
     }
   }
 
+  /** SMTP relay for the HTML report (host/port/from; recipients come
+    * from `notification.email.to`). */
+  final case class SmtpSettings(host: String, port: Int, from: String)
+
   final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
                           bookkeepingPath: Option[String] = None,
                           lockDir: Option[String] = None,
@@ -119,7 +126,8 @@ object PipelineConfig {
                           htmlReportDir: Option[String] = None,
                           notifyEmails: Seq[String] = Nil,
                           notificationTargets: Seq[PipelineNotificationTarget] = Nil,
-                          jdbc: Option[JdbcBookkeeping] = None)
+                          jdbc: Option[JdbcBookkeeping] = None,
+                          smtp: Option[SmtpSettings] = None)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -468,6 +476,15 @@ object PipelineConfig {
       notificationTargets = kv.get("notification.targets")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")),
+      smtp = kv.get("notification.smtp.host").map { h =>
+        // from is required with a host: a report mail without a valid
+        // envelope sender is rejected by most relays — fail the parse,
+        // not tonight's delivery
+        SmtpSettings(h,
+          kv.get("notification.smtp.port").map(_.toInt).getOrElse(25),
+          kv.getOrElse("notification.smtp.from", throw new IllegalArgumentException(
+            "notification.smtp.from is required when notification.smtp.host is set")))
+      },
       jdbc = {
         val url = kv.get("bookkeeping.jdbc.url")
         val factoryFqcn = kv.get("bookkeeping.jdbc.executor.factory")
@@ -605,11 +622,25 @@ object PipelineConfig {
     // where an operator (or a mail-relay side-car) picks it up
     val htmlNotifier = parsed.htmlReportDir.map(dir =>
       new HtmlReportingNotifier(new FileHtmlTransport(dir))).toSeq
+    // notification.smtp.*: mail the same HTML report to email.to
+    val smtpNotifier = parsed.smtp.collect {
+      case s if parsed.notifyEmails.nonEmpty =>
+        new HtmlReportingNotifier(
+          new SmtpHtmlTransport(s.host, s.port, s.from, parsed.notifyEmails))
+    }.toSeq
+    val allNotifiers =
+      (new ConsoleNotifier +: (htmlNotifier ++ smtpNotifier)) ++ parsed.notificationTargets
+    // graceful shutdown: SIGINT/SIGTERM mid-run still emits the
+    // report (in-flight tasks marked failed), cancels cluster-side
+    // job groups and releases run locks
+    val pipelineState = new PipelineState(parsed.name, parsed.environment, runDate, allNotifiers)
+    pipelineState.installShutdownHook()
     val results = runParams(spark, parsed, params,
       bookkeeper = bookkeeper,
-      notifiers = (new ConsoleNotifier +: htmlNotifier) ++ parsed.notificationTargets,
+      notifiers = allNotifiers,
       lockDir = parsed.lockDir,
-      dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1))
+      dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1),
+      state = Some(pipelineState))
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
   }
@@ -636,13 +667,14 @@ object PipelineConfig {
                 bookkeeper: BookkeeperStore = new Bookkeeper(),
                 notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
                 lockDir: Option[String] = None,
-                dateParallelism: Int = 1): Seq[TaskResult] = {
+                dateParallelism: Int = 1,
+                state: Option[PipelineState] = None): Seq[TaskResult] = {
     val stores = resolveStores(parsed, bookkeeper)
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)
     new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
         offsetManager = stores.offsets, lockFactory = stores.lockFactory,
-        pipelineName = parsed.name, environment = parsed.environment)
+        pipelineName = parsed.name, environment = parsed.environment, state = state)
       .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }
 }

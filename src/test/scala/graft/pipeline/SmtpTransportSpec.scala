@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets
+
+/** One-connection scripted SMTP server on a loopback ephemeral port —
+  * records the whole client exchange so the spec can pin protocol
+  * order, envelope, headers and body encoding. */
+final class FakeSmtpServer(multilineEhlo: Boolean = false,
+                           rejectRcpt: Set[String] = Set.empty) {
+  private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  val commands = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  @volatile var data: String = ""
+
+  private val thread = new Thread(() => {
+    val sock = server.accept()
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.ISO_8859_1))
+    val out = new OutputStreamWriter(sock.getOutputStream, StandardCharsets.ISO_8859_1)
+    def reply(s: String): Unit = { out.write(s + "\r\n"); out.flush() }
+    reply("220 fake.smtp ESMTP ready")
+    var open = true
+    while (open) {
+      val line = in.readLine()
+      if (line == null) open = false
+      else {
+        commands.add(line)
+        val upper = line.toUpperCase
+        if (upper.startsWith("EHLO")) {
+          if (multilineEhlo) { reply("250-fake.smtp greets you"); reply("250-SIZE 35882577") }
+          reply("250 OK")
+        } else if (upper.startsWith("MAIL FROM")) reply("250 OK")
+        else if (upper.startsWith("RCPT TO")) {
+          val addr = line.substring(line.indexOf('<') + 1, line.lastIndexOf('>'))
+          if (rejectRcpt.contains(addr)) reply(s"550 no such user: $addr")
+          else reply("250 OK")
+        } else if (upper.startsWith("DATA")) {
+          reply("354 end with <CRLF>.<CRLF>")
+          val sb = new StringBuilder
+          var l = in.readLine()
+          while (l != null && l != ".") { sb.append(l).append("\r\n"); l = in.readLine() }
+          data = sb.toString
+          reply("250 queued")
+        } else if (upper.startsWith("QUIT")) { reply("221 bye"); open = false }
+        else reply("500 what")
+      }
+    }
+    sock.close(); server.close()
+  }, "fake-smtp")
+  thread.setDaemon(true)
+  thread.start()
+
+  def awaitDone(ms: Long = 5000): Unit = thread.join(ms)
+}
+
+/** Raw-socket SMTP client behind the HtmlTransport seam (no mail
+  * library in this environment — the protocol subset is spec'd against
+  * an in-process server instead). */
+class SmtpTransportSpec extends AnyFunSuite {
+
+  test("delivers the report: protocol order, envelope, headers, base64 body") {
+    val srv = new FakeSmtpServer(multilineEhlo = true)
+    val html = "<html><body>report &amp; summary — line1\r\n.\r\nline2</body></html>"
+    new SmtpHtmlTransport("127.0.0.1", srv.port, "graft@acme.com",
+      Seq("ops@acme.com", "oncall@acme.com"))
+      .send("graft: pipeline 'daily' — FAILED", html)
+    srv.awaitDone()
+    val cmds = scala.jdk.CollectionConverters.ListHasAsScala(srv.commands).asScala.toSeq
+    // protocol order, with one RCPT per recipient
+    assert(cmds.head.startsWith("EHLO "), cmds.head)
+    assert(cmds(1) == "MAIL FROM:<graft@acme.com>")
+    assert(cmds(2) == "RCPT TO:<ops@acme.com>" && cmds(3) == "RCPT TO:<oncall@acme.com>")
+    assert(cmds(4) == "DATA" && cmds.last == "QUIT")
+    // headers
+    assert(srv.data.contains("From: graft@acme.com"))
+    assert(srv.data.contains("To: ops@acme.com, oncall@acme.com"))
+    assert(srv.data.contains("Content-Type: text/html; charset=UTF-8"))
+    assert(srv.data.contains("Content-Transfer-Encoding: base64"))
+    // non-ASCII subject travels as an RFC 2047 encoded word
+    val subjectLine = srv.data.linesIterator.find(_.startsWith("Subject: ")).get
+    assert(subjectLine.startsWith("Subject: =?UTF-8?B?"), subjectLine)
+    // body round-trips through base64 — including the lone "." line
+    // that raw transmission would have eaten as end-of-data
+    val b64 = srv.data.split("\r\n\r\n", 2)(1).replace("\r\n", "")
+    val decoded = new String(java.util.Base64.getMimeDecoder.decode(b64), "UTF-8")
+    assert(decoded == html, decoded)
+  }
+
+  test("a rejected recipient fails the send with the server's reply") {
+    val srv = new FakeSmtpServer(rejectRcpt = Set("gone@acme.com"))
+    val e = intercept[RuntimeException] {
+      new SmtpHtmlTransport("127.0.0.1", srv.port, "graft@acme.com", Seq("gone@acme.com"))
+        .send("s", "<p>x</p>")
+    }
+    assert(e.getMessage.contains("550") && e.getMessage.contains("gone@acme.com"), e.getMessage)
+  }
+
+  test("ASCII subjects stay readable; header encoder is deterministic") {
+    assert(SmtpHtmlTransport.encodeHeader("plain report OK") == "plain report OK")
+    val enc = SmtpHtmlTransport.encodeHeader("résumé")
+    assert(enc.startsWith("=?UTF-8?B?") && enc.endsWith("?="))
+    assert(new String(java.util.Base64.getDecoder.decode(
+      enc.stripPrefix("=?UTF-8?B?").stripSuffix("?=")), "UTF-8") == "résumé")
+  }
+
+  test("notification.smtp.* config builds the transport; from is required with host") {
+    val p = PipelineConfig.parse(
+      """pipeline.name = p
+        |notification.email.to = ops@acme.com
+        |notification.smtp.host = mail.acme.com
+        |notification.smtp.port = 2525
+        |notification.smtp.from = graft@acme.com
+        |""".stripMargin)
+    assert(p.smtp.contains(PipelineConfig.SmtpSettings("mail.acme.com", 2525, "graft@acme.com")))
+    assert(p.notifyEmails == Seq("ops@acme.com"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "notification.smtp.host = mail.acme.com\n"))
+    assert(e.getMessage.contains("notification.smtp.from"), e.getMessage)
+  }
+}
