@@ -227,10 +227,20 @@ object PipelineConfig {
         })
     }
 
+    // V2 factory context (reference: ExternalChannelFactoryV2's
+    // workflowConfig): the full parsed key-value view plus the task's
+    // info date when built inside a task run
+    def channelContext(infoDate: Option[LocalDate]) = graft.sources.ChannelContext(
+      pipelineName = name,
+      environment = kv.getOrElse("environment.name", "local"),
+      workflowConfig = kv,
+      infoDate = infoDate)
+
     // ── source declarations (reference: pramen.sources HOCON block) ──
     val sourceNames = kv.keys.collect { case k if k.startsWith("source.") => k.split("\\.")(1) }
       .toSeq.distinct
-    val sources: Map[String, SparkSession => graft.sources.GraftSource] = sourceNames.map { s =>
+    val sources: Map[String, (SparkSession, Option[LocalDate]) => graft.sources.GraftSource] =
+      sourceNames.map { s =>
       def opt(k: String) = kv.get(s"source.$s.$k")
       def req(k: String) = opt(k).getOrElse(
         throw new IllegalArgumentException(s"source.$s.$k is required"))
@@ -239,29 +249,36 @@ object PipelineConfig {
       }
       val infoCol = opt("info.date.column")
       val infoType = opt("info.date.type").getOrElse("date")
-      val build: SparkSession => graft.sources.GraftSource = opt("type").getOrElse("spark") match {
+      val build: (SparkSession, Option[LocalDate]) => graft.sources.GraftSource =
+        opt("type").getOrElse("spark") match {
         case "spark" =>
           val path = req("path"); val fmt = opt("format").getOrElse("parquet")
-          sp => new graft.sources.SparkSource(sp, path, fmt, srcOptions, infoCol, infoType)
+          (sp, _) => new graft.sources.SparkSource(sp, path, fmt, srcOptions, infoCol, infoType)
         case "catalog" =>
           val stmt = opt("table").orElse(opt("sql")).getOrElse(
             throw new IllegalArgumentException(s"source.$s needs 'table' or 'sql'"))
           val isSql = opt("table").isEmpty
-          sp => new graft.sources.CatalogSource(sp, stmt, isSql, infoCol, infoType)
+          (sp, _) => new graft.sources.CatalogSource(sp, stmt, isSql, infoCol, infoType)
         case "raw" =>
           val path = req("path")
-          sp => new graft.sources.RawFileSource(sp, path)
+          (sp, _) => new graft.sources.RawFileSource(sp, path)
         case fqcn if fqcn.contains(".") =>
           // user-provided factory FQCN, same contract as the
-          // reference's ExternalChannelFactory — transformers already
-          // accept FQCNs, sources/sinks get the symmetric path.
-          // Instantiated at PARSE time so a typo'd class name fails the
-          // config load, not the Nth job of tonight's run.
-          val factory = instantiate[graft.sources.SourceFactory](fqcn, s"source.$s.type")
+          // reference's ExternalChannelFactory (V1) or
+          // ExternalChannelFactoryV2 (context-aware) — dispatched on
+          // the implemented trait. Instantiated at PARSE time so a
+          // typo'd class name fails the config load, not the Nth job
+          // of tonight's run.
           val allOpts = kv.collect {
             case (k, v) if k.startsWith(s"source.$s.") => k.stripPrefix(s"source.$s.") -> v
           }
-          sp => factory(sp, allOpts)
+          instantiate[AnyRef](fqcn, s"source.$s.type") match {
+            case f: graft.sources.SourceFactory => (sp, _) => f(sp, allOpts)
+            case f2: graft.sources.SourceFactoryV2 =>
+              (sp, d) => f2(sp, allOpts, channelContext(d))
+            case _ => throw new IllegalArgumentException(
+              s"source.$s.type: '$fqcn' implements neither SourceFactory nor SourceFactoryV2")
+          }
         case other => throw new IllegalArgumentException(s"source.$s.type: unknown type '$other'")
       }
       s -> build
@@ -308,11 +325,17 @@ object PipelineConfig {
           new graft.sinks.CmdLineSink(req("staging"), req("command"),
             timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(300L))
         case fqcn if fqcn.contains(".") =>
-          val factory = instantiate[graft.sinks.SinkFactory](fqcn, s"sink.$s.type")
           val allOpts = kv.collect {
             case (k, v) if k.startsWith(s"sink.$s.") => k.stripPrefix(s"sink.$s.") -> v
           }
-          factory(allOpts)
+          instantiate[AnyRef](fqcn, s"sink.$s.type") match {
+            case f: graft.sinks.SinkFactory => f(allOpts)
+            // sinks are built at parse, before any task: no info date
+            // (send() receives it per call)
+            case f2: graft.sinks.SinkFactoryV2 => f2(allOpts, channelContext(None))
+            case _ => throw new IllegalArgumentException(
+              s"sink.$s.type: '$fqcn' implements neither SinkFactory nor SinkFactoryV2")
+          }
         case other => throw new IllegalArgumentException(s"sink.$s.type: unknown type '$other'")
       }
       s -> sink
@@ -352,7 +375,9 @@ object PipelineConfig {
             }
             (req("output"), t, inputs, None)
           case "ingestion" | "sourcing" | "extract" =>
-            (req("output"), new IngestionTransformer(sourceOf(req("source"))), inputs, None)
+            val srcBuild = sourceOf(req("source"))
+            (req("output"),
+              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d))), inputs, None)
           case "sink" | "load" =>
             val input = opt("input").orElse(inputs.headOption).getOrElse(
               throw new IllegalArgumentException(s"job.$j (sink) needs 'input' or 'inputs'"))
@@ -361,8 +386,9 @@ object PipelineConfig {
               new IdentityTransformer, Seq(input), Some(SinkTarget(sinkOf(sinkName), input)))
           case "transfer" | "source2sink" =>
             val srcName = req("source"); val sinkName = req("sink")
+            val srcBuild = sourceOf(srcName)
             (opt("output").getOrElse(s"$srcName->$sinkName"),
-              new IngestionTransformer(sourceOf(srcName)), inputs,
+              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d))), inputs,
               Some(SinkTarget(sinkOf(sinkName), srcName)))
           case other => throw new IllegalArgumentException(s"job.$j.type: unknown type '$other'")
         }

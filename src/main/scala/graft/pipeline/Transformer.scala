@@ -100,11 +100,12 @@ final class ConversionTransformer extends Transformer {
  * late-data tracking included). The source is built lazily against
  * the active session so config parsing stays Spark-free.
  */
-final class IngestionTransformer(build: org.apache.spark.sql.SparkSession => graft.sources.GraftSource)
+final class IngestionTransformer(
+    build: (org.apache.spark.sql.SparkSession, LocalDate) => graft.sources.GraftSource)
     extends Transformer {
   override def run(ms: MetastoreReader, infoDate: LocalDate,
                    options: Map[String, String]): DataFrame =
-    build(org.apache.spark.sql.SparkSession.active).getData(infoDate, infoDate).df
+    build(org.apache.spark.sql.SparkSession.active, infoDate).getData(infoDate, infoDate).df
 }
 
 /**

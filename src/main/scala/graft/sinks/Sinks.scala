@@ -29,6 +29,15 @@ trait SinkFactory {
   def apply(options: Map[String, String]): GraftSink
 }
 
+/** Context-aware sink factory (the reference's
+  * ExternalChannelFactoryV2): receives the pipeline name, environment
+  * and full workflow config. Sinks are built at parse time, so
+  * `context.infoDate` is None — `send` gets the date per call. */
+trait SinkFactoryV2 {
+  def apply(options: Map[String, String],
+            context: graft.sources.ChannelContext): GraftSink
+}
+
 /** Column-name normalization applied before writing (reference:
  * pramen/core .../core/sink/ColumnNameTransform.scala — NoChange /
  * MakeUpper / MakeLower / sanitize for CSV headers). */

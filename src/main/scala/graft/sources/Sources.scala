@@ -39,6 +39,34 @@ trait SourceFactory {
 }
 
 /**
+ * Pipeline/workflow context handed to V2 channel factories
+ * (reference: pramen/api .../api/ExternalChannelFactoryV2.scala:25 —
+ * the V2 contract adds the whole workflow config to the channel's own
+ * scope; graft also passes the run's info date directly instead of
+ * making factories dig it out of config).
+ */
+final case class ChannelContext(
+    pipelineName: String,
+    environment: String,
+    /** EVERY parsed workflow config key (not just the channel's own
+      * `source.<name>.*` scope) — cross-cutting facts like table paths
+      * or other channels' settings. */
+    workflowConfig: Map[String, String],
+    /** The task's info date. Sources are built per task run, so this
+      * is always set for them; sinks are built at config parse, before
+      * any task exists (their `send` receives the date per call). */
+    infoDate: Option[java.time.LocalDate])
+
+/** Context-aware source factory (the reference's
+  * ExternalChannelFactoryV2): built per task run, so `context`
+  * carries the run's info date. Declare either this or the plain
+  * [[SourceFactory]] — config dispatches on the implemented trait. */
+trait SourceFactoryV2 {
+  def apply(spark: SparkSession, options: Map[String, String],
+            context: ChannelContext): GraftSource
+}
+
+/**
  * Batch source over any Spark DataSource format — parquet, csv, json,
  * orc (reference: pramen/core .../core/source/SparkSource.scala).
  * The info-date window becomes a plan-time filter: pushed to the scan

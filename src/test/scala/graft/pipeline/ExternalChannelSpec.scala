@@ -41,6 +41,43 @@ object FixtureSinkFactory {
   val sent = new java.util.concurrent.ConcurrentLinkedQueue[(String, LocalDate, Long, String)]()
 }
 
+/** A V2 (context-aware) custom source: emits one row carrying the
+  * RUN's info date and pipeline facts straight from the
+  * ChannelContext (factory contract under test — reference:
+  * api/ExternalChannelFactoryV2.scala:25). */
+object FixtureSourceFactoryV2 extends graft.sources.SourceFactoryV2 {
+  override def apply(spark: SparkSession, options: Map[String, String],
+                     context: graft.sources.ChannelContext): GraftSource =
+    new GraftSource {
+      override def hasInfoDateColumn: Boolean = false
+      override def getRecordCount(from: LocalDate, to: LocalDate): Long = 1L
+      override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult = {
+        import spark.implicits._
+        SourceResult(Seq((
+          context.infoDate.map(_.toString).getOrElse("NONE"),
+          context.pipelineName,
+          // cross-cutting workflow config: another block's key
+          context.workflowConfig.getOrElse("table.ctx_out.path", "?")
+        )).toDF("ctx_info_date", "ctx_pipeline", "ctx_other_key"))
+      }
+    }
+}
+
+/** A V2 sink: records the parse-time context it was built with. */
+class FixtureSinkFactoryV2 extends graft.sinks.SinkFactoryV2 {
+  override def apply(options: Map[String, String],
+                     context: graft.sources.ChannelContext): GraftSink = {
+    FixtureSinkFactoryV2.contexts.add(context)
+    new GraftSink {
+      override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                        opts: Map[String, String]): SinkResult = SinkResult(df.count())
+    }
+  }
+}
+object FixtureSinkFactoryV2 {
+  val contexts = new java.util.concurrent.ConcurrentLinkedQueue[graft.sources.ChannelContext]()
+}
+
 /** A config-instantiable notification target (FQCN path). */
 class FixtureTarget extends PipelineNotificationTarget {
   override def onPipelineCompleted(results: Seq[TaskResult],
@@ -102,6 +139,49 @@ class ExternalChannelSpec extends SparkSpec {
     val sent = FixtureSinkFactory.sent.toArray(Array.empty[(String, LocalDate, Long, String)])
     assert(sent.length == 1 && sent.head._3 == 4L, sent.toSeq.toString)
     assert(sent.head._4 == "run1", "factory options (sink.collect.label) must reach the sink")
+  }
+
+  test("V2 factories receive pipeline context: the source reads the run's info date") {
+    val base = tmpDir("extchan_v2_")
+    val conf =
+      s"""pipeline.name = ctx_pipe
+         |table.ctx_out.path = $base/ms/ctx_out
+         |source.cx.type = graft.pipeline.FixtureSourceFactoryV2
+         |sink.kx.type = graft.pipeline.FixtureSinkFactoryV2
+         |job.1.type = ingestion
+         |job.1.source = cx
+         |job.1.output = ctx_out
+         |job.2.type = sink
+         |job.2.input = ctx_out
+         |job.2.sink = kx
+         |""".stripMargin
+    FixtureSinkFactoryV2.contexts.clear()
+    val parsed = PipelineConfig.parse(conf)
+    val results = PipelineConfig.runParams(spark, parsed, RunParams.Normal(d))
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), s"results: $results")
+
+    val ms = new graft.meta.Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    val row = ms.getTable("ctx_out", Some(d), Some(d))
+      .select("ctx_info_date", "ctx_pipeline", "ctx_other_key").head()
+    assert(row.getString(0) == d.toString,
+      "the V2 source factory must see the RUN's info date in its context")
+    assert(row.getString(1) == "ctx_pipe")
+    assert(row.getString(2) == s"$base/ms/ctx_out",
+      "the whole workflow config must be visible, not just the source's scope")
+
+    // the V2 sink was built at parse time: context carries pipeline
+    // facts but no info date yet
+    val sinkCtx = FixtureSinkFactoryV2.contexts.peek()
+    assert(sinkCtx != null && sinkCtx.pipelineName == "ctx_pipe" && sinkCtx.infoDate.isEmpty)
+  }
+
+  test("a class that is neither V1 nor V2 factory fails the parse naming both traits") {
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "source.s.type = graft.pipeline.IdentityTransformer\n" +
+        "job.1.type = ingestion\njob.1.source = s\njob.1.output = t\ntable.t.path = /tmp/t"))
+    assert(e.getMessage.contains("SourceFactory") && e.getMessage.contains("SourceFactoryV2"),
+      e.getMessage)
   }
 
   test("object factories resolve with a trailing $ in the FQCN too") {
