@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Locally-generated sf1 benchmark data: a deterministic 10× key-shifted
+ * replication of the driver's read-only sf0.1 tables (TESTDATA.md ships
+ * no generator, and /root/testdata is read-only). Each copy `i` shifts
+ * every primary AND foreign key by `i * stride(dimension)`, where the
+ * stride is `max(dimension key) + 1` — so copies never collide and
+ * every join edge (lineitem→orders/part/supplier, orders→customer)
+ * stays intact. region/nation are genuine dimensions and stay as-is,
+ * exactly like TPC-H scaling.
+ *
+ * Why this matters: at sf0.1 the 0.5–1 s fixed overhead (session, scan
+ * setup, codegen) dominates most queries, so plan differences are
+ * invisible — sf1 is where a shuffle too many or a lost pushdown
+ * actually shows up in the timings.
+ *
+ * Text/vector payloads are byte-identical across copies, so sf1 is
+ * only used for queries whose semantics don't hinge on corpus-wide
+ * near-duplicate structure (exact dedup handles mass duplication by
+ * design and stays in the set).
+ */
+object BenchData {
+  val DefaultOut = "/root/repo/benchdata/sf1"
+  val Marker = "_GRAFT_SCALED_OK"
+
+  /** Generate if missing; returns true when generation ran. */
+  def ensureScaled(spark: SparkSession, srcDir: String,
+                   outDir: String = DefaultOut, copies: Int = 10): Boolean = {
+    val marker = new java.io.File(outDir, Marker)
+    if (marker.exists()) return false
+    // events.parquet carries TIMESTAMP(NANOS): read nanos as longs
+    // (SparkEntry.events handles either representation on read)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def read(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // strides come from the key's OWN dimension, so foreign keys shift
+    // in lockstep with the primary keys they reference
+    def strideOf(df: DataFrame, col0: String): Long =
+      df.agg(max(col(col0))).head().getLong(0) + 1L
+
+    val custStride = strideOf(read("customer"), "c_custkey")
+    val suppStride = strideOf(read("supplier"), "s_suppkey")
+    val partStride = strideOf(read("part"), "p_partkey")
+    val orderStride = strideOf(read("orders"), "o_orderkey")
+
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val copiesDf = spark.range(copies).toDF("_copy")
+      shifts.foldLeft(df.crossJoin(copiesDf)) { case (acc, (c, stride)) =>
+        acc.withColumn(c, col(c) + col("_copy") * lit(stride))
+      }.drop("_copy")
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), "c_custkey" -> custStride), "customer")
+    write(replicate(read("supplier"), "s_suppkey" -> suppStride), "supplier")
+    write(replicate(read("part"), "p_partkey" -> partStride), "part")
+    write(replicate(read("orders"),
+      "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
+    write(replicate(read("lineitem"),
+      "l_orderkey" -> orderStride, "l_partkey" -> partStride,
+      "l_suppkey" -> suppStride), "lineitem")
+    write(replicate(read("events"),
+      "event_id" -> strideOf(read("events"), "event_id")), "events")
+    write(replicate(read("documents"),
+      "doc_id" -> strideOf(read("documents"), "doc_id")), "documents")
+    write(replicate(read("embeddings"),
+      "vec_id" -> strideOf(read("embeddings"), "vec_id")), "embeddings")
+    java.nio.file.Files.createFile(marker.toPath)
+    true
+  }
+}
