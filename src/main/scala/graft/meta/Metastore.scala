@@ -654,6 +654,19 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
     check(name); ms.getMetadata(name, infoDate, key)
   }
 
+  /** Attach a lineage/quality annotation to a (table, infoDate)
+    * partition (reference: pramen/api MetadataManager.setMetadata:49,
+    * reachable from transformers via MetastoreReader.metadataManager).
+    * Same table-scope rule as reads. */
+  def setMetadata(name: String, infoDate: LocalDate, key: String, value: String): Unit = {
+    check(name); ms.setMetadata(name, infoDate, key, value)
+  }
+
+  /** All annotations of a (table, infoDate) partition. */
+  def listMetadata(name: String, infoDate: LocalDate): Map[String, String] = {
+    check(name); ms.listMetadata(name, infoDate)
+  }
+
   /** Bookkeeping facts about a (table, infoDate) run, when the
     * orchestrator supplied its journal. */
   def getTableRunInfo(name: String, infoDate: LocalDate): Option[TableRunInfo] = {

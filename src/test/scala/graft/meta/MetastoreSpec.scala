@@ -236,6 +236,13 @@ class MetastoreSpec extends SparkSpec {
     // metadata dirs stay invisible to reads
     assert(ms.getTable("surf").count() == 5)
     assertThrows[IllegalArgumentException](r.getTableDef("other"))
+    // transformers can WRITE annotations through the reader too
+    // (reference: MetastoreReader.metadataManager.setMetadata), under
+    // the same table-scope rule
+    r.setMetadata("surf", d3, "written.by", "transformer")
+    assert(r.getMetadata("surf", d3, "written.by").contains("transformer"))
+    assert(r.listMetadata("surf", d3) == Map("written.by" -> "transformer"))
+    assertThrows[IllegalArgumentException](r.setMetadata("other", d1, "k", "v"))
   }
 
   test("unregistered table raises") {
