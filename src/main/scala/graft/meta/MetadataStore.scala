@@ -18,4 +18,8 @@ trait MetadataStore {
   def set(table: String, infoDate: LocalDate, key: String, value: String): Unit
   def get(table: String, infoDate: LocalDate, key: String): Option[String]
   def list(table: String, infoDate: LocalDate): Map[String, String]
+  /** Remove one annotation; absent keys are a no-op. */
+  def delete(table: String, infoDate: LocalDate, key: String): Unit
+  /** Remove every annotation of the partition. */
+  def deleteAll(table: String, infoDate: LocalDate): Unit
 }

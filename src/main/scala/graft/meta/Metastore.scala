@@ -461,6 +461,27 @@ final class Metastore(spark: SparkSession,
         }.toMap
     }
 
+  /** Remove one annotation (absent keys are a no-op) — reference:
+    * pramen/api MetadataManager.deleteMetadata. */
+  def deleteMetadata(name: String, infoDate: LocalDate, key: String): Unit =
+    metadataStore match {
+      case Some(store) => store.delete(name, infoDate, key)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate/$key")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, false)
+    }
+
+  /** Remove every annotation of the partition. */
+  def deleteMetadata(name: String, infoDate: LocalDate): Unit =
+    metadataStore match {
+      case Some(store) => store.deleteAll(name, infoDate)
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(s"${getTableDef(name).path}/_graft/meta_kv/$infoDate")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(dir, true)
+    }
+
   /** Reader facade handed to transformers (restricts to declared inputs when given). */
   def readerFor(allowedTables: Option[Set[String]] = None,
                 incremental: Option[MetastoreReader.IncrementalContext] = None,
@@ -665,6 +686,16 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
   /** All annotations of a (table, infoDate) partition. */
   def listMetadata(name: String, infoDate: LocalDate): Map[String, String] = {
     check(name); ms.listMetadata(name, infoDate)
+  }
+
+  /** Remove one annotation (reference: MetadataManager.deleteMetadata). */
+  def deleteMetadata(name: String, infoDate: LocalDate, key: String): Unit = {
+    check(name); ms.deleteMetadata(name, infoDate, key)
+  }
+
+  /** Remove every annotation of the partition. */
+  def deleteMetadata(name: String, infoDate: LocalDate): Unit = {
+    check(name); ms.deleteMetadata(name, infoDate)
   }
 
   /** Bookkeeping facts about a (table, infoDate) run, when the

@@ -41,6 +41,9 @@ import java.time.LocalDate
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.allowed.domains = acme.com
+ * hook.startup.class = com.acme.Prewarm   # Runnable before the first task
+ * hook.shutdown.class = com.acme.Cleanup  # Runnable exactly once at the end
+ *                                         # (normal completion OR signal path)
  * notification.smtp.host = mail.acme.com  # mail the HTML report to email.to
  * notification.smtp.port = 25             # (plain SMTP relay; TLS/auth is a
  * notification.smtp.from = graft@acme.com #  side-car relay's job)
@@ -127,7 +130,9 @@ object PipelineConfig {
                           notifyEmails: Seq[String] = Nil,
                           notificationTargets: Seq[PipelineNotificationTarget] = Nil,
                           jdbc: Option[JdbcBookkeeping] = None,
-                          smtp: Option[SmtpSettings] = None)
+                          smtp: Option[SmtpSettings] = None,
+                          startupHook: Option[Runnable] = None,
+                          shutdownHook: Option[Runnable] = None)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -502,6 +507,14 @@ object PipelineConfig {
       notificationTargets = kv.get("notification.targets")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")),
+      // user startup/shutdown hooks by FQCN (reference: core/app/config
+      // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
+      // startup runs before the first task, shutdown exactly once at
+      // the end — normal completion OR the signal path
+      startupHook = kv.get("hook.startup.class")
+        .map(instantiate[Runnable](_, "hook.startup.class")),
+      shutdownHook = kv.get("hook.shutdown.class")
+        .map(instantiate[Runnable](_, "hook.shutdown.class")),
       smtp = kv.get("notification.smtp.host").map { h =>
         // from is required with a host: a report mail without a valid
         // envelope sender is rejected by most relays — fail the parse,
@@ -659,14 +672,19 @@ object PipelineConfig {
     // graceful shutdown: SIGINT/SIGTERM mid-run still emits the
     // report (in-flight tasks marked failed), cancels cluster-side
     // job groups and releases run locks
-    val pipelineState = new PipelineState(parsed.name, parsed.environment, runDate, allNotifiers)
+    val pipelineState = new PipelineState(parsed.name, parsed.environment, runDate,
+      allNotifiers, customShutdownHook = parsed.shutdownHook)
     pipelineState.installShutdownHook()
+    // user startup hook runs before the first task (a throwing startup
+    // hook aborts the run — it was asked to gate it)
+    parsed.startupHook.foreach(_.run())
     val results = runParams(spark, parsed, params,
       bookkeeper = bookkeeper,
       notifiers = allNotifiers,
       lockDir = parsed.lockDir,
       dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1),
       state = Some(pipelineState))
+    pipelineState.runCustomShutdownHook()
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
   }

@@ -30,7 +30,8 @@ final class PipelineState(
     pipelineName: String,
     environment: String,
     runDate: LocalDate,
-    notifiers: Seq[PipelineNotificationTarget]) {
+    notifiers: Seq[PipelineNotificationTarget],
+    customShutdownHook: Option[Runnable] = None) {
 
   private final case class InFlight(job: String, infoDate: LocalDate,
                                     lock: Option[RunLock], cancelJobGroup: () => Unit)
@@ -86,8 +87,18 @@ final class PipelineState(
       scala.util.Try(org.apache.spark.sql.SparkSession.active.sparkContext.applicationId).toOption,
       status = "failed", failureException = Some(cause))
     notifiers.foreach(n => scala.util.Try(n.onPipelineCompletedInfo(info, results)))
+    runCustomShutdownHook()
     results
   }
+
+  private val customHookRan = new AtomicBoolean(false)
+
+  /** Config-declared shutdown hook (reference: HookConfig.shutdownHook)
+    * — exactly once across normal completion and the signal path; a
+    * throwing hook must not break either. */
+  def runCustomShutdownHook(): Unit =
+    if (customHookRan.compareAndSet(false, true))
+      customShutdownHook.foreach(h => scala.util.Try(h.run()))
 
   /** Install the JVM shutdown hook (runs on SIGINT/SIGTERM under the
     * default handlers, and on System.exit). Returns the hook thread

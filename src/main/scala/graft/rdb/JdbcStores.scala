@@ -195,6 +195,17 @@ final class MetadataStoreJdbc(db: GraftDb) extends graft.meta.MetadataStore {
         s"WHERE ${d("table_name")} = ? AND ${d("info_date")} = ?",
       Seq(table, infoDate.toString))
       .map(r => r("meta_key") -> r("meta_value")).toMap
+
+  override def delete(table: String, infoDate: LocalDate, key: String): Unit =
+    db.executor.executeUpdate(
+      s"DELETE FROM $t WHERE ${d("table_name")} = ? AND ${d("info_date")} = ? " +
+        s"AND ${d("meta_key")} = ?",
+      Seq(table, infoDate.toString, key))
+
+  override def deleteAll(table: String, infoDate: LocalDate): Unit =
+    db.executor.executeUpdate(
+      s"DELETE FROM $t WHERE ${d("table_name")} = ? AND ${d("info_date")} = ?",
+      Seq(table, infoDate.toString))
 }
 
 /**

@@ -243,6 +243,13 @@ class MetastoreSpec extends SparkSpec {
     assert(r.getMetadata("surf", d3, "written.by").contains("transformer"))
     assert(r.listMetadata("surf", d3) == Map("written.by" -> "transformer"))
     assertThrows[IllegalArgumentException](r.setMetadata("other", d1, "k", "v"))
+    // delete: one key, then the whole partition (absent keys no-op)
+    ms.deleteMetadata("surf", d1, "quality")
+    assert(ms.listMetadata("surf", d1) == Map("source.rows" -> "12345"))
+    ms.deleteMetadata("surf", d1, "quality") // already gone: no-op
+    r.deleteMetadata("surf", d1)
+    assert(ms.listMetadata("surf", d1).isEmpty)
+    assert(ms.listMetadata("surf", d3).nonEmpty, "other partitions untouched")
   }
 
   test("unregistered table raises") {

@@ -6,6 +6,18 @@ import org.apache.spark.sql.DataFrame
 
 import java.time.LocalDate
 
+/** Config-instantiable lifecycle hooks (reference: HookConfig —
+  * pramen.hook.{startup,shutdown}.class). */
+class FixtureStartupHook extends Runnable {
+  override def run(): Unit = FixtureHooks.log.add("startup")
+}
+class FixtureShutdownHook extends Runnable {
+  override def run(): Unit = FixtureHooks.log.add("shutdown")
+}
+object FixtureHooks {
+  val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** Graceful shutdown: the signal path must still emit the end-of-run
   * report, mark in-flight tasks failed, cancel their job groups and
   * release their locks — driven directly (no real signals). */
@@ -64,6 +76,34 @@ class PipelineStateSpec extends SparkSpec {
     // handled signal) must not re-report or re-release
     assert(state.abandon("SIGINT").isEmpty)
     assert(capture.infos.size == 1 && lock.released == 1)
+  }
+
+  test("config-declared startup/shutdown hooks: typos fail parse; shutdown runs exactly once") {
+    FixtureHooks.log.clear()
+    val parsed = PipelineConfig.parse(
+      """pipeline.name = hooked
+        |hook.startup.class = graft.pipeline.FixtureStartupHook
+        |hook.shutdown.class = graft.pipeline.FixtureShutdownHook
+        |table.t.path = /tmp/hooked_t
+        |""".stripMargin)
+    assert(parsed.startupHook.isDefined && parsed.shutdownHook.isDefined)
+    parsed.startupHook.foreach(_.run())
+    // exactly-once across BOTH endings: signal path first, then the
+    // normal-completion call must not re-run it
+    val state = new PipelineState("hooked", "test", d, Nil,
+      customShutdownHook = parsed.shutdownHook)
+    state.abandon("SIGTERM")
+    state.runCustomShutdownHook()
+    assert(FixtureHooks.log.toArray.toSeq == Seq("startup", "shutdown"),
+      FixtureHooks.log.toString)
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "hook.startup.class = no.such.Hook\n"))
+    assert(e.getMessage.contains("hook.startup.class"), e.getMessage)
+    // a throwing shutdown hook must not break abandon
+    val throwing = new PipelineState("p", "test", d, Nil,
+      customShutdownHook = Some(() => sys.error("hook boom")))
+    throwing.taskCompleted(TaskResult.Succeeded("j", "t", d, 1L, Nil))
+    assert(throwing.abandon("SIGINT").nonEmpty)
   }
 
   test("pipelineCompleted disarms the shutdown path") {

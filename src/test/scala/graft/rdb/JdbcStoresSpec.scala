@@ -551,6 +551,13 @@ class JdbcStoresSpec extends AnyFunSuite {
     b.set("sales", d, "source", "crawl-7b") // overwrite: last write wins
     assert(a.get("sales", d, "source").contains("crawl-7b"))
     assert(a.list("sales", d.plusDays(1)) == Map("source" -> "crawl-8"))
+    // delete one key, then the whole partition — others untouched
+    a.delete("sales", d, "quality")
+    assert(a.list("sales", d) == Map("source" -> "crawl-7b"))
+    a.delete("sales", d, "quality") // absent: no-op
+    a.deleteAll("sales", d)
+    assert(a.list("sales", d).isEmpty)
+    assert(a.list("sales", d.plusDays(1)).nonEmpty && a.list("other", d).nonEmpty)
   }
 
   test("metastore metadata surface runs on the database store when configured") {
