@@ -40,6 +40,7 @@ import java.time.LocalDate
  *                                         # SqlExecutorFactory FQCN (pooling, tests)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
+ * notification.email.failures.to = oncall@acme.com  # failed runs go HERE instead
  * notification.email.allowed.domains = acme.com
  * hook.startup.class = com.acme.Prewarm   # Runnable before the first task
  * hook.shutdown.class = com.acme.Cleanup  # Runnable exactly once at the end
@@ -128,6 +129,7 @@ object PipelineConfig {
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
                           notifyEmails: Seq[String] = Nil,
+                          notifyFailureEmails: Seq[String] = Nil,
                           notificationTargets: Seq[PipelineNotificationTarget] = Nil,
                           jdbc: Option[JdbcBookkeeping] = None,
                           smtp: Option[SmtpSettings] = None,
@@ -487,19 +489,8 @@ object PipelineConfig {
       htmlReportDir = kv.get("notification.html.dir"),
       // recipients validated AT PARSE: a typo'd on-call address must
       // fail the config load, not silently drop from outage mail
-      notifyEmails = kv.get("notification.email.to").map { to =>
-        val domains = kv.get("notification.email.allowed.domains")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        val v = EmailValidation.validate(to, domains)
-        if (v.invalidFormat.nonEmpty || v.invalidDomain.nonEmpty)
-          throw new IllegalArgumentException("notification.email.to: " +
-            (if (v.invalidFormat.nonEmpty)
-              s"malformed: ${v.invalidFormat.mkString(", ")}" else "") +
-            (if (v.invalidFormat.nonEmpty && v.invalidDomain.nonEmpty) "; " else "") +
-            (if (v.invalidDomain.nonEmpty)
-              s"outside allowed domains: ${v.invalidDomain.mkString(", ")}" else ""))
-        v.valid
-      }.getOrElse(Nil),
+      notifyEmails = validatedEmails(kv, "notification.email.to"),
+      notifyFailureEmails = validatedEmails(kv, "notification.email.failures.to"),
       // user notification targets by FQCN (reference:
       // core/notify/PipelineNotificationTargetFactory.scala:28 —
       // pipeline.notification.targets), instantiated at parse time
@@ -558,6 +549,23 @@ object PipelineConfig {
         }
       })
   }
+
+  /** Parse-time recipient validation against the shared allow-list
+    * (`notification.email.allowed.domains`); errors name the key. */
+  private def validatedEmails(kv: Map[String, String], key: String): Seq[String] =
+    kv.get(key).map { to =>
+      val domains = kv.get("notification.email.allowed.domains")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val v = EmailValidation.validate(to, domains)
+      if (v.invalidFormat.nonEmpty || v.invalidDomain.nonEmpty)
+        throw new IllegalArgumentException(s"$key: " +
+          (if (v.invalidFormat.nonEmpty)
+            s"malformed: ${v.invalidFormat.mkString(", ")}" else "") +
+          (if (v.invalidFormat.nonEmpty && v.invalidDomain.nonEmpty) "; " else "") +
+          (if (v.invalidDomain.nonEmpty)
+            s"outside allowed domains: ${v.invalidDomain.mkString(", ")}" else ""))
+      v.valid
+    }.getOrElse(Nil)
 
   private[pipeline] final case class ResolvedStores(
       bookkeeper: BookkeeperStore,
@@ -661,11 +669,13 @@ object PipelineConfig {
     // where an operator (or a mail-relay side-car) picks it up
     val htmlNotifier = parsed.htmlReportDir.map(dir =>
       new HtmlReportingNotifier(new FileHtmlTransport(dir))).toSeq
-    // notification.smtp.*: mail the same HTML report to email.to
+    // notification.smtp.*: mail the HTML report — failed runs route to
+    // failures.to when configured, everything else to email.to
     val smtpNotifier = parsed.smtp.collect {
-      case s if parsed.notifyEmails.nonEmpty =>
-        new HtmlReportingNotifier(
-          new SmtpHtmlTransport(s.host, s.port, s.from, parsed.notifyEmails))
+      case s if parsed.notifyEmails.nonEmpty || parsed.notifyFailureEmails.nonEmpty =>
+        new StatusRoutedSmtpNotifier(
+          rcpts => new SmtpHtmlTransport(s.host, s.port, s.from, rcpts),
+          parsed.notifyEmails, parsed.notifyFailureEmails)
     }.toSeq
     val allNotifiers =
       (new ConsoleNotifier +: (htmlNotifier ++ smtpNotifier)) ++ parsed.notificationTargets
@@ -678,12 +688,21 @@ object PipelineConfig {
     // user startup hook runs before the first task (a throwing startup
     // hook aborts the run — it was asked to gate it)
     parsed.startupHook.foreach(_.run())
-    val results = runParams(spark, parsed, params,
-      bookkeeper = bookkeeper,
-      notifiers = allNotifiers,
-      lockDir = parsed.lockDir,
-      dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1),
-      state = Some(pipelineState))
+    val results =
+      try runParams(spark, parsed, params,
+        bookkeeper = bookkeeper,
+        notifiers = allNotifiers,
+        lockDir = parsed.lockDir,
+        dateParallelism = flagValues.get("--date-parallelism").map(_.toInt).getOrElse(1),
+        state = Some(pipelineState))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // a driver-side crash (bad DAG, dead bookkeeping db) must
+          // finalize the state HERE with its real cause — otherwise the
+          // JVM-exit hook would report it as an OS signal
+          pipelineState.abandon(s"driver failure: ${e.getMessage}")
+          throw e
+      }
     pipelineState.runCustomShutdownHook()
     spark.stop()
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)

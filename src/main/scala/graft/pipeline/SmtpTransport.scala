@@ -85,6 +85,21 @@ final class SmtpHtmlTransport(
   }
 }
 
+/** Routes the HTML report to the recipient list matching the run's
+  * final status (reference: core/config/Keys MAIL_FAILURES_TO —
+  * failed runs page the on-call list, routine completions go to the
+  * team list). Falls back to `to` when no failure list is set. */
+final class StatusRoutedSmtpNotifier(
+    transportFor: Seq[String] => HtmlTransport,
+    to: Seq[String],
+    failuresTo: Seq[String]) extends PipelineNotificationTarget {
+  override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
+    val recipients = if (info.status == "failed" && failuresTo.nonEmpty) failuresTo else to
+    if (recipients.nonEmpty)
+      new HtmlReportingNotifier(transportFor(recipients)).onPipelineCompletedInfo(info, results)
+  }
+}
+
 object SmtpHtmlTransport {
   /** RFC 2047 encoded-word for non-ASCII header values; plain ASCII
     * passes through readable. */

@@ -107,6 +107,36 @@ class SmtpTransportSpec extends AnyFunSuite {
       enc.stripPrefix("=?UTF-8?B?").stripSuffix("?=")), "UTF-8") == "résumé")
   }
 
+  test("failed runs route to failures.to; routine completions to email.to") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], String)]
+    def fakeTransport(rcpts: Seq[String]): HtmlTransport =
+      (subject, _) => sent += ((rcpts, subject))
+    val notifier = new StatusRoutedSmtpNotifier(fakeTransport,
+      to = Seq("team@acme.com"), failuresTo = Seq("oncall@acme.com"))
+    def info(status: String) = PipelineInfo("p", "test", java.time.LocalDate.parse("2024-06-15"),
+      0L, 1L, None, status, None)
+    notifier.onPipelineCompletedInfo(info("succeeded"), Nil)
+    notifier.onPipelineCompletedInfo(info("failed"), Nil)
+    notifier.onPipelineCompletedInfo(info("warning"), Nil)
+    assert(sent.map(_._1) == Seq(Seq("team@acme.com"), Seq("oncall@acme.com"), Seq("team@acme.com")))
+    // no failure list configured: failures fall back to the team list
+    sent.clear()
+    new StatusRoutedSmtpNotifier(fakeTransport, Seq("team@acme.com"), Nil)
+      .onPipelineCompletedInfo(info("failed"), Nil)
+    assert(sent.map(_._1) == Seq(Seq("team@acme.com")))
+    // failures.to parses + validates like email.to
+    val p = PipelineConfig.parse(
+      """notification.email.to = team@acme.com
+        |notification.email.failures.to = oncall@acme.com
+        |notification.email.allowed.domains = acme.com
+        |""".stripMargin)
+    assert(p.notifyFailureEmails == Seq("oncall@acme.com"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      "notification.email.failures.to = bad@other.io\n" +
+        "notification.email.allowed.domains = acme.com\n"))
+    assert(e.getMessage.contains("notification.email.failures.to"), e.getMessage)
+  }
+
   test("notification.smtp.* config builds the transport; from is required with host") {
     val p = PipelineConfig.parse(
       """pipeline.name = p
