@@ -127,6 +127,55 @@ final class IngestionTransformer(
  * parquet in parallel; only the hand-off is driver-side. Options:
  * `command` may also come from job options (`process.command`).
  */
+/** OutputStream keeping only the LAST `capacity` bytes written
+  * (reference: pramen/core .../core/utils/CircularBuffer.scala, used
+  * by its ProcessRunner for the same reason): failure reports only
+  * need the tail of a child's output — a runaway child printing
+  * gigabytes must not OOM the driver. */
+final class TailBuffer(capacity: Int) extends java.io.OutputStream {
+  require(capacity > 0, s"capacity must be positive: $capacity")
+  private val buf = new Array[Byte](capacity)
+  private var written = 0L
+
+  override def write(b: Int): Unit = synchronized {
+    buf((written % capacity).toInt) = b.toByte
+    written += 1
+  }
+
+  override def write(bytes: Array[Byte], off: Int, len: Int): Unit = synchronized {
+    // only the last `capacity` bytes of this chunk can survive anyway;
+    // skipped bytes still advance the logical position or the ring
+    // cut-point would drift from the retained data
+    val n = math.min(len, capacity)
+    val skip = len - n
+    var i = 0
+    while (i < n) {
+      buf(((written + skip + i) % capacity).toInt) = bytes(off + skip + i)
+      i += 1
+    }
+    written += len
+  }
+
+  def truncated: Boolean = written > capacity
+
+  /** The retained tail, oldest byte first. */
+  def tail: String = synchronized {
+    if (!truncated) new String(buf, 0, written.toInt, "UTF-8")
+    else {
+      val cut = (written % capacity).toInt
+      val out = new Array[Byte](capacity)
+      System.arraycopy(buf, cut, out, 0, capacity - cut)
+      System.arraycopy(buf, 0, out, capacity - cut, cut)
+      new String(out, "UTF-8")
+    }
+  }
+
+  /** Tail prefixed with a truncation marker when bytes were dropped. */
+  def render: String =
+    if (truncated) s"...[output truncated to the last $capacity bytes]...\n" + tail
+    else tail
+}
+
 final class ProcessTransformer(command: String, stagingDir: String,
                                inputTables: Seq[String],
                                timeoutSeconds: Long = 600) extends Transformer {
@@ -156,8 +205,9 @@ final class ProcessTransformer(command: String, stagingDir: String,
     // drain stdout on a daemon thread: a blocking readAllBytes here
     // would wait until the child closes stdout, so a hung child that
     // keeps the pipe open would defeat the timeout entirely (and a
-    // chatty child could deadlock on a full pipe if nobody reads)
-    val outBuf = new java.io.ByteArrayOutputStream()
+    // chatty child could deadlock on a full pipe if nobody reads).
+    // BOUNDED capture: failure reports need the tail, not gigabytes
+    val outBuf = new TailBuffer(64 * 1024)
     val drainer = new Thread(() => {
       try proc.getInputStream.transferTo(outBuf)
       catch { case _: java.io.IOException => () } // stream torn down on kill
@@ -167,10 +217,9 @@ final class ProcessTransformer(command: String, stagingDir: String,
     val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"ProcessTransformer timed out: $cmd") }
     drainer.join(10000) // process exited → pipe closes → drain completes
-    val output = new String(outBuf.toByteArray, "UTF-8")
     if (proc.exitValue() != 0)
       throw new RuntimeException(
-        s"ProcessTransformer command failed (exit ${proc.exitValue()}): $cmd\n$output")
+        s"ProcessTransformer command failed (exit ${proc.exitValue()}): $cmd\n${outBuf.render}")
     spark.read.parquet(outDir)
   }
 }

@@ -64,6 +64,43 @@ class RetryConversionSpec extends SparkSpec {
     assert(r2.head.isInstanceOf[TaskResult.Failed])
   }
 
+  test("TailBuffer keeps only the last bytes; ProcessTransformer capture is bounded") {
+    // unit: wrap-around keeps the newest tail, oldest-first
+    val tb = new TailBuffer(8)
+    tb.write("abc".getBytes("UTF-8"))
+    assert(!tb.truncated && tb.tail == "abc" && tb.render == "abc")
+    tb.write("defghij".getBytes("UTF-8")) // 10 total > 8
+    assert(tb.truncated && tb.tail == "cdefghij", tb.tail)
+    assert(tb.render.startsWith("...[output truncated"), tb.render)
+    // a chunk larger than the whole capacity keeps just its tail
+    val tb2 = new TailBuffer(4)
+    tb2.write("0123456789".getBytes("UTF-8"))
+    assert(tb2.tail == "6789", tb2.tail)
+    // single-byte writes wrap identically
+    val tb3 = new TailBuffer(3)
+    "abcde".getBytes("UTF-8").foreach(b => tb3.write(b.toInt))
+    assert(tb3.tail == "cde", tb3.tail)
+    // e2e: a failing child that printed ~1 MB reports only the tail —
+    // the failure message stays bounded and ends with the LAST output
+    val base = tmpDir("pt_tail_")
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("ptt_in", s"$base/in",
+      scheme = graft.meta.PartitionScheme.NotPartitioned))
+    ms.saveTable("ptt_in", d, Seq((1L, "x")).toDF("id", "v"))
+    val script = s"$base/chatty.sh"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(script),
+      "#!/bin/sh\nseq 1 200000\necho LAST_MARKER\nexit 3\n")
+    new java.io.File(script).setExecutable(true)
+    val t = new ProcessTransformer(script, s"$base/stage", Seq("ptt_in"))
+    val e = intercept[RuntimeException](t.run(ms.readerFor(), d, Map.empty))
+    assert(e.getMessage.contains("exit 3"), e.getMessage.take(200))
+    assert(e.getMessage.length < 80 * 1024,
+      s"captured output must be bounded, got ${e.getMessage.length} chars")
+    assert(e.getMessage.contains("LAST_MARKER"), "the tail (newest output) must survive")
+    assert(e.getMessage.contains("[output truncated"), "truncation must be explicit")
+    assert(!e.getMessage.contains("\n1\n2\n"), "the oldest output must be gone")
+  }
+
   test("ProcessTransformer timeout fires for a hung child that keeps stdout open") {
     // `sleep` writes nothing and never closes stdout: a blocking
     // stdout read before waitFor would defeat the timeout entirely
