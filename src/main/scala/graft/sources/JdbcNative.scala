@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.sql.{SqlColumnType, SqlConfig, SqlDialect, SqlGenerator}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import java.time.LocalDate
+
+/**
+ * Driver-side typed JDBC fetch (reference: pramen/core
+ * .../core/reader/TableReaderJdbcNative.scala +
+ * .../core/utils/JdbcNativeUtils.scala): some dialects generate SQL
+ * that Spark's JDBC relation cannot wrap in its `SELECT * FROM (...)`
+ * subquery (SAS sharenet, Denodo quirks) — the reference falls back
+ * to plain JDBC there. Rows land on the DRIVER, so this is for
+ * dimension/config tables, never facts: `maxRows` hard-fails the read
+ * past the cap instead of silently OOMing the driver.
+ */
+object JdbcNative {
+
+  /** Spark type for a JDBC column (reference: JdbcNativeUtils
+    * getStructField — same families). */
+  private[sources] def sparkType(sqlType: Int, precision: Int, scale: Int): DataType = {
+    import java.sql.Types._
+    sqlType match {
+      case BIGINT => LongType
+      case INTEGER | SMALLINT | TINYINT => IntegerType
+      case FLOAT | REAL => FloatType
+      case DOUBLE => DoubleType
+      case NUMERIC | DECIMAL =>
+        if (precision <= 0 || precision > 38) DecimalType(38, 18)
+        else DecimalType(precision, math.min(math.max(scale, 0), precision))
+      case BOOLEAN | BIT => BooleanType
+      case DATE => DateType
+      case TIMESTAMP | TIMESTAMP_WITH_TIMEZONE => TimestampType
+      case _ => StringType
+    }
+  }
+
+  /** Materialize a ResultSet as (schema, rows) using its metadata —
+    * the TYPED twin of the bookkeeping layer's string-flattening
+    * `SqlExecutor.query` (bookkeeping needs no types; data does). */
+  def fetch(rs: java.sql.ResultSet, maxRows: Long): (StructType, Seq[Row]) = {
+    val meta = rs.getMetaData
+    val n = meta.getColumnCount
+    val fields = (1 to n).map { i =>
+      StructField(meta.getColumnLabel(i),
+        sparkType(meta.getColumnType(i), meta.getPrecision(i), meta.getScale(i)))
+    }
+    val schema = StructType(fields)
+    val rows = Vector.newBuilder[Row]
+    var count = 0L
+    while (rs.next()) {
+      count += 1
+      if (count > maxRows)
+        throw new IllegalStateException(
+          s"JdbcNative read exceeded maxRows=$maxRows — this driver-side path is for " +
+            "small dimension tables; use the Spark JDBC source for anything bigger")
+      val values = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val v: Any = fields(i).dataType match {
+          case LongType      => rs.getLong(i + 1)
+          case IntegerType   => rs.getInt(i + 1)
+          case FloatType     => rs.getFloat(i + 1)
+          case DoubleType    => rs.getDouble(i + 1)
+          case _: DecimalType => rs.getBigDecimal(i + 1)
+          case BooleanType   => rs.getBoolean(i + 1)
+          case DateType      => rs.getDate(i + 1)
+          case TimestampType => rs.getTimestamp(i + 1)
+          case _             => rs.getString(i + 1)
+        }
+        values(i) = if (rs.wasNull()) null else v
+        i += 1
+      }
+      rows += Row.fromSeq(values.toIndexedSeq)
+      i = 0
+    }
+    (schema, rows.result())
+  }
+}
+
+/**
+ * GraftSource over plain JDBC: dialect-generated info-date-windowed
+ * SQL executed on a driver connection, results typed via
+ * [[JdbcNative.fetch]] and handed to Spark as a local DataFrame.
+ */
+final class JdbcNativeSource(
+    spark: SparkSession,
+    connect: () => java.sql.Connection,
+    table: String,
+    infoDateColumn: String,
+    dialect: SqlDialect = SqlDialect.Generic,
+    infoDateType: SqlColumnType = SqlColumnType.Date,
+    dateFormatApp: String = "yyyy-MM-dd",
+    maxRows: Long = 1000000L) extends GraftSource {
+
+  private val gen = new SqlGenerator(dialect,
+    SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
+
+  override def hasInfoDateColumn: Boolean = true
+
+  def dataQuery(from: LocalDate, to: LocalDate, columns: Seq[String] = Seq.empty): String =
+    gen.getDataQuery(table, from, to, columns)
+
+  override def getRecordCount(from: LocalDate, to: LocalDate): Long = withConnection { conn =>
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(gen.getCountQuery(table, from, to))
+      if (rs.next()) rs.getLong(1) else 0L
+    } finally st.close()
+  }
+
+  override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult =
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(dataQuery(from, to, columns))
+        val (schema, rows) = JdbcNative.fetch(rs, maxRows)
+        SourceResult(spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema))
+      } finally st.close()
+    }
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val conn = connect()
+    try f(conn) finally conn.close()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sql.SqlDialect
+import org.apache.spark.sql.types._
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.time.LocalDate
+
+/** Typed driver-side JDBC reads (the reference's TableReaderJdbcNative
+  * fallback) — scripted java.sql proxies stand in for a live driver,
+  * the same strategy as the rest of the JDBC layer. */
+class JdbcNativeSpec extends SparkSpec {
+
+  private def proxy[T](cls: Class[T])(h: (String, Array[AnyRef]) => AnyRef): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          h(m.getName, if (args == null) Array.empty else args)
+      }).asInstanceOf[T]
+
+  /** columns: (label, java.sql.Types code, precision, scale); rows of Any (null ok). */
+  private def fakeResultSet(cols: Seq[(String, Int, Int, Int)],
+                            rows: Seq[Seq[Any]]): java.sql.ResultSet = {
+    var cursor = -1
+    var lastWasNull = false
+    val meta = proxy(classOf[java.sql.ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(cols.size)
+      case ("getColumnLabel", a) => cols(a(0).asInstanceOf[Integer] - 1)._1
+      case ("getColumnType", a) => Integer.valueOf(cols(a(0).asInstanceOf[Integer] - 1)._2)
+      case ("getPrecision", a) => Integer.valueOf(cols(a(0).asInstanceOf[Integer] - 1)._3)
+      case ("getScale", a) => Integer.valueOf(cols(a(0).asInstanceOf[Integer] - 1)._4)
+      case _ => null
+    }
+    proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _) => cursor += 1; java.lang.Boolean.valueOf(cursor < rows.size)
+      case ("getMetaData", _) => meta
+      case ("wasNull", _) => java.lang.Boolean.valueOf(lastWasNull)
+      case (g, a) if g.startsWith("get") && a.length == 1 && a(0).isInstanceOf[Integer] =>
+        val v = rows(cursor)(a(0).asInstanceOf[Integer] - 1)
+        lastWasNull = v == null
+        (g, v) match {
+          case (_, null) => g match { // primitive getters cannot return null
+            case "getLong" => java.lang.Long.valueOf(0L)
+            case "getInt" => Integer.valueOf(0)
+            case "getBoolean" => java.lang.Boolean.FALSE
+            case "getDouble" => java.lang.Double.valueOf(0)
+            case "getFloat" => java.lang.Float.valueOf(0f)
+            case _ => null
+          }
+          case (_, value) => value.asInstanceOf[AnyRef]
+        }
+      case _ => null
+    }
+  }
+
+  import java.sql.Types._
+  private val cols = Seq(
+    ("id", BIGINT, 0, 0), ("name", VARCHAR, 0, 0), ("amount", DECIMAL, 18, 4),
+    ("born", DATE, 0, 0), ("ok", BOOLEAN, 0, 0))
+  private def rows = Seq(
+    Seq[Any](java.lang.Long.valueOf(1L), "alice", new java.math.BigDecimal("12.5000"),
+      java.sql.Date.valueOf("2024-06-15"), java.lang.Boolean.TRUE),
+    Seq[Any](java.lang.Long.valueOf(2L), null, null, null, java.lang.Boolean.FALSE))
+
+  test("fetch types columns from ResultSet metadata; nulls survive primitive getters") {
+    val (schema, out) = JdbcNative.fetch(fakeResultSet(cols, rows), maxRows = 10)
+    assert(schema == StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DecimalType(18, 4)),
+      StructField("born", DateType), StructField("ok", BooleanType))))
+    assert(out.size == 2)
+    assert(out.head.getLong(0) == 1L && out.head.getString(1) == "alice")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(!out(1).getBoolean(4))
+  }
+
+  test("maxRows hard-fails instead of buffering a fact table on the driver") {
+    val big = (1 to 100).map(i => Seq[Any](java.lang.Long.valueOf(i.toLong), s"r$i",
+      null, null, java.lang.Boolean.TRUE))
+    val e = intercept[IllegalStateException](
+      JdbcNative.fetch(fakeResultSet(cols, big), maxRows = 10))
+    assert(e.getMessage.contains("maxRows=10"), e.getMessage)
+  }
+
+  test("source end-to-end: windowed dialect SQL in, typed local DataFrame out") {
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def connection(): java.sql.Connection = {
+      val st = proxy(classOf[java.sql.Statement]) {
+        case ("executeQuery", a) =>
+          val sql = a(0).asInstanceOf[String]
+          executed += sql
+          if (sql.startsWith("SELECT COUNT"))
+            fakeResultSet(Seq(("cnt", BIGINT, 0, 0)),
+              Seq(Seq[Any](java.lang.Long.valueOf(2L))))
+          else fakeResultSet(cols, rows)
+        case _ => null
+      }
+      proxy(classOf[java.sql.Connection]) {
+        case ("createStatement", _) => st
+        case _ => null
+      }
+    }
+    val src = new JdbcNativeSource(spark, () => connection(), "dim_customers",
+      infoDateColumn = "info_date", dialect = SqlDialect.Postgres)
+    val d = LocalDate.parse("2024-06-15")
+    assert(src.getRecordCount(d, d) == 2L)
+    val df = src.getData(d, d).df
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "amount", "born", "ok"))
+    assert(df.count() == 2)
+    assert(df.where(df("name") === "alice").head().getLong(0) == 1L)
+    // the generated SQL pushed the info-date window to the RDBMS
+    assert(executed.exists(s => s.contains("dim_customers") && s.contains("info_date")
+      && s.contains("2024-06-15")), executed.mkString("\n"))
+  }
+}
