@@ -487,8 +487,10 @@ final class Metastore(spark: SparkSession,
                 incremental: Option[MetastoreReader.IncrementalContext] = None,
                 currentInfoDate: Option[LocalDate] = None,
                 runReason: String = "New",
-                runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None): MetastoreReader =
-    new MetastoreReader(this, allowedTables, incremental, currentInfoDate, runReason, runInfo)
+                runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None,
+                lazyResolve: Option[(String, LocalDate) => Unit] = None): MetastoreReader =
+    new MetastoreReader(this, allowedTables, incremental, currentInfoDate, runReason,
+      runInfo, lazyResolve)
 
   /**
    * Raw (whole-file) storage: each input row's `content` bytes become
@@ -618,14 +620,35 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
                             incremental: Option[MetastoreReader.IncrementalContext] = None,
                             currentInfoDate: Option[LocalDate] = None,
                             runReason: String = "New",
-                            runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None) {
+                            runInfo: (String, LocalDate) => Option[TableRunInfo] = (_, _) => None,
+                            lazyResolve: Option[(String, LocalDate) => Unit] = None) {
   private def check(name: String): Unit = allowed.foreach { a =>
     if (!a.contains(name))
       throw new IllegalArgumentException(
         s"Table '$name' is not declared as an input of this transformer (declared: ${a.mkString(", ")})")
   }
+
+  /** On-demand materialization hook (reference: pramen/core
+    * .../core/metastore/peristence/TransientJobManager.scala:200 —
+    * reading a LAZY job's output runs that job first). An explicit
+    * [from,to] window materializes each calendar date (bounded, like
+    * the reference's subtask cap); an open read materializes the
+    * current task's info date. */
+  private def resolveLazy(name: String, from: Option[LocalDate], to: Option[LocalDate]): Unit =
+    lazyResolve.foreach { resolve =>
+      (from, to) match {
+        case (Some(f), Some(t)) =>
+          val days = java.time.temporal.ChronoUnit.DAYS.between(f, t)
+          require(days <= 62,
+            s"lazy materialization window too wide: $f..$t (${days + 1} subtasks, max 62)")
+          Iterator.iterate(f)(_.plusDays(1)).takeWhile(!_.isAfter(t))
+            .foreach(d => resolve(name, d))
+        case _ => currentInfoDate.foreach(d => resolve(name, d))
+      }
+    }
+
   def getTable(name: String, from: Option[LocalDate] = None, to: Option[LocalDate] = None): DataFrame = {
-    check(name); ms.getTable(name, from, to)
+    check(name); resolveLazy(name, from, to); ms.getTable(name, from, to)
   }
 
   /**

@@ -121,7 +121,11 @@ final case class JobDef(
     processingTimestampColumn: Option[String] = None,
     expectedDelayDays: Int = 0,
     warnMaxExecutionTimeSeconds: Option[Int] = None,
-    killMaxExecutionTimeSeconds: Option[Int] = None)
+    killMaxExecutionTimeSeconds: Option[Int] = None,
+    /** Lazy (on-demand) job: never scheduled; materialized when a
+      * downstream transformer reads its output table (reference:
+      * TransientJobManager). */
+    isLazy: Boolean = false)
 
 /** One declarative output rewrite: `column <- expression`; a missing,
   * empty or literal-"drop" expression drops the column instead. */
@@ -258,9 +262,18 @@ final class Orchestrator(
       failureException = firstFailure)
   }
 
+  /** Lazy jobs come OUT of the scheduled tree and INTO the on-demand
+    * registry the readers resolve through. */
+  private val lazyJobs = new LazyJobManager(metastore)
+  private def splitLazy(jobs: Seq[JobDef]): Seq[JobDef] = {
+    val (lz, scheduled) = jobs.partition(_.isLazy)
+    lz.foreach(lazyJobs.register)
+    scheduled
+  }
+
   def run(jobs: Seq[JobDef], runDate: LocalDate): Seq[TaskResult] = {
     val t0 = System.currentTimeMillis()
-    runTree(jobs, job => Seq(runOne(job, runDate)),
+    runTree(splitLazy(jobs), job => Seq(runOne(job, runDate)),
       rs => {
         state.foreach(_.pipelineCompleted()) // disarm the shutdown hook first
         notifiers.foreach(_.onPipelineCompletedInfo(pipelineInfo(runDate, t0, rs), rs))
@@ -322,7 +335,7 @@ final class Orchestrator(
       notifiers.foreach(_.onTaskCompleted(r, asOf))
       r
     }
-    runTree(jobs, job => {
+    runTree(splitLazy(jobs), job => {
       val tasks = ScheduleStrategy.daysToRun(job, bookkeeper, params, minimumDate)
       if (tasks.isEmpty) Seq(TaskResult.Skipped(job.name, s"nothing to run for $params"))
       else if (dateParallelism == 1) tasks.map(runTask(job))
@@ -352,8 +365,9 @@ final class Orchestrator(
    */
   def plan(jobs: Seq[JobDef], params: RunParams,
            minimumDate: Option[LocalDate] = None): Seq[(JobDef, Seq[TaskPreDef])] = {
-    validateDag(jobs)
-    jobs.map(j => j -> ScheduleStrategy.daysToRun(j, bookkeeper, params, minimumDate).toSeq)
+    val scheduled = jobs.filterNot(_.isLazy)
+    validateDag(scheduled)
+    scheduled.map(j => j -> ScheduleStrategy.daysToRun(j, bookkeeper, params, minimumDate).toSeq)
   }
 
   /** Dependency-ordered parallel execution skeleton: each job's body
@@ -475,7 +489,8 @@ final class Orchestrator(
       runReason = reason,
       runInfo = (t, d) => bookkeeper.get(t, d).map(r =>
         graft.meta.TableRunInfo(r.table, r.infoDate, r.recordCount, r.status,
-          r.startedAtMs, r.finishedAtMs)))
+          r.startedAtMs, r.finishedAtMs)),
+      lazyResolve = if (lazyJobs.isEmpty) None else Some(lazyJobs.ensure))
     val t0 = System.currentTimeMillis()
     // declarative dependency windows gate BEFORE validate: a gating
     // table without data inside its derived window leaves the task

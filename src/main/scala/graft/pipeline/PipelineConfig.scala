@@ -62,6 +62,8 @@ import java.time.LocalDate
  * job.1.option.filter = amount > 0
  * job.2.transformer = sql
  * job.2.sql = SELECT count(*) AS n FROM sales_clean
+ * job.2.lazy = true                       # on-demand: runs when its output is READ,
+ *                                         # never on a schedule (reference: lazy jobs)
  *
  * # per-operation runtime policy + declarative dependencies:
  * job.1.critical = true                   # failure aborts the pipeline
@@ -474,7 +476,10 @@ object PipelineConfig {
         processingTimestampColumn = opt("processing.timestamp.column"),
         expectedDelayDays = opt("expected.delay.days").map(_.toInt).getOrElse(0),
         warnMaxExecutionTimeSeconds = opt("warn.maximum.execution.time.seconds").map(_.toInt),
-        killMaxExecutionTimeSeconds = opt("kill.maximum.execution.time.seconds").map(_.toInt))
+        killMaxExecutionTimeSeconds = opt("kill.maximum.execution.time.seconds").map(_.toInt),
+        // on-demand job (reference: TransientJobManager lazy jobs) —
+        // never scheduled, materialized when its output is read
+        isLazy = opt("lazy").contains("true"))
     }
 
     // durable pipeline state: without `bookkeeping.path` every CLI
