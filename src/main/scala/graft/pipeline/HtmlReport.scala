@@ -195,3 +195,25 @@ final class HtmlReportingNotifier(
       HtmlReport.render(info, results, builder.drain(), schemaChanges()))
   }
 }
+
+/** Renders the report ONCE and fans it out to every transport the
+  * run's status selects. Two separate [[HtmlReportingNotifier]]s each
+  * drain the NotificationBuilder — whichever ran first would consume
+  * the custom entries and the other would silently render without
+  * them, so a file+SMTP configuration must share one drain/render. */
+final class FanoutHtmlReportNotifier(
+    transportsFor: PipelineInfo => Seq[HtmlTransport],
+    builder: NotificationBuilder = NotificationBuilder.global,
+    schemaChanges: () => Seq[(String, LocalDate, Seq[FieldChange])] = () => Nil)
+  extends PipelineNotificationTarget {
+  override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
+    val transports = transportsFor(info)
+    if (transports.nonEmpty) {
+      val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
+      val html = HtmlReport.render(info, results, builder.drain(), schemaChanges())
+      // a failing transport (dead SMTP relay) must not stop the others
+      // (the file report is the operator's fallback)
+      transports.foreach(t => scala.util.Try(t.send(subject, html)))
+    }
+  }
+}

@@ -670,20 +670,28 @@ object PipelineConfig {
       spark.stop()
       return
     }
-    // notification.html.dir: drop the rendered HTML end-of-run report
-    // where an operator (or a mail-relay side-car) picks it up
-    val htmlNotifier = parsed.htmlReportDir.map(dir =>
-      new HtmlReportingNotifier(new FileHtmlTransport(dir))).toSeq
-    // notification.smtp.*: mail the HTML report — failed runs route to
-    // failures.to when configured, everything else to email.to
-    val smtpNotifier = parsed.smtp.collect {
-      case s if parsed.notifyEmails.nonEmpty || parsed.notifyFailureEmails.nonEmpty =>
-        new StatusRoutedSmtpNotifier(
-          rcpts => new SmtpHtmlTransport(s.host, s.port, s.from, rcpts),
-          parsed.notifyEmails, parsed.notifyFailureEmails)
-    }.toSeq
+    // ONE render/drain fanned out to every configured report channel:
+    // notification.html.dir drops the file where an operator picks it
+    // up; notification.smtp.* mails the SAME report — failed runs
+    // route to failures.to when configured, everything else to
+    // email.to. (Two separate notifiers would race on draining the
+    // NotificationBuilder's custom entries.)
+    val reportNotifier: Seq[PipelineNotificationTarget] =
+      if (parsed.htmlReportDir.isEmpty && parsed.smtp.isEmpty) Nil
+      else Seq(new FanoutHtmlReportNotifier(info => {
+        val file = parsed.htmlReportDir.map(dir => new FileHtmlTransport(dir))
+        val smtp = parsed.smtp.flatMap { s =>
+          val rcpts =
+            if (info.status == "failed" && parsed.notifyFailureEmails.nonEmpty)
+              parsed.notifyFailureEmails
+            else parsed.notifyEmails
+          if (rcpts.nonEmpty) Some(new SmtpHtmlTransport(s.host, s.port, s.from, rcpts))
+          else None
+        }
+        file.toSeq ++ smtp.toSeq
+      }))
     val allNotifiers =
-      (new ConsoleNotifier +: (htmlNotifier ++ smtpNotifier)) ++ parsed.notificationTargets
+      (new ConsoleNotifier +: reportNotifier) ++ parsed.notificationTargets
     // graceful shutdown: SIGINT/SIGTERM mid-run still emits the
     // report (in-flight tasks marked failed), cancels cluster-side
     // job groups and releases run locks

@@ -137,6 +137,25 @@ class SmtpTransportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("notification.email.failures.to"), e.getMessage)
   }
 
+  test("fanout report notifier drains custom entries once and feeds every transport") {
+    import graft.pipeline.{FanoutHtmlReportNotifier, HtmlTransport, NotificationBuilder}
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def transport(name: String): HtmlTransport =
+      (subject, html) => sent += ((name, subject, html))
+    val broken: HtmlTransport = (_, _) => sys.error("relay down")
+    val builder = new NotificationBuilder
+    builder.addEntries("custom-entry-alpha")
+    val info = PipelineInfo("p", "test", java.time.LocalDate.parse("2024-06-15"),
+      0L, 1L, None, "succeeded", None)
+    new FanoutHtmlReportNotifier(
+      _ => Seq(transport("file"), broken, transport("smtp")), builder)
+      .onPipelineCompletedInfo(info, Nil)
+    assert(sent.map(_._1) == Seq("file", "smtp"), "broken transport must not stop the rest")
+    assert(sent.forall(_._3.contains("custom-entry-alpha")),
+      "BOTH outputs must carry the drained custom entries (single drain, single render)")
+    assert(sent.map(_._3).distinct.size == 1, "one render shared by all transports")
+  }
+
   test("notification.smtp.* config builds the transport; from is required with host") {
     val p = PipelineConfig.parse(
       """pipeline.name = p
