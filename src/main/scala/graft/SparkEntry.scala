@@ -4,7 +4,7 @@ import graft.functions.TextFunctions
 import graft.meta.{DataFormat, MetaTable, Metastore, PartitionScheme}
 import graft.offset.{OffsetInfo, OffsetManager, OffsetValue}
 import graft.operators.{AnnSearch, AsofJoin, Dedup, EmbedDedup, NgramJaccard, RangeJoin, Sessionize}
-import graft.pipeline.{IdentityTransformer, JobDef, Orchestrator}
+import graft.pipeline.{IdentityTransformer, JobDef, Orchestrator, Transformer}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -332,6 +332,33 @@ object SparkEntry {
       ms.getTable("bf_out", Some(days.head), Some(days.last))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal_sum"))
+    }),
+
+    "q_lazy" -> ((s, dir) => {
+      // lazy (on-demand) job: the urgent-orders filter is never
+      // scheduled — reading its table materializes it, and the
+      // pipeline's output equals the direct SQL composition
+      val ms = new Metastore(s)
+      ms.register(MetaTable("lz_src", metaPath("lz_src")))
+      ms.register(MetaTable("lz_mid", metaPath("lz_mid")))
+      ms.register(MetaTable("lz_out", metaPath("lz_out")))
+      val d0 = LocalDate.parse("2024-05-01")
+      ms.saveTable("lz_src", d0, t(s, dir, "orders"))
+      val lazyJob = JobDef("lz_mid_job", "lz_mid", new Transformer {
+        def run(r: graft.meta.MetastoreReader, d: LocalDate,
+                o: Map[String, String]): DataFrame =
+          r.getTable("lz_src", Some(d), Some(d))
+            .where(col("o_orderpriority") === "1-URGENT")
+      }, Seq("lz_src"), isLazy = true)
+      val outJob = JobDef("lz_out_job", "lz_out", new Transformer {
+        def run(r: graft.meta.MetastoreReader, d: LocalDate,
+                o: Map[String, String]): DataFrame =
+          r.getTable("lz_mid", Some(d), Some(d))
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+      }, Seq("lz_mid"))
+      new Orchestrator(ms).run(Seq(lazyJob, outJob), d0)
+      ms.getTable("lz_out", Some(d0), Some(d0)).select("o_orderstatus", "n", "price_sum")
     }),
 
     "q_source_csv" -> ((s, dir) => {
@@ -884,6 +911,12 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal_sum
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q_lazy" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH aug AS (
