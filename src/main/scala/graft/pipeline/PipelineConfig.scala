@@ -293,6 +293,14 @@ object PipelineConfig {
       s -> build
     }.toMap
 
+    // ingestion column-name sanitization (reference: Keys.scala:51-52 —
+    // global `pramen.special.characters.in.column.names` with a
+    // per-source override of the same key; empty string disables)
+    def sanitizeCharsOf(sourceName: String): String =
+      kv.get(s"source.$sourceName.special.characters.in.column.names")
+        .orElse(kv.get("special.characters.in.column.names"))
+        .getOrElse(graft.sources.ColumnSanitizer.DefaultSpecialCharacters)
+
     // ── sink declarations (reference: pramen.sinks HOCON block) ──
     val sinkNames = kv.keys.collect { case k if k.startsWith("sink.") => k.split("\\.")(1) }
       .toSeq.distinct
@@ -386,7 +394,8 @@ object PipelineConfig {
           case "ingestion" | "sourcing" | "extract" =>
             val srcBuild = sourceOf(req("source"))
             (req("output"),
-              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d))), inputs, None)
+              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d)),
+                sanitizeCharsOf(req("source"))), inputs, None)
           case "sink" | "load" =>
             val input = opt("input").orElse(inputs.headOption).getOrElse(
               throw new IllegalArgumentException(s"job.$j (sink) needs 'input' or 'inputs'"))
@@ -397,7 +406,8 @@ object PipelineConfig {
             val srcName = req("source"); val sinkName = req("sink")
             val srcBuild = sourceOf(srcName)
             (opt("output").getOrElse(s"$srcName->$sinkName"),
-              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d))), inputs,
+              new IngestionTransformer((sp, d) => srcBuild(sp, Some(d)),
+                sanitizeCharsOf(srcName)), inputs,
               Some(SinkTarget(sinkOf(sinkName), srcName)))
           case other => throw new IllegalArgumentException(s"job.$j.type: unknown type '$other'")
         }

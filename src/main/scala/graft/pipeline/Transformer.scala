@@ -101,11 +101,14 @@ final class ConversionTransformer extends Transformer {
  * the active session so config parsing stays Spark-free.
  */
 final class IngestionTransformer(
-    build: (org.apache.spark.sql.SparkSession, LocalDate) => graft.sources.GraftSource)
+    build: (org.apache.spark.sql.SparkSession, LocalDate) => graft.sources.GraftSource,
+    specialCharsInColumnNames: String = "")
     extends Transformer {
   override def run(ms: MetastoreReader, infoDate: LocalDate,
                    options: Map[String, String]): DataFrame =
-    build(org.apache.spark.sql.SparkSession.active, infoDate).getData(infoDate, infoDate).df
+    graft.sources.ColumnSanitizer.sanitize(
+      build(org.apache.spark.sql.SparkSession.active, infoDate).getData(infoDate, infoDate).df,
+      specialCharsInColumnNames)
 }
 
 /**

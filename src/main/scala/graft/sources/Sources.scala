@@ -373,16 +373,22 @@ final class LocalSparkSource(
     reader().getData(from, to, columns)
 }
 
-/** Runs ingestion: source window/tail → metastore table (an "ingestion job"). */
+/** Runs ingestion: source window/tail → metastore table (an "ingestion job").
+  * `specialCharsInColumnNames` non-empty turns on column-name
+  * sanitization of what the source returns (see [[ColumnSanitizer]]). */
 final class IngestionJob(
     source: GraftSource,
     metastore: graft.meta.Metastore,
-    offsets: OffsetStore = new OffsetManager()) {
+    offsets: OffsetStore = new OffsetManager(),
+    specialCharsInColumnNames: String = "") {
+
+  private def sanitized(df: org.apache.spark.sql.DataFrame) =
+    ColumnSanitizer.sanitize(df, specialCharsInColumnNames)
 
   /** Batch ingest of one info-date window. */
   def ingest(outputTable: String, infoDate: LocalDate): graft.meta.TableStats = {
     val res = source.getData(infoDate, infoDate)
-    metastore.saveTable(outputTable, infoDate, res.df)
+    metastore.saveTable(outputTable, infoDate, sanitized(res.df))
   }
 
   /**
@@ -409,7 +415,9 @@ final class IngestionJob(
     offsets.maxOffset(res.df, info) match {
       case None => graft.meta.TableStats(0L, None) // nothing new: no save, no commit
       case Some(pinned) =>
-        val bounded = offsets.boundedAbove(res.df, info, pinned)
+        // sanitize AFTER offset pinning/bounding: the offset column is
+        // addressed by its SOURCE name, which sanitization may rename
+        val bounded = sanitized(offsets.boundedAbove(res.df, info, pinned))
         val stats = metastore.saveTable(outputTable, infoDate, bounded,
           org.apache.spark.sql.SaveMode.Append)
         offsets.commit(outputTable, pinned) // only after a successful save
