@@ -125,7 +125,44 @@ final case class JobDef(
     /** Lazy (on-demand) job: never scheduled; materialized when a
       * downstream transformer reads its output table (reference:
       * TransientJobManager). */
-    isLazy: Boolean = false)
+    isLazy: Boolean = false,
+    /** Attach a warning when the task's records/second falls below
+      * this — a 10× slowdown of a nightly ingest is an incident
+      * brewing even while every run still "succeeds" (reference:
+      * pramen.warn.throughput.rps, Keys.scala + reference.conf:103).
+      * 0 disables. Guards in [[Throughput]] keep short/small tasks
+      * out (their rps is all fixed overhead). */
+    warnMinRps: Int = 0)
+
+/** Records-per-second policy for task results (reference:
+  * core/notify/pipeline/PipelineNotificationBuilderHtml.scala:516-550 —
+  * the reference styles the report's rps cell by the warn/good
+  * thresholds; graft routes the same signal through the task-warning
+  * channel, so it reaches EVERY notification target and flips the
+  * task to WARNING status instead of only coloring HTML). */
+object Throughput {
+  /** The reference's guards: rps is meaningless for tasks that ran
+    * shorter than a minute or moved fewer than 1000 records. */
+  val MinDurationSeconds = 60L
+  val MinRecords = 1000L
+
+  /** Records/second, or None when the guards say the number would be
+    * fixed-overhead noise. */
+  def rps(records: Long, elapsedMs: Long,
+          minDurationSeconds: Long = MinDurationSeconds,
+          minRecords: Long = MinRecords): Option[Long] = {
+    val secs = elapsedMs / 1000
+    if (secs > minDurationSeconds && records >= minRecords) Some(records / secs) else None
+  }
+
+  def warning(records: Long, elapsedMs: Long, warnMinRps: Int,
+              minDurationSeconds: Long = MinDurationSeconds,
+              minRecords: Long = MinRecords): Option[String] =
+    if (warnMinRps <= 0) None
+    else rps(records, elapsedMs, minDurationSeconds, minRecords)
+      .filter(_ < warnMinRps)
+      .map(r => s"throughput $r r/s is below the warn.throughput.rps threshold of $warnMinRps r/s")
+}
 
 /** One declarative output rewrite: `column <- expression`; a missing,
   * empty or literal-"drop" expression drops the column instead. */
@@ -649,7 +686,7 @@ final class Orchestrator(
             val timeWarnings = job.warnMaxExecutionTimeSeconds.toSeq.collect {
               case budget if (t1 - t0) / 1000.0 > budget =>
                 s"task ran ${(t1 - t0) / 1000}s, over the ${budget}s warning threshold"
-            }
+            } ++ Throughput.warning(stats.recordCount, t1 - t0, job.warnMinRps)
             bookkeeper.record(RunRecord(job.outputTable, infoDate, stats.recordCount,
               "succeeded", t0, t1))
             TaskResult.Succeeded(job.name, job.outputTable, infoDate, stats.recordCount,

@@ -487,6 +487,9 @@ object PipelineConfig {
         expectedDelayDays = opt("expected.delay.days").map(_.toInt).getOrElse(0),
         warnMaxExecutionTimeSeconds = opt("warn.maximum.execution.time.seconds").map(_.toInt),
         killMaxExecutionTimeSeconds = opt("kill.maximum.execution.time.seconds").map(_.toInt),
+        // slow-task warning threshold (reference: pramen.warn.throughput.rps)
+        warnMinRps = opt("warn.throughput.rps")
+          .orElse(kv.get("warn.throughput.rps")).map(_.toInt).getOrElse(0),
         // on-demand job (reference: TransientJobManager lazy jobs) —
         // never scheduled, materialized when its output is read
         isLazy = opt("lazy").contains("true"))
