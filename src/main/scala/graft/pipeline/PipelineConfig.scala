@@ -136,7 +136,18 @@ object PipelineConfig {
                           jdbc: Option[JdbcBookkeeping] = None,
                           smtp: Option[SmtpSettings] = None,
                           startupHook: Option[Runnable] = None,
-                          shutdownHook: Option[Runnable] = None)
+                          shutdownHook: Option[Runnable] = None,
+                          /** Pipeline timezone (reference: pramen.timezone,
+                            * GeneralConfig.scala:32): sets the session
+                            * timezone and anchors "today" for the default
+                            * run date — a pipeline in Johannesburg must
+                            * not flip its info date at 22:00 local
+                            * because the host runs UTC. */
+                          timezone: Option[java.time.ZoneId] = None,
+                          /** Session-level Spark conf from config
+                            * (reference: pramen.spark.conf block,
+                            * PipelineSparkSessionBuilder.scala:76). */
+                          sparkSessionConf: Map[String, String] = Map.empty)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -516,6 +527,16 @@ object PipelineConfig {
       notificationTargets = kv.get("notification.targets")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")),
+      // a typo'd zone id must fail the parse, not shift tonight's
+      // info dates to the host's zone
+      timezone = kv.get("timezone").map { tz =>
+        try java.time.ZoneId.of(tz)
+        catch { case e: java.time.DateTimeException =>
+          throw new IllegalArgumentException(s"timezone: unknown zone id '$tz'", e) }
+      },
+      sparkSessionConf = kv.collect {
+        case (k, v) if k.startsWith("spark.conf.") => k.stripPrefix("spark.conf.") -> v
+      },
       // user startup/shutdown hooks by FQCN (reference: core/app/config
       // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
       // startup runs before the first task, shutdown exactly once at
@@ -648,7 +669,11 @@ object PipelineConfig {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PipelineConfig <config-file> [runDate yyyy-MM-dd] [flags]")
     val (flags, flagValues, positional) = parseArgs(args.toIndexedSeq.tail)
-    val runDate = positional.headOption.map(LocalDate.parse).getOrElse(LocalDate.now())
+    // config first (parsing is Spark-free): the pipeline timezone
+    // anchors the default run date and shapes the session below
+    val parsed = load(args(0))
+    val runDate = positional.headOption.map(LocalDate.parse).getOrElse(
+      LocalDate.now(parsed.timezone.getOrElse(java.time.ZoneOffset.UTC)))
     val params: RunParams = (flagValues.get("--date-from"), flagValues.get("--date-to")) match {
       case (Some(from), Some(to)) =>
         RunParams.Historical(LocalDate.parse(from), LocalDate.parse(to),
@@ -660,11 +685,13 @@ object PipelineConfig {
       case _ => throw new IllegalArgumentException(
         "--date-from and --date-to must be given together")
     }
-    val spark = SparkSession.builder()
-      .appName(s"graft:${args(0)}")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    val parsed = load(args(0))
+    val spark = parsed.sparkSessionConf.foldLeft(
+      SparkSession.builder()
+        .appName(s"graft:${args(0)}")
+        .config("spark.sql.session.timeZone",
+          parsed.timezone.map(_.getId).getOrElse("UTC"))) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
     // the durable journal (bookkeeping.path) is what makes runs see
     // each other: planning/dry-run against an in-memory Bookkeeper
     // would re-run every completed date and never detect late data

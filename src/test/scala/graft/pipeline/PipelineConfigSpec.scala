@@ -115,6 +115,31 @@ class PipelineConfigSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](PipelineConfig.parseArgs(Seq("--date-from")))
   }
 
+  test("timezone + spark.conf session keys parse; bad zone ids fail the load") {
+    val parsed = PipelineConfig.parse(
+      """pipeline.name = tz
+        |timezone = Africa/Johannesburg
+        |spark.conf.spark.sql.shuffle.partitions = 7
+        |spark.conf.spark.sql.adaptive.enabled = false
+        |table.t.path = /tmp/tz_t
+        |job.1.transformer = identity
+        |job.1.output = t
+        |job.1.option.input.table = t
+        |""".stripMargin)
+    assert(parsed.timezone.contains(java.time.ZoneId.of("Africa/Johannesburg")))
+    assert(parsed.sparkSessionConf == Map(
+      "spark.sql.shuffle.partitions" -> "7",
+      "spark.sql.adaptive.enabled" -> "false"))
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      """pipeline.name = tz
+        |timezone = Mars/Olympus_Mons
+        |table.t.path = /tmp/tz_t
+        |job.1.transformer = identity
+        |job.1.output = t
+        |""".stripMargin))
+    assert(e.getMessage.contains("timezone"))
+  }
+
   test("errors: malformed line, missing path, unknown transformer class") {
     assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
     assertThrows[IllegalArgumentException](PipelineConfig.parse(
