@@ -731,6 +731,21 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 20, bits = 6, tables = 4)
+    }),
+
+    "q_ann_pq" -> ((s, dir) => {
+      // rows-only gate: product-quantized batched ANN — m-byte codes
+      // (16x smaller than the float vectors here), per-query ADC dot
+      // tables riding the broadcast probe rows, bounded top_k_rows
+      // shuffle (ADC identity + recall + plan pinned by ProductQuantSpec)
+      import graft.operators.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 64, iters = 5)
+      val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+      val queries = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .toSeq
+      ProductQuant.topKMulti(encoded, "vec_id", queries, k = 10, cb)
     })
   )
 
@@ -1136,7 +1151,7 @@ object SparkEntry {
         |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
     // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
-    // q_ann_ivf_multi:
+    // q_ann_ivf_multi, q_ann_pq:
     // rows-only gates (hash/LSH/k-means internals not ANSI-SQL-expressible)
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L29: product quantization — codebook determinism, exact ADC
+  * identity, recall against brute force, batched parity, IVF-PQ
+  * partition pruning. */
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(23)
+  private def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    (0L until 300L).map(i => (i, randVec()))
+  private lazy val emb = vecs.toDF("vec_id", "embedding").cache()
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+  }
+
+  test("codebooks are deterministic and shaped m x ksub x dsub") {
+    val cb1 = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 8, iters = 3)
+    val cb2 = ProductQuant.fitCodebooks(emb.repartition(7), "embedding", m = 4, ksub = 8, iters = 3)
+    assert(cb1.length == 4 && cb1.forall(_.length == 8) && cb1.forall(_.forall(_.length == 4)))
+    // hash-ordered sample → identical codebooks across partition layouts
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("codes are m tinyint bytes; ADC score equals driver-side reconstruction cosine") {
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 8, iters = 3)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb).cache()
+    val schema = encoded.schema("codes").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"codes must be array<tinyint>: $schema")
+    val q = vecs(11)._2.map(_.toDouble)
+    val got = ProductQuant.topK(encoded, "vec_id", q, 300, cb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side: decode each row's codes into its reconstruction and
+    // take the true cosine — the ADC identity says they're EQUAL
+    val codes = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    vecs.take(50).foreach { case (id, _) =>
+      val recon = codes(id).toArray.zipWithIndex.flatMap { case (c, j) => cb(j)(c + 128) }
+      val want = BigDecimal(cosine(q, recon)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(id) - want) < 1e-9, s"id $id: adc ${got(id)} vs recon $want")
+    }
+  }
+
+  test("recall@10 against exact brute force is high at m=4/ksub=64") {
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 64, iters = 8)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    val q = vecs(42)._2.map(_.toDouble)
+    val exact = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = ProductQuant.topK(encoded, "vec_id", q, 10, cb)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & approx).size
+    assert(recall >= 6, s"recall@10 = $recall/10 (exact=$exact approx=$approx)")
+    // the self-match survives quantization
+    assert(approx.contains(42L))
+  }
+
+  test("single-query probe plan: scan + TakeOrdered, no shuffle, no join") {
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 8, iters = 2)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    val probe = ProductQuant.topK(encoded, "vec_id", vecs(0)._2.map(_.toDouble), 5, cb)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange") || !plan.contains("hashpartitioning"),
+      s"single-query PQ probe must not shuffle:\n$plan")
+  }
+
+  test("batched probe matches per-query single probes; bounded heap shuffle") {
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 16, iters = 3)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb).cache()
+    val queries = Seq(3L, 17L, 42L).map(i => (i, vecs(i.toInt)._2.map(_.toDouble)))
+    val multi = ProductQuant.topKMulti(encoded, "vec_id", queries, k = 5, cb)
+    val byQuery = multi.collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    queries.foreach { case (qid, q) =>
+      val single = ProductQuant.topK(encoded, "vec_id", q, 5, cb)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(byQuery(qid) == single, s"query $qid: multi ${byQuery(qid)} vs single $single")
+    }
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_rows"),
+      s"map-side partial top_k_rows must bound the shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no corpus-sized window allowed:\n$plan")
+  }
+
+  test("IVF-PQ: cell-partitioned probe prunes to nprobe dirs and finds the self-match") {
+    val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 3)
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 64, iters = 8)
+    val path = tmpDir("ivfpq_")
+    ProductQuant.writeIvfPqIndex(emb, "vec_id", "embedding", path, centroids, cb)
+    val cellDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+
+    val indexed = spark.read.parquet(path)
+    val q = vecs(3)._2.map(_.toDouble)
+    val probe = ProductQuant.ivfPqTopK(indexed, "vec_id", q, 5, centroids, cb, nprobe = 3)
+    val ids = probe.select("vec_id").as[Long].collect().toSeq
+    assert(ids.contains(3L), s"self-match must survive IVF-PQ: $ids")
+    val parts = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(parts.nonEmpty && parts.forall(_ <= 3),
+      s"cell filter must partition-prune the IVF-PQ scan: $parts")
+  }
+}
