@@ -733,6 +733,16 @@ object SparkEntry {
       AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 20, bits = 6, tables = 4)
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      // BM25 relevance scores for a 3-term query over the corpus —
+      // oracle-checked against a DuckDB twin of the exact formula.
+      // The corpus never shuffles: the explode is filtered to the
+      // query terms before any aggregation (see operators.Ranking).
+      graft.operators.Ranking.bm25(docs(s, dir), "doc_id", "text",
+          Seq("hash", "join", "vector"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       // rows-only gate: product-quantized batched ANN — m-byte codes
       // (16x smaller than the float vectors here), per-query ADC dot
@@ -1148,7 +1158,26 @@ object SparkEntry {
         |  FROM base)
         |SELECT vec_id, round(list_cosine_similarity(c,
         |    (SELECT c FROM codes WHERE vec_id = 0)), 6) AS cosine
-        |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+        |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+        |postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
+        |  WHERE term IN ('hash', 'join', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+        |SELECT p.doc_id,
+        |  round(sum(
+        |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |    (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |  ), 4) AS bm25
+        |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
+        |GROUP BY p.doc_id""".stripMargin,
     // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq:

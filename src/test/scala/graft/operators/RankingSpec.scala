@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L30: BM25 relevance ranking — hand-computed ground truth, scale
+  * invariants on the plan. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark joins shuffle data across the cluster"),
+    (2L, "broadcast joins avoid the shuffle joins joins"),
+    (3L, "a tiny doc"),
+    (4L, "shuffle shuffle shuffle shuffle shuffle"),
+    (5L, "nothing relevant here at all")
+  ).toDF("doc_id", "text")
+
+  /** Driver-side BM25 twin (same formula, same tokenization). */
+  private def bm25Local(query: Seq[String], k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = Map(
+      1L -> "spark joins shuffle data across the cluster",
+      2L -> "broadcast joins avoid the shuffle joins joins",
+      3L -> "a tiny doc",
+      4L -> "shuffle shuffle shuffle shuffle shuffle",
+      5L -> "nothing relevant here at all"
+    ).map { case (id, t) => id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+    val n = toks.size
+    val avgdl = toks.values.map(_.length).sum.toDouble / n
+    query.flatMap { term =>
+      val df = toks.count(_._2.contains(term))
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      toks.collect { case (id, ts) if ts.contains(term) =>
+        val tf = ts.count(_ == term)
+        val dl = ts.length
+        id -> idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+      }
+    }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum }
+  }
+
+  test("scores match the hand-computed BM25 exactly; non-matching docs absent") {
+    val got = Ranking.bm25(docs, "doc_id", "text", Seq("joins", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = bm25Local(Seq("joins", "shuffle"))
+    assert(got.keySet == Set(1L, 2L, 4L), s"docs 3 and 5 contain no query term: $got")
+    want.foreach { case (id, s) =>
+      assert(math.abs(got(id) - s) < 1e-9, s"doc $id: got ${got(id)} want $s")
+    }
+  }
+
+  test("term-frequency saturation and length normalization behave (ranking order)") {
+    // doc 2 has 3x 'joins' (rare term, 2 docs) + 1x 'shuffle'; doc 4 is
+    // pure repeated 'shuffle' (common, 3 docs) — saturation + idf must
+    // rank doc 2 first
+    val top = Ranking.bm25TopK(docs, "doc_id", "text", Seq("joins", "shuffle"), 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.head == 2L, s"expected doc 2 first: $top")
+  }
+
+  test("plan: the corpus-sized shuffle carries only query-term postings") {
+    val q = Ranking.bm25(docs, "doc_id", "text", Seq("joins"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the term filter must sit in the plan (it is what bounds every
+    // shuffle to postings) and the df join must broadcast
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"df stats must broadcast, not shuffle-join:\n$plan")
+  }
+
+  test("real corpus: every scored doc contains a query term; scores positive") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"))
+    val joined = scored.join(real, "doc_id")
+      .where(!lower(col("text")).rlike("\\b(hash|vector)\\b"))
+    assert(joined.count() == 0, "scored docs must contain a query term")
+    assert(scored.where(col("bm25") <= 0).count() == 0, "BM25 with +1 idf is positive")
+    assert(scored.count() > 0)
+  }
+}
