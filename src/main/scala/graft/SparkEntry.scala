@@ -402,6 +402,18 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    "q_decontam_bloom" -> ((s, dir) => {
+      // rows-only gate: the Bloom-filtered decontamination scale path —
+      // distributed-built filter probed by the native codegen'd
+      // bloom_might_contain, exact hash verify after (result identical
+      // to q_decontam's id set by construction; equality pinned in
+      // DedupSpec)
+      val dd = docs(s, dir)
+      val bench = dd.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
+      graft.operators.Decontaminate.contaminatedIdsBloom(
+        dd, "text", "doc_id", bench, "q", shingleSize = 5, minOverlap = 1)
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic synthetic PII appended per doc, then scrubbed —
       // proves regex parity with the oracle on real matches

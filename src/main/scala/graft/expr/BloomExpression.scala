@@ -1,0 +1,71 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/**
+ * `bloom_might_contain(hash, filter_bytes)` — probe a serialized
+ * `org.apache.spark.util.sketch.BloomFilter` with a 64-bit hash, as a
+ * native codegen'd expression (the same shape as Spark's internal
+ * runtime-filter `BloomFilterMightContain`, which is not callable from
+ * user code).
+ *
+ * Why it exists (backs `Decontaminate.contaminatedIdsBloom`): the
+ * exact decontamination path broadcasts the benchmark's DISTINCT
+ * shingle hashes as a semi-join hash set — 8 bytes per shingle, which
+ * stops fitting when the benchmark side is itself corpus-sized (union
+ * of every eval suite + their paraphrases). A Bloom filter at the same
+ * false-positive rate is ~5-10× smaller and mergeable, so it builds
+ * distributed and ships once per executor; rows that pass the probe
+ * are then verified EXACTLY against the real hash set — the filter
+ * only bounds how much survives to that join, it never decides
+ * membership.
+ *
+ * The filter bytes are a foldable argument: they live in the plan as
+ * one binary literal, deserialized once per task (transient lazy), and
+ * the per-row probe is a primitive call from generated code — no UDF,
+ * no interpreted fallback.
+ */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects a bigint hash, got ${t.sql}")
+  }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  /** Called from both interpreted eval and generated code. */
+  def test(h: Long): Boolean = filter.mightContainLong(h)
+
+  override protected def nullSafeEval(input: Any): Any = test(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the expression instance itself is the reference object: generated
+    // code calls test() on it, sharing the one deserialized filter
+    val ref = ctx.addReferenceObj("bloom", this, classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.test($h)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object BloomMightContain {
+  /** Serialize a sketch BloomFilter for the expression's byte argument. */
+  def serialize(filter: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    out.toByteArray
+  }
+}

@@ -168,6 +168,21 @@ object GraftFunctions {
         }
         NormalizeText(children(0), form)
       }),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"bloom_might_contain expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            Option(e.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                "bloom_might_contain: filter bytes must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"bloom_might_contain: filter must be a binary literal, got $other")
+        }
+        BloomMightContain(children(0), bytes)
+      }),
     ("lsh_buckets",
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -213,6 +228,9 @@ object GraftFunctions {
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),
       org.apache.spark.sql.functions.lit(bits))
+  def bloomMightContain(hash: Column, filterBytes: Array[Byte]): Column =
+    call_function("bloom_might_contain", hash,
+      org.apache.spark.sql.functions.lit(filterBytes))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's expressions. */

@@ -393,6 +393,46 @@ object Decontaminate {
       shingleSize, minOverlap).select(idCol)
     docs.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /**
+   * Bloom-filtered decontamination — SAME RESULT as
+   * [[contaminatedIds]], for benchmark sets too large to broadcast as
+   * an exact hash set (the union of every eval suite + paraphrases can
+   * itself be corpus-sized). The benchmark's distinct shingle hashes
+   * build a distributed Bloom filter (`df.stat.bloomFilter` merges
+   * per-partition sketches); the corpus scan probes it with a native
+   * codegen'd expression — still zero corpus shuffle — and only the
+   * survivors (true matches + fpp of the corpus shingles) reach the
+   * exact hash semi-join, now a shuffle join whose corpus side is
+   * fpp-sized. The filter bounds candidate volume; membership is
+   * always decided exactly.
+   *
+   * `expectedShingles` skips the counting pass when the caller already
+   * knows the benchmark's distinct-shingle cardinality (at scale: from
+   * bookkeeping or a previous build).
+   */
+  def contaminatedIdsBloom(docs: DataFrame, textCol: String, idCol: String,
+                           benchmark: DataFrame, benchTextCol: String,
+                           shingleSize: Int = 8, minOverlap: Int = 1,
+                           fpp: Double = 0.01, expectedShingles: Long = 0L): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    def shingles(c: String): Column =
+      graft.expr.GraftFunctions.wordShingles(TextFunctions.tokens(col(c)), shingleSize)
+    val benchSh = benchmark
+      .select(explode(shingles(benchTextCol)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("_h")).distinct()
+    val n = if (expectedShingles > 0) expectedShingles else benchSh.count()
+    val bloomBytes = graft.expr.BloomMightContain.serialize(
+      benchSh.stat.bloomFilter("_h", math.max(n, 1L), fpp))
+    docs
+      .select(col(idCol), explode(shingles(textCol)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+      .where(graft.expr.GraftFunctions.bloomMightContain(col("_h"), bloomBytes))
+      .join(benchSh, Seq("_h"), "left_semi") // exact verify: Bloom FPs die here
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
 }
 
 object NgramJaccard {

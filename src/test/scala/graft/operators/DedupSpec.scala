@@ -77,6 +77,46 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"decontamination must broadcast the small sides:\n$plan")
   }
 
+  test("L16b bloom decontamination: identical result to the exact path on real data") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
+    val exact = Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, "q",
+        shingleSize = 5, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Decontaminate.contaminatedIdsBloom(corpus, "text", "doc_id", bench, "q",
+        shingleSize = 5, minOverlap = 1, fpp = 0.03)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact verify join kills every Bloom false positive: same ids
+    // AND same overlap counts
+    assert(bloom == exact, s"bloom result must equal exact: " +
+      s"only-bloom=${bloom -- exact} only-exact=${exact -- bloom}")
+    assert(exact.nonEmpty)
+  }
+
+  test("L16b bloom probe prunes before the exact join; expression stays in codegen") {
+    import graft.expr.{BloomMightContain, GraftFunctions}
+    GraftFunctions.ensure(spark)
+    val inserted = (0L until 1000L).map(_ * 2654435761L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    inserted.foreach(bf.putLong)
+    val bytes = BloomMightContain.serialize(bf)
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the probe at optimization time and leave no codegen stage to pin
+    val probe = spark.range(0, 100000).select(col("id").as("h"))
+      .where(GraftFunctions.bloomMightContain(col("h"), bytes))
+    // no false negatives on a disjoint-domain superset…
+    val hits = probe.as[Long].collect().toSet
+    val trueMembers = inserted.filter(_ < 100000L).toSet
+    assert(trueMembers.subsetOf(hits), "bloom filters never drop a member")
+    // …and the pass-through is fpp-sized, not corpus-sized
+    assert(hits.size < 5000, s"1% fpp over 100k probes should pass ~1k+members, got ${hits.size}")
+    // native expression participates in whole-stage codegen
+    val codegen = probe.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, probe.queryExecution.executedPlan.toString)
+  }
+
   test("L2 minhash-LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
