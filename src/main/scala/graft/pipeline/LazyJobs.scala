@@ -31,7 +31,14 @@ final class LazyJobManager(metastore: Metastore) {
     override def initialValue(): Set[(String, LocalDate)] = Set.empty
   }
 
-  def register(job: JobDef): Unit = jobs.put(job.outputTable, job)
+  def register(job: JobDef): Unit = {
+    // last-wins would silently drop a producer; lazy materialization
+    // is keyed by table, so one table needs exactly ONE lazy producer
+    // (multiple-jobs-per-table mode covers scheduled jobs only)
+    val prev = jobs.put(job.outputTable, job)
+    require(prev.forall(_.name == job.name),
+      s"two lazy jobs ('${prev.get.name}', '${job.name}') produce table '${job.outputTable}'")
+  }
   def isEmpty: Boolean = jobs.isEmpty
 
   /** Ensure `table` has data for `infoDate`, running its lazy

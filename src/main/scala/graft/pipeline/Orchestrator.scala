@@ -267,7 +267,17 @@ final class Orchestrator(
     pipelineName: String = "pipeline",
     environment: String = "local",
     lockFactory: Option[(String, LocalDate) => RunLock] = None,
-    state: Option[PipelineState] = None) {
+    state: Option[PipelineState] = None,
+    /** Allow several jobs to write one table (reference:
+      * `pramen.enable.multiple.jobs.per.table`, GeneralConfig.scala:28
+      * relaxing the DependencyResolver's duplicate-output validation) —
+      * for producers on DISJOINT schedules/date spaces (intraday +
+      * end-of-day into one table). Same sharp edge as the reference:
+      * bookkeeping is keyed (table, infoDate), so two jobs writing the
+      * SAME date see each other as already-done; the per-(table, date)
+      * run lock serializes any overlap. Dependents wait on ALL
+      * producers. */
+    enableMultipleJobsPerTable: Boolean = false) {
 
   /** Per-task lock source: an explicit factory (e.g. database locks
     * via `graft.rdb.TokenLockJdbc`) wins over the FS `lock.dir`. */
@@ -418,7 +428,7 @@ final class Orchestrator(
   private def runTree(jobs: Seq[JobDef], body: JobDef => Seq[TaskResult],
                       onDone: Seq[TaskResult] => Unit): Seq[TaskResult] = {
     validateDag(jobs)
-    val byOutput = jobs.map(j => j.outputTable -> j).toMap
+    val byOutput = producersOf(jobs)
     // cached pool + semaphore rather than a fixed pool: permit waiters
     // park in their own threads, so weighted acquisition can never
     // deadlock against the thread budget
@@ -450,7 +460,8 @@ final class Orchestrator(
         // (passive deps are tracked for update detection only)
         val edgeTables = job.inputTables ++
           job.dependencies.filterNot(_.passive).flatMap(_.tables)
-        val depJobs = edgeTables.distinct.flatMap(byOutput.get).filterNot(_.name == job.name)
+        val depJobs = edgeTables.distinct.flatMap(t => byOutput.getOrElse(t, Nil))
+          .filterNot(_.name == job.name)
         val depsF = Future.sequence(depJobs.map(futureFor))
         depsF.map { deps =>
           // optional (passive) dependencies may fail without blocking
@@ -722,18 +733,32 @@ final class Orchestrator(
     }
   }
 
-  /** Rejects dependency cycles and duplicate output tables up front. */
+  /** All producers of each table — the DAG edge source (a Seq per
+    * table so `enableMultipleJobsPerTable` mode keeps every edge). */
+  private def producersOf(jobs: Seq[JobDef]): Map[String, Seq[JobDef]] =
+    jobs.groupBy(_.outputTable)
+
+  /** Rejects dependency cycles — and duplicate output tables unless
+    * `enableMultipleJobsPerTable` opts in. */
   private def validateDag(jobs: Seq[JobDef]): Unit = {
-    val dup = jobs.groupBy(_.outputTable).collect { case (t, js) if js.size > 1 => t }
-    require(dup.isEmpty, s"Multiple jobs write the same table(s): ${dup.mkString(", ")}")
-    val byOutput = jobs.map(j => j.outputTable -> j).toMap
+    // job NAMES key the execution futures — they must be unique even
+    // when output tables are allowed to repeat
+    val dupNames = jobs.groupBy(_.name).collect { case (n, js) if js.size > 1 => n }
+    require(dupNames.isEmpty, s"Duplicate job name(s): ${dupNames.mkString(", ")}")
+    if (!enableMultipleJobsPerTable) {
+      val dup = jobs.groupBy(_.outputTable).collect { case (t, js) if js.size > 1 => t }
+      require(dup.isEmpty, s"Multiple jobs write the same table(s): ${dup.mkString(", ")} " +
+        "(set enable.multiple.jobs.per.table to allow disjoint-schedule producers)")
+    }
+    val byOutput = producersOf(jobs)
     val visiting = scala.collection.mutable.Set.empty[String]
     val done = scala.collection.mutable.Set.empty[String]
     def visit(j: JobDef): Unit = {
       if (done.contains(j.name)) return
       require(visiting.add(j.name), s"Dependency cycle involving job '${j.name}'")
       (j.inputTables ++ j.dependencies.filterNot(_.passive).flatMap(_.tables))
-        .distinct.flatMap(byOutput.get).filterNot(_.name == j.name).foreach(visit)
+        .distinct.flatMap(t => byOutput.getOrElse(t, Nil)).filterNot(_.name == j.name)
+        .foreach(visit)
       visiting.remove(j.name); done.add(j.name)
     }
     jobs.foreach(visit)

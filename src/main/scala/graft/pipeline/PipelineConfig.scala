@@ -147,7 +147,10 @@ object PipelineConfig {
                           /** Session-level Spark conf from config
                             * (reference: pramen.spark.conf block,
                             * PipelineSparkSessionBuilder.scala:76). */
-                          sparkSessionConf: Map[String, String] = Map.empty)
+                          sparkSessionConf: Map[String, String] = Map.empty,
+                          /** Allow several jobs writing one table
+                            * (reference: pramen.enable.multiple.jobs.per.table). */
+                          multipleJobsPerTable: Boolean = false)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -537,6 +540,7 @@ object PipelineConfig {
       sparkSessionConf = kv.collect {
         case (k, v) if k.startsWith("spark.conf.") => k.stripPrefix("spark.conf.") -> v
       },
+      multipleJobsPerTable = kv.get("enable.multiple.jobs.per.table").contains("true"),
       // user startup/shutdown hooks by FQCN (reference: core/app/config
       // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
       // startup runs before the first task, shutdown exactly once at
@@ -774,7 +778,8 @@ object PipelineConfig {
     new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
       offsetManager = stores.offsets, lockFactory = stores.lockFactory,
       rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
-      environment = parsed.environment).run(parsed.jobs, runDate)
+      environment = parsed.environment,
+      enableMultipleJobsPerTable = parsed.multipleJobsPerTable).run(parsed.jobs, runDate)
   }
 
   /** Register the declared tables and run under explicit run params
@@ -790,7 +795,8 @@ object PipelineConfig {
     parsed.tables.foreach(ms.register)
     new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
         offsetManager = stores.offsets, lockFactory = stores.lockFactory,
-        pipelineName = parsed.name, environment = parsed.environment, state = state)
+        pipelineName = parsed.name, environment = parsed.environment, state = state,
+        enableMultipleJobsPerTable = parsed.multipleJobsPerTable)
       .runWith(parsed.jobs, params, dateParallelism = dateParallelism)
   }
 }

@@ -50,6 +50,43 @@ class OrchestratorSpec extends SparkSpec {
       .select("total").as[Long].head() == 10)
   }
 
+  test("M10b multiple jobs per table: rejected by default, allowed by the flag, dependents wait on ALL producers") {
+    val log = new ConcurrentLinkedQueue[String]()
+    def jobs(ms: Metastore) = Seq(
+      // two producers APPEND-shaped into one table on different dates
+      // (the supported shape: disjoint date spaces)
+      JobDef("prod_a", "shared", new SeedTransformer(2, log, "prod_a"),
+        infoDateExpr = "@runDate"),
+      JobDef("prod_b", "shared", new SeedTransformer(3, log, "prod_b"),
+        infoDateExpr = "@runDate - 1"),
+      JobDef("agg_job", "agg", new SumTransformer("shared", log, "agg_job"), Seq("shared")))
+
+    // default: duplicate outputs are a config error
+    val e = intercept[IllegalArgumentException] {
+      new Orchestrator(newMs("shared", "agg")).run(jobs(null), runDate)
+    }
+    assert(e.getMessage.contains("shared"))
+
+    // flag on: both producers run, the dependent runs after BOTH
+    val ms = newMs("shared", "agg")
+    log.clear()
+    val results = new Orchestrator(ms, enableMultipleJobsPerTable = true)
+      .run(jobs(ms), runDate)
+    assert(results.collect { case s: TaskResult.Succeeded => s.job }.toSet ==
+      Set("prod_a", "prod_b", "agg_job"), s"results: $results")
+    val order = log.toArray.toSeq.map(_.toString)
+    assert(order.last == "agg_job", s"dependent must run after all producers: $order")
+    assert(order.toSet == Set("prod_a", "prod_b", "agg_job"))
+
+    // duplicate job NAMES stay rejected even with the flag
+    val dupName = intercept[IllegalArgumentException] {
+      new Orchestrator(newMs("shared"), enableMultipleJobsPerTable = true).run(Seq(
+        JobDef("same", "shared", new SeedTransformer(1, log, "same")),
+        JobDef("same", "shared", new SeedTransformer(1, log, "same"))), runDate)
+    }
+    assert(dupName.getMessage.contains("Duplicate job name"))
+  }
+
   test("M11 bookkeeper skips already-succeeded (table, infoDate); rerunSucceeded overrides") {
     val ms = newMs("seed")
     val log = new ConcurrentLinkedQueue[String]()
