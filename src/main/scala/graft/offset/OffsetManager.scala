@@ -58,6 +58,15 @@ final case class OffsetInfo(column: String, offsetType: String)
  * database-backed [[graft.rdb.OffsetStoreJdbc]]; ingestion jobs and
  * the orchestrator's incremental context run against this trait.
  */
+/** Undercover variant (see `pipeline.UndercoverBookkeeper`): reads
+  * delegate so incremental jobs consume the correct delta; commits
+  * drop, so the next REAL run re-delivers the same window. */
+final class UndercoverOffsetStore(delegate: OffsetStore) extends OffsetStore {
+  override def getLatestOffset(table: String): Option[OffsetValue] =
+    delegate.getLatestOffset(table)
+  override def commit(table: String, offset: OffsetValue): Unit = ()
+}
+
 trait OffsetStore {
   def getLatestOffset(table: String): Option[OffsetValue]
   /** Commit a new max offset after a successful incremental batch.

@@ -25,6 +25,26 @@ final case class RunRecord(
  * the shared-filesystem [[Bookkeeper]] and the RDBMS-backed
  * [[graft.rdb.BookkeeperJdbc]].
  */
+/** Undercover mode (reference: `pramen.undercover`,
+  * RuntimeConfig.scala:65): the run executes for real — reads, writes,
+  * notifications — but leaves NO TRACE in bookkeeping, so catch-up,
+  * skip-if-done and late-data detection behave afterwards as if the
+  * run never happened. For re-driving production incidents without
+  * corrupting the run history. Reads delegate (decisions still see the
+  * real history); writes drop. */
+final class UndercoverBookkeeper(delegate: BookkeeperStore) extends BookkeeperStore {
+  override def record(r: RunRecord): Unit = ()
+  override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
+    delegate.get(table, infoDate)
+  override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
+    delegate.isAlreadyRan(table, infoDate)
+  override def latestSuccess(table: String): Option[LocalDate] =
+    delegate.latestSuccess(table)
+  override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
+    delegate.latestSuccessRecord(table, until)
+  override def all: Seq[RunRecord] = delegate.all
+}
+
 trait BookkeeperStore {
   def record(r: RunRecord): Unit
   def get(table: String, infoDate: LocalDate): Option[RunRecord]

@@ -150,7 +150,10 @@ object PipelineConfig {
                           sparkSessionConf: Map[String, String] = Map.empty,
                           /** Allow several jobs writing one table
                             * (reference: pramen.enable.multiple.jobs.per.table). */
-                          multipleJobsPerTable: Boolean = false)
+                          multipleJobsPerTable: Boolean = false,
+                          /** Run without writing bookkeeping/offsets
+                            * (reference: pramen.undercover). */
+                          undercover: Boolean = false)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -541,6 +544,7 @@ object PipelineConfig {
         case (k, v) if k.startsWith("spark.conf.") => k.stripPrefix("spark.conf.") -> v
       },
       multipleJobsPerTable = kv.get("enable.multiple.jobs.per.table").contains("true"),
+      undercover = kv.get("undercover").contains("true"),
       // user startup/shutdown hooks by FQCN (reference: core/app/config
       // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
       // startup runs before the first task, shutdown exactly once at
@@ -621,8 +625,8 @@ object PipelineConfig {
     * (the reference behaves the same way — JDBC bookkeeping is the
     * production mode, files the fallback); `fallback` is the
     * caller-provided or default FS bookkeeper otherwise. */
-  private[pipeline] def resolveStores(parsed: Parsed, fallback: BookkeeperStore): ResolvedStores =
-    parsed.jdbc match {
+  private[pipeline] def resolveStores(parsed: Parsed, fallback: BookkeeperStore): ResolvedStores = {
+    val stores = parsed.jdbc match {
       case Some(j) =>
         val db = j.connect()
         ResolvedStores(
@@ -634,6 +638,12 @@ object PipelineConfig {
           if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
       case None => ResolvedStores(fallback, None, None, None)
     }
+    // undercover: decisions read the real history, nothing writes back
+    if (!parsed.undercover) stores
+    else stores.copy(
+      bookkeeper = new UndercoverBookkeeper(stores.bookkeeper),
+      offsets = stores.offsets.map(new graft.offset.UndercoverOffsetStore(_)))
+  }
 
   /**
    * CLI entry (the reference's runner analog):
@@ -649,7 +659,30 @@ object PipelineConfig {
    * — `--rerun`, `--date-from/--date-to`, `--mode`).
    */
   /** Flags that take a value; every other `--flag` is boolean. */
-  private val ValueFlags = Set("--date-from", "--date-to", "--date-parallelism")
+  private val ValueFlags = Set("--date-from", "--date-to", "--date-parallelism", "--tables")
+
+  /** Restrict a run to the jobs producing `tables` (reference:
+    * `pramen.runtime.run.tables` + AppRunner.filterJobs:365): unknown
+    * tables fail loudly (a typo must not silently run nothing), lazy
+    * jobs stay resolvable, and the selected jobs' declarative
+    * dependencies on tables NOT produced by the selection turn PASSIVE
+    * — the parent didn't run today by design, so the date-window gate
+    * must not hold the selected job hostage; it reads whatever the
+    * last full run left in the metastore (the reference passivizes the
+    * same way). */
+  private[pipeline] def selectTables(jobs: Seq[JobDef], tables: Seq[String]): Seq[JobDef] = {
+    val have = jobs.map(_.outputTable).toSet
+    val unknown = tables.filterNot(have.contains).sorted
+    require(unknown.isEmpty,
+      s"--tables selects table(s) no job produces: ${unknown.mkString(", ")}")
+    val selected = tables.toSet
+    val kept = jobs.filter(j => selected.contains(j.outputTable) || j.isLazy)
+    val producedByKept = kept.map(_.outputTable).toSet
+    kept.map { j =>
+      j.copy(dependencies = j.dependencies.map(d =>
+        if (d.tables.forall(producedByKept.contains)) d else d.copy(passive = true)))
+    }
+  }
 
   /** (boolean flags + value flags, positional args) — value-flag
     * values are NOT positional, boolean flags never swallow the next
@@ -675,7 +708,15 @@ object PipelineConfig {
     val (flags, flagValues, positional) = parseArgs(args.toIndexedSeq.tail)
     // config first (parsing is Spark-free): the pipeline timezone
     // anchors the default run date and shapes the session below
-    val parsed = load(args(0))
+    val parsed = {
+      val loaded = load(args(0))
+      val scoped = flagValues.get("--tables") match {
+        case Some(ts) => loaded.copy(jobs = selectTables(loaded.jobs,
+          ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        case None => loaded
+      }
+      if (flags.contains("--undercover")) scoped.copy(undercover = true) else scoped
+    }
     val runDate = positional.headOption.map(LocalDate.parse).getOrElse(
       LocalDate.now(parsed.timezone.getOrElse(java.time.ZoneOffset.UTC)))
     val params: RunParams = (flagValues.get("--date-from"), flagValues.get("--date-to")) match {

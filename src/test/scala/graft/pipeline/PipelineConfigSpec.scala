@@ -140,6 +140,67 @@ class PipelineConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("timezone"))
   }
 
+  test("--tables scopes the run; unknown tables fail; outside deps turn passive") {
+    val base = tmpDir("seltab_")
+    val parsed = PipelineConfig.parse(
+      s"""pipeline.name = sel
+         |table.a.path = $base/a
+         |table.b.path = $base/b
+         |table.c.path = $base/c
+         |job.1.transformer = identity
+         |job.1.output = a
+         |job.1.option.input.table = a
+         |job.2.transformer = identity
+         |job.2.output = b
+         |job.2.inputs = a
+         |job.2.option.input.table = a
+         |job.2.dependency.1.tables = a
+         |job.2.dependency.1.date.from = @infoDate
+         |job.3.transformer = identity
+         |job.3.output = c
+         |job.3.option.input.table = b
+         |""".stripMargin)
+    val scoped = PipelineConfig.selectTables(parsed.jobs, Seq("b"))
+    assert(scoped.map(_.outputTable) == Seq("b"))
+    // the dependency on 'a' (not produced by the selection) is passive:
+    // it must not gate on a parent that didn't run today by design
+    assert(scoped.head.dependencies.forall(_.passive))
+    val e = intercept[IllegalArgumentException](
+      PipelineConfig.selectTables(parsed.jobs, Seq("b", "nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("undercover run leaves no bookkeeping trace; a later real run still executes") {
+    val base = tmpDir("undercover_")
+    def conf(uc: Boolean) =
+      s"""pipeline.name = uc
+         |table.t.path = $base/t
+         |bookkeeping.path = $base/bk
+         |undercover = $uc
+         |job.1.transformer = identity
+         |job.1.output = t
+         |job.1.option.input.table = t
+         |""".stripMargin
+    // seed the table so identity has input
+    spark.range(3).toDF("id").write.parquet(s"$base/t/info_date=$runDate")
+
+    val uc = PipelineConfig.parse(conf(uc = true))
+    assert(uc.undercover)
+    val r1 = PipelineConfig.runParams(spark, uc, RunParams.Normal(runDate),
+      bookkeeper = new Bookkeeper(Some(s"$base/bk")))
+    assert(r1.exists(_.isInstanceOf[TaskResult.Succeeded]), s"undercover run still runs: $r1")
+    assert(new Bookkeeper(Some(s"$base/bk")).all.isEmpty,
+      "undercover must leave no bookkeeping trace")
+
+    // the same date runs again for real — no skip-if-done from the
+    // undercover pass
+    val real = PipelineConfig.parse(conf(uc = false))
+    val r2 = PipelineConfig.runParams(spark, real, RunParams.Normal(runDate),
+      bookkeeper = new Bookkeeper(Some(s"$base/bk")))
+    assert(r2.exists(_.isInstanceOf[TaskResult.Succeeded]), s"real run must not be skipped: $r2")
+    assert(new Bookkeeper(Some(s"$base/bk")).all.nonEmpty)
+  }
+
   test("errors: malformed line, missing path, unknown transformer class") {
     assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
     assertThrows[IllegalArgumentException](PipelineConfig.parse(
