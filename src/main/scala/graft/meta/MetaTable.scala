@@ -128,7 +128,15 @@ final case class MetaTable(
     cachePolicy: Option[CachePolicy] = None,
     catalogRepair: CatalogRepair = CatalogRepair.Recover,
     readOptions: Map[String, String] = Map.empty,
-    writeOptions: Map[String, String] = Map.empty) {
+    writeOptions: Map[String, String] = Map.empty,
+    /** Physical batch marker (reference: MetaTable.batchIdColumn,
+      * `batchid.column` key, default name `pramen_batchid`): every
+      * save stamps the run's batch id into this column, so a day
+      * partition holding several APPENDED incremental batches stays
+      * addressable per batch (`MetastoreReader.getBatch`) and a
+      * replayed batch is identifiable for idempotent cleanup. Opt-in:
+      * None leaves saves untouched. */
+    batchIdColumn: Option[String] = None) {
   /** The policy actually applied to reads. */
   def effectiveCachePolicy: CachePolicy =
     cachePolicy.getOrElse(if (transientCache) CachePolicy.Cache else CachePolicy.NoCache)

@@ -25,7 +25,12 @@ import scala.collection.concurrent.TrieMap
  *  - No driver-side data movement: save/read are pure DataFrame ops.
  */
 final class Metastore(spark: SparkSession,
-                      metadataStore: Option[MetadataStore] = None) {
+                      metadataStore: Option[MetadataStore] = None,
+                      /** This run's batch id, stamped into tables that
+                        * declare a `batchIdColumn` (reference:
+                        * MetastoreImpl.scala:48 — one id per pipeline
+                        * run). */
+                      val batchId: Long = System.currentTimeMillis()) {
   private val tables = TrieMap.empty[String, MetaTable]
   private val statsMap = TrieMap.empty[(String, LocalDate), TableStats]
   // (infoDate, schema, flagged): flagged=false versions come from
@@ -60,9 +65,14 @@ final class Metastore(spark: SparkSession,
     if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
     if (t.format == DataFormat.Delta) Metastore.requireDelta()
     val dateLit = java.sql.Date.valueOf(infoDate)
-    val withDate =
+    val withDate0 =
       (if (df.columns.contains(t.infoDateColumn)) df.drop(t.infoDateColumn) else df)
         .withColumn(t.infoDateColumn, lit(dateLit))
+    // batch stamp: one id per run, so appended batches in a single day
+    // partition stay individually addressable (getBatch)
+    val withDate = t.batchIdColumn.fold(withDate0)(bc =>
+      (if (withDate0.columns.contains(bc)) withDate0.drop(bc) else withDate0)
+        .withColumn(bc, lit(batchId)))
 
     val (partCols, toWrite) = t.scheme match {
       case PartitionScheme.ByDay => (Seq(t.infoDateColumn), withDate)
@@ -668,6 +678,24 @@ final class MetastoreReader(ms: Metastore, allowed: Option[Set[String]],
           "getCurrentBatch outside an orchestrator run needs an explicit date: use getTable(name, from, to)"))
         getTable(name, Some(d), Some(d))
     }
+  /** One BATCH of a day partition (reference: api MetastoreReader
+    * `getBatch`, MetastoreImpl.scala:98): the rows the given run
+    * appended, selected by the table's `batchIdColumn` — defaults to
+    * THIS run's batch id. Falls back to the whole slice for tables
+    * without a batch column (same as the reference when the column is
+    * absent from the schema). */
+  def getBatch(name: String, infoDate: LocalDate,
+               batchId: Option[Long] = None): DataFrame = {
+    check(name); resolveLazy(name, Some(infoDate), Some(infoDate))
+    val slice = ms.getTable(name, Some(infoDate), Some(infoDate))
+    ms.getTableDef(name).batchIdColumn match {
+      case Some(bc) if slice.columns.contains(bc) =>
+        slice.where(org.apache.spark.sql.functions.col(bc) ===
+          batchId.getOrElse(ms.batchId))
+      case _ => slice
+    }
+  }
+
   def getLatest(name: String, until: Option[LocalDate] = None): DataFrame = {
     check(name); ms.getLatest(name, until)
   }

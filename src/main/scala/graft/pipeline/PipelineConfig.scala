@@ -247,6 +247,12 @@ object PipelineConfig {
           case (k, v) if k.startsWith(s"table.$t.read.option.") =>
             k.stripPrefix(s"table.$t.read.option.") -> v
         },
+        // per-table batchid.column; always.add.batchid.column = true
+        // stamps every table with the default name (reference:
+        // ALWAYS_ADD_BATCHID_COLUMN + MetaTable.BATCH_ID_COLUMN_KEY)
+        batchIdColumn = opt("batchid.column").orElse(
+          if (kv.get("always.add.batchid.column").contains("true"))
+            Some("graft_batchid") else None),
         writeOptions = kv.collect {
           case (k, v) if k.startsWith(s"table.$t.write.option.") =>
             k.stripPrefix(s"table.$t.write.option.") -> v

@@ -35,6 +35,37 @@ class MetastoreSpec extends SparkSpec {
     assert(back.select("tag").distinct().as[String].collect().toSeq == Seq("a"))
   }
 
+  test("M1b batchid column: appended batches stay individually addressable") {
+    val path = tmpDir("msb_") + "/t"
+    val table = MetaTable("t", path, batchIdColumn = Some("graft_batchid"))
+    // two runs (two Metastore instances = two batch ids) append into
+    // the SAME day partition
+    val run1 = new Metastore(spark, batchId = 1001L)
+    run1.register(table)
+    run1.saveTable("t", d1, data("a", 3))
+    val run2 = new Metastore(spark, batchId = 1002L)
+    run2.register(table)
+    run2.saveTable("t", d1, data("b", 2), org.apache.spark.sql.SaveMode.Append)
+
+    // whole slice sees both batches, each stamped with its run
+    val slice = run2.getTable("t", Some(d1), Some(d1))
+    assert(slice.count() == 5)
+    assert(slice.select("graft_batchid").distinct().as[Long].collect().toSet == Set(1001L, 1002L))
+
+    // getBatch defaults to the CURRENT run's rows; explicit id reads a
+    // historical batch
+    val reader = run2.readerFor(None, currentInfoDate = Some(d1))
+    assert(reader.getBatch("t", d1).select("tag").distinct().as[String].collect().toSeq == Seq("b"))
+    assert(reader.getBatch("t", d1, Some(1001L)).count() == 3)
+
+    // a table WITHOUT the column is untouched and getBatch degrades to
+    // the full slice
+    val (plain, _) = freshMs(name = "p")
+    plain.saveTable("p", d1, data("x", 2))
+    assert(!plain.getTable("p", Some(d1), Some(d1)).columns.contains("graft_batchid"))
+    assert(plain.readerFor(None, currentInfoDate = Some(d1)).getBatch("p", d1).count() == 2)
+  }
+
   test("M2 range read prunes partitions at plan time (ByDay)") {
     val (ms, _) = freshMs()
     ms.saveTable("t", d1, data("a", 3))
