@@ -202,12 +202,12 @@ final class HtmlReportingNotifier(
   * the custom entries and the other would silently render without
   * them, so a file+SMTP configuration must share one drain/render. */
 final class FanoutHtmlReportNotifier(
-    transportsFor: PipelineInfo => Seq[HtmlTransport],
+    transportsFor: (PipelineInfo, Seq[TaskResult]) => Seq[HtmlTransport],
     builder: NotificationBuilder = NotificationBuilder.global,
     schemaChanges: () => Seq[(String, LocalDate, Seq[FieldChange])] = () => Nil)
   extends PipelineNotificationTarget {
   override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
-    val transports = transportsFor(info)
+    val transports = transportsFor(info, results)
     if (transports.nonEmpty) {
       val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
       val html = HtmlReport.render(info, results, builder.drain(), schemaChanges())

@@ -153,7 +153,16 @@ object PipelineConfig {
                           multipleJobsPerTable: Boolean = false,
                           /** Run without writing bookkeeping/offsets
                             * (reference: pramen.undercover). */
-                          undercover: Boolean = false)
+                          undercover: Boolean = false,
+                          /** false = suppress the notification EMAIL
+                            * when nothing ran (reference:
+                            * pramen.email.if.no.changes, default true). */
+                          emailIfNoChanges: Boolean = true,
+                          /** Permit a pipeline with zero jobs
+                            * (reference: pramen.allow.empty.pipeline,
+                            * default false — an empty job list is
+                            * usually a config error). */
+                          allowEmptyPipeline: Boolean = false)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -551,6 +560,8 @@ object PipelineConfig {
       },
       multipleJobsPerTable = kv.get("enable.multiple.jobs.per.table").contains("true"),
       undercover = kv.get("undercover").contains("true"),
+      emailIfNoChanges = !kv.get("notification.email.if.no.changes").contains("false"),
+      allowEmptyPipeline = kv.get("allow.empty.pipeline").contains("true"),
       // user startup/shutdown hooks by FQCN (reference: core/app/config
       // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
       // startup runs before the first task, shutdown exactly once at
@@ -664,6 +675,19 @@ object PipelineConfig {
    * failed (reference: pramen/core .../core/app/config/RuntimeConfig.scala
    * — `--rerun`, `--date-from/--date-to`, `--mode`).
    */
+  /** email.if.no.changes = false suppresses the notification EMAIL
+    * when the run did nothing (everything skipped/not-ready and
+    * nothing failed) — 365 "0 tasks ran" mails a year bury the one
+    * that matters. The FILE report still writes: it is the run's
+    * audit record. (reference: EMAIL_IF_NO_CHANGES,
+    * PipelineStateImpl.scala:426) */
+  private[pipeline] def suppressEmail(parsed: Parsed, info: PipelineInfo,
+                                      results: Seq[TaskResult]): Boolean = {
+    val ranNothing = results.forall(r =>
+      r.isInstanceOf[TaskResult.Skipped] || r.isInstanceOf[TaskResult.NotReady])
+    !parsed.emailIfNoChanges && ranNothing && info.status != "failed"
+  }
+
   /** Flags that take a value; every other `--flag` is boolean. */
   private val ValueFlags = Set("--date-from", "--date-to", "--date-parallelism", "--tables")
 
@@ -769,9 +793,10 @@ object PipelineConfig {
     // NotificationBuilder's custom entries.)
     val reportNotifier: Seq[PipelineNotificationTarget] =
       if (parsed.htmlReportDir.isEmpty && parsed.smtp.isEmpty) Nil
-      else Seq(new FanoutHtmlReportNotifier(info => {
+      else Seq(new FanoutHtmlReportNotifier((info, results) => {
         val file = parsed.htmlReportDir.map(dir => new FileHtmlTransport(dir))
-        val smtp = parsed.smtp.flatMap { s =>
+        val smtp = if (suppressEmail(parsed, info, results)) None
+        else parsed.smtp.flatMap { s =>
           val rcpts =
             if (info.status == "failed" && parsed.notifyFailureEmails.nonEmpty)
               parsed.notifyFailureEmails
@@ -837,6 +862,11 @@ object PipelineConfig {
                 lockDir: Option[String] = None,
                 dateParallelism: Int = 1,
                 state: Option[PipelineState] = None): Seq[TaskResult] = {
+    // an empty job list is usually every job disabled by accident —
+    // fail loudly unless the config says it's intentional (reference:
+    // AppRunner.scala:401, pramen.allow.empty.pipeline)
+    require(parsed.jobs.nonEmpty || parsed.allowEmptyPipeline,
+      "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
     val stores = resolveStores(parsed, bookkeeper)
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)

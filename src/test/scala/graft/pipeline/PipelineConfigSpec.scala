@@ -201,6 +201,49 @@ class PipelineConfigSpec extends SparkSpec {
     assert(new Bookkeeper(Some(s"$base/bk")).all.nonEmpty)
   }
 
+  test("email.if.no.changes suppression and the empty-pipeline guard") {
+    def parsedWith(extra: String) = PipelineConfig.parse(
+      s"""pipeline.name = n
+         |$extra
+         |table.t.path = /tmp/nochange_t
+         |job.1.transformer = identity
+         |job.1.output = t
+         |job.1.option.input.table = t
+         |""".stripMargin)
+    val quiet = parsedWith("notification.email.if.no.changes = false")
+    val loud = parsedWith("")
+    val info = PipelineInfo("n", "test", runDate, 0L, 1L, None, "succeeded", None)
+    val infoFailed = info.copy(status = "failed")
+    val nothingRan = Seq(TaskResult.Skipped("j", "already done"))
+    val somethingRan = Seq(TaskResult.Succeeded("j", "t", runDate, 5))
+    // suppressed ONLY when: flag off AND nothing ran AND not failed
+    assert(PipelineConfig.suppressEmail(quiet, info, nothingRan))
+    assert(!PipelineConfig.suppressEmail(quiet, info, somethingRan))
+    assert(!PipelineConfig.suppressEmail(quiet, infoFailed, nothingRan))
+    assert(!PipelineConfig.suppressEmail(loud, info, nothingRan))
+
+    // zero enabled jobs fails the run unless explicitly allowed
+    val none = PipelineConfig.parse(
+      """pipeline.name = e
+        |table.t.path = /tmp/empty_t
+        |job.1.disabled = true
+        |job.1.transformer = identity
+        |job.1.output = t
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      PipelineConfig.runParams(spark, none, RunParams.Normal(runDate)))
+    assert(e.getMessage.contains("allow.empty.pipeline"))
+    val allowed = PipelineConfig.parse(
+      """pipeline.name = e
+        |allow.empty.pipeline = true
+        |table.t.path = /tmp/empty_t
+        |job.1.disabled = true
+        |job.1.transformer = identity
+        |job.1.output = t
+        |""".stripMargin)
+    assert(PipelineConfig.runParams(spark, allowed, RunParams.Normal(runDate)).isEmpty)
+  }
+
   test("errors: malformed line, missing path, unknown transformer class") {
     assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
     assertThrows[IllegalArgumentException](PipelineConfig.parse(

@@ -148,7 +148,7 @@ class SmtpTransportSpec extends AnyFunSuite {
     val info = PipelineInfo("p", "test", java.time.LocalDate.parse("2024-06-15"),
       0L, 1L, None, "succeeded", None)
     new FanoutHtmlReportNotifier(
-      _ => Seq(transport("file"), broken, transport("smtp")), builder)
+      (_, _) => Seq(transport("file"), broken, transport("smtp")), builder)
       .onPipelineCompletedInfo(info, Nil)
     assert(sent.map(_._1) == Seq("file", "smtp"), "broken transport must not stop the rest")
     assert(sent.forall(_._3.contains("custom-entry-alpha")),
