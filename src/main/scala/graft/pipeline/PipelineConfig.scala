@@ -162,7 +162,18 @@ object PipelineConfig {
                             * (reference: pramen.allow.empty.pipeline,
                             * default false — an empty job list is
                             * usually a config error). */
-                          allowEmptyPipeline: Boolean = false)
+                          allowEmptyPipeline: Boolean = false,
+                          /** Hadoop configuration applied to the
+                            * session's `sc.hadoopConfiguration`
+                            * (reference: `hadoop.conf` /
+                            * `hadoop.option` blocks,
+                            * PipelineSparkSessionBuilder.scala:100 —
+                            * S3 endpoints, credentials providers). */
+                          hadoopConf: Map[String, String] = Map.empty,
+                          /** Log the redacted effective config at
+                            * startup (reference:
+                            * pramen.log.effective.config). */
+                          logEffectiveConfig: Boolean = false)
 
   def load(path: String): Parsed =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
@@ -206,17 +217,34 @@ object PipelineConfig {
     inst.asInstanceOf[T]
   }
 
+  private[pipeline] def parseKv(text: String): Map[String, String] = text.linesIterator
+    .map(_.trim)
+    .filter(l => l.nonEmpty && !l.startsWith("#"))
+    .map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"Malformed config line (expected key = value): $l")
+      // strip trailing comments outside of values containing '#'? keep simple: full value
+      l.substring(0, i).trim -> l.substring(i + 1).trim
+    }
+    .toMap
+
+  /** Key substrings whose values never reach a log (reference:
+    * Keys.KEYS_TO_REDACT — password/secret/token/key material). */
+  private[pipeline] val RedactTokens =
+    Set("password", "secret", "token", "api.key", "access.key", "pwd", "auth")
+
+  /** The effective config rendered for logging, sensitive values
+    * replaced (reference: ConfigUtils.renderRedactedKeyValue:261 under
+    * `pramen.log.effective.config`) — operators diff THIS against what
+    * they think tonight's run used; secrets must survive the paste. */
+  private[pipeline] def renderEffectiveConfig(kv: Map[String, String]): Seq[String] =
+    kv.toSeq.sortBy(_._1).map { case (k, v) =>
+      val lk = k.toLowerCase
+      if (RedactTokens.exists(lk.contains)) s"$k = [redacted]" else s"$k = $v"
+    }
+
   def parse(text: String): Parsed = {
-    val kv: Map[String, String] = text.linesIterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val i = l.indexOf('=')
-        require(i > 0, s"Malformed config line (expected key = value): $l")
-        // strip trailing comments outside of values containing '#'? keep simple: full value
-        l.substring(0, i).trim -> l.substring(i + 1).trim
-      }
-      .toMap
+    val kv: Map[String, String] = parseKv(text)
 
     val name = kv.getOrElse("pipeline.name", "pipeline")
 
@@ -562,6 +590,11 @@ object PipelineConfig {
       undercover = kv.get("undercover").contains("true"),
       emailIfNoChanges = !kv.get("notification.email.if.no.changes").contains("false"),
       allowEmptyPipeline = kv.get("allow.empty.pipeline").contains("true"),
+      hadoopConf = kv.collect {
+        case (k, v) if k.startsWith("hadoop.conf.") => k.stripPrefix("hadoop.conf.") -> v
+        case (k, v) if k.startsWith("hadoop.option.") => k.stripPrefix("hadoop.option.") -> v
+      },
+      logEffectiveConfig = kv.get("log.effective.config").contains("true"),
       // user startup/shutdown hooks by FQCN (reference: core/app/config
       // /HookConfig.scala — pramen.hook.{startup,shutdown}.class):
       // startup runs before the first task, shutdown exactly once at
@@ -760,6 +793,10 @@ object PipelineConfig {
       case _ => throw new IllegalArgumentException(
         "--date-from and --date-to must be given together")
     }
+    if (parsed.logEffectiveConfig)
+      renderEffectiveConfig(parseKv(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(args(0))), "UTF-8")))
+        .foreach(l => System.err.println(s"[graft config] $l"))
     val spark = parsed.sparkSessionConf.foldLeft(
       SparkSession.builder()
         .appName(s"graft:${args(0)}")
@@ -867,6 +904,8 @@ object PipelineConfig {
     // AppRunner.scala:401, pramen.allow.empty.pipeline)
     require(parsed.jobs.nonEmpty || parsed.allowEmptyPipeline,
       "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
+    parsed.hadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
     val stores = resolveStores(parsed, bookkeeper)
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)

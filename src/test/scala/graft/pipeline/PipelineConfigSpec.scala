@@ -244,6 +244,33 @@ class PipelineConfigSpec extends SparkSpec {
     assert(PipelineConfig.runParams(spark, allowed, RunParams.Normal(runDate)).isEmpty)
   }
 
+  test("hadoop.conf keys parse; effective-config rendering redacts secrets") {
+    val parsed = PipelineConfig.parse(
+      """pipeline.name = h
+        |hadoop.conf.fs.s3a.endpoint = s3.example.com
+        |hadoop.option.fs.s3a.path.style.access = true
+        |log.effective.config = true
+        |table.t.path = /tmp/h_t
+        |job.1.transformer = identity
+        |job.1.output = t
+        |job.1.option.input.table = t
+        |""".stripMargin)
+    assert(parsed.hadoopConf == Map(
+      "fs.s3a.endpoint" -> "s3.example.com",
+      "fs.s3a.path.style.access" -> "true"))
+    assert(parsed.logEffectiveConfig)
+    val rendered = PipelineConfig.renderEffectiveConfig(Map(
+      "source.db.jdbc.password" -> "hunter2",
+      "bookkeeping.jdbc.api.key" -> "abc123",
+      "notification.smtp.host" -> "mail.acme.com",
+      "session.token" -> "tok"))
+    assert(rendered.contains("source.db.jdbc.password = [redacted]"))
+    assert(rendered.contains("bookkeeping.jdbc.api.key = [redacted]"))
+    assert(rendered.contains("session.token = [redacted]"))
+    assert(rendered.contains("notification.smtp.host = mail.acme.com"))
+    assert(!rendered.mkString.contains("hunter2") && !rendered.mkString.contains("abc123"))
+  }
+
   test("errors: malformed line, missing path, unknown transformer class") {
     assertThrows[IllegalArgumentException](PipelineConfig.parse("just a line without equals"))
     assertThrows[IllegalArgumentException](PipelineConfig.parse(
