@@ -762,7 +762,10 @@ object SparkEntry {
       // shuffle (ADC identity + recall + plan pinned by ProductQuantSpec)
       import graft.operators.ProductQuant
       val emb = t(s, dir, "embeddings")
-      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 64, iters = 5)
+      // modest fit budget: the gate exercises the plan shape (encode +
+      // batched ADC probe); recall quality is pinned separately in
+      // ProductQuantSpec with its own codebooks
+      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 32, iters = 3)
       val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
       val queries = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))

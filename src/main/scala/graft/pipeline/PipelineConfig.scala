@@ -703,6 +703,8 @@ object PipelineConfig {
    * PipelineConfig <config-file> --date-from D --date-to D      # historical backfill (fill gaps)
    *     [--force-rerun] [--inverse-order]                       # re-run completed days / newest first
    * PipelineConfig <config-file> [runDate] --new-only|--late-only
+   * PipelineConfig <config-file> --tables t1,t2                 # run only the jobs producing these tables
+   * PipelineConfig <config-file> [runDate] --undercover         # real run, no bookkeeping trace
    * }}}
    * Prints one status line per task and exits non-zero if anything
    * failed (reference: pramen/core .../core/app/config/RuntimeConfig.scala
