@@ -14,6 +14,19 @@ import java.time.LocalDate
  * the bookkeeping database so drivers without a shared mount see each
  * other's annotations.
  */
+/** Undercover variant (see `pipeline.UndercoverBookkeeper`): reads
+  * delegate, writes/deletes drop — an incident re-drive must not
+  * overwrite the metadata the next real run reads. */
+final class UndercoverMetadataStore(delegate: MetadataStore) extends MetadataStore {
+  override def set(table: String, infoDate: LocalDate, key: String, value: String): Unit = ()
+  override def get(table: String, infoDate: LocalDate, key: String): Option[String] =
+    delegate.get(table, infoDate, key)
+  override def list(table: String, infoDate: LocalDate): Map[String, String] =
+    delegate.list(table, infoDate)
+  override def delete(table: String, infoDate: LocalDate, key: String): Unit = ()
+  override def deleteAll(table: String, infoDate: LocalDate): Unit = ()
+}
+
 trait MetadataStore {
   def set(table: String, infoDate: LocalDate, key: String, value: String): Unit
   def get(table: String, infoDate: LocalDate, key: String): Option[String]

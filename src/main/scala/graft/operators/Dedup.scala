@@ -418,9 +418,14 @@ object Decontaminate {
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
     def shingles(c: String): Column =
       graft.expr.GraftFunctions.wordShingles(TextFunctions.tokens(col(c)), shingleSize)
+    // persisted: this hash set is read up to three times (cardinality
+    // count, Bloom build, exact-verify join) and the whole feature
+    // exists because the benchmark side is corpus-sized — recomputing
+    // the explode+distinct per consumer would triple the heavy scan
     val benchSh = benchmark
       .select(explode(shingles(benchTextCol)).as("_sh"))
       .select(xxhash64(col("_sh")).as("_h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = if (expectedShingles > 0) expectedShingles else benchSh.count()
     val bloomBytes = graft.expr.BloomMightContain.serialize(
       benchSh.stat.bloomFilter("_h", math.max(n, 1L), fpp))

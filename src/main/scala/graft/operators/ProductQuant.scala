@@ -151,17 +151,21 @@ object ProductQuant {
     codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_.map(x => x * x).sum))
 
   /** ADC cosine of a codes column against per-query lookup tables
-    * (both m × ksub literals): m element_at lookups + adds per side.
-    * element_at is 1-based and codes store idx − 128 → index c + 129. */
+    * (both m × ksub literals or columns): m element_at lookups + adds
+    * per side. element_at is 1-based and codes store idx − 128 →
+    * index c + 129. ONE implementation for both the single-query
+    * (literal qNorm) and batched (qNorm column on the probe row)
+    * paths — a fix to the lookup or the zero guards must never apply
+    * to one and not the other. */
   private def adcCosine(codes: Column, dotT: Column, nrmT: Column,
-                        qNorm: Double): Column = {
+                        qNorm: Column): Column = {
     def lookupSum(table: Column) = aggregate(
       zip_with(codes, table, (c, row) => element_at(row, c.cast("int") + 129)),
       lit(0.0d), (acc, v) => acc + v)
     val d = lookupSum(dotT)
     val n2 = lookupSum(nrmT)
-    if (qNorm == 0.0) lit(0.0d)
-    else when(n2 <= 0.0d, lit(0.0d)).otherwise(d / (sqrt(n2) * qNorm))
+    when(n2 <= 0.0d || qNorm === 0.0d, lit(0.0d))
+      .otherwise(d / (sqrt(n2) * qNorm))
   }
 
   private def qNormOf(query: Array[Double]): Double =
@@ -174,7 +178,7 @@ object ProductQuant {
     encoded.select(col(idCol),
         round(adcCosine(col("codes"),
           typedlit(dotTable(query, codebooks)), typedlit(normTable(codebooks)),
-          qNormOf(query)), 6).as("cosine"))
+          lit(qNormOf(query))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
@@ -194,13 +198,8 @@ object ProductQuant {
     val probes = queries.map { case (qid, q) =>
       (qid, dotTable(q, codebooks), qNormOf(q))
     }.toDF("query_id", "_dt", "_qn")
-    val nrmT = typedlit(normTable(codebooks))
-    def lookupSum(table: Column) = aggregate(
-      zip_with(col("codes"), table, (c, row) => element_at(row, c.cast("int") + 129)),
-      lit(0.0d), (acc, v) => acc + v)
-    val n2 = lookupSum(nrmT)
-    val cosine = when(n2 <= 0.0d || col("_qn") === 0.0d, lit(0.0d))
-      .otherwise(lookupSum(col("_dt")) / (sqrt(n2) * col("_qn")))
+    val cosine = adcCosine(col("codes"), col("_dt"),
+      typedlit(normTable(codebooks)), col("_qn"))
     val scored = encoded.crossJoin(broadcast(probes))
       .select(col("query_id"),
         struct(round(cosine, 6).as("cosine"), col(idCol)).as("_scored"))

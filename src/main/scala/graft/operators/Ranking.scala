@@ -38,7 +38,12 @@ object Ranking {
    */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    // the query rides the SAME normalization as the corpus — a raw
+    // "Vector-Search" must match the tokens it would produce, not
+    // silently compare unequal against lowercased corpus tokens
+    val terms = queryTerms
+      .flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("_t"))
       .select(col(idCol), size(col("_t")).as("_dl"), col("_t"))
@@ -46,13 +51,16 @@ object Ranking {
     // engines, so the division is bit-identical to the oracle's avg)
     val stats = base.agg(count(lit(1)).as("n"), avg(col("_dl")).as("avgdl")).head()
     val n = stats.getLong(0)
+    // empty corpus: avg is null — the natural result is no scores
+    if (n == 0L)
+      return docs.select(col(idCol), lit(0.0d).as("bm25")).where(lit(false))
     val avgdl = stats.getDouble(1)
     // postings: explode filtered to the query terms BEFORE any
     // aggregation — the groupBy shuffles only matching (id, dl, term)
     // rows, never the corpus
     val postings = base
       .select(col(idCol), col("_dl"), explode(col("_t")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
+      .where(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("_dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df per query term: ≤ |query| rows, broadcast back onto postings

@@ -314,6 +314,16 @@ final class Orchestrator(
   private val lazyJobs = new LazyJobManager(metastore)
   private def splitLazy(jobs: Seq[JobDef]): Seq[JobDef] = {
     val (lz, scheduled) = jobs.partition(_.isLazy)
+    // a lazy and a scheduled producer of one table would race: the
+    // reader materializes the lazy one while the scheduled one also
+    // writes the date. validateDag never sees the pair (it checks the
+    // scheduled tree only), so reject the collision here — even under
+    // enableMultipleJobsPerTable, whose contract covers scheduled
+    // producers on disjoint schedules, not on-demand materialization
+    val scheduledOut = scheduled.map(_.outputTable).toSet
+    val collide = lz.map(_.outputTable).filter(scheduledOut.contains).distinct
+    require(collide.isEmpty,
+      s"table(s) ${collide.mkString(", ")} have both a lazy and a scheduled producer")
     lz.foreach(lazyJobs.register)
     scheduled
   }

@@ -692,7 +692,8 @@ object PipelineConfig {
     if (!parsed.undercover) stores
     else stores.copy(
       bookkeeper = new UndercoverBookkeeper(stores.bookkeeper),
-      offsets = stores.offsets.map(new graft.offset.UndercoverOffsetStore(_)))
+      offsets = stores.offsets.map(new graft.offset.UndercoverOffsetStore(_)),
+      metadata = stores.metadata.map(new graft.meta.UndercoverMetadataStore(_)))
   }
 
   /**
@@ -742,10 +743,28 @@ object PipelineConfig {
       s"--tables selects table(s) no job produces: ${unknown.mkString(", ")}")
     val selected = tables.toSet
     val kept = jobs.filter(j => selected.contains(j.outputTable) || j.isLazy)
-    val producedByKept = kept.map(_.outputTable).toSet
+    // a selection of only lazy jobs schedules NOTHING (lazy jobs are
+    // kept for on-demand resolution, never scheduled) — running
+    // "--tables t" where t is lazy must fail, not silently exit 0
+    require(kept.exists(!_.isLazy),
+      s"--tables selection (${tables.mkString(", ")}) contains no schedulable job " +
+        "(lazy jobs materialize on demand when a scheduled job reads them)")
+    val producedByKept = kept.filterNot(_.isLazy).map(_.outputTable).toSet
     kept.map { j =>
-      j.copy(dependencies = j.dependencies.map(d =>
-        if (d.tables.forall(producedByKept.contains)) d else d.copy(passive = true)))
+      // per-TABLE passivation: a mixed dependency [a, x] where the
+      // selection produces 'a' but not 'x' must keep gating (and DAG-
+      // ordering) on 'a' — passivating the whole block would let the
+      // dependent run concurrently with a's producer. Split instead.
+      j.copy(dependencies = j.dependencies.flatMap { d =>
+        if (d.passive) Seq(d)
+        else {
+          val (produced, outside) = d.tables.partition(producedByKept.contains)
+          Seq(
+            if (produced.nonEmpty) Some(d.copy(tables = produced)) else None,
+            if (outside.nonEmpty) Some(d.copy(tables = outside, passive = true)) else None
+          ).flatten
+        }
+      })
     }
   }
 
@@ -773,8 +792,10 @@ object PipelineConfig {
     val (flags, flagValues, positional) = parseArgs(args.toIndexedSeq.tail)
     // config first (parsing is Spark-free): the pipeline timezone
     // anchors the default run date and shapes the session below
+    val configText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(args(0))), "UTF-8")
     val parsed = {
-      val loaded = load(args(0))
+      val loaded = parse(configText)
       val scoped = flagValues.get("--tables") match {
         case Some(ts) => loaded.copy(jobs = selectTables(loaded.jobs,
           ts.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
@@ -795,10 +816,14 @@ object PipelineConfig {
       case _ => throw new IllegalArgumentException(
         "--date-from and --date-to must be given together")
     }
-    if (parsed.logEffectiveConfig)
-      renderEffectiveConfig(parseKv(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(args(0))), "UTF-8")))
+    if (parsed.logEffectiveConfig) {
+      renderEffectiveConfig(parseKv(configText))
         .foreach(l => System.err.println(s"[graft config] $l"))
+      // CLI overrides are part of what this run actually uses
+      val cliBits = flags.toSeq.sorted ++ flagValues.toSeq.sorted.map { case (k, v) => s"$k $v" }
+      if (cliBits.nonEmpty)
+        System.err.println(s"[graft config] (cli) ${cliBits.mkString(" ")}")
+    }
     val spark = parsed.sparkSessionConf.foldLeft(
       SparkSession.builder()
         .appName(s"graft:${args(0)}")

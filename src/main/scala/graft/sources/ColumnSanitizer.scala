@@ -39,14 +39,26 @@ object ColumnSanitizer {
     if (specialCharacters.isEmpty || df.schema.isEmpty) return df
 
     val names = df.schema.fields.map(_.name)
+    // indexOf, not split: Java split drops trailing empty segments, so
+    // a degenerate name like "." yields an EMPTY array and .head throws
+    def firstSegment(n: String): String = {
+      val i = n.indexOf('.')
+      if (i < 0) n else n.substring(0, i)
+    }
     // uniform dotted prefix: compare on the first segment so a prefix-
     // less name equal to the prefix itself ("t" among "t.a") still
     // counts as uniform, like the reference
-    val uniformPrefix = names.map(_.split('.').head).distinct.length == 1 &&
+    val uniformPrefix = names.map(firstSegment).distinct.length == 1 &&
       names.exists(_.contains('.'))
 
     def stripPrefix(n: String): String =
-      if (uniformPrefix && n.contains('.')) n.split('.').drop(1).mkString(".") else n
+      if (uniformPrefix && n.contains('.')) {
+        val stripped = n.substring(n.indexOf('.') + 1)
+        // "t1." would strip to the empty string — an even worse name
+        // than the input; keep the original and let the special-char
+        // pass handle it
+        if (stripped.isEmpty) n else stripped
+      } else n
 
     // seeded with every ORIGINAL name: a sanitized name may not collide
     // with a column that keeps its name either

@@ -67,6 +67,24 @@ class RankingSpec extends SparkSpec {
       s"df stats must broadcast, not shuffle-join:\n$plan")
   }
 
+  test("query terms ride the corpus normalization; empty corpus yields empty scores") {
+    // capitalized/punctuated queries must match what tokenization
+    // produces, not silently compare unequal
+    val norm = Ranking.bm25(docs, "doc_id", "text", Seq("Joins", "SHUFFLE!"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Ranking.bm25(docs, "doc_id", "text", Seq("joins", "shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(norm == plain, s"normalized query must equal plain: $norm vs $plain")
+    // a multi-word query splits into its tokens
+    val multi = Ranking.bm25(docs, "doc_id", "text", Seq("joins shuffle"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi == plain)
+    // empty corpus: no scores, no crash
+    val empty = Ranking.bm25(docs.where(lit(false)), "doc_id", "text", Seq("joins"))
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("doc_id", "bm25"))
+  }
+
   test("real corpus: every scored doc contains a query term; scores positive") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"))

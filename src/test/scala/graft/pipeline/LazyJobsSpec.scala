@@ -48,6 +48,22 @@ class LazyJobsSpec extends SparkSpec {
     assert(lazyRuns.get() == 1, "existing lazy output must be served, not recomputed")
   }
 
+  test("a lazy and a scheduled producer of one table are rejected up front") {
+    val base = java.nio.file.Files.createTempDirectory("lazydup_").toString
+    val ms = freshMs(base, "t")
+    def producer(name: String, lzy: Boolean) = JobDef(name, "t", new Transformer {
+      def run(r: MetastoreReader, dd: LocalDate, o: Map[String, String]): DataFrame =
+        Seq((1L, name)).toDF("id", "src")
+    }, isLazy = lzy)
+    // the reader would materialize the lazy producer while the
+    // scheduled one also writes the date — a silent double-write
+    val e = intercept[IllegalArgumentException] {
+      new Orchestrator(ms).run(Seq(producer("lz", lzy = true),
+        producer("sched", lzy = false)), d)
+    }
+    assert(e.getMessage.contains("lazy") && e.getMessage.contains("t"), e.getMessage)
+  }
+
   test("chained lazy jobs recurse; a cycle fails with a clear error") {
     val base = java.nio.file.Files.createTempDirectory("lazy_chain_").toString
     val ms = freshMs(base, "seed", "a", "b", "out")

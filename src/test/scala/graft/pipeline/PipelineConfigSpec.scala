@@ -168,6 +168,30 @@ class PipelineConfigSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       PipelineConfig.selectTables(parsed.jobs, Seq("b", "nope")))
     assert(e.getMessage.contains("nope"))
+
+    // a MIXED dependency splits per table: the selection produces 'a',
+    // so the 'a' edge must stay gating while only 'x' turns passive —
+    // passivating the whole block would un-order b from a's producer
+    val mixed = parsed.jobs.map(j =>
+      if (j.outputTable == "b")
+        j.copy(dependencies = Seq(Dependency(tables = Seq("a", "x"),
+          dateFromExpr = "@infoDate", dateUntilExpr = None,
+          optional = false, passive = false,
+          triggerUpdates = false, requireAll = false)))
+      else j)
+    val scopedAB = PipelineConfig.selectTables(mixed, Seq("a", "b"))
+    val bDeps = scopedAB.find(_.outputTable == "b").get.dependencies
+    assert(bDeps.exists(d => d.tables == Seq("a") && !d.passive),
+      s"edge on the produced table must keep gating: $bDeps")
+    assert(bDeps.exists(d => d.tables == Seq("x") && d.passive),
+      s"edge on the outside table must turn passive: $bDeps")
+
+    // a selection of only lazy jobs would schedule nothing — rejected
+    val withLazy = parsed.jobs.map(j =>
+      if (j.outputTable == "c") j.copy(isLazy = true) else j)
+    val lz = intercept[IllegalArgumentException](
+      PipelineConfig.selectTables(withLazy, Seq("c")))
+    assert(lz.getMessage.contains("lazy"))
   }
 
   test("undercover run leaves no bookkeeping trace; a later real run still executes") {

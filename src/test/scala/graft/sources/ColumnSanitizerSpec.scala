@@ -42,6 +42,17 @@ class ColumnSanitizerSpec extends SparkSpec {
     assert(renamed.forall(_.toLowerCase.startsWith("a_b")))
   }
 
+  test("degenerate dotted names neither crash nor strip to empty") {
+    // "." has no non-empty first segment (Java split would return an
+    // EMPTY array); "t1." would strip to the empty string
+    val df = Seq((1, 2)).toDF("t1.", "t1.a")
+    val out = ColumnSanitizer.sanitize(df)
+    assert(out.columns.length == 2)
+    assert(out.columns.forall(_.nonEmpty), s"no empty names: ${out.columns.toSeq}")
+    val dot = Seq(Tuple1(1)).toDF(".")
+    assert(ColumnSanitizer.sanitize(dot).columns.length == 1)
+  }
+
   test("empty character set disables the pass entirely") {
     val df = Seq((1, 2)).toDF("a b", "t.c")
     assert(ColumnSanitizer.sanitize(df, "").columns.toSeq == Seq("a b", "t.c"))
