@@ -62,7 +62,29 @@ object HtmlReport {
     * output for the pipeline's tables. */
   def render(info: PipelineInfo, results: Seq[TaskResult],
              customEntries: Seq[String] = Nil,
-             schemaChanges: Seq[(String, LocalDate, Seq[FieldChange])] = Nil): String = {
+             schemaChanges: Seq[(String, LocalDate, Seq[FieldChange])] = Nil): String =
+    renderTyped(info, results,
+      customEntries.map(NotificationEntry.Unformatted.apply), schemaChanges)
+
+  private def styleAttr(s: NotificationEntry.Style): String = {
+    import NotificationEntry.Style._
+    s match {
+      case Normal => ""
+      case Bold => """ style="font-weight:bold""""
+      case Success => """ style="color:#2e7d32;font-weight:bold""""
+      case Warning => """ style="color:#b26a00;font-weight:bold""""
+      case Error => """ style="color:#c62828;font-weight:bold""""
+    }
+  }
+
+  /** Typed-entry variant: styled paragraphs, native tables, lists,
+    * raw HTML blocks and an attachments listing (the bytes travel via
+    * the transport's `sendAttachment`). `Unformatted` entries render
+    * byte-identically to the legacy string path. */
+  def renderTyped(info: PipelineInfo, results: Seq[TaskResult],
+                  entries: Seq[NotificationEntry],
+                  schemaChanges: Seq[(String, LocalDate, Seq[FieldChange])] = Nil): String = {
+    val customEntries = entries
     val report = RunReport.build(info.pipelineName, results, info.runDate)
     val banner = info.status match {
       case "failed" => ("Pipeline FAILED", "#c62828")
@@ -144,8 +166,26 @@ object HtmlReport {
 
     // ── custom entries (NotificationBuilder) ──
     if (customEntries.nonEmpty) {
+      import NotificationEntry._
       sb ++= "<h3>Notifications</h3>\n"
-      customEntries.foreach(e => sb ++= s"<pre>${escape(e)}</pre>\n")
+      customEntries.foreach {
+        case Unformatted(t) => sb ++= s"<pre>${escape(t)}</pre>\n"
+        case Paragraph(spans) =>
+          sb ++= "<p>" + spans.map(s =>
+            s"<span${styleAttr(s.style)}>${escape(s.text)}</span>").mkString + "</p>\n"
+        case Table(headers, rows, desc) =>
+          sb ++= "<table>\n"
+          if (desc.nonEmpty) sb ++= s"<caption>${escape(desc)}</caption>\n"
+          sb ++= headers.map(h => s"<th>${escape(h)}</th>").mkString("<tr>", "", "</tr>\n")
+          rows.foreach(r =>
+            sb ++= r.map(c => s"<td>${escape(c)}</td>").mkString("<tr>", "", "</tr>\n"))
+          sb ++= "</table>\n"
+        case UnorderedList(items) =>
+          sb ++= items.map(i => s"<li>${escape(i)}</li>").mkString("<ul>\n", "\n", "\n</ul>\n")
+        case Html(content) => sb ++= content + "\n" // caller-vouched raw block
+        case AttachedFile(name, contents) =>
+          sb ++= s"<p>Attachment: <b>${escape(name)}</b> (${contents.length} bytes)</p>\n"
+      }
     }
 
     sb ++= "<hr/>\n<p style=\"color:#78909c\">Generated by graft pipeline runner</p>\n"
@@ -163,21 +203,36 @@ object HtmlReport {
 /** Transport for rendered HTML reports. SMTP delivery is deliberately
   * stubbed in this environment — [[FileHtmlTransport]] writes the
   * document where an operator (or a mail relay side-car) picks it up. */
-trait HtmlTransport { def send(subject: String, html: String): Unit }
+trait HtmlTransport {
+  def send(subject: String, html: String): Unit
+  /** Deliver one attached file alongside the report (reference:
+    * Sendable's MIME attachments). Default no-op — transports that
+    * cannot carry files (the raw-socket SMTP body) list attachments in
+    * the report text only; the file transport writes them. */
+  def sendAttachment(fileName: String, contents: Array[Byte]): Unit = ()
+}
 
 /** Writes each report as an .html file into `dir` (atomic rename, so a
   * half-written report is never picked up). */
 final class FileHtmlTransport(dir: String) extends HtmlTransport {
-  override def send(subject: String, html: String): Unit = {
+  private def atomically(name: String)(write: java.nio.file.Path => Unit): Unit = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
-    val safe = subject.replaceAll("[^A-Za-z0-9._-]+", "_").take(120)
-    val tmp = d.resolve(s".$safe.tmp")
-    java.nio.file.Files.writeString(tmp, html)
-    java.nio.file.Files.move(tmp, d.resolve(s"$safe.html"),
+    val tmp = d.resolve(s".$name.tmp")
+    write(tmp)
+    java.nio.file.Files.move(tmp, d.resolve(name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def safe(s: String): String = s.replaceAll("[^A-Za-z0-9._-]+", "_").take(120)
+
+  override def send(subject: String, html: String): Unit =
+    atomically(s"${safe(subject)}.html")(tmp => java.nio.file.Files.writeString(tmp, html))
+
+  /** Attachments land next to the report, same atomic-rename contract. */
+  override def sendAttachment(fileName: String, contents: Array[Byte]): Unit =
+    atomically(safe(fileName))(tmp => java.nio.file.Files.write(tmp, contents))
 }
 
 /** Pipeline notification target that renders the HTML report on
@@ -191,8 +246,14 @@ final class HtmlReportingNotifier(
   extends PipelineNotificationTarget {
   override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
     val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
+    val entries = builder.drainEntries()
     transport.send(subject,
-      HtmlReport.render(info, results, builder.drain(), schemaChanges()))
+      HtmlReport.renderTyped(info, results, entries, schemaChanges()))
+    entries.foreach {
+      case NotificationEntry.AttachedFile(name, bytes) =>
+        scala.util.Try(transport.sendAttachment(name, bytes))
+      case _ => ()
+    }
   }
 }
 
@@ -210,10 +271,18 @@ final class FanoutHtmlReportNotifier(
     val transports = transportsFor(info, results)
     if (transports.nonEmpty) {
       val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
-      val html = HtmlReport.render(info, results, builder.drain(), schemaChanges())
+      val entries = builder.drainEntries()
+      val html = HtmlReport.renderTyped(info, results, entries, schemaChanges())
       // a failing transport (dead SMTP relay) must not stop the others
       // (the file report is the operator's fallback)
-      transports.foreach(t => scala.util.Try(t.send(subject, html)))
+      transports.foreach { t =>
+        scala.util.Try(t.send(subject, html))
+        entries.foreach {
+          case NotificationEntry.AttachedFile(name, bytes) =>
+            scala.util.Try(t.sendAttachment(name, bytes))
+          case _ => ()
+        }
+      }
     }
   }
 }

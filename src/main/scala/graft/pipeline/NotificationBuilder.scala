@@ -17,9 +17,15 @@ import org.apache.spark.sql.DataFrame
  * and re-execute plans after their inputs may have changed.
  */
 final class NotificationBuilder {
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[NotificationEntry]
 
-  def addEntries(entries: String*): Unit = synchronized { buf ++= entries }
+  def addEntries(entries: String*): Unit = synchronized {
+    buf ++= entries.map(NotificationEntry.Unformatted.apply)
+  }
+
+  /** Typed entries — styled paragraphs, tables, raw HTML, attachments
+    * (reference: api NotificationBuilder takes NotificationEntry*). */
+  def addTypedEntries(entries: NotificationEntry*): Unit = synchronized { buf ++= entries }
 
   /** Render the first `maxRecords` rows as an aligned text table under
     * `description`. */
@@ -32,12 +38,16 @@ final class NotificationBuilder {
     def line(vals: Seq[String]) =
       vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
     val rendered = (line(cols.toSeq) +: rows.map(line)).mkString("\n")
-    synchronized { buf += s"$description\n$rendered" }
+    synchronized { buf += NotificationEntry.Unformatted(s"$description\n$rendered") }
   }
 
-  /** Remove and return everything accumulated so far (the report
-    * builder drains once per pipeline run). */
-  def drain(): Seq[String] = synchronized {
+  /** Remove and return everything accumulated so far, flattened to
+    * text (the text report builder drains once per pipeline run). */
+  def drain(): Seq[String] = drainEntries().map(NotificationEntry.toText)
+
+  /** Remove and return the typed entries (the HTML report path —
+    * styles, tables and attachments survive). */
+  def drainEntries(): Seq[NotificationEntry] = synchronized {
     val out = buf.toSeq
     buf.clear()
     out
