@@ -745,6 +745,23 @@ object SparkEntry {
       AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 20, bits = 6, tables = 4)
     }),
 
+    "q_mix_report" -> ((s, dir) => {
+      // corpus composition report: what is actually in the training
+      // mix — per (source, lang) document/token volumes and corpus
+      // shares. One corpus scan + one tiny groupBy; shares come from
+      // an aggregate OF THE GROUPED rows (sources × langs), never a
+      // corpus-sized window.
+      val base = docs(s, dir).select(col("source"), col("lang"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("_tok"))
+      val g = base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_tokens"))
+      val t = g.agg(sum("n_docs").as("_td"), sum("n_tokens").as("_tt"))
+      g.crossJoin(broadcast(t)).select(
+        col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("_td").cast("double"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("_tt").cast("double"), 6).as("token_share"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 relevance scores for a 3-term query over the corpus —
       // oracle-checked against a DuckDB twin of the exact formula.
@@ -1174,6 +1191,19 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(c,
         |    (SELECT c FROM codes WHERE vec_id = 0)), 6) AS cosine
         |FROM codes ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "q_mix_report" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
+        |SELECT source, lang,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share
+        |FROM g CROSS JOIN t""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id,
