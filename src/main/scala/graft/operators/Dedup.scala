@@ -429,7 +429,7 @@ object Decontaminate {
     val n = if (expectedShingles > 0) expectedShingles else benchSh.count()
     val bloomBytes = graft.expr.BloomMightContain.serialize(
       benchSh.stat.bloomFilter("_h", math.max(n, 1L), fpp))
-    docs
+    val out = docs
       .select(col(idCol), explode(shingles(textCol)).as("_sh"))
       .select(col(idCol), xxhash64(col("_sh")).as("_h"))
       .where(graft.expr.GraftFunctions.bloomMightContain(col("_h"), bloomBytes))
@@ -437,6 +437,13 @@ object Decontaminate {
       .distinct()
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
       .where(col("n_overlap") >= minOverlap)
+    // the result is TINY (contaminated ids); materialize it eagerly so
+    // the cached benchmark hash set can be released NOW — a driver
+    // decontaminating against many suites must not accumulate one
+    // cached corpus-scale dataset per call for the app's lifetime
+    val materialized = out.localCheckpoint(true)
+    benchSh.unpersist()
+    materialized
   }
 }
 

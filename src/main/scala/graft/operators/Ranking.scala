@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
  */
 object Ranking {
 
+  /** The one tokenization boundary — shared by the corpus column path
+    * and the driver-side query normalization so the two can never
+    * drift apart. */
+  private val TokenSeparator = "[^a-z0-9]+"
+
   /** Lower-cased alphanumeric tokens as an array column (empty strings
     * from consecutive separators filtered out). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    filter(split(lower(text), TokenSeparator), t => t =!= "")
 
   /**
    * BM25 scores of every document containing at least one query term:
@@ -40,9 +45,12 @@ object Ranking {
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // the query rides the SAME normalization as the corpus — a raw
     // "Vector-Search" must match the tokens it would produce, not
-    // silently compare unequal against lowercased corpus tokens
+    // silently compare unequal against lowercased corpus tokens.
+    // Locale.ROOT: Spark's lower() is locale-independent; a tr-TR
+    // default locale would dotless-i "INDEX" into a never-matching term
     val terms = queryTerms
-      .flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty).distinct
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(TokenSeparator))
+      .filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("_t"))

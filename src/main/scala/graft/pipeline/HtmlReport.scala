@@ -176,7 +176,8 @@ object HtmlReport {
         case Table(headers, rows, desc) =>
           sb ++= "<table>\n"
           if (desc.nonEmpty) sb ++= s"<caption>${escape(desc)}</caption>\n"
-          sb ++= headers.map(h => s"<th>${escape(h)}</th>").mkString("<tr>", "", "</tr>\n")
+          if (headers.nonEmpty)
+            sb ++= headers.map(h => s"<th>${escape(h)}</th>").mkString("<tr>", "", "</tr>\n")
           rows.foreach(r =>
             sb ++= r.map(c => s"<td>${escape(c)}</td>").mkString("<tr>", "", "</tr>\n"))
           sb ++= "</table>\n"
@@ -227,12 +228,41 @@ final class FileHtmlTransport(dir: String) extends HtmlTransport {
 
   private def safe(s: String): String = s.replaceAll("[^A-Za-z0-9._-]+", "_").take(120)
 
+  /** Degenerate names would escape or vanish: "." / ".." are path
+    * navigation, a dot-prefixed name looks like this class's own
+    * half-written tmp files (a relay side-car skipping dotfiles would
+    * never deliver it), empty is unaddressable. */
+  private def safeAttachment(s: String): String = {
+    val base = safe(s)
+    // a prefix (not a strip) keeps distinct degenerate inputs distinct:
+    // "attachment_.." is a legal file name, only the exact "."/".."
+    // components navigate
+    if (base.isEmpty || base.startsWith(".")) s"attachment_$base" else base
+  }
+
   override def send(subject: String, html: String): Unit =
     atomically(s"${safe(subject)}.html")(tmp => java.nio.file.Files.writeString(tmp, html))
 
   /** Attachments land next to the report, same atomic-rename contract. */
   override def sendAttachment(fileName: String, contents: Array[Byte]): Unit =
-    atomically(safe(fileName))(tmp => java.nio.file.Files.write(tmp, contents))
+    atomically(safeAttachment(fileName))(tmp => java.nio.file.Files.write(tmp, contents))
+}
+
+private[pipeline] object AttachmentDelivery {
+  /** Ship every AttachedFile entry through one transport. Failures
+    * must not kill the report (it already went out) but MUST be
+    * visible — the report lists the attachment by name, and a silent
+    * drop leaves the operator hunting for a file that never existed. */
+  def send(transport: HtmlTransport, entries: Seq[NotificationEntry]): Unit =
+    entries.foreach {
+      case NotificationEntry.AttachedFile(name, bytes) =>
+        try transport.sendAttachment(name, bytes)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] attachment '$name' not delivered: ${e.getMessage}")
+        }
+      case _ => ()
+    }
 }
 
 /** Pipeline notification target that renders the HTML report on
@@ -249,11 +279,7 @@ final class HtmlReportingNotifier(
     val entries = builder.drainEntries()
     transport.send(subject,
       HtmlReport.renderTyped(info, results, entries, schemaChanges()))
-    entries.foreach {
-      case NotificationEntry.AttachedFile(name, bytes) =>
-        scala.util.Try(transport.sendAttachment(name, bytes))
-      case _ => ()
-    }
+    AttachmentDelivery.send(transport, entries)
   }
 }
 
@@ -277,11 +303,7 @@ final class FanoutHtmlReportNotifier(
       // (the file report is the operator's fallback)
       transports.foreach { t =>
         scala.util.Try(t.send(subject, html))
-        entries.foreach {
-          case NotificationEntry.AttachedFile(name, bytes) =>
-            scala.util.Try(t.sendAttachment(name, bytes))
-          case _ => ()
-        }
+        AttachmentDelivery.send(t, entries)
       }
     }
   }

@@ -57,12 +57,17 @@ object NotificationEntry {
     case Unformatted(t) => t
     case Paragraph(spans) => spans.map(_.text).mkString
     case Table(headers, rows, desc) =>
+      // widths over the WIDEST row, not just the header — ragged rows
+      // must still align, and a header-less table must not emit a
+      // stray blank line
       val all = headers +: rows
-      val widths = headers.indices.map(i => all.map(r =>
+      val ncols = all.map(_.length).max
+      val widths = (0 until ncols).map(i => all.map(r =>
         if (i < r.length) r(i).length else 0).max)
       def line(vals: Seq[String]) = vals.zipAll(widths, "", 0)
         .map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
-      val body = (line(headers) +: rows.map(line)).mkString("\n")
+      val body = ((if (headers.nonEmpty) Seq(line(headers)) else Nil) ++ rows.map(line))
+        .mkString("\n")
       if (desc.isEmpty) body else s"$desc\n$body"
     case UnorderedList(items) => items.map("- " + _).mkString("\n")
     case Html(content) => content

@@ -50,6 +50,34 @@ class NotificationEntrySpec extends AnyFunSuite {
     assert(b.drain().isEmpty, "drained once")
   }
 
+  test("ragged and header-less tables flatten without misalignment or stray lines") {
+    // a row wider than the header still aligns on the widest row
+    val ragged = toText(Table(Seq("h"), Seq(Seq("a", "extra"), Seq("bb"))))
+    val lines = ragged.linesIterator.toSeq
+    assert(lines.length == 3)
+    assert(lines(1).startsWith("a ") && lines(1).contains("extra"))
+    // the second column begins at one offset in every line
+    val col2 = lines(1).indexOf("extra")
+    assert(lines.forall(_.length >= col2), s"rows padded to the widest row:\n$ragged")
+    // header-less: no leading blank line
+    val noHeader = toText(Table(Seq(), Seq(Seq("x"))))
+    assert(noHeader == "x")
+  }
+
+  test("degenerate attachment names are neither path escapes nor dotfiles") {
+    val dir = java.nio.file.Files.createTempDirectory("attach2_").toString
+    val t = new FileHtmlTransport(dir)
+    t.sendAttachment("..", Array[Byte](1))
+    t.sendAttachment(".env", Array[Byte](2))
+    t.sendAttachment("", Array[Byte](3))
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files.forall(f => !f.startsWith(".")), s"no dotfiles/path escapes: $files")
+    assert(files.size == 3, s"all three delivered under safe names: $files")
+    // nothing escaped the directory
+    assert(new java.io.File(dir).getParentFile.listFiles()
+      .forall(f => !f.getName.startsWith("attachment_")))
+  }
+
   test("file transport writes attachments next to the report, atomically named") {
     val dir = java.nio.file.Files.createTempDirectory("attach_").toString
     val builder = new NotificationBuilder
