@@ -403,11 +403,11 @@ object SparkEntry {
     }),
 
     "q_decontam_bloom" -> ((s, dir) => {
-      // rows-only gate: the Bloom-filtered decontamination scale path —
-      // distributed-built filter probed by the native codegen'd
-      // bloom_might_contain, exact hash verify after (result identical
-      // to q_decontam's id set by construction; equality pinned in
-      // DedupSpec)
+      // the Bloom-filtered decontamination scale path — distributed-
+      // built filter probed by the native codegen'd bloom_might_contain,
+      // exact hash verify after. Oracle: DuckDB replays the shingle-set
+      // overlap on the raw strings (equality with the exact path also
+      // pinned in DedupSpec)
       val dd = docs(s, dir)
       val bench = dd.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
       graft.operators.Decontaminate.contaminatedIdsBloom(
@@ -1204,6 +1204,40 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share
         |FROM g CROSS JOIN t""".stripMargin,
+    // decontamination twins: the shingle-set overlap IS SQL-expressible
+    // (the Spark side's xxhash64 is an implementation detail — the
+    // oracle compares the shingle STRINGS directly, so a hash collision
+    // changing the answer would surface as a mismatch here)
+    "q_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 3),
+        |                          i -> array_to_string(t[i:i+4], ' '))) AS sh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 40 = 0),
+        |contaminated AS (
+        |  SELECT doc_id FROM (SELECT DISTINCT doc_id, sh FROM sh) JOIN bench USING (sh)
+        |  GROUP BY doc_id HAVING count(*) >= 1)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+    "q_decontam_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 3),
+        |                          i -> array_to_string(t[i:i+4], ' '))) AS sh
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 40 = 0)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM (SELECT DISTINCT doc_id, sh FROM sh) JOIN bench USING (sh)
+        |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id,
