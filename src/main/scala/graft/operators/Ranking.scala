@@ -9,17 +9,23 @@ import org.apache.spark.sql.functions._
  * for search, RAG candidate generation and query-based corpus
  * curation ("find training documents about X").
  *
- * Scale design: the corpus NEVER shuffles. Tokenization and document
- * length are per-row expressions computed in the same scan that
- * explodes tokens; the explode is immediately filtered to the query's
- * terms, so the only corpus-sized work is that one scan — what
- * survives (the query-term postings) is a tiny fraction of the data,
- * and every aggregate/join after it runs on postings: tf per
- * (doc, term), document frequencies (≤ |query| rows, broadcast back),
- * and the final per-doc sum. Corpus statistics (N, average length)
- * are one scalar aggregate. No UDFs — tokenization is
- * `split`/`filter` HOFs, the score is arithmetic on columns, all
- * codegen'd.
+ * Scale design: the corpus NEVER shuffles, and the whole frame is
+ * LAZY — constructing it launches no Spark job. Term frequency is a
+ * per-document count, so it is computed ROW-LOCALLY in the scan
+ * (counting each query term inside the token array with HOFs); what
+ * leaves the scan is one row per (doc, matching term) — tf copies
+ * fewer rows than exploding every occurrence. Those postings flow
+ * through ONE shared shuffle: the same exchange feeds both the final
+ * score and the per-term document frequencies (AQE shuffle-stage
+ * reuse — the df subtree would otherwise re-scan the corpus), dfs
+ * broadcast back onto postings, and the only other postings-sized
+ * shuffle is the final per-doc sum. Corpus stats (N, avgdl) are a
+ * lazy scalar aggregate attached via a broadcast one-row crossJoin —
+ * a second (column-pruned) pass over the corpus. At real scale
+ * N/avgdl are pipeline bookkeeping, not something to re-derive per
+ * query: pass `corpusStats` and the plan is a strict single scan.
+ * No UDFs — tokenization is `split`/`filter` HOFs, the score is
+ * arithmetic on columns, all codegen'd.
  */
 object Ranking {
 
@@ -38,11 +44,18 @@ object Ranking {
    * (idCol, bm25). k1 tunes term-frequency saturation, b the
    * length normalization — the universal defaults 1.2 / 0.75.
    *
-   *   idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
-   *   score(d,q) = Σₜ idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+   *   score(d,q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+   *
+   * `corpusStats` = Some((N, avgdl)) skips the stats pass entirely —
+   * at 100 TB the corpus cardinality and average document length come
+   * from pipeline bookkeeping (the same contract as Decontaminate's
+   * `expectedShingles`), and the plan becomes a strict single scan.
+   * `idCol` is assumed unique per document.
    */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           corpusStats: Option[(Long, Double)] = None): DataFrame = {
     // the query rides the SAME normalization as the corpus — a raw
     // "Vector-Search" must match the tokens it would produce, not
     // silently compare unequal against lowercased corpus tokens.
@@ -55,28 +68,55 @@ object Ranking {
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("_t"))
       .select(col(idCol), size(col("_t")).as("_dl"), col("_t"))
-    // corpus stats: one scalar aggregate (exact integer sums on both
-    // engines, so the division is bit-identical to the oracle's avg)
-    val stats = base.agg(count(lit(1)).as("n"), avg(col("_dl")).as("avgdl")).head()
-    val n = stats.getLong(0)
-    // empty corpus: avg is null — the natural result is no scores
-    if (n == 0L)
-      return docs.select(col(idCol), lit(0.0d).as("bm25")).where(lit(false))
-    val avgdl = stats.getDouble(1)
-    // postings: explode filtered to the query terms BEFORE any
-    // aggregation — the groupBy shuffles only matching (id, dl, term)
-    // rows, never the corpus
-    val postings = base
-      .select(col(idCol), col("_dl"), explode(col("_t")).as("term"))
-      .where(col("term").isin(terms: _*))
+    // corpus stats: a LAZY one-row aggregate (exact integer sums on
+    // both engines, so the division is bit-identical to the oracle's
+    // avg) broadcast onto the postings below — or the caller's
+    // bookkeeping numbers, which drop this subtree (and its
+    // column-pruned second corpus pass) from the plan altogether.
+    // An empty corpus yields empty postings, hence an empty result,
+    // without any eager count.
+    val stats = corpusStats match {
+      case Some((n, avgdl)) =>
+        docs.sparkSession.range(1).select(lit(n).as("_n"), lit(avgdl).as("_avgdl"))
+      case None =>
+        base.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))
+    }
+    // postings with tf computed ROW-LOCALLY: term frequency is a
+    // per-document count, so each doc counts every query term inside
+    // its own token array (O(|query|*dl) inside codegen) — nothing
+    // corpus-sized ever shuffles, and docs without any query term
+    // emit nothing
+    val matched = base
+      .select(col(idCol), col("_dl"),
+        explode(filter(
+          transform(typedlit(terms),
+            term => struct(term.as("term"),
+              size(filter(col("_t"), x => x === term)).as("tf"))),
+          e => e("tf") > 0)).as("_e"))
+      .select(col(idCol), col("_dl"),
+        col("_e")("term").as("term"), col("_e")("tf").as("tf"))
+    // one postings-sized shuffle, shared: the no-op aggregate puts an
+    // Exchange over the matched rows, and `dfs` below hangs off the
+    // SAME exchange subtree, so AQE's shuffle-stage reuse computes the
+    // scan once for both consumers (without it, the broadcast df
+    // subtree would re-scan the corpus — measured, and pinned by the
+    // single-scan spec)
+    val postings = matched
       .groupBy(col(idCol), col("_dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df per query term: ≤ |query| rows, broadcast back onto postings
-    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0d) + (lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d))
+      .agg(max(col("tf")).as("tf"))
+    // df per query term: one row per term after a map-side-combined
+    // tiny aggregate, broadcast back onto postings. The count
+    // deliberately references tf — count(tf > 0) ≡ count(*) on rows
+    // whose tf is always positive — so column pruning cannot rewrite
+    // the shared aggregate differently under this branch, which would
+    // break the exchange reuse above.
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(when(col("tf") > 0, 1)).as("df"))
+    val idf = log(lit(1.0d) + (col("_n") - col("df") + 0.5d) / (col("df") + 0.5d))
     val tfNorm = (col("tf") * (k1 + 1.0d)) /
-      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("_dl") / avgdl))
+      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("_dl") / col("_avgdl")))
     postings.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
       .select(col(idCol), (idf * tfNorm).as("_s"))
       .groupBy(col(idCol))
       .agg(sum(col("_s")).as("bm25"))

@@ -85,6 +85,60 @@ class RankingSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("doc_id", "bm25"))
   }
 
+  test("constructing the frame launches ZERO Spark jobs (fully lazy)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Ranking.bm25(docs, "doc_id", "text", Seq("joins", "shuffle"))
+      Ranking.bm25(docs, "doc_id", "text", Seq("joins"), corpusStats = Some((5L, 6.0)))
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"bm25 construction must be lazy; launched ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bookkept corpusStats make the plan a strict SINGLE corpus scan") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = real.count()
+    val avgdl = real.select(avg(size(Ranking.tokens(col("text"))))).head().getDouble(0)
+    def fileRecordsDuring(body: => Unit): Long = {
+      val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500); recs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val once = fileRecordsDuring {
+      Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"),
+        corpusStats = Some((n, avgdl))).collect()
+    }
+    // the one-row stats relation contributes a few metric counts of its
+    // own; the assertion is about corpus passes: one, not two
+    assert(once >= n && once < n + 10,
+      s"corpusStats mode must read the corpus exactly once: read $once rows, corpus has $n")
+    // the default mode derives stats itself: exactly one extra pass
+    // (the df subtree must NOT add a third — exchange reuse)
+    val twice = fileRecordsDuring {
+      Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector")).collect()
+    }
+    assert(twice >= 2 * n && twice < 2 * n + 10,
+      s"default mode is stats pass + postings pass: read $twice rows for corpus of $n")
+    // and the two modes agree on the scores
+    val a = Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"), corpusStats = Some((n, avgdl)))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val b = Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    assert(a == b, "bookkept stats must reproduce derived-stats scores")
+  }
+
   test("real corpus: every scored doc contains a query term; scores positive") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val scored = Ranking.bm25(real, "doc_id", "text", Seq("hash", "vector"))
