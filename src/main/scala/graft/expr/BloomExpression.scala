@@ -59,6 +59,20 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 
   override def prettyName: String = "bloom_might_contain"
+
+  // value-based equality over the filter bytes: the default case-class
+  // equality compares Array[Byte] by REFERENCE, so two semantically
+  // identical probes would never compare equal and plan
+  // canonicalization / subexpression elimination / cached-plan lookup
+  // could not unify them
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 }
 
 object BloomMightContain {

@@ -80,6 +80,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.count() == 100)
   }
 
+  test("bloom_might_contain: equal filter CONTENT means equal expressions (canonicalization)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def bytes(): Array[Byte] = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (0L until 100L).foreach(bf.putLong)
+      BloomMightContain.serialize(bf)
+    }
+    val (b1, b2) = (bytes(), bytes())
+    assert(!(b1 eq b2) && java.util.Arrays.equals(b1, b2), "distinct arrays, same content")
+    val e1 = BloomMightContain(Literal(42L), b1)
+    val e2 = BloomMightContain(Literal(42L), b2)
+    // default case-class equality compares the byte array by reference;
+    // plan canonicalization, subexpression elimination and cached-plan
+    // matching all rely on equals/hashCode being value-based
+    assert(e1 == e2, "identical probes must compare equal")
+    assert(e1.hashCode == e2.hashCode, "equal probes must hash equal")
+    assert(e1.semanticEquals(e2), "canonicalized forms must unify")
+    val other = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (100L until 200L).foreach(bf.putLong)
+      BloomMightContain(Literal(42L), BloomMightContain.serialize(bf))
+    }
+    assert(e1 != other, "different filter content must not compare equal")
+  }
+
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
