@@ -39,9 +39,19 @@ object HiveDdl {
     * QueryExecutorJdbc.doesTableExist). */
   final class JdbcQueryExecutor(ex: graft.rdb.SqlExecutor) extends QueryExecutor {
     override def execute(sql: String): Unit = { ex.executeUpdate(sql); () }
+    // missing table vs database outage: error codes/SQLStates differ
+    // per engine, so discriminate with a table-INDEPENDENT probe (the
+    // TokenLockJdbc idiom) — if the connection still answers SELECT 1
+    // the failure was about the table (absent); if it does not, the
+    // warehouse is unreachable, and reporting that as "absent" would
+    // send the caller into CREATE-on-outage DDL.
     override def tableExists(fullTableName: String): Boolean =
       try { ex.query(s"SELECT 1 FROM $fullTableName WHERE 0 = 1"); true }
-      catch { case _: Exception => false }
+      catch {
+        case e: Exception =>
+          try { ex.query("SELECT 1"); false }
+          catch { case _: Exception => throw e }
+      }
   }
 
   final case class Templates(

@@ -89,7 +89,9 @@ class HiveDdlSpec extends SparkSpec {
       }
       override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] = {
         statements += sql
-        if (!exists) throw new RuntimeException("Table not found")
+        // a live connection answers the table-independent probe even
+        // when the table is missing
+        if (!exists && sql.contains("dw.sales")) throw new RuntimeException("Table not found")
         Seq.empty
       }
     })
@@ -100,5 +102,19 @@ class HiveDdlSpec extends SparkSpec {
     HiveDdl.createTable(jdbc, HiveDdl.Templates(), "dw.sales", "/p", schema, Seq("info_date"))
     assert(statements.exists(_.startsWith("CREATE EXTERNAL TABLE")))
     assert(statements.exists(_.startsWith("MSCK REPAIR")))
+  }
+
+  test("jdbc existence probe discriminates outage from missing table") {
+    // a dead HiveServer2 fails EVERY query — reporting that as
+    // "table absent" would send the caller into CREATE DDL against an
+    // outage; the original failure must surface instead
+    val dead = new HiveDdl.JdbcQueryExecutor(new graft.rdb.SqlExecutor {
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
+        throw new RuntimeException("connection refused")
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
+        throw new RuntimeException("connection refused")
+    })
+    val e = intercept[RuntimeException](dead.tableExists("dw.sales"))
+    assert(e.getMessage.contains("connection refused"))
   }
 }
