@@ -93,7 +93,10 @@ final class JdbcNativeSource(
     dialect: SqlDialect = SqlDialect.Generic,
     infoDateType: SqlColumnType = SqlColumnType.Date,
     dateFormatApp: String = "yyyy-MM-dd",
-    maxRows: Long = 1000000L) extends GraftSource {
+    maxRows: Long = 1000000L,
+    fallbackConnects: Seq[() => java.sql.Connection] = Nil,
+    connectionRetries: Option[Int] = None,
+    backoffSleep: Long => Unit = Thread.sleep) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
@@ -123,8 +126,19 @@ final class JdbcNativeSource(
       } finally st.close()
     }
 
+  private val endpoints = (connect +: fallbackConnects).toIndexedSeq
+  private val endpointLabels =
+    endpoints.indices.map(i => if (i == 0) "primary" else s"fallback-$i")
+  // sticky last-known-good endpoint, same discipline as JdbcUrlSelector
+  @volatile private var currentEndpoint = 0
+
+  // only the connection OPEN rides the failover loop — a query failure
+  // on a live connection propagates (re-running it on another replica
+  // could double-execute and would mask real errors as connectivity)
   private def withConnection[A](f: java.sql.Connection => A): A = {
-    val conn = connect()
+    val (conn, idx) = JdbcUrlSelector.run(endpointLabels, currentEndpoint,
+      connectionRetries, maxBackoffMs = 10000L, backoffSleep)(i => endpoints(i)())
+    currentEndpoint = idx
     try f(conn) finally conn.close()
   }
 }

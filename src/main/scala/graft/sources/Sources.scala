@@ -213,10 +213,36 @@ final class JdbcSource(
     lowerBound: Option[Long] = None,
     upperBound: Option[Long] = None,
     infoDateType: graft.sql.SqlColumnType = graft.sql.SqlColumnType.Date,
-    dateFormatApp: String = "yyyy-MM-dd") extends GraftSource {
+    dateFormatApp: String = "yyyy-MM-dd",
+    fallbackUrls: Seq[String] = Nil,
+    connectionRetries: Option[Int] = None,
+    probeConnection: Option[String => Unit] = None,
+    backoffSleep: Long => Unit = Thread.sleep) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
+
+  private val selector =
+    new JdbcUrlSelector(url +: fallbackUrls, connectionRetries, sleep = backoffSleep)
+
+  // which URL a read hands to Spark's JDBC datasource: with a failover
+  // pool configured, a working URL is resolved DRIVER-side first (one
+  // raw open/close probe, the reference's getWorkingUrl split) — Spark
+  // executors then all connect to an endpoint known alive moments ago.
+  // Without fallbacks or retries there is nothing to resolve and no
+  // probe runs (a probe would also require the JDBC driver at options-
+  // build time, which plain reads do not).
+  private[sources] def resolvedUrl: String =
+    if (!selector.haveFallbackUrls && connectionRetries.forall(_ <= 1)) selector.currentUrl
+    else selector.withUrl { u => probe(u); u }
+
+  private def probe(u: String): Unit = probeConnection match {
+    case Some(p) => p(u)
+    case None =>
+      val props = new java.util.Properties()
+      connectionOptions.foreach { case (k, v) => props.put(k, v) }
+      java.sql.DriverManager.getConnection(u, props).close()
+  }
 
   override def hasInfoDateColumn: Boolean = true
 
@@ -258,7 +284,7 @@ final class JdbcSource(
         // single-partition probe read of MIN/MAX over the same window
         val row = spark.read.format("jdbc")
           .options(connectionOptions)
-          .option("url", url)
+          .option("url", resolvedUrl)
           .option("dbtable", gen.getDtable(boundsQuery(from, to)))
           .load().head()
         if (row.isNullAt(0) || row.isNullAt(1)) None // empty window: plain read
@@ -267,7 +293,8 @@ final class JdbcSource(
     }
 
   private def jdbcRead(sql: String, bounds: Option[(Long, Long)] = None): DataFrame =
-    spark.read.format("jdbc").options(jdbcOptions(sql, bounds)).load()
+    spark.read.format("jdbc")
+      .options(jdbcOptions(sql, bounds) + ("url" -> resolvedUrl)).load()
 
   override def getRecordCount(from: LocalDate, to: LocalDate): Long =
     jdbcRead(countQuery(from, to)).head().getAs[Number](0).longValue()
