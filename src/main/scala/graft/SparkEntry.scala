@@ -788,6 +788,20 @@ object SparkEntry {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .toSeq
       ProductQuant.topKMulti(encoded, "vec_id", queries, k = 10, cb)
+    }),
+
+    "q_ann_pq_refine" -> ((s, dir) => {
+      // rows-only gate: PQ + exact re-rank (faiss refine) — ADC
+      // retrieves 4x candidates from the m-byte codes, a broadcast
+      // semi-join re-scores only those ids against the float vectors,
+      // exact top-k wins (recall improvement pinned in ProductQuantSpec)
+      import graft.operators.ProductQuant
+      val emb = t(s, dir, "embeddings")
+      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 32, iters = 3)
+      val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+      val q = emb.where(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding", q, k = 10, cb)
     })
   )
 

@@ -207,6 +207,33 @@ object ProductQuant {
   }
 
   /**
+   * Exact re-rank — faiss's "refine" stage (IndexRefineFlat): ADC
+   * retrieves k × refineFactor candidates from the m-byte codes, then
+   * ONLY those ids are re-scored against the full-precision vectors
+   * and the exact top-k wins. One bounded broadcast semi-join
+   * (k × refineFactor ids) recovers most of PQ's recall loss: the
+   * candidate set rarely misses a true neighbor entirely, it just
+   * mis-orders it — exact scoring fixes the order. The embeddings scan
+   * is column-pruned to (id, vector) and only candidate rows survive
+   * to scoring; at 100 TB keep the vector table id-sorted so parquet
+   * min/max row-group stats let the semi-join's pushed id filter skip
+   * most of the file bytes too.
+   */
+  def topKRefined(encoded: DataFrame, idCol: String,
+                  embeddings: DataFrame, vecCol: String,
+                  query: Array[Double], k: Int, codebooks: Codebooks,
+                  refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    graft.expr.GraftFunctions.ensure(encoded.sparkSession)
+    val cand = topK(encoded, idCol, query, k * refineFactor, codebooks).select(idCol)
+    embeddings.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * IVF-PQ: the faiss production composition — a k-means coarse
    * quantizer partitions the index by cell (probes prune to
    * nprobe of k partition DIRECTORIES at plan time) and each row

@@ -74,8 +74,46 @@ class ProductQuantSpec extends SparkSpec {
     probe.collect()
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
-    assert(!plan.contains("Exchange") || !plan.contains("hashpartitioning"),
+    // TakeOrdered plans carry no Exchange at all — assert that
+    // directly (an either-substring disjunction would let a
+    // range-partitioned sort shuffle slip through)
+    assert(!plan.contains("Exchange"),
       s"single-query PQ probe must not shuffle:\n$plan")
+  }
+
+  test("refine: exact re-rank of ADC candidates strictly improves recall@10") {
+    // coarse codebooks on purpose — raw ADC must leave recall on the
+    // table for the refine stage to win back
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 8, iters = 3)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb).cache()
+    val q = vecs(42)._2.map(_.toDouble)
+    val exact = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exactIds = exact.map(_._1).toSet
+    val adc = ProductQuant.topK(encoded, "vec_id", q, 10, cb)
+      .select("vec_id").as[Long].collect().toSet
+    val refined = ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding",
+      q, 10, cb, refineFactor = 8).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val refinedIds = refined.map(_._1).toSet
+    val adcRecall = (exactIds & adc).size
+    val refRecall = (exactIds & refinedIds).size
+    assert(refRecall > adcRecall,
+      s"refine must win back recall: adc=$adcRecall refined=$refRecall (exact=$exactIds)")
+    // refined scores are EXACT cosines: every refined hit that is a
+    // true top-10 neighbor carries the identical score
+    val exactScores = exact.toMap
+    refined.filter(r => exactScores.contains(r._1)).foreach { case (id, c) =>
+      assert(math.abs(c - exactScores(id)) < 1e-9, s"refined score for $id must be exact")
+    }
+    // the self-match is recovered with cosine 1
+    assert(refined.head._1 == 42L && refined.head._2 > 0.999999)
+    // the exact pass is a broadcast semi-join on the bounded candidate
+    // set — never a shuffle join of the vector table
+    val df = ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding", q, 10, cb)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"refine must broadcast the candidate ids:\n$plan")
   }
 
   test("batched probe matches per-query single probes; bounded heap shuffle") {
