@@ -37,10 +37,39 @@ object JdbcNative {
     }
   }
 
+  // Spark/parquet-safe date and timestamp range (reference:
+  // ResultSetToRowIterator MIN/MAX_SAFE — Oracle happily stores year
+  // 10000+ or negative-year values that break downstream writers):
+  // clamp to [0001-01-01, 9999-12-31].
+  private[sources] val MinSafeMilli: Long =
+    java.time.LocalDateTime.of(1, 1, 1, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  private[sources] val MaxSafeDateMilli: Long =
+    java.time.LocalDateTime.of(9999, 12, 31, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  private[sources] val MaxSafeTimestampMilli: Long =
+    java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999999)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  private def clampDate(d: java.sql.Date): java.sql.Date =
+    if (d == null) d
+    else if (d.getTime > MaxSafeDateMilli) new java.sql.Date(MaxSafeDateMilli)
+    else if (d.getTime < MinSafeMilli) new java.sql.Date(MinSafeMilli)
+    else d
+
+  private def clampTimestamp(t: java.sql.Timestamp): java.sql.Timestamp =
+    if (t == null) t
+    else if (t.getTime > MaxSafeTimestampMilli) new java.sql.Timestamp(MaxSafeTimestampMilli)
+    else if (t.getTime < MinSafeMilli) new java.sql.Timestamp(MinSafeMilli)
+    else t
+
   /** Materialize a ResultSet as (schema, rows) using its metadata —
     * the TYPED twin of the bookkeeping layer's string-flattening
-    * `SqlExecutor.query` (bookkeeping needs no types; data does). */
-  def fetch(rs: java.sql.ResultSet, maxRows: Long): (StructType, Seq[Row]) = {
+    * `SqlExecutor.query` (bookkeeping needs no types; data does).
+    * `sanitizeDateTime` clamps out-of-range date/timestamp values to
+    * the Spark-safe range instead of letting them poison the write. */
+  def fetch(rs: java.sql.ResultSet, maxRows: Long,
+            sanitizeDateTime: Boolean = false): (StructType, Seq[Row]) = {
     val meta = rs.getMetaData
     val n = meta.getColumnCount
     val fields = (1 to n).map { i =>
@@ -66,8 +95,12 @@ object JdbcNative {
           case DoubleType    => rs.getDouble(i + 1)
           case _: DecimalType => rs.getBigDecimal(i + 1)
           case BooleanType   => rs.getBoolean(i + 1)
-          case DateType      => rs.getDate(i + 1)
-          case TimestampType => rs.getTimestamp(i + 1)
+          case DateType      =>
+            val d = rs.getDate(i + 1)
+            if (sanitizeDateTime) clampDate(d) else d
+          case TimestampType =>
+            val t = rs.getTimestamp(i + 1)
+            if (sanitizeDateTime) clampTimestamp(t) else t
           case _             => rs.getString(i + 1)
         }
         values(i) = if (rs.wasNull()) null else v
@@ -96,7 +129,9 @@ final class JdbcNativeSource(
     maxRows: Long = 1000000L,
     fallbackConnects: Seq[() => java.sql.Connection] = Nil,
     connectionRetries: Option[Int] = None,
-    backoffSleep: Long => Unit = Thread.sleep) extends GraftSource {
+    backoffSleep: Long => Unit = Thread.sleep,
+    columnDescriptions: Boolean = false,
+    sanitizeDateTime: Boolean = false) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
@@ -119,10 +154,18 @@ final class JdbcNativeSource(
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(dataQuery(from, to, columns))
-        val (schema, rows) = JdbcNative.fetch(rs, maxRows)
+        val (schema, rows) = JdbcNative.fetch(rs, maxRows, sanitizeDateTime)
+        // warehouse column comments survive ingestion as `comment`
+        // field metadata (best-effort — a metadata failure never fails
+        // the read)
+        val described =
+          if (columnDescriptions)
+            JdbcSchemaCorrections.withColumnDescriptions(schema,
+              JdbcSchemaCorrections.columnRemarks(conn, table))
+          else schema
         SourceResult(spark.createDataFrame(
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          schema))
+          described))
       } finally st.close()
     }
 

@@ -217,7 +217,10 @@ final class JdbcSource(
     fallbackUrls: Seq[String] = Nil,
     connectionRetries: Option[Int] = None,
     probeConnection: Option[String => Unit] = None,
-    backoffSleep: Long => Unit = Thread.sleep) extends GraftSource {
+    backoffSleep: Long => Unit = Thread.sleep,
+    correctDecimals: Boolean = false,
+    correctDecimalsFixPrecision: Boolean = false,
+    timestampsToDates: Boolean = false) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
@@ -292,9 +295,24 @@ final class JdbcSource(
       case _ => None
     }
 
-  private def jdbcRead(sql: String, bounds: Option[(Long, Long)] = None): DataFrame =
-    spark.read.format("jdbc")
-      .options(jdbcOptions(sql, bounds) + ("url" -> resolvedUrl)).load()
+  private def jdbcRead(sql: String, bounds: Option[(Long, Long)] = None): DataFrame = {
+    val opts = jdbcOptions(sql, bounds) + ("url" -> resolvedUrl)
+    val df = spark.read.format("jdbc").options(opts).load()
+    // decimal corrections re-issue the read WITH a customSchema so the
+    // datasource itself reads the corrected types (a post-hoc cast
+    // would read the lossy decimal first); the schema-only first load
+    // costs one metadata round trip, which the reference pays too
+    val corrected =
+      (if (correctDecimals)
+        JdbcSchemaCorrections.correctedDecimalsSchema(df.schema, correctDecimalsFixPrecision)
+      else None) match {
+        case Some(cs) =>
+          spark.read.format("jdbc").options(opts).option("customSchema", cs).load()
+        case None => df
+      }
+    if (timestampsToDates) JdbcSchemaCorrections.convertTimestampsToDates(corrected)
+    else corrected
+  }
 
   override def getRecordCount(from: LocalDate, to: LocalDate): Long =
     jdbcRead(countQuery(from, to)).head().getAs[Number](0).longValue()

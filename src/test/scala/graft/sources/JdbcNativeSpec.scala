@@ -83,6 +83,28 @@ class JdbcNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRows=10"), e.getMessage)
   }
 
+  test("sanitizeDateTime clamps out-of-range dates/timestamps to the Spark-safe range") {
+    val cols = Seq(("d", DATE, 0, 0), ("ts", TIMESTAMP, 0, 0))
+    // Oracle-style garbage: year 10000+ and a negative-year value
+    val farFuture = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    farFuture.setTime(JdbcNative.MaxSafeTimestampMilli + 86400000L)
+    val farPast = new java.sql.Date(JdbcNative.MinSafeMilli - 86400000L)
+    val inRange = java.sql.Date.valueOf("2024-06-15")
+    val rows = Seq(
+      Seq[Any](farPast, farFuture),
+      Seq[Any](inRange, java.sql.Timestamp.valueOf("2024-06-15 12:00:00")))
+    val (_, out) = JdbcNative.fetch(fakeResultSet(cols, rows), maxRows = 10,
+      sanitizeDateTime = true)
+    assert(out.head.getDate(0).getTime == JdbcNative.MinSafeMilli, "past date clamps to 0001-01-01")
+    assert(out.head.getTimestamp(1).getTime == JdbcNative.MaxSafeTimestampMilli,
+      "future timestamp clamps to 9999-12-31")
+    assert(out(1).getDate(0) == inRange && out(1).getTimestamp(1).toString.startsWith("2024-06-15"),
+      "in-range values pass through untouched")
+    // default: raw values survive (the caller asked for no sanitation)
+    val (_, raw) = JdbcNative.fetch(fakeResultSet(cols, rows), maxRows = 10)
+    assert(raw.head.getDate(0).getTime == JdbcNative.MinSafeMilli - 86400000L)
+  }
+
   test("source end-to-end: windowed dialect SQL in, typed local DataFrame out") {
     val executed = scala.collection.mutable.ArrayBuffer.empty[String]
     def connection(): java.sql.Connection = {
