@@ -27,6 +27,8 @@ import java.time.LocalDate
  * # `pramen.bookkeeping.jdbc` app config + core/rdb/PramenDb.scala).
  * # When configured it takes precedence over bookkeeping.path/lock.dir.
  * bookkeeping.jdbc.url = jdbc:postgresql://db:5432/graft
+ * bookkeeping.jdbc.fallback.urls = jdbc:postgresql://db2:5432/graft  # HA rotation (comma-separated)
+ * bookkeeping.jdbc.retries = 3                                       # connect attempts (default: URL count)
  * bookkeeping.jdbc.user = graft
  * bookkeeping.jdbc.password = ...
  * bookkeeping.jdbc.dialect = postgresql   # any graft.sql.SqlDialect name
@@ -236,10 +238,13 @@ object PipelineConfig {
   /** The effective config rendered for logging, sensitive values
     * replaced (reference: ConfigUtils.renderRedactedKeyValue:261 under
     * `pramen.log.effective.config`) — operators diff THIS against what
-    * they think tonight's run used; secrets must survive the paste. */
+    * they think tonight's run used; secrets must survive the paste.
+    * Keys normalize '_' to '.' before matching so underscore-styled
+    * names (my.api_key, fs.s3a.access_key — both in the reference's
+    * redaction list) redact like their dotted twins. */
   private[pipeline] def renderEffectiveConfig(kv: Map[String, String]): Seq[String] =
     kv.toSeq.sortBy(_._1).map { case (k, v) =>
-      val lk = k.toLowerCase
+      val lk = k.toLowerCase.replace('_', '.')
       if (RedactTokens.exists(lk.contains)) s"$k = [redacted]" else s"$k = $v"
     }
 
@@ -632,8 +637,15 @@ object PipelineConfig {
               val u = url.get
               val user = kv.get("bookkeeping.jdbc.user").orNull
               val password = kv.get("bookkeeping.jdbc.password").orNull
+              // HA bookkeeping databases: fallback URLs rotate on
+              // connect failure (S16), selector shared across executor
+              // creations so the last working URL stays first choice
+              val fallbacks = kv.get("bookkeeping.jdbc.fallback.urls")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+              val retries = kv.get("bookkeeping.jdbc.retries").map(_.toInt)
+              val selector = new graft.sources.JdbcUrlSelector(u +: fallbacks, retries)
               () => new graft.rdb.ConnectionExecutor(
-                java.sql.DriverManager.getConnection(u, user, password))
+                selector.withUrl(x => java.sql.DriverManager.getConnection(x, user, password)))
           }
           JdbcBookkeeping(
             dialect = graft.sql.SqlDialect.forName(
@@ -908,6 +920,12 @@ object PipelineConfig {
           notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
           lockDir: Option[String] = None,
           rerunSucceeded: Boolean = false): Seq[TaskResult] = {
+    // same guards as runParams: the legacy surface must not silently
+    // accept an all-disabled pipeline or drop declared hadoop conf
+    require(parsed.jobs.nonEmpty || parsed.allowEmptyPipeline,
+      "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
+    parsed.hadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v) }
     val stores = resolveStores(parsed, bookkeeper)
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)

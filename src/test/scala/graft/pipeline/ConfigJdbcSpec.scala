@@ -182,4 +182,24 @@ class ConfigJdbcSpec extends SparkSpec {
       "bookkeeping.jdbc.url = jdbc:h2:mem:x\nbookkeeping.jdbc.dialect = nope\n"))
     assert(e2.getMessage.contains("nope"), e2.getMessage)
   }
+
+  test("bookkeeping.jdbc.fallback.urls ride the S16 failover pool") {
+    // no JDBC driver in this env, so every open fails — what the spec
+    // pins is that BOTH urls are attempted, bounded by retries, and
+    // the exhaustion error names each with its failure
+    val parsed = PipelineConfig.parse(
+      """pipeline.name = ha
+        |bookkeeping.jdbc.url = jdbc:dead:primary
+        |bookkeeping.jdbc.fallback.urls = jdbc:dead:standby
+        |bookkeeping.jdbc.retries = 2
+        |table.t.path = /tmp/ha_t
+        |job.1.transformer = identity
+        |job.1.output = t
+        |job.1.option.input.table = t
+        |""".stripMargin)
+    val e = intercept[IllegalStateException](parsed.jdbc.get.makeExecutor())
+    assert(e.getMessage.contains("jdbc:dead:primary"), e.getMessage)
+    assert(e.getMessage.contains("jdbc:dead:standby"), e.getMessage)
+    assert(e.getMessage.contains("2 attempt(s)"), e.getMessage)
+  }
 }
