@@ -300,10 +300,15 @@ final class FanoutHtmlReportNotifier(
       val entries = builder.drainEntries()
       val html = HtmlReport.renderTyped(info, results, entries, schemaChanges())
       // a failing transport (dead SMTP relay) must not stop the others
-      // (the file report is the operator's fallback)
+      // (the file report is the operator's fallback) — but the failure
+      // must be visible, and shipping attachments through a transport
+      // whose report send just failed only compounds the noise
       transports.foreach { t =>
-        scala.util.Try(t.send(subject, html))
-        AttachmentDelivery.send(t, entries)
+        scala.util.Try(t.send(subject, html)) match {
+          case scala.util.Success(_) => AttachmentDelivery.send(t, entries)
+          case scala.util.Failure(e) =>
+            System.err.println(s"[graft] report not delivered via ${t.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
   }

@@ -266,6 +266,21 @@ class PipelineConfigSpec extends SparkSpec {
         |job.1.output = t
         |""".stripMargin)
     assert(PipelineConfig.runParams(spark, allowed, RunParams.Normal(runDate)).isEmpty)
+    // the legacy run() surface applies the same guard (and hadoopConf)
+    val e2 = intercept[IllegalArgumentException](
+      PipelineConfig.run(spark, none, runDate))
+    assert(e2.getMessage.contains("allow.empty.pipeline"))
+    val withConf = PipelineConfig.parse(
+      """pipeline.name = e
+        |allow.empty.pipeline = true
+        |hadoop.conf.graft.test.legacy.run = applied
+        |table.t.path = /tmp/empty_t
+        |job.1.disabled = true
+        |job.1.transformer = identity
+        |job.1.output = t
+        |""".stripMargin)
+    assert(PipelineConfig.run(spark, withConf, runDate).isEmpty)
+    assert(spark.sparkContext.hadoopConfiguration.get("graft.test.legacy.run") == "applied")
   }
 
   test("hadoop.conf keys parse; effective-config rendering redacts secrets") {
@@ -287,12 +302,20 @@ class PipelineConfigSpec extends SparkSpec {
       "source.db.jdbc.password" -> "hunter2",
       "bookkeeping.jdbc.api.key" -> "abc123",
       "notification.smtp.host" -> "mail.acme.com",
-      "session.token" -> "tok"))
+      "session.token" -> "tok",
+      // underscore-styled names (the reference's KEYS_TO_REDACT lists
+      // api_key/access_key) must redact like their dotted twins
+      "my.api_key" -> "underscore-secret",
+      "fs.s3a.access_key" -> "s3-secret"))
     assert(rendered.contains("source.db.jdbc.password = [redacted]"))
     assert(rendered.contains("bookkeeping.jdbc.api.key = [redacted]"))
     assert(rendered.contains("session.token = [redacted]"))
+    assert(rendered.contains("my.api_key = [redacted]"))
+    assert(rendered.contains("fs.s3a.access_key = [redacted]"))
     assert(rendered.contains("notification.smtp.host = mail.acme.com"))
     assert(!rendered.mkString.contains("hunter2") && !rendered.mkString.contains("abc123"))
+    assert(!rendered.mkString.contains("underscore-secret") &&
+      !rendered.mkString.contains("s3-secret"))
   }
 
   test("errors: malformed line, missing path, unknown transformer class") {

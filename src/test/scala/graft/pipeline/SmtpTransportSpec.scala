@@ -138,13 +138,22 @@ class SmtpTransportSpec extends AnyFunSuite {
   }
 
   test("fanout report notifier drains custom entries once and feeds every transport") {
-    import graft.pipeline.{FanoutHtmlReportNotifier, HtmlTransport, NotificationBuilder}
+    import graft.pipeline.{FanoutHtmlReportNotifier, HtmlTransport, NotificationBuilder, NotificationEntry}
     val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    def transport(name: String): HtmlTransport =
-      (subject, html) => sent += ((name, subject, html))
-    val broken: HtmlTransport = (_, _) => sys.error("relay down")
+    val attached = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def transport(name: String): HtmlTransport = new HtmlTransport {
+      override def send(subject: String, html: String): Unit = sent += ((name, subject, html))
+      override def sendAttachment(fileName: String, contents: Array[Byte]): Unit =
+        attached += ((name, fileName))
+    }
+    val broken: HtmlTransport = new HtmlTransport {
+      override def send(subject: String, html: String): Unit = sys.error("relay down")
+      override def sendAttachment(fileName: String, contents: Array[Byte]): Unit =
+        fail("a transport whose report send failed must not receive attachments")
+    }
     val builder = new NotificationBuilder
     builder.addEntries("custom-entry-alpha")
+    builder.addTypedEntries(NotificationEntry.AttachedFile("extra.csv", "a,b\n".getBytes))
     val info = PipelineInfo("p", "test", java.time.LocalDate.parse("2024-06-15"),
       0L, 1L, None, "succeeded", None)
     new FanoutHtmlReportNotifier(
@@ -154,6 +163,8 @@ class SmtpTransportSpec extends AnyFunSuite {
     assert(sent.forall(_._3.contains("custom-entry-alpha")),
       "BOTH outputs must carry the drained custom entries (single drain, single render)")
     assert(sent.map(_._3).distinct.size == 1, "one render shared by all transports")
+    assert(attached.toSeq == Seq(("file", "extra.csv"), ("smtp", "extra.csv")),
+      "attachments go only to transports whose report send succeeded")
   }
 
   test("notification.smtp.* config builds the transport; from is required with host") {
