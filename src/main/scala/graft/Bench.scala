@@ -76,10 +76,16 @@ object Bench {
           // q_range_join is deliberately absent: replicated orders keep
           // IDENTICAL 3-day windows, so interval-overlap output grows
           // quadratically in copies (measured 43× at 10×) — a property
-          // of the replication scheme, not of the plan
+          // of the replication scheme, not of the plan.
+          // q_dedup_minhash IS included even though every sf1 doc has
+          // 10 exact replicas: that exercises the adaptive mass-dup
+          // plan under exactly its target pathology, which is the
+          // scale behavior worth tracking round-over-round.
           val sf1Names = Seq("q1_agg", "q3_join_agg", "q5_multi_join", "q_stats_agg",
             "q_window", "q_topk", "q_time_bucket", "q_token_count",
-            "q_dedup_exact", "q_ann_topk")
+            "q_dedup_exact", "q_ann_topk",
+            "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_mix_report",
+            "q_dedup_minhash")
           // median-of-2: the sf1 set is ~10× the work per query, so a
           // third run would dominate bench wall-time for little extra
           // noise rejection (2nd-of-2 = the conservative pick)

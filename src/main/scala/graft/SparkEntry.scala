@@ -528,7 +528,10 @@ object SparkEntry {
     }),
 
     "q_lang_id" -> ((s, dir) => {
-      // rows-only gate: predicted language distribution (heuristic)
+      // predicted language per doc — the DuckDB oracle replays the
+      // marker heuristic exactly, including the struct-greatest
+      // tie-break (higher score wins, then lexicographically greater
+      // language code)
       docs(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"), col("lang"))
     }),
@@ -1218,6 +1221,53 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share
         |FROM g CROSS JOIN t""".stripMargin,
+    // the language-ID heuristic replayed verbatim: same markers, same
+    // weights, and list_sort(structs)[-1] reproduces Spark's
+    // greatest(struct) tie-break (score, then language code)
+    "q_lang_id" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang, concat(' ', lower(text), ' ') AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN regexp_matches(t, '[\x{4e00}-\x{9fff}]') THEN 10 ELSE 0 END AS zh_s,
+        |    (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' to ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' that ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' with ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' for ') THEN 1 ELSE 0 END) AS en_s,
+        |    (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' nicht ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' ein ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' mit ') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(t, '[äöüß]') THEN 2 ELSE 0 END) AS de_s,
+        |    (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' une ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' dans ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' pour ') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(t, '[àâçéèêëîï]') THEN 2 ELSE 0 END) AS fr_s,
+        |    (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' los ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' las ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' para ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' con ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' por ') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(t, '[ñ¿¡]') THEN 2 ELSE 0 END) AS es_s,
+        |    (CASE WHEN contains(t, ' il ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' gli ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' che ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' di ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' per ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' non ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' sono ') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(t, '[àèìòù]') THEN 1 ELSE 0 END) AS it_s,
+        |    (CASE WHEN contains(t, ' o ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' os ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' em ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' uma ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' para ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' com ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' não ') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(t, '[ãõç]') THEN 2 ELSE 0 END) AS pt_s
+        |  FROM t0),
+        |win AS (
+        |  SELECT doc_id, lang,
+        |    list_sort([
+        |      {'s': zh_s, 'l': 'zh'}, {'s': en_s, 'l': 'en'}, {'s': de_s, 'l': 'de'},
+        |      {'s': fr_s, 'l': 'fr'}, {'s': es_s, 'l': 'es'}, {'s': it_s, 'l': 'it'},
+        |      {'s': pt_s, 'l': 'pt'}])[-1] AS w
+        |  FROM sc)
+        |SELECT doc_id, CASE WHEN w.s <= 0 THEN 'und' ELSE w.l END AS lang_pred, lang FROM win""".stripMargin,
     // decontamination twins: the shingle-set overlap IS SQL-expressible
     // (the Spark side's xxhash64 is an implementation detail — the
     // oracle compares the shingle STRINGS directly, so a hash collision
@@ -1271,7 +1321,7 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
-    // q_lang_id, q_fingerprint, q_dedup_minhash, q_dedup_simhash,
+    // q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq:
     // rows-only gates (hash/LSH/k-means internals not ANSI-SQL-expressible)
