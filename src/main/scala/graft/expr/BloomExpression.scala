@@ -64,15 +64,23 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   // equality compares Array[Byte] by REFERENCE, so two semantically
   // identical probes would never compare equal and plan
   // canonicalization / subexpression elimination / cached-plan lookup
-  // could not unify them
+  // could not unify them. The filter can be 100+ MB (that is the
+  // point of the feature), and Catalyst calls equals/hashCode many
+  // times per optimizer pass — the hash is cached and equals
+  // short-circuits on reference and hash before scanning bytes.
+  @transient private lazy val filterBytesHash: Int =
+    java.util.Arrays.hashCode(filterBytes)
+
   override def equals(other: Any): Boolean = other match {
     case b: BloomMightContain =>
-      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+      child == b.child &&
+        ((filterBytes eq b.filterBytes) ||
+          (filterBytesHash == b.filterBytesHash &&
+            java.util.Arrays.equals(filterBytes, b.filterBytes)))
     case _ => false
   }
 
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + filterBytesHash
 }
 
 object BloomMightContain {

@@ -36,20 +36,27 @@ object HiveDdl {
 
   /** JDBC executor — existence probed with a zero-row SELECT, the one
     * shape every HiveServer2-compatible engine answers (reference:
-    * QueryExecutorJdbc.doesTableExist). */
-  final class JdbcQueryExecutor(ex: graft.rdb.SqlExecutor) extends QueryExecutor {
+    * QueryExecutorJdbc.doesTableExist).
+    *
+    * `healthProbeSql` must be a statement that succeeds on a HEALTHY
+    * connection regardless of which tables exist. `SELECT 1` covers
+    * HiveServer2/Impala/Spark Thrift and most RDBMSes; engines that
+    * require a FROM clause need their own (Oracle `SELECT 1 FROM
+    * DUAL`, DB2 `SELECT 1 FROM SYSIBM.SYSDUMMY1`). */
+  final class JdbcQueryExecutor(ex: graft.rdb.SqlExecutor,
+                                healthProbeSql: String = "SELECT 1") extends QueryExecutor {
     override def execute(sql: String): Unit = { ex.executeUpdate(sql); () }
     // missing table vs database outage: error codes/SQLStates differ
     // per engine, so discriminate with a table-INDEPENDENT probe (the
-    // TokenLockJdbc idiom) — if the connection still answers SELECT 1
-    // the failure was about the table (absent); if it does not, the
-    // warehouse is unreachable, and reporting that as "absent" would
-    // send the caller into CREATE-on-outage DDL.
+    // TokenLockJdbc idiom) — if the connection still answers the
+    // health probe, the failure was about the table (absent); if it
+    // does not, the warehouse is unreachable, and reporting that as
+    // "absent" would send the caller into CREATE-on-outage DDL.
     override def tableExists(fullTableName: String): Boolean =
       try { ex.query(s"SELECT 1 FROM $fullTableName WHERE 0 = 1"); true }
       catch {
         case e: Exception =>
-          try { ex.query("SELECT 1"); false }
+          try { ex.query(healthProbeSql); false }
           catch { case _: Exception => throw e }
       }
   }

@@ -224,13 +224,13 @@ object ProductQuant {
                   query: Array[Double], k: Int, codebooks: Codebooks,
                   refineFactor: Int = 4): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
-    graft.expr.GraftFunctions.ensure(encoded.sparkSession)
     val cand = topK(encoded, idCol, query, k * refineFactor, codebooks).select(idCol)
-    embeddings.join(broadcast(cand), Seq(idCol), "left_semi")
-      .select(col(idCol),
-        round(VectorMath.cosineFast(col(vecCol), VectorMath.vecLit(query)), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    // the exact pass IS brute force over the candidate subset — one
+    // implementation, so score rounding/tie-break can never drift
+    // between the refine stage and the exact baseline it is pinned to
+    AnnSearch.bruteForce(
+      embeddings.join(broadcast(cand), Seq(idCol), "left_semi"),
+      vecCol, idCol, query, k)
   }
 
   /**

@@ -643,7 +643,11 @@ object PipelineConfig {
               val fallbacks = kv.get("bookkeeping.jdbc.fallback.urls")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
               val retries = kv.get("bookkeeping.jdbc.retries").map(_.toInt)
-              val selector = new graft.sources.JdbcUrlSelector(u +: fallbacks, retries)
+              // distinct: templated HA configs often repeat the
+              // primary in the fallback list — harmless redundancy,
+              // not a parse error
+              val selector =
+                new graft.sources.JdbcUrlSelector((u +: fallbacks).distinct, retries)
               () => new graft.rdb.ConnectionExecutor(
                 selector.withUrl(x => java.sql.DriverManager.getConnection(x, user, password)))
           }
@@ -915,13 +919,14 @@ object PipelineConfig {
 
   /** Register the declared tables and run the declared jobs (single
     * run-date legacy surface). */
-  def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
-          bookkeeper: BookkeeperStore = new Bookkeeper(),
-          notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
-          lockDir: Option[String] = None,
-          rerunSucceeded: Boolean = false): Seq[TaskResult] = {
-    // same guards as runParams: the legacy surface must not silently
-    // accept an all-disabled pipeline or drop declared hadoop conf
+  /** Shared prelude of both run surfaces: guards, hadoop conf, store
+    * resolution and table registration — a guard added here applies to
+    * BOTH `run` and `runParams` by construction. */
+  private def prepare(spark: SparkSession, parsed: Parsed,
+                      bookkeeper: BookkeeperStore): (ResolvedStores, Metastore) = {
+    // an empty job list is usually every job disabled by accident —
+    // fail loudly unless the config says it's intentional (reference:
+    // AppRunner.scala:401, pramen.allow.empty.pipeline)
     require(parsed.jobs.nonEmpty || parsed.allowEmptyPipeline,
       "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
     parsed.hadoopConf.foreach { case (k, v) =>
@@ -929,6 +934,15 @@ object PipelineConfig {
     val stores = resolveStores(parsed, bookkeeper)
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)
+    (stores, ms)
+  }
+
+  def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
+          bookkeeper: BookkeeperStore = new Bookkeeper(),
+          notifiers: Seq[PipelineNotificationTarget] = Seq.empty,
+          lockDir: Option[String] = None,
+          rerunSucceeded: Boolean = false): Seq[TaskResult] = {
+    val (stores, ms) = prepare(spark, parsed, bookkeeper)
     new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
       offsetManager = stores.offsets, lockFactory = stores.lockFactory,
       rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
@@ -944,16 +958,7 @@ object PipelineConfig {
                 lockDir: Option[String] = None,
                 dateParallelism: Int = 1,
                 state: Option[PipelineState] = None): Seq[TaskResult] = {
-    // an empty job list is usually every job disabled by accident —
-    // fail loudly unless the config says it's intentional (reference:
-    // AppRunner.scala:401, pramen.allow.empty.pipeline)
-    require(parsed.jobs.nonEmpty || parsed.allowEmptyPipeline,
-      "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
-    parsed.hadoopConf.foreach { case (k, v) =>
-      spark.sparkContext.hadoopConfiguration.set(k, v) }
-    val stores = resolveStores(parsed, bookkeeper)
-    val ms = new Metastore(spark, metadataStore = stores.metadata)
-    parsed.tables.foreach(ms.register)
+    val (stores, ms) = prepare(spark, parsed, bookkeeper)
     new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
         offsetManager = stores.offsets, lockFactory = stores.lockFactory,
         pipelineName = parsed.name, environment = parsed.environment, state = state,

@@ -40,16 +40,17 @@ object JdbcNative {
   // Spark/parquet-safe date and timestamp range (reference:
   // ResultSetToRowIterator MIN/MAX_SAFE — Oracle happily stores year
   // 10000+ or negative-year values that break downstream writers):
-  // clamp to [0001-01-01, 9999-12-31].
+  // clamp to [0001-01-01, 9999-12-31]. Boundaries are built with
+  // java.sql.Date/Timestamp.valueOf — the SAME default-timezone,
+  // Julian-cutover calendar rs.getDate/getTimestamp values carry — so
+  // a legal boundary date never compares out-of-range merely because
+  // UTC-proleptic millis disagree with the JVM zone by a few hours.
   private[sources] val MinSafeMilli: Long =
-    java.time.LocalDateTime.of(1, 1, 1, 0, 0, 0)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    java.sql.Timestamp.valueOf("0001-01-01 00:00:00").getTime
   private[sources] val MaxSafeDateMilli: Long =
-    java.time.LocalDateTime.of(9999, 12, 31, 0, 0, 0)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    java.sql.Date.valueOf("9999-12-31").getTime
   private[sources] val MaxSafeTimestampMilli: Long =
-    java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999999)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    java.sql.Timestamp.valueOf("9999-12-31 23:59:59.999999999").getTime
 
   private def clampDate(d: java.sql.Date): java.sql.Date =
     if (d == null) d

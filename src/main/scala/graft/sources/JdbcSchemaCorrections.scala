@@ -70,7 +70,16 @@ object JdbcSchemaCorrections {
         case 2 => (null, parts(0), parts(1))
         case _ => (null, null, table)
       }
-      val rs = connection.getMetaData.getColumns(catalog, schemaName, tableName, null)
+      val meta = connection.getMetaData
+      // getColumns treats schema/table as SEARCH PATTERNS: an
+      // unescaped '_' in "dim_customer" would also match
+      // "dimXcustomer" and stamp another table's comments onto this
+      // one — escape pattern metacharacters with the driver's escape
+      val esc = Option(meta.getSearchStringEscape).getOrElse("\\")
+      def pattern(s: String): String =
+        if (s == null) null
+        else s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      val rs = meta.getColumns(catalog, pattern(schemaName), pattern(tableName), null)
       val out = Map.newBuilder[String, String]
       while (rs.next()) {
         (Option(rs.getString("COLUMN_NAME")), Option(rs.getString("REMARKS"))) match {
@@ -105,10 +114,13 @@ object JdbcSchemaCorrections {
     * through JDBC as a timestamp (Oracle), where a date-partitioned
     * pipeline wants dates back. */
   def convertTimestampsToDates(df: DataFrame): DataFrame = {
+    // backtick-quote so a dotted JDBC label ("t.loaded_at") resolves
+    // as a literal column name, not a nested-field path
+    def byName(name: String) = col(s"`${name.replace("`", "``")}`")
     val fields = df.schema.fields.map { f =>
       f.dataType match {
-        case TimestampType => col(f.name).cast(DateType).as(f.name)
-        case _ => col(f.name)
+        case TimestampType => byName(f.name).cast(DateType).as(f.name)
+        case _ => byName(f.name)
       }
     }
     if (df.schema.fields.exists(_.dataType == TimestampType)) df.select(fields.toIndexedSeq: _*)

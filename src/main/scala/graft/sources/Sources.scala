@@ -225,8 +225,10 @@ final class JdbcSource(
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
 
+  // distinct: redundantly listing the primary among the fallbacks is a
+  // harmless operator habit, not an error
   private val selector =
-    new JdbcUrlSelector(url +: fallbackUrls, connectionRetries, sleep = backoffSleep)
+    new JdbcUrlSelector((url +: fallbackUrls).distinct, connectionRetries, sleep = backoffSleep)
 
   // which URL a read hands to Spark's JDBC datasource: with a failover
   // pool configured, a working URL is resolved DRIVER-side first (one
@@ -242,6 +244,11 @@ final class JdbcSource(
   private def probe(u: String): Unit = probeConnection match {
     case Some(p) => p(u)
     case None =>
+      // DriverManager (system classloader) does not see jars Spark
+      // loads via DriverRegistry — registering the configured driver
+      // class first is what makes the probe see the same driver the
+      // executors will
+      connectionOptions.get("driver").foreach(Class.forName(_))
       val props = new java.util.Properties()
       connectionOptions.foreach { case (k, v) => props.put(k, v) }
       java.sql.DriverManager.getConnection(u, props).close()
@@ -280,14 +287,14 @@ final class JdbcSource(
     }
   }
 
-  private def probeBounds(from: LocalDate, to: LocalDate): Option[(Long, Long)] =
+  private def probeBounds(url: String, from: LocalDate, to: LocalDate): Option[(Long, Long)] =
     (lowerBound, upperBound) match {
       case (Some(lo), Some(hi)) => Some((lo, hi))
       case _ if partitionColumn.isDefined && numPartitions > 1 =>
         // single-partition probe read of MIN/MAX over the same window
         val row = spark.read.format("jdbc")
           .options(connectionOptions)
-          .option("url", resolvedUrl)
+          .option("url", url)
           .option("dbtable", gen.getDtable(boundsQuery(from, to)))
           .load().head()
         if (row.isNullAt(0) || row.isNullAt(1)) None // empty window: plain read
@@ -295,8 +302,9 @@ final class JdbcSource(
       case _ => None
     }
 
-  private def jdbcRead(sql: String, bounds: Option[(Long, Long)] = None): DataFrame = {
-    val opts = jdbcOptions(sql, bounds) + ("url" -> resolvedUrl)
+  private def jdbcRead(url: String, sql: String,
+                       bounds: Option[(Long, Long)] = None): DataFrame = {
+    val opts = jdbcOptions(sql, bounds) + ("url" -> url)
     val df = spark.read.format("jdbc").options(opts).load()
     // decimal corrections re-issue the read WITH a customSchema so the
     // datasource itself reads the corrected types (a post-hoc cast
@@ -315,10 +323,14 @@ final class JdbcSource(
   }
 
   override def getRecordCount(from: LocalDate, to: LocalDate): Long =
-    jdbcRead(countQuery(from, to)).head().getAs[Number](0).longValue()
+    jdbcRead(resolvedUrl, countQuery(from, to)).head().getAs[Number](0).longValue()
 
-  override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult =
-    SourceResult(jdbcRead(dataQuery(from, to, columns), probeBounds(from, to)))
+  override def getData(from: LocalDate, to: LocalDate, columns: Seq[String]): SourceResult = {
+    // ONE failover resolution per operation — the bounds probe and the
+    // data read reuse it (each resolution opens a raw probe connection)
+    val url = resolvedUrl
+    SourceResult(jdbcRead(url, dataQuery(from, to, columns), probeBounds(url, from, to)))
+  }
 }
 
 /**
