@@ -805,6 +805,21 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 7).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding", q, k = 10, cb)
+    }),
+
+    "q_semdedup" -> ((s, dir) => {
+      // rows-only gate: SemDeDup — k-means clusters, within-cluster
+      // cosine pairs, keep the group member farthest from its
+      // centroid (representative rule + sub-bucket guard pinned in
+      // SemDeDupSpec)
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.Clustering.fit(emb, "embedding", k = 8, iters = 3)
+      // the synthetic embeddings carry no true near-dups (max pair
+      // cosine ~0.51), so the gate prunes at an aggressive threshold —
+      // what matters is that the cluster-pair-group-representative
+      // machinery actually drops rows here
+      graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.35)
+        .select("vec_id")
     })
   )
 

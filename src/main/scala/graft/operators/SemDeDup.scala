@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * SemDeDup — semantic deduplication by cluster-then-prune (Abbas,
+ * Tirumala et al. 2023, "SemDeDup: Data-efficient learning at
+ * web-scale through semantic deduplication"): k-means the embedding
+ * space, compare pairs only WITHIN a cluster, and inside every group
+ * of semantic duplicates keep the member with the LOWEST similarity
+ * to its cluster centroid — pruning redundancy while preserving the
+ * diversity tail. Complements [[EmbedDedup]] (LSH-bucketed near-dup,
+ * pair-level) with the paper's cluster-local contract and
+ * diversity-keeping representative rule.
+ *
+ * Scale story: cluster assignment is one scan against a literal
+ * centroid matrix (no shuffle — [[Clustering.assign]]); the pair join
+ * is keyed by cluster, and SemDeDup's own design assumption (k grows
+ * with the corpus, so clusters stay bounded) is enforced rather than
+ * hoped for — clusters above `maxClusterSize` are sub-split by a
+ * sign-LSH bucket, so no join partition ever goes quadratic in the
+ * corpus (bit-identical embeddings always share an LSH bucket, so
+ * exact duplicates can never be split apart; genuinely near — not
+ * identical — pairs across sub-bucket boundaries are the documented
+ * recall trade, the same as EmbedDedup's maxBucket). Duplicate
+ * groups resolve via [[DupGroups.connectedComponents]] ((id, label)
+ * rounds only), and the final drop list — bounded by the duplicate
+ * count — broadcasts into an anti join, so the corpus itself never
+ * shuffles.
+ */
+object SemDeDup {
+
+  /** Semantic duplicate pairs within clusters:
+    * (cluster, id_a, id_b, cosine >= threshold). `assigned` must
+    * carry the `cluster` column from [[Clustering.assign]]. */
+  def dupPairs(assigned: DataFrame, vecCol: String, idCol: String,
+               threshold: Double, maxClusterSize: Int = 20000,
+               seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1: $maxClusterSize")
+    graft.expr.GraftFunctions.ensure(assigned.sparkSession)
+    val dim = assigned.select(size(col(vecCol))).head().getInt(0)
+    val planes = AnnSearch.hyperplanes(dim, 16, seed).map(_.toSeq).toSeq
+    val bucket = element_at(
+      graft.expr.GraftFunctions.lshBuckets(col(vecCol), planes, 16), 1)
+    // per-cluster sizes are k rows — broadcast; oversized clusters get
+    // ceil(size / maxClusterSize) sub-buckets, everyone else _sb = 0
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("_csz"))
+    val keyed = assigned.join(broadcast(sizes), "cluster")
+      .withColumn("_nsb",
+        greatest(lit(1L), ceil(col("_csz").cast("double") / maxClusterSize).cast("long")))
+      .withColumn("_sb", pmod(bucket, col("_nsb")))
+      .select(col("cluster"), col("_sb"), col(idCol).as("_id"), col(vecCol).as("_v"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a._sb") === col("b._sb") &&
+          col("a._id") < col("b._id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a._id").as("id_a"), col("b._id").as("id_b"),
+        round(VectorMath.cosineFast(col("a._v"), col("b._v")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** The ids SemDeDup removes: every duplicate-group member EXCEPT
+    * the one farthest from its cluster centroid (the paper's
+    * keep-lowest-centroid-similarity rule; ties keep the lowest id).
+    * Output: (id, group_id). */
+  def dropIds(assigned: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
+    val dist = assigned.select(col(idCol).as("id"), col("dist2"))
+    // groups are duplicate docs only (small relative to the corpus);
+    // the window runs over them, never the corpus
+    val w = Window.partitionBy("group_id")
+    groups.join(dist, "id")
+      .withColumn("_pick", struct(col("dist2").as("d"), (-col("id")).as("n")))
+      .withColumn("_best", max(col("_pick")).over(w))
+      .where(col("_pick") =!= col("_best"))
+      .select(col("id"), col("group_id"))
+  }
+
+  /** The corpus minus semantic duplicates — one call from raw
+    * embeddings + fitted centroids ([[Clustering.fit]]). */
+  def dedup(embeddings: DataFrame, vecCol: String, idCol: String,
+            centroids: Array[Array[Double]], threshold: Double = 0.95,
+            maxClusterSize: Int = 20000, seed: Long = 42L): DataFrame = {
+    val assigned = Clustering.assign(embeddings, vecCol, centroids)
+    val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed)
+    val drop = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
+    embeddings.join(broadcast(drop), col(idCol) === col("_drop_id"), "left_anti")
+  }
+}

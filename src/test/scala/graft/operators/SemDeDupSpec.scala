@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L34: SemDeDup — hand-built geometry pins the cluster-local pair
+  * contract, the keep-farthest-from-centroid representative rule, and
+  * the sub-bucket guard for oversized clusters. */
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal clusters in dim 4
+  private val centroids = Array(
+    Array(1.0, 0.0, 0.0, 0.0),
+    Array(0.0, 1.0, 0.0, 0.0))
+
+  private def emb(rows: (Long, Array[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+
+  test("keeps the duplicate farthest from the centroid; distinct and other-cluster rows survive") {
+    // ids 1,2,3 are colinear (cosine exactly 1) at growing distance
+    // from centroid 0 — one group, keep id 3 (farthest). id 4 points
+    // elsewhere in cluster 0; id 5 lives in cluster 1.
+    val e = emb(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(2f, 0f, 0f, 0f),
+      3L -> Array(3f, 0f, 0f, 0f),
+      4L -> Array(0.8f, 0.1f, 0.6f, 0f),
+      5L -> Array(0f, 1f, 0f, 0f))
+    val kept = SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L), s"kept $kept")
+  }
+
+  test("pairs are cluster-local and carry exact cosine; cross-cluster near-pairs are NOT compared") {
+    // ids 1 and 2 are nearly identical but straddle the two centroids —
+    // SemDeDup's contract is cluster-local comparison, so no pair
+    val e = emb(
+      1L -> Array(0.71f, 0.70f, 0f, 0f),
+      2L -> Array(0.70f, 0.71f, 0f, 0f),
+      3L -> Array(1f, 0f, 0f, 0f))
+    val assigned = Clustering.assign(e, "embedding", centroids)
+    val pairs = SemDeDup.dupPairs(assigned, "embedding", "vec_id", threshold = 0.9)
+      .collect()
+    assert(pairs.isEmpty, s"cross-cluster members must not pair: ${pairs.mkString(",")}")
+    // and within a cluster the cosine is the exact rounded value
+    val e2 = emb(1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(1f, 1f, 0f, 0f))
+    val p2 = SemDeDup.dupPairs(Clustering.assign(e2, "embedding", centroids),
+      "embedding", "vec_id", threshold = 0.5).collect()
+    assert(p2.length == 1)
+    assert(math.abs(p2.head.getAs[Double]("cosine") - 0.707107) < 1e-6)
+  }
+
+  test("oversized clusters sub-split without ever separating identical embeddings") {
+    // 40 bit-identical vectors + maxClusterSize = 1 forces maximal
+    // sub-bucketing; identical vectors share every LSH bucket, so all
+    // still collapse to ONE survivor
+    val e = emb((1L to 40L).map(i => i -> Array(1f, 0f, 0f, 0f)): _*)
+    val kept = SemDeDup.dedup(e, "embedding", "vec_id", centroids,
+      threshold = 0.999, maxClusterSize = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    // equal dist2 everywhere -> tie-break keeps the lowest id
+    assert(kept == Seq(1L), s"identical embeddings must collapse to one survivor: $kept")
+  }
+
+  test("real embeddings: dedup is idempotent and only removes grouped members") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Clustering.fit(e, "embedding", k = 4, iters = 3)
+    val once = SemDeDup.dedup(e, "embedding", "vec_id", cents, threshold = 0.995)
+    val n0 = e.count(); val n1 = once.count()
+    assert(n1 > 0 && n1 <= n0)
+    val twice = SemDeDup.dedup(once, "embedding", "vec_id", cents, threshold = 0.995)
+    assert(twice.count() == n1, "second pass must remove nothing new")
+  }
+}
