@@ -18,9 +18,20 @@ import java.time.LocalDate
  */
 object JdbcNative {
 
+  /** Varchar columns longer than this carry no maxLength metadata
+    * (reference: JdbcSparkUtils.MAXIMUM_VARCHAR_LENGTH). */
+  private[sources] val MaxVarcharLength = 8192
+
   /** Spark type for a JDBC column (reference: JdbcNativeUtils
-    * getStructField — same families). */
-  private[sources] def sparkType(sqlType: Int, precision: Int, scale: Int): DataType = {
+    * getStructField — same families). `incorrectDecimalsAsString`
+    * (reference: ResultSetToRowIterator.getDecimalSparkSchema) reads
+    * decimals whose reported precision/scale are unusable — scale at
+    * or above precision, nonpositive precision, precision past 38 —
+    * as STRINGS instead of a lossy decimal(38,18): engines like SAS
+    * report such metadata for computed columns, and a string
+    * round-trips the value exactly. */
+  private[sources] def sparkType(sqlType: Int, precision: Int, scale: Int,
+                                 incorrectDecimalsAsString: Boolean = false): DataType = {
     import java.sql.Types._
     sqlType match {
       case BIGINT => LongType
@@ -28,7 +39,10 @@ object JdbcNative {
       case FLOAT | REAL => FloatType
       case DOUBLE => DoubleType
       case NUMERIC | DECIMAL =>
-        if (precision <= 0 || precision > 38) DecimalType(38, 18)
+        val unusable = scale >= precision || precision <= 0 || scale < 0 ||
+          precision > 38 || precision + scale > 38
+        if (unusable && incorrectDecimalsAsString) StringType
+        else if (precision <= 0 || precision > 38) DecimalType(38, 18)
         else DecimalType(precision, math.min(math.max(scale, 0), precision))
       case BOOLEAN | BIT => BooleanType
       case DATE => DateType
@@ -70,12 +84,27 @@ object JdbcNative {
     * `sanitizeDateTime` clamps out-of-range date/timestamp values to
     * the Spark-safe range instead of letting them poison the write. */
   def fetch(rs: java.sql.ResultSet, maxRows: Long,
-            sanitizeDateTime: Boolean = false): (StructType, Seq[Row]) = {
+            sanitizeDateTime: Boolean = false,
+            incorrectDecimalsAsString: Boolean = false): (StructType, Seq[Row]) = {
     val meta = rs.getMetaData
     val n = meta.getColumnCount
     val fields = (1 to n).map { i =>
-      StructField(meta.getColumnLabel(i),
-        sparkType(meta.getColumnType(i), meta.getPrecision(i), meta.getScale(i)))
+      val dt = sparkType(meta.getColumnType(i), meta.getPrecision(i), meta.getScale(i),
+        incorrectDecimalsAsString)
+      // varchar width survives as maxLength metadata (reference:
+      // addMetadataFromJdbc) — downstream Hive DDL can size VARCHAR
+      // columns instead of falling back to STRING. Best-effort: not
+      // every driver answers getColumnDisplaySize.
+      val md = dt match {
+        case StringType =>
+          val len = try math.max(meta.getColumnDisplaySize(i), meta.getPrecision(i))
+            catch { case _: Exception => 0 }
+          if (len > 0 && len < MaxVarcharLength)
+            new MetadataBuilder().putLong("maxLength", len.toLong).build()
+          else Metadata.empty
+        case _ => Metadata.empty
+      }
+      StructField(meta.getColumnLabel(i), dt, metadata = md)
     }
     val schema = StructType(fields)
     val rows = Vector.newBuilder[Row]
@@ -132,7 +161,8 @@ final class JdbcNativeSource(
     connectionRetries: Option[Int] = None,
     backoffSleep: Long => Unit = Thread.sleep,
     columnDescriptions: Boolean = false,
-    sanitizeDateTime: Boolean = false) extends GraftSource {
+    sanitizeDateTime: Boolean = false,
+    incorrectDecimalsAsString: Boolean = false) extends GraftSource {
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
@@ -155,7 +185,8 @@ final class JdbcNativeSource(
       val st = conn.createStatement()
       try {
         val rs = st.executeQuery(dataQuery(from, to, columns))
-        val (schema, rows) = JdbcNative.fetch(rs, maxRows, sanitizeDateTime)
+        val (schema, rows) =
+          JdbcNative.fetch(rs, maxRows, sanitizeDateTime, incorrectDecimalsAsString)
         // warehouse column comments survive ingestion as `comment`
         // field metadata (best-effort — a metadata failure never fails
         // the read)

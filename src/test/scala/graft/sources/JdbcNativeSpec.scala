@@ -83,6 +83,52 @@ class JdbcNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRows=10"), e.getMessage)
   }
 
+  test("incorrectDecimalsAsString: unusable precision/scale reads as string, sane decimals untouched") {
+    import java.sql.Types._
+    // SAS-style metadata: scale >= precision, zero precision, 38+ overflow
+    val weird = Seq(
+      ("frac", NUMERIC, 5, 8), ("bare", NUMERIC, 0, 0),
+      ("wide", NUMERIC, 38, 6), ("money", NUMERIC, 18, 4))
+    val rows = Seq(Seq[Any]("123.456", "9", "1.5", new java.math.BigDecimal("12.5000")))
+    val (schema, out) = JdbcNative.fetch(fakeResultSet(weird, rows), maxRows = 10,
+      incorrectDecimalsAsString = true)
+    assert(schema("frac").dataType == StringType)
+    assert(schema("bare").dataType == StringType)
+    assert(schema("wide").dataType == StringType, "precision+scale past 38 is unusable")
+    assert(schema("money").dataType == DecimalType(18, 4), "sane decimals stay decimals")
+    assert(out.head.getString(0) == "123.456", "the string round-trips the value exactly")
+    // without the flag, the old clamping behavior stands (schema only:
+    // these cells hold strings the decimal getter could not read)
+    val (defSchema, _) = JdbcNative.fetch(fakeResultSet(weird, Seq.empty), maxRows = 10)
+    assert(defSchema("bare").dataType == DecimalType(38, 18))
+  }
+
+  test("varchar width survives as maxLength metadata when the driver reports it") {
+    import java.sql.Types._
+    var displaySize = 40
+    val cols = Seq(("name", VARCHAR, 0, 0))
+    val meta = proxy(classOf[java.sql.ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(1)
+      case ("getColumnLabel", _) => "name"
+      case ("getColumnType", _) => Integer.valueOf(VARCHAR)
+      case ("getPrecision", _) => Integer.valueOf(0)
+      case ("getScale", _) => Integer.valueOf(0)
+      case ("getColumnDisplaySize", _) => Integer.valueOf(displaySize)
+      case _ => null
+    }
+    val rs = proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _) => java.lang.Boolean.FALSE
+      case ("getMetaData", _) => meta
+      case _ => null
+    }
+    val (schema, _) = JdbcNative.fetch(rs, maxRows = 10)
+    assert(schema("name").metadata.getLong("maxLength") == 40L)
+    // CLOB-ish widths carry no cap (Hive DDL would fall back to STRING)
+    displaySize = 1 << 20
+    val (wide, _) = JdbcNative.fetch(rs, maxRows = 10)
+    assert(!wide("name").metadata.contains("maxLength"))
+  }
+
   test("sanitizeDateTime clamps out-of-range dates/timestamps to the Spark-safe range") {
     val cols = Seq(("d", DATE, 0, 0), ("ts", TIMESTAMP, 0, 0))
     // Oracle-style garbage: year 10000+ and a negative-year value
