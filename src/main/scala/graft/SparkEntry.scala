@@ -820,6 +820,20 @@ object SparkEntry {
       // machinery actually drops rows here
       graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.35)
         .select("vec_id")
+    }),
+
+    "q_perplexity" -> ((s, dir) => {
+      // CCNet-style unigram perplexity: model fit on every 3rd doc
+      // (the "trusted reference"), every doc scored row-locally
+      // against the broadcast-as-literal model. Oracle: DuckDB
+      // replays fit + scoring exactly (tokenless docs score null and
+      // are filtered on both sides).
+      val dd = docs(s, dir)
+      val lm = graft.operators.LmScore.fitUnigram(
+        dd.where(col("doc_id") % 3 === 0), "text")
+      dd.select(col("doc_id"),
+          round(graft.operators.LmScore.perplexity(col("text"), lm), 4).as("perplexity"))
+        .where(col("perplexity").isNotNull)
     })
   )
 
@@ -1236,6 +1250,30 @@ object SparkEntry {
         |  round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
         |  round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share
         |FROM g CROSS JOIN t""".stripMargin,
+    // unigram-perplexity twin: model fit (counts, add-one smoothing,
+    // deterministic vocab boundary) and row scoring replayed exactly;
+    // round(4) absorbs cross-engine sum-order ulps as in q_bm25
+    "q_perplexity" ->
+      """WITH ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |rt AS (
+        |  SELECT unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM ref),
+        |stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt),
+        |top AS (SELECT tok, count(*) AS n FROM rt GROUP BY tok ORDER BY n DESC, tok LIMIT 65536),
+        |model AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp FROM top CROSS JOIN stats s),
+        |dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '')) AS tok
+        |  FROM documents),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(m.lp, (SELECT ln(1.0 / (total + v + 1)) FROM stats)) AS lp
+        |  FROM dt d LEFT JOIN model m USING (tok))
+        |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
+        |FROM scored GROUP BY doc_id""".stripMargin,
     // the language-ID heuristic replayed verbatim: same markers, same
     // weights, and list_sort(structs)[-1] reproduces Spark's
     // greatest(struct) tie-break (score, then language code)

@@ -49,6 +49,30 @@ object Sampling {
     names.map(n => labeled.where(col("split") === n).drop("split"))
   }
 
+  /**
+   * Leakage-SAFE split: near-duplicate documents must never straddle
+   * train and eval — a deterministic per-id split still puts two
+   * copies of one document on both sides, which inflates eval exactly
+   * like benchmark contamination does. Membership is therefore
+   * decided by the hash of the document's duplicate-GROUP
+   * representative (`groups` = (id, group_id) from
+   * [[DupGroups.connectedComponents]] over MinHash/SimHash/embedding
+   * pairs); ungrouped documents fall back to their own id. The group
+   * table is bounded by the duplicate count and broadcasts — the
+   * corpus itself never shuffles, and the split stays deterministic
+   * across re-runs like every other split here.
+   */
+  def withGroupSafeSplitLabel(df: DataFrame, idCol: String, groups: DataFrame,
+                              weights: Seq[Double], names: Seq[String],
+                              seed: Long = 42L): DataFrame = {
+    val g = groups.select(col("id").as("_gs_id"), col("group_id").as("_gs_group"))
+    val keyed = df
+      .join(broadcast(g), col(idCol) === col("_gs_id"), "left")
+      .withColumn("_gs_key", coalesce(col("_gs_group"), col(idCol)))
+    withSplitLabel(keyed, "_gs_key", weights, names, seed)
+      .drop("_gs_id", "_gs_group", "_gs_key")
+  }
+
   /** Seeded stratified sampling: per-stratum fractions (absent keys
     * drop to 0). Thin wrapper over Spark's `stat.sampleBy`. */
   def stratifiedSample(df: DataFrame, strataCol: String,

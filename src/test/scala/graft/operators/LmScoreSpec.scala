@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L35: unigram perplexity scoring — hand-computed model and scores,
+  * quality ordering on real text shapes, zero-shuffle scoring plan. */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit and scores match the hand-computed model exactly") {
+    val ref = Seq("a a b").toDF("text")
+    val lm = LmScore.fitUnigram(ref, "text")
+    // total=3 tokens, v=2 types, denom=6: p(a)=(2+1)/6, p(b)=(1+1)/6, oov=1/6
+    assert(math.abs(lm.logProbs("a") - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(lm.logProbs("b") - math.log(2.0 / 6)) < 1e-12)
+    assert(math.abs(lm.oovLogProb - math.log(1.0 / 6)) < 1e-12)
+    val got = LmScore.scored(Seq((1L, "a b c"), (2L, "a a a"), (3L, "  ")).toDF("id", "text"),
+      "text", lm).select("id", "perplexity")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val want1 = math.exp(-(math.log(3.0 / 6) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3)
+    val want2 = math.exp(-math.log(3.0 / 6))
+    assert(math.abs(got(1L).get - want1) < 1e-9, s"got ${got(1L)} want $want1")
+    assert(math.abs(got(2L).get - want2) < 1e-9)
+    assert(got(3L).isEmpty, "a tokenless document scores null")
+  }
+
+  test("fluent in-domain text scores lower perplexity than gibberish") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitUnigram(real, "text")
+    val probe = Seq(
+      (1L, "the data pipeline reads the table and joins the results"),
+      (2L, "zxqv fplk wrtm ggah bbnc uure qwpz mlkj")).toDF("id", "text")
+    val ppl = LmScore.scored(probe, "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(1L) < ppl(2L),
+      s"OOV gibberish must score higher perplexity: fluent=${ppl(1L)} gibberish=${ppl(2L)}")
+  }
+
+  test("vocabSize caps the model; boundary is deterministic") {
+    val ref = Seq("a a a b b c").toDF("text")
+    val lm = LmScore.fitUnigram(ref, "text", vocabSize = 2)
+    assert(lm.logProbs.keySet == Set("a", "b"), s"top-2 by (count desc, token asc): ${lm.logProbs.keySet}")
+  }
+
+  test("scoring plan is one scan, zero shuffle (model rides the plan as a literal)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitUnigram(real.limit(50), "text", vocabSize = 512)
+    val q = real.select(col("doc_id"), LmScore.perplexity(col("text"), lm).as("p"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"row-local scoring must not shuffle:\n$plan")
+  }
+}

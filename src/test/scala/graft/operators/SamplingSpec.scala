@@ -99,4 +99,32 @@ class SamplingSpec extends SparkSpec {
       .select("domain", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(kept == Set(("a", 1L), ("a", 2L), ("b", 1L), ("c", 1L), ("c", 2L)))
   }
+
+  test("group-safe split: near-duplicate groups never straddle splits, ungrouped docs split as before") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chains (1,2),(2,3) and (5,6): groups {1,2,3} and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val groups = DupGroups.connectedComponents(pairs, "a", "b")
+    // several seeds: members of one group always share a split
+    Seq(1L, 7L, 42L).foreach { seed =>
+      val labeled = Sampling.withGroupSafeSplitLabel(docs, "doc_id", groups,
+        Seq(0.5, 0.5), Seq("train", "test"), seed)
+      val byId = labeled.select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, s"group {1,2,3} split at seed $seed")
+      assert(byId(5L) == byId(6L), s"group {5,6} split at seed $seed")
+      // ungrouped ids use their own hash — identical to the plain split
+      val plain = Sampling.withSplitLabel(docs.where(col("doc_id") > 6), "doc_id",
+        Seq(0.5, 0.5), Seq("train", "test"), seed)
+        .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      plain.foreach { case (id, s) => assert(byId(id) == s, s"ungrouped doc $id at seed $seed") }
+      // both splits are populated (deterministic split still splits)
+      assert(byId.values.toSet == Set("train", "test"))
+    }
+    // no extra or lost rows, schema untouched apart from the label
+    val labeled = Sampling.withGroupSafeSplitLabel(docs, "doc_id", groups,
+      Seq(0.8, 0.2), Seq("train", "test"))
+    assert(labeled.count() == 200)
+    assert(labeled.columns.toSeq == Seq("doc_id", "text", "split"))
+  }
 }
