@@ -66,10 +66,12 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   // canonicalization / subexpression elimination / cached-plan lookup
   // could not unify them. The filter can be 100+ MB (that is the
   // point of the feature), and Catalyst calls equals/hashCode many
-  // times per optimizer pass — the hash is cached and equals
-  // short-circuits on reference and hash before scanning bytes.
-  @transient private lazy val filterBytesHash: Int =
-    java.util.Arrays.hashCode(filterBytes)
+  // times per optimizer pass — the hash is cached PER ARRAY IDENTITY
+  // in the companion (a per-instance lazy val would be discarded by
+  // every withNewChildInternal copy, repaying the full scan per
+  // transformed node) and equals short-circuits on reference and hash
+  // before scanning bytes.
+  private def filterBytesHash: Int = BloomMightContain.contentHash(filterBytes)
 
   override def equals(other: Any): Boolean = other match {
     case b: BloomMightContain =>
@@ -90,4 +92,14 @@ object BloomMightContain {
     filter.writeTo(out)
     out.toByteArray
   }
+
+  // identity-keyed (WeakHashMap hashes arrays by reference), so every
+  // expression copy sharing one filter array pays the content scan
+  // exactly once; weak keys let the filter be collected with its plan
+  private val hashCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], Integer]())
+
+  private[expr] def contentHash(bytes: Array[Byte]): Int =
+    hashCache.computeIfAbsent(bytes, b => Integer.valueOf(java.util.Arrays.hashCode(b)))
 }

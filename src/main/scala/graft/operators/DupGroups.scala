@@ -94,14 +94,16 @@ object DupGroups {
     // empty — a normal production case): nothing to group
     if (labels.isEmpty) return labels.select(col("id"), col("comp").as("group_id"))
 
-    // sum(...) over an empty frame is SQL NULL; treat it as zero so an
-    // all-filtered intermediate round can't NPE the comparison
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
+    // convergence = no label changed this round — an exact check that
+    // works for ANY id type (a label-sum variant would cast string ids
+    // to numbers and fail; hashing them trades exactness for nothing:
+    // both frames are checkpointed (id, label) pairs, so the join is
+    // round-sized, like the hook itself)
+    def changedCount(cur: DataFrame, prevLabels: DataFrame): Long =
+      cur.join(prevLabels.select(col("id").as("_pid"), col("comp").as("_pcomp")),
+          col("id") === col("_pid"))
+        .where(col("comp") =!= col("_pcomp")).count()
 
-    var prev = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -123,9 +125,7 @@ object DupGroups {
         .select(col("x.id").as("id"),
           coalesce(col("ccomp"), col("x.comp")).as("comp"))
         .localCheckpoint()
-      val s = labelSum(compressed)
-      converged = s.compareTo(prev) == 0
-      prev = s
+      converged = changedCount(compressed, labels) == 0
       labels = compressed
       it += 1
     }

@@ -41,7 +41,14 @@ object SemDeDup {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxClusterSize >= 1, s"maxClusterSize must be >= 1: $maxClusterSize")
     graft.expr.GraftFunctions.ensure(assigned.sparkSession)
-    val dim = assigned.select(size(col(vecCol))).head().getInt(0)
+    // an upstream filter can legitimately empty the corpus — no pairs,
+    // not a crash (the dim probe needs one row)
+    val dimRow = assigned.select(size(col(vecCol))).take(1)
+    if (dimRow.isEmpty)
+      return assigned.select(col("cluster"),
+        col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0d).as("cosine"))
+        .where(lit(false))
+    val dim = dimRow.head.getInt(0)
     val planes = AnnSearch.hyperplanes(dim, 16, seed).map(_.toSeq).toSeq
     val bucket = element_at(
       graft.expr.GraftFunctions.lshBuckets(col(vecCol), planes, 16), 1)
@@ -70,11 +77,14 @@ object SemDeDup {
     val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
     val dist = assigned.select(col(idCol).as("id"), col("dist2"))
     // groups are duplicate docs only (small relative to the corpus);
-    // the window runs over them, never the corpus
+    // the window runs over them, never the corpus. The tie-break
+    // negates dist2 (always a double) rather than the id, so string
+    // ids — which connectedComponents supports — order correctly:
+    // min(-dist2, id) = farthest from centroid, then LOWEST id.
     val w = Window.partitionBy("group_id")
     groups.join(dist, "id")
-      .withColumn("_pick", struct(col("dist2").as("d"), (-col("id")).as("n")))
-      .withColumn("_best", max(col("_pick")).over(w))
+      .withColumn("_pick", struct((-col("dist2")).as("nd"), col("id").as("i")))
+      .withColumn("_best", min(col("_pick")).over(w))
       .where(col("_pick") =!= col("_best"))
       .select(col("id"), col("group_id"))
   }

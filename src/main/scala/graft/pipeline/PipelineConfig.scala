@@ -917,8 +917,6 @@ object PipelineConfig {
     if (results.exists(_.isInstanceOf[TaskResult.Failed])) sys.exit(1)
   }
 
-  /** Register the declared tables and run the declared jobs (single
-    * run-date legacy surface). */
   /** Shared prelude of both run surfaces: guards, hadoop conf, store
     * resolution and table registration — a guard added here applies to
     * BOTH `run` and `runParams` by construction. */
@@ -937,6 +935,8 @@ object PipelineConfig {
     (stores, ms)
   }
 
+  /** Register the declared tables and run the declared jobs (single
+    * run-date legacy surface). */
   def run(spark: SparkSession, parsed: Parsed, runDate: LocalDate,
           bookkeeper: BookkeeperStore = new Bookkeeper(),
           notifiers: Seq[PipelineNotificationTarget] = Seq.empty,

@@ -89,21 +89,29 @@ object JdbcNative {
     val meta = rs.getMetaData
     val n = meta.getColumnCount
     val fields = (1 to n).map { i =>
-      val dt = sparkType(meta.getColumnType(i), meta.getPrecision(i), meta.getScale(i),
+      val sqlType = meta.getColumnType(i)
+      val dt = sparkType(sqlType, meta.getPrecision(i), meta.getScale(i),
         incorrectDecimalsAsString)
       // varchar width survives as maxLength metadata (reference:
       // addMetadataFromJdbc) — downstream Hive DDL can size VARCHAR
-      // columns instead of falling back to STRING. Best-effort: not
-      // every driver answers getColumnDisplaySize.
-      val md = dt match {
-        case StringType =>
+      // columns instead of falling back to STRING. GENUINE character
+      // types only: a decimal read as string has a precision-derived
+      // width that understates the rendered value and would truncate
+      // it right back. Best-effort: not every driver answers
+      // getColumnDisplaySize.
+      val isCharType = {
+        import java.sql.Types._
+        sqlType == CHAR || sqlType == VARCHAR || sqlType == LONGVARCHAR ||
+          sqlType == NCHAR || sqlType == NVARCHAR || sqlType == LONGNVARCHAR
+      }
+      val md =
+        if (isCharType && dt == StringType) {
           val len = try math.max(meta.getColumnDisplaySize(i), meta.getPrecision(i))
             catch { case _: Exception => 0 }
-          if (len > 0 && len < MaxVarcharLength)
+          if (len > 0 && len <= MaxVarcharLength)
             new MetadataBuilder().putLong("maxLength", len.toLong).build()
           else Metadata.empty
-        case _ => Metadata.empty
-      }
+        } else Metadata.empty
       StructField(meta.getColumnLabel(i), dt, metadata = md)
     }
     val schema = StructType(fields)

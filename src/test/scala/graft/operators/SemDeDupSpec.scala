@@ -62,6 +62,25 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept == Seq(1L), s"identical embeddings must collapse to one survivor: $kept")
   }
 
+  test("empty corpus: no pairs, no crash, empty result") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val assigned = Clustering.assign(empty, "embedding", centroids)
+    assert(SemDeDup.dupPairs(assigned, "embedding", "vec_id", threshold = 0.9).count() == 0)
+    assert(SemDeDup.dedup(empty, "embedding", "vec_id", centroids).count() == 0)
+  }
+
+  test("string document ids survive the representative tie-break") {
+    // equal dist2 everywhere — the tie-break must order the STRING ids
+    // themselves (negating them would cast to null and drop nothing)
+    val e = Seq(
+      "a" -> Array(1f, 0f, 0f, 0f),
+      "b" -> Array(1f, 0f, 0f, 0f),
+      "c" -> Array(1f, 0f, 0f, 0f)).toDF("doc", "embedding")
+    val kept = SemDeDup.dedup(e, "embedding", "doc", centroids, threshold = 0.999)
+      .select("doc").as[String].collect().toSeq
+    assert(kept == Seq("a"), s"lowest string id must win the tie: $kept")
+  }
+
   test("real embeddings: dedup is idempotent and only removes grouped members") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Clustering.fit(e, "embedding", k = 4, iters = 3)

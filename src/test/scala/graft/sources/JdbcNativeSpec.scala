@@ -127,6 +127,30 @@ class JdbcNativeSpec extends SparkSpec {
     displaySize = 1 << 20
     val (wide, _) = JdbcNative.fetch(rs, maxRows = 10)
     assert(!wide("name").metadata.contains("maxLength"))
+    // the reference cap itself is inclusive
+    displaySize = JdbcNative.MaxVarcharLength
+    assert(JdbcNative.fetch(rs, maxRows = 10)._1("name")
+      .metadata.getLong("maxLength") == JdbcNative.MaxVarcharLength.toLong)
+    // a decimal READ AS STRING keeps no maxLength: its precision-based
+    // width understates the rendered value and would truncate it
+    val numMeta = proxy(classOf[java.sql.ResultSetMetaData]) {
+      case ("getColumnCount", _) => Integer.valueOf(1)
+      case ("getColumnLabel", _) => "frac"
+      case ("getColumnType", _) => Integer.valueOf(java.sql.Types.NUMERIC)
+      case ("getPrecision", _) => Integer.valueOf(5)
+      case ("getScale", _) => Integer.valueOf(8)
+      case ("getColumnDisplaySize", _) => Integer.valueOf(7)
+      case _ => null
+    }
+    val numRs = proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _) => java.lang.Boolean.FALSE
+      case ("getMetaData", _) => numMeta
+      case _ => null
+    }
+    val (numSchema, _) = JdbcNative.fetch(numRs, maxRows = 10,
+      incorrectDecimalsAsString = true)
+    assert(numSchema("frac").dataType == StringType)
+    assert(!numSchema("frac").metadata.contains("maxLength"))
   }
 
   test("sanitizeDateTime clamps out-of-range dates/timestamps to the Spark-safe range") {
