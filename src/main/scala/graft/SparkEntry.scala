@@ -831,9 +831,25 @@ object SparkEntry {
       val dd = docs(s, dir)
       val lm = graft.operators.LmScore.fitUnigram(
         dd.where(col("doc_id") % 3 === 0), "text")
-      dd.select(col("doc_id"),
-          round(graft.operators.LmScore.perplexity(col("text"), lm), 4).as("perplexity"))
-        .where(col("perplexity").isNotNull)
+      graft.operators.LmScore.perplexities(dd, "text", "doc_id", lm)
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+    }),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // rows-only gate: the production incremental shape — even docs
+      // are the indexed "historical corpus", PERSISTED as signatures
+      // and read back (probing the stored sig column is the contract;
+      // a lazy index frame re-inlines the signature expression into
+      // every consumer), odd docs the new batch; survivors are what
+      // an ingest would append (matching pinned in MinHashIndexSpec)
+      val dd = docs(s, dir)
+      val path = metaPath("mh_index")
+      graft.operators.MinHashIndex.writeIndex(
+        dd.where(col("doc_id") % 2 === 0), "text", "doc_id", path)
+      graft.operators.MinHashIndex.newDocsOnly(
+          dd.where(col("doc_id") % 2 === 1), "text", "doc_id",
+          s.read.parquet(path), "doc_id", threshold = 0.6)
+        .select("doc_id", "lang", "n_chars")
     })
   )
 

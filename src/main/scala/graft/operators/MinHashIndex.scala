@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental near-dup detection against a PERSISTED corpus index —
+ * the production shape of dedup: yesterday's 100 TB corpus is already
+ * deduplicated and indexed; today's ingest batch must be checked
+ * against it WITHOUT re-scanning, re-shingling or re-pairing the
+ * historical corpus.
+ *
+ * The index stores ONE row per document: (id, minhash signature) —
+ * k longs (~0.5 KB at k=64), 3-4 orders of magnitude smaller than the
+ * text. Probing derives band hashes ROW-LOCALLY on both sides (the
+ * banding is a per-row expression over the signature, so the index
+ * needs no band explosion on disk), prefilters the index scan with an
+ * `arrays_overlap` against the batch's broadcast bucket set — a
+ * row-local filter, so the only index rows that ever explode or
+ * shuffle are those sharing at least one band bucket with the batch —
+ * and verifies candidates by the standard MinHash Jaccard estimate
+ * (fraction of equal signature components), computed from the two
+ * signatures alone: the historical TEXT is never read at all.
+ *
+ * The batch side is the small side by contract (an incremental
+ * slice); its bucket set collects to the driver (batch × bands
+ * longs, hard-capped) and its banded rows broadcast into the
+ * candidate join. Batch-INTERNAL duplicates are the normal
+ * [[Dedup]] path's job — this operator answers "is it already in the
+ * corpus", not "is it repeated within today".
+ */
+object MinHashIndex {
+
+  /** The index rows: (idCol, sig). Write this as parquet — it IS the
+    * persisted index ([[writeIndex]]): probing a STORED sig column
+    * derives band hashes from an attribute, while probing the lazy
+    * frame re-inlines the signature expression into every consumer
+    * (measured at ~100x slower on the correctness fixtures). Tokens
+    * and shingles are materialized as columns first — passing a raw
+    * shingle expression into the signature would re-run it k times
+    * per row (see minhashSignatureFromShingles). */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
+                 shingleSize: Int = 3, k: Int = 64): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    docs
+      .withColumn("_toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
+      .select(col(idCol), graft.expr.GraftFunctions.minhashSig(col("_sh"), k).as("sig"))
+  }
+
+  def writeIndex(docs: DataFrame, textCol: String, idCol: String, path: String,
+                 shingleSize: Int = 3, k: Int = 64): Unit =
+    buildIndex(docs, textCol, idCol, shingleSize, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Band-salted bucket hashes derived row-locally from a signature:
+    * band b's hash covers its slice AND the band index, so a single
+    * hash column is join-safe across bands. */
+  private def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * r + 1, lit(r))))
+
+  /** MinHash Jaccard estimate between two k-long signatures. */
+  private def estJaccard(a: Column, b: Column, k: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k, 6)
+
+  /**
+   * Candidate matches of a new batch against a stored index:
+   * (batch_id, index_id, est_jaccard >= threshold). `index` is
+   * [[buildIndex]] output (read back from parquet); signature
+   * parameters must match the index's.
+   */
+  def matches(batch: DataFrame, textCol: String, idCol: String,
+              index: DataFrame, indexIdCol: String,
+              threshold: Double = 0.8,
+              shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+              maxBatchBuckets: Int = 5000000): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val r = k / bands
+    val b = buildIndex(batch, textCol, idCol, shingleSize, k)
+      .withColumn("_bh", bandHashes(col("sig"), bands, r))
+      .localCheckpoint() // signatures are reused for buckets + join + verify
+    // the batch's bucket set: |batch| x bands longs, driver-bounded —
+    // this cap is what makes "batch" mean batch
+    val buckets = b.select(explode(col("_bh")).as("h")).distinct()
+      .limit(maxBatchBuckets + 1).collect().map(_.getLong(0))
+    require(buckets.length <= maxBatchBuckets,
+      s"batch bucket set exceeds maxBatchBuckets=$maxBatchBuckets — this path is for " +
+        "incremental slices; dedup corpus-vs-corpus with Dedup.minhashCandidates")
+    if (buckets.isEmpty)
+      return b.select(col(idCol).as("batch_id"), col(idCol).as("index_id"),
+        lit(0.0d).as("est_jaccard")).where(lit(false))
+    // row-local prefilter BEFORE any explode/shuffle: only index rows
+    // sharing a band bucket with the batch survive the scan.
+    // exists + isin (not arrays_overlap against the literal): the
+    // optimizer compiles the IN list to ONE shared hash set (InSet),
+    // so each index row pays bands lookups — arrays_overlap would
+    // re-walk the whole bucket literal per row
+    val bucketFilter = exists(col("_bh"), h => h.isin(buckets.toIndexedSeq: _*))
+    val probe = index
+      .withColumn("_bh", bandHashes(col("sig"), bands, r))
+      .where(bucketFilter)
+      .select(col(indexIdCol).as("index_id"), col("sig").as("_isig"),
+        explode(col("_bh")).as("h"))
+    val batchBanded = b
+      .select(col(idCol).as("batch_id"), col("sig").as("_bsig"),
+        explode(col("_bh")).as("h"))
+    probe.join(broadcast(batchBanded), "h")
+      .dropDuplicates("batch_id", "index_id")
+      .withColumn("est_jaccard", estJaccard(col("_bsig"), col("_isig"), k))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("est_jaccard"))
+  }
+
+  /** The batch minus documents already present (near or exact) in the
+    * indexed corpus — what an incremental ingest appends. */
+  def newDocsOnly(batch: DataFrame, textCol: String, idCol: String,
+                  index: DataFrame, indexIdCol: String,
+                  threshold: Double = 0.8,
+                  shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val dup = matches(batch, textCol, idCol, index, indexIdCol,
+      threshold, shingleSize, k, bands).select(col("batch_id")).distinct()
+    batch.join(broadcast(dup), col(idCol) === col("batch_id"), "left_anti")
+  }
+}

@@ -15,14 +15,19 @@ class LmScoreSpec extends SparkSpec {
     assert(math.abs(lm.logProbs("a") - math.log(3.0 / 6)) < 1e-12)
     assert(math.abs(lm.logProbs("b") - math.log(2.0 / 6)) < 1e-12)
     assert(math.abs(lm.oovLogProb - math.log(1.0 / 6)) < 1e-12)
-    val got = LmScore.scored(Seq((1L, "a b c"), (2L, "a a a"), (3L, "  ")).toDF("id", "text"),
-      "text", lm).select("id", "perplexity")
+    val probe = Seq((1L, "a b c"), (2L, "a a a"), (3L, "  ")).toDF("id", "text")
+    val got = LmScore.scored(probe, "text", "id", lm).select("id", "perplexity")
       .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
     val want1 = math.exp(-(math.log(3.0 / 6) + math.log(2.0 / 6) + math.log(1.0 / 6)) / 3)
     val want2 = math.exp(-math.log(3.0 / 6))
     assert(math.abs(got(1L).get - want1) < 1e-9, s"got ${got(1L)} want $want1")
     assert(math.abs(got(2L).get - want2) < 1e-9)
     assert(got(3L).isEmpty, "a tokenless document scores null")
+    // the row-local Column form (small models) agrees with the join path
+    val colGot = probe.select(col("id"), LmScore.perplexity(col("text"), lm).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(colGot(1L).exists(v => math.abs(v - want1) < 1e-9) && colGot(3L).isEmpty,
+      "Column form and broadcast-join form must agree")
   }
 
   test("fluent in-domain text scores lower perplexity than gibberish") {
@@ -31,8 +36,8 @@ class LmScoreSpec extends SparkSpec {
     val probe = Seq(
       (1L, "the data pipeline reads the table and joins the results"),
       (2L, "zxqv fplk wrtm ggah bbnc uure qwpz mlkj")).toDF("id", "text")
-    val ppl = LmScore.scored(probe, "text", lm)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ppl = LmScore.perplexities(probe, "text", "id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ppl(1L) < ppl(2L),
       s"OOV gibberish must score higher perplexity: fluent=${ppl(1L)} gibberish=${ppl(2L)}")
   }
@@ -43,12 +48,26 @@ class LmScoreSpec extends SparkSpec {
     assert(lm.logProbs.keySet == Set("a", "b"), s"top-2 by (count desc, token asc): ${lm.logProbs.keySet}")
   }
 
-  test("scoring plan is one scan, zero shuffle (model rides the plan as a literal)") {
+  test("small-model Column scoring is one scan, zero shuffle (model as a literal)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lm = LmScore.fitUnigram(real.limit(50), "text", vocabSize = 512)
     val q = real.select(col("doc_id"), LmScore.perplexity(col("text"), lm).as("p"))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"row-local scoring must not shuffle:\n$plan")
+  }
+
+  test("production scoring broadcast-joins the full-vocab model (hash lookups, not literal scans)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitUnigram(real, "text") // full corpus vocabulary
+    val q = LmScore.perplexities(real, "text", "doc_id", lm)
+    val t0 = System.nanoTime()
+    assert(q.count() > 0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the map-literal form took ~8 MINUTES on this corpus/vocab — the
+    // join path must stay interactive
+    assert(sec < 60, s"full-vocab scoring took $sec s — literal-scan regression?")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast-join:\n$plan")
   }
 }
