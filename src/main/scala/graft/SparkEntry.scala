@@ -1392,7 +1392,10 @@ object SparkEntry {
         |GROUP BY p.doc_id""".stripMargin,
     // q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
-    // q_ann_ivf_multi, q_ann_pq:
-    // rows-only gates (hash/LSH/k-means internals not ANSI-SQL-expressible)
+    // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
+    // q_dedup_incremental:
+    // rows-only gates (hash/LSH/k-means/minhash internals not
+    // ANSI-SQL-expressible; each carries a ScalaTest spec with
+    // hand-computed expectations)
   )
 }
