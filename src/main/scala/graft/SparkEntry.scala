@@ -835,6 +835,17 @@ object SparkEntry {
         .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
     }),
 
+    "q_contamination_report" -> ((s, dir) => {
+      // eval-integrity dashboard: per-suite leak counts/shares, each
+      // suite the same broadcast decontamination shape, DuckDB-replayed
+      val dd = docs(s, dir)
+      graft.operators.Decontaminate.contaminationReport(dd, "text", "doc_id",
+        Seq(
+          ("suite_a", dd.where(col("doc_id") % 40 === 0), "text"),
+          ("suite_b", dd.where(col("doc_id") % 37 === 0), "text")),
+        shingleSize = 5, minOverlap = 1)
+    }),
+
     "q_dedup_incremental" -> ((s, dir) => {
       // rows-only gate: the production incremental shape — even docs
       // are the indexed "historical corpus", PERSISTED as signatures
@@ -1290,6 +1301,37 @@ object SparkEntry {
         |  FROM dt d LEFT JOIN model m USING (tok))
         |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // per-suite contamination report: same shingle machinery as the
+    // q_decontam twins, aggregated per suite with the corpus share
+    "q_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 3),
+        |                          i -> array_to_string(t[i:i+4], ' '))) AS sh
+        |  FROM toks),
+        |ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |corpus AS (SELECT count(*) AS n FROM documents),
+        |bench_a AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 40 = 0),
+        |cont_a AS (SELECT doc_id, count(*) AS n_overlap FROM ds JOIN bench_a USING (sh)
+        |           GROUP BY doc_id HAVING count(*) >= 1),
+        |bench_b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+        |cont_b AS (SELECT doc_id, count(*) AS n_overlap FROM ds JOIN bench_b USING (sh)
+        |           GROUP BY doc_id HAVING count(*) >= 1)
+        |SELECT 'suite_a' AS suite, CAST(count(*) AS BIGINT) AS contaminated_docs,
+        |  round(count(*) / (SELECT n FROM corpus), 6) AS doc_share,
+        |  CAST(coalesce(sum(n_overlap), 0) AS BIGINT) AS leaked_ngrams,
+        |  CAST(coalesce(max(n_overlap), 0) AS BIGINT) AS max_overlap
+        |FROM cont_a
+        |UNION ALL
+        |SELECT 'suite_b', CAST(count(*) AS BIGINT),
+        |  round(count(*) / (SELECT n FROM corpus), 6),
+        |  CAST(coalesce(sum(n_overlap), 0) AS BIGINT),
+        |  CAST(coalesce(max(n_overlap), 0) AS BIGINT)
+        |FROM cont_b""".stripMargin,
     // the language-ID heuristic replayed verbatim: same markers, same
     // weights, and list_sort(structs)[-1] reproduces Spark's
     // greatest(struct) tie-break (score, then language code)

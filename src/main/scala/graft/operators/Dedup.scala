@@ -395,6 +395,36 @@ object Decontaminate {
   }
 
   /**
+   * Per-suite contamination report — the eval-integrity dashboard:
+   * one row per named benchmark suite with how many training
+   * documents leak it and how much (doc count + corpus share, total
+   * and worst-case distinct shared n-grams). Each suite runs the
+   * [[contaminatedIds]] broadcast shape (suites are few and small by
+   * construction — the loop is over suite NAMES, not data); the
+   * corpus cardinality attaches as a lazy one-row broadcast so the
+   * whole report is one lazy frame.
+   */
+  def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
+                          suites: Seq[(String, DataFrame, String)],
+                          shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    require(suites.nonEmpty, "contaminationReport needs at least one suite")
+    val total = docs.agg(count(lit(1)).as("_n"))
+    val perSuite = suites.map { case (name, bench, benchTextCol) =>
+      contaminatedIds(docs, textCol, idCol, bench, benchTextCol, shingleSize, minOverlap)
+        .agg(
+          count(lit(1)).as("contaminated_docs"),
+          coalesce(sum(col("n_overlap")), lit(0L)).as("leaked_ngrams"),
+          coalesce(max(col("n_overlap")), lit(0L)).as("max_overlap"))
+        .select(lit(name).as("suite"), col("contaminated_docs"),
+          col("leaked_ngrams"), col("max_overlap"))
+    }.reduce(_ unionByName _)
+    perSuite.crossJoin(broadcast(total))
+      .select(col("suite"), col("contaminated_docs"),
+        round(col("contaminated_docs").cast("double") / col("_n"), 6).as("doc_share"),
+        col("leaked_ngrams"), col("max_overlap"))
+  }
+
+  /**
    * Bloom-filtered decontamination — SAME RESULT as
    * [[contaminatedIds]], for benchmark sets too large to broadcast as
    * an exact hash set (the union of every eval suite + paraphrases can

@@ -258,4 +258,22 @@ object ProductQuant {
     val cells = AnnSearch.probeCells(query, centroids, nprobe)
     topK(indexed.where(col("cell").isin(cells: _*)), idCol, query, k, codebooks)
   }
+
+  /** IVF-PQ + refine — the full faiss production stack
+    * (IndexRefineFlat over IndexIVFPQ): cell pruning bounds the scan,
+    * ADC ranks cheaply, and the exact re-rank of k × refineFactor
+    * candidates against the float vectors recovers the compounded
+    * recall loss of both approximations for one bounded join. */
+  def ivfPqTopKRefined(indexed: DataFrame, idCol: String,
+                       embeddings: DataFrame, vecCol: String,
+                       query: Array[Double], k: Int,
+                       centroids: Array[Array[Double]], codebooks: Codebooks,
+                       nprobe: Int = 2, refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1: $refineFactor")
+    val cand = ivfPqTopK(indexed, idCol, query, k * refineFactor,
+      centroids, codebooks, nprobe).select(idCol)
+    AnnSearch.bruteForce(
+      embeddings.join(broadcast(cand), Seq(idCol), "left_semi"),
+      vecCol, idCol, query, k)
+  }
 }

@@ -77,6 +77,32 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"decontamination must broadcast the small sides:\n$plan")
   }
 
+  test("L16c contamination report: per-suite counts/shares, zero-leak suites emit a zero row") {
+    val suiteA = Seq((1L, "what is the capital of france and when was it founded exactly"))
+      .toDF("qid", "question")
+    val suiteB = Seq((1L, "material appearing in no training document whatsoever here today"))
+      .toDF("qid", "question")
+    val corpus = Seq(
+      (10L, "trivia dump: what is the capital of france and when was it founded exactly answer paris"),
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (13L, "completely different content about databases and distributed systems at scale"),
+      (14L, "a fourth document to make the share a round fraction of four")
+    ).toDF("doc_id", "text")
+    val report = Decontaminate.contaminationReport(corpus, "text", "doc_id",
+      Seq(("qa", suiteA, "question"), ("unleaked", suiteB, "question")),
+      shingleSize = 5, minOverlap = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 10 shares 8 distinct 5-grams with suite A's question
+    // (11 question tokens -> 7 question shingles, plus the verbatim
+    // span inside doc 10 contributing its own longer run): assert the
+    // structural facts, not the exact shingle arithmetic
+    val (docs_a, share_a, leaked_a, max_a) = report("qa")
+    assert(docs_a == 1L && share_a == 0.25, s"one of four docs leaks suite A: $report")
+    assert(leaked_a >= 7L && max_a == leaked_a, "single doc: total == max")
+    assert(report("unleaked") == ((0L, 0.0, 0L, 0L)), s"zero-leak suite must report zeros: $report")
+  }
+
   test("L16b bloom decontamination: identical result to the exact path on real data") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = corpus.where(col("doc_id") % 40 === 0).select(col("text").as("q"))

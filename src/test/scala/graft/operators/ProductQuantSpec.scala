@@ -153,5 +153,19 @@ class ProductQuantSpec extends SparkSpec {
     }
     assert(parts.nonEmpty && parts.forall(_ <= 3),
       s"cell filter must partition-prune the IVF-PQ scan: $parts")
+
+    // the refined stack: recall@5 at least matches raw IVF-PQ (exact
+    // re-rank can only fix ordering), scores are exact cosines, and
+    // the self-match tops the list at cosine 1
+    val exact = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val raw = probe.select("vec_id").as[Long].collect().toSet
+    val refined = ProductQuant.ivfPqTopKRefined(indexed, "vec_id", emb, "embedding",
+      q, 5, centroids, cb, nprobe = 3, refineFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert((exact & refined.map(_._1).toSet).size >= (exact & raw).size,
+      s"refine must not lose recall: raw=$raw refined=${refined.map(_._1).toSet}")
+    assert(refined.head._1 == 3L && refined.head._2 > 0.999999,
+      s"self-match must top the refined list: ${refined.toSeq}")
   }
 }
