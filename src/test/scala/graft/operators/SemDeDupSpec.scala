@@ -62,6 +62,19 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept == Seq(1L), s"identical embeddings must collapse to one survivor: $kept")
   }
 
+  test("replicated corpus: identity copies collapse pre-join; semantic rule runs on representatives") {
+    // 5 copies each of two colinear vectors: identity pre-grouping
+    // must feed only the 2 representatives to the pair join (1 pair,
+    // not 45), and the semantic keep-farthest rule then picks the
+    // b-representative (dist2 1 vs 0)
+    val e = emb(
+      ((1L to 5L).map(i => i -> Array(1f, 0f, 0f, 0f)) ++
+        (6L to 10L).map(i => i -> Array(2f, 0f, 0f, 0f))): _*)
+    val kept = SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept == Seq(6L), s"one survivor, the far representative: $kept")
+  }
+
   test("empty corpus: no pairs, no crash, empty result") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val assigned = Clustering.assign(empty, "embedding", centroids)
