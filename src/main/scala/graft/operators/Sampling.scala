@@ -58,16 +58,29 @@ object Sampling {
    * representative (`groups` = (id, group_id) from
    * [[DupGroups.connectedComponents]] over MinHash/SimHash/embedding
    * pairs); ungrouped documents fall back to their own id. The group
-   * table is bounded by the duplicate count and broadcasts — the
-   * corpus itself never shuffles, and the split stays deterministic
-   * across re-runs like every other split here.
+   * table is bounded by the duplicate count, and the split stays
+   * deterministic across re-runs like every other split here.
+   *
+   * `broadcastGroups` is the [[Dedup.exact]] `broadcastDupSet`
+   * discipline: the default `true` broadcasts the group table so the
+   * corpus never shuffles — right for the common case where
+   * duplicates are a small fraction. On a MASS-duplicated corpus the
+   * group table is O(corpus); forcing it through `broadcast()` is a
+   * driver-OOM job-killer, so callers there pass `false` and take a
+   * plain shuffle left join instead (AQE may still pick broadcast at
+   * runtime from the table's actual size — `false` only removes the
+   * forced hint). A caller-set flag, not a count gate, because
+   * `groups` is typically an UNMATERIALIZED connected-components
+   * frame — counting it here would re-run the whole CC iteration.
    */
   def withGroupSafeSplitLabel(df: DataFrame, idCol: String, groups: DataFrame,
                               weights: Seq[Double], names: Seq[String],
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L,
+                              broadcastGroups: Boolean = true): DataFrame = {
     val g = groups.select(col("id").as("_gs_id"), col("group_id").as("_gs_group"))
+    val gSide = if (broadcastGroups) broadcast(g) else g
     val keyed = df
-      .join(broadcast(g), col(idCol) === col("_gs_id"), "left")
+      .join(gSide, col(idCol) === col("_gs_id"), "left")
       .withColumn("_gs_key", coalesce(col("_gs_group"), col(idCol)))
     withSplitLabel(keyed, "_gs_key", weights, names, seed)
       .drop("_gs_id", "_gs_group", "_gs_key")

@@ -26,30 +26,37 @@ import org.apache.spark.sql.functions._
  * identical — pairs across sub-bucket boundaries are the documented
  * recall trade, the same as EmbedDedup's maxBucket). Duplicate
  * groups resolve via [[DupGroups.connectedComponents]] ((id, label)
- * rounds only), and the final drop list — bounded by the duplicate
- * count — broadcasts into an anti join, so the corpus itself never
- * shuffles.
+ * rounds only), and the final drop list broadcasts into the anti
+ * join ONLY when a count gate says it fits (see [[dedup]]) — under
+ * mass duplication the drop list is O(corpus), and an unconditional
+ * broadcast would be a driver-OOM job-killer, not a slowdown.
  */
 object SemDeDup {
 
   /** Semantic duplicate pairs within clusters:
     * (cluster, id_a, id_b, cosine >= threshold). `assigned` must
-    * carry the `cluster` column from [[Clustering.assign]]. */
+    * carry the `cluster` column from [[Clustering.assign]]. Pass
+    * `dim` (the embedding dimensionality) when the caller knows it —
+    * [[dedup]] reads it off its centroids — and construction launches
+    * ZERO Spark jobs (the BM25 laziness rule); the default `dim = -1`
+    * probes the first row, which costs one job. */
   def dupPairs(assigned: DataFrame, vecCol: String, idCol: String,
                threshold: Double, maxClusterSize: Int = 20000,
-               seed: Long = 42L): DataFrame = {
+               seed: Long = 42L, dim: Int = -1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxClusterSize >= 1, s"maxClusterSize must be >= 1: $maxClusterSize")
     graft.expr.GraftFunctions.ensure(assigned.sparkSession)
-    // an upstream filter can legitimately empty the corpus — no pairs,
-    // not a crash (the dim probe needs one row)
-    val dimRow = assigned.select(size(col(vecCol))).take(1)
-    if (dimRow.isEmpty)
-      return assigned.select(col("cluster"),
-        col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0d).as("cosine"))
-        .where(lit(false))
-    val dim = dimRow.head.getInt(0)
-    val planes = AnnSearch.hyperplanes(dim, 16, seed).map(_.toSeq).toSeq
+    val d = if (dim > 0) dim else {
+      // an upstream filter can legitimately empty the corpus — no
+      // pairs, not a crash (the dim probe needs one row)
+      val dimRow = assigned.select(size(col(vecCol))).take(1)
+      if (dimRow.isEmpty)
+        return assigned.select(col("cluster"),
+          col(idCol).as("id_a"), col(idCol).as("id_b"), lit(0.0d).as("cosine"))
+          .where(lit(false))
+      dimRow.head.getInt(0)
+    }
+    val planes = AnnSearch.hyperplanes(d, 16, seed).map(_.toSeq).toSeq
     val bucket = element_at(
       graft.expr.GraftFunctions.lshBuckets(col(vecCol), planes, 16), 1)
     // per-cluster sizes are k rows — broadcast; oversized clusters get
@@ -103,12 +110,52 @@ object SemDeDup {
     * copies are dropped unconditionally — measured 10× faster on the
     * 10×-replicated sf1 corpus, with the same survivors. The
     * fingerprint collision trade (2⁻⁶⁴/pair mislabel) is the same one
-    * exact dedup and EmbedDedup document. */
+    * exact dedup and EmbedDedup document.
+    *
+    * Broadcast gate (the [[Dedup.exact]] `broadcastDupSet` discipline,
+    * made automatic): on exactly the corpus SemDeDup targets —
+    * mass-replicated crawl data — identity copies make the drop list
+    * O(corpus), and force-broadcasting billions of ids is a driver
+    * OOM / 8 GB broadcast-limit job-killer. The drop list is therefore
+    * only hinted `broadcast` when an UPPER BOUND on its size fits
+    * `maxBroadcastIds`: |drop| = |identity copies| + |semantic drops|,
+    * the first term exact and the second bounded by the identity-group
+    * count, both read off one scalar aggregate over the same
+    * fingerprint keying the pre-grouping already computes. Above the
+    * cap the anti join falls back to a plain shuffle join — AQE may
+    * still choose broadcast at runtime from the drop list's ACTUAL
+    * size; the gate only removes the forced hint. The gate costs one
+    * ids-only aggregate job at construction (a column-pruned scan
+    * shuffling 16 bytes per distinct vector). `maxBroadcastIds =
+    * Long.MaxValue` skips the gate job and always broadcasts — safe
+    * only when the caller KNOWS duplication is bounded; `<= 0` always
+    * takes the shuffle path (also no gate job).
+    *
+    * Construction is NOT fully lazy and cannot be: resolving duplicate
+    * GROUPS is iterative ([[DupGroups.connectedComponents]] hooks +
+    * compresses until a fixpoint), so those rounds necessarily run as
+    * jobs when `dedup` is called — a documented, load-bearing
+    * computation, not a surprise probe. Everything else obeys the BM25
+    * laziness rule: [[dupPairs]] with a known `dim` builds its plan
+    * with zero jobs, and the gate aggregate is the only job `dedup`
+    * adds beyond the group resolution. */
   def dedup(embeddings: DataFrame, vecCol: String, idCol: String,
             centroids: Array[Array[Double]], threshold: Double = 0.95,
-            maxClusterSize: Int = 20000, seed: Long = 42L): DataFrame = {
+            maxClusterSize: Int = 20000, seed: Long = 42L,
+            maxBroadcastIds: Long = 10000000L): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids(0).length
     val keyed = embeddings.select(col(idCol).as("_sd_id"), xxhash64(col(vecCol)).as("_k"))
     val reps = keyed.groupBy(col("_k")).agg(min(col("_sd_id")).as("_rep"))
+    val broadcastDrop =
+      if (maxBroadcastIds == Long.MaxValue) true
+      else if (maxBroadcastIds <= 0L) false
+      else {
+        // copies = Σ(group size − 1) exactly; semantic drops < #groups
+        val b = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_gn"))
+          .agg(coalesce(sum(col("_gn") - 1), lit(0L)), count(lit(1))).head()
+        b.getLong(0) + b.getLong(1) <= maxBroadcastIds
+      }
     // identity copies: every non-representative member of an identity
     // group — dropped unconditionally (cosine exactly 1 to its rep)
     val copies = keyed.join(reps, "_k").where(col("_sd_id") =!= col("_rep"))
@@ -116,9 +163,10 @@ object SemDeDup {
     val repRows = embeddings.join(
       reps.select(col("_rep")), col(idCol) === col("_rep"), "left_semi")
     val assigned = Clustering.assign(repRows, vecCol, centroids)
-    val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed)
+    val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed, dim)
     val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
     val drop = copies.unionByName(semantic).distinct()
-    embeddings.join(broadcast(drop), col(idCol) === col("_drop_id"), "left_anti")
+    val dropSide = if (broadcastDrop) broadcast(drop) else drop
+    embeddings.join(dropSide, col(idCol) === col("_drop_id"), "left_anti")
   }
 }

@@ -127,4 +127,29 @@ class SamplingSpec extends SparkSpec {
     assert(labeled.count() == 200)
     assert(labeled.columns.toSeq == Seq("doc_id", "text", "split"))
   }
+
+  test("group-safe split: broadcastGroups=false takes the shuffle path with identical labels") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val groups = DupGroups.connectedComponents(pairs, "a", "b")
+    val hinted = Sampling.withGroupSafeSplitLabel(docs, "doc_id", groups,
+      Seq(0.5, 0.5), Seq("train", "test"))
+    val plain = Sampling.withGroupSafeSplitLabel(docs, "doc_id", groups,
+      Seq(0.5, 0.5), Seq("train", "test"), broadcastGroups = false)
+    // the mass-dup fallback: NO forced broadcast hint on the group join
+    def groupJoinHints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "_gs_id")) =>
+          j.hint.rightHint
+      }
+    assert(groupJoinHints(hinted).exists(_.exists(_.strategy.isDefined)),
+      "default path must carry the broadcast hint")
+    assert(groupJoinHints(plain).forall(_.forall(_.strategy.isEmpty)),
+      "broadcastGroups=false must not force a broadcast")
+    // and the labels are bit-identical either way
+    val a = hinted.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = plain.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "plan choice must never change the split")
+  }
 }

@@ -94,6 +94,70 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept == Seq("a"), s"lowest string id must win the tie: $kept")
   }
 
+  test("broadcast gate: above the cap the drop list takes the shuffle path with identical survivors") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    // the mass-replicated fixture: 10 ids, 2 identity groups → drop
+    // bound = 8 copies + 2 reps = 10
+    val e = emb(
+      ((1L to 5L).map(i => i -> Array(1f, 0f, 0f, 0f)) ++
+        (6L to 10L).map(i => i -> Array(2f, 0f, 0f, 0f))): _*)
+    def antiHint(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftAnti => j.hint.rightHint
+      }
+    val over = SemDeDup.dedup(e, "embedding", "vec_id", centroids,
+      threshold = 0.99, maxBroadcastIds = 9L) // bound 10 > 9 → fallback
+    assert(antiHint(over).forall(_.forall(_.strategy.isEmpty)),
+      "above the cap the anti join must not force a broadcast")
+    assert(over.select("vec_id").as[Long].collect().toSeq == Seq(6L),
+      "fallback plan must keep the same survivors")
+    val under = SemDeDup.dedup(e, "embedding", "vec_id", centroids,
+      threshold = 0.99, maxBroadcastIds = 10L) // bound 10 <= 10 → broadcast
+    assert(antiHint(under).exists(_.exists(_.strategy.isDefined)),
+      "within the cap the drop list must carry the broadcast hint")
+    assert(under.select("vec_id").as[Long].collect().toSeq == Seq(6L))
+  }
+
+  test("laziness: dupPairs with known dim launches ZERO jobs; the gate aggregate only runs when enabled") {
+    val e = emb(1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(2f, 0f, 0f, 0f))
+    val assigned = Clustering.assign(e, "embedding", centroids)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try { jobs.set(0); body; Thread.sleep(500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // the r9 verdict's ask: no dim probe when the caller knows dim
+    val pairJobs = countJobs {
+      SemDeDup.dupPairs(assigned, "embedding", "vec_id", threshold = 0.9, dim = 4)
+    }
+    assert(pairJobs == 0, s"dupPairs with known dim must be lazy; launched $pairJobs job(s)")
+    // dedup construction necessarily runs the connected-components
+    // rounds (iterative, documented); the gate must be the ONLY
+    // difference between the skip paths and the gated path
+    val skipJobs = countJobs {
+      SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.9,
+        maxBroadcastIds = Long.MaxValue)
+    }
+    val shuffleJobs = countJobs {
+      SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.9,
+        maxBroadcastIds = 0L)
+    }
+    val gatedJobs = countJobs {
+      SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.9,
+        maxBroadcastIds = 5L)
+    }
+    assert(skipJobs == shuffleJobs,
+      s"both gate-skip paths must cost the same: $skipJobs vs $shuffleJobs")
+    assert(gatedJobs > skipJobs,
+      s"the enabled gate must add its aggregate job: gated=$gatedJobs skip=$skipJobs")
+  }
+
   test("real embeddings: dedup is idempotent and only removes grouped members") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Clustering.fit(e, "embedding", k = 4, iters = 3)
