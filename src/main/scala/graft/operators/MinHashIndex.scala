@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
  * k longs (~0.5 KB at k=64), 3-4 orders of magnitude smaller than the
  * text. Probing derives band hashes ROW-LOCALLY on both sides (the
  * banding is a per-row expression over the signature, so the index
- * needs no band explosion on disk), prefilters the index scan with an
- * `arrays_overlap` against the batch's broadcast bucket set — a
- * row-local filter, so the only index rows that ever explode or
+ * needs no band explosion on disk), prefilters the index scan against
+ * the batch's bucket set (InSet literal for small sets, Bloom filter
+ * beyond [[InSetPrefilterMax]]) — a row-local filter, so the only
+ * index rows that ever explode or
  * shuffle are those sharing at least one band bucket with the batch —
  * and verifies candidates by the standard MinHash Jaccard estimate
  * (fraction of equal signature components), computed from the two
@@ -32,6 +33,12 @@ import org.apache.spark.sql.functions._
  */
 object MinHashIndex {
 
+  /** Largest bucket set compiled to an isin/InSet literal; larger sets
+    * switch to a Bloom-filter prefilter (see [[matches]]). 256k longs
+    * keeps the In expression ~2 MB — well under plan-serialization
+    * pain, far above the typical incremental batch. */
+  val InSetPrefilterMax = 262144
+
   /** The index rows: (idCol, sig). Write this as parquet — it IS the
     * persisted index ([[writeIndex]]): probing a STORED sig column
     * derives band hashes from an attribute, while probing the lazy
@@ -43,10 +50,17 @@ object MinHashIndex {
   def buildIndex(docs: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, k: Int = 64): DataFrame = {
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    // signature parameters ride the sig column's metadata (parquet
+    // round-trips Spark column metadata), so matches() can refuse a
+    // probe whose k/shingleSize silently disagree with the index's
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.k", k.toLong)
+      .putLong("graft.minhash.shingleSize", shingleSize.toLong)
+      .build()
     docs
       .withColumn("_toks", TextFunctions.tokens(col(textCol)))
       .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
-      .select(col(idCol), graft.expr.GraftFunctions.minhashSig(col("_sh"), k).as("sig"))
+      .select(col(idCol), graft.expr.GraftFunctions.minhashSig(col("_sh"), k).as("sig", meta))
   }
 
   def writeIndex(docs: DataFrame, textCol: String, idCol: String, path: String,
@@ -76,9 +90,28 @@ object MinHashIndex {
               index: DataFrame, indexIdCol: String,
               threshold: Double = 0.8,
               shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-              maxBatchBuckets: Int = 5000000): DataFrame = {
+              maxBatchBuckets: Int = 5000000,
+              inSetMax: Int = InSetPrefilterMax): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // a probe whose signature parameters disagree with the index's
+    // produces silently-wrong candidates, not an error — so check the
+    // parameters buildIndex stamped into the sig metadata (zero-job;
+    // parquet preserves column metadata). A foreign index without the
+    // stamp pays a one-row size probe for the k check instead.
+    val sigMeta = index.schema.find(_.name == "sig").map(_.metadata)
+    sigMeta match {
+      case Some(m) if m.contains("graft.minhash.k") =>
+        require(m.getLong("graft.minhash.k") == k.toLong,
+          s"probe k=$k but index was built with k=${m.getLong("graft.minhash.k")}")
+        require(m.getLong("graft.minhash.shingleSize") == shingleSize.toLong,
+          s"probe shingleSize=$shingleSize but index was built with " +
+            s"shingleSize=${m.getLong("graft.minhash.shingleSize")}")
+      case _ =>
+        index.select(size(col("sig"))).take(1).foreach(row =>
+          require(row.getInt(0) == k,
+            s"probe k=$k but index signatures have ${row.getInt(0)} components"))
+    }
     val r = k / bands
     val b = buildIndex(batch, textCol, idCol, shingleSize, k)
       .withColumn("_bh", bandHashes(col("sig"), bands, r))
@@ -91,15 +124,36 @@ object MinHashIndex {
       s"batch bucket set exceeds maxBatchBuckets=$maxBatchBuckets — this path is for " +
         "incremental slices; dedup corpus-vs-corpus with Dedup.minhashCandidates")
     if (buckets.isEmpty)
-      return b.select(col(idCol).as("batch_id"), col(idCol).as("index_id"),
-        lit(0.0d).as("est_jaccard")).where(lit(false))
+      // index_id's TYPE comes from the index side — deriving it from
+      // the batch id would give the empty result a different schema
+      // than the non-empty one whenever the two id types differ
+      return b.select(col(idCol).as("batch_id"), lit(0.0d).as("est_jaccard"))
+        .where(lit(false))
+        .crossJoin(index.select(col(indexIdCol).as("index_id")).where(lit(false)))
+        .select(col("batch_id"), col("index_id"), col("est_jaccard"))
     // row-local prefilter BEFORE any explode/shuffle: only index rows
     // sharing a band bucket with the batch survive the scan.
-    // exists + isin (not arrays_overlap against the literal): the
-    // optimizer compiles the IN list to ONE shared hash set (InSet),
-    // so each index row pays bands lookups — arrays_overlap would
-    // re-walk the whole bucket literal per row
-    val bucketFilter = exists(col("_bh"), h => h.isin(buckets.toIndexedSeq: _*))
+    // Two tiers by bucket-set size: below the InSet threshold,
+    // exists + isin — the optimizer compiles the IN list to ONE shared
+    // hash set (InSet), so each index row pays bands lookups
+    // (arrays_overlap would re-walk the whole bucket literal per row).
+    // ABOVE it, a literal In expression of millions of nodes is itself
+    // the failure (driver memory + per-task plan serialization), so the
+    // prefilter becomes a Bloom filter over the bucket set riding the
+    // task closure (~1.2 MB per million buckets at 1% fpp). Bloom false
+    // positives only admit extra index rows into the candidate join,
+    // which discards them on the exact band hash — correctness is
+    // unaffected.
+    val bucketFilter =
+      if (buckets.length <= inSetMax)
+        exists(col("_bh"), h => h.isin(buckets.toIndexedSeq: _*))
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(buckets.length.toLong, 0.01)
+        buckets.foreach(bf.putLong)
+        val mightContain = udf((hs: Seq[Long]) => hs.exists(bf.mightContainLong))
+        mightContain(col("_bh"))
+      }
     val probe = index
       .withColumn("_bh", bandHashes(col("sig"), bands, r))
       .where(bucketFilter)

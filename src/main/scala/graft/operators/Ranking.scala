@@ -77,6 +77,11 @@ object Ranking {
     // without any eager count.
     val stats = corpusStats match {
       case Some((n, avgdl)) =>
+        // bad bookkeeping numbers (empty-corpus zeros, sign bugs) would
+        // flow into the score arithmetic as Infinity/NaN — silently
+        // wrong bm25, not an error. Fail here instead.
+        require(n > 0 && avgdl > 0,
+          s"corpusStats must have n > 0 and avgdl > 0, got (n=$n, avgdl=$avgdl)")
         docs.sparkSession.range(1).select(lit(n).as("_n"), lit(avgdl).as("_avgdl"))
       case None =>
         base.agg(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl"))

@@ -642,7 +642,11 @@ object PipelineConfig {
               // creations so the last working URL stays first choice
               val fallbacks = kv.get("bookkeeping.jdbc.fallback.urls")
                 .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-              val retries = kv.get("bookkeeping.jdbc.retries").map(_.toInt)
+              val retries = kv.get("bookkeeping.jdbc.retries").map(v =>
+                try v.toInt catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"bookkeeping.jdbc.retries must be an integer, got '$v'")
+                })
               // distinct: templated HA configs often repeat the
               // primary in the fallback list — harmless redundancy,
               // not a parse error

@@ -73,4 +73,58 @@ class MinHashIndexSpec extends SparkSpec {
     assert(MinHashIndex.matches(empty, "text", "doc_id", index, "doc_id").count() == 0)
     assert(MinHashIndex.newDocsOnly(empty, "text", "doc_id", index, "doc_id").count() == 0)
   }
+
+  test("empty batch keeps the INDEX's index_id type, not the batch's") {
+    // string index ids vs long batch ids: the empty result's schema
+    // must match what a non-empty probe would produce
+    val strIndex = MinHashIndex.buildIndex(
+      Seq(("a100", corpusText)).toDF("doc_id", "text"), "text", "doc_id")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = MinHashIndex.matches(empty, "text", "doc_id", strIndex, "doc_id")
+    assert(out.schema("index_id").dataType == org.apache.spark.sql.types.StringType,
+      s"index_id must be typed from the index side: ${out.schema}")
+    assert(out.schema("batch_id").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.count() == 0)
+  }
+
+  test("probe-time parameter validation: mismatched k or shingleSize fails loudly") {
+    val path = tmpDir("mh_index_params_")
+    MinHashIndex.writeIndex(indexDocs, "text", "doc_id", path, shingleSize = 3, k = 64)
+    val index = spark.read.parquet(path)
+    val batch = Seq((1L, corpusText)).toDF("doc_id", "text")
+    // metadata survives the parquet roundtrip and catches both params
+    val eK = intercept[IllegalArgumentException](
+      MinHashIndex.matches(batch, "text", "doc_id", index, "doc_id", k = 128, bands = 16))
+    assert(eK.getMessage.contains("k=128") && eK.getMessage.contains("64"), eK.getMessage)
+    val eS = intercept[IllegalArgumentException](
+      MinHashIndex.matches(batch, "text", "doc_id", index, "doc_id", shingleSize = 5))
+    assert(eS.getMessage.contains("shingleSize=5"), eS.getMessage)
+    // a foreign index WITHOUT the metadata stamp still catches a k
+    // mismatch via the one-row size probe
+    val foreign = index.select(col("doc_id"), col("sig").as("sig")) // alias drops metadata
+    val eF = intercept[IllegalArgumentException](
+      MinHashIndex.matches(batch, "text", "doc_id", foreign, "doc_id", k = 128, bands = 16))
+    assert(eF.getMessage.contains("128"), eF.getMessage)
+  }
+
+  test("bucket sets beyond inSetMax prefilter through a Bloom filter, identical matches") {
+    val path = tmpDir("mh_index_bloom_")
+    MinHashIndex.writeIndex(indexDocs, "text", "doc_id", path)
+    val index = spark.read.parquet(path)
+    val batch = Seq(
+      (1L, corpusText),
+      (2L, corpusText.replace("lazy", "sleepy")),
+      (3L, "a totally unrelated document about gardening tomatoes in july sunshine"))
+      .toDF("doc_id", "text")
+    def run(inSetMax: Int) = MinHashIndex.matches(batch, "text", "doc_id", index,
+      "doc_id", threshold = 0.5, inSetMax = inSetMax)
+    val viaInSet = run(Int.MaxValue)
+    val viaBloom = run(0) // every bucket set exceeds 0 → Bloom tier
+    val a = viaInSet.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = viaBloom.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty, s"tiers must agree: inset=$a bloom=$b")
+    // and the Bloom plan must NOT carry an In/INSET literal prefilter
+    val bloomPlan = viaBloom.queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("INSET"), s"Bloom tier must not compile an InSet:\n$bloomPlan")
+  }
 }
