@@ -553,10 +553,15 @@ object SparkEntry {
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
-      // rows-only gate: exact shingle-jaccard verification of candidates
+      // exact shingle-jaccard verification over deterministic
+      // shared-rare-shingle blocking candidates — fully DuckDB-replayable
+      // (the r9 decontam shingle-set precedent), so this gate is a hash
+      // match, not rows-only. MinHash candidate generation stays covered
+      // by q_dedup_minhash + DedupSpec.
       val dd = docs(s, dir)
-      val cand = Dedup.minhashCandidates(dd, "text", "doc_id", k = 32, bands = 16)
-      NgramJaccard.verifyPairs(cand, dd, "text", "doc_id")
+      val cand = NgramJaccard.blockedCandidates(dd, "text", "doc_id",
+        shingleSize = 4, maxDf = 20)
+      NgramJaccard.verifyPairs(cand, dd, "text", "doc_id", shingleSize = 4)
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
@@ -1432,8 +1437,35 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 2),
+        |                          i -> array_to_string(t[i:i+3], ' '))) AS sh
+        |  FROM toks),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN rare USING (sh) JOIN sh b USING (sh)
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS ni
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b,
+        |  round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.id_a
+        |JOIN sizes sb ON sb.doc_id = i.id_b""".stripMargin,
     // q_fingerprint, q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_jaccard, q_dedup_embed, q_ann_lsh, q_ann_ivf,
+    // q_dedup_embed, q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
     // q_dedup_incremental:
     // rows-only gates (hash/LSH/k-means/minhash internals not

@@ -485,6 +485,37 @@ object NgramJaccard {
     when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union)
   }
 
+  /** Candidate pairs by shared-rare-shingle blocking (the classic
+   * inverted-index prefix filter): two docs become a candidate pair iff
+   * they share at least one shingle whose document frequency lies in
+   * [2, maxDf]. Unlike the MinHash candidates this is deterministic and
+   * ANSI-SQL-expressible, so a pipeline (or the DuckDB oracle) can
+   * replay it exactly from the raw strings.
+   *
+   * Scale shape: one groupBy(shingle) shuffle builds the df-bounded
+   * posting lists; pairs are emitted map-side from each bucket, so the
+   * worst per-shingle fan-out is maxDf*(maxDf-1)/2 — hot shingles
+   * (stopword runs, boilerplate) are EXCLUDED by the df cap rather than
+   * exploding quadratically, which is what makes the shape survive a
+   * mass-duplicated crawl. The final distinct dedups pairs that share
+   * several rare shingles. */
+  def blockedCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 4, maxDf: Int = 20): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("jid"),
+        explode(array_distinct(
+          graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))).as("sh"))
+    sh.groupBy(col("sh"))
+      .agg(collect_set(col("jid")).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
   /** Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
    * Shingle arrays are computed once per doc on a materialized token
    * column, then joined to the (small) candidate set — the corpus is

@@ -177,6 +177,22 @@ class DedupSpec extends SparkSpec {
     assert(verified((1L, 4L)) == 0.0)   // disjoint vocabulary
   }
 
+  test("L4b blocked candidates: shared rare shingle pairs, df cap excludes hot shingles") {
+    // base/base/nearDup share rare 4-gram shingles -> pairs among {1,2,3};
+    // doc 4 shares no shingle with anyone; doc 5 has none at all
+    val cand = NgramJaccard.blockedCandidates(docs, "text", "doc_id",
+        shingleSize = 4, maxDf = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $cand")
+    // df cap: a shingle present in every doc of a 30-doc corpus is
+    // hotter than maxDf=20 -> no candidates at all (bounded fan-out on
+    // boilerplate corpora), while maxDf=40 admits it
+    val boiler = (1L to 30L).map(i => (i, s"shared boilerplate prefix words here unique$i"))
+      .toDF("doc_id", "text")
+    assert(NgramJaccard.blockedCandidates(boiler, "text", "doc_id", 4, maxDf = 20).count() == 0)
+    assert(NgramJaccard.blockedCandidates(boiler, "text", "doc_id", 4, maxDf = 40).count() == 30L * 29 / 2)
+  }
+
   test("L5 embedding near-dup finds planted duplicate vectors only") {
     val dim = 16
     val rnd = new scala.util.Random(7)
