@@ -34,6 +34,30 @@ object SparkEntry {
     if (df.rdd.getNumPartitions >= min) df else df.repartition(2 * min)
   }
 
+  /** The synthetic embeddings carry no true near-duplicates (max pair
+   * cosine ~0.51), which would force the semantic-dedup gates to run at
+   * artificial thresholds. Plant deterministic near-dups IN the gate
+   * (testdata is read-only): every `every`-th vector gets a copy at
+   * id+idOffset perturbed by scale-relative sinusoidal noise —
+   * cos(v, v') ≈ 1 - (eps·0.707)²/2 ≈ 0.978 at eps=0.3 — so q_semdedup
+   * and q_dedup_embed exercise the production ≥0.9 regime with
+   * non-vacuous prune/pair counts. Fully row-local (one projection, no
+   * shuffle, no RNG: noise is sin(id·131 + i·17)). */
+  private def withPlantedNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                                  every: Int = 10, idOffset: Long = 1000000L,
+                                  eps: Double = 0.3): DataFrame = {
+    val base = emb.select(col(idCol), col(vecCol))
+    val rms = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x)
+      / size(col(vecCol)))
+    val planted = base.where(col(idCol) % every === 0)
+      .withColumn("_rms", rms)
+      .select((col(idCol) + idOffset).as(idCol),
+        transform(col(vecCol), (x, i) =>
+          (x + lit(eps) * col("_rms") *
+            sin(col(idCol) * 131 + i * 17)).cast("float")).as(vecCol))
+    base.unionByName(planted)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
    * reader rejects; read nanos as long and convert to micros. */
   private def events(s: SparkSession, dir: String): DataFrame = {
@@ -565,12 +589,13 @@ object SparkEntry {
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
-      // rows-only gate: embedding-cosine near-dup pairs. The synthetic
-      // embeddings top out at cosine ~0.5-0.6, so the gate runs at a
-      // threshold that actually yields pairs (0.35); production use
-      // would run 0.9+ with more bits.
-      EmbedDedup.nearDupPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.35, bits = 4, tables = 4)
+      // rows-only gate: embedding-cosine near-dup pairs at the
+      // PRODUCTION threshold (0.92) over the corpus with planted
+      // near-dups (cos ≈ 0.978) — every planted (v, v+1000000) pair
+      // must surface, nothing else can (true max pair cosine ~0.51)
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
+      EmbedDedup.nearDupPairs(emb, "embedding", "vec_id",
+        threshold = 0.92, bits = 4, tables = 4)
     }),
 
     "q_intersect" -> ((s, dir) => {
@@ -816,14 +841,14 @@ object SparkEntry {
       // rows-only gate: SemDeDup — k-means clusters, within-cluster
       // cosine pairs, keep the group member farthest from its
       // centroid (representative rule + sub-bucket guard pinned in
-      // SemDeDupSpec)
-      val emb = t(s, dir, "embeddings")
+      // SemDeDupSpec). Runs at the paper's production threshold over
+      // the planted-near-dup corpus: one of each planted (v, v+1000000)
+      // pair is pruned, EXCEPT pairs the k-means split across cluster
+      // boundaries — SemDeDup only compares cluster-locally, the
+      // paper's own recall trade (46/50 pruned at sf0.01).
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
       val cents = graft.operators.Clustering.fit(emb, "embedding", k = 8, iters = 3)
-      // the synthetic embeddings carry no true near-dups (max pair
-      // cosine ~0.51), so the gate prunes at an aggressive threshold —
-      // what matters is that the cluster-pair-group-representative
-      // machinery actually drops rows here
-      graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.35)
+      graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.92)
         .select("vec_id")
     }),
 
