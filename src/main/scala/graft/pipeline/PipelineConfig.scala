@@ -31,6 +31,8 @@ import java.time.LocalDate
  * bookkeeping.jdbc.retries = 3                                       # connect attempts (default: URL count)
  * bookkeeping.jdbc.user = graft
  * bookkeeping.jdbc.password = ...
+ * bookkeeping.jdbc.driver = org.postgresql.Driver      # with driver.jar: class to load from it
+ * bookkeeping.jdbc.driver.jar = /opt/jdbc/postgres.jar # runtime-loaded driver jar (optional)
  * bookkeeping.jdbc.dialect = postgresql   # any graft.sql.SqlDialect name
  * bookkeeping.jdbc.table.prefix = graft_
  * bookkeeping.jdbc.locks = true           # db-arbitrated (table, date) run locks
@@ -637,6 +639,14 @@ object PipelineConfig {
               val u = url.get
               val user = kv.get("bookkeeping.jdbc.user").orNull
               val password = kv.get("bookkeeping.jdbc.password").orNull
+              // runtime-loaded driver jar (S18): validated at parse
+              // (jar key without a driver class is a config typo),
+              // loaded lazily once at first connection open
+              val driverJar = kv.get("bookkeeping.jdbc.driver.jar")
+              val driverClass = kv.get("bookkeeping.jdbc.driver")
+              if (driverJar.nonEmpty && driverClass.isEmpty)
+                throw new IllegalArgumentException(
+                  "bookkeeping.jdbc.driver is required when bookkeeping.jdbc.driver.jar is set")
               // HA bookkeeping databases: fallback URLs rotate on
               // connect failure (S16), selector shared across executor
               // creations so the last working URL stays first choice
@@ -652,8 +662,19 @@ object PipelineConfig {
               // not a parse error
               val selector =
                 new graft.sources.JdbcUrlSelector((u +: fallbacks).distinct, retries)
-              () => new graft.rdb.ConnectionExecutor(
-                selector.withUrl(x => java.sql.DriverManager.getConnection(x, user, password)))
+              val openConn: String => java.sql.Connection = driverJar match {
+                case Some(jar) =>
+                  lazy val dd = graft.sources.DynamicDriver.load(jar, driverClass.get)
+                  x => {
+                    val p = new java.util.Properties()
+                    if (user != null) p.put("user", user)
+                    if (password != null) p.put("password", password)
+                    dd.connect(x, p)
+                  }
+                case None =>
+                  x => java.sql.DriverManager.getConnection(x, user, password)
+              }
+              () => new graft.rdb.ConnectionExecutor(selector.withUrl(openConn))
           }
           JdbcBookkeeping(
             dialect = graft.sql.SqlDialect.forName(

@@ -225,3 +225,22 @@ final class JdbcNativeSource(
     try f(conn) finally conn.close()
   }
 }
+
+object JdbcNativeSource {
+
+  /** Connection factory through a runtime-loaded driver jar — the
+    * native-read twin of the reference's
+    * JdbcNativeUtils.getResultSetForRDD(driverJarPath)
+    * (JdbcNativeUtils.scala:190). The [[DynamicDriver]] loads lazily
+    * ONCE on first open and is shared by every subsequent open, so the
+    * failover loop's retries do not re-open the jar. */
+  def dynamicConnectFactory(jarPath: String, driverClass: String, url: String,
+                            props: Map[String, String] = Map.empty): () => java.sql.Connection = {
+    lazy val dd = DynamicDriver.load(jarPath, driverClass)
+    () => {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.put(k, v) }
+      dd.connect(url, p)
+    }
+  }
+}

@@ -220,7 +220,18 @@ final class JdbcSource(
     backoffSleep: Long => Unit = Thread.sleep,
     correctDecimals: Boolean = false,
     correctDecimalsFixPrecision: Boolean = false,
-    timestampsToDates: Boolean = false) extends GraftSource {
+    timestampsToDates: Boolean = false,
+    driverJarPath: Option[String] = None) extends GraftSource {
+
+  // runtime-loaded driver jar (S18): loaded lazily ONCE, used by the
+  // failover probe. The distributed read itself still needs the jar on
+  // executors (spark.jars) — this covers the launcher-side probe the
+  // reference loads it for.
+  private lazy val dynamicDriver: Option[DynamicDriver] = driverJarPath.map { jar =>
+    DynamicDriver.load(jar, connectionOptions.getOrElse("driver",
+      throw new IllegalArgumentException(
+        "driverJarPath requires connectionOptions(\"driver\") naming the driver class")))
+  }
 
   private val gen = new SqlGenerator(dialect,
     SqlConfig(infoDateColumn, dateFormatApp = dateFormatApp, infoDateType = infoDateType))
@@ -244,14 +255,21 @@ final class JdbcSource(
   private def probe(u: String): Unit = probeConnection match {
     case Some(p) => p(u)
     case None =>
-      // DriverManager (system classloader) does not see jars Spark
-      // loads via DriverRegistry — registering the configured driver
-      // class first is what makes the probe see the same driver the
-      // executors will
-      connectionOptions.get("driver").foreach(Class.forName(_))
       val props = new java.util.Properties()
       connectionOptions.foreach { case (k, v) => props.put(k, v) }
-      java.sql.DriverManager.getConnection(u, props).close()
+      dynamicDriver match {
+        case Some(dd) =>
+          // direct Driver.connect — DriverManager's caller-classloader
+          // check would refuse the runtime-loaded driver
+          dd.connect(u, props).close()
+        case None =>
+          // DriverManager (system classloader) does not see jars Spark
+          // loads via DriverRegistry — registering the configured driver
+          // class first is what makes the probe see the same driver the
+          // executors will
+          connectionOptions.get("driver").foreach(Class.forName(_))
+          java.sql.DriverManager.getConnection(u, props).close()
+      }
   }
 
   override def hasInfoDateColumn: Boolean = true
