@@ -706,6 +706,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"))
     }),
 
+    "q_curation_v2" -> ((s, dir) => {
+      // rows-only gate: the FULL curation pipeline — exact dedup →
+      // semantic dedup (planted-near-dup embeddings, paper-regime
+      // threshold) → quality → lang-id → tokens → perplexity tier →
+      // leakage-safe group split — wired purely through config options
+      val ms = new Metastore(s)
+      ms.register(MetaTable("docs_raw_v2", metaPath("curv2_src")))
+      ms.register(MetaTable("emb_v2", metaPath("curv2_emb")))
+      ms.register(MetaTable("docs_cur_v2", metaPath("curv2_out")))
+      val d = LocalDate.parse("2024-05-01")
+      ms.saveTable("docs_raw_v2", d, docs(s, dir))
+      ms.saveTable("emb_v2", d,
+        withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding"))
+      new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+        "curate_v2", "docs_cur_v2", new graft.pipeline.CurationTransformer,
+        Seq("docs_raw_v2", "emb_v2"), infoDateExpr = "@runDate",
+        options = Map(
+          "input.table" -> "docs_raw_v2", "quality.min" -> "0.2",
+          "semdedup.enabled" -> "true", "semdedup.table" -> "emb_v2",
+          "semdedup.id.column" -> "vec_id", "semdedup.threshold" -> "0.92",
+          "perplexity.enabled" -> "true",
+          "split.group.safe" -> "true"))), d)
+      ms.getTable("docs_cur_v2", Some(d), Some(d))
+        .groupBy("split", "lang_pred")
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"),
+          round(avg("perplexity"), 2).as("avg_ppl"))
+    }),
+
     "q_approx_agg" -> ((s, dir) => {
       // rows-only gate: sketch aggregates (HLL distinct, approximate
       // percentiles) — the constant-memory form of q_stats_agg for

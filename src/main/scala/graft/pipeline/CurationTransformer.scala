@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.TextFunctions
 import graft.meta.MetastoreReader
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Clustering, Dedup, DupGroups, LmScore, Sampling, SemDeDup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,11 +10,13 @@ import java.time.LocalDate
 
 /**
  * End-to-end training-data curation as ONE config-runnable pipeline
- * stage: exact dedup → quality filter → language annotation → token
- * accounting → deterministic split labels. Composes the operator
- * library the way a production corpus pipeline would — each stage is
- * a narrow declarative transform, so the whole thing is a single
- * Catalyst-planned job (one dedup shuffle; everything else map-side).
+ * stage: exact dedup → (optional) semantic dedup → quality filter →
+ * language annotation → token accounting → (optional) perplexity
+ * scoring → deterministic split labels. Composes the operator library
+ * the way a production corpus pipeline would — each stage is a narrow
+ * declarative transform; the optional stages are config-keyed so one
+ * pipeline definition covers both the cheap daily run and the full
+ * curation pass.
  *
  * Options:
  *   `input.table`   (required) metastore table with (id, text) columns
@@ -23,13 +25,50 @@ import java.time.LocalDate
  *   `quality.min`   default 0.3  — drop docs scoring below
  *   `max.repetition` default 0.5 — drop docs with more repeated lines
  *   `split.weights` default "0.9,0.05,0.05" (train/val/test)
+ *
+ * Optional perplexity tier (L35, CCNet-style):
+ *   `perplexity.enabled`         default false — adds a `perplexity` column
+ *   `perplexity.reference.table` metastore table with trusted text to fit
+ *                                the unigram model on; default: the
+ *                                deduped input corpus itself
+ *   `perplexity.max`             optional — drop docs scoring ABOVE (the
+ *                                CCNet tail cut); docs with no tokens
+ *                                carry a null score and are kept (the
+ *                                quality filter owns degenerate text)
+ *
+ * Optional semantic dedup (L34, SemDeDup):
+ *   `semdedup.enabled`          default false
+ *   `semdedup.table`            (required when enabled) metastore table
+ *                               carrying (id, embedding) for the corpus
+ *   `semdedup.embedding.column` default "embedding"
+ *   `semdedup.id.column`        default: `id.column`
+ *   `semdedup.threshold`        default 0.95 (the paper's regime)
+ *   `semdedup.clusters`         default 8
+ *   Docs WITHOUT an embedding row are kept — semantic dedup only prunes
+ *   ids it has positive near-duplicate evidence for.
+ *
+ * Optional leakage-safe split (L14):
+ *   `split.group.safe`    default false — split membership keyed by the
+ *                         near-dup GROUP representative (MinHash pairs →
+ *                         connected components), so surviving near-dups
+ *                         never straddle train and eval
+ *   `split.group.jaccard` default 0.8 — pair threshold feeding the groups
+ *
+ * Every metastore table named in the options (`input.table`,
+ * `semdedup.table`, `perplexity.reference.table`) must also be declared
+ * among the job's input tables — the MetastoreReader rejects undeclared
+ * reads by design.
  */
 final class CurationTransformer extends Transformer {
 
   override def validate(ms: MetastoreReader, infoDate: LocalDate,
                         options: Map[String, String]): Reason =
-    if (options.contains("input.table")) Reason.Ready
-    else Reason.NotReady("option 'input.table' is required")
+    if (!options.contains("input.table"))
+      Reason.NotReady("option 'input.table' is required")
+    else if (options.get("semdedup.enabled").contains("true") &&
+      !options.contains("semdedup.table"))
+      Reason.NotReady("option 'semdedup.table' is required when semdedup.enabled=true")
+    else Reason.Ready
 
   override def run(ms: MetastoreReader, infoDate: LocalDate,
                    options: Map[String, String]): DataFrame = {
@@ -42,13 +81,61 @@ final class CurationTransformer extends Transformer {
 
     val docs = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
     val deduped = Dedup.exact(docs, textCol, idCol)
-    val scored = deduped
+
+    // semantic dedup: embeddings live in their OWN table (they are
+    // produced by a different pipeline stage than the text); prune the
+    // ids SemDeDup drops, via anti-join so embedding-less docs survive
+    val semDeduped =
+      if (!options.get("semdedup.enabled").contains("true")) deduped
+      else {
+        val emb = ms.getTable(options("semdedup.table"), Some(infoDate), Some(infoDate))
+        val embCol = options.getOrElse("semdedup.embedding.column", "embedding")
+        val embIdCol = options.getOrElse("semdedup.id.column", idCol)
+        val k = options.getOrElse("semdedup.clusters", "8").toInt
+        val thr = options.getOrElse("semdedup.threshold", "0.95").toDouble
+        val cents = Clustering.fit(emb, embCol, k, iters = 3)
+        val survivors = SemDeDup.dedup(emb, embCol, embIdCol, cents, threshold = thr)
+        val droppedIds = emb.select(col(embIdCol).as("_sem_id"))
+          .join(survivors.select(col(embIdCol).as("_sem_id")), Seq("_sem_id"), "left_anti")
+        deduped.join(droppedIds, col(idCol) === col("_sem_id"), "left_anti")
+      }
+
+    val scored = semDeduped
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("repetition", round(TextFunctions.repetitionRatio(col(textCol)), 4))
       .where(col("quality") >= qualityMin && col("repetition") <= maxRepetition)
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCountWs(col(textCol)))
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
-    Sampling.withSplitLabel(scored, idCol, weights, Seq("train", "val", "test"))
+
+    // perplexity tier: bounded two-job fit (scalar agg + capped vocab)
+    // on the reference, broadcast-join scoring, left join back so
+    // tokenless docs keep a null score instead of vanishing
+    val withPpl =
+      if (!options.get("perplexity.enabled").contains("true")) scored
+      else {
+        val ref = options.get("perplexity.reference.table")
+          .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
+          .getOrElse(semDeduped)
+        val lm = LmScore.fitUnigram(ref, textCol)
+        val ppl = LmScore.perplexities(scored, textCol, idCol, lm)
+          .withColumn("perplexity", round(col("perplexity"), 4))
+        val joined = scored.join(ppl, Seq(idCol), "left")
+        options.get("perplexity.max").map(_.toDouble) match {
+          case Some(maxPpl) =>
+            joined.where(col("perplexity").isNull || col("perplexity") <= maxPpl)
+          case None => joined
+        }
+      }
+
+    if (!options.get("split.group.safe").contains("true"))
+      Sampling.withSplitLabel(withPpl, idCol, weights, Seq("train", "val", "test"))
+    else {
+      val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
+      val pairs = Dedup.minhashNearDups(withPpl, textCol, idCol, threshold = jThr)
+      val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
+      Sampling.withGroupSafeSplitLabel(withPpl, idCol, groups, weights,
+        Seq("train", "val", "test"))
+    }
   }
 }

@@ -47,6 +47,88 @@ class CurationSpec extends SparkSpec {
     assert(out.columns.contains("quality") && out.columns.contains("fingerprint"))
   }
 
+  test("v2 stages: semantic dedup, perplexity tiering and leakage-safe split, all config-keyed") {
+    val s = "The quick brown fox jumps over the lazy dog near the river bank. "
+    val near1 = s * 8
+    val near2 = s * 7 + s.replace("lazy", "sleepy") // one-word edit in one repeat
+    val weird = "zxqv glorp xuzzle frumble wazzock snigglet vorpal quibblex " * 6
+    val docs = Seq(
+      (1L, "Common words make a perfectly ordinary document about the fox and the dog. " * 4),
+      (2L, "Another ordinary document with the usual words about rivers and banks today. " * 4),
+      (21L, "Document twenty one is ordinary text about the quick fox near the river. " * 4),
+      (22L, "Document twenty two is different text but its embedding is nearly identical. " * 4),
+      (30L, "No embedding exists for this ordinary document about dogs near the bank. " * 4),
+      (41L, near1), (42L, near2),
+      (50L, weird)
+    ).toDF("doc_id", "text")
+    // near-identical embeddings for 21/22 (cos ~1); others well apart;
+    // docs 30/41/42/50 have NO embedding row
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0, 0.2, 0, 0, 0)),
+      (2L, v(0, 1, 0, 0, 0, 0.3, 0, 0)),
+      (21L, v(0, 0, 1, 0.4, 0, 0, 0.1, 0)),
+      (22L, v(0, 0, 1.01, 0.41, 0, 0, 0.1, 0))
+    ).toDF("doc_id", "embedding")
+
+    val ms = new Metastore(spark)
+    val base = tmpDir("curv2_")
+    ms.register(MetaTable("raw", s"$base/raw"))
+    ms.register(MetaTable("emb", s"$base/emb"))
+    ms.register(MetaTable("cur", s"$base/cur"))
+    ms.saveTable("raw", d, docs)
+    ms.saveTable("emb", d, emb)
+
+    val opts = Map(
+      "input.table" -> "raw", "quality.min" -> "0.0", "max.repetition" -> "1.0",
+      "semdedup.enabled" -> "true", "semdedup.table" -> "emb",
+      "semdedup.threshold" -> "0.95", "semdedup.clusters" -> "2",
+      "perplexity.enabled" -> "true",
+      "split.group.safe" -> "true", "split.group.jaccard" -> "0.6",
+      "split.weights" -> "0.5,0.25,0.25")
+    def runWith(extra: Map[String, String]): org.apache.spark.sql.DataFrame = {
+      val res = new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+        "curate", "cur", new CurationTransformer, Seq("raw", "emb"),
+        options = opts ++ extra)), d)
+      res.head match {
+        case TaskResult.Failed(_, e) => throw e
+        case _: TaskResult.Succeeded => ()
+        case other => fail(s"unexpected task result: $other")
+      }
+      ms.getTable("cur", Some(d), Some(d))
+    }
+
+    val out = runWith(Map.empty)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // semantic dedup: exactly one of the embedding-near-dup pair stays,
+    // embedding-less docs are untouched
+    assert(ids.intersect(Set(21L, 22L)).size == 1, s"semdedup should prune one of 21/22: $ids")
+    assert(ids.contains(30L), "docs without an embedding row must survive semdedup")
+    // perplexity: scored for every tokenful doc, the alien-vocabulary
+    // doc scores strictly worse than every ordinary one
+    val ppl = out.select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    val ordinary = ppl.filter(_._1 != 50L).values
+    assert(ppl(50L) > ordinary.max,
+      s"weird doc must out-perplex ordinary docs: ${ppl(50L)} vs ${ordinary.max}")
+    // leakage-safe split: the surviving near-dup TEXT pair lands on one side
+    val splits = out.where(col("doc_id").isin(41L, 42L))
+      .select("split").as[String].collect().toSet
+    assert(splits.size == 1, s"near-dup pair must not straddle splits: $splits")
+
+    // the CCNet tail cut: a max between the ordinary and weird scores
+    // drops exactly the weird doc on re-run
+    val cut = (ordinary.max + ppl(50L)) / 2
+    val ids2 = runWith(Map("perplexity.max" -> cut.toString))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids2.contains(50L) && ids2.contains(1L), s"perplexity.max should drop only the weird doc: $ids2")
+  }
+
+  test("v2 validation: semdedup.enabled without semdedup.table is NotReady") {
+    val r = new CurationTransformer().validate(null, d,
+      Map("input.table" -> "raw", "semdedup.enabled" -> "true"))
+    assert(r.isInstanceOf[Reason.NotReady])
+  }
+
   test("runs over the real documents table with sane retention") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ms = new Metastore(spark)
