@@ -87,7 +87,7 @@ object Bench {
             "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_mix_report",
             "q_dedup_minhash",
             "q_semdedup", "q_dedup_incremental", "q_perplexity",
-            "q_contamination_report")
+            "q_contamination_report", "q_ann_pq_refine", "q_curation_v2")
           // median-of-2: the sf1 set is ~10× the work per query, so a
           // third run would dominate bench wall-time for little extra
           // noise rejection (2nd-of-2 = the conservative pick)
