@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
  * invisible — sf1 is where a shuffle too many or a lost pushdown
  * actually shows up in the timings.
  *
- * Text/vector payloads are byte-identical across copies, so sf1 is
- * only used for queries whose semantics don't hinge on corpus-wide
- * near-duplicate structure (exact dedup handles mass duplication by
- * design and stays in the set).
+ * Text/vector payloads are byte-identical across copies. Queries whose
+ * semantics hinge on near-duplicate structure are therefore measuring
+ * the MASS-DUPLICATION path at sf1, not organic scaling — and the
+ * dedup-family queries (q_dedup_minhash, q_semdedup, q_curation_v2)
+ * are deliberately kept in the set for exactly that reason: the
+ * replicated corpus is the target pathology of their adaptive plans.
+ * Note also the per-table replication strides differ (documents 5000,
+ * embeddings 2000), so doc_id↔vec_id alignment is scrambled vs sf0.1:
+ * timing-valid, row-correctness-invalid.
  */
 object BenchData {
   val DefaultOut = "/root/repo/benchdata/sf1"

@@ -67,6 +67,18 @@ object AsofJoin {
  */
 object Sessionize {
 
+  /** Microseconds-since-epoch for gap arithmetic, tolerant of BOTH
+   * timestamp flavors: `unix_micros` requires `TIMESTAMP`, but parquet
+   * `timestamp[us]` without a zone arrives as `TIMESTAMP_NTZ` (the
+   * current events testdata shape), which it rejects at analysis. The
+   * cast is a no-op on `TIMESTAMP` and interprets NTZ wall-clock in
+   * the session zone — graft pipelines pin UTC, where it is the
+   * identity; gap DIFFERENCES are unaffected by any fixed offset
+   * (only a DST fold under a non-UTC session zone could shift a gap,
+   * the documented NTZ trade). */
+  private def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
+
   /** Adds `session_id` (1-based per key) to each event row. */
   def withSessionIds(events: DataFrame, keyCol: String, tsCol: String,
                      orderCols: Seq[String], gapSeconds: Long): DataFrame = {
@@ -74,7 +86,7 @@ object Sessionize {
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val prevTs = lag(col(tsCol), 1).over(w)
     val newSession = when(prevTs.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prevTs) > gapSeconds * 1000000L, 1L).otherwise(0L)
+      micros(col(tsCol)) - micros(prevTs) > gapSeconds * 1000000L, 1L).otherwise(0L)
     events.withColumn("session_id",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** The failure channel of the round artifacts: a query that throws
+  * must surface as an explicit error artifact (Verify) / a "failed"
+  * entry (Bench), never as a missing row or a timed throw — the r10
+  * q_sessionize regression shipped invisibly through exactly this
+  * hole. */
+class VerifyBenchSpec extends SparkSpec {
+
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(3).toDF("id")
+  private val boom: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1).toDF("id").select(org.apache.spark.sql.functions.expr("no_such_fn(id)"))
+
+  test("Verify.dump writes parquet for good queries and an _error.txt marker for failed ones") {
+    val out = tmpDir("graft_verify_fail")
+    val failures = Verify.dump(spark, "/nonexistent", out,
+      Map("q_ok" -> good, "q_broken" -> boom))
+    assert(failures.keySet === Set("q_broken"))
+    // good query produced readable parquet
+    assert(spark.read.parquet(s"$out/q_ok").count() === 3)
+    // failed query left a LOUD artifact: a dir that exists but carries
+    // only the error marker, so a downstream parquet read errs rather
+    // than silently skipping the query
+    val qDir = Paths.get(out, "q_broken")
+    assert(Files.exists(qDir.resolve("_error.txt")))
+    val marker = Files.readString(qDir.resolve("_error.txt"))
+    assert(marker.toLowerCase.contains("no_such_fn"))
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(qDir).iterator().asScala.exists(_.toString.endsWith(".parquet")),
+      "a failed query must not leave partial parquet output")
+    intercept[Exception](spark.read.parquet(s"$out/q_broken").collect())
+  }
+
+  test("Verify.dump wipes stale parquet when a previously-green query starts failing") {
+    val out = tmpDir("graft_verify_stale")
+    Verify.dump(spark, "/nonexistent", out, Map("q_flip" -> good))
+    assert(spark.read.parquet(s"$out/q_flip").count() === 3)
+    val failures = Verify.dump(spark, "/nonexistent", out, Map("q_flip" -> boom))
+    assert(failures.contains("q_flip"))
+    // yesterday's good answer must not survive as today's fake pass
+    intercept[Exception](spark.read.parquet(s"$out/q_flip").collect())
+    assert(Files.exists(Paths.get(out, "q_flip", "_error.txt")))
+  }
+
+  test("Verify.toJson escapes quotes, backslashes and control chars") {
+    val js = Verify.toJson(Map("q" -> "a \"b\"\\\n\tc"))
+    assert(js === "{\"q\": \"a \\\"b\\\"\\\\\\n\\tc\\u0001\"}")
+  }
+
+  test("Bench.timeQuery returns Right for a working query and Left for a throwing one") {
+    val ok = Bench.timeQuery(spark, "q_ok", good, "/nonexistent", 2)
+    assert(ok.isRight && ok.toOption.get > 0.0)
+    val bad = Bench.timeQuery(spark, "q_broken", boom, "/nonexistent", 2)
+    assert(bad.isLeft, "a throwing query must never produce a timed entry")
+    assert(Bench.jsonVal(bad) === "\"failed\"")
+    assert(Bench.jsonVal(ok) === ok.toOption.get.toString)
+  }
+}
