@@ -10,21 +10,28 @@ object Bench {
   /** Median-of-n wall time, or Left(message) when any run THROWS —
     * a failed query must record as `"failed"`, never as a timed entry:
     * in r10 a broken query's swallowed analysis exception read as a
-    * fake 0.12 s "pass" in the round artifacts. */
+    * fake 0.12 s "pass" in the round artifacts. The run loop stops on
+    * the FIRST failure: the result is already Left, so repeating a
+    * consistently-broken query n times would only burn bench wall time
+    * (and a genuinely flaky query should look failed, not lucky). */
   private[graft] def timeQuery(spark: SparkSession, name: String,
                                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                                dir: String, n: Int): Either[String, Double] = {
     var err: Option[String] = None
-    val times = (1 to n).map { _ =>
+    val times = collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < n && err.isEmpty) {
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        times += (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         err = Some(e.getMessage)
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    err.toLeft(times(times.length / 2))
+      i += 1
+    }
+    err.toLeft { val s = times.sorted.toIndexedSeq; s(s.length / 2) }
   }
 
   private[graft] def jsonVal(v: Either[String, Double]): String =
@@ -132,7 +139,23 @@ object Bench {
         }
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json}""")
+    // total is NULL when any query failed: summing only the surviving
+    // queries would make a regression-that-breaks-a-slow-query read as
+    // a speedup in a naive round-over-round total comparison
+    val totalJson = if (nFailed > 0) "null" else total.toString
+    // "value" is emitted LAST: the round capture channel keeps only the
+    // TAIL of long stdout lines (BENCH_r10/r11 both lost the head,
+    // total included), so the headline number rides the end — and the
+    // FULL line is additionally persisted to a file the capture can't
+    // truncate
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json,"value":$totalJson}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -70,18 +70,26 @@ object Sessionize {
   /** Microseconds-since-epoch for gap arithmetic, tolerant of BOTH
    * timestamp flavors: `unix_micros` requires `TIMESTAMP`, but parquet
    * `timestamp[us]` without a zone arrives as `TIMESTAMP_NTZ` (the
-   * current events testdata shape), which it rejects at analysis. The
-   * cast is a no-op on `TIMESTAMP` and interprets NTZ wall-clock in
-   * the session zone — graft pipelines pin UTC, where it is the
-   * identity; gap DIFFERENCES are unaffected by any fixed offset
-   * (only a DST fold under a non-UTC session zone could shift a gap,
-   * the documented NTZ trade). */
-  private def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    unix_micros(c.cast("timestamp"))
+   * current events testdata shape), which it rejects at analysis.
+   * NTZ columns use zone-FREE wall-clock arithmetic
+   * (`timestamp_diff` against the epoch in NTZ space), so gaps are
+   * stable even under a non-UTC session zone — a session-zone cast
+   * would shift NTZ gaps across DST folds, and `PipelineConfig`
+   * deliberately lets a pipeline set a non-UTC `timeZone`. For zoned
+   * `TIMESTAMP` the cast is a no-op and `unix_micros` is already an
+   * instant, zone-independent by construction. */
+  private def micros(dt: org.apache.spark.sql.types.DataType)(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      timestamp_diff("MICROSECOND",
+        lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c)
+    case _ => unix_micros(c.cast("timestamp"))
+  }
 
   /** Adds `session_id` (1-based per key) to each event row. */
   def withSessionIds(events: DataFrame, keyCol: String, tsCol: String,
                      orderCols: Seq[String], gapSeconds: Long): DataFrame = {
+    val micros = this.micros(events.schema(tsCol).dataType) _
     val order = (col(tsCol) +: orderCols.map(col)): Seq[org.apache.spark.sql.Column]
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val prevTs = lag(col(tsCol), 1).over(w)

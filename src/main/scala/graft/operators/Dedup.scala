@@ -492,29 +492,50 @@ object NgramJaccard {
    * ANSI-SQL-expressible, so a pipeline (or the DuckDB oracle) can
    * replay it exactly from the raw strings.
    *
-   * Scale shape: one groupBy(shingle) shuffle builds the df-bounded
-   * posting lists; pairs are emitted map-side from each bucket, so the
-   * worst per-shingle fan-out is maxDf*(maxDf-1)/2 — hot shingles
-   * (stopword runs, boilerplate) are EXCLUDED by the df cap rather than
-   * exploding quadratically, which is what makes the shape survive a
+   * Scale shape: TWO passes over the exploded (shingle, id) pairs so no
+   * aggregation buffer ever holds an unbounded posting list. Pass 1
+   * (`rareShingles`) computes per-shingle document frequency — the
+   * shuffle carries only (shingle, long) — and keeps shingles with df in
+   * [2, maxDf]. Pass 2 semi-joins that rare set back onto the pairs and
+   * only THEN builds posting lists, over groups provably <= maxDf, so
+   * pair fan-out is bounded by maxDf*(maxDf-1)/2 per shingle. Hot
+   * shingles (stopword runs, boilerplate — on a real crawl one such
+   * shingle can carry billions of ids) are discarded while still counts,
+   * never materialized as sets, which is what makes the shape survive a
    * mass-duplicated crawl. The final distinct dedups pairs that share
    * several rare shingles. */
   def blockedCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 4, maxDf: Int = 20): DataFrame = {
-    graft.expr.GraftFunctions.ensure(docs.sparkSession)
-    val sh = docs
-      .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("_toks"))
-      .select(col("jid"),
-        explode(array_distinct(
-          graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))).as("sh"))
-    sh.groupBy(col("sh"))
+    val sh = shinglePairs(docs, textCol, idCol, shingleSize)
+    val rare = rareShingles(sh, maxDf)
+    sh.join(rare, Seq("sh"), "left_semi")
+      .groupBy(col("sh"))
       .agg(collect_set(col("jid")).as("ids"))
-      .where(size(col("ids")).between(2, maxDf))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
   }
+
+  /** Exploded (jid, sh) pairs, one row per distinct shingle per doc. */
+  private[operators] def shinglePairs(docs: DataFrame, textCol: String, idCol: String,
+                                      shingleSize: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    docs
+      .select(col(idCol).as("jid"), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("jid"),
+        explode(array_distinct(
+          graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))).as("sh"))
+  }
+
+  /** Shingles whose document frequency lies in [2, maxDf]. Counts only —
+   * a shingle present in every doc of the corpus costs one long in the
+   * aggregation buffer, not a posting list. */
+  private[operators] def rareShingles(shinglePairs: DataFrame, maxDf: Int): DataFrame =
+    shinglePairs.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("sh")
 
   /** Exact word-shingle Jaccard for given (id_a, id_b) candidate pairs.
    * Shingle arrays are computed once per doc on a materialized token

@@ -140,10 +140,12 @@ object MinHashIndex {
     // ABOVE it, a literal In expression of millions of nodes is itself
     // the failure (driver memory + per-task plan serialization), so the
     // prefilter becomes a Bloom filter over the bucket set riding the
-    // task closure (~1.2 MB per million buckets at 1% fpp). Bloom false
-    // positives only admit extra index rows into the candidate join,
-    // which discards them on the exact band hash — correctness is
-    // unaffected.
+    // plan as one binary literal (~1.2 MB per million buckets at 1%
+    // fpp), probed via the native codegen'd `bloom_might_contain` so
+    // the index scan stays inside whole-stage codegen — no UDF. Bloom
+    // false positives only admit extra index rows into the candidate
+    // join, which discards them on the exact band hash — correctness
+    // is unaffected.
     val bucketFilter =
       if (buckets.length <= inSetMax)
         exists(col("_bh"), h => h.isin(buckets.toIndexedSeq: _*))
@@ -151,8 +153,8 @@ object MinHashIndex {
         val bf = org.apache.spark.util.sketch.BloomFilter
           .create(buckets.length.toLong, 0.01)
         buckets.foreach(bf.putLong)
-        val mightContain = udf((hs: Seq[Long]) => hs.exists(bf.mightContainLong))
-        mightContain(col("_bh"))
+        val bfBytes = graft.expr.BloomMightContain.serialize(bf)
+        exists(col("_bh"), h => graft.expr.GraftFunctions.bloomMightContain(h, bfBytes))
       }
     val probe = index
       .withColumn("_bh", bandHashes(col("sig"), bands, r))

@@ -142,7 +142,24 @@ object SemDeDup {
   def dedup(embeddings: DataFrame, vecCol: String, idCol: String,
             centroids: Array[Array[Double]], threshold: Double = 0.95,
             maxClusterSize: Int = 20000, seed: Long = 42L,
-            maxBroadcastIds: Long = 10000000L): DataFrame = {
+            maxBroadcastIds: Long = 10000000L): DataFrame =
+    embeddings.join(
+      dropList(embeddings, vecCol, idCol, centroids, threshold, maxClusterSize,
+        seed, maxBroadcastIds),
+      col(idCol) === col("_drop_id"), "left_anti")
+
+  /** The drop list [[dedup]] anti-joins: one `_drop_id` column holding
+    * every identity copy and semantic duplicate, broadcast-hinted iff
+    * the size gate documented on [[dedup]] says it fits. Exposed so
+    * consumers that need the DROPPED side (e.g. curation pruning a
+    * text table by embedding-table drops) anti-join this directly
+    * instead of re-deriving it by double negation — which would
+    * evaluate the whole SemDeDup DAG twice plus two extra
+    * embedding-table scans. */
+  def dropList(embeddings: DataFrame, vecCol: String, idCol: String,
+               centroids: Array[Array[Double]], threshold: Double = 0.95,
+               maxClusterSize: Int = 20000, seed: Long = 42L,
+               maxBroadcastIds: Long = 10000000L): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val dim = centroids(0).length
     val keyed = embeddings.select(col(idCol).as("_sd_id"), xxhash64(col(vecCol)).as("_k"))
@@ -166,7 +183,6 @@ object SemDeDup {
     val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed, dim)
     val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
     val drop = copies.unionByName(semantic).distinct()
-    val dropSide = if (broadcastDrop) broadcast(drop) else drop
-    embeddings.join(dropSide, col(idCol) === col("_drop_id"), "left_anti")
+    if (broadcastDrop) broadcast(drop) else drop
   }
 }

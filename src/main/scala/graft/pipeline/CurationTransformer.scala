@@ -94,10 +94,11 @@ final class CurationTransformer extends Transformer {
         val k = options.getOrElse("semdedup.clusters", "8").toInt
         val thr = options.getOrElse("semdedup.threshold", "0.95").toDouble
         val cents = Clustering.fit(emb, embCol, k, iters = 3)
-        val survivors = SemDeDup.dedup(emb, embCol, embIdCol, cents, threshold = thr)
-        val droppedIds = emb.select(col(embIdCol).as("_sem_id"))
-          .join(survivors.select(col(embIdCol).as("_sem_id")), Seq("_sem_id"), "left_anti")
-        deduped.join(droppedIds, col(idCol) === col("_sem_id"), "left_anti")
+        // SemDeDup builds the drop list internally; anti-join it
+        // directly rather than re-deriving it from the survivor set
+        // (which would run the whole SemDeDup DAG a second time)
+        val droppedIds = SemDeDup.dropList(emb, embCol, embIdCol, cents, threshold = thr)
+        deduped.join(droppedIds, col(idCol) === col("_drop_id"), "left_anti")
       }
 
     val scored = semDeduped

@@ -47,7 +47,7 @@ class VerifyBenchSpec extends SparkSpec {
   }
 
   test("Verify.toJson escapes quotes, backslashes and control chars") {
-    val js = Verify.toJson(Map("q" -> "a \"b\"\\\n\tc"))
+    val js = Verify.toJson(Map("q" -> "a \"b\"\\\n\tc\u0001"))
     assert(js === "{\"q\": \"a \\\"b\\\"\\\\\\n\\tc\\u0001\"}")
   }
 

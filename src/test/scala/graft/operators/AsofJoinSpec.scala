@@ -63,6 +63,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(sess((8L, 1L)) == ((1L, 8.0)))
   }
 
+  test("NTZ timestamps sessionize identically under a non-UTC session zone (DST fold)") {
+    // 2024-11-03 01:30 happens TWICE in America/New_York (fall-back);
+    // a session-zone NTZ cast would collapse/shift gaps across the
+    // fold. Wall-clock arithmetic must see a plain 30-minute gap.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ev = Seq(
+        (1L, "2024-11-03 01:00:00", 1L, 1.0),
+        (1L, "2024-11-03 01:30:00", 2L, 1.0),  // 30 min wall-clock, inside gap
+        (1L, "2024-11-03 03:00:00", 3L, 1.0)   // 90 min -> new session
+      ).toDF("user_id", "ts_s", "event_id", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp_ntz"))
+      val ids = Sessionize.withSessionIds(ev, "user_id", "ts", Seq("event_id"), 3600)
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+      assert(ids(1L) == 1 && ids(2L) == 1 && ids(3L) == 2, s"got $ids")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("boundary: gap exactly equal to threshold stays in the session") {
     val ev = Seq(
       (1L, ts("2024-06-01 10:00:00"), 1L, 1.0),

@@ -193,6 +193,31 @@ class DedupSpec extends SparkSpec {
     assert(NgramJaccard.blockedCandidates(boiler, "text", "doc_id", 4, maxDf = 40).count() == 30L * 29 / 2)
   }
 
+  test("L4c blocked candidates: ultra-hot shingle is dropped as a count, never a posting list") {
+    // Every doc carries the same boilerplate shingle; each consecutive pair
+    // additionally shares one rare shingle. The two-pass shape must discard
+    // the hot shingle in the df-count pass — BEFORE any collect_set — so no
+    // aggregation group ever holds more than maxDf ids.
+    val n = 50
+    val hot = "common boilerplate header line"
+    val corpus = (1L to n.toLong).map { i =>
+      // rare bridge shingle between doc i and doc i+1
+      (i, s"$hot bridge$i link$i join$i mark$i bridge${i - 1} link${i - 1} join${i - 1} mark${i - 1}")
+    }.toDF("doc_id", "text")
+    val pairs = NgramJaccard.shinglePairs(corpus, "text", "doc_id", 4)
+    val rare = NgramJaccard.rareShingles(pairs, maxDf = 5)
+      .as[String].collect().toSet
+    // pass 1 output: the hot shingle (df = n > maxDf) is already gone, so the
+    // collect_set in pass 2 can only ever see groups of size <= maxDf
+    assert(!rare.exists(_.contains("boilerplate")), s"hot shingle survived pass 1: $rare")
+    assert(rare.nonEmpty, "bridge shingles should be rare")
+    // end-to-end: consecutive docs still pair up through their rare bridges
+    val cand = NgramJaccard.blockedCandidates(corpus, "text", "doc_id", 4, maxDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((1L until n.toLong).forall(i => cand.contains((i, i + 1))),
+      s"missing consecutive planted pairs in $cand")
+  }
+
   test("L5 embedding near-dup finds planted duplicate vectors only") {
     val dim = 16
     val rnd = new scala.util.Random(7)

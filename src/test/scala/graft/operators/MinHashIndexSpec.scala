@@ -126,5 +126,11 @@ class MinHashIndexSpec extends SparkSpec {
     // and the Bloom plan must NOT carry an In/INSET literal prefilter
     val bloomPlan = viaBloom.queryExecution.executedPlan.toString
     assert(!bloomPlan.contains("INSET"), s"Bloom tier must not compile an InSet:\n$bloomPlan")
+    // the prefilter is the native codegen'd bloom_might_contain inside
+    // exists — no Scala UDF breaking whole-stage codegen on the scan
+    assert(bloomPlan.contains("bloom_might_contain"),
+      s"Bloom tier must probe via the native expression:\n$bloomPlan")
+    assert(!bloomPlan.toLowerCase.contains("batchevalpython") && !bloomPlan.contains("UDF("),
+      s"Bloom tier must not fall back to a UDF:\n$bloomPlan")
   }
 }

@@ -31,6 +31,22 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept == Set(3L, 4L, 5L), s"kept $kept")
   }
 
+  test("dropList is the exact complement of dedup survivors") {
+    val e = emb(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(2f, 0f, 0f, 0f),
+      3L -> Array(3f, 0f, 0f, 0f),
+      4L -> Array(0.8f, 0.1f, 0.6f, 0f),
+      5L -> Array(0f, 1f, 0f, 0f))
+    val dropped = SemDeDup.dropList(e, "embedding", "vec_id", centroids, threshold = 0.99)
+      .as[Long].collect().toSet
+    val kept = SemDeDup.dedup(e, "embedding", "vec_id", centroids, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dropped == Set(1L, 2L), s"dropped $dropped")
+    assert((dropped & kept).isEmpty && (dropped | kept) == Set(1L, 2L, 3L, 4L, 5L),
+      s"dropList must partition the corpus: dropped=$dropped kept=$kept")
+  }
+
   test("pairs are cluster-local and carry exact cosine; cross-cluster near-pairs are NOT compared") {
     // ids 1 and 2 are nearly identical but straddle the two centroids —
     // SemDeDup's contract is cluster-local comparison, so no pair
