@@ -80,6 +80,39 @@ object DataFormat {
     * Requires delta-spark on the classpath; the metastore fails with a
     * clear message when it is absent. */
   case object Delta extends DataFormat { val name = "delta" }
+  /** Apache Iceberg CATALOG table (reference: pramen/core
+    * .../core/metastore/peristence/MetastorePersistenceIceberg.scala:32,
+    * parsed at .../core/metastore/model/DataFormatParser.scala:63):
+    * identified by a catalog table name, not a path. `location`
+    * optionally pins the physical path as a table property at
+    * creation; `properties` become Iceberg table properties. Requires
+    * the Iceberg Spark runtime + a configured catalog; metastore ops
+    * fail with a clear message otherwise ([[MetaTable.path]] is unused
+    * for this format). */
+  final case class Iceberg(catalogTable: String, location: Option[String] = None,
+                           properties: Map[String, String] = Map.empty) extends DataFormat {
+    val name = "iceberg"
+    /** Iceberg allows only lowercase table names — the reference
+      * lowercases at parse (DataFormatParser.scala:61); graft
+      * normalizes wherever the name reaches a catalog. */
+    def fullName: String = catalogTable.toLowerCase(java.util.Locale.ROOT)
+  }
+  /** Sink-only table (reference: pramen/core
+    * .../core/metastore/peristence/MetastorePersistenceNull.scala):
+    * saves are no-ops with zero stats, reads return an empty frame —
+    * for pipelines whose output goes ONLY to a sink and whose
+    * metastore entry exists purely to anchor the job in the DAG. */
+  case object NullFormat extends DataFormat { val name = "null" }
+  /** Session-scoped table that is never written to storage (reference:
+    * pramen/core .../metastore/peristence/MetastorePersistenceTransientEager.scala
+    * + TransientTableManager.scala): the save MATERIALIZES the data
+    * eagerly (that is the "eager" — the scheduled job runs and pays
+    * its cost at save time, unlike lazy/on-demand jobs) and keeps it
+    * per (table, info date) under the given cache policy; reads union
+    * the saved dates. Data dies with the session — intermediate
+    * results consumed downstream in the same run. */
+  final case class TransientEager(cachePolicy: CachePolicy = CachePolicy.Cache)
+      extends DataFormat { val name = "transient_eager" }
 }
 
 /**

@@ -62,6 +62,14 @@ final class Metastore(spark: SparkSession,
                 mode: SaveMode = SaveMode.Overwrite,
                 trackSchema: Boolean = true): TableStats = {
     val t = getTableDef(name)
+    if (t.format == DataFormat.NullFormat) {
+      // sink-only table: nothing stored, nothing computed — the save
+      // exists so the job anchors in the DAG (reference:
+      // MetastorePersistenceNull.saveTable returns zero stats with no job)
+      val stats = TableStats(0L, None)
+      statsMap.put((name, infoDate), stats)
+      return stats
+    }
     if (t.format == DataFormat.Raw) return saveRaw(t, name, infoDate, df)
     if (t.format == DataFormat.Delta) Metastore.requireDelta()
     val dateLit = java.sql.Date.valueOf(infoDate)
@@ -73,6 +81,47 @@ final class Metastore(spark: SparkSession,
     val withDate = t.batchIdColumn.fold(withDate0)(bc =>
       (if (withDate0.columns.contains(bc)) withDate0.drop(bc) else withDate0)
         .withColumn(bc, lit(batchId)))
+
+    t.format match {
+      case ice: DataFormat.Iceberg =>
+        // catalog-table path: hidden-transform partitioning needs no
+        // derived columns, the snapshot log replaces dynamic partition
+        // overwrite, and Iceberg owns schema history natively (so no
+        // _graft/schema recording — there is no table path to put it)
+        val obs = new org.apache.spark.sql.Observation()
+        IcebergPersistence.save(spark, t, ice, infoDate,
+          withDate.observe(obs, count(lit(1)).as("cnt")), mode)
+        invalidateCache(name)
+        val stats = TableStats(obs.get("cnt").asInstanceOf[Long], None)
+        statsMap.put((name, infoDate), stats)
+        return stats
+      case te: DataFormat.TransientEager =>
+        // session-scoped: materialize NOW under the cache policy (the
+        // "eager" — the scheduled job pays its cost at save time,
+        // unlike lazy jobs) and register per (table, info date); no
+        // files are written and the data dies with the session
+        // (reference: TransientTableManager in-memory/cached frames)
+        val stored = te.cachePolicy match {
+          case CachePolicy.Cache   => withDate.cache()
+          case CachePolicy.Persist =>
+            withDate.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          case CachePolicy.NoCache => withDate // plan re-computed per read
+        }
+        val cnt = stored.count()
+        val key = (name, infoDate)
+        val merged = transientStore.get(key) match {
+          case Some(prev) if mode == SaveMode.Append =>
+            prev.unionByName(stored, allowMissingColumns = true)
+          case other =>
+            other.foreach(_.unpersist()) // overwrite drops the old day's cache
+            stored
+        }
+        transientStore.put(key, merged)
+        val stats = TableStats(cnt, None)
+        statsMap.put(key, stats)
+        return stats
+      case _ => ()
+    }
 
     val (partCols, toWrite) = t.scheme match {
       case PartitionScheme.ByDay => (Seq(t.infoDateColumn), withDate)
@@ -145,6 +194,11 @@ final class Metastore(spark: SparkSession,
     require(t.format != DataFormat.Delta,
       s"compactPartition swaps files outside the _delta_log transaction and would corrupt " +
         s"Delta table '$name'; compact Delta tables with OPTIMIZE / a replaceWhere rewrite")
+    require(!t.format.isInstanceOf[DataFormat.Iceberg],
+      s"compactPartition swaps files outside the snapshot log and would corrupt " +
+        s"Iceberg table '$name'; compact with Iceberg's rewrite_data_files procedure")
+    require(t.format != DataFormat.NullFormat && !t.format.isInstanceOf[DataFormat.TransientEager],
+      s"compactPartition needs a storage-backed table; '$name' (${t.format.name}) has no files")
     val partDir = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = targetFiles.getOrElse {
@@ -200,7 +254,17 @@ final class Metastore(spark: SparkSession,
    * (in-memory here; Hive metastore / Glue on a real cluster — the
    * same API).
    */
-  private def syncCatalog(t: MetaTable, savedDate: Option[LocalDate] = None): Unit = if (t.catalogSync) {
+  private def syncCatalog(t: MetaTable, savedDate: Option[LocalDate] = None): Unit = {
+    // Iceberg tables ARE catalog tables — nothing to register or
+    // repair (the reference throws on its Hive-sync hooks for the same
+    // reason: MetastorePersistenceIceberg.createOrUpdateHiveTable);
+    // null/transient tables have no storage to point a catalog at
+    val pathless = t.format match {
+      case _: DataFormat.Iceberg | DataFormat.NullFormat |
+           _: DataFormat.TransientEager => true
+      case _ => false
+    }
+    if (t.catalogSync && !pathless) {
     val ident = t.catalogName.getOrElse(t.name)
     val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
     // Spark SQL string literals are backslash-escaped (doubling the
@@ -234,7 +298,7 @@ final class Metastore(spark: SparkSession,
     // files the cached index still points to (read fails), appends add
     // files it misses (silent stale counts)
     spark.catalog.refreshTable(ident)
-  }
+  }}
 
   /** Schema-evolution tracking (reference: pramen/api
    * .../api/SchemaDifference.scala): each save records the written
@@ -395,6 +459,17 @@ final class Metastore(spark: SparkSession,
    */
   def listAvailableDates(name: String): Seq[LocalDate] = {
     val t = getTableDef(name)
+    t.format match {
+      case ice: DataFormat.Iceberg =>
+        // catalog tables have no info_date=… directories to list;
+        // ByDay answers from the .partitions metadata table instead
+        return IcebergPersistence.listDates(spark, t, ice)
+      case _: DataFormat.TransientEager =>
+        return transientStore.keys.collect { case (n, d) if n == name => d }
+          .toSeq.sortBy(_.toEpochDay)
+      case DataFormat.NullFormat => return Seq.empty
+      case _ => ()
+    }
     t.scheme match {
       case PartitionScheme.ByDay =>
         val base = new org.apache.hadoop.fs.Path(t.path)
@@ -558,10 +633,32 @@ final class Metastore(spark: SparkSession,
 
   private val cachedReads = TrieMap.empty[String, DataFrame]
 
+  /** Session-scoped data of TransientEager tables, per (table, date). */
+  private val transientStore = TrieMap.empty[(String, LocalDate), DataFrame]
+
   private def readWhole(t: MetaTable): DataFrame = {
     def load: DataFrame = {
       if (t.format == DataFormat.Raw)
         return spark.read.format("binaryFile").load(t.path)
+      if (t.format == DataFormat.NullFormat)
+        // empty but CARRIES the info-date column so callers' range
+        // filters still resolve (reference loads an empty frame)
+        return spark.range(0).select(lit(null).cast("date").as(t.infoDateColumn))
+      if (t.format.isInstanceOf[DataFormat.TransientEager]) {
+        val parts = transientStore.toSeq.collect { case ((n, _), df) if n == t.name => df }
+        if (parts.isEmpty) throw new NoSuchElementException(
+          s"Transient table '${t.name}' has no data in this session — " +
+            "its producing job has not run (transient tables are never read from storage)")
+        return parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
+      t.format match {
+        case ice: DataFormat.Iceberg =>
+          // date-range filters the caller adds prune via Iceberg's
+          // manifest-level partition stats — same effect as the
+          // parquet path's partition-directory pruning
+          return IcebergPersistence.load(spark, t, ice)
+        case _ => ()
+      }
       if (t.format == DataFormat.Delta) Metastore.requireDelta()
       // evolved tables (>1 recorded schema version) read with schema
       // merging so columns added later surface (null for older days);

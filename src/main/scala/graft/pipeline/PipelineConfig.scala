@@ -265,6 +265,23 @@ object PipelineConfig {
         case "csv"     => DataFormat.Csv()
         case "raw"     => DataFormat.Raw
         case "delta"   => DataFormat.Delta
+        case "iceberg" =>
+          // reference DataFormatParser.scala:59: 'table' is mandatory
+          // for iceberg (catalog identity), 'path' is an optional
+          // location property; names are lowercased (Iceberg rule)
+          DataFormat.Iceberg(
+            opt("table").getOrElse(throw new IllegalArgumentException(
+              s"table.$t.table is required for the 'iceberg' format")).toLowerCase,
+            location = opt("path"),
+            properties = kv.collect {
+              case (k, v) if k.startsWith(s"table.$t.property.") =>
+                k.stripPrefix(s"table.$t.property.") -> v
+            })
+        case "null" => DataFormat.NullFormat
+        case "transient_eager" =>
+          DataFormat.TransientEager(
+            opt("cache.policy").map(graft.meta.CachePolicy.parse)
+              .getOrElse(graft.meta.CachePolicy.Cache))
         case other => throw new IllegalArgumentException(s"table.$t.format: unknown format '$other'")
       }
       val scheme = opt("partition").getOrElse("day") match {
@@ -277,7 +294,14 @@ object PipelineConfig {
         case other => throw new IllegalArgumentException(s"table.$t.partition: unknown scheme '$other'")
       }
       MetaTable(t,
-        opt("path").getOrElse(throw new IllegalArgumentException(s"table.$t.path is required")),
+        // Iceberg tables are catalog-addressed ('path' is the optional
+        // location property, carried on the format above); null and
+        // transient tables have no storage at all
+        opt("path").getOrElse(format match {
+          case _: DataFormat.Iceberg | DataFormat.NullFormat |
+               _: DataFormat.TransientEager => ""
+          case _ => throw new IllegalArgumentException(s"table.$t.path is required")
+        }),
         format = format,
         infoDateColumn = opt("info.date.column").getOrElse("info_date"),
         scheme = scheme,
