@@ -58,6 +58,30 @@ object SparkEntry {
     base.unionByName(planted)
   }
 
+  /** The text analog of [[withPlantedNearDups]]: the synthetic corpus
+   * only carries ACCIDENTAL near-duplicate text, so the text-dedup
+   * gates would otherwise measure noise at artificial thresholds.
+   * Every `every`-th doc gets a copy at id+idOffset with every
+   * `dropEvery`-th token removed (position keyed by token index +
+   * doc id — deterministic, no RNG, row-local). At p = 1/dropEvery
+   * dropout the exact 4-shingle jaccard is ≈ (1-4p)/(1+3p) — ≈ 0.87
+   * at dropEvery=50 — so minhash/simhash/jaccard gates exercise the
+   * production ≥0.8 regime with pairs whose recall is pinned
+   * (DedupSpec). The dropout is ANSI-replayable (DuckDB's indexed
+   * list_filter), keeping q_dedup_jaccard a hash-match gate over the
+   * planted corpus. */
+  private[graft] def withPlantedTextNearDups(docs: DataFrame, textCol: String, idCol: String,
+                                             every: Int = 10, idOffset: Long = 1000000L,
+                                             dropEvery: Int = 50): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val planted = base.where(col(idCol) % every === 0)
+      .select((col(idCol) + idOffset).as(idCol),
+        array_join(
+          filter(toks, (x, i) => (i + col(idCol)) % dropEvery =!= 0), " ").as(textCol))
+    base.unionByName(planted)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
    * reader rejects; read nanos as long and convert to micros. */
   private def events(s: SparkSession, dir: String): DataFrame = {
@@ -567,22 +591,31 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // rows-only gate: near-dup candidate pairs at jaccard>=0.5
-      Dedup.minhashNearDups(docs(s, dir), "text", "doc_id", threshold = 0.5)
+      // rows-only gate at the PRODUCTION threshold (0.8) over the
+      // planted token-dropout corpus (true jaccard ≈ 0.87): every
+      // planted (d, d+1000000) pair must surface via minhash banding +
+      // verified jaccard; recall is pinned in DedupSpec
+      Dedup.minhashNearDups(withPlantedTextNearDups(docs(s, dir), "text", "doc_id"),
+        "text", "doc_id", threshold = 0.8)
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      // rows-only gate: pairs within hamming distance 10 of 64-bit simhash
-      Dedup.simhashCandidates(docs(s, dir), "text", "doc_id", maxHamming = 10)
+      // rows-only gate: pairs within hamming distance 10 of 64-bit
+      // simhash over the planted near-dup corpus (2% token dropout
+      // moves only a few simhash bits, so planted pairs stay inside)
+      Dedup.simhashCandidates(withPlantedTextNearDups(docs(s, dir), "text", "doc_id"),
+        "text", "doc_id", maxHamming = 10)
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
       // exact shingle-jaccard verification over deterministic
-      // shared-rare-shingle blocking candidates — fully DuckDB-replayable
-      // (the r9 decontam shingle-set precedent), so this gate is a hash
-      // match, not rows-only. MinHash candidate generation stays covered
-      // by q_dedup_minhash + DedupSpec.
-      val dd = docs(s, dir)
+      // shared-rare-shingle blocking candidates, on the PLANTED
+      // near-dup corpus — fully DuckDB-replayable (the indexed
+      // list_filter replays the token dropout exactly), so this gate
+      // stays a hash match, not rows-only, while its pairs now include
+      // production-regime (≈0.87) planted duplicates. MinHash candidate
+      // generation stays covered by q_dedup_minhash + DedupSpec.
+      val dd = withPlantedTextNearDups(docs(s, dir), "text", "doc_id")
       val cand = NgramJaccard.blockedCandidates(dd, "text", "doc_id",
         shingleSize = 4, maxDf = 20)
       NgramJaccard.verifyPairs(cand, dd, "text", "doc_id", shingleSize = 4)
@@ -1491,10 +1524,24 @@ object SparkEntry {
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
     "q_dedup_jaccard" ->
-      """WITH toks AS (
+      """WITH toks0 AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
+        |planted AS (
+        |  -- replay withPlantedTextNearDups: every 10th doc copied to
+        |  -- id+1000000 with every 50th token dropped (DuckDB lambda
+        |  -- index i is 1-based; Spark's is 0-based, hence i - 1)
+        |  SELECT doc_id + 1000000 AS pid,
+        |    array_to_string(list_filter(t, (x, i) -> ((i - 1 + doc_id) % 50) != 0), ' ') AS ptext
+        |  FROM toks0 WHERE doc_id % 10 = 0),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
+        |toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM alldocs),
         |sh AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, len(t) - 2),

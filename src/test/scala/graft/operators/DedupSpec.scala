@@ -218,6 +218,33 @@ class DedupSpec extends SparkSpec {
       s"missing consecutive planted pairs in $cand")
   }
 
+  test("planted token-dropout near-dups: full recall at the production 0.8 threshold") {
+    // the corpus the driver gates run on: withPlantedTextNearDups
+    // copies every 10th doc to id+1000000 with ~2% token dropout
+    // (true 4-shingle jaccard ≈ 0.87). Distinct per-doc vocabulary
+    // makes the planted pairs the ONLY near-dups, so recall is exact.
+    val corpus = (1L to 30L).map { d =>
+      (d, (0 until 120).map(i => s"w${d}x${(i * 7919 + d * 104729) % 997}n$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val planted = graft.SparkEntry.withPlantedTextNearDups(corpus, "text", "doc_id")
+    assert(planted.count() == 33) // 30 base + ids 10,20,30 copied
+    val expected = Set((10L, 1000010L), (20L, 1000020L), (30L, 1000030L))
+    // minhash path at the production threshold
+    val mh = Dedup.minhashNearDups(planted, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(mh), s"minhash missed planted pairs: $mh")
+    // exact-jaccard path over blocked candidates, same threshold
+    val cand = NgramJaccard.blockedCandidates(planted, "text", "doc_id", 4, maxDf = 20)
+    val jac = NgramJaccard.verifyPairs(cand, planted, "text", "doc_id", 4)
+      .where(col("jaccard") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(jac), s"jaccard missed planted pairs: $jac")
+    // simhash: the dropout moves only a few of the 64 bits
+    val sim = Dedup.simhashCandidates(planted, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(sim), s"simhash missed planted pairs: $sim")
+  }
+
   test("L5 embedding near-dup finds planted duplicate vectors only") {
     val dim = 16
     val rnd = new scala.util.Random(7)
