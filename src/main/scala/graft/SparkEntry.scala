@@ -915,15 +915,19 @@ object SparkEntry {
 
     "q_perplexity" -> ((s, dir) => {
       // CCNet-style unigram perplexity: model fit on every 3rd doc
-      // (the "trusted reference"), every doc scored row-locally
-      // against the broadcast-as-literal model. Oracle: DuckDB
-      // replays fit + scoring exactly (tokenless docs score null and
-      // are filtered on both sides).
+      // (the "trusted reference"), every doc scored ROW-LOCALLY by the
+      // native hash-probe `unigram_ppl` expression (r12 — the explode/
+      // join/groupBy formulation shuffled one row per TOKEN; this is
+      // zero-shuffle scoring). Oracle: DuckDB replays fit + scoring
+      // exactly (tokenless docs score null and are filtered on both
+      // sides).
       val dd = docs(s, dir)
       val lm = graft.operators.LmScore.fitUnigram(
         dd.where(col("doc_id") % 3 === 0), "text")
-      graft.operators.LmScore.perplexities(dd, "text", "doc_id", lm)
-        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+      graft.expr.GraftFunctions.ensure(s)
+      dd.select(col("doc_id"),
+          round(graft.operators.LmScore.perplexityCol(col("text"), lm), 4).as("perplexity"))
+        .where(col("perplexity").isNotNull)
     }),
 
     "q_contamination_report" -> ((s, dir) => {

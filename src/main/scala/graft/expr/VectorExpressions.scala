@@ -168,6 +168,27 @@ object GraftFunctions {
         }
         NormalizeText(children(0), form)
       }),
+    ("unigram_ppl",
+      new ExpressionInfo(classOf[UnigramPerplexity].getName, "unigram_ppl"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"unigram_ppl expects 3 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            Option(e.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                "unigram_ppl: model must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"unigram_ppl: model must be a binary literal, got $other")
+        }
+        val oov = children(2) match {
+          case e if e.foldable && e.dataType == DoubleType =>
+            e.eval().asInstanceOf[Double]
+          case other => throw new IllegalArgumentException(
+            s"unigram_ppl: oov log-prob must be a double literal, got $other")
+        }
+        UnigramPerplexity(children(0), bytes, oov)
+      }),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => {
@@ -231,6 +252,10 @@ object GraftFunctions {
   def bloomMightContain(hash: Column, filterBytes: Array[Byte]): Column =
     call_function("bloom_might_contain", hash,
       org.apache.spark.sql.functions.lit(filterBytes))
+  def unigramPpl(tokens: Column, modelBytes: Array[Byte], oovLogProb: Double): Column =
+    call_function("unigram_ppl", tokens,
+      org.apache.spark.sql.functions.lit(modelBytes),
+      org.apache.spark.sql.functions.lit(oovLogProb))
 }
 
 /** `spark.sql.extensions` entry point injecting graft's expressions. */

@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
  *
  * Scale story: the fit is two bounded jobs over the reference corpus
  * (a scalar total/vocab aggregate and a TakeOrdered top-`vocabSize`
- * count — never a full vocabulary collect). Scoring has two shapes:
- * [[perplexities]] (the production path) broadcast-joins the model
- * onto exploded tokens — O(1) hash lookups per token, one
- * map-side-combined per-doc shuffle of tiny rows; [[perplexity]]
- * (the row-local Column form) folds over a MAP LITERAL, which
- * Catalyst probes by LINEAR SCAN — measured at ~8 minutes for a 500
- * doc × 20k-vocab corpus — so it is only for small models (≲ 2k
- * entries: per-row thresholds, embedded stopword tables). Documents
- * with no tokens score null (absent from [[perplexities]]).
+ * count — never a full vocabulary collect). Scoring has three shapes:
+ * [[perplexityCol]] (the production path — r12) scores ROW-LOCALLY
+ * through the native `unigram_ppl` expression: the model rides the
+ * plan as one binary literal, deserialized per task into a hash map,
+ * O(1) probes per token, zero extra rows, zero shuffle, whole-stage
+ * codegen intact; [[perplexities]] (the aggregate formulation, kept
+ * as the independently-computed cross-check) broadcast-joins the
+ * model onto EXPLODED tokens — a ~tokens-per-doc row blow-up pushed
+ * through a per-doc shuffle, which at 100 TB is the bottleneck the
+ * expression removes; [[perplexity]] (the map-literal Column form)
+ * probes by LINEAR SCAN — measured at ~8 minutes for a 500 doc ×
+ * 20k-vocab corpus — only for small models (≲ 2k entries: per-row
+ * thresholds, embedded stopword tables). Documents with no tokens
+ * score null (absent from [[perplexities]]).
  */
 object LmScore {
 
@@ -77,10 +82,22 @@ object LmScore {
         .as("perplexity"))
   }
 
+  /** Per-document perplexity as a row-local column through the native
+    * hash-probe `unigram_ppl` expression — the production scoring
+    * path: no explode, no join, no shuffle; null for tokenless docs.
+    * Caller's session must have graft functions registered
+    * ([[graft.expr.GraftFunctions.ensure]]). */
+  def perplexityCol(text: Column, lm: UnigramLm): Column =
+    graft.expr.GraftFunctions.unigramPpl(
+      TextFunctions.tokens(text),
+      graft.expr.UnigramPerplexity.serialize(lm.logProbs),
+      lm.oovLogProb)
+
   /** Per-document perplexity exp(−mean token log-prob) as a row-local
     * column expression; null when the document has no tokens.
     * SMALL MODELS ONLY (≲ 2k entries) — the map literal is probed by
-    * linear scan per token; use [[perplexities]] for real vocabularies. */
+    * linear scan per token; use [[perplexityCol]] for real
+    * vocabularies. */
   def perplexity(text: Column, lm: UnigramLm): Column = {
     val model = typedlit(lm.logProbs)
     val toks = filter(TextFunctions.tokens(text), t => t =!= "")

@@ -119,13 +119,17 @@ final class CurationTransformer extends Transformer {
           .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
           .getOrElse(semDeduped)
         val lm = LmScore.fitUnigram(ref, textCol)
-        val ppl = LmScore.perplexities(scored, textCol, idCol, lm)
-          .withColumn("perplexity", round(col("perplexity"), 4))
-        val joined = scored.join(ppl, Seq(idCol), "left")
+        // row-local native scoring: no explode/join/shuffle, and no
+        // second evaluation of the `scored` subtree (the join
+        // formulation derived ppl FROM scored and joined it back —
+        // the whole upstream DAG ran twice)
+        graft.expr.GraftFunctions.ensure(scored.sparkSession)
+        val withCol = scored.withColumn("perplexity",
+          round(LmScore.perplexityCol(col(textCol), lm), 4))
         options.get("perplexity.max").map(_.toDouble) match {
           case Some(maxPpl) =>
-            joined.where(col("perplexity").isNull || col("perplexity") <= maxPpl)
-          case None => joined
+            withCol.where(col("perplexity").isNull || col("perplexity") <= maxPpl)
+          case None => withCol
         }
       }
 
@@ -133,7 +137,16 @@ final class CurationTransformer extends Transformer {
       Sampling.withSplitLabel(withPpl, idCol, weights, Seq("train", "val", "test"))
     else {
       val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
-      val pairs = Dedup.minhashNearDups(withPpl, textCol, idCol, threshold = jThr)
+      // near-dup pairs come from the RAW input projection, not the
+      // curated frame: scoring them on withPpl would evaluate the
+      // whole curated DAG (dedup → semdedup → quality → perplexity)
+      // a SECOND time just to shingle two source columns — and
+      // full-corpus groups are the more conservative leakage rule
+      // anyway: near-dup chains THROUGH pruned docs still group, so
+      // surviving copies cannot straddle train/eval via a dropped
+      // intermediate.
+      val pairs = Dedup.minhashNearDups(
+        docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
       val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
       Sampling.withGroupSafeSplitLabel(withPpl, idCol, groups, weights,
         Seq("train", "val", "test"))

@@ -57,6 +57,43 @@ class LmScoreSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"row-local scoring must not shuffle:\n$plan")
   }
 
+  test("native unigram_ppl: agrees with the aggregate path on real data, zero shuffle, codegen") {
+    graft.expr.GraftFunctions.ensure(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitUnigram(real, "text") // full corpus vocabulary
+    val q = real.select(col("doc_id"), LmScore.perplexityCol(col("text"), lm).as("p"))
+      .where(col("p").isNotNull)
+    // two independently-computed formulations must agree to double ulps
+    val viaExpr = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaAgg = LmScore.perplexities(real, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr.keySet == viaAgg.keySet, "row sets must match (tokenless docs excluded)")
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { case (id, p) =>
+      assert(math.abs(p - viaAgg(id)) <= 1e-9 * math.max(1.0, p.abs),
+        s"doc $id: expr=$p agg=${viaAgg(id)}")
+    }
+    // plan shape: row-local — no exchange, no join, scan inside codegen
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"native scoring must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"native scoring must not join:\n$plan")
+    assert(plan.contains("unigram_ppl"), s"expected the native expression:\n$plan")
+    // "*(n)" marks whole-stage-codegen'd operators in the plan string
+    assert(plan.contains("*(1) Project"), s"expected the scoring projection in codegen:\n$plan")
+  }
+
+  test("unigram_ppl model literal: equal models compare equal (canonicalization-safe)") {
+    val lm = LmScore.UnigramLm(Map("a" -> -1.0, "b" -> -2.0), -3.0)
+    val b1 = graft.expr.UnigramPerplexity.serialize(lm.logProbs)
+    val b2 = graft.expr.UnigramPerplexity.serialize(Map("b" -> -2.0, "a" -> -1.0))
+    assert(java.util.Arrays.equals(b1, b2), "serialization must be order-insensitive")
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a"), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val e1 = graft.expr.UnigramPerplexity(child, b1, -3.0)
+    val e2 = graft.expr.UnigramPerplexity(child, b2, -3.0)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+  }
+
   test("production scoring broadcast-joins the full-vocab model (hash lookups, not literal scans)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lm = LmScore.fitUnigram(real, "text") // full corpus vocabulary
