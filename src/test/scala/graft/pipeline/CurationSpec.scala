@@ -123,6 +123,40 @@ class CurationSpec extends SparkSpec {
     assert(!ids2.contains(50L) && ids2.contains(1L), s"perplexity.max should drop only the weird doc: $ids2")
   }
 
+  test("group-safe split groups near-dup chains THROUGH quality-pruned docs (pairs from raw input)") {
+    // 41 ~ 42 and 42 ~ 43 but 41 !~ 43 directly; 42 is dropped by the
+    // quality gate (giant punctuation run). Pairs are computed on the
+    // RAW corpus, so 41 and 43 still share a group via the pruned 42
+    // and must land in the same split — the conservative leakage rule
+    // (and the shape that avoids evaluating the curated DAG twice).
+    val t = (0 until 60).map(i => s"tcommon$i").mkString(" ")
+    val a = (0 until 60).map(i => s"aonly$i").mkString(" ")
+    val b = (0 until 60).map(i => s"bonly$i").mkString(" ")
+    val docs = Seq(
+      (41L, s"$a $t"),
+      (42L, s"$t ${"!" * 400}"),
+      (43L, s"$t $b"),
+      (60L, (0 until 120).map(i => s"filler$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ms = new Metastore(spark)
+    val base = tmpDir("curchain_")
+    ms.register(MetaTable("rawc", s"$base/rawc"))
+    ms.register(MetaTable("curc", s"$base/curc"))
+    ms.saveTable("rawc", d, docs)
+    new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+      "curate", "curc", new CurationTransformer, Seq("rawc"),
+      options = Map(
+        "input.table" -> "rawc", "quality.min" -> "0.8", "max.repetition" -> "1.0",
+        "split.group.safe" -> "true", "split.group.jaccard" -> "0.45"))), d)
+    val out = ms.getTable("curc", Some(d), Some(d))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(41L, 43L, 60L), s"quality gate should drop only 42: $ids")
+    val splits = out.where(col("doc_id").isin(41L, 43L))
+      .select("split").as[String].collect().toSet
+    assert(splits.size == 1,
+      s"41 and 43 chain through the pruned 42 and must not straddle splits: $splits")
+  }
+
   test("v2 validation: semdedup.enabled without semdedup.table is NotReady") {
     val r = new CurationTransformer().validate(null, d,
       Map("input.table" -> "raw", "semdedup.enabled" -> "true"))
