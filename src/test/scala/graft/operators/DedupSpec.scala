@@ -245,6 +245,32 @@ class DedupSpec extends SparkSpec {
     assert(expected.subsetOf(sim), s"simhash missed planted pairs: $sim")
   }
 
+  test("near decontamination catches paraphrases the exact n-gram tier misses") {
+    // paraphrase = every 8th token replaced: every 8-token window
+    // contains an edit, so exact 8-gram overlap is ZERO; 3-shingle
+    // jaccard stays ~0.46, well inside the near tier
+    val corpus = (1L to 30L).map { d =>
+      (d, (0 until 120).map(i => s"w${d}v${(i * 7919 + d * 104729) % 997}n$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sources = Set(5L, 10L, 15L)
+    val bench = corpus.where(col("doc_id").isin(sources.toSeq: _*))
+      .select(array_join(transform(split(col("text"), " "),
+        (t, i) => when((i + col("doc_id")) % 8 === 0, concat(lit("rw"), i)).otherwise(t)),
+        " ").as("text"))
+    // exact tier: nothing shared at the default 8-gram size
+    assert(Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, "text").count() == 0,
+      "paraphrases must slip the exact n-gram tier (that is the point)")
+    // near tier: exactly the paraphrase sources, nothing else
+    val near = Decontaminate.nearContaminatedIds(corpus, "text", "doc_id", bench, "text",
+        threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(near == sources, s"near tier should flag exactly the sources: $near")
+    // and cleanNear removes exactly those
+    val kept = Decontaminate.cleanNear(corpus, "text", "doc_id", bench, "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 30L).toSet -- sources)
+  }
+
   test("L5 embedding near-dup finds planted duplicate vectors only") {
     val dim = 16
     val rnd = new scala.util.Random(7)
