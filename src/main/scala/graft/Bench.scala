@@ -115,7 +115,7 @@ object Bench {
           val sf1Names = Seq("q1_agg", "q3_join_agg", "q5_multi_join", "q_stats_agg",
             "q_window", "q_topk", "q_time_bucket", "q_token_count",
             "q_dedup_exact", "q_ann_topk",
-            "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_mix_report",
+            "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_decontam_near", "q_mix_report",
             "q_dedup_minhash",
             "q_semdedup", "q_dedup_incremental", "q_perplexity",
             "q_contamination_report", "q_ann_pq_refine", "q_curation_v2")

@@ -404,25 +404,28 @@ object Decontaminate {
     *
     * Scale shape (composes [[MinHashIndex]] with the benchmark as the
     * broadcast batch side): corpus signatures are computed in-stream —
-    * one scan, nothing persisted, historical text never re-read if the
-    * caller passes a persisted [[MinHashIndex.buildIndex]] frame via
-    * `index` — the benchmark's banded signatures broadcast, a
-    * ROW-LOCAL band-bucket prefilter drops corpus rows sharing no
-    * bucket before any explode, and candidates verify on the
-    * signature-estimated jaccard. `bands = 32` (r = 2) rather than the
-    * dedup default 16: paraphrase similarity sits near ~0.4, far below
-    * the dedup regime, and r = 2 keeps banding recall ≥ 99.9% there —
-    * the extra false candidates are discarded by the estimate filter.
+    * one scan, nothing persisted — or, when the pipeline already
+    * maintains a persisted [[MinHashIndex.writeIndex]] of the corpus
+    * for incremental dedup, passed via `index` so the corpus TEXT is
+    * never re-read at all; the benchmark's banded signatures
+    * broadcast, a ROW-LOCAL band-bucket prefilter drops corpus rows
+    * sharing no bucket before any explode, and candidates verify on
+    * the signature-estimated jaccard. `bands = 32` (r = 2) rather than
+    * the dedup default 16: paraphrase similarity sits near ~0.4, far
+    * below the dedup regime, and r = 2 keeps banding recall ≥ 99.9%
+    * there — the extra false candidates are discarded by the estimate
+    * filter.
     *
     * Output: (id, est_jaccard) — the corpus doc and its best match
     * strength against any benchmark item. */
   def nearContaminatedIds(docs: DataFrame, textCol: String, idCol: String,
                           benchmark: DataFrame, benchTextCol: String,
                           threshold: Double = 0.35, shingleSize: Int = 3,
-                          k: Int = 64, bands: Int = 32): DataFrame = {
+                          k: Int = 64, bands: Int = 32,
+                          index: Option[DataFrame] = None): DataFrame = {
     val bench = benchmark.select(col(benchTextCol).as("_btxt"))
       .withColumn("_bench_id", monotonically_increasing_id())
-    val idx = MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k)
+    val idx = index.getOrElse(MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k))
     MinHashIndex.matches(bench, "_btxt", "_bench_id", idx, idCol,
         threshold = threshold, shingleSize = shingleSize, k = k, bands = bands)
       .groupBy(col("index_id").as(idCol))

@@ -269,6 +269,13 @@ class DedupSpec extends SparkSpec {
     val kept = Decontaminate.cleanNear(corpus, "text", "doc_id", bench, "text", threshold = 0.3)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == (1L to 30L).toSet -- sources)
+    // persisted-index path: same verdicts with the corpus text never re-read
+    val p = tmpDir("near_idx_")
+    MinHashIndex.writeIndex(corpus, "text", "doc_id", p)
+    val viaIdx = Decontaminate.nearContaminatedIds(corpus, "text", "doc_id", bench, "text",
+        threshold = 0.3, index = Some(spark.read.parquet(p)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIdx == sources, s"persisted-index path must agree: $viaIdx")
   }
 
   test("L5 embedding near-dup finds planted duplicate vectors only") {
