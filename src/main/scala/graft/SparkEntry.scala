@@ -518,6 +518,18 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean"))
     }),
 
+    "q_substring_dedup" -> ((s, dir) => {
+      // ExactSubstr-style token-window dedup (Lee et al. 2022) over the
+      // PLANTED near-dup corpus — each planted copy shares long exact
+      // token runs with its original (the dropout only breaks every
+      // 50th token), so the cut spans are production-shaped. Keep-first
+      // by (id, pos); DuckDB replays windows as STRINGS, so a 64-bit
+      // window-hash collision changing the answer would surface.
+      val dd = withPlantedTextNearDups(docs(s, dir), "text", "doc_id")
+      graft.operators.TextPrep.dedupTokenWindows(dd, "doc_id", "text",
+        windowSize = 8)
+    }),
+
     "q_pack" -> ((s, dir) => {
       // rows-only gate: chunk to 32-token windows, next-fit pack into
       // 128-token training sequences, report per-sequence roll-ups
@@ -946,6 +958,23 @@ object SparkEntry {
         .where(col("perplexity").isNotNull)
     }),
 
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weighting: target LM on every 7th doc (the
+      // "trusted sample"), raw LM on the pool, every doc scored
+      // ROW-LOCALLY by the folded difference model through the native
+      // unigram_ppl probe. Oracle: DuckDB replays both fits and the
+      // per-token log-ratio sum exactly.
+      val dd = docs(s, dir)
+      val target = graft.operators.LmScore.fitUnigram(
+        dd.where(col("doc_id") % 7 === 0), "text")
+      val raw = graft.operators.LmScore.fitUnigram(dd, "text")
+      graft.expr.GraftFunctions.ensure(s)
+      dd.select(col("doc_id"),
+          round(graft.operators.Dsir.logWeightCol(col("text"), target, raw), 4)
+            .as("log_weight"))
+        .where(col("log_weight").isNotNull)
+    }),
+
     "q_contamination_report" -> ((s, dir) => {
       // eval-integrity dashboard: per-suite leak counts/shares, each
       // suite the same broadcast decontamination shape, DuckDB-replayed
@@ -1361,6 +1390,82 @@ object SparkEntry {
         |        FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id""".stripMargin,
+
+    // ExactSubstr token-window dedup twin: the planted corpus replay
+    // (see q_dedup_jaccard), windows as strings, keep-first by
+    // (doc_id, pos), deletion spans unioned per doc, rebuild by
+    // ordered string_agg over surviving token positions
+    "q_substring_dedup" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS pid,
+        |    array_to_string(list_filter(t, (x, i) -> ((i - 1 + doc_id) % 50) != 0), ' ') AS ptext
+        |  FROM toks0 WHERE doc_id % 10 = 0),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
+        |toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM alldocs),
+        |w AS (
+        |  SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS win
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS s, t
+        |        FROM toks WHERE len(t) >= 8)),
+        |stats AS (
+        |  SELECT win, min(doc_id) AS mid FROM w GROUP BY win HAVING count(*) > 1),
+        |firstpos AS (
+        |  SELECT o.win, st.mid, min(o.s) AS mpos
+        |  FROM w o JOIN stats st ON o.win = st.win AND o.doc_id = st.mid
+        |  GROUP BY o.win, st.mid),
+        |dels AS (
+        |  SELECT o.doc_id, o.s FROM w o JOIN firstpos f ON o.win = f.win
+        |  WHERE NOT (o.doc_id = f.mid AND o.s = f.mpos)),
+        |delpos AS (
+        |  SELECT DISTINCT doc_id, i
+        |  FROM (SELECT doc_id, unnest(generate_series(s, s + 7)) AS i FROM dels)),
+        |tokrows AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) AS i
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tr.doc_id, tr.i, tr.tok
+        |  FROM tokrows tr LEFT JOIN delpos dp
+        |    ON tr.doc_id = dp.doc_id AND tr.i = dp.i
+        |  WHERE dp.i IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  CAST(len(t.t) - coalesce(r.nk, 0) AS BIGINT) AS n_dropped
+        |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin,
+    // DSIR twin: both unigram fits (add-one smoothing, deterministic
+    // vocab boundary) and the per-token log-ratio sum replayed exactly;
+    // round(4) absorbs cross-engine sum-order ulps as in q_perplexity
+    "q_dsir" ->
+      """WITH dt AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT tok FROM dt WHERE doc_id % 7 = 0),
+        |ts AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM tt),
+        |ttop AS (SELECT tok, count(*) AS n FROM tt GROUP BY tok ORDER BY n DESC, tok LIMIT 65536),
+        |tmodel AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp FROM ttop CROSS JOIN ts s),
+        |rs AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM dt),
+        |rtop AS (SELECT tok, count(*) AS n FROM dt GROUP BY tok ORDER BY n DESC, tok LIMIT 65536),
+        |rmodel AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp FROM rtop CROSS JOIN rs s),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    coalesce(mt.lp, (SELECT ln(1.0 / (total + v + 1)) FROM ts)) -
+        |    coalesce(mr.lp, (SELECT ln(1.0 / (total + v + 1)) FROM rs)) AS lw
+        |  FROM dt d LEFT JOIN tmodel mt USING (tok) LEFT JOIN rmodel mr USING (tok))
+        |SELECT doc_id, round(sum(lw), 4) AS log_weight
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "q_ann_quant" ->
       """WITH base AS (

@@ -143,6 +143,84 @@ object TextPrep {
       array_join(filter(segmenter(col(textCol)), keep), joiner))
   }
 
+  // ── cross-corpus substring (token-window) dedup ───────────────────
+
+  /**
+   * Exact substring deduplication at token-window granularity — the
+   * "Deduplicating Training Data Makes Language Models Better"
+   * (Lee et al. 2022) ExactSubstr idea re-expressed for Spark: any
+   * `windowSize`-token run that occurs more than `maxRepeats` times
+   * corpus-wide keeps only its FIRST occurrence (lowest id, then
+   * lowest position) and every other occurrence's token span is cut
+   * from its document. Unlike [[dedupSegments]] (fixed segmentation —
+   * a one-token insertion shifts every later segment boundary), the
+   * sliding window catches duplicated spans at ANY offset, which is
+   * where crawl boilerplate and quoted passages actually live. The
+   * suffix-array formulation of the paper is a single-machine
+   * construction; counting fixed-width windows is its
+   * embarrassingly-parallel corpus-scale equivalent (the paper's 50-
+   * token minimum match IS the window size here).
+   *
+   * Output: (idCol, text_clean, n_dropped) for every input doc —
+   * `text_clean` is the surviving tokens of the NORMALIZED (case-
+   * folded, whitespace-collapsed) text rejoined with single spaces,
+   * `n_dropped` the count of removed tokens. Docs shorter than the
+   * window pass through unchanged (normalized).
+   *
+   * Plan shape (the 100 TB story): the occurrence stream carries
+   * (id, pos, xxhash64(window)) — window TEXT dies row-locally before
+   * the one corpus-wide shuffle; the per-window aggregation state is a
+   * count plus one (id, pos) struct (O(1) — never a posting list, the
+   * blockedCandidates lesson); only flagged occurrences join back
+   * (AQE broadcasts the duplicated-window set when small and splits
+   * skewed hash keys otherwise — a boilerplate window with 10⁹
+   * occurrences is exactly the AQE skew-join case); per-doc deletion
+   * lists are bounded by the doc's own token count; the rebuild is
+   * row-local after ONE id-keyed join of the deletion lists onto the
+   * corpus (broadcast when few docs carry deletions — AQE — and a
+   * plain key-shuffle join otherwise; the lists are (id, int[])
+   * rows, never text). The rebuild probes the deletion-start list
+   * per token (O(tokens × dels) worst case) — fine because dels per
+   * doc is bounded by the doc's own length.
+   *
+   * Hash note: dedup is by 64-bit window hash (two different windows
+   * colliding would over-delete one span) — the standard fingerprint
+   * trade, same as [[dedupSegments]] and Dedup.exact.
+   */
+  def dedupTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                        windowSize: Int = 50, maxRepeats: Int = 1): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2: $windowSize")
+    require(maxRepeats >= 1, s"maxRepeats must be >= 1: $maxRepeats")
+    val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_t"))
+    // (id, 0-based start, window hash): posexplode over the shingle
+    // array gives the start index; the window string hashes away in the
+    // same projection so only 20-byte rows reach the shuffle
+    val occ = base
+      .select(col(idCol),
+        posexplode(TextFunctions.wordShinglesFromTokens(col("_t"), windowSize))
+          .as(Seq("_p", "_win")))
+      .select(col(idCol), col("_p"), xxhash64(col("_win")).as("_h"))
+    val flagged = occ.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol).as("i"), col("_p").as("p"))).as("_first"))
+      .where(col("_c") > maxRepeats)
+      .select(col("_h"), col("_first"))
+    // every occurrence of a flagged window EXCEPT its first → delete
+    val dels = occ.join(flagged, Seq("_h"))
+      .where(!(col(idCol) === col("_first.i") && col("_p") === col("_first.p")))
+      .select(col(idCol), col("_p"))
+    val starts = dels.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_p"))).as("_dels"))
+    val delsArr = coalesce(col("_dels"), array().cast("array<int>"))
+    val w = windowSize
+    base.join(starts, Seq(idCol), "left")
+      .withColumn("_kept",
+        filter(col("_t"), (_, i) => !exists(delsArr, s => i >= s && i < s + w)))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("text_clean"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_dropped"))
+  }
+
   // ── per-document repetition metrics ───────────────────────────────
 
   /**
