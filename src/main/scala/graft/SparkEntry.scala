@@ -975,6 +975,25 @@ object SparkEntry {
         .where(col("log_weight").isNotNull)
     }),
 
+    "q_quality_classifier" -> ((s, dir) => {
+      // rows-only gate: fastText-style quality classifier — logistic
+      // regression trained on target-sample-vs-pool (every 5th doc as
+      // the "trusted" sample; MLlib LBFGS is iterative, not
+      // SQL-replayable), served ROW-LOCALLY via the exported weights
+      // through the native unigram_ppl probe. Training/serving
+      // correctness pinned in QualityClassifierSpec (separable corpus
+      // + MLlib scoring parity).
+      val dd = docs(s, dir)
+      val m = graft.operators.QualityClassifier.fit(
+        dd.where(col("doc_id") % 5 === 0), dd.where(col("doc_id") % 5 =!= 0),
+        "text", vocabSize = 8192, maxIter = 10)
+      graft.expr.GraftFunctions.ensure(s)
+      dd.select(col("doc_id"),
+          round(graft.operators.QualityClassifier.scoreCol(col("text"), m), 4)
+            .as("quality_prob"))
+        .where(col("quality_prob").isNotNull)
+    }),
+
     "q_contamination_report" -> ((s, dir) => {
       // eval-integrity dashboard: per-suite leak counts/shares, each
       // suite the same broadcast decontamination shape, DuckDB-replayed
@@ -1692,7 +1711,7 @@ object SparkEntry {
     // q_fingerprint, q_dedup_minhash, q_dedup_simhash,
     // q_dedup_embed, q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
-    // q_dedup_incremental:
+    // q_dedup_incremental, q_quality_classifier:
     // rows-only gates (hash/LSH/k-means/minhash internals not
     // ANSI-SQL-expressible; each carries a ScalaTest spec with
     // hand-computed expectations)
