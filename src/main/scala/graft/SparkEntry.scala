@@ -478,6 +478,21 @@ object SparkEntry {
         .select(col("doc_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    "q_decontam_semantic" -> ((s, dir) => {
+      // embedding-space decontamination, the tier above the fuzzy one:
+      // the "benchmark" embeds every 41st base vector, the corpus is
+      // the planted-near-dup embedding table, and the gate must flag
+      // the bench members themselves (cos 1 self-leak) plus their
+      // planted ~0.978 perturbed copies (ids ≡ 0 mod lcm(10,41)).
+      // Ids only in the output: the 0.9 threshold sits ≥0.07 from
+      // every pair, so the DuckDB hash match is float-drift-proof
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val bench = t(s, dir, "embeddings").where(col("vec_id") % 41 === 0)
+      graft.operators.Decontaminate.semanticContaminatedIds(
+          emb, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+        .select("vec_id")
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       // deterministic synthetic PII appended per doc, then scrubbed —
       // proves regex parity with the oracle on real matches
@@ -491,6 +506,27 @@ object SparkEntry {
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.EmailPattern), lit(0))).as("n_emails"),
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.Ipv4Pattern), lit(0))).as("n_ips"),
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.PhonePattern), lit(0))).as("n_phones"))
+    }),
+
+    "q_html_extract" -> ((s, dir) => {
+      // each doc wrapped into deterministic HTML (head/style/script
+      // junk + an h1 + the text as a paragraph + a link-dense nav div),
+      // then extracted two ways: htmlToText strips everything (WET
+      // shape), mainContent additionally drops the short h1 and the
+      // nav block by the link-density/length rules. Oracle: DuckDB
+      // replays the same RE2 chain and block classification
+      val dd = docs(s, dir)
+      val html = concat(
+        lit("<html><head><title>d"), col("doc_id"),
+        lit("</title><style>p{margin:0}</style></head><body>" +
+          "<script>var tracker = 1;</script><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\"><a href=\"/\">home</a> " +
+          "<a href=\"/next\">next page</a></div></body></html>"))
+      dd.select(col("doc_id"),
+        graft.operators.HtmlExtract.htmlToText(html).as("clean_text"),
+        graft.operators.HtmlExtract.mainContent(html, minTokens = 3,
+          maxLinkShare = 0.3).as("main_text"))
     }),
 
     "q_chunk" -> ((s, dir) => {
@@ -823,6 +859,17 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    "q_corpus_shuffle" -> ((s, dir) => {
+      // deterministic global shuffle (the final pre-training reorder).
+      // The driver's compare sorts rows, so the DuckDB hash match pins
+      // the CONTENT-PRESERVATION contract (a permutation, nothing
+      // dropped/duplicated/mutated); the ordering contract —
+      // reproducible, partitioning-independent, seed-keyed — is pinned
+      // in SamplingSpec
+      graft.operators.Sampling.globalShuffle(docs(s, dir), "doc_id", seed = 42L)
+        .select("doc_id", "n_chars")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only gate: IVF probe with a k-means coarse quantizer
       val emb = t(s, dir, "embeddings")
@@ -956,6 +1003,23 @@ object SparkEntry {
       dd.select(col("doc_id"),
           round(graft.operators.LmScore.perplexityCol(col("text"), lm), 4).as("perplexity"))
         .where(col("perplexity").isNotNull)
+    }),
+
+    "q_bigram_ppl" -> ((s, dir) => {
+      // stupid-backoff bigram perplexity (KenLM-lite): bigram + unigram
+      // models fit on every 3rd doc, every doc scored ROW-LOCALLY by
+      // the native bigram_ppl expression (position 0 unigram, later
+      // positions pair-probe with log(0.4)+unigram backoff). Oracle:
+      // DuckDB replays both fits (same deterministic count-desc/
+      // pair-asc cap boundary) and the per-position scoring exactly
+      val dd = docs(s, dir)
+      val lm = graft.operators.LmScore.fitBigram(
+        dd.where(col("doc_id") % 3 === 0), "text")
+      graft.expr.GraftFunctions.ensure(s)
+      dd.select(col("doc_id"),
+          round(graft.operators.LmScore.bigramPerplexityCol(col("text"), lm), 4)
+            .as("bigram_ppl"))
+        .where(col("bigram_ppl").isNotNull)
     }),
 
     "q_dsir" -> ((s, dir) => {
@@ -1225,6 +1289,58 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(a, '\+?\d[\d\s().-]{6,}\d')) AS INT) AS n_phones
         |FROM aug""".stripMargin,
 
+    "q_html_extract" ->
+      // replays the HtmlExtract chain: same RE2 patterns, same entity
+      // decode order (&amp; last), same block classification
+      // (len >= 3 tokens, anchors <= 0.3/token)
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{margin:0}</style></head><body>' ||
+        |    '<script>var tracker = 1;</script><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text ||
+        |    '</p><div class="nav"><a href="/">home</a> ' ||
+        |    '<a href="/next">next page</a></div></body></html>' AS html
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS p
+        |  FROM aug),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(p,
+        |      '(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|td|th|table|br|hr|section|article|header|footer|nav|blockquote|pre|form|aside|main)\b[^>]*>',
+        |      chr(10), 'g'), chr(10)) AS bl,
+        |    p
+        |  FROM pre),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(p, '(?s)<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text,
+        |    list_transform(bl, b -> struct_pack(
+        |      text := trim(regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+        |          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&#39;', chr(39)), '&amp;', '&'),
+        |        '\s+', ' ', 'g')),
+        |      n_links := len(regexp_extract_all(b, '(?i)<a\b')))) AS cb
+        |  FROM blocks)
+        |SELECT doc_id, clean_text,
+        |  array_to_string(list_transform(list_filter(cb, s ->
+        |      s.text <> '' AND len(string_split(s.text, ' ')) >= 3
+        |      AND s.n_links <= 0.3 * len(string_split(s.text, ' '))),
+        |    s -> s.text), chr(10)) AS main_text
+        |FROM cleaned""".stripMargin,
+
     "q_chunk" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1238,6 +1354,11 @@ object SparkEntry {
         |  array_to_string(t[s:least(s + 63, len(t))], ' ') AS chunk_text,
         |  CAST(least(len(t) - s + 1, 64) AS INT) AS n_chunk_tokens
         |FROM st""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      // content-preservation twin of the deterministic global shuffle
+      // (driver compare is order-insensitive; order pinned in spec)
+      "SELECT doc_id, n_chars FROM documents",
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (
@@ -1536,6 +1657,53 @@ object SparkEntry {
         |  FROM dt d LEFT JOIN model m USING (tok))
         |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q_bigram_ppl" ->
+      // replays fitBigram + stupid-backoff scoring: unigram tier as in
+      // q_perplexity; bigram tier caps on (count DESC, 'prev cur' ASC)
+      // exactly as the Spark fit; scoring backs off at ln(0.4)
+      """WITH toksf AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |ref AS (SELECT t FROM toksf WHERE doc_id % 3 = 0),
+        |rt AS (SELECT unnest(t) AS tok FROM ref),
+        |stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt),
+        |ucnt AS (SELECT tok, count(*) AS n FROM rt GROUP BY tok),
+        |utop AS (SELECT tok, n FROM ucnt ORDER BY n DESC, tok LIMIT 65536),
+        |umodel AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp
+        |           FROM utop CROSS JOIN stats s),
+        |bcnt AS (
+        |  SELECT prev, cur, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+        |           unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS cur
+        |    FROM ref)
+        |  GROUP BY prev, cur),
+        |btop AS (SELECT prev, cur, n FROM bcnt
+        |         ORDER BY n DESC, prev || ' ' || cur LIMIT 262144),
+        |bmodel AS (SELECT b.prev || ' ' || b.cur AS pair,
+        |                  ln(CAST(b.n AS DOUBLE) / u.n) AS lp
+        |           FROM btop b JOIN ucnt u ON u.tok = b.prev),
+        |pos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) + 1),
+        |      i -> CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END)) AS prev,
+        |    unnest(list_transform(range(1, len(t) + 1), i -> t[i])) AS cur
+        |  FROM toksf),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE
+        |      WHEN p.prev IS NULL THEN
+        |        coalesce(u.lp, (SELECT ln(1.0 / (total + v + 1)) FROM stats))
+        |      WHEN b.lp IS NOT NULL THEN b.lp
+        |      ELSE ln(0.4) +
+        |        coalesce(u.lp, (SELECT ln(1.0 / (total + v + 1)) FROM stats))
+        |    END AS lp
+        |  FROM pos p
+        |  LEFT JOIN bmodel b ON b.pair = p.prev || ' ' || p.cur
+        |  LEFT JOIN umodel u ON u.tok = p.cur)
+        |SELECT doc_id, round(exp(-avg(lp)), 4) AS bigram_ppl
+        |FROM scored GROUP BY doc_id""".stripMargin,
     // per-suite contamination report: same shingle machinery as the
     // q_decontam twins, aggregated per suite with the corpus share
     "q_contamination_report" ->
@@ -1648,6 +1816,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_overlap
         |FROM (SELECT DISTINCT doc_id, sh FROM sh) JOIN bench USING (sh)
         |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
+    "q_decontam_semantic" ->
+      // replay withPlantedNearDups (lambda index i is 1-based in
+      // DuckDB, Spark's is 0-based, hence i - 1; noise is keyed on the
+      // ORIGINAL vec_id) then the embedding-cosine EXISTS. Ids only:
+      // every pair sits >= 0.07 from the 0.9 threshold, so engine
+      // float drift cannot flip a row
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |src AS (
+        |  SELECT vec_id,
+        |    sqrt(list_sum(list_transform(embedding, x -> x * x)) / len(embedding)) AS rms,
+        |    embedding
+        |  FROM base WHERE vec_id % 10 = 0),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS pid,
+        |    list_transform(embedding,
+        |      (x, i) -> CAST(x + 0.3 * rms * sin(vec_id * 131 + (i - 1) * 17) AS FLOAT)) AS pvec
+        |  FROM src),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT pid AS vec_id, pvec AS embedding FROM planted),
+        |bench AS (SELECT embedding AS bvec FROM base WHERE vec_id % 41 = 0)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE EXISTS (SELECT 1 FROM bench b
+        |  WHERE list_cosine_similarity(c.embedding, b.bvec) >= 0.9)""".stripMargin,
     "q_bm25" ->
       """WITH base AS (
         |  SELECT doc_id,

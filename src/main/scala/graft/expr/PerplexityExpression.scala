@@ -105,6 +105,118 @@ case class UnigramPerplexity(child: Expression, modelBytes: Array[Byte],
     31 * (31 * child.hashCode() + bytesHash) + java.lang.Double.hashCode(oovLogProb)
 }
 
+/**
+ * `bigram_ppl(tokens, bigram_bytes, unigram_bytes, log_alpha,
+ * oov_log_prob)` — per-document STUPID-BACKOFF bigram perplexity
+ * (Brants et al. 2007, "Large Language Models in Machine
+ * Translation") as a native codegen'd expression: position 0 scores by
+ * the add-one unigram model; position i ≥ 1 scores
+ * `lp(cur | prev) = lp_bi("prev cur")` when the pair is in the bigram
+ * map, else `log α + lp_uni(cur)`. Perplexity is
+ * `exp(−mean position log-prob)`; null for tokenless documents.
+ *
+ * A bigram model sees what unigrams cannot: WORD ORDER. Shuffling a
+ * fluent document's tokens leaves its unigram perplexity untouched but
+ * destroys every bigram — exactly the gibberish/boilerplate signal a
+ * CCNet-style quality tier wants on top of vocabulary fit.
+ *
+ * Pair keys are `prev + " " + cur`: tokens are whitespace-split so a
+ * space can never occur inside one, making the key unambiguous — and
+ * the same printable key is what the fit caps on and what a SQL oracle
+ * can replay. Probing builds one small UTF8String concat per position;
+ * the two models ride the plan as binary literals (the
+ * [[UnigramPerplexity]] discipline), deserialized once per task.
+ * Empty-string tokens are skipped; `prev` is the last counted token.
+ */
+case class BigramPerplexity(child: Expression, bigramBytes: Array[Byte],
+                            unigramBytes: Array[Byte], logAlpha: Double,
+                            oovLogProb: Double) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_ppl expects array<string> tokens, got ${t.sql}")
+  }
+
+  @transient private lazy val pairProbe: java.util.HashMap[UTF8String, java.lang.Double] =
+    UnigramPerplexity.deserialize(bigramBytes)
+  @transient private lazy val uniProbe: java.util.HashMap[UTF8String, java.lang.Double] =
+    UnigramPerplexity.deserialize(unigramBytes)
+
+  private val Sep = UTF8String.fromString(" ")
+
+  private def uniLp(tok: UTF8String): Double = {
+    val lp = uniProbe.get(tok)
+    if (lp == null) oovLogProb else lp.doubleValue()
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def score(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    var sum = 0.0
+    var cnt = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        if (tok.numBytes() > 0) {
+          if (prev == null) {
+            sum += uniLp(tok)
+          } else {
+            val lpBi = pairProbe.get(UTF8String.concat(prev, Sep, tok))
+            sum += (if (lpBi != null) lpBi.doubleValue() else logAlpha + uniLp(tok))
+          }
+          cnt += 1
+          prev = tok
+        }
+      }
+      i += 1
+    }
+    if (cnt == 0) null else java.lang.Double.valueOf(math.exp(-sum / cnt))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bppl", this, classOf[BigramPerplexity].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = $ref.score($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bigram_ppl"
+
+  // value-based equality over both model byte arrays, content hashes
+  // identity-cached — see UnigramPerplexity
+  private def biHash: Int = UnigramPerplexity.contentHash(bigramBytes)
+  private def unHash: Int = UnigramPerplexity.contentHash(unigramBytes)
+
+  override def equals(other: Any): Boolean = other match {
+    case p: BigramPerplexity =>
+      child == p.child && logAlpha == p.logAlpha && oovLogProb == p.oovLogProb &&
+        ((bigramBytes eq p.bigramBytes) ||
+          (biHash == p.biHash && java.util.Arrays.equals(bigramBytes, p.bigramBytes))) &&
+        ((unigramBytes eq p.unigramBytes) ||
+          (unHash == p.unHash && java.util.Arrays.equals(unigramBytes, p.unigramBytes)))
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * (31 * (31 * child.hashCode() + biHash) + unHash) +
+      java.lang.Double.hashCode(logAlpha)) + java.lang.Double.hashCode(oovLogProb)
+}
+
 object UnigramPerplexity {
   /** Serialize (word → log-prob) for the expression's byte argument.
     * Sorted by word so EQUAL models serialize to EQUAL bytes (plan

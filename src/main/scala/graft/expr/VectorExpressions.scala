@@ -189,6 +189,29 @@ object GraftFunctions {
         }
         UnigramPerplexity(children(0), bytes, oov)
       }),
+    ("bigram_ppl",
+      new ExpressionInfo(classOf[BigramPerplexity].getName, "bigram_ppl"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          s"bigram_ppl expects 5 arguments, got ${children.length}")
+        def bin(e: Expression, what: String): Array[Byte] = e match {
+          case x if x.foldable && x.dataType == BinaryType =>
+            Option(x.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                s"bigram_ppl: $what must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"bigram_ppl: $what must be a binary literal, got $other")
+        }
+        def dbl(e: Expression, what: String): Double = e match {
+          case x if x.foldable && x.dataType == DoubleType =>
+            x.eval().asInstanceOf[Double]
+          case other => throw new IllegalArgumentException(
+            s"bigram_ppl: $what must be a double literal, got $other")
+        }
+        BigramPerplexity(children(0), bin(children(1), "bigram model"),
+          bin(children(2), "unigram model"), dbl(children(3), "log alpha"),
+          dbl(children(4), "oov log-prob"))
+      }),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => {
@@ -255,6 +278,13 @@ object GraftFunctions {
   def unigramPpl(tokens: Column, modelBytes: Array[Byte], oovLogProb: Double): Column =
     call_function("unigram_ppl", tokens,
       org.apache.spark.sql.functions.lit(modelBytes),
+      org.apache.spark.sql.functions.lit(oovLogProb))
+  def bigramPpl(tokens: Column, bigramBytes: Array[Byte], unigramBytes: Array[Byte],
+                logAlpha: Double, oovLogProb: Double): Column =
+    call_function("bigram_ppl", tokens,
+      org.apache.spark.sql.functions.lit(bigramBytes),
+      org.apache.spark.sql.functions.lit(unigramBytes),
+      org.apache.spark.sql.functions.lit(logAlpha),
       org.apache.spark.sql.functions.lit(oovLogProb))
 }
 

@@ -425,11 +425,29 @@ object Decontaminate {
                           index: Option[DataFrame] = None): DataFrame = {
     val bench = benchmark.select(col(benchTextCol).as("_btxt"))
       .withColumn("_bench_id", monotonically_increasing_id())
-    val idx = index.getOrElse(MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k))
-    MinHashIndex.matches(bench, "_btxt", "_bench_id", idx, idCol,
+    // the in-stream index MUST be persisted before probing: matches()
+    // derives band hashes and the bucket prefilter from the sig column,
+    // and over a LAZY frame the optimizer re-inlines the signature
+    // expression into the band lambda and the pushed-down filter —
+    // MinHash recomputed ~bands× per corpus row (measured 103 s vs
+    // 2.5 s on the 50k-doc bench corpus). Persisting makes sig a
+    // stored attribute: ONE corpus scan computes signatures, every
+    // probe consumer reads them (memory-and-disk — the index is
+    // ~0.5 KB/doc, 3-4 orders smaller than the corpus). The result is
+    // materialized eagerly so the cache can be released NOW (the
+    // contaminatedIdsBloom discipline).
+    val idx = index.getOrElse(
+      MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val out = MinHashIndex.matches(bench, "_btxt", "_bench_id", idx, idCol,
         threshold = threshold, shingleSize = shingleSize, k = k, bands = bands)
       .groupBy(col("index_id").as(idCol))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
+    if (index.isEmpty) {
+      val materialized = out.localCheckpoint(true)
+      idx.unpersist()
+      materialized
+    } else out
   }
 
   /** The corpus minus near-contaminated documents. */
@@ -440,6 +458,77 @@ object Decontaminate {
     val bad = nearContaminatedIds(docs, textCol, idCol, benchmark, benchTextCol,
       threshold, shingleSize, k, bands).select(idCol)
     docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  /** Bench-vector count up to which the benchmark rides the plan as one
+    * array literal (dim 1024 floats × 4096 vectors ≈ 16 MB of plan —
+    * the broadcast-threshold ballpark). */
+  private[operators] val MaxLiteralBenchVectors = 4096
+
+  /** Semantic (embedding-space) decontamination — the tier ABOVE
+    * [[nearContaminatedIds]]: a REWRITTEN eval item (translated,
+    * heavily paraphrased, re-tokenized) can share almost no 3-shingle
+    * surface with its source — MinHash similarity sees nothing — while
+    * its embedding still sits next to the original, which is exactly
+    * what eval-set leakage audits of modern pre-training runs screen
+    * for. The three tiers (exact n-grams → signature similarity →
+    * embedding cosine) are ordered by recall and by cost; this one
+    * needs an embeddings table for the corpus (the [[SemDeDup]] input
+    * contract) plus embeddings of the eval items.
+    *
+    * Scale shape: eval suites are small (thousands of items) while the
+    * corpus is the 100 TB side, so the benchmark always moves to the
+    * corpus, never the reverse. Two count-gated plans with identical
+    * results:
+    *  - `bench ≤ MaxLiteralBenchVectors`: the bench vectors become ONE
+    *    array-of-arrays literal and each corpus row computes
+    *    `array_max(transform(bench, b -> cosine_sim(vec, b)))`
+    *    ROW-LOCALLY — zero join, zero shuffle, one corpus scan inside
+    *    whole-stage codegen (`cosine_sim` is the native expression);
+    *  - larger benches: broadcast nested-loop join, with the
+    *    `cos >= threshold` filter applied BEFORE the per-id max
+    *    aggregation, so the one shuffle carries only contaminated
+    *    (id, cos) pairs — O(leaks), never O(corpus × bench).
+    *
+    * Output: (idCol, max_cosine) — the corpus doc and its strongest
+    * embedding match against any benchmark item at/above `threshold`.
+    * Null corpus vectors never match; null bench vectors are dropped. */
+  def semanticContaminatedIds(corpusEmb: DataFrame, idCol: String, vecCol: String,
+                              benchEmb: DataFrame, benchVecCol: String,
+                              threshold: Double = 0.9,
+                              maxLiteralVectors: Int = MaxLiteralBenchVectors): DataFrame = {
+    graft.expr.GraftFunctions.ensure(corpusEmb.sparkSession)
+    val bench = benchEmb.select(col(benchVecCol).as("_bvec"))
+      .where(col("_bvec").isNotNull)
+    val nBench = bench.count()
+    require(nBench > 0, "semanticContaminatedIds needs a non-empty benchmark")
+    if (nBench <= maxLiteralVectors) {
+      val vecs: Seq[Seq[Float]] = bench.collect()
+        .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
+      val benchLit = typedlit(vecs)
+      corpusEmb
+        .select(col(idCol), array_max(transform(benchLit,
+          b => graft.expr.GraftFunctions.cosineSim(col(vecCol), b))).as("max_cosine"))
+        .where(col("max_cosine") >= threshold)
+    } else {
+      corpusEmb.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(bench))
+        .select(col(idCol),
+          graft.expr.GraftFunctions.cosineSim(col(vecCol), col("_bvec")).as("_cos"))
+        .where(col("_cos") >= threshold) // before the agg: shuffle = O(leaks)
+        .groupBy(col(idCol)).agg(max(col("_cos")).as("max_cosine"))
+    }
+  }
+
+  /** The corpus (embedding table) minus semantically contaminated
+    * documents. Callers holding a separate documents table anti-join
+    * the id column themselves. */
+  def cleanSemantic(corpusEmb: DataFrame, idCol: String, vecCol: String,
+                    benchEmb: DataFrame, benchVecCol: String,
+                    threshold: Double = 0.9): DataFrame = {
+    val bad = semanticContaminatedIds(corpusEmb, idCol, vecCol,
+      benchEmb, benchVecCol, threshold).select(idCol)
+    corpusEmb.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
   /**

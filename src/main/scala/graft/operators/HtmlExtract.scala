@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * HTML → training-text extraction — the first stage of every
+ * web-crawl pipeline (CommonCrawl WARC → WET): strip markup, drop
+ * non-content machinery (scripts, styles, comments, head), and
+ * optionally keep only CONTENT blocks, classifying each block by link
+ * density and length the way jusText/trafilatura-style boilerplate
+ * removal does (navigation, footers and link farms are short and
+ * link-dense; prose is long and link-sparse).
+ *
+ * Everything here is a composition of codegen'd built-ins
+ * (`regexp_replace`, array HOFs) — one row-local projection, zero
+ * shuffle, zero UDF, whole-stage codegen intact — because at 100 TB
+ * the extraction pass touches every byte of the crawl and must run at
+ * scan speed. Patterns are RE2-compatible (no backreferences, no
+ * lookaround) so a SQL oracle (DuckDB uses RE2) replays them exactly;
+ * the block-tag vocabulary is the HTML5 flow-content core.
+ *
+ * This is deliberately a heuristic extractor, not an HTML5 tree
+ * parser: malformed markup degrades to extra whitespace, never to an
+ * error, which is the right failure mode for crawl data.
+ */
+object HtmlExtract {
+
+  /** Comments, scripts, styles and the whole head are never content. */
+  private val NonContent = Seq(
+    "(?s)<!--.*?-->",
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?is)<head\\b[^>]*>.*?</head>")
+
+  /** Open/close forms of block-level (flow-content) tags — these mark
+    * block boundaries, so they rewrite to newline, not space. */
+  val BlockTagPattern: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|tr|td|th|table|br|hr|section|article|" +
+      "header|footer|nav|blockquote|pre|form|aside|main)\\b[^>]*>"
+
+  private def stripNonContent(html: Column): Column =
+    NonContent.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+
+  /** The five entities that dominate real markup plus nbsp; `&amp;`
+    * decodes LAST so `&amp;lt;` yields the literal `&lt;` (one decode
+    * pass, the standard non-recursive rule). */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** Full tag-stripped text: non-content removed, every tag deleted,
+    * entities decoded, whitespace collapsed to single spaces. The
+    * WET-file shape — use [[mainContent]] when boilerplate blocks
+    * should go too. */
+  def htmlToText(html: Column): Column = {
+    val noTags = regexp_replace(stripNonContent(html), "(?s)<[^>]*>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /**
+   * Content-block extraction: split on block-tag boundaries, classify
+   * each block, keep prose. A block survives when it has at least
+   * `minTokens` whitespace tokens, at most `maxLinkShare` anchors per
+   * token (nav/footer/link-farm kill rule), and — when
+   * `minStopRatio > 0` — at least that share of English stopwords
+   * (the jusText "function words mark prose" signal; leave 0 for
+   * non-English corpora). Surviving blocks join with `\n`.
+   */
+  def mainContent(html: Column, minTokens: Int = 3,
+                  maxLinkShare: Double = 0.34,
+                  minStopRatio: Double = 0.0): Column = {
+    val blocks = split(regexp_replace(stripNonContent(html), BlockTagPattern, "\n"), "\n")
+    val cleaned = transform(blocks, b => struct(
+      trim(regexp_replace(decodeEntities(
+        regexp_replace(b, "(?s)<[^>]*>", " ")), "\\s+", " ")).as("text"),
+      size(regexp_extract_all(b, lit("(?i)<a\\b"), lit(0))).as("n_links")))
+    val kept = filter(cleaned, s => {
+      val text = s.getField("text")
+      val toks = split(text, " ")
+      val n = size(toks)
+      val stopHits = size(filter(toks,
+        t => lower(t).isin(TextFunctions.EnglishStopwords: _*)))
+      (text =!= "") && (n >= minTokens) &&
+        (s.getField("n_links").cast("double") <= lit(maxLinkShare) * n) &&
+        (stopHits.cast("double") >= lit(minStopRatio) * n)
+    })
+    array_join(transform(kept, s => s.getField("text")), "\n")
+  }
+}

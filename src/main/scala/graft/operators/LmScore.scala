@@ -113,4 +113,91 @@ object LmScore {
     * (id, score) is needed. */
   def scored(docs: DataFrame, textCol: String, idCol: String, lm: UnigramLm): DataFrame =
     docs.join(perplexities(docs, textCol, idCol, lm), Seq(idCol), "left")
+
+  // ── bigram tier (stupid backoff — Brants et al. 2007) ─────────────
+
+  /** Stupid-backoff bigram model: `pairLogProbs` maps the printable
+    * key `prev + " " + cur` (tokens are whitespace-split, so the space
+    * is unambiguous) to `log(c(prev,cur) / c(prev))`; unseen pairs
+    * back off to `logAlpha + unigram`. A bigram model sees WORD ORDER
+    * — shuffling a fluent document's tokens leaves its unigram
+    * perplexity untouched but destroys every bigram. */
+  final case class BigramLm(pairLogProbs: Map[String, Double],
+                            unigram: UnigramLm, logAlpha: Double)
+
+  /**
+   * Fit on a reference corpus. Bounded like [[fitUnigram]]: pair
+   * counts aggregate distributedly (the shuffle carries (pair, long)),
+   * the model keeps the top-`bigramSize` pairs with a deterministic
+   * (count desc, pair asc) boundary, and context counts join onto that
+   * bounded set BEFORE the one collect — never a full pair-vocabulary
+   * collect. `c(prev)` is the plain corpus unigram count (the stupid-
+   * backoff score is a ratio of raw counts; no smoothing on the bigram
+   * tier — that is what the backoff is for).
+   */
+  def fitBigram(reference: DataFrame, textCol: String, vocabSize: Int = 65536,
+                bigramSize: Int = 1 << 18, alpha: Double = 0.4): BigramLm = {
+    require(bigramSize >= 1, s"bigramSize must be >= 1: $bigramSize")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val uni = fitUnigram(reference, textCol, vocabSize)
+    val toks = reference
+      .select(filter(TextFunctions.tokens(col(textCol)), t => t =!= "").as("_t"))
+    val tail = greatest(size(col("_t")) - 1, lit(0))
+    val pairs = toks.select(explode(zip_with(
+      slice(col("_t"), lit(1), tail),
+      slice(col("_t"), lit(2), tail),
+      (a, b) => concat(a, lit(" "), b))).as("_pair"))
+    val tokCounts = toks.select(explode(col("_t")).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_cn"))
+    val top = pairs.groupBy(col("_pair")).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("_pair"))
+      .limit(bigramSize)
+    val rows = top
+      .withColumn("_prev", substring_index(col("_pair"), " ", 1))
+      .join(tokCounts, col("_prev") === col("_tok"))
+      .select(col("_pair"), log(col("_n").cast("double") / col("_cn")).as("_lp"))
+      .collect()
+    BigramLm(rows.map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      uni, math.log(alpha))
+  }
+
+  /** Per-document stupid-backoff bigram perplexity as a row-local
+    * column through the native `bigram_ppl` expression — position 0
+    * scores by the unigram model, later positions by the pair map with
+    * `logAlpha + unigram` backoff; null for tokenless docs. Zero
+    * shuffle; caller's session must have graft functions registered. */
+  def bigramPerplexityCol(text: Column, lm: BigramLm): Column =
+    graft.expr.GraftFunctions.bigramPpl(
+      TextFunctions.tokens(text),
+      graft.expr.UnigramPerplexity.serialize(lm.pairLogProbs),
+      graft.expr.UnigramPerplexity.serialize(lm.unigram.logProbs),
+      lm.logAlpha, lm.unigram.oovLogProb)
+
+  /** The aggregate (explode + broadcast-join) formulation of bigram
+    * scoring — the independently-computed cross-check of
+    * [[bigramPerplexityCol]], same contract as [[perplexities]] vs the
+    * native expression: one row per token position through a per-doc
+    * shuffle, which is exactly the blow-up the expression avoids. */
+  def bigramPerplexities(docs: DataFrame, textCol: String, idCol: String,
+                         lm: BigramLm): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairModel = broadcast(lm.pairLogProbs.toSeq.toDF("_key", "_plp"))
+    val uniModel = broadcast(lm.unigram.logProbs.toSeq.toDF("_cur", "_ulp"))
+    val oov = lit(lm.unigram.oovLogProb)
+    docs
+      .select(col(idCol), filter(TextFunctions.tokens(col(textCol)), t => t =!= "").as("_t"))
+      .select(col(idCol), col("_t"), posexplode(col("_t")).as(Seq("_i", "_cur")))
+      .withColumn("_key",
+        when(col("_i") === 0, lit(null).cast("string"))
+          .otherwise(concat(element_at(col("_t"), col("_i")), lit(" "), col("_cur"))))
+      .join(pairModel, Seq("_key"), "left")
+      .join(uniModel, Seq("_cur"), "left")
+      .withColumn("_lp",
+        when(col("_key").isNull, coalesce(col("_ulp"), oov))
+          .when(col("_plp").isNotNull, col("_plp"))
+          .otherwise(lit(lm.logAlpha) + coalesce(col("_ulp"), oov)))
+      .groupBy(col(idCol))
+      .agg(exp(-sum(col("_lp")) / count(lit(1))).as("bigram_ppl"))
+  }
 }

@@ -175,4 +175,33 @@ object Sampling {
       targetRows * (w / total) / n
     }
   }
+
+  /**
+   * Deterministic GLOBAL corpus shuffle — the final pre-training
+   * reorder: curated corpora arrive grouped (by source, crawl, dedup
+   * cluster, pack order), and training on grouped data biases every
+   * batch; the fix is a full random-but-reproducible permutation.
+   * Each row's sort key is `xxhash64(seed, id)`, so the permutation
+   * is a pure function of (ids, seed): stable across partitioning,
+   * cluster size, retries and re-runs — rerunning a failed shuffle
+   * stage cannot silently reorder training data between checkpoints.
+   *
+   * Scale shape: ONE range-partitioned shuffle
+   * (`repartitionByRange` on the hash key + in-partition sort), the
+   * same cost as any global sort of the corpus, with the total order
+   * defined across output partitions — writing the result preserves
+   * training order through `spark.read` of the numbered files. The
+   * key column is dropped after the sort (a projection does not
+   * reorder rows). `numPartitions <= 0` keeps the session default.
+   */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+                    numPartitions: Int = 0): DataFrame = {
+    val key = xxhash64(lit(seed), col(idCol)).as("_shuffle_key")
+    val keyed = df.withColumn("_shuffle_key", key)
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_shuffle_key"))
+      else keyed.repartitionByRange(col("_shuffle_key"))
+    ranged.sortWithinPartitions(col("_shuffle_key"), col(idCol))
+      .drop("_shuffle_key")
+  }
 }

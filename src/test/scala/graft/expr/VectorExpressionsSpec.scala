@@ -108,8 +108,8 @@ class VectorExpressionsSpec extends SparkSpec {
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
-        "vector_sum", "normalize_text", "unigram_ppl", "bloom_might_contain",
-        "lsh_buckets"))
+        "vector_sum", "normalize_text", "unigram_ppl", "bigram_ppl",
+        "bloom_might_contain", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible

@@ -278,6 +278,45 @@ class DedupSpec extends SparkSpec {
     assert(viaIdx == sources, s"persisted-index path must agree: $viaIdx")
   }
 
+  test("semantic decontamination flags exact and perturbed embedding leaks only") {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def randVec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val b0 = randVec(); val b1 = randVec()
+    val leakNear = b1.map(x => x + 0.02f) // cosine ~0.999 with b1
+    val corpus = (Seq((100L, b0), (101L, leakNear)) ++
+      (2L to 40L).map(i => (i, randVec()))).toDF("vec_id", "embedding")
+    val bench = Seq(Tuple1(b0), Tuple1(b1)).toDF("embedding")
+    // literal path: exact copy + near copy, nothing else
+    val flagged = Decontaminate.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flagged == Set(100L, 101L), s"expected the two leaks, got $flagged")
+    // join path (bench forced past the literal gate): identical verdicts
+    val viaJoin = Decontaminate.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.95,
+        maxLiteralVectors = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaJoin == flagged, s"join path must agree with literal path: $viaJoin")
+    // cleanSemantic is the exact complement
+    val kept = Decontaminate.cleanSemantic(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (2L to 40L).toSet)
+    // literal path is one row-local scan: no join, no shuffle
+    val litDf = Decontaminate.semanticContaminatedIds(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.95)
+    litDf.collect()
+    val plan = litDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"literal path must be scan-only:\n$plan")
+    // empty benchmark is a caller error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      Decontaminate.semanticContaminatedIds(corpus, "vec_id", "embedding",
+        bench.where(lit(false)), "embedding")
+    }
+  }
+
   test("L5 embedding near-dup finds planted duplicate vectors only") {
     val dim = 16
     val rnd = new scala.util.Random(7)

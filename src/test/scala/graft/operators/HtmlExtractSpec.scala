@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L43: HTML → text extraction — hand-computed ground truth,
+  * block classification rules, degradation on malformed markup, and
+  * the scan-speed (zero-shuffle, codegen) plan contract. */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+
+  private def main(html: String, minTokens: Int = 3, maxLinkShare: Double = 0.34,
+                   minStopRatio: Double = 0.0): String =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.mainContent(col("h"), minTokens, maxLinkShare,
+        minStopRatio).as("t"))
+      .head().getString(0)
+
+  test("htmlToText strips machinery, decodes entities, collapses whitespace") {
+    val html =
+      """<html><head><title>ignored</title><style>p { color: red }</style></head>
+        |<body><!-- comment with <p>fake</p> markup -->
+        |<script type="text/javascript">var x = "<div>not content</div>";</script>
+        |<h1>Title</h1>
+        |<p>one &amp; two &lt;three&gt; &quot;four&quot; &#39;five&#39;&nbsp;six</p>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "Title one & two <three> \"four\" 'five' six")
+  }
+
+  test("&amp; decodes LAST: one non-recursive pass") {
+    // &amp;lt; must yield the literal text "&lt;", not "<"
+    assert(extract("<p>a &amp;lt; b</p>") == "a &lt; b")
+  }
+
+  test("malformed markup degrades to whitespace, never errors") {
+    assert(extract("<p>unclosed <div><span>nested</p> text") == "unclosed nested text")
+    assert(extract("plain text, no markup at all") == "plain text, no markup at all")
+    assert(extract("") == "")
+  }
+
+  test("mainContent drops link-dense and short blocks, keeps prose") {
+    val html =
+      """<body>
+        |<h1>Hi</h1>
+        |<div class="nav"><a href="/">home</a> <a href="/a">about</a> <a href="/c">contact</a></div>
+        |<p>This paragraph is the actual content of the page and it survives.</p>
+        |<div><a href="/x">one link</a> inside a longer sentence of prose that still reads like content</div>
+        |<footer><a href="/p">privacy</a> <a href="/t">terms</a></footer>
+        |</body>""".stripMargin
+    val got = main(html)
+    val blocks = got.split("\n").toSeq
+    assert(blocks.exists(_.startsWith("This paragraph is the actual content")), got)
+    assert(blocks.exists(_.contains("one link inside a longer sentence")),
+      s"link-sparse prose must survive: $got")
+    assert(!got.contains("home about contact"), s"nav must die by link density: $got")
+    assert(!got.contains("privacy terms"), s"footer must die: $got")
+    assert(!blocks.contains("Hi"), s"short header must die by minTokens: $got")
+  }
+
+  test("stopword gate kills keyword-stuffing blocks when enabled") {
+    val html = "<p>buy cheap widgets best widgets cheap deals widgets</p>" +
+      "<p>these are the words that a real sentence would use</p>"
+    val strict = main(html, minStopRatio = 0.2)
+    assert(strict == "these are the words that a real sentence would use", strict)
+    // disabled (the default): both blocks survive
+    assert(main(html).split("\n").length == 2)
+  }
+
+  test("extraction is one row-local projection: no shuffle, no UDF, codegen intact") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val html = concat(lit("<body><p>"), col("text"), lit("</p></body>"))
+    val q = real.select(col("doc_id"),
+      HtmlExtract.htmlToText(html).as("c"),
+      HtmlExtract.mainContent(html).as("m"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython") &&
+      !plan.contains("Invoke"), s"must be pure built-ins, no shuffle:\n$plan")
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen:\n$plan")
+  }
+}

@@ -94,6 +94,86 @@ class LmScoreSpec extends SparkSpec {
     assert(e1 == e2 && e1.hashCode == e2.hashCode)
   }
 
+  test("bigram fit and stupid-backoff scores match the hand-computed model exactly") {
+    // ref tokens: [a,b] [a,b] [a,c] → 6 tokens, c(a)=3, c(b)=2, c(c)=1,
+    // v=3 → unigram denom = 6 + 3 + 1 = 10
+    val ref = Seq("a b", "a b", "a c").toDF("text")
+    val lm = LmScore.fitBigram(ref, "text", alpha = 0.4)
+    assert(lm.pairLogProbs.keySet == Set("a b", "a c"), s"pairs: ${lm.pairLogProbs.keySet}")
+    assert(math.abs(lm.pairLogProbs("a b") - math.log(2.0 / 3)) < 1e-12)
+    assert(math.abs(lm.pairLogProbs("a c") - math.log(1.0 / 3)) < 1e-12)
+    assert(math.abs(lm.logAlpha - math.log(0.4)) < 1e-12)
+    assert(math.abs(lm.unigram.logProbs("a") - math.log(4.0 / 10)) < 1e-12)
+    graft.expr.GraftFunctions.ensure(spark)
+    val probe = Seq((1L, "a b"), (2L, "b a"), (3L, "a z"), (4L, " ")).toDF("id", "text")
+    val got = probe.select(col("id"),
+        LmScore.bigramPerplexityCol(col("text"), lm).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    // doc 1: pos0 = uni(a) = ln(4/10); pos1 = pair "a b" = ln(2/3)
+    val want1 = math.exp(-(math.log(4.0 / 10) + math.log(2.0 / 3)) / 2)
+    // doc 2: pos0 = uni(b) = ln(3/10); pos1 pair "b a" unseen → ln(.4) + uni(a)
+    val want2 = math.exp(-(math.log(3.0 / 10) + (math.log(0.4) + math.log(4.0 / 10))) / 2)
+    // doc 3: pos0 = uni(a); pos1 unseen pair, z OOV → ln(.4) + ln(1/10)
+    val want3 = math.exp(-(math.log(4.0 / 10) + (math.log(0.4) + math.log(1.0 / 10))) / 2)
+    assert(math.abs(got(1L).get - want1) < 1e-9, s"got ${got(1L)} want $want1")
+    assert(math.abs(got(2L).get - want2) < 1e-9, s"got ${got(2L)} want $want2")
+    assert(math.abs(got(3L).get - want3) < 1e-9, s"got ${got(3L)} want $want3")
+    assert(got(4L).isEmpty, "a tokenless document scores null")
+  }
+
+  test("native bigram_ppl agrees with the aggregate join path on real data; zero shuffle") {
+    graft.expr.GraftFunctions.ensure(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitBigram(real, "text")
+    val q = real.select(col("doc_id"), LmScore.bigramPerplexityCol(col("text"), lm).as("p"))
+      .where(col("p").isNotNull)
+    val viaExpr = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaAgg = LmScore.bigramPerplexities(real, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr.keySet == viaAgg.keySet, "row sets must match (tokenless docs excluded)")
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { case (id, p) =>
+      assert(math.abs(p - viaAgg(id)) <= 1e-9 * math.max(1.0, p.abs),
+        s"doc $id: expr=$p agg=${viaAgg(id)}")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"native scoring must not shuffle or join:\n$plan")
+    assert(plan.contains("bigram_ppl"), s"expected the native expression:\n$plan")
+  }
+
+  test("bigram perplexity sees word order where unigram cannot") {
+    graft.expr.GraftFunctions.ensure(spark)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lm = LmScore.fitBigram(real, "text")
+    // the probe must come from the MODEL's own distribution (the
+    // synthetic corpus is not natural English): take an in-corpus
+    // window — its forward bigrams are all in the fitted model — and
+    // reverse it, which destroys them
+    val fluent = real.orderBy("doc_id").select("text").head().getString(0)
+      .toLowerCase.trim.split("\\s+").take(20).mkString(" ")
+    val shuffled = fluent.split(" ").reverse.mkString(" ")
+    val probe = Seq((1L, fluent), (2L, shuffled)).toDF("id", "text")
+    val bi = probe.select(col("id"), LmScore.bigramPerplexityCol(col("text"), lm).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uni = probe.select(col("id"),
+        LmScore.perplexityCol(col("text"), lm.unigram).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unigram is order-blind: identical scores
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9, s"unigram must be order-blind: $uni")
+    // bigram must penalize the destroyed word order
+    assert(bi(2L) > bi(1L),
+      s"bigram must penalize shuffled order: fluent=${bi(1L)} shuffled=${bi(2L)}")
+  }
+
+  test("bigramSize caps the pair model; boundary is deterministic") {
+    val ref = Seq("a b", "a b", "a c", "b c").toDF("text")
+    // pair counts: "a b"=2, "a c"=1, "b c"=1 → top-2 = "a b", then "a c" (pair asc)
+    val lm = LmScore.fitBigram(ref, "text", bigramSize = 2)
+    assert(lm.pairLogProbs.keySet == Set("a b", "a c"),
+      s"top-2 by (count desc, pair asc): ${lm.pairLogProbs.keySet}")
+  }
+
   test("production scoring broadcast-joins the full-vocab model (hash lookups, not literal scans)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lm = LmScore.fitUnigram(real, "text") // full corpus vocabulary

@@ -152,4 +152,27 @@ class SamplingSpec extends SparkSpec {
     val b = plain.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b, "plan choice must never change the split")
   }
+
+  test("globalShuffle: reproducible permutation, partitioning-independent, content-preserving") {
+    val rows = (1L to 500L).map(i => (i, s"doc$i"))
+    val df = rows.toDF("id", "text")
+    def order(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.globalShuffle(d, "id", seed, numPartitions = 7)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(df, 42L)
+    // content preserved exactly
+    assert(o1.sorted == (1L to 500L), "shuffle must be a permutation")
+    // grouping actually broken: the sorted input must not come back sorted
+    assert(o1 != (1L to 500L), "permutation must not be the identity")
+    // same seed, different input partitioning → identical order
+    assert(order(df.repartition(13), 42L) == o1,
+      "order must be a pure function of (ids, seed)")
+    // different seed → different permutation
+    assert(order(df, 7L) != o1, "seed must change the permutation")
+    // plan: exactly one range-partitioned exchange, no extra sort pass
+    val q = Sampling.globalShuffle(df, "id", 42L, numPartitions = 7)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
+  }
 }
