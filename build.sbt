@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 61 suites share one forked JVM in parallel; 8g showed rare
-  // abort-without-failure runs under full-suite load
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
+  // 70+ suites share one forked JVM in parallel; 8g showed rare
+  // abort-without-failure runs under full-suite load, and at 10g the
+  // BENCH fork spent its tail in GC (dozens of gates accumulate
+  // localCheckpoint blocks + broadcast vars in one JVM — q_dedup_simhash
+  // measured 34 s under 10g vs ~3 s with headroom). The host has
+  // 128 GiB; 24g keeps the suite and the bench out of GC pressure.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

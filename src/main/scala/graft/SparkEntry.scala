@@ -1005,6 +1005,21 @@ object SparkEntry {
         .where(col("perplexity").isNotNull)
     }),
 
+    "q_bpe" -> ((s, dir) => {
+      // rows-only gate (the merge loop is iterative, not SQL-
+      // expressible; BpeSpec carries the hand-computed Sennrich
+      // ground truth): train a 100-merge BPE on the corpus word-
+      // frequency table, segment every doc row-locally through the
+      // native bpe_encode probe, report whitespace-vs-subword counts
+      val dd = docs(s, dir)
+      val model = graft.operators.Bpe.train(dd, "text",
+        numMerges = 100, maxWords = 8192)
+      graft.expr.GraftFunctions.ensure(s)
+      dd.select(col("doc_id"),
+        size(filter(TextFunctions.tokens(col("text")), t => t =!= "")).as("n_words"),
+        graft.operators.Bpe.subwordCountCol(col("text"), model).as("n_subwords"))
+    }),
+
     "q_bigram_ppl" -> ((s, dir) => {
       // stupid-backoff bigram perplexity (KenLM-lite): bigram + unigram
       // models fit on every 3rd doc, every doc scored ROW-LOCALLY by

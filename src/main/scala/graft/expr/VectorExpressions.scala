@@ -212,6 +212,21 @@ object GraftFunctions {
           bin(children(2), "unigram model"), dbl(children(3), "log alpha"),
           dbl(children(4), "oov log-prob"))
       }),
+    ("bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"bpe_encode expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            Option(e.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                "bpe_encode: merges must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode: merges must be a binary literal, got $other")
+        }
+        BpeEncode(children(0), bytes)
+      }),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => {
@@ -279,6 +294,9 @@ object GraftFunctions {
     call_function("unigram_ppl", tokens,
       org.apache.spark.sql.functions.lit(modelBytes),
       org.apache.spark.sql.functions.lit(oovLogProb))
+  def bpeEncode(tokens: Column, mergesBytes: Array[Byte]): Column =
+    call_function("bpe_encode", tokens,
+      org.apache.spark.sql.functions.lit(mergesBytes))
   def bigramPpl(tokens: Column, bigramBytes: Array[Byte], unigramBytes: Array[Byte],
                 logAlpha: Double, oovLogProb: Double): Column =
     call_function("bigram_ppl", tokens,
