@@ -1005,6 +1005,24 @@ object SparkEntry {
         .where(col("perplexity").isNotNull)
     }),
 
+    "q_curation_funnel" -> ((s, dir) => {
+      // per-stage drop accounting over the corpus + planted exact
+      // copies (every 15th doc verbatim at id+2000000, so the dedup
+      // stage is non-empty); quality 0.75 cuts the short tail, the
+      // CCNet-style ppl cut at 30.5 trims the high-perplexity tail.
+      // DuckDB replays every stage (all are deterministic heuristics
+      // already hash-matched by their own gates) and the first-
+      // failing-stage attribution
+      val dd = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = dd.unionByName(dd.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val lm = graft.operators.LmScore.fitUnigram(
+        dd.where(col("doc_id") % 3 === 0), "text")
+      graft.pipeline.CurationFunnel.report(corpus, "text", "doc_id",
+        qualityMin = 0.75, maxRepetition = 0.5,
+        perplexityLm = Some(lm), perplexityMax = Some(30.5))
+    }),
+
     "q_bpe" -> ((s, dir) => {
       // rows-only gate (the merge loop is iterative, not SQL-
       // expressible; BpeSpec carries the hand-computed Sennrich
@@ -1672,6 +1690,75 @@ object SparkEntry {
         |  FROM dt d LEFT JOIN model m USING (tok))
         |SELECT doc_id, round(exp(-avg(lp)), 4) AS perplexity
         |FROM scored GROUP BY doc_id""".stripMargin,
+    "q_curation_funnel" ->
+      // replays the funnel: planted exact copies, first-failing-stage
+      // attribution, quality/repetition heuristics (their formulas are
+      // hash-matched by q_text_quality/q_repetition), the q_perplexity
+      // model fit and the CCNet tail cut at 30.5
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 15 = 0),
+        |dups AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM corpus),
+        |ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |rt AS (
+        |  SELECT unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM ref),
+        |stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt),
+        |top AS (SELECT tok, count(*) AS n FROM rt GROUP BY tok ORDER BY n DESC, tok LIMIT 65536),
+        |model AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp FROM top CROSS JOIN stats s),
+        |dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '')) AS tok
+        |  FROM corpus),
+        |ppl AS (
+        |  SELECT doc_id, round(exp(-avg(coalesce(m.lp,
+        |    (SELECT ln(1.0 / (total + v + 1)) FROM stats)))), 4) AS p
+        |  FROM dt LEFT JOIN model m USING (tok) GROUP BY doc_id),
+        |feats AS (
+        |  SELECT c.doc_id, c.text, d.rn, p.p,
+        |    round(
+        |      least(length(c.text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (CASE WHEN length(c.text) = 0 THEN 0.0
+        |        ELSE CAST(length(c.text) - length(regexp_replace(c.text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |             / length(c.text) END) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |      (CASE WHEN (CASE WHEN length(trim(c.text)) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(string_split_regex(lower(trim(c.text)), '\s+'),
+        |          t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','be','at','by'], t))) AS DOUBLE)
+        |             / len(string_split_regex(lower(trim(c.text)), '\s+')) END) >= 0.05
+        |        THEN 1.0 ELSE 0.4 END) * 0.2 +
+        |      (CASE WHEN (CASE WHEN length(regexp_replace(c.text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(c.text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |             / length(regexp_replace(c.text, '[^A-Za-z]', '', 'g')) END) <= 0.3
+        |        THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS q,
+        |    round((CASE WHEN len(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0)) <= 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0))
+        |           - len(list_distinct(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0))) AS DOUBLE)
+        |           / len(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0)) END), 4) AS rep,
+        |    CASE WHEN length(trim(c.text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(c.text), '\s+')) END AS n_toks
+        |  FROM corpus c
+        |  JOIN dups d USING (doc_id)
+        |  LEFT JOIN ppl p USING (doc_id)),
+        |labeled AS (
+        |  SELECT CASE
+        |    WHEN rn > 1 THEN 'dropped_exact_dup'
+        |    WHEN q < 0.75 THEN 'dropped_quality'
+        |    WHEN rep > 0.5 THEN 'dropped_repetition'
+        |    WHEN p IS NOT NULL AND p > 30.5 THEN 'dropped_perplexity'
+        |    ELSE 'kept' END AS stage,
+        |    n_toks
+        |  FROM feats)
+        |SELECT stage, count(*) AS docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
+        |  round(count(*) / (SELECT count(*) FROM corpus), 6) AS doc_share
+        |FROM labeled GROUP BY stage""".stripMargin,
+
     "q_bigram_ppl" ->
       // replays fitBigram + stupid-backoff scoring: unigram tier as in
       // q_perplexity; bigram tier caps on (count DESC, 'prev cur' ASC)

@@ -181,4 +181,33 @@ object MinHashIndex {
       threshold, shingleSize, k, bands).select(col("batch_id")).distinct()
     batch.join(broadcast(dup), col(idCol) === col("batch_id"), "left_anti")
   }
+
+  /**
+   * The full incremental-ingest loop: probe today's batch against the
+   * persisted index, keep only documents the corpus has never seen
+   * (near OR exact), APPEND their signatures to the index, and return
+   * the fresh documents for the rest of the pipeline. Day N+1 probes
+   * an index that already knows day N — the index grows by one
+   * (id, sig) row per genuinely-new document, ~0.5 KB each, while the
+   * corpus text is never re-read.
+   *
+   * The returned frame is materialized BEFORE the append (the append
+   * must not observe its own output, and a lazy result re-evaluated
+   * after the append would probe a different index than the one that
+   * filtered it). Batch-internal duplicates remain the batch
+   * pipeline's job ([[Dedup.exact]] before calling this); signature
+   * parameters must match the index's (enforced via the metadata
+   * stamp).
+   */
+  def appendNewDocs(batch: DataFrame, textCol: String, idCol: String,
+                    indexPath: String, threshold: Double = 0.8,
+                    shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val fresh = newDocsOnly(batch, textCol, idCol, index, idCol,
+      threshold, shingleSize, k, bands).localCheckpoint(true)
+    buildIndex(fresh, textCol, idCol, shingleSize, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+    fresh
+  }
 }

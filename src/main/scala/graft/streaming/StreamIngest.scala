@@ -65,6 +65,41 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /**
+   * Streaming curation — the stream-side twin of the batch
+   * [[graft.pipeline.CurationTransformer]] stages that are PURE
+   * per-row functions (quality score, repetition ratio, language id,
+   * token count, fingerprint: all codegen'd columns, so they run
+   * unchanged on a stream) composed with the one stateful stage that
+   * has a streaming formulation: watermarked exact dedup keyed on the
+   * CONTENT fingerprint (state bounded by the watermark window; late
+   * duplicates are the batch backstop's job — the [[dedupStream]]
+   * contract). The stages a stream genuinely cannot run — corpus-wide
+   * near-dup candidate generation, k-means/SemDeDup, corpus-statistic
+   * model fits — stay batch-side by design: they need global state
+   * proportional to the corpus, which is exactly what a bounded
+   * streaming state store must not hold. An incremental stream CAN
+   * check itself against yesterday's corpus via the persisted
+   * [[graft.operators.MinHashIndex]] inside `foreachBatch` — that
+   * composition lives at the sink, not in the stream plan.
+   */
+  def curateStream(docs: DataFrame, tsCol: String, idCol: String,
+                   textCol: String, watermark: String = "10 minutes",
+                   qualityMin: Double = 0.3,
+                   maxRepetition: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("repetition", round(TextFunctions.repetitionRatio(col(textCol)), 4))
+      .where(col("quality") >= qualityMin && col("repetition") <= maxRepetition)
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCountWs(col(textCol)))
+      .drop("_fp")
+  }
+
+  /**
    * Stream → metastore: each micro-batch appends into the ByDay
    * table's info-date partitions derived from the event-time column
    * (a batch spanning midnight lands in both days). Downstream batch

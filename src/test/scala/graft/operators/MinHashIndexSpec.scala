@@ -107,6 +107,37 @@ class MinHashIndexSpec extends SparkSpec {
     assert(eF.getMessage.contains("128"), eF.getMessage)
   }
 
+  test("appendNewDocs: the daily loop — fresh docs append, known docs never re-enter") {
+    import org.apache.spark.sql.functions.col
+    val p = tmpDir("idx_append_")
+    val day0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "an entirely different document describing distributed query engines"))
+      .toDF("doc_id", "text")
+    MinHashIndex.writeIndex(day0, "text", "doc_id", p)
+    // day 1: one exact copy of doc 1, one genuinely new doc
+    val day1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "a completely novel text about gardening tomatoes in july sunshine"))
+      .toDF("doc_id", "text")
+    val fresh = MinHashIndex.appendNewDocs(day1, "text", "doc_id", p)
+    assert(fresh.select("doc_id").as[Long].collect().toSet == Set(11L),
+      "only the unseen doc is fresh")
+    // the index now holds day0 + the new doc, and ONLY those
+    val ids = spark.read.parquet(p).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L), s"index after append: $ids")
+    // day 2: a copy of the doc appended on day 1 is now known
+    val day2 = Seq((20L, "a completely novel text about gardening tomatoes in july sunshine"))
+      .toDF("doc_id", "text")
+    val fresh2 = MinHashIndex.appendNewDocs(day2, "text", "doc_id", p)
+    assert(fresh2.count() == 0, "day-1 appends must be visible to day-2 probes")
+    assert(spark.read.parquet(p).count() == 3)
+    // parameter stamps survive the append (a mismatched probe still fails)
+    intercept[IllegalArgumentException] {
+      MinHashIndex.matches(day2, "text", "doc_id", spark.read.parquet(p), "doc_id", k = 32)
+    }
+  }
+
   test("bucket sets beyond inSetMax prefilter through a Bloom filter, identical matches") {
     val path = tmpDir("mh_index_bloom_")
     MinHashIndex.writeIndex(indexDocs, "text", "doc_id", path)

@@ -59,6 +59,39 @@ class StreamIngestSpec extends SparkSpec {
     assert(out == Seq("a", "b", "c"), s"each key exactly once: $out")
   }
 
+  test("curateStream: content dedup + quality gate + annotations on a stream") {
+    val dir = tmpDir("scurate_")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val prose = "the data pipeline reads the table and the join is computed " * 10
+    Seq(
+      (Timestamp.valueOf("2024-06-01 10:00:00"), 1L, prose),
+      (Timestamp.valueOf("2024-06-01 10:00:30"), 2L, prose),   // exact dup content
+      (Timestamp.valueOf("2024-06-01 10:01:00"), 3L, "short"), // fails quality 0.6
+      (Timestamp.valueOf("2024-06-01 10:02:00"), 4L, prose + " distinct tail")
+    ).toDF("ts", "doc_id", "text").write.mode("overwrite").parquet(dir)
+
+    val stream = StreamIngest.fileStream(spark, dir, schema)
+    val curated = StreamIngest.curateStream(stream, "ts", "doc_id", "text",
+      watermark = "10 minutes", qualityMin = 0.6)
+    assert(curated.isStreaming, "curation stages must compose on the stream plan")
+    val q = StreamIngest.runToMemory(curated, "curate_out", mode = "append")
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("curate_out")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // one of the dup pair survives (micro-batch order is not contractual),
+    // the short doc dies on quality, the distinct doc survives
+    assert(ids.intersect(Set(1L, 2L)).size == 1, s"content dup must collapse: $ids")
+    assert(!ids.contains(3L), s"low-quality doc must drop: $ids")
+    assert(ids.contains(4L), s"distinct prose must survive: $ids")
+    // annotations arrive with the rows
+    val cols = out.columns.toSet
+    assert(Set("quality", "repetition", "lang_pred", "n_tokens").subsetOf(cols), cols.toString)
+    assert(!cols.contains("_fp"), "the dedup key is internal")
+  }
+
   test("S7 streaming session_window closes sessions at the gap") {
     val dir = tmpDir("sess_")
     val schema = StructType(Seq(
