@@ -786,6 +786,19 @@ object SparkEntry {
       AnnSearch.bruteForceMulti(emb, "embedding", "vec_id", queries, "qvec", "qid", 10)
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive-training data prep: per anchor (every 53rd vector),
+      // the 10 most-similar DIFFERENT-label vectors — the label filter
+      // rides before the top-k heap so the answer is exact among
+      // negatives; DuckDB replays the cosine + window formulation
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id") % 53 === 0)
+        .select(col("vec_id").as("aid"), col("embedding").as("avec"),
+          col("label").as("albl"))
+      AnnSearch.hardNegatives(emb, "embedding", "vec_id", "label",
+        anchors, "avec", "aid", "albl", k = 10)
+    }),
+
     "q_curation" -> ((s, dir) => {
       // rows-only gate: the full curation pipeline (dedup → quality →
       // lang-id → tokens → split) as one config-runnable stage
@@ -1530,6 +1543,19 @@ object SparkEntry {
         |        CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
         |  FROM embeddings e
         |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        |) WHERE rk <= 10""".stripMargin,
+
+    "q_hard_negatives" ->
+      """SELECT query_id, vec_id, cosine FROM (
+        |  SELECT a.vec_id AS query_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(a.embedding AS DOUBLE[])), 6) AS cosine,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(a.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rk
+        |  FROM embeddings e
+        |  JOIN (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 53 = 0) a
+        |    ON e.label <> a.label
         |) WHERE rk <= 10""".stripMargin,
 
     "q_repetition" ->

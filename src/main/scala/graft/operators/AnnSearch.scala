@@ -77,6 +77,36 @@ object AnnSearch {
     topKPerQuery(scored, idCol, k)
   }
 
+  /**
+   * Hard-negative mining for contrastive embedding training (DPR /
+   * sentence-encoder data prep): for each anchor, the k most-similar
+   * corpus vectors whose LABEL differs — the negatives that actually
+   * move a contrastive loss, where random negatives are trivially
+   * separable. The label-mismatch predicate rides BEFORE the top-k
+   * heap, so the result is the exact top-k AMONG different-label rows
+   * — top-k-overall-then-filter would return short (or empty) lists
+   * exactly where neighborhoods are label-pure, i.e. where hard
+   * negatives matter most. The anchor itself can never appear (its
+   * label matches). Same scale shape as [[bruteForceMulti]]: anchors
+   * broadcast with their labels, ONE corpus scan, the `top_k_rows`
+   * heap bounds the only shuffle to O(k × anchors × partitions).
+   */
+  def hardNegatives(embeddings: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String,
+                    anchors: DataFrame, anchorVecCol: String,
+                    anchorIdCol: String, anchorLabelCol: String,
+                    k: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
+    val scored = embeddings.crossJoin(broadcast(
+        anchors.select(col(anchorIdCol).as("query_id"),
+          col(anchorVecCol).as("_qv"), col(anchorLabelCol).as("_ql"))))
+      .where(col(labelCol) =!= col("_ql"))
+      .select(col("query_id"),
+        struct(round(VectorMath.cosineFast(col(vecCol), col("_qv")), 6).as("cosine"),
+          col(idCol)).as("_scored"))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** groupBy(query_id) + heap-aggregate a `_scored` struct(cosine, id)
    * column down to k rows, exploded back to (query_id, id, cosine)
    * best-first. Shared by every multi-query probe path. */

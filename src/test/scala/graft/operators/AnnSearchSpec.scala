@@ -42,6 +42,32 @@ class AnnSearchSpec extends SparkSpec {
     assert(byQuery(200L).map(_.getLong(1)).contains(1L))
   }
 
+  test("hard negatives: exact top-k AMONG different-label rows, anchor never returned") {
+    // anchor 0 (label "a") sits in a label-pure neighborhood: vectors
+    // 1-3 (label "a") are nearly identical to it, so top-k-overall-
+    // then-filter would return NOTHING hard; the label-aware heap must
+    // still find the true nearest "b" rows
+    val base = Array(1f, 0f, 0f, 0f)
+    def tilt(eps: Float) = Array(1f, eps, 0f, 0f)
+    val rows = Seq(
+      (0L, base, "a"),
+      (1L, tilt(0.01f), "a"), (2L, tilt(0.02f), "a"), (3L, tilt(0.03f), "a"),
+      (10L, tilt(0.3f), "b"), (11L, tilt(0.5f), "b"),
+      (12L, Array(0f, 1f, 0f, 0f), "b"), (13L, Array(0f, 0f, 1f, 0f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = rows.where(col("vec_id") === 0)
+      .select(col("vec_id").as("aid"), col("embedding").as("avec"), col("label").as("albl"))
+    val got = AnnSearch.hardNegatives(rows, "embedding", "vec_id", "label",
+        anchors, "avec", "aid", "albl", k = 3)
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect().map(r => r.getLong(1)).toList
+    // nearest different-label: 10 (cos~0.96), 11 (~0.89), then 12/13 at 0 —
+    // tie broken by id asc → 12
+    assert(got == List(10L, 11L, 12L), s"got $got")
+    // same-label near-twins and the anchor itself are excluded by construction
+    assert(!got.exists(Set(0L, 1L, 2L, 3L).contains), s"no same-label rows: $got")
+  }
+
   test("L7 LSH probe returns the query's own vector and only bucket-mates") {
     val q = vecs(7)._2.map(_.toDouble)
     val res = AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 5, bits = 4, tables = 6)
