@@ -118,7 +118,13 @@ object Bench {
             "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_decontam_near", "q_mix_report",
             "q_dedup_minhash",
             "q_semdedup", "q_dedup_incremental", "q_perplexity",
-            "q_contamination_report", "q_ann_pq_refine", "q_curation_v2")
+            "q_contamination_report", "q_ann_pq_refine", "q_curation_v2",
+            // r12b additions — the new operators with a real scale
+            // surface: occurrence-shuffle substring dedup, the labeled
+            // funnel pass, the bigram fit + row-local scoring, and the
+            // literal-probe semantic decontamination
+            "q_substring_dedup", "q_curation_funnel", "q_bigram_ppl",
+            "q_decontam_semantic")
           // median-of-2: the sf1 set is ~10× the work per query, so a
           // third run would dominate bench wall-time for little extra
           // noise rejection (2nd-of-2 = the conservative pick)
