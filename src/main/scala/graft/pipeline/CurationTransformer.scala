@@ -47,6 +47,23 @@ import java.time.LocalDate
  *   Docs WITHOUT an embedding row are kept — semantic dedup only prunes
  *   ids it has positive near-duplicate evidence for.
  *
+ * Optional DSIR tier (L39, Xie et al. 2023 — select docs that LOOK
+ * LIKE a trusted target corpus by unigram likelihood ratio):
+ *   `dsir.enabled`       default false — adds a `dsir_logw` column
+ *   `dsir.target.table`  (required when enabled) metastore table with
+ *                        the trusted target sample's text
+ *   `dsir.top.fraction`  optional — keep only the top fraction by
+ *                        importance weight (approx-quantile threshold,
+ *                        no global sort; null-weight docs drop with
+ *                        the tail). Absent → annotate only.
+ *
+ * Optional trained-classifier tier (L40, the fastText-style linear
+ * filter of GPT-3/LLaMA curation — positives = the SAME trusted
+ * target sample, negatives = the raw pool):
+ *   `classifier.enabled` default false — adds a `clf_score` column
+ *                        (requires `dsir.target.table` as positives)
+ *   `classifier.min`     optional — drop docs scoring below
+ *
  * Optional leakage-safe split (L14):
  *   `split.group.safe`    default false — split membership keyed by the
  *                         near-dup GROUP representative (MinHash pairs →
@@ -68,6 +85,11 @@ final class CurationTransformer extends Transformer {
     else if (options.get("semdedup.enabled").contains("true") &&
       !options.contains("semdedup.table"))
       Reason.NotReady("option 'semdedup.table' is required when semdedup.enabled=true")
+    else if ((options.get("dsir.enabled").contains("true") ||
+      options.get("classifier.enabled").contains("true")) &&
+      !options.contains("dsir.target.table"))
+      Reason.NotReady(
+        "option 'dsir.target.table' is required when dsir.enabled or classifier.enabled")
     else Reason.Ready
 
   override def run(ms: MetastoreReader, infoDate: LocalDate,
@@ -133,8 +155,43 @@ final class CurationTransformer extends Transformer {
         }
       }
 
+    // DSIR + classifier tiers share the trusted target sample; both
+    // fits are bounded (capped-vocab LM aggregates / sampled LBFGS)
+    // and both SCORE row-locally through the native probe — adding
+    // either tier adds zero shuffles to the corpus side
+    val dsirTarget = options.get("dsir.target.table")
+      .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
+    val withDsir =
+      if (!options.get("dsir.enabled").contains("true")) withPpl
+      else {
+        val target = dsirTarget.get
+        val targetLm = LmScore.fitUnigram(target, textCol)
+        val rawLm = LmScore.fitUnigram(docs, textCol)
+        graft.expr.GraftFunctions.ensure(withPpl.sparkSession)
+        val annotated = withPpl.withColumn("dsir_logw",
+          round(graft.operators.Dsir.logWeightCol(col(textCol), targetLm, rawLm), 4))
+        options.get("dsir.top.fraction").map(_.toDouble) match {
+          case Some(frac) =>
+            graft.operators.Dsir.selectTopFraction(annotated, "dsir_logw", frac)
+          case None => annotated
+        }
+      }
+    val withClf =
+      if (!options.get("classifier.enabled").contains("true")) withDsir
+      else {
+        val model = graft.operators.QualityClassifier.fit(
+          positives = dsirTarget.get, negatives = docs, textCol = textCol)
+        graft.expr.GraftFunctions.ensure(withDsir.sparkSession)
+        val annotated = withDsir.withColumn("clf_score",
+          round(graft.operators.QualityClassifier.scoreCol(col(textCol), model), 4))
+        options.get("classifier.min").map(_.toDouble) match {
+          case Some(min) => annotated.where(col("clf_score") >= min)
+          case None => annotated
+        }
+      }
+
     if (!options.get("split.group.safe").contains("true"))
-      Sampling.withSplitLabel(withPpl, idCol, weights, Seq("train", "val", "test"))
+      Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"))
     else {
       val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
       // near-dup pairs come from the RAW input projection, not the
@@ -148,7 +205,7 @@ final class CurationTransformer extends Transformer {
       val pairs = Dedup.minhashNearDups(
         docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
       val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
-      Sampling.withGroupSafeSplitLabel(withPpl, idCol, groups, weights,
+      Sampling.withGroupSafeSplitLabel(withClf, idCol, groups, weights,
         Seq("train", "val", "test"))
     }
   }

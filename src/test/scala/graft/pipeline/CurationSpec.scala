@@ -123,6 +123,79 @@ class CurationSpec extends SparkSpec {
     assert(!ids2.contains(50L) && ids2.contains(1L), s"perplexity.max should drop only the weird doc: $ids2")
   }
 
+  test("v3 stages: DSIR importance tier and trained-classifier tier, config-keyed") {
+    // target = prose in one vocabulary; pool = half prose-like,
+    // half alien vocabulary — DSIR weights and classifier scores must
+    // separate them, and the cut options must drop the alien half
+    val proseWords = Seq("the", "data", "pipeline", "reads", "tables", "and",
+      "joins", "rows", "for", "results")
+    val alienWords = Seq("zorp", "flug", "quix", "blarn", "wubble", "snerf",
+      "grindle", "plomp", "vexil", "drusk")
+    // lengths vary per doc so importance weights are DISTINCT — equal
+    // weights would put the whole corpus on one quantile tie
+    def doc(words: Seq[String], seed: Int, len: Int) =
+      (0 until len).map(i => words((i * 7 + seed) % words.length)).mkString(" ")
+    val target = (1 to 8).map(i => (100L + i, doc(proseWords, i, 60)))
+      .toDF("doc_id", "text")
+    val pool = ((1 to 6).map(i => (i.toLong, doc(proseWords, i + 3, 40 + i * 6))) ++
+      (11 to 16).map(i => (i.toLong, doc(alienWords, i, 40 + i * 3))))
+      .toDF("doc_id", "text")
+
+    val ms = new Metastore(spark)
+    val base = tmpDir("curv3_")
+    ms.register(MetaTable("raw", s"$base/raw"))
+    ms.register(MetaTable("tgt", s"$base/tgt"))
+    ms.register(MetaTable("cur", s"$base/cur"))
+    ms.saveTable("raw", d, pool)
+    ms.saveTable("tgt", d, target)
+
+    def runWith(extra: Map[String, String]): org.apache.spark.sql.DataFrame = {
+      val res = new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
+        "curate", "cur", new CurationTransformer, Seq("raw", "tgt"),
+        options = Map("input.table" -> "raw", "quality.min" -> "0.0",
+          "max.repetition" -> "1.0", "dsir.target.table" -> "tgt") ++ extra)), d)
+      res.head match {
+        case TaskResult.Failed(_, e) => throw e
+        case _: TaskResult.Succeeded => ()
+        case other => fail(s"unexpected task result: $other")
+      }
+      ms.getTable("cur", Some(d), Some(d))
+    }
+
+    // annotate-only: both columns present, prose outranks alien on both
+    val out = runWith(Map("dsir.enabled" -> "true", "classifier.enabled" -> "true"))
+    val w = out.select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    val c = out.select("doc_id", "clf_score").as[(Long, Double)].collect().toMap
+    assert(w.keySet == (1L to 6L).toSet ++ (11L to 16L).toSet)
+    assert((1L to 6L).map(w).min > (11L to 16L).map(w).max,
+      s"every prose doc must out-weigh every alien doc: $w")
+    assert((1L to 6L).map(c).min > (11L to 16L).map(c).max,
+      s"classifier must separate prose from alien: $c")
+
+    // top-0.25 cut: the quantile rank sits safely inside the prose
+    // block (weights are distinct and the prose/alien gap is huge), so
+    // the kept set is a non-empty subset of prose with zero aliens —
+    // the exact count at the rank boundary is the approx-quantile's
+    // documented slack
+    val kept = runWith(Map("dsir.enabled" -> "true", "dsir.top.fraction" -> "0.25"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf((1L to 6L).toSet),
+      s"top-fraction must keep only prose docs: $kept")
+    // classifier cut between the observed groups (prose docs are
+    // themselves part of the NEGATIVE pool, so an absolute 0.5 is not
+    // meaningful — the gap is): drops exactly the alien half
+    val cut = ((1L to 6L).map(c).min + (11L to 16L).map(c).max) / 2
+    val kept2 = runWith(Map("classifier.enabled" -> "true",
+        "classifier.min" -> cut.toString))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == (1L to 6L).toSet, s"classifier.min must keep the prose half: $kept2")
+
+    // validation: enabling either tier without the target table is NotReady
+    val v = new CurationTransformer().validate(null, d,
+      Map("input.table" -> "raw", "dsir.enabled" -> "true"))
+    assert(v.isInstanceOf[Reason.NotReady])
+  }
+
   test("group-safe split groups near-dup chains THROUGH quality-pruned docs (pairs from raw input)") {
     // 41 ~ 42 and 42 ~ 43 but 41 !~ 43 directly; 42 is dropped by the
     // quality gate (giant punctuation run). Pairs are computed on the
