@@ -883,6 +883,19 @@ object SparkEntry {
         .select("doc_id", "n_chars")
     }),
 
+    "q_curriculum" -> ((s, dir) => {
+      // curriculum (quality-annealed) ordering: tiers by the quality
+      // score, deterministic shuffle within each tier. The hash match
+      // pins content preservation plus the TIER each doc was ordered
+      // under (tier is pure SQL over the quality formula); the
+      // ordering contract itself is pinned in SamplingSpec
+      val dd = docs(s, dir)
+        .withColumn("q", TextFunctions.qualityScore(col("text")))
+      graft.operators.Sampling.curriculumOrder(dd, "doc_id", "q", Seq(0.75, 0.9))
+        .select(col("doc_id"),
+          when(col("q") >= 0.9, 2).when(col("q") >= 0.75, 1).otherwise(0).as("tier"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // rows-only gate: IVF probe with a k-means coarse quantizer
       val emb = t(s, dir, "embeddings")
@@ -1405,6 +1418,30 @@ object SparkEntry {
       // content-preservation twin of the deterministic global shuffle
       // (driver compare is order-insensitive; order pinned in spec)
       "SELECT doc_id, n_chars FROM documents",
+
+    "q_curriculum" ->
+      // content + tier-assignment twin of the curriculum ordering
+      // (quality formula as in q_text_quality/q_curation_funnel)
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |             / length(text) END) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |      (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |          t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','be','at','by'], t))) AS DOUBLE)
+        |             / len(string_split_regex(lower(trim(text)), '\s+')) END) >= 0.05
+        |        THEN 1.0 ELSE 0.4 END) * 0.2 +
+        |      (CASE WHEN (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |             / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END) <= 0.3
+        |        THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS q
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN q >= 0.9 THEN 2 WHEN q >= 0.75 THEN 1 ELSE 0 END AS INT) AS tier
+        |FROM feats""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -90,6 +90,131 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 }
 
 /**
+ * `max_cosine_sim(vec, matrix_bytes)` — the maximum cosine similarity
+ * of one vector against a LITERAL matrix of reference vectors (an
+ * eval-benchmark embedding set, a centroid table), as one native
+ * codegen'd expression.
+ *
+ * Why not `array_max(transform(matrix_lit, m -> cosine_sim(vec, m)))`:
+ * a higher-order lambda re-evaluates its BODY per element, and `vec`
+ * is part of the body — when the vector is a computed expression (a
+ * projection the optimizer collapsed in), it recomputes once per
+ * matrix ROW (measured as the whole driver of a multi-minute
+ * interpreted stage at 487 reference vectors). An ordinary expression
+ * evaluates each child ONCE; the matrix loop runs in Java. The matrix
+ * rides the plan as one binary literal (the [[BloomMightContain]]
+ * discipline). Cosine semantics match [[CosineSimilarity]] over the
+ * common prefix; an empty matrix yields null; null vector → null.
+ */
+case class MaxCosineSim(child: Expression, matrixBytes: Array[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"max_cosine_sim expects an array<float|double> vector, got ${t.sql}")
+    }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** rows(r) stored with a PRECOMPUTED inverse norm in slot 0. */
+  @transient private lazy val rows: Array[Array[Double]] =
+    MaxCosineSim.deserialize(matrixBytes)
+
+  def score(arr: ArrayData): java.lang.Double = {
+    if (rows.isEmpty) return null
+    val n = arr.numElements()
+    var best = Double.NegativeInfinity
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r) // row(0) = 1/||m|| (0.0 for a zero row), data from 1
+      val m = math.min(n, row.length - 1)
+      var dot = 0.0; var nv = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * row(i + 1); nv += x * x
+        i += 1
+      }
+      // equal-dim contract (callers validate dims, as with cosine_sim);
+      // the reference inverse norm is precomputed over the full vector
+      val c = if (nv == 0.0 || row(0) == 0.0) 0.0 else dot / math.sqrt(nv) * row(0)
+      if (c > best) best = c
+      r += 1
+    }
+    java.lang.Double.valueOf(best)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mcs", this, classOf[MaxCosineSim].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = $ref.score($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "max_cosine_sim"
+
+  private def bytesHash: Int = UnigramPerplexity.contentHash(matrixBytes)
+
+  override def equals(other: Any): Boolean = other match {
+    case p: MaxCosineSim =>
+      child == p.child &&
+        ((matrixBytes eq p.matrixBytes) ||
+          (bytesHash == p.bytesHash && java.util.Arrays.equals(matrixBytes, p.matrixBytes)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
+}
+
+object MaxCosineSim {
+  /** Serialize reference vectors; norms are precomputed at build time
+    * so per-row work is one dot product per reference vector. */
+  def serialize(vectors: Seq[Seq[Float]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(vectors.length)
+    vectors.foreach { v =>
+      out.writeInt(v.length)
+      var norm = 0.0
+      v.foreach { x => norm += x.toDouble * x.toDouble }
+      out.writeDouble(if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm))
+      v.foreach(x => out.writeDouble(x.toDouble))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[expr] def deserialize(bytes: Array[Byte]): Array[Array[Double]] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    Array.fill(n) {
+      val len = in.readInt()
+      val row = new Array[Double](len + 1)
+      row(0) = in.readDouble()
+      var i = 0
+      while (i < len) { row(i + 1) = in.readDouble(); i += 1 }
+      row
+    }
+  }
+}
+
+/**
  * Registration of graft's native expressions.
  *
  * Two routes, same builders:
@@ -212,6 +337,21 @@ object GraftFunctions {
           bin(children(2), "unigram model"), dbl(children(3), "log alpha"),
           dbl(children(4), "oov log-prob"))
       }),
+    ("max_cosine_sim",
+      new ExpressionInfo(classOf[MaxCosineSim].getName, "max_cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"max_cosine_sim expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            Option(e.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                "max_cosine_sim: matrix must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"max_cosine_sim: matrix must be a binary literal, got $other")
+        }
+        MaxCosineSim(children(0), bytes)
+      }),
     ("bpe_encode",
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => {
@@ -294,6 +434,9 @@ object GraftFunctions {
     call_function("unigram_ppl", tokens,
       org.apache.spark.sql.functions.lit(modelBytes),
       org.apache.spark.sql.functions.lit(oovLogProb))
+  def maxCosineSim(vec: Column, vectors: Seq[Seq[Float]]): Column =
+    call_function("max_cosine_sim", vec,
+      org.apache.spark.sql.functions.lit(MaxCosineSim.serialize(vectors)))
   def bpeEncode(tokens: Column, mergesBytes: Array[Byte]): Column =
     call_function("bpe_encode", tokens,
       org.apache.spark.sql.functions.lit(mergesBytes))

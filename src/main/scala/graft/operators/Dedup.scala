@@ -505,10 +505,16 @@ object Decontaminate {
     if (nBench <= maxLiteralVectors) {
       val vecs: Seq[Seq[Float]] = bench.collect()
         .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
-      val benchLit = typedlit(vecs)
+      // the native max_cosine_sim, NOT array_max(transform(lit, ...)):
+      // a HOF lambda re-evaluates its body per element, and the corpus
+      // vector is part of the body — a computed vector column (e.g. a
+      // collapsed-in projection) would recompute once per bench vector
+      // (measured as a multi-minute interpreted stage at 487 bench
+      // vectors); the expression evaluates the vector child ONCE and
+      // loops the matrix in Java, inside whole-stage codegen
       corpusEmb
-        .select(col(idCol), array_max(transform(benchLit,
-          b => graft.expr.GraftFunctions.cosineSim(col(vecCol), b))).as("max_cosine"))
+        .select(col(idCol),
+          graft.expr.GraftFunctions.maxCosineSim(col(vecCol), vecs).as("max_cosine"))
         .where(col("max_cosine") >= threshold)
     } else {
       corpusEmb.select(col(idCol), col(vecCol))

@@ -204,4 +204,42 @@ object Sampling {
     ranged.sortWithinPartitions(col("_shuffle_key"), col(idCol))
       .drop("_shuffle_key")
   }
+
+  /**
+   * Curriculum / annealed data ordering: the corpus ordered by rising
+   * quality TIER (documents bucketed by `scoreCol` against the given
+   * ascending `tierBounds`), deterministically shuffled WITHIN each
+   * tier — the "finish training on the best data" schedule
+   * (quality-annealing as practiced in modern pre-training data
+   * recipes), with the in-tier shuffle preserving the unbiased-batch
+   * property inside every phase. Set `descending = true` to lead with
+   * the best data instead.
+   *
+   * Same scale shape and determinism contract as [[globalShuffle]]
+   * (which is the `tierBounds = Nil` degenerate case): ONE
+   * range-partitioned exchange on (tier, hash), total order across
+   * numbered output files, a pure function of (scores, ids, seed).
+   * Null scores land in the lowest tier — order them out explicitly
+   * upstream if that is wrong for the caller.
+   */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      tierBounds: Seq[Double], seed: Long = 42L,
+                      descending: Boolean = false,
+                      numPartitions: Int = 0): DataFrame = {
+    require(tierBounds == tierBounds.sorted,
+      s"tierBounds must be ascending: $tierBounds")
+    val rawTier = tierBounds.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (bound, i)) => when(col(scoreCol) >= bound, i + 1).otherwise(acc)
+    }
+    val tier = if (descending) lit(tierBounds.length) - rawTier else rawTier
+    val keyed = df
+      .withColumn("_tier", tier)
+      .withColumn("_shuffle_key", xxhash64(lit(seed), col(idCol)))
+    val ranged =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, col("_tier"), col("_shuffle_key"))
+      else keyed.repartitionByRange(col("_tier"), col("_shuffle_key"))
+    ranged.sortWithinPartitions(col("_tier"), col("_shuffle_key"), col(idCol))
+      .drop("_tier", "_shuffle_key")
+  }
 }

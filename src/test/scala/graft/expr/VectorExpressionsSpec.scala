@@ -105,11 +105,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e1 != other, "different filter content must not compare equal")
   }
 
+  test("max_cosine_sim: matches the per-vector cosine max; child evaluated once; codegen") {
+    registered()
+    val rnd = new scala.util.Random(9)
+    val bench: Seq[Seq[Float]] = (1 to 20).map(_ =>
+      Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    val rows = (1 to 30).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"), GraftFunctions.maxCosineSim(col("v"), bench).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    rows.foreach { case (id, v) =>
+      val want = bench.map(b => cos(v.toSeq, b)).max
+      assert(math.abs(got(id) - want) < 1e-9, s"id $id: ${got(id)} vs $want")
+    }
+    // a COMPUTED vector child must evaluate once per row, not once per
+    // bench vector: time the probe over an expensive derived column —
+    // the HOF formulation was measured in MINUTES on this shape
+    val big: Seq[Seq[Float]] = (1 to 400).map(_ =>
+      Array.fill(64)(rnd.nextGaussian().toFloat).toSeq)
+    val derived = spark.range(2000).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 131 + i * 17).cast("float")).as("v"))
+    val t0 = System.nanoTime()
+    val n = derived.select(GraftFunctions.maxCosineSim(col("v"), big).as("m"))
+      .where(col("m") > -2).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n == 2000)
+    assert(sec < 30, s"computed-child probe took $sec s — per-element re-evaluation regression?")
+    // empty matrix → null, null vector → null
+    val edge = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val e = edge.select(col("id"), GraftFunctions.maxCosineSim(col("v"), Nil).as("m"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(e == Map(1L -> true, 2L -> true))
+  }
+
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
-        "vector_sum", "normalize_text", "unigram_ppl", "bigram_ppl", "bpe_encode",
-        "bloom_might_contain", "lsh_buckets"))
+        "vector_sum", "normalize_text", "unigram_ppl", "bigram_ppl",
+        "max_cosine_sim", "bpe_encode", "bloom_might_contain", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible

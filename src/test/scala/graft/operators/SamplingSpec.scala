@@ -175,4 +175,32 @@ class SamplingSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
   }
+
+  test("curriculumOrder: tiers strictly ordered, in-tier shuffle deterministic, nulls lowest") {
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf((i % 100) / 100.0)))
+    val df = rows.toDF("id", "score")
+    def order(d: org.apache.spark.sql.DataFrame, desc: Boolean = false) =
+      Sampling.curriculumOrder(d, "id", "score", Seq(0.3, 0.7),
+        seed = 42L, descending = desc, numPartitions = 5)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val o = order(df)
+    // permutation of everything
+    assert(o.sorted == (1L to 300L))
+    def tierOf(id: Long): Int = {
+      val s = rows(id.toInt - 1)._2
+      if (s == null) 0 else if (s >= 0.7) 2 else if (s >= 0.3) 1 else 0
+    }
+    // ascending tiers: the tier sequence never decreases (nulls in tier 0)
+    val tiers = o.map(tierOf)
+    assert(tiers == tiers.sorted, "ascending curriculum: low tiers first")
+    // within a tier the order is shuffled (not id-sorted) but deterministic
+    val t1 = o.filter(id => tierOf(id) == 1)
+    assert(t1 != t1.sorted, "in-tier order must be shuffled")
+    assert(order(df.repartition(13)) == o, "order is a pure function of (scores, ids, seed)")
+    // descending flips the tier sequence
+    val od = order(df, desc = true).map(tierOf)
+    assert(od == od.sorted.reverse, "descending curriculum: best tier first")
+  }
 }
