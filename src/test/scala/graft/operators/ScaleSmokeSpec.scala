@@ -76,6 +76,32 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(kept == want, "exact dedup must keep the minimum id of each group")
   }
 
+  test("substring dedup at 10x: every replica span cut, keep-first survives, bounded state", Slow) {
+    // the mass-duplication worst case for the occurrence shuffle:
+    // EVERY window of every doc repeats >= 10 times, so the flagged
+    // set is the whole window universe and every non-first replica
+    // rebuilds to empty — the per-window aggregation state must stay
+    // O(1) (count + one (id,pos) struct) for this to finish at all
+    val out = TextPrep.dedupTokenWindows(docs10x, "doc_id", "text", windowSize = 8)
+      .cache()
+    assert(out.count() == docs10x.count(), "every input doc gets an output row")
+    // base docs (lowest ids) keep their text; replicas lose all
+    // windows they share with the first occurrence
+    val base = out.where(col("doc_id") < 1000000)
+    val replicas = out.where(col("doc_id") >= 1000000)
+    val baseDropped = base.agg(sum("n_dropped")).head().getLong(0)
+    val repKept = replicas.where(length(col("text_clean")) > 0).count()
+    // base docs may still lose spans they share with OTHER base docs
+    // (accidental near-dups) and sub-window docs pass through by
+    // contract, but replicas of real docs must lose essentially
+    // everything: >= 80% of replica docs rebuild empty
+    assert(repKept <= replicas.count() / 5,
+      s"replicas must be gutted by keep-first: $repKept of ${replicas.count()} kept text")
+    assert(baseDropped < docs10x.agg(sum(size(split(col("text"), " ")))).head().getLong(0) / 10,
+      "base docs keep the bulk of their tokens")
+    out.unpersist()
+  }
+
   test("embedding dedup at 10x picks the pre-group path and stars carry cosine 1", Slow) {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val emb10x = (0 until 10).map(i =>
