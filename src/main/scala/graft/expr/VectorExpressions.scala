@@ -337,6 +337,19 @@ object GraftFunctions {
           bin(children(2), "unigram model"), dbl(children(3), "log alpha"),
           dbl(children(4), "oov log-prob"))
       }),
+    ("token_window_hashes",
+      new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"token_window_hashes expects 2 arguments, got ${children.length}")
+        val w = children(1) match {
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"token_window_hashes: window size must be an integer literal, got $other")
+        }
+        TokenWindowHashes(children(0), w)
+      }),
     ("max_cosine_sim",
       new ExpressionInfo(classOf[MaxCosineSim].getName, "max_cosine_sim"),
       (children: Seq[Expression]) => {
@@ -434,6 +447,9 @@ object GraftFunctions {
     call_function("unigram_ppl", tokens,
       org.apache.spark.sql.functions.lit(modelBytes),
       org.apache.spark.sql.functions.lit(oovLogProb))
+  def tokenWindowHashes(tokens: Column, windowSize: Int): Column =
+    call_function("token_window_hashes", tokens,
+      org.apache.spark.sql.functions.lit(windowSize))
   def maxCosineSim(vec: Column, vectors: Seq[Seq[Float]]): Column =
     call_function("max_cosine_sim", vec,
       org.apache.spark.sql.functions.lit(MaxCosineSim.serialize(vectors)))

@@ -191,15 +191,19 @@ object TextPrep {
                         windowSize: Int = 50, maxRepeats: Int = 1): DataFrame = {
     require(windowSize >= 2, s"windowSize must be >= 2: $windowSize")
     require(maxRepeats >= 1, s"maxRepeats must be >= 1: $maxRepeats")
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
     val base = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_t"))
-    // (id, 0-based start, window hash): posexplode over the shingle
-    // array gives the start index; the window string hashes away in the
-    // same projection so only 20-byte rows reach the shuffle
+    // (id, 0-based start, window hash): the native rolling-hash
+    // expression hashes each token ONCE and rolls window hashes in
+    // O(1) — O(tokens) per doc, where the window-STRING formulation
+    // (array_join(slice) per position, then xxhash64) copies O(tokens
+    // × windowSize) characters: 50× the bytes at the production
+    // window size. Only 20-byte rows reach the shuffle either way;
+    // window equality is 64-bit-fingerprint semantics as before.
     val occ = base
       .select(col(idCol),
-        posexplode(TextFunctions.wordShinglesFromTokens(col("_t"), windowSize))
-          .as(Seq("_p", "_win")))
-      .select(col(idCol), col("_p"), xxhash64(col("_win")).as("_h"))
+        posexplode(graft.expr.GraftFunctions.tokenWindowHashes(col("_t"), windowSize))
+          .as(Seq("_p", "_h")))
     val flagged = occ.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c"),
         min(struct(col(idCol).as("i"), col("_p").as("p"))).as("_first"))

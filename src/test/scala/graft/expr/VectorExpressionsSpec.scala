@@ -143,11 +143,49 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e == Map(1L -> true, 2L -> true))
   }
 
+  test("token_window_hashes: rolling equals direct, equal windows iff equal sequences") {
+    registered()
+    // overlapping repeats: windows [a b c] at positions 0 and 4 must
+    // hash equal; every other pair of distinct windows must differ
+    val toks = Seq("a", "b", "c", "x", "a", "b", "c", "b", "a")
+    val hs = Seq(Tuple1(toks)).toDF("t")
+      .select(GraftFunctions.tokenWindowHashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(hs.length == toks.length - 2)
+    val windows = toks.sliding(3).toSeq
+    windows.indices.foreach { i =>
+      windows.indices.foreach { j =>
+        if (windows(i) == windows(j)) assert(hs(i) == hs(j), s"equal windows $i,$j must hash equal")
+        else assert(hs(i) != hs(j), s"distinct windows $i,$j must not collide here")
+      }
+    }
+    // rolling path equals the direct (non-rolling) polynomial: the
+    // first window's hash recomputed from scratch at every offset via
+    // single-window calls
+    windows.indices.foreach { i =>
+      val one = Seq(Tuple1(windows(i))).toDF("t")
+        .select(GraftFunctions.tokenWindowHashes(col("t"), 3).as("h"))
+        .head().getSeq[Long](0)
+      assert(one == Seq(hs(i)), s"rolling hash at offset $i must equal the direct hash")
+    }
+    // token-boundary sensitivity: ["ab","c"] must differ from ["a","bc"]
+    val amb = Seq(Tuple1(Seq("ab", "c")), Tuple1(Seq("a", "bc"))).toDF("t")
+      .select(GraftFunctions.tokenWindowHashes(col("t"), 2).as("h"))
+      .collect().map(_.getSeq[Long](0).head)
+    assert(amb(0) != amb(1), "per-token pre-hashing must keep boundaries distinct")
+    // sub-window docs have no windows
+    val short = Seq(Tuple1(Seq("only", "two"))).toDF("t")
+      .select(GraftFunctions.tokenWindowHashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
         "vector_sum", "normalize_text", "unigram_ppl", "bigram_ppl",
-        "max_cosine_sim", "bpe_encode", "bloom_might_contain", "lsh_buckets"))
+        "token_window_hashes", "max_cosine_sim", "bpe_encode",
+        "bloom_might_contain", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible
