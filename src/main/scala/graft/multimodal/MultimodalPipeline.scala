@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
  * `mapInPandas` batch plumbing — schema in/schema out, batch-at-a-time
  * codec invocation, partition-parallel).
  *
- * The codecs themselves (JPEG decode, audio resample, video frame
- * extraction) are STUBBED — this container has no media libraries —
- * behind `Codec`, with a deterministic fake so the distributed
- * plumbing (schema, batching, partitioning, memory shape) is real and
- * tested; swap `Codec` for a JNI/library-backed one in production.
+ * The IMAGE path is REAL: `javax.imageio` ships with the JDK
+ * (PNG/JPEG/BMP/GIF), so [[MultimodalPipeline.ImageIoCodec]] decodes
+ * and [[MultimodalPipeline.ImageIoResize]] rescales actual images —
+ * no external library. Audio resample and video frame DECODE remain
+ * stubbed (no audio/video codecs in this container) behind the same
+ * `Codec`/`PayloadCodec` seams, with deterministic fakes so the
+ * distributed plumbing (schema, batching, partitioning, memory shape)
+ * is tested end-to-end either way; swap in a JNI/library-backed codec
+ * for those in production.
  */
 object MultimodalPipeline {
 
@@ -64,6 +68,51 @@ object MultimodalPipeline {
             bytes.takeRight(4).map(_ & 0xFF).sum.toFloat,
             (java.util.Arrays.hashCode(bytes) & 0x7FFFFFFF).toFloat / Int.MaxValue)
         }
+      }
+  }
+
+  /**
+   * REAL image codec over the JDK's own decoders — `javax.imageio`
+   * ships PNG/JPEG/BMP/GIF readers in every JVM, so the "no media
+   * libraries in this container" constraint only applies to
+   * audio/video (still stubbed). Decodes each payload and emits an
+   * 8-dim feature: [width, height, channels, meanR, meanG, meanB,
+   * meanLuma, aspect]. Pixel means sample at most a 64×64 grid so
+   * per-image work is bounded regardless of resolution — the feature
+   * is a triage signal (solid-color banners, thumbnails, aspect
+   * outliers), not a model embedding. Undecodable/empty payloads emit
+   * a null feature (crawl bytes lie about their MIME type routinely;
+   * a poison payload must not kill the partition).
+   */
+  object ImageIoCodec extends Codec {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null || bytes.isEmpty) null
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+            var r = 0L; var g = 0L; var b = 0L; var n = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+                n += 1; x += sx
+              }
+              y += sy
+            }
+            val mr = r.toFloat / n; val mg = g.toFloat / n; val mb = b.toFloat / n
+            Array(w.toFloat, h.toFloat,
+              img.getColorModel.getNumComponents.toFloat,
+              mr, mg, mb,
+              0.299f * mr + 0.587f * mg + 0.114f * mb,
+              w.toFloat / h)
+          }
+        } catch { case _: Exception => null }
       }
   }
 
@@ -135,6 +184,40 @@ object MultimodalPipeline {
           while (i < bytes.length) { out(i % out.length) = (out(i % out.length) ^ bytes(i)).toByte; i += 1 }
         }
         out
+      }
+  }
+
+  /**
+   * REAL image resize over the JDK decoders: decode → bilinear
+   * `Graphics2D` scale into an RGB canvas → re-encode (`png` default;
+   * any `ImageIO.write`-supported format). Headless-safe (BufferedImage
+   * needs no display). Undecodable payloads PASS THROUGH unchanged —
+   * the metadata rewrite in [[resizeImages]] then records the target
+   * dims optimistically, so pair this with [[ImageIoCodec]] triage
+   * upstream when the corpus carries junk bytes.
+   */
+  final case class ImageIoResize(width: Int, height: Int,
+                                 format: String = "png") extends PayloadCodec {
+    require(width > 0 && height > 0, s"target dims must be positive: ${width}x$height")
+    def transformBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Byte]] =
+      payloads.map { bytes =>
+        if (bytes == null || bytes.isEmpty) bytes
+        else try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) bytes
+          else {
+            val out = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gph = out.createGraphics()
+            gph.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gph.drawImage(img, 0, 0, width, height, null)
+            gph.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, format, bos)
+            bos.toByteArray
+          }
+        } catch { case _: Exception => bytes }
       }
   }
 

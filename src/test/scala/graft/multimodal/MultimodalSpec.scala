@@ -91,4 +91,66 @@ class MultimodalSpec extends SparkSpec {
     assert(snapshot(MultimodalPipeline.resizeImages(media, 320, 240, batchSize = 7)) ==
       snapshot(out))
   }
+
+  // ── real JDK image codecs ─────────────────────────────────────────
+
+  /** Deterministic real PNG bytes: a w×h image with per-pixel RGB. */
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb(x, y))))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNGs: dims, channel means, junk -> null feature") {
+    val red = png(40, 20)((_, _) => 0xFF0000)
+    val grey = png(16, 16)((_, _) => 0x808080)
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    val feats = MultimodalPipeline.ImageIoCodec
+      .decodeBatch(Iterator(red, grey, junk, null)).toSeq
+    val fr = feats(0)
+    assert(fr(0) == 40f && fr(1) == 20f, s"dims: ${fr.toSeq}")
+    assert(fr(3) == 255f && fr(4) == 0f && fr(5) == 0f, s"solid red means: ${fr.toSeq}")
+    assert(math.abs(fr(7) - 2.0f) < 1e-6, "aspect 40/20")
+    val fg = feats(1)
+    assert(fg(3) == 0x80.toFloat && fg(4) == 0x80.toFloat && fg(5) == 0x80.toFloat)
+    assert(feats(2) == null, "junk bytes must yield a null feature, not an error")
+    assert(feats(3) == null)
+    // end-to-end through the batched plumbing over a DataFrame
+    val rows = Seq((1L, "image", red), (2L, "image", junk)).map { case (id, k, b) =>
+      org.apache.spark.sql.Row(id, k, "image/png", null, null, null, b)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MultimodalPipeline.mediaMetaSchema)
+    val out = MultimodalPipeline.extractFeatures(df, MultimodalPipeline.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](3))).toMap
+    assert(out(1L).exists(f => f(0) == 40f && f(1) == 20f))
+    assert(out(2L).isEmpty, "null feature survives the Row plumbing")
+  }
+
+  test("ImageIoResize really rescales: output decodes at target dims, junk passes through") {
+    // a half-red/half-blue 64x32 source: after resize the halves persist
+    val src = png(64, 32)((x, _) => if (x < 32) 0xFF0000 else 0x0000FF)
+    val junk = "not an image".getBytes
+    val out = MultimodalPipeline.ImageIoResize(16, 8)
+      .transformBatch(Iterator(src, junk)).toSeq
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0)))
+    assert(img.getWidth == 16 && img.getHeight == 8, "decoded target dims")
+    assert((img.getRGB(2, 4) >> 16 & 0xFF) > 200, "left stays red")
+    assert((img.getRGB(13, 4) & 0xFF) > 200, "right stays blue")
+    assert(out(1).sameElements(junk), "undecodable payloads pass through unchanged")
+    // and through the resize STAGE: image rows re-encoded at target
+    val rows = Seq(org.apache.spark.sql.Row(7L, "image", "image/png",
+      Integer.valueOf(64), Integer.valueOf(32), null, src))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), MultimodalPipeline.mediaMetaSchema)
+    val staged = MultimodalPipeline.resizeImages(df, 16, 8,
+      codec = MultimodalPipeline.ImageIoResize(16, 8)).head()
+    assert(staged.getAs[Int]("width") == 16 && staged.getAs[Int]("height") == 8)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(staged.getAs[Array[Byte]]("content")))
+    assert(dec.getWidth == 16 && dec.getHeight == 8)
+  }
 }
