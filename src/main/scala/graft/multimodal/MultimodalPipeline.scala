@@ -49,8 +49,9 @@ object MultimodalPipeline {
   }
 
   /**
-   * Deterministic stand-in: 8-dim "feature" from byte statistics.
-   * Real deployment: ??? replaced by an image/audio decode library.
+   * Deterministic stand-in: 8-dim "feature" from byte statistics —
+   * the codec for payload kinds with no in-JVM decoder here (audio,
+   * video). For images use [[ImageIoCodec]], which decodes for real.
    */
   object StubCodec extends Codec {
     def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
