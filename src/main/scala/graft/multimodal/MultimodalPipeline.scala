@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
  * `mapInPandas` batch plumbing — schema in/schema out, batch-at-a-time
  * codec invocation, partition-parallel).
  *
- * The IMAGE path is REAL: `javax.imageio` ships with the JDK
- * (PNG/JPEG/BMP/GIF), so [[MultimodalPipeline.ImageIoCodec]] decodes
- * and [[MultimodalPipeline.ImageIoResize]] rescales actual images —
- * no external library. Audio resample and video frame DECODE remain
- * stubbed (no audio/video codecs in this container) behind the same
+ * The IMAGE and PCM-AUDIO paths are REAL — both decoders ship with
+ * the JDK: `javax.imageio` (PNG/JPEG/BMP/GIF) backs
+ * [[MultimodalPipeline.ImageIoCodec]] / [[MultimodalPipeline.ImageIoResize]],
+ * and `javax.sound.sampled` (WAV/AIFF/AU) backs
+ * [[MultimodalPipeline.WavCodec]] — no external library. Compressed
+ * audio (MP3/OGG), audio resampling and video frame DECODE remain
+ * stubbed (those codecs aren't in this container) behind the same
  * `Codec`/`PayloadCodec` seams, with deterministic fakes so the
  * distributed plumbing (schema, batching, partitioning, memory shape)
  * is tested end-to-end either way; swap in a JNI/library-backed codec
@@ -113,6 +115,70 @@ object MultimodalPipeline {
               0.299f * mr + 0.587f * mg + 0.114f * mb,
               w.toFloat / h)
           }
+        } catch { case _: Exception => null }
+      }
+  }
+
+  /**
+   * REAL audio codec over the JDK's own decoders — `javax.sound.sampled`
+   * ships WAV/AIFF/AU readers in every JVM. Decodes PCM and emits an
+   * 8-dim triage feature: [sampleRateHz, channels, bitsPerSample,
+   * durationMs, rms, peak, zeroCrossRate, dcOffset] — the signals an
+   * audio-corpus curation pass filters on (silence, clipping, mono/
+   * stereo, sample-rate outliers) without any model. Frames stream
+   * through a bounded buffer (one read block at a time — an hour-long
+   * WAV never materializes as a sample array). Undecodable or
+   * compressed-format payloads (MP3/OGG need external codecs) emit a
+   * null feature, never a task failure.
+   */
+  object WavCodec extends Codec {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null || bytes.isEmpty) null
+        else try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val bits = fmt.getSampleSizeInBits
+            if (bits != 16 && bits != 8) null // PCM 8/16-bit only here
+            else {
+              val ch = fmt.getChannels
+              val frameBytes = fmt.getFrameSize
+              val buf = new Array[Byte](frameBytes * 4096)
+              var n = 0L; var sumSq = 0.0; var sum = 0.0
+              var peak = 0.0; var crossings = 0L; var prevSign = 0
+              var read = in.read(buf)
+              while (read > 0) {
+                var off = 0
+                while (off + frameBytes <= read) {
+                  // first channel's sample, normalized to [-1, 1]
+                  val s =
+                    if (bits == 16) {
+                      val lo = buf(off) & 0xFF; val hi = buf(off + 1)
+                      (if (fmt.isBigEndian) ((buf(off) << 8) | (buf(off + 1) & 0xFF))
+                       else ((hi << 8) | lo)).toShort / 32768.0
+                    } else (buf(off) & 0xFF) / 128.0 - 1.0 // 8-bit unsigned
+                  n += 1; sumSq += s * s; sum += s
+                  val a = math.abs(s); if (a > peak) peak = a
+                  val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+                  if (prevSign != 0 && sign != prevSign) crossings += 1
+                  prevSign = sign
+                  off += frameBytes
+                }
+                read = in.read(buf)
+              }
+              if (n == 0) null
+              else Array(
+                fmt.getSampleRate,
+                ch.toFloat, bits.toFloat,
+                (n * 1000.0 / fmt.getSampleRate).toFloat,
+                math.sqrt(sumSq / n).toFloat,
+                peak.toFloat,
+                (crossings.toDouble / n).toFloat,
+                (sum / n).toFloat)
+            }
+          } finally in.close()
         } catch { case _: Exception => null }
       }
   }

@@ -153,4 +153,36 @@ class MultimodalSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(staged.getAs[Array[Byte]]("content")))
     assert(dec.getWidth == 16 && dec.getHeight == 8)
   }
+
+  test("WavCodec decodes real WAV: rate/channels/duration, sine RMS, junk -> null") {
+    // synthesize a 0.5 s 440 Hz sine at 8 kHz mono 16-bit, amplitude 0.5
+    val rate = 8000f
+    val nFrames = 4000
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt.toShort
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val feats = MultimodalPipeline.WavCodec
+      .decodeBatch(Iterator(wav, "junk bytes".getBytes, null)).toSeq
+    val f = feats(0)
+    assert(f != null, "real WAV must decode")
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 16f, s"format: ${f.toSeq}")
+    assert(math.abs(f(3) - 500f) < 1f, s"duration ~500 ms: ${f(3)}")
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ~ 0.354; peak ~ 0.5
+    assert(math.abs(f(4) - 0.3536f) < 0.01f, s"sine rms: ${f(4)}")
+    assert(math.abs(f(5) - 0.5f) < 0.01f, s"sine peak: ${f(5)}")
+    // 440 Hz crosses zero ~880 times/s -> rate 880/8000 = 0.11
+    assert(math.abs(f(6) - 0.11f) < 0.01f, s"zero-cross rate: ${f(6)}")
+    assert(feats(1) == null && feats(2) == null, "junk/null must yield null features")
+  }
 }
