@@ -37,6 +37,26 @@ object Bench {
   private[graft] def jsonVal(v: Either[String, Double]): String =
     v.fold(_ => "\"failed\"", _.toString)
 
+  /** The sf1 (10× data) tracking subset — relational core + exact
+    * dedup + ANN, PLUS the dedup/curation queries whose replicated
+    * input deliberately exercises the mass-duplication adaptive
+    * plans, PLUS (r12b) the new operators with a real scale surface:
+    * occurrence-shuffle substring dedup, the labeled funnel pass, the
+    * bigram fit + row-local scoring, and the literal-probe semantic
+    * decontamination. Every name must exist in `SparkEntry.queries` —
+    * pinned by spec AND checked at run time, so a renamed query can
+    * never silently vanish from the sf1 trend. */
+  private[graft] val Sf1Names: Seq[String] = Seq(
+    "q1_agg", "q3_join_agg", "q5_multi_join", "q_stats_agg",
+    "q_window", "q_topk", "q_time_bucket", "q_token_count",
+    "q_dedup_exact", "q_ann_topk",
+    "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_decontam_near", "q_mix_report",
+    "q_dedup_minhash",
+    "q_semdedup", "q_dedup_incremental", "q_perplexity",
+    "q_contamination_report", "q_ann_pq_refine", "q_curation_v2",
+    "q_substring_dedup", "q_curation_funnel", "q_bigram_ppl",
+    "q_decontam_semantic")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,29 +132,23 @@ object Bench {
           // 10 exact replicas: that exercises the adaptive mass-dup
           // plan under exactly its target pathology, which is the
           // scale behavior worth tracking round-over-round.
-          val sf1Names = Seq("q1_agg", "q3_join_agg", "q5_multi_join", "q_stats_agg",
-            "q_window", "q_topk", "q_time_bucket", "q_token_count",
-            "q_dedup_exact", "q_ann_topk",
-            "q_bm25", "q_ann_pq", "q_decontam_bloom", "q_decontam_near", "q_mix_report",
-            "q_dedup_minhash",
-            "q_semdedup", "q_dedup_incremental", "q_perplexity",
-            "q_contamination_report", "q_ann_pq_refine", "q_curation_v2",
-            // r12b additions — the new operators with a real scale
-            // surface: occurrence-shuffle substring dedup, the labeled
-            // funnel pass, the bigram fit + row-local scoring, and the
-            // literal-probe semantic decontamination
-            "q_substring_dedup", "q_curation_funnel", "q_bigram_ppl",
-            "q_decontam_semantic")
+          val sf1Names = Bench.Sf1Names
+          // a typo'd name must fail loudly, not silently shrink the
+          // tracked set (flatMap-over-get would make a renamed query
+          // vanish from the sf1 trend without a trace)
+          val unknown = sf1Names.filterNot(SparkEntry.queries.contains)
+          require(unknown.isEmpty, s"sf1Names not in SparkEntry.queries: $unknown")
           // median-of-2: the sf1 set is ~10× the work per query, so a
           // third run would dominate bench wall-time for little extra
           // noise rejection (2nd-of-2 = the conservative pick)
-          val sf1Results = sf1Names.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+          val sf1Results = sf1Names.map { n =>
+            val fn = SparkEntry.queries(n)
             // q_curation_v2 runs ONCE at sf1: its 2-run median was ~half
             // the sf1 pass wall time (ADVICE r10) — the single number
             // tracks the trend; the sf0.1 median-of-3 owns noise rejection
             val n1 = if (n == "q_curation_v2") 1 else 2
             n -> timeQuery(spark, n, fn, outDir, n1)
-          })
+          }
           val qs1 = sf1Results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
             .mkString("{", ",", "}")
           s""","sf1_dir":"$outDir","sf1_gen_sec":$genSec,"queries_sf1":$qs1"""

@@ -51,6 +51,13 @@ class VerifyBenchSpec extends SparkSpec {
     assert(js === "{\"q\": \"a \\\"b\\\"\\\\\\n\\tc\\u0001\"}")
   }
 
+  test("every sf1-tracked name resolves to a registered query") {
+    val missing = Bench.Sf1Names.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"sf1 tracking would silently lose renamed queries: $missing")
+    assert(Bench.Sf1Names.distinct == Bench.Sf1Names, "no duplicate sf1 entries")
+  }
+
   test("Bench.timeQuery returns Right for a working query and Left for a throwing one") {
     val ok = Bench.timeQuery(spark, "q_ok", good, "/nonexistent", 2)
     assert(ok.isRight && ok.toOption.get > 0.0)
