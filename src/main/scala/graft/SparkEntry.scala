@@ -508,6 +508,34 @@ object SparkEntry {
         size(regexp_extract_all(aug, lit(graft.operators.TextPrep.PhonePattern), lit(0))).as("n_phones"))
     }),
 
+    "q_mojibake" -> ((s, dir) => {
+      // encoding-damage detection: every 13th doc gets deterministic
+      // mojibake appended (U+FFFD + a C0 control), the ratio must
+      // flag exactly those. DuckDB replays the damage and the RE2
+      // character class
+      val dd = docs(s, dir)
+      val aug = when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" \uFFFD\u0007broken\uFFFD"))).otherwise(col("text"))
+      dd.select(col("doc_id"),
+        round(TextFunctions.mojibakeRatio(aug), 6).as("mojibake_ratio"),
+        (TextFunctions.mojibakeRatio(aug) > 0.0).as("damaged"))
+    }),
+
+    "q_deflate_ratio" -> ((s, dir) => {
+      // rows-only gate (no zlib in ANSI SQL; analytic cases pinned in
+      // spec): the compression-ratio repetition signal over the corpus
+      // + a deterministically repetitive twin of every 17th doc, which
+      // must compress far below its source
+      graft.expr.GraftFunctions.ensure(s)
+      val dd = docs(s, dir)
+      val rep = dd.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(array_repeat(substring(col("text"), 1, 40), 30), " ").as("text"))
+      dd.select(col("doc_id"), col("text")).unionByName(rep)
+        .select(col("doc_id"),
+          round(graft.expr.GraftFunctions.deflateRatio(col("text")), 4).as("deflate_ratio"))
+    }),
+
     "q_html_extract" -> ((s, dir) => {
       // each doc wrapped into deterministic HTML (head/style/script
       // junk + an h1 + the text as a paragraph + a link-dense nav div),
@@ -1347,6 +1375,23 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(a, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
         |  CAST(len(regexp_extract_all(a, '\+?\d[\d\s().-]{6,}\d')) AS INT) AS n_phones
         |FROM aug""".stripMargin,
+
+    "q_mojibake" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN text || ' ' || chr(65533) || chr(7) || 'broken' || chr(65533)
+        |      ELSE text END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN 0.0
+        |      ELSE CAST(length(t) - length(regexp_replace(t,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F\x{FFFD}]', '', 'g')) AS DOUBLE)
+        |        / length(t) END AS ratio
+        |  FROM aug)
+        |SELECT doc_id, round(ratio, 6) AS mojibake_ratio, ratio > 0.0 AS damaged
+        |FROM r""".stripMargin,
 
     "q_html_extract" ->
       // replays the HtmlExtract chain: same RE2 patterns, same entity

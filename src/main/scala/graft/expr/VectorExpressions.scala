@@ -337,6 +337,13 @@ object GraftFunctions {
           bin(children(2), "unigram model"), dbl(children(3), "log alpha"),
           dbl(children(4), "oov log-prob"))
       }),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"deflate_ratio expects 1 argument, got ${children.length}")
+        DeflateRatio(children(0))
+      }),
     ("token_window_hashes",
       new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
       (children: Seq[Expression]) => {
@@ -447,6 +454,7 @@ object GraftFunctions {
     call_function("unigram_ppl", tokens,
       org.apache.spark.sql.functions.lit(modelBytes),
       org.apache.spark.sql.functions.lit(oovLogProb))
+  def deflateRatio(text: Column): Column = call_function("deflate_ratio", text)
   def tokenWindowHashes(tokens: Column, windowSize: Int): Column =
     call_function("token_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(windowSize))

@@ -88,6 +88,23 @@ object TextFunctions {
     when(n <= 0, lit(0.0)).otherwise((n - distinctN).cast("double") / n)
   }
 
+  /** Mojibake/encoding-damage character class: the U+FFFD replacement
+    * char (a decoder already gave up), C0 controls except \t \n \r,
+    * DEL, and the C1 range U+0080–U+009F (the classic signature of
+    * cp1252 bytes mislabeled as UTF-8). RE2-compatible, so the same
+    * pattern is oracle-checkable. */
+  val MojibakePattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\x{FFFD}]"
+
+  /** Share of mojibake/control characters — the standard crawl-hygiene
+    * signal for encoding damage (mislabeled charsets, truncated
+    * multi-byte sequences, binary spills into text fields). 0 for
+    * empty text; threshold upstream of tokenization — damaged bytes
+    * poison shingles, fingerprints and LM scores alike. */
+  def mojibakeRatio(text: Column): Column = {
+    val bad = length(text) - length(regexp_replace(text, MojibakePattern, ""))
+    when(length(text) === 0, lit(0.0)).otherwise(bad.cast("double") / length(text))
+  }
+
   /**
    * Shannon entropy (bits/char) over the character distribution —
    * low-entropy documents are boilerplate/degenerate. Computed with

@@ -90,4 +90,36 @@ class TextFunctionsSpec extends SparkSpec {
     val ng = one("abcd").select(TextFunctions.charNgrams(col("t"), 2)).head().getSeq[String](0)
     assert(ng == Seq("ab", "bc", "cd"))
   }
+
+  test("mojibake ratio counts replacement/control/C1 chars; tab-newline-CR are fine") {
+    def ratio(s: String): Double =
+      Seq(s).toDF("t").select(TextFunctions.mojibakeRatio(col("t"))).head().getDouble(0)
+    assert(ratio("clean prose, nothing wrong") == 0.0)
+    assert(ratio("tabs\tand\nnewlines\rok") == 0.0)
+    // 4 damaged of 8 chars: FFFD, BEL, C1 0x9C, DEL
+    assert(math.abs(ratio("ab\uFFFD\u0007cd\u009C\u007F") - 4.0 / 8) < 1e-12)
+    assert(ratio("") == 0.0)
+  }
+
+  test("deflate ratio: repetitive text crushes, varied prose does not, empty is null") {
+    graft.expr.GraftFunctions.ensure(spark)
+    def ratio(s: String): Option[Double] = {
+      val r = Seq(s).toDF("t")
+        .select(graft.expr.GraftFunctions.deflateRatio(col("t"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val looped = ("the same exact sentence repeated over and over again. " * 40)
+    val varied = (1 to 40).map(i =>
+      s"sentence number $i speaks about topic ${i * 37 % 101} in its own words").mkString(". ")
+    val rl = ratio(looped).get
+    val rv = ratio(varied).get
+    assert(rl < 0.1, s"looped text must crush under zlib: $rl")
+    assert(rv > rl * 3, s"varied prose must compress far less: varied=$rv looped=$rl")
+    assert(ratio("").isEmpty, "empty text scores null, not zero")
+    // long-range repetition invisible to the line/bigram signals:
+    // a whole paragraph pasted with varied separators still crushes
+    val para = "a reasonably long paragraph with plenty of distinct words inside it"
+    val pasted = (1 to 30).map(i => para).mkString(s"\n")
+    assert(ratio(pasted).get < 0.15, "paragraph-level looping must be caught")
+  }
 }
