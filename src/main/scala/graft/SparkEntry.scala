@@ -950,14 +950,23 @@ object SparkEntry {
     }),
 
     "q_multimodal" -> ((s, dir) => {
-      // rows-only gate: binary media columns → batched feature extraction
-      // (decode stubbed — no media libs in env; the distributed plumbing
-      // is the thing under test)
+      // rows-only gate: binary media columns → batched feature
+      // extraction over the stub codec (the distributed plumbing under
+      // test for kinds with no in-JVM decoder), PLUS real JDK decodes:
+      // deterministic PNGs through ImageIoCodec and synthesized WAVs
+      // through WavCodec, features sanity-bounded downstream
       import graft.multimodal.MultimodalPipeline
-      MultimodalPipeline.extractFeatures(MultimodalPipeline.syntheticMedia(s, 300),
+      val stubbed = MultimodalPipeline
+        .extractFeatures(MultimodalPipeline.syntheticMedia(s, 300),
           parallelism = Some(8))
+      val realMedia = MultimodalPipeline.syntheticRealMedia(s, 60)
+      val realImg = MultimodalPipeline.extractFeatures(
+        realMedia.where(col("kind") === "image"), MultimodalPipeline.ImageIoCodec)
+      val realWav = MultimodalPipeline.extractFeatures(
+        realMedia.where(col("kind") === "audio"), MultimodalPipeline.WavCodec)
+      stubbed.unionByName(realImg).unionByName(realWav)
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("feature"), 2), 4).as("mean_byte"))
+          round(element_at(col("feature"), 2), 4).as("f2"))
     }),
 
     "q_ann_lsh" -> ((s, dir) => {

@@ -224,6 +224,52 @@ object MultimodalPipeline {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
   }
 
+  /** Deterministic REAL media table: even ids carry actual PNGs
+    * (gradient pixels via ImageIO), odd ids actual 16-bit PCM WAVs
+    * (sine tones via AudioSystem) — both synthesized with the JDK's
+    * own encoders, no RNG, ids offset to 10000+ so the table unions
+    * cleanly with [[syntheticMedia]]. */
+  def syntheticRealMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      if (i % 2 == 0) {
+        val w = 16 + (i % 4) * 8; val h = 12 + (i % 3) * 4
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (x * 31 + y * 17 + i * 97) & 0xFFFFFF); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(10000L + i, "image", "image/png",
+          Integer.valueOf(w), Integer.valueOf(h), null, bos.toByteArray)
+      } else {
+        val rate = 8000f
+        val frames = 800 + (i % 5) * 200
+        val freq = 200.0 + i * 10
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+        val pcm = new Array[Byte](frames * 2)
+        var j = 0
+        while (j < frames) {
+          val s = (0.4 * math.sin(2 * math.Pi * freq * j / rate) * 32767).toInt.toShort
+          pcm(j * 2) = (s & 0xFF).toByte
+          pcm(j * 2 + 1) = ((s >> 8) & 0xFF).toByte
+          j += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(10000L + i, "audio", "audio/wav", null, null,
+          java.lang.Long.valueOf((frames * 1000L / rate.toLong)), bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
+  }
+
   /** Frame-sampling plan for video rows: explode k sample offsets per
    * row (the Spark-side shape of frame extraction; decode stubbed). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
