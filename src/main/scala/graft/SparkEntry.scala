@@ -536,6 +536,69 @@ object SparkEntry {
           round(graft.expr.GraftFunctions.deflateRatio(col("text")), 4).as("deflate_ratio"))
     }),
 
+    "q_line_quality" -> ((s, dir) => {
+      // line-wise RefinedWeb/Gopher rules: deterministic multi-line
+      // damage planted in-gate (bullet swarms on every 7th doc,
+      // ellipsis teasers on every 11th, letterless table debris on
+      // every 13th), ratios + the composed keep decision. DuckDB
+      // replays the planting, the line split and every RE2 class
+      val dd = docs(s, dir)
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\n- item one\n- item two\n- item three")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nRead more...\nContinue reading…")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\n12345\n$9.99 + 42")).otherwise(lit("")))
+      dd.select(col("doc_id"),
+        round(TextFunctions.bulletLineRatio(aug), 6).as("bullet_ratio"),
+        round(TextFunctions.ellipsisLineRatio(aug), 6).as("ellipsis_ratio"),
+        round(TextFunctions.nonAlphaLineRatio(aug), 6).as("nonalpha_ratio"),
+        TextFunctions.lineQualityKeep(aug, 0.5, 0.25, 0.4).as("keep"))
+    }),
+
+    "q_url_filter" -> ((s, dir) => {
+      // URL/domain curation: deterministic URLs synthesized in-gate
+      // (one mega-domain holding 25% of docs, a long tail of small
+      // sites across multi-part suffixes, www/userinfo/port variants),
+      // then blocklist filter + per-domain diversity cap. DuckDB
+      // replays the synthesis, the host regex, the eTLD+1 label rule
+      // and the multiplicative-hash rank
+      import graft.operators.UrlCuration
+      val dd = docs(s, dir)
+      val suffix = when(col("doc_id") % 5 === 0, "com")
+        .when(col("doc_id") % 5 === 1, "co.uk")
+        .when(col("doc_id") % 5 === 2, "org")
+        .when(col("doc_id") % 5 === 3, "com.au").otherwise("net")
+      val host = when(col("doc_id") % 4 === 0, lit("big.com"))
+        .otherwise(concat(lit("site"), col("doc_id") % 97, lit("."), suffix))
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        host,
+        when(col("doc_id") % 6 === 1, ":8080").otherwise(""),
+        lit("/doc/"), col("doc_id"))
+      val withUrl = dd.select(col("doc_id"), url.as("url"))
+      val unblocked = UrlCuration.filterBlockedDomains(withUrl, "url",
+        Set("site7.com", "site13.co.uk"))
+      UrlCuration.capPerDomain(unblocked, "url", "doc_id", maxPerDomain = 40)
+        .select(col("doc_id"),
+          UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))).as("domain"))
+    }),
+
+    "q_sketch_distinct" -> ((s, dir) => {
+      // rows-only gate (DataSketches HLL estimates are not
+      // ANSI-replayable; exactness/error/merge contracts pinned in
+      // SketchAnalyticsSpec): per-(day, event_type) sketches built
+      // once, then merged to per-type distinct-user estimates — the
+      // O(days) dashboard read that never rescans the range
+      import graft.operators.SketchAnalytics
+      val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = SketchAnalytics.distinctSketch(ev, "user_id",
+        Seq("day", "event_type"), lgK = 12)
+      SketchAnalytics.estimateDistinct(daily, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     "q_html_extract" -> ((s, dir) => {
       // each doc wrapped into deterministic HTML (head/style/script
       // junk + an h1 + the text as a paragraph + a link-dense nav div),
@@ -1401,6 +1464,78 @@ object SparkEntry {
         |  FROM aug)
         |SELECT doc_id, round(ratio, 6) AS mojibake_ratio, ratio > 0.0 AS damaged
         |FROM r""".stripMargin,
+
+    "q_line_quality" ->
+      // replays the planted line damage, the non-empty-line split and
+      // every RE2 class (bullet class trimmed, non-alpha un-trimmed —
+      // mirroring the Scala formulation exactly)
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10)||'- item one'||chr(10)||'- item two'||chr(10)||'- item three' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10)||'Read more...'||chr(10)||'Continue reading…' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(10)||'12345'||chr(10)||'$9.99 + 42' ELSE '' END AS t
+        |  FROM documents),
+        |r0 AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(t, chr(10)), x -> length(trim(x)) > 0) AS lines
+        |  FROM aug),
+        |r AS (
+        |  SELECT doc_id,
+        |    len(lines) AS n,
+        |    len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•‣▪●·]\s'))) AS nb,
+        |    len(list_filter(lines, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) AS ne,
+        |    len(list_filter(lines, x -> NOT regexp_matches(x, '[A-Za-z]'))) AS na
+        |  FROM r0),
+        |ratios AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n <= 0 THEN 0.0 ELSE CAST(nb AS DOUBLE)/n END AS br,
+        |    CASE WHEN n <= 0 THEN 0.0 ELSE CAST(ne AS DOUBLE)/n END AS er,
+        |    CASE WHEN n <= 0 THEN 0.0 ELSE CAST(na AS DOUBLE)/n END AS nr
+        |  FROM r)
+        |SELECT doc_id,
+        |  round(br, 6) AS bullet_ratio,
+        |  round(er, 6) AS ellipsis_ratio,
+        |  round(nr, 6) AS nonalpha_ratio,
+        |  br <= 0.5 AND er <= 0.25 AND nr <= 0.4 AS keep
+        |FROM ratios""".stripMargin,
+
+    "q_url_filter" ->
+      // replays the URL synthesis, the host regex, the eTLD+1 label
+      // rule over the same multi-part-suffix subset, the blocklist and
+      // the multiplicative-hash per-domain rank (exact integer
+      // arithmetic in both engines)
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'big.com'
+        |      ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |        CASE WHEN doc_id % 5 = 0 THEN 'com' WHEN doc_id % 5 = 1 THEN 'co.uk'
+        |             WHEN doc_id % 5 = 2 THEN 'org' WHEN doc_id % 5 = 3 THEN 'com.au'
+        |             ELSE 'net' END END ||
+        |    CASE WHEN doc_id % 6 = 1 THEN ':8080' ELSE '' END ||
+        |    '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(nullif(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '')) AS host
+        |  FROM u),
+        |rd AS (
+        |  SELECT doc_id,
+        |    coalesce(nullif(regexp_extract(host,
+        |      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|me\.uk|net\.uk|com\.au|net\.au|org\.au|edu\.au|gov\.au|co\.jp|ne\.jp|or\.jp|ac\.jp|go\.jp|com\.br|net\.br|org\.br|gov\.br|com\.cn|net\.cn|org\.cn|gov\.cn|co\.in|net\.in|org\.in|gen\.in|co\.kr|or\.kr|co\.za|org\.za|com\.mx|com\.ar|com\.tr|com\.tw|co\.nz|org\.nz|com\.sg|com\.hk)|[^.]+\.[^.]+)$',
+        |      1), ''), host) AS domain
+        |  FROM h),
+        |f AS (
+        |  SELECT doc_id, domain FROM rd
+        |  WHERE domain IS NULL OR domain NOT IN ('site7.com', 'site13.co.uk')),
+        |rk AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM f)
+        |SELECT doc_id, domain FROM rk WHERE domain IS NULL OR rk <= 40""".stripMargin,
 
     "q_html_extract" ->
       // replays the HtmlExtract chain: same RE2 patterns, same entity

@@ -88,6 +88,57 @@ object TextFunctions {
     when(n <= 0, lit(0.0)).otherwise((n - distinctN).cast("double") / n)
   }
 
+  /** Non-empty lines of a document — the unit the RefinedWeb/Gopher
+    * LINE-wise rules are stated over (ratio denominators must not count
+    * blank separator lines, or a sparsely-formatted doc dilutes every
+    * signal). */
+  private def nonEmptyLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Share of lines starting with a list-bullet marker (`-`, `*`, and
+    * the typographic bullets) — the Gopher rule drops docs with > 90%
+    * bullet lines (scraped navigation/menus render as bullet swarms).
+    * RE2-compatible class, oracle-replayable. */
+  val BulletLinePattern = "^[-*•‣▪●·]\\s"
+
+  def bulletLineRatio(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val n = size(lines)
+    val bullets = size(filter(lines, l => trim(l).rlike(BulletLinePattern)))
+    when(n <= 0, lit(0.0)).otherwise(bullets.cast("double") / n)
+  }
+
+  /** Share of lines ending in an ellipsis ("..." or the one-char
+    * `…`) — truncated-teaser boilerplate ("read more...");
+    * Gopher drops docs above 30%. */
+  def ellipsisLineRatio(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val n = size(lines)
+    val ell = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+    when(n <= 0, lit(0.0)).otherwise(ell.cast("double") / n)
+  }
+
+  /** Share of lines that carry NO alphabetic character (prices, page
+    * numbers, table debris, separators) — prose has almost none. */
+  def nonAlphaLineRatio(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val n = size(lines)
+    val numeric = size(filter(lines, l => !l.rlike("[A-Za-z]")))
+    when(n <= 0, lit(0.0)).otherwise(numeric.cast("double") / n)
+  }
+
+  /** The composed line-wise keep decision (RefinedWeb/Gopher line
+    * rules): ≤ 90% bullet lines, ≤ 30% ellipsis lines, ≤ 50% lines
+    * with no letters. Thresholds are the published defaults; callers
+    * tune per corpus. */
+  def lineQualityKeep(text: Column,
+                      maxBulletRatio: Double = 0.9,
+                      maxEllipsisRatio: Double = 0.3,
+                      maxNonAlphaRatio: Double = 0.5): Column =
+    bulletLineRatio(text) <= maxBulletRatio &&
+      ellipsisLineRatio(text) <= maxEllipsisRatio &&
+      nonAlphaLineRatio(text) <= maxNonAlphaRatio
+
   /** Mojibake/encoding-damage character class: the U+FFFD replacement
     * char (a decoder already gave up), C0 controls except \t \n \r,
     * DEL, and the C1 range U+0080–U+009F (the classic signature of

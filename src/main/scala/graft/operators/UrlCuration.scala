@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * URL/domain-level corpus curation — the C4/RefinedWeb stage that runs
+ * BEFORE any text is read: drop documents from blocklisted domains and
+ * cap any single registered domain's share of the corpus (an uncurated
+ * crawl is dominated by a handful of mega-domains; a diversity cap is
+ * what keeps one site from being 10% of the training mix).
+ *
+ * Everything here is a pure composition of codegen'd built-ins
+ * (regexp_extract / split / element_at / isInCollection) so host and
+ * domain extraction run at scan speed, and the cap follows the
+ * minority-shuffle discipline: domain COUNTS (longs) find the few
+ * over-cap domains, the corpus majority passes through a broadcast
+ * hash probe with ZERO row shuffle, and only over-cap domains' rows
+ * pay a bounded per-domain selection.
+ */
+object UrlCuration {
+
+  /** Host part of a URL, lowercased: skips the scheme and userinfo,
+    * stops at port/path/query/fragment. RE2-compatible (same pattern
+    * replays in the oracle). Null/scheme-less input → null. */
+  val HostPattern = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+  def urlHost(url: Column): Column =
+    nullif(lower(regexp_extract(url, HostPattern, 1)), lit(""))
+
+  /** Multi-part public suffixes recognized by [[registeredDomain]] —
+    * deliberately the short high-traffic subset of the public-suffix
+    * list (the full PSL is a deploy-time data file, not code; this
+    * covers the common second-level country registries). */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gen.in",
+    "co.kr", "or.kr", "co.za", "org.za", "com.mx", "com.ar",
+    "com.tr", "com.tw", "co.nz", "org.nz", "com.sg", "com.hk")
+
+  /** Registered domain (eTLD+1-ish): the last two host labels, or the
+    * last three when the last two form a known multi-part suffix
+    * ("bbc.co.uk" → "bbc.co.uk" not "co.uk"). Hosts with ≤ 2 labels
+    * (and bare/IP-ish hosts) pass through unchanged. Null host → null.
+    *
+    * ONE anchored suffix-alternation regex, not label arrays: the
+    * split/element_at/CASE formulation references the host expression
+    * ~6× — fine on a stored column, but when the url is itself a
+    * computed expression (as after projection collapse) the
+    * duplication compounds until the generated code blows the Janino
+    * method limit and the whole stage silently falls back to
+    * interpreted eval. Leftmost-match regex semantics pick the
+    * longest "label.suffix" tail in Java regex and RE2 alike, so the
+    * same pattern replays in the oracle. */
+  def registeredDomain(host: Column,
+                       multiPartSuffixes: Seq[String] = MultiPartSuffixes): Column =
+    coalesce(nullif(regexp_extract(host,
+      registeredDomainPattern(multiPartSuffixes), 1), lit("")), host)
+
+  /** `([^.]+\.(?:co\.uk|…)|[^.]+\.[^.]+)$` — the first alternative
+    * (label + known multi-part suffix) wins at an earlier start
+    * position than the plain two-label tail, which is exactly the
+    * eTLD+1 preference order. */
+  def registeredDomainPattern(multiPartSuffixes: Seq[String] = MultiPartSuffixes): String =
+    "([^.]+\\.(?:" + multiPartSuffixes.map(_.replace(".", "\\.")).mkString("|") +
+      ")|[^.]+\\.[^.]+)$"
+
+  /** Drop rows whose registered domain is on the blocklist (plus rows
+    * with un-parseable hosts when `dropUnparseable`). The blocklist is
+    * a compile-time set probed by a codegen'd `isInCollection` hash
+    * set — zero shuffle, zero join; blocklists beyond driver size
+    * belong in a broadcast anti join instead. */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+                           blockedDomains: Set[String],
+                           dropUnparseable: Boolean = false): DataFrame = {
+    val dom = registeredDomain(urlHost(col(urlCol)))
+    val allowed =
+      if (blockedDomains.isEmpty) lit(true)
+      else !dom.isInCollection(blockedDomains.toSeq.map(_.toLowerCase))
+    if (dropUnparseable) df.where(dom.isNotNull && allowed)
+    else df.where(dom.isNull || allowed)
+  }
+
+  /**
+   * Cap every registered domain at `maxPerDomain` rows, keeping the
+   * `maxPerDomain` rows with the SMALLEST `orderKey` (deterministic —
+   * a hash key makes the kept subset an unbiased sample; defaults to
+   * a multiplicative hash of `idCol` that is exact-integer-replayable
+   * in ANSI SQL, unlike xxhash64).
+   *
+   * Two-pass minority-shuffle shape (the blockedCandidates lesson):
+   *
+   *   1. `groupBy(domain).count` — only (domain, long) pairs shuffle —
+   *      finds domains OVER the cap. On a real crawl that set is tiny
+   *      (it IS the reason the cap exists: a few mega-domains).
+   *   2. Rows of under-cap domains pass via a broadcast `isInCollection`
+   *      probe of the hot set — ZERO row shuffle for the corpus
+   *      majority.
+   *   3. Only hot-domain rows rank: per-domain bounded `top_k_rows`
+   *      heap (map-side partial, ≤ cap rows per domain per partition
+   *      through the one shuffle), kept ids broadcast-semi-joined back.
+   *
+   * When the over-cap domain count exceeds `maxHotDomains` (a corpus
+   * where MOST domains are over cap — cap far below the mean), the
+   * broadcast shapes stop being the minority path and the operator
+   * falls back to the classic one-window formulation (one full shuffle
+   * on domain), which is correct at any hot-set size.
+   */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+                   maxPerDomain: Int,
+                   orderKey: Option[Column] = None,
+                   maxHotDomains: Int = 100000): DataFrame = {
+    require(maxPerDomain > 0, s"capPerDomain: cap must be positive, got $maxPerDomain")
+    graft.expr.GraftFunctions.ensure(df.sparkSession)  // top_k_rows
+    val dom = registeredDomain(urlHost(col(urlCol)))
+    // exact in both engines: ids up to ~3.4e9 stay under Long overflow,
+    // and every intermediate is integer arithmetic (no float rounding)
+    val key = orderKey.getOrElse(
+      pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double"))
+
+    val withDom = df.withColumn("_dom", dom)
+    // null-host rows have no domain to cap; they pass through (the
+    // blocklist's dropUnparseable is the knob that drops them)
+    val hot = withDom.where(col("_dom").isNotNull)
+      .groupBy("_dom").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxPerDomain)
+      .select("_dom")
+      .limit(maxHotDomains + 1)
+      .collect().map(_.getString(0))
+
+    if (hot.isEmpty) withDom.drop("_dom")
+    else if (hot.length > maxHotDomains ||
+      hot.length.toLong * maxPerDomain > 2000000L) {
+      // the kept-id set (hot domains × cap) must stay broadcastable;
+      // past ~2M ids the window formulation is the cheaper plan
+      // fallback: one window over every domain — full shuffle, no
+      // driver state; deterministic rank on (key, id)
+      val w = Window.partitionBy("_dom").orderBy(key.asc, col(idCol).asc)
+      withDom
+        .withColumn("_rk", row_number().over(w))
+        .where(col("_dom").isNull || col("_rk") <= maxPerDomain)
+        .drop("_dom", "_rk")
+    } else {
+      val hotSeq = hot.toSeq
+      val isHot = col("_dom").isInCollection(hotSeq)
+      val cold = withDom.where(col("_dom").isNull || !isHot)
+      // per-domain bounded heap: score = -key so the heap's
+      // "highest score first" keeps the SMALLEST keys; ties break on
+      // the next struct field (id) ascending — total order
+      val keptIds = withDom.where(isHot)
+        .select(col("_dom"), struct((-key).as("score"), col(idCol)).as("_scored"))
+        .groupBy("_dom")
+        .agg(graft.expr.GraftFunctions.topKRows(col("_scored"), maxPerDomain).as("_tk"))
+        .select(explode(col("_tk")).as("_e"))
+        .select(col("_e").getField(idCol).as("_kid"))
+      val keptHot = withDom.where(isHot)
+        .join(broadcast(keptIds), col(idCol) === col("_kid"), "left_semi")
+      cold.unionByName(keptHot).drop("_dom")
+    }
+  }
+}

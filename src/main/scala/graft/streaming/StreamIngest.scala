@@ -100,6 +100,52 @@ object StreamIngest {
   }
 
   /**
+   * Streaming incremental near-dedup — the `foreachBatch` composition
+   * [[curateStream]]'s scaladoc promises: every micro-batch probes the
+   * PERSISTED [[graft.operators.MinHashIndex]] ("has the historical
+   * corpus ever seen this document, exactly or nearly?"), keeps only
+   * never-seen documents, appends their signatures (so batch N+1
+   * probes an index that knows batch N — including earlier batches of
+   * the SAME stream run), and hands the fresh rows to `onFresh`
+   * (typically a metastore append). State lives in the index parquet,
+   * not the streaming state store — the store stays O(0) here while
+   * the index grows ~0.5 KB per genuinely-new document, which is what
+   * makes this viable on an unbounded stream where any in-store
+   * near-dup state would grow with the corpus.
+   *
+   * At-least-once: a replayed batch re-probes — its docs are now IN
+   * the index, so they are dropped, EXCEPT when the crash hit between
+   * the append and `onFresh`'s own commit (the [[streamToMetastore]]
+   * duplicate-window contract; its batch markers are the fix when
+   * `onFresh` is a metastore append). Batch-internal exact duplicates
+   * are collapsed here (cheap, one batch-local aggregate); the batch
+   * near-dups the index can't see (two near-copies arriving in ONE
+   * batch, neither yet indexed) are the documented batch-side
+   * backstop's job. The index must exist before the first batch —
+   * bootstrap with `MinHashIndex.buildIndex` over the historical
+   * corpus (or an empty frame for a cold start).
+   */
+  def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      indexPath: String, checkpoint: String,
+                      threshold: Double = 0.8, shingleSize: Int = 3,
+                      k: Int = 64, bands: Int = 16)
+                     (onFresh: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val deduped = graft.operators.Dedup.exact(batch, textCol, idCol)
+          val fresh = graft.operators.MinHashIndex.appendNewDocs(
+            deduped, textCol, idCol, indexPath, threshold, shingleSize, k, bands)
+          onFresh(fresh, batchId)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /**
    * Stream → metastore: each micro-batch appends into the ByDay
    * table's info-date partitions derived from the event-time column
    * (a batch spanning midnight lands in both days). Downstream batch

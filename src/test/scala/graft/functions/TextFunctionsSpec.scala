@@ -122,4 +122,38 @@ class TextFunctionsSpec extends SparkSpec {
     val pasted = (1 to 30).map(i => para).mkString(s"\n")
     assert(ratio(pasted).get < 0.15, "paragraph-level looping must be caught")
   }
+
+  test("line-wise ratios: bullets, ellipsis teasers, letterless lines — hand-computed") {
+    def ratios(s: String): (Double, Double, Double) = {
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.bulletLineRatio(col("t")),
+        TextFunctions.ellipsisLineRatio(col("t")),
+        TextFunctions.nonAlphaLineRatio(col("t"))).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    // 5 non-empty lines (blank separator NOT counted): 2 bullets
+    // (dash + typographic), 1 ellipsis, 1 letterless
+    val doc = "intro prose line\n- first item\n\n• second item\nRead more...\n$ 12.50"
+    val (b, e, n) = ratios(doc)
+    assert(math.abs(b - 2.0 / 5) < 1e-12, s"bullet $b")
+    assert(math.abs(e - 1.0 / 5) < 1e-12, s"ellipsis $e")
+    assert(math.abs(n - 1.0 / 5) < 1e-12, s"nonalpha $n")
+    assert(ratios("") == ((0.0, 0.0, 0.0)), "empty text: all ratios 0")
+    // one-char ellipsis and indentation-tolerant bullets both count
+    val (b2, e2, _) = ratios("  - indented bullet\ncontinued…")
+    assert(b2 == 0.5 && e2 == 0.5)
+    // a dash WITHOUT following whitespace is a word, not a bullet
+    val (b3, _, _) = ratios("-dashword starts this line\nprose")
+    assert(b3 == 0.0)
+  }
+
+  test("lineQualityKeep: composed decision flips on each rule independently") {
+    def keep(s: String): Boolean =
+      Seq(s).toDF("t")
+        .select(TextFunctions.lineQualityKeep(col("t"), 0.5, 0.25, 0.4)).head().getBoolean(0)
+    assert(keep("plain prose line one\nplain prose line two"))
+    assert(!keep("- a\n- b\n- c\nprose"), "75% bullet lines must drop")
+    assert(!keep("teaser one...\nteaser two…\nprose line"), "67% ellipsis must drop")
+    assert(!keep("12345\n$9.99\nprose line"), "67% letterless must drop")
+  }
 }

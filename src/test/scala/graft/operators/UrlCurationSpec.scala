@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL/domain curation: host + eTLD+1 extraction ground truth,
+  * blocklist semantics, per-domain diversity cap (broadcast minority
+  * path ≡ window fallback, determinism across partitionings, bounded
+  * per-domain survivors). */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlHost: scheme/userinfo/port/path/fragment handling ground truth") {
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1"      -> "www.example.com",
+      "http://user:pw@site.org:8080/x"        -> "site.org",
+      "ftp://files.example.net"               -> "files.example.net",
+      "https://example.com#frag"              -> "example.com",
+      "not a url"                             -> null,
+      "/relative/path"                        -> null)
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlCuration.urlHost(col("url")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"host($u) = ${got(u)}, want $want") }
+  }
+
+  test("registeredDomain: label rule incl. multi-part suffixes") {
+    val cases = Seq(
+      "www.example.com"       -> "example.com",
+      "a.b.deep.example.com"  -> "example.com",
+      "www.bbc.co.uk"         -> "bbc.co.uk",
+      "news.site.com.au"      -> "site.com.au",
+      "example.com"           -> "example.com",
+      "localhost"             -> "localhost",
+      "co.uk"                 -> "co.uk")  // bare suffix: nothing to register, passes through
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), UrlCuration.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"domain($h) = ${got(h)}, want $want") }
+  }
+
+  test("filterBlockedDomains: blocked registered domains drop, subdomains included; null host policy") {
+    val df = Seq(
+      (1L, "https://www.spam.com/a"),      // blocked via www
+      (2L, "https://spam.com/b"),          // blocked
+      (3L, "https://ham.com/c"),           // kept
+      (4L, "https://spam.com.evil.org/d"), // registered domain evil.org: kept
+      (5L, "garbage")                      // unparseable
+    ).toDF("id", "url")
+    val kept = UrlCuration.filterBlockedDomains(df, "url", Set("spam.com"))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L), s"got ${kept.toSeq}")
+    val keptStrict = UrlCuration.filterBlockedDomains(df, "url", Set("spam.com"),
+      dropUnparseable = true).select("id").as[Long].collect().sorted
+    assert(keptStrict.toSeq == Seq(3L, 4L))
+  }
+
+  /** 1 mega-domain with 60 docs + 30 single-doc tail domains. */
+  private def skewed = {
+    val rows = (0L until 60L).map(i => (i, s"https://big.com/doc/$i")) ++
+      (100L until 130L).map(i => (i, s"https://site$i.org/doc/$i"))
+    rows.toDF("id", "url")
+  }
+
+  test("capPerDomain: over-cap domain trimmed to cap, tail untouched, deterministic across partitionings") {
+    val capped = UrlCuration.capPerDomain(skewed, "url", "id", maxPerDomain = 10)
+    val byDom = capped
+      .withColumn("d", UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))))
+      .groupBy("d").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("big.com") == 10L)
+    assert(byDom.size == 31 && byDom.count(_._2 == 1L) == 30)
+
+    val ids1 = capped.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = UrlCuration.capPerDomain(skewed.repartition(7), "url", "id", 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "kept set must not depend on partitioning")
+  }
+
+  test("capPerDomain: broadcast minority path and window fallback keep IDENTICAL rows") {
+    val broadcastPath = UrlCuration.capPerDomain(skewed, "url", "id", 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    // maxHotDomains = 0 forces the over-cap set past the driver bound
+    val fallback = UrlCuration.capPerDomain(skewed, "url", "id", 10, maxHotDomains = 0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(broadcastPath == fallback)
+    // and the kept big.com members are the 10 smallest multiplicative-hash keys
+    val want = (0L until 60L).sortBy(i => (i * 2654435761L) % 4294967296L).take(10).sorted
+    assert(broadcastPath.filter(_ < 100L) == want)
+  }
+
+  test("capPerDomain: under-cap corpus returns unchanged (no hot set, no extra work)") {
+    val capped = UrlCuration.capPerDomain(skewed, "url", "id", maxPerDomain = 60)
+    assert(capped.count() == 90L)
+    assert(capped.columns.toSeq == Seq("id", "url"), "internal columns must not leak")
+  }
+}

@@ -92,6 +92,61 @@ class StreamIngestSpec extends SparkSpec {
     assert(!cols.contains("_fp"), "the dedup key is internal")
   }
 
+  test("nearDedupStream: batches probe + grow the persisted index; history and earlier batches both dedup") {
+    val dir = tmpDir("sneardup_")
+    val indexPath = tmpDir("sneardup_ix_") + "/index"
+    val checkpoint = tmpDir("sneardup_cp_")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // 60 position-distinct tokens per doc, disjoint across seeds, so
+    // nearCopy (one dropped token) sits at ~0.92 true jaccard — far
+    // from the 0.8 threshold on both sides of the estimate noise
+    def prose(seed: Int): String =
+      (1 to 60).map(i => s"w${i}s$seed").mkString(" ")
+    def nearCopy(s: String): String =
+      { val t = s.split(" "); (t.take(30) ++ t.drop(31)).mkString(" ") }
+
+    // bootstrap: historical corpus h1 is already indexed
+    val hist = Seq((1L, prose(1))).toDF("doc_id", "text")
+    graft.operators.MinHashIndex.buildIndex(hist, "text", "doc_id")
+      .write.parquet(indexPath)
+
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = StreamIngest.nearDedupStream(
+        StreamIngest.fileStream(spark, dir, schema), "doc_id", "text",
+        indexPath, checkpoint, threshold = 0.8) { (fresh, _) =>
+        got ++= fresh.select("doc_id").as[Long].collect()
+      }
+      q.processAllAvailable(); q.stop()
+    }
+
+    // batch A: near copy of history (dies), a new doc (kept + indexed),
+    // and an exact in-batch dup of it (batch-local exact dedup)
+    Seq((10L, nearCopy(prose(1))), (11L, prose(2)), (12L, prose(2)))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    run()
+    assert(got.toSet.intersect(Set(11L, 12L)).size == 1,
+      s"in-batch exact dup must collapse: $got")
+    assert(!got.contains(10L), s"near copy of indexed history must drop: $got")
+
+    // batch B: near copy of batch A's survivor (the index GREW — it
+    // dies without any re-scan of batch A), plus a genuinely new doc
+    val before = got.toSet
+    Seq((20L, nearCopy(prose(2))), (21L, prose(5)))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    run()
+    val batchB = got.toSet -- before
+    assert(batchB == Set(21L),
+      s"near copy of an earlier BATCH must drop, new doc survives: $batchB")
+
+    // the index holds exactly history + the two survivors
+    val indexed = spark.read.parquet(indexPath).select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L) ++ before.intersect(Set(11L, 12L)) ++ Set(21L),
+      s"index rows: $indexed")
+  }
+
   test("S7 streaming session_window closes sessions at the gap") {
     val dir = tmpDir("sess_")
     val schema = StructType(Seq(
