@@ -55,7 +55,10 @@ object Bench {
     "q_semdedup", "q_dedup_incremental", "q_perplexity",
     "q_contamination_report", "q_ann_pq_refine", "q_curation_v2",
     "q_substring_dedup", "q_curation_funnel", "q_bigram_ppl",
-    "q_decontam_semantic")
+    "q_decontam_semantic",
+    // r13 scale-surface additions: domain cap (two-pass minority
+    // shuffle) and the Misra-Gries heavy-hitters summary
+    "q_url_filter", "q_freq_items")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

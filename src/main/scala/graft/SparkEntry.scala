@@ -730,6 +730,34 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // z-order re-layout of events on (user_id, value): the hash
+      // match pins CONTENT preservation through the min/max fit, the
+      // Morton re-layout and the parquet round-trip (driver compare is
+      // order-insensitive); the actual row-group-skipping contract —
+      // both columns prune, linear sort only one — is pinned by
+      // DataSkippingSpec's scan-metric asserts
+      import graft.operators.DataSkipping
+      val path = metaPath("zorder_events")
+      DataSkipping.zorderWrite(events(s, dir).select("event_id", "user_id", "value"),
+        Seq("user_id", "value"), path, files = 8, bits = 10)
+      s.read.parquet(path).select("event_id", "user_id")
+    }),
+
+    "q_freq_items" -> ((s, dir) => {
+      // heavy hitters via the mergeable Misra-Gries summary
+      // (bounded per-partition state, cardinality-independent
+      // shuffle) — capacity exceeds the corpus's distinct-bigram
+      // count, so counts are exact and the result hash-matches the
+      // exact top-k oracle; the approximate regime's guarantees are
+      // pinned in SketchAnalyticsSpec
+      import graft.operators.SketchAnalytics
+      val grams = docs(s, dir)
+        .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("gram"))
+      SketchAnalytics.topItems(grams, "gram", Nil, k = 50, capacity = 4096)
+        .withColumnRenamed("item", "gram").withColumnRenamed("count", "freq")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       // predicted language per doc — the DuckDB oracle replays the
       // marker heuristic exactly, including the struct-greatest
@@ -1675,6 +1703,23 @@ object SparkEntry {
         |  FROM toks WHERE len(t) >= 2)
         |SELECT t[s] || ' ' || t[s+1] AS gram, count(*) AS freq
         |FROM pos GROUP BY 1 ORDER BY freq DESC, gram LIMIT 100""".stripMargin,
+
+    "q_zorder" ->
+      // content preservation through the z-order re-layout (the
+      // driver compare is order-insensitive)
+      "SELECT event_id, user_id FROM events",
+
+    "q_freq_items" ->
+      // capacity ≥ distinct bigrams, so Misra-Gries counts are exact
+      // and the top-50 equals the exact count with the same
+      // (freq desc, gram asc) boundary tie-break
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |pos AS (
+        |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS s
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT t[s] || ' ' || t[s+1] AS gram, count(*) AS freq
+        |FROM pos GROUP BY 1 ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

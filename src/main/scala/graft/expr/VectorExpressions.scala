@@ -278,6 +278,18 @@ object GraftFunctions {
         require(children.length == 1, s"vector_sum expects 1 argument, got ${children.length}")
         VectorSum(children(0))
       }),
+    ("approx_top_items",
+      new ExpressionInfo(classOf[ApproxTopItems].getName, "approx_top_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"approx_top_items expects 3 arguments, got ${children.length}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType => l.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"approx_top_items: $what must be an integer literal, got $other")
+        }
+        ApproxTopItems(children(0), intLit(children(1), "k"), intLit(children(2), "capacity"))
+      }),
     ("normalize_text",
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
       (children: Seq[Expression]) => {
@@ -440,6 +452,9 @@ object GraftFunctions {
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   def topKRows(scored: Column, k: Int): Column =
     call_function("top_k_rows", scored, org.apache.spark.sql.functions.lit(k))
+  def approxTopItems(item: Column, k: Int, capacity: Int): Column =
+    call_function("approx_top_items", item,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(capacity))
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
   def normalizeText(text: Column, form: String = "NFC"): Column =
     call_function("normalize_text", text, org.apache.spark.sql.functions.lit(form))

@@ -52,4 +52,26 @@ object SketchAnalytics {
     if (groupCols.isEmpty) sketches.agg(m)
     else sketches.groupBy(groupCols.map(col): _*).agg(m)
   }
+
+  /** Heavy hitters (Misra-Gries) in one pass with BOUNDED state —
+    * the frequency twin of [[distinctSketch]]: top-`k` items per group
+    * as (item, count) rows, counts exact when `capacity` ≥ the
+    * distinct-item count and otherwise lower bounds with undercount
+    * ≤ n/(capacity+1); every item above that frequency is guaranteed
+    * present. The map side keeps ≤ capacity counters and the one
+    * shuffle moves ≤ capacity pairs per partition — cardinality-
+    * independent, unlike `groupBy(item).count` whose shuffle is the
+    * whole vocabulary. */
+  def topItems(df: DataFrame, itemCol: String, groupCols: Seq[String],
+               k: Int, capacity: Int): DataFrame = {
+    graft.expr.GraftFunctions.ensure(df.sparkSession)
+    val agg = graft.expr.GraftFunctions.approxTopItems(col(itemCol), k, capacity).as("_top")
+    val aggregated =
+      if (groupCols.isEmpty) df.agg(agg)
+      else df.groupBy(groupCols.map(col): _*).agg(agg)
+    aggregated
+      .select(groupCols.map(col) :+ explode(col("_top")).as("_e"): _*)
+      .select(groupCols.map(col) :+ col("_e.item").as("item") :+
+        col("_e.count").as("count"): _*)
+  }
 }

@@ -64,6 +64,21 @@ import java.time.LocalDate
  *                        (requires `dsir.target.table` as positives)
  *   `classifier.min`     optional — drop docs scoring below
  *
+ * Optional URL/domain tier (L50, C4/RefinedWeb — runs FIRST, before
+ * any text is read, because it is the cheapest possible prune):
+ *   `url.column`         enables the tier when set — the column
+ *                        carrying each doc's source URL
+ *   `url.blocklist`      comma list of blocked registered domains
+ *   `url.max.per.domain` optional per-domain diversity cap (docs kept
+ *                        deterministically by hash rank)
+ *
+ * Optional line-wise quality rules (L51, RefinedWeb/Gopher — applied
+ * WITH the document-level quality filter):
+ *   `line.rules.enabled` default false
+ *   `line.max.bullet`    default 0.9  — max share of bullet lines
+ *   `line.max.ellipsis`  default 0.3  — max share of "..."-ended lines
+ *   `line.max.nonalpha`  default 0.5  — max share of letterless lines
+ *
  * Optional leakage-safe split (L14):
  *   `split.group.safe`    default false — split membership keyed by the
  *                         near-dup GROUP representative (MinHash pairs →
@@ -101,7 +116,24 @@ final class CurationTransformer extends Transformer {
     val weights = options.getOrElse("split.weights", "0.9,0.05,0.05")
       .split(",").map(_.trim.toDouble).toSeq
 
-    val docs = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
+    val read = ms.getTable(options("input.table"), Some(infoDate), Some(infoDate))
+
+    // URL tier first: a domain prune reads zero text bytes, so it runs
+    // before anything that touches the (much wider) text column
+    val docs = options.get("url.column") match {
+      case None => read
+      case Some(urlCol) =>
+        val blocked = options.get("url.blocklist")
+          .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val unblocked =
+          graft.operators.UrlCuration.filterBlockedDomains(read, urlCol, blocked)
+        options.get("url.max.per.domain") match {
+          case None => unblocked
+          case Some(cap) =>
+            graft.operators.UrlCuration.capPerDomain(unblocked, urlCol, idCol, cap.toInt)
+        }
+    }
     val deduped = Dedup.exact(docs, textCol, idCol)
 
     // semantic dedup: embeddings live in their OWN table (they are
@@ -123,10 +155,18 @@ final class CurationTransformer extends Transformer {
         deduped.join(droppedIds, col(idCol) === col("_drop_id"), "left_anti")
       }
 
+    val lineKeep =
+      if (!options.get("line.rules.enabled").contains("true")) lit(true)
+      else TextFunctions.lineQualityKeep(col(textCol),
+        options.getOrElse("line.max.bullet", "0.9").toDouble,
+        options.getOrElse("line.max.ellipsis", "0.3").toDouble,
+        options.getOrElse("line.max.nonalpha", "0.5").toDouble)
+
     val scored = semDeduped
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("repetition", round(TextFunctions.repetitionRatio(col(textCol)), 4))
-      .where(col("quality") >= qualityMin && col("repetition") <= maxRepetition)
+      .where(col("quality") >= qualityMin && col("repetition") <= maxRepetition &&
+        lineKeep)
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCountWs(col(textCol)))
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))

@@ -54,6 +54,54 @@ class SketchAnalyticsSpec extends SparkSpec {
     assert(est == direct, "estimating a rolled-up sketch must equal estimating the dailies")
   }
 
+  test("topItems exact mode: capacity >= distinct items reproduces the exact top-k, any partitioning") {
+    // skewed: item i appears (40 - i) times, i = 0..39
+    val rows = for { i <- 0 until 40; _ <- 0 until (40 - i) } yield s"item$i"
+    val df = rows.toDF("item")
+    val want = rows.groupBy(identity).map { case (it, xs) => (it, xs.size.toLong) }
+      .toSeq.sortBy { case (it, c) => (-c, it) }.take(10)
+    for (parts <- Seq(1, 13)) {
+      val got = SketchAnalytics.topItems(df.repartition(parts), "item", Nil,
+          k = 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"parts=$parts: $got")
+    }
+  }
+
+  test("topItems approximate mode: heavy hitters guaranteed present, undercount bounded") {
+    // n = 1000 + 10*50 = 1500; capacity 49 -> threshold n/50 = 30:
+    // the ten 100-count items are far above it and MUST survive
+    val heavy = for { i <- 0 until 10; _ <- 0 until 100 } yield s"heavy$i"
+    val noise = (0 until 500).flatMap(i => Seq(s"noise${i}a", s"noise${i}b"))
+    val df = scala.util.Random.shuffle(heavy ++ noise).toDF("item")
+    val n = heavy.size + noise.size
+    val cap = 49
+    val got = SketchAnalytics.topItems(df.repartition(7), "item", Nil,
+        k = 10, capacity = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    (0 until 10).foreach { i =>
+      val c = got.get(s"heavy$i")
+      assert(c.isDefined, s"heavy$i above n/(cap+1) must be tracked: $got")
+      assert(c.get <= 100L && c.get >= 100L - n / (cap + 1),
+        s"heavy$i count ${c.get} outside [${100 - n / (cap + 1)}, 100]")
+    }
+  }
+
+  test("topItems: map-side partial aggregation bounds the shuffle; grouped variant works") {
+    val df = (0 until 200).map(i => (s"g${i % 2}", s"it${i % 5}")).toDF("g", "item")
+    val top = SketchAnalytics.topItems(df, "item", Seq("g"), k = 2, capacity = 32)
+    val rows = top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_top_items"),
+      s"map-side partial summary must bound the shuffle:\n$plan")
+    assert(rows.length == 4, s"2 groups x top-2: ${rows.toSeq}")
+    // per group every item appears 20 times — a full tie, so the
+    // top-2 is decided purely by the item-asc tie-break
+    val gA = rows.filter(_.getString(0) == "g0").map(r => (r.getString(1), r.getLong(2)))
+    assert(gA.forall(_._2 == 20L) && gA.map(_._1).toSeq == Seq("it0", "it1"),
+      s"deterministic (count desc, item asc) order: ${gA.toSeq}")
+  }
+
   test("grouped estimates: per-group sketches stay independent") {
     val df = Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u1")).toDF("g", "user")
     val est = SketchAnalytics.estimateDistinct(

@@ -230,6 +230,40 @@ class CurationSpec extends SparkSpec {
       s"41 and 43 chain through the pruned 42 and must not straddle splits: $splits")
   }
 
+  test("url tier and line-wise rules, config-keyed") {
+    val prose = "The quick brown fox jumps over the lazy dog near the river bank. " * 8
+    val listy = prose + "\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine"
+    val docs = Seq(
+      (1L, prose, "https://ham.com/a"),
+      (2L, prose + " extra tail one.", "https://www.spam.org/b"),   // blocked domain
+      (3L, prose + " extra tail two.", "https://big.net/1"),        // big.net over cap:
+      (4L, prose + " extra tail three.", "https://big.net/2"),      //   one of 3-5 survives
+      (5L, prose + " extra tail four.", "https://big.net/3"),
+      (6L, listy, "https://ham.com/c")                              // bullet swarm
+    ).toDF("doc_id", "text", "url")
+
+    val ms = new Metastore(spark)
+    val base = tmpDir("cur_url_")
+    ms.register(MetaTable("raw", s"$base/raw"))
+    ms.register(MetaTable("cur", s"$base/cur"))
+    ms.saveTable("raw", d, docs)
+    val res = new Orchestrator(ms).run(Seq(JobDef(
+      "curate", "cur", new CurationTransformer, Seq("raw"),
+      options = Map("input.table" -> "raw",
+        "url.column" -> "url", "url.blocklist" -> "spam.org",
+        "url.max.per.domain" -> "1",
+        "line.rules.enabled" -> "true", "line.max.bullet" -> "0.4"))), d)
+    assert(res.head.isInstanceOf[TaskResult.Succeeded])
+
+    val ids = ms.getTable("cur", Some(d), Some(d))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L), "clean doc on a clean domain survives")
+    assert(!ids.contains(2L), "blocklisted registered domain (www. variant) must drop")
+    assert(ids.intersect(Set(3L, 4L, 5L)).size == 1,
+      s"per-domain cap=1 keeps exactly one big.net doc: $ids")
+    assert(!ids.contains(6L), "bullet-swarm doc dies on the line rules")
+  }
+
   test("v2 validation: semdedup.enabled without semdedup.table is NotReady") {
     val r = new CurationTransformer().validate(null, d,
       Map("input.table" -> "raw", "semdedup.enabled" -> "true"))
