@@ -730,6 +730,19 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q_value_sketch" -> ((s, dir) => {
+      // rows-only gate (KLL blobs aren't ANSI-replayable; exactness/
+      // error/merge contracts pinned in SketchAnalyticsSpec): per-(day,
+      // event_type) value sketches merged to per-type p50/p95/p99 —
+      // the O(days) latency dashboard
+      import graft.operators.SketchAnalytics
+      val ev = events(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = SketchAnalytics.valueSketch(ev, "value", Seq("day", "event_type"))
+      SketchAnalytics.estimateQuantiles(daily, Seq("event_type"),
+          Seq(0.5, 0.95, 0.99))
+        .orderBy("event_type")
+    }),
+
     "q_zorder" -> ((s, dir) => {
       // z-order re-layout of events on (user_id, value): the hash
       // match pins CONTENT preservation through the min/max fit, the

@@ -278,6 +278,32 @@ object GraftFunctions {
         require(children.length == 1, s"vector_sum expects 1 argument, got ${children.length}")
         VectorSum(children(0))
       }),
+    ("kll_sketch_agg",
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          s"kll_sketch_agg expects 1-2 arguments, got ${children.length}")
+        val k =
+          if (children.length == 1) 200
+          else children(1) match {
+            case e if e.foldable && e.dataType == IntegerType => e.eval().asInstanceOf[Int]
+            case other => throw new IllegalArgumentException(
+              s"kll_sketch_agg: k must be an integer literal, got $other")
+          }
+        KllSketchAgg(children(0), k)
+      }),
+    ("kll_merge_agg",
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"kll_merge_agg expects 1 argument, got ${children.length}")
+        KllMergeAgg(children(0))
+      }),
+    ("kll_quantile",
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"kll_quantile expects 2 arguments, got ${children.length}")
+        KllQuantile(children(0), children(1))
+      }),
     ("approx_top_items",
       new ExpressionInfo(classOf[ApproxTopItems].getName, "approx_top_items"),
       (children: Seq[Expression]) => {
@@ -455,6 +481,11 @@ object GraftFunctions {
   def approxTopItems(item: Column, k: Int, capacity: Int): Column =
     call_function("approx_top_items", item,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(capacity))
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    call_function("kll_sketch_agg", value, org.apache.spark.sql.functions.lit(k))
+  def kllMergeAgg(sketch: Column): Column = call_function("kll_merge_agg", sketch)
+  def kllQuantile(sketch: Column, p: Double): Column =
+    call_function("kll_quantile", sketch, org.apache.spark.sql.functions.lit(p))
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
   def normalizeText(text: Column, form: String = "NFC"): Column =
     call_function("normalize_text", text, org.apache.spark.sql.functions.lit(form))

@@ -53,6 +53,34 @@ object SketchAnalytics {
     else sketches.groupBy(groupCols.map(col): _*).agg(m)
   }
 
+  /** Per-group KLL quantile sketch rows for one slice of data — the
+    * quantile member of the summary family (same save-per-day,
+    * merge-at-question-time contract as [[distinctSketch]]). ~1.65%
+    * normalized rank error at k=200; exact until compaction fires. */
+  def valueSketch(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Int = 200): DataFrame = {
+    graft.expr.GraftFunctions.ensure(df.sparkSession)
+    val agg = graft.expr.GraftFunctions.kllSketchAgg(col(valueCol), k).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Merge previously-built value-sketch rows down to per-group
+    * quantile estimates, one output column per requested rank. */
+  def estimateQuantiles(sketches: DataFrame, groupCols: Seq[String],
+                        probs: Seq[Double],
+                        sketchCol: String = "sketch"): DataFrame = {
+    graft.expr.GraftFunctions.ensure(sketches.sparkSession)
+    val merged = graft.expr.GraftFunctions.kllMergeAgg(col(sketchCol)).as("_m")
+    val aggregated =
+      if (groupCols.isEmpty) sketches.agg(merged)
+      else sketches.groupBy(groupCols.map(col): _*).agg(merged)
+    val qCols = probs.map(p =>
+      graft.expr.GraftFunctions.kllQuantile(col("_m"), p)
+        .as(s"p${(p * 100).round}"))
+    aggregated.select(groupCols.map(col) ++ qCols: _*)
+  }
+
   /** Heavy hitters (Misra-Gries) in one pass with BOUNDED state —
     * the frequency twin of [[distinctSketch]]: top-`k` items per group
     * as (item, count) rows, counts exact when `capacity` ≥ the

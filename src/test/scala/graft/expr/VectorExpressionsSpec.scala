@@ -183,7 +183,8 @@ class VectorExpressionsSpec extends SparkSpec {
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
-        "vector_sum", "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
+        "vector_sum", "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
+        "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
         "deflate_ratio", "token_window_hashes", "max_cosine_sim", "bpe_encode",
         "bloom_might_contain", "lsh_buckets"))
     // injector is exercised end-to-end only with a fresh session

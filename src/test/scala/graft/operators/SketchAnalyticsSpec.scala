@@ -102,6 +102,45 @@ class SketchAnalyticsSpec extends SparkSpec {
       s"deterministic (count desc, item asc) order: ${gA.toSeq}")
   }
 
+  test("value sketches exact regime: below compaction, merged dailies give order statistics") {
+    // 150 values < k=200: no compaction, the sketch holds everything
+    val rows = for { d <- 0 until 3; i <- 0 until 50 } yield (d, (d * 50 + i).toDouble)
+    val df = rows.toDF("day", "v")
+    val daily = SketchAnalytics.valueSketch(df, "v", Seq("day"))
+    assert(daily.count() == 3)
+    val q = SketchAnalytics.estimateQuantiles(daily, Nil, Seq(0.5, 1.0)).head()
+    // INCLUSIVE median of 0..149 is the rank-75 order statistic
+    assert(q.getDouble(0) == 74.0 || q.getDouble(0) == 75.0, s"median ${q.getDouble(0)}")
+    assert(q.getDouble(1) == 149.0, "max is exact")
+  }
+
+  test("value sketches big-n: quantiles within the k=200 rank-error envelope; per-group") {
+    val n = 100000
+    val df = (0 until n).map(i => (s"g${i % 2}", ((i.toLong * 48271L) % n).toDouble))
+      .toDF("g", "v")
+    val est = SketchAnalytics.estimateQuantiles(
+        SketchAnalytics.valueSketch(df.repartition(8), "v", Seq("g")),
+        Seq("g"), Seq(0.5, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // values are a permutation-ish spread of 0..n; true p50 ~ n/2, p99 ~ 0.99n
+    Seq("g0", "g1").foreach { g =>
+      val (p50, p99) = est(g)
+      assert(math.abs(p50 - n / 2.0) < 0.05 * n, s"$g p50=$p50")
+      assert(math.abs(p99 - 0.99 * n) < 0.05 * n, s"$g p99=$p99")
+    }
+  }
+
+  test("value sketches: all-null group yields a null quantile, not an error") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None))
+      .toDF("g", "v")
+    val out = SketchAnalytics.estimateQuantiles(
+        SketchAnalytics.valueSketch(df, "v", Seq("g")), Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("a").contains(2.0) || out("a").contains(1.0))
+    assert(out("b").isEmpty, "empty sketch must read as null")
+  }
+
   test("grouped estimates: per-group sketches stay independent") {
     val df = Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u1")).toDF("g", "user")
     val est = SketchAnalytics.estimateDistinct(
