@@ -730,6 +730,41 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "q_markdown_extract" -> ((s, dir) => {
+      // each doc wrapped into deterministic markdown (header, quote,
+      // bold + link + inline code, bullet with the text, fenced code
+      // junk, a table row) and extracted back. Oracle: DuckDB replays
+      // the same RE2 chain in the same order
+      import graft.operators.MarkdownExtract
+      val dd = docs(s, dir)
+      val md = concat(
+        lit("# Doc "), col("doc_id"),
+        lit("\n> a quoted intro line\n**bold lead** with [a link](https://ex.com/"),
+        col("doc_id"),
+        lit(") and `inline_code` here\n- "), col("text"),
+        lit("\n```\nval junk = fence(1);\n```\n| c1 | c2 |\n|----|----|\n1. numbered tail"))
+      dd.select(col("doc_id"),
+        MarkdownExtract.markdownToText(md).as("clean_text"))
+    }),
+
+    "q_code_score" -> ((s, dir) => {
+      // code-likeness signals: every 19th doc gets a deterministic
+      // code snippet appended and must flag; the oracle replays the
+      // symbol class, the indent rule, the keyword pattern and the
+      // exact composite formula
+      val dd = docs(s, dir)
+      val snippet = "\ndef compute(x):\n  return x * 2\n" +
+        "class Foo {\n  public static void main() { y = (a + b) * arr[1]; }\n}"
+      val aug = when(col("doc_id") % 19 === 0,
+        concat(col("text"), lit(snippet))).otherwise(col("text"))
+      dd.select(col("doc_id"),
+        round(TextFunctions.symbolRatio(aug), 6).as("symbol_ratio"),
+        round(TextFunctions.indentedLineRatio(aug), 6).as("indented_ratio"),
+        round(TextFunctions.codeKeywordDensity(aug), 6).as("keyword_density"),
+        round(TextFunctions.codeLikeScore(aug), 6).as("code_score"),
+        (TextFunctions.codeLikeScore(aug) >= 0.3).as("is_code"))
+    }),
+
     "q_value_sketch" -> ((s, dir) => {
       // rows-only gate (KLL blobs aren't ANSI-replayable; exactness/
       // error/merge contracts pinned in SketchAnalyticsSpec): per-(day,
@@ -1721,6 +1756,72 @@ object SparkEntry {
       // content preservation through the z-order re-layout (the
       // driver compare is order-insensitive)
       "SELECT event_id, user_id FROM events",
+
+    "q_markdown_extract" ->
+      // same RE2 chain, same order, 'g' on every step (DuckDB
+      // replaces first-match-only by default; Spark is global)
+      """WITH md AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    chr(10) || '> a quoted intro line' || chr(10) ||
+        |    '**bold lead** with [a link](https://ex.com/' || CAST(doc_id AS VARCHAR) ||
+        |    ') and `inline_code` here' || chr(10) || '- ' || text || chr(10) ||
+        |    '```' || chr(10) || 'val junk = fence(1);' || chr(10) || '```' || chr(10) ||
+        |    '| c1 | c2 |' || chr(10) || '|----|----|' || chr(10) || '1. numbered tail' AS m
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(m,  '(?s)```.*?```', ' ', 'g') AS t FROM md),
+        |s2 AS (SELECT doc_id, regexp_replace(t,  '`([^`]*)`', '\1', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,  '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,  '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t,  '(?m)^#{1,6}\s*', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t,  '(?m)^>\s?', '', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t,  '(?m)^[-*_]{3,}\s*$', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t,  '(?m)^\s*[-*+]\s+', '', 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(t,  '(?m)^\s*\d+[.)]\s+', '', 'g') AS t FROM s8),
+        |s10 AS (SELECT doc_id, regexp_replace(t, '(?m)^[\s:|-]+$', ' ', 'g') AS t FROM s9),
+        |s11 AS (SELECT doc_id, regexp_replace(t, '\|', ' ', 'g') AS t FROM s10),
+        |s12 AS (SELECT doc_id, regexp_replace(t, '\*{1,3}', '', 'g') AS t FROM s11),
+        |s13 AS (SELECT doc_id, regexp_replace(t, '__', '', 'g') AS t FROM s12)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM s13""".stripMargin,
+
+    "q_code_score" ->
+      // replays the planted snippet, the symbol class, the indent
+      // rule, the keyword pattern and the exact composite formula
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0 THEN text ||
+        |      chr(10) || 'def compute(x):' ||
+        |      chr(10) || '  return x * 2' ||
+        |      chr(10) || 'class Foo {' ||
+        |      chr(10) || '  public static void main() { y = (a + b) * arr[1]; }' ||
+        |      chr(10) || '}'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t,
+        |    list_filter(str_split(t, chr(10)), x -> length(trim(x)) > 0) AS lines
+        |  FROM aug),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) = 0 THEN 0.0
+        |      ELSE CAST(length(t) - length(regexp_replace(t,
+        |        '[{}\[\]();=<>+\-*/&|^%#@!~]', '', 'g')) AS DOUBLE) / length(t) END AS sym,
+        |    CASE WHEN len(lines) <= 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)'))) AS DOUBLE)
+        |        / len(lines) END AS ind,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(t,
+        |        '\b(?:def|class|import|return|function|const|var|void|public|static)\b')) AS DOUBLE)
+        |        / len(regexp_split_to_array(trim(t), '\s+')) END AS kd
+        |  FROM r)
+        |SELECT doc_id,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(ind, 6) AS indented_ratio,
+        |  round(kd, 6) AS keyword_density,
+        |  round(least(1.0, sym * 3.0 + ind * 0.5 + kd * 2.0), 6) AS code_score,
+        |  least(1.0, sym * 3.0 + ind * 0.5 + kd * 2.0) >= 0.3 AS is_code
+        |FROM sig""".stripMargin,
 
     "q_freq_items" ->
       // capacity ≥ distinct bigrams, so Misra-Gries counts are exact

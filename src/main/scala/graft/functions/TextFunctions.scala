@@ -139,6 +139,51 @@ object TextFunctions {
       ellipsisLineRatio(text) <= maxEllipsisRatio &&
       nonAlphaLineRatio(text) <= maxNonAlphaRatio
 
+  /** Code-symbol character class: the punctuation that dominates
+    * source code but is rare in prose. RE2-compatible. */
+  val CodeSymbolPattern = "[{}\\[\\]();=<>+\\-*/&|^%#@!~]"
+
+  /** Share of code-symbol characters — prose sits well under 0.05,
+    * real source code above 0.10. */
+  def symbolRatio(text: Column): Column = {
+    val sym = length(text) - length(regexp_replace(text, CodeSymbolPattern, ""))
+    when(length(text) === 0, lit(0.0)).otherwise(sym.cast("double") / length(text))
+  }
+
+  /** Share of non-empty lines starting with ≥ 2 spaces or a tab —
+    * block indentation, the strongest structural code signal. */
+  def indentedLineRatio(text: Column): Column = {
+    val lines = nonEmptyLines(text)
+    val n = size(lines)
+    val ind = size(filter(lines, l => l.rlike("^(  |\\t)")))
+    when(n <= 0, lit(0.0)).otherwise(ind.cast("double") / n)
+  }
+
+  /** Language-keyword hits per whitespace token (def/class/import/
+    * return/function/const/void/public — high-frequency keywords
+    * shared across mainstream languages), word-boundary anchored so
+    * prose "definition"/"classical" don't fire; bare if/else/for/while
+    * are deliberately absent — they are common English words and would
+    * make every conditional sentence look like code. */
+  val CodeKeywordPattern: String =
+    "\\b(?:def|class|import|return|function|const|var|void|public|static)\\b"
+
+  def codeKeywordDensity(text: Column): Column = {
+    val hits = size(regexp_extract_all(text, lit(CodeKeywordPattern), lit(0)))
+    val toks = tokenCountWs(text)
+    when(toks <= 0, lit(0.0)).otherwise(hits.cast("double") / toks)
+  }
+
+  /** Composite code-likeness in [0,1] — the pre-training mix labeling
+    * signal (route to the code pipeline, or weight code differently in
+    * the corpus mix). Weights chosen so prose scores ≈ 0.05-0.2 and
+    * real source ≥ 0.5; exact formula mirrored by the oracle, so
+    * treat it as a contract, not a tunable. */
+  def codeLikeScore(text: Column): Column =
+    least(lit(1.0),
+      symbolRatio(text) * 3.0 + indentedLineRatio(text) * 0.5 +
+        codeKeywordDensity(text) * 2.0)
+
   /** Mojibake/encoding-damage character class: the U+FFFD replacement
     * char (a decoder already gave up), C0 controls except \t \n \r,
     * DEL, and the C1 range U+0080–U+009F (the classic signature of

@@ -93,3 +93,40 @@ object HtmlExtract {
     array_join(transform(kept, s => s.getField("text")), "\n")
   }
 }
+
+/**
+ * Markdown → training-text extraction — the documentation/forum/repo
+ * corpora counterpart of [[HtmlExtract]]: strip the formatting layer
+ * (fences, link targets, emphasis markers, list/header/table
+ * furniture), keep the human-readable text. Same altitude rules:
+ * every step is a codegen'd RE2-compatible `regexp_replace` (no UDF —
+ * extraction touches every corpus byte and must run at scan speed),
+ * heuristic by design (weird markdown degrades to whitespace, never
+ * errors), and the whole chain replays verbatim in the oracle.
+ *
+ * Step order is semantic: fenced code dies before inline code (a
+ * fence body may hold backticks), images before links (image syntax
+ * CONTAINS link syntax), structural line markers before whitespace
+ * collapse (they anchor on `(?m)^`).
+ */
+object MarkdownExtract {
+
+  def markdownToText(md: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?s)```.*?```" -> " ",                    // fenced code blocks
+      "`([^`]*)`" -> "$1",                       // inline code: keep content
+      "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",     // images: keep alt text
+      "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",      // links: keep anchor text
+      "(?m)^#{1,6}\\s*" -> "",                   // headers
+      "(?m)^>\\s?" -> "",                        // blockquote markers
+      "(?m)^[-*_]{3,}\\s*$" -> " ",              // horizontal rules
+      "(?m)^\\s*[-*+]\\s+" -> "",                // bullet markers
+      "(?m)^\\s*\\d+[.)]\\s+" -> "",             // numbered-list markers
+      "(?m)^[\\s:|-]+$" -> " ",                  // table separator rows
+      "\\|" -> " ",                              // table cell pipes
+      "\\*{1,3}" -> "",                          // emphasis asterisks
+      "__" -> "")                                // bold underscores (word_snake survives)
+    val stripped = steps.foldLeft(md) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+}

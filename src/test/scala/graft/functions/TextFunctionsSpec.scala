@@ -147,6 +147,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(b3 == 0.0)
   }
 
+  test("code-likeness: prose scores low, source code high; sub-signals hand-checked") {
+    def score(s: String): (Double, Double, Double, Double) = {
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.symbolRatio(col("t")),
+        TextFunctions.indentedLineRatio(col("t")),
+        TextFunctions.codeKeywordDensity(col("t")),
+        TextFunctions.codeLikeScore(col("t"))).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val prose = "The quick brown fox jumps over the lazy dog and keeps running " +
+      "through the quiet field while nobody watches it at all."
+    val code = "def f(x):\n  return (x + 1) * arr[0]\n" +
+      "class A {\n  public static void g() { y = a && b; }\n}"
+    val (pSym, pInd, pKd, pScore) = score(prose)
+    val (cSym, cInd, cKd, cScore) = score(code)
+    assert(pSym < 0.02 && pInd == 0.0 && pKd == 0.0, s"prose signals: $pSym $pInd $pKd")
+    assert(pScore < 0.1, s"prose composite: $pScore")
+    assert(cSym > 0.1, s"code symbol ratio: $cSym")
+    assert(cInd == 0.4, s"2 of 5 lines indented: $cInd")
+    assert(cKd > 0.1, s"keyword density: $cKd")
+    assert(cScore >= 0.5, s"code composite: $cScore")
+    // "definition of classical imports" must NOT fire the keyword rule
+    val (_, _, kd, _) = score("the definition of classical imports returns nothing")
+    assert(kd == 0.0, s"prose words containing keywords must not fire: $kd")
+  }
+
   test("lineQualityKeep: composed decision flips on each rule independently") {
     def keep(s: String): Boolean =
       Seq(s).toDF("t")

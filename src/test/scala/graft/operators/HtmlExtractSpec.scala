@@ -83,4 +83,28 @@ class HtmlExtractSpec extends SparkSpec {
       !plan.contains("Invoke"), s"must be pure built-ins, no shuffle:\n$plan")
     assert(plan.contains("*(1)"), s"expected whole-stage codegen:\n$plan")
   }
+
+  test("markdownToText: formatting layer dies, content survives — hand-computed") {
+    def ext(s: String): String =
+      Seq(s).toDF("m").select(MarkdownExtract.markdownToText(col("m"))).head().getString(0)
+    assert(ext("# Title\nSome **bold** and *italic* prose.") ==
+      "Title Some bold and italic prose.")
+    assert(ext("See [the docs](https://ex.com/a?b=1) and `x += 1` inline.") ==
+      "See the docs and x += 1 inline.")
+    assert(ext("![alt text](img.png) leads") == "alt text leads")
+    assert(ext("```\ncode line 1\ncode line 2\n```\nafter fence") == "after fence")
+    assert(ext("- one\n- two\n1. three\n2) four") == "one two three four")
+    assert(ext("> quoted\n---\nplain") == "quoted plain")
+    assert(ext("| a | b |\n|---|---|\n| c | d |") == "a b c d")
+    // snake_case survives the bold-underscore rule
+    assert(ext("var_name stays __bold goes__") == "var_name stays bold goes")
+  }
+
+  test("markdownToText: weird markdown degrades to whitespace, never errors") {
+    def ext(s: String): String =
+      Seq(s).toDF("m").select(MarkdownExtract.markdownToText(col("m"))).head().getString(0)
+    assert(ext("") == "")
+    assert(ext("```` unbalanced ``` fence") !== null)
+    assert(ext("[dangling](") == "[dangling](")  // non-matching syntax passes through
+  }
 }
