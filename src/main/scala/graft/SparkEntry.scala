@@ -585,6 +585,30 @@ object SparkEntry {
           UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))).as("domain"))
     }),
 
+    "q_domain_prior" -> ((s, dir) => {
+      // domain-level reputation: per-registered-domain mean score +
+      // doc count annotated back onto every doc (one longs-only
+      // groupBy + a broadcast join). Score is the integer n_chars
+      // column so the mean is an exact long-sum / count — engine
+      // float-sum ordering can't flip the hash
+      import graft.operators.UrlCuration
+      val dd = docs(s, dir)
+      val suffix = when(col("doc_id") % 5 === 0, "com")
+        .when(col("doc_id") % 5 === 1, "co.uk")
+        .when(col("doc_id") % 5 === 2, "org")
+        .when(col("doc_id") % 5 === 3, "com.au").otherwise("net")
+      val host = when(col("doc_id") % 4 === 0, lit("big.com"))
+        .otherwise(concat(lit("site"), col("doc_id") % 97, lit("."), suffix))
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""), host,
+        lit("/doc/"), col("doc_id"))
+      val withUrl = dd.select(col("doc_id"), length(col("text")).as("n_chars"),
+        url.as("url"))
+      UrlCuration.withDomainPrior(withUrl, "url", "n_chars")
+        .select(col("doc_id"), round(col("domain_prior"), 6).as("domain_prior"),
+          col("domain_docs"))
+    }),
+
     "q_sketch_distinct" -> ((s, dir) => {
       // rows-only gate (DataSketches HLL estimates are not
       // ANSI-replayable; exactness/error/merge contracts pinned in
@@ -1756,6 +1780,37 @@ object SparkEntry {
       // content preservation through the z-order re-layout (the
       // driver compare is order-insensitive)
       "SELECT event_id, user_id FROM events",
+
+    "q_domain_prior" ->
+      // same URL synthesis + eTLD+1 regex as q_url_filter (no port
+      // variant); prior = exact integer mean of length(text) per domain
+      """WITH u AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'big.com'
+        |      ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |        CASE WHEN doc_id % 5 = 0 THEN 'com' WHEN doc_id % 5 = 1 THEN 'co.uk'
+        |             WHEN doc_id % 5 = 2 THEN 'org' WHEN doc_id % 5 = 3 THEN 'com.au'
+        |             ELSE 'net' END END ||
+        |    '/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(nullif(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '')) AS host
+        |  FROM u),
+        |rd AS (
+        |  SELECT doc_id, n_chars,
+        |    coalesce(nullif(regexp_extract(host,
+        |      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|me\.uk|net\.uk|com\.au|net\.au|org\.au|edu\.au|gov\.au|co\.jp|ne\.jp|or\.jp|ac\.jp|go\.jp|com\.br|net\.br|org\.br|gov\.br|com\.cn|net\.cn|org\.cn|gov\.cn|co\.in|net\.in|org\.in|gen\.in|co\.kr|or\.kr|co\.za|org\.za|com\.mx|com\.ar|com\.tr|com\.tw|co\.nz|org\.nz|com\.sg|com\.hk)|[^.]+\.[^.]+)$',
+        |      1), ''), host) AS domain
+        |  FROM h),
+        |p AS (
+        |  SELECT domain, avg(n_chars) AS pr, count(*) AS cnt
+        |  FROM rd WHERE domain IS NOT NULL GROUP BY domain)
+        |SELECT rd.doc_id, round(p.pr, 6) AS domain_prior, p.cnt AS domain_docs
+        |FROM rd LEFT JOIN p ON rd.domain = p.domain""".stripMargin,
 
     "q_markdown_extract" ->
       // same RE2 chain, same order, 'g' on every step (DuckDB

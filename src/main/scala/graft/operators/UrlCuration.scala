@@ -87,6 +87,34 @@ object UrlCuration {
   }
 
   /**
+   * Domain-level quality priors (the RefinedWeb/C4 "site reputation"
+   * signal): aggregate a per-document score to its registered domain
+   * and annotate every document with its domain's mean score and doc
+   * count — a page inherits its site's track record, which catches
+   * spam farms whose individual pages pass document-level filters.
+   *
+   * Scale shape: ONE groupBy on the domain carrying (double sum, long
+   * count) — never text; the resulting per-domain table (one row per
+   * registered domain — web-scale is tens of millions of rows, far
+   * smaller than the corpus) joins back on the domain key. The join
+   * broadcasts when the domain table fits (`broadcastPriors`,
+   * default), else it is a standard shuffle join on the key.
+   * Null-domain docs keep null priors.
+   */
+  def withDomainPrior(df: DataFrame, urlCol: String, scoreCol: String,
+                      broadcastPriors: Boolean = true): DataFrame = {
+    val withDom = df.withColumn("_dom", registeredDomain(urlHost(col(urlCol))))
+    val priors = withDom.where(col("_dom").isNotNull)
+      .groupBy("_dom")
+      .agg(avg(col(scoreCol)).as("domain_prior"),
+        count(lit(1)).as("domain_docs"))
+      .withColumnRenamed("_dom", "_pdom")
+    val p = if (broadcastPriors) broadcast(priors) else priors
+    withDom.join(p, col("_dom") === col("_pdom"), "left")
+      .drop("_dom", "_pdom")
+  }
+
+  /**
    * Cap every registered domain at `maxPerDomain` rows, keeping the
    * `maxPerDomain` rows with the SMALLEST `orderKey` (deterministic —
    * a hash key makes the kept subset an unbiased sample; defaults to

@@ -90,6 +90,26 @@ class UrlCurationSpec extends SparkSpec {
     assert(broadcastPath.filter(_ < 100L) == want)
   }
 
+  test("withDomainPrior: site mean + count annotated; www variants share a domain; null-domain keeps null") {
+    val df = Seq(
+      (1L, "https://a.com/x", 10.0),
+      (2L, "https://www.a.com/y", 30.0),   // same registered domain as 1
+      (3L, "https://b.org/z", 7.0),
+      (4L, "not a url", 99.0)
+    ).toDF("id", "url", "score")
+    val out = UrlCuration.withDomainPrior(df, "url", "score")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out(1L) == ((Some(20.0), Some(2L))), s"${out(1L)}")
+    assert(out(2L) == ((Some(20.0), Some(2L))), "www.a.com and a.com share the prior")
+    assert(out(3L) == ((Some(7.0), Some(1L))))
+    assert(out(4L) == ((None, None)), "unparseable url carries null priors")
+    // column shape: original + the two prior columns
+    val cols = UrlCuration.withDomainPrior(df, "url", "score").columns.toSeq
+    assert(cols == Seq("id", "url", "score", "domain_prior", "domain_docs"), cols.toString)
+  }
+
   test("capPerDomain: under-cap corpus returns unchanged (no hot set, no extra work)") {
     val capped = UrlCuration.capPerDomain(skewed, "url", "id", maxPerDomain = 60)
     assert(capped.count() == 90L)
