@@ -58,24 +58,56 @@ object DataSkipping {
     least(greatest(coalesce(wb, lit(1L)) - 1L, lit(0L)), lit((buckets - 1).toLong))
   }
 
+  /** Quantile bucket rank: boundaries from `approxQuantile` (one
+    * bounded job, ≤ 2^bits-1 doubles on the driver), rank = how many
+    * boundaries the value clears — equal-POPULATION buckets, so a
+    * heavily skewed column still discriminates (a linear rank puts
+    * 90% of a zipf column in bucket 0 and its dimension stops pruning
+    * anything inside the dense mass). The per-row cost is a fold over
+    * the boundary literal — trivial comparisons, bounded by 2^bits;
+    * keep bits modest (≤ 8) for quantile ranks. */
+  def quantileRank(df: DataFrame, c: String, bits: Int,
+                   relativeError: Double = 0.001): Column = {
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(c, probs, relativeError).distinct.sorted
+    val arr = array(bounds.map(lit(_)): _*)
+    val raw = aggregate(arr, lit(0),
+      (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      .cast("long")
+    // rescale to the FULL [0, buckets) range: heavy ties collapse the
+    // distinct boundary list, and a column whose ranks occupy only the
+    // low values would surrender every high-order interleaved bit to
+    // the other dimensions (its selectivity would never reach file
+    // granularity)
+    raw * (buckets - 1).toLong / bounds.length.toLong
+  }
+
   /**
    * Re-layout `df` Z-ordered on `cols` and write it as `files` parquet
-   * files at `path`. One min/max aggregate job + one range exchange.
+   * files at `path`. One bounded fit job (min/max, or approx-quantiles
+   * when `quantileRanks` — the skew-robust mode) + one range exchange.
    * Files are written in Morton-key order, each covering a compact
    * hyper-rectangle-ish region, so every layout column's min/max
    * footer stats are tight.
    */
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
-                  files: Int, bits: Int = 12): Unit = {
+                  files: Int, bits: Int = 12,
+                  quantileRanks: Boolean = false): Unit = {
     require(cols.nonEmpty, "zorderWrite: at least one layout column")
-    val stats = df.agg(
-      array(cols.flatMap(c =>
-        Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).as("s"))
-      .head().getSeq[Double](0)
-    val ranks = cols.zipWithIndex.map { case (c, i) =>
-      linearRank(col(c), stats(2 * i), stats(2 * i + 1), bits)
-    }
-    df.withColumn("_zkey", zorderKey(ranks, bits))
+    val ranks =
+      if (quantileRanks) cols.map(c => quantileRank(df, c, math.min(bits, 8)))
+      else {
+        val stats = df.agg(
+          array(cols.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*).as("s"))
+          .head().getSeq[Double](0)
+        cols.zipWithIndex.map { case (c, i) =>
+          linearRank(col(c), stats(2 * i), stats(2 * i + 1), bits)
+        }
+      }
+    val effBits = if (quantileRanks) math.min(bits, 8) else bits
+    df.withColumn("_zkey", zorderKey(ranks, effBits))
       .repartitionByRange(files, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")

@@ -77,6 +77,41 @@ class DataSkippingSpec extends SparkSpec {
       spark.read.parquet(linDir).where(xs && ys).count())
   }
 
+  test("quantile ranks keep a SKEWED column discriminating where linear ranks collapse") {
+    // zipf-ish x: 90% of rows in [0, 10), a thin tail to 1e6 — a
+    // linear (min/max) rank puts the dense mass in bucket 0 and the
+    // x-dimension stops pruning anything inside it
+    val n = 65536
+    val grid = spark.range(n.toLong).select(
+      when(col("id") % 10 < 9, col("id") % 10)
+        .otherwise((col("id") % 1000L) * 1000L).cast("double").as("x"),
+      (col("id") % 256).cast("int").as("y"))
+
+    // 64 files so the x dimension keeps 3 bits of discrimination at
+    // file granularity (16 files would leave it only 2)
+    val qDir = tmpDir("zq_") + "/t"
+    DataSkipping.zorderWrite(grid, Seq("x", "y"), qDir, files = 64, bits = 8,
+      quantileRanks = true)
+    val lDir = tmpDir("zl_") + "/t"
+    DataSkipping.zorderWrite(grid, Seq("x", "y"), lDir, files = 64, bits = 8)
+
+    // a filter INSIDE the dense mass selecting ~2/9 of all rows
+    val pred = col("x") < 2.0
+    def read(path: String): Long = {
+      val q = spark.read.parquet(path).where(pred)
+      q.collect()
+      fileScans(q).map(_.metrics("numOutputRows").value).sum
+    }
+    val lin = read(lDir); val quant = read(qDir)
+    assert(lin >= (n * 0.85).toLong,
+      s"linear ranks cannot prune inside the dense mass: $lin of $n")
+    assert(quant <= n / 2,
+      s"quantile ranks must keep pruning inside the dense mass: $quant of $n")
+    // identical answers either way
+    assert(spark.read.parquet(qDir).where(pred).count() ==
+      spark.read.parquet(lDir).where(pred).count())
+  }
+
   test("parquet Bloom filters prune point lookups on an unsorted high-cardinality column") {
     // ids shuffled so every row group's min/max covers ~the full range:
     // stats-based pruning is impossible by construction, only the
