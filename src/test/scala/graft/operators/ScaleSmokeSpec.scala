@@ -114,4 +114,27 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(zero.length >= 9, s"expected >= 9 partners for vec 0, got ${zero.length}")
     assert(zero.forall(_.getDouble(2) == 1.0d), "identical-vector stars must carry cosine 1")
   }
+
+  test("domain cap at 10x mega-domain skew: minority path, exact cap, tail untouched", Slow) {
+    // crawl shape: ONE domain holds half the corpus, a long tail holds
+    // the rest — the regime the two-pass cap exists for
+    val withUrl = docs10x.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("https://megafarm.com/p/"))
+        .otherwise(concat(lit("https://site"), col("doc_id") % 5000, lit(".org/p/")))
+        .as("_u"))
+      .select(col("doc_id"), concat(col("_u"), col("doc_id")).as("url"))
+    val total = withUrl.count()
+    val capped = UrlCuration.capPerDomain(withUrl, "url", "doc_id", maxPerDomain = 100)
+    val byDom = capped
+      .withColumn("d", UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))))
+      .groupBy("d").count()
+    val mega = byDom.where(col("d") === "megafarm.com").head().getLong(1)
+    assert(mega == 100L, s"mega-domain trimmed to exactly the cap: $mega")
+    // the tail (~5000 domains of ~total/2/5000 ≈ 60 docs each) passes whole
+    val megaTotal = withUrl.where(col("doc_id") % 2 === 0).count()
+    val tailDocs = byDom.where(col("d") =!= "megafarm.com")
+      .agg(sum("count")).head().getLong(0)
+    assert(tailDocs == total - megaTotal,
+      s"under-cap tail must pass untouched: $tailDocs of ${total - megaTotal}")
+  }
 }
