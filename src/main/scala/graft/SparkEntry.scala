@@ -585,6 +585,21 @@ object SparkEntry {
           UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))).as("domain"))
     }),
 
+    "q_validate" -> ((s, dir) => {
+      // rule-based data-quality validation: per-doc failed-rule list
+      // (null verdicts violate) + valid flag; rules chosen so real
+      // rows fail each rule (zh/es langs, short docs). Oracle replays
+      // the rules and the deterministic rule order
+      import graft.operators.Validate
+      val rules = Seq(
+        Validate.Rule("min_len", col("n_chars") >= 100),
+        Validate.Rule("known_lang", col("lang").isin("en", "de", "fr")),
+        Validate.Rule("has_source", col("source").isNotNull))
+      Validate.annotate(t(s, dir, "documents"), rules)
+        .select(col("doc_id"), array_join(col("violations"), ",").as("violations"),
+          (size(col("violations")) === 0).as("valid"))
+    }),
+
     "q_domain_prior" -> ((s, dir) => {
       // domain-level reputation: per-registered-domain mean score +
       // doc count annotated back onto every doc (one longs-only
@@ -1780,6 +1795,19 @@ object SparkEntry {
       // content preservation through the z-order re-layout (the
       // driver compare is order-insensitive)
       "SELECT event_id, user_id FROM events",
+
+    "q_validate" ->
+      // replays the three rules and the deterministic rule order;
+      // null verdicts violate (coalesce false)
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN coalesce(n_chars >= 100, false) THEN NULL ELSE 'min_len' END,
+        |    CASE WHEN coalesce(lang IN ('en','de','fr'), false) THEN NULL ELSE 'known_lang' END,
+        |    CASE WHEN coalesce(source IS NOT NULL, false) THEN NULL ELSE 'has_source' END],
+        |    x -> x IS NOT NULL), ','), '') AS violations,
+        |  coalesce(n_chars >= 100, false) AND coalesce(lang IN ('en','de','fr'), false)
+        |    AND source IS NOT NULL AS valid
+        |FROM documents""".stripMargin,
 
     "q_domain_prior" ->
       // same URL synthesis + eTLD+1 regex as q_url_filter (no port
