@@ -585,6 +585,22 @@ object SparkEntry {
           UrlCuration.registeredDomain(UrlCuration.urlHost(col("url"))).as("domain"))
     }),
 
+    "q_token_drift" -> ((s, dir) => {
+      // distribution drift alarm: current slice = the corpus with
+      // injected boilerplate on every 5th doc (the scraper-bug
+      // scenario); the drifted token must surface as the top mover.
+      // Oracle replays both add-one fits, the union-vocab OOV floors
+      // and the (delta desc, token asc) ranking
+      val ref = docs(s, dir)
+      val cur = ref.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, " driftbug driftbug").otherwise("")).as("text"))
+      graft.operators.Drift.report(s, cur, ref, "text", k = 20)
+        .select(col("token"),
+          round(col("pCur"), 6).as("p_cur"), round(col("pRef"), 6).as("p_ref"),
+          round(col("logRatio"), 6).as("log_ratio"))
+    }),
+
     "q_validate" -> ((s, dir) => {
       // rule-based data-quality validation: per-doc failed-rule list
       // (null verdicts violate) + valid flag; rules chosen so real
@@ -1795,6 +1811,37 @@ object SparkEntry {
       // content preservation through the z-order re-layout (the
       // driver compare is order-insensitive)
       "SELECT event_id, user_id FROM events",
+
+    "q_token_drift" ->
+      // both add-one fits + union vocab + OOV floors + ranking by
+      // (|p_cur - p_ref| desc, token asc) — delta is pure division
+      // arithmetic, so the rank boundary is engine-stable
+      """WITH cur_docs AS (
+        |  SELECT text || CASE WHEN doc_id % 5 = 0 THEN ' driftbug driftbug' ELSE '' END AS t
+        |  FROM documents),
+        |cur_toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(t)), '\s+')) AS tok
+        |  FROM cur_docs),
+        |ref_toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cur_counts AS (SELECT tok, count(*) AS n FROM cur_toks WHERE tok != '' GROUP BY tok),
+        |ref_counts AS (SELECT tok, count(*) AS n FROM ref_toks WHERE tok != '' GROUP BY tok),
+        |cur_stats AS (SELECT sum(n) + count(*) + 1 AS denom FROM cur_counts),
+        |ref_stats AS (SELECT sum(n) + count(*) + 1 AS denom FROM ref_counts),
+        |joined AS (
+        |  SELECT coalesce(c.tok, r.tok) AS token,
+        |    exp(ln((coalesce(c.n, 0) + 1.0) / cs.denom)) AS p_cur,
+        |    exp(ln((coalesce(r.n, 0) + 1.0) / rs.denom)) AS p_ref,
+        |    ln((coalesce(c.n, 0) + 1.0) / cs.denom)
+        |      - ln((coalesce(r.n, 0) + 1.0) / rs.denom) AS log_ratio
+        |  FROM cur_counts c FULL OUTER JOIN ref_counts r ON c.tok = r.tok,
+        |    cur_stats cs, ref_stats rs)
+        |SELECT token, round(p_cur, 6) AS p_cur, round(p_ref, 6) AS p_ref,
+        |  round(log_ratio, 6) AS log_ratio
+        |FROM joined
+        |ORDER BY abs(p_cur - p_ref) DESC, token
+        |LIMIT 20""".stripMargin,
 
     "q_validate" ->
       // replays the three rules and the deterministic rule order;
