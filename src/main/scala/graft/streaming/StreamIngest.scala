@@ -146,6 +146,42 @@ object StreamIngest {
       .start()
 
   /**
+   * Streaming summary sketches: every micro-batch appends ONE sketch
+   * row per group (HLL distinct + KLL values, a few KB) to a summary
+   * table — the stream-side producer for [[graft.pipeline
+   * .SummaryQueries]]-style range merges. Because both sketches are
+   * mergeable, per-BATCH rows are just a finer-grained partition of
+   * the same summary: a dashboard unions whatever rows exist, and a
+   * periodic batch job can roll batches up into dailies
+   * (`SketchAnalytics.mergeSketches`) without touching data. State
+   * lives in the summary table, not the streaming store — the
+   * aggregation inside each batch is a plain bounded batch aggregate.
+   */
+  def summarySketchStream(docs: DataFrame, checkpoint: String,
+                          distinctCol: String, valueCol: String,
+                          groupCols: Seq[String], summaryPath: String,
+                          lgK: Int = 12, kllK: Int = 200): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.expr.GraftFunctions.ensure(batch.sparkSession)
+          val aggs = Seq(
+            hll_sketch_agg(col(distinctCol), lit(lgK)).as("distinct_sketch"),
+            graft.expr.GraftFunctions.kllSketchAgg(col(valueCol), kllK).as("value_sketch"))
+          val grouped =
+            if (groupCols.isEmpty) batch.agg(aggs.head, aggs.tail: _*)
+            else batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          grouped.withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(summaryPath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /**
    * Stream → metastore: each micro-batch appends into the ByDay
    * table's info-date partitions derived from the event-time column
    * (a batch spanning midnight lands in both days). Downstream batch

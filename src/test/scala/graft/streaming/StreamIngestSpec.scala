@@ -147,6 +147,40 @@ class StreamIngestSpec extends SparkSpec {
       s"index rows: $indexed")
   }
 
+  test("summarySketchStream: per-batch sketch rows merge to the exact whole-stream answer") {
+    val dir = tmpDir("ssketch_")
+    val checkpoint = tmpDir("ssketch_cp_")
+    val summary = tmpDir("ssketch_out_") + "/summary"
+    val schema = StructType(Seq(
+      StructField("user", StringType), StructField("value", DoubleType)))
+
+    def run(): Unit = {
+      val q = StreamIngest.summarySketchStream(
+        StreamIngest.fileStream(spark, dir, schema), checkpoint,
+        distinctCol = "user", valueCol = "value", groupCols = Nil, summary)
+      q.processAllAvailable(); q.stop()
+    }
+    // two batches with overlapping users
+    (0 until 60).map(u => (s"u$u", u.toDouble)).toDF("user", "value")
+      .write.mode("overwrite").parquet(dir)
+    run()
+    (30 until 90).map(u => (s"u$u", u.toDouble)).toDF("user", "value")
+      .write.mode("append").parquet(dir)
+    run()
+
+    val rows = spark.read.parquet(summary)
+    assert(rows.count() == 2, "one sketch row per non-empty batch")
+    // distinct users across batches: 90 exactly (overlap collapses)
+    val est = graft.operators.SketchAnalytics.estimateDistinct(rows, Nil, "distinct_sketch")
+      .as[Long].head()
+    assert(est == 90L, s"merged distinct: $est")
+    // median over the union multiset (0..59 ++ 30..89, 120 values):
+    // sketches are exact below compaction, INCLUSIVE rank 60 -> 44.0
+    val p50 = graft.operators.SketchAnalytics.estimateQuantiles(
+      rows, Nil, Seq(0.5), "value_sketch").head().getDouble(0)
+    assert(p50 == 44.0 || p50 == 45.0, s"median of the union multiset: $p50")
+  }
+
   test("S7 streaming session_window closes sessions at the gap") {
     val dir = tmpDir("sess_")
     val schema = StructType(Seq(
