@@ -79,6 +79,47 @@ class PipelineConfigSpec extends SparkSpec {
     assert(out.getAs[Double]("total") == 20.0) // 2+4+6+8
   }
 
+  test("config-declared validation + summary stages run end-to-end by FQCN") {
+    val base = tmpDir("plv_")
+    val conf =
+      s"""pipeline.name = quality
+         |table.numbers.path = $base/numbers
+         |table.clean.path = $base/clean
+         |table.summary.path = $base/summary
+         |job.1.output = numbers
+         |job.1.transformer = graft.pipeline.SeedNumbersTransformer
+         |job.1.option.n = 6
+         |job.2.output = clean
+         |job.2.transformer = graft.pipeline.ValidationTransformer
+         |job.2.inputs = numbers
+         |job.2.option.input.table = numbers
+         |job.2.option.mode = filter
+         |job.2.option.rule.small = amount <= 8
+         |job.3.output = summary
+         |job.3.transformer = graft.pipeline.SummaryTransformer
+         |job.3.inputs = clean
+         |job.3.option.input.table = clean
+         |job.3.option.value.column = amount
+         |""".stripMargin
+    val path = s"$base/pipeline.conf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), conf.getBytes("UTF-8"))
+
+    val parsed = PipelineConfig.load(path)
+    val results = PipelineConfig.run(spark, parsed, runDate)
+    assert(results.forall(_.isInstanceOf[TaskResult.Succeeded]), s"results: $results")
+
+    val ms = new graft.meta.Metastore(spark)
+    parsed.tables.foreach(ms.register)
+    // seed amounts 2,4,6,8,10,12: the rule keeps 4 rows
+    assert(ms.getTable("clean", Some(runDate), Some(runDate)).count() == 4)
+    val sk = ms.getTable("summary", Some(runDate), Some(runDate))
+    assert(sk.count() == 1 && sk.columns.contains("value_sketch"))
+    graft.expr.GraftFunctions.ensure(spark)
+    val p50 = graft.operators.SketchAnalytics.estimateQuantiles(
+      sk, Nil, Seq(1.0), "value_sketch").head().getDouble(0)
+    assert(p50 == 8.0, s"summary sketch over the VALIDATED rows: max=$p50")
+  }
+
   test("bookkeeping.path makes pipeline state durable across invocations") {
     val base = tmpDir("plbk_")
     val parsed = PipelineConfig.parse(
