@@ -110,12 +110,17 @@ case class ApproxTopItems(
 
   override def eval(buf: java.util.HashMap[String, Long]): Any = {
     import scala.jdk.CollectionConverters._
+    // tie-break in UTF8String BINARY order, not Java String UTF-16
+    // code-unit order — supplementary-plane characters sort
+    // differently between the two, and the k-cutoff must agree with
+    // TopKRows re-ranks and SQL ORDER BY on the same items
     val top = buf.entrySet().asScala.toArray
-      .sortBy(e => (-e.getValue, e.getKey))
-      .take(k)
-      .map { e =>
-        proj(InternalRow(UTF8String.fromString(e.getKey), e.getValue)).copy()
+      .map(e => (e.getKey, UTF8String.fromString(e.getKey), e.getValue))
+      .sortWith { case ((_, ua, ca), (_, ub, cb)) =>
+        ca > cb || (ca == cb && ua.compareTo(ub) < 0)
       }
+      .take(k)
+      .map { case (_, u, c) => proj(InternalRow(u, c)).copy() }
     new GenericArrayData(top.asInstanceOf[Array[Any]])
   }
 

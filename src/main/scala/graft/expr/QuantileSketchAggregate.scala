@@ -77,12 +77,16 @@ case class KllSketchAgg(
   override def prettyName: String = "kll_sketch_agg"
 }
 
-/** Merge previously-serialized KLL sketch rows into one sketch. */
+/** Merge previously-serialized KLL sketch rows into one sketch. The
+  * buffer adopts the FIRST input sketch's k (a fresh default-k buffer
+  * would silently downgrade higher-k sketches merged through it —
+  * DataSketches merge takes the coarser k), so range merges preserve
+  * whatever accuracy the producers configured. */
 case class KllMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllMergeAgg.Buffer] with UnaryLike[Expression] {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -93,24 +97,39 @@ case class KllMergeAgg(
       s"kll_merge_agg expects a serialized sketch (binary), got ${other.sql}")
   }
 
-  override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+  override def createAggregationBuffer(): KllMergeAgg.Buffer = new KllMergeAgg.Buffer(null)
 
-  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+  override def update(buf: KllMergeAgg.Buffer, input: InternalRow): KllMergeAgg.Buffer = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null) {
+      val in = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      if (buf.sk == null) buf.sk = in   // heapify returns an owned heap copy
+      else buf.sk.merge(in)
+    }
     buf
   }
 
-  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
-    buf.merge(other); buf
+  override def merge(buf: KllMergeAgg.Buffer, other: KllMergeAgg.Buffer): KllMergeAgg.Buffer = {
+    if (other.sk != null) {
+      if (buf.sk == null) buf.sk = other.sk
+      else buf.sk.merge(other.sk)
+    }
+    buf
   }
 
-  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
-  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(storage: Array[Byte]): KllDoublesSketch =
-    KllDoublesSketch.heapify(Memory.wrap(storage))
+  private def orEmpty(buf: KllMergeAgg.Buffer): KllDoublesSketch =
+    if (buf.sk == null) KllDoublesSketch.newHeapInstance() else buf.sk
+
+  override def eval(buf: KllMergeAgg.Buffer): Any = orEmpty(buf).toByteArray
+  // a no-input buffer serializes as a zero-byte marker, NOT an empty
+  // default-k sketch — merging a real sketch into a default-k shell on
+  // the final side would re-introduce the downgrade this class exists
+  // to prevent
+  override def serialize(buf: KllMergeAgg.Buffer): Array[Byte] =
+    if (buf.sk == null) Array.emptyByteArray else buf.sk.toByteArray
+  override def deserialize(storage: Array[Byte]): KllMergeAgg.Buffer =
+    if (storage.isEmpty) new KllMergeAgg.Buffer(null)
+    else new KllMergeAgg.Buffer(KllDoublesSketch.heapify(Memory.wrap(storage)))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -119,6 +138,13 @@ case class KllMergeAgg(
   override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
     copy(child = newChild)
   override def prettyName: String = "kll_merge_agg"
+}
+
+object KllMergeAgg {
+  /** Mutable holder so the k of the first REAL sketch can be adopted
+    * lazily (the aggregate contract fixes the buffer object at
+    * creation time, before any input is seen). */
+  final class Buffer(var sk: KllDoublesSketch)
 }
 
 /** `kll_quantile(sketchBinary, p)` → the value at normalized rank p

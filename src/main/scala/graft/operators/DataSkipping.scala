@@ -70,7 +70,18 @@ object DataSkipping {
                    relativeError: Double = 0.001): Column = {
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(c, probs, relativeError).distinct.sorted
+    rankFromBounds(c, df.stat.approxQuantile(c, probs, relativeError), bits)
+  }
+
+  /** Rank from precomputed quantile boundaries (see [[quantileRank]];
+    * [[zorderWrite]] fits every column's boundaries in ONE pass). */
+  private def rankFromBounds(c: String, rawBounds: Array[Double], bits: Int): Column = {
+    val buckets = 1 << bits
+    val bounds = rawBounds.distinct.sorted
+    // an all-null (or empty) column has no boundaries and no
+    // information — a constant rank keeps the key total and the
+    // arithmetic below divide-by-zero-free
+    if (bounds.isEmpty) return lit(0L)
     val arr = array(bounds.map(lit(_)): _*)
     val raw = aggregate(arr, lit(0),
       (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
@@ -96,7 +107,14 @@ object DataSkipping {
                   quantileRanks: Boolean = false): Unit = {
     require(cols.nonEmpty, "zorderWrite: at least one layout column")
     val ranks =
-      if (quantileRanks) cols.map(c => quantileRank(df, c, math.min(bits, 8)))
+      if (quantileRanks) {
+        val qBits = math.min(bits, 8)
+        val probs = (1 until (1 << qBits)).map(_.toDouble / (1 << qBits)).toArray
+        // ONE pass fits every column's boundaries (the per-column
+        // overload would scan the corpus once per layout column)
+        val allBounds = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+        cols.zip(allBounds).map { case (c, b) => rankFromBounds(c, b, qBits) }
+      }
       else {
         val stats = df.agg(
           array(cols.flatMap(c =>

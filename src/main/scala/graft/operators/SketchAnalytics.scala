@@ -71,13 +71,22 @@ object SketchAnalytics {
                         probs: Seq[Double],
                         sketchCol: String = "sketch"): DataFrame = {
     graft.expr.GraftFunctions.ensure(sketches.sparkSession)
+    // faithful, collision-free labels: p50, p99, p99_9 — integer
+    // rounding would label 0.999 as "p100" and collide with 1.0
+    def label(p: Double): String = {
+      val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      "p" + s.replace(".", "_").replace("-", "m")
+    }
+    val labels = probs.map(label)
+    require(labels.distinct.size == labels.size,
+      s"estimateQuantiles: duplicate probabilities: $probs")
     val merged = graft.expr.GraftFunctions.kllMergeAgg(col(sketchCol)).as("_m")
     val aggregated =
       if (groupCols.isEmpty) sketches.agg(merged)
       else sketches.groupBy(groupCols.map(col): _*).agg(merged)
-    val qCols = probs.map(p =>
-      graft.expr.GraftFunctions.kllQuantile(col("_m"), p)
-        .as(s"p${(p * 100).round}"))
+    val qCols = probs.zip(labels).map { case (p, l) =>
+      graft.expr.GraftFunctions.kllQuantile(col("_m"), p).as(l)
+    }
     aggregated.select(groupCols.map(col) ++ qCols: _*)
   }
 

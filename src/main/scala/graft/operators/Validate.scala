@@ -44,13 +44,20 @@ object Validate {
     * embeds. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Validate: at least one rule")
-    val aggs = rules.map(r =>
-      sum(when(coalesce(r.expr, lit(false)), 0L).otherwise(1L)).as(r.name))
-    val wide = df.agg(count(lit(1)).as("total_rows"), aggs: _*)
+    // synthetic internal aliases: rule names are user input — a dotted
+    // name ("min.len", the repo's option-key convention) would be
+    // re-parsed as a struct path by col(), and a rule named
+    // "total_rows" would collide with the count alias
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(coalesce(r.expr, lit(false)), 0L).otherwise(1L)).as(s"_r$i")
+    }
+    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
     // long format: one row per rule, stable order
-    val pairs = rules.map(r => struct(lit(r.name).as("rule"), col(r.name).as("bad_rows")))
-    wide.select(col("total_rows"), explode(array(pairs: _*)).as("_e"))
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"_r$i").as("bad_rows"))
+    }
+    wide.select(col("_total"), explode(array(pairs: _*)).as("_e"))
       .select(col("_e.rule").as("rule"), col("_e.bad_rows").as("bad_rows"),
-        col("total_rows"))
+        col("_total").as("total_rows"))
   }
 }

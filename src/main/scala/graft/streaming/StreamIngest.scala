@@ -156,6 +156,10 @@ object StreamIngest {
    * (`SketchAnalytics.mergeSketches`) without touching data. State
    * lives in the summary table, not the streaming store — the
    * aggregation inside each batch is a plain bounded batch aggregate.
+   * Each batch OVERWRITES its own `batch_id=<id>` partition directory,
+   * so a checkpoint replay (foreachBatch is at-least-once) rewrites
+   * the same rows instead of appending duplicates — exactly-once
+   * summary rows without a transaction log.
    */
   def summarySketchStream(docs: DataFrame, checkpoint: String,
                           distinctCol: String, valueCol: String,
@@ -173,8 +177,10 @@ object StreamIngest {
           val grouped =
             if (groupCols.isEmpty) batch.agg(aggs.head, aggs.tail: _*)
             else batch.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          grouped.withColumn("batch_id", lit(batchId))
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(summaryPath)
+          // batch_id comes back as a partition column on read; the
+          // overwrite makes a replayed batch idempotent
+          grouped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$summaryPath/batch_id=$batchId")
         }
         ()
       }

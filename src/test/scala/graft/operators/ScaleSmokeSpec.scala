@@ -130,7 +130,8 @@ class ScaleSmokeSpec extends SparkSpec {
       .groupBy("d").count()
     val mega = byDom.where(col("d") === "megafarm.com").head().getLong(1)
     assert(mega == 100L, s"mega-domain trimmed to exactly the cap: $mega")
-    // the tail (~5000 domains of ~total/2/5000 ≈ 60 docs each) passes whole
+    // the tail (odd ids -> 2500 distinct site<k>.org domains, each far
+    // under the cap) passes whole
     val megaTotal = withUrl.where(col("doc_id") % 2 === 0).count()
     val tailDocs = byDom.where(col("d") =!= "megafarm.com")
       .agg(sum("count")).head().getLong(0)

@@ -130,6 +130,24 @@ class SketchAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("merging preserves the producers' k (no silent downgrade to the default)") {
+    // k=800 sketches carry ~2x the default accuracy; a merge buffer
+    // created at the default k=200 would adopt the coarser k and
+    // discard it. Exactness regime makes the check crisp: 300 values
+    // fit k=800 EXACTLY but overflow a k=200 sketch's exact region.
+    val rows = (0 until 300).map(i => (i % 3, i.toDouble)).toDF("day", "v")
+    val daily = SketchAnalytics.valueSketch(rows, "v", Seq("day"), k = 800)
+    val q = SketchAnalytics.estimateQuantiles(daily.repartition(5), Nil, Seq(0.5, 1.0))
+      .head()
+    // 0..299 merged exactly: INCLUSIVE median is the rank-150 order
+    // statistic, max is exact
+    assert(q.getDouble(0) == 149.0 || q.getDouble(0) == 150.0, s"median ${q.getDouble(0)}")
+    assert(q.getDouble(1) == 299.0)
+    // label scheme: fractional ranks don't collide or mislabel
+    val cols = SketchAnalytics.estimateQuantiles(daily, Nil, Seq(0.999, 1.0)).columns
+    assert(cols.toSeq == Seq("p99_9", "p100"), cols.toSeq.toString)
+  }
+
   test("value sketches: all-null group yields a null quantile, not an error") {
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", None))
       .toDF("g", "v")
