@@ -1198,6 +1198,20 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
     }),
 
+    "q_bm25_indexed" -> ((s, dir) => {
+      // BM25 from the PERSISTED term-bucketed index: build once
+      // (corpus scan), then score from pruned postings alone —
+      // hash-matched against the same exact-formula DuckDB twin as
+      // q_bm25, which never sees the index (so the round trip through
+      // bucketed parquet + derived stats must reproduce scan-time
+      // scores bit-for-bit at 4 decimals)
+      val path = metaPath("bm25_ix")
+      graft.operators.Bm25Index.write(docs(s, dir), "doc_id", "text", path,
+        numBuckets = 64)
+      graft.operators.Bm25Index.scores(s, path, Seq("stream", "merge", "window"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       // rows-only gate: product-quantized batched ANN — m-byte codes
       // (16x smaller than the float vectors here), per-query ADC dot
@@ -2502,6 +2516,29 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_bm25_indexed" ->
+      // the scan-time BM25 twin (same formula as q_bm25's oracle)
+      // over the index gate's query terms — the oracle never sees the
+      // index, so it cross-checks the persisted round trip
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+        |postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
+        |  WHERE term IN ('stream', 'merge', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+        |SELECT p.doc_id,
+        |  round(sum(
+        |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |    (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |  ), 4) AS bm25
+        |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
+        |GROUP BY p.doc_id""".stripMargin,
+
     "q_dedup_jaccard" ->
       """WITH toks0 AS (
         |  SELECT doc_id,
