@@ -1198,6 +1198,25 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
     }),
 
+    "q_hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical ranking + embedding cosine
+      // ranking fused by RRF (rank-only, so the incomparable score
+      // scales never touch). Both input rankings already have exact
+      // DuckDB twins; the oracle replays them plus the rank windows
+      // and the 1/(60+rank) sum
+      val lex = graft.operators.Ranking.bm25(docs(s, dir), "doc_id", "text",
+          Seq("stream", "vector"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(30)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      val sem = AnnSearch.bruteForce(emb, "embedding", "vec_id", q, 30)
+        .select(col("vec_id").as("doc_id"), col("cosine").as("s"))
+      graft.operators.Fusion.rrf(Seq(lex, sem), "doc_id", "s", k = 20)
+        .select(col("doc_id"), round(col("rrf"), 8).as("rrf"), col("n_lists"))
+    }),
+
     "q_bm25_indexed" -> ((s, dir) => {
       // BM25 from the PERSISTED term-bucketed index: build once
       // (corpus scan), then score from pruned postings alone —
@@ -2516,6 +2535,41 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_hybrid_search" ->
+      // replays both retrievers' exact formulas, the (rounded score
+      // desc, id) rank windows and the RRF sum
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+        |postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
+        |  WHERE term IN ('stream', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        |bm AS (
+        |  SELECT p.doc_id,
+        |    round(sum(
+        |      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |      (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |    ), 6) AS s
+        |  FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
+        |  GROUP BY p.doc_id ORDER BY s DESC, p.doc_id LIMIT 30),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS s
+        |  FROM embeddings ORDER BY s DESC, vec_id LIMIT 30),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM bm),
+        |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rk FROM sem),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT doc_id, round(sum(1.0 / (60 + rk)), 8) AS rrf,
+        |  count(*) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY sum(1.0 / (60 + rk)) DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_bm25_indexed" ->
       // the scan-time BM25 twin (same formula as q_bm25's oracle)
       // over the index gate's query terms — the oracle never sees the
