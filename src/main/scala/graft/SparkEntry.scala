@@ -1198,6 +1198,23 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
     }),
 
+    "q_snapshot_diff" -> ((s, dir) => {
+      // keyed snapshot diff: two synthesized "days" of orders (keys
+      // %11 missing from day 1, %7 missing from day 2, %13 repriced)
+      // must classify added/removed/changed exactly. The engine
+      // compares multiset row-hashes; the oracle derives the classes
+      // semantically — agreement means the hash path detects exactly
+      // the true changes
+      import graft.meta.SnapshotDiff
+      val o = t(s, dir, "orders")
+      val before = o.where(col("o_orderkey") % 11 =!= 0)
+      val after = o.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")))
+      SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+    }),
+
     "q_hybrid_search" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical ranking + embedding cosine
       // ranking fused by RRF (rank-only, so the incomparable score
@@ -2535,6 +2552,19 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      // semantic derivation of the change classes (no hashes): keys
+      // only in day 2 are added, only in day 1 removed, repriced keys
+      // present in both are changed
+      """SELECT o_orderkey, 'removed' AS change FROM orders
+        |WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |UNION ALL
+        |SELECT o_orderkey, 'added' FROM orders
+        |WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 != 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 != 0 AND o_orderkey % 11 != 0""".stripMargin,
+
     "q_hybrid_search" ->
       // replays both retrievers' exact formulas, the (rounded score
       // desc, id) rank windows and the RRF sum
