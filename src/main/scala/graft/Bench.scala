@@ -57,8 +57,10 @@ object Bench {
     "q_substring_dedup", "q_curation_funnel", "q_bigram_ppl",
     "q_decontam_semantic",
     // r13 scale-surface additions: domain cap (two-pass minority
-    // shuffle) and the Misra-Gries heavy-hitters summary
-    "q_url_filter", "q_freq_items")
+    // shuffle), the Misra-Gries heavy-hitters summary, the persisted
+    // BM25 index (build + pruned probe end to end) and the keyed
+    // snapshot diff (two 10x-orders sides through one full outer join)
+    "q_url_filter", "q_freq_items", "q_bm25_indexed", "q_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,9 +43,9 @@ object SparkEntry {
    * and q_dedup_embed exercise the production ≥0.9 regime with
    * non-vacuous prune/pair counts. Fully row-local (one projection, no
    * shuffle, no RNG: noise is sin(id·131 + i·17)). */
-  private def withPlantedNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                                  every: Int = 10, idOffset: Long = 1000000L,
-                                  eps: Double = 0.3): DataFrame = {
+  private[graft] def withPlantedNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                                         every: Int = 10, idOffset: Long = 1000000L,
+                                         eps: Double = 0.3): DataFrame = {
     val base = emb.select(col(idCol), col(vecCol))
     val rms = sqrt(aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x * x)
       / size(col(vecCol)))
@@ -1161,6 +1161,20 @@ object SparkEntry {
       stubbed.unionByName(realImg).unionByName(realWav)
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 2), 4).as("f2"))
+    }),
+
+    "q_pca_ann" -> ((s, dir) => {
+      // rows-only gate (eigendecomposition isn't SQL-replayable): PCA
+      // fit on a hash-ordered sample, row-local native projection,
+      // then ANN in the 16-dim space — the whole reduce-then-search
+      // composition end to end (geometry contracts in EmbeddingOpsSpec)
+      import graft.operators.EmbeddingOps
+      val emb = t(s, dir, "embeddings")
+      val m = EmbeddingOps.fitPca(emb, "embedding", "vec_id", k = 16)
+      val reduced = EmbeddingOps.projectTable(emb, "embedding", m).localCheckpoint(true)
+      val q = reduced.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      AnnSearch.bruteForce(reduced, "embedding", "vec_id", q, 20)
     }),
 
     "q_ann_lsh" -> ((s, dir) => {

@@ -278,6 +278,18 @@ object GraftFunctions {
         require(children.length == 1, s"vector_sum expects 1 argument, got ${children.length}")
         VectorSum(children(0))
       }),
+    ("mat_vec_mul",
+      new ExpressionInfo(classOf[MatVecMul].getName, "mat_vec_mul"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"mat_vec_mul expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            e.eval().asInstanceOf[Array[Byte]]
+          case other => throw new IllegalArgumentException(
+            s"mat_vec_mul: matrix must be a binary literal, got $other")
+        }
+        MatVecMul(children(0), bytes)
+      }),
     ("kll_sketch_agg",
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
       (children: Seq[Expression]) => {
@@ -481,6 +493,9 @@ object GraftFunctions {
   def approxTopItems(item: Column, k: Int, capacity: Int): Column =
     call_function("approx_top_items", item,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(capacity))
+  def matVecMul(vec: Column, matrixBytes: Array[Byte]): Column =
+    call_function("mat_vec_mul", vec,
+      org.apache.spark.sql.functions.lit(matrixBytes))
   def kllSketchAgg(value: Column, k: Int = 200): Column =
     call_function("kll_sketch_agg", value, org.apache.spark.sql.functions.lit(k))
   def kllMergeAgg(sketch: Column): Column = call_function("kll_merge_agg", sketch)

@@ -183,7 +183,7 @@ class VectorExpressionsSpec extends SparkSpec {
   test("SparkSessionExtensions injector exposes the same builders") {
     assert(GraftFunctions.all.map(_._1) ==
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
-        "vector_sum", "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
+        "vector_sum", "mat_vec_mul", "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
         "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
         "deflate_ratio", "token_window_hashes", "max_cosine_sim", "bpe_encode",
         "bloom_might_contain", "lsh_buckets"))
