@@ -110,6 +110,22 @@ class UrlCurationSpec extends SparkSpec {
     assert(cols == Seq("id", "url", "score", "domain_prior", "domain_docs"), cols.toString)
   }
 
+  test("plan shapes: cap's kept-id join and the prior join broadcast; no sort-merge join") {
+    val capped = UrlCuration.capPerDomain(skewed, "url", "id", 10)
+    capped.collect()
+    val capPlan = capped.queryExecution.executedPlan.toString
+    assert(!capPlan.contains("SortMergeJoin"),
+      s"hot-domain kept ids must broadcast, not shuffle the corpus:\n$capPlan")
+    assert(capPlan.contains("BroadcastHashJoin"), capPlan)
+
+    val withScores = skewed.withColumn("score", (col("id") % 7).cast("double"))
+    val priored = UrlCuration.withDomainPrior(withScores, "url", "score")
+    priored.collect()
+    val priorPlan = priored.queryExecution.executedPlan.toString
+    assert(!priorPlan.contains("SortMergeJoin"),
+      s"the per-domain prior table must broadcast back:\n$priorPlan")
+  }
+
   test("capPerDomain: under-cap corpus returns unchanged (no hot set, no extra work)") {
     val capped = UrlCuration.capPerDomain(skewed, "url", "id", maxPerDomain = 60)
     assert(capped.count() == 90L)
