@@ -1212,6 +1212,17 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
     }),
 
+    "q_sample_per_key" -> ((s, dir) => {
+      // exact-n-per-language uniform sample through the bounded heap
+      // (the class-balancing primitive); ranked by the ANSI-replayable
+      // multiplicative hash so DuckDB replays the draw exactly
+      val key = pmod(col("doc_id") * 2654435761L, lit(4294967296L)).cast("double")
+      graft.operators.Sampling.samplePerKey(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", n = 30, orderKey = Some(key))
+        .select("doc_id", "lang")
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // keyed snapshot diff: two synthesized "days" of orders (keys
       // %11 missing from day 1, %7 missing from day 2, %13 repriced)
@@ -2566,6 +2577,15 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_sample_per_key" ->
+      // replays the multiplicative-hash rank within each language
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 30""".stripMargin,
+
     "q_snapshot_diff" ->
       // semantic derivation of the change classes (no hashes): keys
       // only in day 2 are added, only in day 1 removed, repriced keys

@@ -107,6 +107,38 @@ object Sampling {
   }
 
   /**
+   * Uniform WITHOUT-replacement sample of exactly `n` rows per key
+   * (class/language/source balancing — "30k docs per language"): keep
+   * the n smallest `xxhash64(seed, id)` keys per group, which is a
+   * uniform draw, deterministic per seed, and independent of
+   * partitioning. The scale path vs [[capPerKey]]'s window: the
+   * `top_k_rows` heap bounds the shuffle at ≤ n rows per key per
+   * partition instead of sorting every key's full row set in one
+   * reducer — a 10⁹-doc language costs the same shuffle as a 10⁴-doc
+   * one. Contract: keys are FEW (classes, not domains) — the kept-id
+   * set (n × keys) broadcasts into the semi join; for millions of
+   * keys use [[capPerKey]] with a hash order column instead.
+   * `orderKey` overrides the ranking key (the capPerDomain precedent:
+   * an ANSI-replayable key keeps oracle gates possible).
+   */
+  def samplePerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+                   seed: Long = 42L, orderKey: Option[Column] = None): DataFrame = {
+    require(n > 0, s"samplePerKey: n must be positive, got $n")
+    graft.expr.GraftFunctions.ensure(df.sparkSession)
+    val key = orderKey.getOrElse(xxhash64(lit(seed), col(idCol)))
+    val kept = df
+      // cast BEFORE negating: -Long.MinValue overflows under ANSI;
+      // the double rounding (hashes within 1 ulp collide) only merges
+      // score ties, which the id tie-break resolves deterministically
+      .select(col(keyCol), struct((key.cast("double") * -1.0d).as("score"), col(idCol)).as("_scored"))
+      .groupBy(col(keyCol))
+      .agg(graft.expr.GraftFunctions.topKRows(col("_scored"), n).as("_tk"))
+      .select(explode(col("_tk")).as("_e"))
+      .select(col("_e").getField(idCol).as("_kid"))
+    df.join(broadcast(kept), col(idCol) === col("_kid"), "left_semi")
+  }
+
+  /**
    * Cap each key's TOTAL BUDGET (token count, byte size) rather than
    * its row count — the curation form of "no domain dominates": rows
    * are taken in `orderCol` order while the running total stays

@@ -203,4 +203,30 @@ class SamplingSpec extends SparkSpec {
     val od = order(df, desc = true).map(tierOf)
     assert(od == od.sorted.reverse, "descending curriculum: best tier first")
   }
+
+  test("samplePerKey: exact n per key, deterministic, partition-independent, seed-sensitive, roughly uniform") {
+    val df = (0L until 3000L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val s1 = Sampling.samplePerKey(df, "key", "id", n = 100, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byKey = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byKey == Map("k0" -> 100, "k1" -> 100, "k2" -> 100), byKey.toString)
+
+    val s2 = Sampling.samplePerKey(df.repartition(17), "key", "id", 100, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq,
+      "the draw is a pure function of (ids, seed)")
+
+    val s3 = Sampling.samplePerKey(df, "key", "id", 100, seed = 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1.map(_._1).toSet, "a different seed draws a different sample")
+
+    // uniformity smoke: sampled-id mean near the population mean
+    val mean = s1.map(_._1).sum.toDouble / s1.length
+    assert(math.abs(mean - 1499.5) < 150, s"uniform draw mean: $mean")
+
+    // a key with fewer than n rows keeps everything
+    val small = Sampling.samplePerKey(
+      df.where(col("key") === "k0").limit(40), "key", "id", 100)
+    assert(small.count() == 40)
+  }
 }
