@@ -35,9 +35,15 @@ object EmbeddingOps {
 
   /** Fit on a hash-ordered sample of ≤ `sampleSize` vectors (ONE
     * bounded job for the sample + the distributed Gramian; the
-    * eigendecomposition is a driver-side d×d solve). */
+    * eigendecomposition is a driver-side d×d solve). `whiten` scales
+    * each component to unit sample variance (1/σ_i — measured on the
+    * projected sample, one extra bounded job), which is what
+    * quantizers downstream want: without it the first component
+    * dominates every k-means distance and the codebooks collapse
+    * onto it. Near-degenerate components (σ ≈ 0) are left unscaled —
+    * amplifying noise by 1/ε is worse than a non-unit variance. */
   def fitPca(emb: DataFrame, vecCol: String, idCol: String, k: Int,
-             sampleSize: Int = 10000): PcaModel = {
+             sampleSize: Int = 10000, whiten: Boolean = false): PcaModel = {
     require(k >= 1, s"fitPca: k must be >= 1, got $k")
     val sample = emb
       .select(col(idCol), col(vecCol))
@@ -58,7 +64,28 @@ object EmbeddingOps {
       val mean = mat.computeColumnSummaryStatistics().mean.toArray
       val pc = mat.computePrincipalComponents(k) // d×k, covariance centered internally
       val components = Array.tabulate(k)(c => Array.tabulate(d)(r => pc(r, c)))
-      PcaModel(mean, components)
+      if (!whiten) PcaModel(mean, components)
+      else {
+        // per-component stddev measured on the projected SAMPLE —
+        // robust to however the eigensolver normalizes, and exactly
+        // the variance the downstream data will exhibit
+        val raw = PcaModel(mean, components)
+        val projected = rows.map { v =>
+          val x = v.toArray
+          components.map(row =>
+            row.indices.map(i => (x(i) - mean(i)) * row(i)).sum)
+        }
+        val n = projected.count().toDouble
+        val sums = projected.aggregate(new Array[Double](2 * k))(
+          (acc, p) => { var i = 0; while (i < k) { acc(i) += p(i); acc(k + i) += p(i) * p(i); i += 1 }; acc },
+          (a, b) => { var i = 0; while (i < 2 * k) { a(i) += b(i); i += 1 }; a })
+        val scaled = components.zipWithIndex.map { case (row, i) =>
+          val varI = sums(k + i) / n - math.pow(sums(i) / n, 2)
+          val sd = math.sqrt(math.max(varI, 0.0))
+          if (sd < 1e-9) row else row.map(_ / sd)
+        }
+        PcaModel(mean, scaled)
+      }
     } finally { rows.unpersist(); () }
   }
 

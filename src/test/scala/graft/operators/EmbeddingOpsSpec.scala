@@ -64,6 +64,23 @@ class EmbeddingOpsSpec extends SparkSpec {
       s"serving must be one codegen'd scan:\n$plan")
   }
 
+  test("whitening: every projected component has unit variance (anisotropic input)") {
+    // strongly anisotropic 3D data: without whitening the first
+    // component's variance dwarfs the rest
+    val pts = (0 until 2000).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq((r.nextGaussian() * 50).toFloat,
+        (r.nextGaussian() * 5).toFloat, (r.nextGaussian() * 0.5).toFloat))
+    }.toDF("id", "vec")
+    val m = EmbeddingOps.fitPca(pts, "vec", "id", k = 3, whiten = true)
+    val proj = EmbeddingOps.projectTable(pts, "vec", m)
+    val vars = proj.select((0 until 3).map(i =>
+        variance(element_at(col("vec"), i + 1))): _*).head()
+    (0 until 3).foreach { i =>
+      assert(math.abs(vars.getDouble(i) - 1.0) < 0.15,
+        s"whitened component $i variance: ${vars.getDouble(i)}") }
+  }
+
   test("planted near-dups stay nearest neighbors in the reduced space") {
     // the synthetic corpus is near-isotropic (no low-rank structure to
     // preserve), so generic top-k overlap is the wrong contract; the
