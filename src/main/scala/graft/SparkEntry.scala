@@ -1212,6 +1212,24 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
     }),
 
+    "q_chunk_sentence" -> ((s, dir) => {
+      // sentence-aware chunking over deterministically sentence-ified
+      // docs (the corpus text carries no punctuation, so plant a
+      // period after every 7th token — row-local, replayable). The
+      // engine computes chunks with zero-shuffle HOF prefix sums; the
+      // oracle uses the window-cumsum formulation — equal output
+      // proves the two formulations compute the same math
+      val dd = docs(s, dir)
+      val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val dotted = array_join(transform(toks,
+        (t, i) => when((i + 1) % 7 === 0, concat(t, lit("."))).otherwise(t)), " ")
+      graft.operators.TextPrep.chunkBySentence(
+          dd.select(col("doc_id"), dotted.as("text")), "text", "doc_id",
+          maxTokens = 40)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+          col("n_chunk_tokens"))
+    }),
+
     "q_sample_per_key" -> ((s, dir) => {
       // exact-n-per-language uniform sample through the bounded heap
       // (the class-balancing primitive); ranked by the ANSI-replayable
@@ -2577,6 +2595,44 @@ object SparkEntry {
         |  ), 4) AS bm25
         |FROM postings p CROSS JOIN stats s JOIN dfs d ON p.term = d.term
         |GROUP BY p.doc_id""".stripMargin,
+    "q_chunk_sentence" ->
+      // the WINDOW-cumsum formulation of the same math: sentences with
+      // 1-based positions, prefix token sums, floor(cum/max) chunk,
+      // dense-ranked ids, ordered string_agg re-assembly
+      """WITH dotted AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS t
+        |  FROM documents),
+        |sraw AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+|[^.!?]+$'),
+        |      (s, i) -> struct_pack(s := trim(s), i := i))) AS e
+        |  FROM dotted),
+        |sents AS (
+        |  SELECT doc_id, e.s AS sent,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY e.i) AS spos,
+        |    len(regexp_split_to_array(e.s, '\s+')) AS cnt
+        |  FROM sraw WHERE length(e.s) > 0),
+        |cum AS (
+        |  SELECT doc_id, sent, spos, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY doc_id ORDER BY spos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM sents),
+        |chunks AS (
+        |  SELECT doc_id, sent, spos, floor(before / 40.0) AS ch
+        |  FROM cum),
+        |dense AS (
+        |  SELECT doc_id, sent, spos, ch,
+        |    dense_rank() OVER (PARTITION BY doc_id ORDER BY ch) - 1 AS chunk_id
+        |  FROM chunks)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  string_agg(sent, ' ' ORDER BY spos) AS chunk_text,
+        |  CAST(len(regexp_split_to_array(string_agg(sent, ' ' ORDER BY spos), '\s+')) AS INT)
+        |    AS n_chunk_tokens
+        |FROM dense GROUP BY doc_id, chunk_id""".stripMargin,
+
     "q_sample_per_key" ->
       // replays the multiplicative-hash rank within each language
       """SELECT doc_id, lang FROM (

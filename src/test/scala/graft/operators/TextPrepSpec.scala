@@ -53,4 +53,43 @@ class TextPrepSpec extends SparkSpec {
       .where(col("doc_id") === 1L).select("chunk_text").as[String].collect().toSeq
     assert(flat == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
   }
+
+  test("sentence-aware chunking: boundaries snap to sentence ends, never mid-sentence") {
+    // 3 sentences of 4/4/3 tokens; budget 6: s1 alone overflows into
+    // chunk 0 (before=0), s2 starts at before=4 -> chunk 0, s3 at
+    // before=8 -> chunk 1
+    val doc = Seq((1L, "one two three four. five six seven eight! nine ten eleven?"))
+      .toDF("doc_id", "text")
+    val out = TextPrep.chunkBySentence(doc, "text", "doc_id", maxTokens = 6)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (0, "one two three four. five six seven eight!", 8),
+      (1, "nine ten eleven?", 3)), out.toSeq.toString)
+  }
+
+  test("sentence-aware chunking: over-budget sentence gets its own chunk; ids stay dense") {
+    // s1 = 10 tokens (budget 4): chunk 0; s2 starts at before=10 ->
+    // floor(10/4)=2, but ids are DENSE -> chunk 1, not 2
+    val doc = Seq((1L, "a b c d e f g h i j. k l."))
+      .toDF("doc_id", "text")
+    val out = TextPrep.chunkBySentence(doc, "text", "doc_id", maxTokens = 4)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq((0, "a b c d e f g h i j."), (1, "k l.")),
+      out.toSeq.toString)
+  }
+
+  test("sentence-aware chunking: unterminated tails, empty docs, no-punctuation docs") {
+    val docs = Seq(
+      (1L, "complete sentence here. trailing tail without period"),
+      (2L, ""),
+      (3L, "no punctuation at all just words")
+    ).toDF("doc_id", "text")
+    val out = TextPrep.chunkBySentence(docs, "text", "doc_id", maxTokens = 100)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out(1L) == "complete sentence here. trailing tail without period")
+    assert(!out.contains(2L), "empty doc emits no chunks")
+    assert(out(3L) == "no punctuation at all just words")
+  }
 }
