@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -96,44 +97,37 @@ object TextPrep {
    * Sentence i goes to chunk floor(tokensBefore_i / maxTokens), so a
    * chunk may overflow `maxTokens` by at most one sentence (snapping
    * trades exact budgets for intact sentences; a sentence longer than
-   * the budget gets its own chunk rather than being split).
+   * the budget gets its own chunk rather than being split). Chunk ids
+   * are DENSE per doc (an over-budget sentence skips floor values).
    *
-   * Fully ROW-LOCAL: sentences, per-sentence token counts, the prefix
-   * sums and the chunk re-assembly are all HOF compositions over the
-   * row's own arrays — explode-only row multiplication, zero shuffle
-   * (the [[chunk]] discipline; the tempting per-doc window cumsum
-   * would shuffle every sentence of the corpus). The prefix sums are
-   * O(sentences²) integer adds per doc — bounded by doc length, and
-   * sentence counts are 2-3 orders below token counts.
+   * Shape: sentences explode to rows, the prefix sum is one window
+   * and the re-assembly one aggregation — both cluster on the doc
+   * key, so EnsureRequirements plans ONE shuffle of sentence rows.
+   * The tempting all-row-local HOF formulation was measured 10×
+   * slower: any computed array referenced inside a lambda is
+   * re-inlined by projection collapse and recomputes PER ELEMENT
+   * (the r12b lesson) — a predictable single shuffle beats an O(n²)
+   * recompute that hides in the plan.
    */
   def chunkBySentence(docs: DataFrame, textCol: String, idCol: String,
                       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
     val raw = regexp_extract_all(col(textCol), lit(SentencePattern), lit(0))
     val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
-    docs
-      .withColumn("_sents", sents)
-      .withColumn("_counts", transform(col("_sents"),
-        s => size(split(s, "\\s+")).cast("long")))
-      // tokensBefore(i) = sum of counts[0..i-1] (slice is 1-based;
-      // length 0 yields the empty array, so index 0 sums nothing)
-      // guard the empty doc: sequence(0, -1) would produce a
-      // DESCENDING junk range whose negative slice length errors
-      .withColumn("_chunkOf", when(size(col("_sents")) === 0,
-          array().cast("array<bigint>"))
-        .otherwise(transform(
-          sequence(lit(0), size(col("_sents")) - 1),
-          i => floor(aggregate(slice(col("_counts"), lit(1), i), lit(0L),
-            (a, c) => a + c) / maxTokens))))
-      // dense chunk ids: a single over-budget sentence can make
-      // floor(cumBefore/max) SKIP values, and empty phantom chunks
-      // must not appear — array_distinct keeps the (already ascending)
-      // occupied chunk numbers in order
-      .withColumn("_chunks", transform(array_distinct(col("_chunkOf")),
-        k => array_join(
-          filter(zip_with(col("_sents"), col("_chunkOf"),
-            (s, c) => when(c === k, s)), x => x.isNotNull), " ")))
-      .select(col(idCol), posexplode(col("_chunks")).as(Seq("chunk_id", "chunk_text")))
+    val perSentence = docs
+      .select(col(idCol), posexplode(sents).as(Seq("_pos", "_sent")))
+      .withColumn("_cnt", size(split(col("_sent"), "\\s+")).cast("long"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val cumBefore = coalesce(
+      sum(col("_cnt")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    perSentence
+      .withColumn("_chunk", floor(cumBefore / maxTokens))
+      .withColumn("chunk_id",
+        (dense_rank().over(Window.partitionBy(col(idCol)).orderBy(col("_chunk"))) - 1)
+          .cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(array_join(array_sort(collect_list(struct(col("_pos"), col("_sent")))).getField("_sent"), " ")
+        .as("chunk_text"))
       .withColumn("n_chunk_tokens",
         when(length(trim(col("chunk_text"))) === 0, 0)
           .otherwise(size(split(trim(col("chunk_text")), "\\s+"))).cast("int"))
