@@ -60,7 +60,8 @@ object Bench {
     // shuffle), the Misra-Gries heavy-hitters summary, the persisted
     // BM25 index (build + pruned probe end to end) and the keyed
     // snapshot diff (two 10x-orders sides through one full outer join)
-    "q_url_filter", "q_freq_items", "q_bm25_indexed", "q_snapshot_diff")
+    "q_url_filter", "q_freq_items", "q_bm25_indexed", "q_snapshot_diff",
+    "q_chunk_sentence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
