@@ -254,6 +254,52 @@ final class Metastore(spark: SparkSession,
    * (in-memory here; Hive metastore / Glue on a real cluster — the
    * same API).
    */
+  /**
+   * Retention: delete every info-date partition strictly BEFORE
+   * `keepFrom` (ByDay tables) — the data-lifecycle operation every
+   * production table eventually needs (retention policies, storage
+   * budgets, right-to-erasure), as a first-class metastore verb
+   * instead of an ad-hoc `rm -r` that leaves the session catalog
+   * pointing at deleted directories. Drops the partition DIRECTORIES
+   * and, for catalog-synced tables, the catalog partitions (O(1) per
+   * dropped date, the AddPartition discipline in reverse) + metadata
+   * KV; bookkeeping/journal records stay — run history is an audit
+   * log, not data. Refuses Delta/Iceberg (their transaction log owns
+   * the files — expire with their own retention procedures) and
+   * path-less formats. Returns the dates actually dropped.
+   */
+  def expirePartitions(name: String, keepFrom: LocalDate): Seq[LocalDate] = {
+    val t = getTableDef(name)
+    require(t.scheme == PartitionScheme.ByDay,
+      s"expirePartitions supports ByDay tables; '$name' uses ${t.scheme}")
+    require(t.format != DataFormat.Delta && !t.format.isInstanceOf[DataFormat.Iceberg],
+      s"expirePartitions deletes files outside the transaction log and would corrupt " +
+        s"'$name' (${t.format.name}); use the format's own retention procedure")
+    require(t.format != DataFormat.NullFormat && !t.format.isInstanceOf[DataFormat.TransientEager],
+      s"expirePartitions needs a storage-backed table; '$name' (${t.format.name}) has no files")
+    val dropDates = listAvailableDates(name).filter(_.isBefore(keepFrom))
+    if (dropDates.isEmpty) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dropDates.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$d"), true)
+      deleteMetadata(name, d)
+      if (t.catalogSync) {
+        val ident = t.catalogName.getOrElse(t.name)
+        if (spark.catalog.tableExists(ident)) {
+          val quoted = ident.split("\\.").map(p => s"`$p`").mkString(".")
+          spark.sql(s"ALTER TABLE $quoted DROP IF EXISTS " +
+            s"PARTITION (`${t.infoDateColumn}` = '$d')")
+        }
+      }
+    }
+    if (t.catalogSync) {
+      val ident = t.catalogName.getOrElse(t.name)
+      if (spark.catalog.tableExists(ident)) spark.catalog.refreshTable(ident)
+    }
+    dropDates
+  }
+
   private def syncCatalog(t: MetaTable, savedDate: Option[LocalDate] = None): Unit = {
     // Iceberg tables ARE catalog tables — nothing to register or
     // repair (the reference throws on its Hive-sync hooks for the same
