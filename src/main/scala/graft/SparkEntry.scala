@@ -1230,6 +1230,25 @@ object SparkEntry {
           col("n_chunk_tokens"))
     }),
 
+    "q_url_canon" -> ((s, dir) => {
+      // URL canonicalization over deterministically messy URLs
+      // (tracking params, fragments, default ports, case-shifted
+      // hosts, trailing slashes by doc_id residues); DuckDB replays
+      // the synthesis and every RE2 step in order
+      import graft.operators.UrlCuration
+      val url = concat(
+        when(col("doc_id") % 7 === 0, "HTTPS://").otherwise("https://"),
+        when(col("doc_id") % 7 === 0, lit("Site")).otherwise(lit("site")),
+        col("doc_id") % 97, lit(".com"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/doc/"), col("doc_id"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        when(col("doc_id") % 3 === 0, "?utm_source=feed&page=2").otherwise(""),
+        when(col("doc_id") % 4 === 0, "#section-1").otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"),
+        UrlCuration.canonicalizeUrl(url).as("canon_url"))
+    }),
+
     "q_sample_per_key" -> ((s, dir) => {
       // exact-n-per-language uniform sample through the bounded heap
       // (the class-balancing primitive); ranked by the ANSI-replayable
@@ -2632,6 +2651,37 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(string_agg(sent, ' ' ORDER BY spos), '\s+')) AS INT)
         |    AS n_chunk_tokens
         |FROM dense GROUP BY doc_id, chunk_id""".stripMargin,
+
+    "q_url_canon" ->
+      // replays the synthesis and the canonicalization chain step by
+      // step ('g' everywhere; \1\2 references; non-participating
+      // optional groups substitute empty in both engines)
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Site' ELSE 'site' END ||
+        |    CAST(doc_id % 97 AS VARCHAR) || '.com' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/doc/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&page=2' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#section-1' ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS t FROM u),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*',
+        |  '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |  '\?&', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '', 'g'),
+        |  '^([^?#]*)&', '\1?', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |  '(?i)^(https://[^/:?#]+):443([/?#].*)?$', '\1\2', 'g'),
+        |  '(?i)^(http://[^/:?#]+):80([/?#].*)?$', '\1\2', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  lower(regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+        |  regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS t FROM s4)
+        |SELECT doc_id, regexp_replace(t, '(.)/$', '\1', 'g') AS canon_url
+        |FROM s5""".stripMargin,
 
     "q_sample_per_key" ->
       // replays the multiplicative-hash rank within each language

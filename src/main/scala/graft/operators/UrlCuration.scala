@@ -70,6 +70,45 @@ object UrlCuration {
     "([^.]+\\.(?:" + multiPartSuffixes.map(_.replace(".", "\\.")).mkString("|") +
       ")|[^.]+\\.[^.]+)$"
 
+  /**
+   * Canonical URL form for URL-level dedup: the same page arrives
+   * under dozens of spellings (tracking params, fragments, default
+   * ports, case-shifted hosts, trailing slashes), and deduping raw
+   * strings misses all of them. Steps, each a codegen'd RE2
+   * `regexp_replace` (order is semantic — fragment first, params
+   * before separator cleanup):
+   *   1. drop the `#fragment`
+   *   2. drop tracking query params (utm_*, fbclid, gclid, msclkid,
+   *      mc_eid, igshid, ref/ref_src) wherever they sit
+   *   3. clean separator debris that removal leaves (`?&`→`?`,
+   *      `&&`→`&`, trailing `?`/`&`)
+   *   4. drop default ports (`:80` on http, `:443` on https)
+   *   5. lowercase scheme+host (path stays case-sensitive)
+   *   6. drop one trailing slash (root included: `https://a.com/`
+   *      and `https://a.com` must collide)
+   * Heuristic by design: unknown params stay (dropping content params
+   * would MERGE different pages — worse than missing a dup).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*", "")
+    val fixedSep = regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "&&+", "&"), "[?&]$", ""),
+      // a leading tracking param takes the '?' with it, orphaning the
+      // next param behind '&': promote the first orphaned '&' to '?'
+      "^([^?#]*)&", "$1?")
+    // no lookahead (RE2): capture the tail and restore it
+    val noPort = regexp_replace(
+      regexp_replace(fixedSep, "(?i)^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
+      "(?i)^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    // lowercase scheme://host only: split at the first path/query char
+    val head = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val tail = regexp_replace(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(head), tail)
+    regexp_replace(lowered, "(.)/$", "$1")
+  }
+
   /** Drop rows whose registered domain is on the blocklist (plus rows
     * with un-parseable hosts when `dropUnparseable`). The blocklist is
     * a compile-time set probed by a codegen'd `isInCollection` hash

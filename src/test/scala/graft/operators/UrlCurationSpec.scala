@@ -41,6 +41,29 @@ class UrlCurationSpec extends SparkSpec {
       assert(got(h) == want, s"domain($h) = ${got(h)}, want $want") }
   }
 
+  test("canonicalizeUrl: tracking params, fragments, ports, case, slashes — hand-computed") {
+    val cases = Seq(
+      "HTTPS://Example.COM:443/Path/?utm_source=x&utm_medium=y#frag"
+        -> "https://example.com/Path",
+      "http://a.com:80/p?id=3&fbclid=abc&q=2" -> "http://a.com/p?id=3&q=2",
+      "https://a.com/p?utm_campaign=z"        -> "https://a.com/p",
+      "https://a.com/p?gclid=1&ref=tw"        -> "https://a.com/p",
+      "https://a.com/"                        -> "https://a.com",
+      "https://a.com:8443/x"                  -> "https://a.com:8443/x",  // non-default port stays
+      "https://a.com/p?refresh=1"             -> "https://a.com/p?refresh=1", // not the ref param
+      "https://a.com/p?utm_source=x&q=1"      -> "https://a.com/p?q=1") // orphaned & promoted
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), UrlCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (u, want) =>
+      assert(got(u) == want, s"canon($u) = ${got(u)}, want $want") }
+    // the point: spelled-apart duplicates collide
+    val variants = Seq("https://A.com/x/?utm_source=nl#top", "HTTPS://a.COM:443/x/")
+    val canon = variants.toDF("url")
+      .select(UrlCuration.canonicalizeUrl(col("url"))).collect().map(_.getString(0)).toSet
+    assert(canon.size == 1, s"variants must collide: $canon")
+  }
+
   test("filterBlockedDomains: blocked registered domains drop, subdomains included; null host policy") {
     val df = Seq(
       (1L, "https://www.spam.com/a"),      // blocked via www
