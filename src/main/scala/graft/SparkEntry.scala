@@ -2668,12 +2668,15 @@ object SparkEntry {
         |    CASE WHEN doc_id % 4 = 0 THEN '#section-1' ELSE '' END AS url
         |  FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS t FROM u),
-        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |s2 AS (SELECT doc_id, t AS t1, regexp_replace(t,
         |  '[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*',
         |  '', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |  '\?&', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '', 'g'),
-        |  '^([^?#]*)&', '\1?', 'g') AS t FROM s2),
+        |s3 AS (SELECT doc_id, CASE WHEN t = t1 THEN c
+        |    ELSE regexp_replace(c, '^([^?#]*?)&([^&?#]*=)', '\1?\2', 'g') END AS t
+        |  FROM (SELECT doc_id, t1, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '\?&', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '', 'g') AS c
+        |    FROM s2)),
         |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
         |  '(?i)^(https://[^/:?#]+):443([/?#].*)?$', '\1\2', 'g'),
         |  '(?i)^(http://[^/:?#]+):80([/?#].*)?$', '\1\2', 'g') AS t FROM s3),

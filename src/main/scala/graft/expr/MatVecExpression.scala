@@ -39,7 +39,15 @@ case class MatVecMul(child: Expression, matrixBytes: Array[Byte])
 
   def project(arr: ArrayData): GenericArrayData = {
     val (mean, rows) = model
-    val d = math.min(arr.numElements(), mean.length)
+    // fail loudly on dimension mismatch: silently projecting a
+    // truncated (or zero-padded) prefix would make a wrong-model
+    // wiring bug — serving d'-dim vectors through a d-dim fit —
+    // produce garbage projections that LOOK valid downstream
+    if (arr.numElements() != mean.length)
+      throw new IllegalArgumentException(
+        s"mat_vec_mul: input vector has ${arr.numElements()} dims, " +
+          s"model was fitted on ${mean.length}")
+    val d = mean.length
     // center once into a scratch array: k row dots then read the
     // SAME centered values instead of re-centering per row
     val x = new Array[Double](d)

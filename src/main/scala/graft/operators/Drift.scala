@@ -37,10 +37,16 @@ object Drift {
     }.sortBy(d => (-d.delta, d.token))
   }
 
-  /** Jensen-Shannon divergence (natural log, ∈ [0, ln 2]) of the two
-    * smoothed models over the union vocabulary, with each side's
-    * remaining OOV mass paired against the other's floor — the single
-    * drift NUMBER a dashboard thresholds. */
+  /** Jensen-Shannon divergence (natural log) of the two smoothed
+    * models, summed over the UNION vocabulary only — the single drift
+    * NUMBER a dashboard thresholds. The smoothed models reserve some
+    * probability mass for tokens outside their own vocab, and that
+    * residual mass (absent from the union support) is NOT paired into
+    * the sum, so this is the union-vocab APPROXIMATION of JSD: the
+    * theoretical [0, ln 2] bound holds only approximately (exactly
+    * when both vocabularies fit the cap and no mass is reserved
+    * off-support). Fine for thresholding a trend; not a calibrated
+    * information-theoretic quantity. */
   def jsDivergence(cur: UnigramLm, ref: UnigramLm): Double = {
     def term(p: Double, m: Double): Double = if (p <= 0) 0.0 else p * math.log(p / m)
     tokenDrift(cur, ref).map { d =>

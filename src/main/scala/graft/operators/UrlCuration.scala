@@ -93,11 +93,19 @@ object UrlCuration {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(noFrag,
       "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*", "")
-    val fixedSep = regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "&&+", "&"), "[?&]$", ""),
-      // a leading tracking param takes the '?' with it, orphaning the
-      // next param behind '&': promote the first orphaned '&' to '?'
-      "^([^?#]*)&", "$1?")
+    val cleaned = regexp_replace(regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "&&+", "&"), "[?&]$", "")
+    // a leading tracking param takes the '?' with it, orphaning the
+    // next param behind '&': promote the first orphaned '&' to '?'.
+    // Two guards keep literal path ampersands intact (https://a.com/a&b
+    // must NOT become a query — that would merge distinct pages):
+    // promotion fires only when a tracking param was actually removed
+    // (noTrack != noFrag), and only on the first '&' whose segment
+    // looks like a param (lazy prefix + required '='; lazy so
+    // "p&a=1&b=2" promotes the FIRST param, "a&b&q=1" skips the
+    // literal '&' and promotes at "q=")
+    val promoted = regexp_replace(cleaned, "^([^?#]*?)&([^&?#]*=)", "$1?$2")
+    val fixedSep = when(noTrack <=> noFrag, cleaned).otherwise(promoted)
     // no lookahead (RE2): capture the tail and restore it
     val noPort = regexp_replace(
       regexp_replace(fixedSep, "(?i)^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
@@ -186,9 +194,18 @@ object UrlCuration {
     graft.expr.GraftFunctions.ensure(df.sparkSession)  // top_k_rows
     val dom = registeredDomain(urlHost(col(urlCol)))
     // exact in both engines: ids up to ~3.4e9 stay under Long overflow,
-    // and every intermediate is integer arithmetic (no float rounding)
-    val key = orderKey.getOrElse(
-      pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double"))
+    // and every intermediate is integer arithmetic (no float rounding).
+    // Non-numeric id columns (string doc ids) can't take the
+    // multiplicative hash — casting would throw under ANSI mode (or
+    // yield all-null keys under non-ANSI, making the kept subset
+    // nondeterministic): fall back to xxhash64, which is deterministic
+    // per id but NOT oracle-replayable (document the caveat when such
+    // a cap feeds a DuckDB gate)
+    val key = orderKey.getOrElse(df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double")
+      case _ => xxhash64(col(idCol)).cast("double")
+    })
 
     val withDom = df.withColumn("_dom", dom)
     // null-host rows have no domain to cap; they pass through (the

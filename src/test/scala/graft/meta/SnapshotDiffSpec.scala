@@ -28,6 +28,16 @@ class SnapshotDiffSpec extends SparkSpec {
       "values moving BETWEEN columns must read as changed")
   }
 
+  test("a value migrating between columns (one going null) is a change") {
+    // xxhash64 skips null arguments, so without null-tagging
+    // (null, "x") and ("x", null) would hash identically
+    val before = Seq((1L, Some("x"), Option.empty[String])).toDF("k", "a", "b")
+    val after = Seq((1L, Option.empty[String], Some("x"))).toDF("k", "a", "b")
+    val d = SnapshotDiff.diff(before, after, Seq("k")).collect()
+    assert(d.length == 1 && d.head.getString(1) == "changed",
+      s"null-position must participate in the row hash: ${d.toSeq}")
+  }
+
   test("duplicate keys: copy-count changes are changes, not silence") {
     val before = Seq((1L, "a"), (1L, "a")).toDF("k", "v")
     val after = Seq((1L, "a")).toDF("k", "v")

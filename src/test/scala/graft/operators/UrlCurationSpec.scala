@@ -51,7 +51,10 @@ class UrlCurationSpec extends SparkSpec {
       "https://a.com/"                        -> "https://a.com",
       "https://a.com:8443/x"                  -> "https://a.com:8443/x",  // non-default port stays
       "https://a.com/p?refresh=1"             -> "https://a.com/p?refresh=1", // not the ref param
-      "https://a.com/p?utm_source=x&q=1"      -> "https://a.com/p?q=1") // orphaned & promoted
+      "https://a.com/p?utm_source=x&q=1"      -> "https://a.com/p?q=1", // orphaned & promoted
+      "https://a.com/a&b"                     -> "https://a.com/a&b", // literal & in a clean path stays
+      "https://a.com/a&b?utm_source=x"        -> "https://a.com/a&b", // removal doesn't corrupt the path
+      "https://a.com/p?utm_source=x&a=1&b=2"  -> "https://a.com/p?a=1&b=2") // FIRST orphan promotes
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), UrlCuration.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -153,5 +156,20 @@ class UrlCurationSpec extends SparkSpec {
     val capped = UrlCuration.capPerDomain(skewed, "url", "id", maxPerDomain = 60)
     assert(capped.count() == 90L)
     assert(capped.columns.toSeq == Seq("id", "url"), "internal columns must not leak")
+  }
+
+  test("capPerDomain: STRING ids take the xxhash64 fallback key, deterministic, both paths agree") {
+    // ANSI mode would throw on cast("long") of a non-numeric id; the
+    // schema-dispatched fallback must instead produce a stable sample
+    val strSkewed = skewed.withColumn("id", concat(lit("doc-"), col("id")))
+    val a = UrlCuration.capPerDomain(strSkewed, "url", "id", 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a.size == 40, s"60-row hot domain capped at 10 + 30 tail, got ${a.size}")
+    val b = UrlCuration.capPerDomain(strSkewed.repartition(5), "url", "id", 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a == b, "string-id cap must be deterministic across partitionings")
+    val w = UrlCuration.capPerDomain(strSkewed, "url", "id", 10, maxHotDomains = 0)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a == w, "broadcast path and window fallback must keep identical string-id rows")
   }
 }
