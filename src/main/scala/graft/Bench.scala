@@ -100,7 +100,18 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
     }.getOrElse(3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=comma,list — isolated re-measurement of a
+    // query subset (regression attribution runs); unknown names fail
+    // loudly rather than silently shrinking the run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY not in SparkEntry.queries: $unknown")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       name -> timeQuery(spark, name, fn, sfDir, runs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
@@ -169,12 +180,50 @@ object Bench {
     // queries would make a regression-that-breaks-a-slow-query read as
     // a speedup in a naive round-over-round total comparison
     val totalJson = if (nFailed > 0) "null" else total.toString
+    // regression tripwire (the r13 lesson: an unattributed 8× swing on
+    // one query rode a green BENCH capture unnoticed): diff each sf0.1
+    // median against the committed prior round's median
+    // (bench_prior.json, refreshed at end of round) and surface every
+    // >3× move — in EITHER direction; an unexplained 5× "speedup" is
+    // just as likely a broken query or a lost code path — as a
+    // first-class "regressions" array in the output line.
+    val regressionsJson: String = {
+      val priorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json")
+      val prior: Map[String, Double] =
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(priorFile)), java.nio.charset.StandardCharsets.UTF_8)
+          // minimal extraction of {"queries":{"name":sec,...}} — no
+          // JSON library on the unmanaged classpath; the file is
+          // machine-written by this same main, so the shape is fixed
+          val qsec = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(qsec)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty }
+      if (prior.isEmpty) ""
+      else {
+        // sub-100ms medians are fixed-overhead noise at sf0.1; a 3×
+        // swing there is not signal
+        val floor = 0.1
+        val regs = results.toSeq.collect {
+          case (name, Right(now)) if prior.contains(name)
+            && math.max(now, prior(name)) >= floor =>
+            (name, prior(name), now, now / math.max(prior(name), 1e-9))
+        }.filter { case (_, _, _, ratio) => ratio > 3.0 || ratio < 1.0 / 3.0 }
+          .sortBy { case (_, _, _, ratio) => -math.max(ratio, 1.0 / ratio) }
+        val arr = regs.map { case (n, p, c, r) =>
+          f"""{"query":"$n","prior":$p%.3f,"now":$c%.3f,"ratio":$r%.2f}"""
+        }.mkString("[", ",", "]")
+        s""","regressions":$arr"""
+      }
+    }
     // "value" is emitted LAST: the round capture channel keeps only the
     // TAIL of long stdout lines (BENCH_r10/r11 both lost the head,
     // total included), so the headline number rides the end — and the
     // FULL line is additionally persisted to a file the capture can't
     // truncate
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json,"value":$totalJson}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json$regressionsJson,"value":$totalJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
