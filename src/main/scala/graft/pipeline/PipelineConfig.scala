@@ -42,6 +42,11 @@ import java.time.LocalDate
  *                                         # (false keeps the _graft/meta_kv file layout)
  * bookkeeping.jdbc.executor.factory = com.acme.PooledExecutorFactory  # optional
  *                                         # SqlExecutorFactory FQCN (pooling, tests)
+ *
+ * # OR: Spark-storage journals (reference: BookkeeperText.scala,
+ * # BookkeeperDeltaPath.scala). Precedence: jdbc > delta > text > path.
+ * bookkeeping.delta.path = /data/state/bk_delta  # append-only Delta journal table
+ * bookkeeping.text.path = /data/state/bk_text    # pipe-CSV journal dir (shell/Spark readable)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.failures.to = oncall@acme.com  # failed runs go HERE instead
@@ -131,6 +136,14 @@ object PipelineConfig {
 
   final case class Parsed(name: String, tables: Seq[MetaTable], jobs: Seq[JobDef],
                           bookkeepingPath: Option[String] = None,
+                          /** Pipe-CSV journal dir (reference:
+                            * BookkeeperText.scala:43) — Spark/shell
+                            * queryable; wins over bookkeeping.path. */
+                          textBookkeepingPath: Option[String] = None,
+                          /** Append-only Delta journal table (reference:
+                            * BookkeeperDeltaPath.scala:38) — wins over
+                            * text/FS paths; needs delta-spark. */
+                          deltaBookkeepingPath: Option[String] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
@@ -593,6 +606,8 @@ object PipelineConfig {
     // work when this key points at shared storage
     Parsed(name, tables, jobs,
       bookkeepingPath = kv.get("bookkeeping.path"),
+      textBookkeepingPath = kv.get("bookkeeping.text.path"),
+      deltaBookkeepingPath = kv.get("bookkeeping.delta.path"),
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
       htmlReportDir = kv.get("notification.html.dir"),
@@ -736,11 +751,18 @@ object PipelineConfig {
       metadata: Option[graft.meta.MetadataStore])
 
   /** Resolve the durable stores for a run: a config-declared
-    * bookkeeping DATABASE wins over the FS journal and `lock.dir`
+    * bookkeeping DATABASE wins over every storage journal, then the
+    * Delta table (`bookkeeping.delta.path`), then the pipe-CSV dir
+    * (`bookkeeping.text.path`), then the FS journal / `fallback`
     * (the reference behaves the same way — JDBC bookkeeping is the
-    * production mode, files the fallback); `fallback` is the
-    * caller-provided or default FS bookkeeper otherwise. */
-  private[pipeline] def resolveStores(parsed: Parsed, fallback: BookkeeperStore): ResolvedStores = {
+    * production mode, storage backends the alternatives). The Spark
+    * backends need a session; resolution fails loudly when one is
+    * configured and no session is supplied (planning surfaces pass
+    * `spark = None`). */
+  private[pipeline] def resolveStores(parsed: Parsed, fallback: BookkeeperStore,
+                                      spark: Option[SparkSession] = None): ResolvedStores = {
+    def sparkFor(key: String): SparkSession = spark.getOrElse(
+      throw new IllegalStateException(s"$key needs a SparkSession at store resolution"))
     val stores = parsed.jdbc match {
       case Some(j) =>
         val db = j.connect()
@@ -751,7 +773,13 @@ object PipelineConfig {
             Some((t: String, d: LocalDate) => new graft.rdb.TokenLockJdbc(db, s"${t}_$d"))
           else None,
           if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
-      case None => ResolvedStores(fallback, None, None, None)
+      case None =>
+        val bk = parsed.deltaBookkeepingPath
+          .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore)
+          .orElse(parsed.textBookkeepingPath
+            .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
+          .getOrElse(fallback)
+        ResolvedStores(bk, None, None, None)
     }
     // undercover: decisions read the real history, nothing writes back
     if (!parsed.undercover) stores
@@ -905,7 +933,7 @@ object PipelineConfig {
       parsed.tables.foreach(ms.register)
       // dry-run planning must see the SAME history real runs see,
       // including a config-declared bookkeeping database
-      val planBk = resolveStores(parsed, bookkeeper).bookkeeper
+      val planBk = resolveStores(parsed, bookkeeper, Some(spark)).bookkeeper
       new Orchestrator(ms, planBk).plan(parsed.jobs, params).foreach { case (job, tasks) =>
         val dates = tasks.map(t => s"${t.infoDate}(${t.reason})").mkString(", ")
         System.err.println(s"[graft dry-run] ${job.name} -> ${job.outputTable}: " +
@@ -978,7 +1006,7 @@ object PipelineConfig {
       "pipeline has no enabled jobs (set allow.empty.pipeline = true if intentional)")
     parsed.hadoopConf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v) }
-    val stores = resolveStores(parsed, bookkeeper)
+    val stores = resolveStores(parsed, bookkeeper, Some(spark))
     val ms = new Metastore(spark, metadataStore = stores.metadata)
     parsed.tables.foreach(ms.register)
     (stores, ms)
