@@ -16,12 +16,35 @@ trait HttpTransport {
   /** POST `body` (JSON) to `url`; returns (statusCode, responseBody). */
   def post(url: String, body: String, headers: Map[String, String]): (Int, String)
   def get(url: String, headers: Map[String, String]): (Int, String)
+  /** DELETE with a JSON body (the ECS cleanup API's verb — RFC 9110
+    * allows a DELETE body and the JDK client sends it). Default throws
+    * so transports predating the verb fail loudly instead of mapping
+    * it onto POST silently. */
+  def delete(url: String, body: String, headers: Map[String, String]): (Int, String) =
+    throw new UnsupportedOperationException(s"${getClass.getName}: DELETE not implemented")
 }
 
-/** JDK-native transport — no client library dependency. */
-final class JdkHttpTransport(timeoutSeconds: Long = 60) extends HttpTransport {
-  private lazy val client = java.net.http.HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+/** JDK-native transport — no client library dependency.
+  * `trustAllSslCerts` installs an accept-anything trust manager for
+  * endpoints with self-signed certs (reference:
+  * extras/utils/httpclient/SimpleHttpClient trust-all mode) — opt-in,
+  * never the default. */
+final class JdkHttpTransport(timeoutSeconds: Long = 60,
+                             trustAllSslCerts: Boolean = false) extends HttpTransport {
+  private lazy val client = {
+    val b = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+    if (trustAllSslCerts) {
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array[javax.net.ssl.TrustManager](new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), new java.security.SecureRandom())
+      b.sslContext(ctx)
+    }
+    b.build()
+  }
 
   private def send(b: java.net.http.HttpRequest.Builder,
                    headers: Map[String, String]): (Int, String) = {
@@ -38,6 +61,11 @@ final class JdkHttpTransport(timeoutSeconds: Long = 60) extends HttpTransport {
 
   override def get(url: String, headers: Map[String, String]): (Int, String) =
     send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET(), headers)
+
+  override def delete(url: String, body: String, headers: Map[String, String]): (Int, String) =
+    send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .method("DELETE", java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json"), headers)
 }
 
 /** Terminal outcome of a polled run. */

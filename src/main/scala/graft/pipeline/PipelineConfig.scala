@@ -621,7 +621,15 @@ object PipelineConfig {
       // like the other FQCN channels so typos fail the config load
       notificationTargets = kv.get("notification.targets")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        .map(fqcn => instantiate[PipelineNotificationTarget](fqcn, "notification.targets")),
+        .map { fqcn =>
+          val t = instantiate[PipelineNotificationTarget](fqcn, "notification.targets")
+          // config-driven targets (Ecs/Hyperdrive extras) receive the
+          // raw config + declared tables right after instantiation, so
+          // a missing required key fails the config LOAD, not the
+          // first end-of-task notification
+          t match { case c: ConfigurableTarget => c.configure(kv, tables); case _ => () }
+          t
+        },
       // a typo'd zone id must fail the parse, not shift tonight's
       // info dates to the host's zone
       timezone = kv.get("timezone").map { tz =>
