@@ -229,6 +229,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Cross-engine-replayable fingerprint twin: md5 hex over the SAME
+    * normalization chain. Use where the fingerprint must be
+    * reproduced outside the JVM (DuckDB/Python audits replay
+    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))`
+    * byte-identically); [[fingerprint]] stays the hot-path default
+    * (8-byte column vs 32, one codegen'd hash vs a digest). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
   /** Normalized whitespace tokens (case-folded, collapsed). Materialize
    * this as a real column before building shingles/signatures on top —
    * a lambda that embeds this expression re-runs the regex split per

@@ -28,12 +28,20 @@ object Sampling {
    */
   def withSplitLabel(df: DataFrame, idCol: String,
                      weights: Seq[Double], names: Seq[String],
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L,
+                     /** Override the bucket expression (must be
+                       * deterministic in [0, 1e6)). The default is
+                       * xxhash64 — best distribution, but not
+                       * replayable in ANSI SQL; oracle-gated callers
+                       * pass the exact-integer multiplicative hash
+                       * (the L14b/L50 precedent) so DuckDB replays
+                       * the membership decision bit-for-bit. */
+                     bucketCol: Option[Column] = None): DataFrame = {
     require(weights.length == names.length && weights.nonEmpty,
       "weights and names must align")
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).tail.map(w => (w / total * Buckets).toLong)
-    val b = bucket(col(idCol), seed)
+    val b = bucketCol.getOrElse(bucket(col(idCol), seed))
     val label = names.zip(cum).reverse.foldLeft(lit(names.last): Column) {
       case (acc, (name, upper)) => when(b < upper, name).otherwise(acc)
     }
