@@ -349,6 +349,32 @@ object SparkEntry {
         .select("c_custkey", "c_mktsegment", "c_acctbal")
     }),
 
+    "q_py_transform" -> ((s, dir) => {
+      // M24 pramen-py interop e2e: Scala orchestrator → external
+      // python3 transformer (pyclient/graft_py.py helper over the
+      // ProcessTransformer @in/@out/@infoDate contract, stdlib +
+      // pyarrow, no pyspark) → metastore partition; the oracle
+      // replays the projection + arithmetic in DuckDB, so the WHOLE
+      // cross-language round trip is hash-checked
+      val ms = new Metastore(s)
+      ms.register(MetaTable("docs_py", metaPath("py_src")))
+      ms.register(MetaTable("docs_py_out", metaPath("py_out")))
+      val d = LocalDate.parse("2024-07-01")
+      stageOnce(s"py_src|$dir") {
+        ms.saveTable("docs_py", d, docs(s, dir).select("doc_id", "n_chars"))
+      }
+      val script = pyClientScript("double_chars.py")
+      val orch = new Orchestrator(ms, rerunSucceeded = true)
+      val res = orch.run(Seq(JobDef(
+        name = "py_double", outputTable = "docs_py_out",
+        transformer = new graft.pipeline.ProcessTransformer(
+          s"python3 $script @in @out @infoDate", metaPath("py_staging"), Seq("docs_py")),
+        inputTables = Seq("docs_py"), infoDateExpr = "@runDate")), d)
+      res.collectFirst { case f: graft.pipeline.TaskResult.Failed => throw f.error }
+      ms.getTable("docs_py_out", Some(d), Some(d))
+        .select("doc_id", "n_chars", "n2")
+    }),
+
     "q_incremental" -> ((s, dir) => {
       // offset-managed incremental read: only rows past the committed offset
       val om = new OffsetManager()
@@ -1521,6 +1547,28 @@ object SparkEntry {
     * processes never share fixtures. On a staging failure the key is
     * released so a retry re-attempts rather than reading a half-staged
     * fixture. */
+  /** Locate a `pyclient/` script relative to this class's code source
+    * (…/target/scala-2.13/classes → repo root), falling back to the
+    * working directory — robust under both `sbt test` and a bare
+    * `java -cp` Verify/Bench run from any cwd. */
+  private[graft] def pyClientScript(name: String): String = {
+    val fromCodeSource =
+      try {
+        val loc = java.nio.file.Paths.get(
+          getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        // classes → scala-2.13 → target → repo
+        Option(loc.getParent).flatMap(p => Option(p.getParent)).flatMap(p => Option(p.getParent))
+          .map(_.resolve("pyclient").resolve(name))
+          .filter(java.nio.file.Files.isRegularFile(_))
+      } catch { case _: Throwable => None }
+    fromCodeSource
+      .orElse(Some(java.nio.file.Paths.get("pyclient", name))
+        .filter(java.nio.file.Files.isRegularFile(_)))
+      .map(_.toAbsolutePath.toString)
+      .getOrElse(throw new IllegalStateException(
+        s"pyclient/$name not found relative to the class path or cwd"))
+  }
+
   private val stagedFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def stageOnce(key: String)(stage: => Unit): Unit =
     if (stagedFixtures.add(key)) {
@@ -1685,6 +1733,12 @@ object SparkEntry {
     "q_identity_transform" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+
+    "q_py_transform" ->
+      // replays the python transformer's projection + arithmetic; a
+      // match proves the Scala→parquet→pyarrow→parquet→metastore round
+      // trip was lossless
+      """SELECT doc_id, n_chars, n_chars * 2 AS n2 FROM documents""".stripMargin,
 
     "q_incremental" ->
       """SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
