@@ -445,6 +445,14 @@ object PipelineConfig {
         case "cmdline" =>
           new graft.sinks.CmdLineSink(req("staging"), req("command"),
             timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(300L))
+        case "enceladus" =>
+          // versioned raw-folder conventions (reference extras/sink/
+          // EnceladusSink.scala); per-send keys (path, info.version,
+          // publish.base.path, dataset.name, enceladus.run.command,
+          // hive.table) ride the JOB options
+          graft.sinks.EnceladusSink(kv.collect {
+            case (k, v) if k.startsWith(s"sink.$s.") => k.stripPrefix(s"sink.$s.") -> v
+          })
         case fqcn if fqcn.contains(".") =>
           val allOpts = kv.collect {
             case (k, v) if k.startsWith(s"sink.$s.") => k.stripPrefix(s"sink.$s.") -> v

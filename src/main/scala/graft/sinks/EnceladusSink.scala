@@ -1,0 +1,225 @@
+package graft.sinks
+
+import java.time.LocalDate
+
+import graft.meta.HiveDdl
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/**
+ * Enceladus/Standardization raw-folder sink — the partner-ecosystem
+ * export conventions of the reference's largest extras surface
+ * (reference: pramen/extras .../extras/sink/EnceladusSink.scala:151,
+ * StandardizationSink.scala:155, sink/EnceladusUtils.scala,
+ * utils/PartitionUtils.scala:38):
+ *
+ *  - data lands under a VERSIONED partition layout
+ *    `<raw>/{year}/{month}/{day}/v{version}` that the downstream
+ *    standardization tool expects,
+ *  - the info version resolves per (date): an explicit number, or
+ *    `auto` = max version already PUBLISHED for that date + 1 (first
+ *    run = 1) — re-exports never overwrite a published version,
+ *  - an Atum `_INFO` metadata file (S11) lands next to the data AFTER
+ *    the write, carrying the resolved version,
+ *  - optionally a configured standardization command runs with
+ *    `@datasetName @datasetVersion @infoDate @infoVersion @rawPath
+ *    @rawFormat` substituted (the reference shells out to Enceladus
+ *    the same way), stale same-version publish output is removed
+ *    first, and the publish-side Hive table gets its new partition
+ *    registered through the M43 QueryExecutor seam (O(1) ADD
+ *    PARTITION, not MSCK).
+ *
+ * Layout arithmetic is driver-side string work; the data write is one
+ * Spark batch write with optional `records.per.partition` sizing —
+ * nothing here adds a shuffle beyond the optional repartition the
+ * file-count contract requires.
+ */
+object EnceladusLayout {
+  val DefaultRawPattern = "{year}/{month}/{day}/v{version}"
+  val DefaultPublishPattern =
+    "enceladus_info_date={year}-{month}-{day}/enceladus_info_version={version}"
+
+  /** `{year}/{month}/{day}/{version}/{column}` substitution (zero-pad
+    * month/day — reference PartitionUtils.unpackCustomPartitionPattern). */
+  def unpackPattern(pattern: String, infoDateColumn: String,
+                    infoDate: LocalDate, version: Int): String =
+    pattern.replace("{year}", infoDate.getYear.toString)
+      .replace("{month}", f"${infoDate.getMonthValue}%02d")
+      .replace("{day}", f"${infoDate.getDayOfMonth}%02d")
+      .replace("{version}", version.toString)
+      .replace("{column}", infoDateColumn)
+
+  /** Highest `enceladus_info_version=N` already published for the
+    * date, from one directory listing of the date's publish dir; None
+    * when nothing is published yet (reference EnceladusUtils
+    * .getMaxVersionInPublish, publishVersionRegEx `^.*=(\d+)$`). */
+  def maxPublishedVersion(hadoopConf: org.apache.hadoop.conf.Configuration,
+                          publishBase: String, infoDate: LocalDate): Option[Int] = {
+    val datePart = unpackPattern(DefaultPublishPattern, "", infoDate, 0)
+      .split("/").head // enceladus_info_date=YYYY-MM-DD
+    val dateDir = new org.apache.hadoop.fs.Path(s"$publishBase/$datePart")
+    val fs = dateDir.getFileSystem(hadoopConf)
+    if (!fs.exists(dateDir)) None
+    else {
+      val versions = fs.listStatus(dateDir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.matches("enceladus_info_version=\\d+") =>
+          s.substring(s.indexOf('=') + 1).toInt }
+      if (versions.isEmpty) None else Some(versions.max)
+    }
+  }
+
+  def nextVersion(hadoopConf: org.apache.hadoop.conf.Configuration,
+                  publishBase: String, infoDate: LocalDate): Int =
+    maxPublishedVersion(hadoopConf, publishBase, infoDate).fold(1)(_ + 1)
+}
+
+final class EnceladusSink(
+    format: String = "parquet",
+    mode: SaveMode = SaveMode.Overwrite,
+    formatOptions: Map[String, String] = Map.empty,
+    rawPartitionPattern: String = EnceladusLayout.DefaultRawPattern,
+    publishPartitionPattern: String = EnceladusLayout.DefaultPublishPattern,
+    infoDateColumn: String = "enceladus_info_date",
+    recordsPerPartition: Option[Long] = None,
+    infoFile: Option[InfoFileConfig] = None,
+    /** M43 seam for publish-side Hive DDL; None disables repair. */
+    hiveExecutor: Option[HiveDdl.QueryExecutor] = None,
+    hiveTemplates: HiveDdl.Templates = HiveDdl.Templates(),
+    commandTimeoutSeconds: Long = 600) extends GraftSink {
+
+  /** Resolved (rawPartitionPath, infoVersion) for a send — exposed for
+    * layout tests. */
+  private[sinks] def resolveLayout(hadoopConf: org.apache.hadoop.conf.Configuration,
+                                   infoDate: LocalDate,
+                                   options: Map[String, String]): (String, Int) = {
+    val base = options.getOrElse("path", throw new IllegalArgumentException(
+      "EnceladusSink: option 'path' (raw base path) is required"))
+    val version = options.getOrElse("info.version", "auto") match {
+      case auto if auto.equalsIgnoreCase("auto") =>
+        val publishBase = options.getOrElse("publish.base.path",
+          throw new IllegalArgumentException(
+            "EnceladusSink: info.version=auto needs option 'publish.base.path' " +
+              "(version detection scans the published layout)"))
+        EnceladusLayout.nextVersion(hadoopConf, publishBase, infoDate)
+      case n => n.toInt
+    }
+    (s"$base/${EnceladusLayout.unpackPattern(rawPartitionPattern, infoDateColumn, infoDate, version)}",
+      version)
+  }
+
+  override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
+                    options: Map[String, String]): SinkResult = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val t0 = System.currentTimeMillis()
+    val (rawPath, version) = resolveLayout(hadoopConf, infoDate, options)
+
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    // file-count contract: ceil(n/recordsPerPartition) output files.
+    // The pre-count costs one extra pass only when the option is set —
+    // the repartition target must be known BEFORE the write job.
+    val out = recordsPerPartition match {
+      case Some(rpp) =>
+        val n = df.count()
+        observed.repartition(math.max(1, math.ceil(n.toDouble / rpp).toInt))
+      case None => observed
+    }
+    out.write.format(format).mode(mode).options(formatOptions).save(rawPath)
+    val count = obs.get("cnt").asInstanceOf[Long]
+
+    // _INFO lands AFTER the data with the RESOLVED version: pollers
+    // that key on it see a complete, correctly-versioned drop
+    infoFile.foreach { c =>
+      InfoFile.write(rawPath,
+        InfoFile.render(c.application, c.country, c.historyType, tableName,
+          infoDate, count, version, c.zone,
+          Seq(InfoFile.Checkpoint("Raw", "Enceladus", 1, t0, System.currentTimeMillis(), count))),
+        hadoopConf)
+    }
+
+    runStandardizationIfConfigured(spark, tableName, infoDate, version, rawPath, options)
+    SinkResult(count)
+  }
+
+  /** The publish leg (reference runEnceladusIfNeeded): requires
+    * `dataset.name` + `enceladus.run.command`; removes a stale
+    * same-version publish dir first, runs the command, then registers
+    * the partition in Hive when a table + executor are wired. */
+  private def runStandardizationIfConfigured(spark: org.apache.spark.sql.SparkSession,
+                                             tableName: String, infoDate: LocalDate,
+                                             version: Int, rawPath: String,
+                                             options: Map[String, String]): Unit = {
+    val datasetName = options.get("dataset.name")
+    val template = options.get("enceladus.run.command")
+    if (datasetName.isEmpty || template.isEmpty) return
+    val publishBase = options.getOrElse("publish.base.path",
+      throw new IllegalArgumentException(
+        "EnceladusSink: running standardization needs option 'publish.base.path'"))
+    val publishPart =
+      EnceladusLayout.unpackPattern(publishPartitionPattern, infoDateColumn, infoDate, version)
+    val publishPath = new org.apache.hadoop.fs.Path(s"$publishBase/$publishPart")
+
+    // guarded stale-output removal (reference EnceladusSink.scala:320 —
+    // only paths carrying the version marker are ever deleted)
+    val fs = publishPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(publishPath) && publishPath.toString.contains("enceladus_info_version=")) {
+      System.err.println(s"[graft enceladus] removing stale publish output $publishPath")
+      fs.delete(publishPath, true)
+    }
+
+    val cmd = template.get
+      .replace("@datasetName", datasetName.get)
+      .replace("@datasetVersion", options.getOrElse("dataset.version", "1"))
+      .replace("@infoDate", infoDate.toString)
+      .replace("@infoVersion", version.toString)
+      .replace("@rawPath", rawPath)
+      .replace("@rawFormat", format)
+      .replace("@publishPath", publishPath.toString)
+    val proc = new ProcessBuilder(cmd.split("\\s+"): _*).redirectErrorStream(true).start()
+    val finished = proc.waitFor(commandTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      throw new RuntimeException(s"EnceladusSink standardization timed out: $cmd")
+    }
+    if (proc.exitValue() != 0) {
+      val outTxt = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      throw new RuntimeException(
+        s"EnceladusSink standardization failed (exit ${proc.exitValue()}): $cmd\n$outTxt")
+    }
+
+    // publish-side Hive registration: O(1) ADD PARTITION through the
+    // M43 seam (reference updateTable + repair on publish)
+    for (table <- options.get("hive.table"); ex <- hiveExecutor) {
+      HiveDdl.addPartition(ex, hiveTemplates, table,
+        Seq("enceladus_info_date" -> infoDate.toString,
+          "enceladus_info_version" -> version.toString),
+        publishPath.toString)
+    }
+  }
+}
+
+/** Factory so `sink.<name>.type = enceladus` works alongside the FQCN
+  * route (reference: EnceladusSink's ExternalChannelFactoryV2). */
+object EnceladusSink extends SinkFactory {
+  override def apply(options: Map[String, String]): GraftSink = {
+    val infoFile =
+      if (options.get("info.file").contains("true"))
+        Some(InfoFileConfig(
+          application = options.getOrElse("info.file.application", "graft"),
+          country = options.getOrElse("info.file.country", "ZZ"),
+          historyType = options.getOrElse("info.file.history.type", "snapshot")))
+      else None
+    new EnceladusSink(
+      format = options.getOrElse("format", "parquet"),
+      mode = if (options.get("mode").contains("append")) SaveMode.Append else SaveMode.Overwrite,
+      rawPartitionPattern =
+        options.getOrElse("partition.pattern", EnceladusLayout.DefaultRawPattern),
+      infoDateColumn = options.getOrElse("info.date.column", "enceladus_info_date"),
+      recordsPerPartition = options.get("records.per.partition").map(_.toLong),
+      infoFile = infoFile,
+      commandTimeoutSeconds = options.get("timeout.seconds").map(_.toLong).getOrElse(600L))
+  }
+}
