@@ -184,6 +184,137 @@ object MultimodalPipeline {
   }
 
   /**
+   * Metadata-real codec for the two compressed audio containers a web
+   * crawl actually carries — FLAC and OGG (Vorbis/Opus) — parsed from
+   * their PUBLIC container headers in pure JVM code (no codec
+   * library): full sample decode stays behind the seam, but sample
+   * rate / channels / bits-per-sample / duration — the fields an
+   * audio-curation pass filters on FIRST — are read for real.
+   *
+   *  - FLAC: `fLaC` magic + the mandatory STREAMINFO metadata block
+   *    (type 0, 34 bytes): 20-bit sample rate, 3-bit channels-1,
+   *    5-bit bps-1, 36-bit total samples.
+   *  - OGG: first page carries the id packet — Vorbis (`\x01vorbis`:
+   *    u8 channels, u32-LE rate) or Opus (`OpusHead`: u8 channels,
+   *    u16-LE pre-skip, 48 kHz granule clock); duration comes from
+   *    the LAST page's 64-bit granule position (samples), found by a
+   *    backward scan for `OggS`.
+   *
+   * Emits the [[WavCodec]] 8-dim shape with the four waveform stats
+   * (rms/peak/zcr/dc) as NaN — undecoded, not zero — so WAV and
+   * compressed rows stay union-compatible and downstream filters can
+   * tell "silent" from "not decoded". Unknown/corrupt payloads emit
+   * null, never a task failure.
+   */
+  object CompressedAudioMetaCodec extends Codec {
+    private def u32le(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def u64le(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 7
+      while (k >= 0) { v = (v << 8) | (b(i + k) & 0xFFL); k -= 1 }
+      v
+    }
+
+    private[multimodal] def parseFlac(b: Array[Byte]): Array[Float] = {
+      // metadata blocks start at 4; find STREAMINFO (type 0, first by
+      // spec, but walk defensively)
+      var i = 4
+      while (i + 4 <= b.length) {
+        val header = b(i) & 0xFF
+        val blockType = header & 0x7F
+        val len = ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        val data = i + 4
+        if (blockType == 0) {
+          if (data + 18 > b.length || len < 34) return null
+          val rate = ((b(data + 10) & 0xFF) << 12) | ((b(data + 11) & 0xFF) << 4) |
+            ((b(data + 12) & 0xFF) >> 4)
+          val channels = ((b(data + 12) >> 1) & 0x7) + 1
+          val bps = (((b(data + 12) & 0x1) << 4) | ((b(data + 13) & 0xFF) >> 4)) + 1
+          val totalSamples = ((b(data + 13) & 0x0FL) << 32) |
+            ((b(data + 14) & 0xFFL) << 24) | ((b(data + 15) & 0xFFL) << 16) |
+            ((b(data + 16) & 0xFFL) << 8) | (b(data + 17) & 0xFFL)
+          if (rate == 0) return null
+          return Array(rate.toFloat, channels.toFloat, bps.toFloat,
+            (totalSamples * 1000.0 / rate).toFloat,
+            Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+        }
+        if ((header & 0x80) != 0) return null // last block, no STREAMINFO seen
+        i = data + len
+      }
+      null
+    }
+
+    /** Last `OggS` page's granule position (total samples on the
+      * stream's clock), or -1. Backward scan — the tail page is what
+      * carries the end-of-stream granule. */
+    private def lastGranule(b: Array[Byte]): Long = {
+      var i = b.length - 27 // minimal page header size
+      while (i >= 0) {
+        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S')
+          return u64le(b, i + 6)
+        i -= 1
+      }
+      -1L
+    }
+
+    private[multimodal] def parseOgg(b: Array[Byte]): Array[Float] = {
+      if (b.length < 58) return null
+      val nSegs = b(26) & 0xFF
+      val p = 27 + nSegs // first packet start
+      if (p + 19 > b.length) return null
+      val isVorbis = b(p) == 0x01 && b(p + 1) == 'v' && b(p + 2) == 'o' &&
+        b(p + 3) == 'r' && b(p + 4) == 'b' && b(p + 5) == 'i' && b(p + 6) == 's'
+      val isOpus = b(p) == 'O' && b(p + 1) == 'p' && b(p + 2) == 'u' &&
+        b(p + 3) == 's' && b(p + 4) == 'H' && b(p + 5) == 'e' &&
+        b(p + 6) == 'a' && b(p + 7) == 'd'
+      if (isVorbis) {
+        val channels = b(p + 11) & 0xFF
+        val rate = u32le(b, p + 12)
+        if (rate == 0) return null
+        val g = lastGranule(b)
+        val durMs = if (g > 0) (g * 1000.0 / rate).toFloat else Float.NaN
+        Array(rate.toFloat, channels.toFloat, 0f, durMs,
+          Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+      } else if (isOpus) {
+        val channels = b(p + 9) & 0xFF
+        val preSkip = (b(p + 10) & 0xFF) | ((b(p + 11) & 0xFF) << 8)
+        val inputRate = u32le(b, p + 12)
+        val g = lastGranule(b)
+        // opus granules tick at 48 kHz regardless of the input rate
+        val durMs = if (g > 0) ((g - preSkip) * 1000.0 / 48000.0).toFloat else Float.NaN
+        Array(inputRate.toFloat, channels.toFloat, 0f, durMs,
+          Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+      } else null
+    }
+
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { b =>
+        try {
+          if (b == null || b.length < 8) null
+          else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
+          else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') parseOgg(b)
+          else null
+        } catch { case _: Exception => null }
+      }
+  }
+
+  /** Format-dispatching audio codec: WAV/AIFF/AU decode for REAL
+    * through [[WavCodec]]; FLAC/OGG read their container metadata
+    * through [[CompressedAudioMetaCodec]]; anything else nulls. One
+    * codec a mixed audio corpus runs end to end. */
+  object AudioCodec extends Codec {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { b =>
+        if (b == null || b.length < 12) null
+        else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+          CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+        else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+          CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+        else WavCodec.decodeBatch(Iterator(b)).next()
+      }
+  }
+
+  /**
    * Batched feature extraction: binary column → fixed-dim float
    * feature vector. Runs the codec over bounded `batchSize`-row groups
    * pulled lazily from the partition iterator — peak executor memory

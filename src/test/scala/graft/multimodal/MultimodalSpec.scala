@@ -185,4 +185,93 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(6) - 0.11f) < 0.01f, s"zero-cross rate: ${f(6)}")
     assert(feats(1) == null && feats(2) == null, "junk/null must yield null features")
   }
+
+  /** Synthesized FLAC header: fLaC magic + STREAMINFO (type 0, 34 B)
+    * with the 20/3/5/36-bit packed fields hand-encoded. */
+  private def flacBytes(rate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80)                       // last-block flag + type 0
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)          // min/max block+frame stay 0
+    si(10) = ((rate >> 12) & 0xFF).toByte
+    si(11) = ((rate >> 4) & 0xFF).toByte
+    si(12) = (((rate & 0xF) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bps - 1) >> 4) & 0x1)).toByte
+    si(13) = ((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    out.write(si)
+    out.toByteArray
+  }
+
+  /** Minimal OGG page with one packet; granule and serial hand-set. */
+  private def oggPage(packet: Array[Byte], granule: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(2)            // version, header type (BOS)
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xFF).toInt))
+    out.write(Array.fill[Byte](12)(0))    // serial + seq + checksum
+    out.write(1); out.write(packet.length) // one segment
+    out.write(packet)
+    out.toByteArray
+  }
+
+  test("CompressedAudioMetaCodec: FLAC STREAMINFO fields exact; waveform stats NaN") {
+    val flac = flacBytes(rate = 44100, channels = 2, bps = 24, totalSamples = 441000L)
+    val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(flac)).next()
+    assert(f != null, "FLAC header must parse")
+    assert(f(0) == 44100f && f(1) == 2f && f(2) == 24f, s"rate/ch/bps: ${f.toSeq}")
+    assert(math.abs(f(3) - 10000f) < 1f, s"441000 samples @ 44.1kHz = 10 s: ${f(3)}")
+    assert(f(4).isNaN && f(5).isNaN && f(6).isNaN && f(7).isNaN,
+      "waveform stats must be NaN (undecoded), not zero")
+    // 8-bit mono edge of the packed fields
+    val f2 = MultimodalPipeline.CompressedAudioMetaCodec
+      .decodeBatch(Iterator(flacBytes(8000, 1, 8, 4000L))).next()
+    assert(f2(0) == 8000f && f2(1) == 1f && f2(2) == 8f && math.abs(f2(3) - 500f) < 1f, f2.toSeq.toString)
+  }
+
+  test("CompressedAudioMetaCodec: OGG Vorbis and Opus id headers + tail-granule duration") {
+    val vorbisId = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++                      // version
+      Array[Byte](2) ++                               // channels
+      Array[Byte](0x44.toByte, 0xAC.toByte, 0, 0) ++  // 44100 LE
+      Array.fill[Byte](13)(0)
+    val firstPage = oggPage(vorbisId, granule = 0L)
+    val lastPage = oggPage(Array[Byte](0), granule = 88200L) // 2 s @ 44.1k
+    val v = MultimodalPipeline.CompressedAudioMetaCodec
+      .decodeBatch(Iterator(firstPage ++ lastPage)).next()
+    assert(v != null && v(0) == 44100f && v(1) == 2f, s"vorbis: ${v.toSeq}")
+    assert(math.abs(v(3) - 2000f) < 1f, s"vorbis duration from tail granule: ${v(3)}")
+
+    val opusId = "OpusHead".getBytes("US-ASCII") ++
+      Array[Byte](1) ++                               // version
+      Array[Byte](1) ++                               // channels
+      Array[Byte](0x38, 0x01) ++                      // pre-skip 312 LE
+      Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++  // input rate 48000 LE
+      Array.fill[Byte](3)(0)
+    val opus = oggPage(opusId, 0L) ++ oggPage(Array[Byte](0), granule = 48000L + 312L)
+    val o = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(opus)).next()
+    assert(o != null && o(0) == 48000f && o(1) == 1f, s"opus: ${o.toSeq}")
+    assert(math.abs(o(3) - 1000f) < 1f, s"opus duration minus pre-skip at 48 kHz: ${o(3)}")
+  }
+
+  test("AudioCodec dispatches by magic: WAV decodes fully, FLAC/OGG metadata-only, junk null") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 1600L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val feats = MultimodalPipeline.AudioCodec.decodeBatch(Iterator(
+      bos.toByteArray, flacBytes(16000, 1, 16, 8000L), "not audio at all!".getBytes, null)).toSeq
+    assert(feats(0) != null && feats(0)(0) == 8000f && !feats(0)(4).isNaN,
+      "WAV must carry real waveform stats")
+    assert(feats(1) != null && feats(1)(0) == 16000f && feats(1)(4).isNaN,
+      "FLAC must carry metadata with NaN stats")
+    assert(feats(2) == null && feats(3) == null)
+  }
 }
