@@ -208,7 +208,7 @@ object DatabricksJobTemplate {
   * `"field": "..."` anywhere in the body, which breaks on multi-task
   * run states nested in `tasks` and on values with escaped quotes. A
   * parser dependency would buy nothing in this environment. */
-private[databricks] object Json {
+private[graft] object Json {
   def str(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

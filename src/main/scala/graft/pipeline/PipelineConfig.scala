@@ -144,6 +144,11 @@ object PipelineConfig {
                             * BookkeeperDeltaPath.scala:38) — wins over
                             * text/FS paths; needs delta-spark. */
                           deltaBookkeepingPath: Option[String] = None,
+                          /** DynamoDB bookkeeping factory (reference:
+                            * BookkeeperDynamoDb.scala) — lazy so parse
+                            * time only validates; wins over the storage
+                            * journals, loses to jdbc. */
+                          dynamoBookkeeping: Option[() => graft.dynamo.BookkeeperDynamo] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
@@ -616,6 +621,16 @@ object PipelineConfig {
       bookkeepingPath = kv.get("bookkeeping.path"),
       textBookkeepingPath = kv.get("bookkeeping.text.path"),
       deltaBookkeepingPath = kv.get("bookkeeping.delta.path"),
+      dynamoBookkeeping = kv.get("bookkeeping.dynamodb.endpoint").map { endpoint =>
+        // required keys validated AT PARSE; the client connects at run
+        def req(k: String) = kv.getOrElse(s"bookkeeping.dynamodb.$k",
+          throw new IllegalArgumentException(s"bookkeeping.dynamodb.$k is required"))
+        val (region, ak, sk) = (req("region"), req("access.key"), req("secret.key"))
+        val prefix = kv.getOrElse("bookkeeping.dynamodb.table.prefix", "graft")
+        () => new graft.dynamo.BookkeeperDynamo(
+          new graft.dynamo.DynamoDbClient(endpoint, region, ak, sk,
+            new graft.databricks.JdkHttpTransport()), prefix)
+      },
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
       htmlReportDir = kv.get("notification.html.dir"),
@@ -790,8 +805,9 @@ object PipelineConfig {
           else None,
           if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
       case None =>
-        val bk = parsed.deltaBookkeepingPath
-          .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore)
+        val bk = parsed.dynamoBookkeeping.map(_(): BookkeeperStore)
+          .orElse(parsed.deltaBookkeepingPath
+            .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore))
           .orElse(parsed.textBookkeepingPath
             .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
           .getOrElse(fallback)
