@@ -1,0 +1,171 @@
+package graft.mongo
+
+import java.time.LocalDate
+
+import graft.pipeline.{BookkeeperStore, RunRecord}
+
+/**
+ * MongoDB wire-protocol client (reference: pramen/core
+ * .../core/mongo/MongoDbConnection.scala + the mongo-scala-driver it
+ * wraps): instead of the driver dependency, graft speaks the PUBLIC
+ * wire protocol directly — `OP_MSG` (opcode 2013, the sole modern
+ * message) framing one kind-0 BSON command section per request, per
+ * the MongoDB specification. Commands used: `insert`, `find` +
+ * `getMore` (cursor batches), `createIndexes`, `ping`.
+ *
+ * Scope: unauthenticated connections (SCRAM auth is a deploy-time
+ * concern behind the same socket; the reference connection string
+ * carries credentials the same way). The zero-egress environment
+ * drives every frame against a scripted in-process server speaking
+ * the same protocol — the M42 raw-socket SMTP discipline.
+ */
+final class MongoClient(host: String, port: Int, timeoutMs: Int = 30000) extends AutoCloseable {
+
+  private val socket = new java.net.Socket()
+  socket.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+  socket.setSoTimeout(timeoutMs)
+  private val in = new java.io.DataInputStream(
+    new java.io.BufferedInputStream(socket.getInputStream))
+  private val out = new java.io.BufferedOutputStream(socket.getOutputStream)
+  private val reqId = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  override def close(): Unit = socket.close()
+
+  /** One OP_MSG round trip: header(16) + flagBits(0) + section kind 0
+    * + command BSON; the reply's section 0 document is returned.
+    * A reply with `ok != 1` throws with the server's error message. */
+  def runCommand(db: String, command: Seq[(String, Any)]): Map[String, Any] = synchronized {
+    val body = Bson.encode(command :+ ("$db" -> db))
+    val total = 16 + 4 + 1 + body.length
+    val header = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = {
+      header.write(v & 0xFF); header.write((v >> 8) & 0xFF)
+      header.write((v >> 16) & 0xFF); header.write((v >> 24) & 0xFF)
+    }
+    i32(total); i32(reqId.getAndIncrement()); i32(0); i32(2013) // OP_MSG
+    i32(0) // flagBits
+    out.write(header.toByteArray)
+    out.write(0) // section kind 0
+    out.write(body)
+    out.flush()
+
+    // reply: header(16) + flags(4) + kind(1) + doc
+    val replyHeader = new Array[Byte](16 + 4 + 1)
+    in.readFully(replyHeader)
+    val msgLen = Bson.readInt32(replyHeader, 0)
+    val opCode = Bson.readInt32(replyHeader, 12)
+    require(opCode == 2013, s"MongoClient: unexpected reply opcode $opCode")
+    val kind = replyHeader(20) & 0xFF
+    require(kind == 0, s"MongoClient: unexpected reply section kind $kind")
+    val docBytes = new Array[Byte](msgLen - 21)
+    in.readFully(docBytes)
+    val (doc, _) = Bson.decode(docBytes)
+    doc.get("ok") match {
+      case Some(d: Double) if d == 1.0 => doc
+      case Some(i: Int) if i == 1 => doc
+      case _ => throw new RuntimeException(
+        s"MongoClient: command failed: ${doc.getOrElse("errmsg", doc)}")
+    }
+  }
+
+  def ping(db: String): Unit = { runCommand(db, Seq("ping" -> 1)); () }
+
+  def insert(db: String, collection: String, docs: Seq[Seq[(String, Any)]]): Unit = {
+    runCommand(db, Seq(
+      "insert" -> collection,
+      "documents" -> docs.map(Bson.Doc).toList))
+    ()
+  }
+
+  /** find + getMore until the cursor drains — a query never silently
+    * truncates at the first batch. */
+  def find(db: String, collection: String,
+           filter: Seq[(String, Any)] = Nil): Seq[Map[String, Any]] = {
+    val results = Seq.newBuilder[Map[String, Any]]
+    var resp = runCommand(db, Seq(
+      "find" -> collection,
+      "filter" -> Bson.Doc(filter)))
+    var cursor = resp("cursor").asInstanceOf[Map[String, Any]]
+    results ++= cursor("firstBatch").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    var cursorId = cursor("id").asInstanceOf[Long]
+    while (cursorId != 0L) {
+      resp = runCommand(db, Seq("getMore" -> cursorId, "collection" -> collection))
+      cursor = resp("cursor").asInstanceOf[Map[String, Any]]
+      results ++= cursor("nextBatch").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      cursorId = cursor("id").asInstanceOf[Long]
+    }
+    results.result()
+  }
+
+  def createIndex(db: String, collection: String,
+                  keys: Seq[(String, Int)], name: String): Unit = {
+    runCommand(db, Seq(
+      "createIndexes" -> collection,
+      "indexes" -> List(Bson.Doc(Seq(
+        "key" -> Bson.Doc(keys.map { case (k, v) => k -> v }),
+        "name" -> name)))))
+    ()
+  }
+}
+
+/**
+ * BookkeeperStore over MongoDB (reference: core/bookkeeper/
+ * BookkeeperMongoDb.scala:45 — `bookkeeping` collection indexed on
+ * (tableName, infoDate), every attempt inserted, newest wins on
+ * read). Reads re-query per call for cross-driver visibility, filters
+ * ride the indexed `tableName` key server-side, and the per-table
+ * newest-per-date reduction happens on the bounded result.
+ */
+final class BookkeeperMongo(client: MongoClient, db: String,
+                            collection: String = "bookkeeping") extends BookkeeperStore {
+
+  client.createIndex(db, collection,
+    Seq("tableName" -> 1, "infoDate" -> 1), "graft_bk_idx")
+
+  override def record(r: RunRecord): Unit =
+    client.insert(db, collection, Seq(Seq(
+      "tableName" -> r.table,
+      "infoDate" -> r.infoDate.toString,
+      "recordCount" -> r.recordCount,
+      "status" -> r.status,
+      "startedAtMs" -> r.startedAtMs,
+      "finishedAtMs" -> r.finishedAtMs)))
+
+  private def toRecord(doc: Map[String, Any]): RunRecord = RunRecord(
+    doc("tableName").asInstanceOf[String],
+    LocalDate.parse(doc("infoDate").asInstanceOf[String]),
+    doc("recordCount").asInstanceOf[Long],
+    doc("status").asInstanceOf[String],
+    doc("startedAtMs").asInstanceOf[Long],
+    doc("finishedAtMs").asInstanceOf[Long])
+
+  private def forTable(table: String): Seq[RunRecord] =
+    client.find(db, collection, Seq("tableName" -> table)).map(toRecord)
+
+  override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
+    client.find(db, collection,
+        Seq("tableName" -> table, "infoDate" -> infoDate.toString))
+      .map(toRecord).maxByOption(_.finishedAtMs)
+
+  override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
+    get(table, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
+
+  override def latestSuccess(table: String): Option[LocalDate] =
+    newestPerDate(table).filter(_.status == "succeeded")
+      .map(_.infoDate).maxByOption(_.toEpochDay)
+
+  override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
+    newestPerDate(table)
+      .filter(r => r.status == "succeeded" && !r.infoDate.isAfter(until))
+      .maxByOption(_.infoDate.toEpochDay)
+
+  override def all: Seq[RunRecord] =
+    client.find(db, collection).map(toRecord)
+      .groupBy(r => (r.table, r.infoDate))
+      .values.map(_.maxBy(_.finishedAtMs)).toSeq
+
+  private def newestPerDate(table: String): Seq[RunRecord] =
+    forTable(table).groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
+}

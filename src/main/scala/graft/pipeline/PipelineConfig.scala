@@ -149,6 +149,11 @@ object PipelineConfig {
                             * time only validates; wins over the storage
                             * journals, loses to jdbc. */
                           dynamoBookkeeping: Option[() => graft.dynamo.BookkeeperDynamo] = None,
+                          /** MongoDB bookkeeping factory (reference:
+                            * BookkeeperMongoDb.scala + MongoDbConnection):
+                            * lazy — the socket opens at run, the URI
+                            * validates at parse. */
+                          mongoBookkeeping: Option[() => graft.mongo.BookkeeperMongo] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
@@ -631,6 +636,19 @@ object PipelineConfig {
           new graft.dynamo.DynamoDbClient(endpoint, region, ak, sk,
             new graft.databricks.JdkHttpTransport()), prefix)
       },
+      mongoBookkeeping = kv.get("bookkeeping.mongodb.uri").map { uri =>
+        // mongodb://host:port/db — validated AT PARSE, connected at run
+        val u = java.net.URI.create(uri)
+        require(u.getScheme == "mongodb" && u.getHost != null,
+          s"bookkeeping.mongodb.uri: expected mongodb://host[:port]/db, got '$uri'")
+        val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(
+            s"bookkeeping.mongodb.uri: database name missing in '$uri'"))
+        val port = if (u.getPort > 0) u.getPort else 27017
+        val coll = kv.getOrElse("bookkeeping.mongodb.collection", "bookkeeping")
+        () => new graft.mongo.BookkeeperMongo(
+          new graft.mongo.MongoClient(u.getHost, port), db, coll)
+      },
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
       htmlReportDir = kv.get("notification.html.dir"),
@@ -806,6 +824,7 @@ object PipelineConfig {
           if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
       case None =>
         val bk = parsed.dynamoBookkeeping.map(_(): BookkeeperStore)
+          .orElse(parsed.mongoBookkeeping.map(_(): BookkeeperStore))
           .orElse(parsed.deltaBookkeepingPath
             .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore))
           .orElse(parsed.textBookkeepingPath
