@@ -116,27 +116,42 @@ final class DynamoDbClient(endpoint: String, region: String,
       case e: RuntimeException if e.getMessage.contains("ResourceNotFound") => false
     }
 
-  def createTable(table: String, hashKey: String, rangeKey: String): Unit = {
+  def createTable(table: String, hashKey: String, rangeKey: Option[String] = None): Unit = {
+    val keys = Seq(hashKey -> "HASH") ++ rangeKey.map(_ -> "RANGE")
     call("CreateTable", Json.obj(
       "TableName" -> Json.str(table),
-      "AttributeDefinitions" -> Seq(hashKey, rangeKey).map(k =>
-        Json.obj("AttributeName" -> Json.str(k), "AttributeType" -> Json.str("S")))
-        .mkString("[", ",", "]"),
-      "KeySchema" -> Seq(hashKey -> "HASH", rangeKey -> "RANGE").map { case (k, t) =>
+      "AttributeDefinitions" -> keys.map { case (k, _) =>
+        Json.obj("AttributeName" -> Json.str(k), "AttributeType" -> Json.str("S"))
+      }.mkString("[", ",", "]"),
+      "KeySchema" -> keys.map { case (k, t) =>
         Json.obj("AttributeName" -> Json.str(k), "KeyType" -> Json.str(t))
       }.mkString("[", ",", "]"),
       "BillingMode" -> Json.str("PAY_PER_REQUEST")))
     ()
   }
 
-  def putItem(table: String, item: Map[String, (String, String)]): Unit = {
+  /** PutItem, optionally guarded by a ConditionExpression; returns
+    * false when the conditional check failed (the item was NOT
+    * written) — the primitive monotonic offset commits build on. */
+  def putItem(table: String, item: Map[String, (String, String)],
+              condition: Option[(String, Map[String, (String, String)])] = None): Boolean = {
     val fields = item.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>
       k -> Json.obj(tpe -> Json.str(v))
     }
-    call("PutItem", Json.obj(
+    val base = Seq(
       "TableName" -> Json.str(table),
-      "Item" -> Json.obj(fields: _*)))
-    ()
+      "Item" -> Json.obj(fields: _*))
+    val withCond = condition.fold(base) { case (expr, values) =>
+      base ++ Seq(
+        "ConditionExpression" -> Json.str(expr),
+        "ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
+          case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
+        }: _*))
+    }
+    try { call("PutItem", Json.obj(withCond: _*)); true }
+    catch {
+      case e: RuntimeException if e.getMessage.contains("ConditionalCheckFailed") => false
+    }
   }
 
   /** Query by key condition; returns decoded items
@@ -203,7 +218,7 @@ final class BookkeeperDynamo(client: DynamoDbClient,
 
   def ensureTable(): Unit =
     if (!client.tableExists(table))
-      client.createTable(table, "tableName", "infoDateSortKey")
+      client.createTable(table, "tableName", Some("infoDateSortKey"))
 
   ensureTable()
 
@@ -250,4 +265,49 @@ final class BookkeeperDynamo(client: DynamoDbClient,
     client.query(table, "tableName = :t", Map(":t" -> ("S", tableName)))
       .map(toRecord)
       .groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
+}
+
+/**
+ * Incremental-offset store over DynamoDB (reference:
+ * core/bookkeeper/OffsetManagerDynamoDb.scala): ONE item per table
+ * (pk `tableName`), monotonicity enforced SERVER-side with a
+ * conditional put (`attribute_not_exists OR offsetValue < :v`) — two
+ * racing drivers can both commit and the larger offset wins without
+ * a read-modify-write window (DynamoDB evaluates the condition
+ * atomically; N attributes compare numerically, S lexicographically,
+ * matching [[graft.offset.OffsetValue]]'s own ordering).
+ */
+final class OffsetStoreDynamo(client: DynamoDbClient,
+                              tablePrefix: String = "graft")
+    extends graft.offset.OffsetStore {
+  private val table = s"${tablePrefix}_offsets"
+
+  if (!client.tableExists(table)) client.createTable(table, "tableName")
+
+  private def attrType(tpe: String): String =
+    if (tpe == "string") "S" else "N"
+
+  override def getLatestOffset(tableName: String): Option[graft.offset.OffsetValue] =
+    client.query(table, "tableName = :t", Map(":t" -> ("S", tableName)))
+      .headOption.map { item =>
+        graft.offset.OffsetValue.fromString(item("offsetType")._2, item("offsetValue")._2)
+      }
+
+  override def commit(tableName: String, offset: graft.offset.OffsetValue): Unit = {
+    val t = attrType(offset.typeName)
+    val raw = offset match {
+      case graft.offset.OffsetValue.IntegralValue(v) => v.toString
+      case graft.offset.OffsetValue.DateTimeValue(ms) => ms.toString
+      case graft.offset.OffsetValue.StringValue(s) => s
+    }
+    // false (condition failed) = the stored offset is already >= ours:
+    // exactly the monotonic no-op the contract requires
+    client.putItem(table, Map(
+      "tableName" -> ("S", tableName),
+      "offsetType" -> ("S", offset.typeName),
+      "offsetValue" -> (t, raw)),
+      condition = Some(("attribute_not_exists(tableName) OR offsetValue < :v",
+        Map(":v" -> (t, raw)))))
+    ()
+  }
 }

@@ -44,9 +44,21 @@ import java.time.LocalDate
  *                                         # SqlExecutorFactory FQCN (pooling, tests)
  *
  * # OR: Spark-storage journals (reference: BookkeeperText.scala,
- * # BookkeeperDeltaPath.scala). Precedence: jdbc > delta > text > path.
+ * # BookkeeperDeltaPath.scala). Precedence:
+ * # jdbc > dynamodb > mongodb > delta > text > path.
  * bookkeeping.delta.path = /data/state/bk_delta  # append-only Delta journal table
  * bookkeeping.text.path = /data/state/bk_text    # pipe-CSV journal dir (shell/Spark readable)
+ *
+ * # OR: database journals over graft's own wire clients (no SDK/driver
+ * # dependency; reference BookkeeperDynamoDb.scala / BookkeeperMongoDb.scala)
+ * bookkeeping.dynamodb.endpoint = https://dynamodb.eu-west-1.amazonaws.com
+ * bookkeeping.dynamodb.region = eu-west-1
+ * bookkeeping.dynamodb.access.key = ...
+ * bookkeeping.dynamodb.secret.key = ...          # SigV4-signed requests
+ * bookkeeping.dynamodb.table.prefix = graft
+ * bookkeeping.dynamodb.offsets = true   # conditional-put incremental offsets (default true)
+ * bookkeeping.mongodb.uri = mongodb://mongo:27017/graftdb  # OP_MSG wire protocol
+ * bookkeeping.mongodb.collection = bookkeeping
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.failures.to = oncall@acme.com  # failed runs go HERE instead
@@ -145,10 +157,13 @@ object PipelineConfig {
                             * text/FS paths; needs delta-spark. */
                           deltaBookkeepingPath: Option[String] = None,
                           /** DynamoDB bookkeeping factory (reference:
-                            * BookkeeperDynamoDb.scala) — lazy so parse
-                            * time only validates; wins over the storage
-                            * journals, loses to jdbc. */
-                          dynamoBookkeeping: Option[() => graft.dynamo.BookkeeperDynamo] = None,
+                            * BookkeeperDynamoDb.scala + OffsetManagerDynamoDb)
+                            * — lazy so parse time only validates; yields the
+                            * bookkeeper plus (unless `offsets = false`) the
+                            * conditional-put offset store on one shared
+                            * client. Wins over the storage journals, loses
+                            * to jdbc. */
+                          dynamoBookkeeping: Option[() => (graft.dynamo.BookkeeperDynamo, Option[graft.offset.OffsetStore])] = None,
                           /** MongoDB bookkeeping factory (reference:
                             * BookkeeperMongoDb.scala + MongoDbConnection):
                             * lazy — the socket opens at run, the URI
@@ -632,9 +647,13 @@ object PipelineConfig {
           throw new IllegalArgumentException(s"bookkeeping.dynamodb.$k is required"))
         val (region, ak, sk) = (req("region"), req("access.key"), req("secret.key"))
         val prefix = kv.getOrElse("bookkeeping.dynamodb.table.prefix", "graft")
-        () => new graft.dynamo.BookkeeperDynamo(
-          new graft.dynamo.DynamoDbClient(endpoint, region, ak, sk,
-            new graft.databricks.JdkHttpTransport()), prefix)
+        val withOffsets = !kv.get("bookkeeping.dynamodb.offsets").contains("false")
+        () => {
+          val client = new graft.dynamo.DynamoDbClient(endpoint, region, ak, sk,
+            new graft.databricks.JdkHttpTransport())
+          (new graft.dynamo.BookkeeperDynamo(client, prefix),
+            if (withOffsets) Some(new graft.dynamo.OffsetStoreDynamo(client, prefix)) else None)
+        }
       },
       mongoBookkeeping = kv.get("bookkeeping.mongodb.uri").map { uri =>
         // mongodb://host:port/db — validated AT PARSE, connected at run
@@ -823,14 +842,15 @@ object PipelineConfig {
           else None,
           if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
       case None =>
-        val bk = parsed.dynamoBookkeeping.map(_(): BookkeeperStore)
+        val dyn = parsed.dynamoBookkeeping.map(_())
+        val bk = dyn.map(_._1: BookkeeperStore)
           .orElse(parsed.mongoBookkeeping.map(_(): BookkeeperStore))
           .orElse(parsed.deltaBookkeepingPath
             .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore))
           .orElse(parsed.textBookkeepingPath
             .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
           .getOrElse(fallback)
-        ResolvedStores(bk, None, None, None)
+        ResolvedStores(bk, dyn.flatMap(_._2), None, None)
     }
     // undercover: decisions read the real history, nothing writes back
     if (!parsed.undercover) stores

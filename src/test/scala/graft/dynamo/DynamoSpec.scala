@@ -43,6 +43,9 @@ class DynamoSpec extends AnyFunSuite {
     * bookkeeper uses, including Query pagination. */
   private final class FakeDynamo(pageSize: Int = 1000) extends HttpTransport {
     val tables = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Map[String, (String, String)]]]
+    // table -> (hashKey, rangeKey) from CreateTable: PutItem REPLACES
+    // by primary key like the real service, not append
+    val keySchemas = collection.mutable.Map.empty[String, (String, Option[String])]
     var calls = 0
 
     private def attr(av: Any): (String, String) = {
@@ -70,11 +73,37 @@ class DynamoSpec extends AnyFunSuite {
           else (400, """{"__type":"com.amazonaws.dynamodb.v20120810#ResourceNotFoundException"}""")
         case "CreateTable" =>
           tables.getOrElseUpdate(tname, collection.mutable.ArrayBuffer.empty)
+          val keys = req("KeySchema").asInstanceOf[List[Any]]
+            .map(_.asInstanceOf[Map[String, Any]])
+            .map(m => m("KeyType").asInstanceOf[String] -> m("AttributeName").asInstanceOf[String])
+            .toMap
+          keySchemas(tname) = (keys("HASH"), keys.get("RANGE"))
           (200, "{}")
         case "PutItem" =>
           val item = req("Item").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> attr(v) }
-          tables(tname) += item
-          (200, "{}")
+          val (hk, rk) = keySchemas.getOrElse(tname, ("tableName", Some("infoDateSortKey")))
+          def keyOf(i: Map[String, (String, String)]) = (i.get(hk), rk.flatMap(i.get))
+          val buf = tables(tname)
+          val existingIdx = buf.indexWhere(keyOf(_) == keyOf(item))
+          // ConditionExpression subset: "attribute_not_exists(pk) OR attr < :v"
+          val condOk = req.get("ConditionExpression").forall { c =>
+            val expr = c.asInstanceOf[String]
+            if (existingIdx < 0) true // attribute_not_exists satisfied
+            else {
+              val m = "OR\\s+(\\w+)\\s*<\\s*(:\\w+)".r.findFirstMatchIn(expr).get
+              val (tpe, v) = attr(req("ExpressionAttributeValues")
+                .asInstanceOf[Map[String, Any]](m.group(2)))
+              val (etpe, ev) = buf(existingIdx)(m.group(1))
+              require(etpe == tpe, s"type mismatch $etpe vs $tpe")
+              if (tpe == "N") BigDecimal(ev) < BigDecimal(v) else ev < v
+            }
+          }
+          if (!condOk)
+            (400, """{"__type":"com.amazonaws.dynamodb.v20120810#ConditionalCheckFailedException"}""")
+          else {
+            if (existingIdx >= 0) buf(existingIdx) = item else buf += item
+            (200, "{}")
+          }
         case "Query" =>
           val vals = req("ExpressionAttributeValues").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> attr(v)._2 }
@@ -159,6 +188,29 @@ class DynamoSpec extends AnyFunSuite {
         |allow.empty.pipeline = true
         |""".stripMargin))
     assert(e.getMessage.contains("bookkeeping.dynamodb.region"), e.getMessage)
+  }
+
+  test("offsets: server-side monotonic commits — stale commits no-op, types round-trip") {
+    import graft.offset.OffsetValue
+    val fake = new FakeDynamo()
+    val os = new OffsetStoreDynamo(client(fake))
+    assert(os.getLatestOffset("ev").isEmpty)
+    os.commit("ev", OffsetValue.IntegralValue(100L))
+    os.commit("ev", OffsetValue.IntegralValue(50L))   // stale: conditional put rejects
+    assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(100L)),
+      "a lower offset must never overwrite (condition evaluated server-side)")
+    os.commit("ev", OffsetValue.IntegralValue(250L))
+    assert(os.getLatestOffset("ev").contains(OffsetValue.IntegralValue(250L)))
+    // numeric comparison, not lexicographic: 1000 > 999 even though "1000" < "999"
+    os.commit("n", OffsetValue.IntegralValue(999L))
+    os.commit("n", OffsetValue.IntegralValue(1000L))
+    assert(os.getLatestOffset("n").contains(OffsetValue.IntegralValue(1000L)),
+      "N attributes must compare numerically")
+    os.commit("s", OffsetValue.StringValue("2024-01-02"))
+    os.commit("s", OffsetValue.StringValue("2024-01-01"))
+    assert(os.getLatestOffset("s").contains(OffsetValue.StringValue("2024-01-02")))
+    os.commit("ts", OffsetValue.DateTimeValue(1700000000000L))
+    assert(os.getLatestOffset("ts").contains(OffsetValue.DateTimeValue(1700000000000L)))
   }
 
   test("a corrupted signature is rejected by the fake — the signature check is real") {
