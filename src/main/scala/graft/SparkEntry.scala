@@ -421,7 +421,7 @@ object SparkEntry {
       ms.register(MetaTable("lz_mid", metaPath("lz_mid")))
       ms.register(MetaTable("lz_out", metaPath("lz_out")))
       val d0 = LocalDate.parse("2024-05-01")
-      ms.saveTable("lz_src", d0, t(s, dir, "orders"))
+      stageOnce(s"lz_src|$dir") { ms.saveTable("lz_src", d0, t(s, dir, "orders")) }
       val lazyJob = JobDef("lz_mid_job", "lz_mid", new Transformer {
         def run(r: graft.meta.MetastoreReader, d: LocalDate,
                 o: Map[String, String]): DataFrame =
@@ -1063,7 +1063,7 @@ object SparkEntry {
       ms.register(MetaTable("docs_raw", metaPath("cur_src")))
       ms.register(MetaTable("docs_cur", metaPath("cur_out")))
       val d = LocalDate.parse("2024-05-01")
-      ms.saveTable("docs_raw", d, docs(s, dir))
+      stageOnce(s"cur_src|$dir") { ms.saveTable("docs_raw", d, docs(s, dir)) }
       new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
         "curate", "docs_cur", new graft.pipeline.CurationTransformer,
         Seq("docs_raw"), infoDateExpr = "@runDate",
@@ -1083,9 +1083,11 @@ object SparkEntry {
       ms.register(MetaTable("emb_v2", metaPath("curv2_emb")))
       ms.register(MetaTable("docs_cur_v2", metaPath("curv2_out")))
       val d = LocalDate.parse("2024-05-01")
-      ms.saveTable("docs_raw_v2", d, docs(s, dir))
-      ms.saveTable("emb_v2", d,
-        withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding"))
+      stageOnce(s"curv2_src|$dir") {
+        ms.saveTable("docs_raw_v2", d, docs(s, dir))
+        ms.saveTable("emb_v2", d,
+          withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding"))
+      }
       new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
         "curate_v2", "docs_cur_v2", new graft.pipeline.CurationTransformer,
         Seq("docs_raw_v2", "emb_v2"), infoDateExpr = "@runDate",

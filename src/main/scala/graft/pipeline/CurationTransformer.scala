@@ -177,9 +177,15 @@ final class CurationTransformer extends Transformer {
     val withPpl =
       if (!options.get("perplexity.enabled").contains("true")) scored
       else {
+        // default fit input is the RAW read, not the curated frame: a
+        // trusted reference table is the production knob, and without
+        // one the fit must not RE-EXECUTE the dedup → semdedup DAG
+        // just to count tokens — at corpus scale that doubles the most
+        // expensive stages for a distribution estimate the raw scan
+        // approximates within the duplicates' weight shift
         val ref = options.get("perplexity.reference.table")
           .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
-          .getOrElse(semDeduped)
+          .getOrElse(docs)
         val lm = LmScore.fitUnigram(ref, textCol)
         // row-local native scoring: no explode/join/shuffle, and no
         // second evaluation of the `scored` subtree (the join
