@@ -181,6 +181,38 @@ object Bench {
         }
       }
     }
+    // OPT-IN third pass at sf10 (100x sf0.1, SPARK_GRAFT_SF10=1):
+    // two-decade scaling validation for the operators whose 100 TB
+    // claim is a SHAPE claim (hash dedup, sketches, bloom probes,
+    // bounded ranking/ANN, minority-shuffle caps). Single-run — it is
+    // a shape probe, not a trend metric. The pair-emitting near-dup
+    // queries are deliberately ABSENT: at 100 identical replicas per
+    // doc their OUTPUT is quadratic in copies (C(100,2) pairs per
+    // group — the q_range_join replication artifact), which measures
+    // the replication scheme, not the plan.
+    val sf10Json: String = {
+      if (!sys.env.get("SPARK_GRAFT_SF10").contains("1")) ""
+      else try {
+        val srcDir = "/root/testdata/sf0.1"
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+        val tGen = System.nanoTime()
+        BenchData.ensureScaled(spark, srcDir, outDir, copies = 100)
+        val genSec = (System.nanoTime() - tGen) / 1e9
+        val names = Seq("q1_agg", "q_dedup_exact", "q_token_count", "q_freq_items",
+          "q_sketch_distinct", "q_bm25", "q_ann_topk", "q_decontam_bloom",
+          "q_line_dedup", "q_url_filter")
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"sf10 names not in SparkEntry.queries: $unknown")
+        val rs = names.map(n => n -> timeQuery(spark, n, SparkEntry.queries(n), outDir, 1))
+        val qs10 = rs.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
+          .mkString("{", ",", "}")
+        s""","sf10_dir":"$outDir","sf10_gen_sec":$genSec,"queries_sf10":$qs10"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench sf10] skipped: ${e.getMessage}")
+          ""
+      }
+    }
     // total is NULL when any query failed: summing only the surviving
     // queries would make a regression-that-breaks-a-slow-query read as
     // a speedup in a naive round-over-round total comparison
@@ -228,7 +260,7 @@ object Bench {
     // total included), so the headline number rides the end — and the
     // FULL line is additionally persisted to a file the capture can't
     // truncate
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json$regressionsJson,"value":$totalJson}"""
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json$sf10Json$regressionsJson,"value":$totalJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
