@@ -1289,6 +1289,37 @@ object SparkEntry {
         UrlCuration.canonicalizeUrl(url).as("canon_url"))
     }),
 
+    "q_warc_ingest" -> ((s, dir) => {
+      // crawl ingestion e2e: a WET-style WARC file synthesized ONCE
+      // from a bounded deterministic document subset (driver-side
+      // fixture build is test plumbing — production crawls ARRIVE as
+      // WARC), then streamed back through WarcSource; the oracle
+      // replays uri synthesis + text from the documents table, so a
+      // match proves the record framing, header parse and payload
+      // round trip are lossless
+      import graft.sources.WarcSource
+      val warcDir = metaPath("warc_fixture")
+      stageOnce(s"warc|$dir") {
+        val subset = docs(s, dir).where(col("doc_id") % 31 === 0)
+          .select("doc_id", "text").orderBy("doc_id").collect()
+        val records = subset.toSeq.map { r =>
+          (Map(
+            "WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> s"https://site${r.getLong(0) % 97}.com/doc/${r.getLong(0)}",
+            "Content-Type" -> "text/plain"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(WarcSource.writeRecords(records)); gz.close()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(warcDir, "docs.warc.gz"), bos.toByteArray)
+      }
+      WarcSource.read(s, warcDir)
+        .select(col("target_uri"), col("payload").cast("string").as("text"))
+    }),
+
     "q_sample_per_key" -> ((s, dir) => {
       // exact-n-per-language uniform sample through the bounded heap
       // (the class-balancing primitive); ranked by the ANSI-replayable
@@ -2773,6 +2804,12 @@ object SparkEntry {
         |  regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS t FROM s4)
         |SELECT doc_id, regexp_replace(t, '(.)/$', '\1', 'g') AS canon_url
         |FROM s5""".stripMargin,
+
+    "q_warc_ingest" ->
+      // replays the uri synthesis + raw text of the fixture subset
+      """SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) ||
+        |  '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri, text
+        |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
 
     "q_sample_per_key" ->
       // replays the multiplicative-hash rank within each language

@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * WARC (Web ARChive, ISO 28500 — the Common Crawl container) record
+ * reader: the ingestion step a crawl-scale training-data pipeline
+ * starts from. Public format: each record is
+ *
+ * {{{
+ * WARC/1.0\r\n
+ * WARC-Type: response\r\n
+ * WARC-Target-URI: https://...\r\n
+ * Content-Length: N\r\n
+ * ...\r\n
+ * \r\n
+ * <N payload bytes>\r\n\r\n
+ * }}}
+ *
+ * Scale shape: files stream through `sc.binaryFiles`'
+ * `PortableDataStream` — records parse INCREMENTALLY off the stream,
+ * so peak memory per task is ONE record (capped by `maxRecordBytes`,
+ * oversized payloads truncate with a flag rather than OOM an
+ * executor), never a whole 1 GB archive. Parallelism is per-file —
+ * the natural unit for gzipped WARC, whose members don't split — and
+ * a 100 TB crawl is hundreds of thousands of files, far more than
+ * any cluster's cores. Gzip (including the multi-member concatenation
+ * crawls actually ship) is detected by magic and handled by the JDK's
+ * own streaming inflater.
+ *
+ * For `response` records the HTTP envelope is split off: `http_status`
+ * and `content_type` parse from the status line / headers, `payload`
+ * is the entity body alone. WET (extracted-text) archives are
+ * `conversion` records and need no HTTP handling — the same reader
+ * serves both.
+ */
+object WarcSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("record_id", StringType),
+    StructField("content_type", StringType),   // the RECORD's Content-Type header
+    StructField("http_status", IntegerType),   // response records; null otherwise
+    StructField("http_content_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("truncated", BooleanType)))
+
+  /** Read every record of every WARC file under `path` (plain or
+    * gzipped, mixed freely). */
+  def read(spark: SparkSession, path: String,
+           maxRecordBytes: Int = 16 * 1024 * 1024,
+           minPartitions: Int = 0): DataFrame = {
+    val parts = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultParallelism
+    val rows = spark.sparkContext.binaryFiles(path, parts)
+      .flatMap { case (file, pds) =>
+        val raw = new java.io.BufferedInputStream(pds.open())
+        val in = if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw) else raw
+        // iterator over the stream: one record in memory at a time
+        new Iterator[Row] {
+          private var nextRec: Row = advance()
+          private def advance(): Row =
+            try parseRecord(in, file, maxRecordBytes).orNull
+            finally ()
+          override def hasNext: Boolean = {
+            if (nextRec == null) in.close()
+            nextRec != null
+          }
+          override def next(): Row = {
+            val r = nextRec; nextRec = advance(); r
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def isGzip(in: java.io.BufferedInputStream): Boolean = {
+    in.mark(2)
+    val b1 = in.read(); val b2 = in.read()
+    in.reset()
+    b1 == 0x1F && b2 == 0x8B
+  }
+
+  /** Next record off the stream, or None at EOF. Tolerates leading
+    * blank lines between records (the spec's record separator is
+    * \r\n\r\n after the payload). */
+  private[sources] def parseRecord(in: java.io.InputStream, file: String,
+                                   maxRecordBytes: Int): Option[Row] = {
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return None
+    if (!line.startsWith("WARC/"))
+      throw new IllegalArgumentException(
+        s"WarcSource: expected a WARC/x.y version line in $file, got '${line.take(60)}'")
+    // WARC named fields until the blank line
+    val headers = collection.mutable.Map.empty[String, String]
+    var h = readLine(in)
+    while (h != null && h.nonEmpty) {
+      val i = h.indexOf(':')
+      if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+      h = readLine(in)
+    }
+    val len = headers.getOrElse("content-length",
+      throw new IllegalArgumentException(s"WarcSource: record without Content-Length in $file"))
+      .toLong
+    val toRead = math.min(len, maxRecordBytes.toLong).toInt
+    val block = new Array[Byte](toRead)
+    var off = 0
+    while (off < toRead) {
+      val n = in.read(block, off, toRead - off)
+      require(n >= 0, s"WarcSource: truncated record body in $file")
+      off += n
+    }
+    // skip the rest of an oversized payload without buffering it
+    var toSkip = len - toRead
+    while (toSkip > 0) {
+      val s = in.skip(toSkip)
+      require(s > 0, s"WarcSource: truncated record body in $file")
+      toSkip -= s
+    }
+
+    val warcType = headers.getOrElse("warc-type", "unknown")
+    val isResponse = warcType == "response" &&
+      headers.getOrElse("content-type", "").startsWith("application/http")
+    val (status, httpCt, payload) =
+      if (isResponse) splitHttp(block) else (null, null, block)
+    Some(Row(
+      file, warcType,
+      headers.getOrElse("warc-target-uri", null),
+      headers.getOrElse("warc-date", null),
+      headers.getOrElse("warc-record-id", null),
+      headers.getOrElse("content-type", null),
+      status, httpCt, payload, len > maxRecordBytes))
+  }
+
+  /** Split an HTTP response envelope: (status, content-type, body). */
+  private[sources] def splitHttp(block: Array[Byte]): (Integer, String, Array[Byte]) = {
+    val sep = indexOfCrlfCrlf(block)
+    if (sep < 0) return (null, null, block) // not actually HTTP: keep bytes
+    val head = new String(block, 0, sep, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    val status: Integer = lines.headOption
+      .flatMap(l => "HTTP/\\S+\\s+(\\d{3})".r.findFirstMatchIn(l))
+      .map(m => Integer.valueOf(m.group(1))).orNull
+    val ct = lines.drop(1)
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim).orNull
+    (status, ct, java.util.Arrays.copyOfRange(block, sep + 4, block.length))
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One header line, CRLF-terminated (LF tolerated), ISO-8859-1 per
+    * the WARC spec; null at EOF. */
+  private def readLine(in: java.io.InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') buf.write(c)
+      c = in.read()
+    }
+    new String(buf.toByteArray, "ISO-8859-1")
+  }
+
+  /** Writer for specs/round-trips: serialize records (headers +
+    * payload) into valid WARC bytes. */
+  private[graft] def writeRecords(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (headers, payload) =>
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => w(s"$k: $v\r\n") }
+      w(s"Content-Length: ${payload.length}\r\n\r\n")
+      out.write(payload)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** WARC ingestion: record parsing off a stream (plain + gzipped +
+  * multi-member gzip), HTTP envelope splitting, oversized-payload
+  * truncation, WET conversion records, and the crawl → extracted-text
+  * composition with HtmlExtract. */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p)
+
+  private def httpPayload(body: String, ct: String = "text/html"): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nServer: x\r\n\r\n" + body).getBytes("UTF-8")
+
+  private def responseRecord(uri: String, body: String): (Map[String, String], Array[Byte]) =
+    (Map(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2024-05-01T00:00:00Z",
+      "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpPayload(body))
+
+  test("plain WARC: warcinfo + response records parse; HTTP envelope split off") {
+    val dir = tmp("warc_plain_")
+    val bytes = WarcSource.writeRecords(Seq(
+      (Map("WARC-Type" -> "warcinfo", "Content-Type" -> "application/warc-fields"),
+        "software: graft-test\r\n".getBytes("UTF-8")),
+      responseRecord("https://a.com/1", "<html><body>hello A</body></html>"),
+      responseRecord("https://b.com/2", "<html><body>hello B</body></html>")))
+    java.nio.file.Files.write(dir.resolve("test.warc"), bytes)
+    val df = WarcSource.read(spark, dir.toString).cache()
+    assert(df.count() == 3)
+    val resp = df.where($"warc_type" === "response").orderBy("target_uri")
+      .select("target_uri", "http_status", "http_content_type", "payload")
+      .collect()
+    assert(resp.length == 2)
+    assert(resp(0).getString(0) == "https://a.com/1")
+    assert(resp(0).getInt(1) == 200 && resp(0).getString(2) == "text/html")
+    assert(new String(resp(0).getAs[Array[Byte]](3), "UTF-8")
+      == "<html><body>hello A</body></html>",
+      "payload must be the HTTP entity body alone, headers split off")
+    val info = df.where($"warc_type" === "warcinfo").head()
+    assert(info.isNullAt(df.columns.indexOf("http_status")),
+      "non-response records carry no HTTP fields")
+  }
+
+  test("gzipped WARC incl. multi-member concatenation (the crawl layout) parses identically") {
+    val dir = tmp("warc_gz_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // two gzip MEMBERS concatenated in one file — each wrapping one record
+    val m1 = gz(WarcSource.writeRecords(Seq(responseRecord("https://a.com/1", "alpha"))))
+    val m2 = gz(WarcSource.writeRecords(Seq(responseRecord("https://a.com/2", "beta"))))
+    java.nio.file.Files.write(dir.resolve("cc.warc.gz"), m1 ++ m2)
+    val got = WarcSource.read(spark, dir.toString)
+      .select("target_uri", "payload").orderBy("target_uri")
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+    assert(got.toSeq == Seq("https://a.com/1" -> "alpha", "https://a.com/2" -> "beta"),
+      s"both gzip members must be read: ${got.toSeq}")
+  }
+
+  test("oversized payloads truncate with the flag set — never buffered whole") {
+    val dir = tmp("warc_big_")
+    val big = ("x" * 100000).getBytes("UTF-8")
+    val bytes = WarcSource.writeRecords(Seq(
+      (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> "https://big"), big),
+      (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> "https://small"), "ok".getBytes)))
+    java.nio.file.Files.write(dir.resolve("t.warc"), bytes)
+    val rows = WarcSource.read(spark, dir.toString, maxRecordBytes = 1024)
+      .select("target_uri", "payload", "truncated").orderBy("target_uri").collect()
+    assert(rows(0).getString(0) == "https://big" &&
+      rows(0).getAs[Array[Byte]](1).length == 1024 && rows(0).getBoolean(2))
+    assert(rows(1).getString(0) == "https://small" &&
+      new String(rows(1).getAs[Array[Byte]](1)) == "ok" && !rows(1).getBoolean(2),
+      "the record AFTER an oversized one must still parse (skip, not desync)")
+  }
+
+  test("WET conversion records -> HtmlExtract-free text rows; crawl e2e with htmlToText") {
+    val dir = tmp("warc_wet_")
+    val bytes = WarcSource.writeRecords(Seq(
+      (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> "https://a.com/1",
+        "Content-Type" -> "text/plain"), "extracted text".getBytes("UTF-8")),
+      responseRecord("https://b.com/2",
+        "<html><head><script>junk()</script></head><body><p>real body</p></body></html>")))
+    java.nio.file.Files.write(dir.resolve("mix.warc"), bytes)
+    import org.apache.spark.sql.functions._
+    val df = WarcSource.read(spark, dir.toString)
+    val wet = df.where($"warc_type" === "conversion")
+      .select($"target_uri", $"payload".cast("string").as("text"))
+      .head()
+    assert(wet.getString(1) == "extracted text")
+    val html = df.where($"warc_type" === "response")
+      .select(graft.operators.HtmlExtract.htmlToText($"payload".cast("string")).as("text"))
+      .head().getString(0)
+    assert(html.contains("real body") && !html.contains("junk"),
+      s"crawl response -> htmlToText must drop script content: '$html'")
+  }
+
+  test("malformed input fails loudly, not silently empty") {
+    val dir = tmp("warc_bad_")
+    java.nio.file.Files.write(dir.resolve("bad.warc"), "this is not a warc\r\n".getBytes)
+    val e = intercept[org.apache.spark.SparkException](
+      WarcSource.read(spark, dir.toString).count())
+    assert(e.getCause.getMessage.contains("expected a WARC"), e.getCause.getMessage)
+  }
+}
