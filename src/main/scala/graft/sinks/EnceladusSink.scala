@@ -179,16 +179,26 @@ final class EnceladusSink(
       .replace("@rawFormat", format)
       .replace("@publishPath", publishPath.toString)
     val proc = new ProcessBuilder(cmd.split("\\s+"): _*).redirectErrorStream(true).start()
+    // drain stdout on a daemon thread (the ProcessTransformer lesson):
+    // a chatty standardization run fills the 64 KB pipe, blocks, and
+    // the timeout would fire on a HEALTHY child; bounded capture keeps
+    // the tail for the failure report without buffering gigabytes
+    val outBuf = new graft.pipeline.TailBuffer(64 * 1024)
+    val drainer = new Thread(() => {
+      try proc.getInputStream.transferTo(outBuf)
+      catch { case _: java.io.IOException => () }
+    }, "graft-enceladus-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val finished = proc.waitFor(commandTimeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) {
       proc.destroyForcibly()
       throw new RuntimeException(s"EnceladusSink standardization timed out: $cmd")
     }
-    if (proc.exitValue() != 0) {
-      val outTxt = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    drainer.join(10000)
+    if (proc.exitValue() != 0)
       throw new RuntimeException(
-        s"EnceladusSink standardization failed (exit ${proc.exitValue()}): $cmd\n$outTxt")
-    }
+        s"EnceladusSink standardization failed (exit ${proc.exitValue()}): $cmd\n${outBuf.render}")
 
     // publish-side Hive registration: O(1) ADD PARTITION through the
     // M43 seam (reference updateTable + repair on publish)

@@ -118,6 +118,21 @@ class EnceladusSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("standardization failed"), e.getMessage)
   }
 
+  test("a chatty standardization command does not deadlock the pipe or trip the timeout") {
+    val raw = tmp("enc_raw6_")
+    val pub = tmp("enc_pub6_")
+    val script = java.nio.file.Files.createTempFile("chatty_", ".sh")
+    // ~1 MB of stdout: far past the 64 KB OS pipe buffer — without the
+    // drain thread the child blocks on write and the timeout fires
+    java.nio.file.Files.write(script,
+      "i=0\nwhile [ $i -lt 16384 ]; do echo 0123456789012345678901234567890123456789012345678901234567890123; i=$((i+1)); done\n".getBytes)
+    val sink = new EnceladusSink(commandTimeoutSeconds = 30)
+    val r = sink.send(Seq((1L, "a")).toDF("id", "v"), "t", d, Map(
+      "path" -> raw, "info.version" -> "1", "publish.base.path" -> pub,
+      "dataset.name" -> "ds", "enceladus.run.command" -> s"/bin/sh $script"))
+    assert(r.recordsSent == 1, "the chatty-but-healthy run must complete")
+  }
+
   test("config wiring: sink.<name>.type = enceladus builds from config; job options drive the send") {
     val raw = tmp("enc_raw5_")
     val pub = tmp("enc_pub5_")
