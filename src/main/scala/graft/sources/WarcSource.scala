@@ -174,6 +174,26 @@ object WarcSource {
     new String(buf.toByteArray, "ISO-8859-1")
   }
 
+  /** Random access by (file, byte offset) — the CDX-index pattern:
+    * Common Crawl's public indexes point at the gzip-MEMBER start of
+    * one record inside a .warc.gz, so fetching a single document from
+    * a 100 TB archive is one seek + one member inflate, not a file
+    * scan. Works on any Hadoop filesystem (FSDataInputStream seeks);
+    * plain (non-gzip) archives seek to the record's `WARC/` line
+    * directly. */
+  def readRecordAt(spark: SparkSession, file: String, offset: Long,
+                   maxRecordBytes: Int = 16 * 1024 * 1024): Option[Row] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = fs.open(p)
+    try {
+      raw.seek(offset)
+      val buffered = new java.io.BufferedInputStream(raw)
+      val in = if (isGzip(buffered)) new java.util.zip.GZIPInputStream(buffered) else buffered
+      parseRecord(in, file, maxRecordBytes)
+    } finally raw.close()
+  }
+
   /** Writer for specs/round-trips: serialize records (headers +
     * payload) into valid WARC bytes. */
   private[graft] def writeRecords(records: Seq[(Map[String, String], Array[Byte])]): Array[Byte] = {

@@ -102,6 +102,31 @@ class WarcSourceSpec extends SparkSpec {
       s"crawl response -> htmlToText must drop script content: '$html'")
   }
 
+  test("CDX random access: one seek + one member inflate fetches exactly the indexed record") {
+    val dir = tmp("warc_cdx_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // three gzip members; the CDX "index" is each member's byte offset
+    val members = Seq("first", "second", "third").map(t =>
+      gz(WarcSource.writeRecords(Seq(
+        (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> s"https://x/$t"),
+          t.getBytes("UTF-8"))))))
+    val offsets = members.scanLeft(0L)(_ + _.length).init
+    val file = dir.resolve("indexed.warc.gz")
+    java.nio.file.Files.write(file, members.flatten.toArray)
+    val rec = WarcSource.readRecordAt(spark, file.toString, offsets(1)).get
+    assert(rec.getString(2) == "https://x/second", rec.toString)
+    assert(new String(rec.getAs[Array[Byte]](8), "UTF-8") == "second")
+    // offset 0 and the last member work too; plain files seek directly
+    assert(WarcSource.readRecordAt(spark, file.toString, offsets(0)).get.getString(2)
+      == "https://x/first")
+    assert(WarcSource.readRecordAt(spark, file.toString, offsets(2)).get.getString(2)
+      == "https://x/third")
+  }
+
   test("malformed input fails loudly, not silently empty") {
     val dir = tmp("warc_bad_")
     java.nio.file.Files.write(dir.resolve("bad.warc"), "this is not a warc\r\n".getBytes)
