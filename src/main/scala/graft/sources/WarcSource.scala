@@ -59,7 +59,7 @@ object WarcSource {
     val rows = spark.sparkContext.binaryFiles(path, parts)
       .flatMap { case (file, pds) =>
         val raw = new java.io.BufferedInputStream(pds.open())
-        val in = if (isGzip(raw)) new java.util.zip.GZIPInputStream(raw) else raw
+        val in = decompressed(raw)
         // iterator over the stream: one record in memory at a time
         new Iterator[Row] {
           private var nextRec: Row = advance()
@@ -78,11 +78,19 @@ object WarcSource {
     spark.createDataFrame(rows, schema)
   }
 
-  private def isGzip(in: java.io.BufferedInputStream): Boolean = {
-    in.mark(2)
-    val b1 = in.read(); val b2 = in.read()
+  /** Magic-sniffed decompression: gzip (incl. multi-member) via the
+    * JDK, zstd (incl. multi-frame — some corpora ship .warc.zst) via
+    * the zstd-jni Spark already carries, plain passthrough otherwise. */
+  private def decompressed(in: java.io.BufferedInputStream): java.io.InputStream = {
+    in.mark(4)
+    val m = Array(in.read(), in.read(), in.read(), in.read())
     in.reset()
-    b1 == 0x1F && b2 == 0x8B
+    if (m(0) == 0x1F && m(1) == 0x8B) new java.util.zip.GZIPInputStream(in)
+    else if (m(0) == 0x28 && m(1) == 0xB5 && m(2) == 0x2F && m(3) == 0xFD) {
+      val z = new com.github.luben.zstd.ZstdInputStream(in)
+      z.setContinuous(true) // read across frame boundaries
+      z
+    } else in
   }
 
   /** Next record off the stream, or None at EOF. Tolerates leading
@@ -188,8 +196,7 @@ object WarcSource {
     val raw = fs.open(p)
     try {
       raw.seek(offset)
-      val buffered = new java.io.BufferedInputStream(raw)
-      val in = if (isGzip(buffered)) new java.util.zip.GZIPInputStream(buffered) else buffered
+      val in = decompressed(new java.io.BufferedInputStream(raw))
       parseRecord(in, file, maxRecordBytes)
     } finally raw.close()
   }

@@ -65,6 +65,19 @@ class WarcSourceSpec extends SparkSpec {
       s"both gzip members must be read: ${got.toSeq}")
   }
 
+  test("zstd WARC incl. multi-frame concatenation parses identically (zstd-jni from Spark's own jars)") {
+    val dir = tmp("warc_zst_")
+    def zst(b: Array[Byte]): Array[Byte] = com.github.luben.zstd.Zstd.compress(b)
+    val f1 = zst(WarcSource.writeRecords(Seq(responseRecord("https://z.com/1", "zeta"))))
+    val f2 = zst(WarcSource.writeRecords(Seq(responseRecord("https://z.com/2", "eta"))))
+    java.nio.file.Files.write(dir.resolve("cc.warc.zst"), f1 ++ f2)
+    val got = WarcSource.read(spark, dir.toString)
+      .select("target_uri", "payload").orderBy("target_uri")
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8"))
+    assert(got.toSeq == Seq("https://z.com/1" -> "zeta", "https://z.com/2" -> "eta"),
+      s"both zstd frames must be read: ${got.toSeq}")
+  }
+
   test("oversized payloads truncate with the flag set — never buffered whole") {
     val dir = tmp("warc_big_")
     val big = ("x" * 100000).getBytes("UTF-8")
