@@ -182,6 +182,42 @@ object WarcSource {
     new String(buf.toByteArray, "ISO-8859-1")
   }
 
+  /** CDXJ index schema (the Common Crawl `cdx-*.gz` line format:
+    * `<urlkey> <timestamp> <json>` where the json carries url, offset,
+    * length, filename, status, mime, digest). Parsed COLUMNS feed
+    * predicate pushdown — "all PDFs on host X in March" prunes on the
+    * index, then [[readRecordAt]] fetches only the surviving records. */
+  val cdxSchema: StructType = StructType(Seq(
+    StructField("urlkey", StringType),
+    StructField("timestamp", StringType),
+    StructField("url", StringType),
+    StructField("mime", StringType),
+    StructField("status", IntegerType),
+    StructField("digest", StringType),
+    StructField("length", LongType),
+    StructField("offset", LongType),
+    StructField("filename", StringType)))
+
+  /** Read CDXJ index files (plain or .gz — `spark.read.text` inflates
+    * by extension) into [[cdxSchema]] rows. Lines that don't parse
+    * yield null fields rather than failing the scan — crawl indexes
+    * carry occasional malformed entries. */
+  def readCdx(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .withColumn("_j", regexp_extract(col("value"), "^\\S+ \\S+ (.*)$", 1))
+      .select(
+        nullif(regexp_extract(col("value"), "^(\\S+)", 1), lit("")).as("urlkey"),
+        nullif(regexp_extract(col("value"), "^\\S+ (\\S+)", 1), lit("")).as("timestamp"),
+        get_json_object(col("_j"), "$.url").as("url"),
+        get_json_object(col("_j"), "$.mime").as("mime"),
+        get_json_object(col("_j"), "$.status").cast("int").as("status"),
+        get_json_object(col("_j"), "$.digest").as("digest"),
+        get_json_object(col("_j"), "$.length").cast("long").as("length"),
+        get_json_object(col("_j"), "$.offset").cast("long").as("offset"),
+        get_json_object(col("_j"), "$.filename").as("filename"))
+  }
+
   /** Random access by (file, byte offset) — the CDX-index pattern:
     * Common Crawl's public indexes point at the gzip-MEMBER start of
     * one record inside a .warc.gz, so fetching a single document from

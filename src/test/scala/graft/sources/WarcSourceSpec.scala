@@ -140,6 +140,36 @@ class WarcSourceSpec extends SparkSpec {
       == "https://x/third")
   }
 
+  test("CDXJ index parses to typed columns; index-then-fetch e2e; malformed lines null out") {
+    val dir = tmp("warc_cdxj_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val m1 = gz(WarcSource.writeRecords(Seq(
+      (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> "https://a.com/x"),
+        "doc body".getBytes("UTF-8")))))
+    val warc = dir.resolve("seg.warc.gz")
+    java.nio.file.Files.write(warc, m1)
+    val cdx =
+      s"""com,a)/x 20240501000000 {"url": "https://a.com/x", "mime": "text/plain", "status": "200", "digest": "SHA1X", "length": "${m1.length}", "offset": "0", "filename": "${warc.toString}"}
+         |this line is not cdx
+         |""".stripMargin
+    java.nio.file.Files.write(dir.resolve("idx.cdx"), cdx.getBytes("UTF-8"))
+    val idx = WarcSource.readCdx(spark, dir.resolve("idx.cdx").toString)
+    val good = idx.where($"url".isNotNull).head()
+    assert(good.getAs[String]("urlkey") == "com,a)/x")
+    assert(good.getAs[String]("mime") == "text/plain" && good.getAs[Int]("status") == 200)
+    assert(good.getAs[Long]("offset") == 0L && good.getAs[String]("filename") == warc.toString)
+    // index-then-fetch: exactly the record the index row points at
+    val rec = WarcSource.readRecordAt(spark,
+      good.getAs[String]("filename"), good.getAs[Long]("offset")).get
+    assert(rec.getString(2) == "https://a.com/x" &&
+      new String(rec.getAs[Array[Byte]](8), "UTF-8") == "doc body")
+    assert(idx.where($"url".isNull).count() == 1, "malformed lines null out, not fail")
+  }
+
   test("malformed input fails loudly, not silently empty") {
     val dir = tmp("warc_bad_")
     java.nio.file.Files.write(dir.resolve("bad.warc"), "this is not a warc\r\n".getBytes)
