@@ -182,6 +182,57 @@ object WarcSource {
     new String(buf.toByteArray, "ISO-8859-1")
   }
 
+  /** STREAMING ingestion: crawl segments land continuously; each
+    * micro-batch sees the newly-arrived files. Built on the
+    * `binaryFile` file-stream source for its file tracking — but
+    * reading ONLY the `path` column (never `content`, which would
+    * buffer whole archives): each task re-opens its file through the
+    * Hadoop filesystem and parses records incrementally, so the
+    * batch-path memory bound (one record per task) carries over
+    * verbatim. Pair with the streaming exact-dedup / curation stages
+    * for the continuous crawl→metastore pipeline. */
+  def readStream(spark: SparkSession, dir: String,
+                 maxRecordBytes: Int = 16 * 1024 * 1024,
+                 pathGlobFilter: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // the binaryFile source's fixed schema, stated explicitly (file
+    // streams don't infer); only `path` is ever selected, so the
+    // format's column pruning never materializes `content`
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", pathGlobFilter)
+      .load(dir)
+      .select("path")
+      .as[String]
+      .mapPartitions { paths =>
+        paths.flatMap { file =>
+          val p = new org.apache.hadoop.fs.Path(file)
+          val fs = p.getFileSystem(hconf.value)
+          val in = decompressed(new java.io.BufferedInputStream(fs.open(p)))
+          new Iterator[Row] {
+            private var nextRec: Row = parseRecord(in, file, maxRecordBytes).orNull
+            override def hasNext: Boolean = {
+              if (nextRec == null) in.close()
+              nextRec != null
+            }
+            override def next(): Row = {
+              val r = nextRec
+              nextRec = parseRecord(in, file, maxRecordBytes).orNull
+              r
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** CDXJ index schema (the Common Crawl `cdx-*.gz` line format:
     * `<urlkey> <timestamp> <json>` where the json carries url, offset,
     * length, filename, status, mime, digest). Parsed COLUMNS feed

@@ -170,6 +170,48 @@ class WarcSourceSpec extends SparkSpec {
     assert(idx.where($"url".isNull).count() == 1, "malformed lines null out, not fail")
   }
 
+  test("streaming ingestion: newly-arrived archives flow per micro-batch; path-only (no whole-file buffering)") {
+    val dir = tmp("warc_stream_")
+    val ckpt = tmp("warc_ckpt_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def writeSeg(name: String, uris: String*): Unit =
+      java.nio.file.Files.write(dir.resolve(name), gz(WarcSource.writeRecords(
+        uris.map(u => (Map("WARC-Type" -> "conversion", "WARC-Target-URI" -> u),
+          u.getBytes("UTF-8"))))))
+    writeSeg("seg1.warc.gz", "https://s/1", "https://s/2")
+
+    val outDir = tmp("warc_sink_")
+    val stream = WarcSource.readStream(spark, dir.toString)
+    assert(stream.isStreaming, "must be a streaming frame")
+    def runBatch(): Unit = {
+      // parquet sink: recoverable from the checkpoint, so the second
+      // start resumes FILE TRACKING instead of re-ingesting seg1
+      val q = stream.select("target_uri", "warc_type", "payload")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); ()
+    }
+    runBatch()
+    val got1 = spark.read.parquet(outDir.toString).select("target_uri")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got1 == Seq("https://s/1", "https://s/2"), got1.toString)
+    // a NEW segment arrives; the next batch ingests only it (file
+    // tracking via the checkpoint)
+    writeSeg("seg2.warc.gz", "https://s/3")
+    runBatch()
+    val got2 = spark.read.parquet(outDir.toString).select("target_uri")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got2 == Seq("https://s/1", "https://s/2", "https://s/3"),
+      s"second batch must add exactly the new segment's records: $got2")
+  }
+
   test("malformed input fails loudly, not silently empty") {
     val dir = tmp("warc_bad_")
     java.nio.file.Files.write(dir.resolve("bad.warc"), "this is not a warc\r\n".getBytes)
