@@ -1289,6 +1289,28 @@ object SparkEntry {
         UrlCuration.canonicalizeUrl(url).as("canon_url"))
     }),
 
+    "q_html_canonical" -> ((s, dir) => {
+      // rel=canonical + robots-noindex extraction over deterministic
+      // page variants (both attribute orders, absent case, noindex on
+      // every 7th); DuckDB replays the synthesis and both RE2 patterns
+      import graft.operators.HtmlExtract
+      val html = concat(
+        lit("<html><head>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://c.com/p/"),
+            col("doc_id") % 50, lit("\">")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("<link href=\"https://c.com/p/"),
+              col("doc_id") % 50, lit("\" rel=canonical>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">")).otherwise(lit("")),
+        lit("</head><body>x</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        HtmlExtract.canonicalLink(html).as("canon_url"),
+        HtmlExtract.metaNoindex(html).as("noindex"))
+    }),
+
     "q_warc_ingest" -> ((s, dir) => {
       // crawl ingestion e2e: a WET-style WARC file synthesized ONCE
       // from a bounded deterministic document subset (driver-side
@@ -2804,6 +2826,21 @@ object SparkEntry {
         |  regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS t FROM s4)
         |SELECT doc_id, regexp_replace(t, '(.)/$', '\1', 'g') AS canon_url
         |FROM s5""".stripMargin,
+
+    "q_html_canonical" ->
+      // replays the page synthesis and both RE2 extraction patterns
+      """WITH pages AS (SELECT doc_id, '<html><head>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<link rel="canonical" href="https://c.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '">'
+        |       WHEN doc_id % 3 = 1 THEN '<link href="https://c.com/p/' || CAST(doc_id % 50 AS VARCHAR) || '" rel=canonical>'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '<meta name="robots" content="noindex, nofollow">' ELSE '' END ||
+        |  '</head><body>x</body></html>' AS html FROM documents)
+        |SELECT doc_id,
+        |  nullif(coalesce(
+        |    nullif(regexp_extract(html, '(?is)<link[^>]*rel\s*=\s*["'']?canonical["'']?[^>]*href\s*=\s*["'']([^"'']+)["'']', 1), ''),
+        |    nullif(regexp_extract(html, '(?is)<link[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*rel\s*=\s*["'']?canonical["'']?', 1), '')), '') AS canon_url,
+        |  regexp_extract(html, '(?is)<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["''][^"'']*noindex', 0) <> '' AS noindex
+        |FROM pages""".stripMargin,
 
     "q_warc_ingest" ->
       // replays the uri synthesis + raw text of the fixture subset

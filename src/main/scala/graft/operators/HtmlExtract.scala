@@ -63,6 +63,29 @@ object HtmlExtract {
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
+  /** `<link rel="canonical" href=...>` extraction — the page's OWN
+    * declaration of its canonical spelling, the strongest URL-dedup
+    * signal a crawl carries (mirrors/print views/tracking variants all
+    * point at one canonical; feed the result through
+    * [[graft.operators.UrlCuration.canonicalizeUrl]] and dedup on it).
+    * Both attribute orders handled (rel-first and href-first), RE2
+    * syntax so the oracle replays it. Null when absent. */
+  def canonicalLink(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*rel\\s*=\\s*[\"']?canonical[\"']?", 1)
+    nullif(coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit(""))), lit(""))
+  }
+
+  /** `<meta name="robots" content="...noindex...">` detection — pages
+    * that ask to be excluded from indexes are usually junk for
+    * training too (soft-404s, login walls, duplicate listings). */
+  def metaNoindex(html: Column): Column =
+    regexp_extract(html,
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"'][^\"']*noindex",
+      0) =!= ""
+
   /**
    * Content-block extraction: split on block-tag boundaries, classify
    * each block, keep prose. A block survives when it has at least

@@ -107,4 +107,30 @@ class HtmlExtractSpec extends SparkSpec {
     assert(ext("```` unbalanced ``` fence") !== null)
     assert(ext("[dangling](") == "[dangling](")  // non-matching syntax passes through
   }
+
+  test("canonicalLink: both attribute orders, quote styles, absence; metaNoindex detection") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("""<link rel="canonical" href="https://a.com/x">""", "https://a.com/x"),
+      ("""<link href="https://a.com/y" rel=canonical>""", "https://a.com/y"),
+      ("""<LINK REL='canonical' HREF='https://a.com/z'>""", "https://a.com/z"),
+      ("""<link rel="stylesheet" href="https://a.com/css">""", null),
+      ("""no links at all""", null))
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), HtmlExtract.canonicalLink(col("h")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"canonical($h) = ${got(h)}, want $want") }
+
+    val noidx = Seq(
+      """<meta name="robots" content="noindex, nofollow">""" -> true,
+      """<META NAME=robots CONTENT="NOINDEX">""" -> true,
+      """<meta name="robots" content="index, follow">""" -> false,
+      """<meta name="viewport" content="noindex-ish nonsense">""" -> false)
+    val got2 = noidx.map(_._1).toDF("h")
+      .select(col("h"), HtmlExtract.metaNoindex(col("h")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    noidx.foreach { case (h, want) =>
+      assert(got2(h) == want, s"noindex($h) = ${got2(h)}, want $want") }
+  }
 }
