@@ -1342,6 +1342,54 @@ object SparkEntry {
         .select(col("target_uri"), col("payload").cast("string").as("text"))
     }),
 
+    "q_charset_decode" -> ((s, dir) => {
+      // crawl payloads are NOT all UTF-8: synthesize the five
+      // transport regimes a real crawl serves (plain utf-8, utf-8
+      // BOM, utf-16le BOM, header-declared latin1, meta-declared
+      // cp1252) and prove the WHATWG-order detection + decode recover
+      // the exact text; the oracle replays the synthesis arithmetic
+      // and the expected labels in ANSI SQL — a hash match pins BOM
+      // stripping, precedence and byte-exact decoding at once
+      import graft.expr.GraftFunctions
+      GraftFunctions.ensure(s)
+      val ascii = regexp_replace(col("text"), "[^ -~\\n\\t]", "")
+      val m = pmod(col("doc_id"), lit(5))
+      val payload = when(m === 0, encode(col("text"), "UTF-8"))
+        .when(m === 1, concat(lit(Array(0xEF, 0xBB, 0xBF).map(_.toByte)),
+          encode(col("text"), "UTF-8")))
+        .when(m === 2, concat(lit(Array(0xFF, 0xFE).map(_.toByte)),
+          encode(col("text"), "UTF-16LE")))
+        .when(m === 3, encode(ascii, "UTF-8"))
+        .otherwise(encode(concat(
+          lit("<html><head><meta charset=\"windows-1252\"></head><body>"),
+          ascii), "UTF-8"))
+      val ct = when(m === 3, lit("text/html; charset=ISO-8859-1"))
+        .otherwise(lit(null).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.sniffCharset(payload, ct).as("charset"),
+        GraftFunctions.decodeCharset(payload, ct).as("text_out"))
+    }),
+
+    "q_sniff_mime" -> ((s, dir) => {
+      // MIME routing off magic bytes: each doc gets a deterministic
+      // container prefix (pdf/png/jpeg/html/gzip or none); the oracle
+      // replays the prefix choice as a CASE — a match proves the
+      // sniffing table fires on exactly the intended prefixes and the
+      // text fallback stays text/plain on the prefix-free rows
+      import graft.expr.GraftFunctions
+      GraftFunctions.ensure(s)
+      val m = pmod(col("doc_id"), lit(6))
+      val body = encode(col("text"), "UTF-8")
+      val payload = when(m === 0, concat(encode(lit("%PDF-1.7\n"), "UTF-8"), body))
+        .when(m === 1, concat(lit(Array(0x89, 'P', 'N', 'G').map(_.toByte)), body))
+        .when(m === 2, concat(lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)), body))
+        .when(m === 3, concat(encode(lit("<!DOCTYPE html><html><body>"), "UTF-8"), body))
+        .when(m === 4, concat(lit(Array(0x1F, 0x8B, 0x08).map(_.toByte)), body))
+        .otherwise(concat(encode(lit("Doc: "), "UTF-8"), body))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.sniffMime(payload).as("mime"))
+    }),
+
     "q_sample_per_key" -> ((s, dir) => {
       // exact-n-per-language uniform sample through the bounded heap
       // (the class-balancing primitive); ranked by the ANSI-replayable
@@ -2847,6 +2895,30 @@ object SparkEntry {
       """SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) ||
         |  '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri, text
         |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
+
+    "q_charset_decode" ->
+      // replays the five synthesis regimes: labels by arithmetic,
+      // text by the same ascii-strip / html-wrapper construction
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 2 THEN 'utf-16le'
+        |    WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'windows-1252'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 5
+        |    WHEN 3 THEN regexp_replace(text, '[^ -~\n\t]', '', 'g')
+        |    WHEN 4 THEN '<html><head><meta charset="windows-1252"></head><body>'
+        |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
+        |    ELSE text END AS text_out
+        |FROM documents""".stripMargin,
+
+    "q_sniff_mime" ->
+      // the magic prefix is chosen by doc_id arithmetic, so the
+      // expected label is pure CASE
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'application/pdf'
+        |    WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg'
+        |    WHEN 3 THEN 'text/html' WHEN 4 THEN 'application/gzip'
+        |    ELSE 'text/plain' END AS mime
+        |FROM documents""".stripMargin,
 
     "q_sample_per_key" ->
       // replays the multiplicative-hash rank within each language

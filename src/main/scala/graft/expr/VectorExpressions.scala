@@ -469,6 +469,27 @@ object GraftFunctions {
             s"lsh_buckets: bits must be an integer literal, got $other")
         }
         LshBuckets(children(0), planes, bits)
+      }),
+    ("sniff_charset",
+      new ExpressionInfo(classOf[SniffCharset].getName, "sniff_charset"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sniff_charset expects 2 arguments, got ${children.length}")
+        SniffCharset(children(0), children(1))
+      }),
+    ("decode_charset",
+      new ExpressionInfo(classOf[DecodeCharset].getName, "decode_charset"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"decode_charset expects 2 arguments, got ${children.length}")
+        DecodeCharset(children(0), children(1))
+      }),
+    ("sniff_mime",
+      new ExpressionInfo(classOf[SniffMime].getName, "sniff_mime"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"sniff_mime expects 1 argument, got ${children.length}")
+        SniffMime(children(0))
       }))
 
   /** Idempotent per-session registration. */
@@ -525,6 +546,19 @@ object GraftFunctions {
   def bpeEncode(tokens: Column, mergesBytes: Array[Byte]): Column =
     call_function("bpe_encode", tokens,
       org.apache.spark.sql.functions.lit(mergesBytes))
+  /** Charset label for a crawl payload; `httpCt` may be null/absent —
+    * it is coalesced to '' (no transport hint). */
+  def sniffCharset(payload: Column, httpCt: Column): Column =
+    call_function("sniff_charset", payload,
+      org.apache.spark.sql.functions.coalesce(
+        httpCt, org.apache.spark.sql.functions.lit("")))
+  /** Detect + decode a crawl payload to text (BOM-stripped, U+FFFD
+    * replacement — never throws on a bad row). */
+  def decodeCharset(payload: Column, httpCt: Column): Column =
+    call_function("decode_charset", payload,
+      org.apache.spark.sql.functions.coalesce(
+        httpCt, org.apache.spark.sql.functions.lit("")))
+  def sniffMime(payload: Column): Column = call_function("sniff_mime", payload)
   def bigramPpl(tokens: Column, bigramBytes: Array[Byte], unigramBytes: Array[Byte],
                 logAlpha: Double, oovLogProb: Double): Column =
     call_function("bigram_ppl", tokens,
