@@ -1370,6 +1370,34 @@ object SparkEntry {
         GraftFunctions.decodeCharset(payload, ct).as("text_out"))
     }),
 
+    "q_robots" -> ((s, dir) => {
+      // crawl politeness: 97 hosts serve three robots.txt shapes
+      // (generic disallow-with-carveout, agent-specific lockout with a
+      // * fallback, wildcard $-anchored pdf ban); the per-URL verdict
+      // for agent graftbot/1.0 must match the oracle's CASE replay of
+      // RFC 9309 precedence — pinning group selection, longest-match,
+      // allow-on-tie and the glob/$ semantics through the whole
+      // compile-once-per-host + broadcast-join plan
+      import graft.operators.Robots
+      val m = pmod(col("doc_id"), lit(4))
+      val path = when(m === 0, concat(lit("/doc/"), col("doc_id")))
+        .when(m === 1, concat(lit("/private/"), col("doc_id")))
+        .when(m === 2, concat(lit("/private/pub/"), col("doc_id")))
+        .otherwise(concat(lit("/doc/"), col("doc_id"), lit(".pdf")))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(97)),
+          lit(".com"), path).as("url"))
+      val robots = s.range(97).select(
+        concat(lit("site"), col("id"), lit(".com")).as("host"),
+        when(pmod(col("id"), lit(3)) === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"))
+          .when(pmod(col("id"), lit(3)) === 1,
+            lit("User-agent: graftbot\nDisallow: /doc/\n\nUser-agent: *\nDisallow: /\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /*.pdf$\nCrawl-delay: 2\n"))
+          .as("robots_txt"))
+      Robots.annotate(urls, "url", robots, "host", "robots_txt", "graftbot/1.0")
+    }),
+
     "q_sniff_mime" -> ((s, dir) => {
       // MIME routing off magic bytes: each doc gets a deterministic
       // container prefix (pdf/png/jpeg/html/gzip or none); the oracle
@@ -2908,6 +2936,22 @@ object SparkEntry {
         |    WHEN 4 THEN '<html><head><meta charset="windows-1252"></head><body>'
         |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
         |    ELSE text END AS text_out
+        |FROM documents""".stripMargin,
+
+    "q_robots" ->
+      // replays the synthesis and the RFC verdicts: host shape by
+      // (doc_id%97)%3, path shape by doc_id%4, verdict by CASE
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.com' ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' END AS url,
+        |  CASE (doc_id % 97) % 3
+        |    WHEN 0 THEN doc_id % 4 <> 1
+        |    WHEN 1 THEN doc_id % 4 NOT IN (0, 3)
+        |    ELSE doc_id % 4 <> 3 END AS robots_allowed
         |FROM documents""".stripMargin,
 
     "q_sniff_mime" ->

@@ -490,6 +490,20 @@ object GraftFunctions {
         require(children.length == 1,
           s"sniff_mime expects 1 argument, got ${children.length}")
         SniffMime(children(0))
+      }),
+    ("robots_compile",
+      new ExpressionInfo(classOf[RobotsCompile].getName, "robots_compile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"robots_compile expects 2 arguments, got ${children.length}")
+        RobotsCompile(children(0), children(1))
+      }),
+    ("robots_allowed",
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"robots_allowed expects 2 arguments, got ${children.length}")
+        RobotsAllowed(children(0), children(1))
       }))
 
   /** Idempotent per-session registration. */
@@ -559,6 +573,10 @@ object GraftFunctions {
       org.apache.spark.sql.functions.coalesce(
         httpCt, org.apache.spark.sql.functions.lit("")))
   def sniffMime(payload: Column): Column = call_function("sniff_mime", payload)
+  def robotsCompile(txt: Column, agent: String): Column =
+    call_function("robots_compile", txt, org.apache.spark.sql.functions.lit(agent))
+  def robotsAllowed(path: Column, compiled: Column): Column =
+    call_function("robots_allowed", path, compiled)
   def bigramPpl(tokens: Column, bigramBytes: Array[Byte], unigramBytes: Array[Byte],
                 logAlpha: Double, oovLogProb: Double): Column =
     call_function("bigram_ppl", tokens,
