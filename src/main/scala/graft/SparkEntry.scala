@@ -1370,6 +1370,24 @@ object SparkEntry {
         GraftFunctions.decodeCharset(payload, ct).as("text_out"))
     }),
 
+    "q_sitemap" -> ((s, dir) => {
+      // crawl-frontier discovery: each doc synthesizes a two-entry
+      // urlset (page with lastmod + image page without); entry-scoped
+      // extraction must pair each lastmod with ITS loc and trim the
+      // spec-allowed padding — the oracle replays both entries as a
+      // UNION ALL
+      import graft.operators.SitemapExtract
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc> https://s.com/p/"),
+        col("doc_id"),
+        lit(" </loc><lastmod>2026-0"), pmod(col("doc_id"), lit(9)) + 1,
+        lit("-01</lastmod></url><url><loc>https://img.s.com/i/"),
+        col("doc_id"), lit("</loc></url></urlset>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(SitemapExtract.entries(xml)).as("e"))
+        .select(col("doc_id"), col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+    }),
+
     "q_robots" -> ((s, dir) => {
       // crawl politeness: 97 hosts serve three robots.txt shapes
       // (generic disallow-with-carveout, agent-specific lockout with a
@@ -2936,6 +2954,18 @@ object SparkEntry {
         |    WHEN 4 THEN '<html><head><meta charset="windows-1252"></head><body>'
         |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
         |    ELSE text END AS text_out
+        |FROM documents""".stripMargin,
+
+    "q_sitemap" ->
+      // two entries per doc: page (with lastmod) + image page (without)
+      """SELECT doc_id,
+        |  'https://s.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://img.s.com/i/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  NULL AS lastmod
         |FROM documents""".stripMargin,
 
     "q_robots" ->

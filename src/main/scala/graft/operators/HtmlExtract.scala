@@ -153,3 +153,41 @@ object MarkdownExtract {
     trim(regexp_replace(stripped, "\\s+", " "))
   }
 }
+
+/**
+ * Sitemap XML (the public sitemaps.org protocol) — crawl-frontier
+ * discovery: a host's sitemap enumerates the URLs (and freshness
+ * hints) the crawler should fetch, and sitemap INDEX files nest
+ * further sitemaps. Extraction is entry-scoped regex over the XML
+ * (RE2-compatible, codegen'd, oracle-replayable) rather than a full
+ * XML parse: sitemaps in the wild are machine-generated and regular,
+ * and a malformed one degrades to dropped entries, never an error —
+ * the same altitude rule as [[HtmlExtract]].
+ */
+object SitemapExtract {
+
+  /** All `<loc>` values, whitespace-trimmed (the spec allows padding
+    * inside the element). */
+  def locs(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))
+
+  /** Whether the document is a sitemap INDEX (its locs are further
+    * sitemaps to fetch, not page URLs). */
+  def isIndex(xml: Column): Column =
+    regexp_extract(xml, "(?is)<\\s*sitemapindex[\\s>]", 0) =!= ""
+
+  /** `(loc, lastmod)` structs of the `<url>`/`<sitemap>` entries —
+    * entry-scoped so each lastmod pairs with ITS loc; entries without
+    * a loc are dropped, lastmod is null when absent. */
+  def entries(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml,
+      lit("(?is)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    filter(
+      transform(blocks, b => struct(
+        nullif(regexp_extract(b, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1),
+          lit("")).as("loc"),
+        nullif(regexp_extract(b, "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1),
+          lit("")).as("lastmod"))),
+      e => e.getField("loc").isNotNull)
+  }
+}

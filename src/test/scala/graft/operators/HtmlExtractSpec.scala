@@ -133,4 +133,36 @@ class HtmlExtractSpec extends SparkSpec {
     noidx.foreach { case (h, want) =>
       assert(got2(h) == want, s"noindex($h) = ${got2(h)}, want $want") }
   }
+
+  test("SitemapExtract: locs, index detection, entry-scoped lastmod pairing") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc> https://a.com/1 </loc><lastmod>2026-01-01</lastmod></url>
+        |  <url><loc>https://a.com/2</loc></url>
+        |  <url><lastmod>2026-02-02</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |<sitemap><loc>https://a.com/s2.xml</loc><lastmod>2026-03-03</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val df = Seq(("u", urlset), ("i", index)).toDF("id", "xml")
+    val got = df.select(col("id"),
+        SitemapExtract.locs(col("xml")).as("locs"),
+        SitemapExtract.isIndex(col("xml")).as("idx"),
+        SitemapExtract.entries(col("xml")).as("es"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[String](1), r.getBoolean(2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(e =>
+            (e.getString(0), Option(e.getString(1))))))).toMap
+    assert(got("u")._1 == Seq("https://a.com/1", "https://a.com/2"))
+    assert(!got("u")._2)
+    // loc-less entry dropped; lastmod pairs with ITS loc, null when absent
+    assert(got("u")._3 == Seq(
+      ("https://a.com/1", Some("2026-01-01")), ("https://a.com/2", None)))
+    assert(got("i")._2)
+    assert(got("i")._3 == Seq(
+      ("https://a.com/s1.xml", None), ("https://a.com/s2.xml", Some("2026-03-03"))))
+  }
 }
