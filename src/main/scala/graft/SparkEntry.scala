@@ -1370,6 +1370,60 @@ object SparkEntry {
         GraftFunctions.decodeCharset(payload, ct).as("text_out"))
     }),
 
+    "q_crawl_e2e" -> ((s, dir) => {
+      // the crawl ingestion story end to end: WARC RESPONSE records
+      // (HTTP envelope + HTML body) in three charset regimes stream
+      // through record parse → envelope split → magic-byte mime
+      // routing → charset detect/decode → boilerplate-free text
+      // extraction; the oracle replays synthesis + extraction in ANSI
+      // SQL, so a hash match pins every leg of the path at once
+      import graft.sources.WarcSource
+      import graft.expr.GraftFunctions
+      GraftFunctions.ensure(s)
+      val warcDir = metaPath("warc_e2e_fixture")
+      stageOnce(s"warc_e2e|$dir") {
+        val subset = docs(s, dir).where(col("doc_id") % 13 === 0)
+          .select("doc_id", "text").orderBy("doc_id").collect()
+        val records = subset.toSeq.map { r =>
+          val (id, text) = (r.getLong(0), r.getString(1))
+          val ascii = text.replaceAll("[^ -~\n\t]", "")
+          val (body, ct) = (id % 3) match {
+            case 0 => (s"<html><body><p>$text</p></body></html>"
+              .getBytes("UTF-8"), "text/html; charset=utf-8")
+            case 1 => (Array(0xFF, 0xFE).map(_.toByte) ++
+              s"<html><body><p>$text</p></body></html>".getBytes("UTF-16LE"),
+              "text/html")
+            case _ => ((s"<html><head><meta charset=\"windows-1252\"></head>" +
+              s"<body><p>$ascii</p></body></html>").getBytes("ISO-8859-1"),
+              "text/html")
+          }
+          val envelope = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            "X-Crawl: graft\r\n\r\n").getBytes("ISO-8859-1") ++ body
+          (Map(
+            "WARC-Type" -> "response",
+            "Content-Type" -> "application/http;msgtype=response",
+            "WARC-Target-URI" -> s"https://site${id % 97}.com/page/$id"),
+            envelope)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(WarcSource.writeRecords(records)); gz.close()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warcDir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(warcDir, "pages.warc.gz"), bos.toByteArray)
+      }
+      WarcSource.read(s, warcDir)
+        .where(col("warc_type") === "response" && col("http_status") === 200 &&
+          GraftFunctions.sniffMime(col("payload")) === "text/html")
+        .select(
+          col("target_uri"),
+          GraftFunctions.sniffCharset(col("payload"),
+            col("http_content_type")).as("charset"),
+          graft.operators.HtmlExtract.htmlToText(
+            GraftFunctions.decodeCharset(col("payload"),
+              col("http_content_type"))).as("clean_text"))
+    }),
+
     "q_sitemap" -> ((s, dir) => {
       // crawl-frontier discovery: each doc synthesizes a two-entry
       // urlset (page with lastmod + image page without); entry-scoped
@@ -2955,6 +3009,45 @@ object SparkEntry {
         |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
         |    ELSE text END AS text_out
         |FROM documents""".stripMargin,
+
+    "q_crawl_e2e" ->
+      // replays uri synthesis, the charset labels and the htmlToText
+      // chain over the same constructed html (ascii-stripped body for
+      // the cp1252 regime)
+      """WITH sub AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN regexp_replace(text, '[^ -~\n\t]', '', 'g')
+        |      ELSE text END AS body
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |aug AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.com/page/' ||
+        |      CAST(doc_id AS VARCHAR) AS target_uri,
+        |    CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |      ELSE 'windows-1252' END AS charset,
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN '<html><head><meta charset="windows-1252"></head><body><p>'
+        |        || body || '</p></body></html>'
+        |      ELSE '<html><body><p>' || body || '</p></body></html>'
+        |      END AS html
+        |  FROM sub),
+        |pre AS (
+        |  SELECT target_uri, charset,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?is)<head\b[^>]*>.*?</head>', ' ', 'g') AS p
+        |  FROM aug)
+        |SELECT target_uri, charset,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(p, '(?s)<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM pre""".stripMargin,
 
     "q_sitemap" ->
       // two entries per doc: page (with lastmod) + image page (without)

@@ -173,6 +173,20 @@ object CrawlBytes {
     if (ascii(0, "ID3") || (at(0) == 0xFF && (at(1) | 0x01) == 0xFB))
       return "audio/mpeg"
     if (ascii(0, "WARC/")) return "application/warc"
+    // UTF-16 BOM: textual by definition (WHATWG); probe tags through
+    // a decoded window since ASCII byte-compare can't see 2-byte chars
+    if (bomLen(bytes) == 2) {
+      val cs = if ((bytes(0) & 0xFF) == 0xFF) "UTF-16LE" else "UTF-16BE"
+      val window = new String(bytes, 2, math.min(bytes.length - 2, 128), cs)
+        .dropWhile(c => c == ' ' || c == '\t' || c == '\r' || c == '\n')
+        .toLowerCase
+      if (window.startsWith("<!doctype html") || window.startsWith("<html") ||
+          window.startsWith("<head") || window.startsWith("<body") ||
+          window.startsWith("<script") || window.startsWith("<!--")) return "text/html"
+      if (window.startsWith("<?xml")) return "text/xml"
+      if (window.startsWith("<svg")) return "image/svg+xml"
+      return "text/plain"
+    }
     // text kinds: skip BOM + whitespace, case-insensitive tag probe
     var i = bomLen(bytes)
     while (i < bytes.length && (at(i) == ' ' || at(i) == '\t' || at(i) == '\r' || at(i) == '\n'))
