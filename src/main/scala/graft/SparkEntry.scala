@@ -1370,6 +1370,35 @@ object SparkEntry {
         GraftFunctions.decodeCharset(payload, ct).as("text_out"))
     }),
 
+    "q_frontier" -> ((s, dir) => {
+      // the discovery loop: messy discovered URLs (tracking params,
+      // fragments) + clean private paths, canonicalized, deduped,
+      // anti-joined against the already-crawled set and filtered by
+      // the three-shape robots table; the oracle replays the whole
+      // round with DISTINCT + NOT IN + a robots CASE
+      import graft.operators.Frontier
+      val d = t(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(97))
+      val discovered = d.select(concat(lit("https://site"), h,
+          lit(".com/p/"), pmod(col("doc_id"), lit(50)),
+          lit("?utm_source=feed#frag")).as("url"))
+        .unionAll(d.select(concat(lit("https://site"), h,
+          lit(".com/private/"), col("doc_id")).as("url")))
+      val known = d.where(col("doc_id") % 4 === 0)
+        .select(concat(lit("https://site"), h, lit(".com/p/"),
+          pmod(col("doc_id"), lit(50))).as("url"))
+      val robots = s.range(97).select(
+        concat(lit("site"), col("id"), lit(".com")).as("host"),
+        when(pmod(col("id"), lit(3)) === 0,
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"))
+          .when(pmod(col("id"), lit(3)) === 1,
+            lit("User-agent: graftbot\nDisallow: /doc/\n\nUser-agent: *\nDisallow: /\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /*.pdf$\n"))
+          .as("robots_txt"))
+      Frontier.update(discovered, "url", known, "url",
+        robots = Some((robots, "host", "robots_txt")), agent = "graftbot/1.0")
+    }),
+
     "q_crawl_e2e" -> ((s, dir) => {
       // the crawl ingestion story end to end: WARC RESPONSE records
       // (HTTP envelope + HTML body) in three charset regimes stream
@@ -3009,6 +3038,29 @@ object SparkEntry {
         |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
         |    ELSE text END AS text_out
         |FROM documents""".stripMargin,
+
+    "q_frontier" ->
+      // replays the round: canonical forms by construction, dedup via
+      // DISTINCT/UNION, the crawled diff via NOT IN, robots via CASE
+      // (private paths blocked on h%3=0 hosts; /p never blocked)
+      """WITH a AS (
+        |  SELECT DISTINCT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+        |    || '.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS url,
+        |    (doc_id % 97) % 3 AS h3, 0 AS priv
+        |  FROM documents),
+        |b AS (
+        |  SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+        |    || '.com/private/' || CAST(doc_id AS VARCHAR) AS url,
+        |    (doc_id % 97) % 3 AS h3, 1 AS priv
+        |  FROM documents),
+        |known AS (
+        |  SELECT DISTINCT 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+        |    || '.com/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |u AS (SELECT * FROM a UNION SELECT * FROM b)
+        |SELECT url FROM u
+        |WHERE url NOT IN (SELECT url FROM known)
+        |  AND NOT (priv = 1 AND h3 = 0)""".stripMargin,
 
     "q_crawl_e2e" ->
       // replays uri synthesis, the charset labels and the htmlToText
