@@ -1370,6 +1370,22 @@ object SparkEntry {
         GraftFunctions.decodeCharset(payload, ct).as("text_out"))
     }),
 
+    "q_video_meta" -> ((s, dir) => {
+      // video curation metadata end to end: real MP4/WebM container
+      // bytes (built from id arithmetic) through the batched codec
+      // seam; the oracle replays the arithmetic, so a hash match
+      // proves the box/EBML walk reads back exactly what the
+      // containers encode — dims, track count, duration
+      import graft.multimodal.MultimodalPipeline
+      val media = MultimodalPipeline.syntheticVideoMedia(s, 200)
+      MultimodalPipeline.extractFeatures(media, MultimodalPipeline.VideoMetaCodec)
+        .select(col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("width"),
+          element_at(col("feature"), 2).cast("int").as("height"),
+          element_at(col("feature"), 3).cast("int").as("n_tracks"),
+          element_at(col("feature"), 4).cast("int").as("duration_ms"))
+    }),
+
     "q_frontier" -> ((s, dir) => {
       // the discovery loop: messy discovered URLs (tracking params,
       // fragments) + clean private paths, canonicalized, deduped,
@@ -3038,6 +3054,15 @@ object SparkEntry {
         |      || regexp_replace(text, '[^ -~\n\t]', '', 'g')
         |    ELSE text END AS text_out
         |FROM documents""".stripMargin,
+
+    "q_video_meta" ->
+      // replays the synthesis arithmetic the container bytes encode
+      """SELECT 20000 + CAST(id AS BIGINT) AS media_id,
+        |  CAST(320 + (id % 8) * 160 AS INT) AS width,
+        |  CAST(240 + (id % 8) * 120 AS INT) AS height,
+        |  1 AS n_tracks,
+        |  CAST(1000 * (id % 30 + 1) AS INT) AS duration_ms
+        |FROM range(200) t(id)""".stripMargin,
 
     "q_frontier" ->
       // replays the round: canonical forms by construction, dedup via

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
  * [[MultimodalPipeline.ImageIoCodec]] / [[MultimodalPipeline.ImageIoResize]],
  * and `javax.sound.sampled` (WAV/AIFF/AU) backs
  * [[MultimodalPipeline.WavCodec]] — no external library. Compressed
- * audio (MP3/OGG), audio resampling and video frame DECODE remain
- * stubbed (those codecs aren't in this container) behind the same
- * `Codec`/`PayloadCodec` seams, with deterministic fakes so the
- * distributed plumbing (schema, batching, partitioning, memory shape)
- * is tested end-to-end either way; swap in a JNI/library-backed codec
- * for those in production.
+ * AUDIO metadata (FLAC/OGG STREAMINFO and id headers,
+ * [[MultimodalPipeline.CompressedAudioMetaCodec]]) and VIDEO container
+ * metadata (MP4 box walk, WebM EBML walk,
+ * [[MultimodalPipeline.VideoMetaCodec]]) are also parsed for REAL in
+ * pure JVM code — width/height/duration/rate/channels, the fields
+ * curation filters on first. Only SAMPLE/FRAME decode of compressed
+ * audio+video remains stubbed (those codecs aren't in this container)
+ * behind the same `Codec`/`PayloadCodec` seams, with deterministic
+ * fakes so the distributed plumbing (schema, batching, partitioning,
+ * memory shape) is tested end-to-end either way; swap in a
+ * JNI/library-backed codec for those in production.
  */
 object MultimodalPipeline {
 
@@ -298,6 +303,196 @@ object MultimodalPipeline {
       }
   }
 
+  /**
+   * Metadata-real codec for the two video containers a web crawl
+   * actually carries — MP4 (ISO BMFF, the public ISO/IEC 14496-12 box
+   * structure) and WebM/Matroska (the public EBML structure) — parsed
+   * in pure JVM code. Frame DECODE stays behind the seam (no codec
+   * library in-env); width / height / track count / duration — the
+   * fields a video-curation pass filters on FIRST — are read for
+   * real.
+   *
+   *  - MP4: top-level box walk to `moov`; `mvhd` (v0/v1) carries
+   *    timescale + duration; each `trak`/`tkhd` carries 16.16-fixed
+   *    width/height (video tracks have nonzero dims; the largest
+   *    wins).
+   *  - WebM: EBML vint walk into Segment → Info (TimecodeScale,
+   *    Duration) and Tracks → TrackEntry → Video (PixelWidth,
+   *    PixelHeight). Unknown-size Segment (streaming) extends to EOF.
+   *
+   * Emits an 8-dim feature `[width, height, n_tracks, duration_ms,
+   * NaN, NaN, NaN, NaN]` — the waveform-stat slots stay NaN
+   * (undecoded, not zero), mirroring [[CompressedAudioMetaCodec]].
+   * Corrupt/unknown payloads emit null, never a task failure.
+   */
+  object VideoMetaCodec extends Codec {
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def u64be(b: Array[Byte], i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      v
+    }
+
+    /** Top-level-or-nested box scan over [start,end): (type, payload
+      * start, box end). Corrupt sizes clamp to the window. */
+    private def boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = start
+        override def hasNext: Boolean = i + 8 <= end
+        override def next(): (String, Int, Int) = {
+          val sz = u32be(b, i)
+          val tpe = new String(b, i + 4, 4, "ISO-8859-1")
+          val (payload, boxEnd) =
+            if (sz == 1 && i + 16 <= end) (i + 16, i + u64be(b, i + 8))
+            else if (sz == 0) (i + 8, end.toLong)
+            else (i + 8, i + sz)
+          if (boxEnd <= i || boxEnd > end) { val r = (tpe, payload, end); i = end; r }
+          else { val r = (tpe, payload, boxEnd.toInt); i = boxEnd.toInt; r }
+        }
+      }
+
+    private[multimodal] def parseMp4(b: Array[Byte]): Array[Float] = {
+      val moov = boxes(b, 0, b.length).find(_._1 == "moov").orNull
+      if (moov == null) return null
+      var timescale = 0L; var duration = -1L
+      var width = 0f; var height = 0f; var nTracks = 0
+      boxes(b, moov._2, moov._3).foreach {
+        case ("mvhd", p, _) =>
+          val v = b(p) & 0xFF
+          if (v == 1) { timescale = u32be(b, p + 20); duration = u64be(b, p + 24) }
+          else { timescale = u32be(b, p + 12); duration = u32be(b, p + 16) }
+        case ("trak", p, e) =>
+          nTracks += 1
+          boxes(b, p, e).foreach {
+            case ("tkhd", tp, te) =>
+              val v = b(tp) & 0xFF
+              // fullbox(4) + creation/mod/trackID/reserved/duration
+              val wOff = (if (v == 1) tp + 4 + 32 else tp + 4 + 20) + 52
+              if (wOff + 8 <= te) {
+                val w = (u32be(b, wOff) / 65536.0).toFloat
+                val h = (u32be(b, wOff + 4) / 65536.0).toFloat
+                if (w > width) { width = w; height = h }
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (timescale <= 0) return null
+      val durMs = if (duration >= 0) (duration * 1000.0 / timescale).toFloat
+        else Float.NaN
+      Array(width, height, nTracks.toFloat, durMs,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+    }
+
+    /** EBML element id (marker bits kept) + its encoded length. */
+    private def vintId(b: Array[Byte], i: Int): (Long, Int) = {
+      val first = b(i) & 0xFF
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len < 1 || len > 4 || i + len > b.length) return (-1L, 0)
+      var v = 0L; var k = 0
+      while (k < len) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      (v, len)
+    }
+
+    /** EBML size vint (marker bit stripped); all-ones = unknown (-1). */
+    private def vintSize(b: Array[Byte], i: Int): (Long, Int) = {
+      val first = b(i) & 0xFF
+      if (first == 0) return (-1L, 0)
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len > 8 || i + len > b.length) return (-1L, 0)
+      var v = (first & (0xFF >> len)).toLong
+      var ones = first == (0xFF >> (len - 1) | (1 << (8 - len))) // first byte all value-ones
+      var k = 1
+      while (k < len) {
+        val t = b(i + k) & 0xFF
+        if (t != 0xFF) ones = false
+        v = (v << 8) | t
+        k += 1
+      }
+      val max = (1L << (7 * len)) - 1
+      (if (v == max && ones) -1L else v, len)
+    }
+
+    private def ebmlUint(b: Array[Byte], i: Int, len: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < len) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      v
+    }
+
+    private def ebmlFloat(b: Array[Byte], i: Int, len: Int): Double =
+      if (len == 4) java.lang.Float.intBitsToFloat(ebmlUint(b, i, 4).toInt).toDouble
+      else if (len == 8) java.lang.Double.longBitsToDouble(ebmlUint(b, i, 8))
+      else Double.NaN
+
+    /** Walk one EBML level, calling `f(id, payloadStart, payloadEnd)`.
+      * Unknown-size elements extend to the window end. */
+    private def ebmlWalk(b: Array[Byte], start: Int, end: Int)
+                        (f: (Long, Int, Int) => Unit): Unit = {
+      var i = start
+      while (i + 2 <= end) {
+        val (id, idLen) = vintId(b, i)
+        if (idLen == 0) return
+        val (sz, szLen) = vintSize(b, i + idLen)
+        if (szLen == 0) return
+        val p = i + idLen + szLen
+        val e = if (sz < 0) end else math.min(end.toLong, p + sz).toInt
+        if (e < p) return
+        f(id, p, e)
+        i = e
+      }
+    }
+
+    private[multimodal] def parseWebm(b: Array[Byte]): Array[Float] = {
+      var timescaleNs = 1000000L // EBML default: 1 ms ticks
+      var durationTicks = Double.NaN
+      var width = 0f; var height = 0f; var nTracks = 0
+      ebmlWalk(b, 0, b.length) { (id, p, e) =>
+        if (id == 0x18538067L) { // Segment
+          ebmlWalk(b, p, e) { (id2, p2, e2) =>
+            if (id2 == 0x1549A966L) { // Info
+              ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+                if (id3 == 0x2AD7B1L) timescaleNs = ebmlUint(b, p3, e3 - p3)
+                else if (id3 == 0x4489L) durationTicks = ebmlFloat(b, p3, e3 - p3)
+              }
+            } else if (id2 == 0x1654AE6BL) { // Tracks
+              ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+                if (id3 == 0xAEL) { // TrackEntry
+                  nTracks += 1
+                  ebmlWalk(b, p3, e3) { (id4, p4, e4) =>
+                    if (id4 == 0xE0L) { // Video
+                      ebmlWalk(b, p4, e4) { (id5, p5, e5) =>
+                        if (id5 == 0xB0L) width = ebmlUint(b, p5, e5 - p5).toFloat
+                        else if (id5 == 0xBAL) height = ebmlUint(b, p5, e5 - p5).toFloat
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (nTracks == 0 && width == 0f) return null
+      val durMs = if (durationTicks.isNaN) Float.NaN
+        else (durationTicks * timescaleNs / 1e6).toFloat
+      Array(width, height, nTracks.toFloat, durMs,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+    }
+
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { b =>
+        try {
+          if (b == null || b.length < 12) null
+          else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') parseMp4(b)
+          else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+            (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) parseWebm(b)
+          else null
+        } catch { case _: Exception => null }
+      }
+  }
+
   /** Format-dispatching audio codec: WAV/AIFF/AU decode for REAL
     * through [[WavCodec]]; FLAC/OGG read their container metadata
     * through [[CompressedAudioMetaCodec]]; anything else nulls. One
@@ -397,6 +592,61 @@ object MultimodalPipeline {
         Row(10000L + i, "audio", "audio/wav", null, null,
           java.lang.Long.valueOf((frames * 1000L / rate.toLong)), bos.toByteArray)
       }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
+  }
+
+  /** Deterministic VIDEO media table: even ids carry minimal MP4s
+    * (ftyp + moov/mvhd/trak/tkhd, alternating v0/v1 boxes), odd ids
+    * minimal WebMs (EBML header + Segment/Info/Tracks) — real
+    * container bytes built from the public box/EBML structures, no
+    * RNG, ids offset to 20000+ so the table unions cleanly with the
+    * other synthetic tables. Dims/durations are pure functions of the
+    * id, so an oracle can replay what [[VideoMetaCodec]] must read
+    * back out of the bytes. */
+  def syntheticVideoMedia(spark: SparkSession, n: Int): DataFrame = {
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u64(v: Long) = u32(v >>> 32) ++ u32(v & 0xFFFFFFFFL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
+    def mp4(ts: Long, dur: Long, w: Int, h: Int, v1: Boolean): Array[Byte] = {
+      val mvhd =
+        if (v1) Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++ u32(ts) ++ u64(dur) ++
+          Array.fill[Byte](80)(0)
+        else Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(ts) ++ u32(dur) ++
+          Array.fill[Byte](80)(0)
+      val tkhd = Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+        u32(dur) ++ Array.fill[Byte](52)(0) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16)
+      box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+        box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 0x7F)
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def webm(durMs: Double, w: Int, h: Int): Array[Byte] = {
+      val tcs = el(Array(0x2A.toByte, 0xD7.toByte, 0xB1.toByte),
+        Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)) // 1,000,000 ns/tick
+      val bits = java.lang.Float.floatToIntBits(durMs.toFloat)
+      val dur = el(Array(0x44.toByte, 0x89.toByte), u32(bits & 0xFFFFFFFFL))
+      val video = el(Array(0xE0.toByte),
+        el(Array(0xB0.toByte), Array((w >> 8).toByte, w.toByte)) ++
+          el(Array(0xBA.toByte), Array((h >> 8).toByte, h.toByte)))
+      val info = el(Array(0x15.toByte, 0x49.toByte, 0xA9.toByte, 0x66.toByte), tcs ++ dur)
+      val tracks = el(Array(0x16.toByte, 0x54.toByte, 0xAE.toByte, 0x6B.toByte),
+        el(Array(0xAE.toByte), video))
+      el(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte), Array[Byte]()) ++
+        el(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte), info ++ tracks)
+    }
+    val rows = (0 until n).map { i =>
+      val w = 320 + (i % 8) * 160
+      val h = 240 + (i % 8) * 120
+      val durMs = 1000L * (i % 30 + 1)
+      val bytes =
+        if (i % 2 == 0) mp4(1000L, durMs, w, h, v1 = i % 4 == 0)
+        else webm(durMs.toDouble, w, h)
+      Row(20000L + i, "video", if (i % 2 == 0) "video/mp4" else "video/webm",
+        Integer.valueOf(w), Integer.valueOf(h), java.lang.Long.valueOf(durMs), bytes)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
   }

@@ -274,4 +274,81 @@ class MultimodalSpec extends SparkSpec {
       "FLAC must carry metadata with NaN stats")
     assert(feats(2) == null && feats(3) == null)
   }
+
+  /** Minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def mp4Bytes(timescale: Long, duration: Long,
+                       width: Int, height: Int, v1: Boolean = false): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val sz = payload.length + 8
+      out.write(Array((sz >> 24).toByte, (sz >> 16).toByte, (sz >> 8).toByte, sz.toByte))
+      out.write(tpe.getBytes("ISO-8859-1")); out.write(payload)
+      out.toByteArray
+    }
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u64(v: Long) = u32(v >> 32) ++ u32(v & 0xFFFFFFFFL)
+    val mvhd =
+      if (v1) Array[Byte](1, 0, 0, 0) ++ u64(0) ++ u64(0) ++ u32(timescale) ++ u64(duration) ++
+        Array.fill[Byte](80)(0)
+      else Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration) ++
+        Array.fill[Byte](80)(0)
+    val tkhd = Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(duration) ++
+      Array.fill[Byte](52)(0) ++ u32(width.toLong << 16) ++ u32(height.toLong << 16)
+    box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  /** Minimal WebM: EBML header + Segment(Info(TimecodeScale, Duration),
+    * Tracks(TrackEntry(Video(PixelWidth, PixelHeight)))). */
+  private def webmBytes(durationTicks: Double, width: Int, height: Int): Array[Byte] = {
+    def sz(n: Int): Array[Byte] = {
+      require(n < 0x7F); Array((0x80 | n).toByte) // 1-byte size
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ sz(payload.length) ++ payload
+    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val tcs = el(Array(0x2A.toByte, 0xD7.toByte, 0xB1.toByte),
+      Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)) // 1,000,000 ns
+    val durBits = java.lang.Float.floatToIntBits(durationTicks.toFloat)
+    val dur = el(Array(0x44.toByte, 0x89.toByte),
+      Array((durBits >> 24).toByte, (durBits >> 16).toByte, (durBits >> 8).toByte, durBits.toByte))
+    val video = el(Array(0xE0.toByte),
+      el(Array(0xB0.toByte), u16(width)) ++ el(Array(0xBA.toByte), u16(height)))
+    val trackEntry = el(Array(0xAE.toByte), video)
+    val info = el(Array(0x15.toByte, 0x49.toByte, 0xA9.toByte, 0x66.toByte), tcs ++ dur)
+    val tracks = el(Array(0x16.toByte, 0x54.toByte, 0xAE.toByte, 0x6B.toByte), trackEntry)
+    val ebmlHdr = el(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte), Array[Byte]())
+    val segment = el(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte), info ++ tracks)
+    ebmlHdr ++ segment
+  }
+
+  test("VideoMetaCodec: MP4 mvhd/tkhd fields exact, v0 and v1") {
+    val f = MultimodalPipeline.VideoMetaCodec
+      .decodeBatch(Iterator(mp4Bytes(timescale = 1000, duration = 12500, width = 1280, height = 720)))
+      .next()
+    assert(f != null, "MP4 must parse")
+    assert(f(0) == 1280f && f(1) == 720f && f(2) == 1f, s"w/h/tracks: ${f.toSeq}")
+    assert(math.abs(f(3) - 12500f) < 1f, s"duration ms: ${f(3)}")
+    assert(f(4).isNaN && f(5).isNaN && f(6).isNaN && f(7).isNaN)
+    val v1 = MultimodalPipeline.VideoMetaCodec
+      .decodeBatch(Iterator(mp4Bytes(90000, 90000L * 7, 640, 480, v1 = true))).next()
+    assert(v1 != null && v1(0) == 640f && math.abs(v1(3) - 7000f) < 1f, s"v1: ${v1.toSeq}")
+  }
+
+  test("VideoMetaCodec: WebM EBML walk — dims, duration at default timecode scale") {
+    val f = MultimodalPipeline.VideoMetaCodec
+      .decodeBatch(Iterator(webmBytes(durationTicks = 4500.0, width = 1920, height = 1080)))
+      .next()
+    assert(f != null, "WebM must parse")
+    assert(f(0) == 1920f && f(1) == 1080f && f(2) == 1f, s"w/h/tracks: ${f.toSeq}")
+    assert(math.abs(f(3) - 4500f) < 1f, s"duration ms: ${f(3)}")
+  }
+
+  test("VideoMetaCodec: corrupt and unknown payloads null, never throw") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val truncated = mp4Bytes(1000, 5000, 320, 240).take(20)
+    val feats = MultimodalPipeline.VideoMetaCodec
+      .decodeBatch(Iterator(garbage, truncated, null)).toSeq
+    assert(feats.forall(_ == null))
+  }
 }
