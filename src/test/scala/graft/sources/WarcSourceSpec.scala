@@ -219,4 +219,52 @@ class WarcSourceSpec extends SparkSpec {
       WarcSource.read(spark, dir.toString).count())
     assert(e.getCause.getMessage.contains("expected a WARC"), e.getCause.getMessage)
   }
+
+  test("streaming crawl e2e: response records decode (mixed charsets) + extract inside the stream") {
+    graft.expr.GraftFunctions.ensure(spark)
+    import org.apache.spark.sql.functions._
+    val dir = tmp("warc_cs_stream_")
+    val ckpt = tmp("warc_cs_ckpt_")
+    val outDir = tmp("warc_cs_sink_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def response(uri: String, ct: String, body: Array[Byte]): (Map[String, String], Array[Byte]) =
+      (Map("WARC-Type" -> "response",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Target-URI" -> uri),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes("ISO-8859-1") ++ body)
+    val recs = Seq(
+      response("https://s/utf8", "text/html; charset=utf-8",
+        "<html><body><p>héllo utf8</p></body></html>".getBytes("UTF-8")),
+      response("https://s/utf16", "text/html",
+        Array(0xFF, 0xFE).map(_.toByte) ++
+          "<html><body><p>wide page</p></body></html>".getBytes("UTF-16LE")),
+      response("https://s/cp1252", "text/html; charset=iso-8859-1",
+        "<html><body><p>caf\u00e9 legacy</p></body></html>".getBytes("ISO-8859-1")))
+    java.nio.file.Files.write(dir.resolve("seg.warc.gz"),
+      gz(WarcSource.writeRecords(recs)))
+
+    val q = WarcSource.readStream(spark, dir.toString)
+      .where(col("warc_type") === "response")
+      .select(col("target_uri"),
+        graft.expr.GraftFunctions.sniffCharset(col("payload"),
+          col("http_content_type")).as("charset"),
+        graft.operators.HtmlExtract.htmlToText(
+          graft.expr.GraftFunctions.decodeCharset(col("payload"),
+            col("http_content_type"))).as("text"))
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("https://s/utf8") == (("utf-8", "héllo utf8")))
+    assert(got("https://s/utf16") == (("utf-16le", "wide page")))
+    assert(got("https://s/cp1252") == (("windows-1252", "caf\u00e9 legacy")))
+  }
 }
