@@ -101,7 +101,7 @@ import java.time.LocalDate
  *
  * # operation types beyond transformations (reference:
  * # core/pipeline/OperationType.scala — same aliases):
- * source.raw_files.type = spark           # spark | catalog | raw | factory FQCN
+ * source.raw_files.type = spark           # spark | catalog | raw | warc | factory FQCN
  * source.raw_files.path = /landing/sales
  * source.raw_files.format = csv
  * source.raw_files.option.header = true
@@ -400,6 +400,17 @@ object PipelineConfig {
         case "raw" =>
           val path = req("path")
           (sp, _) => new graft.sources.RawFileSource(sp, path)
+        case "warc" =>
+          // crawl ingestion: WARC archives with WARC-Date windowing,
+          // optional charset decode + HTML extraction in the scan
+          val path = req("path")
+          val maxRec = opt("max.record.bytes").map(_.toInt).getOrElse(16 * 1024 * 1024)
+          val kinds = opt("kinds").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          val decode = opt("decode.text").forall(_.toBoolean)
+          val extract = opt("extract.html").exists(_.toBoolean)
+          (sp, _) => new graft.sources.WarcCrawlSource(sp, path, maxRec,
+            kinds, decode, extract)
         case fqcn if fqcn.contains(".") =>
           // user-provided factory FQCN, same contract as the
           // reference's ExternalChannelFactory (V1) or

@@ -303,3 +303,79 @@ object WarcSource {
     out.toByteArray
   }
 }
+
+/**
+ * Crawl ingestion as a pipeline SOURCE (`source.<name>.type = warc`,
+ * or the [[WarcSourceFactory]] FQCN): WARC archives under `path`
+ * become typed rows, the info-date window filters on each record's
+ * `WARC-Date` (the crawl timestamp), so a daily ingestion job reads
+ * exactly that day's records out of the arriving segments. With
+ * `decodeText` the charset-sniffed text column is added
+ * ([[graft.expr.CrawlExpressions]]); with `extractHtml` pages the
+ * MIME sniffer routes as text/html are additionally reduced to
+ * boilerplate-free text — both row-local codegen'd expressions inside
+ * the same scan stage, zero extra shuffles at 100 TB.
+ */
+final class WarcCrawlSource(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String,
+    maxRecordBytes: Int = 16 * 1024 * 1024,
+    kinds: Seq[String] = Seq.empty,
+    decodeText: Boolean = true,
+    extractHtml: Boolean = false) extends GraftSource {
+
+  import org.apache.spark.sql.functions._
+
+  private def readAll(): DataFrame = {
+    graft.expr.GraftFunctions.ensure(spark)
+    var df = WarcSource.read(spark, path, maxRecordBytes)
+    if (kinds.nonEmpty) df = df.where(col("warc_type").isin(kinds: _*))
+    if (decodeText) {
+      val ct = coalesce(col("http_content_type"), col("content_type"))
+      df = df.withColumn("text",
+        graft.expr.GraftFunctions.decodeCharset(col("payload"), ct))
+      if (extractHtml)
+        df = df.withColumn("text",
+          when(graft.expr.GraftFunctions.sniffMime(col("payload")) === "text/html",
+            graft.operators.HtmlExtract.htmlToText(col("text")))
+            .otherwise(col("text")))
+    }
+    df
+  }
+
+  override def hasInfoDateColumn: Boolean = true
+
+  private def window(df: DataFrame, from: java.time.LocalDate,
+                     to: java.time.LocalDate): DataFrame =
+    df.where(to_date(col("warc_date")).between(
+      java.sql.Date.valueOf(from), java.sql.Date.valueOf(to)))
+
+  override def getRecordCount(from: java.time.LocalDate,
+                              to: java.time.LocalDate): Long =
+    window(readAll(), from, to).count()
+
+  override def getData(from: java.time.LocalDate, to: java.time.LocalDate,
+                       columns: Seq[String]): SourceResult = {
+    val df = window(readAll(), from, to)
+    SourceResult(if (columns.isEmpty) df else df.select(columns.map(col): _*))
+  }
+}
+
+/** FQCN-declarable factory for [[WarcCrawlSource]] (`source.<name>
+  * .type = graft.sources.WarcSourceFactory`; the built-in `warc` type
+  * routes here too). Options: `path` (required), `max.record.bytes`,
+  * `kinds` (comma-separated WARC-Type filter), `decode.text`
+  * (default true), `extract.html` (default false). */
+object WarcSourceFactory extends SourceFactory {
+  override def apply(spark: org.apache.spark.sql.SparkSession,
+                     options: Map[String, String]): GraftSource =
+    new WarcCrawlSource(spark,
+      path = options.getOrElse("path",
+        throw new IllegalArgumentException("warc source needs 'path'")),
+      maxRecordBytes = options.get("max.record.bytes").map(_.toInt)
+        .getOrElse(16 * 1024 * 1024),
+      kinds = options.get("kinds").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+      decodeText = options.get("decode.text").forall(_.toBoolean),
+      extractHtml = options.get("extract.html").exists(_.toBoolean))
+}

@@ -267,4 +267,65 @@ class WarcSourceSpec extends SparkSpec {
     assert(got("https://s/utf16") == (("utf-16le", "wide page")))
     assert(got("https://s/cp1252") == (("windows-1252", "caf\u00e9 legacy")))
   }
+
+  test("WarcCrawlSource: WARC-Date windowing, charset decode, html extraction, config dispatch") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("warc_src_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def rec(uri: String, date: String, body: Array[Byte], ct: String) =
+      (Map("WARC-Type" -> "response",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> date, "WARC-Target-URI" -> uri),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes("ISO-8859-1") ++ body)
+    java.nio.file.Files.write(dir.resolve("day.warc.gz"), gz(WarcSource.writeRecords(Seq(
+      rec("https://s/a", "2026-08-13T10:00:00Z",
+        "<html><body><p>day one page</p></body></html>".getBytes("UTF-8"),
+        "text/html; charset=utf-8"),
+      rec("https://s/b", "2026-08-14T09:00:00Z",
+        "caf\u00e9 plain".getBytes("ISO-8859-1"), "text/plain; charset=latin1"),
+      rec("https://s/c", "2026-08-15T09:00:00Z",
+        "tomorrow".getBytes("UTF-8"), "text/plain")))))
+
+    val src = new WarcCrawlSource(spark, dir.toString, extractHtml = true)
+    val d13 = java.time.LocalDate.of(2026, 8, 13)
+    val d14 = java.time.LocalDate.of(2026, 8, 14)
+    assert(src.getRecordCount(d13, d14) == 2, "window excludes the day-15 record")
+    val got = src.getData(d13, d14).df
+      .select("target_uri", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://s/a") == "day one page", "html extracted to clean text")
+    assert(got("https://s/b") == "caf\u00e9 plain", "cp1252 decoded, non-html untouched")
+
+    // FQCN factory + built-in `warc` config dispatch build equivalent sources
+    val viaFactory = WarcSourceFactory(spark, Map(
+      "path" -> dir.toString, "extract.html" -> "true"))
+    assert(viaFactory.getRecordCount(d13, d14) == 2)
+    // the built-in `warc` type parses into an ingestion job (a typo'd
+    // option fails the config load, not the Nth job of tonight's run)
+    val parsed = graft.pipeline.PipelineConfig.parse(
+      s"""pipeline.name = crawl
+         |table.pages.path = ${tmp("warc_meta_").toString}
+         |source.crawl.type = warc
+         |source.crawl.path = ${dir.toString}
+         |source.crawl.kinds = response
+         |source.crawl.extract.html = true
+         |job.ingest.type = ingestion
+         |job.ingest.source = crawl
+         |job.ingest.output = pages
+         |""".stripMargin)
+    assert(parsed.jobs.map(_.outputTable) == Seq("pages"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.PipelineConfig.parse(
+        """pipeline.name = bad
+          |source.crawl.type = warc
+          |job.ingest.type = ingestion
+          |job.ingest.source = crawl
+          |job.ingest.output = pages
+          |""".stripMargin) // missing path must fail at parse
+    }
+  }
 }
