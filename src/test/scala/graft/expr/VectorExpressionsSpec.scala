@@ -186,7 +186,8 @@ class VectorExpressionsSpec extends SparkSpec {
         "vector_sum", "mat_vec_mul", "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
         "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
         "deflate_ratio", "token_window_hashes", "max_cosine_sim", "bpe_encode",
-        "bloom_might_contain", "lsh_buckets"))
+        "bloom_might_contain", "lsh_buckets", "sniff_charset", "decode_charset",
+        "sniff_mime", "robots_compile", "robots_allowed"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible
