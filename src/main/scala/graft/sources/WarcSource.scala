@@ -345,9 +345,11 @@ final class WarcCrawlSource(
 
   override def hasInfoDateColumn: Boolean = true
 
+  /** Malformed WARC-Date values must drop out of the window, not
+    * throw under ANSI mode — crawl metadata is untrusted input. */
   private def window(df: DataFrame, from: java.time.LocalDate,
                      to: java.time.LocalDate): DataFrame =
-    df.where(to_date(col("warc_date")).between(
+    df.where(expr("try_cast(warc_date AS DATE)").between(
       java.sql.Date.valueOf(from), java.sql.Date.valueOf(to)))
 
   override def getRecordCount(from: java.time.LocalDate,

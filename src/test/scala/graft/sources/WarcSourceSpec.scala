@@ -290,6 +290,10 @@ class WarcSourceSpec extends SparkSpec {
       rec("https://s/c", "2026-08-15T09:00:00Z",
         "tomorrow".getBytes("UTF-8"), "text/plain")))))
 
+    // a malformed WARC-Date must fall out of the window, not throw (ANSI)
+    java.nio.file.Files.write(dir.resolve("bad.warc.gz"), gz(WarcSource.writeRecords(Seq(
+      rec("https://s/bad", "not-a-date", "x".getBytes("UTF-8"), "text/plain")))))
+
     val src = new WarcCrawlSource(spark, dir.toString, extractHtml = true)
     val d13 = java.time.LocalDate.of(2026, 8, 13)
     val d14 = java.time.LocalDate.of(2026, 8, 14)
