@@ -299,6 +299,13 @@ final class OffsetStoreDynamo(client: DynamoDbClient,
       case graft.offset.OffsetValue.IntegralValue(v) => v.toString
       case graft.offset.OffsetValue.DateTimeValue(ms) => ms.toString
       case graft.offset.OffsetValue.StringValue(s) => s
+      case kv: graft.offset.OffsetValue.KafkaValue =>
+        // DynamoDB's server-side `offsetValue < :v` condition compares
+        // scalars; a per-partition vector has no lexicographic order, so
+        // accepting it would corrupt monotonicity silently
+        throw new IllegalArgumentException(
+          s"DynamoDB offset store cannot order per-partition kafka offsets server-side " +
+            s"(got ${kv.asString}); use the FS or JDBC offset store for Kafka sources")
     }
     // false (condition failed) = the stored offset is already >= ours:
     // exactly the monotonic no-op the contract requires

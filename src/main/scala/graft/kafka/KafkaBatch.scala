@@ -1,0 +1,217 @@
+package graft.kafka
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Batch DataFrame read/write over the [[KafkaWireClient]] — the
+ * transport half of the reference's KafkaAvroSource/KafkaAvroSink
+ * (pramen/extras .../extras/source/KafkaAvroSource.scala:203 reads
+ * through `spark.read.format("kafka")`; graft substitutes its own
+ * wire client for the missing connector and keeps the same contract:
+ * the OUTPUT SCHEMA is byte-for-byte the Spark kafka source's —
+ * key/value binary, topic, partition, offset, timestamp,
+ * timestampType — so everything downstream is interchangeable).
+ *
+ * Scale shape: the driver plans one [start, end) range per topic
+ * partition from Metadata + ListOffsets (a few KB of control
+ * traffic), then `parallelize(ranges, ranges.size)` puts EACH
+ * partition's fetch loop in its own Spark task, connected directly to
+ * that partition's leader. Reading a 1000-partition topic on a
+ * 1000-executor cluster is 1000 concurrent leader-local streams — the
+ * same fan-out kafka-clients consumers achieve, with no consumer-group
+ * coordination because batch ranges are pinned up front.
+ */
+object KafkaBatch {
+
+  /** The Spark kafka datasource's fixed schema. */
+  val kafkaSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  sealed trait OffsetSpec
+  case object Earliest extends OffsetSpec
+  case object Latest extends OffsetSpec
+  /** Explicit per-partition log offsets (inclusive start / exclusive end). */
+  final case class Explicit(offsets: Map[Int, Long]) extends OffsetSpec
+
+  object OffsetSpec {
+    /** Parse the Spark kafka option spelling: "earliest", "latest",
+      * or a JSON per-partition map {"0": 12, "1": 5}. */
+    def parse(s: String): OffsetSpec = s.trim.toLowerCase match {
+      case "earliest" => Earliest
+      case "latest"   => Latest
+      case j =>
+        val m = graft.databricks.Json.parseObj(s)
+        require(m.nonEmpty, s"cannot parse offset spec '$s': expected earliest, latest, or {\"partition\": offset}")
+        Explicit(m.map { case (k, v) => k.toInt -> v.asInstanceOf[Long] })
+    }
+  }
+
+  /** "host1:9092,host2:9093" -> socket addresses. */
+  def parseBrokers(s: String): Seq[(String, Int)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).map { b =>
+      val i = b.lastIndexOf(':')
+      require(i > 0, s"broker '$b' is not host:port")
+      (b.substring(0, i), b.substring(i + 1).toInt)
+    }.toSeq
+
+  /** One planned fetch range; everything a task needs, nothing that
+    * can't serialize. */
+  final case class PartitionRange(topic: String, partition: Int,
+                                  host: String, port: Int,
+                                  start: Long, end: Long)
+
+  /** Plan per-partition ranges on the driver. */
+  def planRanges(client: KafkaWireClient, topic: String,
+                 starting: OffsetSpec, ending: OffsetSpec): Seq[PartitionRange] = {
+    val meta = client.metadata(Seq(topic))
+    val topicMeta = meta.topics.getOrElse(topic,
+      throw new IllegalArgumentException(s"unknown topic '$topic'"))
+    val partitions = topicMeta.partitions.map(_.partition).sorted
+    def resolve(spec: OffsetSpec, sentinel: Long): Map[Int, Long] = spec match {
+      case Explicit(m) =>
+        // partitions absent from an explicit map fall back to the sentinel
+        // (a topic can GROW partitions between runs; new ones read from
+        // the log start, matching the Spark kafka source's behavior)
+        val missing = partitions.filterNot(m.contains)
+        if (missing.isEmpty) m
+        else m ++ client.listOffsets(topic, missing.map(_ -> sentinel).toMap)
+      case Earliest => client.earliestOffsets(topic, partitions)
+      case Latest   => client.latestOffsets(topic, partitions)
+    }
+    val startOffsets = resolve(starting, KafkaWire.EarliestTimestamp)
+    val endOffsets = resolve(ending, KafkaWire.LatestTimestamp)
+    partitions.map { p =>
+      val node = meta.leaderFor(topic, p)
+      val s = startOffsets(p)
+      val e = endOffsets(p)
+      require(e >= s, s"$topic/$p: ending offset $e below starting offset $s")
+      PartitionRange(topic, p, node.host, node.port, s, e)
+    }
+  }
+
+  /**
+   * Batch read [starting, ending) from every partition of `topic`
+   * into a kafka-schema DataFrame. One Spark task per partition, each
+   * with its own socket to the partition leader; records stream
+   * through a paged fetch iterator, so a task's memory high-water is
+   * one fetch response (`maxBytes`), never the partition.
+   */
+  def read(spark: SparkSession, brokers: String, topic: String,
+           starting: OffsetSpec = Earliest, ending: OffsetSpec = Latest,
+           maxBytes: Int = 1 << 20,
+           clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs))
+          : DataFrame = {
+    val planner = clientFactory(parseBrokers(brokers))
+    val ranges = try planRanges(planner, topic, starting, ending) finally planner.close()
+    val nonEmpty = ranges.filter(r => r.end > r.start)
+    if (nonEmpty.isEmpty) {
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], kafkaSchema)
+    }
+    val initialMax = maxBytes
+    val factory = clientFactory
+    val rdd = spark.sparkContext.parallelize(nonEmpty, nonEmpty.size).flatMap { r =>
+      val client = factory(Seq((r.host, r.port)))
+      new Iterator[Row] {
+        private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
+        private var nextOffset = r.start
+        private var fetchBytes = initialMax
+        private var open = true
+
+        private def fetchPage(): Unit = {
+          val res = client.fetch(r.topic, r.partition, nextOffset, fetchBytes)
+          if (res.records.isEmpty) {
+            if (res.highWatermark > nextOffset) {
+              // first message larger than the window: escalate, like
+              // kafka-clients does, up to a hard cap
+              require(fetchBytes < (1 << 26),
+                s"${r.topic}/${r.partition}@$nextOffset: message exceeds ${1 << 26} bytes")
+              fetchBytes = fetchBytes * 2
+            } else {
+              // log truncated below the planned end — surface it, a
+              // silent gap would be data loss
+              throw new IllegalStateException(
+                s"${r.topic}/${r.partition}: high watermark ${res.highWatermark} fell below planned end ${r.end}")
+            }
+          } else {
+            val usable = res.records.filter(rec => rec.offset >= nextOffset && rec.offset < r.end)
+            nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
+            page = usable.iterator
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (open && !page.hasNext && nextOffset < r.end) fetchPage()
+          val h = page.hasNext
+          if (!h && open) { open = false; client.close() }
+          h
+        }
+
+        override def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val rec = page.next()
+          Row(rec.key, rec.value, r.topic, r.partition, rec.offset,
+            new java.sql.Timestamp(rec.timestamp), rec.timestampType)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, kafkaSchema)
+  }
+
+  /**
+   * Batch write a DataFrame with `key`(binary|string, optional) and
+   * `value`(binary|string) columns to `topic` — the Spark kafka sink
+   * contract. Keyed rows route by Kafka's default-partitioner murmur2
+   * so graft's placement matches a kafka-clients producer; null-key
+   * rows round-robin from the task id. Each task batches `batchSize`
+   * records per target partition before producing (acks=all).
+   */
+  def write(df: DataFrame, brokers: String, topic: String,
+            batchSize: Int = 500,
+            clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs))
+           : Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.toSet
+    require(cols.contains("value"), s"kafka write needs a 'value' column, got ${df.columns.mkString(", ")}")
+    val normalized = df.select(
+      (if (cols.contains("key")) col("key").cast(BinaryType) else lit(null).cast(BinaryType)).as("key"),
+      col("value").cast(BinaryType).as("value"))
+
+    val planner = clientFactory(parseBrokers(brokers))
+    val numPartitions = try {
+      planner.metadata(Seq(topic)).topics(topic).partitions.size
+    } finally planner.close()
+    val factory = clientFactory
+    val bs = brokers
+
+    normalized.foreachPartition { (rows: Iterator[Row]) =>
+      val client = factory(parseBrokers(bs))
+      try {
+        val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
+        val counts = new Array[Int](numPartitions)
+        var roundRobin = org.apache.spark.TaskContext.getPartitionId() % math.max(numPartitions, 1)
+        def flush(p: Int): Unit = if (counts(p) > 0) {
+          client.produce(topic, p, buffers(p).result())
+          buffers(p) = Vector.newBuilder; counts(p) = 0
+        }
+        rows.foreach { row =>
+          val key = row.getAs[Array[Byte]](0)
+          val value = row.getAs[Array[Byte]](1)
+          val p =
+            if (key != null) KafkaWire.partitionForKey(key, numPartitions)
+            else { roundRobin = (roundRobin + 1) % numPartitions; roundRobin }
+          buffers(p) += KafkaWire.OutRecord(key, value, System.currentTimeMillis())
+          counts(p) += 1
+          if (counts(p) >= batchSize) flush(p)
+        }
+        (0 until numPartitions).foreach(flush)
+      } finally client.close()
+    }
+  }
+}

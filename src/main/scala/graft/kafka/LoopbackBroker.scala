@@ -1,0 +1,287 @@
+package graft.kafka
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import scala.collection.mutable
+
+/**
+ * In-process Kafka broker speaking the same public wire protocol as
+ * [[KafkaWireClient]] — the server side of ApiVersions v0, Metadata
+ * v1, ListOffsets v1, Fetch v2 and Produce v2, over real loopback
+ * sockets with an in-memory log per partition.
+ *
+ * This is the stand-in that lets a zero-egress environment exercise
+ * the ENTIRE Kafka ingestion path — framing, CRC validation, leader
+ * routing, partial-message truncation, offset arithmetic — the same
+ * strategy as the scripted SMTP server (M42), the scripted mongod
+ * (M11d) and the signature-re-deriving DynamoDB fake (M11c). It
+ * validates requests like a real broker would: CRCs are RE-CHECKED on
+ * produce (corrupt batches get error 2), fetch/produce against a
+ * partition whose leader is another broker returns
+ * NOT_LEADER_FOR_PARTITION (error 6) so a client that skips metadata
+ * routing fails the way it would in production, and fetch responses
+ * are sliced at `max_bytes` mid-message, forcing consumers to handle
+ * the protocol's partial-tail rule.
+ *
+ * A [[LoopbackCluster]] of N brokers shares one log store; partition
+ * p of every topic leads on broker (p mod N), so multi-broker
+ * metadata routing is exercised with real sockets.
+ */
+final class LoopbackCluster(topicPartitions: Map[String, Int],
+                            numBrokers: Int = 1) extends AutoCloseable {
+  require(numBrokers >= 1)
+
+  /** One partition's log: (timestamp, key, value) triples; offset =
+    * startOffset + index. */
+  final class Log {
+    val records = mutable.ArrayBuffer.empty[(Long, Array[Byte], Array[Byte])]
+    var startOffset: Long = 0L
+    def endOffset: Long = startOffset + records.size
+  }
+
+  private val logs: Map[(String, Int), Log] =
+    topicPartitions.flatMap { case (t, n) => (0 until n).map(p => (t, p) -> new Log) }
+
+  def log(topic: String, partition: Int): Log = logs((topic, partition))
+
+  def leaderId(partition: Int): Int = partition % numBrokers
+
+  val brokers: Seq[LoopbackBroker] =
+    (0 until numBrokers).map(id => new LoopbackBroker(id, this))
+
+  def bootstrapServers: String = brokers.map(b => s"127.0.0.1:${b.port}").mkString(",")
+  /** Only the first broker — forces metadata-based discovery of the rest. */
+  def firstBroker: String = s"127.0.0.1:${brokers.head.port}"
+
+  /** Seed records directly (test fixture path, no client involved). */
+  def append(topic: String, partition: Int,
+             records: Seq[(Array[Byte], Array[Byte])], timestamp: Long = 1000L): Long =
+    logs.synchronized {
+      val l = log(topic, partition)
+      val base = l.endOffset
+      records.foreach { case (k, v) => l.records += ((timestamp, k, v)) }
+      base
+    }
+
+  private[kafka] def withLogs[T](f: => T): T = logs.synchronized(f)
+  private[kafka] def topics: Map[String, Int] = topicPartitions
+
+  override def close(): Unit = brokers.foreach(_.close())
+}
+
+final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends AutoCloseable {
+  import KafkaWire._
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => serve(s), s"loopback-kafka-$brokerId-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => /* closed */ }
+    }
+  }, s"loopback-kafka-$brokerId")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(socket: Socket): Unit = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+    try {
+      while (running) {
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val r = new Reader(req)
+        val apiKey = r.int16()
+        val apiVersion = r.int16()
+        val correlationId = r.int32()
+        r.string() // client_id
+        val body: Array[Byte] = apiKey match {
+          case ApiVersionsKey => handleApiVersions(apiVersion)
+          case ApiMetadata    => handleMetadata(r, apiVersion)
+          case ApiListOffsets => handleListOffsets(r, apiVersion)
+          case ApiFetch       => handleFetch(r, apiVersion)
+          case ApiProduce     => handleProduce(r, apiVersion)
+          case other => throw new IllegalArgumentException(s"unsupported api key $other")
+        }
+        val framed = new Writer().int32(correlationId).raw(body).toBytes
+        out.writeInt(framed.length)
+        out.write(framed)
+        out.flush()
+      }
+    } catch {
+      case _: EOFException | _: java.net.SocketException => // client went away
+    } finally {
+      try socket.close() catch { case _: Exception => }
+    }
+  }
+
+  private def handleApiVersions(version: Short): Array[Byte] = {
+    require(version == 0, s"ApiVersions v$version unsupported")
+    val apis = Seq((ApiProduce, 0, 2), (ApiFetch, 0, 2), (ApiListOffsets, 0, 1),
+      (ApiMetadata, 0, 1), (ApiVersionsKey, 0, 0))
+    val w = new Writer().int16(0).int32(apis.size)
+    apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
+    w.toBytes
+  }
+
+  private def handleMetadata(r: Reader, version: Short): Array[Byte] = {
+    require(version == 1, s"Metadata v$version unsupported")
+    val n = r.int32()
+    val asked = if (n < 0) cluster.topics.keys.toSeq.sorted
+                else (0 until n).map(_ => r.string())
+    val w = new Writer()
+    w.int32(cluster.brokers.size)
+    cluster.brokers.foreach { b =>
+      w.int32(b.brokerId).string("127.0.0.1").int32(b.port).string(null) // rack
+    }
+    w.int32(0) // controller id
+    w.int32(asked.size)
+    asked.foreach { t =>
+      cluster.topics.get(t) match {
+        case Some(parts) =>
+          w.int16(0).string(t).int8(0) // error, name, is_internal=false
+          w.int32(parts)
+          (0 until parts).foreach { p =>
+            val leader = cluster.leaderId(p)
+            w.int16(0).int32(p).int32(leader)
+            w.int32(1).int32(leader) // replicas
+            w.int32(1).int32(leader) // isr
+          }
+        case None =>
+          w.int16(3).string(t).int8(0).int32(0) // UNKNOWN_TOPIC_OR_PARTITION
+      }
+    }
+    w.toBytes
+  }
+
+  private def handleListOffsets(r: Reader, version: Short): Array[Byte] = {
+    require(version == 1, s"ListOffsets v$version unsupported")
+    r.int32() // replica_id
+    val topics = (0 until r.int32()).map { _ =>
+      val t = r.string()
+      t -> (0 until r.int32()).map(_ => (r.int32(), r.int64()))
+    }
+    val w = new Writer().int32(topics.size)
+    topics.foreach { case (t, parts) =>
+      w.string(t).int32(parts.size)
+      parts.foreach { case (p, ts) =>
+        cluster.topics.get(t).filter(p < _) match {
+          case Some(_) if cluster.leaderId(p) != brokerId =>
+            w.int32(p).int16(6).int64(-1L).int64(-1L) // NOT_LEADER
+          case Some(_) =>
+            val off = cluster.withLogs {
+              val l = cluster.log(t, p)
+              if (ts == EarliestTimestamp) l.startOffset else l.endOffset
+            }
+            w.int32(p).int16(0).int64(-1L).int64(off)
+          case None =>
+            w.int32(p).int16(3).int64(-1L).int64(-1L)
+        }
+      }
+    }
+    w.toBytes
+  }
+
+  private def handleFetch(r: Reader, version: Short): Array[Byte] = {
+    require(version == 2, s"Fetch v$version unsupported")
+    r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
+    val topics = (0 until r.int32()).map { _ =>
+      val t = r.string()
+      t -> (0 until r.int32()).map(_ => (r.int32(), r.int64(), r.int32()))
+    }
+    val w = new Writer().int32(0) // throttle_time
+    w.int32(topics.size)
+    topics.foreach { case (t, parts) =>
+      w.string(t).int32(parts.size)
+      parts.foreach { case (p, offset, maxBytes) =>
+        cluster.topics.get(t).filter(p < _) match {
+          case Some(_) if cluster.leaderId(p) != brokerId =>
+            w.int32(p).int16(6).int64(-1L).bytes(Array.emptyByteArray)
+          case Some(_) =>
+            val (hw, slice) = cluster.withLogs {
+              val l = cluster.log(t, p)
+              if (offset < l.startOffset || offset > l.endOffset)
+                (l.endOffset, null: Array[Byte])
+              else {
+                val idx = (offset - l.startOffset).toInt
+                // encode forward from the requested offset, stop once
+                // past maxBytes (a real broker slices the log segment,
+                // so the tail message may be PARTIAL — deliberately
+                // reproduced here by hard truncation below)
+                val setW = new Writer()
+                var written = 0
+                var i = idx
+                while (i < l.records.size && written <= maxBytes) {
+                  val (ts, k, v) = l.records(i)
+                  val m = encodeMessage(OutRecord(k, v, ts))
+                  setW.int64(l.startOffset + i).int32(m.length).raw(m)
+                  written += 12 + m.length
+                  i += 1
+                }
+                val full = setW.toBytes
+                (l.endOffset, if (full.length > maxBytes) full.take(maxBytes) else full)
+              }
+            }
+            if (slice == null)
+              w.int32(p).int16(1).int64(hw).bytes(Array.emptyByteArray) // OFFSET_OUT_OF_RANGE
+            else
+              w.int32(p).int16(0).int64(hw).bytes(slice)
+          case None =>
+            w.int32(p).int16(3).int64(-1L).bytes(Array.emptyByteArray)
+        }
+      }
+    }
+    w.toBytes
+  }
+
+  private def handleProduce(r: Reader, version: Short): Array[Byte] = {
+    require(version == 2, s"Produce v$version unsupported")
+    r.int16(); r.int32() // acks, timeout
+    val topics = (0 until r.int32()).map { _ =>
+      val t = r.string()
+      t -> (0 until r.int32()).map(_ => (r.int32(), r.bytes()))
+    }
+    val w = new Writer().int32(topics.size)
+    topics.foreach { case (t, parts) =>
+      w.string(t).int32(parts.size)
+      parts.foreach { case (p, setBytes) =>
+        cluster.topics.get(t).filter(p < _) match {
+          case Some(_) if cluster.leaderId(p) != brokerId =>
+            w.int32(p).int16(6).int64(-1L).int64(-1L)
+          case Some(_) =>
+            // a real broker re-validates message CRCs before append
+            val decoded = try Right(decodeMessageSet(setBytes))
+            catch { case e: IllegalArgumentException => Left(e) }
+            decoded match {
+              case Right(records) =>
+                val base = cluster.withLogs {
+                  val l = cluster.log(t, p)
+                  val b = l.endOffset
+                  records.foreach(rec => l.records += ((rec.timestamp, rec.key, rec.value)))
+                  b
+                }
+                w.int32(p).int16(0).int64(base).int64(-1L)
+              case Left(_) =>
+                w.int32(p).int16(2).int64(-1L).int64(-1L) // CORRUPT_MESSAGE
+            }
+          case None =>
+            w.int32(p).int16(3).int64(-1L).int64(-1L)
+        }
+      }
+    }
+    w.int32(0) // throttle_time
+    w.toBytes
+  }
+
+  override def close(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => }
+  }
+}

@@ -39,10 +39,52 @@ object OffsetValue {
     }
   }
 
+  /**
+   * Per-partition Kafka log offsets (reference: pramen/api
+   * .../api/offset/OffsetValue.scala:80 — KafkaValue). Each entry is
+   * the LAST-READ offset of one topic partition; [[increment]] gives
+   * the next read's starting offsets. String form is the Spark kafka
+   * option spelling `{"0":12,"1":5}`, partitions sorted.
+   *
+   * Comparison is the reference's vector order with one deliberate
+   * widening: partitions missing on either side compare as -1
+   * (nothing read) instead of throwing, because Kafka topics GROW
+   * partitions — a topic going 4->6 partitions mid-pipeline must not
+   * brick the offset store. Divergent vectors (some ahead, some
+   * behind) still throw, as in the reference.
+   */
+  final case class KafkaValue(partitionOffsets: Map[Int, Long]) extends OffsetValue {
+    val typeName = "kafka"
+    def asString: String = partitionOffsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+    def compare(that: OffsetValue): Int = that match {
+      case KafkaValue(other) =>
+        val signs = (partitionOffsets.keySet ++ other.keySet).toSeq.map { p =>
+          java.lang.Long.compare(partitionOffsets.getOrElse(p, -1L), other.getOrElse(p, -1L))
+        }
+        val ahead = signs.exists(_ > 0)
+        val behind = signs.exists(_ < 0)
+        if (ahead && behind) throw new IllegalArgumentException(
+          s"Divergent Kafka offsets: some partitions ahead, some behind ($asString vs ${KafkaValue(other).asString})")
+        else if (ahead) 1 else if (behind) -1 else 0
+      case o => throw new IllegalArgumentException(s"Cannot compare kafka offset with ${o.typeName}")
+    }
+    /** Next read's inclusive starting offsets (last-read + 1). */
+    def increment: KafkaValue = KafkaValue(partitionOffsets.map { case (p, o) => (p, o + 1) })
+  }
+
   def fromString(typeName: String, s: String): OffsetValue = typeName match {
     case "integral" => IntegralValue(s.toLong)
     case "datetime" => DateTimeValue(s.toLong)
     case "string"   => StringValue(s)
+    case "kafka" =>
+      val entries = s.replaceAll("[{}\"\\s]", "").split(",").filter(_.nonEmpty).map { part =>
+        part.split(":") match {
+          case Array(p, o) => p.toInt -> o.toLong
+          case _ => throw new IllegalArgumentException(s"Bad kafka offset entry '$part' in '$s'")
+        }
+      }
+      KafkaValue(entries.toMap)
     case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
   }
 }
@@ -78,31 +120,62 @@ trait OffsetStore {
     * incremental batch's upper edge so rows appended to the source
     * mid-job fall outside both the save and the committed offset. */
   final def boundedAbove(df: DataFrame, info: OffsetInfo, upper: OffsetValue): DataFrame =
-    df.where(col(info.column) <= offsetLit(upper))
+    upper match {
+      case kv: OffsetValue.KafkaValue =>
+        // per-partition bound on the kafka metadata struct; a partition
+        // absent from the pinned max (appeared mid-batch) compares
+        // null -> excluded, delivering on the NEXT run — the same
+        // no-silent-skip guarantee the scalar path gives
+        df.where(col(s"${info.column}.offset") <=
+          kafkaOffsetLookup(kv, col(s"${info.column}.partition")))
+      case _ => df.where(col(info.column) <= offsetLit(upper))
+    }
 
   /** Filter `df` to rows strictly after the committed offset (pushdown-friendly). */
   final def incrementalFilter(df: DataFrame, info: OffsetInfo, table: String): DataFrame =
     getLatestOffset(table) match {
+      case Some(kv: OffsetValue.KafkaValue) =>
+        // partitions with no committed offset (topic grew) are fully new
+        df.where(coalesce(col(s"${info.column}.offset") >
+          kafkaOffsetLookup(kv, col(s"${info.column}.partition")), lit(true)))
       case Some(from) => df.where(col(info.column) > offsetLit(from))
       case None => df
     }
 
-  /** Compute the max offset present in a batch (one tiny agg job). */
+  /** Compute the max offset present in a batch (one tiny agg job; for
+    * kafka offsets, one per-partition agg of at most #partitions rows). */
   final def maxOffset(df: DataFrame, info: OffsetInfo): Option[OffsetValue] = {
-    val row = df.agg(max(col(info.column))).head()
-    if (row.isNullAt(0)) None
-    else Some(info.offsetType match {
-      case "integral" => OffsetValue.IntegralValue(row.getAs[Number](0).longValue())
-      case "datetime" => OffsetValue.DateTimeValue(row.getAs[java.sql.Timestamp](0).getTime)
-      case "string"   => OffsetValue.StringValue(row.getAs[String](0))
-      case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
-    })
+    if (info.offsetType == "kafka") {
+      val rows = df.groupBy(col(s"${info.column}.partition").as("p"))
+        .agg(max(col(s"${info.column}.offset")).as("o")).collect()
+      if (rows.isEmpty) None
+      else Some(OffsetValue.KafkaValue(rows.map(r => r.getInt(0) -> r.getLong(1)).toMap))
+    } else {
+      val row = df.agg(max(col(info.column))).head()
+      if (row.isNullAt(0)) None
+      else Some(info.offsetType match {
+        case "integral" => OffsetValue.IntegralValue(row.getAs[Number](0).longValue())
+        case "datetime" => OffsetValue.DateTimeValue(row.getAs[java.sql.Timestamp](0).getTime)
+        case "string"   => OffsetValue.StringValue(row.getAs[String](0))
+        case other => throw new IllegalArgumentException(s"Unknown offset type: $other")
+      })
+    }
+  }
+
+  /** `try_element_at(map(p -> o, ...), partition)` — the committed
+    * offset of the row's partition, null when the partition is unknown. */
+  private def kafkaOffsetLookup(kv: OffsetValue.KafkaValue, partition: Column): Column = {
+    val entries = kv.partitionOffsets.toSeq.sortBy(_._1)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+    try_element_at(map(entries: _*), partition)
   }
 
   private def offsetLit(v: OffsetValue): Column = v match {
     case OffsetValue.IntegralValue(n) => lit(n)
     case OffsetValue.DateTimeValue(ms) => lit(new java.sql.Timestamp(ms))
     case OffsetValue.StringValue(s) => lit(s)
+    case kv: OffsetValue.KafkaValue =>
+      throw new IllegalArgumentException(s"kafka offsets are per-partition, not scalar: ${kv.asString}")
   }
 }
 

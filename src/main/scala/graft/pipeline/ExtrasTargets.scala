@@ -138,22 +138,25 @@ trait SingleMessageProducer {
   def close(): Unit = ()
 }
 
-/** Spark-batch Kafka producer: writes the single token row through
-  * `format("kafka")` (reference SingleMessageProducerKafka uses the
-  * kafka-clients producer; the Spark datasource is the dependency
-  * graft already speaks). Gated on the datasource being present — no
-  * broker or connector exists in this environment, so `send` fails
-  * actionably rather than pretending. */
+/** Wire-protocol Kafka producer: sends the single token message
+  * straight through [[graft.kafka.KafkaWireClient]] (reference
+  * SingleMessageProducerKafka wraps the kafka-clients producer around
+  * exactly this one-message shape). A token has no key, so it lands
+  * on partition 0 — routing tokens are ordering signals and must not
+  * scatter across partitions. The connection lives for one send,
+  * mirroring the reference's connect/send/close lifecycle. */
 final class KafkaSingleMessageProducer(spark: org.apache.spark.sql.SparkSession,
                                        bootstrapServers: String,
                                        options: Map[String, String] = Map.empty)
     extends SingleMessageProducer {
   override def send(topic: String, message: String): Unit = {
-    import spark.implicits._
-    val writer = Seq((topic, message)).toDF("topic", "value")
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-    options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save()
+    val client = new graft.kafka.KafkaWireClient(
+      graft.kafka.KafkaBatch.parseBrokers(bootstrapServers))
+    try {
+      client.produce(topic, 0, Seq(graft.kafka.KafkaWire.OutRecord(
+        null, message.getBytes("UTF-8"), System.currentTimeMillis())))
+      ()
+    } finally client.close()
   }
 }
 

@@ -411,6 +411,22 @@ object PipelineConfig {
           val extract = opt("extract.html").exists(_.toBoolean)
           (sp, _) => new graft.sources.WarcCrawlSource(sp, path, maxRec,
             kinds, decode, extract)
+        case "kafka.avro" =>
+          // incremental Kafka ingestion with Confluent-framed Avro
+          // payloads (reference extras/source/KafkaAvroSource.scala);
+          // transport is graft's own wire client, schema comes from
+          // the registry at read time
+          val allOpts = kv.collect {
+            case (k, v) if k.startsWith(s"source.$s.") => k.stripPrefix(s"source.$s.") -> v
+          }
+          // parse-time validation: required keys and offset spellings
+          // fail the config load, not tonight's first incremental run
+          Seq("kafka.bootstrap.servers", "topic", "schema.registry.url").foreach { k =>
+            if (!allOpts.contains(k))
+              throw new IllegalArgumentException(s"source.$s.$k is required for kafka.avro")
+          }
+          allOpts.get("kafka.starting.offsets").foreach(graft.kafka.KafkaBatch.OffsetSpec.parse)
+          (sp, _) => graft.kafka.KafkaAvroSourceFactory(sp, allOpts)
         case fqcn if fqcn.contains(".") =>
           // user-provided factory FQCN, same contract as the
           // reference's ExternalChannelFactory (V1) or

@@ -108,6 +108,8 @@ final class SparkSource(
       case Some(OffsetValue.IntegralValue(n)) => df.where(col(info.column) > n)
       case Some(OffsetValue.DateTimeValue(ms)) => df.where(col(info.column) > new java.sql.Timestamp(ms))
       case Some(OffsetValue.StringValue(s)) => df.where(col(info.column) > s)
+      case Some(o) => throw new IllegalArgumentException(
+        s"unsupported offset type '${o.typeName}' for a column-predicate incremental read")
       case None => df
     }
     SourceResult(if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*))
@@ -186,6 +188,8 @@ final class CatalogSource(
       case Some(OffsetValue.IntegralValue(n)) => df.where(col(info.column) > n)
       case Some(OffsetValue.DateTimeValue(ms)) => df.where(col(info.column) > new java.sql.Timestamp(ms))
       case Some(OffsetValue.StringValue(s)) => df.where(col(info.column) > s)
+      case Some(o) => throw new IllegalArgumentException(
+        s"unsupported offset type '${o.typeName}' for a column-predicate incremental read")
       case None => df
     }
     SourceResult(if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*))

@@ -176,6 +176,38 @@ object AvroCodec {
    * different registry schema (the reader-schema mismatch guard a
    * registry client would enforce).
    */
+  /**
+   * Decode a framed Avro `value` column into a nested struct column
+   * while KEEPING every other input column — the Kafka-source shape,
+   * where the decoded payload must ride alongside the key and the
+   * kafka metadata struct (reference KafkaAvroSource builds
+   * `data.*` + `kafka` + `kafka_key` from one pass). The value column
+   * is replaced by `payloadCol`.
+   */
+  def decodeInto(df: DataFrame, payloadSchema: StructType, valueCol: String = "value",
+                 payloadCol: String = "data", expectSchemaId: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val avroJson = avroSchemaFor(payloadSchema).toString
+    val idx = df.columns.indexOf(valueCol)
+    require(idx >= 0, s"column '$valueCol' not found in ${df.columns.mkString(", ")}")
+    val keptIdx = df.columns.indices.filter(_ != idx)
+    val outSchema = StructType(
+      keptIdx.map(df.schema.fields) :+ StructField(payloadCol, payloadSchema))
+    val rdd = df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      rows.map { r =>
+        val (id, body) = unframe(r.getAs[Array[Byte]](idx))
+        expectSchemaId.foreach(e => require(id == e,
+          s"schema id mismatch: payload written under id $id, reader expects $e"))
+        val dec = DecoderFactory.get().binaryDecoder(body, null)
+        val payload = recordToRow(reader.read(null, dec), payloadSchema)
+        Row((keptIdx.map(r.get) :+ payload): _*)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def decode(df: DataFrame, sparkSchema: StructType, valueCol: String = "value",
              expectSchemaId: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
