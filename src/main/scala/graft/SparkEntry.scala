@@ -1342,6 +1342,37 @@ object SparkEntry {
         .select(col("target_uri"), col("payload").cast("string").as("text"))
     }),
 
+    "q_kafka_ingest" -> ((s, dir) => {
+      // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
+      // bounded document subset → KafkaAvroSink (schema registered at
+      // the loopback registry, rows Confluent-framed, murmur2-routed
+      // across 4 partitions) → KafkaAvroSource (per-partition leader
+      // fetch, CRC-checked v1 message sets, registry-schema decode).
+      // The oracle replays the subset from the documents table, so a
+      // match proves the whole wire + Avro round trip is lossless.
+      // The batch is staged to parquet inside the gate because the
+      // broker's lifetime ends with the lambda, not with the plan.
+      import graft.kafka._
+      val staged = metaPath(s"kafka_roundtrip_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      stageOnce(s"kafka|$dir") {
+        val cluster = new LoopbackCluster(Map("docs" -> 4))
+        val registry = new LoopbackRegistry()
+        try {
+          val subset = t(s, dir, "documents")
+            .where(col("doc_id") % 13 === 0)
+            .select(col("doc_id"), col("lang"), col("text"))
+          new KafkaAvroSink(cluster.bootstrapServers, "docs", registry.client,
+            keyColumn = Some("doc_id"))
+            .send(subset, "documents", java.time.LocalDate.of(2026, 1, 1))
+          val source = new KafkaAvroSource(s, cluster.bootstrapServers, "docs",
+            registry.client, keySerializer = "none")
+          source.getDataIncremental(None).df.drop("kafka")
+            .write.mode("overwrite").parquet(staged)
+        } finally { cluster.close(); registry.close() }
+      }
+      s.read.parquet(staged)
+    }),
+
     "q_charset_decode" -> ((s, dir) => {
       // crawl payloads are NOT all UTF-8: synthesize the five
       // transport regimes a real crawl serves (plain utf-8, utf-8
@@ -3040,6 +3071,11 @@ object SparkEntry {
       """SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) ||
         |  '.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri, text
         |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
+
+    "q_kafka_ingest" ->
+      // replays the produced subset; the Spark side went through the
+      // full broker + registry round trip
+      "SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 = 0",
 
     "q_charset_decode" ->
       // replays the five synthesis regimes: labels by arithmetic,

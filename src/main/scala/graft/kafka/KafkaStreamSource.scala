@@ -1,0 +1,203 @@
+package graft.kafka
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util
+
+/**
+ * Structured Streaming source for Kafka over the wire client — the
+ * streaming leg the reference ecosystem delegates to Hyperdrive,
+ * re-expressed as a native Spark DataSource V2 so graft's stream
+ * operators (sessionization, streaming dedup, summary sketches)
+ * consume a live topic:
+ *
+ * {{{
+ *   spark.readStream
+ *     .format("graft.kafka.KafkaStreamProvider")
+ *     .option("kafka.bootstrap.servers", "broker:9092")
+ *     .option("subscribe", "events")
+ *     .option("startingOffsets", "earliest")  // or latest / {"0": 12}
+ *     .load()                                 // Spark kafka-source schema
+ * }}}
+ *
+ * Micro-batch planning mirrors the official connector: the driver
+ * asks the cluster for latest offsets per trigger (a few bytes of
+ * control traffic), the planned [start, end) delta is split into ONE
+ * INPUT PARTITION PER TOPIC PARTITION, and each Spark task fetches
+ * its slice directly from the partition leader through the paged
+ * iterator (task memory = one fetch response). Offsets checkpoint as
+ * the same per-partition JSON the batch layer and OffsetValue.Kafka
+ * speak, so a checkpointed query survives driver restarts exactly.
+ * Batch reads through the same provider delegate to [[KafkaBatch]]
+ * planning.
+ */
+final class KafkaStreamProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KafkaBatch.kafkaSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KafkaStreamTable(new CaseInsensitiveStringMap(properties))
+}
+
+private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private def req(k: String): String = {
+    val v = options.get(k)
+    require(v != null, s"graft kafka source: option '$k' is required")
+    v
+  }
+  private val brokers = req("kafka.bootstrap.servers")
+  private val topic = req("subscribe")
+
+  override def name(): String = s"graft-kafka($topic)"
+  override def schema(): StructType = KafkaBatch.kafkaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KafkaScan(brokers, topic,
+      Option(options.get("startingoffsets")).getOrElse("earliest"),
+      Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20))
+}
+
+private final class KafkaScan(brokers: String, topic: String,
+                              startingOffsets: String, maxBytes: Int) extends Scan {
+  override def readSchema(): StructType = KafkaBatch.kafkaSchema
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaMicroBatchStream(brokers, topic, startingOffsets, maxBytes)
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
+      val ranges = try {
+        KafkaBatch.planRanges(client, topic,
+          KafkaBatch.OffsetSpec.parse(startingOffsets), KafkaBatch.Latest)
+      } finally client.close()
+      ranges.filter(r => r.end > r.start).map(KafkaInputPartition(_, maxBytes): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = KafkaReaderFactory
+  }
+}
+
+/** Per-partition offsets as the checkpointable streaming offset; the
+  * JSON is the same spelling the batch layer and the offset store use. */
+final case class KafkaSourceOffset(offsets: Map[Int, Long]) extends Offset {
+  override def json(): String = offsets.toSeq.sortBy(_._1)
+    .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+}
+object KafkaSourceOffset {
+  def fromJson(s: String): KafkaSourceOffset = {
+    val m = graft.databricks.Json.parseObj(s)
+    KafkaSourceOffset(m.map { case (k, v) => k.toInt -> v.asInstanceOf[Long] })
+  }
+}
+
+private final class KafkaMicroBatchStream(brokers: String, topic: String,
+                                          startingOffsets: String,
+                                          maxBytes: Int) extends MicroBatchStream {
+  private lazy val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
+  private def partitions: Seq[Int] = {
+    val meta = client.metadata(Seq(topic))
+    meta.topics(topic).partitions.map(_.partition).sorted
+  }
+
+  override def initialOffset(): Offset = {
+    val spec = KafkaBatch.OffsetSpec.parse(startingOffsets)
+    val offs = spec match {
+      case KafkaBatch.Earliest => client.earliestOffsets(topic, partitions)
+      case KafkaBatch.Latest   => client.latestOffsets(topic, partitions)
+      case KafkaBatch.Explicit(m) => m
+    }
+    KafkaSourceOffset(offs)
+  }
+
+  override def latestOffset(): Offset =
+    KafkaSourceOffset(client.latestOffsets(topic, partitions))
+
+  override def deserializeOffset(json: String): Offset = KafkaSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaSourceOffset].offsets
+    val e = end.asInstanceOf[KafkaSourceOffset].offsets
+    val meta = client.metadata(Seq(topic))
+    e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
+      // partitions new since `start` (topic grew) read from the log start
+      val startOff = s.getOrElse(p, 0L)
+      if (endOff > startOff) {
+        val node = meta.leaderFor(topic, p)
+        Some(KafkaInputPartition(
+          KafkaBatch.PartitionRange(topic, p, node.host, node.port, startOff, endOff),
+          maxBytes): InputPartition)
+      } else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KafkaReaderFactory
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
+  override def stop(): Unit = client.close()
+}
+
+private final case class KafkaInputPartition(range: KafkaBatch.PartitionRange,
+                                             maxBytes: Int) extends InputPartition
+
+private object KafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val kp = partition.asInstanceOf[KafkaInputPartition]
+    new KafkaPartitionReader(kp.range, kp.maxBytes)
+  }
+}
+
+/** Executor-side reader: paged fetch loop from the partition leader,
+  * emitting InternalRows in the kafka-source schema. */
+private final class KafkaPartitionReader(range: KafkaBatch.PartitionRange,
+                                         initialMaxBytes: Int)
+    extends PartitionReader[InternalRow] {
+  private val client = new KafkaWireClient(Seq((range.host, range.port)))
+  private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
+  private var nextOffset = range.start
+  private var fetchBytes = initialMaxBytes
+  private var current: KafkaWire.KafkaRecord = _
+
+  override def next(): Boolean = {
+    while (!page.hasNext && nextOffset < range.end) fetchPage()
+    if (page.hasNext) { current = page.next(); true } else false
+  }
+
+  private def fetchPage(): Unit = {
+    val res = client.fetch(range.topic, range.partition, nextOffset, fetchBytes)
+    if (res.records.isEmpty) {
+      if (res.highWatermark > nextOffset) {
+        require(fetchBytes < (1 << 26),
+          s"${range.topic}/${range.partition}@$nextOffset: message exceeds ${1 << 26} bytes")
+        fetchBytes *= 2
+      } else throw new IllegalStateException(
+        s"${range.topic}/${range.partition}: high watermark ${res.highWatermark} below planned end ${range.end}")
+    } else {
+      // filter STRICTLY before advancing nextOffset — a lazy iterator
+      // would capture the var and see the already-advanced value
+      val from = nextOffset
+      page = res.records.filter(r => r.offset >= from && r.offset < range.end).iterator
+      nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
+    }
+  }
+
+  override def get(): InternalRow = InternalRow(
+    current.key,
+    current.value,
+    UTF8String.fromString(range.topic),
+    range.partition,
+    current.offset,
+    current.timestamp * 1000L, // millis -> Catalyst micros
+    current.timestampType)
+
+  override def close(): Unit = client.close()
+}

@@ -73,6 +73,27 @@ object OffsetValue {
     def increment: KafkaValue = KafkaValue(partitionOffsets.map { case (p, o) => (p, o + 1) })
   }
 
+  /**
+   * The value a store should persist when `next` is committed on top
+   * of `prev`, or None when nothing advances. Scalar offsets REPLACE
+   * under the monotonic `<` rule; per-partition kafka offsets MERGE —
+   * an incremental batch touches only the partitions that had new
+   * records, and partitions absent from the batch must keep their
+   * committed position rather than be dropped (which would both lose
+   * progress and make the next comparison divergent). Merging takes
+   * the per-partition max, so replaying commits in any order
+   * converges — the property the FS store's load path relies on.
+   */
+  def advance(prev: Option[OffsetValue], next: OffsetValue): Option[OffsetValue] = (prev, next) match {
+    case (None, n) => Some(n)
+    case (Some(p: KafkaValue), n: KafkaValue) =>
+      val merged = KafkaValue((p.partitionOffsets.keySet ++ n.partitionOffsets.keySet).map { k =>
+        k -> math.max(p.partitionOffsets.getOrElse(k, -1L), n.partitionOffsets.getOrElse(k, -1L))
+      }.toMap)
+      if (merged == p) None else Some(merged)
+    case (Some(p), n) => if (p < n) Some(n) else None
+  }
+
   def fromString(typeName: String, s: String): OffsetValue = typeName match {
     case "integral" => IntegralValue(s.toLong)
     case "datetime" => DateTimeValue(s.toLong)
@@ -206,7 +227,7 @@ final class OffsetManager(storePath: Option[String] = None) extends OffsetStore 
     def absorb(line: String): Unit = line.trim.split("\t") match {
       case Array(table, tpe, value) =>
         val v = OffsetValue.fromString(tpe, value)
-        if (committed.get(table).forall(_ < v)) committed.put(table, v)
+        OffsetValue.advance(committed.get(table), v).foreach(committed.put(table, _))
       case _ =>
     }
     if (Files.isDirectory(dir)) {
@@ -222,11 +243,12 @@ final class OffsetManager(storePath: Option[String] = None) extends OffsetStore 
 
   def getLatestOffset(table: String): Option[OffsetValue] = committed.get(table)
 
-  /** Commit a new max offset after a successful incremental batch. */
+  /** Commit a new max offset after a successful incremental batch
+    * (kafka offsets merge per partition — see [[OffsetValue.advance]]). */
   def commit(table: String, offset: OffsetValue): Unit = {
-    val advanced = committed.get(table).forall(_ < offset)
-    if (advanced) {
-      committed.put(table, offset)
+    val toStore = OffsetValue.advance(committed.get(table), offset)
+    toStore.foreach { stored =>
+      committed.put(table, stored)
       storePath.foreach { p =>
         val dir = Paths.get(p)
         if (Files.isRegularFile(dir)) synchronized {
@@ -240,7 +262,7 @@ final class OffsetManager(storePath: Option[String] = None) extends OffsetStore 
           }
         }
         Files.createDirectories(dir)
-        persist(dir, table, offset)
+        persist(dir, table, stored)
       }
     }
   }

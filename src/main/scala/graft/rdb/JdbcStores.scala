@@ -114,9 +114,13 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
     var done = false
     while (!done) {
       attempts += 1
-      getLatestOffset(table) match {
-        case Some(cur) if cur.compare(offset) >= 0 => done = true // monotonic: ignore
-        case observed =>
+      val observed = getLatestOffset(table)
+      // advance() owns the monotonic rule: scalar offsets replace when
+      // strictly greater, per-partition kafka offsets merge (a batch
+      // touches only some partitions; the rest keep their position)
+      OffsetValue.advance(observed, offset) match {
+        case None => done = true // monotonic: ignore
+        case Some(stored) =>
           val cleared = observed match {
             case None => true // nothing to replace; PK arbitrates the insert race
             case Some(cur) =>
@@ -130,7 +134,7 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
               db.executor.executeUpdate(
                 s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, ${d("offset_value")}, " +
                   s"${d("committed_at_ms")}) VALUES (?, ?, ?, ?)",
-                Seq(table, offset.typeName, offset.asString, nowMs()))
+                Seq(table, stored.typeName, stored.asString, nowMs()))
               done = true
             } catch {
               case e: Exception =>
