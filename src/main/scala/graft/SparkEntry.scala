@@ -1198,7 +1198,11 @@ object SparkEntry {
         realMedia.where(col("kind") === "image"), MultimodalPipeline.ImageIoCodec)
       val realWav = MultimodalPipeline.extractFeatures(
         realMedia.where(col("kind") === "audio"), MultimodalPipeline.WavCodec)
-      stubbed.unionByName(realImg).unionByName(realWav)
+      // sample-real FLAC: full bitstream decode (rice + predictors +
+      // CRCs) through the mixed-corpus AudioCodec dispatch
+      val realFlac = MultimodalPipeline.extractFeatures(
+        MultimodalPipeline.syntheticFlacMedia(s, 40), MultimodalPipeline.AudioCodec)
+      stubbed.unionByName(realImg).unionByName(realWav).unionByName(realFlac)
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 2), 4).as("f2"))
     }),

@@ -501,11 +501,42 @@ object MultimodalPipeline {
     def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
       payloads.map { b =>
         if (b == null || b.length < 12) null
-        else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
-          CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+        else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+          // FLAC is SAMPLE-real ([[Flac.decode]]); a bitstream the
+          // decoder can't handle degrades to the metadata row (NaN
+          // waveform stats) rather than nulling the whole record
+          val full = FlacCodec.decodeBatch(Iterator(b)).next()
+          if (full != null) full
+          else CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+        }
         else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
           CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
         else WavCodec.decodeBatch(Iterator(b)).next()
+      }
+  }
+
+  /** Sample-real FLAC codec: full bitstream decode ([[Flac]] —
+    * rice coding, fixed + LPC predictors, channel decorrelation, both
+    * CRCs, from the public RFC 9639 format) folding the SAME 8-dim
+    * waveform feature [[WavCodec]] emits for PCM, so a mixed corpus's
+    * silence/clipping/rate filters see FLAC and WAV identically.
+    * Memory stays bounded at one decoded block per file. Corrupt
+    * payloads emit null, never a task failure. */
+  object FlacCodec extends Codec {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
+      payloads.map { b =>
+        if (b == null || b.length < 42 ||
+            !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) null
+        else try {
+          val d = Flac.decode(b)
+          Array(
+            d.info.sampleRate.toFloat,
+            d.info.channels.toFloat,
+            d.info.bitsPerSample.toFloat,
+            (d.samplesDecoded * 1000.0 / d.info.sampleRate).toFloat,
+            d.rms.toFloat, d.peak.toFloat,
+            d.zeroCrossRate.toFloat, d.dcOffset.toFloat)
+        } catch { case _: Exception => null }
       }
   }
 
@@ -535,6 +566,24 @@ object MultimodalPipeline {
       }
     }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Deterministic REAL FLAC media (ids 30000+): sine tones encoded
+    * through [[Flac.encode]] — alternating FIXED and LPC subframes —
+    * so the sample-real FLAC decode path runs inside gates on real
+    * bitstreams. No RNG; unions cleanly with the other tables. */
+  def syntheticFlacMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = 8000
+      val frames = 600 + (i % 4) * 300
+      val freq = 150.0 + i * 15
+      val pcm = Array.tabulate(frames)(j =>
+        (0.5 * math.sin(2 * math.Pi * freq * j / rate) * 32767).toInt)
+      val bytes = Flac.encode(Array(pcm), rate, blockSize = 512, lpc = i % 2 == 1)
+      Row(30000L + i, "audio", "audio/flac", null, null,
+        java.lang.Long.valueOf(frames * 1000L / rate), bytes)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), mediaMetaSchema)
   }
 
   /** Deterministic sample media table (fake payloads) for tests. */

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FLAC sample decoder: CRCs pinned to published check values,
+  * encode→decode round trips (FIXED, LPC, VERBATIM, multi-frame,
+  * stereo), WavCodec parity on identical PCM, corruption degrade. */
+class FlacSpec extends AnyFunSuite {
+
+  /** 16-bit sine at `hz`, amplitude `amp`. */
+  private def sine(n: Int, rate: Int, hz: Double, amp: Double): Array[Int] =
+    Array.tabulate(n)(i => math.round(amp * 32767.0 * math.sin(2 * math.Pi * hz * i / rate)).toInt)
+
+  /** The decoder's waveform fold, recomputed independently on raw PCM. */
+  private def stats(pcm: Array[Int], bits: Int): (Double, Double, Double, Double) = {
+    val norm = (1L << (bits - 1)).toDouble
+    var sumSq = 0.0; var sum = 0.0; var peak = 0.0
+    var crossings = 0L; var prevSign = 0
+    pcm.foreach { v =>
+      val s = v / norm
+      sumSq += s * s; sum += s
+      val a = math.abs(s); if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) crossings += 1
+      prevSign = sign
+    }
+    (math.sqrt(sumSq / pcm.length), peak, crossings.toDouble / pcm.length, sum / pcm.length)
+  }
+
+  test("frame CRCs match the published check values (CRC-8/SMBUS 0xF4, CRC-16/UMTS 0xFEE8)") {
+    val check = "123456789".getBytes("US-ASCII")
+    assert(Flac.crc8(check, 0, check.length) == 0xF4)
+    assert(Flac.crc16(check, 0, check.length) == 0xFEE8)
+  }
+
+  test("STREAMINFO parse: rate, channels, bps, total samples") {
+    val bytes = Flac.encode(Array(sine(1000, 44100, 440, 0.5)), 44100)
+    val si = Flac.parseStreamInfo(bytes)
+    assert(si == Flac.StreamInfo(44100, 1, 16, 1000L))
+  }
+
+  test("FIXED-predictor round trip: decoded stats equal the PCM's exactly") {
+    val pcm = sine(4096, 16000, 220, 0.8)
+    val d = Flac.decode(Flac.encode(Array(pcm), 16000))
+    assert(d.samplesDecoded == 4096L)
+    val (rms, peak, zcr, dc) = stats(pcm, 16)
+    assert(math.abs(d.rms - rms) < 1e-12 && math.abs(d.peak - peak) < 1e-12)
+    assert(math.abs(d.zeroCrossRate - zcr) < 1e-12 && math.abs(d.dcOffset - dc) < 1e-12)
+  }
+
+  test("LPC subframes decode to the same samples as FIXED (coefficients [2,-1], shift 0)") {
+    val pcm = sine(3000, 8000, 100, 0.6)
+    val viaFixed = Flac.decode(Flac.encode(Array(pcm), 8000))
+    val viaLpc = Flac.decode(Flac.encode(Array(pcm), 8000, lpc = true))
+    assert(viaFixed.rms == viaLpc.rms && viaFixed.peak == viaLpc.peak)
+    assert(viaFixed.zeroCrossRate == viaLpc.zeroCrossRate)
+    assert(viaLpc.samplesDecoded == 3000L)
+  }
+
+  test("multi-frame streams: an odd tail block and frame numbers past one byte") {
+    // 10 frames of 192 + a 57-sample tail; blockSize 192 keeps frames small
+    val pcm = sine(1977, 22050, 440, 0.4)
+    val d = Flac.decode(Flac.encode(Array(pcm), 22050, blockSize = 192))
+    assert(d.samplesDecoded == 1977L)
+    val (rms, _, _, _) = stats(pcm, 16)
+    assert(math.abs(d.rms - rms) < 1e-12)
+  }
+
+  test("stereo independent channels: stats fold the FIRST channel, like WavCodec") {
+    val left = sine(2048, 32000, 440, 0.9)
+    val right = sine(2048, 32000, 220, 0.1)
+    val d = Flac.decode(Flac.encode(Array(left, right), 32000))
+    val (rmsL, peakL, _, _) = stats(left, 16)
+    assert(d.info.channels == 2)
+    assert(math.abs(d.rms - rmsL) < 1e-12)
+    assert(math.abs(d.peak - peakL) < 1e-12)
+  }
+
+  test("two-sample blocks take the VERBATIM path and still round trip") {
+    val pcm = Array(1234, -4321)
+    val d = Flac.decode(Flac.encode(Array(pcm), 8000, blockSize = 4096))
+    assert(d.samplesDecoded == 2L)
+    assert(math.abs(d.peak - 4321.0 / 32768.0) < 1e-12)
+  }
+
+  test("FlacCodec emits the WavCodec 8-dim feature; WAV parity on identical PCM") {
+    val rate = 16000
+    val pcm = sine(rate, rate, 440, 0.5) // one second
+    val flacBytes = Flac.encode(Array(pcm), rate)
+    val flacFeat = MultimodalPipeline.FlacCodec.decodeBatch(Iterator(flacBytes)).next()
+
+    // the same PCM as a WAV through javax.sound
+    val bos = new java.io.ByteArrayOutputStream()
+    val data = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xFF).toByte; data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, pcm.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wavFeat = MultimodalPipeline.WavCodec.decodeBatch(Iterator(bos.toByteArray)).next()
+
+    assert(flacFeat.length == 8 && wavFeat.length == 8)
+    // rate, channels, bits, duration
+    (0 until 4).foreach(i => assert(math.abs(flacFeat(i) - wavFeat(i)) < 1e-3,
+      s"dim $i: flac=${flacFeat(i)} wav=${wavFeat(i)}"))
+    // rms, peak, zcr, dc — identical samples, identical fold
+    (4 until 8).foreach(i => assert(math.abs(flacFeat(i) - wavFeat(i)) < 1e-5,
+      s"dim $i: flac=${flacFeat(i)} wav=${wavFeat(i)}"))
+  }
+
+  test("corrupt frame data degrades: FlacCodec nulls, AudioCodec falls back to the metadata row") {
+    val bytes = Flac.encode(Array(sine(4096, 44100, 440, 0.5)), 44100)
+    // flip a byte in the frame body (well past the 4+4+34 byte headers)
+    val corrupt = bytes.clone()
+    corrupt(60) = (corrupt(60) ^ 0x55).toByte
+    assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator(corrupt)).next() == null)
+    val viaAudio = MultimodalPipeline.AudioCodec.decodeBatch(Iterator(corrupt)).next()
+    assert(viaAudio != null, "AudioCodec must degrade to the metadata row")
+    assert(viaAudio(0) == 44100f && viaAudio(1) == 1f && viaAudio(2) == 16f)
+    assert(viaAudio(4).isNaN, "waveform stats must be NaN on the degraded row")
+    // intact bytes through AudioCodec get REAL waveform stats now
+    val full = MultimodalPipeline.AudioCodec.decodeBatch(Iterator(bytes)).next()
+    assert(!full(4).isNaN && full(4) > 0.3f && full(4) < 0.4f) // rms of 0.5-amp sine ~ 0.354
+  }
+
+  test("truncated and junk payloads null cleanly") {
+    val bytes = Flac.encode(Array(sine(500, 8000, 100, 0.3)), 8000)
+    assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator(bytes.take(30))).next() == null)
+    assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator("not flac at all".getBytes)).next() == null)
+    assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator(null)).next() == null)
+  }
+}
