@@ -1346,6 +1346,43 @@ object SparkEntry {
         .select(col("target_uri"), col("payload").cast("string").as("text"))
     }),
 
+    "q_video_frames" -> ((s, dir) => {
+      // REAL video frame decode: deterministic MJPEG AVIs built
+      // executor-side from document ids (JPEG frames via the JDK's own
+      // encoder), container-walked and pixel-decoded by Avi.extract
+      // VideoFrames. The oracle replays the sampling arithmetic AND
+      // the frame dimensions — which only match if the JPEG actually
+      // decoded (dims come from pixels, not the container header).
+      import graft.multimodal.Avi
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").where(col("doc_id") % 7 === 0).select("doc_id")
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val media = s.createDataFrame(ids.rdd.mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val w = (16 + (id % 3) * 8).toInt; val h = (8 + (id % 2) * 8).toInt
+        val n = (2 + id % 4).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color(((id * 37 + f * 11) % 255).toInt,
+            ((id * 17) % 255).toInt, ((f * 61) % 255).toInt))
+          g.fillRect(0, 0, w, h); g.dispose()
+          img
+        }
+        Row(id, "video", Avi.encodeMjpeg(frames, fps = 5))
+      }), mediaSchema)
+      Avi.extractVideoFrames(media, everyMs = 400)
+        .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+          col("frame_ts_ms"),
+          element_at(col("frame_feature"), 1).cast("long").as("w"),
+          element_at(col("frame_feature"), 2).cast("long").as("h"))
+    }),
+
     "q_kafka_ingest" -> ((s, dir) => {
       // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
       // bounded document subset → KafkaAvroSink (schema registered at
@@ -3080,6 +3117,17 @@ object SparkEntry {
       // replays the produced subset; the Spark side went through the
       // full broker + registry round trip
       "SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 = 0",
+
+    "q_video_frames" ->
+      // replays the MJPEG fixture arithmetic: frame sampling (5 fps,
+      // every 400 ms -> step 2) and per-id dims; the Spark side's w/h
+      // come out of DECODED PIXELS, so a match proves the JPEG decode
+      """SELECT doc_id AS media_id, u.g AS frame_index,
+        |  u.g * 200 AS frame_ts_ms,
+        |  16 + (doc_id % 3) * 8 AS w, 8 + (doc_id % 2) * 8 AS h
+        |FROM documents,
+        |  unnest(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT) - 1, 2)) AS u(g)
+        |WHERE doc_id % 7 = 0""".stripMargin,
 
     "q_charset_decode" ->
       // replays the five synthesis regimes: labels by arithmetic,

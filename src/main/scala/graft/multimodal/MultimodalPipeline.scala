@@ -488,6 +488,8 @@ object MultimodalPipeline {
           else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') parseMp4(b)
           else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
             (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) parseWebm(b)
+          else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'A' && b(9) == 'V' && b(10) == 'I') Avi.metaFeature(b)
           else null
         } catch { case _: Exception => null }
       }
