@@ -66,7 +66,12 @@ object Bench {
     // 10x data — the L52/M52 "summaries merge instead of rescan" claim
     // is a SCALE claim, so the HLL distinct merge, the KLL quantile
     // merge and the approx-agg twin all get sf1 trend entries
-    "q_sketch_distinct", "q_value_sketch", "q_approx_agg")
+    "q_sketch_distinct", "q_value_sketch", "q_approx_agg",
+    // r14c: the Kafka wire path at 10x documents — produce + leader
+    // fetch + Avro decode throughput is a SCALE claim (the loopback
+    // broker is in-process, so this times the protocol + codec work,
+    // not network latency)
+    "q_kafka_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11,22 +11,28 @@ import org.apache.spark.sql.types._
  * `mapInPandas` batch plumbing — schema in/schema out, batch-at-a-time
  * codec invocation, partition-parallel).
  *
- * The IMAGE and PCM-AUDIO paths are REAL — both decoders ship with
- * the JDK: `javax.imageio` (PNG/JPEG/BMP/GIF) backs
- * [[MultimodalPipeline.ImageIoCodec]] / [[MultimodalPipeline.ImageIoResize]],
- * and `javax.sound.sampled` (WAV/AIFF/AU) backs
- * [[MultimodalPipeline.WavCodec]] — no external library. Compressed
- * AUDIO metadata (FLAC/OGG STREAMINFO and id headers,
- * [[MultimodalPipeline.CompressedAudioMetaCodec]]) and VIDEO container
- * metadata (MP4 box walk, WebM EBML walk,
- * [[MultimodalPipeline.VideoMetaCodec]]) are also parsed for REAL in
- * pure JVM code — width/height/duration/rate/channels, the fields
- * curation filters on first. Only SAMPLE/FRAME decode of compressed
- * audio+video remains stubbed (those codecs aren't in this container)
- * behind the same `Codec`/`PayloadCodec` seams, with deterministic
- * fakes so the distributed plumbing (schema, batching, partitioning,
- * memory shape) is tested end-to-end either way; swap in a
- * JNI/library-backed codec for those in production.
+ * What decodes for REAL in pure JVM code, no external library:
+ *  - IMAGES: `javax.imageio` (PNG/JPEG/BMP/GIF) backs
+ *    [[MultimodalPipeline.ImageIoCodec]] / [[MultimodalPipeline.ImageIoResize]];
+ *  - PCM AUDIO: `javax.sound.sampled` (WAV/AIFF/AU) backs
+ *    [[MultimodalPipeline.WavCodec]];
+ *  - FLAC: SAMPLE-real through [[Flac.decode]] (rice coding, fixed +
+ *    LPC predictors, CRCs — the full public bitstream format) via
+ *    [[MultimodalPipeline.FlacCodec]];
+ *  - MJPEG-AVI VIDEO: FRAME-real through [[Avi.extractVideoFrames]]
+ *    (RIFF walk → per-frame JPEG → pixel decode);
+ *  - container METADATA for the rest: OGG Vorbis/Opus + MP3 headers
+ *    ([[MultimodalPipeline.CompressedAudioMetaCodec]]), MP4 box walk /
+ *    WebM EBML walk / AVI header
+ *    ([[MultimodalPipeline.VideoMetaCodec]]) — rate/channels/
+ *    duration/dims, the fields curation filters on first.
+ *
+ * Only inter-coded video (H.264/VP9/AV1) and lossy-audio (MP3/Vorbis)
+ * SAMPLE decode remain stubbed — those genuinely need codec libraries
+ * this container doesn't ship — behind the same `Codec`/`PayloadCodec`
+ * seams, with deterministic fakes so the distributed plumbing (schema,
+ * batching, partitioning, memory shape) is tested end-to-end either
+ * way; swap in a JNI/library-backed codec for those in production.
  */
 object MultimodalPipeline {
 
@@ -292,12 +298,78 @@ object MultimodalPipeline {
       } else null
     }
 
+    // MPEG-1/2 Layer III (the public frame-header layout). Tables are
+    // the spec's: bitrate kbps by (version, index), sample rate by
+    // (version, index); Layer III samples/frame = 1152 (MPEG1) / 576
+    // (MPEG2/2.5).
+    private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val Mp3RateV1 = Array(44100, 48000, 32000)
+    private val Mp3RateV2 = Array(22050, 24000, 16000)
+    private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+    private[multimodal] def parseMp3(b: Array[Byte]): Array[Float] = {
+      // skip an ID3v2 container if present (syncsafe 28-bit size)
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+        i = 10 + size
+      }
+      // hunt for the first frame sync (crawl files carry leading junk)
+      while (i + 4 < b.length &&
+             !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0)) i += 1
+      if (i + 4 >= b.length) return null
+      val h1 = b(i + 1) & 0xFF; val h2 = b(i + 2) & 0xFF; val h3 = b(i + 3) & 0xFF
+      val versionBits = (h1 >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (h1 >> 1) & 0x3   // 1=Layer III
+      if (versionBits == 1 || layerBits != 1) return null
+      val rateIdx = (h2 >> 2) & 0x3
+      if (rateIdx == 3) return null
+      val rate = versionBits match {
+        case 3 => Mp3RateV1(rateIdx)
+        case 2 => Mp3RateV2(rateIdx)
+        case _ => Mp3RateV25(rateIdx)
+      }
+      val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+      val samplesPerFrame = if (versionBits == 3) 1152 else 576
+      // Xing/Info VBR header: total frame count -> exact duration
+      val sideInfo =
+        if (versionBits == 3) { if (channels == 2) 32 else 17 }
+        else { if (channels == 2) 17 else 9 }
+      val xingOff = i + 4 + sideInfo
+      var durMs = Float.NaN
+      if (xingOff + 12 <= b.length) {
+        val tag = new String(b, xingOff, 4, "US-ASCII")
+        if ((tag == "Xing" || tag == "Info") && (b(xingOff + 7) & 0x01) == 1) {
+          val frames = ((b(xingOff + 8) & 0xFFL) << 24) | ((b(xingOff + 9) & 0xFFL) << 16) |
+            ((b(xingOff + 10) & 0xFFL) << 8) | (b(xingOff + 11) & 0xFFL)
+          durMs = (frames * samplesPerFrame * 1000.0 / rate).toFloat
+        }
+      }
+      if (durMs.isNaN) {
+        // CBR estimate from the first frame's bitrate and payload size
+        val brIdx = (h2 >> 4) & 0xF
+        if (brIdx != 0 && brIdx != 15) {
+          val kbps = if (versionBits == 3) Mp3BitrateV1(brIdx) else Mp3BitrateV2(brIdx)
+          durMs = ((b.length - i).toDouble * 8.0 / (kbps * 1000.0) * 1000.0).toFloat
+        }
+      }
+      Array(rate.toFloat, channels.toFloat, 0f, durMs,
+        Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+    }
+
+    private[multimodal] def looksLikeMp3(b: Array[Byte]): Boolean =
+      (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0)
+
     def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Float]] =
       payloads.map { b =>
         try {
           if (b == null || b.length < 8) null
           else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') parseFlac(b)
           else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') parseOgg(b)
+          else if (looksLikeMp3(b)) parseMp3(b)
           else null
         } catch { case _: Exception => null }
       }
@@ -511,7 +583,8 @@ object MultimodalPipeline {
           if (full != null) full
           else CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
         }
-        else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+        else if ((b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S') ||
+                 CompressedAudioMetaCodec.looksLikeMp3(b))
           CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
         else WavCodec.decodeBatch(Iterator(b)).next()
       }

@@ -133,3 +133,70 @@ class FlacSpec extends AnyFunSuite {
     assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator(null)).next() == null)
   }
 }
+
+/** MP3 frame-header metadata (MPEG-1/2 Layer III, public layout). */
+class Mp3MetaSpec extends AnyFunSuite {
+
+  /** Build a conformant MP3 frame header + optional Xing frame count
+    * + dummy payload. */
+  private def mp3(version1: Boolean, rateIdx: Int, brIdx: Int, stereo: Boolean,
+                  xingFrames: Option[Long], payloadBytes: Int,
+                  id3: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3) {
+      bos.write("ID3".getBytes("US-ASCII"))
+      bos.write(Array[Byte](3, 0, 0)) // version + flags
+      // syncsafe size 20
+      bos.write(Array[Byte](0, 0, 0, 20))
+      bos.write(new Array[Byte](20))
+    }
+    val h1 = 0xE0 | (if (version1) 0x3 else 0x2) << 3 | (1 << 1) // sync tail + version + layer III
+    val h2 = (brIdx << 4) | (rateIdx << 2)
+    val h3 = if (stereo) 0x00 else 0xC0
+    bos.write(0xFF); bos.write(h1); bos.write(h2); bos.write(h3)
+    val sideInfo = if (version1) { if (stereo) 32 else 17 } else { if (stereo) 17 else 9 }
+    bos.write(new Array[Byte](sideInfo))
+    xingFrames match {
+      case Some(n) =>
+        bos.write("Xing".getBytes("US-ASCII"))
+        bos.write(Array[Byte](0, 0, 0, 1)) // flags: frames present
+        bos.write(Array[Byte](((n >> 24) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+          ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte))
+      case None =>
+    }
+    bos.write(new Array[Byte](payloadBytes))
+    bos.toByteArray
+  }
+
+  test("Xing VBR header gives the exact duration: frames x 1152 / rate") {
+    // MPEG1, 44100 Hz, stereo, 100 frames -> 100*1152/44100 s = 2612 ms
+    val b = mp3(version1 = true, rateIdx = 0, brIdx = 9, stereo = true,
+      xingFrames = Some(100), payloadBytes = 500)
+    val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+    assert(f(0) == 44100f && f(1) == 2f)
+    assert(math.abs(f(3) - 100 * 1152 * 1000.0 / 44100.0) < 1.0, s"durMs=${f(3)}")
+    assert(f(4).isNaN, "waveform stats stay NaN (metadata-only)")
+  }
+
+  test("CBR estimate from the first frame's bitrate; ID3v2 container skipped") {
+    // MPEG2 (576 samples/frame), 16 kHz mono, bitrate idx 5 = 40 kbps,
+    // 5000 payload bytes -> ~1000 ms
+    val b = mp3(version1 = false, rateIdx = 2, brIdx = 5, stereo = false,
+      xingFrames = None, payloadBytes = 5000, id3 = true)
+    val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+    assert(f(0) == 16000f && f(1) == 1f)
+    assert(f(3) > 900f && f(3) < 1150f, s"durMs=${f(3)}")
+  }
+
+  test("AudioCodec routes MP3 to the metadata row; junk still nulls") {
+    val b = mp3(version1 = true, rateIdx = 1, brIdx = 9, stereo = true,
+      xingFrames = Some(48), payloadBytes = 100)
+    val f = MultimodalPipeline.AudioCodec.decodeBatch(Iterator(b)).next()
+    assert(f != null && f(0) == 48000f)
+    assert(MultimodalPipeline.AudioCodec.decodeBatch(
+      Iterator("plain text, no sync".getBytes("UTF-8"))).next() == null)
+    // reserved version bits (0b01) and a free-format bitrate must not crash
+    val bad = b.clone(); bad(1) = (bad(1) & ~0x18).toByte // version bits 00 = MPEG2.5 ok
+    assert(MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(bad)).next() != null)
+  }
+}
