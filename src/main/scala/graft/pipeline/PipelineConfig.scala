@@ -497,6 +497,20 @@ object PipelineConfig {
         case "cmdline" =>
           new graft.sinks.CmdLineSink(req("staging"), req("command"),
             timeoutSeconds = opt("timeout.seconds").map(_.toLong).getOrElse(300L))
+        case "kafka.avro" =>
+          // metastore -> Kafka export with registry-framed Avro rows
+          // (reference extras/sink/KafkaAvroSink.scala); transport is
+          // graft's wire client, schema registered at send time
+          val registry = new graft.kafka.SchemaRegistryClient(
+            req("schema.registry.url"), new graft.databricks.JdkHttpTransport())
+          val naming = opt("schema.registry.value.naming.strategy").map { st =>
+            graft.kafka.SubjectNaming.parse(st,
+              opt("schema.registry.value.record.name"),
+              opt("schema.registry.value.record.namespace"))
+          }.getOrElse(graft.kafka.SubjectNaming.TopicName)
+          new graft.kafka.KafkaAvroSink(
+            req("kafka.bootstrap.servers"), req("topic"), registry,
+            valueNaming = naming, keyColumn = opt("key.column"))
         case "enceladus" =>
           // versioned raw-folder conventions (reference extras/sink/
           // EnceladusSink.scala); per-send keys (path, info.version,

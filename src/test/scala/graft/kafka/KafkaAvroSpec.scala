@@ -215,9 +215,9 @@ class KafkaAvroSpec extends SparkSpec {
         s"""pipeline.name = kafka-in
            |table.cfg_t.path = ${tmpDir("kafkacfg_")}/t
            |source.k.type = kafka.avro
-           |source.k.kafka.bootstrap.servers = "${cluster.bootstrapServers}"
+           |source.k.kafka.bootstrap.servers = ${cluster.bootstrapServers}
            |source.k.topic = cfg
-           |source.k.schema.registry.url = "${reg.url}"
+           |source.k.schema.registry.url = ${reg.url}
            |source.k.key.column.serializer = none
            |job.ingest.type = ingestion
            |job.ingest.source = k
@@ -233,13 +233,42 @@ class KafkaAvroSpec extends SparkSpec {
       assert(e.getMessage.contains("kafka.bootstrap.servers"), e.getMessage)
       val e2 = intercept[IllegalArgumentException](graft.pipeline.PipelineConfig.parse(
         s"""source.k.type = kafka.avro
-           |source.k.kafka.bootstrap.servers = "x:1"
+           |source.k.kafka.bootstrap.servers = x:1
            |source.k.topic = cfg
-           |source.k.schema.registry.url = "http://r"
-           |source.k.kafka.starting.offsets = "weird"
+           |source.k.schema.registry.url = http://r
+           |source.k.kafka.starting.offsets = weird
            |allow.empty.pipeline = true
            |""".stripMargin))
       assert(e2.getMessage.toLowerCase.contains("offset"), e2.getMessage)
+
+      // the sink route: a config-declared sink JOB exports through the
+      // wire for real (metastore table -> registry-framed Avro -> topic)
+      val msDir = tmpDir("kafkasink_ms_")
+      val parsedSink = graft.pipeline.PipelineConfig.parse(
+        s"""table.kout_src.path = $msDir
+           |sink.kout.type = kafka.avro
+           |sink.kout.kafka.bootstrap.servers = ${cluster.bootstrapServers}
+           |sink.kout.topic = cfg
+           |sink.kout.schema.registry.url = ${reg.url}
+           |sink.kout.key.column = id
+           |job.1.name = export
+           |job.1.type = sink
+           |job.1.input = kout_src
+           |job.1.sink = kout
+           |""".stripMargin)
+      val ms = new Metastore(spark)
+      parsedSink.tables.foreach(ms.register)
+      val d = java.time.LocalDate.of(2026, 8, 14)
+      ms.saveTable("kout_src", d, Seq((9L, "bye")).toDF("id", "txt"))
+      val before = (0 until 1).map(p => cluster.log("cfg", p).records.size).sum
+      val res = graft.pipeline.PipelineConfig.run(spark, parsedSink, d)
+      assert(res.head.isInstanceOf[graft.pipeline.TaskResult.Succeeded], res.head.toString)
+      val after = (0 until 1).map(p => cluster.log("cfg", p).records.size).sum
+      assert(after == before + 1)
+      intercept[IllegalArgumentException](graft.pipeline.PipelineConfig.parse(
+        """sink.kout.type = kafka.avro
+          |allow.empty.pipeline = true
+          |""".stripMargin))
     } finally cluster.close()
   }
 
