@@ -47,24 +47,35 @@ final class KafkaStreamProvider extends TableProvider {
 }
 
 private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def req(k: String): String = {
     val v = options.get(k)
     require(v != null, s"graft kafka source: option '$k' is required")
     v
   }
   private val brokers = req("kafka.bootstrap.servers")
-  private val topic = req("subscribe")
+  private def topic = {
+    val t = options.get("subscribe")
+    if (t != null) t else req("topic") // writes use 'topic', like the official sink
+  }
 
   override def name(): String = s"graft-kafka($topic)"
   override def schema(): StructType = KafkaBatch.kafkaSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      // the write schema is (key?, value), not the read schema
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaScan(brokers, topic,
       Option(options.get("startingoffsets")).getOrElse("earliest"),
       Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20))
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KafkaWriteSupport.Builder(brokers, topic, info)
 }
 
 private final class KafkaScan(brokers: String, topic: String,

@@ -113,3 +113,73 @@ class KafkaStreamSpec extends SparkSpec {
     } finally cluster.close()
   }
 }
+
+/** Write side of the V2 provider: streaming and batch produce. */
+class KafkaStreamWriteSpec extends SparkSpec {
+
+  private val fmt = "graft.kafka.KafkaStreamProvider"
+
+  test("writeStream produces micro-batches to the topic: keyed murmur2 routing, keyless round-robin") {
+    val cluster = new LoopbackCluster(Map("wout" -> 4))
+    try {
+      val src = tmpDir("kwrite_src_")
+      val ckpt = tmpDir("kwrite_ckpt_")
+      import spark.implicits._
+      Seq(("alpha", "v-alpha"), ("beta", "v-beta"), (null, "v-nokey"))
+        .toDF("key", "value")
+        .write.mode("overwrite").parquet(src)
+      val q = spark.readStream.schema("key string, value string").parquet(src)
+        .writeStream.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("topic", "wout")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val all = (0 until 4).flatMap(p =>
+        cluster.log("wout", p).records.map(r => (p, Option(r._2).map(new String(_, "UTF-8")),
+          new String(r._3, "UTF-8"))))
+      assert(all.size == 3, s"expected 3 records, got $all")
+      Seq("alpha", "beta").foreach { k =>
+        val expected = KafkaWire.partitionForKey(k.getBytes("UTF-8"), 4)
+        assert(all.contains((expected, Some(k), s"v-$k")),
+          s"key $k must land on murmur2 partition $expected: $all")
+      }
+      assert(all.exists(r => r._2.isEmpty && r._3 == "v-nokey"))
+    } finally cluster.close()
+  }
+
+  test("batch df.write produces; the records read back through the same provider") {
+    val cluster = new LoopbackCluster(Map("bw" -> 2))
+    try {
+      import spark.implicits._
+      Seq(("k1", "first"), ("k2", "second")).toDF("key", "value")
+        .write.format(fmt).mode("append")
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("topic", "bw")
+        .save()
+      val back = spark.read.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("subscribe", "bw")
+        .load()
+      assert(back.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("first", "second"))
+    } finally cluster.close()
+  }
+
+  test("a write without a value column fails actionably") {
+    val cluster = new LoopbackCluster(Map("nv" -> 1))
+    try {
+      import spark.implicits._
+      val e = intercept[Exception] {
+        Seq(("only", "wrong")).toDF("a", "b")
+          .write.format(fmt).mode("append")
+          .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+          .option("topic", "nv")
+          .save()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("value")), chain(e).mkString(" | "))
+    } finally cluster.close()
+  }
+}
