@@ -118,6 +118,10 @@ object KafkaBatch {
     val factory = clientFactory
     val rdd = spark.sparkContext.parallelize(nonEmpty, nonEmpty.size).flatMap { r =>
       val client = factory(Seq((r.host, r.port)))
+      // a task that dies mid-iteration (downstream failure, kill) must
+      // not leak its socket on a long-lived executor
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
       new Iterator[Row] {
         private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
         private var nextOffset = r.start
