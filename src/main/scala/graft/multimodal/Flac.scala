@@ -368,7 +368,7 @@ object Flac {
    * (Production crawls DECODE; nothing in the pipeline encodes FLAC.)
    */
   def encode(samples: Array[Array[Int]], sampleRate: Int, blockSize: Int = 4096,
-             lpc: Boolean = false): Array[Byte] = {
+             lpc: Boolean = false, ricePartitionOrder: Int = 0): Array[Byte] = {
     val channels = samples.length
     require(channels >= 1 && channels <= 8, "1..8 channels")
     val total = samples(0).length.toLong
@@ -394,14 +394,16 @@ object Flac {
     var off = 0
     while (off < total) {
       val n = math.min(blockSize.toLong, total - off).toInt
-      out.write(encodeFrame(samples, off, n, frameNo, lpc))
+      out.write(encodeFrame(samples, off, n, frameNo, lpc,
+        // a short tail block may not divide into 2^po partitions
+        if (n % (1 << ricePartitionOrder) == 0) ricePartitionOrder else 0))
       off += n; frameNo += 1
     }
     out.toByteArray
   }
 
   private def encodeFrame(samples: Array[Array[Int]], off: Int, n: Int,
-                          frameNo: Long, lpc: Boolean): Array[Byte] = {
+                          frameNo: Long, lpc: Boolean, po: Int): Array[Byte] = {
     val w = new BitWriter
     w.bits(0x3FFE, 14) // sync
     w.bit(0)           // reserved
@@ -445,13 +447,23 @@ object Flac {
         }
         val mean = if (res.isEmpty) 0.0 else res.map(v => math.abs(v).toDouble).sum / res.length
         val param = math.min(14, math.max(0, (math.log(mean + 1) / math.log(2)).toInt))
-        body.bits(0L, 2)  // rice method 0 (4-bit params)
-        body.bits(0L, 4)  // partition order 0
-        body.bits(param.toLong, 4)
-        res.foreach { v =>
-          val u = (v << 1) ^ (v >> 63) // zigzag
-          body.unary((u >>> param).toInt)
-          body.bits(u & ((1L << param) - 1), param)
+        body.bits(0L, 2)      // rice method 0 (4-bit params)
+        body.bits(po.toLong, 4) // partition order (same param in every partition)
+        val partitions = 1 << po
+        var resIdx = 0
+        var part = 0
+        while (part < partitions) {
+          val count = (n >> po) - (if (part == 0) 2 else 0)
+          body.bits(param.toLong, 4)
+          var k = 0
+          while (k < count) {
+            val v = res(resIdx)
+            val u = (v << 1) ^ (v >> 63) // zigzag
+            body.unary((u >>> param).toInt)
+            body.bits(u & ((1L << param) - 1), param)
+            resIdx += 1; k += 1
+          }
+          part += 1
         }
       } else {
         body.bits(1L, 6) // VERBATIM

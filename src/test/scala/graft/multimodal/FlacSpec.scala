@@ -200,3 +200,23 @@ class Mp3MetaSpec extends AnyFunSuite {
     assert(MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(bad)).next() != null)
   }
 }
+
+/** Multi-partition rice residuals (partition order > 0). */
+class FlacPartitionSpec extends AnyFunSuite {
+  private def sine(n: Int, rate: Int, hz: Double, amp: Double): Array[Int] =
+    Array.tabulate(n)(i => math.round(amp * 32767.0 * math.sin(2 * math.Pi * hz * i / rate)).toInt)
+
+  test("partition order 2 decodes identically to order 0 (first partition short by the predictor order)") {
+    val pcm = sine(4096, 16000, 330, 0.7)
+    val flat = Flac.decode(Flac.encode(Array(pcm), 16000))
+    val parts = Flac.decode(Flac.encode(Array(pcm), 16000, ricePartitionOrder = 2))
+    assert(flat.rms == parts.rms && flat.peak == parts.peak && flat.dcOffset == parts.dcOffset)
+    assert(parts.samplesDecoded == 4096L)
+  }
+
+  test("a tail block that does not divide into partitions falls back to one partition") {
+    val pcm = sine(4100, 8000, 200, 0.5) // 4096 + 4-sample tail
+    val d = Flac.decode(Flac.encode(Array(pcm), 8000, ricePartitionOrder = 3))
+    assert(d.samplesDecoded == 4100L)
+  }
+}
