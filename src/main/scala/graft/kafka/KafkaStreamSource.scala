@@ -71,7 +71,8 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new KafkaScan(brokers, topic,
       Option(options.get("startingoffsets")).getOrElse("earliest"),
-      Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20))
+      Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20),
+      Option(options.get("maxoffsetspertrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -79,11 +80,13 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
 }
 
 private final class KafkaScan(brokers: String, topic: String,
-                              startingOffsets: String, maxBytes: Int) extends Scan {
+                              startingOffsets: String, maxBytes: Int,
+                              maxOffsetsPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = KafkaBatch.kafkaSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KafkaMicroBatchStream(brokers, topic, startingOffsets, maxBytes)
+    new KafkaMicroBatchStream(brokers, topic, startingOffsets, maxBytes,
+      maxOffsetsPerTrigger)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
@@ -113,11 +116,48 @@ object KafkaSourceOffset {
 
 private final class KafkaMicroBatchStream(brokers: String, topic: String,
                                           startingOffsets: String,
-                                          maxBytes: Int) extends MicroBatchStream {
+                                          maxBytes: Int,
+                                          maxOffsetsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   private lazy val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
   private def partitions: Seq[Int] = {
     val meta = client.metadata(Seq(topic))
     meta.topics(topic).partitions.map(_.partition).sorted
+  }
+
+  // ── admission control (maxOffsetsPerTrigger) ─────────────────────
+  // A stream resuming after downtime must not plan one giant
+  // catch-up batch: cap each trigger's advance, splitting the row
+  // budget across partitions proportionally to their backlog — the
+  // official kafka source's rate-limit shape.
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = client.latestOffsets(topic, partitions)
+    val from = start.asInstanceOf[KafkaSourceOffset].offsets
+    limit match {
+      case max: ReadMaxRows =>
+        val backlog = latest.map { case (p, end) =>
+          p -> math.max(0L, end - from.getOrElse(p, 0L))
+        }
+        val total = backlog.values.sum
+        if (total <= max.maxRows) KafkaSourceOffset(latest)
+        else {
+          // proportional split; every non-empty partition advances by
+          // at least one record so no partition starves
+          val budget = max.maxRows
+          KafkaSourceOffset(latest.map { case (p, end) =>
+            val b = backlog(p)
+            val take = if (b == 0) 0L else math.max(1L, b * budget / total)
+            p -> math.min(end, from.getOrElse(p, 0L) + take)
+          })
+        }
+      case _ => KafkaSourceOffset(latest)
+    }
   }
 
   override def initialOffset(): Offset = {

@@ -183,3 +183,34 @@ class KafkaStreamWriteSpec extends SparkSpec {
     } finally cluster.close()
   }
 }
+
+/** Admission control: maxOffsetsPerTrigger caps each micro-batch. */
+class KafkaStreamRateSpec extends SparkSpec {
+  private val fmt = "graft.kafka.KafkaStreamProvider"
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("a backlog drains in capped micro-batches, proportional across partitions, nothing lost") {
+    val cluster = new LoopbackCluster(Map("rl" -> 2))
+    try {
+      // 30-record backlog: 20 on partition 0, 10 on partition 1
+      cluster.append("rl", 0, (1 to 20).map(i => (null: Array[Byte], b(s"p0-$i"))))
+      cluster.append("rl", 1, (1 to 10).map(i => (null: Array[Byte], b(s"p1-$i"))))
+      val progress = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("subscribe", "rl")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "9")
+        .load()
+        .writeStream.format("memory").queryName("krl").start()
+      try {
+        q.processAllAvailable()
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        batches.foreach(p => progress += p.numInputRows)
+        assert(spark.table("krl").count() == 30, "the whole backlog must drain")
+        assert(progress.forall(_ <= 9 + 2), s"micro-batches must respect the cap (+1/partition floor): $progress")
+        assert(progress.length >= 3, s"a 30-row backlog at cap 9 needs several triggers: $progress")
+      } finally q.stop()
+    } finally cluster.close()
+  }
+}
