@@ -102,12 +102,21 @@ final class KafkaAvroSource(
       case "avro" =>
         val keyReg = registry.latest(keyNaming.get.subject(topic, isKey = true))
         val keySchema = AvroSchemas.toSpark(keyReg.schema)
-        AvroCodec.decodeInto(withMeta, keySchema, valueCol = "key", payloadCol = keyColumn)
+        AvroCodec.decodeInto(withMeta, keySchema, valueCol = "key", payloadCol = keyColumn,
+          expectSchemaId = Some(keyReg.id),
+          writerSchemaJson = Some(keyReg.schema.toString))
     }
 
+    // decode with the registry schema VERBATIM (union order preserved)
+    // and enforce each frame's embedded id against it — a topic
+    // carrying records under an older schema version must fail loudly
+    // (pin schema.registry.value.schema.id to read a specific version)
+    // rather than misdecode them silently with the newer layout
     val decoded = AvroCodec.decodeInto(
       withKey.drop("topic", "partition", "offset", "timestamp", "timestampType"),
-      valueSchema, valueCol = "value", payloadCol = "data")
+      valueSchema, valueCol = "value", payloadCol = "data",
+      expectSchemaId = Some(valueReg.id),
+      writerSchemaJson = Some(valueReg.schema.toString))
 
     // promote payload fields to the root; reserved names win collisions
     val payloadFields = valueSchema.fieldNames.toSeq
@@ -147,10 +156,15 @@ final class KafkaAvroSink(
     val avroSchema = AvroCodec.avroSchemaFor(df.schema)
     val subject = valueNaming.subject(topic, isKey = false)
     val schemaId = registry.register(subject, avroSchema)
+    // persist around the two actions: count() and the produce must see
+    // the SAME rows (and encode once, not twice)
     val framed = AvroCodec.encode(df, schemaId, keyColumn)
-    val count = framed.count()
-    KafkaBatch.write(framed, brokers, topic, clientFactory = clientFactory)
-    graft.sinks.SinkResult(count)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val count = framed.count()
+      KafkaBatch.write(framed, brokers, topic, clientFactory = clientFactory)
+      graft.sinks.SinkResult(count)
+    } finally framed.unpersist()
   }
 }
 

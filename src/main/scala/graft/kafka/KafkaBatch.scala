@@ -67,6 +67,89 @@ object KafkaBatch {
                                   host: String, port: Int,
                                   start: Long, end: Long)
 
+  /**
+   * Paged fetch loop over one partition range — the ONE consumer
+   * iterator behind both the batch RDD and the streaming V2 reader:
+   * empty-page maxBytes escalation (a message larger than the window
+   * doubles it, capped), the high-watermark-below-end data-loss
+   * check, the offset-range filter, strict pre-advance
+   * materialization. Task memory = one fetch response.
+   */
+  final class RangeFetchIterator(client: KafkaWireClient, range: PartitionRange,
+                                 initialMaxBytes: Int)
+      extends Iterator[KafkaWire.KafkaRecord] {
+    private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
+    private var nextOffset = range.start
+    private var fetchBytes = initialMaxBytes
+
+    override def hasNext: Boolean = {
+      while (!page.hasNext && nextOffset < range.end) fetchPage()
+      page.hasNext
+    }
+
+    override def next(): KafkaWire.KafkaRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      page.next()
+    }
+
+    private def fetchPage(): Unit = {
+      val res = client.fetch(range.topic, range.partition, nextOffset, fetchBytes)
+      if (res.records.isEmpty) {
+        if (res.highWatermark > nextOffset) {
+          // first message larger than the window: escalate, like
+          // kafka-clients does, up to a hard cap
+          require(fetchBytes < (1 << 26),
+            s"${range.topic}/${range.partition}@$nextOffset: message exceeds ${1 << 26} bytes")
+          fetchBytes = fetchBytes * 2
+        } else {
+          // log truncated below the planned end — surface it, a
+          // silent gap would be data loss
+          throw new IllegalStateException(
+            s"${range.topic}/${range.partition}: high watermark ${res.highWatermark} " +
+              s"fell below planned end ${range.end}")
+        }
+      } else {
+        // filter STRICTLY before advancing nextOffset — a lazy
+        // iterator would capture the var and see the advanced value
+        val from = nextOffset
+        page = res.records.filter(r => r.offset >= from && r.offset < range.end).iterator
+        nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
+      }
+    }
+  }
+
+  /**
+   * Per-target-partition buffering producer — the ONE write path
+   * behind both the batch `write` and the streaming V2 sink: keyed
+   * records route by Kafka's default-partitioner murmur2, keyless
+   * records round-robin from the caller's seed, bounded buffers flush
+   * at `batchSize` (acks=all).
+   */
+  final class PartitionedProducer(client: KafkaWireClient, topic: String,
+                                  numPartitions: Int, roundRobinSeed: Int,
+                                  batchSize: Int = 500) {
+    require(numPartitions > 0, s"topic '$topic' reports no partitions")
+    private val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
+    private val counts = new Array[Int](numPartitions)
+    private var roundRobin = roundRobinSeed % numPartitions
+
+    private def flush(p: Int): Unit = if (counts(p) > 0) {
+      client.produce(topic, p, buffers(p).result())
+      buffers(p) = Vector.newBuilder; counts(p) = 0
+    }
+
+    def send(key: Array[Byte], value: Array[Byte]): Unit = {
+      val p =
+        if (key != null) KafkaWire.partitionForKey(key, numPartitions)
+        else { roundRobin = (roundRobin + 1) % numPartitions; roundRobin }
+      buffers(p) += KafkaWire.OutRecord(key, value, System.currentTimeMillis())
+      counts(p) += 1
+      if (counts(p) >= batchSize) flush(p)
+    }
+
+    def flushAll(): Unit = (0 until numPartitions).foreach(flush)
+  }
+
   /** Plan per-partition ranges on the driver. */
   def planRanges(client: KafkaWireClient, topic: String,
                  starting: OffsetSpec, ending: OffsetSpec): Seq[PartitionRange] = {
@@ -122,44 +205,16 @@ object KafkaBatch {
       // not leak its socket on a long-lived executor
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+      val it = new RangeFetchIterator(client, r, initialMax)
       new Iterator[Row] {
-        private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
-        private var nextOffset = r.start
-        private var fetchBytes = initialMax
         private var open = true
-
-        private def fetchPage(): Unit = {
-          val res = client.fetch(r.topic, r.partition, nextOffset, fetchBytes)
-          if (res.records.isEmpty) {
-            if (res.highWatermark > nextOffset) {
-              // first message larger than the window: escalate, like
-              // kafka-clients does, up to a hard cap
-              require(fetchBytes < (1 << 26),
-                s"${r.topic}/${r.partition}@$nextOffset: message exceeds ${1 << 26} bytes")
-              fetchBytes = fetchBytes * 2
-            } else {
-              // log truncated below the planned end — surface it, a
-              // silent gap would be data loss
-              throw new IllegalStateException(
-                s"${r.topic}/${r.partition}: high watermark ${res.highWatermark} fell below planned end ${r.end}")
-            }
-          } else {
-            val usable = res.records.filter(rec => rec.offset >= nextOffset && rec.offset < r.end)
-            nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
-            page = usable.iterator
-          }
-        }
-
         override def hasNext: Boolean = {
-          while (open && !page.hasNext && nextOffset < r.end) fetchPage()
-          val h = page.hasNext
+          val h = it.hasNext
           if (!h && open) { open = false; client.close() }
           h
         }
-
         override def next(): Row = {
-          if (!hasNext) throw new NoSuchElementException
-          val rec = page.next()
+          val rec = it.next()
           Row(rec.key, rec.value, r.topic, r.partition, rec.offset,
             new java.sql.Timestamp(rec.timestamp), rec.timestampType)
         }
@@ -197,24 +252,10 @@ object KafkaBatch {
     normalized.foreachPartition { (rows: Iterator[Row]) =>
       val client = factory(parseBrokers(bs))
       try {
-        val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
-        val counts = new Array[Int](numPartitions)
-        var roundRobin = org.apache.spark.TaskContext.getPartitionId() % math.max(numPartitions, 1)
-        def flush(p: Int): Unit = if (counts(p) > 0) {
-          client.produce(topic, p, buffers(p).result())
-          buffers(p) = Vector.newBuilder; counts(p) = 0
-        }
-        rows.foreach { row =>
-          val key = row.getAs[Array[Byte]](0)
-          val value = row.getAs[Array[Byte]](1)
-          val p =
-            if (key != null) KafkaWire.partitionForKey(key, numPartitions)
-            else { roundRobin = (roundRobin + 1) % numPartitions; roundRobin }
-          buffers(p) += KafkaWire.OutRecord(key, value, System.currentTimeMillis())
-          counts(p) += 1
-          if (counts(p) >= batchSize) flush(p)
-        }
-        (0 until numPartitions).foreach(flush)
+        val producer = new PartitionedProducer(client, topic, numPartitions,
+          org.apache.spark.TaskContext.getPartitionId(), batchSize)
+        rows.foreach(row => producer.send(row.getAs[Array[Byte]](0), row.getAs[Array[Byte]](1)))
+        producer.flushAll()
       } finally client.close()
     }
   }

@@ -46,7 +46,8 @@ private[kafka] object KafkaWriteSupport {
         s"kafka write column must be binary or string, got $other")
     }
 
-  /** One task's writer: per-target-partition buffers over one client. */
+  /** One task's writer: the shared [[KafkaBatch.PartitionedProducer]]
+    * buffering over one client. */
   final class Writer(brokers: String, topic: String, schema: StructType,
                      taskPartitionId: Int, batchSize: Int = 500)
       extends DataWriter[InternalRow] {
@@ -54,29 +55,16 @@ private[kafka] object KafkaWriteSupport {
     private val valueType = schema(valueIdx).dataType
     private val keyType = keyIdx.map(schema(_).dataType)
     private val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
-    private val numPartitions = client.metadata(Seq(topic)).topics(topic).partitions.size
-    private val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
-    private val counts = new Array[Int](numPartitions)
-    private var roundRobin = taskPartitionId % math.max(numPartitions, 1)
+    private val producer = new KafkaBatch.PartitionedProducer(client, topic,
+      client.metadata(Seq(topic)).topics(topic).partitions.size,
+      taskPartitionId, batchSize)
 
-    private def flush(p: Int): Unit = if (counts(p) > 0) {
-      client.produce(topic, p, buffers(p).result())
-      buffers(p) = Vector.newBuilder; counts(p) = 0
-    }
-
-    override def write(row: InternalRow): Unit = {
-      val key = keyIdx.map(i => bytesOf(row, i, keyType.get)).orNull
-      val value = bytesOf(row, valueIdx, valueType)
-      val p =
-        if (key != null) KafkaWire.partitionForKey(key, numPartitions)
-        else { roundRobin = (roundRobin + 1) % numPartitions; roundRobin }
-      buffers(p) += KafkaWire.OutRecord(key, value, System.currentTimeMillis())
-      counts(p) += 1
-      if (counts(p) >= batchSize) flush(p)
-    }
+    override def write(row: InternalRow): Unit =
+      producer.send(keyIdx.map(i => bytesOf(row, i, keyType.get)).orNull,
+        bytesOf(row, valueIdx, valueType))
 
     override def commit(): WriterCommitMessage = {
-      (0 until numPartitions).foreach(flush)
+      producer.flushAll()
       KafkaWriterCommit()
     }
     override def abort(): Unit = () // at-least-once: already-produced records stay

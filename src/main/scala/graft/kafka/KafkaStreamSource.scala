@@ -72,7 +72,8 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
     () => new KafkaScan(brokers, topic,
       Option(options.get("startingoffsets")).getOrElse("earliest"),
       Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20),
-      Option(options.get("maxoffsetspertrigger")).map(_.toLong))
+      Option(options.get("maxoffsetspertrigger")).map(_.toLong),
+      Option(options.get("endingoffsets")).getOrElse("latest"))
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -81,7 +82,8 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
 
 private final class KafkaScan(brokers: String, topic: String,
                               startingOffsets: String, maxBytes: Int,
-                              maxOffsetsPerTrigger: Option[Long] = None) extends Scan {
+                              maxOffsetsPerTrigger: Option[Long] = None,
+                              endingOffsets: String = "latest") extends Scan {
   override def readSchema(): StructType = KafkaBatch.kafkaSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -93,7 +95,8 @@ private final class KafkaScan(brokers: String, topic: String,
       val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
       val ranges = try {
         KafkaBatch.planRanges(client, topic,
-          KafkaBatch.OffsetSpec.parse(startingOffsets), KafkaBatch.Latest)
+          KafkaBatch.OffsetSpec.parse(startingOffsets),
+          KafkaBatch.OffsetSpec.parse(endingOffsets))
       } finally client.close()
       ranges.filter(r => r.end > r.start).map(KafkaInputPartition(_, maxBytes): InputPartition).toArray
     }
@@ -108,9 +111,18 @@ final case class KafkaSourceOffset(offsets: Map[Int, Long]) extends Offset {
     .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
 }
 object KafkaSourceOffset {
-  def fromJson(s: String): KafkaSourceOffset = {
-    val m = graft.databricks.Json.parseObj(s)
-    KafkaSourceOffset(m.map { case (k, v) => k.toInt -> v.asInstanceOf[Long] })
+  /** Strict parse: a truncated/corrupt checkpoint entry must fail
+    * LOUDLY — degrading to an empty map would silently replay the
+    * whole topic from offset 0. */
+  def fromJson(s: String): KafkaSourceOffset = graft.databricks.Json.parse(s) match {
+    case Some(m: Map[_, _]) =>
+      KafkaSourceOffset(m.asInstanceOf[Map[String, Any]].map {
+        case (k, v: Long) => k.toInt -> v
+        case (k, v) => throw new IllegalArgumentException(
+          s"corrupt kafka checkpoint offset entry '$k': $v in '$s'")
+      })
+    case _ => throw new IllegalArgumentException(
+      s"corrupt kafka checkpoint offset: '$s'")
   }
 }
 
@@ -138,11 +150,11 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val latest = client.latestOffsets(topic, partitions)
-    val from = start.asInstanceOf[KafkaSourceOffset].offsets
+    val from = baseline(start.asInstanceOf[KafkaSourceOffset].offsets, latest.keys)
     limit match {
       case max: ReadMaxRows =>
         val backlog = latest.map { case (p, end) =>
-          p -> math.max(0L, end - from.getOrElse(p, 0L))
+          p -> math.max(0L, end - from(p))
         }
         val total = backlog.values.sum
         if (total <= max.maxRows) KafkaSourceOffset(latest)
@@ -153,7 +165,7 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
           KafkaSourceOffset(latest.map { case (p, end) =>
             val b = backlog(p)
             val take = if (b == 0) 0L else math.max(1L, b * budget / total)
-            p -> math.min(end, from.getOrElse(p, 0L) + take)
+            p -> math.min(end, from(p) + take)
           })
         }
       case _ => KafkaSourceOffset(latest)
@@ -175,13 +187,22 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
 
   override def deserializeOffset(json: String): Offset = KafkaSourceOffset.fromJson(json)
 
+  /** Start offsets for partitions the checkpoint doesn't know yet
+    * (topic GREW mid-stream): the partition's LOG-START offset, not
+    * 0 — retention may have deleted the early segments, and a fetch
+    * at 0 would die with OFFSET_OUT_OF_RANGE on every restart. */
+  private def baseline(known: Map[Int, Long], all: Iterable[Int]): Map[Int, Long] = {
+    val missing = all.filterNot(known.contains).toSeq
+    if (missing.isEmpty) known
+    else known ++ client.earliestOffsets(topic, missing)
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KafkaSourceOffset].offsets
     val e = end.asInstanceOf[KafkaSourceOffset].offsets
+    val s = baseline(start.asInstanceOf[KafkaSourceOffset].offsets, e.keys)
     val meta = client.metadata(Seq(topic))
     e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
-      // partitions new since `start` (topic grew) read from the log start
-      val startOff = s.getOrElse(p, 0L)
+      val startOff = s(p)
       if (endOff > startOff) {
         val node = meta.leaderFor(topic, p)
         Some(KafkaInputPartition(
@@ -207,39 +228,17 @@ private object KafkaReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Executor-side reader: paged fetch loop from the partition leader,
-  * emitting InternalRows in the kafka-source schema. */
+/** Executor-side reader: the shared [[KafkaBatch.RangeFetchIterator]]
+  * paged loop, emitting InternalRows in the kafka-source schema. */
 private final class KafkaPartitionReader(range: KafkaBatch.PartitionRange,
                                          initialMaxBytes: Int)
     extends PartitionReader[InternalRow] {
   private val client = new KafkaWireClient(Seq((range.host, range.port)))
-  private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
-  private var nextOffset = range.start
-  private var fetchBytes = initialMaxBytes
+  private val it = new KafkaBatch.RangeFetchIterator(client, range, initialMaxBytes)
   private var current: KafkaWire.KafkaRecord = _
 
-  override def next(): Boolean = {
-    while (!page.hasNext && nextOffset < range.end) fetchPage()
-    if (page.hasNext) { current = page.next(); true } else false
-  }
-
-  private def fetchPage(): Unit = {
-    val res = client.fetch(range.topic, range.partition, nextOffset, fetchBytes)
-    if (res.records.isEmpty) {
-      if (res.highWatermark > nextOffset) {
-        require(fetchBytes < (1 << 26),
-          s"${range.topic}/${range.partition}@$nextOffset: message exceeds ${1 << 26} bytes")
-        fetchBytes *= 2
-      } else throw new IllegalStateException(
-        s"${range.topic}/${range.partition}: high watermark ${res.highWatermark} below planned end ${range.end}")
-    } else {
-      // filter STRICTLY before advancing nextOffset — a lazy iterator
-      // would capture the var and see the already-advanced value
-      val from = nextOffset
-      page = res.records.filter(r => r.offset >= from && r.offset < range.end).iterator
-      nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
-    }
-  }
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
 
   override def get(): InternalRow = InternalRow(
     current.key,

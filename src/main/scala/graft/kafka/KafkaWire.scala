@@ -278,26 +278,44 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
 
   /** Frame and send one request, read and unframe its response.
     * Request header v1: api_key, api_version, correlation_id,
-    * client_id; response header v0: correlation_id. */
+    * client_id; response header v0: correlation_id. Any failure that
+    * can leave the connection desynced (I/O error mid-exchange, a
+    * mismatched correlation id) EVICTS the broker's socket, so a
+    * caller that catches and retries gets a fresh connection instead
+    * of reading the previous call's stale response forever. */
   private def call(broker: (String, Int), apiKey: Short, apiVersion: Short)
                   (body: Writer => Unit): Reader = {
     val cid = correlation.incrementAndGet()
     val w = new Writer().int16(apiKey).int16(apiVersion).int32(cid).string(clientId)
     body(w)
     val payload = w.toBytes
-    val (_, in, out) = conn(broker)
-    out.writeInt(payload.length)
-    out.write(payload)
-    out.flush()
-    val size = in.readInt()
-    require(size >= 4 && size < 256 * 1024 * 1024, s"implausible response frame size $size")
-    val resp = new Array[Byte](size)
-    in.readFully(resp)
-    val r = new Reader(resp)
-    val gotCid = r.int32()
-    require(gotCid == cid, s"correlation id mismatch: sent $cid, got $gotCid")
-    r
+    try {
+      val (_, in, out) = conn(broker)
+      out.writeInt(payload.length)
+      out.write(payload)
+      out.flush()
+      val size = in.readInt()
+      require(size >= 4 && size < 256 * 1024 * 1024, s"implausible response frame size $size")
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      val r = new Reader(resp)
+      val gotCid = r.int32()
+      if (gotCid != cid) {
+        evict(broker)
+        throw new IllegalStateException(
+          s"correlation id mismatch: sent $cid, got $gotCid (connection evicted)")
+      }
+      r
+    } catch {
+      case e: java.io.IOException => evict(broker); throw e
+      case e: IllegalArgumentException => evict(broker); throw e // frame-size desync
+    }
   }
+
+  private def evict(broker: (String, Int)): Unit =
+    sockets.remove(broker).foreach { case (s, _, _) =>
+      try s.close() catch { case _: Exception => }
+    }
 
   private def anyBootstrap[T](f: ((String, Int)) => T): T = {
     var last: Throwable = null

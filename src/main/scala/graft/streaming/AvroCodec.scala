@@ -162,7 +162,10 @@ object AvroCodec {
         enc.flush()
         val value = frame(schemaId, out.toByteArray)
         keyIdx match {
-          case Some(i) => Row(String.valueOf(r.get(i)), value)
+          // a null key must STAY null (round-robin placement), not
+          // become the 4-byte string "null" murmur2-pinned to one
+          // partition
+          case Some(i) => Row(if (r.isNullAt(i)) null else String.valueOf(r.get(i)), value)
           case None => Row(value)
         }
       }
@@ -185,9 +188,14 @@ object AvroCodec {
    * is replaced by `payloadCol`.
    */
   def decodeInto(df: DataFrame, payloadSchema: StructType, valueCol: String = "value",
-                 payloadCol: String = "data", expectSchemaId: Option[Int] = None): DataFrame = {
+                 payloadCol: String = "data", expectSchemaId: Option[Int] = None,
+                 writerSchemaJson: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val avroJson = avroSchemaFor(payloadSchema).toString
+    // when the TRUE writer schema is known (registry-fetched), decode
+    // with it verbatim — re-deriving from the Spark schema would
+    // normalize union branch order to (null, T), silently misreading
+    // payloads written under a (T, null) union
+    val avroJson = writerSchemaJson.getOrElse(avroSchemaFor(payloadSchema).toString)
     val idx = df.columns.indexOf(valueCol)
     require(idx >= 0, s"column '$valueCol' not found in ${df.columns.mkString(", ")}")
     val keptIdx = df.columns.indices.filter(_ != idx)

@@ -285,3 +285,96 @@ class KafkaAvroSpec extends SparkSpec {
     } finally cluster.close()
   }
 }
+
+/** Regressions from the r14c review: union branch order and
+  * mixed-schema-version topics. */
+class KafkaAvroSchemaEdgeSpec extends SparkSpec {
+
+  private def withRegistry[T](f: (LoopbackRegistry, SchemaRegistryClient) => T): T = {
+    val reg = new LoopbackRegistry
+    try f(reg, reg.client)
+    finally reg.close()
+  }
+
+  test("a (T, null) union writer schema decodes correctly (branch order preserved from the registry)") {
+    val cluster = new LoopbackCluster(Map("u" -> 1))
+    try withRegistry { (_, registry) =>
+      // hand-written schemas commonly put T first; index 0 = string
+      val writerJson =
+        """{"type":"record","name":"row","namespace":"ext","fields":[
+          |{"name":"id","type":"long"},
+          |{"name":"s","type":["string","null"]}]}""".stripMargin
+      val writer = new org.apache.avro.Schema.Parser().parse(writerJson)
+      val id = registry.register("u-value", writer)
+      // encode two records with avro directly under THAT schema
+      def payload(idv: Long, s: String): Array[Byte] = {
+        val rec = new org.apache.avro.generic.GenericData.Record(writer)
+        rec.put("id", idv)
+        rec.put("s", if (s == null) null else new org.apache.avro.util.Utf8(s))
+        val bos = new java.io.ByteArrayOutputStream()
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](writer)
+          .write(rec, enc)
+        enc.flush()
+        val body = bos.toByteArray
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(0)
+        out.write((id >>> 24) & 0xFF); out.write((id >>> 16) & 0xFF)
+        out.write((id >>> 8) & 0xFF); out.write(id & 0xFF)
+        out.write(body)
+        out.toByteArray
+      }
+      val client = new KafkaWireClient(KafkaBatch.parseBrokers(cluster.bootstrapServers))
+      try client.produce("u", 0, Seq(
+        KafkaWire.OutRecord(null, payload(1L, "hello"), 1L),
+        KafkaWire.OutRecord(null, payload(2L, null), 2L)))
+      finally client.close()
+
+      val source = new KafkaAvroSource(spark, cluster.bootstrapServers, "u",
+        registry, keySerializer = "none")
+      val rows = source.getDataIncremental(None).df.orderBy("id").collect()
+      assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+      assert(rows(0).getAs[String]("s") == "hello",
+        "a T-first union must decode the string branch, not null")
+      assert(rows(1).getAs[String]("s") == null)
+    } finally cluster.close()
+  }
+
+  test("records written under an OLDER schema version fail loudly, never misdecode") {
+    val cluster = new LoopbackCluster(Map("mv" -> 1))
+    try withRegistry { (_, registry) =>
+      import spark.implicits._
+      val sink = new KafkaAvroSink(cluster.bootstrapServers, "mv", registry)
+      sink.send(Seq((1L, "old")).toDF("id", "v"), "mv", java.time.LocalDate.of(2026, 8, 14))
+      // the subject evolves: a wider schema becomes latest
+      val v2 = graft.streaming.AvroCodec.avroSchemaFor(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", StringType),
+        StructField("extra", LongType))))
+      registry.register("mv-value", v2)
+      val source = new KafkaAvroSource(spark, cluster.bootstrapServers, "mv",
+        registry, keySerializer = "none")
+      val e = intercept[Exception] {
+        source.getDataIncremental(None).df.collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("schema id mismatch")), chain(e).mkString(" | "))
+    } finally cluster.close()
+  }
+
+  test("null keys through the avro sink stay null on the wire (round-robin, not murmur2('null'))") {
+    val cluster = new LoopbackCluster(Map("nk" -> 2))
+    try withRegistry { (_, registry) =>
+      import spark.implicits._
+      val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+        .toDF("id", "v")
+      new KafkaAvroSink(cluster.bootstrapServers, "nk", registry,
+        keyColumn = Some("id")).send(df, "nk", java.time.LocalDate.of(2026, 8, 14))
+      val keys = (0 until 2).flatMap(p => cluster.log("nk", p).records.map(_._2))
+      assert(keys.count(_ == null) == 1, "the null-id row must carry a NULL key")
+      assert(keys.count(_ != null) == 1)
+      assert(new String(keys.find(_ != null).get, "UTF-8") == "1")
+    } finally cluster.close()
+  }
+}
