@@ -46,13 +46,18 @@ object Avi {
       while (i + 8 <= until) {
         val id = fourcc(b, i)
         val size = u32le(b, i + 4).toInt
-        require(size >= 0 && i + 8 + size <= until,
+        // Long arithmetic: a crafted size near Int.MaxValue must fail
+        // the bound check, not wrap negative past it
+        require(size >= 0 && i.toLong + 8 + size <= until,
           s"AVI: chunk '$id' overruns its parent (size $size at $i)")
         id match {
           case "LIST" =>
             val listType = fourcc(b, i + 8)
-            // descend into header and movie lists; skip index/unknown
-            if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            // descend into header and movie lists, including the
+            // 'rec ' groups interleaved muxers nest inside movi;
+            // skip index/unknown
+            if (listType == "hdrl" || listType == "strl" ||
+                listType == "movi" || listType == "rec ")
               walk(i + 12, i + 8 + size)
           case "avih" =>
             usPerFrame = u32le(b, i + 8)
@@ -109,6 +114,8 @@ object Avi {
     val spark = media.sparkSession
     val rdd = media.select(col(idCol).cast(LongType), col(contentCol)).rdd.mapPartitions { rows =>
       rows.flatMap { r =>
+        if (r.isNullAt(0)) Nil // an uncastable/null id drops the row, never the task
+        else {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val metaOpt =
@@ -124,6 +131,7 @@ object Avi {
               catch { case _: Exception => null }
             Row(id, idx, meta.frameTsMs(idx), feature)
           }
+        }
         }
       }
     }

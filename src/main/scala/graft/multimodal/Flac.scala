@@ -19,6 +19,8 @@ object Flac {
   /** MSB-first bit reader. */
   private final class BitReader(b: Array[Byte]) {
     private var pos = 0 // bit position
+    /** Jump to a byte offset (metadata skip) without per-bit calls. */
+    def seekByte(byteOffset: Int): Unit = pos = byteOffset << 3
     def bytePos: Int = pos >> 3
     def bitAligned: Boolean = (pos & 7) == 0
     def atEnd: Boolean = pos >= (b.length << 3)
@@ -121,14 +123,18 @@ object Flac {
     val info = parseStreamInfo(b)
     val start = firstFrameOffset(b)
     val r = new BitReader(b)
-    // skip to the first frame
-    (0 until start).foreach(_ => r.bits(8))
+    r.seekByte(start)
 
     var n = 0L; var sumSq = 0.0; var sum = 0.0
     var peak = 0.0; var crossings = 0L; var prevSign = 0
     val norm = (1L << (info.bitsPerSample - 1)).toDouble
 
-    while (r.remainingBits >= 16) {
+    // STREAMINFO's total-sample count bounds the frame loop, so a
+    // trailing ID3v1 tag (128 'TAG...' bytes, routine in crawled
+    // audio) does not read as a corrupt frame and void the decode;
+    // when the total is unknown (0), frames run to EOF and trailing
+    // garbage fails loudly
+    while (r.remainingBits >= 16 && (info.totalSamples == 0L || n < info.totalSamples)) {
       val frameStart = r.bytePos
       val block = decodeFrame(r, info, b, frameStart)
       val first = block(0)

@@ -227,32 +227,16 @@ object MultimodalPipeline {
     }
 
     private[multimodal] def parseFlac(b: Array[Byte]): Array[Float] = {
-      // metadata blocks start at 4; find STREAMINFO (type 0, first by
-      // spec, but walk defensively)
-      var i = 4
-      while (i + 4 <= b.length) {
-        val header = b(i) & 0xFF
-        val blockType = header & 0x7F
-        val len = ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-        val data = i + 4
-        if (blockType == 0) {
-          if (data + 18 > b.length || len < 34) return null
-          val rate = ((b(data + 10) & 0xFF) << 12) | ((b(data + 11) & 0xFF) << 4) |
-            ((b(data + 12) & 0xFF) >> 4)
-          val channels = ((b(data + 12) >> 1) & 0x7) + 1
-          val bps = (((b(data + 12) & 0x1) << 4) | ((b(data + 13) & 0xFF) >> 4)) + 1
-          val totalSamples = ((b(data + 13) & 0x0FL) << 32) |
-            ((b(data + 14) & 0xFFL) << 24) | ((b(data + 15) & 0xFFL) << 16) |
-            ((b(data + 16) & 0xFFL) << 8) | (b(data + 17) & 0xFFL)
-          if (rate == 0) return null
-          return Array(rate.toFloat, channels.toFloat, bps.toFloat,
-            (totalSamples * 1000.0 / rate).toFloat,
-            Float.NaN, Float.NaN, Float.NaN, Float.NaN)
-        }
-        if ((header & 0x80) != 0) return null // last block, no STREAMINFO seen
-        i = data + len
-      }
-      null
+      // ONE STREAMINFO unpack in the repo: delegate to the sample
+      // decoder's parser and map to the feature shape
+      try {
+        val si = Flac.parseStreamInfo(b)
+        if (si.sampleRate <= 0) null
+        else Array(si.sampleRate.toFloat, si.channels.toFloat, si.bitsPerSample.toFloat,
+          if (si.totalSamples > 0) (si.totalSamples * 1000.0 / si.sampleRate).toFloat
+          else Float.NaN,
+          Float.NaN, Float.NaN, Float.NaN, Float.NaN)
+      } catch { case _: Exception => null }
     }
 
     /** Last `OggS` page's granule position (total samples on the
@@ -261,7 +245,12 @@ object MultimodalPipeline {
     private def lastGranule(b: Array[Byte]): Long = {
       var i = b.length - 27 // minimal page header size
       while (i >= 0) {
-        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S')
+        // validate beyond the capture pattern: compressed payload can
+        // contain the literal bytes 'OggS', and reading 8 garbage
+        // bytes as the granule would emit a wildly wrong duration.
+        // version must be 0 and header-type flags fit in 3 bits.
+        if (b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S' &&
+            b(i + 4) == 0 && (b(i + 5) & 0xF8) == 0)
           return u64le(b, i + 6)
         i -= 1
       }
@@ -316,16 +305,24 @@ object MultimodalPipeline {
           ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
         i = 10 + size
       }
-      // hunt for the first frame sync (crawl files carry leading junk)
-      while (i + 4 < b.length &&
-             !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0)) i += 1
-      if (i + 4 >= b.length) return null
-      val h1 = b(i + 1) & 0xFF; val h2 = b(i + 2) & 0xFF; val h3 = b(i + 3) & 0xFF
+      // hunt for the first VALID frame header: leading junk can
+      // contain sync-looking bytes (0xFF 0xEx), so a candidate whose
+      // version/layer/rate fields are reserved resumes the scan at
+      // the next byte, the way real demuxers resync
+      var h1 = 0; var h2 = 0; var h3 = 0
+      var found = false
+      while (!found && i + 4 < b.length) {
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0) {
+          h1 = b(i + 1) & 0xFF; h2 = b(i + 2) & 0xFF; h3 = b(i + 3) & 0xFF
+          val vb = (h1 >> 3) & 0x3
+          val lb = (h1 >> 1) & 0x3
+          val ri = (h2 >> 2) & 0x3
+          if (vb != 1 && lb == 1 && ri != 3) found = true else i += 1
+        } else i += 1
+      }
+      if (!found) return null
       val versionBits = (h1 >> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
-      val layerBits = (h1 >> 1) & 0x3   // 1=Layer III
-      if (versionBits == 1 || layerBits != 1) return null
       val rateIdx = (h2 >> 2) & 0x3
-      if (rateIdx == 3) return null
       val rate = versionBits match {
         case 3 => Mp3RateV1(rateIdx)
         case 2 => Mp3RateV2(rateIdx)
@@ -337,7 +334,10 @@ object MultimodalPipeline {
       val sideInfo =
         if (versionBits == 3) { if (channels == 2) 32 else 17 }
         else { if (channels == 2) 17 else 9 }
-      val xingOff = i + 4 + sideInfo
+      // protection bit CLEAR means a 2-byte CRC sits between the
+      // header and the side info
+      val crcBytes = if ((h1 & 0x01) == 0) 2 else 0
+      val xingOff = i + 4 + crcBytes + sideInfo
       var durMs = Float.NaN
       if (xingOff + 12 <= b.length) {
         val tag = new String(b, xingOff, 4, "US-ASCII")
@@ -434,7 +434,12 @@ object MultimodalPipeline {
         case ("mvhd", p, _) =>
           val v = b(p) & 0xFF
           if (v == 1) { timescale = u32be(b, p + 20); duration = u64be(b, p + 24) }
-          else { timescale = u32be(b, p + 12); duration = u32be(b, p + 16) }
+          else {
+            timescale = u32be(b, p + 12); duration = u32be(b, p + 16)
+            // all-ones is the ISO 14496-12 'unknown' sentinel (the v1
+            // path lands there via u64be = -1 already)
+            if (duration == 0xFFFFFFFFL) duration = -1L
+          }
         case ("trak", p, e) =>
           nTracks += 1
           boxes(b, p, e).foreach {

@@ -76,6 +76,36 @@ class AviSpec extends SparkSpec {
     assert(!goodRow.isNullAt(3))
   }
 
+  test("interleaved AVIs: frames inside 'rec ' lists are found") {
+    val plain = Avi.encodeMjpeg(Seq(frame(8, 8, 0x112233), frame(8, 8, 0x445566)), fps = 2)
+    val meta = Avi.parse(plain)
+    // rebuild the container with each 00dc chunk nested in a LIST 'rec '
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++ pad
+    }
+    val recWrapped = (0 until meta.frames.length).map { i =>
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++ chunk("00dc", Avi.frameBytes(plain, meta, i)))
+    }.reduce(_ ++ _)
+    val avih = {
+      // copy the avih payload out of the plain file: locate via parse
+      // fields (56-byte payload right after "avih" + size)
+      val idx = plain.indexOfSlice("avih".getBytes("US-ASCII"))
+      plain.slice(idx, idx + 8 + 56)
+    }
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++ recWrapped)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val interleaved = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val m2 = Avi.parse(interleaved)
+    assert(m2.frames.length == 2, "frames nested in rec lists must be found")
+    val f = MultimodalPipeline.ImageIoCodec.decodeBatch(
+      Iterator(Avi.frameBytes(interleaved, m2, 0))).next()
+    assert(f != null && f(0) == 8f)
+  }
+
   test("VideoMetaCodec dispatches AVI containers to the metadata feature") {
     val avi = Avi.encodeMjpeg(Seq(frame(20, 10, 0x123456), frame(20, 10, 0x654321)), fps = 4)
     val f = MultimodalPipeline.VideoMetaCodec.decodeBatch(Iterator(avi)).next()

@@ -126,6 +126,16 @@ class FlacSpec extends AnyFunSuite {
     assert(!full(4).isNaN && full(4) > 0.3f && full(4) < 0.4f) // rms of 0.5-amp sine ~ 0.354
   }
 
+  test("a trailing ID3v1 tag does not void the decode (total-sample bound stops the frame loop)") {
+    val pcm = sine(2048, 16000, 440, 0.5)
+    val tagged = Flac.encode(Array(pcm), 16000) ++
+      ("TAG" + "x" * 125).getBytes("US-ASCII") // 128-byte ID3v1 trailer
+    val d = Flac.decode(tagged)
+    assert(d.samplesDecoded == 2048L)
+    val viaCodec = MultimodalPipeline.FlacCodec.decodeBatch(Iterator(tagged)).next()
+    assert(viaCodec != null && !viaCodec(4).isNaN, "sample stats must survive the trailer")
+  }
+
   test("truncated and junk payloads null cleanly") {
     val bytes = Flac.encode(Array(sine(500, 8000, 100, 0.3)), 8000)
     assert(MultimodalPipeline.FlacCodec.decodeBatch(Iterator(bytes.take(30))).next() == null)
@@ -141,7 +151,7 @@ class Mp3MetaSpec extends AnyFunSuite {
     * + dummy payload. */
   private def mp3(version1: Boolean, rateIdx: Int, brIdx: Int, stereo: Boolean,
                   xingFrames: Option[Long], payloadBytes: Int,
-                  id3: Boolean = false): Array[Byte] = {
+                  id3: Boolean = false, crcProtected: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     if (id3) {
       bos.write("ID3".getBytes("US-ASCII"))
@@ -150,10 +160,12 @@ class Mp3MetaSpec extends AnyFunSuite {
       bos.write(Array[Byte](0, 0, 0, 20))
       bos.write(new Array[Byte](20))
     }
-    val h1 = 0xE0 | (if (version1) 0x3 else 0x2) << 3 | (1 << 1) // sync tail + version + layer III
+    // sync tail + version + layer III + protection bit (1 = NO crc)
+    val h1 = 0xE0 | (if (version1) 0x3 else 0x2) << 3 | (1 << 1) | (if (crcProtected) 0 else 1)
     val h2 = (brIdx << 4) | (rateIdx << 2)
     val h3 = if (stereo) 0x00 else 0xC0
     bos.write(0xFF); bos.write(h1); bos.write(h2); bos.write(h3)
+    if (crcProtected) bos.write(Array[Byte](0x12, 0x34)) // 2-byte frame CRC
     val sideInfo = if (version1) { if (stereo) 32 else 17 } else { if (stereo) 17 else 9 }
     bos.write(new Array[Byte](sideInfo))
     xingFrames match {
@@ -186,6 +198,25 @@ class Mp3MetaSpec extends AnyFunSuite {
     val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
     assert(f(0) == 16000f && f(1) == 1f)
     assert(f(3) > 900f && f(3) < 1150f, s"durMs=${f(3)}")
+  }
+
+  test("a CRC-protected stream's Xing header sits 2 bytes later and is still found") {
+    val b = mp3(version1 = true, rateIdx = 0, brIdx = 9, stereo = true,
+      xingFrames = Some(50), payloadBytes = 200, crcProtected = true)
+    val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(Iterator(b)).next()
+    assert(math.abs(f(3) - 50 * 1152 * 1000.0 / 44100.0) < 1.0, s"durMs=${f(3)}")
+  }
+
+  test("a false sync in leading junk resyncs to the real header") {
+    val real = mp3(version1 = true, rateIdx = 0, brIdx = 9, stereo = true,
+      xingFrames = Some(10), payloadBytes = 50)
+    // 0xFF 0xE6 passes the 11-bit sync test but its layer bits are
+    // reserved — the parser must resync, not bail (placed FIRST so the
+    // magic dispatch also routes on it)
+    val junk = Array[Byte](0xFF.toByte, 0xE6.toByte, 0x00, 0x00, 0x41)
+    val f = MultimodalPipeline.CompressedAudioMetaCodec.decodeBatch(
+      Iterator(junk ++ real)).next()
+    assert(f != null && f(0) == 44100f, "must resync past the false header")
   }
 
   test("AudioCodec routes MP3 to the metadata row; junk still nulls") {
