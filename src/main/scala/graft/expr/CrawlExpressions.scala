@@ -39,8 +39,13 @@ object CrawlBytes {
       case "iso-8859-1" | "iso8859-1" | "latin1" | "l1" | "ascii" | "us-ascii" |
            "cp1252" | "windows-1252" | "x-cp1252" | "ansi_x3.4-1968" => "windows-1252"
       case other =>
-        if (other.nonEmpty && java.nio.charset.Charset.isSupported(other)) other
-        else "windows-1252"
+        // Charset.isSupported THROWS IllegalCharsetNameException for
+        // labels like "_autodetect" (leading '_'/'.'/'-') — untrusted
+        // crawl metadata must fall back, never kill the stage
+        val supported =
+          try other.nonEmpty && java.nio.charset.Charset.isSupported(other)
+          catch { case _: java.nio.charset.IllegalCharsetNameException => false }
+        if (supported) other else "windows-1252"
     }
   }
 
@@ -67,7 +72,12 @@ object CrawlBytes {
       }
     val window = new String(bytes, 0, math.min(bytes.length, 1024), "ISO-8859-1")
     MetaCharset.findFirstMatchIn(window) match {
-      case Some(m) => return canonical(m.group(1))
+      case Some(m) =>
+        // WHATWG "get an encoding from a meta element": a meta-declared
+        // UTF-16 demotes to UTF-8 — if the bytes really were UTF-16,
+        // the ASCII meta tag itself would be unreadable
+        val c = canonical(m.group(1))
+        return if (c == "utf-16le" || c == "utf-16be") "utf-8" else c
       case None =>
     }
     XmlDecl.findFirstMatchIn(window) match {
@@ -108,6 +118,40 @@ object CrawlBytes {
           else if (c >= 0xF0 && c <= 0xF4) (3, 0x10000)
           else return false
         if (i + need >= b.length) return false
+        var cp = c & (0x3F >> need)
+        var j = 1
+        while (j <= need) {
+          val t = b(i + j) & 0xFF
+          if ((t & 0xC0) != 0x80) return false
+          cp = (cp << 6) | (t & 0x3F)
+          j += 1
+        }
+        if (cp < min || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return false
+        i += need + 1
+      }
+    }
+    true
+  }
+
+  /** Bounded-prefix UTF-8 validation for MIME ROUTING: scans at most
+    * `limit` bytes and tolerates one multi-byte sequence truncated by
+    * the window edge. Charset detection (`sniff`) keeps the full scan
+    * — it decides how bytes are DECODED; routing only picks a bucket,
+    * and file(1)/WHATWG both sniff a bounded resource header. */
+  def validUtf8Prefix(b: Array[Byte], limit: Int): Boolean = {
+    val until = math.min(b.length, limit)
+    var i = 0
+    while (i < until) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else {
+        val (need, min) =
+          if (c >= 0xC2 && c <= 0xDF) (1, 0x80)
+          else if (c >= 0xE0 && c <= 0xEF) (2, 0x800)
+          else if (c >= 0xF0 && c <= 0xF4) (3, 0x10000)
+          else return false
+        if (i + need >= until)
+          return until < b.length // window-truncated sequence passes; payload-truncated fails
         var cp = c & (0x3F >> need)
         var j = 1
         while (j <= need) {
@@ -206,12 +250,12 @@ object CrawlBytes {
         tag("<script") || tag("<!--")) return "text/html"
     if (tag("<?xml")) return "text/xml"
     if (tag("<svg")) return "image/svg+xml"
-    if (tag("{") || tag("[")) {
-      // cheap JSON probe: first non-ws is a brace and the payload is
-      // valid UTF-8 — good enough for routing, not a parser
-      if (validUtf8(bytes)) return "application/json"
-    }
-    if (validUtf8(bytes)) "text/plain" else "application/octet-stream"
+    // ONE bounded text probe (4 KB window) decides the remaining
+    // routes — a 16 MB payload must not pay a full-payload validation
+    // (twice, for brace-prefixed binaries) just to pick a MIME bucket
+    val textual = validUtf8Prefix(bytes, 4096)
+    if ((tag("{") || tag("[")) && textual) return "application/json"
+    if (textual) "text/plain" else "application/octet-stream"
   }
 }
 

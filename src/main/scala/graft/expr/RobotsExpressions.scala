@@ -35,14 +35,25 @@ object RobotsTxt {
   /** Parsed groups: (lowercased UA tokens, rules in file order), plus
     * the file-global sitemap URLs. */
   def parse(txt: String): (Vector[(Vector[String], Vector[Rule])], Vector[String]) = {
+    val (g, sm, _) = parseAll(txt)
+    (g, sm)
+  }
+
+  /** Full parse: groups, sitemaps, and each group's crawl-delay
+    * (parallel to groups) — ONE scanner for rules and delays, so the
+    * group-selection semantics cannot diverge between them. */
+  def parseAll(txt: String): (Vector[(Vector[String], Vector[Rule])],
+                              Vector[String], Vector[Option[Double]]) = {
     val groups = Vector.newBuilder[(Vector[String], Vector[Rule])]
     val sitemaps = Vector.newBuilder[String]
+    val delays = Vector.newBuilder[Option[Double]]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += ((agents, rules))
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) { groups += ((agents, rules)); delays += delay }
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
     }
     txt.linesIterator.foreach { raw =>
       val hash = raw.indexOf('#')
@@ -50,24 +61,30 @@ object RobotsTxt {
       val i = line.indexOf(':')
       if (i > 0) {
         val field = line.substring(0, i).trim.toLowerCase
-        val value = line.substring(i + 1).trim
+        // interior control characters are stripped: U+0001 is the
+        // compiled program's record delimiter, and a value smuggling
+        // one would split into bogus broader rules
+        val value = line.substring(i + 1).trim.filter(_ >= ' ')
         field match {
           case "user-agent" =>
             if (inRules) flush()
-            agents :+= value.toLowerCase
+            // an empty product token would prefix-match EVERY agent
+            // and shadow the '*' group; the RFC says ignore the line
+            if (value.nonEmpty) agents :+= value.toLowerCase
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
             // empty Disallow = no restriction (RFC); empty Allow inert
             if (value.nonEmpty) rules :+= Rule(value, field == "allow")
           case "crawl-delay" if agents.nonEmpty =>
             inRules = true // delay ends a UA run like a rule does
+            if (delay.isEmpty) delay = value.toDoubleOption
           case "sitemap" => sitemaps += value
           case _ => ()
         }
       }
     }
     flush()
-    (groups.result(), sitemaps.result())
+    (groups.result(), sitemaps.result(), delays.result())
   }
 
   /** The agent's effective rules: groups with the longest UA token
@@ -87,36 +104,20 @@ object RobotsTxt {
   }
 
   /** Crawl-delay seconds for the agent's group (the de-facto common
-    * extension; not part of the compiled hot path). */
+    * extension; not part of the compiled hot path). Group selection is
+    * rulesFor's longest-token-match — the delay always comes from the
+    * group whose RULES govern the agent. */
   def crawlDelay(txt: String, agent: String): Option[Double] = {
+    val (groups, _, delays) = parseAll(txt)
     val a = agent.toLowerCase
-    var agents = Vector.empty[String]
-    var inRules = false
-    var starDelay: Option[Double] = None
-    var namedDelay: Option[Double] = None
-    txt.linesIterator.foreach { raw =>
-      val hash = raw.indexOf('#')
-      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
-      val i = line.indexOf(':')
-      if (i > 0) {
-        val field = line.substring(0, i).trim.toLowerCase
-        val value = line.substring(i + 1).trim
-        field match {
-          case "user-agent" =>
-            if (inRules) { agents = Vector.empty; inRules = false }
-            agents :+= value.toLowerCase
-          case "allow" | "disallow" => inRules = true
-          case "crawl-delay" =>
-            inRules = true
-            value.toDoubleOption.foreach { d =>
-              if (agents.exists(t => t != "*" && a.startsWith(t))) namedDelay = Some(d)
-              else if (agents.contains("*") && starDelay.isEmpty) starDelay = Some(d)
-            }
-          case _ => ()
-        }
-      }
-    }
-    namedDelay.orElse(starDelay)
+    def matchLen(g: (Vector[String], Vector[Rule])): Int =
+      g._1.iterator.filter(t => t != "*" && a.startsWith(t)).map(_.length)
+        .maxOption.getOrElse(-1)
+    val best = groups.iterator.map(matchLen).maxOption.getOrElse(-1)
+    val selected =
+      if (best >= 0) groups.indices.filter(i => matchLen(groups(i)) == best)
+      else groups.indices.filter(i => groups(i)._1.contains("*"))
+    selected.iterator.flatMap(delays).nextOption()
   }
 
   /** Precedence-compiled rule program: entries `A<pattern>` /

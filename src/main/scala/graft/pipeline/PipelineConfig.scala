@@ -402,15 +402,14 @@ object PipelineConfig {
           (sp, _) => new graft.sources.RawFileSource(sp, path)
         case "warc" =>
           // crawl ingestion: WARC archives with WARC-Date windowing,
-          // optional charset decode + HTML extraction in the scan
-          val path = req("path")
-          val maxRec = opt("max.record.bytes").map(_.toInt).getOrElse(16 * 1024 * 1024)
-          val kinds = opt("kinds").toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-          val decode = opt("decode.text").forall(_.toBoolean)
-          val extract = opt("extract.html").exists(_.toBoolean)
-          (sp, _) => new graft.sources.WarcCrawlSource(sp, path, maxRec,
-            kinds, decode, extract)
+          // optional charset decode + HTML extraction in the scan.
+          // ONE option parser: delegate to the factory so the built-in
+          // type and the FQCN route cannot drift apart
+          val warcOpts = kv.collect {
+            case (k, v) if k.startsWith(s"source.$s.") => k.stripPrefix(s"source.$s.") -> v
+          }
+          req("path") // parse-time validation, like every built-in type
+          (sp, _) => graft.sources.WarcSourceFactory(sp, warcOpts)
         case "kafka.avro" =>
           // incremental Kafka ingestion with Confluent-framed Avro
           // payloads (reference extras/source/KafkaAvroSource.scala);

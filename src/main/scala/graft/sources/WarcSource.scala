@@ -60,12 +60,17 @@ object WarcSource {
       .flatMap { case (file, pds) =>
         val raw = new java.io.BufferedInputStream(pds.open())
         val in = decompressed(raw)
+        // a partially-consumed plan (limit/take) or a malformed record
+        // must not leak the stream on a long-lived executor
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => } })
         // iterator over the stream: one record in memory at a time
         new Iterator[Row] {
           private var nextRec: Row = advance()
           private def advance(): Row =
             try parseRecord(in, file, maxRecordBytes).orNull
-            finally ()
+            catch { case e: Throwable => try in.close() catch { case _: Exception => }; throw e }
           override def hasNext: Boolean = {
             if (nextRec == null) in.close()
             nextRec != null
@@ -145,6 +150,10 @@ object WarcSource {
       status, httpCt, payload, len > maxRecordBytes))
   }
 
+  // compiled ONCE: this runs per response record, and a fresh
+  // Pattern.compile per record is pure hot-path overhead
+  private val HttpStatusLine = "HTTP/\\S+\\s+(\\d{3})".r
+
   /** Split an HTTP response envelope: (status, content-type, body). */
   private[sources] def splitHttp(block: Array[Byte]): (Integer, String, Array[Byte]) = {
     val sep = indexOfCrlfCrlf(block)
@@ -152,7 +161,7 @@ object WarcSource {
     val head = new String(block, 0, sep, "ISO-8859-1")
     val lines = head.split("\r\n")
     val status: Integer = lines.headOption
-      .flatMap(l => "HTTP/\\S+\\s+(\\d{3})".r.findFirstMatchIn(l))
+      .flatMap(l => HttpStatusLine.findFirstMatchIn(l))
       .map(m => Integer.valueOf(m.group(1))).orNull
     val ct = lines.drop(1)
       .find(_.toLowerCase.startsWith("content-type:"))
@@ -217,15 +226,21 @@ object WarcSource {
           val p = new org.apache.hadoop.fs.Path(file)
           val fs = p.getFileSystem(hconf.value)
           val in = decompressed(new java.io.BufferedInputStream(fs.open(p)))
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit] { _ =>
+              try in.close() catch { case _: Exception => } })
           new Iterator[Row] {
-            private var nextRec: Row = parseRecord(in, file, maxRecordBytes).orNull
+            private var nextRec: Row = advance()
+            private def advance(): Row =
+              try parseRecord(in, file, maxRecordBytes).orNull
+              catch { case e: Throwable => try in.close() catch { case _: Exception => }; throw e }
             override def hasNext: Boolean = {
               if (nextRec == null) in.close()
               nextRec != null
             }
             override def next(): Row = {
               val r = nextRec
-              nextRec = parseRecord(in, file, maxRecordBytes).orNull
+              nextRec = advance()
               r
             }
           }
@@ -323,6 +338,11 @@ final class WarcCrawlSource(
     kinds: Seq[String] = Seq.empty,
     decodeText: Boolean = true,
     extractHtml: Boolean = false) extends GraftSource {
+
+  // extraction operates on DECODED text; silently skipping it when
+  // decode.text=false would produce different data than configured
+  require(decodeText || !extractHtml,
+    "extract.html = true requires decode.text = true (extraction runs on decoded text)")
 
   import org.apache.spark.sql.functions._
 

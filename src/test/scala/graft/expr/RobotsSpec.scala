@@ -110,4 +110,23 @@ class RobotsSpec extends SparkSpec {
     val plan = ann.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("hostile robots.txt edges (r14c review): empty UA lines, control chars, delay group selection") {
+    import graft.expr.RobotsTxt
+    // an empty User-agent value must not shadow the '*' group
+    val emptyUa = "User-agent:\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    assert(RobotsTxt.allowed("/page", RobotsTxt.compile(emptyUa, "anybot")),
+      "the empty-token group must be ignored; '*' governs")
+    // an interior control char cannot smuggle a rule-splitting delimiter
+    val ctl = "User-agent: *\nDisallow: /foo\u0001/bar\n"
+    assert(RobotsTxt.allowed("/foo-anything", RobotsTxt.compile(ctl, "x")),
+      "the control char is stripped; the rule is /foo/bar, not /foo")
+    assert(!RobotsTxt.allowed("/foo\u0001/bar/x".replace("\u0001", ""), RobotsTxt.compile(ctl, "x")))
+    // the crawl-delay comes from the group whose RULES govern the agent
+    val delays = "User-agent: graftbot\nCrawl-delay: 10\nDisallow:\n\n" +
+      "User-agent: graftbot-images\nCrawl-delay: 1\nDisallow: /x\n"
+    assert(RobotsTxt.crawlDelay(delays, "graftbot-images/1.0").contains(1.0),
+      "longest-token group wins for the delay, same as for rules")
+    assert(RobotsTxt.crawlDelay(delays, "graftbot/1.0").contains(10.0))
+  }
 }
