@@ -48,7 +48,10 @@ final class JdkHttpTransport(timeoutSeconds: Long = 60,
 
   private def send(b: java.net.http.HttpRequest.Builder,
                    headers: Map[String, String]): (Int, String) = {
-    headers.foreach { case (k, v) => b.header(k, v) }
+    // setHeader REPLACES — a caller's Content-Type (e.g. the SigV4-signed
+    // application/x-amz-json-1.0) must override the JSON default, not be
+    // APPENDED as a second value that breaks the signature
+    headers.foreach { case (k, v) => b.setHeader(k, v) }
     val resp = client.send(b.timeout(java.time.Duration.ofSeconds(timeoutSeconds)).build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())

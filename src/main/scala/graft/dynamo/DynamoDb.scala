@@ -118,17 +118,49 @@ final class DynamoDbClient(endpoint: String, region: String,
 
   def createTable(table: String, hashKey: String, rangeKey: Option[String] = None): Unit = {
     val keys = Seq(hashKey -> "HASH") ++ rangeKey.map(_ -> "RANGE")
-    call("CreateTable", Json.obj(
-      "TableName" -> Json.str(table),
-      "AttributeDefinitions" -> keys.map { case (k, _) =>
-        Json.obj("AttributeName" -> Json.str(k), "AttributeType" -> Json.str("S"))
-      }.mkString("[", ",", "]"),
-      "KeySchema" -> keys.map { case (k, t) =>
-        Json.obj("AttributeName" -> Json.str(k), "KeyType" -> Json.str(t))
-      }.mkString("[", ",", "]"),
-      "BillingMode" -> Json.str("PAY_PER_REQUEST")))
-    ()
+    // real CreateTable is ASYNC and races between drivers: a
+    // concurrent creator's ResourceInUse means the table is coming up
+    // — both outcomes proceed to the ACTIVE wait below
+    try {
+      call("CreateTable", Json.obj(
+        "TableName" -> Json.str(table),
+        "AttributeDefinitions" -> keys.map { case (k, _) =>
+          Json.obj("AttributeName" -> Json.str(k), "AttributeType" -> Json.str("S"))
+        }.mkString("[", ",", "]"),
+        "KeySchema" -> keys.map { case (k, t) =>
+          Json.obj("AttributeName" -> Json.str(k), "KeyType" -> Json.str(t))
+        }.mkString("[", ",", "]"),
+        "BillingMode" -> Json.str("PAY_PER_REQUEST")))
+      ()
+    } catch {
+      case e: RuntimeException if e.getMessage.contains("ResourceInUse") => ()
+    }
+    awaitActive(table)
   }
+
+  /** Poll DescribeTable until TableStatus = ACTIVE (CreateTable is
+    * asynchronous on real DynamoDB; the first PutItem against a
+    * CREATING table would throw ResourceNotFound/ResourceInUse). */
+  private def awaitActive(table: String, maxWaitMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var status = describeStatus(table)
+    while (status != "ACTIVE" && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      status = describeStatus(table)
+    }
+    if (status != "ACTIVE") throw new IllegalStateException(
+      s"DynamoDB table '$table' not ACTIVE after ${maxWaitMs}ms (status: $status)")
+  }
+
+  private def describeStatus(table: String): String =
+    call("DescribeTable", Json.obj("TableName" -> Json.str(table))).get("Table") match {
+      case Some(t: Map[_, _]) =>
+        t.asInstanceOf[Map[String, Any]].get("TableStatus") match {
+          case Some(s: String) => s
+          case _ => "ACTIVE" // scripted fakes may omit the field: treat as ready
+        }
+      case _ => "ACTIVE"
+    }
 
   /** PutItem, optionally guarded by a ConditionExpression; returns
     * false when the conditional check failed (the item was NOT
@@ -213,8 +245,15 @@ final class DynamoDbClient(endpoint: String, region: String,
  * backends' shared contract).
  */
 final class BookkeeperDynamo(client: DynamoDbClient,
-                             tablePrefix: String = "graft") extends BookkeeperStore {
+                             tablePrefix: String = "graft")
+    extends BookkeeperStore with graft.pipeline.SeqJournalSemantics {
   private val table = s"${tablePrefix}_bookkeeping"
+  // two attempts can finish in the same millisecond (racing drivers,
+  // fast retries); the writer nonce keeps the sort key UNIQUE so the
+  // journal really keeps every attempt — the same reason the FS and
+  // text journals put writerId+seq in their file names
+  private val writerNonce = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   def ensureTable(): Unit =
     if (!client.tableExists(table))
@@ -225,7 +264,8 @@ final class BookkeeperDynamo(client: DynamoDbClient,
   override def record(r: RunRecord): Unit =
     client.putItem(table, Map(
       "tableName" -> ("S", r.table),
-      "infoDateSortKey" -> ("S", f"${r.infoDate}%s#${r.finishedAtMs}%013d"),
+      "infoDateSortKey" -> ("S",
+        f"${r.infoDate}%s#${r.finishedAtMs}%013d#$writerNonce-${seq.getAndIncrement()}%06d"),
       "infoDate" -> ("S", r.infoDate.toString),
       "recordCount" -> ("N", r.recordCount.toString),
       "status" -> ("S", r.status),
@@ -237,34 +277,19 @@ final class BookkeeperDynamo(client: DynamoDbClient,
     item("recordCount")._2.toLong, item("status")._2,
     item("startedAtMs")._2.toLong, item("finishedAtMs")._2.toLong)
 
-  override def get(tableName: String, infoDate: LocalDate): Option[RunRecord] =
-    client.query(table, "tableName = :t AND begins_with(infoDateSortKey, :p)",
-        Map(":t" -> ("S", tableName), ":p" -> ("S", s"$infoDate#")))
-      .map(toRecord).maxByOption(_.finishedAtMs)
+  override protected def recordsFor(tableName: String,
+                                    infoDate: Option[LocalDate]): Seq[RunRecord] =
+    infoDate match {
+      case Some(d) =>
+        // date filter pushes into the key condition — reads stay
+        // key-bounded, never scans
+        client.query(table, "tableName = :t AND begins_with(infoDateSortKey, :p)",
+          Map(":t" -> ("S", tableName), ":p" -> ("S", s"$d#"))).map(toRecord)
+      case None =>
+        client.query(table, "tableName = :t", Map(":t" -> ("S", tableName))).map(toRecord)
+    }
 
-  override def isAlreadyRan(tableName: String, infoDate: LocalDate): Boolean =
-    get(tableName, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
-
-  override def latestSuccess(tableName: String): Option[LocalDate] =
-    newestPerDate(tableName).filter(_.status == "succeeded")
-      .map(_.infoDate).maxByOption(_.toEpochDay)
-
-  override def latestSuccessRecord(tableName: String, until: LocalDate): Option[RunRecord] =
-    newestPerDate(tableName)
-      .filter(r => r.status == "succeeded" && !r.infoDate.isAfter(until))
-      .maxByOption(_.infoDate.toEpochDay)
-
-  override def all: Seq[RunRecord] =
-    client.scan(table).map(toRecord)
-      .groupBy(r => (r.table, r.infoDate))
-      .values.map(_.maxBy(_.finishedAtMs)).toSeq
-
-  /** One key-condition query for the table; newest attempt per date
-    * wins (the journal keeps every attempt). */
-  private def newestPerDate(tableName: String): Seq[RunRecord] =
-    client.query(table, "tableName = :t", Map(":t" -> ("S", tableName)))
-      .map(toRecord)
-      .groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
+  override protected def allRecords: Seq[RunRecord] = client.scan(table).map(toRecord)
 }
 
 /**
@@ -280,6 +305,10 @@ final class BookkeeperDynamo(client: DynamoDbClient,
 final class OffsetStoreDynamo(client: DynamoDbClient,
                               tablePrefix: String = "graft")
     extends graft.offset.OffsetStore {
+  // the server-side scalar condition cannot order per-partition kafka
+  // vectors; declare it so ingestion rejects BEFORE any data moves
+  override def supports(offsetType: String): Boolean = offsetType != "kafka"
+
   private val table = s"${tablePrefix}_offsets"
 
   if (!client.tableExists(table)) client.createTable(table, "tableName")

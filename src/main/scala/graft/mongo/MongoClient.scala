@@ -71,10 +71,17 @@ final class MongoClient(host: String, port: Int, timeoutMs: Int = 30000) extends
   def ping(db: String): Unit = { runCommand(db, Seq("ping" -> 1)); () }
 
   def insert(db: String, collection: String, docs: Seq[Seq[(String, Any)]]): Unit = {
-    runCommand(db, Seq(
+    val resp = runCommand(db, Seq(
       "insert" -> collection,
       "documents" -> docs.map(Bson.Doc).toList))
-    ()
+    // MongoDB reports per-document failures (validation, unique-index
+    // clashes) in writeErrors ALONGSIDE ok:1 — swallowing them would
+    // silently lose run records
+    resp.get("writeErrors") match {
+      case Some(errs: List[_]) if errs.nonEmpty =>
+        throw new RuntimeException(s"MongoClient: insert failed: $errs")
+      case _ => ()
+    }
   }
 
   /** find + getMore until the cursor drains — a query never silently
@@ -119,7 +126,7 @@ final class MongoClient(host: String, port: Int, timeoutMs: Int = 30000) extends
  * newest-per-date reduction happens on the bounded result.
  */
 final class BookkeeperMongo(client: MongoClient, db: String,
-                            collection: String = "bookkeeping") extends BookkeeperStore {
+                            collection: String = "bookkeeping") extends BookkeeperStore with graft.pipeline.SeqJournalSemantics {
 
   client.createIndex(db, collection,
     Seq("tableName" -> 1, "infoDate" -> 1), "graft_bk_idx")
@@ -133,39 +140,27 @@ final class BookkeeperMongo(client: MongoClient, db: String,
       "startedAtMs" -> r.startedAtMs,
       "finishedAtMs" -> r.finishedAtMs)))
 
+  // numeric fields coerce via Number: a foreign writer (mongosh
+  // NumberInt fix-ups, other tooling) may store int32 where graft
+  // writes int64, and one such document must not poison every read
+  private def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+
   private def toRecord(doc: Map[String, Any]): RunRecord = RunRecord(
     doc("tableName").asInstanceOf[String],
     LocalDate.parse(doc("infoDate").asInstanceOf[String]),
-    doc("recordCount").asInstanceOf[Long],
+    asLong(doc("recordCount")),
     doc("status").asInstanceOf[String],
-    doc("startedAtMs").asInstanceOf[Long],
-    doc("finishedAtMs").asInstanceOf[Long])
+    asLong(doc("startedAtMs")),
+    asLong(doc("finishedAtMs")))
 
-  private def forTable(table: String): Seq[RunRecord] =
-    client.find(db, collection, Seq("tableName" -> table)).map(toRecord)
+  override protected def recordsFor(table: String,
+                                    infoDate: Option[LocalDate]): Seq[RunRecord] = {
+    // the date filter pushes into the (tableName, infoDate) index
+    val filter = Seq("tableName" -> table) ++
+      infoDate.map(d => "infoDate" -> d.toString)
+    client.find(db, collection, filter).map(toRecord)
+  }
 
-  override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
-    client.find(db, collection,
-        Seq("tableName" -> table, "infoDate" -> infoDate.toString))
-      .map(toRecord).maxByOption(_.finishedAtMs)
-
-  override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
-    get(table, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
-
-  override def latestSuccess(table: String): Option[LocalDate] =
-    newestPerDate(table).filter(_.status == "succeeded")
-      .map(_.infoDate).maxByOption(_.toEpochDay)
-
-  override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
-    newestPerDate(table)
-      .filter(r => r.status == "succeeded" && !r.infoDate.isAfter(until))
-      .maxByOption(_.infoDate.toEpochDay)
-
-  override def all: Seq[RunRecord] =
+  override protected def allRecords: Seq[RunRecord] =
     client.find(db, collection).map(toRecord)
-      .groupBy(r => (r.table, r.infoDate))
-      .values.map(_.maxBy(_.finishedAtMs)).toSeq
-
-  private def newestPerDate(table: String): Seq[RunRecord] =
-    forTable(table).groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
 }

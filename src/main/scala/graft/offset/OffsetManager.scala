@@ -125,12 +125,19 @@ final case class OffsetInfo(column: String, offsetType: String)
   * delegate so incremental jobs consume the correct delta; commits
   * drop, so the next REAL run re-delivers the same window. */
 final class UndercoverOffsetStore(delegate: OffsetStore) extends OffsetStore {
+  override def supports(offsetType: String): Boolean = delegate.supports(offsetType)
   override def getLatestOffset(table: String): Option[OffsetValue] =
     delegate.getLatestOffset(table)
   override def commit(table: String, offset: OffsetValue): Unit = ()
 }
 
 trait OffsetStore {
+  /** Whether this store can order/commit the given offset type. An
+    * ingestion job checks this BEFORE reading or saving anything — a
+    * store that can only reject at commit time (after the save) would
+    * leave a duplicate-delivery crash loop. */
+  def supports(offsetType: String): Boolean = true
+
   def getLatestOffset(table: String): Option[OffsetValue]
   /** Commit a new max offset after a successful incremental batch.
     * Implementations are monotonic: a commit at/below the stored

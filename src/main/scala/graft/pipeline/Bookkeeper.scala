@@ -60,6 +60,45 @@ trait BookkeeperStore {
 }
 
 /**
+ * Shared journal semantics over a driver-side record fetch — the
+ * Seq-shaped twin of `BookkeeperSparkBase`: every-attempt journals
+ * reduce to newest-attempt-per-(table, date), done = succeeded or
+ * durably skipped, latest-success scans. Backends supply only the
+ * storage reads (with optional per-date pushdown), so the Mongo and
+ * DynamoDB stores cannot drift semantically from each other or from
+ * the Spark-backed journals.
+ */
+private[graft] trait SeqJournalSemantics extends BookkeeperStore {
+  /** Every attempt for `table`; when `infoDate` is given, backends may
+    * push the date filter into storage (key condition / find filter). */
+  protected def recordsFor(table: String, infoDate: Option[LocalDate] = None): Seq[RunRecord]
+  /** Every attempt across all tables. */
+  protected def allRecords: Seq[RunRecord]
+
+  private def newestPerDate(table: String): Seq[RunRecord] =
+    recordsFor(table).groupBy(_.infoDate).values.map(_.maxBy(_.finishedAtMs)).toSeq
+
+  override def get(table: String, infoDate: LocalDate): Option[RunRecord] =
+    recordsFor(table, Some(infoDate)).maxByOption(_.finishedAtMs)
+
+  override def isAlreadyRan(table: String, infoDate: LocalDate): Boolean =
+    get(table, infoDate).exists(r => r.status == "succeeded" || r.status == "skipped")
+
+  override def latestSuccess(table: String): Option[LocalDate] =
+    newestPerDate(table).filter(_.status == "succeeded")
+      .map(_.infoDate).maxByOption(_.toEpochDay)
+
+  override def latestSuccessRecord(table: String, until: LocalDate): Option[RunRecord] =
+    newestPerDate(table)
+      .filter(r => r.status == "succeeded" && !r.infoDate.isAfter(until))
+      .maxByOption(_.infoDate.toEpochDay)
+
+  override def all: Seq[RunRecord] =
+    allRecords.groupBy(r => (r.table, r.infoDate))
+      .values.map(_.maxBy(_.finishedAtMs)).toSeq
+}
+
+/**
  * Pipeline state journal enabling auto-healing: a (table, infoDate)
  * that already succeeded is skipped on re-run
  * (reference: pramen/core .../core/bookkeeper/Bookkeeper.scala — the

@@ -148,8 +148,11 @@ final class BookkeeperText(spark: SparkSession, path: String)
     else spark.read.option("sep", "|").schema(schema).csv(recordsDir)
 
   override def record(r: RunRecord): Unit = {
-    require(!r.table.contains("|") && !r.status.contains("|"),
-      s"BookkeeperText: '|' is the field separator; illegal in table/status: $r")
+    // '|' is the field separator and a newline would split the record
+    // across lines, corrupting every later read of the journal
+    def clean(v: String) = !v.exists(c => c == '|' || c == '\n' || c == '\r')
+    require(clean(r.table) && clean(r.status),
+      s"BookkeeperText: '|' and line breaks are illegal in table/status: $r")
     val line =
       s"${r.table}|${r.infoDate}|${r.recordCount}|${r.status}|${r.startedAtMs}|${r.finishedAtMs}\n"
     val dir = new org.apache.hadoop.fs.Path(recordsDir)
@@ -186,12 +189,26 @@ final class BookkeeperDelta(spark: SparkSession, path: String,
         "(io.delta:delta-spark_2.13); it was not found. " +
         "Use bookkeeping.path (FS journal) or bookkeeping.text.path instead.")
 
-  override protected def journalDf(): DataFrame =
-    if (!hadoopExists(spark, path)) emptyDf
+  override protected def journalDf(): DataFrame = {
+    // an ops-precreated EMPTY directory (permissioned storage) or
+    // debris from a crashed first append is 'exists' but not yet a
+    // readable table — that's the empty journal, not a bricked one
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData =
+      fs.exists(p) && {
+        if (format == "delta") fs.exists(new org.apache.hadoop.fs.Path(p, "_delta_log"))
+        else fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+    if (!hasData) emptyDf
     // no read-time .schema(): Delta owns its schema (specifying one at
     // read time is an error); a column select pins the expected shape
     else spark.read.format(format).load(path)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   override def record(r: RunRecord): Unit =
     spark.createDataFrame(

@@ -489,6 +489,12 @@ final class IngestionJob(
   def ingestIncremental(outputTable: String, infoDate: LocalDate): graft.meta.TableStats = {
     val info = source.getOffsetInfo.getOrElse(
       throw new IllegalStateException("source has no offset column configured"))
+    // fail BEFORE reading or saving: a store that rejected only at
+    // commit time would append the batch, crash, and re-deliver the
+    // same window every run
+    require(offsets.supports(info.offsetType),
+      s"offset store ${offsets.getClass.getSimpleName} cannot commit " +
+        s"'${info.offsetType}' offsets for '$outputTable' — use the FS or JDBC offset store")
     val from = offsets.getLatestOffset(outputTable)
     val res = source.getDataIncremental(from)
     offsets.maxOffset(res.df, info) match {
