@@ -99,9 +99,15 @@ final class EcsCleanupTarget(
       case PartitionScheme.ByDay => s"${t.path}/${t.infoDateColumn}=$infoDate"
       case _ => t.path
     }
-    val body = s"""{"ecs_path":"${EcsCleanupTarget.removeAuthority(target)}"}"""
-    val effectiveUrl = if (url.endsWith("/kk")) url else s"$url/kk"
+    // EVERYTHING from here sits inside the guard: path parsing and
+    // body construction run on untrusted table paths (spaces, quotes,
+    // legacy underscore buckets) and must degrade like the HTTP call
     try {
+      // value escaped via Json.str; body shape kept byte-identical to
+      // the reference contract ({"ecs_path":"..."}, no spaces)
+      val body = "{\"ecs_path\":" +
+        graft.databricks.Json.str(EcsCleanupTarget.removeAuthority(target)) + "}"
+      val effectiveUrl = if (url.endsWith("/kk")) url else s"$url/kk"
       val (status, respBody) = http.delete(effectiveUrl, body, Map("x-api-key" -> apiKey))
       if (status != 200)
         System.err.println(s"[graft ecs] cleanup FAILED for $target: $status $respBody")
@@ -121,10 +127,12 @@ object EcsCleanupTarget {
   val EligiblePrefixes: Seq[String] = Seq("s3a://")
 
   /** `s3a://bucket/a/b` → `bucket/a/b` (the API wants bucket-relative
-    * paths, reference removeAuthority). */
+    * paths, reference removeAuthority). String-based, because URI
+    * parsing THROWS on keys with spaces and returns a null host for
+    * legacy underscore buckets — both legal on S3-compatible stores. */
   def removeAuthority(path: String): String = {
-    val uri = java.net.URI.create(path)
-    if (uri.getHost != null) s"${uri.getHost}${uri.getPath}" else uri.getPath
+    val i = path.indexOf("://")
+    if (i < 0) path else path.substring(i + 3)
   }
 }
 
@@ -145,10 +153,16 @@ trait SingleMessageProducer {
   * on partition 0 — routing tokens are ordering signals and must not
   * scatter across partitions. The connection lives for one send,
   * mirroring the reference's connect/send/close lifecycle. */
-final class KafkaSingleMessageProducer(spark: org.apache.spark.sql.SparkSession,
-                                       bootstrapServers: String,
+final class KafkaSingleMessageProducer(bootstrapServers: String,
                                        options: Map[String, String] = Map.empty)
     extends SingleMessageProducer {
+  // the wire client speaks PLAINTEXT only; configured security options
+  // must be surfaced, not silently dropped — a token send to a secured
+  // cluster with auth settings quietly ignored would just fail opaquely
+  if (options.nonEmpty)
+    System.err.println(s"[graft hyperdrive] wire producer is plaintext-only; " +
+      s"ignoring options: ${options.keys.mkString(", ")}")
+
   override def send(topic: String, message: String): Unit = {
     val client = new graft.kafka.KafkaWireClient(
       graft.kafka.KafkaBatch.parseBrokers(bootstrapServers))
@@ -195,8 +209,7 @@ final class HyperdriveNotifyTarget(
       val servers = kv.getOrElse("hyperdrive.kafka.bootstrap.servers",
         throw new IllegalArgumentException(
           "HyperdriveNotifyTarget: 'hyperdrive.kafka.bootstrap.servers' is required"))
-      producer = new KafkaSingleMessageProducer(
-        org.apache.spark.sql.SparkSession.active, servers,
+      producer = new KafkaSingleMessageProducer(servers,
         kv.collect { case (k, v) if k.startsWith("hyperdrive.kafka.option.") =>
           k.stripPrefix("hyperdrive.kafka.option.") -> v })
     }
@@ -206,9 +219,17 @@ final class HyperdriveNotifyTarget(
     case TaskResult.Succeeded(job, _, _, _, _) =>
       tokensByJob(job) match {
         case Some(token) =>
-          producer.connect()
-          try producer.send(topic, token)
-          finally producer.close()
+          // a notify failure must not abort a pipeline whose task
+          // already SUCCEEDED and landed (the orchestrator invokes
+          // notifiers unguarded; the reference logs and moves on)
+          try {
+            producer.connect()
+            try producer.send(topic, token)
+            finally producer.close()
+          } catch {
+            case e: Throwable => System.err.println(
+              s"[graft hyperdrive] token send failed for job '$job': ${e.getMessage}")
+          }
         case None =>
           System.err.println(s"[graft hyperdrive] no notification.hyperdrive.token for job '$job'; not sending")
       }

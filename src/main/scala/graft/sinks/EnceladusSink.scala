@@ -48,30 +48,67 @@ object EnceladusLayout {
       .replace("{version}", version.toString)
       .replace("{column}", infoDateColumn)
 
-  /** Highest `enceladus_info_version=N` already published for the
-    * date, from one directory listing of the date's publish dir; None
-    * when nothing is published yet (reference EnceladusUtils
-    * .getMaxVersionInPublish, publishVersionRegEx `^.*=(\d+)$`). */
+  /** Highest published version for the date under the CONFIGURED
+    * publish layout (reference EnceladusUtils.getMaxVersionInPublish):
+    * the pattern's `{version}` segment is located, its parent dir
+    * listed once, and sibling names matched against the segment with
+    * `{version}` as a capture — a custom publish pattern detects
+    * versions in ITS OWN layout, not the default one (scanning the
+    * default under a custom layout found nothing, resolved every run
+    * to v1, and re-ran over published data). */
   def maxPublishedVersion(hadoopConf: org.apache.hadoop.conf.Configuration,
-                          publishBase: String, infoDate: LocalDate): Option[Int] = {
-    val datePart = unpackPattern(DefaultPublishPattern, "", infoDate, 0)
-      .split("/").head // enceladus_info_date=YYYY-MM-DD
-    val dateDir = new org.apache.hadoop.fs.Path(s"$publishBase/$datePart")
-    val fs = dateDir.getFileSystem(hadoopConf)
-    if (!fs.exists(dateDir)) None
+                          publishBase: String, infoDate: LocalDate,
+                          pattern: String = DefaultPublishPattern,
+                          infoDateColumn: String = ""): Option[Int] = {
+    val sentinel = "\u0000V\u0000"
+    val unpacked = unpackPattern(pattern.replace("{version}", sentinel),
+      infoDateColumn, infoDate, 0)
+    val segs = unpacked.split("/")
+    val vIdx = segs.indexWhere(_.contains(sentinel))
+    if (vIdx < 0) return None // pattern carries no version: nothing to detect
+    val parent = new org.apache.hadoop.fs.Path(
+      (publishBase +: segs.take(vIdx).toSeq).mkString("/"))
+    val fs = parent.getFileSystem(hadoopConf)
+    if (!fs.exists(parent)) None
     else {
-      val versions = fs.listStatus(dateDir).toSeq
+      val re = ("^" + segs(vIdx).split(java.util.regex.Pattern.quote(sentinel), -1)
+        .map(java.util.regex.Pattern.quote).mkString("(\\d+)") + "$").r
+      val versions = fs.listStatus(parent).toSeq
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .collect { case s if s.matches("enceladus_info_version=\\d+") =>
-          s.substring(s.indexOf('=') + 1).toInt }
+        .flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toInt))
       if (versions.isEmpty) None else Some(versions.max)
     }
   }
 
+  /** Quote-aware argv split (double or single quotes group a token):
+    * substituted paths may contain spaces, and naive whitespace
+    * splitting corrupted them into separate arguments. */
+  def tokenize(cmd: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var emitted = false // a quoted EMPTY string is still an argument
+    cmd.foreach { c =>
+      if (quote != 0) {
+        if (c == quote) { quote = 0; emitted = true } else cur += c
+      }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c.isWhitespace) {
+        if (cur.nonEmpty || emitted) { out += cur.toString; cur.clear(); emitted = false }
+      }
+      else cur += c
+    }
+    if (cur.nonEmpty || emitted) out += cur.toString
+    out.result()
+  }
+
   def nextVersion(hadoopConf: org.apache.hadoop.conf.Configuration,
-                  publishBase: String, infoDate: LocalDate): Int =
-    maxPublishedVersion(hadoopConf, publishBase, infoDate).fold(1)(_ + 1)
+                  publishBase: String, infoDate: LocalDate,
+                  pattern: String = DefaultPublishPattern,
+                  infoDateColumn: String = ""): Int =
+    maxPublishedVersion(hadoopConf, publishBase, infoDate, pattern, infoDateColumn)
+      .fold(1)(_ + 1)
 }
 
 final class EnceladusSink(
@@ -101,7 +138,8 @@ final class EnceladusSink(
           throw new IllegalArgumentException(
             "EnceladusSink: info.version=auto needs option 'publish.base.path' " +
               "(version detection scans the published layout)"))
-        EnceladusLayout.nextVersion(hadoopConf, publishBase, infoDate)
+        EnceladusLayout.nextVersion(hadoopConf, publishBase, infoDate,
+          publishPartitionPattern, infoDateColumn)
       case n => n.toInt
     }
     (s"$base/${EnceladusLayout.unpackPattern(rawPartitionPattern, infoDateColumn, infoDate, version)}",
@@ -178,7 +216,9 @@ final class EnceladusSink(
       .replace("@rawPath", rawPath)
       .replace("@rawFormat", format)
       .replace("@publishPath", publishPath.toString)
-    val proc = new ProcessBuilder(cmd.split("\\s+"): _*).redirectErrorStream(true).start()
+    val argv = EnceladusLayout.tokenize(cmd)
+    require(argv.nonEmpty, s"EnceladusSink: empty standardization command after substitution: '$cmd'")
+    val proc = new ProcessBuilder(argv: _*).redirectErrorStream(true).start()
     // drain stdout on a daemon thread (the ProcessTransformer lesson):
     // a chatty standardization run fills the 64 KB pipe, blocks, and
     // the timeout would fire on a HEALTHY child; bounded capture keeps
@@ -202,6 +242,9 @@ final class EnceladusSink(
 
     // publish-side Hive registration: O(1) ADD PARTITION through the
     // M43 seam (reference updateTable + repair on publish)
+    if (options.contains("hive.table") && hiveExecutor.isEmpty)
+      System.err.println("[graft enceladus] 'hive.table' is set but no Hive query " +
+        "executor is wired (config-declared sinks have none); partition NOT registered")
     for (table <- options.get("hive.table"); ex <- hiveExecutor) {
       HiveDdl.addPartition(ex, hiveTemplates, table,
         Seq("enceladus_info_date" -> infoDate.toString,
@@ -225,8 +268,12 @@ object EnceladusSink extends SinkFactory {
     new EnceladusSink(
       format = options.getOrElse("format", "parquet"),
       mode = if (options.get("mode").contains("append")) SaveMode.Append else SaveMode.Overwrite,
+      formatOptions = options.collect {
+        case (k, v) if k.startsWith("option.") => k.stripPrefix("option.") -> v },
       rawPartitionPattern =
         options.getOrElse("partition.pattern", EnceladusLayout.DefaultRawPattern),
+      publishPartitionPattern =
+        options.getOrElse("publish.partition.pattern", EnceladusLayout.DefaultPublishPattern),
       infoDateColumn = options.getOrElse("info.date.column", "enceladus_info_date"),
       recordsPerPartition = options.get("records.per.partition").map(_.toLong),
       infoFile = infoFile,

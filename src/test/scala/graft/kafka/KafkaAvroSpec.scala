@@ -275,7 +275,7 @@ class KafkaAvroSpec extends SparkSpec {
   test("hyperdrive token producer sends one unkeyed message over the wire to partition 0") {
     val cluster = new LoopbackCluster(Map("hd.topic" -> 2))
     try {
-      val p = new graft.pipeline.KafkaSingleMessageProducer(spark, cluster.bootstrapServers)
+      val p = new graft.pipeline.KafkaSingleMessageProducer(cluster.bootstrapServers)
       p.send("hd.topic", "token-42")
       val log = cluster.log("hd.topic", 0)
       assert(log.records.size == 1)

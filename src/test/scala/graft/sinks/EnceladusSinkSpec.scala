@@ -164,4 +164,26 @@ class EnceladusSinkSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(part.resolve("_INFO")))
     assert(parsed.jobs.isEmpty) // the first parse was just the type check
   }
+
+  test("r14c review pins: custom publish pattern version detection; quote-aware command split") {
+    // version auto-detect must scan the CONFIGURED layout
+    val base = tmp("enc_custom_")
+    val pattern = "v_date={year}-{month}-{day}/enceladus_info_version={version}"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/v_date=2024-06-05/enceladus_info_version=3"))
+    assert(EnceladusLayout.maxPublishedVersion(conf, base.toString,
+      java.time.LocalDate.of(2024, 6, 5), pattern).contains(3))
+    assert(EnceladusLayout.nextVersion(conf, base.toString,
+      java.time.LocalDate.of(2024, 6, 5), pattern) == 4)
+    // a pattern without {version} detects nothing (and never deletes)
+    assert(EnceladusLayout.maxPublishedVersion(conf, base.toString,
+      java.time.LocalDate.of(2024, 6, 5), "d={year}").isEmpty)
+
+    // quoted arguments survive; spaces inside quotes do not split
+    assert(EnceladusLayout.tokenize("""run --path "/a b/c" --x 'y z'""") ==
+      Seq("run", "--path", "/a b/c", "--x", "y z"))
+    assert(EnceladusLayout.tokenize("  ") == Seq.empty)
+    assert(EnceladusLayout.tokenize("""a "" b""") == Seq("a", "", "b"))
+  }
 }
