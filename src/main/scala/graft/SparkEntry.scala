@@ -1383,6 +1383,49 @@ object SparkEntry {
           element_at(col("frame_feature"), 2).cast("long").as("h"))
     }),
 
+    "q_image_dedup" -> ((s, dir) => {
+      // image near-dup via 64-bit DCT pHash: deterministic
+      // broad-spectrum images built executor-side from document ids;
+      // each planted duplicate is the SAME picture re-encoded as JPEG
+      // (different bytes — exact dedup CANNOT find it). The oracle
+      // replays the plant arithmetic, so a match proves the decode →
+      // DCT hash → hamming banding pipeline recovers exactly the
+      // planted perceptual pairs and no false ones.
+      import graft.multimodal.ImageHash
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").where(col("doc_id") % 17 === 0).select("doc_id")
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val media = s.createDataFrame(ids.rdd.mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        def img = {
+          val im = new java.awt.image.BufferedImage(96, 96,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 96) {
+            var x = 0
+            while (x < 96) {
+              val cell = (x / 8) * 131 + (y / 8) * 31 + id * 7919
+              val base = ((cell * 2654435761L) >>> 16 & 0xFF).toInt
+              val c = math.min(255, base * 2 / 3 + (64 * x) / 96 + (64 * y) / 96)
+              im.setRGB(x, y, (c << 16) | (c << 8) | c)
+              x += 1
+            }
+            y += 1
+          }
+          im
+        }
+        def enc(fmt: String) = {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+        }
+        Seq(Row(id, enc("png")), Row(id + 700000L, enc("jpg")))
+      }), mediaSchema)
+      ImageHash.nearDups(media, maxHamming = 2).select("id_a", "id_b")
+    }),
+
     "q_kafka_ingest" -> ((s, dir) => {
       // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
       // bounded document subset → KafkaAvroSink (schema registered at
@@ -3117,6 +3160,13 @@ object SparkEntry {
       // replays the produced subset; the Spark side went through the
       // full broker + registry round trip
       "SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 = 0",
+
+    "q_image_dedup" ->
+      // replays the plant: each doc_id%17 image has ONE JPEG
+      // re-encoded twin at doc_id+700000 — found perceptually, since
+      // the bytes differ
+      """SELECT doc_id AS id_a, doc_id + 700000 AS id_b
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
 
     "q_video_frames" ->
       // replays the MJPEG fixture arithmetic: frame sampling (5 fps,

@@ -273,12 +273,39 @@ object Dedup {
     val withHash = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("sh", graft.expr.GraftFunctions.simhash64(TextFunctions.tokens(col("text"))))
       .select(col("doc_id"), col("sh")) // ids + 8 bytes from here on
+    hammingCandidates(withHash, maxHamming, maxBucket)
+  }
+
+  /**
+   * Near-dup candidate pairs for ANY 64-bit hamming-metric hash
+   * (`doc_id`, `sh`) — text SimHash and image pHash ride the same
+   * plan. The hash splits into the smallest power-of-two block count
+   * exceeding `maxHamming` (pigeonhole: a pair within the threshold
+   * shares at least one block), so candidates come from bucket
+   * shuffles of ids + 8 bytes, never a cross join.
+   *
+   * Identical-hash pre-grouping is UNCONDITIONAL: the frame is
+   * already ids + 8 bytes, so grouping and the star join shuffle
+   * almost nothing, and two rows with the same hash never have a
+   * reason to co-occupy a block bucket (they'd only emit the pairs
+   * the stars already encode). Stars are hamming 0 exactly — the
+   * metric is a function of the hash itself. The pair set is
+   * transitively complete, not pairwise-exhaustive — feed it to
+   * [[DupGroups]].
+   */
+  private[graft] def hammingCandidates(withHash: DataFrame, maxHamming: Int,
+                                       maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (pigeonhole blocks of >= 4 bits), got $maxHamming")
+    val nBlocks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
 
     def bucketPairs(input: DataFrame): DataFrame = {
       val blocked = input.select(
         col("doc_id"), col("sh"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bb"))
+        explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * width).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
       pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
         .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
@@ -286,13 +313,6 @@ object Dedup {
         .select("id_a", "id_b", "hamming").distinct()
     }
 
-    // identical-hash pre-grouping is UNCONDITIONAL here: the frame is
-    // already ids + 8 bytes, so grouping and the star join shuffle
-    // almost nothing, and two rows with the same simhash never have a
-    // reason to co-occupy a block bucket (they'd only emit the pairs
-    // the stars already encode). Stars are hamming 0 exactly — the
-    // metric is a function of the hash itself. The pair set is
-    // transitively complete, not pairwise-exhaustive.
     val groups = withHash.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
     val stars = withHash.join(groups, "sh")
       .where(col("doc_id") =!= col("rep"))
