@@ -1426,6 +1426,30 @@ object SparkEntry {
       ImageHash.nearDups(media, maxHamming = 2).select("id_a", "id_b")
     }),
 
+    "q_audio_dedup" -> ((s, dir) => {
+      // audio near-dup via the spectral-envelope fingerprint:
+      // deterministic broad-spectrum tone clips built executor-side
+      // from document ids; each planted duplicate is the SAME
+      // recording re-encoded (half sample rate, 8-bit, -8 dB gain —
+      // different bytes, exact dedup CANNOT find it). The oracle
+      // replays the plant arithmetic, so a match proves the decode →
+      // FFT band hash → hamming banding pipeline recovers exactly
+      // the planted perceptual pairs and no false ones.
+      import graft.multimodal.AudioFingerprint
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").where(col("doc_id") % 19 === 0).select("doc_id")
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val media = s.createDataFrame(ids.rdd.mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        Seq(Row(id, AudioFingerprint.toneClipWav(id, 22050, 16, 0.9)),
+            Row(id + 800000L, AudioFingerprint.toneClipWav(id, 11025, 8, 0.4)))
+      }), mediaSchema)
+      AudioFingerprint.nearDups(media, maxHamming = 4).select("id_a", "id_b")
+    }),
+
     "q_kafka_ingest" -> ((s, dir) => {
       // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
       // bounded document subset → KafkaAvroSink (schema registered at
@@ -3167,6 +3191,13 @@ object SparkEntry {
       // the bytes differ
       """SELECT doc_id AS id_a, doc_id + 700000 AS id_b
         |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+
+    "q_audio_dedup" ->
+      // replays the plant: each doc_id%19 clip has ONE re-encoded
+      // twin at doc_id+800000 (half rate, 8-bit, re-levelled) —
+      // found acoustically, since the bytes differ
+      """SELECT doc_id AS id_a, doc_id + 800000 AS id_b
+        |FROM documents WHERE doc_id % 19 = 0""".stripMargin,
 
     "q_video_frames" ->
       // replays the MJPEG fixture arithmetic: frame sampling (5 fps,

@@ -154,6 +154,39 @@ object Flac {
       if (n == 0) 0.0 else crossings.toDouble / n, sum / n)
   }
 
+  /** Decode to channel-averaged mono samples in [-1, 1], capped at
+    * `maxSamples` (fingerprinting reads a bounded clip prefix — an
+    * hour-long FLAC never materializes whole). Same ID3v1-tolerant
+    * frame loop as [[decode]]. */
+  def decodePcmMono(b: Array[Byte], maxSamples: Int = 1 << 22): (StreamInfo, Array[Double]) = {
+    val info = parseStreamInfo(b)
+    val start = firstFrameOffset(b)
+    val r = new BitReader(b)
+    r.seekByte(start)
+    val norm = (1L << (info.bitsPerSample - 1)).toDouble
+    val cap = if (info.totalSamples > 0) math.min(info.totalSamples, maxSamples.toLong).toInt
+              else maxSamples
+    val acc = new scala.collection.mutable.ArrayBuffer[Double](math.min(cap, 1 << 16))
+    var n = 0L
+    while (r.remainingBits >= 16 && acc.length < cap &&
+           (info.totalSamples == 0L || n < info.totalSamples)) {
+      val frameStart = r.bytePos
+      val block = decodeFrame(r, info, b, frameStart)
+      val ch = block.length
+      val len = block(0).length
+      var i = 0
+      while (i < len && acc.length < cap) {
+        var s = 0.0; var c = 0
+        while (c < ch) { s += block(c)(i); c += 1 }
+        acc += s / (norm * ch)
+        i += 1
+      }
+      n += len
+    }
+    require(acc.nonEmpty, "FLAC: no audio frames decoded")
+    (info, acc.toArray)
+  }
+
   /** One frame: returns channels × blockSize samples. */
   private def decodeFrame(r: BitReader, info: StreamInfo,
                           raw: Array[Byte], frameStart: Int): Array[Array[Long]] = {

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Acoustic fingerprint: invariance under the re-encoding family
+  * (rate / bit depth / gain / container), separation of distinct
+  * content, and the shared hamming-banded near-dup plan. */
+class AudioFingerprintSpec extends SparkSpec {
+
+  test("identical bytes fingerprint identically; determinism across calls") {
+    val b = AudioFingerprint.toneClipWav(42L, 16000, 16, 0.9)
+    val h1 = AudioFingerprint.fingerprint64(b)
+    val h2 = AudioFingerprint.fingerprint64(b.clone())
+    assert(h1 != null && h1 == h2)
+  }
+
+  test("re-encoding keeps the fingerprint close; distinct content stays far") {
+    val ids = Seq(3L, 17L, 88L, 190L, 777L)
+    val hashes = ids.map { id =>
+      val orig = AudioFingerprint.fingerprint64(
+        AudioFingerprint.toneClipWav(id, 22050, 16, 0.9))
+      // the full re-encoding family at once: half rate, 8-bit, -8 dB
+      val re = AudioFingerprint.fingerprint64(
+        AudioFingerprint.toneClipWav(id, 11025, 8, 0.35))
+      assert(orig != null && re != null)
+      val d = java.lang.Long.bitCount(orig ^ re)
+      assert(d <= 4, s"id $id: re-encode moved the fingerprint $d bits")
+      id -> orig
+    }.toMap
+    for (a <- ids; b <- ids if a < b) {
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(d > 12, s"distinct clips $a/$b only $d bits apart")
+    }
+  }
+
+  test("FLAC re-encode of the same recording fingerprints within 2 bits of the WAV") {
+    val wav = AudioFingerprint.toneClipWav(55L, 16000, 16, 0.8)
+    val Some((samples, rate)) = AudioFingerprint.pcmMono(wav)
+    val ints = samples.map(s => math.max(-32768, math.min(32767, (s * 32767.0).round.toInt)))
+    val flac = Flac.encode(Array(ints), rate)
+    val hWav = AudioFingerprint.fingerprint64(wav)
+    val hFlac = AudioFingerprint.fingerprint64(flac)
+    assert(hFlac != null)
+    val d = java.lang.Long.bitCount(hWav ^ hFlac)
+    assert(d <= 2, s"container change moved the fingerprint $d bits")
+  }
+
+  test("undecodable payloads fingerprint to null, never throw") {
+    assert(AudioFingerprint.fingerprint64(null: Array[Byte]) == null)
+    assert(AudioFingerprint.fingerprint64("not audio".getBytes("UTF-8")) == null)
+    assert(AudioFingerprint.fingerprint64(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("clips shorter than one analysis frame still fingerprint (zero-padded)") {
+    val short = AudioFingerprint.toneClipWav(9L, 16000, 16, 0.9, durationMs = 100)
+    assert(AudioFingerprint.fingerprint64(short) != null)
+  }
+
+  test("nearDups finds re-encoded copies across a media table and nothing else; samples never shuffle") {
+    import spark.implicits._
+    // 10 distinct clips; every 3rd gets a half-rate 8-bit re-encode at id+1000
+    val rows = (0 until 10).flatMap { i =>
+      val orig = (100L + i, AudioFingerprint.toneClipWav(100L + i, 22050, 16, 0.9))
+      if (i % 3 == 0)
+        Seq(orig, (1100L + i, AudioFingerprint.toneClipWav(100L + i, 11025, 8, 0.4)))
+      else Seq(orig)
+    } :+ ((9999L, "junk bytes, not audio".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "content")
+    val pairs = AudioFingerprint.nearDups(media, maxHamming = 4)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).filter(_ % 3 == 0).map(i => (100L + i, 1100L + i)).toSet
+    assert(got == expected, s"expected $expected, got $got")
+    assert(pairs.select("hamming").collect().forall(_.getInt(0) <= 4))
+  }
+
+  test("exact-copy mass duplication pre-groups into stars (hamming 0)") {
+    import spark.implicits._
+    val b = AudioFingerprint.toneClipWav(5L, 16000, 16, 0.9)
+    val media = (0 until 6).map(i => (i.toLong, b)).toDF("media_id", "content")
+    val pairs = AudioFingerprint.nearDups(media, maxHamming = 4).collect()
+    assert(pairs.length == 5)
+    assert(pairs.forall(r => r.getAs[Long]("id_a") == 0L && r.getAs[Int]("hamming") == 0))
+  }
+}
