@@ -1450,6 +1450,31 @@ object SparkEntry {
       AudioFingerprint.nearDups(media, maxHamming = 4).select("id_a", "id_b")
     }),
 
+    "q_video_dedup" -> ((s, dir) => {
+      // video near-dup via time-aligned frame pHash signatures:
+      // deterministic MJPEG clips built executor-side from document
+      // ids; each planted duplicate is the SAME footage re-encoded
+      // (double frame rate, half resolution — different bytes AND
+      // different frame count, so neither exact dedup nor per-frame
+      // byte comparison can find it). The oracle replays the plant
+      // arithmetic, so a match proves container walk → JPEG decode →
+      // DCT pHash → ordinal-aligned hamming banding → match-count
+      // threshold recovers exactly the planted pairs and no false ones.
+      import graft.multimodal.VideoHash
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").where(col("doc_id") % 23 === 0).select("doc_id")
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val media = s.createDataFrame(ids.rdd.mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        Seq(Row(id, VideoHash.toneClipAvi(id, fps = 5, holdFrames = 2, size = 96)),
+            Row(id + 900000L, VideoHash.toneClipAvi(id, fps = 10, holdFrames = 4, size = 48)))
+      }), mediaSchema)
+      VideoHash.nearDups(media, everyMs = 400L).select("id_a", "id_b")
+    }),
+
     "q_kafka_ingest" -> ((s, dir) => {
       // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
       // bounded document subset → KafkaAvroSink (schema registered at
@@ -3198,6 +3223,13 @@ object SparkEntry {
       // found acoustically, since the bytes differ
       """SELECT doc_id AS id_a, doc_id + 800000 AS id_b
         |FROM documents WHERE doc_id % 19 = 0""".stripMargin,
+
+    "q_video_dedup" ->
+      // replays the plant: each doc_id%23 clip has ONE re-encoded
+      // twin at doc_id+900000 (2x fps, half resolution) — found by
+      // aligned frame signatures, since the bytes and frame count differ
+      """SELECT doc_id AS id_a, doc_id + 900000 AS id_b
+        |FROM documents WHERE doc_id % 23 = 0""".stripMargin,
 
     "q_video_frames" ->
       // replays the MJPEG fixture arithmetic: frame sampling (5 fps,

@@ -294,7 +294,22 @@ object Dedup {
    * [[DupGroups]].
    */
   private[graft] def hammingCandidates(withHash: DataFrame, maxHamming: Int,
-                                       maxBucket: Int): DataFrame = {
+                                       maxBucket: Int): DataFrame =
+    hammingCandidates(withHash, maxHamming, maxBucket, align = None)
+
+  /**
+   * As [[hammingCandidates]], but with an optional ALIGNMENT
+   * expression (a function of `doc_id`): rows only ever pair within
+   * the same alignment value — both the identical-hash pre-grouping
+   * and the block buckets key on it. Callers whose match definition
+   * is positional (video frame ordinals: [[graft.multimodal.VideoHash]])
+   * need this, because a hash recurring at MANY positions (a black
+   * frame, a title card) would otherwise pre-group across positions
+   * to one global representative and the direct same-position pair —
+   * the only one that counts — would never be emitted.
+   */
+  private[graft] def hammingCandidates(withHash: DataFrame, maxHamming: Int,
+                                       maxBucket: Int, align: Option[Column]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (pigeonhole blocks of >= 4 bits), got $maxHamming")
     val nBlocks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
@@ -303,21 +318,24 @@ object Dedup {
 
     def bucketPairs(input: DataFrame): DataFrame = {
       val blocked = input.select(
-        col("doc_id"), col("sh"),
+        col("doc_id"), col("sh"), col("algn"),
         explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
           shiftright(col("sh"), b * width).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
-        .select(col("doc_id"), col("sh"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-      pairsFromBuckets(blocked, Seq("blk", "bv"), maxBucket, payloadCol = "sh")
+        .select(col("doc_id"), col("sh"), col("algn"),
+          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      pairsFromBuckets(blocked, Seq("algn", "blk", "bv"), maxBucket, payloadCol = "sh")
         .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
         .where(col("hamming") <= maxHamming)
         .select("id_a", "id_b", "hamming").distinct()
     }
 
-    val groups = withHash.groupBy(col("sh")).agg(min(col("doc_id")).as("rep"))
-    val stars = withHash.join(groups, "sh")
+    val tagged = withHash.withColumn("algn", align.getOrElse(lit(0)))
+    val groups = tagged.groupBy(col("sh"), col("algn")).agg(min(col("doc_id")).as("rep"))
+    val stars = tagged.join(groups, Seq("sh", "algn"))
       .where(col("doc_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
-    stars.unionByName(bucketPairs(groups.select(col("rep").as("doc_id"), col("sh"))))
+    stars.unionByName(bucketPairs(
+      groups.select(col("rep").as("doc_id"), col("sh"), col("algn"))))
   }
 
   /**
