@@ -1400,26 +1400,10 @@ object SparkEntry {
         StructField("content", BinaryType, nullable = true)))
       val media = s.createDataFrame(ids.rdd.mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
-        def img = {
-          val im = new java.awt.image.BufferedImage(96, 96,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 96) {
-            var x = 0
-            while (x < 96) {
-              val cell = (x / 8) * 131 + (y / 8) * 31 + id * 7919
-              val base = ((cell * 2654435761L) >>> 16 & 0xFF).toInt
-              val c = math.min(255, base * 2 / 3 + (64 * x) / 96 + (64 * y) / 96)
-              im.setRGB(x, y, (c << 16) | (c << 8) | c)
-              x += 1
-            }
-            y += 1
-          }
-          im
-        }
         def enc(fmt: String) = {
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+          javax.imageio.ImageIO.write(ImageHash.patternImage(96, 96, id), fmt, bos)
+          bos.toByteArray
         }
         Seq(Row(id, enc("png")), Row(id + 700000L, enc("jpg")))
       }), mediaSchema)

@@ -97,21 +97,37 @@ object AudioFingerprint {
   }
 
   /** Decode encoded audio bytes to (mono samples in [-1,1], rate):
-    * WAV/AIFF via javax.sound, FLAC via [[Flac.decode]]. None for
-    * undecodable payloads — crawl bytes lie. */
+    * WAV/AIFF via javax.sound (signed AND unsigned PCM decoded per
+    * their declared encoding; ULAW/ALAW routed through the platform
+    * PCM converter), FLAC via [[Flac.decode]]. None for undecodable
+    * payloads — crawl bytes lie. */
   private[multimodal] def pcmMono(bytes: Array[Byte]): Option[(Array[Double], Int)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     if (bytes == null || bytes.length < 12) return None
     try {
       if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') {
         val (info, mono) = Flac.decodePcmMono(bytes)
         Some((mono, info.sampleRate))
       } else {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        // non-linear encodings (ULAW/ALAW) decoded as raw bytes would
+        // be spectral garbage — convert to linear 16-bit signed first
+        val srcEnc = raw.getFormat.getEncoding
+        val in =
+          if (srcEnc == AudioFormat.Encoding.PCM_SIGNED ||
+              srcEnc == AudioFormat.Encoding.PCM_UNSIGNED) raw
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+              raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate, false), raw)
         try {
           val fmt = in.getFormat
           val bits = fmt.getSampleSizeInBits
           if (bits != 16 && bits != 8) return None
+          // 8-bit WAV is unsigned, 8-bit AIFF is signed — trusting the
+          // container's declared encoding is the difference between a
+          // clean decode and a +2.0 discontinuity on negative samples
+          val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
           val ch = fmt.getChannels
           val frameBytes = fmt.getFrameSize
           val buf = new Array[Byte](frameBytes * 4096)
@@ -124,9 +140,14 @@ object AudioFingerprint {
               while (c < ch) {
                 val o = off + c * (bits / 8)
                 s += (if (bits == 16) {
-                  (if (fmt.isBigEndian) ((buf(o) << 8) | (buf(o + 1) & 0xFF))
-                   else ((buf(o + 1) << 8) | (buf(o) & 0xFF))).toShort / 32768.0
-                } else (buf(o) & 0xFF) / 128.0 - 1.0)
+                  val v = if (fmt.isBigEndian) ((buf(o) << 8) | (buf(o + 1) & 0xFF))
+                          else ((buf(o + 1) << 8) | (buf(o) & 0xFF))
+                  if (signed) v.toShort / 32768.0
+                  else ((v & 0xFFFF) - 32768) / 32768.0
+                } else {
+                  if (signed) buf(o) / 128.0
+                  else (buf(o) & 0xFF) / 128.0 - 1.0
+                })
                 c += 1
               }
               acc += s / ch
@@ -141,21 +162,57 @@ object AudioFingerprint {
   }
 
   /** 64-bit spectral-envelope fingerprint of mono PCM. Clips shorter
-    * than one analysis frame are zero-padded to one frame. */
+    * than one analysis frame are zero-padded to one frame. Rates
+    * below 2×FMax cannot carry the full band grid (the top bands
+    * would integrate nothing but resampling images) — they return
+    * null rather than a hash that can never match a full-band twin. */
   def fingerprint64(samples: Array[Double], rate: Int): java.lang.Long = {
-    if (samples == null || samples.length == 0 || rate <= 0) return null
+    if (samples == null || samples.length == 0 || rate < 2 * FMax) return null
     val ratio = rate / TargetRate
     val outLen = math.max(FrameSize, (samples.length / ratio).toInt)
     val x = new Array[Double](outLen)
-    var i = 0
-    while (i < outLen) {
-      val pos = i * ratio
-      val j = pos.toInt
-      val frac = pos - j
-      val a = if (j < samples.length) samples(j) else 0.0
-      val b = if (j + 1 < samples.length) samples(j + 1) else a
-      x(i) = a + (b - a) * frac
-      i += 1
+    if (ratio <= 1.0) {
+      // upsampling: no aliasing possible, linear interpolation suffices
+      var i = 0
+      while (i < outLen) {
+        val pos = i * ratio
+        val j = pos.toInt
+        val frac = pos - j
+        val a = if (j < samples.length) samples(j) else 0.0
+        val b = if (j + 1 < samples.length) samples(j + 1) else a
+        x(i) = a + (b - a) * frac
+        i += 1
+      }
+    } else {
+      // decimation MUST low-pass first: a 44.1 kHz source with energy
+      // above 4 kHz would alias it straight into the band grid and
+      // flip band-order bits its properly-encoded low-rate twin
+      // doesn't have. Windowed-sinc kernel, cutoff at FMax (3.6 kHz
+      // — only [FMin, FMax) is analyzed, so the passband edge rides
+      // ON the top band edge), unity-DC-normalized per output sample.
+      val fn = FMax / rate // cutoff in cycles per input sample
+      val half = math.ceil(2.5 * ratio).toInt
+      var i = 0
+      while (i < outLen) {
+        val center = i * ratio
+        val j0 = math.max(0, math.ceil(center - half).toInt)
+        val j1 = math.min(samples.length - 1, math.floor(center + half).toInt)
+        var acc = 0.0; var wsum = 0.0
+        var j = j0
+        while (j <= j1) {
+          val t = j - center
+          val sinc = if (t == 0.0) 1.0 else {
+            val a = 2 * math.Pi * fn * t
+            math.sin(a) / a
+          }
+          val w = sinc * (0.5 + 0.5 * math.cos(math.Pi * t / (half + 1)))
+          acc += samples(j) * w
+          wsum += w
+          j += 1
+        }
+        x(i) = if (wsum > 1e-12) acc / wsum else 0.0
+        i += 1
+      }
     }
     val energy = new Array[Double](Bands)
     val re = new Array[Double](FrameSize)

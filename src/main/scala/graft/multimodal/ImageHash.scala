@@ -40,14 +40,34 @@ object ImageHash {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return null
-      // grayscale 32×32 via area-averaging rescale (robust to the
-      // source resolution; Graphics2D bilinear suffices at this size)
+      // progressive 2x halving before the final resize: one-shot
+      // bilinear to 32x32 only READS a 2x2 neighborhood per output
+      // pixel, so a 4000px photo would be point-sampled (aliased) and
+      // its 800px thumbnail would not — the two 32x32 planes would
+      // differ by aliasing noise that flips near-median DCT bits. Each
+      // bilinear halving IS a 2x2 box average, so the chain is a
+      // proper area-averaging pyramid at any source resolution.
+      var cur: java.awt.image.BufferedImage = img
+      while (cur.getWidth >= Size * 2 || cur.getHeight >= Size * 2) {
+        // halve each axis independently so a 4000x100 banner keeps
+        // averaging on its long axis after the short one bottoms out
+        val half = new java.awt.image.BufferedImage(
+          if (cur.getWidth >= Size * 2) cur.getWidth / 2 else cur.getWidth,
+          if (cur.getHeight >= Size * 2) cur.getHeight / 2 else cur.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val hg = half.createGraphics()
+        hg.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        hg.drawImage(cur, 0, 0, half.getWidth, half.getHeight, null)
+        hg.dispose()
+        cur = half
+      }
       val small = new java.awt.image.BufferedImage(Size, Size,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = small.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, Size, Size, null)
+      g.drawImage(cur, 0, 0, Size, Size, null)
       g.dispose()
       val gray = Array.ofDim[Double](Size, Size)
       var y = 0
@@ -133,5 +153,37 @@ object ImageHash {
                maxHamming: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val hashed = withPhash(media, contentCol, idCol).where(col("sh").isNotNull)
     graft.operators.Dedup.hammingCandidates(hashed, maxHamming, maxBucket)
+  }
+
+  // ---- deterministic fixtures ------------------------------------
+
+  /** Deterministic photo-statistics test image: 8×8 blocky "content"
+    * from a strong per-cell mix, plus a gentle gradient. A
+    * single-frequency sinusoid would be pHash's degenerate case
+    * (nearly all AC coefficients ~0, median thresholding unstable) —
+    * real photographs are not. The block granularity scales with the
+    * output size, so the same (seed, variant) at any resolution
+    * pHashes within a bit or two — the re-encode family. Mixing is
+    * splitmix64 per cell: the weaker multiplicative formula this
+    * replaced produced EXACT pHash collisions across different
+    * (seed, variant) pairs at fixture scale, which breaks
+    * planted-pair oracles. */
+  def patternImage(w: Int, h: Int, seed: Long, variant: Long = 0L): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var mix = seed * 0x9E3779B97F4A7C15L + variant * 0xBF58476D1CE4E5B9L +
+          ((x * 8 / w) * 8 + (y * 8 / h)).toLong * 0x94D049BB133111EBL
+        mix ^= (mix >>> 31); mix *= 0x94D049BB133111EBL; mix ^= (mix >>> 29)
+        val base = (mix >>> 24 & 0xFF).toInt
+        val c = math.min(255, base * 2 / 3 + (64 * x) / w + (64 * y) / h)
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 }

@@ -112,11 +112,17 @@ object VideoHash {
       .where(col("sh").isNotNull)
       // composite long: 57 bits of video id + 6 bits of ordinal.
       // Negative or oversized ids would alias across videos — refuse.
-      .select(when(col("video_id").between(0L, Long.MaxValue / MaxFrames - 1),
+      // (Long.MaxValue / MaxFrames = 2^57 - 1 itself still packs:
+      // (2^57-1)*64 + 63 = Long.MaxValue.)
+      .select(when(col("video_id").between(0L, Long.MaxValue / MaxFrames),
           col("video_id") * MaxFrames + col("ord"))
           .otherwise(raise_error(concat(lit("VideoHash: video id out of [0, 2^57) range: "),
             col("video_id").cast("string"))).cast(LongType)).as("doc_id"),
         col("sh"))
+      // the frame feeds counts AND candidate generation; materialize
+      // once — recomputing it would re-walk every container and
+      // re-decode every sampled frame per branch
+      .localCheckpoint()
     // bit ops, not division: doc_id >> 6 is exact at any id where a
     // double-valued division would round past 2^53
     val counts = hashed.groupBy(shiftright(col("doc_id"), 6).as("vid"))
@@ -142,33 +148,12 @@ object VideoHash {
 
   // ---- deterministic fixtures ------------------------------------
 
-  /** Deterministic logical frame for (id, instantMs): an 8×8 block
-    * pattern (scale-invariant granularity) with a gentle gradient,
-    * rendered at any resolution — the same (id, instant) at 96×96 and
-    * 48×48 pHash within a bit or two, different ids or instants land
-    * ~32 bits apart. Mirrors the image-dedup gate's pattern family. */
-  def patternFrame(id: Long, instantMs: Long, size: Int): java.awt.image.BufferedImage = {
-    val im = new java.awt.image.BufferedImage(size, size,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < size) {
-      var x = 0
-      while (x < size) {
-        // strong (splitmix64) per-cell mixing: the weaker
-        // multiplicative formula produced EXACT pHash collisions
-        // across different (id, instant) pairs at fixture scale
-        var mix = id * 0x9E3779B97F4A7C15L + instantMs * 0xBF58476D1CE4E5B9L +
-          ((x * 8 / size) * 8 + (y * 8 / size)).toLong * 0x94D049BB133111EBL
-        mix ^= (mix >>> 31); mix *= 0x94D049BB133111EBL; mix ^= (mix >>> 29)
-        val base = (mix >>> 24 & 0xFF).toInt
-        val c = math.min(255, base * 2 / 3 + (64 * x) / size + (64 * y) / size)
-        im.setRGB(x, y, (c << 16) | (c << 8) | c)
-        x += 1
-      }
-      y += 1
-    }
-    im
-  }
+  /** Deterministic logical frame for (id, instantMs): the shared
+    * [[ImageHash.patternImage]] family with the instant as the
+    * variant — the same (id, instant) at any resolution pHashes
+    * within a bit or two, different ids or instants land far apart. */
+  def patternFrame(id: Long, instantMs: Long, size: Int): java.awt.image.BufferedImage =
+    ImageHash.patternImage(size, size, id, instantMs)
 
   /** Deterministic MJPEG-AVI test clip: `logicalFrames` distinct
     * pictures, each held for `holdFrames` consecutive container

@@ -278,11 +278,11 @@ object Dedup {
 
   /**
    * Near-dup candidate pairs for ANY 64-bit hamming-metric hash
-   * (`doc_id`, `sh`) — text SimHash and image pHash ride the same
-   * plan. The hash splits into the smallest power-of-two block count
-   * exceeding `maxHamming` (pigeonhole: a pair within the threshold
-   * shares at least one block), so candidates come from bucket
-   * shuffles of ids + 8 bytes, never a cross join.
+   * (`doc_id`, `sh`) — text SimHash, image pHash, audio and video
+   * fingerprints all ride the same plan. The hash splits into exactly
+   * `maxHamming + 1` balanced blocks (pigeonhole: a pair within the
+   * threshold shares at least one block), so candidates come from
+   * bucket shuffles of ids + 8 bytes, never a cross join.
    *
    * Identical-hash pre-grouping is UNCONDITIONAL: the frame is
    * already ids + 8 bytes, so grouping and the star join shuffle
@@ -312,15 +312,33 @@ object Dedup {
                                        maxBucket: Int, align: Option[Column]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (pigeonhole blocks of >= 4 bits), got $maxHamming")
-    val nBlocks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
-    val width = 64 / nBlocks
-    val mask = (1L << width) - 1
+    // EXACT pigeonhole: maxHamming+1 blocks (h differing bits touch at
+    // most h of them, so one block is always intact) with balanced
+    // widths — NOT a power-of-two count. The block count is the
+    // shuffle multiplier and the block width is the bucket
+    // selectivity, so minimizing the count maximizes both: h=8 gets 9
+    // blocks of 7-8 bits (up to 256 bucket values) where a 16-block
+    // split would ship 16 rows into 16-value buckets that collapse
+    // under the maxBucket cap at ~10^4 distinct hashes. Selectivity
+    // still degrades as h rises (64/(h+1) bits per block) — at corpus
+    // scale prefer the smallest radius that catches the re-encode
+    // family, and size maxBucket for the expected bucket occupancy;
+    // overflowing buckets keep the maxBucket smallest ids (recall, not
+    // correctness, degrades).
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = Array.tabulate(nBlocks)(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
 
     def bucketPairs(input: DataFrame): DataFrame = {
       val blocked = input.select(
         col("doc_id"), col("sh"), col("algn"),
-        explode(array((0 until nBlocks).map(b => struct(lit(b).as("blk"),
-          shiftright(col("sh"), b * width).bitwiseAND(mask).as("bv"))): _*)).as("bb"))
+        explode(array((0 until nBlocks).map { b =>
+          val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), offsets(b)).bitwiseAND(mask).as("bv"))
+        }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("algn"),
           col("bb.blk").as("blk"), col("bb.bv").as("bv"))
       pairsFromBuckets(blocked, Seq("algn", "blk", "bv"), maxBucket, payloadCol = "sh")
@@ -329,7 +347,11 @@ object Dedup {
         .select("id_a", "id_b", "hamming").distinct()
     }
 
-    val tagged = withHash.withColumn("algn", align.getOrElse(lit(0)))
+    // the (id, hash) frame fans out to the pre-group AND the star
+    // join; materialize it once — for the multimodal families the
+    // hash is a decode+DCT/FFT per row, far too expensive to
+    // recompute per branch (the frame itself is ids + 8 bytes)
+    val tagged = withHash.withColumn("algn", align.getOrElse(lit(0))).localCheckpoint()
     val groups = tagged.groupBy(col("sh"), col("algn")).agg(min(col("doc_id")).as("rep"))
     val stars = tagged.join(groups, Seq("sh", "algn"))
       .where(col("doc_id") =!= col("rep"))

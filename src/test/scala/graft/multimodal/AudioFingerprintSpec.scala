@@ -74,6 +74,52 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pairs.select("hamming").collect().forall(_.getInt(0) <= 4))
   }
 
+  test("8-bit AIFF (signed PCM) fingerprints with its 16-bit WAV twin") {
+    import javax.sound.sampled._
+    // decode the WAV, re-encode the same samples as signed 8-bit AIFF
+    // via javax.sound itself — the decoder must honor PCM_SIGNED for
+    // 8-bit (treating it as unsigned adds a +2.0 step on negatives
+    // and scrambles the spectrum)
+    val wav = AudioFingerprint.toneClipWav(21L, 16000, 16, 0.8)
+    val Some((samples, rate)) = AudioFingerprint.pcmMono(wav)
+    val signed8 = samples.map(s => math.max(-128, math.min(127, (s * 127.0).round.toInt)).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 8, 1, 1, rate, true)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(signed8), fmt, signed8.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    val d = java.lang.Long.bitCount(
+      AudioFingerprint.fingerprint64(wav) ^ AudioFingerprint.fingerprint64(aiff))
+    assert(d <= 4, s"signed 8-bit AIFF moved the fingerprint $d bits")
+  }
+
+  test("ultrasonic content does not alias into the band grid on decimation") {
+    // the same band tones at 44.1 kHz, once clean and once with a
+    // strong 5.5 kHz tone on top (above the 4 kHz analysis Nyquist):
+    // without an anti-alias low-pass the 5.5 kHz tone folds to
+    // 2.5 kHz — squarely inside the band grid — and flips band-order
+    // bits the clean clip doesn't have
+    def withUltrasonic(id: Long, amp: Double): Array[Byte] = {
+      val clean = AudioFingerprint.toneClipWav(id, 44100, 16, 0.5)
+      val Some((samples, rate)) = AudioFingerprint.pcmMono(clean)
+      val spiked = samples.zipWithIndex.map { case (s, j) =>
+        s + amp * math.sin(2 * math.Pi * 5500.0 * j / rate)
+      }
+      val peak = spiked.map(math.abs).max
+      val ints = spiked.map(s => (s / peak * 0.9 * 32767.0).round.toInt)
+      Flac.encode(Array(ints), rate)
+    }
+    val clean = AudioFingerprint.fingerprint64(AudioFingerprint.toneClipWav(66L, 44100, 16, 0.5))
+    val spiked = AudioFingerprint.fingerprint64(withUltrasonic(66L, 0.5))
+    val d = java.lang.Long.bitCount(clean ^ spiked)
+    assert(d <= 4, s"ultrasonic tone aliased into the fingerprint: $d bits moved")
+  }
+
+  test("rates below the band grid's Nyquist need return null, not a never-matching hash") {
+    val low = AudioFingerprint.toneClipWav(7L, 6000, 16, 0.9)
+    assert(AudioFingerprint.fingerprint64(low) == null)
+  }
+
   test("exact-copy mass duplication pre-groups into stars (hamming 0)") {
     import spark.implicits._
     val b = AudioFingerprint.toneClipWav(5L, 16000, 16, 0.9)

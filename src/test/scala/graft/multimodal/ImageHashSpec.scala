@@ -6,29 +6,9 @@ import graft.SparkSpec
   * content, and the banded near-dup plan over media tables. */
 class ImageHashSpec extends SparkSpec {
 
-  /** Deterministic broad-spectrum test image (photo-like statistics):
-    * 8×8 blocky "content" from a seeded mix, plus a gradient. A
-    * single-frequency sinusoid would be pHash's degenerate case —
-    * nearly all AC coefficients ~0, median thresholding unstable —
-    * which real photographs are not. */
-  private def pattern(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val cell = (x / 8) * 131 + (y / 8) * 31 + seed * 7919
-        val mixed = (cell * 2654435761L) >>> 16
-        val base = (mixed & 0xFF).toInt
-        val grad = (64 * x) / w + (64 * y) / h
-        val c = math.min(255, (base * 2 / 3) + grad)
-        img.setRGB(x, y, (c << 16) | (c << 8) | c)
-        x += 1
-      }
-      y += 1
-    }
-    img
-  }
+  /** The shared deterministic photo-statistics fixture. */
+  private def pattern(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage =
+    ImageHash.patternImage(w, h, seed.toLong)
 
   private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -99,10 +79,43 @@ class ImageHashSpec extends SparkSpec {
     import spark.implicits._
     val a = pattern(96, 96, 11)
     val media = Seq((1L, png(a)), (2L, jpeg(a))).toDF("media_id", "content")
-    // 8-block (width-8) banding path
+    // 8 balanced blocks (width 8)
     assert(ImageHash.nearDups(media, maxHamming = 7).count() == 1)
-    // 16-block (width-4) banding path
+    // 13 balanced blocks (widths 5 and 4)
     assert(ImageHash.nearDups(media, maxHamming = 12).count() == 1)
     intercept[IllegalArgumentException](ImageHash.nearDups(media, maxHamming = 16).count())
+  }
+
+  test("a grainy 4-megapixel photo and its thumbnail hash together (no aliasing)") {
+    // one-shot bilinear to 32x32 point-samples a large source (2x2
+    // neighborhood per output pixel), so pixel-rate grain survives as
+    // aliasing noise in the 32x32 plane; the progressive halving
+    // pyramid averages it out, like the thumbnail encoder did
+    val large = pattern(2048, 2048, 33)
+    var y = 0
+    while (y < 2048) {
+      var x = 0
+      while (x < 2048) {
+        var m = x * 0x9E3779B97F4A7C15L + y * 0xBF58476D1CE4E5B9L
+        m ^= (m >>> 31); m *= 0x94D049BB133111EBL; m ^= (m >>> 29)
+        val noise = ((m >>> 32) % 65).toInt - 32 // ±32 grain at pixel rate
+        val c0 = large.getRGB(x, y) & 0xFF
+        val c = math.max(0, math.min(255, c0 + noise))
+        large.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    // a real thumbnail: the encoder's own area-averaged downscale
+    val thumb = new java.awt.image.BufferedImage(128, 128,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = thumb.createGraphics()
+    g.drawImage(large.getScaledInstance(128, 128, java.awt.Image.SCALE_AREA_AVERAGING),
+      0, 0, null)
+    g.dispose()
+    val d = ImageHash.distance(ImageHash.phash64(png(large)), ImageHash.phash64(png(thumb)))
+    assert(d <= 8, s"grainy large-vs-thumbnail drifted $d bits")
+    val other = ImageHash.phash64(png(pattern(2048, 2048, 34)))
+    assert(ImageHash.distance(ImageHash.phash64(png(large)), other) > 16)
   }
 }
