@@ -1459,6 +1459,32 @@ object SparkEntry {
       VideoHash.nearDups(media, everyMs = 400L).select("id_a", "id_b")
     }),
 
+    "q_wds_roundtrip" -> ((s, dir) => {
+      // WebDataset tar-shard round trip: a documents subset becomes
+      // (key, {txt, json}) samples, written as size-budgeted tar
+      // shards, streamed back through the tar parser, and projected
+      // to (doc_id, lang, text). The oracle replays the subset from
+      // the documents table, so a match proves the ustar writer, the
+      // streaming member parser, sample grouping and UTF-8 part
+      // round-tripping are all byte-lossless.
+      import graft.sources.WebDataset
+      val docs = t(s, dir, "documents").where(col("doc_id") % 29 === 0)
+      val samples = docs.select(
+        lpad(col("doc_id").cast("string"), 12, "0").as("key"),
+        map(
+          lit("txt"), encode(col("text"), "UTF-8"),
+          lit("json"), encode(to_json(struct(col("lang"))), "UTF-8")).as("parts"))
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      val out = s"$base/graft_wds_${ProcessHandle.current().pid()}"
+      WebDataset.write(samples.repartition(4, col("key")), out,
+        maxShardBytes = 1L << 20, overwrite = true)
+      WebDataset.read(s, s"$out/*.tar").select(
+        col("key").cast("long").as("doc_id"),
+        get_json_object(decode(element_at(col("parts"), "json"), "UTF-8"), "$.lang")
+          .as("lang"),
+        decode(element_at(col("parts"), "txt"), "UTF-8").as("text"))
+    }),
+
     "q_kafka_ingest" -> ((s, dir) => {
       // Kafka ingestion e2e over REAL loopback sockets and HTTP: a
       // bounded document subset → KafkaAvroSink (schema registered at
@@ -3193,6 +3219,13 @@ object SparkEntry {
       // replays the produced subset; the Spark side went through the
       // full broker + registry round trip
       "SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 = 0",
+
+    "q_wds_roundtrip" ->
+      // replays the sharded subset; the Spark side went through the
+      // tar write → parse → sample-group → decode round trip. The
+      // json leg drops the field for null lang (to_json omits nulls),
+      // which get_json_object reads back as null — same as the source
+      "SELECT doc_id, lang, text FROM documents WHERE doc_id % 29 = 0",
 
     "q_image_dedup" ->
       // replays the plant: each doc_id%17 image has ONE JPEG

@@ -86,7 +86,7 @@ object WarcSource {
   /** Magic-sniffed decompression: gzip (incl. multi-member) via the
     * JDK, zstd (incl. multi-frame — some corpora ship .warc.zst) via
     * the zstd-jni Spark already carries, plain passthrough otherwise. */
-  private def decompressed(in: java.io.BufferedInputStream): java.io.InputStream = {
+  private[sources] def decompressed(in: java.io.BufferedInputStream): java.io.InputStream = {
     in.mark(4)
     val m = Array(in.read(), in.read(), in.read(), in.read())
     in.reset()
