@@ -30,14 +30,14 @@ import org.apache.spark.sql.types._
  */
 object AudioFingerprint {
 
-  private val TargetRate = 8000.0
-  private val FrameSize = 2048 // 3.9 Hz/bin at 8 kHz
+  private[multimodal] val TargetRate = 8000.0
+  private[multimodal] val FrameSize = 2048 // 3.9 Hz/bin at 8 kHz
   private val Hop = 1024
   private val Bands = 65 // 64 adjacent comparisons = 64 bits
-  private val FMin = 200.0
-  private val FMax = 3600.0
+  private[multimodal] val FMin = 200.0
+  private[multimodal] val FMax = 3600.0
 
-  private lazy val hann: Array[Double] =
+  private[multimodal] lazy val hann: Array[Double] =
     Array.tabulate(FrameSize)(i => 0.5 - 0.5 * math.cos(2 * math.Pi * i / (FrameSize - 1)))
 
   /** Log-spaced band edges in Hz; band b covers [edge(b), edge(b+1)). */
@@ -58,7 +58,7 @@ object AudioFingerprint {
     math.sqrt(bandEdges(b) * bandEdges(b + 1))
 
   /** In-place iterative radix-2 Cooley–Tukey FFT (n = power of two). */
-  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+  private[multimodal] def fft(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
     var i = 1; var j = 0
     while (i < n) {
@@ -168,6 +168,16 @@ object AudioFingerprint {
     * null rather than a hash that can never match a full-band twin. */
   def fingerprint64(samples: Array[Double], rate: Int): java.lang.Long = {
     if (samples == null || samples.length == 0 || rate < 2 * FMax) return null
+    val x = resampleToGrid(samples, rate)
+    val outLen = x.length
+    fingerprintResampled(x, outLen)
+  }
+
+  /** Resample mono PCM onto the fixed 8 kHz analysis grid (callers
+    * guarantee rate ≥ 2×FMax and non-empty input; output is padded to
+    * at least one analysis frame). Shared by the clip fingerprint and
+    * the sub-fingerprint stream so both see identical samples. */
+  private[multimodal] def resampleToGrid(samples: Array[Double], rate: Int): Array[Double] = {
     val ratio = rate / TargetRate
     val outLen = math.max(FrameSize, (samples.length / ratio).toInt)
     val x = new Array[Double](outLen)
@@ -214,6 +224,10 @@ object AudioFingerprint {
         i += 1
       }
     }
+    x
+  }
+
+  private def fingerprintResampled(x: Array[Double], outLen: Int): java.lang.Long = {
     val energy = new Array[Double](Bands)
     val re = new Array[Double](FrameSize)
     val im = new Array[Double](FrameSize)
