@@ -504,6 +504,20 @@ object GraftFunctions {
         require(children.length == 2,
           s"robots_allowed expects 2 arguments, got ${children.length}")
         RobotsAllowed(children(0), children(1))
+      }),
+    ("mih_pairs",
+      new ExpressionInfo(classOf[MihPairs].getName, "mih_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 6,
+          s"mih_pairs expects 6 arguments, got ${children.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType => l.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"mih_pairs: $name must be an integer literal, got $other")
+        }
+        MihPairs(children(0), children(1), children(2),
+          intLit(children(3), "maxHamming"), intLit(children(4), "radius"),
+          intLit(children(5), "nBlocks"))
       }))
 
   /** Idempotent per-session registration. */
@@ -554,6 +568,12 @@ object GraftFunctions {
   def tokenWindowHashes(tokens: Column, windowSize: Int): Column =
     call_function("token_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(windowSize))
+  def mihPairs(anchors: Column, probes: Column, blk: Column,
+               maxHamming: Int, radius: Int, nBlocks: Int): Column =
+    call_function("mih_pairs", anchors, probes, blk,
+      org.apache.spark.sql.functions.lit(maxHamming),
+      org.apache.spark.sql.functions.lit(radius),
+      org.apache.spark.sql.functions.lit(nBlocks))
   def maxCosineSim(vec: Column, vectors: Seq[Seq[Float]]): Column =
     call_function("max_cosine_sim", vec,
       org.apache.spark.sql.functions.lit(MaxCosineSim.serialize(vectors)))

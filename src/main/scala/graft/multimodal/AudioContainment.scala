@@ -177,10 +177,16 @@ object AudioContainment {
       .agg(max(struct(col("matched"), col("delta"))).as("best"))
       .select(col("needle_id"), col("haystack_id"),
         col("best.matched").as("matched"), col("best.delta").as("delta"))
-    best.join(nCounts, "needle_id")
+    val out = best.join(nCounts, "needle_id")
       .where(col("matched") >= greatest(lit(minMatched),
         ceil(col("frames_n") * minMatchFrac)))
       .select(col("needle_id"), col("haystack_id"), col("matched"),
         col("frames_n"), (col("delta") * HopMs).as("offset_ms"))
+      // materialize the (small) containment report eagerly, then
+      // release the decoded needle-fingerprint checkpoint instead of
+      // pinning it for the session (the r14 bench leak class)
+      .localCheckpoint(true)
+    graft.operators.CheckpointDiscipline.freeLocalCheckpoint(n)
+    out
   }
 }

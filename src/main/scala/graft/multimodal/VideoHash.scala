@@ -138,12 +138,18 @@ object VideoHash {
       // already holds; least/greatest keeps the invariant explicit
       .select(least(col("va"), col("vb")).as("va"), greatest(col("va"), col("vb")).as("vb"))
       .groupBy("va", "vb").agg(count(lit(1)).as("matched"))
-    pairs
+    val out = pairs
       .join(counts.select(col("vid").as("va"), col("n").as("frames_a")), "va")
       .join(counts.select(col("vid").as("vb"), col("n").as("frames_b")), "vb")
       .where(col("matched") >= ceil(least(col("frames_a"), col("frames_b")) * minMatchFrac))
       .select(col("va").as("id_a"), col("vb").as("id_b"),
         col("matched"), col("frames_a"), col("frames_b"))
+      // materialize the (small) match list eagerly, then release the
+      // decoded frame-hash checkpoint — pinning it for the session
+      // was one of the r14 bench's cross-query memory leaks
+      .localCheckpoint(true)
+    graft.operators.CheckpointDiscipline.freeLocalCheckpoint(hashed)
+    out
   }
 
   // ---- deterministic fixtures ------------------------------------

@@ -279,10 +279,26 @@ object Dedup {
   /**
    * Near-dup candidate pairs for ANY 64-bit hamming-metric hash
    * (`doc_id`, `sh`) — text SimHash, image pHash, audio and video
-   * fingerprints all ride the same plan. The hash splits into exactly
-   * `maxHamming + 1` balanced blocks (pigeonhole: a pair within the
-   * threshold shares at least one block), so candidates come from
-   * bucket shuffles of ids + 8 bytes, never a cross join.
+   * fingerprints all ride the same plan: MULTI-INDEX HASHING
+   * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+   * Multi-Index Hashing", CVPR 2012). The hash splits into `m` WIDE
+   * blocks; each row lands in its exact per-block bucket (its
+   * "anchor") and additionally PROBES every bucket within radius `t`
+   * bit-flips of that value. Pigeonhole: a pair within hamming `h`
+   * has some block differing in at most ⌊h/m⌋ ≤ t bits, so the pair
+   * meets as anchor×probe (or anchor×anchor when that block is
+   * identical) — coverage holds for all h ≤ m·(t+1) − 1. Candidates
+   * come from bucket shuffles of ids + 8 bytes, never a cross join.
+   *
+   * Why wide-blocks-plus-probing instead of the naive `h+1` exact
+   * blocks: the exact split's selectivity is its block width, and at
+   * h = 10 that is 64/11 ≈ 6 bits — 64 distinct bucket values per
+   * block, so at ANY real corpus size every bucket saturates and
+   * pair generation inside buckets goes quadratic-to-the-cap while
+   * the cap silently truncates recall. MIH keeps blocks ≥ 10 bits
+   * (≥ 1024 bucket values — see [[mihPlan]]) at every supported
+   * radius and pays with probe rows (still ids + 8 bytes each), the
+   * trade that holds up at corpus scale.
    *
    * Identical-hash pre-grouping is UNCONDITIONAL: the frame is
    * already ids + 8 bytes, so grouping and the star join shuffle
@@ -292,10 +308,68 @@ object Dedup {
    * metric is a function of the hash itself. The pair set is
    * transitively complete, not pairwise-exhaustive — feed it to
    * [[DupGroups]].
+   *
+   * The returned pair frame is materialized EAGERLY (it is the small
+   * end of the funnel — true candidates only, after the exact
+   * hamming filter) so the (id, hash) input cache can be released
+   * before returning; for the multimodal families that input is a
+   * decode+DCT/FFT per row and must compute exactly once.
+   *
+   * Anchors and probes are capped at `maxBucket` EACH per bucket,
+   * keeping the smallest ids (deterministic; recall, not
+   * correctness, degrades on overflow). A pair is emitted only from
+   * its first qualifying block, so a probe capped away there is not
+   * retried in later blocks — size `maxBucket` above the expected
+   * per-bucket probe occupancy n·C(w,≤t)/2^w.
    */
   private[graft] def hammingCandidates(withHash: DataFrame, maxHamming: Int,
                                        maxBucket: Int): DataFrame =
     hammingCandidates(withHash, maxHamming, maxBucket, align = None)
+
+  /**
+   * Multi-index-hashing plan (blockCount, probeRadius) for a 64-bit
+   * hash at `maxHamming`: the cheapest plan whose pigeonhole covers
+   * the radius — m·(t+1) − 1 ≥ maxHamming — while every block keeps
+   * at least 10 bits (≥ 2^10 bucket values), the selectivity floor
+   * that stops buckets collapsing at corpus scale.
+   *
+   *  - h ≤ 5: `h+1` exact blocks, no probes (widths 64/(h+1) ≥ 10;
+   *    the minimal-shuffle classic — one row per block per doc).
+   *  - h ≤ 7: 4 × 16-bit blocks, radius 1 (16 probe rows/block).
+   *  - h ≤ 11: 4 × 16-bit blocks, radius 2 (136 probes/block).
+   *  - h ≤ 15: 4 × 16-bit blocks, radius 3 (696 probes/block).
+   *
+   * Probe-row counts rise combinatorially with the radius — that is
+   * MIH's documented trade (ibid. §3.2): per-block enumeration cost
+   * C(w,≤t) against per-bucket occupancy n/2^w. At the widths above
+   * the probe rows stay ids + 8 bytes and the candidate-check work
+   * per doc is n·C(w,≤t)/2^w per block — bounded selectivity at any
+   * corpus size, unlike narrow exact blocks whose occupancy is
+   * n/2^6 at h = 10.
+   */
+  private[graft] def mihPlan(maxHamming: Int): (Int, Int) = maxHamming match {
+    case h if h <= 5  => (h + 1, 0)
+    case h if h <= 7  => (4, 1)
+    case h if h <= 11 => (4, 2)
+    case _            => (4, 3)
+  }
+
+  /** Balanced block widths for an m-way split of 64 bits. */
+  private[graft] def mihWidths(nBlocks: Int): Array[Int] = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    Array.tabulate(nBlocks)(b => if (b < extra) base + 1 else base)
+  }
+
+  /** All XOR masks of weight 1..radius within `width` bits — the
+    * probe enumeration of one MIH block (the exact value itself is
+    * the anchor row, emitted separately with a 0 mask). */
+  private[graft] def probeMasks(width: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start to width - left).flatMap(i => combos(i + 1, left - 1, acc | (1L << i)))
+    (1 to radius).flatMap(r => combos(0, r, 0L))
+  }
 
   /**
    * As [[hammingCandidates]], but with an optional ALIGNMENT
@@ -311,27 +385,15 @@ object Dedup {
   private[graft] def hammingCandidates(withHash: DataFrame, maxHamming: Int,
                                        maxBucket: Int, align: Option[Column]): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (pigeonhole blocks of >= 4 bits), got $maxHamming")
-    // EXACT pigeonhole: maxHamming+1 blocks (h differing bits touch at
-    // most h of them, so one block is always intact) with balanced
-    // widths — NOT a power-of-two count. The block count is the
-    // shuffle multiplier and the block width is the bucket
-    // selectivity, so minimizing the count maximizes both: h=8 gets 9
-    // blocks of 7-8 bits (up to 256 bucket values) where a 16-block
-    // split would ship 16 rows into 16-value buckets that collapse
-    // under the maxBucket cap at ~10^4 distinct hashes. Selectivity
-    // still degrades as h rises (64/(h+1) bits per block) — at corpus
-    // scale prefer the smallest radius that catches the re-encode
-    // family, and size maxBucket for the expected bucket occupancy;
-    // overflowing buckets keep the maxBucket smallest ids (recall, not
-    // correctness, degrades).
-    val nBlocks = maxHamming + 1
-    val base = 64 / nBlocks
-    val extra = 64 % nBlocks
-    val widths = Array.tabulate(nBlocks)(b => if (b < extra) base + 1 else base)
+      s"maxHamming must be in [0, 15] (radius-3 probing on 16-bit blocks), got $maxHamming")
+    graft.expr.GraftFunctions.ensure(withHash.sparkSession)
+    val (nBlocks, radius) = mihPlan(maxHamming)
+    val widths = mihWidths(nBlocks)
     val offsets = widths.scanLeft(0)(_ + _)
+    val extra = 64 % nBlocks
 
     def bucketPairs(input: DataFrame): DataFrame = {
+      // one row per (doc, block): the exact block value
       val blocked = input.select(
         col("doc_id"), col("sh"), col("algn"),
         explode(array((0 until nBlocks).map { b =>
@@ -340,24 +402,95 @@ object Dedup {
             shiftright(col("sh"), offsets(b)).bitwiseAND(mask).as("bv"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("algn"),
-          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-      pairsFromBuckets(blocked, Seq("algn", "blk", "bv"), maxBucket, payloadCol = "sh")
-        .withColumn("hamming", hamming(col("payload_a").cast("long"), col("payload_b").cast("long")))
-        .where(col("hamming") <= maxHamming)
-        .select("id_a", "id_b", "hamming").distinct()
+          col("bb.blk").as("blk"), col("bb.bv").as("bv0"))
+      // fan out to anchor (mask 0) + radius-t probe rows. The mask
+      // lists ride the plan as TWO all-literal arrays (balanced
+      // widths differ by at most one bit) that ConstantFolding
+      // collapses to single array literals before codegen — radius 3
+      // is 696 masks and must never be per-mask expression nodes in
+      // the hot path. Built with lit(), not typedlit(): typedlit's
+      // TypeTag route needs runtime reflection, which REPL/notebook
+      // classloaders have been observed to break. Probe rows are
+      // still (ids + 8 bytes) each.
+      def maskArray(width: Int): Column =
+        array((0L +: probeMasks(width, radius)).map(lit(_)): _*)
+      val entries =
+        if (radius == 0) blocked.select(col("doc_id"), col("sh"), col("algn"),
+          col("blk"), col("bv0").as("bv"), lit(false).as("probe"))
+        else {
+          val wideMasks = maskArray(widths(0))
+          val narrowMasks = maskArray(widths(nBlocks - 1))
+          blocked.select(col("doc_id"), col("sh"), col("algn"), col("blk"), col("bv0"),
+            explode(if (extra == 0) narrowMasks
+                    else when(col("blk") < extra, wideMasks).otherwise(narrowMasks)).as("_m"))
+            .select(col("doc_id"), col("sh"), col("algn"), col("blk"),
+              col("bv0").bitwiseXOR(col("_m")).as("bv"), (col("_m") =!= 0L).as("probe"))
+        }
+      // Bucket rows, then generate pairs INSIDE the per-bucket lambda
+      // with the full acceptance predicate — both members carry the
+      // 64-bit hash, so the exact hamming check AND the cross-block
+      // dedup rule run before anything is emitted. The dedup rule:
+      // a pair is emitted only from its FIRST qualifying block (the
+      // smallest b where the pair's block distance is within the
+      // probe radius) and, for anchor×probe, only in the smaller
+      // doc's anchor bucket — which makes every emission globally
+      // UNIQUE by construction, so no dropDuplicates shuffle of the
+      // candidate stream ever happens (the r14 plan shuffled every
+      // raw emission twice; on a clustered corpus with ~400k true
+      // pairs that was most of its 20 s). Probe×probe is never
+      // paired: it only reaches block distance ≤ 2t, candidates the
+      // radius-t guarantee does not need, and would square the probe
+      // population's contribution.
+      // pin the bucket exchange to the session's shuffle parallelism:
+      // entry rows are tiny (ids + 8 bytes) but the per-bucket work is
+      // CPU-heavy, so AQE's BYTE-based coalescing systematically
+      // under-partitions this stage (measured: coalesced to 2
+      // partitions at 2.9M entries → 5.8 s; pinned at 32 → 1.3 s). An
+      // explicit numPartitions is exempt from AQE coalescing, and the
+      // groupBy below reuses the same hash partitioning, so this adds
+      // no extra exchange.
+      val sp = withHash.sparkSession.sessionState.conf.numShufflePartitions
+      val bucketed = entries
+        .repartition(sp, col("algn"), col("blk"), col("bv"))
+        .groupBy(col("algn"), col("blk"), col("bv"))
+        .agg(
+          slice(sort_array(collect_list(when(!col("probe"),
+            struct(col("doc_id"), col("sh").as("_p"))))), 1, maxBucket).as("anchors"),
+          slice(sort_array(collect_list(when(col("probe"),
+            struct(col("doc_id"), col("sh").as("_p"))))), 1, maxBucket).as("probes"))
+        .where(size(col("anchors")) > 0 &&
+          size(col("anchors")) + size(col("probes")) > 1)
+      // The per-bucket pair loop is the native [[graft.expr.MihPairs]]
+      // expression, not SQL higher-order functions: the acceptance
+      // checks are O(anchors × (anchors + probes)) per bucket and
+      // lambda evaluation is interpreted per element (measured 7.8 s
+      // for the sf0.1 gate corpus vs sub-second native).
+      bucketed.select(explode(graft.expr.GraftFunctions.mihPairs(
+          col("anchors"), col("probes"), col("blk"),
+          maxHamming, radius, nBlocks)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.hamming").as("hamming"))
     }
 
     // the (id, hash) frame fans out to the pre-group AND the star
-    // join; materialize it once — for the multimodal families the
-    // hash is a decode+DCT/FFT per row, far too expensive to
-    // recompute per branch (the frame itself is ids + 8 bytes)
-    val tagged = withHash.withColumn("algn", align.getOrElse(lit(0))).localCheckpoint()
-    val groups = tagged.groupBy(col("sh"), col("algn")).agg(min(col("doc_id")).as("rep"))
-    val stars = tagged.join(groups, Seq("sh", "algn"))
-      .where(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
-    stars.unionByName(bucketPairs(
-      groups.select(col("rep").as("doc_id"), col("sh"), col("algn"))))
+    // join; cache it (ids + 8 bytes) so the hash — a decode+DCT/FFT
+    // per row for the multimodal families — computes exactly once,
+    // then RELEASE it once the candidate pairs are materialized:
+    // operators that pin intermediates and never let go are what made
+    // the r14 bench sweep read 16× phantom regressions on downstream
+    // queries (block-manager squeeze), so the discipline is
+    // persist → eager small output → unpersist.
+    val tagged = withHash.withColumn("algn", align.getOrElse(lit(0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val groups = tagged.groupBy(col("sh"), col("algn")).agg(min(col("doc_id")).as("rep"))
+      val stars = tagged.join(groups, Seq("sh", "algn"))
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
+      stars.unionByName(bucketPairs(
+        groups.select(col("rep").as("doc_id"), col("sh"), col("algn"))))
+        .localCheckpoint(true)
+    } finally { tagged.unpersist(); () }
   }
 
   /**
@@ -383,28 +516,6 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /**
-   * Intra-bucket pair generation carrying a small fixed-size payload
-   * (a 64-bit simhash, a short signature — never raw text/vectors):
-   * lets the verify step run without a join back to the corpus.
-   */
-  private[operators] def pairsFromBuckets(df: DataFrame, keyCols: Seq[String],
-                                          maxBucket: Int, payloadCol: String): DataFrame = {
-    val bucketed = df
-      .groupBy(keyCols.map(col): _*)
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col(payloadCol).as("_p")))), 1, maxBucket)
-        .as("members"))
-      .where(size(col("members")) > 1)
-    bucketed.select(explode(expr(
-      """
-      flatten(transform(members, (a, i) ->
-        transform(slice(members, i + 2, size(members)), b ->
-          struct(a.doc_id as id_a, b.doc_id as id_b, a._p as payload_a, b._p as payload_b))))
-      """)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.payload_a").as("payload_a"), col("p.payload_b").as("payload_b"))
-      .dropDuplicates("id_a", "id_b")
-  }
 }
 
 /**

@@ -76,6 +76,9 @@ object DupGroups {
       val spark = pairs.sparkSession
       val edges = und.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the edge list is on the driver now — release its checkpoint
+      // blocks instead of pinning them for the session's lifetime
+      CheckpointDiscipline.freeLocalCheckpoint(und)
       val labels = unionFindLabels(edges)
       import spark.implicits._
       val out = labels.toSeq.toDF("id", "group_id")
@@ -92,7 +95,10 @@ object DupGroups {
 
     // no candidate edges (every pair was a self-loop, or `pairs` is
     // empty — a normal production case): nothing to group
-    if (labels.isEmpty) return labels.select(col("id"), col("comp").as("group_id"))
+    if (labels.isEmpty) {
+      CheckpointDiscipline.freeLocalCheckpoint(und)
+      return labels.select(col("id"), col("comp").as("group_id"))
+    }
 
     // convergence = no label changed this round — an exact check that
     // works for ANY id type (a label-sum variant would cast string ids
@@ -126,9 +132,15 @@ object DupGroups {
           coalesce(col("ccomp"), col("x.comp")).as("comp"))
         .localCheckpoint()
       converged = changedCount(compressed, labels) == 0
+      // the previous round's labels are superseded the moment the new
+      // checkpoint is materialized AND the convergence check has read
+      // them — release the blocks now, or a long component chain pins
+      // every round's frame until session end
+      CheckpointDiscipline.freeLocalCheckpoint(labels)
       labels = compressed
       it += 1
     }
+    CheckpointDiscipline.freeLocalCheckpoint(und)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +

@@ -344,4 +344,87 @@ class DedupSpec extends SparkSpec {
       .distinct().count()
     assert(ids == 300, s"stars must cover all capped-out members: $ids")
   }
+
+  test("MIH plan: every supported radius keeps >= 2^10 bucket values per block and full pigeonhole coverage") {
+    for (h <- 0 to 15) {
+      val (m, t) = Dedup.mihPlan(h)
+      assert(m * (t + 1) - 1 >= h,
+        s"h=$h: plan ($m blocks, radius $t) covers only ${m * (t + 1) - 1}")
+      val widths = Dedup.mihWidths(m)
+      assert(widths.sum == 64, s"h=$h: widths ${widths.toSeq} must partition 64 bits")
+      widths.foreach(w => assert(w >= 10,
+        s"h=$h: block width $w < 10 bits — bucket keyspace ${1L << w} would collapse at corpus scale"))
+      // probe enumeration: exactly sum_{i=1..t} C(w, i) distinct masks
+      // of weight 1..t within the block width
+      for (w <- widths.distinct) {
+        val masks = Dedup.probeMasks(w, t)
+        def choose(n: Int, k: Int): Long =
+          (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+        val expected = (1 to t).map(choose(w, _)).sum
+        assert(masks.length == expected, s"h=$h w=$w: ${masks.length} masks != $expected")
+        assert(masks.distinct.length == masks.length, s"h=$h w=$w: duplicate masks")
+        masks.foreach { mk =>
+          val bits = java.lang.Long.bitCount(mk)
+          assert(bits >= 1 && bits <= t, s"h=$h w=$w: mask weight $bits outside [1, $t]")
+          assert((mk >>> w) == 0, s"h=$h w=$w: mask $mk exceeds block width")
+        }
+      }
+    }
+  }
+
+  test("MIH exactness: candidate pairs equal the brute-force hamming ball on distinct hashes") {
+    // distinct hashes (no identical-hash pre-grouping in play, no cap
+    // pressure), so the guarantee is EXACT: output = all pairs within
+    // the radius. Mix of one tight cluster (bit-flips of a seed) and
+    // a uniform background, exercised across plan regimes:
+    // h=3 -> 4 exact blocks, h=7 -> radius 1, h=10 -> radius 2.
+    val rnd = new scala.util.Random(7)
+    val seedHash = rnd.nextLong()
+    val hashes = (
+      (0 until 120).map(_ => seedHash ^ (0 until rnd.nextInt(13)).map(_ => 1L << rnd.nextInt(64)).foldLeft(0L)(_ | _)) ++
+      (0 until 300).map(_ => rnd.nextLong())
+    ).distinct.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    for (maxH <- Seq(3, 7, 10)) {
+      val expected = (for {
+        i <- hashes.indices; j <- (i + 1) until hashes.length
+        if java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= maxH
+      } yield (hashes(i)._1, hashes(j)._1)).toSet
+      val got = Dedup.hammingCandidates(
+          hashes.toDF("doc_id", "sh"), maxH, maxBucket = 100000)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length,
+        s"h=$maxH: duplicate pair emissions — first-block dedup broken")
+      assert(got.toSet == expected,
+        s"h=$maxH: got ${got.length} pairs, expected ${expected.size}")
+    }
+  }
+
+  test("MIH recall at realistic cardinality: >= 0.95 on planted h=8 pairs in a 100k-hash population") {
+    // the r14 lesson: 9 narrow blocks at h=8 kept gates green at 5k
+    // rows while every bucket would saturate maxBucket at web-image
+    // scale. 100k+ distinct hashes with the DEFAULT cap is where that
+    // collapse shows; wide MIH blocks must hold recall.
+    val n = 100000
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val planted = 500
+    val rnd = new scala.util.Random(11)
+    // base population + planted partners at exactly 8 flipped bits
+    val rows = ((0 until n).map(i => (i.toLong, splitmix(i.toLong))) ++
+      (0 until planted).map { p =>
+        val base = splitmix(p.toLong * 200)
+        var mask = 0L
+        while (java.lang.Long.bitCount(mask) < 8) mask |= 1L << rnd.nextInt(64)
+        ((n + p).toLong, base ^ mask)
+      }).toDF("doc_id", "sh")
+    val pairs = Dedup.hammingCandidates(rows, maxHamming = 8, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hit = (0 until planted).count(p => pairs.contains((p.toLong * 200, (n + p).toLong)))
+    assert(hit >= (planted * 0.95).toInt,
+      s"recall ${hit.toDouble / planted} < 0.95 at h=8 with default maxBucket")
+  }
 }
