@@ -75,9 +75,14 @@ object KafkaBatch {
    * check, the offset-range filter, strict pre-advance
    * materialization. Task memory = one fetch response.
    */
-  final class RangeFetchIterator(client: KafkaWireClient, range: PartitionRange,
-                                 initialMaxBytes: Int)
+  final class RangeFetchIterator private[kafka] (
+      fetchFn: (Long, Int) => FetchResult, range: PartitionRange, initialMaxBytes: Int)
       extends Iterator[KafkaWire.KafkaRecord] {
+
+    def this(client: KafkaWireClient, range: PartitionRange, initialMaxBytes: Int) =
+      this((off, mb) => client.fetch(range.topic, range.partition, off, mb),
+        range, initialMaxBytes)
+
     private var page: Iterator[KafkaWire.KafkaRecord] = Iterator.empty
     private var nextOffset = range.start
     private var fetchBytes = initialMaxBytes
@@ -93,7 +98,7 @@ object KafkaBatch {
     }
 
     private def fetchPage(): Unit = {
-      val res = client.fetch(range.topic, range.partition, nextOffset, fetchBytes)
+      val res = fetchFn(nextOffset, fetchBytes)
       if (res.records.isEmpty) {
         if (res.highWatermark > nextOffset) {
           // first message larger than the window: escalate, like
@@ -113,7 +118,16 @@ object KafkaBatch {
         // iterator would capture the var and see the advanced value
         val from = nextOffset
         page = res.records.filter(r => r.offset >= from && r.offset < range.end).iterator
-        nextOffset = math.max(nextOffset, res.records.map(_.offset).max + 1)
+        val advanced = res.records.map(_.offset).max + 1
+        // forward-progress guard: a nonconforming broker returning a
+        // non-empty page whose max offset sits below the requested
+        // fetch offset would otherwise re-fetch the same page forever
+        if (advanced <= nextOffset)
+          throw new IllegalStateException(
+            s"${range.topic}/${range.partition}: fetch at $nextOffset returned " +
+              s"${res.records.size} records ending below it (max offset ${advanced - 1}) — " +
+              "no forward progress; refusing to spin")
+        nextOffset = advanced
       }
     }
   }

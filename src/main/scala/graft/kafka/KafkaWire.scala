@@ -18,15 +18,23 @@ import scala.collection.mutable
  * implementing the PUBLIC protocol from its specification
  * (kafka.apache.org/protocol). Only classic, non-flexible request
  * versions are used — fixed-width big-endian primitives, INT16-length
- * strings, INT32-length bytes/arrays — with the v1 message format
- * (magic 1: CRC32-guarded, timestamped messages), which every broker
- * since 0.10 accepts for both produce and fetch:
+ * strings, INT32-length bytes/arrays — speaking BOTH message formats:
  *
  *  - ApiVersions v0  (18) — handshake / capability probe
  *  - Metadata    v1  (3)  — brokers, partition leaders
  *  - ListOffsets v1  (2)  — earliest/latest log offsets
  *  - Fetch       v2  (1)  — ranged consumption, MessageSet v1
+ *  - Fetch       v4  (1)  — ranged consumption, RecordBatch v2
  *  - Produce     v2  (0)  — acked writes, MessageSet v1
+ *  - Produce     v3  (0)  — acked writes, RecordBatch v2
+ *
+ * The client negotiates per cluster via ApiVersions: brokers
+ * advertising Produce ≥ 3 and Fetch ≥ 4 get the v2 record-batch
+ * format (magic 2: zigzag-varint records, CRC32C over the batch —
+ * REQUIRED by Kafka 4.x, which removed v0/v1 write support per
+ * KIP-724); older brokers (0.10–3.x) get the v1 MessageSet path. The
+ * fetch decoder walks both formats in one pass, so mixed-format logs
+ * on an upgraded cluster parse either way.
  *
  * The client is deliberately a BATCH-shaped primitive: no consumer
  * groups, no heartbeats, no rebalance protocol. Offset ranges are
@@ -76,6 +84,19 @@ object KafkaWire {
       this
     }
     def raw(b: Array[Byte]): this.type = { out.write(b); this }
+    /** Zigzag + LE base-128 varint — the v2 record-field encoding. */
+    def varlong(v: Long): this.type = {
+      var z = (v << 1) ^ (v >> 63) // zigzag
+      while ((z & ~0x7FL) != 0) { out.writeByte(((z & 0x7F) | 0x80).toInt); z >>>= 7 }
+      out.writeByte(z.toInt)
+      this
+    }
+    def varint(v: Int): this.type = varlong(v.toLong)
+    /** VARINT-length-prefixed bytes (-1 = null) — v2 record key/value. */
+    def varBytes(b: Array[Byte]): this.type = {
+      if (b == null) varint(-1) else { varint(b.length); out.write(b) }
+      this
+    }
     def toBytes: Array[Byte] = { out.flush(); bos.toByteArray }
   }
 
@@ -101,6 +122,25 @@ object KafkaWire {
       if (n < 0) null
       else { val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b }
     }
+    /** Zigzag + LE base-128 varint (v2 record fields). */
+    def varlong(): Long = {
+      var z = 0L; var shift = 0
+      var b = buf(pos); pos += 1
+      while ((b & 0x80) != 0) {
+        z |= (b & 0x7FL) << shift; shift += 7
+        require(shift <= 63, "varint longer than 64 bits")
+        b = buf(pos); pos += 1
+      }
+      z |= (b & 0x7FL) << shift
+      (z >>> 1) ^ -(z & 1) // un-zigzag
+    }
+    def varint(): Int = varlong().toInt
+    def varBytes(): Array[Byte] = {
+      val n = varint()
+      if (n < 0) null
+      else { val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b }
+    }
+    def skip(n: Int): Unit = pos += n
   }
 
   // ── message format v1 (magic 1) ──────────────────────────────────
@@ -136,45 +176,213 @@ object KafkaWire {
     w.toBytes
   }
 
+  /** Minimum v1 message body: crc(4) + magic(1) + attributes(1) +
+    * timestamp(8) + key length(4) + value length(4). A declared size
+    * below this mid-buffer is CORRUPTION, not a partial tail. */
+  private val MinV1MessageBytes = 22
+
   /**
    * Decode a fetched MessageSet. A broker returns whole log segments
    * sliced at `max_bytes`, so the LAST entry is routinely truncated
    * mid-message — the protocol requires consumers to drop the partial
-   * tail and re-fetch from the next offset, not to error. Complete
-   * messages are CRC-checked; a corrupt message fails loudly.
+   * tail and re-fetch from the next offset, not to error. The
+   * partial-tail rule applies ONLY when the remaining buffer is
+   * shorter than the declared size; a size below the 22-byte v1
+   * minimum anywhere is corruption and fails loudly, naming the
+   * offset (silently treating it as a tail used to truncate the fetch
+   * and surface later as a misleading maxBytes-escalation failure).
+   * Complete messages are CRC-checked; a corrupt message fails loudly.
    */
   def decodeMessageSet(buf: Array[Byte]): Seq[KafkaRecord] = {
     val out = Vector.newBuilder[KafkaRecord]
     var pos = 0
-    while (buf.length - pos >= 12) {
-      val offset = ((buf(pos) & 0xFFL) << 56) | ((buf(pos + 1) & 0xFFL) << 48) |
-        ((buf(pos + 2) & 0xFFL) << 40) | ((buf(pos + 3) & 0xFFL) << 32) |
-        ((buf(pos + 4) & 0xFFL) << 24) | ((buf(pos + 5) & 0xFFL) << 16) |
-        ((buf(pos + 6) & 0xFFL) << 8) | (buf(pos + 7) & 0xFFL)
-      val size = ((buf(pos + 8) & 0xFF) << 24) | ((buf(pos + 9) & 0xFF) << 16) |
-        ((buf(pos + 10) & 0xFF) << 8) | (buf(pos + 11) & 0xFF)
-      if (size < 14 || buf.length - pos - 12 < size) {
-        // partial trailing message: stop, caller re-fetches
-        return out.result()
+    var stop = false
+    while (!stop && buf.length - pos >= 12) {
+      val entry = decodeV1Entry(buf, pos)
+      entry match {
+        case Some((rec, next)) => out += rec; pos = next
+        case None => stop = true // partial trailing message: caller re-fetches
       }
-      val msg = java.util.Arrays.copyOfRange(buf, pos + 12, pos + 12 + size)
-      val r = new Reader(msg)
-      val crc = r.int32()
-      val actual = new java.util.zip.CRC32()
-      actual.update(msg, 4, msg.length - 4)
-      require(actual.getValue.toInt == crc,
-        s"corrupt message at offset $offset: CRC mismatch (stored $crc, computed ${actual.getValue.toInt})")
-      val magic = r.int8()
-      require(magic == 1, s"unsupported message magic $magic at offset $offset (client speaks v1 sets)")
-      val attributes = r.int8()
-      require((attributes & 0x07) == 0,
-        s"compressed message set (codec ${attributes & 0x07}) at offset $offset: compression not supported")
-      val timestamp = r.int64()
-      val key = r.bytes()
-      val value = r.bytes()
-      val tsType = if ((attributes & LogAppendTimeBit) != 0) 1 else 0
-      out += KafkaRecord(offset, timestamp, tsType, key, value)
-      pos += 12 + size
+    }
+    out.result()
+  }
+
+  /** One v0/v1 MessageSet entry at `pos` (12-byte offset+size header
+    * already known to fit). Returns None for a partial tail. */
+  private def decodeV1Entry(buf: Array[Byte], pos: Int): Option[(KafkaRecord, Int)] = {
+    val offset = ((buf(pos) & 0xFFL) << 56) | ((buf(pos + 1) & 0xFFL) << 48) |
+      ((buf(pos + 2) & 0xFFL) << 40) | ((buf(pos + 3) & 0xFFL) << 32) |
+      ((buf(pos + 4) & 0xFFL) << 24) | ((buf(pos + 5) & 0xFFL) << 16) |
+      ((buf(pos + 6) & 0xFFL) << 8) | (buf(pos + 7) & 0xFFL)
+    val size = ((buf(pos + 8) & 0xFF) << 24) | ((buf(pos + 9) & 0xFF) << 16) |
+      ((buf(pos + 10) & 0xFF) << 8) | (buf(pos + 11) & 0xFF)
+    require(size >= MinV1MessageBytes || buf.length - pos - 12 < size,
+      s"corrupt message set at offset $offset: declared size $size below the " +
+        s"$MinV1MessageBytes-byte v1 minimum with ${buf.length - pos - 12} bytes remaining")
+    if (buf.length - pos - 12 < size) return None
+    val msg = java.util.Arrays.copyOfRange(buf, pos + 12, pos + 12 + size)
+    val r = new Reader(msg)
+    val crc = r.int32()
+    val actual = new java.util.zip.CRC32()
+    actual.update(msg, 4, msg.length - 4)
+    require(actual.getValue.toInt == crc,
+      s"corrupt message at offset $offset: CRC mismatch (stored $crc, computed ${actual.getValue.toInt})")
+    val magic = r.int8()
+    require(magic == 1, s"unsupported message magic $magic at offset $offset (client speaks v1 sets)")
+    val attributes = r.int8()
+    require((attributes & 0x07) == 0,
+      s"compressed message set (codec ${attributes & 0x07}) at offset $offset: compression not supported")
+    val timestamp = r.int64()
+    val key = r.bytes()
+    val value = r.bytes()
+    val tsType = if ((attributes & LogAppendTimeBit) != 0) 1 else 0
+    Some((KafkaRecord(offset, timestamp, tsType, key, value), pos + 12 + size))
+  }
+
+  // ── record batches (magic 2, KIP-98 format) ─────────────────────
+
+  /** v2 batch attribute bits (int16): 0-2 compression codec,
+    * 3 timestamp type, 4 transactional, 5 control batch. */
+  private val V2TimestampTypeBit = 0x08
+  private val V2ControlBit = 0x20
+
+  /** Fixed header bytes of a v2 batch: baseOffset(8) + batchLength(4)
+    * + partitionLeaderEpoch(4) + magic(1) + crc(4) + attributes(2) +
+    * lastOffsetDelta(4) + baseTimestamp(8) + maxTimestamp(8) +
+    * producerId(8) + producerEpoch(2) + baseSequence(4) + count(4). */
+  private val V2HeaderBytes = 61
+
+  def crc32c(buf: Array[Byte], from: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(buf, from, len)
+    c.getValue.toInt
+  }
+
+  /**
+   * Encode one v2 RecordBatch (magic 2): zigzag-varint record fields,
+   * CRC32C over attributes..end, idempotence/transaction fields unset
+   * (producerId -1). Kafka 4.x brokers accept ONLY this format for
+   * produce (KIP-724 removed v0/v1 write support). Producers leave
+   * `baseOffset` 0 (the broker assigns real offsets on append); a
+   * broker encoding a fetch response stamps the log position.
+   */
+  def encodeRecordBatch(records: Seq[OutRecord], baseOffset: Long = 0L): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.map(_.timestamp).min
+    val maxTs = records.map(_.timestamp).max
+    val body = new Writer()
+    records.zipWithIndex.foreach { case (rec, i) =>
+      val r = new Writer()
+        .int8(0)                        // record attributes (unused)
+        .varlong(rec.timestamp - baseTs)
+        .varint(i)                      // offset delta
+        .varBytes(rec.key)
+        .varBytes(rec.value)
+        .varint(0)                      // headers count
+        .toBytes
+      body.varint(r.length).raw(r)
+    }
+    val bodyBytes = body.toBytes
+    // attributes..end — the CRC32C-covered region
+    val covered = new Writer()
+      .int16(0)                         // attributes: no compression, create-time
+      .int32(records.size - 1)          // lastOffsetDelta
+      .int64(baseTs)
+      .int64(maxTs)
+      .int64(-1L)                       // producerId
+      .int16(-1)                        // producerEpoch
+      .int32(-1)                        // baseSequence
+      .int32(records.size)
+      .raw(bodyBytes)
+      .toBytes
+    val crc = crc32c(covered, 0, covered.length)
+    new Writer()
+      .int64(baseOffset)
+      .int32(covered.length + 9)        // batchLength: partitionLeaderEpoch..end
+      .int32(-1)                        // partitionLeaderEpoch
+      .int8(2)                          // magic
+      .int32(crc)
+      .raw(covered)
+      .toBytes
+  }
+
+  /** Decode one complete v2 batch starting at `pos`; the full batch is
+    * known to fit. Control batches (transaction markers) yield no
+    * records. */
+  private def decodeV2Batch(buf: Array[Byte], pos: Int,
+                            out: mutable.Builder[KafkaRecord, Vector[KafkaRecord]]): Int = {
+    val r = new Reader(buf)
+    r.skip(pos)
+    val baseOffset = r.int64()
+    val batchLength = r.int32()
+    r.int32() // partitionLeaderEpoch
+    val magic = r.int8()
+    require(magic == 2, s"decodeV2Batch called on magic $magic")
+    val crc = r.int32()
+    val coveredFrom = pos + 8 + 4 + 4 + 1 + 4
+    val coveredLen = batchLength - (4 + 1 + 4)
+    val actual = crc32c(buf, coveredFrom, coveredLen)
+    require(actual == crc,
+      s"corrupt record batch at offset $baseOffset: CRC32C mismatch (stored $crc, computed $actual)")
+    val attributes = r.int16()
+    require((attributes & 0x07) == 0,
+      s"compressed record batch (codec ${attributes & 0x07}) at offset $baseOffset: compression not supported")
+    r.int32() // lastOffsetDelta
+    val baseTs = r.int64()
+    r.int64() // maxTimestamp
+    r.int64(); r.int16(); r.int32() // producerId, producerEpoch, baseSequence
+    val count = r.int32()
+    val tsType = if ((attributes & V2TimestampTypeBit) != 0) 1 else 0
+    val isControl = (attributes & V2ControlBit) != 0
+    var i = 0
+    while (i < count) {
+      val len = r.varint()
+      val startRemaining = r.remaining
+      r.int8() // record attributes
+      val tsDelta = r.varlong()
+      val offDelta = r.varint()
+      val key = r.varBytes()
+      val value = r.varBytes()
+      val headers = r.varint()
+      var h = 0
+      while (h < headers) { r.varBytes(); r.varBytes(); h += 1 }
+      require(startRemaining - r.remaining == len,
+        s"record batch at offset $baseOffset: record $i declared $len bytes, " +
+          s"walked ${startRemaining - r.remaining}")
+      if (!isControl)
+        out += KafkaRecord(baseOffset + offDelta, baseTs + tsDelta, tsType, key, value)
+      i += 1
+    }
+    pos + 12 + batchLength
+  }
+
+  /**
+   * Unified decoder for a fetched record set: v0/v1 message entries
+   * and v2 record batches share the first 17 bytes' shape (offset
+   * int64, length int32, then the magic byte at +16 — by design, so
+   * mixed-format logs on upgraded clusters parse with one walk), and
+   * both end with the same partial-tail rule: a truncated trailing
+   * entry/batch is dropped for the caller to re-fetch.
+   */
+  def decodeRecordSet(buf: Array[Byte]): Seq[KafkaRecord] = {
+    val out = Vector.newBuilder[KafkaRecord]
+    var pos = 0
+    var stop = false
+    while (!stop && buf.length - pos >= 17) {
+      val magic = buf(pos + 16)
+      if (magic >= 2) {
+        val batchLength = ((buf(pos + 8) & 0xFF) << 24) | ((buf(pos + 9) & 0xFF) << 16) |
+          ((buf(pos + 10) & 0xFF) << 8) | (buf(pos + 11) & 0xFF)
+        require(batchLength >= V2HeaderBytes - 12,
+          s"corrupt record batch header: batchLength $batchLength below v2 minimum")
+        if (buf.length - pos - 12 < batchLength) stop = true // partial tail
+        else pos = decodeV2Batch(buf, pos, out)
+      } else {
+        decodeV1Entry(buf, pos) match {
+          case Some((rec, next)) => out += rec; pos = next
+          case None => stop = true
+        }
+      }
     }
     out.result()
   }
@@ -258,14 +466,28 @@ final case class FetchResult(records: Seq[KafkaWire.KafkaRecord], highWatermark:
  */
 final class KafkaWireClient(bootstrap: Seq[(String, Int)],
                             clientId: String = "graft",
-                            timeoutMs: Int = 30000) extends AutoCloseable {
+                            timeoutMs: Int = 30000,
+                            formatOverride: Option[Int] = None) extends AutoCloseable {
   import KafkaWire._
 
   require(bootstrap.nonEmpty, "at least one bootstrap broker required")
+  formatOverride.foreach(f => require(f == 1 || f == 2,
+    s"formatOverride must be 1 (MessageSet) or 2 (RecordBatch), got $f"))
 
   private val sockets = mutable.Map.empty[(String, Int), (Socket, DataInputStream, DataOutputStream)]
   private val correlation = new AtomicInteger(0)
   private var cluster: Option[KafkaClusterMeta] = None
+
+  /** Message format for this cluster: 2 (record batches) when the
+    * brokers advertise Produce ≥ 3 AND Fetch ≥ 4, else 1. Negotiated
+    * once per client via ApiVersions; `formatOverride` pins it (tests,
+    * or operators who must write a specific on-log format). */
+  lazy val messageFormat: Int = formatOverride.getOrElse {
+    val versions = apiVersions()
+    val canProduceV3 = versions.get(ApiProduce).exists(_._2 >= 3)
+    val canFetchV4 = versions.get(ApiFetch).exists(_._2 >= 4)
+    if (canProduceV3 && canFetchV4) 2 else 1
+  }
 
   private def conn(broker: (String, Int)) = sockets.getOrElseUpdate(broker, {
     val s = new Socket()
@@ -403,15 +625,23 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
   def latestOffsets(topic: String, partitions: Seq[Int]): Map[Int, Long] =
     listOffsets(topic, partitions.map(_ -> LatestTimestamp).toMap)
 
-  /** Fetch v2 from one partition. Returns complete records at/after
-    * `offset` plus the partition's high watermark; a response whose
-    * first message exceeds `maxBytes` yields zero records — the
-    * caller doubles maxBytes (the kafka-clients `fetch.max.bytes`
+  /** Fetch from one partition — v4 (record batches) on negotiated
+    * format 2, v2 (MessageSet v1) otherwise; the decoder walks both
+    * formats either way. Returns complete records at/after `offset`
+    * plus the partition's high watermark; a response whose first
+    * message exceeds `maxBytes` yields zero records — the caller
+    * doubles maxBytes (the kafka-clients `fetch.max.bytes`
     * escalation). */
   def fetch(topic: String, partition: Int, offset: Long,
             maxBytes: Int = 1 << 20, maxWaitMs: Int = 100, minBytes: Int = 1): FetchResult = {
-    val r = call(leader(topic, partition), ApiFetch, 2) { w =>
+    val v4 = messageFormat == 2
+    val version: Short = if (v4) 4 else 2
+    val r = call(leader(topic, partition), ApiFetch, version) { w =>
       w.int32(-1).int32(maxWaitMs).int32(minBytes)
+      if (v4) {
+        w.int32(maxBytes) // v3+: response-wide byte budget
+        w.int8(0)         // v4+: isolation_level READ_UNCOMMITTED
+      }
       w.int32(1).string(topic).int32(1)
       w.int32(partition).int64(offset).int32(maxBytes)
     }
@@ -423,22 +653,30 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
         val p = r.int32()
         val err = r.int16()
         val hw = r.int64()
+        if (v4) {
+          r.int64() // last_stable_offset
+          val aborted = r.int32() // aborted_transactions
+          (0 until math.max(aborted, 0)).foreach { _ => r.int64(); r.int64() }
+        }
         val set = r.bytes()
         check(err, s"Fetch $name/$p@$offset")
         if (name == topic && p == partition)
-          result = FetchResult(decodeMessageSet(if (set == null) Array.emptyByteArray else set), hw)
+          result = FetchResult(decodeRecordSet(if (set == null) Array.emptyByteArray else set), hw)
       }
     }
     result
   }
 
-  /** Produce v2 to one partition (acks -1 = all ISR). Returns the
-    * base offset the broker assigned to the batch. */
+  /** Produce to one partition (acks -1 = all ISR) — v3 (record
+    * batches) on negotiated format 2, v2 (MessageSet v1) otherwise.
+    * Returns the base offset the broker assigned to the batch. */
   def produce(topic: String, partition: Int, records: Seq[OutRecord],
               acks: Short = -1, timeoutAfterMs: Int = 30000): Long = {
     require(records.nonEmpty, "nothing to produce")
-    val set = encodeMessageSet(records)
-    val r = call(leader(topic, partition), ApiProduce, 2) { w =>
+    val v3 = messageFormat == 2
+    val set = if (v3) encodeRecordBatch(records) else encodeMessageSet(records)
+    val r = call(leader(topic, partition), ApiProduce, if (v3) 3 else 2) { w =>
+      if (v3) w.string(null) // transactional_id
       w.int16(acks).int32(timeoutAfterMs)
       w.int32(1).string(topic).int32(1)
       w.int32(partition).bytes(set)

@@ -7,8 +7,15 @@ import scala.collection.mutable
 /**
  * In-process Kafka broker speaking the same public wire protocol as
  * [[KafkaWireClient]] — the server side of ApiVersions v0, Metadata
- * v1, ListOffsets v1, Fetch v2 and Produce v2, over real loopback
- * sockets with an in-memory log per partition.
+ * v1, ListOffsets v1, Fetch v2/v4 and Produce v2/v3, over real
+ * loopback sockets with an in-memory log per partition. `maxFormat`
+ * selects the broker generation it impersonates: 2 (default)
+ * advertises Produce ≤ 3 / Fetch ≤ 4 and serves v2 record batches
+ * (the Kafka ≥ 0.11 / 4.x shape — fetch responses pack up to
+ * [[LoopbackBroker.FetchBatchRecords]] records per batch so clients
+ * exercise multi-batch walks); 1 advertises the pre-KIP-98 ceiling
+ * (Produce ≤ 2 / Fetch ≤ 2) so the client's negotiation downgrade to
+ * MessageSet v1 is testable against the same log.
  *
  * This is the stand-in that lets a zero-egress environment exercise
  * the ENTIRE Kafka ingestion path — framing, CRC validation, leader
@@ -28,8 +35,10 @@ import scala.collection.mutable
  * metadata routing is exercised with real sockets.
  */
 final class LoopbackCluster(topicPartitions: Map[String, Int],
-                            numBrokers: Int = 1) extends AutoCloseable {
+                            numBrokers: Int = 1,
+                            val maxFormat: Int = 2) extends AutoCloseable {
   require(numBrokers >= 1)
+  require(maxFormat == 1 || maxFormat == 2, s"maxFormat must be 1 or 2, got $maxFormat")
 
   /** One partition's log: (timestamp, key, value) triples; offset =
     * startOffset + index. */
@@ -124,8 +133,9 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
 
   private def handleApiVersions(version: Short): Array[Byte] = {
     require(version == 0, s"ApiVersions v$version unsupported")
-    val apis = Seq((ApiProduce, 0, 2), (ApiFetch, 0, 2), (ApiListOffsets, 0, 1),
-      (ApiMetadata, 0, 1), (ApiVersionsKey, 0, 0))
+    val (produceMax, fetchMax) = if (cluster.maxFormat >= 2) (3, 4) else (2, 2)
+    val apis = Seq((ApiProduce, 0, produceMax), (ApiFetch, 0, fetchMax),
+      (ApiListOffsets, 0, 1), (ApiMetadata, 0, 1), (ApiVersionsKey, 0, 0))
     val w = new Writer().int16(0).int32(apis.size)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.toBytes
@@ -190,8 +200,12 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
   }
 
   private def handleFetch(r: Reader, version: Short): Array[Byte] = {
-    require(version == 2, s"Fetch v$version unsupported")
+    require(version == 2 || version == 4, s"Fetch v$version unsupported")
+    require(version <= (if (cluster.maxFormat >= 2) 4 else 2),
+      s"Fetch v$version above this broker's advertised ceiling")
+    val v4 = version == 4
     r.int32(); r.int32(); r.int32() // replica_id, max_wait, min_bytes
+    if (v4) { r.int32(); r.int8() } // response max_bytes, isolation_level
     val topics = (0 until r.int32()).map { _ =>
       val t = r.string()
       t -> (0 until r.int32()).map(_ => (r.int32(), r.int64(), r.int32()))
@@ -201,9 +215,14 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
     topics.foreach { case (t, parts) =>
       w.string(t).int32(parts.size)
       parts.foreach { case (p, offset, maxBytes) =>
+        def partitionHeader(err: Short, hw: Long): Unit = {
+          w.int32(p).int16(err).int64(hw)
+          if (v4) { w.int64(hw); w.int32(0) } // last_stable_offset, aborted_txns
+          ()
+        }
         cluster.topics.get(t).filter(p < _) match {
           case Some(_) if cluster.leaderId(p) != brokerId =>
-            w.int32(p).int16(6).int64(-1L).bytes(Array.emptyByteArray)
+            partitionHeader(6, -1L); w.bytes(Array.emptyByteArray)
           case Some(_) =>
             val (hw, slice) = cluster.withLogs {
               val l = cluster.log(t, p)
@@ -213,28 +232,45 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
                 val idx = (offset - l.startOffset).toInt
                 // encode forward from the requested offset, stop once
                 // past maxBytes (a real broker slices the log segment,
-                // so the tail message may be PARTIAL — deliberately
-                // reproduced here by hard truncation below)
+                // so the tail entry/batch may be PARTIAL — deliberately
+                // reproduced here by hard truncation below). The v4
+                // path packs records into v2 batches of up to
+                // FetchBatchRecords so clients walk MULTIPLE batches
+                // per response, like a real log of producer batches.
                 val setW = new Writer()
                 var written = 0
                 var i = idx
-                while (i < l.records.size && written <= maxBytes) {
-                  val (ts, k, v) = l.records(i)
-                  val m = encodeMessage(OutRecord(k, v, ts))
-                  setW.int64(l.startOffset + i).int32(m.length).raw(m)
-                  written += 12 + m.length
-                  i += 1
+                if (v4) {
+                  while (i < l.records.size && written <= maxBytes) {
+                    val n = math.min(LoopbackBroker.FetchBatchRecords, l.records.size - i)
+                    val recs = (0 until n).map { j =>
+                      val (ts, k, v) = l.records(i + j); OutRecord(k, v, ts)
+                    }
+                    val batch = encodeRecordBatch(recs, baseOffset = l.startOffset + i)
+                    setW.raw(batch)
+                    written += batch.length
+                    i += n
+                  }
+                } else {
+                  while (i < l.records.size && written <= maxBytes) {
+                    val (ts, k, v) = l.records(i)
+                    val m = encodeMessage(OutRecord(k, v, ts))
+                    setW.int64(l.startOffset + i).int32(m.length).raw(m)
+                    written += 12 + m.length
+                    i += 1
+                  }
                 }
                 val full = setW.toBytes
                 (l.endOffset, if (full.length > maxBytes) full.take(maxBytes) else full)
               }
             }
-            if (slice == null)
-              w.int32(p).int16(1).int64(hw).bytes(Array.emptyByteArray) // OFFSET_OUT_OF_RANGE
-            else
-              w.int32(p).int16(0).int64(hw).bytes(slice)
+            if (slice == null) {
+              partitionHeader(1, hw); w.bytes(Array.emptyByteArray) // OFFSET_OUT_OF_RANGE
+            } else {
+              partitionHeader(0, hw); w.bytes(slice)
+            }
           case None =>
-            w.int32(p).int16(3).int64(-1L).bytes(Array.emptyByteArray)
+            partitionHeader(3, -1L); w.bytes(Array.emptyByteArray)
         }
       }
     }
@@ -242,7 +278,10 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
   }
 
   private def handleProduce(r: Reader, version: Short): Array[Byte] = {
-    require(version == 2, s"Produce v$version unsupported")
+    require(version == 2 || version == 3, s"Produce v$version unsupported")
+    require(version <= (if (cluster.maxFormat >= 2) 3 else 2),
+      s"Produce v$version above this broker's advertised ceiling")
+    if (version >= 3) r.string() // transactional_id
     r.int16(); r.int32() // acks, timeout
     val topics = (0 until r.int32()).map { _ =>
       val t = r.string()
@@ -256,8 +295,10 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
           case Some(_) if cluster.leaderId(p) != brokerId =>
             w.int32(p).int16(6).int64(-1L).int64(-1L)
           case Some(_) =>
-            // a real broker re-validates message CRCs before append
-            val decoded = try Right(decodeMessageSet(setBytes))
+            // a real broker re-validates CRCs before append — CRC32
+            // for v1 message sets, CRC32C for v2 record batches (the
+            // unified decoder checks whichever format arrived)
+            val decoded = try Right(decodeRecordSet(setBytes))
             catch { case e: IllegalArgumentException => Left(e) }
             decoded match {
               case Right(records) =>
@@ -284,4 +325,10 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
     running = false
     try server.close() catch { case _: Exception => }
   }
+}
+
+object LoopbackBroker {
+  /** Records per v2 batch in fetch responses — small on purpose so
+    * any multi-record fetch exercises the client's multi-batch walk. */
+  val FetchBatchRecords: Int = 3
 }

@@ -246,4 +246,140 @@ class KafkaWireSpec extends SparkSpec {
       KafkaBatch.Explicit(Map(0 -> 12L, 1 -> 5L)))
     intercept[IllegalArgumentException](KafkaBatch.OffsetSpec.parse("sometimes"))
   }
+
+  // ── record batches (magic 2) ─────────────────────────────────────
+
+  test("CRC32C is Castagnoli: the public '123456789' check vector") {
+    // the check value every CRC32C implementation must produce
+    // (iSCSI / RFC 3720 polynomial) — pins java.util.zip.CRC32C as
+    // the Castagnoli CRC the v2 batch format requires, NOT CRC32
+    assert(crc32c(b("123456789"), 0, 9) == 0xE3069283.toInt)
+    val plain = new java.util.zip.CRC32(); plain.update(b("123456789"))
+    assert(plain.getValue.toInt != 0xE3069283.toInt, "CRC32 and CRC32C must differ")
+  }
+
+  test("zigzag varint golden bytes and 64-bit round trip") {
+    def enc(v: Long): Seq[Byte] = new Writer().varlong(v).toBytes.toSeq
+    assert(enc(0) == Seq[Byte](0x00))
+    assert(enc(-1) == Seq[Byte](0x01))
+    assert(enc(1) == Seq[Byte](0x02))
+    assert(enc(150) == Seq[Byte](0xAC.toByte, 0x02))   // zigzag 300
+    assert(enc(-75) == Seq[Byte](0x95.toByte, 0x01))   // zigzag 149
+    for (v <- Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, 300L, 1L << 34,
+                  Long.MaxValue, Long.MinValue)) {
+      val r = new Reader(new Writer().varlong(v).toBytes)
+      assert(r.varlong() == v, s"round trip failed for $v")
+    }
+  }
+
+  test("record batch v2 golden layout: header fields, CRC32C coverage, varint records") {
+    val batch = encodeRecordBatch(Seq(
+      OutRecord(b("k"), b("val"), 1000L),
+      OutRecord(null, b("w"), 1002L)), baseOffset = 5L)
+    val bb = java.nio.ByteBuffer.wrap(batch)
+    assert(batch.length == 80)                 // 61-byte header + 19 record bytes
+    assert(bb.getLong(0) == 5L)                // baseOffset
+    assert(bb.getInt(8) == 68)                 // batchLength (epoch..end)
+    assert(bb.getInt(12) == -1)                // partitionLeaderEpoch
+    assert(batch(16) == 2)                     // magic
+    assert(bb.getInt(17) == crc32c(batch, 21, batch.length - 21)) // CRC32C covers attrs..end
+    assert(bb.getShort(21) == 0)               // attributes
+    assert(bb.getInt(23) == 1)                 // lastOffsetDelta
+    assert(bb.getLong(27) == 1000L)            // baseTimestamp
+    assert(bb.getLong(35) == 1002L)            // maxTimestamp
+    assert(bb.getLong(43) == -1L)              // producerId
+    assert(bb.getShort(51) == -1)              // producerEpoch
+    assert(bb.getInt(53) == -1)                // baseSequence
+    assert(bb.getInt(57) == 2)                 // record count
+    assert(batch(61) == 0x14)                  // record 0 length: varint(10)
+    val decoded = decodeRecordSet(batch)
+    assert(decoded.map(_.offset) == Seq(5L, 6L))
+    assert(decoded.map(_.timestamp) == Seq(1000L, 1002L))
+    assert(new String(decoded(0).key, "UTF-8") == "k" && decoded(1).key == null)
+    assert(decoded.map(r => new String(r.value, "UTF-8")) == Seq("val", "w"))
+  }
+
+  test("unified decoder walks mixed v1 entries and v2 batches in one set") {
+    val v1 = encodeMessageSet(Seq(OutRecord(b("a"), b("one"), 10L)))
+    val v2 = encodeRecordBatch(Seq(OutRecord(b("b"), b("two"), 20L),
+      OutRecord(b("c"), b("three"), 21L)), baseOffset = 1L)
+    val mixed = v1 ++ v2
+    val decoded = decodeRecordSet(mixed)
+    assert(decoded.map(r => new String(r.value, "UTF-8")) == Seq("one", "two", "three"))
+    assert(decoded.map(_.offset) == Seq(0L, 1L, 2L))
+  }
+
+  test("v2 partial trailing batch is dropped; corrupt CRC32C fails loudly") {
+    val full = encodeRecordBatch(Seq(OutRecord(b("k"), b("value-1"), 1L)), 0L) ++
+      encodeRecordBatch(Seq(OutRecord(b("k"), b("value-2"), 2L)), 1L)
+    // slice mid-second-batch: only the first batch's record survives
+    val sliced = decodeRecordSet(full.dropRight(5))
+    assert(sliced.map(r => new String(r.value, "UTF-8")) == Seq("value-1"))
+    // flip a byte inside the covered region -> CRC32C mismatch
+    val corrupt = full.clone()
+    corrupt(70) = (corrupt(70) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](decodeRecordSet(corrupt))
+    assert(e.getMessage.contains("CRC32C"))
+  }
+
+  test("v1 set: a declared size below the 22-byte minimum mid-buffer is corruption, not a tail") {
+    // offset 7, size 10, then 10+ bytes of garbage follow — the old
+    // partial-tail shortcut would silently truncate here and surface
+    // later as a bogus maxBytes escalation
+    val junk = new Writer().int64(7L).int32(10).raw(new Array[Byte](20)).toBytes
+    val e = intercept[IllegalArgumentException](decodeMessageSet(junk))
+    assert(e.getMessage.contains("offset 7") && e.getMessage.contains("22"))
+    // a genuinely short tail (declared size larger than what remains)
+    // is still dropped silently, whatever its declared size
+    val msg = encodeMessageSet(Seq(OutRecord(b("k"), b("v"), 1L)))
+    assert(decodeMessageSet(msg ++ new Writer().int64(1L).int32(500).raw(new Array[Byte](30)).toBytes)
+      .size == 1)
+  }
+
+  test("format negotiation e2e: v2 brokers get record batches, v1 brokers get message sets, override pins") {
+    // modern cluster (Produce<=3 / Fetch<=4): negotiated format 2,
+    // 7 records -> fetch walks 3 batches (3+3+1 at FetchBatchRecords=3)
+    val modern = new LoopbackCluster(Map("t" -> 1), numBrokers = 1)
+    try {
+      val c = new KafkaWireClient(Seq(("127.0.0.1", modern.brokers.head.port)))
+      assert(c.messageFormat == 2)
+      val recs = (0 until 7).map(i => OutRecord(null, b(s"m$i"), 100L + i))
+      assert(c.produce("t", 0, recs) == 0L)
+      val got = c.fetch("t", 0, 0L)
+      assert(got.records.map(r => new String(r.value, "UTF-8")) == (0 until 7).map("m" + _))
+      assert(got.records.map(_.offset) == (0L until 7L))
+      c.close()
+      // formatOverride pins v1 against the same modern broker (mixed
+      // logs on upgraded clusters): writes MessageSet via Produce v2
+      val pinned = new KafkaWireClient(Seq(("127.0.0.1", modern.brokers.head.port)),
+        formatOverride = Some(1))
+      assert(pinned.messageFormat == 1)
+      pinned.produce("t", 0, Seq(OutRecord(null, b("old-format"), 200L)))
+      val mixed = pinned.fetch("t", 0, 0L)
+      assert(mixed.records.size == 8 && new String(mixed.records.last.value, "UTF-8") == "old-format")
+      pinned.close()
+    } finally modern.close()
+    // legacy cluster (Produce<=2 / Fetch<=2): negotiation downgrades
+    val legacy = new LoopbackCluster(Map("t" -> 1), numBrokers = 1, maxFormat = 1)
+    try {
+      val c = new KafkaWireClient(Seq(("127.0.0.1", legacy.brokers.head.port)))
+      assert(c.messageFormat == 1)
+      c.produce("t", 0, Seq(OutRecord(b("k"), b("legacy"), 1L)))
+      assert(new String(c.fetch("t", 0, 0L).records.head.value, "UTF-8") == "legacy")
+      c.close()
+    } finally legacy.close()
+  }
+
+  test("RangeFetchIterator refuses to spin on a broker that makes no forward progress") {
+    val range = KafkaBatch.PartitionRange("t", 0, "h", 1, start = 10L, end = 20L)
+    // nonconforming page: non-empty but max offset below the request
+    val stuck = new KafkaBatch.RangeFetchIterator(
+      (_, _) => FetchResult(Seq(KafkaRecord(5L, 1L, 0, null, b("x"))), 20L), range, 1 << 20)
+    val e = intercept[IllegalStateException](stuck.hasNext)
+    assert(e.getMessage.contains("no forward progress"))
+    // honest pages still stream
+    val ok = new KafkaBatch.RangeFetchIterator(
+      (off, _) => FetchResult(Seq(KafkaRecord(off, 1L, 0, null, b(s"v$off"))), 20L), range, 1 << 20)
+    assert(ok.take(3).map(_.offset).toSeq == Seq(10L, 11L, 12L))
+  }
 }
