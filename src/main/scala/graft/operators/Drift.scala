@@ -38,20 +38,39 @@ object Drift {
   }
 
   /** Jensen-Shannon divergence (natural log) of the two smoothed
-    * models, summed over the UNION vocabulary only — the single drift
-    * NUMBER a dashboard thresholds. The smoothed models reserve some
-    * probability mass for tokens outside their own vocab, and that
-    * residual mass (absent from the union support) is NOT paired into
-    * the sum, so this is the union-vocab APPROXIMATION of JSD: the
-    * theoretical [0, ln 2] bound holds only approximately (exactly
-    * when both vocabularies fit the cap and no mass is reserved
-    * off-support). Fine for thresholding a trend; not a calibrated
-    * information-theoretic quantity. */
+    * models — the single drift NUMBER a dashboard thresholds, with
+    * the [0, ln 2] bound holding EXACTLY on any input.
+    *
+    * Each model is first turned into a PROPER distribution over the
+    * union vocabulary plus one shared off-support bucket. The fit
+    * reserves exactly one OOV pseudo-type of mass 1/denom; the
+    * per-token scoring floor replicates that mass for every unseen
+    * token — right for perplexity scoring, but improper as a
+    * distribution (a one-sentence model floored across 65k
+    * disjoint tokens "sums" to thousands, which is why the r14
+    * union-sum formula had no real bound despite its doc). Here the
+    * reserve is instead SPLIT uniformly across the unseen union
+    * tokens, so each side sums to at most 1 by construction
+    * (in-vocab mass + the whole reserve); any shortfall — the
+    * vocab-cap tail plus, when nothing is unseen, the unused
+    * reserve — sits in the shared bucket. The result is the true
+    * JSD of two proper distributions on a common support: 0 iff
+    * they agree, ln 2 at disjoint support, symmetric. */
   def jsDivergence(cur: UnigramLm, ref: UnigramLm): Double = {
+    val vocab = (cur.logProbs.keySet ++ ref.logProbs.keySet).toSeq
+    def dist(lm: UnigramLm): (Seq[Double], Double) = {
+      val unseen = vocab.count(t => !lm.logProbs.contains(t))
+      val reserve = math.exp(lm.oovLogProb) // the fit's single OOV pseudo-type
+      val perUnseen = if (unseen == 0) 0.0 else reserve / unseen
+      val ps = vocab.map(t => lm.logProbs.get(t).map(math.exp).getOrElse(perUnseen))
+      (ps, math.max(0.0, 1.0 - ps.sum))
+    }
+    val (ps, residP) = dist(cur)
+    val (qs, residQ) = dist(ref)
     def term(p: Double, m: Double): Double = if (p <= 0) 0.0 else p * math.log(p / m)
-    tokenDrift(cur, ref).map { d =>
-      val m = (d.pCur + d.pRef) / 2
-      0.5 * term(d.pCur, m) + 0.5 * term(d.pRef, m)
+    ((ps :+ residP).iterator zip (qs :+ residQ).iterator).map { case (p, q) =>
+      val m = (p + q) / 2
+      0.5 * term(p, m) + 0.5 * term(q, m)
     }.sum
   }
 

@@ -82,43 +82,9 @@ final class EcsCleanupTarget(
 
   override def onTaskCompleted(result: TaskResult, runDate: LocalDate): Unit = result match {
     case TaskResult.Succeeded(_, table, infoDate, _, _) =>
-      for (url <- apiUrl; t <- tables(table)) cleanUp(t, infoDate, url)
+      for (url <- apiUrl; t <- tables(table))
+        EcsCleanupTarget.cleanUp(t, infoDate, url, apiKey, http)
     case _ => () // failed/skipped tasks wrote nothing worth cleaning
-  }
-
-  private def cleanUp(t: MetaTable, infoDate: LocalDate, url: String): Unit = {
-    if (t.format != DataFormat.Parquet) {
-      System.err.println(s"[graft ecs] format ${t.format.name} not supported; skipping ${t.name}")
-      return
-    }
-    if (!EcsCleanupTarget.EligiblePrefixes.exists(t.path.toLowerCase.startsWith)) {
-      System.err.println(s"[graft ecs] ${t.path} is not on S3; skipping ${t.name}")
-      return
-    }
-    val target = t.scheme match {
-      case PartitionScheme.ByDay => s"${t.path}/${t.infoDateColumn}=$infoDate"
-      case _ => t.path
-    }
-    // EVERYTHING from here sits inside the guard: path parsing and
-    // body construction run on untrusted table paths (spaces, quotes,
-    // legacy underscore buckets) and must degrade like the HTTP call
-    try {
-      // value escaped via Json.str; body shape kept byte-identical to
-      // the reference contract ({"ecs_path":"..."}, no spaces)
-      val body = "{\"ecs_path\":" +
-        graft.databricks.Json.str(EcsCleanupTarget.removeAuthority(target)) + "}"
-      val effectiveUrl = if (url.endsWith("/kk")) url else s"$url/kk"
-      val (status, respBody) = http.delete(effectiveUrl, body, Map("x-api-key" -> apiKey))
-      if (status != 200)
-        System.err.println(s"[graft ecs] cleanup FAILED for $target: $status $respBody")
-      else
-        System.err.println(s"[graft ecs] cleanup ok for $target")
-    } catch {
-      // never fail the pipeline over a cleanup call (reference
-      // EcsNotificationTarget.scala:125 does the same)
-      case e: Throwable =>
-        System.err.println(s"[graft ecs] cleanup call failed for $target: ${e.getMessage}")
-    }
   }
 }
 
@@ -134,6 +100,108 @@ object EcsCleanupTarget {
     val i = path.indexOf("://")
     if (i < 0) path else path.substring(i + 3)
   }
+
+  /** The shared cleanup call — the per-task target fires it per
+    * completion, the pipeline-level sweep once per succeeded task at
+    * pipeline end. Same eligibility and never-fail rules either way. */
+  private[pipeline] def cleanUp(t: MetaTable, infoDate: LocalDate, url: String,
+                                apiKey: String, http: HttpTransport): Unit = {
+    if (t.format != DataFormat.Parquet) {
+      System.err.println(s"[graft ecs] format ${t.format.name} not supported; skipping ${t.name}")
+      return
+    }
+    if (!EligiblePrefixes.exists(t.path.toLowerCase.startsWith)) {
+      System.err.println(s"[graft ecs] ${t.path} is not on S3; skipping ${t.name}")
+      return
+    }
+    val target = t.scheme match {
+      case PartitionScheme.ByDay => s"${t.path}/${t.infoDateColumn}=$infoDate"
+      case _ => t.path
+    }
+    // EVERYTHING from here sits inside the guard: path parsing and
+    // body construction run on untrusted table paths (spaces, quotes,
+    // legacy underscore buckets) and must degrade like the HTTP call
+    try {
+      // value escaped via Json.str; body shape kept byte-identical to
+      // the reference contract ({"ecs_path":"..."}, no spaces)
+      val body = "{\"ecs_path\":" +
+        graft.databricks.Json.str(removeAuthority(target)) + "}"
+      val effectiveUrl = if (url.endsWith("/kk")) url else s"$url/kk"
+      val (status, respBody) = http.delete(effectiveUrl, body, Map("x-api-key" -> apiKey))
+      if (status != 200)
+        System.err.println(s"[graft ecs] cleanup FAILED for $target: $status $respBody")
+      else
+        System.err.println(s"[graft ecs] cleanup ok for $target")
+    } catch {
+      // never fail the pipeline over a cleanup call (reference
+      // EcsNotificationTarget.scala:125 does the same)
+      case e: Throwable =>
+        System.err.println(s"[graft ecs] cleanup call failed for $target: ${e.getMessage}")
+    }
+  }
+}
+
+/**
+ * Pipeline-level ECS cleanup (reference: pramen/extras
+ * .../extras/notification/EcsPipelineNotificationTarget.scala:40):
+ * instead of firing per task, ONE sweep at `onPipelineCompleted`
+ * walks every SUCCEEDED task and runs the same cleanup call with the
+ * same eligibility and never-fail rules as [[EcsCleanupTarget]].
+ * Failed/skipped tasks are passed over with a log line, exactly like
+ * the reference. Deploy one or the other, not both — a table swept
+ * twice is harmless but wasteful.
+ *
+ * Config keys are shared with the per-task target: `ecs.api.url`,
+ * `ecs.api.key`, `ecs.api.trust.all.ssl.certificates`.
+ */
+final class EcsPipelineCleanupTarget(
+    private[pipeline] var http: HttpTransport,
+    tablesByName: String => Option[MetaTable])
+    extends PipelineNotificationTarget with ConfigurableTarget {
+
+  def this() = this(null, _ => None)
+
+  private[pipeline] var apiUrl: Option[String] = None
+  private[pipeline] var apiKey: String = ""
+  private var tables: String => Option[MetaTable] = tablesByName
+
+  def this(apiUrl: String, apiKey: String, http: HttpTransport,
+           tablesByName: String => Option[MetaTable]) = {
+    this(http, tablesByName)
+    this.apiUrl = Some(apiUrl)
+    this.apiKey = apiKey
+  }
+
+  override def configure(kv: Map[String, String], declared: Seq[MetaTable]): Unit = {
+    val url = kv.getOrElse("ecs.api.url",
+      throw new IllegalArgumentException("EcsPipelineCleanupTarget: 'ecs.api.url' is required"))
+    apiKey = kv.getOrElse("ecs.api.key",
+      throw new IllegalArgumentException("EcsPipelineCleanupTarget: 'ecs.api.key' is required"))
+    apiUrl = Some(url)
+    val byName = declared.map(t => t.name -> t).toMap
+    tables = byName.get
+    if (http == null)
+      http = new JdkHttpTransport(
+        trustAllSslCerts = kv.get("ecs.api.trust.all.ssl.certificates").contains("true"))
+  }
+
+  override def onPipelineCompleted(results: Seq[TaskResult], runDate: LocalDate): Unit =
+    apiUrl.foreach { url =>
+      results.foreach {
+        case TaskResult.Succeeded(_, table, infoDate, _, _) =>
+          tables(table) match {
+            case Some(t) => EcsCleanupTarget.cleanUp(t, infoDate, url, apiKey, http)
+            case None =>
+              System.err.println(s"[graft ecs] no metatable registered for '$table'; skipping")
+          }
+        case TaskResult.Skipped(j, _) =>
+          System.err.println(s"[graft ecs] job '$j' was skipped; skipping ECS cleanup")
+        case TaskResult.NotReady(j, _) =>
+          System.err.println(s"[graft ecs] job '$j' was not ready; skipping ECS cleanup")
+        case TaskResult.Failed(j, _) =>
+          System.err.println(s"[graft ecs] job '$j' failed; skipping ECS cleanup")
+      }
+    }
 }
 
 /** One-message producer seam for token notifications — the Kafka

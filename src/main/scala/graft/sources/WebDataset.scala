@@ -339,15 +339,9 @@ object WebDataset {
     val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var written = 0L
     if (nameBytes.length > 100) {
-      // PAX record: "NN path=<name>\n" where NN is the record's TOTAL
-      // byte length including its own digits — the length prefix
-      // lengthens the record it measures, so run to the fixpoint
       val body = s" path=$name\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var digits = (body.length + 1).toString.length
-      while ((body.length + digits).toString.length != digits)
-        digits = (body.length + digits).toString.length
       val rec = new java.io.ByteArrayOutputStream()
-      rec.write((body.length + digits).toString
+      rec.write((body.length + paxLengthDigits(body.length)).toString
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       rec.write(body)
       written += writeHeaderAndData(out, "./PaxHeaders.x/sample", 'x', rec.toByteArray)
@@ -391,14 +385,34 @@ object WebDataset {
     512L + data.length + pad
   }
 
+  /** Digit count of a PAX record's length prefix: "NN path=<name>\n"
+    * declares its TOTAL byte length including its own digits — the
+    * prefix lengthens the record it measures, so run to the fixpoint. */
+  private[sources] def paxLengthDigits(bodyLen: Int): Int = {
+    var digits = (bodyLen + 1).toString.length
+    while ((bodyLen + digits).toString.length != digits)
+      digits = (bodyLen + digits).toString.length
+    digits
+  }
+
   /** Exact tar footprint of one sample — used to rotate BEFORE a
     * sample that would blow the shard budget. */
-  private def sampleBytes(key: String, parts: Seq[(String, Array[Byte])]): Long =
+  private[sources] def sampleBytes(key: String, parts: Seq[(String, Array[Byte])]): Long =
     parts.map { case (ext, data) =>
       val name = memberName(key, ext)
-      val pax = if (name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > 100)
-        1024L // PAX header + its record round up to two blocks at sane name lengths
-      else 0L
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val pax =
+        if (nameBytes <= 100) 0L
+        else {
+          // EXACT PAX member size (same arithmetic as writeMember): a
+          // member name over ~500 UTF-8 bytes pushes the record past
+          // one 512-byte data block, so a pinned 1024 constant would
+          // undercount and let a shard exceed maxShardBytes
+          val bodyLen = s" path=$name\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val recLen = bodyLen + paxLengthDigits(bodyLen)
+          512L + ((recLen + 511L) / 512L) * 512L
+        }
       pax + 512L + ((data.length + 511L) / 512L) * 512L
     }.sum
 

@@ -48,4 +48,26 @@ class DriftSpec extends SparkSpec {
     val small = Drift.jsDivergence(fit("a a b c d"), fit("a a b c e"))
     assert(small > 0 && small < d / 2, s"small edit: $small vs disjoint $d")
   }
+
+  test("jsDivergence: the ln 2 bound holds on ADVERSARIAL vocabs (tiny corpus vs huge disjoint vocab)") {
+    // the r14 formula summed each side's OOV floor once per
+    // other-side token, so a one-sentence corpus against thousands of
+    // disjoint tokens summed to p-mass >> 1 and the "bound" ran into
+    // the thousands; the renormalized form must stay within ln 2
+    val tiny = fit("solo")
+    val huge = fit((1 to 20000).map(i => s"tok$i").mkString(" "))
+    for ((x, y) <- Seq((tiny, huge), (huge, tiny))) {
+      val d = Drift.jsDivergence(x, y)
+      assert(d >= 0 && d <= math.log(2.0) + 1e-12, s"bound violated: $d")
+      // disjoint supports must still ALARM — the one observed token
+      // carries 2/3 of the tiny model's mass against ~0 on the other
+      // side (≈0.23 of divergence by itself). The value sits below
+      // ln 2 because both models' smoothing reserves legitimately
+      // overlap on the unseen side of the union.
+      assert(d > 0.2, s"disjoint adversarial vocabs should drift hard: $d")
+    }
+    // still symmetric and still zero on self under the renormalization
+    assert(Drift.jsDivergence(huge, huge) == 0.0)
+    assert(math.abs(Drift.jsDivergence(tiny, huge) - Drift.jsDivergence(huge, tiny)) < 1e-12)
+  }
 }

@@ -71,6 +71,58 @@ class ExtrasTargetsSpec extends SparkSpec {
     assert(bad.calls.size == 1)
   }
 
+  test("ecs pipeline-level sweep: ONE pass at completion cleans every succeeded eligible table exactly once") {
+    val http = new ScriptedHttp()
+    val tables = Map(
+      "sales" -> s3Table("sales"),
+      "stock" -> s3Table("stock"),
+      "hdfs_t" -> MetaTable("hdfs_t", "/data/hdfs_t"))
+    val t = new EcsPipelineCleanupTarget("https://ecs.local/api", "sekret", http, tables.get)
+    val results = Seq(
+      TaskResult.Succeeded("j1", "sales", d, 10),
+      TaskResult.Succeeded("j2", "stock", d.plusDays(1), 5),
+      TaskResult.Succeeded("j3", "hdfs_t", d, 3),              // ineligible path: skipped
+      TaskResult.Failed("j4", new RuntimeException("boom")),   // not a success: skipped
+      TaskResult.Skipped("j5", "already done"))
+    // per-task hook is a no-op for the pipeline-level target
+    results.foreach(r => t.onTaskCompleted(r, d))
+    assert(http.calls.isEmpty, "pipeline-level target must not fire per task")
+    t.onPipelineCompleted(results, d)
+    assert(http.calls.size == 2, http.calls.toSeq.toString)
+    val bodies = http.calls.map(_._3).toSet
+    assert(bodies == Set(
+      """{"ecs_path":"bucket/data/sales/info_date=2024-05-01"}""",
+      """{"ecs_path":"bucket/data/stock/info_date=2024-05-02"}"""), bodies)
+    assert(http.calls.forall(_._2 == "https://ecs.local/api/kk"))
+    assert(http.calls.forall(_._4.get("x-api-key").contains("sekret")))
+    // never-fail rule holds for the sweep too
+    val boom = new EcsPipelineCleanupTarget("https://e", "k", new ScriptedHttp(fail = true), tables.get)
+    boom.onPipelineCompleted(results, d) // must not throw
+  }
+
+  test("ecs pipeline-level: FQCN + configure wiring over a multi-table config") {
+    val cfg = PipelineConfig.parse(
+      """notification.targets = graft.pipeline.EcsPipelineCleanupTarget
+        |ecs.api.url = https://ecs.local/api
+        |ecs.api.key = sekret
+        |table.sales.path = s3a://bucket/data/sales
+        |allow.empty.pipeline = true
+        |""".stripMargin)
+    val target = cfg.notificationTargets.collectFirst {
+      case t: EcsPipelineCleanupTarget => t }.getOrElse(fail("target not instantiated"))
+    assert(target.apiUrl.contains("https://ecs.local/api"))
+    target.http = new ScriptedHttp() // swap transport after configure
+    target.onPipelineCompleted(Seq(TaskResult.Succeeded("j", "sales", d, 1)), d)
+    assert(target.http.asInstanceOf[ScriptedHttp].calls.size == 1)
+    // missing required key still fails the CONFIG LOAD
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(
+      """notification.targets = graft.pipeline.EcsPipelineCleanupTarget
+        |ecs.api.key = k
+        |allow.empty.pipeline = true
+        |""".stripMargin))
+    assert(e.getMessage.contains("ecs.api.url"), e.getMessage)
+  }
+
   test("ecs: FQCN + configure wiring — missing required keys fail the CONFIG LOAD") {
     val e = intercept[IllegalArgumentException](PipelineConfig.parse(
       """notification.targets = graft.pipeline.EcsCleanupTarget

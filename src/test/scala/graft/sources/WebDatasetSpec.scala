@@ -57,6 +57,29 @@ class WebDatasetSpec extends SparkSpec {
     assert(members.map(_.name) == Seq(long))
   }
 
+  test("sampleBytes equals the bytes writeMember actually writes, including multi-block PAX preludes") {
+    // a PAX record for a >~500-byte name spans TWO 512-byte data
+    // blocks; the old pinned 1024-byte estimate undercounted there
+    // and let shards exceed their budget. The rotation math must
+    // agree with the writer to the byte at every name length.
+    for (nameLen <- Seq(10, 99, 100, 101, 250, 480, 505, 600, 1100)) {
+      val key = "k" * nameLen
+      val parts = Seq(("json", utf8("{}")), ("bin", new Array[Byte](700)))
+      val bos = new java.io.ByteArrayOutputStream()
+      parts.foreach { case (ext, data) =>
+        WebDataset.writeMember(bos, s"$key.$ext", data); ()
+      }
+      assert(WebDataset.sampleBytes(key, parts) == bos.size.toLong,
+        s"nameLen=$nameLen: estimated ${WebDataset.sampleBytes(key, parts)}, wrote ${bos.size}")
+    }
+    // PAX length-prefix fixpoint: the digits count includes itself
+    assert(WebDataset.paxLengthDigits(7) == 1)    // "8 ..." total 8
+    assert(WebDataset.paxLengthDigits(97) == 2)   // 97+2=99, two digits
+    assert(WebDataset.paxLengthDigits(98) == 3)   // 98+2=100 needs 3; 98+3=101 has 3: fixpoint
+    assert(WebDataset.paxLengthDigits(996) == 3)  // 996+3=999
+    assert(WebDataset.paxLengthDigits(997) == 4)  // 997+3=1000 rolls to 4 digits
+  }
+
   test("consecutive members group into samples; a recurring key is a NEW sample") {
     val bos = new java.io.ByteArrayOutputStream()
     WebDataset.writeMember(bos, "a.txt", utf8("A"))
