@@ -505,6 +505,19 @@ object GraftFunctions {
           s"robots_allowed expects 2 arguments, got ${children.length}")
         RobotsAllowed(children(0), children(1))
       }),
+    ("nearest_centroid",
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"nearest_centroid expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case l if l.foldable && l.dataType == BinaryType =>
+            l.eval().asInstanceOf[Array[Byte]]
+          case other => throw new IllegalArgumentException(
+            s"nearest_centroid: centroid matrix must be a binary literal, got $other")
+        }
+        NearestCentroid(children(0), bytes)
+      }),
     ("mih_pairs",
       new ExpressionInfo(classOf[MihPairs].getName, "mih_pairs"),
       (children: Seq[Expression]) => {
@@ -568,6 +581,9 @@ object GraftFunctions {
   def tokenWindowHashes(tokens: Column, windowSize: Int): Column =
     call_function("token_window_hashes", tokens,
       org.apache.spark.sql.functions.lit(windowSize))
+  def nearestCentroid(vec: Column, matrixBytes: Array[Byte]): Column =
+    call_function("nearest_centroid", vec,
+      org.apache.spark.sql.functions.lit(matrixBytes))
   def mihPairs(anchors: Column, probes: Column, blk: Column,
                maxHamming: Int, radius: Int, nBlocks: Int): Column =
     call_function("mih_pairs", anchors, probes, blk,

@@ -188,6 +188,21 @@ object AnnSearch {
   def kmeansCentroids(embeddings: DataFrame, vecCol: String,
                       k: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
     graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
+    // The fit scans its input 1 + iters times (seed selection, then
+    // one assignment-aggregate per round). Cache the PROJECTED vector
+    // column for the fit's lifetime (MEMORY_AND_DISK — at corpus
+    // scale the overflow spills instead of evicting), the MLlib
+    // KMeans discipline: without it every round re-runs whatever
+    // upstream produced the embeddings (a decode, a projection, a
+    // union), which turns an O(iters) fit into O(iters × upstream).
+    val vecs = embeddings.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansOnCached(vecs, vecCol, k, iters, seed)
+    finally { vecs.unpersist(); () }
+  }
+
+  private def kmeansOnCached(embeddings: DataFrame, vecCol: String,
+                             k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     // init from DISTINCT vectors: a corpus with duplicated embeddings
     // (near-dup docs, replicated epochs) would otherwise seed the same
     // point several times and permanently collapse those clusters.
@@ -235,14 +250,15 @@ object AnnSearch {
    * distance and index — from one lambda over a literal centroid
    * matrix (tree size O(1) in k). Shared by IVF assignment and
    * Clustering so the two can never disagree on tie-breaks. */
-  def nearestCentroidScored(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val m = typedlit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(m, c =>
-      aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
-    val scored = zip_with(dists, sequence(lit(0), lit(centroids.length - 1)),
-      (d, i) => struct(d.as("d"), i.as("i")))
-    array_min(scored)
-  }
+  def nearestCentroidScored(vec: Column, centroids: Array[Array[Double]]): Column =
+    // native codegen'd k·d loop (expr.NearestCentroid) — the HOF
+    // formulation (transform over centroids, aggregate(zip_with) per
+    // centroid) evaluated interpreted per element and dominated every
+    // k-means iteration and assignment scan. Same semantics to the
+    // bit: sequential accumulation, float→double promotion,
+    // array_min's (distance, index) tie-break, NaN ordered greatest.
+    graft.expr.GraftFunctions.nearestCentroid(
+      vec, graft.expr.NearestCentroid.serialize(centroids))
 
   /** Index of the nearest centroid (L2). */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
@@ -271,8 +287,10 @@ object AnnSearch {
 
   /** The IVF index as data: the table plus its persisted `cell` column. */
   def ivfIndex(embeddings: DataFrame, vecCol: String,
-               centroids: Array[Array[Double]]): DataFrame =
+               centroids: Array[Array[Double]]): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     embeddings.withColumn("cell", nearestCentroid(col(vecCol), centroids))
+  }
 
   /**
    * Materialize the IVF index partitioned BY CELL — the production

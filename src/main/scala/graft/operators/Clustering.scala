@@ -28,12 +28,14 @@ object Clustering {
     * argmin expression is AnnSearch's (shared with IVF assignment), so
     * fit-time and assign-time decisions can never drift apart. */
   def assign(embeddings: DataFrame, vecCol: String,
-             centroids: Array[Array[Double]]): DataFrame =
+             centroids: Array[Array[Double]]): DataFrame = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     embeddings
       .withColumn("_b", AnnSearch.nearestCentroidScored(col(vecCol), centroids))
       .withColumn("cluster", col("_b.i").cast("int"))
       .withColumn("dist2", col("_b.d"))
       .drop("_b")
+  }
 
   /** Per-cluster composition: size, mean/max squared distance
     * (inertia contributions) — the corpus-report roll-up. */

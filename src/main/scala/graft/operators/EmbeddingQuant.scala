@@ -56,7 +56,8 @@ object EmbeddingQuant {
    * per-query cell assignments.
    */
   def writeIvfIndexQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
-                             path: String, centroids: Array[Array[Double]]): Unit =
+                             path: String, centroids: Array[Array[Double]]): Unit = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     // cells are assigned on the ORIGINAL float vectors (exact — cell
     // choice must not inherit quantization error), codes stored int8
     embeddings
@@ -66,6 +67,7 @@ object EmbeddingQuant {
         codesOf(col("_v"), col("scale")).as("codes"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
+  }
 
   /** Probe an IVF-SQ8 index: partition-pruned cells, cosine on codes. */
   def ivfTopKQuantized(indexed: DataFrame, idCol: String,

@@ -244,12 +244,14 @@ object ProductQuant {
    */
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                       path: String, centroids: Array[Array[Double]],
-                      codebooks: Codebooks): Unit =
+                      codebooks: Codebooks): Unit = {
+    graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
     embeddings
       .withColumn("cell", AnnSearch.nearestCentroid(col(vecCol), centroids))
       .select(col(idCol), col("cell"), codesOf(col(vecCol), codebooks).as("codes"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
+  }
 
   /** Probe an IVF-PQ index: partition-pruned cells, ADC on codes. */
   def ivfPqTopK(indexed: DataFrame, idCol: String, query: Array[Double], k: Int,

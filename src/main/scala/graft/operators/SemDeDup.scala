@@ -162,27 +162,42 @@ object SemDeDup {
                maxBroadcastIds: Long = 10000000L): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val dim = centroids(0).length
+    // The drop-list DAG reads its two hot intermediates MANY times —
+    // (id, hash) feeds the rep groupBy, the size gate and the copies
+    // join; the assigned reps feed BOTH sides of the pair self-join,
+    // the distance lookup in dropIds, and connectedComponents' two
+    // evaluations of the pair frame. Lazy, every one of those re-ran
+    // the full upstream (corpus scan + the k×dim nearest-centroid
+    // expression); measured 24 s warm at the 22k-row sf1 gate vs 8 s
+    // cached. Both frames are the SMALL end: keyed is 16 bytes/row,
+    // assigned is one row per DISTINCT vector. Persist → materialize
+    // the drop list eagerly → release (the CheckpointDiscipline
+    // shape, so a long-lived session keeps only the drop ids).
     val keyed = embeddings.select(col(idCol).as("_sd_id"), xxhash64(col(vecCol)).as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = keyed.groupBy(col("_k")).agg(min(col("_sd_id")).as("_rep"))
-    val broadcastDrop =
-      if (maxBroadcastIds == Long.MaxValue) true
-      else if (maxBroadcastIds <= 0L) false
-      else {
-        // copies = Σ(group size − 1) exactly; semantic drops < #groups
-        val b = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_gn"))
-          .agg(coalesce(sum(col("_gn") - 1), lit(0L)), count(lit(1))).head()
-        b.getLong(0) + b.getLong(1) <= maxBroadcastIds
-      }
-    // identity copies: every non-representative member of an identity
-    // group — dropped unconditionally (cosine exactly 1 to its rep)
-    val copies = keyed.join(reps, "_k").where(col("_sd_id") =!= col("_rep"))
-      .select(col("_sd_id").as("_drop_id"))
     val repRows = embeddings.join(
       reps.select(col("_rep")), col(idCol) === col("_rep"), "left_semi")
     val assigned = Clustering.assign(repRows, vecCol, centroids)
-    val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed, dim)
-    val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
-    val drop = copies.unionByName(semantic).distinct()
-    if (broadcastDrop) broadcast(drop) else drop
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val broadcastDrop =
+        if (maxBroadcastIds == Long.MaxValue) true
+        else if (maxBroadcastIds <= 0L) false
+        else {
+          // copies = Σ(group size − 1) exactly; semantic drops < #groups
+          val b = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_gn"))
+            .agg(coalesce(sum(col("_gn") - 1), lit(0L)), count(lit(1))).head()
+          b.getLong(0) + b.getLong(1) <= maxBroadcastIds
+        }
+      // identity copies: every non-representative member of an identity
+      // group — dropped unconditionally (cosine exactly 1 to its rep)
+      val copies = keyed.join(reps, "_k").where(col("_sd_id") =!= col("_rep"))
+        .select(col("_sd_id").as("_drop_id"))
+      val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed, dim)
+      val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
+      val drop = copies.unionByName(semantic).distinct().localCheckpoint(true)
+      if (broadcastDrop) broadcast(drop) else drop
+    } finally { keyed.unpersist(); assigned.unpersist(); () }
   }
 }
