@@ -74,6 +74,79 @@ class PyClientSpec extends SparkSpec {
     }
   }
 
+  test("standalone runner: `graft_py.py run <Name> --config --info-date` against the metastore layout") {
+    assume(pyAvailable, "python3 + pyarrow not available")
+    // the reference's `pramen-py transformations run` UX: a yaml
+    // config declaring metastore tables + run entries, a discovered
+    // Transformation subclass, partition-layout reads and writes —
+    // all WITHOUT the Scala orchestrator in the loop. Spark verifies
+    // the written partition.
+    val root = java.nio.file.Files.createTempDirectory("py_runner_")
+    val inPath = s"$root/data/sales"
+    val outPath = s"$root/data/sales_out"
+    // seed a day partition exactly as the metastore lays it out
+    Seq((1L, 10L), (2L, 25L)).toDF("id", "amount")
+      .write.parquet(s"$inPath/info_date=$d")
+    val tfDir = java.nio.file.Files.createDirectories(root.resolve("transformations"))
+    val helperDir = java.nio.file.Paths.get(
+      graft.SparkEntry.pyClientScript("graft_py.py")).getParent
+    java.nio.file.Files.write(tfDir.resolve("taxed.py"),
+      (s"import sys\nsys.path.insert(0, ${"\"" + helperDir + "\""})\n" +
+        """import pyarrow as pa
+          |import graft_py
+          |class TaxedSales(graft_py.Transformation):
+          |    def run(self, metastore, info_date, options):
+          |        t = metastore.get_table("sales", info_date)
+          |        rate = float(options.get("rate", 0))
+          |        taxed = pa.compute.multiply(t["amount"], rate)
+          |        return t.append_column("taxed", pa.compute.cast(taxed, pa.int64()))
+          |""".stripMargin).getBytes("UTF-8"))
+    java.nio.file.Files.write(root.resolve("config.yaml"),
+      s"""# pramen-py style runner config
+         |run_transformers:
+         |- info_date: 2020-01-01
+         |  output_table: sales_out
+         |  name: TaxedSales
+         |  options:
+         |    rate: 2
+         |metastore_tables:
+         |- name: sales
+         |  format: parquet
+         |  info_date_settings:
+         |    column: info_date
+         |    format: yyyy-MM-dd
+         |  path: $inPath
+         |- name: sales_out
+         |  format: parquet
+         |  info_date_settings:
+         |    column: info_date
+         |  path: $outPath
+         |  records_per_partition: 1
+         |""".stripMargin.getBytes("UTF-8"))
+    val helper = graft.SparkEntry.pyClientScript("graft_py.py")
+    // --info-date overrides the config's 2020 date, like the reference
+    val proc = new ProcessBuilder("python3", helper, "run", "TaxedSales",
+      "--config", s"$root/config.yaml", "--info-date", d.toString,
+      "--transformations-dir", tfDir.toString)
+      .redirectErrorStream(true).start()
+    val outTxt = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"runner failed: $outTxt")
+    assert(outTxt.contains("ran 1 entry"), outTxt)
+    // records_per_partition=1 → one part file per row
+    val parts = new java.io.File(s"$outPath/info_date=$d").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length == 2, parts.mkString(", "))
+    val got = spark.read.parquet(s"$outPath/info_date=$d")
+      .orderBy("id").select("id", "amount", "taxed")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 20L), (2L, 25L, 50L)), got.toString)
+    // ls discovers the class from the transformations dir
+    val ls = new ProcessBuilder("python3", helper, "ls",
+      "--transformations-dir", tfDir.toString).redirectErrorStream(true).start()
+    val lsOut = new String(ls.getInputStream.readAllBytes(), "UTF-8")
+    assert(ls.waitFor() == 0 && lsOut.contains("TaxedSales"), lsOut)
+  }
+
   test("helper surface: tables() listing and multi-table reads through a direct run") {
     assume(pyAvailable, "python3 + pyarrow not available")
     // two staged tables; the transformer joins their row counts — the
