@@ -617,6 +617,10 @@ object Decontaminate {
     if (index.isEmpty) {
       val materialized = out.localCheckpoint(true)
       idx.unpersist()
+      // matches() checkpointed the benchmark's banded signatures; that
+      // frame is a LogicalRDD leaf of the pre-checkpoint plan and is
+      // dead now that the result is materialized
+      CheckpointDiscipline.freeLocalCheckpoint(out)
       materialized
     } else out
   }

@@ -164,6 +164,12 @@ object MinHashIndex {
     val batchBanded = b
       .select(col(idCol).as("batch_id"), col("sig").as("_bsig"),
         explode(col("_bh")).as("h"))
+    // stays LAZY (plan-shape introspection and composition depend on
+    // it); the batch-signature checkpoint under it is released by the
+    // consumers that materialize the result (appendNewDocs,
+    // Decontaminate.nearContaminatedIds) via
+    // CheckpointDiscipline.freeLocalCheckpoint on the pre-checkpoint
+    // frame — whose plan still carries `b` as a LogicalRDD leaf.
     probe.join(broadcast(batchBanded), "h")
       .dropDuplicates("batch_id", "index_id")
       .withColumn("est_jaccard", estJaccard(col("_bsig"), col("_isig"), k))
@@ -204,8 +210,12 @@ object MinHashIndex {
                     shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     val index = spark.read.parquet(indexPath)
-    val fresh = newDocsOnly(batch, textCol, idCol, index, idCol,
-      threshold, shingleSize, k, bands).localCheckpoint(true)
+    val lazyFresh = newDocsOnly(batch, textCol, idCol, index, idCol,
+      threshold, shingleSize, k, bands)
+    val fresh = lazyFresh.localCheckpoint(true)
+    // the probe's batch-signature checkpoint (a LogicalRDD leaf of the
+    // pre-checkpoint plan) is dead once `fresh` is materialized
+    CheckpointDiscipline.freeLocalCheckpoint(lazyFresh)
     buildIndex(fresh, textCol, idCol, shingleSize, k)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
     fresh
