@@ -66,4 +66,24 @@ class VerifyBenchSpec extends SparkSpec {
     assert(Bench.jsonVal(bad) === "\"failed\"")
     assert(Bench.jsonVal(ok) === ok.toOption.get.toString)
   }
+
+  test("resetSessionState clears cached plans AND checkpoint blocks, so gates are hermetic") {
+    import spark.implicits._
+    // the r14 lesson: checkpoint blocks accumulated across 122 gates
+    // and the regression tripwire fired on untouched queries (12.3 s
+    // in-sweep vs 0.89 s isolated). The reset must drop BOTH caches —
+    // the cache manager and getPersistentRDDs (where localCheckpoint
+    // blocks live).
+    val cached = (1L to 100L).toDF("x").cache()
+    cached.count()
+    val cp = (1L to 100L).toDF("y").localCheckpoint(true)
+    cp.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Bench.resetSessionState(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persisted RDDs (incl. localCheckpoint blocks) must be gone")
+    // a timed run after the reset still works (recompute from lineage
+    // for plain caches; checkpointed frames are per-run rebuilds)
+    assert(cached.count() == 100)
+  }
 }

@@ -187,7 +187,8 @@ class VectorExpressionsSpec extends SparkSpec {
         "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
         "deflate_ratio", "token_window_hashes", "max_cosine_sim", "bpe_encode",
         "bloom_might_contain", "lsh_buckets", "sniff_charset", "decode_charset",
-        "sniff_mime", "robots_compile", "robots_allowed", "mih_pairs"))
+        "sniff_mime", "robots_compile", "robots_allowed", "nearest_centroid",
+        "mih_pairs"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible
