@@ -336,23 +336,27 @@ case class MihPairs(anchors: Expression, probes: Expression, blk: Expression,
     val thisBlk = bVal.asInstanceOf[Int]
     val na = aArr.numElements()
     val np = pArr.numElements()
-    // unpack once: getStruct in the inner loop would re-decode per check
-    val aIds = new Array[Any](na); val aHash = new Array[Long](na)
-    var i = 0
-    while (i < na) {
-      val r = aArr.getStruct(i, 2)
-      aIds(i) = r.get(0, idType); aHash(i) = r.getLong(1)
-      i += 1
+    // unpack once: getStruct in the inner loop would re-decode per
+    // check. A null hash (upstream forgot its isNotNull filter) must
+    // fail loudly — xor'ing the slot's stale bytes would silently
+    // produce wrong candidates.
+    def unpack(arr: ArrayData, n: Int, role: String): (Array[Any], Array[Long]) = {
+      val ids = new Array[Any](n); val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = arr.getStruct(i, 2)
+        if (r.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"mih_pairs: null hash in $role member $i — filter null hashes upstream")
+        ids(i) = r.get(0, idType); hs(i) = r.getLong(1)
+        i += 1
+      }
+      (ids, hs)
     }
-    val pIds = new Array[Any](np); val pHash = new Array[Long](np)
-    i = 0
-    while (i < np) {
-      val r = pArr.getStruct(i, 2)
-      pIds(i) = r.get(0, idType); pHash(i) = r.getLong(1)
-      i += 1
-    }
+    val (aIds, aHash) = unpack(aArr, na, "anchor")
+    val (pIds, pHash) = unpack(pArr, np, "probe")
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    i = 0
+    var i = 0
     while (i < na) {
       val hi = aHash(i)
       var j = i + 1

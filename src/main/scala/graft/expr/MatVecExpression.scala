@@ -169,6 +169,10 @@ case class NearestCentroid(child: Expression, matrixBytes: Array[Byte])
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: input vector has a null element at $i — " +
+            "malformed embedding, refusing to assign a cluster from garbage")
       x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

@@ -370,6 +370,42 @@ class KafkaWireSpec extends SparkSpec {
     } finally legacy.close()
   }
 
+  test("v2 decoder honors attribute bits and record headers from foreign producers") {
+    // graft's own encoder never sets these, but a real broker's log
+    // carries them: patch a batch's attributes and re-stamp the CRC
+    def withAttributes(batch: Array[Byte], attrs: Short): Array[Byte] = {
+      val out = batch.clone()
+      val bb = java.nio.ByteBuffer.wrap(out)
+      bb.putShort(21, attrs)
+      bb.putInt(17, crc32c(out, 21, out.length - 21))
+      out
+    }
+    val base = encodeRecordBatch(Seq(OutRecord(b("k"), b("v"), 5L)), 3L)
+    // control batch (bit 5): transaction marker — yields NO records
+    assert(decodeRecordSet(withAttributes(base, 0x20)).isEmpty)
+    // log-append-time (bit 3): timestampType flips to 1
+    val lat = decodeRecordSet(withAttributes(base, 0x08))
+    assert(lat.size == 1 && lat.head.timestampType == 1 && lat.head.timestamp == 5L)
+    // compression bits: rejected loudly, never silently garbled
+    val e = intercept[IllegalArgumentException](decodeRecordSet(withAttributes(base, 0x02)))
+    assert(e.getMessage.contains("compression"))
+    // record HEADERS (never written by graft, legal on the wire):
+    // hand-assemble one record with a header and verify the walk
+    val rec = new Writer().int8(0).varlong(0L).varint(0)
+      .varBytes(b("k")).varBytes(b("v"))
+      .varint(1).varBytes(b("hk")).varBytes(b("hv")).toBytes
+    val body = new Writer().varint(rec.length).raw(rec).toBytes
+    val covered = new Writer().int16(0).int32(0).int64(9L).int64(9L)
+      .int64(-1L).int16(-1).int32(-1).int32(1).raw(body).toBytes
+    val batch = new Writer().int64(7L).int32(covered.length + 9).int32(-1).int8(2)
+      .int32(crc32c(covered, 0, covered.length)).raw(covered).toBytes
+    val got = decodeRecordSet(batch)
+    assert(got.size == 1 && got.head.offset == 7L &&
+      new String(got.head.value, "UTF-8") == "v")
+    // empty set decodes to nothing, not an error
+    assert(decodeRecordSet(Array.emptyByteArray).isEmpty)
+  }
+
   test("RangeFetchIterator refuses to spin on a broker that makes no forward progress") {
     val range = KafkaBatch.PartitionRange("t", 0, "h", 1, start = 10L, end = 20L)
     // nonconforming page: non-empty but max offset below the request
