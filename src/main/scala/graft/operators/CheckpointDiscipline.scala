@@ -34,4 +34,14 @@ private[graft] object CheckpointDiscipline {
         lr.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** Lineage truncation that honors the cluster's durability setting:
+    * RELIABLE `checkpoint` when the session has a checkpoint dir
+    * (`sparkContext.setCheckpointDir` — the production posture, since
+    * a locally-checkpointed iterative result is LOST on executor
+    * failure and cannot be recomputed), `localCheckpoint` otherwise
+    * (single-JVM runs, tests, local mode). Always eager. */
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

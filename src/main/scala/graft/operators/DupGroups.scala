@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
  * node id within u's component and only ever decreases, so the sum is
  * strictly monotone until the fixpoint — an unchanged sum IS the
  * fixpoint, checked with one tiny aggregate per round. Lineage is
- * truncated per round with localCheckpoint (use reliable
- * checkpointing on a real cluster for executor-loss tolerance).
+ * truncated per round via [[CheckpointDiscipline.truncate]]: a
+ * RELIABLE checkpoint when the session has a checkpoint dir (the
+ * production posture — a locally-checkpointed round is LOST on
+ * executor failure), localCheckpoint otherwise.
  */
 object DupGroups {
 
@@ -59,11 +61,11 @@ object DupGroups {
     // undirected adjacency: both orientations, self-loops dropped,
     // deduplicated once so repeated candidate pairs don't multiply
     // every subsequent join
-    val und = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val und = CheckpointDiscipline.truncate(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
 
     // small-graph fast path: one count (ids only — und is checkpointed,
     // so this is cheap and reused) decides whether the edge list fits on
@@ -88,10 +90,10 @@ object DupGroups {
     }
 
     // initial labels: min of self and direct neighbors (a free first hook)
-    var labels = und.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .localCheckpoint()
+    var labels = CheckpointDiscipline.truncate(
+      und.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("comp")))
 
     // no candidate edges (every pair was a self-loop, or `pairs` is
     // empty — a normal production case): nothing to group
@@ -125,12 +127,11 @@ object DupGroups {
       // compress: jump to the label's own label (comp values are node
       // ids, so they can be looked up as ids; roots resolve to
       // themselves, non-root targets halve the remaining distance)
-      val compressed = hooked.as("x")
+      val compressed = CheckpointDiscipline.truncate(hooked.as("x")
         .join(hooked.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("x.comp") === col("cid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint()
+          coalesce(col("ccomp"), col("x.comp")).as("comp")))
       converged = changedCount(compressed, labels) == 0
       // the previous round's labels are superseded the moment the new
       // checkpoint is materialized AND the convergence check has read

@@ -39,6 +39,25 @@ class CheckpointDisciplineSpec extends SparkSpec {
     assert(leaked.size <= 1, s"superseded round checkpoints leaked: $leaked")
   }
 
+  test("truncate uses RELIABLE checkpoints when the session has a checkpoint dir") {
+    // the production posture: a locally-checkpointed iterative round
+    // is lost on executor failure; with sparkContext.setCheckpointDir
+    // the rounds must go to durable storage instead — same results
+    val dir = java.nio.file.Files.createTempDirectory("cc_reliable_").toString
+    val pairs = (1 to 300).map(i => (s"n$i", s"n${i + 1}")).toDF("a", "b")
+    val plain = DupGroups.connectedComponents(pairs, "a", "b")
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = DupGroups.connectedComponents(pairs, "a", "b")
+        .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(reliable == plain, "durable rounds must not change the labels")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(files > 0, s"no reliable checkpoint data written under $dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("hammingCandidates leaves only its materialized pair output pinned") {
     val before = persistedRddIds
     val rows = (1L to 500L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("doc_id", "sh")
