@@ -502,6 +502,15 @@ object Dedup {
    */
   private[operators] def idPairsFromBuckets(df: DataFrame, keyCols: Seq[String],
                                             maxBucket: Int): DataFrame = {
+    // NO partition pin here, unlike hammingCandidates: measured at
+    // sf1, pinning this exchange made q_dedup_minhash 7.8 → 13.4 s.
+    // MinHash band buckets are SPARSE (16-band hashes over distinct
+    // signatures rarely collide, so per-bucket pair work is light)
+    // and the pin's extra exchange + fixed 32-task stages cost more
+    // than the parallelism buys; the MIH probe stream is the opposite
+    // regime (dense buckets, heavy per-bucket CPU — 4.4× from the
+    // pin). AQE's byte-based coalescing is the right default for the
+    // sparse case.
     val bucketed = df
       .groupBy(keyCols.map(col): _*)
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("members"))
