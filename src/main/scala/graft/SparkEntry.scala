@@ -969,14 +969,25 @@ object SparkEntry {
     }),
 
     "q_stats_agg" -> ((s, dir) => {
-      // statistical aggregate surface: exact distinct, median, stddev, corr
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      // statistical aggregate surface: exact distinct, median, stddev,
+      // corr. The EXACT median rides the counting formulation
+      // (StatsAgg.groupedExactMedian — bit-identical to median(),
+      // proven in StatsAggSpec): Spark's median buffers every group
+      // value in aggregation state, and 3 return-flag groups over the
+      // fact table concentrated the whole scan into 3 executor
+      // buffers — 27 s at sf1, the one O(group)-memory aggregate in
+      // this scan. l_quantity's domain is bounded (the exact-median
+      // premise), so the count table is ~50 rows per group.
+      val li = t(s, dir, "lineitem")
+      val base = li.groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
-          round(median(col("l_quantity")), 4).as("med_qty"),
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+      graft.operators.StatsAgg.withExactMedian(base, li, Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"), col("n_parts"),
+          round(col("median"), 4).as("med_qty"),
+          col("sd_price"), col("qty_price_corr"))
     }),
 
     "q_json_extract" -> ((s, dir) => {
