@@ -531,6 +531,17 @@ object GraftFunctions {
         MihPairs(children(0), children(1), children(2),
           intLit(children(3), "maxHamming"), intLit(children(4), "radius"),
           intLit(children(5), "nBlocks"))
+      }),
+    ("bounded_min_k",
+      new ExpressionInfo(classOf[BoundedMinK].getName, "bounded_min_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"bounded_min_k expects 2 arguments, got ${children.length}")
+        val k = children(1) match {
+          case e if e.foldable && e.dataType == IntegerType => e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"bounded_min_k: k must be an integer literal, got $other")
+        }
+        BoundedMinK(children(0), k)
       }))
 
   /** Idempotent per-session registration. */
@@ -552,6 +563,8 @@ object GraftFunctions {
     call_function("word_shingles", tokens, org.apache.spark.sql.functions.lit(n))
   def topKRows(scored: Column, k: Int): Column =
     call_function("top_k_rows", scored, org.apache.spark.sql.functions.lit(k))
+  def boundedMinK(member: Column, k: Int): Column =
+    call_function("bounded_min_k", member, org.apache.spark.sql.functions.lit(k))
   def approxTopItems(item: Column, k: Int, capacity: Int): Column =
     call_function("approx_top_items", item,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(capacity))

@@ -449,15 +449,28 @@ object Dedup {
       // explicit numPartitions is exempt from AQE coalescing, and the
       // groupBy below reuses the same hash partitioning, so this adds
       // no extra exchange.
+      // bounded_min_k, NOT slice(sort_array(collect_list …)): the
+      // slice caps what is KEPT, but collect_list BUFFERS the whole
+      // bucket first — a hot bucket of distinct hashes sharing one
+      // block value (near-blank images whose pHash block is 0) is an
+      // O(bucket) executor buffer, invisible at gate SFs and an OOM
+      // at 100 TB. The capped aggregate keeps the same k smallest
+      // members in O(k) state and reports what it dropped, which
+      // BucketTruncation surfaces as query metrics (silent recall
+      // truncation becomes observable).
       val sp = withHash.sparkSession.sessionState.conf.numShufflePartitions
-      val bucketed = entries
+      val aggd = entries
         .repartition(sp, col("algn"), col("blk"), col("bv"))
         .groupBy(col("algn"), col("blk"), col("bv"))
         .agg(
-          slice(sort_array(collect_list(when(!col("probe"),
-            struct(col("doc_id"), col("sh").as("_p"))))), 1, maxBucket).as("anchors"),
-          slice(sort_array(collect_list(when(col("probe"),
-            struct(col("doc_id"), col("sh").as("_p"))))), 1, maxBucket).as("probes"))
+          graft.expr.GraftFunctions.boundedMinK(when(!col("probe"),
+            struct(col("doc_id"), col("sh").as("_p"))), maxBucket).as("_a"),
+          graft.expr.GraftFunctions.boundedMinK(when(col("probe"),
+            struct(col("doc_id"), col("sh").as("_p"))), maxBucket).as("_b"))
+      val bucketed = BucketTruncation
+        .attach(aggd, col("_a.dropped") + col("_b.dropped"))
+        .select(col("algn"), col("blk"), col("bv"),
+          col("_a.members").as("anchors"), col("_b.members").as("probes"))
         .where(size(col("anchors")) > 0 &&
           size(col("anchors")) + size(col("probes")) > 1)
       // The per-bucket pair loop is the native [[graft.expr.MihPairs]]
@@ -511,9 +524,16 @@ object Dedup {
     // regime (dense buckets, heavy per-bucket CPU — 4.4× from the
     // pin). AQE's byte-based coalescing is the right default for the
     // sparse case.
-    val bucketed = df
+    // size-capped aggregate state (see hammingCandidates): collect the
+    // k smallest ids per bucket in an O(k) heap, never the whole
+    // bucket, and surface dropped-member counts as query metrics.
+    graft.expr.GraftFunctions.ensure(df.sparkSession)
+    val aggd = df
       .groupBy(keyCols.map(col): _*)
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("members"))
+      .agg(graft.expr.GraftFunctions.boundedMinK(
+        struct(col("doc_id")), maxBucket).as("_m"))
+    val bucketed = BucketTruncation.attach(aggd, col("_m.dropped"))
+      .select(col("_m.members.doc_id").as("members"))
       .where(size(col("members")) > 1)
     bucketed.select(explode(expr(
       """
@@ -525,6 +545,48 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+}
+
+/**
+ * Observability for the size-capped bucket collectors: every banding /
+ * multi-index-hashing candidate generator records, per run, how many
+ * bucket members the `maxBucket` cap dropped and how many buckets
+ * were truncated at all. Zero on every gate corpus; at real scale a
+ * non-zero count is the signal that recall is being traded for the
+ * memory bound — previously that trade was silent.
+ *
+ * Implemented with `Dataset.observe` (a `CollectMetrics` node over
+ * the aggregated bucket frame — no extra job, metrics ride the
+ * existing action). The observation is recorded per-thread at plan
+ * construction; read [[lastStats]] after an action has run the plan.
+ */
+object BucketTruncation {
+  import org.apache.spark.sql.Observation
+
+  /** (truncated buckets, dropped members) of the most recent
+    * capped-bucket operator built on this thread, once an action has
+    * executed it. None if never attached / not yet executed. */
+  final case class Stats(truncatedBuckets: Long, droppedMembers: Long)
+
+  private val last = new ThreadLocal[Option[Observation]] {
+    override def initialValue(): Option[Observation] = None
+  }
+
+  private[operators] def attach(df: DataFrame, dropped: Column): DataFrame = {
+    val obs = Observation()
+    val out = df.observe(obs,
+      count(when(dropped > 0, lit(1))).as("truncated_buckets"),
+      coalesce(sum(dropped), lit(0L)).as("dropped_members"))
+    last.set(Some(obs))
+    out
+  }
+
+  def lastStats: Option[Stats] = last.get().flatMap { obs =>
+    obs.future.value.flatMap(_.toOption).map { row =>
+      Stats(row.getAs[Number]("truncated_buckets").longValue(),
+        row.getAs[Number]("dropped_members").longValue())
+    }
+  }
 }
 
 /**

@@ -86,4 +86,18 @@ class VerifyBenchSpec extends SparkSpec {
     // for plain caches; checkpointed frames are per-run rebuilds)
     assert(cached.count() == 100)
   }
+
+  test("regression self-attribution: isolated medians back within 1.5x of prior are labeled noise") {
+    // sweep said 12x, isolated says 1.1x -> host contention, noise
+    assert(Bench.regressionVerdict(prior = 1.0, isolated = 1.1) === ((1.1, "noise")))
+    // isolated confirms the slowdown -> real
+    val (r1, v1) = Bench.regressionVerdict(prior = 1.0, isolated = 4.0)
+    assert(r1 === 4.0 && v1 === "real")
+    // a flagged "speedup" that is really a broken/lost code path stays
+    // fast in isolation -> real (deserves a look, not a celebration)
+    val (r2, v2) = Bench.regressionVerdict(prior = 3.0, isolated = 0.4)
+    assert(math.abs(r2 - 0.4 / 3.0) < 1e-9 && v2 === "real")
+    // boundary: exactly 1.5x is NOT noise
+    assert(Bench.regressionVerdict(1.0, 1.5)._2 === "real")
+  }
 }

@@ -427,4 +427,70 @@ class DedupSpec extends SparkSpec {
     assert(hit >= (planted * 0.95).toInt,
       s"recall ${hit.toDouble / planted} < 0.95 at h=8 with default maxBucket")
   }
+
+  test("bounded_min_k equals slice(sort_array(collect_list)) and reports exact dropped counts") {
+    graft.expr.GraftFunctions.ensure(spark)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 4000).map(_ => (rnd.nextInt(7), rnd.nextLong(), rnd.nextInt(100)))
+      .toDF("g", "a", "b")
+    val viaSlice = rows.groupBy("g")
+      .agg(slice(sort_array(collect_list(struct(col("a"), col("b")))), 1, 37).as("m"))
+      .select(col("g"), col("m"))
+    val viaBounded = rows.groupBy("g")
+      .agg(graft.expr.GraftFunctions.boundedMinK(struct(col("a"), col("b")), 37).as("mk"))
+      .select(col("g"), col("mk.members").as("m"), col("mk.dropped").as("d"))
+    val s = viaSlice.collect().map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+    val counts = rows.groupBy("g").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    viaBounded.collect().foreach { r =>
+      val g = r.getInt(0)
+      assert(r.getSeq[Any](1) == s(g), s"group $g: member mismatch")
+      assert(r.getLong(2) == math.max(0L, counts(g) - 37), s"group $g: dropped count wrong")
+    }
+    // conditional-collection idiom: null children neither collected nor counted
+    val cond = rows.groupBy("g")
+      .agg(graft.expr.GraftFunctions.boundedMinK(
+        when(col("b") < 50, struct(col("a"))), 10).as("mk"))
+      .select(col("g"), size(col("mk.members")).as("n"), col("mk.dropped").as("d"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val condCounts = rows.where(col("b") < 50).groupBy("g").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cond.foreach { case (g, (n, d)) =>
+      val seen = condCounts.getOrElse(g, 0L)
+      assert(n == math.min(10L, seen) && d == math.max(0L, seen - 10),
+        s"group $g: conditional collect n=$n d=$d seen=$seen")
+    }
+  }
+
+  test("mega-bucket: banding collector state stays O(maxBucket) and truncation is observable") {
+    // 50x maxBucket DISTINCT members sharing one band value — the hot
+    // bucket (boilerplate shingle band) that the old
+    // slice-after-collect_list formulation buffered in full
+    val maxBucket = 100
+    val banded = (0L until 50L * maxBucket).map(i => (i, 0, 0L))
+      .toDF("doc_id", "band", "bh")
+    val pairs = Dedup.idPairsFromBuckets(banded, Seq("band", "bh"), maxBucket)
+    val got = pairs.collect()
+    assert(got.length == maxBucket * (maxBucket - 1) / 2,
+      s"expected C($maxBucket,2) capped pairs, got ${got.length}")
+    // the capped aggregate must be PARTIAL (map-side) in the plan —
+    // that is the memory bound
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bounded_min_k"),
+      s"capped partial aggregate missing from plan:\n$plan")
+    assert(!plan.contains("collect_list"), s"unbounded collector still present:\n$plan")
+    val stats = BucketTruncation.lastStats.get
+    assert(stats.truncatedBuckets == 1 && stats.droppedMembers == 49L * maxBucket,
+      s"truncation must be observable, got $stats")
+  }
+
+  test("mega-bucket: MIH collector is capped, observable, and the run survives a degenerate block") {
+    // 2000 distinct hashes all sharing block-0 value 0 (near-blank
+    // images: low 16 bits zero, high bits vary) with a tight cap
+    val rows = (0L until 2000L).map(i => (i, (i + 1) << 32)).toDF("doc_id", "sh")
+    val cand = Dedup.hammingCandidates(rows, maxHamming = 2, maxBucket = 20)
+    cand.count() // localCheckpoint already ran; force for clarity
+    val stats = BucketTruncation.lastStats.get
+    assert(stats.truncatedBuckets >= 1 && stats.droppedMembers > 0,
+      s"MIH truncation must be observable, got $stats")
+  }
 }
