@@ -49,7 +49,9 @@ object KafkaWire {
   val ApiFetch: Short = 1
   val ApiListOffsets: Short = 2
   val ApiMetadata: Short = 3
+  val ApiSaslHandshake: Short = 17
   val ApiVersionsKey: Short = 18
+  val ApiSaslAuthenticate: Short = 36
 
   /** ListOffsets sentinel timestamps. */
   val LatestTimestamp: Long = -1L
@@ -143,6 +145,49 @@ object KafkaWire {
     def skip(n: Int): Unit = pos += n
   }
 
+  // ── compression codecs (attribute bits 0-2) ──────────────────────
+  // 1=gzip 2=snappy 3=lz4 (v1 and v2), 4=zstd (v2 only, KIP-110).
+  // All four rides on Spark's own classpath: JDK zlib, snappy-java
+  // (xerial stream framing — what Kafka uses), lz4-java (LZ4 frame
+  // format, KIP-57 fixed framing for magic >= 1) and zstd-jni. The
+  // reference is immune to this concern by delegating to
+  // kafka-clients (reference: pramen extras/source/KafkaAvroSource);
+  // a from-spec wire client must decode them itself, because real
+  // topics are overwhelmingly compressed.
+
+  private[kafka] def codecName(codec: Int): String = codec match {
+    case 0 => "none"; case 1 => "gzip"; case 2 => "snappy"
+    case 3 => "lz4"; case 4 => "zstd"
+    case other => s"unknown($other)"
+  }
+
+  private[kafka] def decompress(codec: Int, buf: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val in = new java.io.ByteArrayInputStream(buf, from, len)
+    val stream: java.io.InputStream = codec match {
+      case 1 => new java.util.zip.GZIPInputStream(in)
+      case 2 => new org.xerial.snappy.SnappyInputStream(in)
+      case 3 => new net.jpountz.lz4.LZ4FrameInputStream(in)
+      case 4 => new com.github.luben.zstd.ZstdInputStream(in)
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression codec ${codecName(other)}")
+    }
+    try stream.readAllBytes() finally stream.close()
+  }
+
+  private[kafka] def compress(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out: java.io.OutputStream = codec match {
+      case 1 => new java.util.zip.GZIPOutputStream(bos)
+      case 2 => new org.xerial.snappy.SnappyOutputStream(bos)
+      case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case 4 => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case other => throw new IllegalArgumentException(
+        s"unsupported compression codec ${codecName(other)}")
+    }
+    out.write(data); out.close()
+    bos.toByteArray
+  }
+
   // ── message format v1 (magic 1) ──────────────────────────────────
 
   /** The timestamp-type attribute bit of the v1 message format. */
@@ -151,10 +196,12 @@ object KafkaWire {
   /** Encode one v1 message (crc + magic + attributes + timestamp +
     * key + value). The CRC32 covers everything after the crc field —
     * the on-the-wire integrity check brokers and consumers enforce. */
-  def encodeMessage(rec: OutRecord): Array[Byte] = {
+  def encodeMessage(rec: OutRecord): Array[Byte] = encodeMessage(rec, 0)
+
+  private def encodeMessage(rec: OutRecord, attributes: Int): Array[Byte] = {
     val body = new Writer()
       .int8(1)                 // magic
-      .int8(0)                 // attributes: no compression, create-time
+      .int8(attributes)        // codec bits 0-2, create-time
       .int64(rec.timestamp)
       .bytes(rec.key)
       .bytes(rec.value)
@@ -166,14 +213,37 @@ object KafkaWire {
 
   /** Encode a MessageSet: [offset INT64, size INT32, message]* — the
     * producer writes sequence numbers as offsets; the broker assigns
-    * real log offsets on append. */
-  def encodeMessageSet(records: Seq[OutRecord]): Array[Byte] = {
+    * real log offsets on append. With a codec, the whole set is
+    * compressed into one wrapper message (KIP-57 framing: inner
+    * relative offsets from 0, wrapper offset = last inner relative,
+    * wrapper timestamp = max inner). */
+  def encodeMessageSet(records: Seq[OutRecord], codec: Int = 0): Array[Byte] = {
     val w = new Writer()
-    records.zipWithIndex.foreach { case (r, i) =>
-      val m = encodeMessage(r)
-      w.int64(i.toLong).int32(m.length).raw(m)
+    if (codec == 0) {
+      records.zipWithIndex.foreach { case (r, i) =>
+        val m = encodeMessage(r)
+        w.int64(i.toLong).int32(m.length).raw(m)
+      }
+    } else {
+      w.raw(compressedSetEntry(records, codec, records.size - 1L))
     }
     w.toBytes
+  }
+
+  /** One compressed v1 set entry: [wrapperOffset, size, wrapper
+    * message] whose value is the compressed inner set (relative
+    * offsets 0..n-1). Producers pass `records.size - 1` (the broker
+    * rewrites on append); a broker encoding a fetch response passes
+    * the ABSOLUTE offset of the last inner message. */
+  private[kafka] def compressedSetEntry(records: Seq[OutRecord], codec: Int,
+                                        wrapperOffset: Long): Array[Byte] = {
+    require(records.nonEmpty, "empty compressed message set")
+    require(codec >= 1 && codec <= 3,
+      s"v1 message sets support gzip/snappy/lz4 only, got ${codecName(codec)} (zstd is v2-only, KIP-110)")
+    val inner = encodeMessageSet(records)
+    val wrapper = encodeMessage(
+      OutRecord(null, compress(codec, inner), records.map(_.timestamp).max), codec)
+    new Writer().int64(wrapperOffset).int32(wrapper.length).raw(wrapper).toBytes
   }
 
   /** Minimum v1 message body: crc(4) + magic(1) + attributes(1) +
@@ -200,7 +270,7 @@ object KafkaWire {
     while (!stop && buf.length - pos >= 12) {
       val entry = decodeV1Entry(buf, pos)
       entry match {
-        case Some((rec, next)) => out += rec; pos = next
+        case Some((recs, next)) => out ++= recs; pos = next
         case None => stop = true // partial trailing message: caller re-fetches
       }
     }
@@ -208,8 +278,14 @@ object KafkaWire {
   }
 
   /** One v0/v1 MessageSet entry at `pos` (12-byte offset+size header
-    * already known to fit). Returns None for a partial tail. */
-  private def decodeV1Entry(buf: Array[Byte], pos: Int): Option[(KafkaRecord, Int)] = {
+    * already known to fit). Returns None for a partial tail. A
+    * compressed entry is a WRAPPER message whose value holds an inner
+    * message set (KIP-57 framing for magic 1): the wrapper's offset
+    * is the offset of the LAST inner message, inner messages store
+    * relative offsets from 0, so absolute = wrapper - lastRel + rel;
+    * under log-append time the broker stamps only the wrapper, and
+    * its timestamp applies to every inner record. */
+  private def decodeV1Entry(buf: Array[Byte], pos: Int): Option[(Seq[KafkaRecord], Int)] = {
     val offset = ((buf(pos) & 0xFFL) << 56) | ((buf(pos + 1) & 0xFFL) << 48) |
       ((buf(pos + 2) & 0xFFL) << 40) | ((buf(pos + 3) & 0xFFL) << 32) |
       ((buf(pos + 4) & 0xFFL) << 24) | ((buf(pos + 5) & 0xFFL) << 16) |
@@ -230,13 +306,26 @@ object KafkaWire {
     val magic = r.int8()
     require(magic == 1, s"unsupported message magic $magic at offset $offset (client speaks v1 sets)")
     val attributes = r.int8()
-    require((attributes & 0x07) == 0,
-      s"compressed message set (codec ${attributes & 0x07}) at offset $offset: compression not supported")
+    val codec = attributes & 0x07
     val timestamp = r.int64()
     val key = r.bytes()
     val value = r.bytes()
     val tsType = if ((attributes & LogAppendTimeBit) != 0) 1 else 0
-    Some((KafkaRecord(offset, timestamp, tsType, key, value), pos + 12 + size))
+    val next = pos + 12 + size
+    if (codec == 0)
+      Some((Seq(KafkaRecord(offset, timestamp, tsType, key, value)), next))
+    else {
+      require(value != null,
+        s"compressed wrapper at offset $offset has a null value")
+      val inner = decodeMessageSet(decompress(codec, value, 0, value.length))
+      require(inner.nonEmpty, s"compressed wrapper at offset $offset decoded to zero messages")
+      val lastRel = inner.last.offset
+      val mapped = inner.map { m =>
+        val ts = if (tsType == 1) timestamp else m.timestamp
+        KafkaRecord(offset - lastRel + m.offset, ts, tsType, m.key, m.value)
+      }
+      Some((mapped, next))
+    }
   }
 
   // ── record batches (magic 2, KIP-98 format) ─────────────────────
@@ -266,8 +355,10 @@ object KafkaWire {
    * `baseOffset` 0 (the broker assigns real offsets on append); a
    * broker encoding a fetch response stamps the log position.
    */
-  def encodeRecordBatch(records: Seq[OutRecord], baseOffset: Long = 0L): Array[Byte] = {
+  def encodeRecordBatch(records: Seq[OutRecord], baseOffset: Long = 0L,
+                        codec: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
+    require(codec >= 0 && codec <= 4, s"unknown codec $codec")
     val baseTs = records.map(_.timestamp).min
     val maxTs = records.map(_.timestamp).max
     val body = new Writer()
@@ -282,10 +373,14 @@ object KafkaWire {
         .toBytes
       body.varint(r.length).raw(r)
     }
-    val bodyBytes = body.toBytes
+    // with a codec, ONLY the records section compresses; the 61-byte
+    // header stays clear and the CRC32C covers the wire (compressed)
+    // bytes, so integrity checks never need decompression
+    val bodyBytes =
+      if (codec == 0) body.toBytes else compress(codec, body.toBytes)
     // attributes..end — the CRC32C-covered region
     val covered = new Writer()
-      .int16(0)                         // attributes: no compression, create-time
+      .int16(codec)                     // attributes: codec bits 0-2, create-time
       .int32(records.size - 1)          // lastOffsetDelta
       .int64(baseTs)
       .int64(maxTs)
@@ -325,8 +420,6 @@ object KafkaWire {
     require(actual == crc,
       s"corrupt record batch at offset $baseOffset: CRC32C mismatch (stored $crc, computed $actual)")
     val attributes = r.int16()
-    require((attributes & 0x07) == 0,
-      s"compressed record batch (codec ${attributes & 0x07}) at offset $baseOffset: compression not supported")
     r.int32() // lastOffsetDelta
     val baseTs = r.int64()
     r.int64() // maxTimestamp
@@ -334,26 +427,35 @@ object KafkaWire {
     val count = r.int32()
     val tsType = if ((attributes & V2TimestampTypeBit) != 0) 1 else 0
     val isControl = (attributes & V2ControlBit) != 0
+    val end = pos + 12 + batchLength
+    // codec bits: the records section after `count` is compressed as a
+    // whole (the 61-byte header is always clear; the CRC above already
+    // validated the wire bytes, so decompression happens post-check)
+    val codec = attributes & 0x07
+    val rr = if (codec == 0) r else {
+      val recordsStart = pos + V2HeaderBytes
+      new Reader(decompress(codec, buf, recordsStart, end - recordsStart))
+    }
     var i = 0
     while (i < count) {
-      val len = r.varint()
-      val startRemaining = r.remaining
-      r.int8() // record attributes
-      val tsDelta = r.varlong()
-      val offDelta = r.varint()
-      val key = r.varBytes()
-      val value = r.varBytes()
-      val headers = r.varint()
+      val len = rr.varint()
+      val startRemaining = rr.remaining
+      rr.int8() // record attributes
+      val tsDelta = rr.varlong()
+      val offDelta = rr.varint()
+      val key = rr.varBytes()
+      val value = rr.varBytes()
+      val headers = rr.varint()
       var h = 0
-      while (h < headers) { r.varBytes(); r.varBytes(); h += 1 }
-      require(startRemaining - r.remaining == len,
+      while (h < headers) { rr.varBytes(); rr.varBytes(); h += 1 }
+      require(startRemaining - rr.remaining == len,
         s"record batch at offset $baseOffset: record $i declared $len bytes, " +
-          s"walked ${startRemaining - r.remaining}")
+          s"walked ${startRemaining - rr.remaining}")
       if (!isControl)
         out += KafkaRecord(baseOffset + offDelta, baseTs + tsDelta, tsType, key, value)
       i += 1
     }
-    pos + 12 + batchLength
+    end
   }
 
   /**
@@ -379,7 +481,7 @@ object KafkaWire {
         else pos = decodeV2Batch(buf, pos, out)
       } else {
         decodeV1Entry(buf, pos) match {
-          case Some((rec, next)) => out += rec; pos = next
+          case Some((recs, next)) => out ++= recs; pos = next
           case None => stop = true
         }
       }
@@ -430,6 +532,9 @@ object KafkaWire {
     case 6 => "NOT_LEADER_FOR_PARTITION"
     case 7 => "REQUEST_TIMED_OUT"
     case 10 => "MESSAGE_TOO_LARGE"
+    case 33 => "UNSUPPORTED_SASL_MECHANISM"
+    case 34 => "ILLEGAL_SASL_STATE"
+    case 58 => "SASL_AUTHENTICATION_FAILED"
     case other => s"ERROR_$other"
   }
 
@@ -457,6 +562,26 @@ final case class KafkaClusterMeta(brokers: Map[Int, KafkaBrokerNode],
 
 final case class FetchResult(records: Seq[KafkaWire.KafkaRecord], highWatermark: Long)
 
+/** SASL credentials: mechanism "PLAIN" (RFC 4616) or "SCRAM-SHA-256"
+  * (RFC 5802/7677) — the two mechanisms production clusters deploy
+  * that are implementable JDK-only. */
+final case class SaslCredentials(mechanism: String, username: String, password: String) {
+  require(mechanism == "PLAIN" || mechanism == "SCRAM-SHA-256",
+    s"unsupported SASL mechanism '$mechanism' (PLAIN and SCRAM-SHA-256 are supported)")
+  override def toString = s"SaslCredentials($mechanism, $username, ***)" // never log secrets
+}
+
+/** Connection security for [[KafkaWireClient]] — the four listener
+  * flavors real clusters expose: PLAINTEXT (default), SSL
+  * (`tls = true`), SASL_PLAINTEXT (`sasl` set), SASL_SSL (both).
+  * `tlsContext` overrides the JVM-default trust store (tests with
+  * self-signed certs; mutual-TLS key material). */
+final case class KafkaSecurity(tls: Boolean = false,
+                               tlsContext: Option[javax.net.ssl.SSLContext] = None,
+                               sasl: Option[SaslCredentials] = None) {
+  def useTls: Boolean = tls || tlsContext.isDefined
+}
+
 /**
  * Blocking single-threaded wire client. One socket per broker, lazily
  * opened, correlation-id checked on every response. NOT thread-safe —
@@ -467,7 +592,8 @@ final case class FetchResult(records: Seq[KafkaWire.KafkaRecord], highWatermark:
 final class KafkaWireClient(bootstrap: Seq[(String, Int)],
                             clientId: String = "graft",
                             timeoutMs: Int = 30000,
-                            formatOverride: Option[Int] = None) extends AutoCloseable {
+                            formatOverride: Option[Int] = None,
+                            security: KafkaSecurity = KafkaSecurity()) extends AutoCloseable {
   import KafkaWire._
 
   require(bootstrap.nonEmpty, "at least one bootstrap broker required")
@@ -490,13 +616,87 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
   }
 
   private def conn(broker: (String, Int)) = sockets.getOrElseUpdate(broker, {
-    val s = new Socket()
+    // TLS rides the standard SSLSocketFactory seam: the handshake
+    // completes BEFORE any Kafka bytes, then the framed protocol is
+    // byte-identical over the encrypted stream
+    val s: Socket =
+      if (security.useTls) {
+        val factory = security.tlsContext.map(_.getSocketFactory)
+          .getOrElse(javax.net.ssl.SSLContext.getDefault.getSocketFactory)
+        factory.createSocket()
+      } else new Socket()
     s.setTcpNoDelay(true)
     s.setSoTimeout(timeoutMs)
     s.connect(new InetSocketAddress(broker._1, broker._2), timeoutMs)
-    (s, new DataInputStream(new java.io.BufferedInputStream(s.getInputStream)),
-      new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream)))
+    s match {
+      case ssl: javax.net.ssl.SSLSocket => ssl.startHandshake()
+      case _ =>
+    }
+    val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+    // SASL authenticates each NEW connection before it enters the
+    // socket map — every later call on the connection rides the
+    // authenticated session (how real listeners work; a reconnect
+    // after evict() re-authenticates automatically)
+    security.sasl.foreach(creds => saslAuthenticate(in, out, creds))
+    (s, in, out)
   })
+
+  /** One framed request/response on a NOT-yet-registered connection
+    * (used by the SASL exchange, which must complete before `conn`
+    * returns). */
+  private def rawCall(in: DataInputStream, out: DataOutputStream,
+                      apiKey: Short, apiVersion: Short)(body: Writer => Unit): Reader = {
+    val cid = correlation.incrementAndGet()
+    val w = new Writer().int16(apiKey).int16(apiVersion).int32(cid).string(clientId)
+    body(w)
+    val payload = w.toBytes
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    val size = in.readInt()
+    require(size >= 4 && size < 256 * 1024 * 1024, s"implausible response frame size $size")
+    val resp = new Array[Byte](size)
+    in.readFully(resp)
+    val r = new Reader(resp)
+    val gotCid = r.int32()
+    require(gotCid == cid, s"correlation id mismatch during auth: sent $cid, got $gotCid")
+    r
+  }
+
+  /** SaslHandshake v1 + SaslAuthenticate v0 exchange (KIP-152 framed
+    * tokens — every modern broker; the pre-0.10 raw-token flow is not
+    * spoken). PLAIN is one token; SCRAM-SHA-256 is the RFC 5802
+    * three-message exchange with mutual server verification. */
+  private def saslAuthenticate(in: DataInputStream, out: DataOutputStream,
+                               creds: SaslCredentials): Unit = {
+    val hs = rawCall(in, out, ApiSaslHandshake, 1)(_.string(creds.mechanism))
+    val hsErr = hs.int16()
+    val offered = (0 until hs.int32()).map(_ => hs.string())
+    if (hsErr != 0) throw new KafkaProtocolException(hsErr,
+      s"${errorName(hsErr)}: broker offers ${offered.mkString(", ")}, asked ${creds.mechanism}")
+    def step(token: Array[Byte]): Array[Byte] = {
+      val r = rawCall(in, out, ApiSaslAuthenticate, 0)(_.bytes(token))
+      val err = r.int16()
+      val msg = r.string()
+      val serverToken = r.bytes()
+      if (err != 0) throw new KafkaProtocolException(err,
+        s"${errorName(err)}: ${Option(msg).getOrElse("authentication failed")}")
+      serverToken
+    }
+    creds.mechanism match {
+      case "PLAIN" => // RFC 4616: [authzid] NUL authcid NUL passwd
+        step(s"\u0000${creds.username}\u0000${creds.password}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ()
+      case "SCRAM-SHA-256" =>
+        val ex = new Scram.ClientExchange(creds.username, creds.password, Scram.newNonce())
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val serverFirst = new String(step(ex.firstMessage.getBytes(utf8)), utf8)
+        val serverFinal = new String(step(ex.finalMessage(serverFirst).getBytes(utf8)), utf8)
+        ex.verifyServerFinal(serverFinal)
+    }
+  }
 
   /** Frame and send one request, read and unframe its response.
     * Request header v1: api_key, api_version, correlation_id,
@@ -671,10 +871,11 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
     * batches) on negotiated format 2, v2 (MessageSet v1) otherwise.
     * Returns the base offset the broker assigned to the batch. */
   def produce(topic: String, partition: Int, records: Seq[OutRecord],
-              acks: Short = -1, timeoutAfterMs: Int = 30000): Long = {
+              acks: Short = -1, timeoutAfterMs: Int = 30000, codec: Int = 0): Long = {
     require(records.nonEmpty, "nothing to produce")
     val v3 = messageFormat == 2
-    val set = if (v3) encodeRecordBatch(records) else encodeMessageSet(records)
+    val set = if (v3) encodeRecordBatch(records, 0L, codec)
+              else encodeMessageSet(records, codec)
     val r = call(leader(topic, partition), ApiProduce, if (v3) 3 else 2) { w =>
       if (v3) w.string(null) // transactional_id
       w.int16(acks).int32(timeoutAfterMs)

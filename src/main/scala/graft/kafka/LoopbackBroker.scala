@@ -36,9 +36,15 @@ import scala.collection.mutable
  */
 final class LoopbackCluster(topicPartitions: Map[String, Int],
                             numBrokers: Int = 1,
-                            val maxFormat: Int = 2) extends AutoCloseable {
+                            val maxFormat: Int = 2,
+                            val fetchCodec: Int = 0,
+                            val sasl: Option[(String, String)] = None,
+                            val tlsContext: Option[javax.net.ssl.SSLContext] = None)
+  extends AutoCloseable {
   require(numBrokers >= 1)
   require(maxFormat == 1 || maxFormat == 2, s"maxFormat must be 1 or 2, got $maxFormat")
+  require(fetchCodec >= 0 && fetchCodec <= (if (maxFormat == 2) 4 else 3),
+    s"fetchCodec $fetchCodec invalid for format $maxFormat (zstd is v2-only)")
 
   /** One partition's log: (timestamp, key, value) triples; offset =
     * startOffset + index. */
@@ -81,7 +87,11 @@ final class LoopbackCluster(topicPartitions: Map[String, Int],
 final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends AutoCloseable {
   import KafkaWire._
 
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = cluster.tlsContext match {
+    case Some(ctx) => ctx.getServerSocketFactory
+      .createServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    case None => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  }
   val port: Int = server.getLocalPort
   @volatile private var running = true
 
@@ -101,6 +111,13 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
   private def serve(socket: Socket): Unit = {
     val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
     val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+    // per-connection SASL session state (like a real SASL listener):
+    // nothing but ApiVersions/SaslHandshake/SaslAuthenticate is
+    // served before authentication completes — the connection is cut,
+    // which is how real brokers treat unauthenticated API traffic
+    var authenticated = cluster.sasl.isEmpty
+    var mechanism: Option[String] = None
+    var scramState: Option[Scram.ServerExchange] = None
     try {
       while (running) {
         val size = in.readInt()
@@ -113,6 +130,59 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
         r.string() // client_id
         val body: Array[Byte] = apiKey match {
           case ApiVersionsKey => handleApiVersions(apiVersion)
+          case ApiSaslHandshake =>
+            require(cluster.sasl.isDefined, "SASL handshake on a PLAINTEXT listener")
+            val asked = r.string()
+            val supported = Seq("PLAIN", "SCRAM-SHA-256")
+            val w = new Writer()
+            if (supported.contains(asked)) { mechanism = Some(asked); w.int16(0) }
+            else w.int16(33) // UNSUPPORTED_SASL_MECHANISM
+            w.int32(supported.size)
+            supported.foreach(w.string)
+            w.toBytes
+          case ApiSaslAuthenticate =>
+            val (user, pass) = cluster.sasl.getOrElse(
+              throw new IllegalStateException("SaslAuthenticate on a PLAINTEXT listener"))
+            val token = r.bytes()
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            def ok(serverToken: Array[Byte]): Array[Byte] =
+              new Writer().int16(0).string(null).bytes(serverToken).toBytes
+            def fail(msg: String): Array[Byte] =
+              new Writer().int16(58).string(msg).bytes(Array.emptyByteArray).toBytes
+            mechanism match {
+              case None => fail("SaslAuthenticate before SaslHandshake")
+              case Some("PLAIN") =>
+                token match {
+                  case Array() | null => fail("empty PLAIN token")
+                  case t =>
+                    new String(t, utf8).split("\u0000", -1) match {
+                      case Array(_, u, p) if u == user && p == pass =>
+                        authenticated = true; ok(Array.emptyByteArray)
+                      case Array(_, _, _) => fail("invalid credentials")
+                      case _ => fail("malformed PLAIN token")
+                    }
+                }
+              case Some("SCRAM-SHA-256") =>
+                try scramState match {
+                  case None =>
+                    val salt = new Array[Byte](16)
+                    new java.security.SecureRandom().nextBytes(salt)
+                    val ex = new Scram.ServerExchange(user, pass, Scram.newNonce(), salt)
+                    scramState = Some(ex)
+                    ok(ex.serverFirst(new String(token, utf8)).getBytes(utf8))
+                  case Some(ex) =>
+                    val fin = ex.serverFinal(new String(token, utf8))
+                    authenticated = true
+                    ok(fin.getBytes(utf8))
+                } catch {
+                  case e: IllegalArgumentException =>
+                    scramState = None; fail(e.getMessage)
+                }
+              case Some(other) => fail(s"mechanism $other not implemented")
+            }
+          case _ if !authenticated =>
+            throw new IllegalStateException(
+              s"unauthenticated request (api $apiKey) on a SASL listener — connection cut")
           case ApiMetadata    => handleMetadata(r, apiVersion)
           case ApiListOffsets => handleListOffsets(r, apiVersion)
           case ApiFetch       => handleFetch(r, apiVersion)
@@ -135,7 +205,8 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
     require(version == 0, s"ApiVersions v$version unsupported")
     val (produceMax, fetchMax) = if (cluster.maxFormat >= 2) (3, 4) else (2, 2)
     val apis = Seq((ApiProduce, 0, produceMax), (ApiFetch, 0, fetchMax),
-      (ApiListOffsets, 0, 1), (ApiMetadata, 0, 1), (ApiVersionsKey, 0, 0))
+      (ApiListOffsets, 0, 1), (ApiMetadata, 0, 1), (ApiVersionsKey, 0, 0),
+      (ApiSaslHandshake, 0, 1), (ApiSaslAuthenticate, 0, 1))
     val w = new Writer().int16(0).int32(apis.size)
     apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
     w.toBytes
@@ -240,15 +311,33 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
                 val setW = new Writer()
                 var written = 0
                 var i = idx
+                // cluster.fetchCodec compresses served sets — real
+                // brokers store and serve producer-compressed batches,
+                // so a consumer that cannot decompress dies on its
+                // first real topic; this exercises that path e2e
                 if (v4) {
                   while (i < l.records.size && written <= maxBytes) {
                     val n = math.min(LoopbackBroker.FetchBatchRecords, l.records.size - i)
                     val recs = (0 until n).map { j =>
                       val (ts, k, v) = l.records(i + j); OutRecord(k, v, ts)
                     }
-                    val batch = encodeRecordBatch(recs, baseOffset = l.startOffset + i)
+                    val batch = encodeRecordBatch(recs, baseOffset = l.startOffset + i,
+                      codec = cluster.fetchCodec)
                     setW.raw(batch)
                     written += batch.length
+                    i += n
+                  }
+                } else if (cluster.fetchCodec != 0) {
+                  while (i < l.records.size && written <= maxBytes) {
+                    val n = math.min(LoopbackBroker.FetchBatchRecords, l.records.size - i)
+                    val recs = (0 until n).map { j =>
+                      val (ts, k, v) = l.records(i + j); OutRecord(k, v, ts)
+                    }
+                    // wrapper offset = ABSOLUTE offset of last inner
+                    val entry = KafkaWire.compressedSetEntry(recs, cluster.fetchCodec,
+                      l.startOffset + i + n - 1)
+                    setW.raw(entry)
+                    written += entry.length
                     i += n
                   }
                 } else {

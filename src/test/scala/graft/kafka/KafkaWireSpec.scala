@@ -386,9 +386,12 @@ class KafkaWireSpec extends SparkSpec {
     // log-append-time (bit 3): timestampType flips to 1
     val lat = decodeRecordSet(withAttributes(base, 0x08))
     assert(lat.size == 1 && lat.head.timestampType == 1 && lat.head.timestamp == 5L)
-    // compression bits: rejected loudly, never silently garbled
-    val e = intercept[IllegalArgumentException](decodeRecordSet(withAttributes(base, 0x02)))
-    assert(e.getMessage.contains("compression"))
+    // compression bits on an UNCOMPRESSED payload: the snappy framing
+    // check fails loudly (corrupt batch), never silently garbled
+    intercept[Exception](decodeRecordSet(withAttributes(base, 0x02)))
+    // an out-of-registry codec (bits = 5) is a loud error too
+    val e = intercept[IllegalArgumentException](decodeRecordSet(withAttributes(base, 0x05)))
+    assert(e.getMessage.contains("unsupported compression codec"))
     // record HEADERS (never written by graft, legal on the wire):
     // hand-assemble one record with a header and verify the walk
     val rec = new Writer().int8(0).varlong(0L).varint(0)
@@ -417,5 +420,198 @@ class KafkaWireSpec extends SparkSpec {
     val ok = new KafkaBatch.RangeFetchIterator(
       (off, _) => FetchResult(Seq(KafkaRecord(off, 1L, 0, null, b(s"v$off"))), 20L), range, 1 << 20)
     assert(ok.take(3).map(_.offset).toSeq == Seq(10L, 11L, 12L))
+  }
+
+  /** Hand-construct a compressed v2 batch INDEPENDENT of our encoder
+    * (header bytes written field by field, records section compressed
+    * by the codec library directly) — the golden check for wrapper
+    * framing + inner-record offset deltas. */
+  private def goldenV2Compressed(codec: Int, compressFn: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val recs = new Writer()
+    Seq(("ka", "va", 0L), ("kb", "vb", 5L), (null, "vc", 9L)).zipWithIndex.foreach {
+      case ((k, v, tsd), i) =>
+        val r = new Writer().int8(0).varlong(tsd).varint(i)
+          .varBytes(if (k == null) null else b(k)).varBytes(b(v)).varint(0).toBytes
+        recs.varint(r.length).raw(r)
+    }
+    val packed = compressFn(recs.toBytes)
+    val covered = new Writer()
+      .int16(codec)        // attributes: codec bits
+      .int32(2)            // lastOffsetDelta
+      .int64(1000L)        // baseTimestamp
+      .int64(1009L)        // maxTimestamp
+      .int64(-1L).int16(-1).int32(-1) // producer id/epoch/sequence
+      .int32(3)            // record count
+      .raw(packed).toBytes
+    new Writer().int64(50L).int32(covered.length + 9).int32(-1).int8(2)
+      .int32(crc32c(covered, 0, covered.length)).raw(covered).toBytes
+  }
+
+  test("golden gzip v2 batch: hand-built wrapper framing decodes with correct offsets and timestamps") {
+    def gz(d: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bos); o.write(d); o.close(); bos.toByteArray
+    }
+    val got = decodeRecordSet(goldenV2Compressed(1, gz))
+    assert(got.map(_.offset) == Seq(50L, 51L, 52L))
+    assert(got.map(_.timestamp) == Seq(1000L, 1005L, 1009L))
+    assert(got.map(r => new String(r.value, "UTF-8")) == Seq("va", "vb", "vc"))
+    assert(got(2).key == null && new String(got.head.key, "UTF-8") == "ka")
+  }
+
+  test("golden zstd v2 batch: hand-built wrapper framing decodes with correct offsets") {
+    def zs(d: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new com.github.luben.zstd.ZstdOutputStream(bos); o.write(d); o.close(); bos.toByteArray
+    }
+    val got = decodeRecordSet(goldenV2Compressed(4, zs))
+    assert(got.map(_.offset) == Seq(50L, 51L, 52L) &&
+      got.map(r => new String(r.value, "UTF-8")) == Seq("va", "vb", "vc"))
+  }
+
+  test("golden gzip v1 wrapper: absolute = wrapper - lastRel + rel; log-append time propagates") {
+    // inner set with relative offsets 0..2, gzip'd into a wrapper at
+    // absolute offset 104 with the log-append-time bit (0x08) set
+    val inner = encodeMessageSet(Seq(
+      OutRecord(b("k0"), b("v0"), 11L), OutRecord(null, b("v1"), 12L),
+      OutRecord(b("k2"), b("v2"), 13L)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.util.zip.GZIPOutputStream(bos); o.write(inner); o.close()
+    val body = new Writer().int8(1).int8(0x08 | 1).int64(7777L)
+      .bytes(null).bytes(bos.toByteArray).toBytes
+    val crc = new java.util.zip.CRC32(); crc.update(body, 0, body.length)
+    val wrapper = new Writer().int32(crc.getValue.toInt).raw(body).toBytes
+    val set = new Writer().int64(104L).int32(wrapper.length).raw(wrapper).toBytes
+    val got = decodeMessageSet(set)
+    assert(got.map(_.offset) == Seq(102L, 103L, 104L))
+    // broker stamped only the wrapper; its timestamp applies to all
+    assert(got.forall(r => r.timestamp == 7777L && r.timestampType == 1))
+    assert(got.map(r => new String(r.value, "UTF-8")) == Seq("v0", "v1", "v2"))
+  }
+
+  test("compression round trip: every codec, both formats, through our own encoder") {
+    val recs = (0 until 40).map(i => OutRecord(
+      if (i % 5 == 0) null else b(s"key-$i"), b(s"value-$i-" + "x" * (i % 17)), 1000L + i))
+    for (codec <- 1 to 4) {
+      val got = decodeRecordSet(encodeRecordBatch(recs, baseOffset = 7L, codec = codec))
+      assert(got.size == 40, s"v2 codec $codec")
+      assert(got.map(_.offset) == (7L until 47L) &&
+        got.map(r => new String(r.value, "UTF-8")) == recs.map(r => new String(r.value, "UTF-8")),
+        s"v2 codec $codec content")
+    }
+    for (codec <- 1 to 3) {
+      val got = decodeMessageSet(encodeMessageSet(recs, codec))
+      assert(got.size == 40 && got.map(_.timestamp) == recs.map(_.timestamp), s"v1 codec $codec")
+    }
+    // zstd in a v1 set is a loud error (KIP-110: v2-only), not silent corruption
+    val e = intercept[IllegalArgumentException](encodeMessageSet(recs, 4))
+    assert(e.getMessage.contains("zstd"))
+  }
+
+  test("e2e SASL_PLAINTEXT: PLAIN and SCRAM-SHA-256 authenticate; bad creds and no-auth are cut off") {
+    val cluster = new LoopbackCluster(Map("t" -> 1), sasl = Some(("svc", "hunter2")))
+    try {
+      cluster.append("t", 0, Seq((b("k"), b("guarded"))))
+      val addr = Seq(("127.0.0.1", cluster.brokers.head.port))
+      for (mech <- Seq("PLAIN", "SCRAM-SHA-256")) {
+        val c = new KafkaWireClient(addr,
+          security = KafkaSecurity(sasl = Some(SaslCredentials(mech, "svc", "hunter2"))))
+        assert(new String(c.fetch("t", 0, 0L).records.head.value, "UTF-8") == "guarded", mech)
+        // produce rides the same authenticated session
+        assert(c.produce("t", 0, Seq(OutRecord(null, b(s"w-$mech"), 1L))) >= 1L)
+        c.close()
+      }
+      // wrong password: loud SASL_AUTHENTICATION_FAILED for both mechanisms
+      for (mech <- Seq("PLAIN", "SCRAM-SHA-256")) {
+        val c = new KafkaWireClient(addr,
+          security = KafkaSecurity(sasl = Some(SaslCredentials(mech, "svc", "wrong"))))
+        val e = intercept[KafkaProtocolException](c.fetch("t", 0, 0L))
+        assert(e.code == 58, s"$mech: ${e.getMessage}")
+        c.close()
+      }
+      // a client that skips SASL entirely gets its connection cut
+      val naked = new KafkaWireClient(addr)
+      intercept[java.io.IOException](naked.fetch("t", 0, 0L))
+      naked.close()
+    } finally cluster.close()
+  }
+
+  test("e2e SASL_SSL: TLS handshake + SCRAM over the encrypted stream") {
+    // self-signed server identity via keytool (JDK tooling only)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kafka-tls")
+    val ksPath = dir.resolve("server.p12")
+    import scala.sys.process._
+    val rc = Seq("keytool", "-genkeypair", "-alias", "k", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksPath.toString,
+      "-storepass", "changeit", "-dname", "CN=127.0.0.1", "-validity", "1").!
+    assert(rc == 0, "keytool failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fin = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    // client trusts exactly that self-signed cert (no trust-all shortcuts)
+    val trustKs = java.security.KeyStore.getInstance("PKCS12")
+    trustKs.load(null, null)
+    trustKs.setCertificateEntry("k", ks.getCertificate("k"))
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trustKs)
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+
+    val cluster = new LoopbackCluster(Map("t" -> 1),
+      sasl = Some(("svc", "tls-pw")), tlsContext = Some(serverCtx))
+    try {
+      cluster.append("t", 0, Seq((null: Array[Byte], b("over-tls"))))
+      val c = new KafkaWireClient(Seq(("127.0.0.1", cluster.brokers.head.port)),
+        security = KafkaSecurity(tlsContext = Some(clientCtx),
+          sasl = Some(SaslCredentials("SCRAM-SHA-256", "svc", "tls-pw"))))
+      assert(new String(c.fetch("t", 0, 0L).records.head.value, "UTF-8") == "over-tls")
+      c.close()
+      // a client NOT speaking TLS fails loudly (TLS alert bytes are
+      // not a plausible Kafka frame) — never a silent hang
+      val plain = new KafkaWireClient(Seq(("127.0.0.1", cluster.brokers.head.port)))
+      intercept[Exception](plain.fetch("t", 0, 0L))
+      plain.close()
+    } finally {
+      cluster.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("e2e: broker serving zstd v2 batches and gzip v1 wrappers; compressed produce accepted") {
+    // modern cluster serving zstd-compressed record batches
+    val zc = new LoopbackCluster(Map("t" -> 1), fetchCodec = 4)
+    try {
+      zc.append("t", 0, (0 until 10).map(i => (b(s"k$i"), b(s"compressed-$i"))))
+      val c = new KafkaWireClient(Seq(("127.0.0.1", zc.brokers.head.port)))
+      val fetched = c.fetch("t", 0, 0L)
+      assert(fetched.records.size == 10 &&
+        fetched.records.map(_.offset) == (0L until 10L) &&
+        new String(fetched.records(3).value, "UTF-8") == "compressed-3")
+      // produce a snappy-compressed batch; broker CRC-checks, decompresses, appends
+      val base = c.produce("t", 0, Seq(OutRecord(b("pk"), b("pv"), 5L)), codec = 2)
+      assert(base == 10L)
+      assert(new String(c.fetch("t", 0, 10L).records.head.value, "UTF-8") == "pv")
+      c.close()
+    } finally zc.close()
+    // legacy cluster (format 1) serving gzip v1 wrapper sets
+    val gc = new LoopbackCluster(Map("t" -> 1), maxFormat = 1, fetchCodec = 1)
+    try {
+      gc.append("t", 0, (0 until 7).map(i => (null: Array[Byte], b(s"legacy-$i"))))
+      val c = new KafkaWireClient(Seq(("127.0.0.1", gc.brokers.head.port)))
+      assert(c.messageFormat == 1)
+      val fetched = c.fetch("t", 0, 0L)
+      assert(fetched.records.map(_.offset) == (0L until 7L) &&
+        new String(fetched.records(6).value, "UTF-8") == "legacy-6")
+      // compressed produce on the downgraded path too
+      val base = c.produce("t", 0, Seq(OutRecord(null, b("old"), 5L)), codec = 1)
+      assert(base == 7L && new String(c.fetch("t", 0, 7L).records.head.value, "UTF-8") == "old")
+      c.close()
+    } finally gc.close()
   }
 }

@@ -1,0 +1,67 @@
+package graft.kafka
+
+import java.util.Base64
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCRAM-SHA-256 pinned to the RFC 7677 §3 test vector — both the
+  * client exchange and the server-side verification reproduce the
+  * published transcript exactly (user "user", password "pencil"). */
+class ScramSpec extends AnyFunSuite {
+
+  private val cnonce = "rOprNGfwEbeRWgbNEkqO"
+  private val serverFirstVector =
+    "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+  private val clientFinalVector =
+    "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+  private val serverFinalVector = "v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+  test("RFC 7677 client transcript: first message, proof, server-signature verification") {
+    val ex = new Scram.ClientExchange("user", "pencil", cnonce)
+    assert(ex.firstMessage == "n,,n=user,r=rOprNGfwEbeRWgbNEkqO")
+    assert(ex.finalMessage(serverFirstVector) == clientFinalVector)
+    ex.verifyServerFinal(serverFinalVector) // must not throw
+    // a forged server signature (server never knew the password) is rejected
+    val ex2 = new Scram.ClientExchange("user", "pencil", cnonce)
+    ex2.finalMessage(serverFirstVector)
+    val forged = intercept[IllegalArgumentException](
+      ex2.verifyServerFinal("v=AAAATRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="))
+    assert(forged.getMessage.contains("server signature"))
+  }
+
+  test("RFC 7677 server side: reproduces the published server-first and server-final") {
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val snonce = "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val srv = new Scram.ServerExchange("user", "pencil", snonce, salt, 4096)
+    assert(srv.serverFirst("n,,n=user,r=" + cnonce) == serverFirstVector)
+    assert(srv.serverFinal(clientFinalVector) == serverFinalVector)
+  }
+
+  test("server rejects a proof computed from the wrong password") {
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val snonce = "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val srv = new Scram.ServerExchange("user", "pencil", snonce, salt, 4096)
+    val bad = new Scram.ClientExchange("user", "eraser", cnonce)
+    val sf = srv.serverFirst(bad.firstMessage)
+    val e = intercept[IllegalArgumentException](srv.serverFinal(bad.finalMessage(sf)))
+    assert(e.getMessage.contains("proof verification failed"))
+  }
+
+  test("full random-nonce exchange round trips; MITM nonce swap is caught") {
+    val salt = new Array[Byte](16)
+    new java.util.Random(5).nextBytes(salt)
+    val c = new Scram.ClientExchange("alice", "s3cret,=x", Scram.newNonce())
+    val s = new Scram.ServerExchange("alice", "s3cret,=x", Scram.newNonce(), salt)
+    val sf = s.serverFirst(c.firstMessage)
+    c.verifyServerFinal(s.serverFinal(c.finalMessage(sf)))
+    // a server-first whose nonce does not extend the client's is refused
+    val c2 = new Scram.ClientExchange("alice", "pw", "NONCE-A")
+    val e = intercept[IllegalArgumentException](
+      c2.finalMessage("r=NONCE-B123,s=" + Base64.getEncoder.encodeToString(salt) + ",i=4096"))
+    assert(e.getMessage.contains("nonce"))
+  }
+
+  test("saslName escapes ',' and '=' per RFC 5802") {
+    assert(Scram.saslName("a=b,c") == "a=3Db=2Cc")
+  }
+}
