@@ -912,20 +912,38 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // rows-only gate at the PRODUCTION threshold (0.8) over the
-      // planted token-dropout corpus (true jaccard ≈ 0.87): every
-      // planted (d, d+1000000) pair must surface via minhash banding +
-      // verified jaccard; recall is pinned in DedupSpec
+      // HASH-MATCHED (r16, was rows-only) at the PRODUCTION threshold
+      // (0.8) over the planted token-dropout corpus: the oracle
+      // brute-forces exact 3-shingle jaccard over every pair sharing
+      // a shingle, so a match proves the banding candidates reach
+      // EVERY >= 0.8 pair of this corpus (recall 1.0 here — banding
+      // is deterministic) and the verify pass computes the same
+      // jaccard values bit-for-bit
       Dedup.minhashNearDups(withPlantedTextNearDups(docs(s, dir), "text", "doc_id"),
         "text", "doc_id", threshold = 0.8)
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      // rows-only gate: pairs within hamming distance 10 of 64-bit
-      // simhash over the planted near-dup corpus (2% token dropout
-      // moves only a few simhash bits, so planted pairs stay inside)
-      Dedup.simhashCandidates(withPlantedTextNearDups(docs(s, dir), "text", "doc_id"),
-        "text", "doc_id", maxHamming = 10)
+      // HASH-MATCHED (r16, was rows-only) via the media-gate pattern:
+      // an id-derived token corpus in which unrelated docs sit ~32
+      // simhash bits apart while every doc_id%5 doc gets a twin at
+      // id+1000000 with every 128th token dropped (2 of 256 — a few
+      // bits of drift). hamming <= 10 must then surface EXACTLY the
+      // planted pairs: the oracle replays the plant arithmetic, and a
+      // match proves the simhash + MIH pipeline finds every planted
+      // pair with zero false positives. Realistic-text recall and
+      // brute-force hamming exactness stay pinned in DedupSpec.
+      val toks = transform(sequence(lit(0), lit(255)), i =>
+        concat(lit("t"), ((col("doc_id") * 1315423911L + i * 2654435761L) % 100000000L)
+          .cast("string")))
+      val base = docs(s, dir).select(col("doc_id"), toks.as("_toks"))
+      val twins = base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          filter(col("_toks"), (x, i) => (i + col("doc_id")) % 128 =!= 0).as("_toks"))
+      val corpus = base.unionByName(twins)
+        .select(col("doc_id"), array_join(col("_toks"), " ").as("text"))
+      Dedup.simhashCandidates(corpus, "text", "doc_id", maxHamming = 10)
+        .select("id_a", "id_b")
     }),
 
     "q_dedup_jaccard" -> ((s, dir) => {
@@ -943,13 +961,17 @@ object SparkEntry {
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
-      // rows-only gate: embedding-cosine near-dup pairs at the
-      // PRODUCTION threshold (0.92) over the corpus with planted
-      // near-dups (cos ≈ 0.978) — every planted (v, v+1000000) pair
-      // must surface, nothing else can (true max pair cosine ~0.51)
+      // HASH-MATCHED (r16, was rows-only): embedding-cosine near-dup
+      // pairs at the PRODUCTION threshold (0.92) over the corpus with
+      // planted near-dups (cos ≈ 0.978) — every planted
+      // (v, v+1000000) pair must surface, nothing else can (true max
+      // pair cosine ~0.51), so the oracle replays the plant
+      // arithmetic (media-gate pattern). The cosine VALUES stay
+      // pinned by AnnSpec; the gate projects to the pair set.
       val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
       EmbedDedup.nearDupPairs(emb, "embedding", "vec_id",
         threshold = 0.92, bits = 4, tables = 4)
+        .select("id_a", "id_b")
     }),
 
     "q_intersect" -> ((s, dir) => {
@@ -3531,8 +3553,60 @@ object SparkEntry {
         |    (doc_id * 2654435761) % 4294967296 % 1000000 AS b FROM documents))
         |GROUP BY split""".stripMargin,
 
-    // q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_embed, q_ann_lsh, q_ann_ivf,
+    "q_dedup_minhash" ->
+      // brute-force exact 3-shingle jaccard over every pair sharing a
+      // shingle on the planted corpus (same dropout replay as
+      // q_dedup_jaccard), thresholded at the production 0.8 — a hash
+      // match proves banding recall is 1.0 on this corpus and the
+      // verify jaccard values are bit-identical
+      """WITH toks0 AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id + 1000000 AS pid,
+        |    array_to_string(list_filter(t, (x, i) -> ((i - 1 + doc_id) % 50) != 0), ' ') AS ptext
+        |  FROM toks0 WHERE doc_id % 10 = 0),
+        |alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
+        |toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM alldocs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT i.id_a, i.id_b,
+        |    round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.id_a
+        |  JOIN sizes sb ON sb.doc_id = i.id_b)
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q_dedup_simhash" ->
+      // replays the plant: every doc_id%5 doc has ONE token-dropout
+      // twin at doc_id+1000000 — found perceptually (simhash + MIH),
+      // since the texts differ
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+
+    "q_dedup_embed" ->
+      // replays the plant: every vec_id%10 embedding has ONE
+      // noise-perturbed twin at vec_id+1000000 (cos ≈ 0.978) — found
+      // by cosine LSH, since no unplanted pair reaches 0.92
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
     // q_dedup_incremental, q_quality_classifier:
     // rows-only gates (hash/LSH/k-means/minhash internals not
