@@ -223,16 +223,47 @@ object Bench {
         val outDir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
         val tGen = System.nanoTime()
         BenchData.ensureScaled(spark, srcDir, outDir, copies = 100)
+        // the near-dup family runs on a SEPARATE documents-only
+        // unique-docs corpus: per-copy token suffixes give zero
+        // shared shingles across copies, so the pair-emitting gates
+        // scale linearly with their own token-dropout plant instead
+        // of quadratically with identical replicas — while the main
+        // dir keeps replicas (honest token statistics for the
+        // frequency/BM25 probes, whose r16 run on suffixed vocab
+        // measured a distorted 394 s q_freq_items)
+        val uniqueDir = outDir + "u"
+        BenchData.ensureUniqueDocsDir(spark, srcDir, uniqueDir, copies = 100)
         val genSec = (System.nanoTime() - tGen) / 1e9
         val names = Seq("q1_agg", "q_dedup_exact", "q_token_count", "q_freq_items",
           "q_sketch_distinct", "q_bm25", "q_ann_topk", "q_decontam_bloom",
           "q_line_dedup", "q_url_filter")
-        val unknown = names.filterNot(SparkEntry.queries.contains)
+        val nearDupNames = Seq("q_dedup_minhash", "q_dedup_simhash")
+        val unknown = (names ++ nearDupNames).filterNot(SparkEntry.queries.contains)
         require(unknown.isEmpty, s"sf10 names not in SparkEntry.queries: $unknown")
-        val rs = names.map(n => n -> timeQuery(spark, n, SparkEntry.queries(n), outDir, 1))
+        val truncated = collection.mutable.Map.empty[String, String]
+        val rs = names.map(n => n -> timeQuery(spark, n, SparkEntry.queries(n), outDir, 1)) ++
+          nearDupNames.map { n =>
+            val r = timeQuery(spark, n, SparkEntry.queries(n), uniqueDir, 1)
+            // bucket-cap observability at the probe's scale: nonzero
+            // truncation means the maxBucket cap is trading recall.
+            // The observation resolves on a listener thread — poll
+            // briefly instead of racing it (the r16 probe lost the
+            // minhash stats to exactly this race).
+            var waited = 0
+            while (graft.operators.BucketTruncation.lastStats.isEmpty && waited < 5000) {
+              Thread.sleep(100); waited += 100
+            }
+            graft.operators.BucketTruncation.lastStats.foreach { st =>
+              truncated(n) =
+                s"""{"truncated_buckets":${st.truncatedBuckets},"dropped_members":${st.droppedMembers}}"""
+            }
+            n -> r
+          }
         val qs10 = rs.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
           .mkString("{", ",", "}")
-        s""","sf10_dir":"$outDir","sf10_gen_sec":$genSec,"queries_sf10":$qs10"""
+        val truncJson = truncated.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""","sf10_dir":"$outDir","sf10_gen_sec":$genSec,"queries_sf10":$qs10,"sf10_bucket_truncation":$truncJson"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench sf10] skipped: ${e.getMessage}")

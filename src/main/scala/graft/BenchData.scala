@@ -31,12 +31,31 @@ import org.apache.spark.sql.functions._
 object BenchData {
   val DefaultOut = "/root/repo/benchdata/sf1"
   val Marker = "_GRAFT_SCALED_OK"
+  /** Marker for the unique-docs variant (see `uniqueDocs`). */
+  val UniqueDocsMarker = "_GRAFT_UNIQUE_DOCS_OK"
 
-  /** Generate if missing; returns true when generation ran. */
+  /** Generate if missing; returns true when generation ran.
+    *
+    * `uniqueDocs` selects the documents variant: every replicated
+    * document copy gets a per-copy token suffix, so copies share ZERO
+    * shingles — 100% unique documents, and the near-dup gates' own
+    * token-dropout plant then contributes pairs LINEAR in scale
+    * instead of the C(copies, 2)-per-doc quadratic blowup identical
+    * replicas would produce. The suffixing also inflates the token
+    * VOCABULARY by ×copies, which distorts token-frequency workloads
+    * (the r16 probe measured q_freq_items 394 s on suffixed vocab) —
+    * so the two variants live in SEPARATE dirs: the main scaled dir
+    * keeps identical replicas (mass-duplication adaptive plans +
+    * honest token statistics) and [[ensureUniqueDocsDir]] materializes
+    * a documents-only dir for the near-dup probes. A dir whose
+    * documents variant mismatches the request is regenerated in
+    * place. */
   def ensureScaled(spark: SparkSession, srcDir: String,
-                   outDir: String = DefaultOut, copies: Int = 10): Boolean = {
+                   outDir: String = DefaultOut, copies: Int = 10,
+                   uniqueDocs: Boolean = false): Boolean = {
     val marker = new java.io.File(outDir, Marker)
-    if (marker.exists()) return false
+    val docsMarker = new java.io.File(outDir, UniqueDocsMarker)
+    if (marker.exists() && uniqueDocs == docsMarker.exists()) return false
     // events.parquet carries TIMESTAMP(NANOS): read nanos as longs
     // (SparkEntry.events handles either representation on read)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,22 +80,55 @@ object BenchData {
       }.drop("_copy")
     }
 
-    write(read("region"), "region")
-    write(read("nation"), "nation")
-    write(replicate(read("customer"), "c_custkey" -> custStride), "customer")
-    write(replicate(read("supplier"), "s_suppkey" -> suppStride), "supplier")
-    write(replicate(read("part"), "p_partkey" -> partStride), "part")
-    write(replicate(read("orders"),
-      "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
-    write(replicate(read("lineitem"),
-      "l_orderkey" -> orderStride, "l_partkey" -> partStride,
-      "l_suppkey" -> suppStride), "lineitem")
-    write(replicate(read("events"),
-      "event_id" -> strideOf(read("events"), "event_id")), "events")
-    write(replicate(read("documents"),
-      "doc_id" -> strideOf(read("documents"), "doc_id")), "documents")
-    write(replicate(read("embeddings"),
-      "vec_id" -> strideOf(read("embeddings"), "vec_id")), "embeddings")
+    val needBase = !marker.exists()
+    if (needBase) {
+      write(read("region"), "region")
+      write(read("nation"), "nation")
+      write(replicate(read("customer"), "c_custkey" -> custStride), "customer")
+      write(replicate(read("supplier"), "s_suppkey" -> suppStride), "supplier")
+      write(replicate(read("part"), "p_partkey" -> partStride), "part")
+      write(replicate(read("orders"),
+        "o_orderkey" -> orderStride, "o_custkey" -> custStride), "orders")
+      write(replicate(read("lineitem"),
+        "l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride), "lineitem")
+      write(replicate(read("events"),
+        "event_id" -> strideOf(read("events"), "event_id")), "events")
+      write(replicate(read("embeddings"),
+        "vec_id" -> strideOf(read("embeddings"), "vec_id")), "embeddings")
+    }
+    // documents: replicate (possibly perturbing text per copy) — also
+    // regenerated in place when an existing dir's variant mismatches
+    write(docsReplicated(spark, srcDir, copies, uniqueDocs), "documents")
+    if (uniqueDocs) {
+      if (!docsMarker.exists()) java.nio.file.Files.createFile(docsMarker.toPath)
+    } else java.nio.file.Files.deleteIfExists(docsMarker.toPath)
+    if (needBase) java.nio.file.Files.createFile(marker.toPath)
+    true
+  }
+
+  private def docsReplicated(spark: SparkSession, srcDir: String,
+                             copies: Int, unique: Boolean): DataFrame = {
+    val base = spark.read.parquet(s"$srcDir/documents.parquet")
+    val stride = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val copiesDf = spark.range(copies).toDF("_copy")
+    val rep = base.crossJoin(copiesDf)
+      .withColumn("doc_id", col("doc_id") + col("_copy") * lit(stride))
+    val out = if (!unique) rep
+      else rep.withColumn("text", array_join(
+        transform(split(col("text"), "\\s+"),
+          t => concat(t, lit("x"), col("_copy").cast("string"))), " "))
+    out.drop("_copy")
+  }
+
+  /** Documents-ONLY unique-docs corpus (the near-dup shape probe
+    * reads nothing else); idempotent via its own marker. */
+  def ensureUniqueDocsDir(spark: SparkSession, srcDir: String,
+                          outDir: String, copies: Int): Boolean = {
+    val marker = new java.io.File(outDir, UniqueDocsMarker)
+    if (marker.exists()) return false
+    docsReplicated(spark, srcDir, copies, unique = true)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     java.nio.file.Files.createFile(marker.toPath)
     true
   }

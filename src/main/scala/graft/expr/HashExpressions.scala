@@ -272,7 +272,8 @@ object MinHashSignature {
  * a whole bucket's work.
  */
 case class MihPairs(anchors: Expression, probes: Expression, blk: Expression,
-                    maxHamming: Int, radius: Int, nBlocks: Int)
+                    maxHamming: Int, radius: Int, nBlocks: Int,
+                    cross: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -356,26 +357,50 @@ case class MihPairs(anchors: Expression, probes: Expression, blk: Expression,
     val (aIds, aHash) = unpack(aArr, na, "anchor")
     val (pIds, pHash) = unpack(pArr, np, "probe")
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    var i = 0
-    while (i < na) {
-      val hi = aHash(i)
-      var j = i + 1
-      while (j < na) {
-        val x = hi ^ aHash(j)
-        if (java.lang.Long.bitCount(x) <= maxHamming && firstQualifyingBlock(x) == thisBlk)
-          out += InternalRow(aIds(i), aIds(j), java.lang.Long.bitCount(x))
-        j += 1
+    if (cross) {
+      // bucket-directory mode: A and B are the member lists of two
+      // DISTINCT buckets of this block (the neighbor join visits each
+      // unordered bucket pair exactly once), so every a×b pairing is
+      // checked and the emission is ordered by id — uniqueness comes
+      // from the first-qualifying-block rule alone
+      var i = 0
+      while (i < na) {
+        val hi = aHash(i)
+        var j = 0
+        while (j < np) {
+          val x = hi ^ pHash(j)
+          if (java.lang.Long.bitCount(x) <= maxHamming && firstQualifyingBlock(x) == thisBlk) {
+            val d = java.lang.Long.bitCount(x)
+            if (ordering.compare(aIds(i), pIds(j)) <= 0)
+              out += InternalRow(aIds(i), pIds(j), d)
+            else out += InternalRow(pIds(j), aIds(i), d)
+          }
+          j += 1
+        }
+        i += 1
       }
-      j = 0
-      while (j < np) {
-        val x = hi ^ pHash(j)
-        if (java.lang.Long.bitCount(x) <= maxHamming &&
-            ordering.compare(pIds(j), aIds(i)) > 0 &&
-            firstQualifyingBlock(x) == thisBlk)
-          out += InternalRow(aIds(i), pIds(j), java.lang.Long.bitCount(x))
-        j += 1
+    } else {
+      var i = 0
+      while (i < na) {
+        val hi = aHash(i)
+        var j = i + 1
+        while (j < na) {
+          val x = hi ^ aHash(j)
+          if (java.lang.Long.bitCount(x) <= maxHamming && firstQualifyingBlock(x) == thisBlk)
+            out += InternalRow(aIds(i), aIds(j), java.lang.Long.bitCount(x))
+          j += 1
+        }
+        j = 0
+        while (j < np) {
+          val x = hi ^ pHash(j)
+          if (java.lang.Long.bitCount(x) <= maxHamming &&
+              ordering.compare(pIds(j), aIds(i)) > 0 &&
+              firstQualifyingBlock(x) == thisBlk)
+            out += InternalRow(aIds(i), pIds(j), java.lang.Long.bitCount(x))
+          j += 1
+        }
+        i += 1
       }
-      i += 1
     }
     new GenericArrayData(out.toArray[Any])
   }
@@ -384,5 +409,5 @@ case class MihPairs(anchors: Expression, probes: Expression, blk: Expression,
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(anchors = newFirst, probes = newSecond, blk = newThird)
 
-  override def prettyName: String = "mih_pairs"
+  override def prettyName: String = if (cross) "mih_cross_pairs" else "mih_pairs"
 }

@@ -532,6 +532,20 @@ object GraftFunctions {
           intLit(children(3), "maxHamming"), intLit(children(4), "radius"),
           intLit(children(5), "nBlocks"))
       }),
+    ("mih_cross_pairs",
+      new ExpressionInfo(classOf[MihPairs].getName, "mih_cross_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 6,
+          s"mih_cross_pairs expects 6 arguments, got ${children.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType => l.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"mih_cross_pairs: $name must be an integer literal, got $other")
+        }
+        MihPairs(children(0), children(1), children(2),
+          intLit(children(3), "maxHamming"), intLit(children(4), "radius"),
+          intLit(children(5), "nBlocks"), cross = true)
+      }),
     ("bounded_min_k",
       new ExpressionInfo(classOf[BoundedMinK].getName, "bounded_min_k"),
       (children: Seq[Expression]) => {
@@ -600,6 +614,12 @@ object GraftFunctions {
   def mihPairs(anchors: Column, probes: Column, blk: Column,
                maxHamming: Int, radius: Int, nBlocks: Int): Column =
     call_function("mih_pairs", anchors, probes, blk,
+      org.apache.spark.sql.functions.lit(maxHamming),
+      org.apache.spark.sql.functions.lit(radius),
+      org.apache.spark.sql.functions.lit(nBlocks))
+  def mihCrossPairs(membersA: Column, membersB: Column, blk: Column,
+                    maxHamming: Int, radius: Int, nBlocks: Int): Column =
+    call_function("mih_cross_pairs", membersA, membersB, blk,
       org.apache.spark.sql.functions.lit(maxHamming),
       org.apache.spark.sql.functions.lit(radius),
       org.apache.spark.sql.functions.lit(nBlocks))

@@ -212,6 +212,13 @@ object KafkaAvroSourceFactory extends SourceFactory {
       startingDefault = options.get("kafka.starting.offsets")
         .map(KafkaBatch.OffsetSpec.parse).getOrElse(KafkaBatch.Earliest),
       endingDefault = options.get("kafka.ending.offsets")
-        .map(KafkaBatch.OffsetSpec.parse).getOrElse(KafkaBatch.Latest))
+        .map(KafkaBatch.OffsetSpec.parse).getOrElse(KafkaBatch.Latest),
+      // kafka.security.protocol / kafka.sasl.* — the kafka-clients
+      // spelling, so a reference user's SASL_SSL source config ports
+      // verbatim (r16)
+      clientFactory = {
+        val security = KafkaSecurity.fromOptions(options)
+        bs => new KafkaWireClient(bs, security = security)
+      })
   }
 }

@@ -582,6 +582,34 @@ final case class KafkaSecurity(tls: Boolean = false,
   def useTls: Boolean = tls || tlsContext.isDefined
 }
 
+object KafkaSecurity {
+  private val Protocols = Set("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
+
+  /** Parse kafka-clients-style config keys (the spelling a reference
+    * user already has in their source/sink options):
+    * `kafka.security.protocol` (PLAINTEXT | SSL | SASL_PLAINTEXT |
+    * SASL_SSL), `kafka.sasl.mechanism` (PLAIN | SCRAM-SHA-256,
+    * default PLAIN), `kafka.sasl.username` / `kafka.sasl.password`.
+    * TLS uses the JVM-default trust store here — custom contexts are
+    * programmatic (`KafkaSecurity(tlsContext = ...)`). */
+  def fromOptions(options: Map[String, String], prefix: String = "kafka."): KafkaSecurity = {
+    val proto = options.getOrElse(prefix + "security.protocol", "PLAINTEXT")
+      .toUpperCase.trim
+    require(Protocols.contains(proto),
+      s"unknown ${prefix}security.protocol '$proto' (one of ${Protocols.mkString(", ")})")
+    val sasl =
+      if (!proto.startsWith("SASL_")) None
+      else {
+        def req(k: String) = options.getOrElse(prefix + k, throw new IllegalArgumentException(
+          s"kafka: '$prefix$k' is required for security.protocol $proto"))
+        Some(SaslCredentials(
+          options.getOrElse(prefix + "sasl.mechanism", "PLAIN").toUpperCase.trim,
+          req("sasl.username"), req("sasl.password")))
+      }
+    KafkaSecurity(tls = proto == "SSL" || proto == "SASL_SSL", sasl = sasl)
+  }
+}
+
 /**
  * Blocking single-threaded wire client. One socket per broker, lazily
  * opened, correlation-id checked on every response. NOT thread-safe —

@@ -391,7 +391,29 @@ object Dedup {
     val widths = mihWidths(nBlocks)
     val offsets = widths.scanLeft(0)(_ + _)
     val extra = 64 % nBlocks
+    // the persisted bucket directory, released after the eager
+    // checkpoint below (the persist → eager output → unpersist
+    // discipline; a pinned intermediate that outlives its operator is
+    // what made the r14 bench read phantom regressions)
+    var dirToRelease: Option[DataFrame] = None
 
+    // BUCKET-DIRECTORY formulation (r16). The r15 plan materialized
+    // radius-t probes as ROWS — n × (1 + masks) × m entries — which
+    // the sf10 probe showed saturating every bucket at 600k hashes
+    // (h=10 is 137 masks/block: 329M probe rows, 227k truncated
+    // buckets, 56M dropped members, 420 s). Here probes are
+    // BUCKET-level, not row-level: anchors aggregate once into a
+    // bucket directory (one row per occupied (blk, bv) with the
+    // capped member list), and radius probing is a self-join of the
+    // directory on XOR-neighbor keys — each unordered bucket pair
+    // visited once, from its smaller bv. The probe cost is bounded by
+    // the BUCKET SPACE (≤ 2^w × masks edges per block), independent
+    // of corpus size, and aggregation state holds only true anchors
+    // (occupancy n/2^w — the cap stops being load-bearing until
+    // n ≈ maxBucket × 2^w per block). Pair emission stays globally
+    // unique via the first-qualifying-block rule inside the native
+    // expression, so no dropDuplicates shuffle of the candidate
+    // stream ever happens.
     def bucketPairs(input: DataFrame): DataFrame = {
       // one row per (doc, block): the exact block value
       val blocked = input.select(
@@ -402,87 +424,67 @@ object Dedup {
             shiftright(col("sh"), offsets(b)).bitwiseAND(mask).as("bv"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("algn"),
-          col("bb.blk").as("blk"), col("bb.bv").as("bv0"))
-      // fan out to anchor (mask 0) + radius-t probe rows. The mask
-      // lists ride the plan as TWO all-literal arrays (balanced
-      // widths differ by at most one bit) that ConstantFolding
-      // collapses to single array literals before codegen — radius 3
-      // is 696 masks and must never be per-mask expression nodes in
-      // the hot path. Built with lit(), not typedlit(): typedlit's
-      // TypeTag route needs runtime reflection, which REPL/notebook
-      // classloaders have been observed to break. Probe rows are
-      // still (ids + 8 bytes) each.
-      def maskArray(width: Int): Column =
-        array((0L +: probeMasks(width, radius)).map(lit(_)): _*)
-      val entries =
-        if (radius == 0) blocked.select(col("doc_id"), col("sh"), col("algn"),
-          col("blk"), col("bv0").as("bv"), lit(false).as("probe"))
-        else {
-          val wideMasks = maskArray(widths(0))
-          val narrowMasks = maskArray(widths(nBlocks - 1))
-          blocked.select(col("doc_id"), col("sh"), col("algn"), col("blk"), col("bv0"),
-            explode(if (extra == 0) narrowMasks
-                    else when(col("blk") < extra, wideMasks).otherwise(narrowMasks)).as("_m"))
-            .select(col("doc_id"), col("sh"), col("algn"), col("blk"),
-              col("bv0").bitwiseXOR(col("_m")).as("bv"), (col("_m") =!= 0L).as("probe"))
-        }
-      // Bucket rows, then generate pairs INSIDE the per-bucket lambda
-      // with the full acceptance predicate — both members carry the
-      // 64-bit hash, so the exact hamming check AND the cross-block
-      // dedup rule run before anything is emitted. The dedup rule:
-      // a pair is emitted only from its FIRST qualifying block (the
-      // smallest b where the pair's block distance is within the
-      // probe radius) and, for anchor×probe, only in the smaller
-      // doc's anchor bucket — which makes every emission globally
-      // UNIQUE by construction, so no dropDuplicates shuffle of the
-      // candidate stream ever happens (the r14 plan shuffled every
-      // raw emission twice; on a clustered corpus with ~400k true
-      // pairs that was most of its 20 s). Probe×probe is never
-      // paired: it only reaches block distance ≤ 2t, candidates the
-      // radius-t guarantee does not need, and would square the probe
-      // population's contribution.
-      // pin the bucket exchange to the session's shuffle parallelism:
-      // entry rows are tiny (ids + 8 bytes) but the per-bucket work is
-      // CPU-heavy, so AQE's BYTE-based coalescing systematically
-      // under-partitions this stage (measured: coalesced to 2
-      // partitions at 2.9M entries → 5.8 s; pinned at 32 → 1.3 s). An
-      // explicit numPartitions is exempt from AQE coalescing, and the
-      // groupBy below reuses the same hash partitioning, so this adds
-      // no extra exchange.
+          col("bb.blk").as("blk"), col("bb.bv").as("bv"))
       // bounded_min_k, NOT slice(sort_array(collect_list …)): the
       // slice caps what is KEPT, but collect_list BUFFERS the whole
       // bucket first — a hot bucket of distinct hashes sharing one
       // block value (near-blank images whose pHash block is 0) is an
-      // O(bucket) executor buffer, invisible at gate SFs and an OOM
-      // at 100 TB. The capped aggregate keeps the same k smallest
-      // members in O(k) state and reports what it dropped, which
-      // BucketTruncation surfaces as query metrics (silent recall
-      // truncation becomes observable).
+      // O(bucket) executor buffer. The capped aggregate keeps the k
+      // smallest members in O(k) state and reports what it dropped,
+      // which BucketTruncation surfaces as query metrics.
+      // The exchange is pinned to the session's shuffle parallelism:
+      // directory rows are tiny but downstream pair loops are
+      // CPU-heavy, and AQE's byte-based coalescing under-partitions
+      // tiny-row/CPU-heavy stages (r15 measurement: 2 partitions at
+      // 2.9M entries → 5.8 s vs pinned 32 → 1.3 s).
       val sp = withHash.sparkSession.sessionState.conf.numShufflePartitions
-      val aggd = entries
+      val aggd = blocked
         .repartition(sp, col("algn"), col("blk"), col("bv"))
         .groupBy(col("algn"), col("blk"), col("bv"))
-        .agg(
-          graft.expr.GraftFunctions.boundedMinK(when(!col("probe"),
-            struct(col("doc_id"), col("sh").as("_p"))), maxBucket).as("_a"),
-          graft.expr.GraftFunctions.boundedMinK(when(col("probe"),
-            struct(col("doc_id"), col("sh").as("_p"))), maxBucket).as("_b"))
-      val bucketed = BucketTruncation
-        .attach(aggd, col("_a.dropped") + col("_b.dropped"))
-        .select(col("algn"), col("blk"), col("bv"),
-          col("_a.members").as("anchors"), col("_b.members").as("probes"))
-        .where(size(col("anchors")) > 0 &&
-          size(col("anchors")) + size(col("probes")) > 1)
-      // The per-bucket pair loop is the native [[graft.expr.MihPairs]]
-      // expression, not SQL higher-order functions: the acceptance
-      // checks are O(anchors × (anchors + probes)) per bucket and
-      // lambda evaluation is interpreted per element (measured 7.8 s
-      // for the sf0.1 gate corpus vs sub-second native).
-      bucketed.select(explode(graft.expr.GraftFunctions.mihPairs(
-          col("anchors"), col("probes"), col("blk"),
+        .agg(graft.expr.GraftFunctions.boundedMinK(
+          struct(col("doc_id"), col("sh").as("_p")), maxBucket).as("_m"))
+      val dir = BucketTruncation.attach(aggd, col("_m.dropped"))
+        .select(col("algn"), col("blk"), col("bv"), col("_m.members").as("members"))
+        // reused three ways (same-bucket pairs, edge fan-out, join
+        // probe side) — persist so the blocked shuffle runs once;
+        // released by the caller right after the eager checkpoint
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dirToRelease = Some(dir)
+      // same-bucket pairs (block distance 0)
+      val same = dir.where(size(col("members")) > 1)
+        .select(explode(graft.expr.GraftFunctions.mihPairs(
+          col("members"), slice(col("members"), 1, 0), col("blk"),
           maxHamming, radius, nBlocks)).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+      if (radius == 0)
+        same.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
           col("p.hamming").as("hamming"))
+      else {
+        // neighbor edges: every occupied bucket × its nonzero masks of
+        // weight ≤ t, kept only from the smaller bv side so each
+        // unordered bucket pair joins exactly once. The mask lists
+        // ride the plan as all-literal arrays that ConstantFolding
+        // collapses before codegen (radius 3 is 696 masks and must
+        // never be per-mask expression nodes); lit(), not typedlit()
+        // (typedlit's TypeTag route breaks under REPL classloaders).
+        def maskArray(width: Int): Column =
+          array(probeMasks(width, radius).map(lit(_)): _*)
+        val wideMasks = maskArray(widths(0))
+        val narrowMasks = maskArray(widths(nBlocks - 1))
+        val edges = dir
+          .select(col("algn"), col("blk"), col("bv"), col("members").as("members_a"),
+            explode(if (extra == 0) narrowMasks
+                    else when(col("blk") < extra, wideMasks).otherwise(narrowMasks)).as("_m"))
+          .where(col("bv") < col("bv").bitwiseXOR(col("_m")))
+          .select(col("algn"), col("blk"),
+            col("bv").bitwiseXOR(col("_m")).as("bv"), col("members_a"))
+        val cross = edges.join(dir, Seq("algn", "blk", "bv"))
+          .select(explode(graft.expr.GraftFunctions.mihCrossPairs(
+            col("members_a"), col("members"), col("blk"),
+            maxHamming, radius, nBlocks)).as("p"))
+        same.unionByName(cross)
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("p.hamming").as("hamming"))
+      }
     }
 
     // the (id, hash) frame fans out to the pre-group AND the star
@@ -503,7 +505,11 @@ object Dedup {
       stars.unionByName(bucketPairs(
         groups.select(col("rep").as("doc_id"), col("sh"), col("algn"))))
         .localCheckpoint(true)
-    } finally { tagged.unpersist(); () }
+    } finally {
+      tagged.unpersist()
+      dirToRelease.foreach(_.unpersist())
+      ()
+    }
   }
 
   /**

@@ -507,9 +507,16 @@ object PipelineConfig {
               opt("schema.registry.value.record.name"),
               opt("schema.registry.value.record.namespace"))
           }.getOrElse(graft.kafka.SubjectNaming.TopicName)
+          // kafka.security.protocol / kafka.sasl.* port verbatim from
+          // a kafka-clients sink config (r16)
+          val secOpts = Seq("kafka.security.protocol", "kafka.sasl.mechanism",
+            "kafka.sasl.username", "kafka.sasl.password")
+            .flatMap(k => opt(k).map(k -> _)).toMap
+          val security = graft.kafka.KafkaSecurity.fromOptions(secOpts)
           new graft.kafka.KafkaAvroSink(
             req("kafka.bootstrap.servers"), req("topic"), registry,
-            valueNaming = naming, keyColumn = opt("key.column"))
+            valueNaming = naming, keyColumn = opt("key.column"),
+            clientFactory = bs => new graft.kafka.KafkaWireClient(bs, security = security))
         case "enceladus" =>
           // versioned raw-folder conventions (reference extras/sink/
           // EnceladusSink.scala); per-send keys (path, info.version,

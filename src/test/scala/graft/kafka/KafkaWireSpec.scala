@@ -536,6 +536,29 @@ class KafkaWireSpec extends SparkSpec {
     } finally cluster.close()
   }
 
+  test("KafkaSecurity.fromOptions: kafka-clients config spelling ports verbatim") {
+    assert(KafkaSecurity.fromOptions(Map.empty) == KafkaSecurity())
+    assert(KafkaSecurity.fromOptions(Map("kafka.security.protocol" -> "SSL")).useTls)
+    val ss = KafkaSecurity.fromOptions(Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism" -> "scram-sha-256",
+      "kafka.sasl.username" -> "svc", "kafka.sasl.password" -> "pw"))
+    assert(ss.useTls && ss.sasl.contains(SaslCredentials("SCRAM-SHA-256", "svc", "pw")))
+    val sp = KafkaSecurity.fromOptions(Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.username" -> "u", "kafka.sasl.password" -> "p"))
+    assert(!sp.useTls && sp.sasl.exists(_.mechanism == "PLAIN")) // PLAIN is the default mechanism
+    // missing credentials and unknown protocols fail loudly at config time
+    val e1 = intercept[IllegalArgumentException](
+      KafkaSecurity.fromOptions(Map("kafka.security.protocol" -> "SASL_SSL")))
+    assert(e1.getMessage.contains("sasl.username"))
+    val e2 = intercept[IllegalArgumentException](
+      KafkaSecurity.fromOptions(Map("kafka.security.protocol" -> "KERBEROS")))
+    assert(e2.getMessage.contains("security.protocol"))
+    // secrets never leak through toString (log-safety)
+    assert(!ss.sasl.get.toString.contains("pw"))
+  }
+
   test("e2e SASL_SSL: TLS handshake + SCRAM over the encrypted stream") {
     // self-signed server identity via keytool (JDK tooling only)
     val dir = java.nio.file.Files.createTempDirectory("graft-kafka-tls")
