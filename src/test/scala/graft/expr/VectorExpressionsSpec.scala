@@ -188,7 +188,7 @@ class VectorExpressionsSpec extends SparkSpec {
         "deflate_ratio", "token_window_hashes", "max_cosine_sim", "bpe_encode",
         "bloom_might_contain", "lsh_buckets", "sniff_charset", "decode_charset",
         "sniff_mime", "robots_compile", "robots_allowed", "nearest_centroid",
-        "mih_pairs"))
+        "mih_pairs", "mih_cross_pairs", "bounded_min_k"))
     // injector is exercised end-to-end only with a fresh session
     // (spark.sql.extensions); here we assert it wires without error
     new GraftExtensions // constructible
