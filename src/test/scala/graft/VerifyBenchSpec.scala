@@ -100,4 +100,13 @@ class VerifyBenchSpec extends SparkSpec {
     // boundary: exactly 1.5x is NOT noise
     assert(Bench.regressionVerdict(1.0, 1.5)._2 === "real")
   }
+
+  test("parsePriorSection extracts the right section of a prior bench line") {
+    val line = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},""" +
+      """"queries_sf1":{"q_a":12.5,"q_c":3.0},"value":1.75}"""
+    assert(Bench.parsePriorSection(line, "queries") === Map("q_a" -> 1.5, "q_b" -> 0.25))
+    assert(Bench.parsePriorSection(line, "queries_sf1") === Map("q_a" -> 12.5, "q_c" -> 3.0))
+    assert(Bench.parsePriorSection(line, "queries_sf10") === Map.empty)
+    assert(Bench.parsePriorSection("not json at all", "queries") === Map.empty)
+  }
 }
