@@ -303,14 +303,19 @@ object Bench {
         val truncated = collection.mutable.Map.empty[String, String]
         val rs = names.map(n => n -> timeQuery(spark, n, SparkEntry.queries(n), outDir, 1)) ++
           nearDupNames.map { n =>
+            // clear the previous query's observation so a failure
+            // before plan construction can't misattribute its stats
+            graft.operators.BucketTruncation.reset()
             val r = timeQuery(spark, n, SparkEntry.queries(n), uniqueDir, 1)
             // bucket-cap observability at the probe's scale: nonzero
             // truncation means the maxBucket cap is trading recall.
             // The observation resolves on a listener thread — poll
             // briefly instead of racing it (the r16 probe lost the
-            // minhash stats to exactly this race).
+            // minhash stats to exactly this race). A failed query has
+            // nothing to wait for.
             var waited = 0
-            while (graft.operators.BucketTruncation.lastStats.isEmpty && waited < 5000) {
+            while (r.isRight && graft.operators.BucketTruncation.lastStats.isEmpty
+                && waited < 5000) {
               Thread.sleep(100); waited += 100
             }
             graft.operators.BucketTruncation.lastStats.foreach { st =>

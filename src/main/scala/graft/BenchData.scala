@@ -36,26 +36,21 @@ object BenchData {
 
   /** Generate if missing; returns true when generation ran.
     *
-    * `uniqueDocs` selects the documents variant: every replicated
-    * document copy gets a per-copy token suffix, so copies share ZERO
-    * shingles — 100% unique documents, and the near-dup gates' own
-    * token-dropout plant then contributes pairs LINEAR in scale
-    * instead of the C(copies, 2)-per-doc quadratic blowup identical
-    * replicas would produce. The suffixing also inflates the token
-    * VOCABULARY by ×copies, which distorts token-frequency workloads
-    * (the r16 probe measured q_freq_items 394 s on suffixed vocab) —
-    * so the two variants live in SEPARATE dirs: the main scaled dir
-    * keeps identical replicas (mass-duplication adaptive plans +
-    * honest token statistics) and [[ensureUniqueDocsDir]] materializes
-    * a documents-only dir for the near-dup probes. A dir whose
-    * documents variant mismatches the request is regenerated in
-    * place. */
+    * Documents replicate VERBATIM here (mass-duplication adaptive
+    * plans + honest token statistics are the point of this corpus);
+    * the near-dup shape probe reads [[ensureUniqueDocsDir]]'s
+    * separate documents-only dir instead — per-copy token suffixes
+    * there give zero cross-copy shingles (pairs stay linear in
+    * scale) but inflate the token vocabulary ×copies, which the r16
+    * probe measured distorting the frequency workloads (q_freq_items
+    * 394 s on suffixed vocab), hence the two dirs. A dir left with a
+    * unique-docs documents table by a pre-split run is repaired in
+    * place (its `UniqueDocsMarker` betrays it). */
   def ensureScaled(spark: SparkSession, srcDir: String,
-                   outDir: String = DefaultOut, copies: Int = 10,
-                   uniqueDocs: Boolean = false): Boolean = {
+                   outDir: String = DefaultOut, copies: Int = 10): Boolean = {
     val marker = new java.io.File(outDir, Marker)
     val docsMarker = new java.io.File(outDir, UniqueDocsMarker)
-    if (marker.exists() && uniqueDocs == docsMarker.exists()) return false
+    if (marker.exists() && !docsMarker.exists()) return false
     // events.parquet carries TIMESTAMP(NANOS): read nanos as longs
     // (SparkEntry.events handles either representation on read)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -97,12 +92,10 @@ object BenchData {
       write(replicate(read("embeddings"),
         "vec_id" -> strideOf(read("embeddings"), "vec_id")), "embeddings")
     }
-    // documents: replicate (possibly perturbing text per copy) — also
-    // regenerated in place when an existing dir's variant mismatches
-    write(docsReplicated(spark, srcDir, copies, uniqueDocs), "documents")
-    if (uniqueDocs) {
-      if (!docsMarker.exists()) java.nio.file.Files.createFile(docsMarker.toPath)
-    } else java.nio.file.Files.deleteIfExists(docsMarker.toPath)
+    // documents: verbatim replicas — also repairs a dir whose
+    // documents table was left in the unique-docs variant
+    write(docsReplicated(spark, srcDir, copies, unique = false), "documents")
+    java.nio.file.Files.deleteIfExists(docsMarker.toPath)
     if (needBase) java.nio.file.Files.createFile(marker.toPath)
     true
   }

@@ -91,9 +91,13 @@ case class BoundedMinK(
   }
 
   /** Heap ordered LARGEST-first: the head is the eviction candidate
-   * (we keep the k smallest). */
+   * (we keep the k smallest). Initial capacity stays SMALL and grows
+   * on demand: most buckets hold a handful of members (band buckets
+   * are sparse by design), and an up-front k-slot array per group —
+   * ~8 KB at the default cap — would be allocated millions of times
+   * over for 1-2 row buckets. */
   private def newHeap(): java.util.PriorityQueue[UnsafeRow] =
-    new java.util.PriorityQueue[UnsafeRow](math.min(k, 1 << 16),
+    new java.util.PriorityQueue[UnsafeRow](math.min(k, 16),
       (a: UnsafeRow, b: UnsafeRow) => cmp(b, a))
 
   override def createAggregationBuffer(): BoundedMinK.Buffer =

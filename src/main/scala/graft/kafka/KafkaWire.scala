@@ -653,21 +653,32 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
           .getOrElse(javax.net.ssl.SSLContext.getDefault.getSocketFactory)
         factory.createSocket()
       } else new Socket()
-    s.setTcpNoDelay(true)
-    s.setSoTimeout(timeoutMs)
-    s.connect(new InetSocketAddress(broker._1, broker._2), timeoutMs)
-    s match {
-      case ssl: javax.net.ssl.SSLSocket => ssl.startHandshake()
-      case _ =>
+    // anything failing before the tuple enters the socket map (TLS
+    // handshake, SASL rejection) must close the socket HERE — the
+    // eviction path only knows registered connections, and a caller
+    // retrying against a misconfigured cluster would otherwise leak
+    // one fd per attempt
+    try {
+      s.setTcpNoDelay(true)
+      s.setSoTimeout(timeoutMs)
+      s.connect(new InetSocketAddress(broker._1, broker._2), timeoutMs)
+      s match {
+        case ssl: javax.net.ssl.SSLSocket => ssl.startHandshake()
+        case _ =>
+      }
+      val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+      // SASL authenticates each NEW connection before it enters the
+      // socket map — every later call on the connection rides the
+      // authenticated session (how real listeners work; a reconnect
+      // after evict() re-authenticates automatically)
+      security.sasl.foreach(creds => saslAuthenticate(in, out, creds))
+      (s, in, out)
+    } catch {
+      case e: Throwable =>
+        try s.close() catch { case _: Exception => }
+        throw e
     }
-    val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
-    // SASL authenticates each NEW connection before it enters the
-    // socket map — every later call on the connection rides the
-    // authenticated session (how real listeners work; a reconnect
-    // after evict() re-authenticates automatically)
-    security.sasl.foreach(creds => saslAuthenticate(in, out, creds))
-    (s, in, out)
   })
 
   /** One framed request/response on a NOT-yet-registered connection
@@ -888,8 +899,14 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
         }
         val set = r.bytes()
         check(err, s"Fetch $name/$p@$offset")
-        if (name == topic && p == partition)
-          result = FetchResult(decodeRecordSet(if (set == null) Array.emptyByteArray else set), hw)
+        if (name == topic && p == partition) {
+          // a compressed wrapper/batch is returned WHOLE even when it
+          // straddles the requested offset (brokers slice at batch
+          // granularity) — enforce the at/after contract here so a
+          // consumer restarting mid-batch never re-sees records
+          val decoded = decodeRecordSet(if (set == null) Array.emptyByteArray else set)
+          result = FetchResult(decoded.filter(_.offset >= offset), hw)
+        }
       }
     }
     result

@@ -133,11 +133,16 @@ object Scram {
     /** Verifies client-final; returns server-final (v=signature). */
     def serverFinal(clientFinal: String): String = {
       val kv = clientFinal.split(",").map { f =>
-        val i = f.indexOf('='); f.substring(0, i) -> f.substring(i + 1)
+        val i = f.indexOf('=')
+        require(i > 0, s"malformed SCRAM attribute '$f'")
+        f.substring(0, i) -> f.substring(i + 1)
       }.toMap
       require(kv.get("c").contains("biws"), "channel-binding echo mismatch")
       require(kv.get("r").contains(combinedNonce), "nonce mismatch")
-      val withoutProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      val proofAt = clientFinal.lastIndexOf(",p=")
+      require(proofAt > 0 && kv.contains("p"),
+        "malformed client-final-message: missing proof attribute")
+      val withoutProof = clientFinal.substring(0, proofAt)
       val authMessage = s"$clientFirstBare,$serverFirstMsg,$withoutProof".getBytes(UTF_8)
       val proof = Base64.getDecoder.decode(kv("p"))
       val recoveredClientKey = xor(proof, hmac(stored, authMessage))

@@ -443,13 +443,20 @@ object Dedup {
         .groupBy(col("algn"), col("blk"), col("bv"))
         .agg(graft.expr.GraftFunctions.boundedMinK(
           struct(col("doc_id"), col("sh").as("_p")), maxBucket).as("_m"))
-      val dir = BucketTruncation.attach(aggd, col("_m.dropped"))
+      val dirPlain = BucketTruncation.attach(aggd, col("_m.dropped"))
         .select(col("algn"), col("blk"), col("bv"), col("_m.members").as("members"))
-        // reused three ways (same-bucket pairs, edge fan-out, join
-        // probe side) — persist so the blocked shuffle runs once;
-        // released by the caller right after the eager checkpoint
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      dirToRelease = Some(dir)
+      // radius > 0 reuses the directory three ways (same-bucket pairs,
+      // edge fan-out, join probe side) — persist so the blocked
+      // shuffle runs once, released by the caller right after the
+      // eager checkpoint. radius == 0 scans it exactly once: a
+      // persist there is pure pinned-intermediate cost.
+      val dir =
+        if (radius == 0) dirPlain
+        else {
+          val d = dirPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          dirToRelease = Some(d)
+          d
+        }
       // same-bucket pairs (block distance 0)
       val same = dir.where(size(col("members")) > 1)
         .select(explode(graft.expr.GraftFunctions.mihPairs(
@@ -534,10 +541,13 @@ object Dedup {
     // k smallest ids per bucket in an O(k) heap, never the whole
     // bucket, and surface dropped-member counts as query metrics.
     graft.expr.GraftFunctions.ensure(df.sparkSession)
+    // when() guard: struct(doc_id) is never null, so without it a
+    // null id would be collected as a member (collect_list skipped
+    // nulls) and emit null-keyed candidate pairs downstream
     val aggd = df
       .groupBy(keyCols.map(col): _*)
       .agg(graft.expr.GraftFunctions.boundedMinK(
-        struct(col("doc_id")), maxBucket).as("_m"))
+        when(col("doc_id").isNotNull, struct(col("doc_id"))), maxBucket).as("_m"))
     val bucketed = BucketTruncation.attach(aggd, col("_m.dropped"))
       .select(col("_m.members.doc_id").as("members"))
       .where(size(col("members")) > 1)
@@ -577,6 +587,11 @@ object BucketTruncation {
   private val last = new ThreadLocal[Option[Observation]] {
     override def initialValue(): Option[Observation] = None
   }
+
+  /** Drop this thread's recorded observation — call before running a
+    * query whose stats you intend to read, so a failure before plan
+    * construction can't misattribute the PREVIOUS operator's numbers. */
+  def reset(): Unit = last.remove()
 
   private[operators] def attach(df: DataFrame, dropped: Column): DataFrame = {
     val obs = Observation()
