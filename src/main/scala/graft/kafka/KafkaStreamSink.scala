@@ -49,12 +49,14 @@ private[kafka] object KafkaWriteSupport {
   /** One task's writer: the shared [[KafkaBatch.PartitionedProducer]]
     * buffering over one client. */
   final class Writer(brokers: String, topic: String, schema: StructType,
-                     taskPartitionId: Int, batchSize: Int = 500)
+                     taskPartitionId: Int, batchSize: Int = 500,
+                     security: KafkaSecurity = KafkaSecurity())
       extends DataWriter[InternalRow] {
     private val (valueIdx, keyIdx) = validate(schema)
     private val valueType = schema(valueIdx).dataType
     private val keyType = keyIdx.map(schema(_).dataType)
-    private val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
+    private val client =
+      new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
     private val producer = new KafkaBatch.PartitionedProducer(client, topic,
       client.metadata(Seq(topic)).topics(topic).partitions.size,
       taskPartitionId, batchSize)
@@ -73,16 +75,18 @@ private[kafka] object KafkaWriteSupport {
 
   /** Serializable factory shipped to executors — holds only strings
     * and the schema, never the driver-side write info. */
-  final case class Factory(brokers: String, topic: String, schema: StructType)
+  final case class Factory(brokers: String, topic: String, schema: StructType,
+                           security: KafkaSecurity = KafkaSecurity())
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new Writer(brokers, topic, schema, partitionId)
+      new Writer(brokers, topic, schema, partitionId, security = security)
     override def createWriter(partitionId: Int, taskId: Long,
                               epochId: Long): DataWriter[InternalRow] =
-      new Writer(brokers, topic, schema, partitionId)
+      new Writer(brokers, topic, schema, partitionId, security = security)
   }
 
-  final class Builder(brokers: String, topic: String, info: LogicalWriteInfo)
+  final class Builder(brokers: String, topic: String, info: LogicalWriteInfo,
+                      security: KafkaSecurity = KafkaSecurity())
       extends WriteBuilder {
     override def build(): Write = {
       val schema = info.schema()
@@ -90,13 +94,13 @@ private[kafka] object KafkaWriteSupport {
       new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            Factory(brokers, topic, schema)
+            Factory(brokers, topic, schema, security)
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
         override def toStreaming: StreamingWrite = new StreamingWrite {
           override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
-            Factory(brokers, topic, schema)
+            Factory(brokers, topic, schema, security)
           override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
         }

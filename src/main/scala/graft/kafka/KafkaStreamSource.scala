@@ -55,6 +55,14 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
     v
   }
   private val brokers = req("kafka.bootstrap.servers")
+  // kafka.security.protocol / kafka.sasl.* — the kafka-clients
+  // spelling, parsed once driver-side; the resulting KafkaSecurity is
+  // plain strings/booleans (config-derived security never carries an
+  // SSLContext) so it serializes into the input partitions
+  private val security = KafkaSecurity.fromOptions(
+    Seq("kafka.security.protocol", "kafka.sasl.mechanism",
+        "kafka.sasl.username", "kafka.sasl.password")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
   private def topic = {
     val t = options.get("subscribe")
     if (t != null) t else req("topic") // writes use 'topic', like the official sink
@@ -73,32 +81,35 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
       Option(options.get("startingoffsets")).getOrElse("earliest"),
       Option(options.get("maxbytes")).map(_.toInt).getOrElse(1 << 20),
       Option(options.get("maxoffsetspertrigger")).map(_.toLong),
-      Option(options.get("endingoffsets")).getOrElse("latest"))
+      Option(options.get("endingoffsets")).getOrElse("latest"),
+      security)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new KafkaWriteSupport.Builder(brokers, topic, info)
+    new KafkaWriteSupport.Builder(brokers, topic, info, security)
 }
 
 private final class KafkaScan(brokers: String, topic: String,
                               startingOffsets: String, maxBytes: Int,
                               maxOffsetsPerTrigger: Option[Long] = None,
-                              endingOffsets: String = "latest") extends Scan {
+                              endingOffsets: String = "latest",
+                              security: KafkaSecurity = KafkaSecurity()) extends Scan {
   override def readSchema(): StructType = KafkaBatch.kafkaSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new KafkaMicroBatchStream(brokers, topic, startingOffsets, maxBytes,
-      maxOffsetsPerTrigger)
+      maxOffsetsPerTrigger, security)
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
+      val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
       val ranges = try {
         KafkaBatch.planRanges(client, topic,
           KafkaBatch.OffsetSpec.parse(startingOffsets),
           KafkaBatch.OffsetSpec.parse(endingOffsets))
       } finally client.close()
-      ranges.filter(r => r.end > r.start).map(KafkaInputPartition(_, maxBytes): InputPartition).toArray
+      ranges.filter(r => r.end > r.start)
+        .map(KafkaInputPartition(_, maxBytes, security): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = KafkaReaderFactory
   }
@@ -129,12 +140,14 @@ object KafkaSourceOffset {
 private final class KafkaMicroBatchStream(brokers: String, topic: String,
                                           startingOffsets: String,
                                           maxBytes: Int,
-                                          maxOffsetsPerTrigger: Option[Long] = None)
+                                          maxOffsetsPerTrigger: Option[Long] = None,
+                                          security: KafkaSecurity = KafkaSecurity())
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
-  private lazy val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers))
+  private lazy val client =
+    new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
   private def partitions: Seq[Int] = {
     val meta = client.metadata(Seq(topic))
     meta.topics(topic).partitions.map(_.partition).sorted
@@ -207,7 +220,7 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
         val node = meta.leaderFor(topic, p)
         Some(KafkaInputPartition(
           KafkaBatch.PartitionRange(topic, p, node.host, node.port, startOff, endOff),
-          maxBytes): InputPartition)
+          maxBytes, security): InputPartition)
       } else None
     }.toArray
   }
@@ -219,21 +232,24 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
 }
 
 private final case class KafkaInputPartition(range: KafkaBatch.PartitionRange,
-                                             maxBytes: Int) extends InputPartition
+                                             maxBytes: Int,
+                                             security: KafkaSecurity = KafkaSecurity())
+    extends InputPartition
 
 private object KafkaReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val kp = partition.asInstanceOf[KafkaInputPartition]
-    new KafkaPartitionReader(kp.range, kp.maxBytes)
+    new KafkaPartitionReader(kp.range, kp.maxBytes, kp.security)
   }
 }
 
 /** Executor-side reader: the shared [[KafkaBatch.RangeFetchIterator]]
   * paged loop, emitting InternalRows in the kafka-source schema. */
 private final class KafkaPartitionReader(range: KafkaBatch.PartitionRange,
-                                         initialMaxBytes: Int)
+                                         initialMaxBytes: Int,
+                                         security: KafkaSecurity = KafkaSecurity())
     extends PartitionReader[InternalRow] {
-  private val client = new KafkaWireClient(Seq((range.host, range.port)))
+  private val client = new KafkaWireClient(Seq((range.host, range.port)), security = security)
   private val it = new KafkaBatch.RangeFetchIterator(client, range, initialMaxBytes)
   private var current: KafkaWire.KafkaRecord = _
 

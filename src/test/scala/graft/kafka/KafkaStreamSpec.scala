@@ -93,6 +93,55 @@ class KafkaStreamSpec extends SparkSpec {
     } finally cluster.close()
   }
 
+  test("SASL options ride the DataFrame reader/writer into every executor-side client") {
+    // a SASL_PLAINTEXT cluster serving zstd batches: the stream source's
+    // planner client, each partition reader, AND the stream writer must
+    // all authenticate from the kafka.sasl.* options (the config-derived
+    // KafkaSecurity serializes into the input partitions)
+    val cluster = new LoopbackCluster(Map("sec" -> 2),
+      sasl = Some(("svc", "pw")), fetchCodec = 4)
+    try {
+      cluster.append("sec", 0, Seq((b("k"), b("locked-0"))))
+      cluster.append("sec", 1, Seq((null, b("locked-1"))))
+      val df = spark.read.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("subscribe", "sec")
+        .option("kafka.security.protocol", "SASL_PLAINTEXT")
+        .option("kafka.sasl.mechanism", "SCRAM-SHA-256")
+        .option("kafka.sasl.username", "svc")
+        .option("kafka.sasl.password", "pw")
+        .load()
+      assert(df.select(col("value").cast("string")).collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("locked-0", "locked-1"))
+      // without credentials the same read fails loudly (connection cut)
+      val naked = spark.read.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("subscribe", "sec")
+        .load()
+      intercept[Exception](naked.collect())
+      // write path: produce through the sink with the same options
+      import spark.implicits._
+      Seq(("wk", "written")).toDF("key", "value")
+        .write.format(fmt).mode("append")
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("topic", "sec")
+        .option("kafka.security.protocol", "SASL_PLAINTEXT")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.username", "svc")
+        .option("kafka.sasl.password", "pw")
+        .save()
+      val all = spark.read.format(fmt)
+        .option("kafka.bootstrap.servers", cluster.bootstrapServers)
+        .option("subscribe", "sec")
+        .option("kafka.security.protocol", "SASL_PLAINTEXT")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.username", "svc")
+        .option("kafka.sasl.password", "pw")
+        .load()
+      assert(all.where(col("value").cast("string") === "written").count() == 1)
+    } finally cluster.close()
+  }
+
   test("streaming rows carry usable kafka metadata: timestamps in millis, topic, types") {
     val cluster = new LoopbackCluster(Map("md" -> 1))
     try {
