@@ -148,7 +148,8 @@ final class KafkaAvroSink(
     registry: SchemaRegistryClient,
     valueNaming: SubjectNaming = SubjectNaming.TopicName,
     keyColumn: Option[String] = None,
-    clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs))
+    clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs),
+    codec: Int = 0)
     extends graft.sinks.GraftSink {
 
   override def send(df: DataFrame, tableName: String, infoDate: LocalDate,
@@ -162,7 +163,7 @@ final class KafkaAvroSink(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val count = framed.count()
-      KafkaBatch.write(framed, brokers, topic, clientFactory = clientFactory)
+      KafkaBatch.write(framed, brokers, topic, clientFactory = clientFactory, codec = codec)
       graft.sinks.SinkResult(count)
     } finally framed.unpersist()
   }

@@ -141,14 +141,14 @@ object KafkaBatch {
    */
   final class PartitionedProducer(client: KafkaWireClient, topic: String,
                                   numPartitions: Int, roundRobinSeed: Int,
-                                  batchSize: Int = 500) {
+                                  batchSize: Int = 500, codec: Int = 0) {
     require(numPartitions > 0, s"topic '$topic' reports no partitions")
     private val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
     private val counts = new Array[Int](numPartitions)
     private var roundRobin = roundRobinSeed % numPartitions
 
     private def flush(p: Int): Unit = if (counts(p) > 0) {
-      client.produce(topic, p, buffers(p).result())
+      client.produce(topic, p, buffers(p).result(), codec = codec)
       buffers(p) = Vector.newBuilder; counts(p) = 0
     }
 
@@ -247,7 +247,8 @@ object KafkaBatch {
    */
   def write(df: DataFrame, brokers: String, topic: String,
             batchSize: Int = 500,
-            clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs))
+            clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs),
+            codec: Int = 0)
            : Unit = {
     import org.apache.spark.sql.functions._
     val cols = df.columns.toSet
@@ -267,7 +268,7 @@ object KafkaBatch {
       val client = factory(parseBrokers(bs))
       try {
         val producer = new PartitionedProducer(client, topic, numPartitions,
-          org.apache.spark.TaskContext.getPartitionId(), batchSize)
+          org.apache.spark.TaskContext.getPartitionId(), batchSize, codec)
         rows.foreach(row => producer.send(row.getAs[Array[Byte]](0), row.getAs[Array[Byte]](1)))
         producer.flushAll()
       } finally client.close()

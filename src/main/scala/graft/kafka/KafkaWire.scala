@@ -155,6 +155,18 @@ object KafkaWire {
   // a from-spec wire client must decode them itself, because real
   // topics are overwhelmingly compressed.
 
+  /** Codec id for a config name (the kafka-clients
+    * `compression.type` spelling). */
+  def codecId(name: String): Int = name.toLowerCase.trim match {
+    case "" | "none" => 0
+    case "gzip" => 1
+    case "snappy" => 2
+    case "lz4" => 3
+    case "zstd" => 4
+    case other => throw new IllegalArgumentException(
+      s"unknown compression type '$other' (none, gzip, snappy, lz4, zstd)")
+  }
+
   private[kafka] def codecName(codec: Int): String = codec match {
     case 0 => "none"; case 1 => "gzip"; case 2 => "snappy"
     case 3 => "lz4"; case 4 => "zstd"

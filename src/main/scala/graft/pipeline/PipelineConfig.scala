@@ -516,7 +516,9 @@ object PipelineConfig {
           new graft.kafka.KafkaAvroSink(
             req("kafka.bootstrap.servers"), req("topic"), registry,
             valueNaming = naming, keyColumn = opt("key.column"),
-            clientFactory = bs => new graft.kafka.KafkaWireClient(bs, security = security))
+            clientFactory = bs => new graft.kafka.KafkaWireClient(bs, security = security),
+            codec = opt("kafka.producer.compression")
+              .map(graft.kafka.KafkaWire.codecId).getOrElse(0))
         case "enceladus" =>
           // versioned raw-folder conventions (reference extras/sink/
           // EnceladusSink.scala); per-send keys (path, info.version,

@@ -536,6 +536,26 @@ class KafkaWireSpec extends SparkSpec {
     } finally cluster.close()
   }
 
+  test("codecId maps the kafka-clients compression.type spelling") {
+    assert(Seq("none", "gzip", "snappy", "lz4", "zstd").map(codecId) == Seq(0, 1, 2, 3, 4))
+    assert(codecId("") == 0 && codecId(" GZIP ") == 1)
+    val e = intercept[IllegalArgumentException](codecId("brotli"))
+    assert(e.getMessage.contains("brotli"))
+    // a compressed produce through the partitioned producer lands
+    // decodable records on the broker log
+    val cluster = new LoopbackCluster(Map("cp" -> 2))
+    try {
+      val c = new KafkaWireClient(Seq(("127.0.0.1", cluster.brokers.head.port)))
+      val producer = new KafkaBatch.PartitionedProducer(c, "cp", 2, 0,
+        batchSize = 3, codec = codecId("zstd"))
+      (0 until 7).foreach(i => producer.send(b(s"k$i"), b(s"v$i")))
+      producer.flushAll()
+      val total = cluster.log("cp", 0).records.size + cluster.log("cp", 1).records.size
+      assert(total == 7)
+      c.close()
+    } finally cluster.close()
+  }
+
   test("KafkaSecurity.fromOptions: kafka-clients config spelling ports verbatim") {
     assert(KafkaSecurity.fromOptions(Map.empty) == KafkaSecurity())
     assert(KafkaSecurity.fromOptions(Map("kafka.security.protocol" -> "SSL")).useTls)

@@ -61,6 +61,21 @@ class ScramSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nonce"))
   }
 
+  test("malformed client-final tokens are clean IllegalArgumentExceptions, not index errors") {
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    val srv = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
+    srv.serverFirst("n,,n=user,r=" + cnonce)
+    // no proof attribute at all
+    val e1 = intercept[IllegalArgumentException](
+      srv.serverFinal("c=biws,r=" + cnonce + "%hv"))
+    assert(e1.getMessage.contains("proof"))
+    // attribute without '='
+    val srv2 = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
+    srv2.serverFirst("n,,n=user,r=" + cnonce)
+    val e2 = intercept[IllegalArgumentException](srv2.serverFinal("garbage"))
+    assert(e2.getMessage.contains("malformed"))
+  }
+
   test("saslName escapes ',' and '=' per RFC 5802") {
     assert(Scram.saslName("a=b,c") == "a=3Db=2Cc")
   }
