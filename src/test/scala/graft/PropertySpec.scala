@@ -34,6 +34,48 @@ class PropertySpec extends AnyFunSuite {
   private val genDate: Gen[LocalDate] =
     Gen.choose(0L, 40000L).map(LocalDate.ofEpochDay)
 
+  private val genRecord: Gen[graft.kafka.KafkaWire.OutRecord] = for {
+    key <- Gen.option(Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))))
+    value <- Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    ts <- Gen.choose(0L, 1L << 42)
+  } yield graft.kafka.KafkaWire.OutRecord(key.map(_.toArray).orNull, value.toArray, ts)
+
+  test("Kafka wire: encode/decode round-trips any record list under every codec and both formats") {
+    import graft.kafka.KafkaWire._
+    forAll(Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, genRecord)),
+           Gen.choose(0, 4), Gen.choose(0L, 1L << 40)) { (recs, codec, baseOff) =>
+      def check(decoded: Seq[KafkaRecord], offsetBase: Long): Unit = {
+        assert(decoded.size == recs.size)
+        decoded.zip(recs).zipWithIndex.foreach { case ((got, want), i) =>
+          assert(got.offset == offsetBase + i)
+          assert(got.timestamp == want.timestamp)
+          assert(java.util.Arrays.equals(got.value, want.value))
+          assert((got.key == null) == (want.key == null))
+          if (want.key != null) assert(java.util.Arrays.equals(got.key, want.key))
+        }
+      }
+      check(decodeRecordSet(encodeRecordBatch(recs, baseOff, codec)), baseOff)
+      if (codec <= 3) check(decodeMessageSet(encodeMessageSet(recs, codec)),
+        if (codec == 0) 0L else 0L) // producer sets write relative offsets from 0
+    }
+  }
+
+  test("Kafka wire: decoding corrupted or truncated bytes terminates - clean result or a thrown error") {
+    import graft.kafka.KafkaWire._
+    val base = encodeRecordBatch(Seq(
+      OutRecord("k".getBytes, "value-payload".getBytes, 5L),
+      OutRecord(null, "second".getBytes, 6L)), 3L, codec = 1) ++
+      encodeMessageSet(Seq(OutRecord("a".getBytes, "b".getBytes, 1L)))
+    forAll(Gen.choose(0, base.length - 1), Gen.choose(Byte.MinValue, Byte.MaxValue),
+           Gen.choose(0, base.length)) { (flipAt, newByte, cutAt) =>
+      // single-byte mutation
+      val mutated = base.clone(); mutated(flipAt) = newByte
+      try { decodeRecordSet(mutated); () } catch { case _: Exception => }
+      // truncation: either decodes a prefix or fails loudly, never hangs
+      try { decodeRecordSet(base.take(cutAt)); () } catch { case _: Exception => }
+    }
+  }
+
   test("DateExpr: plus/minus days round-trip for any date and offset") {
     forAll(genDate, Gen.choose(-5000, 5000)) { (d, n) =>
       val ev = DateExpr("d" -> d)
