@@ -201,7 +201,7 @@ object AnnSearch {
     finally { vecs.unpersist(); () }
   }
 
-  private def kmeansOnCached(embeddings: DataFrame, vecCol: String,
+  private def kmeansOnCached(embeddings0: DataFrame, vecCol: String,
                              k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     // init from DISTINCT vectors: a corpus with duplicated embeddings
     // (near-dup docs, replicated epochs) would otherwise seed the same
@@ -210,6 +210,11 @@ object AnnSearch {
     // selection shuffles (hash, order) pairs, never the wide vectors —
     // a full-vector distinct() would hash-shuffle the whole table for
     // k seed rows. The winning hashes broadcast back to fetch vectors.
+    // null vectors can't cluster and would otherwise surface as an
+    // opaque driver NPE (a null _c group whose vector_sum is null):
+    // failed-inference rows are routine in embedding pipelines, so
+    // drop them here, loudly documented, instead of dying mid-fit
+    val embeddings = embeddings0.where(col(vecCol).isNotNull)
     var centroids: Array[Array[Double]] = {
       val hashed = embeddings.select(col(vecCol).as("_v"),
         xxhash64(col(vecCol)).as("_h"),
@@ -224,7 +229,11 @@ object AnnSearch {
         // would depend on partition layout, breaking cross-run
         // reproducibility of persisted indexes. ≤ k rows; sort is free.
         .orderBy(col("_o"), col("_h")).select(col("_v")).limit(k)
-        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        // element type follows the column (array<float> OR
+        // array<double> — every native vector expression accepts
+        // both); a hardcoded getSeq[Float] would ClassCastException
+        // on double embeddings
+        .collect().map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     }
     for (_ <- 1 to iters) {
       val assigned = embeddings.withColumn("_c", nearestCentroid(col(vecCol), centroids))
@@ -363,7 +372,16 @@ object EmbedDedup {
                    threshold: Double = 0.95, bits: Int = 12, tables: Int = 3,
                    seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     graft.expr.GraftFunctions.ensure(embeddings.sparkSession)
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // dimension probe tolerates an empty (upstream-filtered) corpus —
+    // return the empty pair frame instead of dying on head() — and
+    // skips null vectors, which would otherwise yield dim = null and
+    // zero-dimension hyperplanes bucketing everything together
+    val dimRow = embeddings.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    if (dimRow.isEmpty)
+      return embeddings.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0d).as("cosine")).where(lit(false))
+    val dim = dimRow.head.getInt(0)
     val planeSets = Array.tabulate(tables)(t => AnnSearch.hyperplanes(dim, bits, seed + t))
     val base = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
 

@@ -57,10 +57,21 @@ object MinHashIndex {
       .putLong("graft.minhash.k", k.toLong)
       .putLong("graft.minhash.shingleSize", shingleSize.toLong)
       .build()
+    // sig is NULL for docs with fewer than shingleSize tokens: the
+    // native minhash_sig maps an empty shingle set to a constant
+    // sentinel, and before r16 every sub-shingle-length document
+    // therefore shared one signature — est_jaccard exactly 1.0
+    // between ANY two short docs, so the incremental loop silently
+    // dropped every short document after the first one indexed. A
+    // null sig never bands, never matches, and short docs always pass
+    // through as new (their exact duplicates remain Dedup.exact's
+    // job, per this operator's contract).
     docs
       .withColumn("_toks", TextFunctions.tokens(col(textCol)))
       .withColumn("_sh", graft.expr.GraftFunctions.wordShingles(col("_toks"), shingleSize))
-      .select(col(idCol), graft.expr.GraftFunctions.minhashSig(col("_sh"), k).as("sig", meta))
+      .select(col(idCol),
+        when(size(col("_sh")) > 0, graft.expr.GraftFunctions.minhashSig(col("_sh"), k))
+          .as("sig", meta))
   }
 
   def writeIndex(docs: DataFrame, textCol: String, idCol: String, path: String,
@@ -108,21 +119,30 @@ object MinHashIndex {
           s"probe shingleSize=$shingleSize but index was built with " +
             s"shingleSize=${m.getLong("graft.minhash.shingleSize")}")
       case _ =>
-        index.select(size(col("sig"))).take(1).foreach(row =>
+        index.where(col("sig").isNotNull).select(size(col("sig"))).take(1).foreach(row =>
           require(row.getInt(0) == k,
             s"probe k=$k but index signatures have ${row.getInt(0)} components"))
     }
     val r = k / bands
+    // null sigs (sub-shingle-length docs) never band or match
     val b = buildIndex(batch, textCol, idCol, shingleSize, k)
+      .where(col("sig").isNotNull)
       .withColumn("_bh", bandHashes(col("sig"), bands, r))
       .localCheckpoint() // signatures are reused for buckets + join + verify
     // the batch's bucket set: |batch| x bands longs, driver-bounded —
-    // this cap is what makes "batch" mean batch
-    val buckets = b.select(explode(col("_bh")).as("h")).distinct()
-      .limit(maxBatchBuckets + 1).collect().map(_.getLong(0))
-    require(buckets.length <= maxBatchBuckets,
-      s"batch bucket set exceeds maxBatchBuckets=$maxBatchBuckets — this path is for " +
-        "incremental slices; dedup corpus-vs-corpus with Dedup.minhashCandidates")
+    // this cap is what makes "batch" mean batch. The cap check FREES
+    // the checkpoint on failure: a long-lived session probing
+    // oversized batches must not accumulate orphaned blocks.
+    val buckets = try {
+      val bs = b.select(explode(col("_bh")).as("h")).distinct()
+        .limit(maxBatchBuckets + 1).collect().map(_.getLong(0))
+      require(bs.length <= maxBatchBuckets,
+        s"batch bucket set exceeds maxBatchBuckets=$maxBatchBuckets — this path is for " +
+          "incremental slices; dedup corpus-vs-corpus with Dedup.minhashCandidates")
+      bs
+    } catch {
+      case e: Throwable => CheckpointDiscipline.freeLocalCheckpoint(b); throw e
+    }
     if (buckets.isEmpty)
       // index_id's TYPE comes from the index side — deriving it from
       // the batch id would give the empty result a different schema
@@ -157,6 +177,7 @@ object MinHashIndex {
         exists(col("_bh"), h => graft.expr.GraftFunctions.bloomMightContain(h, bfBytes))
       }
     val probe = index
+      .where(col("sig").isNotNull)
       .withColumn("_bh", bandHashes(col("sig"), bands, r))
       .where(bucketFilter)
       .select(col(indexIdCol).as("index_id"), col("sig").as("_isig"),

@@ -105,7 +105,13 @@ object UrlCuration {
     // "p&a=1&b=2" promotes the FIRST param, "a&b&q=1" skips the
     // literal '&' and promotes at "q=")
     val promoted = regexp_replace(cleaned, "^([^?#]*?)&([^&?#]*=)", "$1?$2")
-    val fixedSep = when(noTrack <=> noFrag, cleaned).otherwise(promoted)
+    // third guard (r16): promotion also requires that NO '?' survived
+    // removal — "https://a.com/x&y=1?p=1&utm_a=2" keeps its query head
+    // after cleaning, and promoting the PATH's literal '&y=' would
+    // corrupt the canonical form (a double-'?' URL) and split the
+    // page's tracking-free spelling into a different canonical
+    val fixedSep = when(noTrack <=> noFrag || cleaned.contains("?"), cleaned)
+      .otherwise(promoted)
     // no lookahead (RE2): capture the tail and restore it
     val noPort = regexp_replace(
       regexp_replace(fixedSep, "(?i)^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
@@ -114,7 +120,11 @@ object UrlCuration {
     val head = regexp_extract(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val tail = regexp_replace(noPort, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val lowered = concat(lower(head), tail)
-    regexp_replace(lowered, "(.)/$", "$1")
+    // trailing-slash strip only when no query remains: with a '?', the
+    // final char belongs to the LAST QUERY VALUE ("?path=/" and
+    // "?path=" are different parameters, not the same page)
+    when(lowered.contains("?"), lowered)
+      .otherwise(regexp_replace(lowered, "(.)/$", "$1"))
   }
 
   /** Drop rows whose registered domain is on the blocklist (plus rows
@@ -203,7 +213,18 @@ object UrlCuration {
     // a cap feeds a DuckDB gate)
     val key = orderKey.getOrElse(df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        pmod(col(idCol).cast("long") * 2654435761L, lit(4294967296L)).cast("double")
+        // (id * 2654435761) mod 2^32 computed WITHOUT the 64-bit
+        // overflow: ids above ~3.46e9 (snowflake/hash-derived) made
+        // the direct product overflow Long — an ArithmeticException
+        // under ANSI mode (Spark 4 default). Split arithmetic keeps
+        // every intermediate under 2^49 and is bit-identical to the
+        // wrapped product mod 2^32, so oracle replays are unchanged.
+        {
+          val m = pmod(col(idCol).cast("long"), lit(4294967296L))
+          val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
+          pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) + m.bitwiseAND(lit(0xFFFFL)) * 2654435761L,
+            lit(4294967296L)).cast("double")
+        }
       case _ => xxhash64(col(idCol)).cast("double")
     })
 
@@ -223,12 +244,18 @@ object UrlCuration {
       // the kept-id set (hot domains × cap) must stay broadcastable;
       // past ~2M ids the window formulation is the cheaper plan
       // fallback: one window over every domain — full shuffle, no
-      // driver state; deterministic rank on (key, id)
+      // driver state; deterministic rank on (key, id). Null-domain
+      // rows are kept UNCONDITIONALLY, so they bypass the window
+      // entirely — partitionBy would otherwise funnel every malformed
+      // URL of a raw crawl into ONE reducer just to rank rows the
+      // filter keeps anyway.
       val w = Window.partitionBy("_dom").orderBy(key.asc, col(idCol).asc)
-      withDom
+      val nullDom = withDom.where(col("_dom").isNull).drop("_dom")
+      val capped = withDom.where(col("_dom").isNotNull)
         .withColumn("_rk", row_number().over(w))
-        .where(col("_dom").isNull || col("_rk") <= maxPerDomain)
+        .where(col("_rk") <= maxPerDomain)
         .drop("_dom", "_rk")
+      nullDom.unionByName(capped)
     } else {
       val hotSeq = hot.toSeq
       val isHot = col("_dom").isInCollection(hotSeq)

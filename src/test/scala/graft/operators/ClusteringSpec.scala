@@ -61,4 +61,23 @@ class ClusteringSpec extends SparkSpec {
     val b = Clustering.fit(embeddings, "embedding", k = 3, iters = 2, seed = 7L)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+  test("r16 robustness: double-typed embeddings fit; null vectors dropped instead of NPE") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 60).map(i => (i.toLong,
+      if (i % 20 == 19) null else Array.fill(8)(rnd.nextDouble()))) // array<double> + nulls
+    val df = rows.toDF("id", "embedding")
+    val cents = Clustering.fit(df, "embedding", k = 3, iters = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 8))
+    assert(cents.flatten.forall(v => !v.isNaN))
+  }
+
+  test("r16 robustness: EmbedDedup on an empty or all-null corpus returns the empty pair frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(EmbedDedup.nearDupPairs(empty, "embedding", "vec_id").count() == 0)
+    val allNull = Seq((1L, null: Array[Float]), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assert(EmbedDedup.nearDupPairs(allNull, "embedding", "vec_id").count() == 0)
+  }
 }

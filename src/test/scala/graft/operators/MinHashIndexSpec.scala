@@ -138,6 +138,27 @@ class MinHashIndexSpec extends SparkSpec {
     }
   }
 
+  test("sub-shingle-length docs never match each other: short docs always pass as new (r16)") {
+    import spark.implicits._
+    // before r16 every doc with < shingleSize tokens shared the
+    // sentinel signature: est_jaccard 1.0 between ANY two short docs,
+    // silently dropping every short doc after the first indexed
+    val indexed = Seq((1L, "hello world"), (2L, "a much longer document with plenty of tokens here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_short").toString
+    MinHashIndex.writeIndex(indexed, "text", "doc_id", dir)
+    val batch = Seq((10L, "bye now"), (11L, "ok"), (12L, "")).toDF("doc_id", "text")
+    val index = spark.read.parquet(dir)
+    val m = MinHashIndex.matches(batch, "text", "doc_id", index, "doc_id")
+    assert(m.count() == 0, "short docs must not near-match anything")
+    val fresh = MinHashIndex.newDocsOnly(batch, "text", "doc_id", index, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fresh == Seq(10L, 11L, 12L), "every short doc must survive as new")
+    // and a real near-dup of an indexed LONG doc is still caught
+    val near = Seq((20L, "a much longer document with plenty of tokens right here")).toDF("doc_id", "text")
+    assert(MinHashIndex.matches(near, "text", "doc_id", index, "doc_id", threshold = 0.4).count() >= 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bucket sets beyond inSetMax prefilter through a Bloom filter, identical matches") {
     val path = tmpDir("mh_index_bloom_")
     MinHashIndex.writeIndex(indexDocs, "text", "doc_id", path)

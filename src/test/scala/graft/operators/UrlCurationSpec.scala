@@ -172,4 +172,37 @@ class UrlCurationSpec extends SparkSpec {
       .select("id").collect().map(_.getString(0)).toSet
     assert(a == w, "broadcast path and window fallback must keep identical string-id rows")
   }
+  test("r16 canonicalization guards: surviving query blocks promotion; query-tail slash kept") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("url").select(UrlCuration.canonicalizeUrl(col("url"))).head().getString(0)
+    // tracking removed but the '?' head SURVIVES: the path's literal
+    // '&y=' must NOT be promoted into a second query head
+    assert(canon("https://a.com/x&y=1?p=1&utm_a=2") == "https://a.com/x&y=1?p=1")
+    // tracking-free spelling canonicalizes to the same string
+    assert(canon("https://a.com/x&y=1?p=1") == "https://a.com/x&y=1?p=1")
+    // promotion still fires when the whole query head was consumed
+    assert(canon("https://a.com/p?utm_a=1&q=2") == "https://a.com/p?q=2")
+    // a trailing slash inside a QUERY VALUE is content, not layout
+    assert(canon("https://a.com/p?path=/") == "https://a.com/p?path=/")
+    assert(canon("https://a.com/p?path=") == "https://a.com/p?path=")
+    // path trailing slash still collapses without a query
+    assert(canon("https://a.com/p/") == "https://a.com/p")
+  }
+
+  test("r16 capPerDomain: snowflake-scale ids neither overflow nor destabilize the kept set") {
+    import spark.implicits._
+    val big = (0 until 300).map(i => (4000000000L + i * 1000000007L, s"https://hot.com/p$i")) ++
+      (0 until 5).map(i => (9100000000000000000L + i, s"https://cold.org/c$i")) ++
+      Seq((42L, "not a url at all"))
+    val df = big.toDF("doc_id", "url")
+    val kept = UrlCuration.capPerDomain(df, "url", "doc_id", maxPerDomain = 50)
+    assert(kept.where(col("url").startsWith("https://hot.com")).count() == 50)
+    assert(kept.where(col("url").startsWith("https://cold.org")).count() == 5)
+    assert(kept.where(col("doc_id") === 42L).count() == 1, "null-domain rows pass through")
+    // deterministic across plans
+    val again = UrlCuration.capPerDomain(df.repartition(7), "url", "doc_id", maxPerDomain = 50)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
