@@ -751,7 +751,7 @@ object SparkEntry {
           col("n_chunk_tokens"))
       val packed = graft.operators.Packing.pack(
         chunks, "chunk_id", "n_chunk_tokens", capacity = 128, numPartitions = 8)
-      graft.operators.Packing.sequenceStats(packed, 128)
+      graft.operators.Packing.sequenceStats(packed, 128, "n_chunk_tokens")
     }),
 
     "q_cluster" -> ((s, dir) => {

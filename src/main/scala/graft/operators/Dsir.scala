@@ -99,8 +99,10 @@ object Dsir {
                         relErr: Double = 1e-4): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1]: $frac")
     val nonNull = scored.where(col(logWCol).isNotNull)
-    val Array(threshold) =
-      nonNull.stat.approxQuantile(logWCol, Array(1.0 - frac), relErr)
-    nonNull.where(col(logWCol) >= threshold)
+    // approxQuantile returns EMPTY on zero non-null rows — an empty
+    // result frame, not an opaque MatchError
+    val qs = nonNull.stat.approxQuantile(logWCol, Array(1.0 - frac), relErr)
+    if (qs.isEmpty) nonNull.where(lit(false))
+    else nonNull.where(col(logWCol) >= qs(0))
   }
 }

@@ -45,11 +45,24 @@ object Packing {
   def pack(chunks: DataFrame, idCol: String, tokensCol: String,
            capacity: Long, numPartitions: Int = 0): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
+    // loud schema check: a string/UUID id would either throw
+    // CAST_INVALID_INPUT mid-job (ANSI, the Spark 4 default) or null
+    // out silently (non-ANSI), making the documented join-back on
+    // idCol match zero rows
+    Seq(idCol, tokensCol).foreach { c =>
+      require(chunks.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"pack: column '$c' must be numeric, got ${chunks.schema(c).dataType.sql} " +
+          "(map string ids to longs before packing)")
+    }
     val spark = chunks.sparkSession
     import spark.implicits._
     val slim = chunks.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
     val parted =
-      if (numPartitions > 0) slim.repartition(numPartitions, col(idCol))
+      // RANGE partitioning, not hash: hash(id) scatters consecutive
+      // chunk ids across partitions, and each partition packs
+      // independently — breaking the documented "a document's chunks
+      // stay adjacent in the packed sequence" locality
+      if (numPartitions > 0) slim.repartitionByRange(numPartitions, col(idCol))
       else slim
     val packed = parted.sortWithinPartitions(idCol)
       .as[(Long, Long)]
@@ -74,10 +87,13 @@ object Packing {
     }
   }
 
-  /** Per-sequence roll-up: chunk count, token total, fill ratio. */
-  def sequenceStats(packed: DataFrame, capacity: Long): DataFrame =
+  /** Per-sequence roll-up: chunk count, token total, fill ratio.
+    * `tokensCol` is explicit — the old positional columns(1) read
+    * silently summed the WRONG column on any reordered frame. */
+  def sequenceStats(packed: DataFrame, capacity: Long,
+                    tokensCol: String): DataFrame =
     packed.groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(col(packed.columns(1))).as("seq_tokens"))
+        sum(col(tokensCol)).as("seq_tokens"))
       .withColumn("fill_ratio", round(col("seq_tokens") / capacity.toDouble, 4))
 }

@@ -108,7 +108,13 @@ object Sampling {
    */
   def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
                 orderCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    // full-row hash tie-break: row_number over a tied orderCol would
+    // keep whichever rows ARRIVED first — membership drift across
+    // retries/partitionings, against this file's determinism
+    // contract. Rows identical in every column remain interchangeable
+    // (same hash), which is harmless by definition.
+    val tieBreak = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= maxPerKey)
       .drop("_rn")
@@ -157,11 +163,14 @@ object Sampling {
    */
   def capPerKeyByBudget(df: DataFrame, keyCol: String, budgetCol: String,
                         maxBudget: Long, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    // same full-row tie-break as capPerKey: the cumulative sum's
+    // order inside orderCol ties must not depend on arrival order
+    val tieBreak = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(budgetCol)).over(w))
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)))
       .where(col("_cum") <= maxBudget || col("_rn") === 1)
       .drop("_cum", "_rn")
   }
@@ -217,10 +226,48 @@ object Sampling {
   }
 
   /**
+   * [[weightedMix]] + [[globalShuffle]] fused: replicas created by
+   * rates > 1 SHARE an id, so a plain globalShuffle (key =
+   * hash(seed, id)) would sort an up-weighted document's copies
+   * back-to-back — exactly the grouped-batch bias the shuffle
+   * removes. Fusing lets each copy carry its replica index into the
+   * shuffle key (copies spread uniformly through the training
+   * order), then drops it — the output schema matches the inputs'.
+   */
+  def weightedMixShuffled(sources: Seq[(DataFrame, Double)], idCol: String,
+                          seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
+    require(sources.nonEmpty, "weightedMixShuffled needs at least one source")
+    val parts = sources.zipWithIndex.flatMap { case ((df, rate), i) =>
+      require(rate >= 0, s"negative rate for source $i")
+      val whole = rate.toInt
+      val frac = rate - whole
+      val copies = (0 until whole).map(c =>
+        df.withColumn("_mix_copy", lit(i.toLong * 100000 + c))) ++
+        (if (frac > 0)
+          Seq(df.where(bucket(col(idCol), seed + i) < (frac * Buckets).toLong)
+            .withColumn("_mix_copy", lit(i.toLong * 100000 + whole)))
+        else Seq.empty)
+      copies
+    }
+    require(parts.nonEmpty, "weightedMixShuffled: all rates were zero")
+    val mixed = parts.reduce(_ unionByName _)
+    val keyed = mixed.withColumn("_shuffle_key",
+      xxhash64(lit(seed), col(idCol), col("_mix_copy")))
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("_shuffle_key"))
+      else keyed.repartitionByRange(col("_shuffle_key"))
+    ranged.sortWithinPartitions(col("_shuffle_key"), col(idCol))
+      .drop("_shuffle_key", "_mix_copy")
+  }
+
+  /**
    * Deterministic GLOBAL corpus shuffle — the final pre-training
    * reorder: curated corpora arrive grouped (by source, crawl, dedup
    * cluster, pack order), and training on grouped data biases every
    * batch; the fix is a full random-but-reproducible permutation.
+   * CAVEAT: rows sharing an id (the replicas [[weightedMix]] creates
+   * for rates > 1) share a sort key and stay ADJACENT — shuffle such
+   * corpora with [[weightedMixShuffled]], which disambiguates copies.
    * Each row's sort key is `xxhash64(seed, id)`, so the permutation
    * is a pure function of (ids, seed): stable across partitioning,
    * cluster size, retries and re-runs — rerunning a failed shuffle

@@ -44,13 +44,22 @@ object TextPrep {
     regexp_replace(noCard, PhonePattern, phoneToken)
   }
 
-  /** Count of PII matches per class (for corpus auditing/reporting). */
-  def piiCounts(text: Column): Column =
+  /** Count of PII matches per class (for corpus auditing/reporting).
+    * Counted on the PROGRESSIVELY masked text in scrubPii's exact
+    * order, so the report reconciles with what scrubPii emits — on
+    * the raw text a card number also matches the phone pattern and
+    * an IPv4 matches it too, inflating the phone count with matches
+    * the scrub never masks as phones. */
+  def piiCounts(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, " ")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, " ")
+    val noCard = regexp_replace(noIp, CardPattern, " ")
     struct(
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("emails"),
-      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).as("ips"),
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("phones"),
-      size(regexp_extract_all(text, lit(CardPattern), lit(0))).as("cards"))
+      size(regexp_extract_all(noEmail, lit(Ipv4Pattern), lit(0))).as("ips"),
+      size(regexp_extract_all(noCard, lit(PhonePattern), lit(0))).as("phones"),
+      size(regexp_extract_all(noIp, lit(CardPattern), lit(0))).as("cards"))
+  }
 
   // ── fixed-token-window chunking ───────────────────────────────────
 
@@ -72,9 +81,13 @@ object TextPrep {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap vs $maxTokens")
     val stride = maxTokens - overlap
+    // coalesce guards NULL text (failed extraction): without it _n is
+    // null, the zero-chunk guard is false-by-null, and the doc emits a
+    // phantom chunk with null text charging maxTokens of packing budget
     val withToks = docs
       .withColumn("_toks", split(trim(col(textCol)), "\\s+"))
-      .withColumn("_n", when(length(trim(col(textCol))) === 0, 0).otherwise(size(col("_toks"))))
+      .withColumn("_n", when(col(textCol).isNull || length(trim(col(textCol))) === 0, 0)
+        .otherwise(size(col("_toks"))))
     // chunk start positions (1-based for slice): 1, 1+stride, 1+2*stride, …
     val starts = when(col("_n") === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(1), greatest(col("_n") - overlap, lit(1)), lit(stride)))
@@ -318,15 +331,21 @@ object TextPrep {
   }
 
   /** Fallback rebuild for frequent sets too large to hold on the
-    * driver: positional explode, broadcast anti join against the
-    * frequent hashes, order-preserving reassembly. One corpus-sized
-    * shuffle (the groupBy), unbounded set size. */
+    * driver: positional explode, anti join against the frequent
+    * hashes, order-preserving reassembly. One corpus-sized shuffle
+    * (the groupBy), unbounded set size. NO broadcast hint on the
+    * frequent side: this path runs precisely when the set exceeded
+    * the driver cap, so forcing a broadcast would collect it to the
+    * driver anyway — the wall this fallback exists to escape. AQE
+    * still broadcasts when the set turns out small enough; beyond
+    * that the anti join shuffles on the hash, which is the correct
+    * unbounded plan. */
   private def rebuildByJoin(docs: DataFrame, idCol: String, textCol: String,
                             segmenter: Column => Column, joiner: String,
                             freqDf: DataFrame): DataFrame = {
     val segRows = docs.select(col(idCol),
       posexplode(segmenter(col(textCol))).as(Seq("_pos", "_seg")))
-    val kept = segRows.join(broadcast(freqDf),
+    val kept = segRows.join(freqDf,
       xxhash64(col("_seg")) === col("_h"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
@@ -334,8 +353,11 @@ object TextPrep {
           x => x.getField("_seg")),
         joiner).as("text_clean"))
     // docs whose every segment was boilerplate vanish from the groupBy —
-    // restore them as empty strings so the contract matches the in-place path
+    // restore them as empty strings (parity with the in-place path) —
+    // while docs with NULL text stay null on both paths
     docs.join(rebuilt, Seq(idCol), "left")
-      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+      .withColumn("text_clean",
+        when(col(textCol).isNull, lit(null: String))
+          .otherwise(coalesce(col("text_clean"), lit(""))))
   }
 }

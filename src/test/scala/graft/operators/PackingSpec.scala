@@ -53,7 +53,7 @@ class PackingSpec extends SparkSpec {
   test("sequenceStats reports fill ratios bounded by 1") {
     val df = chunksDf(Seq(100L, 200L, 300L, 250L, 90L))
     val packed = Packing.pack(df, "chunk_id", "n_tokens", 512, numPartitions = 1)
-    val stats = Packing.sequenceStats(packed, 512).collect()
+    val stats = Packing.sequenceStats(packed, 512, "n_tokens").collect()
     assert(stats.forall(_.getAs[Double]("fill_ratio") <= 1.0))
     assert(stats.map(_.getAs[Long]("n_chunks")).sum == 5)
   }

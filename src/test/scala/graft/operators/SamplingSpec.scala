@@ -229,4 +229,28 @@ class SamplingSpec extends SparkSpec {
       df.where(col("key") === "k0").limit(40), "key", "id", 100)
     assert(small.count() == 40)
   }
+  test("r16: weightedMixShuffled spreads an up-weighted doc's replicas apart; plain mix documented caveat") {
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, s"doc-$i")).toDF("id", "text")
+    val mixed = Sampling.weightedMixShuffled(Seq((a, 3.0)), "id", seed = 7L)
+    val rows = mixed.collect().map(_.getLong(0))
+    assert(rows.length == 600)
+    // adjacency check: the 3 copies of an id must NOT sit back-to-back
+    val adjacentDupes = rows.sliding(2).count(w => w(0) == w(1))
+    assert(adjacentDupes < 10, s"replicas clustered: $adjacentDupes adjacent duplicate pairs")
+    // deterministic across runs and partitionings
+    val again = Sampling.weightedMixShuffled(Seq((a.repartition(5), 3.0)), "id", seed = 7L)
+    assert(again.collect().map(_.getLong(0)).toSeq == rows.toSeq)
+  }
+
+  test("r16: capPerKey membership is stable under orderCol ties across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (s"d${i % 3}", i.toLong, 1.0)).toDF("domain", "id", "score")
+    val a = Sampling.capPerKey(rows, "domain", 20, "score")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.capPerKey(rows.repartition(13), "domain", 20, "score")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "tied-score cap membership must not depend on partitioning")
+    assert(a.length == 60)
+  }
 }

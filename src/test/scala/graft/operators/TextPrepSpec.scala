@@ -92,4 +92,17 @@ class TextPrepSpec extends SparkSpec {
     assert(!out.contains(2L), "empty doc emits no chunks")
     assert(out(3L) == "no punctuation at all just words")
   }
+  test("r16: null-text docs produce zero chunks, and piiCounts reconciles with scrubPii") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, "one two three four")).toDF("doc_id", "text")
+    val chunks = TextPrep.chunk(docs, "text", "doc_id", maxTokens = 3)
+    assert(chunks.where(col("doc_id") === 1L).count() == 0, "null text must yield zero chunks")
+    assert(chunks.where(col("doc_id") === 2L).count() == 2)
+    // a card number is NOT also a phone; an IPv4 is NOT also a phone
+    val pii = Seq(Tuple1("card 4111 1111 1111 1111 ip 10.1.2.3 tel +1 555 010 9999"))
+      .toDF("text").select(TextPrep.piiCounts(col("text")).as("c"))
+      .select("c.emails", "c.ips", "c.phones", "c.cards").head()
+    assert((pii.getInt(0), pii.getInt(1), pii.getInt(2), pii.getInt(3)) == ((0, 1, 1, 1)),
+      s"got $pii - counts must match what scrubPii masks")
+  }
 }
