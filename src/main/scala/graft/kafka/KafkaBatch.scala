@@ -100,7 +100,14 @@ object KafkaBatch {
     private def fetchPage(): Unit = {
       val res = fetchFn(nextOffset, fetchBytes)
       if (res.records.isEmpty) {
-        if (res.highWatermark > nextOffset) {
+        if (res.pageEndOffset > nextOffset) {
+          // the page DECODED records but they all sat below the
+          // requested offset (log compaction removed everything in
+          // between): advance past the gap — escalating maxBytes here
+          // would re-transfer the same batch up to the cap and then
+          // die with a misleading "message too large"
+          nextOffset = res.pageEndOffset
+        } else if (res.highWatermark > nextOffset) {
           // first message larger than the window: escalate, like
           // kafka-clients does, up to a hard cap
           require(fetchBytes < (1 << 26),

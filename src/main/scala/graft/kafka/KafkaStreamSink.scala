@@ -50,7 +50,8 @@ private[kafka] object KafkaWriteSupport {
     * buffering over one client. */
   final class Writer(brokers: String, topic: String, schema: StructType,
                      taskPartitionId: Int, batchSize: Int = 500,
-                     security: KafkaSecurity = KafkaSecurity())
+                     security: KafkaSecurity = KafkaSecurity(),
+                     codec: Int = 0)
       extends DataWriter[InternalRow] {
     private val (valueIdx, keyIdx) = validate(schema)
     private val valueType = schema(valueIdx).dataType
@@ -59,7 +60,7 @@ private[kafka] object KafkaWriteSupport {
       new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
     private val producer = new KafkaBatch.PartitionedProducer(client, topic,
       client.metadata(Seq(topic)).topics(topic).partitions.size,
-      taskPartitionId, batchSize)
+      taskPartitionId, batchSize, codec)
 
     override def write(row: InternalRow): Unit =
       producer.send(keyIdx.map(i => bytesOf(row, i, keyType.get)).orNull,
@@ -76,17 +77,19 @@ private[kafka] object KafkaWriteSupport {
   /** Serializable factory shipped to executors — holds only strings
     * and the schema, never the driver-side write info. */
   final case class Factory(brokers: String, topic: String, schema: StructType,
-                           security: KafkaSecurity = KafkaSecurity())
+                           security: KafkaSecurity = KafkaSecurity(),
+                           codec: Int = 0)
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new Writer(brokers, topic, schema, partitionId, security = security)
+      new Writer(brokers, topic, schema, partitionId, security = security, codec = codec)
     override def createWriter(partitionId: Int, taskId: Long,
                               epochId: Long): DataWriter[InternalRow] =
-      new Writer(brokers, topic, schema, partitionId, security = security)
+      new Writer(brokers, topic, schema, partitionId, security = security, codec = codec)
   }
 
   final class Builder(brokers: String, topic: String, info: LogicalWriteInfo,
-                      security: KafkaSecurity = KafkaSecurity())
+                      security: KafkaSecurity = KafkaSecurity(),
+                      codec: Int = 0)
       extends WriteBuilder {
     override def build(): Write = {
       val schema = info.schema()
@@ -94,13 +97,13 @@ private[kafka] object KafkaWriteSupport {
       new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-            Factory(brokers, topic, schema, security)
+            Factory(brokers, topic, schema, security, codec)
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
         override def toStreaming: StreamingWrite = new StreamingWrite {
           override def createStreamingWriterFactory(pi: PhysicalWriteInfo): StreamingDataWriterFactory =
-            Factory(brokers, topic, schema, security)
+            Factory(brokers, topic, schema, security, codec)
           override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
         }

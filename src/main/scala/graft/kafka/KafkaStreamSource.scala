@@ -86,7 +86,9 @@ private final class KafkaStreamTable(options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new KafkaWriteSupport.Builder(brokers, topic, info, security)
+    new KafkaWriteSupport.Builder(brokers, topic, info, security,
+      Option(options.get("kafka.producer.compression"))
+        .map(KafkaWire.codecId).getOrElse(0))
 }
 
 private final class KafkaScan(brokers: String, topic: String,

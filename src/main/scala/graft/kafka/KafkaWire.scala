@@ -572,7 +572,14 @@ final case class KafkaClusterMeta(brokers: Map[Int, KafkaBrokerNode],
   }
 }
 
-final case class FetchResult(records: Seq[KafkaWire.KafkaRecord], highWatermark: Long)
+/** `pageEndOffset` = max decoded offset + 1 BEFORE the at/after-offset
+  * filter (-1 when the page decoded nothing): a compacted topic can
+  * return a batch whose surviving records all sit below the requested
+  * offset — the filter empties `records`, and without the decoded
+  * bound a consumer could not tell "advance past the gap" from
+  * "message too large, escalate". */
+final case class FetchResult(records: Seq[KafkaWire.KafkaRecord], highWatermark: Long,
+                             pageEndOffset: Long = -1L)
 
 /** SASL credentials: mechanism "PLAIN" (RFC 4616) or "SCRAM-SHA-256"
   * (RFC 5802/7677) — the two mechanisms production clusters deploy
@@ -917,7 +924,8 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
           // granularity) — enforce the at/after contract here so a
           // consumer restarting mid-batch never re-sees records
           val decoded = decodeRecordSet(if (set == null) Array.emptyByteArray else set)
-          result = FetchResult(decoded.filter(_.offset >= offset), hw)
+          result = FetchResult(decoded.filter(_.offset >= offset), hw,
+            if (decoded.isEmpty) -1L else decoded.map(_.offset).max + 1)
         }
       }
     }

@@ -106,15 +106,34 @@ object Sampling {
    * one hash shuffle on the key, the standard guard against a few
    * huge domains dominating a corpus.
    */
+  /** Row-hash tie-break columns: every HASHABLE, unambiguous column
+    * (xxhash64 rejects MapType anywhere in a type; duplicate names
+    * can't be referenced) — rows tied on orderCol then rank by a
+    * deterministic function of their content instead of arrival
+    * order. Rows identical in every hashable column stay
+    * interchangeable, which is harmless by definition. */
+  private def rowTieBreak(df: DataFrame): Seq[Column] = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val names = df.schema.fields.collect {
+      case f if hashable(f.dataType) => f.name
+    }
+    val unambiguous = names.groupBy(identity).collect { case (n, occ) if occ.length == 1 => n }
+    if (unambiguous.isEmpty) Seq.empty
+    else Seq(xxhash64(struct(unambiguous.toSeq.sorted.map(col): _*)))
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
                 orderCol: String): DataFrame = {
-    // full-row hash tie-break: row_number over a tied orderCol would
-    // keep whichever rows ARRIVED first — membership drift across
-    // retries/partitionings, against this file's determinism
-    // contract. Rows identical in every column remain interchangeable
-    // (same hash), which is harmless by definition.
-    val tieBreak = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)
+    // content tie-break: row_number over a tied orderCol would keep
+    // whichever rows ARRIVED first — membership drift across
+    // retries/partitionings, against this file's determinism contract
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol) +: rowTieBreak(df): _*)
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= maxPerKey)
       .drop("_rn")
@@ -163,14 +182,14 @@ object Sampling {
    */
   def capPerKeyByBudget(df: DataFrame, keyCol: String, budgetCol: String,
                         maxBudget: Long, orderCol: String): DataFrame = {
-    // same full-row tie-break as capPerKey: the cumulative sum's
+    // same content tie-break as capPerKey: the cumulative sum's
     // order inside orderCol ties must not depend on arrival order
-    val tieBreak = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)
+    val orderCols = col(orderCol) +: rowTieBreak(df)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(budgetCol)).over(w))
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col(orderCol), tieBreak)))
+        Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)))
       .where(col("_cum") <= maxBudget || col("_rn") === 1)
       .drop("_cum", "_rn")
   }
@@ -184,18 +203,27 @@ object Sampling {
   def weightedMix(sources: Seq[(DataFrame, Double)], idCol: String,
                   seed: Long = 42L): DataFrame = {
     require(sources.nonEmpty, "weightedMix needs at least one source")
-    val parts = sources.zipWithIndex.map { case ((df, rate), i) =>
+    val parts = mixCopies(sources, idCol, seed).map(_._2)
+    require(parts.nonEmpty, "weightedMix: all rates were zero")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** ONE replication semantics behind [[weightedMix]] and
+    * [[weightedMixShuffled]]: (globally unique copy index, copy
+    * frame) per whole replica plus the bucket-sampled fractional
+    * remainder of each source. */
+  private def mixCopies(sources: Seq[(DataFrame, Double)], idCol: String,
+                        seed: Long): Seq[(Long, DataFrame)] =
+    sources.zipWithIndex.flatMap { case ((df, rate), i) =>
       require(rate >= 0, s"negative rate for source $i")
       val whole = rate.toInt
       val frac = rate - whole
-      val copies = Seq.fill(whole)(df) ++
+      (0 until whole).map(c => (i.toLong * 100000 + c, df)) ++
         (if (frac > 0)
-          Seq(df.where(bucket(col(idCol), seed + i) < (frac * Buckets).toLong))
+          Seq((i.toLong * 100000 + whole,
+            df.where(bucket(col(idCol), seed + i) < (frac * Buckets).toLong)))
         else Seq.empty)
-      copies.reduceOption(_ unionByName _)
     }
-    parts.flatten.reduce(_ unionByName _)
-  }
 
   /**
    * Temperature-scaled mixing rates from corpus sizes — the standard
@@ -237,18 +265,8 @@ object Sampling {
   def weightedMixShuffled(sources: Seq[(DataFrame, Double)], idCol: String,
                           seed: Long = 42L, numPartitions: Int = 0): DataFrame = {
     require(sources.nonEmpty, "weightedMixShuffled needs at least one source")
-    val parts = sources.zipWithIndex.flatMap { case ((df, rate), i) =>
-      require(rate >= 0, s"negative rate for source $i")
-      val whole = rate.toInt
-      val frac = rate - whole
-      val copies = (0 until whole).map(c =>
-        df.withColumn("_mix_copy", lit(i.toLong * 100000 + c))) ++
-        (if (frac > 0)
-          Seq(df.where(bucket(col(idCol), seed + i) < (frac * Buckets).toLong)
-            .withColumn("_mix_copy", lit(i.toLong * 100000 + whole)))
-        else Seq.empty)
-      copies
-    }
+    val parts = mixCopies(sources, idCol, seed)
+      .map { case (copy, df) => df.withColumn("_mix_copy", lit(copy)) }
     require(parts.nonEmpty, "weightedMixShuffled: all rates were zero")
     val mixed = parts.reduce(_ unionByName _)
     val keyed = mixed.withColumn("_shuffle_key",

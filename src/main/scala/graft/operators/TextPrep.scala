@@ -51,9 +51,13 @@ object TextPrep {
     * an IPv4 matches it too, inflating the phone count with matches
     * the scrub never masks as phones. */
   def piiCounts(text: Column): Column = {
-    val noEmail = regexp_replace(text, EmailPattern, " ")
-    val noIp = regexp_replace(noEmail, Ipv4Pattern, " ")
-    val noCard = regexp_replace(noIp, CardPattern, " ")
+    // mask with a letter, not whitespace: PhonePattern treats spaces
+    // as separators, so a space-masked IP would BRIDGE flanking digit
+    // runs into one phony phone match scrubPii (which inserts "<IP>")
+    // never produces
+    val noEmail = regexp_replace(text, EmailPattern, "x")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "x")
+    val noCard = regexp_replace(noIp, CardPattern, "x")
     struct(
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("emails"),
       size(regexp_extract_all(noEmail, lit(Ipv4Pattern), lit(0))).as("ips"),

@@ -55,8 +55,8 @@ class PropertySpec extends AnyFunSuite {
         }
       }
       check(decodeRecordSet(encodeRecordBatch(recs, baseOff, codec)), baseOff)
-      if (codec <= 3) check(decodeMessageSet(encodeMessageSet(recs, codec)),
-        if (codec == 0) 0L else 0L) // producer sets write relative offsets from 0
+      if (codec <= 3) // producer sets write relative offsets from 0
+        check(decodeMessageSet(encodeMessageSet(recs, codec)), 0L)
     }
   }
 

@@ -409,6 +409,28 @@ class KafkaWireSpec extends SparkSpec {
     assert(decodeRecordSet(Array.emptyByteArray).isEmpty)
   }
 
+  test("RangeFetchIterator skips compaction gaps: an all-below-offset page advances, never escalates") {
+    val range = KafkaBatch.PartitionRange("t", 0, "h", 1, start = 15L, end = 20L)
+    var calls = 0
+    val it = new KafkaBatch.RangeFetchIterator((off, mb) => {
+      calls += 1
+      if (off == 15L)
+        // compacted batch: survivors 10-12 only, filter emptied the page
+        FetchResult(Nil, 20L, pageEndOffset = 13L) // below the request: still no progress
+      else FetchResult(Seq(KafkaWire.KafkaRecord(off, 1L, 0, null, b(s"v$off"))), 20L, off + 1)
+    }, range, 1 << 20)
+    // pageEndOffset BELOW the request must not loop: it falls through
+    // to escalation (harmless) rather than advancing backwards
+    intercept[Exception](it.hasNext)
+
+    val range2 = KafkaBatch.PartitionRange("t", 0, "h", 1, start = 15L, end = 20L)
+    val it2 = new KafkaBatch.RangeFetchIterator((off, mb) => {
+      if (off == 15L) FetchResult(Nil, 20L, pageEndOffset = 18L) // gap 15-17 compacted away
+      else FetchResult(Seq(KafkaWire.KafkaRecord(off, 1L, 0, null, b(s"v$off"))), 20L, off + 1)
+    }, range2, 1 << 20)
+    assert(it2.next().offset == 18L, "iterator must advance past the compacted gap")
+  }
+
   test("RangeFetchIterator refuses to spin on a broker that makes no forward progress") {
     val range = KafkaBatch.PartitionRange("t", 0, "h", 1, start = 10L, end = 20L)
     // nonconforming page: non-empty but max offset below the request

@@ -252,5 +252,9 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b, "tied-score cap membership must not depend on partitioning")
     assert(a.length == 60)
+    // frames with unhashable (map) columns still cap — the tie-break
+    // silently narrows to hashable columns instead of failing analysis
+    val withMap = rows.withColumn("meta", map(lit("k"), lit("v")))
+    assert(Sampling.capPerKey(withMap, "domain", 20, "score").count() == 60)
   }
 }

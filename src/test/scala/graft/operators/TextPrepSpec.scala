@@ -104,5 +104,9 @@ class TextPrepSpec extends SparkSpec {
       .select("c.emails", "c.ips", "c.phones", "c.cards").head()
     assert((pii.getInt(0), pii.getInt(1), pii.getInt(2), pii.getInt(3)) == ((0, 1, 1, 1)),
       s"got $pii - counts must match what scrubPii masks")
+    // masking must not BRIDGE flanking digit runs into a phony phone
+    val bridge = Seq(Tuple1("12345 10.1.2.3 67890")).toDF("text")
+      .select(TextPrep.piiCounts(col("text")).as("c")).select("c.phones", "c.ips").head()
+    assert((bridge.getInt(0), bridge.getInt(1)) == ((0, 1)), s"got $bridge")
   }
 }
