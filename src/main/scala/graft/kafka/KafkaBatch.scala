@@ -62,10 +62,71 @@ object KafkaBatch {
     }.toSeq
 
   /** One planned fetch range; everything a task needs, nothing that
-    * can't serialize. */
+    * can't serialize. `host:port` is the partition leader at PLAN
+    * time — the common-path connection; `bootstrap` carries the full
+    * broker list so a task can re-resolve the leader when it moves
+    * mid-read (rolling restarts are routine cluster maintenance, and
+    * a long batch read of a big topic WILL overlap one). */
   final case class PartitionRange(topic: String, partition: Int,
                                   host: String, port: Int,
-                                  start: Long, end: Long)
+                                  start: Long, end: Long,
+                                  bootstrap: Seq[(String, Int)] = Nil) {
+    /** Planned leader first (leader-local common path), then the rest
+      * of the bootstrap list for failover re-resolution. */
+    def allBrokers: Seq[(String, Int)] = ((host, port) +: bootstrap).distinct
+  }
+
+  /** Errors worth a metadata re-resolution + retry on the READ path
+    * (fetch/listOffsets are idempotent): connection failures, plus the
+    * protocol codes kafka-clients classifies retriable — 3
+    * UNKNOWN_TOPIC_OR_PARTITION (transient during leader election
+    * propagation), 5 LEADER_NOT_AVAILABLE, 6 NOT_LEADER_FOR_PARTITION,
+    * 7 REQUEST_TIMED_OUT. */
+  private[kafka] def retryableFetchError(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case p: KafkaProtocolException => p.code == 3 || p.code == 5 || p.code == 6 || p.code == 7
+    case _ => false
+  }
+
+  /** Produce retry classification: the leader-moved codes (3/5/6) are
+    * definitively not-appended so retrying is exactly-once-safe;
+    * IOException retries are AT-LEAST-ONCE (the request may have
+    * appended before the connection died) — the same contract a
+    * kafka-clients producer has with retries on and idempotence off. */
+  private[kafka] def retryableProduceError(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case p: KafkaProtocolException => p.code == 3 || p.code == 5 || p.code == 6
+    case _ => false
+  }
+
+  /**
+   * Run a leader-routed operation with bounded failover: on a
+   * retryable error, drop the client's cached metadata (the next call
+   * re-bootstraps from the FULL broker list and re-resolves the
+   * partition leader), back off linearly, and retry — so a Spark task
+   * survives a leadership migration instead of dying N task-retries
+   * in a row against the same stale leader.
+   */
+  private[kafka] def withLeaderFailover[T](client: KafkaWireClient,
+                                           maxRetries: Int, backoffMs: Long,
+                                           retryable: Throwable => Boolean,
+                                           context: => String)(op: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(op)
+      catch {
+        case e: Throwable if retryable(e) && attempt < maxRetries =>
+          attempt += 1
+          client.invalidateMetadata()
+          if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+        case e: Throwable if retryable(e) =>
+          throw new java.io.IOException(
+            s"$context: still failing after $maxRetries leader-failover retries", e)
+      }
+    }
+    out.get
+  }
 
   /**
    * Paged fetch loop over one partition range — the ONE consumer
@@ -148,14 +209,19 @@ object KafkaBatch {
    */
   final class PartitionedProducer(client: KafkaWireClient, topic: String,
                                   numPartitions: Int, roundRobinSeed: Int,
-                                  batchSize: Int = 500, codec: Int = 0) {
+                                  batchSize: Int = 500, codec: Int = 0,
+                                  maxFailovers: Int = 5, failoverBackoffMs: Long = 1000) {
     require(numPartitions > 0, s"topic '$topic' reports no partitions")
     private val buffers = Array.fill(numPartitions)(Vector.newBuilder[KafkaWire.OutRecord])
     private val counts = new Array[Int](numPartitions)
     private var roundRobin = roundRobinSeed % numPartitions
 
     private def flush(p: Int): Unit = if (counts(p) > 0) {
-      client.produce(topic, p, buffers(p).result(), codec = codec)
+      val batch = buffers(p).result()
+      withLeaderFailover(client, maxFailovers, failoverBackoffMs,
+        retryableProduceError, s"produce $topic/$p") {
+        client.produce(topic, p, batch, codec = codec)
+      }
       buffers(p) = Vector.newBuilder; counts(p) = 0
     }
 
@@ -171,9 +237,11 @@ object KafkaBatch {
     def flushAll(): Unit = (0 until numPartitions).foreach(flush)
   }
 
-  /** Plan per-partition ranges on the driver. */
+  /** Plan per-partition ranges on the driver. `bootstrap` rides into
+    * every range so executor tasks can re-resolve a moved leader. */
   def planRanges(client: KafkaWireClient, topic: String,
-                 starting: OffsetSpec, ending: OffsetSpec): Seq[PartitionRange] = {
+                 starting: OffsetSpec, ending: OffsetSpec,
+                 bootstrap: Seq[(String, Int)] = Nil): Seq[PartitionRange] = {
     val meta = client.metadata(Seq(topic))
     val topicMeta = meta.topics.getOrElse(topic,
       throw new IllegalArgumentException(s"unknown topic '$topic'"))
@@ -196,7 +264,7 @@ object KafkaBatch {
       val s = startOffsets(p)
       val e = endOffsets(p)
       require(e >= s, s"$topic/$p: ending offset $e below starting offset $s")
-      PartitionRange(topic, p, node.host, node.port, s, e)
+      PartitionRange(topic, p, node.host, node.port, s, e, bootstrap)
     }
   }
 
@@ -210,23 +278,33 @@ object KafkaBatch {
   def read(spark: SparkSession, brokers: String, topic: String,
            starting: OffsetSpec = Earliest, ending: OffsetSpec = Latest,
            maxBytes: Int = 1 << 20,
-           clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs))
+           clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs),
+           maxFailovers: Int = 5, failoverBackoffMs: Long = 1000)
           : DataFrame = {
-    val planner = clientFactory(parseBrokers(brokers))
-    val ranges = try planRanges(planner, topic, starting, ending) finally planner.close()
+    val bootstrap = parseBrokers(brokers)
+    val planner = clientFactory(bootstrap)
+    val ranges = try planRanges(planner, topic, starting, ending, bootstrap)
+                 finally planner.close()
     val nonEmpty = ranges.filter(r => r.end > r.start)
     if (nonEmpty.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], kafkaSchema)
     }
     val initialMax = maxBytes
     val factory = clientFactory
+    val (retries, backoff) = (maxFailovers, failoverBackoffMs)
     val rdd = spark.sparkContext.parallelize(nonEmpty, nonEmpty.size).flatMap { r =>
-      val client = factory(Seq((r.host, r.port)))
+      // the client sees the planned leader FIRST (leader-local common
+      // path) and the whole bootstrap list after it, so a mid-read
+      // leadership migration re-resolves instead of dying on retries
+      val client = factory(r.allBrokers)
       // a task that dies mid-iteration (downstream failure, kill) must
       // not leak its socket on a long-lived executor
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
-      val it = new RangeFetchIterator(client, r, initialMax)
+      val fetchFn: (Long, Int) => FetchResult = (off, mb) =>
+        withLeaderFailover(client, retries, backoff, retryableFetchError,
+          s"fetch ${r.topic}/${r.partition}@$off")(client.fetch(r.topic, r.partition, off, mb))
+      val it = new RangeFetchIterator(fetchFn, r, initialMax)
       new Iterator[Row] {
         private var open = true
         override def hasNext: Boolean = {
@@ -255,7 +333,8 @@ object KafkaBatch {
   def write(df: DataFrame, brokers: String, topic: String,
             batchSize: Int = 500,
             clientFactory: Seq[(String, Int)] => KafkaWireClient = bs => new KafkaWireClient(bs),
-            codec: Int = 0)
+            codec: Int = 0,
+            maxFailovers: Int = 5, failoverBackoffMs: Long = 1000)
            : Unit = {
     import org.apache.spark.sql.functions._
     val cols = df.columns.toSet
@@ -271,11 +350,13 @@ object KafkaBatch {
     val factory = clientFactory
     val bs = brokers
 
+    val (retries, backoff) = (maxFailovers, failoverBackoffMs)
     normalized.foreachPartition { (rows: Iterator[Row]) =>
       val client = factory(parseBrokers(bs))
       try {
         val producer = new PartitionedProducer(client, topic, numPartitions,
-          org.apache.spark.TaskContext.getPartitionId(), batchSize, codec)
+          org.apache.spark.TaskContext.getPartitionId(), batchSize, codec,
+          retries, backoff)
         rows.foreach(row => producer.send(row.getAs[Array[Byte]](0), row.getAs[Array[Byte]](1)))
         producer.flushAll()
       } finally client.close()

@@ -94,6 +94,7 @@ private[kafka] object KafkaWriteSupport {
     override def build(): Write = {
       val schema = info.schema()
       validate(schema) // fail at plan time, not in the first task
+      security.requireSerializable("kafka write") // Factory ships to executors
       new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =

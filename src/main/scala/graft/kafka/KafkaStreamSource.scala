@@ -104,11 +104,13 @@ private final class KafkaScan(brokers: String, topic: String,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val client = new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
+      security.requireSerializable("kafka batch scan")
+      val bootstrap = KafkaBatch.parseBrokers(brokers)
+      val client = new KafkaWireClient(bootstrap, security = security)
       val ranges = try {
         KafkaBatch.planRanges(client, topic,
           KafkaBatch.OffsetSpec.parse(startingOffsets),
-          KafkaBatch.OffsetSpec.parse(endingOffsets))
+          KafkaBatch.OffsetSpec.parse(endingOffsets), bootstrap)
       } finally client.close()
       ranges.filter(r => r.end > r.start)
         .map(KafkaInputPartition(_, maxBytes, security): InputPartition).toArray
@@ -148,8 +150,16 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
-  private lazy val client =
-    new KafkaWireClient(KafkaBatch.parseBrokers(brokers), security = security)
+  private val bootstrap = KafkaBatch.parseBrokers(brokers)
+  private lazy val client = new KafkaWireClient(bootstrap, security = security)
+  /** Driver-side planning calls run per trigger over one long-lived
+    * client; brokers reap idle connections (connections.max.idle.ms)
+    * and leadership moves between triggers, so planning gets the same
+    * bounded failover the readers have — a slow-trigger stream must
+    * not die because its control connection idled out. */
+  private def planCall[T](what: => String)(op: => T): T =
+    KafkaBatch.withLeaderFailover(client, maxRetries = 3, backoffMs = 500,
+      KafkaBatch.retryableFetchError, what)(op)
   private def partitions: Seq[Int] = {
     val meta = client.metadata(Seq(topic))
     meta.topics(topic).partitions.map(_.partition).sorted
@@ -164,7 +174,7 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
     maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val latest = client.latestOffsets(topic, partitions)
+    val latest = planCall(s"latestOffsets $topic")(client.latestOffsets(topic, partitions))
     val from = baseline(start.asInstanceOf[KafkaSourceOffset].offsets, latest.keys)
     limit match {
       case max: ReadMaxRows =>
@@ -190,15 +200,17 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
   override def initialOffset(): Offset = {
     val spec = KafkaBatch.OffsetSpec.parse(startingOffsets)
     val offs = spec match {
-      case KafkaBatch.Earliest => client.earliestOffsets(topic, partitions)
-      case KafkaBatch.Latest   => client.latestOffsets(topic, partitions)
+      case KafkaBatch.Earliest =>
+        planCall(s"earliestOffsets $topic")(client.earliestOffsets(topic, partitions))
+      case KafkaBatch.Latest =>
+        planCall(s"latestOffsets $topic")(client.latestOffsets(topic, partitions))
       case KafkaBatch.Explicit(m) => m
     }
     KafkaSourceOffset(offs)
   }
 
   override def latestOffset(): Offset =
-    KafkaSourceOffset(client.latestOffsets(topic, partitions))
+    KafkaSourceOffset(planCall(s"latestOffsets $topic")(client.latestOffsets(topic, partitions)))
 
   override def deserializeOffset(json: String): Offset = KafkaSourceOffset.fromJson(json)
 
@@ -209,10 +221,11 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
   private def baseline(known: Map[Int, Long], all: Iterable[Int]): Map[Int, Long] = {
     val missing = all.filterNot(known.contains).toSeq
     if (missing.isEmpty) known
-    else known ++ client.earliestOffsets(topic, missing)
+    else known ++ planCall(s"earliestOffsets $topic")(client.earliestOffsets(topic, missing))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    security.requireSerializable("kafka micro-batch stream")
     val e = end.asInstanceOf[KafkaSourceOffset].offsets
     val s = baseline(start.asInstanceOf[KafkaSourceOffset].offsets, e.keys)
     val meta = client.metadata(Seq(topic))
@@ -221,7 +234,7 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
       if (endOff > startOff) {
         val node = meta.leaderFor(topic, p)
         Some(KafkaInputPartition(
-          KafkaBatch.PartitionRange(topic, p, node.host, node.port, startOff, endOff),
+          KafkaBatch.PartitionRange(topic, p, node.host, node.port, startOff, endOff, bootstrap),
           maxBytes, security): InputPartition)
       } else None
     }.toArray
@@ -246,13 +259,25 @@ private object KafkaReaderFactory extends PartitionReaderFactory {
 }
 
 /** Executor-side reader: the shared [[KafkaBatch.RangeFetchIterator]]
-  * paged loop, emitting InternalRows in the kafka-source schema. */
+  * paged loop, emitting InternalRows in the kafka-source schema.
+  * Clients come from [[KafkaClientPool]] (keyed by brokers +
+  * security) so a long-running stream reuses ONE authenticated
+  * connection per (executor, broker) across triggers instead of
+  * re-running the TCP + SASL handshake per partition per micro-batch;
+  * fetches carry the bounded leader-failover retry so a mid-batch
+  * leadership migration re-resolves instead of failing the task. */
 private final class KafkaPartitionReader(range: KafkaBatch.PartitionRange,
                                          initialMaxBytes: Int,
                                          security: KafkaSecurity = KafkaSecurity())
     extends PartitionReader[InternalRow] {
-  private val client = new KafkaWireClient(Seq((range.host, range.port)), security = security)
-  private val it = new KafkaBatch.RangeFetchIterator(client, range, initialMaxBytes)
+  private val brokers = range.allBrokers
+  private val client = KafkaClientPool.borrow(brokers, security)
+  private val fetchFn: (Long, Int) => FetchResult = (off, mb) =>
+    KafkaBatch.withLeaderFailover(client, maxRetries = 5, backoffMs = 1000,
+      KafkaBatch.retryableFetchError, s"fetch ${range.topic}/${range.partition}@$off") {
+      client.fetch(range.topic, range.partition, off, mb)
+    }
+  private val it = new KafkaBatch.RangeFetchIterator(fetchFn, range, initialMaxBytes)
   private var current: KafkaWire.KafkaRecord = _
 
   override def next(): Boolean =
@@ -267,5 +292,5 @@ private final class KafkaPartitionReader(range: KafkaBatch.PartitionRange,
     current.timestamp * 1000L, // millis -> Catalyst micros
     current.timestampType)
 
-  override def close(): Unit = client.close()
+  override def close(): Unit = KafkaClientPool.release(brokers, security, client)
 }

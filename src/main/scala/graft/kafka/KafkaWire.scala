@@ -599,6 +599,21 @@ final case class KafkaSecurity(tls: Boolean = false,
                                tlsContext: Option[javax.net.ssl.SSLContext] = None,
                                sasl: Option[SaslCredentials] = None) {
   def useTls: Boolean = tls || tlsContext.isDefined
+
+  /** Fail fast when this config is about to ship to executors:
+    * SSLContext is not Serializable, so a programmatic tlsContext
+    * inside an InputPartition/WriterFactory would die with an opaque
+    * NotSerializableException at task-serialization time. Executors
+    * get TLS via `tls = true` (JVM-default trust — configure
+    * `javax.net.ssl.*` system properties on the executor JVMs);
+    * programmatic contexts stay driver-side. */
+  def requireSerializable(context: String): KafkaSecurity = {
+    require(tlsContext.isEmpty,
+      s"$context: KafkaSecurity.tlsContext (an SSLContext) cannot be serialized into " +
+        "executor tasks — use tls=true with the JVM-default trust store (set javax.net.ssl.* " +
+        "system properties on executors), or keep programmatic TLS contexts to driver-side clients")
+    this
+  }
 }
 
 object KafkaSecurity {
@@ -843,6 +858,13 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
     cluster = Some(meta)
     meta
   }
+
+  /** Drop the cached cluster metadata so the next leader-routed call
+    * re-resolves from the bootstrap list — the recovery hook for
+    * NOT_LEADER_FOR_PARTITION / dead-leader failover (a rolling broker
+    * restart moves leadership mid-read; the stale cache would send
+    * every retry back to the old leader). */
+  def invalidateMetadata(): Unit = cluster = None
 
   private def leader(topic: String, partition: Int): (String, Int) = {
     val meta = cluster.getOrElse(metadata(Seq(topic)))

@@ -59,7 +59,32 @@ final class LoopbackCluster(topicPartitions: Map[String, Int],
 
   def log(topic: String, partition: Int): Log = logs((topic, partition))
 
-  def leaderId(partition: Int): Int = partition % numBrokers
+  private val leaderOverrides = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+
+  def leaderId(partition: Int): Int =
+    Option(leaderOverrides.get(Integer.valueOf(partition)))
+      .map(_.intValue).getOrElse(partition % numBrokers)
+
+  /** Move a partition's leadership to another broker MID-RUN — the
+    * rolling-restart event: from this call on, metadata (from every
+    * broker) names the new leader and the old leader answers
+    * NOT_LEADER_FOR_PARTITION (6) to fetch/produce/listOffsets, which
+    * is exactly what a real cluster does during a leader election. */
+  def migrateLeader(partition: Int, toBroker: Int): Unit = {
+    require(toBroker >= 0 && toBroker < numBrokers,
+      s"no broker $toBroker in a $numBrokers-broker cluster")
+    leaderOverrides.put(Integer.valueOf(partition), Integer.valueOf(toBroker))
+  }
+
+  /** Observability for connection-economy specs: TCP connections
+    * accepted and successful SASL authentications, cluster-wide. */
+  val connectionsAccepted = new java.util.concurrent.atomic.AtomicInteger(0)
+  val saslAuthentications = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test hook, called at the top of every fetch for (topic,
+    * partition, requestedOffset) — lets a spec trigger a leadership
+    * migration MID-FETCH-LOOP deterministically. */
+  @volatile var onFetch: (String, Int, Long) => Unit = (_, _, _) => ()
 
   val brokers: Seq[LoopbackBroker] =
     (0 until numBrokers).map(id => new LoopbackBroker(id, this))
@@ -94,11 +119,15 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
   }
   val port: Int = server.getLocalPort
   @volatile private var running = true
+  private val liveConnections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val s = server.accept()
+        cluster.connectionsAccepted.incrementAndGet()
+        liveConnections.add(s)
         val t = new Thread(() => serve(s), s"loopback-kafka-$brokerId-conn")
         t.setDaemon(true)
         t.start()
@@ -157,7 +186,9 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
                   case t =>
                     new String(t, utf8).split("\u0000", -1) match {
                       case Array(_, u, p) if u == user && p == pass =>
-                        authenticated = true; ok(Array.emptyByteArray)
+                        authenticated = true
+                        cluster.saslAuthentications.incrementAndGet()
+                        ok(Array.emptyByteArray)
                       case Array(_, _, _) => fail("invalid credentials")
                       case _ => fail("malformed PLAIN token")
                     }
@@ -173,6 +204,7 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
                   case Some(ex) =>
                     val fin = ex.serverFinal(new String(token, utf8))
                     authenticated = true
+                    cluster.saslAuthentications.incrementAndGet()
                     ok(fin.getBytes(utf8))
                 } catch {
                   case e: IllegalArgumentException =>
@@ -197,6 +229,7 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
     } catch {
       case _: EOFException | _: java.net.SocketException => // client went away
     } finally {
+      liveConnections.remove(socket)
       try socket.close() catch { case _: Exception => }
     }
   }
@@ -280,6 +313,9 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
     val topics = (0 until r.int32()).map { _ =>
       val t = r.string()
       t -> (0 until r.int32()).map(_ => (r.int32(), r.int64(), r.int32()))
+    }
+    topics.foreach { case (t, parts) =>
+      parts.foreach { case (p, off, _) => cluster.onFetch(t, p, off) }
     }
     val w = new Writer().int32(0) // throttle_time
     w.int32(topics.size)
@@ -413,6 +449,11 @@ final class LoopbackBroker(val brokerId: Int, cluster: LoopbackCluster) extends 
   override def close(): Unit = {
     running = false
     try server.close() catch { case _: Exception => }
+    // a dead broker resets its live connections — clients blocked on a
+    // response must see a connection failure, not hang
+    val it = liveConnections.iterator()
+    while (it.hasNext) { try it.next().close() catch { case _: Exception => } }
+    liveConnections.clear()
   }
 }
 

@@ -45,6 +45,10 @@ object Scram {
   def storedKey(salted: Array[Byte]): Array[Byte] = h(clientKey(salted))
   def serverKey(salted: Array[Byte]): Array[Byte] = hmac(salted, "Server Key".getBytes(UTF_8))
 
+  /** Ceiling on the server-demanded PBKDF2 iteration count a client
+    * will honor (see ClientExchange.finalMessage). */
+  val MaxIterations: Int = 10000000
+
   /** Parsed server-first-message: nonce, salt, iteration count. */
   final case class ServerFirst(nonce: String, salt: Array[Byte], iterations: Int)
 
@@ -81,6 +85,14 @@ object Scram {
       require(sf.nonce.startsWith(cnonce),
         "server nonce does not extend the client nonce (possible MITM)")
       require(sf.iterations >= 1, s"non-positive iteration count ${sf.iterations}")
+      // a hostile/misconfigured server demanding 2^31 PBKDF2 rounds
+      // would stall the client for minutes per connection attempt
+      // before any auth failure surfaced — cap well above the RFC 7677
+      // 4096 minimum and any sane broker config
+      require(sf.iterations <= MaxIterations,
+        s"server demanded ${sf.iterations} PBKDF2 iterations " +
+          s"(cap $MaxIterations; RFC 7677 minimum is 4096, brokers typically use 4096-16384) — " +
+          "refusing a CPU-exhaustion handshake")
       saltedPassword = hi(password, sf.salt, sf.iterations)
       // c=biws is base64("n,,") — the channel-binding echo
       val withoutProof = s"c=biws,r=${sf.nonce}"
@@ -123,7 +135,20 @@ object Scram {
       require(clientFirst.startsWith("n,,"),
         s"unsupported GS2 header in '$clientFirst' (channel binding not offered)")
       clientFirstBare = clientFirst.substring(3)
-      val kv = clientFirstBare.split(",").map(f => f.take(1) -> f.drop(2)).toMap
+      // attributes parse by '=' position, not a fixed one-char-key
+      // assumption — a standards-compliant client sending an optional
+      // extension must get a CLEAN unsupported-extension error, not a
+      // misparse cascading into a confusing "unknown user"
+      val kv = clientFirstBare.split(",").map { f =>
+        val i = f.indexOf('=')
+        require(i > 0, s"malformed SCRAM attribute '$f'")
+        f.substring(0, i) -> f.substring(i + 1)
+      }.toMap
+      require(!kv.contains("m"),
+        "SCRAM mandatory extension not supported (m attribute in client-first-message)")
+      val unknown = kv.keySet -- Set("n", "r")
+      require(unknown.isEmpty,
+        s"unsupported SCRAM extension attribute(s) ${unknown.mkString(", ")} in client-first-message")
       require(kv.get("n").contains(saslName(username)), "unknown user")
       combinedNonce = kv("r") + snonce
       serverFirstMsg = s"r=$combinedNonce,s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"

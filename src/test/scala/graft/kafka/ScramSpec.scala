@@ -79,4 +79,40 @@ class ScramSpec extends AnyFunSuite {
   test("saslName escapes ',' and '=' per RFC 5802") {
     assert(Scram.saslName("a=b,c") == "a=3Db=2Cc")
   }
+
+  test("server parses client-first attributes by '=' position; extensions get a clean error") {
+    val salt = Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    // a standards-compliant client sending a mandatory extension must
+    // see 'mandatory extension not supported', never a misparse
+    // cascading into a confusing 'unknown user'
+    val srv = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
+    val e1 = intercept[IllegalArgumentException](
+      srv.serverFirst("n,,m=ext-data,n=user,r=" + cnonce))
+    assert(e1.getMessage.contains("mandatory extension"), e1.getMessage)
+    // optional unknown extensions are rejected BY NAME
+    val srv2 = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
+    val e2 = intercept[IllegalArgumentException](
+      srv2.serverFirst("n,,n=user,r=" + cnonce + ",zz=opaque"))
+    assert(e2.getMessage.contains("zz"), e2.getMessage)
+    // multi-char values with embedded '=' padding still parse (base64
+    // salts in other attributes rely on indexOf, not take(1)/drop(2))
+    val srv3 = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
+    assert(srv3.serverFirst("n,,n=user,r=" + cnonce).startsWith("r=" + cnonce))
+  }
+
+  test("client refuses a CPU-exhaustion iteration count from a hostile server") {
+    val salt = Base64.getEncoder.encodeToString(
+      Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ=="))
+    val c = new Scram.ClientExchange("user", "pencil", cnonce)
+    val e = intercept[IllegalArgumentException](
+      c.finalMessage(s"r=$cnonce%x,s=$salt,i=2147483647"))
+    assert(e.getMessage.contains("2147483647") && e.getMessage.contains("4096"), e.getMessage)
+    // one over the cap also names the cap; realistic counts (the 4096
+    // vector test above) pass — running PBKDF2 at the cap itself would
+    // burn seconds of test time for no additional coverage
+    val c2 = new Scram.ClientExchange("user", "pencil", cnonce)
+    val e2 = intercept[IllegalArgumentException](
+      c2.finalMessage(s"r=$cnonce%x,s=$salt,i=${Scram.MaxIterations + 1}"))
+    assert(e2.getMessage.contains(Scram.MaxIterations.toString))
+  }
 }
