@@ -493,19 +493,23 @@ object SparkEntry {
     }),
 
     "q_decontam_near" -> ((s, dir) => {
-      // rows-only gate: FUZZY decontamination — the benchmark is a
-      // deterministic PARAPHRASE of every 25th doc (every 8th token
-      // replaced, so every exact 8-gram window is broken and the exact
-      // tier sees nothing) and the near tier must flag the sources by
-      // MinHash signature similarity; recall pinned in DedupSpec
+      // HASH-MATCHED (r17, was rows-only): FUZZY decontamination,
+      // EXACT-verified — the benchmark is a deterministic PARAPHRASE
+      // of every 25th doc (every 8th token replaced, so every exact
+      // 8-gram window is broken and the exact tier sees nothing);
+      // MinHash banding generates candidates at a LOW est threshold
+      // (k=128 / 64 bands keeps candidate recall ~1 at the 0.3
+      // regime) and the DECISION is true 3-gram Jaccard >= 0.3 — so
+      // the DuckDB oracle replays the paraphrase and the whole set
+      // arithmetic honestly, estimator noise out of the verdict.
+      // Estimator-tier recall stays pinned in DedupSpec.
       val dd = docs(s, dir)
       val bench = dd.where(col("doc_id") % 25 === 0)
         .select(array_join(transform(TextFunctions.tokens(col("text")),
           (t, i) => when((i + col("doc_id")) % 8 === 0, concat(lit("rw"), i)).otherwise(t)),
           " ").as("q"))
-      graft.operators.Decontaminate.nearContaminatedIds(
-          dd, "text", "doc_id", bench, "q", threshold = 0.3)
-        .select(col("doc_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      graft.operators.Decontaminate.nearContaminatedIdsVerified(
+        dd, "text", "doc_id", bench, "q", threshold = 0.3)
     }),
 
     "q_decontam_semantic" -> ((s, dir) => {
@@ -1965,20 +1969,35 @@ object SparkEntry {
     }),
 
     "q_dedup_incremental" -> ((s, dir) => {
-      // rows-only gate: the production incremental shape — even docs
-      // are the indexed "historical corpus", PERSISTED as signatures
-      // and read back (probing the stored sig column is the contract;
-      // a lazy index frame re-inlines the signature expression into
-      // every consumer), odd docs the new batch; survivors are what
-      // an ingest would append (matching pinned in MinHashIndexSpec)
+      // HASH-MATCHED (r17, was rows-only) via persist-then-probe plant
+      // arithmetic: even docs are the indexed "historical corpus",
+      // PERSISTED as signatures and read back (probing the stored sig
+      // column is the contract; a lazy index frame re-inlines the
+      // signature expression into every consumer). The probe batch is
+      // (a) a token-dropout twin of every 6th long-enough doc —
+      // already in the corpus, est jaccard ≈ 0.89 vs the 0.6
+      // threshold (~8σ), MUST be flagged and dropped — and (b)
+      // synthetic docs sharing no shingle with anything, which MUST
+      // survive. Survivors are therefore exactly the synthetic ids:
+      // the oracle replays the plant arithmetic, proving the whole
+      // write → read-back → banded-probe → drop loop end to end.
+      // Natural-corpus semantics stay pinned in MinHashIndexSpec.
       val dd = docs(s, dir)
       val path = metaPath("mh_index")
       graft.operators.MinHashIndex.writeIndex(
         dd.where(col("doc_id") % 2 === 0), "text", "doc_id", path)
+      val toks = TextFunctions.tokens(col("text"))
+      val twins = dd.where(col("doc_id") % 6 === 0 && size(toks) >= 60)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(filter(toks, (x, i) => (i + col("doc_id")) % 50 =!= 0), " ").as("text"))
+      val synth = s.range(100)
+        .select((col("id") + 3000000L).as("doc_id"),
+          concat_ws(" ", (0 until 30).map(j =>
+            concat(lit("zq"), col("id"), lit(s"w$j"))): _*).as("text"))
       graft.operators.MinHashIndex.newDocsOnly(
-          dd.where(col("doc_id") % 2 === 1), "text", "doc_id",
+          twins.unionByName(synth), "text", "doc_id",
           s.read.parquet(path), "doc_id", threshold = 0.6)
-        .select("doc_id", "lang", "n_chars")
+        .select("doc_id")
     })
   )
 
@@ -3112,6 +3131,49 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_overlap
         |FROM (SELECT DISTINCT doc_id, sh FROM sh) JOIN bench USING (sh)
         |GROUP BY doc_id HAVING count(*) >= 1""".stripMargin,
+    "q_decontam_near" ->
+      // honest replay of the VERIFIED fuzzy tier: rebuild the
+      // paraphrase bench (every 8th token of every 25th doc replaced;
+      // DuckDB lambda index is 1-based, Spark's 0-based, hence i - 1),
+      // compute TRUE distinct-3-shingle Jaccard of every doc against
+      // every bench item via the shingle join, keep docs whose best
+      // match rounds to >= 0.3. A hash match proves the banding
+      // candidate tier missed nothing the exact arithmetic flags.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |bench AS (
+        |  SELECT doc_id AS bench_src,
+        |    list_transform(t, (x, i) ->
+        |      CASE WHEN (i - 1 + doc_id) % 8 = 0 THEN 'rw' || (i - 1) ELSE x END) AS bt
+        |  FROM toks WHERE doc_id % 25 = 0),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks),
+        |bsh AS (
+        |  SELECT DISTINCT bench_src, unnest(list_transform(range(1, len(bt) - 1),
+        |    i -> array_to_string(bt[i:i+2], ' '))) AS sh
+        |  FROM bench),
+        |dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |bsz AS (SELECT bench_src, count(*) AS n FROM bsh GROUP BY 1),
+        |inter AS (
+        |  SELECT d.doc_id, b.bench_src, count(*) AS ni
+        |  FROM dsh d JOIN bsh b ON b.sh = d.sh
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT i.doc_id,
+        |    round(max(CAST(i.ni AS DOUBLE) / (ds.n + bs.n - i.ni)), 6) AS jaccard
+        |  FROM inter i
+        |  JOIN dsz ds ON ds.doc_id = i.doc_id
+        |  JOIN bsz bs ON bs.bench_src = i.bench_src
+        |  GROUP BY 1)
+        |SELECT doc_id, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+    "q_dedup_incremental" ->
+      // replays the persist-then-probe plant: dropout twins of indexed
+      // docs are dropped, the synthetic no-shared-shingle docs survive
+      """SELECT 3000000 + CAST(range AS BIGINT) AS doc_id FROM range(100)""",
     "q_decontam_semantic" ->
       // replay withPlantedNearDups (lambda index i is 1-based in
       // DuckDB, Spark's is 0-based, hence i - 1; noise is keyed on the
@@ -3608,8 +3670,8 @@ object SparkEntry {
 
     // q_ann_lsh, q_ann_ivf,
     // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
-    // q_dedup_incremental, q_quality_classifier:
-    // rows-only gates (hash/LSH/k-means/minhash internals not
+    // q_quality_classifier:
+    // rows-only gates (hash/LSH/k-means internals not
     // ANSI-SQL-expressible; each carries a ScalaTest spec with
     // hand-computed expectations)
   )

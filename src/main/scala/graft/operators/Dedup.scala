@@ -717,6 +717,72 @@ object Decontaminate {
     } else out
   }
 
+  /** Near-match decontamination with EXACT verification — the
+    * [[nearContaminatedIds]] candidates re-checked on true n-gram
+    * Jaccard instead of the signature estimate. The estimator's ±1/√k
+    * noise puts borderline pairs on the wrong side of the threshold in
+    * both directions (a paraphrase-source missed at est 0.29, an
+    * unrelated doc flagged at est 0.31); production eval-leak audits
+    * want the decision on the REAL overlap. Cost shape: banding at a
+    * LOW candidate threshold keeps recall (k=128/bands=64 puts the
+    * miss probability of a true-0.45 pair below 1e-6), and the exact
+    * pass touches only candidate pairs — texts join back via a
+    * broadcast of the candidate id set, so the corpus is still never
+    * shuffled and the shingle-set intersection runs on O(candidates)
+    * rows, never O(corpus × bench).
+    *
+    * Output: (id, jaccard) — true `shingleSize`-gram Jaccard of the
+    * corpus doc against its best-matching benchmark item, ≥ threshold,
+    * rounded to 6 places (SQL-replayable: the whole decision is plain
+    * set arithmetic over the two texts). */
+  def nearContaminatedIdsVerified(docs: DataFrame, textCol: String, idCol: String,
+                                  benchmark: DataFrame, benchTextCol: String,
+                                  threshold: Double = 0.3, shingleSize: Int = 3,
+                                  k: Int = 128, bands: Int = 64,
+                                  candidateThreshold: Double = 0.1): DataFrame = {
+    require(candidateThreshold <= threshold,
+      s"candidateThreshold $candidateThreshold must not exceed verify threshold $threshold")
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    // ids must be stable across the probe and the verify join below;
+    // the lazy checkpoint materializes once at the probe and is reused
+    val bench = benchmark.select(col(benchTextCol).as("_btxt"))
+      .withColumn("_bench_id", monotonically_increasing_id())
+      .localCheckpoint()
+    val idx = MinHashIndex.buildIndex(docs, textCol, idCol, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lazyCands = MinHashIndex.matches(bench, "_btxt", "_bench_id", idx, idCol,
+        threshold = candidateThreshold, shingleSize = shingleSize, k = k, bands = bands)
+      .select(col("batch_id").as("_bench_id"), col("index_id").as(idCol))
+    val cands = lazyCands.localCheckpoint(true)
+    idx.unpersist()
+    // matches() checkpointed the banded bench signatures internally; a
+    // leaf of the PRE-checkpoint plan, dead now that cands materialized
+    CheckpointDiscipline.freeLocalCheckpoint(lazyCands)
+    def shingleSet(c: Column): Column =
+      array_distinct(graft.expr.GraftFunctions.wordShingles(TextFunctions.tokens(c), shingleSize))
+    // candidate ids broadcast into the corpus scan FIRST, shingle
+    // after: only candidate docs' texts are ever re-read or shingled
+    val docTexts = docs
+      .join(broadcast(cands.select(idCol).distinct()), Seq(idCol))
+      .select(col(idCol), shingleSet(col(textCol)).as("_dsh"))
+    val benchTexts = bench.select(col("_bench_id"), shingleSet(col("_btxt")).as("_bsh"))
+    val inter = size(array_intersect(col("_dsh"), col("_bsh")))
+    val union = size(col("_dsh")) + size(col("_bsh")) - inter
+    val out = docTexts
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(benchTexts), Seq("_bench_id"))
+      .withColumn("_j", when(union > 0, inter.cast("double") / union).otherwise(lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(round(max(col("_j")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    // materialize the (small) verdict so the bench + candidate
+    // checkpoint blocks can be released NOW rather than leaking for
+    // the lazy frame's lifetime
+    val materialized = out.localCheckpoint(true)
+    CheckpointDiscipline.freeLocalCheckpoint(out)
+    materialized
+  }
+
   /** The corpus minus near-contaminated documents. */
   def cleanNear(docs: DataFrame, textCol: String, idCol: String,
                 benchmark: DataFrame, benchTextCol: String,

@@ -278,6 +278,43 @@ class DedupSpec extends SparkSpec {
     assert(viaIdx == sources, s"persisted-index path must agree: $viaIdx")
   }
 
+  test("verified near decontamination decides on TRUE jaccard — equals brute-force set arithmetic (r17)") {
+    val corpus = (1L to 30L).map { d =>
+      (d, (0 until 120).map(i => s"w${d}v${(i * 7919 + d * 104729) % 997}n$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sources = Set(5L, 10L, 15L)
+    val bench = corpus.where(col("doc_id").isin(sources.toSeq: _*))
+      .select(array_join(transform(split(col("text"), " "),
+        (t, i) => when((i + col("doc_id")) % 8 === 0, concat(lit("rw"), i)).otherwise(t)),
+        " ").as("text"))
+    val got = Decontaminate.nearContaminatedIdsVerified(corpus, "text", "doc_id",
+        bench, "text", threshold = 0.3)
+      .as[(Long, Double)].collect().toMap
+    // ground truth by brute force: distinct 3-shingle sets, true
+    // jaccard per (doc, bench) pair, max per doc, round-half-up 6
+    def shingles(toks: Seq[String]): Set[String] =
+      toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val texts = (1L to 30L).map(d =>
+      d -> (0 until 120).map(i => s"w${d}v${(i * 7919 + d * 104729) % 997}n$i")).toMap
+    val benchSets = sources.toSeq.map(d => shingles(
+      texts(d).zipWithIndex.map { case (t, i) => if ((i + d) % 8 == 0) s"rw$i" else t }))
+    val truth = texts.flatMap { case (d, toks) =>
+      val s1 = shingles(toks)
+      val best = benchSets.map { s2 =>
+        val inter = (s1 & s2).size
+        if (s1.isEmpty || s2.isEmpty) 0.0
+        else inter.toDouble / (s1.size + s2.size - inter)
+      }.max
+      val r = BigDecimal(best).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r >= 0.3) Some(d -> r) else None
+    }
+    assert(got == truth,
+      s"verified tier must equal brute-force truth: got=$got truth=$truth")
+    // the decision is exact — est-jaccard noise cannot flip a verdict:
+    // the values are plain rational arithmetic over the two texts
+    assert(got.keySet == sources, s"exactly the paraphrase sources: ${got.keySet}")
+  }
+
   test("semantic decontamination flags exact and perturbed embedding leaks only") {
     val dim = 16
     val rnd = new scala.util.Random(11)
