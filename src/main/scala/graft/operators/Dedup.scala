@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * Exact dedup on content: keep the smallest `idCol` per identical
    * text, keyed by a 128-bit double fingerprint (two independent
@@ -387,10 +389,6 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (radius-3 probing on 16-bit blocks), got $maxHamming")
     graft.expr.GraftFunctions.ensure(withHash.sparkSession)
-    val (nBlocks, radius) = mihPlan(maxHamming)
-    val widths = mihWidths(nBlocks)
-    val offsets = widths.scanLeft(0)(_ + _)
-    val extra = 64 % nBlocks
     // the persisted bucket directory, released after the eager
     // checkpoint below (the persist → eager output → unpersist
     // discipline; a pinned intermediate that outlives its operator is
@@ -414,7 +412,11 @@ object Dedup {
     // unique via the first-qualifying-block rule inside the native
     // expression, so no dropDuplicates shuffle of the candidate
     // stream ever happens.
-    def bucketPairs(input: DataFrame): DataFrame = {
+    def bucketPairs(input: DataFrame, nBlocks: Int, radius: Int,
+                    effMaxBucket: Int): DataFrame = {
+      val widths = mihWidths(nBlocks)
+      val offsets = widths.scanLeft(0)(_ + _)
+      val extra = 64 % nBlocks
       // one row per (doc, block): the exact block value
       val blocked = input.select(
         col("doc_id"), col("sh"), col("algn"),
@@ -442,7 +444,7 @@ object Dedup {
         .repartition(sp, col("algn"), col("blk"), col("bv"))
         .groupBy(col("algn"), col("blk"), col("bv"))
         .agg(graft.expr.GraftFunctions.boundedMinK(
-          struct(col("doc_id"), col("sh").as("_p")), maxBucket).as("_m"))
+          struct(col("doc_id"), col("sh").as("_p")), effMaxBucket).as("_m"))
       val dirPlain = BucketTruncation.attach(aggd, col("_m.dropped"))
         .select(col("algn"), col("blk"), col("bv"), col("_m.members").as("members"))
       // radius > 0 reuses the directory three ways (same-bucket pairs,
@@ -506,11 +508,30 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val groups = tagged.groupBy(col("sh"), col("algn")).agg(min(col("doc_id")).as("rep"))
+      // occupancy-aware planning (r17): buckets key on (algn, blk, bv),
+      // so the HOTTEST alignment group's distinct-hash count bounds
+      // expected per-bucket occupancy. One cheap aggregate over the
+      // cached (id, 8-byte) frame — the DupPlan count discipline — and
+      // the hash column (the expensive decode/DCT work for multimodal
+      // callers) computes once here into the cache that every
+      // downstream branch reuses.
+      val nMax = {
+        val r = groups.groupBy(col("algn")).count().agg(max(col("count"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val choice = MihPlanning.choose(maxHamming, nMax, maxBucket)
+      MihPlanning.record(choice)
+      choice.warning.foreach(w => log.warn(w))
+      if (choice.adapted && choice.warning.isEmpty)
+        log.info(s"MIH occupancy adaptation: ${choice.nBlocks}x${64 / choice.nBlocks}-bit " +
+          s"blocks radius ${choice.radius} for n=$nMax distinct hashes " +
+          f"(expected occupancy ${choice.expectedOccupancy}%.1f)")
       val stars = tagged.join(groups, Seq("sh", "algn"))
         .where(col("doc_id") =!= col("rep"))
         .select(col("rep").as("id_a"), col("doc_id").as("id_b"), lit(0).as("hamming"))
       stars.unionByName(bucketPairs(
-        groups.select(col("rep").as("doc_id"), col("sh"), col("algn"))))
+        groups.select(col("rep").as("doc_id"), col("sh"), col("algn")),
+        choice.nBlocks, choice.radius, choice.maxBucket))
         .localCheckpoint(true)
     } finally {
       tagged.unpersist()

@@ -90,15 +90,95 @@ class VerifyBenchSpec extends SparkSpec {
   test("regression self-attribution: isolated medians back within 1.5x of prior are labeled noise") {
     // sweep said 12x, isolated says 1.1x -> host contention, noise
     assert(Bench.regressionVerdict(prior = 1.0, isolated = 1.1) === ((1.1, "noise")))
-    // isolated confirms the slowdown -> real
+    // isolated confirms the slowdown, FIRST sighting -> suspect (the
+    // r16 lesson: end-of-sweep isolated re-runs inherit residual
+    // JVM/host state and stamped "real" on an untouched query — one
+    // confirmation is no longer enough)
     val (r1, v1) = Bench.regressionVerdict(prior = 1.0, isolated = 4.0)
-    assert(r1 === 4.0 && v1 === "real")
+    assert(r1 === 4.0 && v1 === "suspect")
+    // the SECOND consecutive round of isolated confirmation -> real
+    assert(Bench.regressionVerdict(1.0, 4.0, priorPending = true)._2 === "real")
     // a flagged "speedup" that is really a broken/lost code path stays
-    // fast in isolation -> real (deserves a look, not a celebration)
+    // fast in isolation -> suspect/real (deserves a look, not a
+    // celebration)
     val (r2, v2) = Bench.regressionVerdict(prior = 3.0, isolated = 0.4)
-    assert(math.abs(r2 - 0.4 / 3.0) < 1e-9 && v2 === "real")
+    assert(math.abs(r2 - 0.4 / 3.0) < 1e-9 && v2 === "suspect")
     // boundary: exactly 1.5x is NOT noise
-    assert(Bench.regressionVerdict(1.0, 1.5)._2 === "real")
+    assert(Bench.regressionVerdict(1.0, 1.5)._2 === "suspect")
+  }
+
+  test("regression verdict: the query's own historical band overrides a >1.5x prior ratio") {
+    // the q_freq_items r16 false positive: prior 2.09, isolated 3.65
+    // (ratio 1.75 -> would read "real"), but the query has measured
+    // at 3.0 on unchanged code in an earlier round -> noise_band
+    val band = Some((1.8, 3.0))
+    assert(Bench.regressionVerdict(2.09, 3.65, band)._2 === "noise_band")
+    // clearly past the band x1.5 tolerance -> suspect on first sight
+    assert(Bench.regressionVerdict(2.09, 5.0, band)._2 === "suspect")
+    // ... and real only when it was already pending from last round
+    assert(Bench.regressionVerdict(2.09, 5.0, band, priorPending = true)._2 === "real")
+    // band also covers the fast side (a "speedup" the query has
+    // legitimately hit before)
+    assert(Bench.regressionVerdict(6.0, 1.5, Some((1.4, 6.2)))._2 === "noise_band")
+    // priorPending never overrides a noise/band verdict — a pending
+    // suspect that measures back inside its band this round is CLEARED
+    assert(Bench.regressionVerdict(2.09, 2.2, band, priorPending = true)._2 === "noise")
+    assert(Bench.regressionVerdict(2.09, 3.6, band, priorPending = true)._2 === "noise_band")
+  }
+
+  test("mergedBands widens the historical band with this round's medians, seeding from prior medians") {
+    val results: Seq[(String, Either[String, Double])] = Seq(
+      "q_new" -> Right(2.0),            // no history at all -> degenerate band
+      "q_up" -> Right(5.0),             // above historical hi -> hi widens
+      "q_down" -> Right(0.5),           // below historical lo -> lo widens
+      "q_seeded" -> Right(1.2),         // no band yet, prior median seeds it
+      "q_broken" -> Left("boom"))       // failed -> no band entry
+    val bands = Bench.mergedBands(results,
+      priorLo = Map("q_up" -> 1.0, "q_down" -> 1.0),
+      priorHi = Map("q_up" -> 4.0, "q_down" -> 4.0),
+      priorMedians = Map("q_seeded" -> 3.0)).map(b => b._1 -> ((b._2, b._3))).toMap
+    assert(bands("q_new") === ((2.0, 2.0)))
+    assert(bands("q_up") === ((1.0, 5.0)))
+    assert(bands("q_down") === ((0.5, 4.0)))
+    assert(bands("q_seeded") === ((1.2, 3.0)))
+    assert(!bands.contains("q_broken"))
+    val (loJson, hiJson) = Bench.bandJson(Seq(("q_a", 1.25, 2.5)))
+    assert(loJson === """{"q_a":1.250}""" && hiJson === """{"q_a":2.500}""")
+  }
+
+  test("pending recheck: a suspect from last round is re-measured against its CARRIED original prior") {
+    // the refreshed prior median would absorb a real regression after
+    // one round (ratio ~1 vs the regressed value), so pending entries
+    // carry the original prior forward and are re-checked even when
+    // the sweep does not re-flag them
+    // the name must resolve in SparkEntry.queries (unregistered names
+    // are skipped — the recheck would have nothing to run); q1_agg
+    // "regressed" last round (original prior 1.0, now ~3.0) and this
+    // round's refreshed prior median is already 3.0: ratio 1.0, unflagged
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
+    val (json, newPending) = Bench.attributedRegressionsJson(
+      spark, "/nonexistent", results,
+      prior = Map("q1_agg" -> 3.0), floor = 0.1, attribute = false, isolatedRuns = 1,
+      pendingPrior = Map("q1_agg" -> 1.0))
+    assert(json.contains(""""query":"q1_agg""""), s"pending entry missing: $json")
+    assert(json.contains(""""source":"pending_recheck""""), json)
+    assert(json.contains(""""prior":1.000"""), s"original prior must be carried: $json")
+    // attribute=false (pure-sweep mode) must pass pending through
+    // unchanged — only an isolated measurement may clear a suspect
+    assert(newPending === Map("q1_agg" -> 1.0))
+  }
+
+  test("attribution clears a pending suspect whose isolated run lands inside prior/band") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // sweep claims 50x on q1_agg; the isolated re-run (a real ~1 s
+    // query) lands back near prior / inside the wide band -> cleared
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
+    val (json, pend) = Bench.attributedRegressionsJson(spark, dir, results,
+      prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
+      band = Map("q1_agg" -> ((0.000001, 1000.0))), pendingPrior = Map("q1_agg" -> 1.0))
+    assert(json.contains(""""verdict":"noise"""), s"expected a noise verdict: $json")
+    assert(pend.isEmpty, s"a cleared suspect must leave pending: $pend")
   }
 
   test("parsePriorSection extracts the right section of a prior bench line") {
