@@ -117,7 +117,13 @@ object Bench {
     * even when the sweep did not re-flag them (the refreshed prior
     * median would otherwise absorb a real regression after one round
     * and the two-round confirmation could never fire). Returns the
-    * JSON array and the NEW pending map to publish for next round.
+    * JSON array, the NEW pending map to publish for next round, and
+    * the set of names that must be EXCLUDED from this round's band
+    * merge — every flagged or pending query, whatever its verdict: a
+    * suspect's regressed median entering band_hi would stamp next
+    * round's confirmation "noise_band" (the same absorption hole the
+    * pending mechanism closes on the prior median), and a noise
+    * verdict's 12× contention outlier would poison the band forever.
     */
   private[graft] def attributedRegressionsJson(
       spark: SparkSession, dir: String,
@@ -125,7 +131,7 @@ object Bench {
       prior: Map[String, Double], floor: Double,
       attribute: Boolean, isolatedRuns: Int,
       band: Map[String, (Double, Double)] = Map.empty,
-      pendingPrior: Map[String, Double] = Map.empty): (String, Map[String, Double]) = {
+      pendingPrior: Map[String, Double] = Map.empty): (String, Map[String, Double], Set[String]) = {
     val regs = results.collect {
       case (name, Right(now)) if prior.contains(name)
         && math.max(now, prior(name)) >= floor =>
@@ -135,10 +141,14 @@ object Bench {
     val flaggedNames = regs.map(_._1).toSet
     // pending re-checks ride the same entry shape, marked by source;
     // their comparison point is the CARRIED original prior, and their
-    // in_sweep value is this round's sweep median (not >3×-flagged)
+    // in_sweep value is this round's sweep median (not >3×-flagged).
+    // The floor test mirrors the sweep flag's max(now, prior) — a
+    // sub-floor ORIGINAL prior that regressed past the floor must not
+    // silently drop its suspect from the recheck.
     val pendingChecks = pendingPrior.toSeq.collect {
-      case (n, origPrior) if !flaggedNames.contains(n) &&
-        SparkEntry.queries.contains(n) && origPrior >= floor =>
+      case (n, origPrior) if !flaggedNames.contains(n) && SparkEntry.queries.contains(n) &&
+        math.max(results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior),
+          origPrior) >= floor =>
         val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
         (n, origPrior, now, now / math.max(origPrior, 1e-9))
     }
@@ -165,7 +175,9 @@ object Bench {
     // a pure-sweep run (attribute=false) must not LOSE the pending set
     // — it took a confirmed isolated measurement to create it, and only
     // another one may clear it
-    (entries.mkString("[", ",", "]"), if (attribute) newPending.toMap else pendingPrior)
+    (entries.mkString("[", ",", "]"),
+      if (attribute) newPending.toMap else pendingPrior,
+      flaggedNames ++ pendingChecks.map(_._1))
   }
 
   /** Historical per-query band of round medians, merged min/max: the
@@ -173,15 +185,26 @@ object Bench {
     * widened by this round's medians. Rides bench.json → bench_prior
     * so the band accumulates across rounds; a query's band covers
     * every median it has ever measured on committed code, which is
-    * what "this number is normal for this query on this host" means. */
+    * what "this number is normal for this query on this host" means.
+    * `exclude` names (this round's flagged/pending queries) keep their
+    * PRIOR band unchanged — their current sweep median is either a
+    * contention outlier or an unconfirmed regression, and either one
+    * entering the band would make future verdicts lie. */
   private[graft] def mergedBands(results: Seq[(String, Either[String, Double])],
                                  priorLo: Map[String, Double],
                                  priorHi: Map[String, Double],
-                                 priorMedians: Map[String, Double]): Seq[(String, Double, Double)] =
-    results.collect { case (n, Right(now)) =>
-      val lo = math.min(now, priorLo.get(n).orElse(priorMedians.get(n)).getOrElse(now))
-      val hi = math.max(now, priorHi.get(n).orElse(priorMedians.get(n)).getOrElse(now))
-      (n, lo, hi)
+                                 priorMedians: Map[String, Double],
+                                 exclude: Set[String] = Set.empty): Seq[(String, Double, Double)] =
+    results.collect {
+      case (n, Right(now)) if !exclude.contains(n) =>
+        val lo = math.min(now, priorLo.get(n).orElse(priorMedians.get(n)).getOrElse(now))
+        val hi = math.max(now, priorHi.get(n).orElse(priorMedians.get(n)).getOrElse(now))
+        (n, lo, hi)
+      case (n, _) if exclude.contains(n) &&
+          priorLo.get(n).orElse(priorMedians.get(n)).isDefined =>
+        val lo = priorLo.get(n).orElse(priorMedians.get(n)).get
+        val hi = priorHi.get(n).orElse(priorMedians.get(n)).get
+        (n, lo, hi)
     }
 
   private[graft] def bandJson(bands: Seq[(String, Double, Double)]): (String, String) = (
@@ -358,25 +381,23 @@ object Bench {
           // seconds-scale; isolated re-runs are median-of-2 (the sf1
           // pass convention).
           val priorSf1 = parsePriorSection(priorTxt, "queries_sf1")
-          val bandSf1 = {
-            val lo = parsePriorSection(priorTxt, "band_lo_sf1")
-            val hi = parsePriorSection(priorTxt, "band_hi_sf1")
-            lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
-          }
+          val loSf1 = parsePriorSection(priorTxt, "band_lo_sf1")
+          val hiSf1 = parsePriorSection(priorTxt, "band_hi_sf1")
+          val bandSf1 = loSf1.keySet.intersect(hiSf1.keySet)
+            .map(k => k -> (loSf1(k), hiSf1(k))).toMap
           val pendingSf1 = parsePriorSection(priorTxt, "pending_real_sf1")
-          val regs1 =
-            if (priorSf1.isEmpty) ""
+          val (regs1, bandExclude1) =
+            if (priorSf1.isEmpty) ("", Set.empty[String])
             else {
-              val (arr, newPending) = attributedRegressionsJson(spark, outDir,
+              val (arr, newPending, flagged) = attributedRegressionsJson(spark, outDir,
                 sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
                 band = bandSf1, pendingPrior = pendingSf1)
               val pend = newPending.toSeq.sortBy(_._1)
                 .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-              s""","regressions_sf1":$arr,"pending_real_sf1":$pend"""
+              (s""","regressions_sf1":$arr,"pending_real_sf1":$pend""", flagged)
             }
-          val (bLo1, bHi1) = bandJson(mergedBands(sf1Results,
-            parsePriorSection(priorTxt, "band_lo_sf1"),
-            parsePriorSection(priorTxt, "band_hi_sf1"), priorSf1))
+          val (bLo1, bHi1) = bandJson(mergedBands(sf1Results, loSf1, hiSf1,
+            priorSf1, bandExclude1))
           s""","sf1_dir":"$outDir","sf1_gen_sec":$genSec,"queries_sf1":$qs1$regs1,"band_lo_sf1":$bLo1,"band_hi_sf1":$bHi1"""
         } catch {
           case e: Throwable =>
@@ -425,21 +446,17 @@ object Bench {
         require(unknown.isEmpty, s"sf10 names not in SparkEntry.queries: $unknown")
         val truncated = collection.mutable.Map.empty[String, String]
         // bucket-cap observability at the probe's scale: nonzero
-        // truncation means the maxBucket cap is trading recall.
-        // The observation resolves on a listener thread — poll
-        // briefly instead of racing it (the r16 probe lost the
-        // minhash stats to exactly this race). A failed query has
-        // nothing to wait for. reset() first so a failure before plan
-        // construction can't misattribute the previous query's stats.
+        // truncation means the maxBucket cap is trading recall. A
+        // failed query has nothing to await. reset() first so a
+        // failure before plan construction can't misattribute the
+        // previous query's stats.
         def timedWithTruncation(n: String, dir: String): (String, Either[String, Double]) = {
           graft.operators.BucketTruncation.reset()
           val r = timeQuery(spark, n, SparkEntry.queries(n), dir, 1)
-          var waited = 0
-          while (r.isRight && graft.operators.BucketTruncation.lastStats.isEmpty
-              && waited < 5000) {
-            Thread.sleep(100); waited += 100
-          }
-          graft.operators.BucketTruncation.lastStats.foreach { st =>
+          val stats =
+            if (r.isRight) graft.operators.BucketTruncation.awaitStats()
+            else graft.operators.BucketTruncation.lastStats
+          stats.foreach { st =>
             truncated(n) =
               s"""{"truncated_buckets":${st.truncatedBuckets},"dropped_members":${st.droppedMembers}}"""
           }
@@ -495,22 +512,20 @@ object Bench {
     // fixed-overhead noise at sf0.1; a 3× swing there is not signal.
     val regressionsJson: String = {
       val prior = parsePriorSection(priorTxt, "queries")
-      val band = {
-        val lo = parsePriorSection(priorTxt, "band_lo")
-        val hi = parsePriorSection(priorTxt, "band_hi")
-        lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
-      }
+      val lo = parsePriorSection(priorTxt, "band_lo")
+      val hi = parsePriorSection(priorTxt, "band_hi")
+      val band = lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
       val pending = parsePriorSection(priorTxt, "pending_real")
-      val (bLo, bHi) = bandJson(mergedBands(results.toSeq,
-        parsePriorSection(priorTxt, "band_lo"),
-        parsePriorSection(priorTxt, "band_hi"), prior))
-      if (prior.isEmpty) s""","band_lo":$bLo,"band_hi":$bHi"""
-      else {
-        val (arr, newPending) = attributedRegressionsJson(spark, sfDir,
+      if (prior.isEmpty) {
+        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior))
+        s""","band_lo":$bLo,"band_hi":$bHi"""
+      } else {
+        val (arr, newPending, flagged) = attributedRegressionsJson(spark, sfDir,
           results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
           band = band, pendingPrior = pending)
         val pend = newPending.toSeq.sortBy(_._1)
           .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior, flagged))
         s""","regressions":$arr,"pending_real":$pend,"band_lo":$bLo,"band_hi":$bHi"""
       }
     }

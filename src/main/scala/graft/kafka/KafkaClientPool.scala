@@ -29,7 +29,19 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
  */
 private[kafka] object KafkaClientPool {
 
+  /** Keyed by the broker SET (sorted), not the caller's ordering: a
+    * partition reader passes its planned leader first, so ordering-
+    * sensitive keys would fragment one logical cluster into up to B
+    * pools — B × maxIdle idle sockets, and after a leadership
+    * migration the old ordering's clients would strand unborrowed
+    * until broker reap. Any pooled client reaches any leader via
+    * metadata, so ordering is a first-connect preference, not an
+    * identity. */
   private final case class Key(brokers: Seq[(String, Int)], security: KafkaSecurity)
+  private object Key {
+    def normalized(brokers: Seq[(String, Int)], security: KafkaSecurity): Key =
+      Key(brokers.sorted, security)
+  }
 
   private val pools = new ConcurrentHashMap[Key, ConcurrentLinkedQueue[KafkaWireClient]]()
 
@@ -38,7 +50,7 @@ private[kafka] object KafkaClientPool {
   private val maxIdle = math.max(8, Runtime.getRuntime.availableProcessors())
 
   def borrow(brokers: Seq[(String, Int)], security: KafkaSecurity): KafkaWireClient = {
-    val q = pools.computeIfAbsent(Key(brokers, security), _ => new ConcurrentLinkedQueue)
+    val q = pools.computeIfAbsent(Key.normalized(brokers, security), _ => new ConcurrentLinkedQueue)
     Option(q.poll()).getOrElse(new KafkaWireClient(brokers, security = security))
   }
 
@@ -46,7 +58,7 @@ private[kafka] object KafkaClientPool {
     * clients close instead of accumulating sockets. */
   def release(brokers: Seq[(String, Int)], security: KafkaSecurity,
               client: KafkaWireClient): Unit = {
-    val q = pools.computeIfAbsent(Key(brokers, security), _ => new ConcurrentLinkedQueue)
+    val q = pools.computeIfAbsent(Key.normalized(brokers, security), _ => new ConcurrentLinkedQueue)
     if (q.size < maxIdle) q.offer(client) else client.close()
   }
 

@@ -228,7 +228,12 @@ private final class KafkaMicroBatchStream(brokers: String, topic: String,
     security.requireSerializable("kafka micro-batch stream")
     val e = end.asInstanceOf[KafkaSourceOffset].offsets
     val s = baseline(start.asInstanceOf[KafkaSourceOffset].offsets, e.keys)
-    val meta = client.metadata(Seq(topic))
+    // planCall, like every other driver-side call here: between the
+    // offsets calls and this one the broker may reap the idle control
+    // connection (slow triggers) or leadership may move — an unwrapped
+    // metadata call was the one remaining way a routine idle-out could
+    // kill the stream
+    val meta = planCall(s"metadata $topic")(client.metadata(Seq(topic)))
     e.toSeq.sortBy(_._1).flatMap { case (p, endOff) =>
       val startOff = s(p)
       if (endOff > startOff) {

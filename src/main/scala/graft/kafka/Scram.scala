@@ -146,9 +146,11 @@ object Scram {
       }.toMap
       require(!kv.contains("m"),
         "SCRAM mandatory extension not supported (m attribute in client-first-message)")
-      val unknown = kv.keySet -- Set("n", "r")
-      require(unknown.isEmpty,
-        s"unsupported SCRAM extension attribute(s) ${unknown.mkString(", ")} in client-first-message")
+      // RFC 5802 §5.1: only an m= (mandatory) extension may be
+      // rejected; unrecognized OPTIONAL attributes MUST be ignored —
+      // a compliant client sending e.g. tokn=... still authenticates
+      require(kv.contains("n") && kv.contains("r"),
+        "client-first-message missing required n=/r= attributes")
       require(kv.get("n").contains(saslName(username)), "unknown user")
       combinedNonce = kv("r") + snonce
       serverFirstMsg = s"r=$combinedNonce,s=${Base64.getEncoder.encodeToString(salt)},i=$iterations"

@@ -111,14 +111,8 @@ object ImageFloodProbe {
     try {
       graft.operators.BucketTruncation.reset()
       val pairs = graft.operators.Dedup.hammingCandidates(hashed, maxHamming, maxBucket)
-      val nPairs = pairs.count() // force; hammingCandidates is eager but the count settles the observation
-      // observation resolves on a listener thread — poll briefly (the
-      // Bench sf10 convention) instead of racing it
-      var waited = 0
-      while (graft.operators.BucketTruncation.lastStats.isEmpty && waited < 5000) {
-        Thread.sleep(100); waited += 100
-      }
-      val stats = graft.operators.BucketTruncation.lastStats
+      pairs.count() // hammingCandidates is eager; the count settles the observation
+      val stats = graft.operators.BucketTruncation.awaitStats()
         .getOrElse(graft.operators.BucketTruncation.Stats(-1L, -1L))
       val distinct = hashed.agg(countDistinct(col("sh"))).head().getLong(0)
       // planted bookkeeping: hashes of both pair sides (2×planted rows)
@@ -151,7 +145,6 @@ object ImageFloodProbe {
       val found = eligible.count(p => foundSet.contains(repPair(p)))
       val recall = if (eligible.isEmpty) 1.0 else found.toDouble / eligible.size
       val sec = (System.nanoTime() - t0) / 1e9
-      val _ = nPairs
       Result(nImages, distinct, planted, eligible.size, found, recall,
         stats.truncatedBuckets, stats.droppedMembers, sec)
     } finally {

@@ -614,6 +614,20 @@ object BucketTruncation {
     * construction can't misattribute the PREVIOUS operator's numbers. */
   def reset(): Unit = last.remove()
 
+  /** [[lastStats]], waiting for the observation to resolve: it lands
+    * on a listener thread AFTER the action returns, so an immediate
+    * read races it (the r16 sf10 probe lost its minhash stats to
+    * exactly this race). Polls in 100 ms steps up to `timeoutMs`;
+    * call only after an action has actually run the observed plan —
+    * a failed/absent action has nothing to wait for. */
+  def awaitStats(timeoutMs: Int = 5000): Option[Stats] = {
+    var waited = 0
+    while (lastStats.isEmpty && waited < timeoutMs) {
+      Thread.sleep(100); waited += 100
+    }
+    lastStats
+  }
+
   private[operators] def attach(df: DataFrame, dropped: Column): DataFrame = {
     val obs = Observation()
     val out = df.observe(obs,

@@ -95,8 +95,12 @@ object MihPlanning {
       case None =>
         val (m, t) = cands.minBy { case (mm, _) => occupancy(nDistinct, mm) }
         val occ = occupancy(nDistinct, m)
-        val raised = math.min(MaxRaisedBucket.toDouble,
-          math.max(maxBucket.toDouble, math.ceil(occ * CapHeadroom))).toInt
+        // the ceiling bounds the AUTOMATIC raise only — a caller who
+        // explicitly requested a cap above MaxRaisedBucket (the
+        // documented "raise maxBucket explicitly" escape hatch) must
+        // never be clamped BELOW their request
+        val raised = math.max(maxBucket.toDouble,
+          math.min(MaxRaisedBucket.toDouble, math.ceil(occ * CapHeadroom))).toInt
         val warn =
           if (occ > raised) {
             val kept = math.min(1.0, raised.toDouble / occ)

@@ -146,6 +146,25 @@ class VerifyBenchSpec extends SparkSpec {
     assert(loJson === """{"q_a":1.250}""" && hiJson === """{"q_a":2.500}""")
   }
 
+  test("flagged queries keep their PRIOR band — a suspect's regressed median must not absorb into band_hi") {
+    // the absorption hole: round N stamps 'suspect' on a 4x regression;
+    // if its sweep median entered band_hi, round N+1's pending recheck
+    // would read 'noise_band' and the two-round confirmation could
+    // structurally never fire. Excluded names keep the prior band
+    // verbatim (so next round's recheck still compares against honest
+    // history); a flagged query with NO prior band gets none.
+    val results: Seq[(String, Either[String, Double])] = Seq(
+      "q_reg" -> Right(4.0),   // flagged this round, prior band [0.9, 1.1]
+      "q_fresh" -> Right(7.0)) // flagged, no band history
+    val bands = Bench.mergedBands(results,
+      priorLo = Map("q_reg" -> 0.9), priorHi = Map("q_reg" -> 1.1),
+      priorMedians = Map("q_reg" -> 1.0, "q_fresh" -> 2.0),
+      exclude = Set("q_reg", "q_fresh")).map(b => b._1 -> ((b._2, b._3))).toMap
+    assert(bands("q_reg") === ((0.9, 1.1)), s"prior band must survive untouched: $bands")
+    // q_fresh seeds from the prior MEDIAN (honest history), not 7.0
+    assert(bands("q_fresh") === ((2.0, 2.0)), s"flagged median must not seed a band: $bands")
+  }
+
   test("pending recheck: a suspect from last round is re-measured against its CARRIED original prior") {
     // the refreshed prior median would absorb a real regression after
     // one round (ratio ~1 vs the regressed value), so pending entries
@@ -156,7 +175,7 @@ class VerifyBenchSpec extends SparkSpec {
     // "regressed" last round (original prior 1.0, now ~3.0) and this
     // round's refreshed prior median is already 3.0: ratio 1.0, unflagged
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, newPending) = Bench.attributedRegressionsJson(
+    val (json, newPending, flagged) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 3.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 1.0))
@@ -166,6 +185,8 @@ class VerifyBenchSpec extends SparkSpec {
     // attribute=false (pure-sweep mode) must pass pending through
     // unchanged — only an isolated measurement may clear a suspect
     assert(newPending === Map("q1_agg" -> 1.0))
+    // pending-rechecked names are band-excluded like sweep-flagged ones
+    assert(flagged === Set("q1_agg"))
   }
 
   test("attribution clears a pending suspect whose isolated run lands inside prior/band") {
@@ -174,7 +195,7 @@ class VerifyBenchSpec extends SparkSpec {
     // sweep claims 50x on q1_agg; the isolated re-run (a real ~1 s
     // query) lands back near prior / inside the wide band -> cleared
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), pendingPrior = Map("q1_agg" -> 1.0))
     assert(json.contains(""""verdict":"noise"""), s"expected a noise verdict: $json")

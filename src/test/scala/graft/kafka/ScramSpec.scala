@@ -89,11 +89,12 @@ class ScramSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       srv.serverFirst("n,,m=ext-data,n=user,r=" + cnonce))
     assert(e1.getMessage.contains("mandatory extension"), e1.getMessage)
-    // optional unknown extensions are rejected BY NAME
+    // optional unknown extensions are IGNORED (RFC 5802 §5.1: only m=
+    // may be rejected; a compliant client sending one must still
+    // authenticate)
     val srv2 = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)
-    val e2 = intercept[IllegalArgumentException](
-      srv2.serverFirst("n,,n=user,r=" + cnonce + ",zz=opaque"))
-    assert(e2.getMessage.contains("zz"), e2.getMessage)
+    assert(srv2.serverFirst("n,,n=user,r=" + cnonce + ",zz=opaque")
+      .startsWith("r=" + cnonce))
     // multi-char values with embedded '=' padding still parse (base64
     // salts in other attributes rely on indexOf, not take(1)/drop(2))
     val srv3 = new Scram.ServerExchange("user", "pencil", "%hv", salt, 4096)

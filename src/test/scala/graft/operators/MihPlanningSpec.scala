@@ -71,6 +71,12 @@ class MihPlanningSpec extends SparkSpec {
     val kept = MihPlanning.MaxRaisedBucket / c.expectedOccupancy
     assert(c.warning.exists(w => w.contains("kept-pair fraction") &&
       w.contains(f"${kept * kept}%.4f")), s"warning must quantify recall: ${c.warning}")
+    // the ceiling bounds the AUTOMATIC raise only: an explicit cap
+    // above MaxRaisedBucket (the warning's own escape hatch) is
+    // honored, never clamped down below the request
+    val explicit = MihPlanning.choose(10, 13_000_000_000L, maxBucket = 300000)
+    assert(explicit.maxBucket == 300000,
+      s"explicit cap must never shrink: $explicit")
   }
 
   test("end to end: a corpus past the boundary adapts to wider blocks and keeps full recall at cap 2") {
