@@ -145,12 +145,12 @@ object Bench {
     // The floor test mirrors the sweep flag's max(now, prior) — a
     // sub-floor ORIGINAL prior that regressed past the floor must not
     // silently drop its suspect from the recheck.
-    val pendingChecks = pendingPrior.toSeq.collect {
-      case (n, origPrior) if !flaggedNames.contains(n) && SparkEntry.queries.contains(n) &&
-        math.max(results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior),
-          origPrior) >= floor =>
-        val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
-        (n, origPrior, now, now / math.max(origPrior, 1e-9))
+    val pendingChecks = pendingPrior.toSeq.flatMap { case (n, origPrior) =>
+      val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
+      if (!flaggedNames.contains(n) && SparkEntry.queries.contains(n) &&
+          math.max(now, origPrior) >= floor)
+        Some((n, origPrior, now, now / math.max(origPrior, 1e-9)))
+      else None
     }
     val newPending = collection.mutable.Map.empty[String, Double]
     val entries = (regs.map((_, "sweep")) ++ pendingChecks.map((_, "pending_recheck"))).map {
@@ -164,10 +164,18 @@ object Bench {
             case Right(iso) =>
               val (ri, verdict) = regressionVerdict(p, iso, band.get(n),
                 priorPending = pendingPrior.contains(n))
-              if (verdict == "suspect" || verdict == "real") newPending(n) = p
+              // only "suspect" carries forward: a confirmed "real" is
+              // REPORTED and retired — without retirement an accepted
+              // runtime change would re-confirm "real" every round
+              // forever (pending keeps it band-excluded, the frozen
+              // band keeps re-confirming), and the band could never
+              // learn the new normal. After the report, next round's
+              // refreshed prior and un-excluded band absorb the level.
+              if (verdict == "suspect") newPending(n) = p
               f"""{$head,"isolated":$iso%.3f,"ratio_isolated":$ri%.2f,"verdict":"$verdict"}"""
             case Left(_) =>
-              newPending(n) = p
+              // a query that fails in isolation is loud through the
+              // sweep's own failed count from here on — no pending
               s"""{$head,"isolated":"failed","verdict":"real"}"""
           }
         }
@@ -195,16 +203,21 @@ object Bench {
                                  priorHi: Map[String, Double],
                                  priorMedians: Map[String, Double],
                                  exclude: Set[String] = Set.empty): Seq[(String, Double, Double)] =
-    results.collect {
-      case (n, Right(now)) if !exclude.contains(n) =>
-        val lo = math.min(now, priorLo.get(n).orElse(priorMedians.get(n)).getOrElse(now))
-        val hi = math.max(now, priorHi.get(n).orElse(priorMedians.get(n)).getOrElse(now))
-        (n, lo, hi)
-      case (n, _) if exclude.contains(n) &&
-          priorLo.get(n).orElse(priorMedians.get(n)).isDefined =>
-        val lo = priorLo.get(n).orElse(priorMedians.get(n)).get
-        val hi = priorHi.get(n).orElse(priorMedians.get(n)).get
-        (n, lo, hi)
+    results.flatMap { case (n, r) =>
+      val seedLo = priorLo.get(n).orElse(priorMedians.get(n))
+      val seedHi = priorHi.get(n).orElse(priorMedians.get(n))
+      r match {
+        case Right(now) if !exclude.contains(n) =>
+          Some((n, math.min(now, seedLo.getOrElse(now)), math.max(now, seedHi.getOrElse(now))))
+        case _ =>
+          // excluded (flagged/pending) or failed this round: the
+          // current value is unusable either way — keep the PRIOR band
+          // verbatim so ten rounds of accumulated history survive one
+          // contention flag or one transient failure. Both sides must
+          // exist (an asymmetric/truncated prior file yields a lopsided
+          // band that could only mislead).
+          for (lo <- seedLo; hi <- seedHi) yield (n, lo, hi)
+      }
     }
 
   private[graft] def bandJson(bands: Seq[(String, Double, Double)]): (String, String) = (

@@ -108,11 +108,20 @@ object MihPlanning {
               f"(n=$nDistinct, ${m}x${64 / m}-bit blocks) exceeds even the ceiling cap $raised; " +
               f"expected kept-pair fraction ≈ (${kept}%.4f)^2 = ${kept * kept}%.4f — " +
               "raise maxBucket explicitly or shard the corpus if full recall is required")
-          } else {
+          } else if (raised > maxBucket) {
             Some(f"MIH occupancy boundary: expected per-bucket occupancy $occ%.0f " +
               f"(n=$nDistinct, ${m}x${64 / m}-bit blocks) exceeds ${OccupancyFraction} x " +
               f"maxBucket=$maxBucket; cap raised to $raised (${CapHeadroom}x headroom) — " +
               "collector state grows to the raised cap per in-flight bucket")
+          } else {
+            // the explicit cap already exceeds the automatic raise:
+            // honored as-is, but say what the REAL headroom is — the
+            // "4x headroom" claim would be false here and the Poisson
+            // tail above the cap can still truncate
+            Some(f"MIH occupancy boundary: expected per-bucket occupancy $occ%.0f " +
+              f"(n=$nDistinct, ${m}x${64 / m}-bit blocks); explicit maxBucket=$maxBucket " +
+              f"honored (headroom ${maxBucket / occ}%.1fx, below the ${CapHeadroom}x target) — " +
+              "hot-bucket truncation remains possible; watch BucketTruncation")
           }
         Choice(m, t, raised, occ, adapted = true, warning = warn)
     }

@@ -163,6 +163,16 @@ class VerifyBenchSpec extends SparkSpec {
     assert(bands("q_reg") === ((0.9, 1.1)), s"prior band must survive untouched: $bands")
     // q_fresh seeds from the prior MEDIAN (honest history), not 7.0
     assert(bands("q_fresh") === ((2.0, 2.0)), s"flagged median must not seed a band: $bands")
+    // a TRANSIENT failure must not destroy accumulated band history:
+    // ten rounds of [1.0, 1.4] survive one OOM'd run verbatim
+    val failBands = Bench.mergedBands(
+      Seq[(String, Either[String, Double])]("q_flaky" -> Left("oom"), "q_gone" -> Left("oom")),
+      priorLo = Map("q_flaky" -> 1.0), priorHi = Map("q_flaky" -> 1.4),
+      priorMedians = Map.empty).map(b => b._1 -> ((b._2, b._3))).toMap
+    assert(failBands("q_flaky") === ((1.0, 1.4)), s"failure must keep the prior band: $failBands")
+    // ... while a failed query with NO history (or a lopsided prior
+    // file) yields nothing rather than a half-band or a crash
+    assert(!failBands.contains("q_gone"))
   }
 
   test("pending recheck: a suspect from last round is re-measured against its CARRIED original prior") {

@@ -77,6 +77,10 @@ class MihPlanningSpec extends SparkSpec {
     val explicit = MihPlanning.choose(10, 13_000_000_000L, maxBucket = 300000)
     assert(explicit.maxBucket == 300000,
       s"explicit cap must never shrink: $explicit")
+    // and the warning must say HONORED with the real headroom — not
+    // claim a "4x headroom" raise that never happened
+    assert(explicit.warning.exists(w => w.contains("honored") && w.contains("1.5x")),
+      s"explicit-cap warning must state the true headroom: ${explicit.warning}")
   }
 
   test("end to end: a corpus past the boundary adapts to wider blocks and keeps full recall at cap 2") {
