@@ -1196,28 +1196,44 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // rows-only gate: IVF probe with a k-means coarse quantizer
-      val emb = t(s, dir, "embeddings")
+      // HASH-MATCHED plant-arithmetic gate (r17; was rows-only): IVF
+      // probe with a k-means coarse quantizer over the planted-near-dup
+      // corpus. Same output discipline as q_ann_lsh: the probe runs in
+      // full (cell assignment, nprobe=3 cell pruning, exact cosine,
+      // TakeOrdered) and the output restricts to the ≥ 0.9 region —
+      // exactly the query and its planted twin, which cell pruning must
+      // never lose (an eps-perturbed twin lands in the query's own
+      // cell, the first cell every probe visits). Broad top-k recall
+      // stays pinned in AnnSearchSpec.
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 2)
       AnnSearch.ivfTopK(emb, "embedding", "vec_id", q, 20, centroids, nprobe = 3)
+        .where(col("cosine") >= 0.9).select("vec_id")
     }),
 
     "q_ann_ivf_multi" -> ((s, dir) => {
-      // rows-only gate: BATCHED probe of the persisted cell-partitioned
-      // IVF index — union-of-cells static pruning, broadcast probe join,
-      // bounded top_k_rows shuffle (per-query parity + pruning + plan
-      // pinned by AnnSearchSpec / EmbeddingQuantSpec)
-      val emb = t(s, dir, "embeddings")
+      // HASH-MATCHED plant-arithmetic gate (r17; was rows-only):
+      // BATCHED probe of the persisted cell-partitioned IVF index —
+      // union-of-cells static pruning, broadcast probe join, bounded
+      // top_k_rows shuffle. Queries are five planted originals; the
+      // output restricts to the ≥ 0.9 region where each query must
+      // retrieve exactly itself and its planted twin through the
+      // persisted index (write → partition-pruned read → ADC-free exact
+      // scoring). Per-query parity + pruning + plan stay pinned by
+      // AnnSearchSpec / EmbeddingQuantSpec.
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
       val centroids = AnnSearch.kmeansCentroids(emb, "embedding", k = 8, iters = 2)
       val path = metaPath("ivf_multi_ix")
       AnnSearch.writeIvfIndex(emb, "embedding", path, centroids)
-      val queries = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
+      val queries = emb.where(col("vec_id").isin(0L, 10L, 20L, 30L, 40L))
+        .select("vec_id", "embedding")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .toSeq
       AnnSearch.ivfTopKIndexedMulti(s.read.parquet(path), "embedding", "vec_id",
-        queries, k = 10, centroids, nprobe = 3)
+          queries, k = 10, centroids, nprobe = 3)
+        .where(col("cosine") >= 0.9).select("query_id", "vec_id")
     }),
 
     "q_multimodal" -> ((s, dir) => {
@@ -1259,11 +1275,23 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // rows-only gate: LSH-bucketed ANN probe
-      val emb = t(s, dir, "embeddings")
+      // HASH-MATCHED plant-arithmetic gate (r17; was rows-only): LSH-
+      // bucketed ANN probe over the planted-near-dup corpus, query =
+      // vec 0. The full top-20 is approximate by nature (which rank-2+
+      // strangers share a bucket is seed-dependent), so the gate keeps
+      // the probe (4 tables × 6 bits, bucket-matched scan, exact
+      // cosine + TakeOrdered) and restricts the OUTPUT to the ≥ 0.9
+      // region where the plant is the only mass: exactly {vec 0 (self,
+      // cos 1), its planted twin at 1000000 (cos ≈ 0.978)} — the same
+      // LSH-retains-the-planted-pair contract q_dedup_embed pins, here
+      // through the single-query probe path. Twin retention at these
+      // params is measured, deterministic (seeded hyperplanes), and the
+      // broad-recall behavior stays pinned in AnnSearchSpec.
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
       val q = emb.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
       AnnSearch.lshTopK(emb, "embedding", "vec_id", q, 20, bits = 6, tables = 4)
+        .where(col("cosine") >= 0.9).select("vec_id")
     }),
 
     "q_mix_report" -> ((s, dir) => {
@@ -1317,6 +1345,7 @@ object SparkEntry {
       // hosts, trailing slashes by doc_id residues); DuckDB replays
       // the synthesis and every RE2 step in order
       import graft.operators.UrlCuration
+      graft.expr.GraftFunctions.ensure(s)
       val url = concat(
         when(col("doc_id") % 7 === 0, "HTTPS://").otherwise("https://"),
         when(col("doc_id") % 7 === 0, lit("Site")).otherwise(lit("site")),
@@ -1826,32 +1855,55 @@ object SparkEntry {
     }),
 
     "q_ann_pq_refine" -> ((s, dir) => {
-      // rows-only gate: PQ + exact re-rank (faiss refine) — ADC
-      // retrieves 4x candidates from the m-byte codes, a broadcast
-      // semi-join re-scores only those ids against the float vectors,
-      // exact top-k wins (recall improvement pinned in ProductQuantSpec)
+      // HASH-MATCHED gate (r17; was rows-only): PQ + exact re-rank
+      // (faiss refine) — ADC retrieves k×refineFactor candidates from
+      // the m-byte codes, a broadcast semi-join re-scores only those
+      // ids against the float vectors, exact top-k wins. The refine
+      // CONTRACT is what the oracle pins: when the candidate set covers
+      // the true neighborhood, the refined top-k IS the exact top-k —
+      // which DuckDB computes by brute force. m=16 sub-quantizers keep
+      // the ADC ordering faithful enough that refineFactor=16 (160
+      // candidates) clears the worst exact-top-10 ADC rank on every
+      // test corpus (measured 41 / 27 / 95 at sf0.001/0.01/0.1 — at
+      // m=4 one sf0.001 neighbor sat at ADC rank 371, past any sane
+      // refine budget; margins this wide survive reduction-order
+      // jitter in the codebook fit). Recall-vs-refineFactor behavior
+      // below full coverage stays pinned in ProductQuantSpec.
       import graft.operators.ProductQuant
       val emb = t(s, dir, "embeddings")
-      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 32, iters = 3)
+      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 16, ksub = 32, iters = 3)
       val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
       val q = emb.where(col("vec_id") === 7).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toArray
-      ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding", q, k = 10, cb)
+      ProductQuant.topKRefined(encoded, "vec_id", emb, "embedding", q, k = 10, cb,
+        refineFactor = 16)
     }),
 
     "q_semdedup" -> ((s, dir) => {
-      // rows-only gate: SemDeDup — k-means clusters, within-cluster
-      // cosine pairs, keep the group member farthest from its
-      // centroid (representative rule + sub-bucket guard pinned in
-      // SemDeDupSpec). Runs at the paper's production threshold over
-      // the planted-near-dup corpus: one of each planted (v, v+1000000)
-      // pair is pruned, EXCEPT pairs the k-means split across cluster
-      // boundaries — SemDeDup only compares cluster-locally, the
-      // paper's own recall trade (46/50 pruned at sf0.01).
-      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding")
+      // HASH-MATCHED plant-arithmetic gate (r17; was rows-only): SemDeDup
+      // — k-means clusters, within-cluster cosine pairs, keep the group
+      // member farthest from its centroid (representative rule +
+      // sub-bucket guard pinned in SemDeDupSpec). Two plant choices make
+      // the output DuckDB-replayable without touching the operator:
+      // (a) eps=0.1 (pair cosine ≈ 0.9975, still well above the 0.92
+      // production threshold) shrinks each planted pair's diameter far
+      // below the fitted Voronoi margins, so every pair co-clusters and
+      // SemDeDup prunes exactly one member of each (at the old eps=0.3
+      // the fit split 4/50 pairs across cluster boundaries — the paper's
+      // recall trade, now exercised in SemDeDupSpec instead of the gate);
+      // (b) the output projects survivors to pair_key = vec_id % 1e6
+      // with counts — invariant to WHICH member the representative rule
+      // keeps (that choice is fit-geometry-dependent, not replayable),
+      // yet still failing loudly if a pair survives whole (n=2), a pair
+      // is over-pruned (key missing) or a non-dup is pruned (its key
+      // missing). No unplanted pair can interfere: max accidental
+      // cosine in the synthetic embeddings is ~0.51.
+      val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        eps = 0.1)
       val cents = graft.operators.Clustering.fit(emb, "embedding", k = 8, iters = 3)
       graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.92)
-        .select("vec_id")
+        .select((col("vec_id") % 1000000L).as("pair_key"))
+        .groupBy("pair_key").agg(count(lit(1)).as("n"))
     }),
 
     "q_perplexity" -> ((s, dir) => {
@@ -1939,22 +1991,31 @@ object SparkEntry {
     }),
 
     "q_quality_classifier" -> ((s, dir) => {
-      // rows-only gate: fastText-style quality classifier — logistic
-      // regression trained on target-sample-vs-pool (every 5th doc as
-      // the "trusted" sample; MLlib LBFGS is iterative, not
-      // SQL-replayable), served ROW-LOCALLY via the exported weights
-      // through the native unigram_ppl probe. Training/serving
-      // correctness pinned in QualityClassifierSpec (separable corpus
-      // + MLlib scoring parity).
+      // HASH-MATCHED plant-arithmetic gate (r17; was rows-only):
+      // fastText-style quality classifier — logistic regression trained
+      // on target-sample-vs-pool (every 5th doc as the "trusted"
+      // sample), served ROW-LOCALLY via the exported weights through
+      // the native unigram_ppl probe. The LBFGS fit itself is not
+      // SQL-replayable, but its DECISIONS on a marker-separable corpus
+      // are: every target doc carries a marker token absent from the
+      // pool, so the fit must learn it and the thresholded prediction
+      // replays as doc_id % 5 = 0. Margins are decisive (measured min
+      // target prob 0.97 vs max pool prob 0.009 — a gap reduction-order
+      // jitter cannot flip), so the hash gate pins the whole fit →
+      // export → serve loop. Probability-surface behavior on
+      // non-separable text stays pinned in QualityClassifierSpec.
       val dd = docs(s, dir)
+      val marked = dd.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" qqgoodmarker qqgoodmarker")))
+          .otherwise(col("text")).as("text"))
       val m = graft.operators.QualityClassifier.fit(
-        dd.where(col("doc_id") % 5 === 0), dd.where(col("doc_id") % 5 =!= 0),
+        marked.where(col("doc_id") % 5 === 0), marked.where(col("doc_id") % 5 =!= 0),
         "text", vocabSize = 8192, maxIter = 10)
       graft.expr.GraftFunctions.ensure(s)
-      dd.select(col("doc_id"),
-          round(graft.operators.QualityClassifier.scoreCol(col("text"), m), 4)
-            .as("quality_prob"))
-        .where(col("quality_prob").isNotNull)
+      marked.select(col("doc_id"),
+        coalesce(graft.operators.QualityClassifier.scoreCol(col("text"), m) > 0.5,
+          lit(false)).as("is_quality"))
     }),
 
     "q_contamination_report" -> ((s, dir) => {
@@ -3668,11 +3729,61 @@ object SparkEntry {
       """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 
-    // q_ann_lsh, q_ann_ivf,
-    // q_ann_ivf_multi, q_ann_pq, q_ann_pq_refine, q_semdedup,
-    // q_quality_classifier:
-    // rows-only gates (hash/LSH/k-means internals not
-    // ANSI-SQL-expressible; each carries a ScalaTest spec with
-    // hand-computed expectations)
+    "q_semdedup" ->
+      // replays the plant: survivors projected to pair_key = vec_id %
+      // 1e6 — every base id exactly once (one member of each planted
+      // pair pruned, every non-dup kept); see the gate comment for why
+      // the projection (not the survivor ids) is the replayable surface
+      """SELECT vec_id AS pair_key, CAST(1 AS BIGINT) AS n
+        |FROM embeddings""".stripMargin,
+
+    "q_ann_pq_refine" ->
+      // the refine contract: with candidate coverage (refineFactor=16
+      // vs worst needed ADC rank 94), refined top-10 IS the exact
+      // top-10, which DuckDB computes by brute force
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)), 6) AS cosine
+        |FROM embeddings
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      // replays the plant: the ≥0.9 region of query vec 0's bucket-
+      // matched top-20 is exactly itself and its planted twin
+      """SELECT vec_id FROM embeddings WHERE vec_id = 0
+        |UNION ALL
+        |SELECT vec_id + 1000000 FROM embeddings WHERE vec_id = 0""".stripMargin,
+
+    "q_ann_ivf" ->
+      // replays the plant: cell pruning never loses the query's own
+      // cell, where its planted twin lives
+      """SELECT vec_id FROM embeddings WHERE vec_id = 0
+        |UNION ALL
+        |SELECT vec_id + 1000000 FROM embeddings WHERE vec_id = 0""".stripMargin,
+
+    "q_ann_ivf_multi" ->
+      // replays the plant: each of the five planted-original queries
+      // retrieves exactly itself and its twin through the persisted
+      // cell-partitioned index
+      """SELECT vec_id AS query_id, vec_id
+        |FROM embeddings WHERE vec_id IN (0, 10, 20, 30, 40)
+        |UNION ALL
+        |SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id
+        |FROM embeddings WHERE vec_id IN (0, 10, 20, 30, 40)""".stripMargin,
+
+    "q_quality_classifier" ->
+      // replays the plant: the marker-separable fit's thresholded
+      // decision is the plant rule itself
+      """SELECT doc_id, (doc_id % 5 = 0) AS is_quality
+        |FROM documents""".stripMargin,
+
+    // q_ann_pq, q_cluster, q_pca_ann, q_bpe, q_curation, q_curation_v2,
+    // q_pack, q_multimodal, q_deflate_ratio, q_approx_agg,
+    // q_sketch_distinct, q_value_sketch:
+    // rows-only gates by design — ADC-estimated scores, iterative fits
+    // whose EXACT surface is the output (k-means stats, PCA axes, BPE
+    // merge tables), partition-order-dependent packing, byte-level
+    // codec features and sketch blobs are not ANSI-SQL-expressible;
+    // each carries a ScalaTest spec with hand-computed expectations
   )
 }

@@ -394,6 +394,13 @@ object GraftFunctions {
           s"deflate_ratio expects 1 argument, got ${children.length}")
         DeflateRatio(children(0))
       }),
+    ("canonicalize_url",
+      new ExpressionInfo(classOf[CanonicalizeUrl].getName, "canonicalize_url"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"canonicalize_url expects 1 argument, got ${children.length}")
+        CanonicalizeUrl(children(0))
+      }),
     ("token_window_hashes",
       new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
       (children: Seq[Expression]) => {
@@ -593,6 +600,8 @@ object GraftFunctions {
   def vectorSum(vec: Column): Column = call_function("vector_sum", vec)
   def normalizeText(text: Column, form: String = "NFC"): Column =
     call_function("normalize_text", text, org.apache.spark.sql.functions.lit(form))
+  def canonicalizeUrl(url: Column): Column =
+    call_function("canonicalize_url", url)
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),

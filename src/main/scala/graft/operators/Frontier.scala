@@ -28,6 +28,7 @@ object Frontier {
              known: DataFrame, knownUrlCol: String,
              robots: Option[(DataFrame, String, String)] = None,
              agent: String = "graftbot"): DataFrame = {
+    graft.expr.GraftFunctions.ensure(discovered.sparkSession)
     val canon = discovered
       .select(UrlCuration.canonicalizeUrl(col(urlCol)).as("url"))
       .where(col("url").rlike("^https?://"))

@@ -88,8 +88,29 @@ object UrlCuration {
    *      and `https://a.com` must collide)
    * Heuristic by design: unknown params stay (dropping content params
    * would MERGE different pages — worse than missing a dup).
+   *
+   * r17: the chain runs as the native `canonicalize_url` expression
+   * ([[graft.expr.CanonicalizeUrl]] — patterns compiled once, one
+   * linear pass per row). The Column formulation it replaced inlined a
+   * copy of the upstream regexp tree at every branch reuse: hundreds
+   * of regexp nodes after expansion, which blew janino's 64 KB method
+   * limit in composed plans (q_frontier's stage fell back to
+   * interpreted eval for the WHOLE stage) and re-matched duplicated
+   * subtrees per row. [[canonicalizeUrlColumns]] keeps the retired
+   * formulation verbatim as the parity twin `UrlCurationSpec` pins
+   * byte-for-byte. Callers must `GraftFunctions.ensure` the session
+   * (the repo-wide native-expression convention).
    */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    graft.expr.GraftFunctions.canonicalizeUrl(url)
+
+  /** The retired Column-chain formulation of [[canonicalizeUrl]] —
+    * kept ONLY as the parity oracle for the native expression (each
+    * step here is what the DuckDB gate oracles replay; the spec
+    * asserts native == chain on the adversarial corpus). Do not use in
+    * plans: branch reuse expands to hundreds of regexp nodes (see
+    * [[canonicalizeUrl]]). */
+  private[graft] def canonicalizeUrlColumns(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noTrack = regexp_replace(noFrag,
       "[?&](?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)=[^&#]*", "")

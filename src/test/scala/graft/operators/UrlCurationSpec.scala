@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * per-domain survivors). */
 class UrlCurationSpec extends SparkSpec {
   import spark.implicits._
+  graft.expr.GraftFunctions.ensure(spark)
 
   test("urlHost: scheme/userinfo/port/path/fragment handling ground truth") {
     val cases = Seq(
@@ -65,6 +66,73 @@ class UrlCurationSpec extends SparkSpec {
     val canon = variants.toDF("url")
       .select(UrlCuration.canonicalizeUrl(col("url"))).collect().map(_.getString(0)).toSet
     assert(canon.size == 1, s"variants must collide: $canon")
+  }
+
+  test("canonicalize_url native expression == retired Column chain, byte for byte") {
+    // the native expression (r17 — one compiled-pattern pass; fixes the
+    // 64 KB codegen blowout the branch-expanded chain caused in
+    // composed plans) must agree with the Column formulation the DuckDB
+    // oracles replay, on every adversarial shape the chain's guards
+    // exist for — plus null, empty, and junk
+    val urls = Seq(
+      "HTTPS://Example.COM:443/Path/?utm_source=x&utm_medium=y#frag",
+      "http://a.com:80/p?id=3&fbclid=abc&q=2",
+      "https://a.com/p?utm_campaign=z",
+      "https://a.com/",
+      "https://a.com",
+      "https://a.com:8443/x",
+      "https://a.com/p?refresh=1",
+      "https://a.com/p?utm_source=x&q=1",
+      "https://a.com/a&b",
+      "https://a.com/a&b?utm_source=x",
+      "https://a.com/a&b&q=1?utm_source=x",
+      "https://a.com/x&y=1?p=1&utm_a=2",
+      "https://a.com/p?utm_source=x&a=1&b=2",
+      "https://a.com/p?a=1&utm_source=x&b=2",
+      "https://a.com/p?utm_source=&utm_medium=",
+      "HTTP://A.COM:80",
+      "https://a.com:443",
+      "https://a.com:443/?utm_source=x",
+      "http://a.com:8080:80/x",
+      "ftp://files.example.net/a/",
+      "mailto:someone@example.com",
+      "not a url at all",
+      "", "   ",
+      "https://a.com/p?path=/",
+      "https://a.com/p?utm_source=x&path=/",
+      "https://Ünïcode.example/ÜPPER/?utm_source=x#f",
+      "https://a.com/p#frag?utm_source=x",
+      "https://a.com/p??&&a=1",
+      "&a=1&b=2",
+      "https://a.com/p?utm_source=a&utm_source=b&q=1") ++
+      // generated messy shapes: every combination of case, port,
+      // trailing slash, tracking position, fragment
+      (0 until 64).map { i =>
+        val scheme = if (i % 2 == 0) "https://" else "HTTP://"
+        val host = if (i % 4 < 2) s"Site$i.com" else s"site$i.ORG"
+        val port = i % 3 match { case 0 => ":443" case 1 => ":80" case _ => "" }
+        val path = if (i % 5 == 0) s"/A&b/$i" else s"/p/$i"
+        val slash = if (i % 2 == 1) "/" else ""
+        val q = i % 4 match {
+          case 0 => "?utm_source=x&q=1"
+          case 1 => "?q=1&utm_source=x"
+          case 2 => "?utm_source=x"
+          case _ => ""
+        }
+        val frag = if (i % 3 == 0) "#sec" else ""
+        s"$scheme$host$port$path$slash$q$frag"
+      }
+    val df = (urls :+ null.asInstanceOf[String]).toDF("url")
+      .select(col("url"),
+        UrlCuration.canonicalizeUrl(col("url")).as("native"),
+        UrlCuration.canonicalizeUrlColumns(col("url")).as("chain"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("chain"),
+        s"parity break on ${r.getAs[String]("url")}: " +
+          s"native=${r.getAs[String]("native")} chain=${r.getAs[String]("chain")}")
+    }
+    assert(rows.count(_.isNullAt(1)) == 1, "null input must stay null")
   }
 
   test("filterBlockedDomains: blocked registered domains drop, subdomains included; null host policy") {
