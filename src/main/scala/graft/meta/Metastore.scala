@@ -206,11 +206,20 @@ final class Metastore(spark: SparkSession,
       math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
     }
     // Spark refuses to overwrite a path it is reading in the same plan,
-    // so: compact into a staging dir, then swap the data files in.
-    // The swap window is non-transactional (like any plain-FS rewrite);
-    // Delta-format tables are rejected above — their file layout is
-    // owned by the _delta_log and must be rewritten transactionally.
+    // so: compact into a staging dir, then swap DIRECTORIES in —
+    // rename(partDir -> old), rename(staging -> partDir), delete(old).
+    // Directory renames are atomic on local FS and HDFS, so every
+    // crash window leaves a state [[recoverCompactionSwap]] repairs on
+    // the next call. The r17 predecessor deleted the partition's FILES
+    // and renamed staged files in one by one: a crash in that window
+    // left the only copy in staging, and a RE-RUN read the now-empty
+    // partition and overwrote staging — the surviving copy — with
+    // emptiness. Object stores without atomic rename keep the
+    // documented plain-FS caveat; Delta/Iceberg are rejected above —
+    // their file layout is owned by the transaction log.
     val staging = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate")
+    val oldDir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate.old")
+    recoverCompactionSwap(fs, partDir, staging, oldDir)
     val obs = new org.apache.spark.sql.Observation()
     getTable(name, Some(infoDate), Some(infoDate))
       .drop(t.infoDateColumn)
@@ -221,16 +230,49 @@ final class Metastore(spark: SparkSession,
       .mode(SaveMode.Overwrite)
       .save(staging.toString)
     invalidateCache(name)
-    fs.delete(partDir, true)
-    fs.mkdirs(partDir)
-    fs.listStatus(staging)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .foreach(st => fs.rename(st.getPath, new org.apache.hadoop.fs.Path(partDir, st.getPath.getName)))
-    fs.delete(staging, true)
+    if (!fs.exists(partDir)) fs.mkdirs(partDir) // a dataless date still swaps
+    require(fs.rename(partDir, oldDir),
+      s"compactPartition: could not move $partDir aside to $oldDir")
+    require(fs.rename(staging, partDir),
+      s"compactPartition: could not swap $staging into $partDir " +
+        s"(original data preserved at $oldDir)")
+    fs.delete(oldDir, true)
     syncCatalog(t)
     val stats = TableStats(obs.get("cnt").asInstanceOf[Long], sizeOf(t.path))
     statsMap.put((name, infoDate), stats)
     stats
+  }
+
+  /** Repair a compaction swap a previous run crashed inside of, BEFORE
+    * this run reads the partition (reading first is what turned the
+    * old crash window into data loss). States, by which directories
+    * exist — every one restores a complete partition:
+    *   - old + no partition: crashed between the two renames; the
+    *     staged output (if its `_SUCCESS` commit marker exists) is the
+    *     complete compacted copy — finish the swap; otherwise put the
+    *     original back.
+    *   - old + partition: crashed after the swap, before cleanup — the
+    *     partition is the compacted output; drop the leftover old copy.
+    *   - staging only: a stale pre-swap write (crash before any
+    *     rename, or an aborted job); the partition is intact — drop
+    *     staging so the fresh write starts clean. */
+  private def recoverCompactionSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                    partDir: org.apache.hadoop.fs.Path,
+                                    staging: org.apache.hadoop.fs.Path,
+                                    oldDir: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(oldDir)) {
+      if (!fs.exists(partDir)) {
+        val stagedComplete = fs.exists(staging) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        if (stagedComplete) require(fs.rename(staging, partDir),
+          s"compaction recovery: could not finish the swap $staging -> $partDir")
+        else require(fs.rename(oldDir, partDir),
+          s"compaction recovery: could not restore $oldDir -> $partDir")
+      }
+      fs.delete(oldDir, true)
+    }
+    fs.delete(staging, true)
+    ()
   }
 
   /** Data files currently in one info-date partition (for compaction

@@ -251,11 +251,32 @@ final class OffsetManager(storePath: Option[String] = None) extends OffsetStore 
   def getLatestOffset(table: String): Option[OffsetValue] = committed.get(table)
 
   /** Commit a new max offset after a successful incremental batch
-    * (kafka offsets merge per partition — see [[OffsetValue.advance]]). */
+    * (kafka offsets merge per partition — see [[OffsetValue.advance]]).
+    *
+    * The in-memory update is a CAS loop, not get-advance-put: two
+    * threads committing the same table concurrently (parallel
+    * orchestrator jobs sharing one store) could otherwise interleave
+    * so the LOWER offset lands last — a silent in-memory regression
+    * that re-delivers an already-committed window on the next
+    * incremental read of this session. (The durable files were never
+    * at risk: reload keeps the per-table max regardless of write
+    * order.) */
   def commit(table: String, offset: OffsetValue): Unit = {
-    val toStore = OffsetValue.advance(committed.get(table), offset)
+    @annotation.tailrec
+    def advanceInMemory(): Option[OffsetValue] = {
+      val prev = committed.get(table)
+      OffsetValue.advance(prev, offset) match {
+        case None => None
+        case Some(stored) =>
+          val won = prev match {
+            case Some(p) => committed.replace(table, p, stored)
+            case None    => committed.putIfAbsent(table, stored).isEmpty
+          }
+          if (won) Some(stored) else advanceInMemory()
+      }
+    }
+    val toStore = advanceInMemory()
     toStore.foreach { stored =>
-      committed.put(table, stored)
       storePath.foreach { p =>
         val dir = Paths.get(p)
         if (Files.isRegularFile(dir)) synchronized {

@@ -221,6 +221,55 @@ class MetastoreSpec extends SparkSpec {
     assert(ms.getTable("cpt", Some(d1), Some(d1)).count() == 100)
   }
 
+  test("M23b compaction survives every crash window: recovery preamble restores a complete partition") {
+    import org.apache.hadoop.fs.Path
+    def fsOf(t: MetaTable) =
+      new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(t: MetaTable) = (
+      new Path(s"${t.path}/info_date=$d1"),
+      new Path(s"${t.path}/_graft/compact/$d1"),
+      new Path(s"${t.path}/_graft/compact/$d1.old"))
+
+    // window 1: crash BETWEEN the two swap renames — the partition is
+    // gone, the original sits in .old, the staged output (committed:
+    // _SUCCESS) is the complete compacted copy. The r17 predecessor
+    // re-read the empty partition here and overwrote staging — the
+    // surviving copy — with emptiness.
+    val (ms1, t1) = freshMs(name = "cw1")
+    ms1.saveTable("cw1", d1, data("a", 40))
+    val fs1 = fsOf(t1); val (p1, s1, o1) = dirs(t1)
+    // stage a committed compact output exactly like the write does
+    spark.read.parquet(p1.toString).drop("info_date").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s1.toString)
+    assert(fs1.exists(new Path(s1, "_SUCCESS")))
+    assert(fs1.rename(p1, o1), "simulate: first swap rename done, second never ran")
+    ms1.compactPartition("cw1", d1, targetFiles = Some(2))
+    assert(ms1.getTable("cw1", Some(d1), Some(d1)).count() == 40,
+      "mid-swap crash + rerun must keep every row")
+    assert(!fs1.exists(o1) && !fs1.exists(s1))
+
+    // window 2: crash between the renames with an UNCOMMITTED staging
+    // (no _SUCCESS) — the original in .old must come back
+    val (ms2, t2) = freshMs(name = "cw2")
+    ms2.saveTable("cw2", d1, data("b", 25))
+    val fs2 = fsOf(t2); val (p2, s2, o2) = dirs(t2)
+    fs2.mkdirs(s2) // torn write: directory exists, no commit marker
+    assert(fs2.rename(p2, o2))
+    ms2.compactPartition("cw2", d1, targetFiles = Some(1))
+    assert(ms2.getTable("cw2", Some(d1), Some(d1)).count() == 25,
+      "uncommitted staging must not win over the original")
+
+    // window 3: crash AFTER the swap, before cleanup — .old lingers
+    // next to the already-compacted partition
+    val (ms3, t3) = freshMs(name = "cw3")
+    ms3.saveTable("cw3", d1, data("c", 10))
+    val fs3 = fsOf(t3); val (p3, _, o3) = dirs(t3)
+    fs3.mkdirs(o3)
+    ms3.compactPartition("cw3", d1, targetFiles = Some(1))
+    assert(ms3.getTable("cw3", Some(d1), Some(d1)).count() == 10)
+    assert(!fs3.exists(o3), "leftover .old must be cleaned")
+  }
+
   test("M6b evolved tables read with merged schema: late-added columns surface") {
     val (ms, _) = freshMs(name = "evo")
     ms.saveTable("evo", d1, data("a", 2))

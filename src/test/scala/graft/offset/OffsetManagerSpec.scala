@@ -64,6 +64,34 @@ class OffsetManagerSpec extends SparkSpec {
     assert(fresh.getLatestOffset("u").contains(OffsetValue.IntegralValue(200L)))
   }
 
+  test("concurrent commits to the SAME table never regress in memory (CAS loop)") {
+    // the r17 predecessor did get-advance-put: a racing lower commit
+    // could land last in the TrieMap and re-deliver an already-
+    // committed window within the session. Hammer one table from many
+    // threads committing interleaved values; the in-memory offset (not
+    // just the durable reload) must end at the global max.
+    val om = new OffsetManager() // memory-only: the store files were never at risk
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (1 to 500).foreach { i =>
+        om.commit("same", OffsetValue.IntegralValue((i * 8 + t).toLong))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(om.getLatestOffset("same").contains(OffsetValue.IntegralValue(4007L)),
+      s"in-memory offset regressed: ${om.getLatestOffset("same")}")
+    // kafka offsets merge per partition under the same loop
+    val omK = new OffsetManager()
+    val kThreads = (0 until 4).map { t =>
+      new Thread(() => (1 to 200).foreach { i =>
+        omK.commit("k", OffsetValue.KafkaValue(Map(t -> i.toLong)))
+      })
+    }
+    kThreads.foreach(_.start()); kThreads.foreach(_.join())
+    assert(omK.getLatestOffset("k").contains(
+      OffsetValue.KafkaValue(Map(0 -> 200L, 1 -> 200L, 2 -> 200L, 3 -> 200L))),
+      s"kafka merge lost a partition: ${omK.getLatestOffset("k")}")
+  }
+
   test("incrementalFilter reads only past the committed offset and pushes down") {
     val dir = tmpDir("inc_")
     (1L to 100L).map(i => (i, s"r$i")).toDF("seq", "v")
