@@ -321,8 +321,19 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // codegen-failure attribution (r17): a stage past janino's 64 KB
+    // limit silently drops to interpreted eval with only an ERROR log
+    // line — count it per query so the regression ships in the JSON
+    // artifact instead of hiding in stderr (q_frontier ran that way
+    // for rounds)
+    CodegenMonitor.install()
+    val cgByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
-      name -> timeQuery(spark, name, fn, sfDir, runs)
+      val cg0 = CodegenMonitor.count
+      val r = name -> timeQuery(spark, name, fn, sfDir, runs)
+      val d = CodegenMonitor.count - cg0
+      if (d > 0) cgByQuery(name) = d
+      r
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
       .mkString("{", ",", "}")
@@ -547,7 +558,14 @@ object Bench {
     // total included), so the headline number rides the end — and the
     // FULL line is additionally persisted to a file the capture can't
     // truncate
-    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json$sf10Json$regressionsJson,"value":$totalJson}"""
+    // total spans every pass (sf0.1 sweep + sf1/sf10 + attribution
+    // re-runs); per-query attribution covers the sf0.1 sweep
+    val cgJson = {
+      val per = cgByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      s""","codegen_failures":{"total":${CodegenMonitor.count},"queries":$per}"""
+    }
+    val line = s"""{"metric":"total","unit":"sec","runs":$runs,"failed":$nFailed,"queries":$qs,"sf":"$sfDir"$sf1Json$sf10Json$regressionsJson$cgJson,"value":$totalJson}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

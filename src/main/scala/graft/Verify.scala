@@ -16,8 +16,15 @@ object Verify {
   private[graft] def dump(spark: SparkSession, sfDir: String, outDir: String,
                           queries: Map[String, (SparkSession, String) => DataFrame])
       : Map[String, String] = {
+    // codegen-failure attribution (r17): a silent interpreted fallback
+    // keeps every gate green while losing whole-stage codegen — count
+    // per query and leave a loud artifact (codegen_failures.json) so
+    // the regression is readable without grepping megabytes of stderr
+    CodegenMonitor.install()
+    val codegen = scala.collection.mutable.LinkedHashMap[String, Long]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
+      val cg0 = CodegenMonitor.count
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,6 +42,14 @@ object Verify {
         Files.writeString(qDir.resolve("_error.txt"),
           s"${e.getClass.getName}: ${e.getMessage}\n")
       }
+      val d = CodegenMonitor.count - cg0
+      if (d > 0) codegen(name) = d
+    }
+    if (codegen.nonEmpty) {
+      System.err.println(s"[verify] codegen compile FAILURES (interpreted fallback): " +
+        codegen.map { case (q, n) => s"$q=$n" }.mkString(", "))
+      Files.writeString(Paths.get(outDir, "codegen_failures.json"),
+        codegen.map { case (q, n) => s""""$q": $n""" }.mkString("{", ",", "}"))
     }
     failures.toMap
   }
