@@ -401,6 +401,27 @@ object GraftFunctions {
           s"canonicalize_url expects 1 argument, got ${children.length}")
         CanonicalizeUrl(children(0))
       }),
+    ("pq_encode",
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"pq_encode expects 2 arguments, got ${children.length}")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType == BinaryType =>
+            Option(e.eval()).map(_.asInstanceOf[Array[Byte]]).getOrElse(
+              throw new IllegalArgumentException(
+                "pq_encode: codebooks must be a non-null binary literal"))
+          case other => throw new IllegalArgumentException(
+            s"pq_encode: codebooks must be a binary literal, got $other")
+        }
+        PqEncode(children(0), bytes)
+      }),
+    ("pq_adc_cosine",
+      new ExpressionInfo(classOf[PqAdcCosine].getName, "pq_adc_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"pq_adc_cosine expects 4 arguments, got ${children.length}")
+        PqAdcCosine(children(0), children(1), children(2), children(3))
+      }),
     ("token_window_hashes",
       new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
       (children: Seq[Expression]) => {
@@ -602,6 +623,11 @@ object GraftFunctions {
     call_function("normalize_text", text, org.apache.spark.sql.functions.lit(form))
   def canonicalizeUrl(url: Column): Column =
     call_function("canonicalize_url", url)
+  def pqEncode(vec: Column, codebookBytes: Array[Byte]): Column =
+    call_function("pq_encode", vec,
+      org.apache.spark.sql.functions.lit(codebookBytes))
+  def pqAdcCosine(codes: Column, dotT: Column, nrmT: Column, qNorm: Column): Column =
+    call_function("pq_adc_cosine", codes, dotT, nrmT, qNorm)
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     call_function("lsh_buckets", vec,
       org.apache.spark.sql.functions.typedlit(planes),

@@ -111,11 +111,22 @@ object ProductQuant {
 
   /** PQ codes as ONE `array<tinyint>` column (byte j = nearest
     * centroid of subspace j, stored as idx − 128 to fit tinyint).
-    * A single expression tree regardless of m and ksub: the whole
-    * codebook is one literal, traversed by nested HOF lambdas — the
-    * per-subspace formulation would put m × ksub expression nodes into
-    * Catalyst and stall analysis at production m. */
-  def codesOf(vec: Column, codebooks: Codebooks): Column = {
+    * r17: the native `pq_encode` expression — codebook as one binary
+    * literal, the m·ksub·dsub distance loop in primitive Java inside
+    * whole-stage codegen. The HOF formulation it replaces
+    * ([[codesOfColumns]], kept as the spec parity twin) allocated
+    * ~2·ksub arrays/structs per subspace PER ROW on the index-build
+    * path — the one that scans the whole corpus at 100 TB. Callers
+    * must `GraftFunctions.ensure` the session. */
+  def codesOf(vec: Column, codebooks: Codebooks): Column =
+    graft.expr.GraftFunctions.pqEncode(vec,
+      graft.expr.PqEncode.serialize(codebooks))
+
+  /** The retired HOF formulation of [[codesOf]] — kept ONLY as the
+    * parity oracle for the native expression (ProductQuantSpec asserts
+    * byte-identical codes on real embeddings). Do not use in plans:
+    * per-row allocation storm (see [[codesOf]]). */
+  private[graft] def codesOfColumns(vec: Column, codebooks: Codebooks): Column = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     val ksub = codebooks(0).length
@@ -134,8 +145,10 @@ object ProductQuant {
   /** Encode a table: `idCol` + `codes` (m bytes/row). Write THIS as
     * the stored index. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             codebooks: Codebooks): DataFrame =
+             codebooks: Codebooks): DataFrame = {
+    graft.expr.GraftFunctions.ensure(df.sparkSession)
     df.select(col(idCol), codesOf(col(vecCol), codebooks).as("codes"))
+  }
 
   /** Per-query ADC dot table: dotT(j)(c) = ⟨query_j, codebook(j)(c)⟩. */
   private[graft] def dotTable(query: Array[Double], codebooks: Codebooks): Seq[Seq[Double]] = {
@@ -151,14 +164,25 @@ object ProductQuant {
     codebooks.toIndexedSeq.map(_.toIndexedSeq.map(_.map(x => x * x).sum))
 
   /** ADC cosine of a codes column against per-query lookup tables
-    * (both m × ksub literals or columns): m element_at lookups + adds
-    * per side. element_at is 1-based and codes store idx − 128 →
-    * index c + 129. ONE implementation for both the single-query
-    * (literal qNorm) and batched (qNorm column on the probe row)
-    * paths — a fix to the lookup or the zero guards must never apply
-    * to one and not the other. */
+    * (both m × ksub literals or columns). ONE implementation for both
+    * the single-query (literal qNorm) and batched (qNorm column on
+    * the probe row) paths — a fix to the lookup or the zero guards
+    * must never apply to one and not the other. r17: the native
+    * `pq_adc_cosine` kernel (2m primitive reads per row; the HOF
+    * `aggregate(zip_with(element_at))` twin allocated a zipped array
+    * per table per row on the scan-every-row-per-query path). Callers
+    * reach this through probe entry points that already ensure the
+    * session. */
   private def adcCosine(codes: Column, dotT: Column, nrmT: Column,
-                        qNorm: Column): Column = {
+                        qNorm: Column): Column =
+    graft.expr.GraftFunctions.pqAdcCosine(codes, dotT, nrmT, qNorm)
+
+  /** The retired HOF formulation of [[adcCosine]] — kept ONLY as the
+    * parity oracle (spec asserts equal scores on real codes through
+    * both probe shapes). element_at is 1-based and codes store
+    * idx − 128 → index c + 129. */
+  private[graft] def adcCosineColumns(codes: Column, dotT: Column, nrmT: Column,
+                                      qNorm: Column): Column = {
     def lookupSum(table: Column) = aggregate(
       zip_with(codes, table, (c, row) => element_at(row, c.cast("int") + 129)),
       lit(0.0d), (acc, v) => acc + v)
@@ -174,13 +198,15 @@ object ProductQuant {
   /** Single-query top-k over an encoded table: one scan of the m-byte
     * codes + TakeOrdered — no shuffle, no join, dim never read. */
   def topK(encoded: DataFrame, idCol: String, query: Array[Double], k: Int,
-           codebooks: Codebooks): DataFrame =
+           codebooks: Codebooks): DataFrame = {
+    graft.expr.GraftFunctions.ensure(encoded.sparkSession)
     encoded.select(col(idCol),
         round(adcCosine(col("codes"),
           typedlit(dotTable(query, codebooks)), typedlit(normTable(codebooks)),
           lit(qNormOf(query))), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
 
   /** Batched top-k: each query's dot table rides the broadcast probe
     * row (m × ksub doubles — 16 KB at m=16/ksub=256, so thousands of

@@ -185,7 +185,7 @@ class VectorExpressionsSpec extends SparkSpec {
       Seq("cosine_sim", "simhash64", "minhash_sig", "word_shingles", "top_k_rows",
         "vector_sum", "mat_vec_mul", "kll_sketch_agg", "kll_merge_agg", "kll_quantile",
         "approx_top_items", "normalize_text", "unigram_ppl", "bigram_ppl",
-        "deflate_ratio", "canonicalize_url", "token_window_hashes",
+        "deflate_ratio", "canonicalize_url", "pq_encode", "pq_adc_cosine", "token_window_hashes",
         "max_cosine_sim", "bpe_encode",
         "bloom_might_contain", "lsh_buckets", "sniff_charset", "decode_charset",
         "sniff_mime", "robots_compile", "robots_allowed", "nearest_centroid",

@@ -53,6 +53,72 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("native pq_encode == retired HOF chain, byte for byte; codegen plan") {
+    // the r17 native expression must reproduce the HOF formulation's
+    // codes exactly (same sequential accumulation, same lowest-index
+    // tie rule) on real vectors across both layouts, and the encode
+    // scan must stay inside whole-stage codegen
+    graft.expr.GraftFunctions.ensure(spark)
+    for ((m, ksub) <- Seq((4, 8), (8, 32), (16, 4))) {
+      val cb = ProductQuant.fitCodebooks(emb, "embedding", m = m, ksub = ksub, iters = 3)
+      val both = emb.select(col("vec_id"),
+        ProductQuant.codesOf(col("embedding"), cb).as("native"),
+        ProductQuant.codesOfColumns(col("embedding"), cb).as("chain"))
+      val bad = both.where(col("native") =!= col("chain")).count()
+      assert(bad == 0, s"m=$m ksub=$ksub: $bad rows diverge from the HOF parity twin")
+    }
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 8, iters = 3)
+    // fresh (uncached) input so the executed plan is this query's own —
+    // a cache hit renders as InMemoryRelation whose inner stage shows
+    // codegen only as the "*(n)" marker
+    val enc = ProductQuant.encode(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", cb)
+    enc.collect()
+    val plan = enc.queryExecution.executedPlan.toString()
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"encode fell out of codegen:\n$plan")
+    // null vector → null codes, dimension mismatch fails loudly
+    val withNull = Seq((1L, vecs(0)._2), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = ProductQuant.encode(withNull, "vec_id", "embedding", cb).collect()
+    assert(out.find(_.getLong(0) == 2L).exists(_.isNullAt(1)))
+    val shortVec = Seq((1L, Array.fill(3)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      ProductQuant.encode(shortVec, "vec_id", "embedding", cb).collect())
+    assert(String.valueOf(e.getMessage).contains("dims") ||
+      String.valueOf(e.getCause).contains("dims"))
+  }
+
+  test("native pq_adc_cosine == retired HOF scoring on real codes, both probe shapes") {
+    graft.expr.GraftFunctions.ensure(spark)
+    val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 8, ksub = 16, iters = 3)
+    val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    val q = vecs(42)._2.map(_.toDouble)
+    val (dt, nt) = (ProductQuant.dotTable(q, cb), ProductQuant.normTable(cb))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    // literal-table shape (single query): native full-corpus scores
+    // must equal the HOF chain's, row for row
+    val both = encoded.select(col("vec_id"),
+      round(graft.expr.GraftFunctions.pqAdcCosine(col("codes"),
+        typedlit(dt), typedlit(nt), lit(qn)), 6).as("native"),
+      round(ProductQuant.adcCosineColumns(col("codes"),
+        typedlit(dt), typedlit(nt), lit(qn)), 6).as("chain"))
+    assert(both.where(col("native") =!= col("chain")).count() == 0)
+    // column-table shape (batched): the dot table rides the row
+    val probed = encoded.withColumn("_dt", typedlit(dt)).withColumn("_qn", lit(qn))
+    val both2 = probed.select(
+      round(graft.expr.GraftFunctions.pqAdcCosine(col("codes"),
+        col("_dt"), typedlit(nt), col("_qn")), 6).as("native"),
+      round(ProductQuant.adcCosineColumns(col("codes"),
+        col("_dt"), typedlit(nt), col("_qn")), 6).as("chain"))
+    assert(both2.where(col("native") =!= col("chain")).count() == 0)
+    // zero guards: zero query norm scores 0, not NaN/divide-by-zero
+    val z = encoded.limit(1).select(
+      graft.expr.GraftFunctions.pqAdcCosine(col("codes"),
+        typedlit(dt), typedlit(nt), lit(0.0d)).as("s")).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("recall@10 against exact brute force is high at m=4/ksub=64") {
     val cb = ProductQuant.fitCodebooks(emb, "embedding", m = 4, ksub = 64, iters = 8)
     val encoded = ProductQuant.encode(emb, "vec_id", "embedding", cb)
