@@ -211,8 +211,10 @@ case class PqAdcCosine(codes: Expression, dotT: Expression,
       val c = cs.getByte(j) + 128
       val dRow = dt.getArray(j)
       val nRow = nt.getArray(j)
-      // out-of-range code = corrupted index bytes: fail loudly like
-      // the HOF chain's element_at would
+      // out-of-range code = corrupted index bytes or a wrong-model
+      // wiring bug; fail LOUDLY — the HOF chain's non-ANSI element_at
+      // would return null here and the bad row would silently score
+      // null instead of surfacing the corruption
       if (c < 0 || c >= dRow.numElements() || c >= nRow.numElements())
         throw new IllegalArgumentException(
           s"pq_adc_cosine: code ${cs.getByte(j)} out of range for ksub ${dRow.numElements()}")

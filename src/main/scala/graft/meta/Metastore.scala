@@ -201,10 +201,6 @@ final class Metastore(spark: SparkSession,
       s"compactPartition needs a storage-backed table; '$name' (${t.format.name}) has no files")
     val partDir = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
     val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = targetFiles.getOrElse {
-      val size = sizeOf(partDir.toString).getOrElse(0L)
-      math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
-    }
     // Spark refuses to overwrite a path it is reading in the same plan,
     // so: compact into a staging dir, then swap DIRECTORIES in —
     // rename(partDir -> old), rename(staging -> partDir), delete(old).
@@ -220,6 +216,12 @@ final class Metastore(spark: SparkSession,
     val staging = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate")
     val oldDir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate.old")
     recoverCompactionSwap(fs, partDir, staging, oldDir)
+    // size AFTER recovery: a just-restored partition must drive the
+    // file-count target, not the crashed state's empty directory
+    val n = targetFiles.getOrElse {
+      val size = sizeOf(partDir.toString).getOrElse(0L)
+      math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
+    }
     val obs = new org.apache.spark.sql.Observation()
     getTable(name, Some(infoDate), Some(infoDate))
       .drop(t.infoDateColumn)
