@@ -45,12 +45,14 @@ object Verify {
       val d = CodegenMonitor.count - cg0
       if (d > 0) codegen(name) = d
     }
-    if (codegen.nonEmpty) {
+    if (codegen.nonEmpty)
       System.err.println(s"[verify] codegen compile FAILURES (interpreted fallback): " +
         codegen.map { case (q, n) => s"$q=$n" }.mkString(", "))
-      Files.writeString(Paths.get(outDir, "codegen_failures.json"),
-        codegen.map { case (q, n) => s""""$q": $n""" }.mkString("{", ",", "}"))
-    }
+    // written UNCONDITIONALLY (the errors.json discipline): a clean run
+    // into a reused outDir must overwrite the previous run's artifact,
+    // or a fixed regression keeps reading as live
+    Files.writeString(Paths.get(outDir, "codegen_failures.json"),
+      codegen.map { case (q, n) => s""""$q": $n""" }.mkString("{", ",", "}"))
     failures.toMap
   }
 

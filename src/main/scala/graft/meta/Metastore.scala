@@ -235,9 +235,17 @@ final class Metastore(spark: SparkSession,
     if (!fs.exists(partDir)) fs.mkdirs(partDir) // a dataless date still swaps
     require(fs.rename(partDir, oldDir),
       s"compactPartition: could not move $partDir aside to $oldDir")
-    require(fs.rename(staging, partDir),
-      s"compactPartition: could not swap $staging into $partDir " +
-        s"(original data preserved at $oldDir)")
+    if (!fs.rename(staging, partDir)) {
+      // roll the original straight back rather than leaving the
+      // partition missing until some future repair call: a read
+      // between the failure and the repair would "successfully"
+      // return zero rows
+      val restored = fs.rename(oldDir, partDir)
+      throw new IllegalStateException(
+        s"compactPartition: could not swap $staging into $partDir; " +
+          (if (restored) s"original partition restored from $oldDir"
+           else s"RESTORE ALSO FAILED — original data preserved at $oldDir"))
+    }
     fs.delete(oldDir, true)
     syncCatalog(t)
     val stats = TableStats(obs.get("cnt").asInstanceOf[Long], sizeOf(t.path))
@@ -278,11 +286,22 @@ final class Metastore(spark: SparkSession,
   }
 
   /** Data files currently in one info-date partition (for compaction
-    * policies: "compact when fileCount > N"). */
+    * policies: "compact when fileCount > N"). Repairs a crashed
+    * compaction swap FIRST (one cheap exists() probe): without this, a
+    * mid-swap crash leaves the partition missing, this probe reports
+    * 0 files, and the fileCount policy never re-invokes the only other
+    * operation that carries the repair — the failure would suppress
+    * its own fix while reads "successfully" return empty. */
   def partitionFileCount(name: String, infoDate: LocalDate): Int = {
     val t = getTableDef(name)
     val p = new org.apache.hadoop.fs.Path(s"${t.path}/${t.infoDateColumn}=$infoDate")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldDir = new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate.old")
+    if (fs.exists(oldDir)) {
+      recoverCompactionSwap(fs, p,
+        new org.apache.hadoop.fs.Path(s"${t.path}/_graft/compact/$infoDate"), oldDir)
+      invalidateCache(name)
+    }
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_")
       && !st.getPath.getName.startsWith("."))

@@ -268,6 +268,21 @@ class MetastoreSpec extends SparkSpec {
     ms3.compactPartition("cw3", d1, targetFiles = Some(1))
     assert(ms3.getTable("cw3", Some(d1), Some(d1)).count() == 10)
     assert(!fs3.exists(o3), "leftover .old must be cleaned")
+
+    // the repair must also be reachable from the POLICY PROBE: a
+    // mid-swap crash makes partitionFileCount report 0, and a
+    // fileCount-based policy would then never re-invoke compaction —
+    // the failure would suppress its own fix (review finding)
+    val (ms4, t4) = freshMs(name = "cw4")
+    ms4.saveTable("cw4", d1, data("d", 30))
+    val fs4 = fsOf(t4); val (p4, s4, o4) = dirs(t4)
+    spark.read.parquet(p4.toString).drop("info_date").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s4.toString)
+    assert(fs4.rename(p4, o4), "simulate mid-swap crash")
+    val n4 = ms4.partitionFileCount("cw4", d1)
+    assert(n4 > 0, s"policy probe must repair the swap first, got $n4 files")
+    assert(ms4.getTable("cw4", Some(d1), Some(d1)).count() == 30)
+    assert(!fs4.exists(o4) && !fs4.exists(s4))
   }
 
   test("M6b evolved tables read with merged schema: late-added columns surface") {
