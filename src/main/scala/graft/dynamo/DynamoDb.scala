@@ -116,6 +116,17 @@ final class DynamoDbClient(endpoint: String, region: String,
       case e: RuntimeException if e.getMessage.contains("ResourceNotFound") => false
     }
 
+  /** Idempotent create-or-wait: an EXISTING table may still be in
+    * CREATING state (real CreateTable is async and another driver may
+    * have issued it seconds ago) — skipping the ACTIVE wait on the
+    * exists path let the second driver's first PutItem die with
+    * ResourceNotFound (r17 review). One DescribeTable on the common
+    * already-ACTIVE path. */
+  def ensureTableActive(table: String, hashKey: String,
+                        rangeKey: Option[String] = None): Unit =
+    if (!tableExists(table)) createTable(table, hashKey, rangeKey)
+    else awaitActive(table)
+
   def createTable(table: String, hashKey: String, rangeKey: Option[String] = None): Unit = {
     val keys = Seq(hashKey -> "HASH") ++ rangeKey.map(_ -> "RANGE")
     // real CreateTable is ASYNC and races between drivers: a
@@ -256,8 +267,7 @@ final class BookkeeperDynamo(client: DynamoDbClient,
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   def ensureTable(): Unit =
-    if (!client.tableExists(table))
-      client.createTable(table, "tableName", Some("infoDateSortKey"))
+    client.ensureTableActive(table, "tableName", Some("infoDateSortKey"))
 
   ensureTable()
 
@@ -311,7 +321,7 @@ final class OffsetStoreDynamo(client: DynamoDbClient,
 
   private val table = s"${tablePrefix}_offsets"
 
-  if (!client.tableExists(table)) client.createTable(table, "tableName")
+  client.ensureTableActive(table, "tableName")
 
   private def attrType(tpe: String): String =
     if (tpe == "string") "S" else "N"

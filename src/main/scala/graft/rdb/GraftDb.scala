@@ -138,7 +138,7 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
     s"""CREATE TABLE IF NOT EXISTS ${q("offsets")} (
        |  ${dialect.quote("table_name")} VARCHAR(255) NOT NULL,
        |  ${dialect.quote("offset_type")} VARCHAR(20) NOT NULL,
-       |  ${dialect.quote("offset_value")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("offset_value")} ${dialect.longTextType} NOT NULL,
        |  ${dialect.quote("committed_at_ms")} BIGINT NOT NULL,
        |  PRIMARY KEY (${dialect.quote("table_name")})
        |)""".stripMargin,
@@ -160,10 +160,15 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
        |)""".stripMargin)
 
   /** Migration steps: `migrations(i)` upgrades schema version i+1 to
-    * i+2 (append one entry per [[GraftDb.CurrentVersion]] bump).
-    * Currently none — the scaffold is the contract, mirroring
-    * PramenDb's stepped addColumn calls. */
-  protected def migrations: Seq[Seq[String]] = Seq.empty
+    * i+2 (append one entry per [[GraftDb.CurrentVersion]] bump),
+    * mirroring PramenDb's stepped addColumn calls.
+    * v1 → v2: widen offsets.offset_value from VARCHAR(255) — a Kafka
+    * per-partition offset vector at ~18+ partitions exceeded it, so
+    * Kafka-sourced commits either failed (strict dialects) or were
+    * silently truncated into unparseable JSON (non-strict MySQL). */
+  protected def migrations: Seq[Seq[String]] = Seq(
+    Seq(dialect.alterColumnType(
+      q("offsets"), dialect.quote("offset_value"), dialect.longTextType)))
 
   /** Stored schema version; -1 when uninitialized. */
   def schemaVersion(): Int =
@@ -173,5 +178,5 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
 
 object GraftDb {
   /** Bump together with an appended [[GraftDb.migrations]] step. */
-  val CurrentVersion = 1
+  val CurrentVersion = 2
 }

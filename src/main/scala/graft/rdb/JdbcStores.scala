@@ -138,17 +138,39 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
               done = true
             } catch {
               case e: Exception =>
-                // lost-the-insert-race vs database outage: probe the
-                // slot. A working probe means the failure was a
-                // duplicate key (another driver won — loop re-reads);
-                // a failing probe means the database itself is gone,
-                // and reporting THAT as "CAS races" would send the
-                // operator chasing phantom contention.
-                try getLatestOffset(table)
-                catch {
-                  case _: Exception => throw new IllegalStateException(
-                    s"offset commit for '$table': database unreachable", e)
+                // lost-the-insert-race vs database outage vs a
+                // PERSISTENT insert failure: probe the slot.
+                val probed =
+                  try getLatestOffset(table)
+                  catch {
+                    case _: Exception => throw new IllegalStateException(
+                      s"offset commit for '$table': database unreachable", e)
+                  }
+                if (probed.isEmpty) {
+                  // the slot is EMPTY after our failed INSERT, so the
+                  // failure was NOT a duplicate-key race — it is
+                  // persistent (value too long, constraint,
+                  // permissions). We may have DELETEd the previously
+                  // committed row above; put it back best-effort so a
+                  // persistent failure cannot silently LOSE the
+                  // committed offset (re-ingesting the entire source on
+                  // the next run), then report the REAL error instead
+                  // of phantom contention.
+                  val restored = observed.exists { cur =>
+                    try db.executor.executeUpdate(
+                      s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, " +
+                        s"${d("offset_value")}, ${d("committed_at_ms")}) VALUES (?, ?, ?, ?)",
+                      Seq(table, cur.typeName, cur.asString, nowMs())) > 0
+                    catch { case _: Exception => false }
+                  }
+                  throw new IllegalStateException(
+                    s"offset commit for '$table': INSERT failed with the slot empty " +
+                      s"(persistent failure, not a lost race); previous offset " +
+                      s"${if (observed.isEmpty) "was absent"
+                         else if (restored) "RESTORED" else "RESTORE FAILED — re-commit manually"}", e)
                 }
+                // probe found a row: another driver won the slot —
+                // genuine lost race; the loop re-reads and re-advances
             }
           }
           if (!done && attempts >= 8)

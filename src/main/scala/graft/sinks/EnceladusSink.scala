@@ -200,12 +200,24 @@ final class EnceladusSink(
       EnceladusLayout.unpackPattern(publishPartitionPattern, infoDateColumn, infoDate, version)
     val publishPath = new org.apache.hadoop.fs.Path(s"$publishBase/$publishPart")
 
-    // guarded stale-output removal (reference EnceladusSink.scala:320 —
-    // only paths carrying the version marker are ever deleted)
+    // guarded stale-output removal (reference EnceladusSink.scala:320):
+    // delete only a path that is provably a VERSIONED leaf — the guard
+    // is that the CONFIGURED pattern carries {version}, not a literal
+    // 'enceladus_info_version=' substring (r17 review: the literal
+    // check silently skipped deletion under custom publish patterns
+    // like 'pub_date={year}-{month}-{day}/v{version}', leaving stale
+    // files mixed with the fresh publish). A version-less pattern
+    // cannot scope the delete to one version, so warn loudly instead
+    // of deleting or staying silent.
     val fs = publishPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(publishPath) && publishPath.toString.contains("enceladus_info_version=")) {
-      System.err.println(s"[graft enceladus] removing stale publish output $publishPath")
-      fs.delete(publishPath, true)
+    if (fs.exists(publishPath)) {
+      if (publishPartitionPattern.contains("{version}") && publishPart.nonEmpty) {
+        System.err.println(s"[graft enceladus] removing stale publish output $publishPath")
+        fs.delete(publishPath, true)
+      } else
+        System.err.println(s"[graft enceladus] publish path $publishPath exists but the " +
+          s"publish pattern '$publishPartitionPattern' has no {version} segment to scope a " +
+          "safe delete — standardization will write ALONGSIDE the existing files")
     }
 
     val cmd = template.get
@@ -246,10 +258,23 @@ final class EnceladusSink(
       System.err.println("[graft enceladus] 'hive.table' is set but no Hive query " +
         "executor is wired (config-declared sinks have none); partition NOT registered")
     for (table <- options.get("hive.table"); ex <- hiveExecutor) {
-      HiveDdl.addPartition(ex, hiveTemplates, table,
-        Seq("enceladus_info_date" -> infoDate.toString,
-          "enceladus_info_version" -> version.toString),
-        publishPath.toString)
+      // partition spec FROM the configured publish pattern, not
+      // hardcoded enceladus_info_* columns (r17 review: a custom
+      // pattern like 'pub_date=.../v3' made the hardcoded ADD
+      // PARTITION fail on unknown columns — or worse, register a spec
+      // that doesn't match the directory layout). A Hive-registrable
+      // layout needs every segment in col=value form; anything else
+      // warns and skips rather than issuing wrong DDL after a
+      // successful publish.
+      val segs = publishPart.split("/").toSeq.filter(_.nonEmpty)
+        .map(_.split("=", 2))
+      if (segs.nonEmpty && segs.forall(_.length == 2)) {
+        HiveDdl.addPartition(ex, hiveTemplates, table,
+          segs.map(a => a(0) -> a(1)), publishPath.toString)
+      } else
+        System.err.println(s"[graft enceladus] publish pattern " +
+          s"'$publishPartitionPattern' is not col=value partition layout; " +
+          s"Hive partition for $publishPath NOT registered")
     }
   }
 }

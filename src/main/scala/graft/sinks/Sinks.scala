@@ -155,15 +155,34 @@ final class CmdLineSink(
     // count the STAGED files, not the input: re-running the upstream
     // plan would execute the whole pipeline a second time, and a
     // nondeterministic df could report a count disagreeing with what
-    // was actually handed to the command
-    val count = df.sparkSession.read.option("header", "true").csv(dir).count()
+    // was actually handed to the command. multiLine: a quoted field
+    // holding an embedded newline is ONE record in the staged file —
+    // the line-per-record default would inflate @count (r17 review)
+    val count = df.sparkSession.read
+      .option("header", "true").option("multiLine", "true").csv(dir).count()
     val cmd = commandTemplate.replace("@path", dir).replace("@count", count.toString)
-    val proc = new ProcessBuilder(cmd.split("\\s+"): _*)
+    // quote-aware argv (EnceladusLayout.tokenize — staging paths with
+    // spaces corrupted into two arguments under split("\\s+"); r17)
+    val argv = EnceladusLayout.tokenize(cmd)
+    require(argv.nonEmpty, s"CmdLineSink: empty command after substitution: '$cmd'")
+    val proc = new ProcessBuilder(argv: _*)
       .redirectErrorStream(true).start()
+    // drain stdout on a daemon thread (the ProcessTransformer lesson,
+    // r17 review): a command printing past the ~64 KB pipe buffer
+    // blocks forever un-drained and the timeout kills a HEALTHY child
+    val outBuf = new graft.pipeline.TailBuffer(64 * 1024)
+    val drainer = new Thread(() => {
+      try proc.getInputStream.transferTo(outBuf)
+      catch { case _: java.io.IOException => () }
+    }, "graft-cmdline-drain")
+    drainer.setDaemon(true)
+    drainer.start()
     val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"CmdLineSink timed out: $cmd") }
+    drainer.join(10000)
     if (proc.exitValue() != 0)
-      throw new RuntimeException(s"CmdLineSink command failed (exit ${proc.exitValue()}): $cmd")
+      throw new RuntimeException(
+        s"CmdLineSink command failed (exit ${proc.exitValue()}): $cmd\n${outBuf.render}")
     SinkResult(count)
   }
 }

@@ -42,20 +42,46 @@ sealed trait SqlDialect {
   def timestampLiteral(d: LocalDate): String =
     s"TIMESTAMP '${d.format(DateTimeFormatter.ISO_LOCAL_DATE)} 00:00:00'"
   def limitClause(sql: String, n: Int): String = s"$sql LIMIT $n"
+  /** Column type for long machine-generated text values the store
+    * must compare with `=` (committed offsets: a Kafka per-partition
+    * vector at 1000 partitions is ~18 KB — VARCHAR(255) truncates or
+    * rejects it). TEXT where the dialect compares it natively; Oracle
+    * keeps a (documented) VARCHAR2 cap because CLOB equality is not
+    * SQL-comparable — an over-cap offset fails LOUDLY at insert and
+    * the commit path restores the previous value. */
+  def longTextType: String = "VARCHAR(32000)"
+  /** `ALTER TABLE` column-retype statement (schema migrations); the
+    * column stays NOT NULL on dialects that need it restated. */
+  def alterColumnType(table: String, column: String, newType: String): String =
+    s"ALTER TABLE $table ALTER COLUMN $column SET DATA TYPE $newType"
 }
 object SqlDialect {
   private val Iso = DateTimeFormatter.ISO_LOCAL_DATE
 
   case object Generic extends SqlDialect { val name = "generic" }
-  case object Postgres extends SqlDialect { val name = "postgresql" }
+  case object Postgres extends SqlDialect {
+    val name = "postgresql"
+    override def longTextType: String = "TEXT"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table ALTER COLUMN $column TYPE $newType"
+  }
   case object MySql extends SqlDialect {
     val name = "mysql"
     override def quote(ident: String): String = s"`$ident`"
+    override def longTextType: String = "TEXT"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table MODIFY $column $newType NOT NULL"
   }
   case object Oracle extends SqlDialect {
     val name = "oracle"
     override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
     override def limitClause(sql: String, n: Int): String = s"SELECT * FROM ($sql) WHERE ROWNUM <= $n"
+    // CLOB is not =-comparable in Oracle SQL; 4000 is the classic
+    // VARCHAR2 cap (32767 with extended string size) — over-cap
+    // offsets fail loudly at insert, never silently truncate
+    override def longTextType: String = "VARCHAR2(4000)"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table MODIFY ($column $newType)"
   }
   case object SqlServer extends SqlDialect {
     val name = "sqlserver"
@@ -63,6 +89,9 @@ object SqlDialect {
     override def dateLiteral(d: LocalDate): String = s"CONVERT(DATE, '${d.format(Iso)}')"
     override def limitClause(sql: String, n: Int): String =
       sql.replaceFirst("(?i)^SELECT ", s"SELECT TOP $n ")
+    override def longTextType: String = "VARCHAR(MAX)"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table ALTER COLUMN $column $newType NOT NULL"
   }
   /** Hive over JDBC: backtick identifiers, `to_date` literals. */
   case object Hive extends SqlDialect {

@@ -43,6 +43,8 @@ class DynamoSpec extends AnyFunSuite {
     * bookkeeper uses, including Query pagination. */
   private final class FakeDynamo(pageSize: Int = 1000) extends HttpTransport {
     val tables = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Map[String, (String, String)]]]
+    /** >0: that many DescribeTable calls answer TableStatus=CREATING. */
+    var creatingPolls = 0
     // table -> (hashKey, rangeKey) from CreateTable: PutItem REPLACES
     // by primary key like the real service, not append
     val keySchemas = collection.mutable.Map.empty[String, (String, Option[String])]
@@ -69,7 +71,12 @@ class DynamoSpec extends AnyFunSuite {
       val tname = req("TableName").asInstanceOf[String]
       headers("X-Amz-Target").stripPrefix("DynamoDB_20120810.") match {
         case "DescribeTable" =>
-          if (tables.contains(tname)) (200, s"""{"Table": {"TableName": ${Json.str(tname)}}}""")
+          if (tables.contains(tname)) {
+            // scriptable CREATING phase (real CreateTable is async):
+            // the first `creatingPolls` describes answer CREATING
+            val status = if (creatingPolls > 0) { creatingPolls -= 1; "CREATING" } else "ACTIVE"
+            (200, s"""{"Table": {"TableName": ${Json.str(tname)}, "TableStatus": ${Json.str(status)}}}""")
+          }
           else (400, """{"__type":"com.amazonaws.dynamodb.v20120810#ResourceNotFoundException"}""")
         case "CreateTable" =>
           tables.getOrElseUpdate(tname, collection.mutable.ArrayBuffer.empty)
@@ -211,6 +218,20 @@ class DynamoSpec extends AnyFunSuite {
     assert(os.getLatestOffset("s").contains(OffsetValue.StringValue("2024-01-02")))
     os.commit("ts", OffsetValue.DateTimeValue(1700000000000L))
     assert(os.getLatestOffset("ts").contains(OffsetValue.DateTimeValue(1700000000000L)))
+  }
+
+  test("an EXISTING table still in CREATING state is awaited, not written to (r17 review)") {
+    // driver A issued CreateTable seconds ago (table exists, CREATING);
+    // driver B's ensureTable used to skip the ACTIVE wait on the
+    // exists path and B's first PutItem died with ResourceNotFound
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    c.createTable("graft_bookkeeping", "tableName", Some("infoDateSortKey"))
+    fake.creatingPolls = 2 // the next driver sees CREATING twice
+    val bk = new BookkeeperDynamo(c) // constructor ensureTable must wait
+    assert(fake.creatingPolls == 0, "ensureTable must poll through the CREATING phase")
+    bk.record(graft.pipeline.RunRecord("t", d, 1L, "succeeded", 1L, 2L))
+    assert(bk.get("t", d).map(_.recordCount).contains(1L))
   }
 
   test("a corrupted signature is rejected by the fake — the signature check is real") {

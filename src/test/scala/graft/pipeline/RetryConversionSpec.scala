@@ -153,4 +153,35 @@ class RetryConversionSpec extends SparkSpec {
     val failing = new CmdLineSink(staging, "false")
     assertThrows[RuntimeException](new SinkJob(ms, failing).run("exp", d))
   }
+
+  test("CmdLineSink r17 review pins: chatty command, spaced paths, multiline CSV count") {
+    val ms = new Metastore(spark)
+    ms.register(MetaTable("exp2", tmpDir("cmd2_") + "/exp2"))
+    // one value carries an embedded newline: the staged CSV quotes it,
+    // and the @count recount must read it as ONE record (multiLine),
+    // not split it across physical lines
+    ms.saveTable("exp2", d,
+      Seq((1L, "line1\nline2"), (2L, "plain"), (3L, "x")).toDF("id", "v"))
+
+    // staging dir WITH A SPACE + a command that floods stdout well past
+    // the 64KB pipe buffer: un-drained, the child blocks forever and a
+    // healthy run dies as a timeout; naively split, the spaced path
+    // arrives as two argv entries
+    val staging = tmpDir("cmd sp_")
+    assert(staging.contains(" "), s"fixture must carry a space: $staging")
+    val marker = s"$staging/done2.marker"
+    val sink = new CmdLineSink(staging,
+      "sh -c 'head -c 200000 /dev/zero | tr \"\\0\" x; ls \"@path/_SUCCESS\" > \"" +
+        marker + "\"'", timeoutSeconds = 60)
+    val res = new SinkJob(ms, sink).run("exp2", d)
+    assert(res.recordsSent == 3,
+      s"embedded-newline row must count once: ${res.recordsSent}")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(marker)),
+      "command must survive >64KB output and a spaced staging path")
+    // failure reports carry the output tail
+    val failTail = new CmdLineSink(staging, "sh -c 'echo the-actual-reason; exit 3'")
+    val e = intercept[RuntimeException](new SinkJob(ms, failTail).run("exp2", d))
+    assert(e.getMessage.contains("the-actual-reason"),
+      s"failure must carry the drained output tail: ${e.getMessage}")
+  }
 }

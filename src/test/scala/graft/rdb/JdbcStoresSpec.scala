@@ -83,6 +83,8 @@ final class FakeDb extends SqlExecutor {
       val name = unq(m.group(1))
       tables(name) = tables(name).map(_.updated(m.group(2), m.group(3)))
       tables(name).size
+    } else if (s.startsWith("ALTER TABLE")) {
+      0 // column retypes (migrations) don't move data in the fake
     } else sys.error(s"unparsed statement: $s")
   }
 
@@ -331,13 +333,17 @@ class JdbcStoresSpec extends AnyFunSuite {
   test("migrations replay from the stored version exactly once") {
     // a v1 database upgrading to a v2 schema must run migrations(0)
     val fake = new FakeDb
+    class V1Db(ex: SqlExecutor) extends GraftDb(SqlDialect.Generic, ex) {
+      override protected def currentVersion: Int = 1
+      override protected def migrations: Seq[Seq[String]] = Seq.empty
+    }
     class V2Db(ex: SqlExecutor) extends GraftDb(SqlDialect.Generic, ex) {
       override protected def currentVersion: Int = 2
       override protected def migrations: Seq[Seq[String]] =
         Seq(Seq("UPDATE \"bookkeeping\" SET status = 'migrated_v2'"))
     }
-    new GraftDb(SqlDialect.Generic, fake).initialize() // stamps v1
-    assert(new GraftDb(SqlDialect.Generic, fake).schemaVersion() == 1)
+    new V1Db(fake).initialize() // stamps v1
+    assert(new V1Db(fake).schemaVersion() == 1)
     val v2 = new V2Db(fake)
     v2.initialize()
     assert(fake.statements.count(_.contains("migrated_v2")) == 1,
@@ -345,6 +351,36 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(v2.schemaVersion() == 2)
     v2.initialize() // idempotent: already at v2, no replay
     assert(fake.statements.count(_.contains("migrated_v2")) == 1)
+  }
+
+  test("a v1 database upgrading through the REAL migrations widens offset_value") {
+    // the production v1 -> v2 step: offsets.offset_value was
+    // VARCHAR(255), too small for a Kafka per-partition vector at
+    // ~18+ partitions — strict dialects rejected the commit, MySQL
+    // silently truncated it into unparseable JSON
+    val fake = new FakeDb
+    class V1Db(ex: SqlExecutor) extends GraftDb(SqlDialect.Generic, ex) {
+      override protected def currentVersion: Int = 1
+      override protected def migrations: Seq[Seq[String]] = Seq.empty
+    }
+    new V1Db(fake).initialize()
+    val db = new GraftDb(SqlDialect.Generic, fake)
+    db.initialize()
+    assert(db.schemaVersion() == GraftDb.CurrentVersion)
+    assert(fake.statements.exists(s =>
+      s.startsWith("ALTER TABLE \"offsets\"") && s.contains("VARCHAR(32000)")),
+      s"v2 migration must widen offset_value: ${fake.statements.filter(_.startsWith("ALTER"))}")
+    // fresh DDL carries the wide type directly
+    val fresh = new FakeDb
+    new GraftDb(SqlDialect.Generic, fresh).initialize()
+    assert(fresh.statements.exists(s =>
+      s.contains("\"offsets\"") && s.contains("VARCHAR(32000)")))
+    // a 20-partition Kafka vector (> 255 chars) round-trips
+    val os = new OffsetStoreJdbc(db, nowMs = () => 1L)
+    val wide = OffsetValue.KafkaValue((0 until 20).map(p => p -> (1234567890123L + p)).toMap)
+    assert(wide.asString.length > 255)
+    os.commit("ktopic", wide)
+    assert(os.getLatestOffset("ktopic").contains(wide))
   }
 
   test("bookkeeper record survives a lost delete+insert race (retry wins)") {
@@ -369,6 +405,37 @@ class JdbcStoresSpec extends AnyFunSuite {
       .record(RunRecord("sales", d, 99L, "succeeded", 3L, 4L))
     assert(new BookkeeperJdbc(db).get("sales", d).map(_.recordCount).contains(99L),
       "retry must land the newer record instead of failing the task")
+  }
+
+  test("a persistent INSERT failure cannot LOSE the committed offset (review finding)") {
+    // the predicated DELETE succeeds, then the INSERT keeps failing for
+    // a non-duplicate reason (value too long, constraint). The old code
+    // looped with the slot now empty and threw 'lost 8 CAS races' —
+    // with the previously committed row GONE, so the next incremental
+    // run re-ingested the whole source. Now: the old value is restored
+    // and the REAL error surfaces.
+    val (db, _) = freshDb()
+    val os0 = new OffsetStoreJdbc(db, nowMs = () => 1L)
+    os0.commit("t", OffsetValue.IntegralValue(100))
+    var failInserts = false
+    val flaky = new SqlExecutor {
+      override def executeUpdate(sql: String, params: Seq[Any] = Nil): Int =
+        if (failInserts && sql.startsWith("INSERT INTO \"offsets\"") &&
+            params.exists(_ == "200"))
+          throw new RuntimeException("value too long for column offset_value")
+        else db.executor.executeUpdate(sql, params)
+      override def query(sql: String, params: Seq[Any] = Nil): Seq[Map[String, String]] =
+        db.executor.query(sql, params)
+    }
+    val os = new OffsetStoreJdbc(new GraftDb(db.dialect, flaky), nowMs = () => 2L)
+    failInserts = true
+    val e = intercept[IllegalStateException](os.commit("t", OffsetValue.IntegralValue(200)))
+    assert(e.getMessage.contains("persistent failure") && e.getMessage.contains("RESTORED"),
+      s"must name the real failure and the restore: ${e.getMessage}")
+    assert(String.valueOf(e.getCause.getMessage).contains("value too long"))
+    // the previously committed offset is still there
+    assert(os0.getLatestOffset("t").contains(OffsetValue.IntegralValue(100)),
+      "the committed offset must survive a persistent insert failure")
   }
 
   test("lock acquire distinguishes a held lock from a database outage") {

@@ -165,6 +165,52 @@ class EnceladusSinkSpec extends SparkSpec {
     assert(parsed.jobs.isEmpty) // the first parse was just the type check
   }
 
+  test("r17 review pins: custom publish pattern scopes stale delete and drives the Hive spec") {
+    // custom col=value pattern: the stale same-version dir must still
+    // be deleted (the old guard keyed on the LITERAL substring
+    // 'enceladus_info_version=' and silently skipped custom layouts)
+    // and the Hive partition spec must come from the PATTERN, not the
+    // hardcoded enceladus_info_* columns
+    val raw = tmp("enc_raw7_")
+    val pub = tmp("enc_pub7_")
+    val hiveStatements = collection.mutable.ArrayBuffer.empty[String]
+    val recorder = new HiveDdl.QueryExecutor {
+      override def execute(sql: String): Unit = hiveStatements += sql
+      override def tableExists(fullTableName: String): Boolean = true
+    }
+    val sink = new EnceladusSink(
+      publishPartitionPattern = "pub_date={year}-{month}-{day}/pub_v={version}",
+      hiveExecutor = Some(recorder))
+    val stale = java.nio.file.Paths.get(s"$pub/pub_date=2024-06-05/pub_v=1/old.txt")
+    java.nio.file.Files.createDirectories(stale.getParent)
+    java.nio.file.Files.write(stale, "stale".getBytes)
+    sink.send(Seq((1L, "a")).toDF("id", "v"), "t", d, Map(
+      "path" -> raw, "info.version" -> "1", "publish.base.path" -> pub,
+      "dataset.name" -> "ds", "hive.table" -> "dwh.custom",
+      "enceladus.run.command" -> "true"))
+    assert(!java.nio.file.Files.exists(stale),
+      "stale publish output must be removed under a CUSTOM pattern too")
+    assert(hiveStatements.size == 1, hiveStatements.toString)
+    val stmt = hiveStatements.head
+    assert(stmt.contains("pub_date") && stmt.contains("pub_v") &&
+      !stmt.contains("enceladus_info_version"),
+      s"partition spec must come from the pattern: $stmt")
+
+    // a pattern NOT in col=value form can't be Hive-registered: warn +
+    // skip rather than issuing DDL with wrong columns
+    hiveStatements.clear()
+    val bare = new EnceladusSink(
+      publishPartitionPattern = "{year}-{month}-{day}/v{version}",
+      hiveExecutor = Some(recorder))
+    bare.send(Seq((1L, "a")).toDF("id", "v"), "t", d, Map(
+      "path" -> tmp("enc_raw8_"), "info.version" -> "1",
+      "publish.base.path" -> tmp("enc_pub8_"),
+      "dataset.name" -> "ds", "hive.table" -> "dwh.custom",
+      "enceladus.run.command" -> "true"))
+    assert(hiveStatements.isEmpty,
+      s"non-col=value layout must not register wrong DDL: $hiveStatements")
+  }
+
   test("r14c review pins: custom publish pattern version detection; quote-aware command split") {
     // version auto-detect must scan the CONFIGURED layout
     val base = tmp("enc_custom_")
