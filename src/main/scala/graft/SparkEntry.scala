@@ -74,7 +74,7 @@ object SparkEntry {
                                              every: Int = 10, idOffset: Long = 1000000L,
                                              dropEvery: Int = 50): DataFrame = {
     val base = docs.select(col(idCol), col(textCol))
-    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
     val planted = base.where(col(idCol) % every === 0)
       .select((col(idCol) + idOffset).as(idCol),
         array_join(
@@ -725,7 +725,7 @@ object SparkEntry {
       // 10-token windows (this corpus has no newlines), drop every
       // segment seen more than twice corpus-wide, rebuild in place
       val seg: Column => Column = txt => {
-        val toks = split(lower(trim(txt)), "\\s+")
+        val toks = split(lower(trim(regexp_replace(txt, "\\s+", " "))), " ")
         transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(10)),
           st => array_join(slice(toks, st, lit(10)), " "))
       }
@@ -1329,7 +1329,7 @@ object SparkEntry {
       // oracle uses the window-cumsum formulation — equal output
       // proves the two formulations compute the same math
       val dd = docs(s, dir)
-      val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
       val dotted = array_join(transform(toks,
         (t, i) => when((i + 1) % 7 === 0, concat(t, lit("."))).otherwise(t)), " ")
       graft.operators.TextPrep.chunkBySentence(
@@ -2455,8 +2455,8 @@ object SparkEntry {
 
     "q_chunk" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0),
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
         |st AS (
         |  SELECT doc_id, t,
         |    unnest(generate_series(1, greatest(len(t) - 8, 1), 56)) AS s
@@ -2482,10 +2482,10 @@ object SparkEntry {
         |      (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
         |        ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
         |             / length(text) END) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 +
-        |      (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
-        |        ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      (CASE WHEN (CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |          t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','be','at','by'], t))) AS DOUBLE)
-        |             / len(string_split_regex(lower(trim(text)), '\s+')) END) >= 0.05
+        |             / len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) END) >= 0.05
         |        THEN 1.0 ELSE 0.4 END) * 0.2 +
         |      (CASE WHEN (CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
         |        ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
@@ -2533,7 +2533,7 @@ object SparkEntry {
 
     "q_ngram_freq" ->
       """WITH toks AS (
-        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
         |pos AS (
         |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS s
         |  FROM toks WHERE len(t) >= 2)
@@ -2553,10 +2553,10 @@ object SparkEntry {
         |  SELECT text || CASE WHEN doc_id % 5 = 0 THEN ' driftbug driftbug' ELSE '' END AS t
         |  FROM documents),
         |cur_toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(t)), '\s+')) AS tok
+        |  SELECT unnest(string_split(lower(trim(regexp_replace(t, '\s+', ' ', 'g'))), ' ')) AS tok
         |  FROM cur_docs),
         |ref_toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
         |  FROM documents),
         |cur_counts AS (SELECT tok, count(*) AS n FROM cur_toks WHERE tok != '' GROUP BY tok),
         |ref_counts AS (SELECT tok, count(*) AS n FROM ref_toks WHERE tok != '' GROUP BY tok),
@@ -2673,10 +2673,10 @@ object SparkEntry {
         |    CASE WHEN len(lines) <= 0 THEN 0.0
         |      ELSE CAST(len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)'))) AS DOUBLE)
         |        / len(lines) END AS ind,
-        |    CASE WHEN length(trim(t)) = 0 THEN 0.0
+        |    CASE WHEN length(trim(regexp_replace(t, '\s+', ' ', 'g'))) = 0 THEN 0.0
         |      ELSE CAST(len(regexp_extract_all(t,
         |        '\b(?:def|class|import|return|function|const|var|void|public|static)\b')) AS DOUBLE)
-        |        / len(regexp_split_to_array(trim(t), '\s+')) END AS kd
+        |        / len(string_split(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ')) END AS kd
         |  FROM r)
         |SELECT doc_id,
         |  round(sym, 6) AS symbol_ratio,
@@ -2691,7 +2691,7 @@ object SparkEntry {
       // and the top-50 equals the exact count with the same
       // (freq desc, gram asc) boundary tie-break
       """WITH toks AS (
-        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
         |pos AS (
         |  SELECT t, unnest(generate_series(1, len(t) - 1)) AS s
         |  FROM toks WHERE len(t) >= 2)
@@ -2700,8 +2700,8 @@ object SparkEntry {
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens_ws,
+        |  CAST(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+        |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS INTEGER) AS n_tokens_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens_bpe,
         |  CAST(length(text) AS INTEGER) AS n_chars_calc
         |FROM documents""".stripMargin,
@@ -2714,9 +2714,9 @@ object SparkEntry {
         |  round(CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
         |         / length(regexp_replace(text, '[^A-Za-z]', '', 'g')) END, 4) AS upper_ratio,
-        |  round(CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-        |    ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-        |         / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_word_len
+        |  round(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |         / len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END, 4) AS mean_word_len
         |FROM documents""".stripMargin,
 
     "q_intersect" ->
@@ -2808,7 +2808,7 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
         |big AS (
         |  SELECT doc_id, t[s] || ' ' || t[s+1] AS g
         |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(s)
@@ -2826,7 +2826,7 @@ object SparkEntry {
 
     "q_line_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
         |st AS (
         |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 10)) AS s FROM toks),
         |segs AS (
@@ -2845,7 +2845,7 @@ object SparkEntry {
     "q_substring_dedup" ->
       """WITH toks0 AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |planted AS (
         |  SELECT doc_id + 1000000 AS pid,
@@ -2856,7 +2856,7 @@ object SparkEntry {
         |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
         |toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM alldocs),
         |w AS (
         |  SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS win
@@ -2896,7 +2896,7 @@ object SparkEntry {
     "q_dsir" ->
       """WITH dt AS (
         |  SELECT doc_id, unnest(list_filter(
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |    x -> x <> '')) AS tok
         |  FROM documents),
         |tt AS (SELECT tok FROM dt WHERE doc_id % 7 = 0),
@@ -2930,8 +2930,8 @@ object SparkEntry {
     "q_mix_report" ->
       """WITH g AS (
         |  SELECT source, lang, count(*) AS n_docs,
-        |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_tokens
+        |    sum(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END) AS n_tokens
         |  FROM documents GROUP BY 1, 2),
         |t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
         |SELECT source, lang,
@@ -2947,7 +2947,7 @@ object SparkEntry {
       """WITH ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
         |rt AS (
         |  SELECT unnest(list_filter(
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |    x -> x <> '')) AS tok
         |  FROM ref),
         |stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt),
@@ -2956,7 +2956,7 @@ object SparkEntry {
         |dt AS (
         |  SELECT doc_id,
         |    unnest(list_filter(
-        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |      x -> x <> '')) AS tok
         |  FROM documents),
         |scored AS (
@@ -2979,7 +2979,7 @@ object SparkEntry {
         |ref AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
         |rt AS (
         |  SELECT unnest(list_filter(
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |    x -> x <> '')) AS tok
         |  FROM ref),
         |stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt),
@@ -2988,7 +2988,7 @@ object SparkEntry {
         |dt AS (
         |  SELECT doc_id,
         |    unnest(list_filter(
-        |      string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |      x -> x <> '')) AS tok
         |  FROM corpus),
         |ppl AS (
@@ -3002,10 +3002,10 @@ object SparkEntry {
         |      (CASE WHEN (CASE WHEN length(c.text) = 0 THEN 0.0
         |        ELSE CAST(length(c.text) - length(regexp_replace(c.text, '[[:punct:]]', '', 'g')) AS DOUBLE)
         |             / length(c.text) END) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 +
-        |      (CASE WHEN (CASE WHEN length(trim(c.text)) = 0 THEN 0.0
-        |        ELSE CAST(len(list_filter(string_split_regex(lower(trim(c.text)), '\s+'),
+        |      (CASE WHEN (CASE WHEN length(trim(regexp_replace(c.text, '\s+', ' ', 'g'))) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(string_split(lower(trim(regexp_replace(c.text, '\s+', ' ', 'g'))), ' '),
         |          t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','that','this','it','as','be','at','by'], t))) AS DOUBLE)
-        |             / len(string_split_regex(lower(trim(c.text)), '\s+')) END) >= 0.05
+        |             / len(string_split(lower(trim(regexp_replace(c.text, '\s+', ' ', 'g'))), ' ')) END) >= 0.05
         |        THEN 1.0 ELSE 0.4 END) * 0.2 +
         |      (CASE WHEN (CASE WHEN length(regexp_replace(c.text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
         |        ELSE CAST(length(regexp_replace(c.text, '[^A-Z]', '', 'g')) AS DOUBLE)
@@ -3015,8 +3015,8 @@ object SparkEntry {
         |      ELSE CAST(len(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0))
         |           - len(list_distinct(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0))) AS DOUBLE)
         |           / len(list_filter(string_split(c.text, chr(10)), l -> length(trim(l)) > 0)) END), 4) AS rep,
-        |    CASE WHEN length(trim(c.text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(c.text), '\s+')) END AS n_toks
+        |    CASE WHEN length(trim(regexp_replace(c.text, '\s+', ' ', 'g'))) = 0 THEN 0
+        |         ELSE len(string_split(trim(regexp_replace(c.text, '\s+', ' ', 'g')), ' ')) END AS n_toks
         |  FROM corpus c
         |  JOIN dups d USING (doc_id)
         |  LEFT JOIN ppl p USING (doc_id)),
@@ -3039,7 +3039,7 @@ object SparkEntry {
       // exactly as the Spark fit; scoring backs off at ln(0.4)
       """WITH toksf AS (
         |  SELECT doc_id, list_filter(
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |    x -> x <> '') AS t
         |  FROM documents),
         |ref AS (SELECT t FROM toksf WHERE doc_id % 3 = 0),
@@ -3085,7 +3085,7 @@ object SparkEntry {
     "q_contamination_report" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -3165,7 +3165,7 @@ object SparkEntry {
     "q_decontam" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -3181,7 +3181,7 @@ object SparkEntry {
     "q_decontam_bloom" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
@@ -3202,7 +3202,7 @@ object SparkEntry {
       // candidate tier missed nothing the exact arithmetic flags.
       """WITH toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |bench AS (
         |  SELECT doc_id AS bench_src,
@@ -3285,7 +3285,7 @@ object SparkEntry {
       """WITH dotted AS (
         |  SELECT doc_id,
         |    array_to_string(list_transform(
-        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
         |      (t, i) -> CASE WHEN i % 7 = 0 THEN t || '.' ELSE t END), ' ') AS t
         |  FROM documents),
         |sraw AS (
@@ -3621,7 +3621,7 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       """WITH toks0 AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |planted AS (
         |  -- replay withPlantedTextNearDups: every 10th doc copied to
@@ -3635,7 +3635,7 @@ object SparkEntry {
         |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
         |toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM alldocs),
         |sh AS (
         |  SELECT DISTINCT doc_id,
@@ -3662,7 +3662,7 @@ object SparkEntry {
     "q_fingerprint" ->
       // replays the md5 twin over the identical normalization chain
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
 
     "q_data_split" ->
@@ -3684,7 +3684,7 @@ object SparkEntry {
       // verify jaccard values are bit-identical
       """WITH toks0 AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM documents),
         |planted AS (
         |  SELECT doc_id + 1000000 AS pid,
@@ -3695,7 +3695,7 @@ object SparkEntry {
         |  UNION ALL SELECT pid AS doc_id, ptext AS text FROM planted),
         |toks AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
         |  FROM alldocs),
         |sh AS (
         |  SELECT DISTINCT doc_id,

@@ -42,6 +42,14 @@ final class JdkHttpTransport(timeoutSeconds: Long = 60,
         override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
       }), new java.security.SecureRandom())
       b.sslContext(ctx)
+      // a trust-all context alone is not enough: HttpClient still runs
+      // HTTPS endpoint identification, so a typical self-signed cert
+      // (no SubjectAltName) fails the handshake on hostname checks —
+      // the explicit EMPTY algorithm disables it (null would be
+      // rewritten to "HTTPS" by the client); r17 review
+      val params = ctx.getDefaultSSLParameters
+      params.setEndpointIdentificationAlgorithm("")
+      b.sslParameters(params)
     }
     b.build()
   }
@@ -99,8 +107,12 @@ final class DatabricksClient(host: String, token: String, http: HttpTransport,
         content.getBytes("UTF-8"))),
       "overwrite" -> overwrite.toString)
     val (code, body) = http.post(createFileUrl, payload, auth)
-    if (code >= 400)
-      throw new RuntimeException(s"Failed to create file at $destination: $body")
+    // strict 2xx like runTransientJob: the JDK client never follows
+    // redirects by default, so a 3xx here means NO upload happened —
+    // '< 400 is fine' let the transient job fail later hunting for a
+    // config file that was never staged (r17 review)
+    if (code < 200 || code >= 300)
+      throw new RuntimeException(s"Failed to create file at $destination (HTTP $code): $body")
   }
 
   /** Submit a transient (one-time) job and block until it terminates;

@@ -11,10 +11,24 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** Canonical whitespace normalization: collapse EVERY whitespace run
+    * (tabs, newlines, CRs included) to one space FIRST, then trim.
+    * Order matters (r17 review): Spark's `trim` strips only the space
+    * character, so the old trim-then-collapse left a boundary space on
+    * tab/newline-padded text — "foo\n" fingerprinted differently from
+    * "foo", and boundary splits kept phantom empty tokens that
+    * inflated every token-denominated metric (tokenCountWs,
+    * meanWordLen, stopwordRatio → qualityScore) on real-world
+    * newline-terminated documents. Collapsing first turns any boundary
+    * whitespace into a plain space trim CAN strip. */
+  private[graft] def normWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
   /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCountWs(text: Column): Column = {
+    val n = normWs(text)
+    when(length(n) === 0, lit(0)).otherwise(size(split(n, " ")))
+  }
 
   /**
    * BPE-ish subword count: alphanumeric runs plus individual
@@ -47,7 +61,7 @@ object TextFunctions {
   def meanWordLen(text: Column): Column = {
     val toks = tokenCountWs(text)
     when(toks === 0, lit(0.0))
-      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / toks)
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
   }
 
   /** English stopword hit ratio among whitespace tokens. */
@@ -56,9 +70,10 @@ object TextFunctions {
     "for", "on", "with", "that", "this", "it", "as", "be", "at", "by")
 
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val n = normWs(text)
+    val toks = split(lower(n), " ")
     val hits = size(filter(toks, t => t.isin(EnglishStopwords: _*)))
-    when(length(trim(text)) === 0, lit(0.0))
+    when(length(n) === 0, lit(0.0))
       .otherwise(hits.cast("double") / size(toks))
   }
 
@@ -227,27 +242,27 @@ object TextFunctions {
    * maps to the same bucket on any executor.
    */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    xxhash64(lower(normWs(text)))
 
   /** Cross-engine-replayable fingerprint twin: md5 hex over the SAME
     * normalization chain. Use where the fingerprint must be
     * reproduced outside the JVM (DuckDB/Python audits replay
-    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))`
+    * `md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))`
     * byte-identically); [[fingerprint]] stays the hot-path default
     * (8-byte column vs 32, one codegen'd hash vs a digest). */
   def fingerprintMd5(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+    md5(lower(normWs(text)).cast("binary"))
 
   /** Normalized whitespace tokens (case-folded, collapsed). Materialize
    * this as a real column before building shingles/signatures on top —
    * a lambda that embeds this expression re-runs the regex split per
    * array element; a lambda over the materialized attribute doesn't. */
   def tokens(text: Column): Column =
-    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    split(lower(normWs(text)), " ")
 
   /** Character n-gram array over normalized text (for Jaccard / MinHash). */
   def charNgrams(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val norm = lower(normWs(text))
     filter(
       transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
         i => norm.substr(i + 1, lit(n))),

@@ -88,9 +88,14 @@ object TextPrep {
     // coalesce guards NULL text (failed extraction): without it _n is
     // null, the zero-chunk guard is false-by-null, and the doc emits a
     // phantom chunk with null text charging maxTokens of packing budget
+    // normWs (collapse ALL whitespace, then trim — r17): Spark's trim
+    // strips only spaces, so the old trim-then-regex-split kept phantom
+    // boundary tokens on tab/newline-padded docs, inflating _n and
+    // padding the first/last chunk with an empty token
     val withToks = docs
-      .withColumn("_toks", split(trim(col(textCol)), "\\s+"))
-      .withColumn("_n", when(col(textCol).isNull || length(trim(col(textCol))) === 0, 0)
+      .withColumn("_toks", split(graft.functions.TextFunctions.normWs(col(textCol)), " "))
+      .withColumn("_n", when(col(textCol).isNull ||
+          length(graft.functions.TextFunctions.normWs(col(textCol))) === 0, 0)
         .otherwise(size(col("_toks"))))
     // chunk start positions (1-based for slice): 1, 1+stride, 1+2*stride, …
     val starts = when(col("_n") === 0, array().cast("array<int>"))
@@ -133,7 +138,8 @@ object TextPrep {
     val sents = filter(transform(raw, s => trim(s)), s => length(s) > 0)
     val perSentence = docs
       .select(col(idCol), posexplode(sents).as(Seq("_pos", "_sent")))
-      .withColumn("_cnt", size(split(col("_sent"), "\\s+")).cast("long"))
+      .withColumn("_cnt",
+        size(split(graft.functions.TextFunctions.normWs(col("_sent")), " ")).cast("long"))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     val cumBefore = coalesce(
       sum(col("_cnt")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -146,8 +152,7 @@ object TextPrep {
       .agg(array_join(array_sort(collect_list(struct(col("_pos"), col("_sent")))).getField("_sent"), " ")
         .as("chunk_text"))
       .withColumn("n_chunk_tokens",
-        when(length(trim(col("chunk_text"))) === 0, 0)
-          .otherwise(size(split(trim(col("chunk_text")), "\\s+"))).cast("int"))
+        graft.functions.TextFunctions.tokenCountWs(col("chunk_text")).cast("int"))
   }
 
   // ── cross-corpus segment (line) dedup ─────────────────────────────
@@ -306,7 +311,7 @@ object TextPrep {
    * never the document text.
    */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val toks = split(lower(graft.functions.TextFunctions.normWs(col(textCol))), " ")
     val base = docs.select(col(idCol), toks.as("_t"))
       .withColumn("_nt", size(col("_t")))
       .withColumn("_dt", size(array_distinct(col("_t"))))

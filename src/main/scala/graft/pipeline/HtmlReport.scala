@@ -277,9 +277,17 @@ final class HtmlReportingNotifier(
   override def onPipelineCompletedInfo(info: PipelineInfo, results: Seq[TaskResult]): Unit = {
     val subject = RunReport.build(info.pipelineName, results, info.runDate).subject
     val entries = builder.drainEntries()
-    transport.send(subject,
-      HtmlReport.renderTyped(info, results, entries, schemaChanges()))
-    AttachmentDelivery.send(transport, entries)
+    // a failing transport (dead SMTP relay) must not FAIL a pipeline
+    // whose tasks all succeeded — the orchestrator invokes notifiers
+    // unguarded, and the drained entries are already consumed, so a
+    // propagated throw both kills the run and loses the entries for
+    // any retry (r17 review; the fanout notifier guards identically)
+    scala.util.Try(transport.send(subject,
+      HtmlReport.renderTyped(info, results, entries, schemaChanges()))) match {
+      case scala.util.Success(_) => AttachmentDelivery.send(transport, entries)
+      case scala.util.Failure(e) =>
+        System.err.println(s"[graft] report not delivered via ${transport.getClass.getSimpleName}: ${e.getMessage}")
+    }
   }
 }
 

@@ -41,9 +41,15 @@ final class TokenLock(lockDir: String, token: String,
   def tryAcquire(): Boolean = {
     fs.mkdirs(new Path(lockDir))
     if (fs.exists(path)) {
-      val observedMtime = fs.getFileStatus(path).getModificationTime
+      // a concurrent release() between exists() and getFileStatus()
+      // deletes the file out from under us: that means the lock is
+      // FREE — fall through to the create race instead of letting the
+      // FileNotFoundException fail the task (r17 review)
+      val observedMtime =
+        try fs.getFileStatus(path).getModificationTime
+        catch { case _: java.io.FileNotFoundException => -1L }
       val age = System.currentTimeMillis() - observedMtime
-      if (age <= staleMs) return false
+      if (observedMtime >= 0 && age <= staleMs) return false
       // Re-check immediately before breaking: if another driver broke
       // this stale lock and created a FRESH one in the window since our
       // age check, the mtime changed — deleting it would destroy a live
@@ -77,8 +83,14 @@ final class TokenLock(lockDir: String, token: String,
     try {
       val in = fs.open(path)
       try {
+        // read LOOP, not a single read(): a short read (legal on
+        // HDFS/S3A) like "3f2a" would never equal ownerId, turning
+        // release() into a silent no-op that leaves the partition
+        // locked for the full staleMs window (r17 review)
         val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
+        var n = 0
+        var r = in.read(bytes, 0, bytes.length)
+        while (r > 0) { n += r; r = if (n < bytes.length) in.read(bytes, n, bytes.length - n) else -1 }
         if (n <= 0) None else Some(new String(bytes, 0, n, "UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }

@@ -109,6 +109,15 @@ object SqlDialect {
   case object Db2 extends SqlDialect {
     val name = "db2"
     override def dateLiteral(d: LocalDate): String = s"DATE '${d.format(Iso)}'"
+    // the default VARCHAR(32000) exceeds DB2's row limit on default
+    // 4K-page tablespaces (~4005 bytes), and DB2 LOBs are not allowed
+    // in basic predicates (the offsets CAS DELETE compares with =) —
+    // so DB2 keeps a documented VARCHAR cap sized to fit a 4K page;
+    // an over-cap offset fails LOUDLY at insert and the commit path
+    // restores the previous value
+    override def longTextType: String = "VARCHAR(3500)"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table ALTER COLUMN $column SET DATA TYPE $newType"
   }
   case object HsqlDb extends SqlDialect {
     val name = "hsqldb"

@@ -23,6 +23,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("   ").select(TextFunctions.tokenCountWs(col("t"))).head().getInt(0) == 0)
   }
 
+  test("r17 review pins: tab/newline boundaries add no phantom tokens and don't split fingerprints") {
+    // Spark's trim strips only the space character; the old
+    // trim-then-split kept boundary empties, so nearly every real
+    // document (trailing newline) counted a phantom token — inflating
+    // every token-denominated metric — and "foo\n" fingerprinted
+    // differently from "foo", splitting byte-identical content across
+    // dedup buckets
+    def ws(t: String) = one(t).select(TextFunctions.tokenCountWs(col("t"))).head().getInt(0)
+    assert(ws("hello world\n") == 2, "trailing newline must not add a token")
+    assert(ws("\thello world") == 2)
+    assert(ws("\t") == 0 && ws("\n\n") == 0, "whitespace-only text has zero tokens")
+    assert(ws("a\t\nb") == 2)
+    def fp(t: String) = one(t).select(TextFunctions.fingerprint(col("t"))).head().getLong(0)
+    assert(fp("foo\n") == fp("foo"), "trailing newline must not split dedup buckets")
+    assert(fp("\tfoo bar\r\n") == fp("foo bar"))
+    assert(fp("foo") != fp("foo x"))
+    val md5s = Seq("foo\n", "foo").map(t =>
+      one(t).select(TextFunctions.fingerprintMd5(col("t"))).head().getString(0))
+    assert(md5s.head == md5s(1))
+    val toks = one("foo bar\n").select(TextFunctions.tokens(col("t"))).head().getSeq[String](0)
+    assert(toks == Seq("foo", "bar"), s"no phantom empty token: $toks")
+    val mwl = one("ab cd\n").select(TextFunctions.meanWordLen(col("t"))).head().getDouble(0)
+    assert(math.abs(mwl - 2.0) < 1e-9, s"meanWordLen over 2 tokens: $mwl")
+    val sr = one("the cat\n").select(TextFunctions.stopwordRatio(col("t"))).head().getDouble(0)
+    assert(math.abs(sr - 0.5) < 1e-9, s"stopword ratio over 2 tokens: $sr")
+  }
+
   test("L10 quality ratios") {
     val r = one("ABc de!?")
       .select(
