@@ -76,7 +76,10 @@ object SnapshotDiff {
     diff(before, after, keyCols)
       .groupBy()
       .agg(
-        sum(when(col("change") === "added", 1L).otherwise(0L)).as("added"),
-        sum(when(col("change") === "removed", 1L).otherwise(0L)).as("removed"),
-        sum(when(col("change") === "changed", 1L).otherwise(0L)).as("changed"))
+        // coalesce: sum over an empty diff is NULL, and the healthiest
+        // case (identical snapshots) would NPE every consumer reading
+        // getLong (r17 review)
+        coalesce(sum(when(col("change") === "added", 1L).otherwise(0L)), lit(0L)).as("added"),
+        coalesce(sum(when(col("change") === "removed", 1L).otherwise(0L)), lit(0L)).as("removed"),
+        coalesce(sum(when(col("change") === "changed", 1L).otherwise(0L)), lit(0L)).as("changed"))
 }

@@ -178,10 +178,34 @@ object DupGroups {
    */
   def keepRepresentatives(corpus: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          /** FORCE-broadcast cap for the drop set
+                            * (the SemDeDup maxBroadcastIds gate, r17
+                            * review): on a heavily-duplicated corpus
+                            * |drop| scales with the duplicate count —
+                            * billions of ids would blow the 8 GB
+                            * broadcast limit or OOM the driver. Bounded
+                            * by the distinct endpoint count of `pairs`
+                            * (each drop id appears in ≥ 1 pair), read
+                            * off one ids-only aggregate; above the cap
+                            * the anti join falls back to a shuffle
+                            * join (AQE may still pick broadcast from
+                            * the ACTUAL size). <= 0 always shuffles;
+                            * Long.MaxValue skips the gate job. */
+                          maxBroadcastIds: Long = 10000000L): DataFrame = {
     val drop = connectedComponents(pairs, aCol, bCol, maxIter)
       .where(col("id") =!= col("group_id"))
       .select(col("id").as("_drop_id"))
-    corpus.join(broadcast(drop), col(idCol) === col("_drop_id"), "left_anti")
+    val hint =
+      if (maxBroadcastIds == Long.MaxValue) true
+      else if (maxBroadcastIds <= 0L) false
+      else {
+        val bound = pairs.select(col(aCol).as("_e"))
+          .unionByName(pairs.select(col(bCol).as("_e")))
+          .agg(count_distinct(col("_e"))).head().getLong(0)
+        bound <= maxBroadcastIds
+      }
+    corpus.join(if (hint) broadcast(drop) else drop,
+      col(idCol) === col("_drop_id"), "left_anti")
   }
 }

@@ -107,8 +107,13 @@ object HtmlExtract {
       val text = s.getField("text")
       val toks = split(text, " ")
       val n = size(toks)
+      // strip flanking punctuation before the stopword match: prose
+      // tokens routinely arrive as "the," / "of." and would otherwise
+      // never match, undercounting the ratio and misclassifying
+      // genuine prose as boilerplate under minStopRatio (r17 review)
       val stopHits = size(filter(toks,
-        t => lower(t).isin(TextFunctions.EnglishStopwords: _*)))
+        t => lower(regexp_replace(t, "^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", ""))
+          .isin(TextFunctions.EnglishStopwords: _*)))
       (text =!= "") && (n >= minTokens) &&
         (s.getField("n_links").cast("double") <= lit(maxLinkShare) * n) &&
         (stopHits.cast("double") >= lit(minStopRatio) * n)

@@ -228,7 +228,19 @@ object MinHashIndex {
    */
   def appendNewDocs(batch: DataFrame, textCol: String, idCol: String,
                     indexPath: String, threshold: Double = 0.8,
-                    shingleSize: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+                    shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
+                    /** Runs over the materialized fresh docs BEFORE
+                      * their signatures append to the index. An
+                      * at-least-once caller (the streaming ingest)
+                      * commits its durable output here: a crash after
+                      * the commit but before the append re-delivers
+                      * the batch as detectable DUPLICATES, whereas
+                      * append-then-commit turned the same crash into
+                      * silent LOSS — the replay re-probed an index
+                      * that already knew the docs, got an empty fresh
+                      * set, and the documents never reached the sink
+                      * (r17 review). */
+                    beforeAppend: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     val index = spark.read.parquet(indexPath)
     val lazyFresh = newDocsOnly(batch, textCol, idCol, index, idCol,
@@ -237,6 +249,7 @@ object MinHashIndex {
     // the probe's batch-signature checkpoint (a LogicalRDD leaf of the
     // pre-checkpoint plan) is dead once `fresh` is materialized
     CheckpointDiscipline.freeLocalCheckpoint(lazyFresh)
+    beforeAppend(fresh)
     buildIndex(fresh, textCol, idCol, shingleSize, k)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
     fresh

@@ -117,7 +117,15 @@ object Ranking {
     // break the exchange reuse above.
     val dfs = postings.groupBy(col("term"))
       .agg(count(when(col("tf") > 0, 1)).as("df"))
-    val idf = log(lit(1.0d) + (col("_n") - col("df") + 0.5d) / (col("df") + 0.5d))
+    // stale caller-supplied corpusStats can make df exceed n far enough
+    // that the log argument goes NEGATIVE (df > 2n+1) — Spark's log
+    // then returns null and sum() silently DROPS the term from every
+    // score; fail loudly instead, naming the inconsistency (r17 review)
+    val idfArg = lit(1.0d) + (col("_n") - col("df") + 0.5d) / (col("df") + 0.5d)
+    val idf = when(idfArg <= 0.0d,
+        raise_error(concat(lit("bm25: term df exceeds corpus n (stale corpusStats?): df="),
+          col("df").cast("string"), lit(" n="), col("_n").cast("string"))))
+      .otherwise(log(idfArg))
     val tfNorm = (col("tf") * (k1 + 1.0d)) /
       (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("_dl") / col("_avgdl")))
     postings.join(broadcast(dfs), "term")

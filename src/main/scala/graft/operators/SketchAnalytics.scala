@@ -74,7 +74,12 @@ object SketchAnalytics {
     // faithful, collision-free labels: p50, p99, p99_9 — integer
     // rounding would label 0.999 as "p100" and collide with 1.0
     def label(p: Double): String = {
-      val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      // BigDecimal.valueOf (the double's SHORTEST decimal rendering),
+      // then an exact decimal point-shift: BigDecimal(p * 100) took
+      // the product's full binary expansion, so 0.999 labeled as
+      // p99_9000000000000056... instead of p99_9 (r17 review)
+      val s = BigDecimal.valueOf(p).underlying.movePointRight(2)
+        .stripTrailingZeros.toPlainString
       "p" + s.replace(".", "_").replace("-", "m")
     }
     val labels = probs.map(label)

@@ -164,8 +164,19 @@ object AvroCodec {
         keyIdx match {
           // a null key must STAY null (round-robin placement), not
           // become the 4-byte string "null" murmur2-pinned to one
-          // partition
-          case Some(i) => Row(if (r.isNullAt(i)) null else String.valueOf(r.get(i)), value)
+          // partition; a BINARY key decodes as UTF-8 bytes — the old
+          // String.valueOf rendered the array's identity toString
+          // ("[B@1e4a7dd4"), so identical key bytes got different
+          // strings and a key's records scattered across partitions
+          // (r17 review)
+          case Some(i) =>
+            val keyStr =
+              if (r.isNullAt(i)) null
+              else r.get(i) match {
+                case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+                case other => String.valueOf(other)
+              }
+            Row(keyStr, value)
           case None => Row(value)
         }
       }
@@ -205,12 +216,19 @@ object AvroCodec {
       val schema = new Schema.Parser().parse(avroJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       rows.map { r =>
-        val (id, body) = unframe(r.getAs[Array[Byte]](idx))
-        expectSchemaId.foreach(e => require(id == e,
-          s"schema id mismatch: payload written under id $id, reader expects $e"))
-        val dec = DecoderFactory.get().binaryDecoder(body, null)
-        val payload = recordToRow(reader.read(null, dec), payloadSchema)
-        Row((keptIdx.map(r.get) :+ payload): _*)
+        val raw = r.getAs[Array[Byte]](idx)
+        // Kafka TOMBSTONES (null value, routine on compacted topics)
+        // decode to a null payload struct — one tombstone must not
+        // NPE the whole ingestion run (r17 review)
+        if (raw == null) Row((keptIdx.map(r.get) :+ null): _*)
+        else {
+          val (id, body) = unframe(raw)
+          expectSchemaId.foreach(e => require(id == e,
+            s"schema id mismatch: payload written under id $id, reader expects $e"))
+          val dec = DecoderFactory.get().binaryDecoder(body, null)
+          val payload = recordToRow(reader.read(null, dec), payloadSchema)
+          Row((keptIdx.map(r.get) :+ payload): _*)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -225,12 +243,20 @@ object AvroCodec {
     val rdd = df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
-      rows.map { r =>
-        val (id, body) = unframe(r.getAs[Array[Byte]](idx))
-        expectSchemaId.foreach(e => require(id == e,
-          s"schema id mismatch: payload written under id $id, reader expects $e"))
-        val dec = DecoderFactory.get().binaryDecoder(body, null)
-        recordToRow(reader.read(null, dec), sparkSchema)
+      // tombstones (null value) cannot decode to a typed top-level row
+      // here — decodeInto is the null-keeping path — but they must not
+      // NPE: drop them, matching spark-avro's from_avro(null) = null
+      // semantics for a value-only decode
+      rows.flatMap { r =>
+        val raw = r.getAs[Array[Byte]](idx)
+        if (raw == null) None
+        else {
+          val (id, body) = unframe(raw)
+          expectSchemaId.foreach(e => require(id == e,
+            s"schema id mismatch: payload written under id $id, reader expects $e"))
+          val dec = DecoderFactory.get().binaryDecoder(body, null)
+          Some(recordToRow(reader.read(null, dec), sparkSchema))
+        }
       }
     }
     spark.createDataFrame(rdd, sparkSchema)

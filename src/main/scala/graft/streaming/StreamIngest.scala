@@ -26,10 +26,11 @@ object StreamIngest {
    */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      window_ : String = "5 minutes",
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes",
+                     valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
   /**
    * Streaming gap-based sessionization via `session_window` — the
@@ -39,10 +40,11 @@ object StreamIngest {
    */
   def sessionized(events: DataFrame, tsCol: String, keyCol: String,
                   gap: String = "30 minutes",
-                  watermark: String = "1 hour"): DataFrame =
+                  watermark: String = "1 hour",
+                  valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
       .select(col(keyCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -88,15 +90,20 @@ object StreamIngest {
                    maxRepetition: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
     docs
+      // TWO independent seeded hashes, the Dedup.exact discipline: a
+      // single 64-bit fingerprint collision between DISTINCT documents
+      // in one watermark window would silently discard one of them
+      // (r17 review)
       .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_fp2", xxhash64(lower(TextFunctions.normWs(col(textCol))), lit(7)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .dropDuplicatesWithinWatermark(Seq("_fp", "_fp2"))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .withColumn("repetition", round(TextFunctions.repetitionRatio(col(textCol)), 4))
       .where(col("quality") >= qualityMin && col("repetition") <= maxRepetition)
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCountWs(col(textCol)))
-      .drop("_fp")
+      .drop("_fp", "_fp2")
   }
 
   /**
@@ -136,9 +143,16 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val deduped = graft.operators.Dedup.exact(batch, textCol, idCol)
-          val fresh = graft.operators.MinHashIndex.appendNewDocs(
-            deduped, textCol, idCol, indexPath, threshold, shingleSize, k, bands)
-          onFresh(fresh, batchId)
+          // onFresh COMMITS BEFORE the index append (r17 review): with
+          // the old order, a crash between the append and onFresh made
+          // the replay re-probe an index that already knew the docs —
+          // empty fresh set, documents silently LOST. Commit-then-
+          // append converts the same crash into detectable duplicates,
+          // the loss-vs-duplicates choice streamToMetastore documents.
+          graft.operators.MinHashIndex.appendNewDocs(
+            deduped, textCol, idCol, indexPath, threshold, shingleSize, k, bands,
+            beforeAppend = fresh => onFresh(fresh, batchId))
+          ()
         }
         ()
       }

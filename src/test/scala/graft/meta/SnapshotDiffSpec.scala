@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
 class SnapshotDiffSpec extends SparkSpec {
   import spark.implicits._
 
+  test("identical snapshots summarize to (0, 0, 0), not nulls (r17 review)") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val r = SnapshotDiff.summary(snap, snap, Seq("k")).head()
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L)
+    assert(!r.isNullAt(1) && r.getLong(1) == 0L)
+    assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+  }
+
   test("added/removed/changed/unchanged classified; unchanged omitted") {
     val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "amount")

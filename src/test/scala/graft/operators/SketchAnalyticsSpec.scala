@@ -21,6 +21,18 @@ class SketchAnalyticsSpec extends SparkSpec {
     rows.toDF("day", "user")
   }
 
+  test("quantile labels are the shortest decimal: 0.999 -> p99_9, 0.07 -> p7 (r17 review)") {
+    // BigDecimal(p * 100) took the double product's full binary
+    // expansion: 0.999 labeled p99_90000000000000568... and any
+    // consumer selecting the documented name failed
+    import spark.implicits._
+    graft.expr.GraftFunctions.ensure(spark)
+    val sk = Seq(1.0, 2.0, 3.0).toDF("v")
+      .agg(graft.expr.GraftFunctions.kllSketchAgg(col("v"), 200).as("sketch"))
+    val cols = SketchAnalytics.estimateQuantiles(sk, Nil, Seq(0.5, 0.999, 0.07, 0.29)).columns.toSeq
+    assert(cols == Seq("p50", "p99_9", "p7", "p29"), cols.toString)
+  }
+
   test("estimate(union(daily sketches)) == estimate(single whole-range sketch) exactly") {
     val daily = SketchAnalytics.distinctSketch(activity, "user", Seq("day"))
     assert(daily.count() == 3)

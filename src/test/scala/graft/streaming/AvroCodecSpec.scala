@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** S6b: Kafka Avro payload layer — schema derivation, Confluent
@@ -78,6 +79,35 @@ class AvroCodecSpec extends SparkSpec {
     val back = AvroCodec.decode(AvroCodec.encode(df, 1), s).collect().sortBy(_.getLong(0))
     assert(back(0).getTimestamp(1) == early)
     assert(back(1).getTimestamp(1) == java.sql.Timestamp.valueOf("1955-06-01 01:02:03.25"))
+  }
+
+  test("r17 review pins: tombstones decode to null payload; binary keys encode by content") {
+    // a compacted topic's tombstone (null value) must not NPE the run
+    val enc = AvroCodec.encode(sample, 7)
+    val withTombstone = enc.select(col("value"))
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(null))),
+        StructType(Seq(StructField("value", BinaryType, nullable = true)))))
+    val out = AvroCodec.decodeInto(withTombstone, schema, payloadCol = "data")
+    assert(out.count() == 3)
+    assert(out.where(col("data").isNull).count() == 1, "tombstone -> null payload struct")
+    // decode (typed top-level) DROPS tombstones instead of throwing
+    assert(AvroCodec.decode(withTombstone, schema).count() == 2)
+
+    // binary key: identical bytes must produce identical key strings
+    // (String.valueOf rendered the array's identity toString, so the
+    // same key scattered across partitions)
+    val bin = StructType(Seq(
+      StructField("k", BinaryType, nullable = true),
+      StructField("id", LongType, nullable = false)))
+    val rows = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("user-1".getBytes("UTF-8"), 1L),
+      Row("user-1".getBytes("UTF-8"), 2L),
+      Row(null, 3L))), bin)
+    val keys = AvroCodec.encode(rows, 7, keyCol = Some("k"))
+      .select("key").collect().map(r => Option(r.getString(0)))
+    assert(keys.count(_.contains("user-1")) == 2, s"content keys: ${keys.toSeq}")
+    assert(keys.count(_.isEmpty) == 1, "null key stays null")
   }
 
   test("schema-id mismatch is rejected like a registry would") {
