@@ -42,14 +42,17 @@ final class JdkHttpTransport(timeoutSeconds: Long = 60,
         override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
       }), new java.security.SecureRandom())
       b.sslContext(ctx)
-      // a trust-all context alone is not enough: HttpClient still runs
-      // HTTPS endpoint identification, so a typical self-signed cert
-      // (no SubjectAltName) fails the handshake on hostname checks —
-      // the explicit EMPTY algorithm disables it (null would be
-      // rewritten to "HTTPS" by the client); r17 review
-      val params = ctx.getDefaultSSLParameters
-      params.setEndpointIdentificationAlgorithm("")
-      b.sslParameters(params)
+      // a trust-all context alone is not enough: the JDK HttpClient
+      // copies the builder's SSLParameters per connection and
+      // UNCONDITIONALLY sets the endpoint-identification algorithm to
+      // "HTTPS" unless the jdk.internal.httpclient system property is
+      // set (verified against the installed JDK's
+      // AbstractAsyncSSLConnection — an empty algorithm on the
+      // builder's parameters is overwritten, so that approach was a
+      // no-op; r17 meta-review). The property is read ONCE at class
+      // load, so set it before the first HttpClient is built; scope:
+      // JVM-wide, which is what the trust-all opt-in already means.
+      System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
     }
     b.build()
   }

@@ -244,6 +244,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(lower(normWs(text)))
 
+  /** Seeded variant over the SAME normalization chain — callers that
+    * need independent hashes (two-hash streaming dedup) must not
+    * re-spell the chain inline, or the next normalization fix misses
+    * the copy and batch/streaming fingerprints silently diverge (the
+    * exact drift class the r17 normWs fix closed). */
+  def fingerprint(text: Column, seed: Int): Column =
+    xxhash64(lower(normWs(text)), lit(seed))
+
   /** Cross-engine-replayable fingerprint twin: md5 hex over the SAME
     * normalization chain. Use where the fingerprint must be
     * reproduced outside the JVM (DuckDB/Python audits replay

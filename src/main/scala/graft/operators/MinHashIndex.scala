@@ -39,6 +39,12 @@ object MinHashIndex {
     * pain, far above the typical incremental batch. */
   val InSetPrefilterMax = 262144
 
+  /** Bumped whenever the tokenization/normalization feeding signatures
+    * changes semantically (r17: trim-then-collapse → collapse-then-trim
+    * closed the phantom-boundary-token class). Stamped into the index;
+    * probes refuse an index built under a different revision. */
+  val NormalizationRevision = 2L
+
   /** The index rows: (idCol, sig). Write this as parquet — it IS the
     * persisted index ([[writeIndex]]): probing a STORED sig column
     * derives band hashes from an attribute, while probing the lazy
@@ -56,6 +62,7 @@ object MinHashIndex {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.minhash.k", k.toLong)
       .putLong("graft.minhash.shingleSize", shingleSize.toLong)
+      .putLong("graft.minhash.norm", NormalizationRevision)
       .build()
     // sig is NULL for docs with fewer than shingleSize tokens: the
     // native minhash_sig maps an empty shingle set to a constant
@@ -118,6 +125,18 @@ object MinHashIndex {
         require(m.getLong("graft.minhash.shingleSize") == shingleSize.toLong,
           s"probe shingleSize=$shingleSize but index was built with " +
             s"shingleSize=${m.getLong("graft.minhash.shingleSize")}")
+        // normalization REVISION (r17 meta-review): the tokens() chain
+        // changed in r17 (collapse-then-trim), so signatures computed
+        // by a newer library over boundary-whitespace text disagree
+        // with a pre-r17 index's — already-indexed documents would
+        // silently re-admit as "fresh". An index stamped with an older
+        // (or missing) revision must REBUILD, not mis-probe.
+        val indexNorm =
+          if (m.contains("graft.minhash.norm")) m.getLong("graft.minhash.norm") else 1L
+        require(indexNorm == NormalizationRevision,
+          s"index was built under text-normalization revision $indexNorm; this library " +
+            s"computes revision $NormalizationRevision signatures — rebuild the index " +
+            "(writeIndex/buildIndex) before probing, or probes silently re-admit known docs")
       case _ =>
         index.where(col("sig").isNotNull).select(size(col("sig"))).take(1).foreach(row =>
           require(row.getInt(0) == k,

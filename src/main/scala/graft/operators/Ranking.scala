@@ -117,12 +117,15 @@ object Ranking {
     // break the exchange reuse above.
     val dfs = postings.groupBy(col("term"))
       .agg(count(when(col("tf") > 0, 1)).as("df"))
-    // stale caller-supplied corpusStats can make df exceed n far enough
-    // that the log argument goes NEGATIVE (df > 2n+1) — Spark's log
-    // then returns null and sum() silently DROPS the term from every
-    // score; fail loudly instead, naming the inconsistency (r17 review)
+    // stale caller-supplied corpusStats hazard: the log argument
+    // 1 + (n − df + 0.5)/(df + 0.5) = (n + 1)/(df + 0.5) is always
+    // positive (no null-idf path exists), but df > n makes idf
+    // NEGATIVE — the term silently SUBTRACTS from every score holding
+    // it. df cannot exceed n when stats come from the scored corpus,
+    // so a violation means the caller's stats are stale: fail loudly,
+    // naming both numbers (r17 review, corrected by the meta-review)
     val idfArg = lit(1.0d) + (col("_n") - col("df") + 0.5d) / (col("df") + 0.5d)
-    val idf = when(idfArg <= 0.0d,
+    val idf = when(col("df") > col("_n"),
         raise_error(concat(lit("bm25: term df exceeds corpus n (stale corpusStats?): df="),
           col("df").cast("string"), lit(" n="), col("_n").cast("string"))))
       .otherwise(log(idfArg))

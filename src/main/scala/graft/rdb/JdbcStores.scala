@@ -111,10 +111,16 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
     // the exact observed value, so a lost race deletes nothing and the
     // loser re-reads.
     var attempts = 0
+    var emptyProbes = 0
     var done = false
+    // the last offset actually SEEN in the slot across attempts: the
+    // restore target when a persistent failure follows our own DELETE
+    // (the failing attempt's own `observed` is already None by then)
+    var lastSeen: Option[OffsetValue] = None
     while (!done) {
       attempts += 1
       val observed = getLatestOffset(table)
+      if (observed.isDefined) lastSeen = observed
       // advance() owns the monotonic rule: scalar offsets replace when
       // strictly greater, per-partition kafka offsets merge (a batch
       // touches only some partitions; the rest keep their position)
@@ -146,17 +152,21 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
                     case _: Exception => throw new IllegalStateException(
                       s"offset commit for '$table': database unreachable", e)
                   }
-                if (probed.isEmpty) {
-                  // the slot is EMPTY after our failed INSERT, so the
-                  // failure was NOT a duplicate-key race — it is
-                  // persistent (value too long, constraint,
-                  // permissions). We may have DELETEd the previously
-                  // committed row above; put it back best-effort so a
-                  // persistent failure cannot silently LOSE the
-                  // committed offset (re-ingesting the entire source on
-                  // the next run), then report the REAL error instead
-                  // of phantom contention.
-                  val restored = observed.exists { cur =>
+                if (probed.isEmpty) emptyProbes += 1 else emptyProbes = 0
+                if (probed.isEmpty && emptyProbes >= 2) {
+                  // TWO consecutive empty probes after failed INSERTs:
+                  // a single empty probe can be a live CAS race (the
+                  // winner's next commit DELETEd its own row between
+                  // our failure and our probe — r17 meta-review), but
+                  // contention re-populates the slot; a repeat empty
+                  // means the failure is PERSISTENT (value too long,
+                  // constraint, permissions). We may have DELETEd the
+                  // previously committed row above; put it back
+                  // best-effort so a persistent failure cannot
+                  // silently LOSE the committed offset (re-ingesting
+                  // the entire source on the next run), then report
+                  // the REAL error instead of phantom contention.
+                  val restored = lastSeen.exists { cur =>
                     try db.executor.executeUpdate(
                       s"INSERT INTO $t (${d("table_name")}, ${d("offset_type")}, " +
                         s"${d("offset_value")}, ${d("committed_at_ms")}) VALUES (?, ?, ?, ?)",
@@ -166,7 +176,7 @@ final class OffsetStoreJdbc(db: GraftDb, nowMs: () => Long = () => System.curren
                   throw new IllegalStateException(
                     s"offset commit for '$table': INSERT failed with the slot empty " +
                       s"(persistent failure, not a lost race); previous offset " +
-                      s"${if (observed.isEmpty) "was absent"
+                      s"${if (lastSeen.isEmpty) "was absent"
                          else if (restored) "RESTORED" else "RESTORE FAILED — re-commit manually"}", e)
                 }
                 // probe found a row: another driver won the slot —

@@ -178,7 +178,12 @@ final class CmdLineSink(
     drainer.setDaemon(true)
     drainer.start()
     val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
-    if (!finished) { proc.destroyForcibly(); throw new RuntimeException(s"CmdLineSink timed out: $cmd") }
+    if (!finished) {
+      proc.destroyForcibly()
+      drainer.join(10000) // the kill closes the pipe; collect what the child last printed
+      throw new RuntimeException(
+        s"CmdLineSink timed out: $cmd\n${outBuf.render}")
+    }
     drainer.join(10000)
     if (proc.exitValue() != 0)
       throw new RuntimeException(

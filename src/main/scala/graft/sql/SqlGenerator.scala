@@ -98,6 +98,13 @@ object SqlDialect {
     val name = "hive"
     override def quote(ident: String): String = s"`$ident`"
     override def dateLiteral(d: LocalDate): String = s"to_date('${d.format(Iso)}')"
+    // HiveQL has no bounded-VARCHAR pressure and no `ALTER COLUMN ...
+    // SET DATA TYPE` form — the default spelling fails to parse, which
+    // would brick a Hive-backed bookkeeping DB at the v1→v2 migration
+    // (r17 meta-review)
+    override def longTextType: String = "STRING"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table CHANGE $column $column $newType"
   }
   /** Databricks SQL warehouses: Spark-SQL dialect — backticks, ANSI
     * date literals. */

@@ -164,16 +164,21 @@ object AvroCodec {
         keyIdx match {
           // a null key must STAY null (round-robin placement), not
           // become the 4-byte string "null" murmur2-pinned to one
-          // partition; a BINARY key decodes as UTF-8 bytes — the old
-          // String.valueOf rendered the array's identity toString
-          // ("[B@1e4a7dd4"), so identical key bytes got different
-          // strings and a key's records scattered across partitions
-          // (r17 review)
+          // partition; a BINARY key is REJECTED — String.valueOf
+          // rendered the array's identity toString ("[B@1e4a7dd4"), so
+          // identical key bytes got different strings and a key's
+          // records scattered across partitions (r17 review), and a
+          // UTF-8 decode is LOSSY (invalid sequences collapse to
+          // U+FFFD, merging DISTINCT keys; r17 meta-review) — the
+          // caller must base64/hex-encode binary keys explicitly
           case Some(i) =>
             val keyStr =
               if (r.isNullAt(i)) null
               else r.get(i) match {
-                case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+                case _: Array[Byte] => throw new IllegalArgumentException(
+                  "KafkaAvro encode: binary key columns are not supported by the " +
+                    "string-keyed sink — base64- or hex-encode the key column first " +
+                    "(a lossy UTF-8 decode would merge distinct keys)")
                 case other => String.valueOf(other)
               }
             Row(keyStr, value)

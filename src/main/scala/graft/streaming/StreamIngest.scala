@@ -93,9 +93,14 @@ object StreamIngest {
       // TWO independent seeded hashes, the Dedup.exact discipline: a
       // single 64-bit fingerprint collision between DISTINCT documents
       // in one watermark window would silently discard one of them
-      // (r17 review)
+      // (r17 review). UPGRADE NOTE: this widened the dedup state key
+      // (was _fp alone) — a query restarting from a pre-r17 checkpoint
+      // fails Spark's state-schema compatibility check and needs a
+      // fresh checkpoint directory (one-time; the dedup state it loses
+      // is at most one watermark window, re-covered by the batch
+      // backstop).
       .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("_fp2", xxhash64(lower(TextFunctions.normWs(col(textCol))), lit(7)))
+      .withColumn("_fp2", TextFunctions.fingerprint(col(textCol), seed = 7))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_fp", "_fp2"))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))

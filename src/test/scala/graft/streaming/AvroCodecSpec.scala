@@ -94,20 +94,29 @@ class AvroCodecSpec extends SparkSpec {
     // decode (typed top-level) DROPS tombstones instead of throwing
     assert(AvroCodec.decode(withTombstone, schema).count() == 2)
 
-    // binary key: identical bytes must produce identical key strings
-    // (String.valueOf rendered the array's identity toString, so the
-    // same key scattered across partitions)
+    // binary key: REJECTED loudly — String.valueOf rendered the
+    // array's identity toString (same key scattered across
+    // partitions), and a UTF-8 decode would merge DISTINCT keys whose
+    // invalid byte sequences collapse to U+FFFD; the caller encodes
     val bin = StructType(Seq(
       StructField("k", BinaryType, nullable = true),
       StructField("id", LongType, nullable = false)))
     val rows = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row("user-1".getBytes("UTF-8"), 1L),
-      Row("user-1".getBytes("UTF-8"), 2L),
       Row(null, 3L))), bin)
-    val keys = AvroCodec.encode(rows, 7, keyCol = Some("k"))
+    val e = intercept[org.apache.spark.SparkException](
+      AvroCodec.encode(rows, 7, keyCol = Some("k")).collect())
+    assert(String.valueOf(e.getMessage).contains("base64") ||
+      String.valueOf(e.getCause).toString.contains("base64"),
+      s"binary key must be rejected with encoding guidance: ${e.getMessage}")
+    // a STRING rendering of the same key still round-trips normally
+    val strKeyed = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("user-1", 1L), Row(null, 2L))),
+      StructType(Seq(StructField("k", StringType, nullable = true),
+        StructField("id", LongType, nullable = false))))
+    val keys = AvroCodec.encode(strKeyed, 7, keyCol = Some("k"))
       .select("key").collect().map(r => Option(r.getString(0)))
-    assert(keys.count(_.contains("user-1")) == 2, s"content keys: ${keys.toSeq}")
-    assert(keys.count(_.isEmpty) == 1, "null key stays null")
+    assert(keys.count(_.contains("user-1")) == 1 && keys.count(_.isEmpty) == 1)
   }
 
   test("schema-id mismatch is rejected like a registry would") {
