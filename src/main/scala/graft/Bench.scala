@@ -100,10 +100,17 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Flag >3× moves vs prior (either direction, above a noise floor)
-    * and — unless `attribute` is false — re-measure each flagged
-    * query isolated and stamp a verdict into the entry (see
+  /** Flag >1.5× moves vs prior (either direction, above a noise
+    * floor) and — unless `attribute` is false — re-measure each
+    * flagged query isolated and stamp a verdict into the entry (see
     * [[regressionVerdict]] for the four verdicts).
+    *
+    * The flag threshold MUST match [[regressionVerdict]]'s 1.5×
+    * noise bound: a wider trigger (the original 3×) left every
+    * 1.5–3× drift both un-isolated AND merged into the historical
+    * band — four 2–3× dedup-family regressions flowed through that
+    * hole in one round, each one's band_hi self-extending to its own
+    * regressed median, so no later round could ever flag it.
     *
     * Isolated re-runs take the MIN of their runs, not the median: the
     * contamination they exist to rule out (residual page-cache/GC/JIT
@@ -136,7 +143,7 @@ object Bench {
       case (name, Right(now)) if prior.contains(name)
         && math.max(now, prior(name)) >= floor =>
         (name, prior(name), now, now / math.max(prior(name), 1e-9))
-    }.filter { case (_, _, _, ratio) => ratio > 3.0 || ratio < 1.0 / 3.0 }
+    }.filter { case (_, _, _, ratio) => ratio > 1.5 || ratio < 1.0 / 1.5 }
       .sortBy { case (_, _, _, ratio) => -math.max(ratio, 1.0 / ratio) }
     val flaggedNames = regs.map(_._1).toSet
     // pending re-checks ride the same entry shape, marked by source;

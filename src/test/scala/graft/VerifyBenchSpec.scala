@@ -212,6 +212,27 @@ class VerifyBenchSpec extends SparkSpec {
     assert(pend.isEmpty, s"a cleared suspect must leave pending: $pend")
   }
 
+  test("sweep flag threshold matches regressionVerdict's 1.5x noise bound (no 1.5-3x blind spot)") {
+    // r17 post-mortem: the flag trigger was 3x while the verdict
+    // semantics were 1.5x, so a 2-3x drift was never isolated AND its
+    // median merged into the band — four dedup-family regressions
+    // flowed through in one round. The trigger must flag at >1.5x in
+    // BOTH directions and band-exclude everything it flags.
+    val results: Seq[(String, Either[String, Double])] = Seq(
+      "q_drift" -> Right(2.2),   // 2.2x slower — inside the old blind spot
+      "q_fast" -> Right(0.5),    // 2x faster — also flagged (lost work?)
+      "q_steady" -> Right(1.4),  // 1.4x — legitimate noise, unflagged
+      "q_tiny" -> Right(0.4))    // 2x move but sub-floor both sides — never flagged
+    val (json, _, flagged) = Bench.attributedRegressionsJson(
+      spark, "/nonexistent", results,
+      prior = Map("q_drift" -> 1.0, "q_fast" -> 1.0, "q_steady" -> 1.0, "q_tiny" -> 0.2),
+      floor = 0.5, attribute = false, isolatedRuns = 1)
+    assert(flagged === Set("q_drift", "q_fast"),
+      s"1.5-3x moves must be flagged and band-excluded: $flagged / $json")
+    assert(json.contains(""""query":"q_drift"""") && json.contains(""""query":"q_fast""""), json)
+    assert(!json.contains("q_steady") && !json.contains("q_tiny"), json)
+  }
+
   test("parsePriorSection extracts the right section of a prior bench line") {
     val line = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},""" +
       """"queries_sf1":{"q_a":12.5,"q_c":3.0},"value":1.75}"""
