@@ -26,12 +26,25 @@ final case class TaskEvent(
     atMs: Long)
 
 /**
+ * Storage-agnostic journal surface (reference: core/journal/Journal.scala
+ * — the reference keeps JournalHadoopFs/JournalJdbc/JournalMongoDb/
+ * JournalDynamoDB behind one trait so the journal always lands in the
+ * SAME store as bookkeeping). Implementations: [[Journal]] (FS /
+ * in-memory) and [[graft.rdb.JournalJdbc]] (the bookkeeping database).
+ */
+trait TaskJournal {
+  def append(e: TaskEvent): Unit
+  /** All events in completion order (cross-writer order after a reload). */
+  def all: Seq[TaskEvent]
+}
+
+/**
  * Append-only task journal persisted as one-JSON-file-per-event with
  * atomic renames — the same shared-FS-safe layout as the Bookkeeper,
  * so concurrent pipelines journaling into one directory can never
  * interleave partial lines. In-memory only when no path is given.
  */
-final class Journal(path: Option[String] = None) {
+final class Journal(path: Option[String] = None) extends TaskJournal {
   private val events = new java.util.concurrent.ConcurrentLinkedQueue[TaskEvent]()
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -112,7 +125,7 @@ final class Journal(path: Option[String] = None) {
 /** Feeds the journal from the orchestrator's notification stream —
   * journaling composes with any pipeline rather than needing its own
   * hook point. */
-final class JournalNotifier(journal: Journal, pipelineName: String,
+final class JournalNotifier(journal: TaskJournal, pipelineName: String,
                             clock: () => Long = () => System.currentTimeMillis())
     extends PipelineNotificationTarget {
   override def onTaskCompleted(r: TaskResult, runDate: LocalDate): Unit = {

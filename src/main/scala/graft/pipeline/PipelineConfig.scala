@@ -20,6 +20,9 @@ import java.time.LocalDate
  *                                         # cross-invocation skip-if-done, FillGaps,
  *                                         # catch-up and trackDays late-data detection
  * lock.dir = /data/state/locks            # optional (table, infoDate) run locks
+ * journal.path = /data/state/task_journal # optional append-only task-event audit log
+ *                                         # (every event kept: re-runs, failures, skips;
+ *                                         # a bookkeeping.jdbc database journal wins)
  *
  * # OR: one bookkeeping DATABASE instead of shared-FS files — drivers
  * # without a common mount coordinate skip-if-done, run locks and
@@ -40,6 +43,9 @@ import java.time.LocalDate
  *                                         # (set false to combine with --date-parallelism)
  * bookkeeping.jdbc.metadata = true        # partition key-value metadata in the db
  *                                         # (false keeps the _graft/meta_kv file layout)
+ * bookkeeping.jdbc.journal = true         # append-only task journal in the db (audit
+ *                                         # trail lives in the SAME store as bookkeeping;
+ *                                         # false falls back to journal.path if set)
  * bookkeeping.jdbc.executor.factory = com.acme.PooledExecutorFactory  # optional
  *                                         # SqlExecutorFactory FQCN (pooling, tests)
  *
@@ -132,6 +138,11 @@ object PipelineConfig {
       locks: Boolean,
       offsets: Boolean,
       metadata: Boolean,
+      /** Append task-completion events to the `journal` table —
+        * default true: the reference keeps the journal in the SAME
+        * store as bookkeeping (JournalJdbc), so a jdbc fleet's audit
+        * trail never splits across backends. */
+      journal: Boolean = true,
       makeExecutor: () => graft.rdb.SqlExecutor) {
     /** Open the database and ensure its schema (idempotent,
       * version-gated migrations). */
@@ -169,6 +180,11 @@ object PipelineConfig {
                             * lazy — the socket opens at run, the URI
                             * validates at parse. */
                           mongoBookkeeping: Option[() => graft.mongo.BookkeeperMongo] = None,
+                          /** FS task-journal directory (`journal.path`
+                            * — reference: core/journal/JournalHadoopFs).
+                            * A `bookkeeping.jdbc` database journal wins
+                            * over this (same-store discipline). */
+                          journalPath: Option[String] = None,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
@@ -717,6 +733,7 @@ object PipelineConfig {
         () => new graft.mongo.BookkeeperMongo(
           new graft.mongo.MongoClient(u.getHost, port), db, coll)
       },
+      journalPath = kv.get("journal.path"),
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
       htmlReportDir = kv.get("notification.html.dir"),
@@ -839,6 +856,7 @@ object PipelineConfig {
             locks = !kv.get("bookkeeping.jdbc.locks").contains("false"),
             offsets = !kv.get("bookkeeping.jdbc.offsets").contains("false"),
             metadata = !kv.get("bookkeeping.jdbc.metadata").contains("false"),
+            journal = !kv.get("bookkeeping.jdbc.journal").contains("false"),
             makeExecutor = makeExecutor)
         }
       })
@@ -865,7 +883,8 @@ object PipelineConfig {
       bookkeeper: BookkeeperStore,
       offsets: Option[graft.offset.OffsetStore],
       lockFactory: Option[(String, LocalDate) => RunLock],
-      metadata: Option[graft.meta.MetadataStore])
+      metadata: Option[graft.meta.MetadataStore],
+      journal: Option[TaskJournal] = None)
 
   /** Resolve the durable stores for a run: a config-declared
     * bookkeeping DATABASE wins over every storage journal, then the
@@ -880,6 +899,10 @@ object PipelineConfig {
                                       spark: Option[SparkSession] = None): ResolvedStores = {
     def sparkFor(key: String): SparkSession = spark.getOrElse(
       throw new IllegalStateException(s"$key needs a SparkSession at store resolution"))
+    // journal backend precedence mirrors bookkeeping's: the jdbc
+    // database (same-store discipline, reference JournalJdbc) wins;
+    // otherwise `journal.path` selects the FS journal; else no journal
+    val fsJournal = parsed.journalPath.map(p => new Journal(Some(p)): TaskJournal)
     val stores = parsed.jdbc match {
       case Some(j) =>
         val db = j.connect()
@@ -889,7 +912,8 @@ object PipelineConfig {
           if (j.locks)
             Some((t: String, d: LocalDate) => new graft.rdb.TokenLockJdbc(db, s"${t}_$d"))
           else None,
-          if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None)
+          if (j.metadata) Some(new graft.rdb.MetadataStoreJdbc(db)) else None,
+          if (j.journal) Some(new graft.rdb.JournalJdbc(db)) else fsJournal)
       case None =>
         val dyn = parsed.dynamoBookkeeping.map(_())
         val bk = dyn.map(_._1: BookkeeperStore)
@@ -899,14 +923,16 @@ object PipelineConfig {
           .orElse(parsed.textBookkeepingPath
             .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
           .getOrElse(fallback)
-        ResolvedStores(bk, dyn.flatMap(_._2), None, None)
+        ResolvedStores(bk, dyn.flatMap(_._2), None, None, fsJournal)
     }
     // undercover: decisions read the real history, nothing writes back
+    // (the journal drops entirely — an audit row IS a trace)
     if (!parsed.undercover) stores
     else stores.copy(
       bookkeeper = new UndercoverBookkeeper(stores.bookkeeper),
       offsets = stores.offsets.map(new graft.offset.UndercoverOffsetStore(_)),
-      metadata = stores.metadata.map(new graft.meta.UndercoverMetadataStore(_)))
+      metadata = stores.metadata.map(new graft.meta.UndercoverMetadataStore(_)),
+      journal = None)
   }
 
   /**
@@ -1140,7 +1166,9 @@ object PipelineConfig {
           lockDir: Option[String] = None,
           rerunSucceeded: Boolean = false): Seq[TaskResult] = {
     val (stores, ms) = prepare(spark, parsed, bookkeeper)
-    new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
+    val allNotifiers = notifiers ++
+      stores.journal.map(new JournalNotifier(_, parsed.name)).toSeq
+    new Orchestrator(ms, stores.bookkeeper, notifiers = allNotifiers, lockDir = lockDir,
       offsetManager = stores.offsets, lockFactory = stores.lockFactory,
       rerunSucceeded = rerunSucceeded, pipelineName = parsed.name,
       environment = parsed.environment,
@@ -1156,7 +1184,9 @@ object PipelineConfig {
                 dateParallelism: Int = 1,
                 state: Option[PipelineState] = None): Seq[TaskResult] = {
     val (stores, ms) = prepare(spark, parsed, bookkeeper)
-    new Orchestrator(ms, stores.bookkeeper, notifiers = notifiers, lockDir = lockDir,
+    val allNotifiers = notifiers ++
+      stores.journal.map(new JournalNotifier(_, parsed.name)).toSeq
+    new Orchestrator(ms, stores.bookkeeper, notifiers = allNotifiers, lockDir = lockDir,
         offsetManager = stores.offsets, lockFactory = stores.lockFactory,
         pipelineName = parsed.name, environment = parsed.environment, state = state,
         enableMultipleJobsPerTable = parsed.multipleJobsPerTable)

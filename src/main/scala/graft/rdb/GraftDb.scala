@@ -93,6 +93,11 @@ final class ConnectionExecutor(conn: java.sql.Connection) extends SqlExecutor {
  *  - `metadata`: key-value annotations per (table, info_date)
  *    partition — the relational twin of the metastore's
  *    `_graft/meta_kv/` file layout.
+ *  - `journal`: append-only task-completion events (one row per
+ *    event, re-runs and failures kept) — the relational twin of the
+ *    FS [[graft.pipeline.Journal]]'s one-file-per-event layout, so a
+ *    `bookkeeping.jdbc` fleet keeps its audit log in the SAME store
+ *    as its skip-if-done state (no split-brain persistence).
  *  - `schema_version`: single row, stepped by migrations.
  */
 class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
@@ -154,6 +159,26 @@ class GraftDb(val dialect: SqlDialect, val executor: SqlExecutor,
        |  ${dialect.quote("meta_key")} VARCHAR(255) NOT NULL,
        |  ${dialect.quote("meta_value")} VARCHAR(4000) NOT NULL,
        |  PRIMARY KEY (${dialect.quote("table_name")}, ${dialect.quote("info_date")}, ${dialect.quote("meta_key")})
+       |)""".stripMargin,
+    // append-only task journal (reference: core/journal/JournalJdbc.scala,
+    // journal/model/JournalTasks) — EVERY event keeps a row, so the key
+    // is the completion identity (at_ms, writer, seq), the exact tuple
+    // the FS journal encodes in its file names. New TABLES ride ddl()
+    // (IF NOT EXISTS runs on every initialize(), so v2 databases pick
+    // the table up without a version bump); only column CHANGES need a
+    // migrations step.
+    s"""CREATE TABLE IF NOT EXISTS ${q("journal")} (
+       |  ${dialect.quote("pipeline")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("job_name")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("table_name")} VARCHAR(255) NOT NULL,
+       |  ${dialect.quote("info_date")} VARCHAR(10),
+       |  ${dialect.quote("status")} VARCHAR(20) NOT NULL,
+       |  ${dialect.quote("record_count")} BIGINT NOT NULL,
+       |  ${dialect.quote("detail")} ${dialect.longTextType},
+       |  ${dialect.quote("at_ms")} BIGINT NOT NULL,
+       |  ${dialect.quote("writer_id")} VARCHAR(8) NOT NULL,
+       |  ${dialect.quote("seq")} BIGINT NOT NULL,
+       |  PRIMARY KEY (${dialect.quote("at_ms")}, ${dialect.quote("writer_id")}, ${dialect.quote("seq")})
        |)""".stripMargin,
     s"""CREATE TABLE IF NOT EXISTS ${q("schema_version")} (
        |  ${dialect.quote("version")} INT NOT NULL

@@ -245,6 +245,55 @@ final class MetadataStoreJdbc(db: GraftDb) extends graft.meta.MetadataStore {
 }
 
 /**
+ * Append-only task journal in the bookkeeping database (reference:
+ * pramen/core .../core/journal/JournalJdbc.scala + journal/model/
+ * JournalTasks.scala — the reference keeps the journal in the SAME
+ * store as bookkeeping, so a `bookkeeping.jdbc` fleet never splits
+ * its audit trail across backends). Same [[graft.pipeline.TaskJournal]]
+ * contract as the FS [[graft.pipeline.Journal]]: EVERY event keeps a
+ * row (re-runs, failures, skips stay visible), completion order is
+ * (at_ms, writer_id, seq) — the exact tuple the FS layout encodes in
+ * its file names, so cross-writer interleavings reload identically.
+ *
+ * A same-millisecond (at_ms, writer, seq) collision is impossible
+ * within one writer (seq increments) and pk-arbitrated across writers
+ * sharing a truncated UUID prefix — the same odds the FS file-name
+ * scheme accepts. Inserts are single autocommitted statements like
+ * every other store here: an event is durable the moment the task
+ * completes, and two drivers appending concurrently cannot interleave
+ * partial rows.
+ */
+final class JournalJdbc(db: GraftDb) extends graft.pipeline.TaskJournal {
+  import graft.pipeline.TaskEvent
+  private val t = db.table("journal")
+  private def d(ident: String) = db.dialect.quote(ident)
+  private val writerId = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def append(e: TaskEvent): Unit =
+    db.executor.executeUpdate(
+      s"INSERT INTO $t (${d("pipeline")}, ${d("job_name")}, ${d("table_name")}, " +
+        s"${d("info_date")}, ${d("status")}, ${d("record_count")}, ${d("detail")}, " +
+        s"${d("at_ms")}, ${d("writer_id")}, ${d("seq")}) " +
+        s"VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+      // info_date/detail travel as the FS journal's empty-string
+      // spelling — the column is nullable only because Oracle folds ''
+      // to NULL; reads treat the two identically
+      Seq(e.pipeline, e.job, e.table, e.infoDate.map(_.toString).getOrElse(""),
+        e.status, e.records, e.detail, e.atMs, writerId, seq.getAndIncrement()))
+
+  override def all: Seq[TaskEvent] =
+    db.executor.query(
+      s"SELECT * FROM $t ORDER BY ${d("at_ms")}, ${d("writer_id")}, ${d("seq")}")
+      .map { row =>
+        val date = Option(row.getOrElse("info_date", null)).filter(_.nonEmpty)
+        TaskEvent(row("pipeline"), row("job_name"), row("table_name"),
+          date.map(LocalDate.parse), row("status"), row("record_count").toLong,
+          Option(row.getOrElse("detail", null)).getOrElse(""), row("at_ms").toLong)
+      }
+}
+
+/**
  * Database-arbitrated run lock (reference: pramen/core
  * .../core/lock/TokenLockJdbc.scala): the PRIMARY KEY on `token`
  * makes acquisition one atomic INSERT — exactly the role the FS

@@ -202,4 +202,58 @@ class ConfigJdbcSpec extends SparkSpec {
     assert(e.getMessage.contains("jdbc:dead:standby"), e.getMessage)
     assert(e.getMessage.contains("2 attempt(s)"), e.getMessage)
   }
+
+  test("task journal lands in the config-declared database; visible across drivers in order") {
+    SharedDbFactory.reset()
+    val base = java.nio.file.Files.createTempDirectory("cfg_jdbc_journal_").toString
+    seed(base, 1 to 5, d.toString)
+    // run 1 succeeds, run 2 skips (skip-if-done) — BOTH events must
+    // journal: the audit log keeps every completion, not latest state
+    PipelineConfig.run(spark, PipelineConfig.parse(baseConfig(base)), d)
+    PipelineConfig.run(spark, PipelineConfig.parse(baseConfig(base)), d)
+    assert(SharedDbFactory.current.statements.exists(_.startsWith("INSERT INTO \"journal\"")),
+      "journal rows must land in the shared database")
+    // a THIRD driver (fresh parse/resolve) reads the fleet's history
+    val stores = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base)), new Bookkeeper())
+    val events = stores.journal.getOrElse(fail("jdbc config must default the journal on")).all
+    assert(events.map(_.status) == Seq("succeeded", "skipped"), events.toString)
+    // the aggregating transformer writes ONE row — records is the
+    // OUTPUT count, same number the bookkeeper records
+    assert(events.head.pipeline == "dbwired" && events.head.records == 1L)
+  }
+
+  test("journal precedence: jdbc journal=false falls back to journal.path; undercover drops it") {
+    SharedDbFactory.reset()
+    val base = java.nio.file.Files.createTempDirectory("cfg_jdbc_jprec_").toString
+    // jdbc journal off + FS path set -> FS journal
+    val fsBacked = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base) +
+        s"bookkeeping.jdbc.journal = false\njournal.path = $base/jnl\n"),
+      new Bookkeeper())
+    assert(fsBacked.journal.exists(_.isInstanceOf[Journal]),
+      "journal=false must fall back to the FS journal when journal.path is set")
+    // jdbc journal off, no FS path -> none
+    val none = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base) + "bookkeeping.jdbc.journal = false\n"),
+      new Bookkeeper())
+    assert(none.journal.isEmpty)
+    // journal.path WITHOUT jdbc -> FS journal (non-database pipelines
+    // get the audit log too)
+    val noDb = PipelineConfig.resolveStores(
+      PipelineConfig.parse(
+        s"""pipeline.name = fsj
+           |journal.path = $base/jnl2
+           |table.t.path = $base/t
+           |job.1.transformer = identity
+           |job.1.output = t
+           |job.1.option.input.table = t
+           |""".stripMargin), new Bookkeeper())
+    assert(noDb.journal.exists(_.isInstanceOf[Journal]))
+    // undercover: no journal trace at all, even with jdbc configured
+    val uc = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base) + "undercover = true\n"),
+      new Bookkeeper())
+    assert(uc.journal.isEmpty, "undercover runs must not journal")
+  }
 }

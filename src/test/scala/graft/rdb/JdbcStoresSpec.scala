@@ -93,11 +93,23 @@ final class FakeDb extends SqlExecutor {
     val bsql = bound(sql, params)
     statements += bsql
     val s = ws(bsql)
-    val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (\\S+) DESC)?(?: LIMIT (\\d+))?$".r
+    val m = "SELECT (.*) FROM (\\S+)(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: LIMIT (\\d+))?$".r
       .findFirstMatchIn(s).getOrElse(sys.error(s"unparsed SELECT: $s"))
     val name = unq(m.group(2))
     var rows = tables.getOrElse(name, Vector.empty).filter(predicate(Option(m.group(3))))
-    Option(m.group(4)).foreach(c => rows = rows.sortBy(_(unq(c))).reverse)
+    // ORDER BY: single column + DESC (bookkeeper latest-record) or a
+    // comma-list ascending (journal completion order). Numeric-looking
+    // values sort numerically — a BIGINT column must not order "9"
+    // after "10" just because the fake stores strings.
+    Option(m.group(4)).foreach { ob =>
+      val desc = ob.endsWith(" DESC")
+      val cols = ob.stripSuffix(" DESC").split(",").map(c => unq(c.trim)).toSeq
+      def key(v: String): (Int, Long, String) =
+        try (0, v.toLong, "") catch { case _: NumberFormatException => (1, 0L, v) }
+      import scala.math.Ordering.Implicits._
+      rows = rows.sortBy(r => cols.map(c => key(r(c))))
+      if (desc) rows = rows.reverse
+    }
     Option(m.group(5)).foreach(n => rows = rows.take(n.toInt))
     val proj = m.group(1).trim
     if (proj == "*") rows
@@ -152,11 +164,11 @@ class JdbcStoresSpec extends AnyFunSuite {
     (db, fake)
   }
 
-  test("initialize creates the five tables and stamps the schema version; re-init is a no-op") {
+  test("initialize creates the six tables and stamps the schema version; re-init is a no-op") {
     val (db, fake) = freshDb()
     assert(db.schemaVersion() == GraftDb.CurrentVersion)
     val creates = fake.statements.count(_.startsWith("CREATE TABLE IF NOT EXISTS"))
-    assert(creates == 5)
+    assert(creates == 6)
     db.initialize() // idempotent
     assert(db.schemaVersion() == GraftDb.CurrentVersion)
     assert(fake.statements.count(_.startsWith("INSERT INTO \"schema_version\"")) == 1)
@@ -641,5 +653,61 @@ class JdbcStoresSpec extends AnyFunSuite {
       "the annotation must land in the database")
     // key validation stays on the shared surface
     intercept[IllegalArgumentException](ms.setMetadata("t1", d, "bad/key", "x"))
+  }
+
+  test("journal: every event keeps a row; completion order holds across writers") {
+    import graft.pipeline.TaskEvent
+    val (db, _) = freshDb()
+    // two "drivers" (separate instances = separate writer ids + seqs)
+    // interleave appends; a re-run of the same (job, date) appends a
+    // SECOND row — the journal is an audit log, not latest-state
+    val a = new JournalJdbc(db)
+    val b = new JournalJdbc(db)
+    a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 10L, "", 100L))
+    b.append(TaskEvent("p", "j2", "t", Some(d), "failed", 0L, "boom", 200L))
+    a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 12L, "re-run", 300L))
+    b.append(TaskEvent("p", "j3", "t", None, "skipped", 0L, "already done", 250L))
+    // a third driver reloads the full history in completion (at_ms) order
+    val all = new JournalJdbc(db).all
+    assert(all.map(_.job) == Seq("j1", "j2", "j3", "j1"))
+    assert(all.map(_.status) == Seq("succeeded", "failed", "skipped", "succeeded"))
+    assert(all.count(_.job == "j1") == 2, "re-runs must both stay visible")
+    assert(all(2).infoDate.isEmpty, "a skipped event has no info date")
+    assert(all(1).detail == "boom")
+  }
+
+  test("journal: quotes and backslashes ride bind parameters and round-trip") {
+    import graft.pipeline.TaskEvent
+    val (db, fake) = freshDb()
+    val j = new JournalJdbc(db)
+    val nasty = "it's \"quoted\" and C:\\network \\n not-a-newline"
+    j.append(TaskEvent("p'1", "j\\2", "t", Some(d), "failed", 0L, nasty, 7L))
+    val (sql, params) = fake.prepared.find(_._1.startsWith(s"INSERT INTO \"journal\"")).get
+    assert(sql.contains("VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?)"),
+      s"values must be bind parameters, not spliced literals: $sql")
+    assert(params.contains(nasty), "detail must reach the seam verbatim")
+    assert(!sql.contains("quoted"), "no value text in the SQL")
+    val back = new JournalJdbc(db).all
+    assert(back.map(_.detail) == Seq(nasty))
+    assert(back.head.pipeline == "p'1" && back.head.job == "j\\2")
+  }
+
+  test("journal: v2 database picks the table up on initialize without a version bump") {
+    // a database created BEFORE the journal table existed (its ddl()
+    // lacked the CREATE) upgrades by re-running initialize(): table
+    // additions ride ddl()'s IF NOT EXISTS, only column changes need
+    // a migrations step
+    val fake = new FakeDb
+    class PreJournalDb(ex: SqlExecutor) extends GraftDb(SqlDialect.Generic, ex) {
+      override def ddl(): Seq[String] = super.ddl().filterNot(_.contains("\"journal\""))
+    }
+    new PreJournalDb(fake).initialize()
+    assert(!fake.statements.exists(_.startsWith("CREATE TABLE IF NOT EXISTS \"journal\"")))
+    val db = new GraftDb(SqlDialect.Generic, fake)
+    db.initialize() // current code against the old database
+    assert(db.schemaVersion() == GraftDb.CurrentVersion)
+    val j = new JournalJdbc(db)
+    j.append(graft.pipeline.TaskEvent("p", "j", "t", Some(d), "succeeded", 1L, "", 1L))
+    assert(new JournalJdbc(db).all.size == 1)
   }
 }
