@@ -185,13 +185,39 @@ final class DynamoDbClient(endpoint: String, region: String,
       "TableName" -> Json.str(table),
       "Item" -> Json.obj(fields: _*))
     val withCond = condition.fold(base) { case (expr, values) =>
-      base ++ Seq(
-        "ConditionExpression" -> Json.str(expr),
-        "ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
-          case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
-        }: _*))
+      // the real service REJECTS an empty ExpressionAttributeValues
+      // map, so a value-free condition (attribute_not_exists) must
+      // omit the key entirely
+      base ++ (Seq("ConditionExpression" -> Json.str(expr)) ++
+        (if (values.isEmpty) Nil
+         else Seq("ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
+           case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
+         }: _*))))
     }
     try { call("PutItem", Json.obj(withCond: _*)); true }
+    catch {
+      case e: RuntimeException if e.getMessage.contains("ConditionalCheckFailed") => false
+    }
+  }
+
+  /** Conditional delete; false when the condition rejects — including
+    * the item being absent (DynamoDB fails a conditioned delete on a
+    * missing item), which is arbitration, not an error. */
+  def deleteItem(table: String, key: Map[String, (String, String)],
+                 condition: Option[(String, Map[String, (String, String)])] = None): Boolean = {
+    val base = Seq(
+      "TableName" -> Json.str(table),
+      "Key" -> Json.obj(key.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>
+        k -> Json.obj(tpe -> Json.str(v))
+      }: _*))
+    val withCond = condition.fold(base) { case (expr, values) =>
+      base ++ (Seq("ConditionExpression" -> Json.str(expr)) ++
+        (if (values.isEmpty) Nil
+         else Seq("ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
+           case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
+         }: _*))))
+    }
+    try { call("DeleteItem", Json.obj(withCond: _*)); true }
     catch {
       case e: RuntimeException if e.getMessage.contains("ConditionalCheckFailed") => false
     }
@@ -354,6 +380,68 @@ final class OffsetStoreDynamo(client: DynamoDbClient,
       "offsetValue" -> (t, raw)),
       condition = Some(("attribute_not_exists(tableName) OR offsetValue < :v",
         Map(":v" -> (t, raw)))))
+    ()
+  }
+}
+
+/**
+ * DynamoDB-arbitrated run lock (reference: pramen/core
+ * .../core/lock/TokenLockDynamoDb.scala): a conditional PutItem on the
+ * lock table's hash key is the atomic arbiter — the same role the FS
+ * lock's atomic file-create and the JDBC lock's PRIMARY KEY INSERT
+ * play. Stale-break is ONE conditional replace predicated on the exact
+ * observed (lockOwner, acquiredAtMs): a holder that refreshed, or a
+ * third party that broke-and-re-acquired between our read and our
+ * write, fails the condition and is never clobbered — strictly
+ * stronger than the JDBC store's separate DELETE+INSERT window.
+ * Release is owner-predicated for the same reason. Attribute names
+ * avoid DynamoDB's reserved-word list (`lockOwner`, not `owner`) so
+ * no ExpressionAttributeNames indirection is needed.
+ */
+final class TokenLockDynamo(client: DynamoDbClient, token: String,
+                            tablePrefix: String = "graft",
+                            staleMs: Long = 4L * 3600 * 1000,
+                            nowMs: () => Long = () => System.currentTimeMillis(),
+                            ensureTable: Boolean = true)
+    extends graft.pipeline.RunLock {
+  private val table = s"${tablePrefix}_locks"
+  private val ownerId = java.util.UUID.randomUUID().toString
+  if (ensureTable) client.ensureTableActive(table, "lockToken")
+
+  private def freshItem() = Map(
+    "lockToken" -> ("S", token),
+    "lockOwner" -> ("S", ownerId),
+    "acquiredAtMs" -> ("N", nowMs().toString))
+
+  override def tryAcquire(): Boolean =
+    if (client.putItem(table, freshItem(),
+        condition = Some(("attribute_not_exists(lockToken)", Map.empty)))) true
+    else {
+      val held = client.query(table, "lockToken = :t",
+        Map(":t" -> ("S", token))).headOption
+      held match {
+        case Some(item) if nowMs() - item("acquiredAtMs")._2.toLong > staleMs =>
+          // atomic break+take: replace only while the row is STILL the
+          // same stale acquisition; attribute_not_exists covers the
+          // holder releasing between our read and this write
+          client.putItem(table, freshItem(), condition = Some((
+            "attribute_not_exists(lockToken) OR (lockOwner = :o AND acquiredAtMs = :a)",
+            Map(":o" -> item("lockOwner"), ":a" -> item("acquiredAtMs")))))
+        case Some(_) => false
+        case None =>
+          // holder released between our failed put and the probe — one
+          // fresh attempt disambiguates (the TokenLockJdbc retryOnVanish
+          // rule; a second failure reports held via the loop above)
+          client.putItem(table, freshItem(),
+            condition = Some(("attribute_not_exists(lockToken)", Map.empty)))
+      }
+    }
+
+  override def release(): Unit = {
+    // owner-predicated: releasing a lock someone else stale-broke and
+    // re-acquired must not free THEIR lock; false (absent row) is fine
+    client.deleteItem(table, Map("lockToken" -> ("S", token)),
+      condition = Some(("lockOwner = :o", Map(":o" -> ("S", ownerId)))))
     ()
   }
 }

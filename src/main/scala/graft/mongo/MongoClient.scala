@@ -107,12 +107,104 @@ final class MongoClient(host: String, port: Int, timeoutMs: Int = 30000) extends
   }
 
   def createIndex(db: String, collection: String,
-                  keys: Seq[(String, Int)], name: String): Unit = {
+                  keys: Seq[(String, Int)], name: String,
+                  unique: Boolean = false): Unit = {
     runCommand(db, Seq(
       "createIndexes" -> collection,
       "indexes" -> List(Bson.Doc(Seq(
         "key" -> Bson.Doc(keys.map { case (k, v) => k -> v }),
-        "name" -> name)))))
+        "name" -> name) ++ (if (unique) Seq("unique" -> true) else Nil)))))
+    ()
+  }
+
+  /** Insert one document; false when a unique index rejects it
+    * (duplicate key, server code 11000) — the arbitration signal
+    * [[TokenLockMongo]] relies on. Any OTHER write error still throws:
+    * reporting an unreachable or misconfigured server as "lock held"
+    * would silently skip every task in the fleet. */
+  def tryInsert(db: String, collection: String, doc: Seq[(String, Any)]): Boolean = {
+    val resp = runCommand(db, Seq(
+      "insert" -> collection,
+      "documents" -> List(Bson.Doc(doc))))
+    resp.get("writeErrors") match {
+      case Some(errs: List[_]) if errs.nonEmpty =>
+        val dup = errs.forall {
+          case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]].get("code")
+              .exists(c => c.isInstanceOf[Number] && c.asInstanceOf[Number].intValue == 11000)
+          case _ => false
+        }
+        if (dup) false
+        else throw new RuntimeException(s"MongoClient: insert failed: $errs")
+      case _ => true
+    }
+  }
+
+  /** Delete every document matching `filter`; returns the deleted
+    * count (the server's `n`). */
+  def delete(db: String, collection: String, filter: Seq[(String, Any)]): Int = {
+    val resp = runCommand(db, Seq(
+      "delete" -> collection,
+      "deletes" -> List(Bson.Doc(Seq("q" -> Bson.Doc(filter), "limit" -> 0)))))
+    resp.get("writeErrors") match {
+      case Some(errs: List[_]) if errs.nonEmpty =>
+        throw new RuntimeException(s"MongoClient: delete failed: $errs")
+      case _ => ()
+    }
+    resp.get("n").collect { case n: Number => n.intValue }.getOrElse(0)
+  }
+}
+
+/**
+ * MongoDB-arbitrated run lock (reference: pramen/core
+ * .../core/lock/TokenLockMongoDb.scala): a UNIQUE index on `token`
+ * makes acquisition one insert — the database rejects the loser with
+ * duplicate-key 11000, the same atomic-arbiter role the FS lock's
+ * file-create and the JDBC lock's PRIMARY KEY INSERT play. Stale-break
+ * deletes ONLY the exact observed (token, owner, acquiredAtMs) triple
+ * before re-inserting (a holder that refreshed, or a third party that
+ * broke-and-re-acquired between our read and delete, is never
+ * touched); release is owner-predicated for the same reason —
+ * byte-for-byte the `rdb.TokenLockJdbc` contract over the wire client.
+ */
+final class TokenLockMongo(client: MongoClient, db: String, token: String,
+                           collection: String = "locks",
+                           staleMs: Long = 4L * 3600 * 1000,
+                           nowMs: () => Long = () => System.currentTimeMillis(),
+                           ensureIndex: Boolean = true)
+    extends graft.pipeline.RunLock {
+  private val ownerId = java.util.UUID.randomUUID().toString
+  if (ensureIndex)
+    client.createIndex(db, collection, Seq("token" -> 1), "graft_lock_token", unique = true)
+
+  private def insertFresh(): Boolean =
+    client.tryInsert(db, collection,
+      Seq("token" -> token, "owner" -> ownerId, "acquiredAtMs" -> nowMs()))
+
+  override def tryAcquire(): Boolean =
+    if (insertFresh()) true
+    else {
+      client.find(db, collection, Seq("token" -> token)).headOption match {
+        case Some(doc) if nowMs() -
+            doc("acquiredAtMs").asInstanceOf[Number].longValue > staleMs =>
+          // predicated break: all three fields must still match the
+          // acquisition we judged stale, then the unique index
+          // arbitrates the re-insert race against other breakers
+          val n = client.delete(db, collection, Seq(
+            "token" -> token, "owner" -> doc("owner"),
+            "acquiredAtMs" -> doc("acquiredAtMs")))
+          n > 0 && insertFresh()
+        case Some(_) => false
+        case None =>
+          // holder released between our failed insert and the probe —
+          // one fresh attempt disambiguates (TokenLockJdbc retryOnVanish)
+          insertFresh()
+      }
+    }
+
+  override def release(): Unit = {
+    // owner-predicated: never free a lock someone else re-acquired
+    client.delete(db, collection, Seq("token" -> token, "owner" -> ownerId))
     ()
   }
 }

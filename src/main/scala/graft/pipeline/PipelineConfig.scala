@@ -63,8 +63,10 @@ import java.time.LocalDate
  * bookkeeping.dynamodb.secret.key = ...          # SigV4-signed requests
  * bookkeeping.dynamodb.table.prefix = graft
  * bookkeeping.dynamodb.offsets = true   # conditional-put incremental offsets (default true)
+ * bookkeeping.dynamodb.locks = true     # conditional-put (table, date) run locks (default true)
  * bookkeeping.mongodb.uri = mongodb://mongo:27017/graftdb  # OP_MSG wire protocol
  * bookkeeping.mongodb.collection = bookkeeping
+ * bookkeeping.mongodb.locks = true      # unique-index-arbitrated run locks (default true)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.failures.to = oncall@acme.com  # failed runs go HERE instead
@@ -168,18 +170,22 @@ object PipelineConfig {
                             * text/FS paths; needs delta-spark. */
                           deltaBookkeepingPath: Option[String] = None,
                           /** DynamoDB bookkeeping factory (reference:
-                            * BookkeeperDynamoDb.scala + OffsetManagerDynamoDb)
-                            * — lazy so parse time only validates; yields the
-                            * bookkeeper plus (unless `offsets = false`) the
-                            * conditional-put offset store on one shared
-                            * client. Wins over the storage journals, loses
-                            * to jdbc. */
-                          dynamoBookkeeping: Option[() => (graft.dynamo.BookkeeperDynamo, Option[graft.offset.OffsetStore])] = None,
+                            * BookkeeperDynamoDb.scala + OffsetManagerDynamoDb
+                            * + TokenLockDynamoDb) — lazy so parse time only
+                            * validates; yields the bookkeeper plus (unless
+                            * `offsets`/`locks` = false) the conditional-put
+                            * offset store and conditional-put run locks on
+                            * one shared client. Wins over the storage
+                            * journals, loses to jdbc. */
+                          dynamoBookkeeping: Option[() => (graft.dynamo.BookkeeperDynamo, Option[graft.offset.OffsetStore], Option[(String, LocalDate) => RunLock])] = None,
                           /** MongoDB bookkeeping factory (reference:
-                            * BookkeeperMongoDb.scala + MongoDbConnection):
-                            * lazy — the socket opens at run, the URI
-                            * validates at parse. */
-                          mongoBookkeeping: Option[() => graft.mongo.BookkeeperMongo] = None,
+                            * BookkeeperMongoDb.scala + MongoDbConnection +
+                            * TokenLockMongoDb): lazy — the socket opens at
+                            * run, the URI validates at parse; yields the
+                            * bookkeeper plus (unless `locks = false`)
+                            * unique-index-arbitrated run locks on the same
+                            * connection. */
+                          mongoBookkeeping: Option[() => (graft.mongo.BookkeeperMongo, Option[(String, LocalDate) => RunLock])] = None,
                           /** FS task-journal directory (`journal.path`
                             * — reference: core/journal/JournalHadoopFs).
                             * A `bookkeeping.jdbc` database journal wins
@@ -713,11 +719,24 @@ object PipelineConfig {
         val (region, ak, sk) = (req("region"), req("access.key"), req("secret.key"))
         val prefix = kv.getOrElse("bookkeeping.dynamodb.table.prefix", "graft")
         val withOffsets = !kv.get("bookkeeping.dynamodb.offsets").contains("false")
+        val withLocks = !kv.get("bookkeeping.dynamodb.locks").contains("false")
         () => {
           val client = new graft.dynamo.DynamoDbClient(endpoint, region, ak, sk,
             new graft.databricks.JdkHttpTransport())
+          val lockFactory =
+            if (!withLocks) None
+            else {
+              // ensure the lock table ONCE at store resolution, not per
+              // (table, date) lock — a 500-table run must not DescribeTable
+              // 500 times
+              client.ensureTableActive(s"${prefix}_locks", "lockToken")
+              Some((t: String, dd: LocalDate) =>
+                new graft.dynamo.TokenLockDynamo(client, s"${t}_$dd", prefix,
+                  ensureTable = false): RunLock)
+            }
           (new graft.dynamo.BookkeeperDynamo(client, prefix),
-            if (withOffsets) Some(new graft.dynamo.OffsetStoreDynamo(client, prefix)) else None)
+            if (withOffsets) Some(new graft.dynamo.OffsetStoreDynamo(client, prefix)) else None,
+            lockFactory)
         }
       },
       mongoBookkeeping = kv.get("bookkeeping.mongodb.uri").map { uri =>
@@ -730,8 +749,23 @@ object PipelineConfig {
             s"bookkeeping.mongodb.uri: database name missing in '$uri'"))
         val port = if (u.getPort > 0) u.getPort else 27017
         val coll = kv.getOrElse("bookkeeping.mongodb.collection", "bookkeeping")
-        () => new graft.mongo.BookkeeperMongo(
-          new graft.mongo.MongoClient(u.getHost, port), db, coll)
+        val withLocks = !kv.get("bookkeeping.mongodb.locks").contains("false")
+        () => {
+          val client = new graft.mongo.MongoClient(u.getHost, port)
+          val lockFactory =
+            if (!withLocks) None
+            else {
+              // unique lock index created ONCE per resolution (idempotent
+              // on the server, but one round-trip per run beats one per
+              // (table, date) lock)
+              client.createIndex(db, "locks", Seq("token" -> 1),
+                "graft_lock_token", unique = true)
+              Some((t: String, dd: LocalDate) =>
+                new graft.mongo.TokenLockMongo(client, db, s"${t}_$dd",
+                  ensureIndex = false): RunLock)
+            }
+          (new graft.mongo.BookkeeperMongo(client, db, coll), lockFactory)
+        }
       },
       journalPath = kv.get("journal.path"),
       lockDir = kv.get("lock.dir"),
@@ -916,14 +950,19 @@ object PipelineConfig {
           if (j.journal) Some(new graft.rdb.JournalJdbc(db)) else fsJournal)
       case None =>
         val dyn = parsed.dynamoBookkeeping.map(_())
+        val mongo = if (dyn.isEmpty) parsed.mongoBookkeeping.map(_()) else None
         val bk = dyn.map(_._1: BookkeeperStore)
-          .orElse(parsed.mongoBookkeeping.map(_(): BookkeeperStore))
+          .orElse(mongo.map(_._1: BookkeeperStore))
           .orElse(parsed.deltaBookkeepingPath
             .map(p => new BookkeeperDelta(sparkFor("bookkeeping.delta.path"), p): BookkeeperStore))
           .orElse(parsed.textBookkeepingPath
             .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
           .getOrElse(fallback)
-        ResolvedStores(bk, dyn.flatMap(_._2), None, None, fsJournal)
+        // locks follow the bookkeeping backend (reference
+        // TokenLockFactory discipline: the arbiter must be a store ALL
+        // drivers share, which is whatever coordinates bookkeeping)
+        ResolvedStores(bk, dyn.flatMap(_._2),
+          dyn.flatMap(_._3).orElse(mongo.flatMap(_._2)), None, fsJournal)
     }
     // undercover: decisions read the real history, nothing writes back
     // (the journal drops entirely — an audit row IS a trace)

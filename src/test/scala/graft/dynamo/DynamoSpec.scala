@@ -55,6 +55,36 @@ class DynamoSpec extends AnyFunSuite {
       (m._1, String.valueOf(m._2))
     }
 
+    /** ConditionExpression subset evaluator: OR of terms, each an AND
+      * of `attribute_not_exists(a)` / `a = :v` / `a < :v` atoms, with
+      * optional parens around a term — covers the offset store's
+      * monotonic guard and both lock conditions. */
+    private def condOk(req: Map[String, Any],
+                       existing: Option[Map[String, (String, String)]]): Boolean =
+      req.get("ConditionExpression").forall { c =>
+        val vals = req.get("ExpressionAttributeValues")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> attr(v) })
+          .getOrElse(Map.empty[String, (String, String)])
+        c.asInstanceOf[String].split(" OR ").exists { term =>
+          term.trim.stripPrefix("(").stripSuffix(")").split(" AND ").forall { atom0 =>
+            val atom = atom0.trim
+            if (atom.startsWith("attribute_not_exists")) existing.isEmpty
+            else {
+              val m = "(\\w+)\\s*(=|<)\\s*(:\\w+)".r.findFirstMatchIn(atom)
+                .getOrElse(sys.error(s"unparsed condition atom: $atom"))
+              val (tpe, v) = vals(m.group(3))
+              existing.exists(_.get(m.group(1)).exists { case (etpe, ev) =>
+                require(etpe == tpe, s"type mismatch $etpe vs $tpe")
+                m.group(2) match {
+                  case "=" => ev == v
+                  case "<" => if (tpe == "N") BigDecimal(ev) < BigDecimal(v) else ev < v
+                }
+              })
+            }
+          }
+        }
+      }
+
     override def post(url: String, body: String, headers: Map[String, String]): (Int, String) = {
       calls += 1
       // signature round-trip: re-derive with the same inputs
@@ -92,30 +122,36 @@ class DynamoSpec extends AnyFunSuite {
           def keyOf(i: Map[String, (String, String)]) = (i.get(hk), rk.flatMap(i.get))
           val buf = tables(tname)
           val existingIdx = buf.indexWhere(keyOf(_) == keyOf(item))
-          // ConditionExpression subset: "attribute_not_exists(pk) OR attr < :v"
-          val condOk = req.get("ConditionExpression").forall { c =>
-            val expr = c.asInstanceOf[String]
-            if (existingIdx < 0) true // attribute_not_exists satisfied
-            else {
-              val m = "OR\\s+(\\w+)\\s*<\\s*(:\\w+)".r.findFirstMatchIn(expr).get
-              val (tpe, v) = attr(req("ExpressionAttributeValues")
-                .asInstanceOf[Map[String, Any]](m.group(2)))
-              val (etpe, ev) = buf(existingIdx)(m.group(1))
-              require(etpe == tpe, s"type mismatch $etpe vs $tpe")
-              if (tpe == "N") BigDecimal(ev) < BigDecimal(v) else ev < v
-            }
-          }
-          if (!condOk)
+          val existing = if (existingIdx < 0) None else Some(buf(existingIdx))
+          if (!condOk(req, existing))
             (400, """{"__type":"com.amazonaws.dynamodb.v20120810#ConditionalCheckFailedException"}""")
           else {
             if (existingIdx >= 0) buf(existingIdx) = item else buf += item
+            (200, "{}")
+          }
+        case "DeleteItem" =>
+          val key = req("Key").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> attr(v) }
+          val (hk, rk) = keySchemas.getOrElse(tname, ("tableName", Some("infoDateSortKey")))
+          def keyOf(i: Map[String, (String, String)]) = (i.get(hk), rk.flatMap(i.get))
+          val buf = tables(tname)
+          val idx = buf.indexWhere(keyOf(_) == keyOf(key))
+          // a conditioned delete on a MISSING item fails the condition
+          // (real-service semantics the lock's release relies on)
+          if (!condOk(req, if (idx < 0) None else Some(buf(idx))))
+            (400, """{"__type":"com.amazonaws.dynamodb.v20120810#ConditionalCheckFailedException"}""")
+          else {
+            if (idx >= 0) buf.remove(idx)
             (200, "{}")
           }
         case "Query" =>
           val vals = req("ExpressionAttributeValues").asInstanceOf[Map[String, Any]]
             .map { case (k, v) => k -> attr(v)._2 }
           val cond = req("KeyConditionExpression").asInstanceOf[String]
-          val base = tables(tname).filter(_.get("tableName").exists(_._2 == vals(":t")))
+          // hash key attribute parsed from the condition (bookkeeping
+          // queries on tableName, lock queries on lockToken)
+          val keyAttr = "(\\w+)\\s*=\\s*:t".r.findFirstMatchIn(cond)
+            .map(_.group(1)).getOrElse("tableName")
+          val base = tables(tname).filter(_.get(keyAttr).exists(_._2 == vals(":t")))
           val selected =
             if (cond.contains("begins_with"))
               base.filter(_.get("infoDateSortKey").exists(_._2.startsWith(vals(":p"))))
@@ -241,5 +277,91 @@ class DynamoSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](
       bad.call("DescribeTable", Json.obj("TableName" -> Json.str("x"))))
     assert(e.getMessage.contains("403"), e.getMessage)
+  }
+
+  test("token lock: conditional-put arbitration, stale-break, owner-predicated release") {
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    var now = 1000L
+    val clock = () => now
+    def lock() = new TokenLockDynamo(c, "sales_2024-04-01",
+      staleMs = 60000L, nowMs = clock)
+    val a = lock()
+    assert(a.tryAcquire(), "first acquisition wins the conditional put")
+    val b = lock()
+    assert(!b.tryAcquire(), "a held fresh lock rejects the second driver")
+    // release is owner-predicated: B cannot free A's lock
+    b.release()
+    assert(!lock().tryAcquire(), "B's release must not free A's lock")
+    // past staleMs: the next contender breaks and takes atomically
+    now += 61000L
+    assert(b.tryAcquire(), "a stale lock is broken and re-acquired")
+    // A's release (old owner) is now a no-op against B's row
+    a.release()
+    assert(!lock().tryAcquire(), "A's stale release must not free B's lock")
+    b.release()
+    assert(lock().tryAcquire(), "the owner's release frees the token")
+  }
+
+  test("token lock: stale-break loses to a competing breaker (conditional replace, no window)") {
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    var now = 1000L
+    val a = new TokenLockDynamo(c, "t_d", staleMs = 1000L, nowMs = () => now)
+    assert(a.tryAcquire())
+    now += 5000L // a is stale
+    // B reads the stale row (the observation a breaker predicates on) …
+    val observed = c.query("graft_locks", "lockToken = :t", Map(":t" -> ("S", "t_d"))).head
+    // … but C breaks and re-acquires FIRST
+    assert(new TokenLockDynamo(c, "t_d", staleMs = 1000L, nowMs = () => now).tryAcquire())
+    // B's conditional replace against the OLD (owner, acquiredAtMs)
+    // must fail — C's fresh acquisition is never clobbered
+    assert(!c.putItem("graft_locks", Map(
+      "lockToken" -> ("S", "t_d"),
+      "lockOwner" -> ("S", "B"),
+      "acquiredAtMs" -> ("N", now.toString)),
+      condition = Some((
+        "attribute_not_exists(lockToken) OR (lockOwner = :o AND acquiredAtMs = :a)",
+        Map(":o" -> observed("lockOwner"), ":a" -> observed("acquiredAtMs"))))),
+      "the predicated replace must lose once the row changed")
+  }
+
+  test("token lock: a database outage surfaces as an error, never as 'held'") {
+    val dead = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        (500, """{"__type":"InternalServerError"}""")
+      override def get(url: String, headers: Map[String, String]) =
+        throw new IllegalStateException("POST-only")
+    }
+    val c = new DynamoDbClient("https://dynamodb.eu-west-1.amazonaws.com",
+      "eu-west-1", "AK", "SK", dead)
+    val e = intercept[RuntimeException](
+      new TokenLockDynamo(c, "t_d", ensureTable = false).tryAcquire())
+    assert(e.getMessage.contains("500"), e.getMessage)
+  }
+
+  test("token lock: 8-way same-token race admits exactly one winner") {
+    val fake = new FakeDynamo()
+    // the scripted fake is single-threaded by design; a synchronized
+    // wrapper models the service's per-request atomicity so the RACE
+    // (not the fake's thread-safety) is what the test exercises
+    val serial = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        fake.synchronized(fake.post(url, body, headers))
+      override def get(url: String, headers: Map[String, String]) =
+        fake.synchronized(fake.get(url, headers))
+    }
+    val c = new DynamoDbClient(
+      "https://dynamodb.eu-west-1.amazonaws.com", "eu-west-1", "AK", "SK", serial)
+    c.ensureTableActive("graft_locks", "lockToken")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        if (new TokenLockDynamo(c, "hot_2024-04-01", ensureTable = false).tryAcquire())
+          wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get == 1, s"exactly one of 8 racers must win, got ${wins.get}")
   }
 }

@@ -43,6 +43,8 @@ class MongoSpec extends AnyFunSuite {
   private final class FakeMongod(batchSize: Int = 1000) {
     val collections = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Map[String, Any]]]
     val indexes = collection.mutable.ArrayBuffer.empty[String]
+    // collection -> unique key sets declared via createIndexes
+    private val uniqueIdx = collection.mutable.Map.empty[String, List[Seq[String]]]
     // cursor id -> (remaining hits) — explicit lists, not iterators
     // (an Iterator after take() is contractually unusable)
     private val cursors = collection.mutable.Map.empty[Long, List[Map[String, Any]]]
@@ -85,13 +87,36 @@ class MongoSpec extends AnyFunSuite {
         cmd(key).asInstanceOf[String], collection.mutable.ArrayBuffer.empty)
       if (cmd.contains("ping")) Seq("ok" -> 1.0)
       else if (cmd.contains("insert")) {
+        val c = coll("insert")
+        val uniq = uniqueIdx.getOrElse(cmd("insert").asInstanceOf[String], Nil)
         val docs = cmd("documents").asInstanceOf[List[Any]].map(_.asInstanceOf[Map[String, Any]])
-        coll("insert") ++= docs
-        Seq("n" -> docs.length, "ok" -> 1.0)
+        val errs = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var n = 0
+        docs.zipWithIndex.foreach { case (doc, i) =>
+          // unique-index enforcement (real mongod's E11000): reject the
+          // doc, keep processing the rest, report in writeErrors
+          val dup = uniq.exists(ks => c.exists(e => ks.forall(k => e.get(k) == doc.get(k))))
+          if (dup) errs += Bson.Doc(Seq(
+            "index" -> i, "code" -> 11000, "errmsg" -> "E11000 duplicate key error"))
+          else { c += doc; n += 1 }
+        }
+        Seq("n" -> n) ++
+          (if (errs.nonEmpty) Seq("writeErrors" -> errs.toList) else Nil) :+ ("ok" -> 1.0)
       } else if (cmd.contains("createIndexes")) {
-        indexes += cmd("indexes").asInstanceOf[List[Any]].head
-          .asInstanceOf[Map[String, Any]]("name").asInstanceOf[String]
+        val cname = cmd("createIndexes").asInstanceOf[String]
+        val idx = cmd("indexes").asInstanceOf[List[Any]].head.asInstanceOf[Map[String, Any]]
+        indexes += idx("name").asInstanceOf[String]
+        if (idx.get("unique").contains(true))
+          uniqueIdx(cname) = uniqueIdx.getOrElse(cname, Nil) :+
+            idx("key").asInstanceOf[Map[String, Any]].keys.toSeq
         Seq("ok" -> 1.0)
+      } else if (cmd.contains("delete")) {
+        val c = coll("delete")
+        val del = cmd("deletes").asInstanceOf[List[Any]].head.asInstanceOf[Map[String, Any]]
+        val q = del("q").asInstanceOf[Map[String, Any]]
+        val (gone, kept) = c.partition(doc => q.forall { case (k, v) => doc.get(k).contains(v) })
+        c.clear(); c ++= kept
+        Seq("n" -> gone.size, "ok" -> 1.0)
       } else if (cmd.contains("find")) {
         val filter = cmd("filter").asInstanceOf[Map[String, Any]]
         val hits = coll("find").filter(doc => filter.forall { case (k, v) => doc.get(k).contains(v) }).toList
@@ -122,7 +147,7 @@ class MongoSpec extends AnyFunSuite {
         s"""bookkeeping.mongodb.uri = mongodb://127.0.0.1:${srv.port}/graftdb
            |allow.empty.pipeline = true
            |""".stripMargin)
-      val bk = parsed.mongoBookkeeping.getOrElse(fail("factory must be declared"))()
+      val (bk, _) = parsed.mongoBookkeeping.getOrElse(fail("factory must be declared"))()
       bk.record(RunRecord("t", d, 5, "succeeded", 1, 2))
       assert(bk.isAlreadyRan("t", d))
       assert(srv.collections("bookkeeping").nonEmpty, "the record must land over the wire")
@@ -162,6 +187,76 @@ class MongoSpec extends AnyFunSuite {
         "a 19-attempt journal must read past the 5-doc cursor batches")
       assert(bk.all.size == 18)
       assert(bk.latestSuccessRecord("t", d).map(_.recordCount).contains(2L))
+    } finally { c.close(); srv.close() }
+  }
+
+  test("token lock over the wire: unique-index arbitration, stale-break, owner-predicated release") {
+    val srv = new FakeMongod()
+    val c = new MongoClient("127.0.0.1", srv.port)
+    try {
+      var now = 1000L
+      def lock() = new TokenLockMongo(c, "graft", "sales_2024-04-01",
+        staleMs = 60000L, nowMs = () => now)
+      val a = lock()
+      assert(srv.indexes.contains("graft_lock_token"), "the unique token index must be created")
+      assert(a.tryAcquire(), "first insert wins the unique index")
+      val b = lock()
+      assert(!b.tryAcquire(), "duplicate-key 11000 reads as held, not error")
+      // release is owner-predicated: B cannot free A's lock
+      b.release()
+      assert(!lock().tryAcquire(), "B's release must not free A's lock")
+      // past staleMs: predicated delete + re-insert takes over
+      now += 61000L
+      assert(b.tryAcquire(), "a stale lock is broken and re-acquired")
+      a.release() // old owner: must not touch B's fresh row
+      assert(!lock().tryAcquire(), "A's stale release must not free B's lock")
+      b.release()
+      assert(lock().tryAcquire(), "the owner's release frees the token")
+    } finally { c.close(); srv.close() }
+  }
+
+  test("token lock: stale-break deletes only the exact observed acquisition") {
+    val srv = new FakeMongod()
+    val c = new MongoClient("127.0.0.1", srv.port)
+    try {
+      var now = 1000L
+      val a = new TokenLockMongo(c, "graft", "t_d", staleMs = 1000L, nowMs = () => now)
+      assert(a.tryAcquire())
+      now += 5000L // stale
+      // C breaks first; B's predicated delete (observing the ORIGINAL
+      // acquisition) must remove nothing and B must not acquire
+      val observed = c.find("graft", "locks", Seq("token" -> "t_d")).head
+      assert(new TokenLockMongo(c, "graft", "t_d", staleMs = 1000L,
+        nowMs = () => now).tryAcquire(), "C breaks the stale lock")
+      val n = c.delete("graft", "locks", Seq("token" -> "t_d",
+        "owner" -> observed("owner"), "acquiredAtMs" -> observed("acquiredAtMs")))
+      assert(n == 0, "the predicated delete must miss once the row changed")
+      assert(!new TokenLockMongo(c, "graft", "t_d", staleMs = 60000L,
+        nowMs = () => now).tryAcquire(), "C's fresh lock holds")
+    } finally { c.close(); srv.close() }
+  }
+
+  test("token lock: 8-way same-token race admits exactly one winner; outage is an error") {
+    val srv = new FakeMongod()
+    val c = new MongoClient("127.0.0.1", srv.port)
+    try {
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          if (new TokenLockMongo(c, "graft", "hot_2024-04-01",
+              ensureIndex = false).tryAcquire())
+            wins.incrementAndGet()
+        })
+      }
+      // index first (the racers skip ensure — resolution does it once)
+      c.createIndex("graft", "locks", Seq("token" -> 1), "graft_lock_token", unique = true)
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get == 1, s"exactly one of 8 racers must win, got ${wins.get}")
+      // outage: a dead server surfaces as an exception, never as 'held'
+      srv.close(); c.close()
+      intercept[Exception] {
+        new TokenLockMongo(c, "graft", "t2", ensureIndex = false).tryAcquire()
+      }
     } finally { c.close(); srv.close() }
   }
 }

@@ -138,4 +138,38 @@ class BookkeeperSparkSpec extends SparkSpec {
       .run(Seq(job), d)
     assert(r2.head.isInstanceOf[TaskResult.Skipped], r2.head.toString)
   }
+
+  test("lock factory follows the bookkeeping backend: dynamo and mongo locks resolve") {
+    // locks must live in the SAME store every driver shares — whatever
+    // coordinates bookkeeping; hand-built factories stand in for the
+    // wire clients (their lock semantics are pinned in DynamoSpec /
+    // MongoSpec against the scripted servers)
+    class NoopLock extends RunLock {
+      def tryAcquire(): Boolean = true
+      def release(): Unit = ()
+    }
+    val noopBk = new Bookkeeper() // in-memory stand-in
+    val base = PipelineConfig.parse("allow.empty.pipeline = true\n")
+    val dynLock = (t: String, dd: LocalDate) => new NoopLock: RunLock
+    val withDyn = base.copy(dynamoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock))))
+    assert(PipelineConfig.resolveStores(withDyn, noopBk).lockFactory.contains(dynLock),
+      "dynamo bookkeeping must carry its conditional-put lock factory")
+    val mongoLock = (t: String, dd: LocalDate) => new NoopLock: RunLock
+    val withMongo = base.copy(mongoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.mongo.BookkeeperMongo], Some(mongoLock))))
+    assert(PipelineConfig.resolveStores(withMongo, noopBk).lockFactory.contains(mongoLock),
+      "mongo bookkeeping must carry its unique-index lock factory")
+    // dynamo wins over mongo (bookkeeping precedence) and the losing
+    // backend's factory must NOT be invoked (it would open a socket)
+    val both = base.copy(
+      dynamoBookkeeping = Some(() =>
+        (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock))),
+      mongoBookkeeping = Some(() => fail("losing backend must not connect")))
+    assert(PipelineConfig.resolveStores(both, noopBk).lockFactory.contains(dynLock))
+    // declining locks declines the factory
+    val noLocks = base.copy(dynamoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, None)))
+    assert(PipelineConfig.resolveStores(noLocks, noopBk).lockFactory.isEmpty)
+  }
 }
