@@ -58,6 +58,26 @@ object SparkEntry {
     base.unionByName(planted)
   }
 
+  /** The DETERMINISTIC-drop variant of [[withPlantedNearDups]] for
+   * COMPOSED oracle gates: every `every`-th vector is copied
+   * BIT-IDENTICALLY onto the next id (id+1's own embedding is
+   * overwritten), so SemDeDup's identity pre-grouping — not the
+   * fit-geometry-dependent farthest-from-centroid rule — decides the
+   * drop: the min-id member (the original) survives and id+1 drops,
+   * unconditionally. An external engine replays the drop set as
+   * `id % every = 1` with zero knowledge of the clustering. The
+   * eps-perturbed plant stays the right fixture for q_semdedup itself
+   * (it exercises the cosine threshold); this one is for pipelines
+   * whose DOWNSTREAM output must replay. */
+  private[graft] def withPlantedIdenticalDups(emb: DataFrame, idCol: String, vecCol: String,
+                                              every: Int = 10): DataFrame = {
+    val twin = emb.where(col(idCol) % every === 0)
+      .select((col(idCol) + 1).as(idCol), col(vecCol).as("_twin_vec"))
+    emb.join(twin, Seq(idCol), "left")
+      .withColumn(vecCol, coalesce(col("_twin_vec"), col(vecCol)))
+      .drop("_twin_vec")
+  }
+
   /** The text analog of [[withPlantedNearDups]]: the synthetic corpus
    * only carries ACCIDENTAL near-duplicate text, so the text-dedup
    * gates would otherwise measure noise at artificial thresholds.
@@ -1094,8 +1114,12 @@ object SparkEntry {
     }),
 
     "q_curation" -> ((s, dir) => {
-      // rows-only gate: the full curation pipeline (dedup → quality →
-      // lang-id → tokens → split) as one config-runnable stage
+      // HASH-MATCHED (r18, judge item 6): the full curation pipeline
+      // (dedup → quality → lang-id → tokens → split) as one
+      // config-runnable stage; every stage formula is the SAME text
+      // its per-stage gate already hash-matches, and the replayable
+      // split bucket (the q_data_split precedent) closes the last
+      // non-ANSI step
       val ms = new Metastore(s)
       ms.register(MetaTable("docs_raw", metaPath("cur_src")))
       ms.register(MetaTable("docs_cur", metaPath("cur_out")))
@@ -1104,17 +1128,29 @@ object SparkEntry {
       new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
         "curate", "docs_cur", new graft.pipeline.CurationTransformer,
         Seq("docs_raw"), infoDateExpr = "@runDate",
-        options = Map("input.table" -> "docs_raw", "quality.min" -> "0.2"))), d)
+        options = Map("input.table" -> "docs_raw", "quality.min" -> "0.2",
+          "split.bucket" -> "replayable"))), d)
       ms.getTable("docs_cur", Some(d), Some(d))
         .groupBy("split", "lang_pred")
         .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"))
     }),
 
     "q_curation_v2" -> ((s, dir) => {
-      // rows-only gate: the FULL curation pipeline — exact dedup →
-      // semantic dedup (planted-near-dup embeddings, paper-regime
-      // threshold) → quality → lang-id → tokens → perplexity tier →
-      // leakage-safe group split — wired purely through config options
+      // HASH-MATCHED (r18, judge item 6): the FULL curation pipeline —
+      // exact dedup → semantic dedup → quality → lang-id → tokens →
+      // perplexity tier → leakage-safe group split — wired purely
+      // through config options. Replay design: the embedding plant is
+      // the IDENTICAL-twin variant (id%10==1 vectors overwritten with
+      // id-1's), so SemDeDup's drop is decided by identity
+      // pre-grouping (min id keeps) — deterministic, clustering-free
+      // to replay — and the corpus's max non-identical cosine (~0.51,
+      // measured both SFs) sits far under the 0.92 threshold so no
+      // geometry-dependent semantic pair can exist; the group-safe
+      // split replays because minhashNearDups DECIDES on true
+      // distinct-shingle jaccard (banding only generates candidates,
+      // and the corpus's pair spectrum has nothing in (0.07, 0.8) —
+      // measured — so estimator noise has nothing to flip); the
+      // replayable split bucket closes the last non-ANSI step
       val ms = new Metastore(s)
       ms.register(MetaTable("docs_raw_v2", metaPath("curv2_src")))
       ms.register(MetaTable("emb_v2", metaPath("curv2_emb")))
@@ -1123,7 +1159,7 @@ object SparkEntry {
       stageOnce(s"curv2_src|$dir") {
         ms.saveTable("docs_raw_v2", d, docs(s, dir))
         ms.saveTable("emb_v2", d,
-          withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding"))
+          withPlantedIdenticalDups(t(s, dir, "embeddings"), "vec_id", "embedding"))
       }
       new Orchestrator(ms, rerunSucceeded = true).run(Seq(JobDef(
         "curate_v2", "docs_cur_v2", new graft.pipeline.CurationTransformer,
@@ -1133,7 +1169,8 @@ object SparkEntry {
           "semdedup.enabled" -> "true", "semdedup.table" -> "emb_v2",
           "semdedup.id.column" -> "vec_id", "semdedup.threshold" -> "0.92",
           "perplexity.enabled" -> "true",
-          "split.group.safe" -> "true"))), d)
+          "split.group.safe" -> "true",
+          "split.bucket" -> "replayable"))), d)
       ms.getTable("docs_cur_v2", Some(d), Some(d))
         .groupBy("split", "lang_pred")
         .agg(count(lit(1)).as("n"), sum("n_tokens").as("total_tokens"),
@@ -2110,6 +2147,94 @@ object SparkEntry {
       try stage
       catch { case e: Throwable => stagedFixtures.remove(key); throw e }
     }
+
+  // --- Composed-curation oracle fragments (r18, judge item 6): each
+  // is the SAME formula text its per-stage gate already hash-matches
+  // (q_text_quality / q_repetition / q_lang_id / q_token_count /
+  // q_perplexity / q_data_split), parameterized by the column it
+  // reads so the composed q_curation / q_curation_v2 replays stay in
+  // lockstep with the per-stage oracles. Plain-string concatenation
+  // (not s-interpolation) keeps the regex backslashes literal.
+  private def curToks(c: String): String =
+    "string_split(lower(trim(regexp_replace(" + c + ", '\\s+', ' ', 'g'))), ' ')"
+
+  private def curQuality(c: String): String =
+    "round(least(length(" + c + ") / 500.0, 1.0) * 0.4 + " +
+      "(CASE WHEN (CASE WHEN length(" + c + ") = 0 THEN 0.0 " +
+      "ELSE CAST(length(" + c + ") - length(regexp_replace(" + c + ", '[[:punct:]]', '', 'g')) AS DOUBLE) " +
+      "/ length(" + c + ") END) <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2 + " +
+      "(CASE WHEN (CASE WHEN length(trim(regexp_replace(" + c + ", '\\s+', ' ', 'g'))) = 0 THEN 0.0 " +
+      "ELSE CAST(len(list_filter(" + curToks(c) + ", " +
+      "t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'for','on','with','that','this','it','as','be','at','by'], t))) AS DOUBLE) " +
+      "/ len(" + curToks(c) + ") END) >= 0.05 THEN 1.0 ELSE 0.4 END) * 0.2 + " +
+      "(CASE WHEN (CASE WHEN length(regexp_replace(" + c + ", '[^A-Za-z]', '', 'g')) = 0 THEN 0.0 " +
+      "ELSE CAST(length(regexp_replace(" + c + ", '[^A-Z]', '', 'g')) AS DOUBLE) " +
+      "/ length(regexp_replace(" + c + ", '[^A-Za-z]', '', 'g')) END) <= 0.3 " +
+      "THEN 1.0 ELSE 0.5 END) * 0.2, 4)"
+
+  private def curRep(c: String): String = {
+    val lines = "list_filter(string_split(" + c + ", chr(10)), l -> length(trim(l)) > 0)"
+    "round((CASE WHEN len(" + lines + ") <= 0 THEN 0.0 " +
+      "ELSE CAST(len(" + lines + ") - len(list_distinct(" + lines + ")) AS DOUBLE) " +
+      "/ len(" + lines + ") END), 4)"
+  }
+
+  private def curTokCount(c: String): String =
+    "CAST(CASE WHEN length(trim(regexp_replace(" + c + ", '\\s+', ' ', 'g'))) = 0 THEN 0 " +
+      "ELSE len(string_split(trim(regexp_replace(" + c + ", '\\s+', ' ', 'g')), ' ')) END AS INTEGER)"
+
+  /** Weights 0.9/0.05/0.05 over the exact-integer multiplicative
+    * bucket — the `split.bucket = replayable` contract. */
+  private def curSplit(key: String): String = {
+    val b = "(" + key + " * 2654435761) % 4294967296 % 1000000"
+    "CASE WHEN " + b + " < 900000 THEN 'train' WHEN " + b + " < 950000 THEN 'val' ELSE 'test' END"
+  }
+
+  /** The q_lang_id score/argmax CTEs, reading a CTE `t0(doc_id, t)`
+    * where t = concat(' ', lower(text), ' '). Emits `sc` and `win`;
+    * the prediction is `CASE WHEN win.w.s <= 0 THEN 'und' ELSE win.w.l END`. */
+  private val curLangCtes: String =
+    """sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_matches(t, '[\x{4e00}-\x{9fff}]') THEN 10 ELSE 0 END AS zh_s,
+      |    (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' to ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' that ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' with ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' for ') THEN 1 ELSE 0 END) AS en_s,
+      |    (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' nicht ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' ein ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' mit ') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(t, '[äöüß]') THEN 2 ELSE 0 END) AS de_s,
+      |    (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' une ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' dans ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' pour ') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(t, '[àâçéèêëîï]') THEN 2 ELSE 0 END) AS fr_s,
+      |    (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' los ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' las ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' para ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' con ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' por ') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(t, '[ñ¿¡]') THEN 2 ELSE 0 END) AS es_s,
+      |    (CASE WHEN contains(t, ' il ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' gli ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' che ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' di ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' per ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' non ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' sono ') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(t, '[àèìòù]') THEN 1 ELSE 0 END) AS it_s,
+      |    (CASE WHEN contains(t, ' o ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' os ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' em ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' uma ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' para ') THEN 1 ELSE 0 END
+      |     + CASE WHEN contains(t, ' com ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' não ') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(t, '[ãõç]') THEN 2 ELSE 0 END) AS pt_s
+      |  FROM t0),
+      |win AS (
+      |  SELECT doc_id,
+      |    list_sort([
+      |      {'s': zh_s, 'l': 'zh'}, {'s': en_s, 'l': 'en'}, {'s': de_s, 'l': 'de'},
+      |      {'s': fr_s, 'l': 'fr'}, {'s': es_s, 'l': 'es'}, {'s': it_s, 'l': 'it'},
+      |      {'s': pt_s, 'l': 'pt'}])[-1] AS w
+      |  FROM sc)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3777,7 +3902,63 @@ object SparkEntry {
       """SELECT doc_id, (doc_id % 5 = 0) AS is_quality
         |FROM documents""".stripMargin,
 
-    // q_ann_pq, q_cluster, q_pca_ann, q_bpe, q_curation, q_curation_v2,
+    // r18 (judge item 6): the composed curation pipelines replay
+    // end-to-end — every stage formula is the SAME text its per-stage
+    // gate hash-matches, chained in the transformer's exact order
+    "q_curation" -> (
+      "WITH dedup AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "kept AS (SELECT doc_id, text FROM dedup WHERE " + curQuality("text") + " >= 0.2 AND " +
+        curRep("text") + " <= 0.5), " +
+        "t0 AS (SELECT doc_id, concat(' ', lower(text), ' ') AS t, " + curTokCount("text") +
+        " AS n_tokens, " + curSplit("doc_id") + " AS split FROM kept), " +
+        curLangCtes + " " +
+        "SELECT t0.split, CASE WHEN win.w.s <= 0 THEN 'und' ELSE win.w.l END AS lang_pred, " +
+        "count(*) AS n, CAST(sum(t0.n_tokens) AS BIGINT) AS total_tokens " +
+        "FROM win JOIN t0 USING (doc_id) GROUP BY 1, 2"),
+
+    // the v2 chain adds: the identical-twin semdedup drop (identity
+    // pre-grouping keeps the min id, so drops = id%10=1 — no
+    // clustering knowledge needed), the full-corpus unigram perplexity
+    // annotation, and the leakage-safe group split (true-jaccard >= 0.8
+    // pairs -> min-id connected components via a recursive closure)
+    "q_curation_v2" -> (
+      "WITH RECURSIVE dedup AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1), " +
+        "sem AS (SELECT doc_id, text FROM dedup WHERE doc_id % 10 <> 1), " +
+        "kept AS (SELECT doc_id, text FROM sem WHERE " + curQuality("text") + " >= 0.2 AND " +
+        curRep("text") + " <= 0.5), " +
+        "rt AS (SELECT unnest(list_filter(" + curToks("text") + ", x -> x <> '')) AS tok FROM documents), " +
+        "stats AS (SELECT count(*) AS total, count(DISTINCT tok) AS v FROM rt), " +
+        "top AS (SELECT tok, count(*) AS n FROM rt GROUP BY tok ORDER BY n DESC, tok LIMIT 65536), " +
+        "model AS (SELECT tok, ln((n + 1) / (s.total + s.v + 1)) AS lp FROM top CROSS JOIN stats s), " +
+        "dt AS (SELECT doc_id, unnest(list_filter(" + curToks("text") + ", x -> x <> '')) AS tok FROM kept), " +
+        "ppl AS (SELECT doc_id, round(exp(-avg(coalesce(m.lp, " +
+        "(SELECT ln(1.0 / (total + v + 1)) FROM stats)))), 4) AS p " +
+        "FROM dt LEFT JOIN model m USING (tok) GROUP BY doc_id), " +
+        "toksd AS (SELECT doc_id, " + curToks("text") + " AS t FROM documents), " +
+        "shg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1), " +
+        "i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toksd), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni " +
+        "FROM shg a JOIN shg b ON b.sh = a.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT ia, ib FROM inter " +
+        "JOIN sizes sa ON sa.doc_id = inter.ia JOIN sizes sb ON sb.doc_id = inter.ib " +
+        "WHERE round(CAST(inter.ni AS DOUBLE) / (sa.n + sb.n - inter.ni), 6) >= 0.8), " +
+        "und AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs), " +
+        "reach AS (SELECT a AS id, b AS r FROM und " +
+        "UNION SELECT reach.id, u.b FROM reach JOIN und u ON u.a = reach.r), " +
+        "grp AS (SELECT id, least(id, min(r)) AS gid FROM reach GROUP BY id), " +
+        "t0 AS (SELECT k.doc_id, concat(' ', lower(k.text), ' ') AS t, " + curTokCount("k.text") +
+        " AS n_tokens, " + curSplit("coalesce(g.gid, k.doc_id)") + " AS split, p.p AS ppl " +
+        "FROM kept k LEFT JOIN grp g ON g.id = k.doc_id LEFT JOIN ppl p ON p.doc_id = k.doc_id), " +
+        curLangCtes + " " +
+        "SELECT t0.split, CASE WHEN win.w.s <= 0 THEN 'und' ELSE win.w.l END AS lang_pred, " +
+        "count(*) AS n, CAST(sum(t0.n_tokens) AS BIGINT) AS total_tokens, " +
+        "round(avg(t0.ppl), 2) AS avg_ppl " +
+        "FROM win JOIN t0 USING (doc_id) GROUP BY 1, 2"),
+
+    // q_ann_pq, q_cluster, q_pca_ann, q_bpe,
     // q_pack, q_multimodal, q_deflate_ratio, q_approx_agg,
     // q_sketch_distinct, q_value_sketch:
     // rows-only gates by design — ADC-estimated scores, iterative fits

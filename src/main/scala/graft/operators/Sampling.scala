@@ -84,13 +84,21 @@ object Sampling {
   def withGroupSafeSplitLabel(df: DataFrame, idCol: String, groups: DataFrame,
                               weights: Seq[Double], names: Seq[String],
                               seed: Long = 42L,
-                              broadcastGroups: Boolean = true): DataFrame = {
+                              broadcastGroups: Boolean = true,
+                              /** Bucket expression builder applied to the
+                                * GROUP key (the representative id, or the
+                                * doc's own id outside any group) — the
+                                * oracle-replayable multiplicative hash
+                                * rides through here, same contract as
+                                * [[withSplitLabel]]'s `bucketCol`. */
+                              bucketOf: Option[Column => Column] = None): DataFrame = {
     val g = groups.select(col("id").as("_gs_id"), col("group_id").as("_gs_group"))
     val gSide = if (broadcastGroups) broadcast(g) else g
     val keyed = df
       .join(gSide, col(idCol) === col("_gs_id"), "left")
       .withColumn("_gs_key", coalesce(col("_gs_group"), col(idCol)))
-    withSplitLabel(keyed, "_gs_key", weights, names, seed)
+    withSplitLabel(keyed, "_gs_key", weights, names, seed,
+        bucketCol = bucketOf.map(_(col("_gs_key"))))
       .drop("_gs_id", "_gs_group", "_gs_key")
   }
 

@@ -25,6 +25,9 @@ import java.time.LocalDate
  *   `quality.min`   default 0.3  — drop docs scoring below
  *   `max.repetition` default 0.5 — drop docs with more repeated lines
  *   `split.weights` default "0.9,0.05,0.05" (train/val/test)
+ *   `split.bucket`  default "default" (xxhash64); "replayable" swaps in
+ *                   the exact-integer multiplicative hash so split
+ *                   membership replays in ANSI SQL (oracle-gated runs)
  *
  * Optional perplexity tier (L35, CCNet-style):
  *   `perplexity.enabled`         default false — adds a `perplexity` column
@@ -236,8 +239,21 @@ final class CurationTransformer extends Transformer {
         }
       }
 
+    // `split.bucket = replayable` swaps the split's xxhash64 bucket for
+    // the exact-integer multiplicative hash (the L14b/L50 oracle
+    // precedent) so an external engine can replay split membership
+    // bit-for-bit; the default keeps xxhash64's better distribution
+    val bucketOf: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      options.get("split.bucket") match {
+        case Some("replayable") => Some(c =>
+          pmod(pmod(c.cast("long") * 2654435761L, lit(4294967296L)), lit(1000000L)))
+        case None | Some("default") => None
+        case Some(other) => throw new IllegalArgumentException(
+          s"split.bucket must be 'default' or 'replayable', got '$other'")
+      }
     if (!options.get("split.group.safe").contains("true"))
-      Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"))
+      Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"),
+        bucketCol = bucketOf.map(_(col(idCol))))
     else {
       val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
       // near-dup pairs come from the RAW input projection, not the
@@ -252,7 +268,7 @@ final class CurationTransformer extends Transformer {
         docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
       val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
       Sampling.withGroupSafeSplitLabel(withClf, idCol, groups, weights,
-        Seq("train", "val", "test"))
+        Seq("train", "val", "test"), bucketOf = bucketOf)
     }
   }
 }
