@@ -35,24 +35,35 @@ final class JdkHttpTransport(timeoutSeconds: Long = 60,
     val b = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
     if (trustAllSslCerts) {
+      // X509ExtendedTrustManager, not X509TrustManager (r18 ADVICE):
+      // when the endpoint-identification algorithm is set (the JDK
+      // HttpClient forces "HTTPS" per connection), JSSE performs the
+      // HOSTNAME check inside the trust manager's SSLEngine/Socket
+      // checkServerTrusted variants — a plain X509TrustManager gets
+      // wrapped by JSSE with a wrapper that re-adds the identity
+      // check, which is why the r17 fix reached for the JVM-GLOBAL
+      // jdk.internal.httpclient.disableHostnameVerification property
+      // (read once at class load, weakening TLS for EVERY HttpClient
+      // in the process). Overriding the extended variants as no-ops
+      // bypasses both cert validation and endpoint identification for
+      // THIS client only — per-client opt-in stays per-client.
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-      ctx.init(null, Array[javax.net.ssl.TrustManager](new javax.net.ssl.X509TrustManager {
-        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-      }), new java.security.SecureRandom())
+      ctx.init(null, Array[javax.net.ssl.TrustManager](
+        new javax.net.ssl.X509ExtendedTrustManager {
+          import java.security.cert.X509Certificate
+          override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
+          override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+          override def checkClientTrusted(c: Array[X509Certificate], a: String,
+                                          s: java.net.Socket): Unit = ()
+          override def checkServerTrusted(c: Array[X509Certificate], a: String,
+                                          s: java.net.Socket): Unit = ()
+          override def checkClientTrusted(c: Array[X509Certificate], a: String,
+                                          e: javax.net.ssl.SSLEngine): Unit = ()
+          override def checkServerTrusted(c: Array[X509Certificate], a: String,
+                                          e: javax.net.ssl.SSLEngine): Unit = ()
+          override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+        }), new java.security.SecureRandom())
       b.sslContext(ctx)
-      // a trust-all context alone is not enough: the JDK HttpClient
-      // copies the builder's SSLParameters per connection and
-      // UNCONDITIONALLY sets the endpoint-identification algorithm to
-      // "HTTPS" unless the jdk.internal.httpclient system property is
-      // set (verified against the installed JDK's
-      // AbstractAsyncSSLConnection — an empty algorithm on the
-      // builder's parameters is overwritten, so that approach was a
-      // no-op; r17 meta-review). The property is read ONCE at class
-      // load, so set it before the first HttpClient is built; scope:
-      // JVM-wide, which is what the trust-all opt-in already means.
-      System.setProperty("jdk.internal.httpclient.disableHostnameVerification", "true")
     }
     b.build()
   }

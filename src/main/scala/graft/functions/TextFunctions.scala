@@ -248,9 +248,22 @@ object TextFunctions {
     * need independent hashes (two-hash streaming dedup) must not
     * re-spell the chain inline, or the next normalization fix misses
     * the copy and batch/streaming fingerprints silently diverge (the
-    * exact drift class the r17 normWs fix closed). */
+    * exact drift class the r17 normWs fix closed).
+    *
+    * The seed goes FIRST (r18, ADVICE): Spark's xxhash64 folds
+    * children sequentially with the running hash as the next seed, so
+    * `xxhash64(text, seed)` is H(seed, H(text, 42)) — a deterministic
+    * function of the UNSEEDED fingerprint, meaning any 64-bit
+    * collision between distinct texts collides on BOTH columns and a
+    * widened two-hash dedup key adds zero collision resistance.
+    * Seed-first perturbs the hash STATE before the text folds in,
+    * yielding a genuinely independent family. (Streaming note: this
+    * changes `_fp2` values, so dropDuplicatesWithinWatermark state
+    * keys from pre-r18 checkpoints do not match — restart streams
+    * from a fresh checkpoint, the same upgrade rule the r17 widening
+    * already imposed.) */
   def fingerprint(text: Column, seed: Int): Column =
-    xxhash64(lower(normWs(text)), lit(seed))
+    xxhash64(lit(seed), lower(normWs(text)))
 
   /** Cross-engine-replayable fingerprint twin: md5 hex over the SAME
     * normalization chain. Use where the fingerprint must be

@@ -283,8 +283,14 @@ object KafkaBatch {
           : DataFrame = {
     val bootstrap = parseBrokers(brokers)
     val planner = clientFactory(bootstrap)
-    val ranges = try planRanges(planner, topic, starting, ending, bootstrap)
-                 finally planner.close()
+    val ranges = try {
+      // the factory re-runs on executors: a programmatic SSLContext it
+      // captures would die as an opaque NotSerializableException at
+      // task-serialization time — probe the driver-side client and
+      // fail AT PLAN TIME with the actionable message instead
+      planner.security.requireSerializable("kafka batch read")
+      planRanges(planner, topic, starting, ending, bootstrap)
+    } finally planner.close()
     val nonEmpty = ranges.filter(r => r.end > r.start)
     if (nonEmpty.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], kafkaSchema)
@@ -345,6 +351,8 @@ object KafkaBatch {
 
     val planner = clientFactory(parseBrokers(brokers))
     val numPartitions = try {
+      // same plan-time guard as read: the factory ships to executors
+      planner.security.requireSerializable("kafka batch write")
       planner.metadata(Seq(topic)).topics(topic).partitions.size
     } finally planner.close()
     val factory = clientFactory

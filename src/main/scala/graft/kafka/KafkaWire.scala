@@ -655,7 +655,11 @@ final class KafkaWireClient(bootstrap: Seq[(String, Int)],
                             clientId: String = "graft",
                             timeoutMs: Int = 30000,
                             formatOverride: Option[Int] = None,
-                            security: KafkaSecurity = KafkaSecurity()) extends AutoCloseable {
+                            /** Exposed so distributed call sites can probe a
+                              * user factory's DRIVER-side client and fail fast
+                              * on executor-unshippable config (tlsContext)
+                              * before any task serializes. */
+                            val security: KafkaSecurity = KafkaSecurity()) extends AutoCloseable {
   import KafkaWire._
 
   require(bootstrap.nonEmpty, "at least one bootstrap broker required")

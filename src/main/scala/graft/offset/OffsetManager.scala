@@ -131,6 +131,60 @@ final class UndercoverOffsetStore(delegate: OffsetStore) extends OffsetStore {
   override def commit(table: String, offset: OffsetValue): Unit = ()
 }
 
+/**
+ * Per-run read-through cache over any [[OffsetStore]] (reference:
+ * pramen/core .../core/bookkeeper/OffsetManagerCached.scala): a
+ * pipeline touching thousands of tables otherwise pays one store
+ * round-trip PER LOOKUP (the JDBC/Dynamo stores re-read by design for
+ * cross-driver visibility). Through this wrapper the store is read AT
+ * MOST ONCE per table per run — at the first lookup, or at the first
+ * commit on a never-read table (the post-commit view, so a
+ * pre-existing HIGHER store offset can never be shadowed by our lower
+ * commit and re-deliver rows).
+ *
+ * Commit semantics are UNCHANGED: every commit writes through to the
+ * delegate first (its monotonic/CAS arbitration still runs against
+ * concurrent drivers; a delegate failure propagates with the cache
+ * untouched), then merges into the cache under a per-table lock via
+ * the same [[OffsetValue.advance]] rule the stores use. The traded
+ * property is mid-run freshness of OTHER drivers' commits — the same
+ * snapshot-per-run semantics the reference cache accepts; this
+ * process's own commits are always visible to its own reads.
+ */
+final class OffsetStoreCached(delegate: OffsetStore) extends OffsetStore {
+  private val cache = TrieMap.empty[String, Option[OffsetValue]]
+  private val locks = TrieMap.empty[String, Object]
+  private def lockFor(table: String): Object =
+    locks.getOrElseUpdate(table, new Object)
+
+  override def supports(offsetType: String): Boolean = delegate.supports(offsetType)
+
+  override def getLatestOffset(table: String): Option[OffsetValue] =
+    lockFor(table).synchronized {
+      cache.getOrElseUpdate(table, delegate.getLatestOffset(table))
+    }
+
+  override def commit(table: String, offset: OffsetValue): Unit = {
+    // write-through OUTSIDE the cache lock: the delegate's own CAS is
+    // the cross-driver arbiter and must see the real contention
+    delegate.commit(table, offset)
+    lockFor(table).synchronized {
+      cache.get(table) match {
+        case Some(cur) =>
+          // merge exactly like the stores do; at/below-cached commits
+          // are the monotonic no-op
+          OffsetValue.advance(cur, offset).foreach(n => cache.put(table, Some(n)))
+        case None =>
+          // never read: take the POST-commit store view (one read,
+          // still <= 1 per table per run) — advance(None, offset)
+          // would shadow a pre-existing higher store offset and
+          // re-deliver its window on this run's next read
+          cache.put(table, delegate.getLatestOffset(table))
+      }
+    }
+  }
+}
+
 trait OffsetStore {
   /** Whether this store can order/commit the given offset type. An
     * ingestion job checks this BEFORE reading or saving anything — a

@@ -43,6 +43,10 @@ import java.time.LocalDate
  *                                         # (set false to combine with --date-parallelism)
  * bookkeeping.jdbc.metadata = true        # partition key-value metadata in the db
  *                                         # (false keeps the _graft/meta_kv file layout)
+ * bookkeeping.offsets.cache = true        # per-run read-through offset cache over the
+ *                                         # jdbc/dynamo stores (reference OffsetManagerCached):
+ *                                         # one store read per table per run, commit
+ *                                         # semantics unchanged; false re-reads per lookup
  * bookkeeping.jdbc.journal = true         # append-only task journal in the db (audit
  *                                         # trail lives in the SAME store as bookkeeping;
  *                                         # false falls back to journal.path if set)
@@ -191,6 +195,11 @@ object PipelineConfig {
                             * A `bookkeeping.jdbc` database journal wins
                             * over this (same-store discipline). */
                           journalPath: Option[String] = None,
+                          /** Per-run read-through offset cache over the
+                            * remote-RTT stores (reference:
+                            * OffsetManagerCached) — `bookkeeping.offsets.cache`,
+                            * default true; commit semantics unchanged. */
+                          offsetsCache: Boolean = true,
                           lockDir: Option[String] = None,
                           environment: String = "local",
                           htmlReportDir: Option[String] = None,
@@ -768,6 +777,7 @@ object PipelineConfig {
         }
       },
       journalPath = kv.get("journal.path"),
+      offsetsCache = !kv.get("bookkeeping.offsets.cache").contains("false"),
       lockDir = kv.get("lock.dir"),
       environment = kv.getOrElse("environment.name", "local"),
       htmlReportDir = kv.get("notification.html.dir"),
@@ -937,12 +947,18 @@ object PipelineConfig {
     // database (same-store discipline, reference JournalJdbc) wins;
     // otherwise `journal.path` selects the FS journal; else no journal
     val fsJournal = parsed.journalPath.map(p => new Journal(Some(p)): TaskJournal)
+    // per-run read-through cache over the remote-RTT offset stores
+    // (reference OffsetManagerCached): one store read per table per
+    // run instead of one per lookup; the FS OffsetManager already
+    // holds its state in memory, so only jdbc/dynamo wrap
+    def cached(s: graft.offset.OffsetStore): graft.offset.OffsetStore =
+      if (parsed.offsetsCache) new graft.offset.OffsetStoreCached(s) else s
     val stores = parsed.jdbc match {
       case Some(j) =>
         val db = j.connect()
         ResolvedStores(
           new graft.rdb.BookkeeperJdbc(db),
-          if (j.offsets) Some(new graft.rdb.OffsetStoreJdbc(db)) else None,
+          if (j.offsets) Some(cached(new graft.rdb.OffsetStoreJdbc(db))) else None,
           if (j.locks)
             Some((t: String, d: LocalDate) => new graft.rdb.TokenLockJdbc(db, s"${t}_$d"))
           else None,
@@ -961,7 +977,7 @@ object PipelineConfig {
         // locks follow the bookkeeping backend (reference
         // TokenLockFactory discipline: the arbiter must be a store ALL
         // drivers share, which is whatever coordinates bookkeeping)
-        ResolvedStores(bk, dyn.flatMap(_._2),
+        ResolvedStores(bk, dyn.flatMap(_._2).map(cached),
           dyn.flatMap(_._3).orElse(mongo.flatMap(_._2)), None, fsJournal)
     }
     // undercover: decisions read the real history, nothing writes back

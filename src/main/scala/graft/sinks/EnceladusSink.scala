@@ -214,10 +214,19 @@ final class EnceladusSink(
       if (publishPartitionPattern.contains("{version}") && publishPart.nonEmpty) {
         System.err.println(s"[graft enceladus] removing stale publish output $publishPath")
         fs.delete(publishPath, true)
-      } else
-        System.err.println(s"[graft enceladus] publish path $publishPath exists but the " +
-          s"publish pattern '$publishPartitionPattern' has no {version} segment to scope a " +
-          "safe delete — standardization will write ALONGSIDE the existing files")
+      } else {
+        // two distinct skip causes, two distinct messages (r18 ADVICE:
+        // the single no-{version} message misdescribed the
+        // empty-partition-path case to the operator)
+        val why =
+          if (!publishPartitionPattern.contains("{version}"))
+            s"the publish pattern '$publishPartitionPattern' has no {version} segment to scope a safe delete"
+          else
+            s"the pattern '$publishPartitionPattern' unpacked to an EMPTY partition path " +
+              "(deleting would target the publish base itself)"
+        System.err.println(s"[graft enceladus] publish path $publishPath exists but $why " +
+          "— standardization will write ALONGSIDE the existing files")
+      }
     }
 
     val cmd = template.get

@@ -107,11 +107,20 @@ object SqlDialect {
       s"ALTER TABLE $table CHANGE $column $column $newType"
   }
   /** Databricks SQL warehouses: Spark-SQL dialect — backticks, ANSI
-    * date literals. */
+    * date literals. Spark-SQL grammar has no `ALTER COLUMN ... SET
+    * DATA TYPE` form and no bounded-VARCHAR pressure (r18 ADVICE —
+    * the inherited defaults would brick a Databricks-backed
+    * bookkeeping DB at the v1→v2 offsets migration, the same failure
+    * class the Hive dialect already fixed; Delta additionally
+    * restricts retypes, so the widened column is STRING, a widening
+    * Delta accepts only via explicit `ALTER COLUMN ... TYPE`). */
   case object Databricks extends SqlDialect {
     val name = "databricks"
     override def quote(ident: String): String = s"`$ident`"
     override def dateLiteral(d: LocalDate): String = s"date'${d.format(Iso)}'"
+    override def longTextType: String = "STRING"
+    override def alterColumnType(table: String, column: String, newType: String): String =
+      s"ALTER TABLE $table ALTER COLUMN $column TYPE $newType"
   }
   case object Db2 extends SqlDialect {
     val name = "db2"

@@ -187,4 +187,49 @@ class DatabricksClientSpec extends AnyFunSuite {
     assert(Json.parse("{\"u\": \"\\u00e9\"}").contains(Map("u" -> "\u00e9")),
       "\\u escapes must decode")
   }
+
+  test("trust-all is per-client: mismatched self-signed HTTPS works WITHOUT the global property") {
+    // r18 ADVICE: the old implementation set the JVM-GLOBAL
+    // jdk.internal.httpclient.disableHostnameVerification property —
+    // disabling hostname verification for EVERY HttpClient in the
+    // process, and a no-op if any client was built first. The
+    // X509ExtendedTrustManager no-ops both cert validation and
+    // endpoint identification for THIS client only.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbx-tls")
+    val ksPath = dir.resolve("server.p12")
+    import scala.sys.process._
+    // CN deliberately NOT the connect address: hostname verification
+    // would reject even a trusted cert (the SAN-less self-signed case)
+    val rc = Seq("keytool", "-genkeypair", "-alias", "k", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ksPath.toString,
+      "-storepass", "changeit", "-dname", "CN=bogus-host", "-validity", "1").!
+    assert(rc == 0, "keytool failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fin = java.nio.file.Files.newInputStream(ksPath)
+    try ks.load(fin, "changeit".toCharArray) finally fin.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(serverCtx))
+    server.createContext("/ping", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = "pong".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    val url = s"https://127.0.0.1:${server.getAddress.getPort}/ping"
+    try {
+      val (status, body) = new JdkHttpTransport(trustAllSslCerts = true).get(url, Map.empty)
+      assert(status == 200 && body == "pong")
+      assert(System.getProperty("jdk.internal.httpclient.disableHostnameVerification") == null,
+        "trust-all must not weaken TLS process-wide")
+      // the default transport still rejects the bogus cert — trust-all
+      // genuinely is opt-in, not ambient state left by the first call
+      intercept[java.io.IOException](new JdkHttpTransport().get(url, Map.empty))
+    } finally server.stop(0)
+  }
 }

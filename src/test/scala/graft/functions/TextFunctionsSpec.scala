@@ -79,6 +79,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps("a") != fps("c"))
   }
 
+  test("seeded fingerprint is an independent hash family, not a function of the unseeded one") {
+    // r18 ADVICE pin: Spark's xxhash64 folds children sequentially
+    // (running hash = next seed), so the OLD spelling
+    // xxhash64(text, seed) was H(seed, H(text, 42)) — derivable from
+    // the unseeded fingerprint, which made a widened two-hash dedup
+    // key add zero collision resistance. Seed-FIRST perturbs the hash
+    // state before the text folds in.
+    val df = Seq(("a", "hello world"), ("b", "some other doc")).toDF("id", "t")
+      .select(col("id"),
+        TextFunctions.fingerprint(col("t")).as("fp"),
+        TextFunctions.fingerprint(col("t"), seed = 7).as("fp7"),
+        // the OLD derived-from-unseeded value: must NOT equal fp7
+        xxhash64(lower(trim(regexp_replace(col("t"), "\\s+", " "))), lit(7)).as("derived"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) != r.getLong(3),
+        s"seeded fingerprint must not be derivable from the unseeded one: $r")
+      assert(r.getLong(1) != r.getLong(2), s"seeded must differ from unseeded: $r")
+    }
+    // same seed, same text -> deterministic (the state-key contract)
+    val again = Seq(("a", "hello world")).toDF("id", "t")
+      .select(TextFunctions.fingerprint(col("t"), seed = 7)).head().getLong(0)
+    assert(again == df.where(col("id") === "a").head().getLong(2))
+  }
+
   test("L9 language id picks the evident language") {
     val r = Seq(
       ("en", "the cat sat on the mat with the dog and that was that"),

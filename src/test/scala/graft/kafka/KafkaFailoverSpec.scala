@@ -184,4 +184,23 @@ class KafkaFailoverSpec extends SparkSpec {
     KafkaSecurity.fromOptions(Map("kafka.security.protocol" -> "SSL"))
       .requireSerializable("ok")
   }
+
+  test("KafkaBatch.read/write with a tlsContext factory fail at plan time with the clear message") {
+    // the guard probes the DRIVER-side client the user factory builds,
+    // BEFORE any metadata call or task serialization — so a bogus
+    // broker address proves no connection is even attempted
+    val ctx = javax.net.ssl.SSLContext.getDefault
+    val factory = (bs: Seq[(String, Int)]) =>
+      new KafkaWireClient(bs, security = KafkaSecurity(tlsContext = Some(ctx)))
+    val eR = intercept[IllegalArgumentException](
+      KafkaBatch.read(spark, "localhost:1", "t", clientFactory = factory))
+    assert(eR.getMessage.contains("kafka batch read") &&
+      eR.getMessage.contains("cannot be serialized"), eR.getMessage)
+    import spark.implicits._
+    val df = Seq(("k", "v")).toDF("key", "value")
+    val eW = intercept[IllegalArgumentException](
+      KafkaBatch.write(df, "localhost:1", "t", clientFactory = factory))
+    assert(eW.getMessage.contains("kafka batch write") &&
+      eW.getMessage.contains("cannot be serialized"), eW.getMessage)
+  }
 }

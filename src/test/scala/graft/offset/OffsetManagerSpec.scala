@@ -112,4 +112,75 @@ class OffsetManagerSpec extends SparkSpec {
     assert(om.getLatestOffset("t").contains(OffsetValue.IntegralValue(100)))
     assert(om.incrementalFilter(df, info, "t").count() == 0)
   }
+
+  /** Delegate that counts store round-trips — the property the cached
+    * wrapper exists for. */
+  private class CountingStore extends OffsetStore {
+    val inner = new OffsetManager()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def getLatestOffset(table: String): Option[OffsetValue] = {
+      reads.incrementAndGet(); inner.getLatestOffset(table)
+    }
+    override def commit(table: String, offset: OffsetValue): Unit = {
+      commits.incrementAndGet(); inner.commit(table, offset)
+    }
+  }
+
+  test("cached store: at most one delegate read per table per run; own commits visible") {
+    val store = new CountingStore
+    val c = new OffsetStoreCached(store)
+    (1 to 50).foreach(_ => c.getLatestOffset("a"))
+    (1 to 50).foreach(_ => c.getLatestOffset("b"))
+    assert(store.reads.get == 2, s"one read per table, got ${store.reads.get}")
+    // commits write through AND become visible to this run's reads
+    c.commit("a", OffsetValue.IntegralValue(7))
+    assert(store.commits.get == 1)
+    assert(c.getLatestOffset("a").contains(OffsetValue.IntegralValue(7)))
+    assert(store.inner.getLatestOffset("a").contains(OffsetValue.IntegralValue(7)),
+      "the commit must land in the delegate, not just the cache")
+    // the monotonic no-op holds through the cache too
+    c.commit("a", OffsetValue.IntegralValue(3))
+    assert(c.getLatestOffset("a").contains(OffsetValue.IntegralValue(7)))
+    assert(store.reads.get == 2, s"commits on a read table add no reads: ${store.reads.get}")
+  }
+
+  test("cached store: commit on a never-read table takes the POST-commit store view") {
+    // a pre-existing HIGHER store offset must never be shadowed by our
+    // lower commit — that would re-deliver its window on the next read
+    val store = new CountingStore
+    store.inner.commit("t", OffsetValue.IntegralValue(100))
+    val c = new OffsetStoreCached(store)
+    c.commit("t", OffsetValue.IntegralValue(50)) // delegate ignores (monotonic)
+    assert(c.getLatestOffset("t").contains(OffsetValue.IntegralValue(100)),
+      "the cache must hold the store's view, not the shadowing lower commit")
+    assert(store.reads.get == 1, s"the post-commit view costs one read: ${store.reads.get}")
+  }
+
+  test("cached store: 8-way same-table commit hammer keeps CAS semantics end to end") {
+    val store = new CountingStore
+    val c = new OffsetStoreCached(store)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (1 to 500).foreach { i =>
+        c.commit("same", OffsetValue.IntegralValue((i * 8 + t).toLong))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val max = OffsetValue.IntegralValue(4007L)
+    assert(c.getLatestOffset("same").contains(max),
+      s"cached view regressed: ${c.getLatestOffset("same")}")
+    assert(store.inner.getLatestOffset("same").contains(max),
+      s"delegate regressed: ${store.inner.getLatestOffset("same")}")
+    // kafka offsets merge per partition through the cache as well
+    val cK = new OffsetStoreCached(new CountingStore)
+    val kThreads = (0 until 4).map { t =>
+      new Thread(() => (1 to 200).foreach { i =>
+        cK.commit("k", OffsetValue.KafkaValue(Map(t -> i.toLong)))
+      })
+    }
+    kThreads.foreach(_.start()); kThreads.foreach(_.join())
+    assert(cK.getLatestOffset("k").contains(
+      OffsetValue.KafkaValue(Map(0 -> 200L, 1 -> 200L, 2 -> 200L, 3 -> 200L))),
+      s"kafka merge lost a partition through the cache: ${cK.getLatestOffset("k")}")
+  }
 }

@@ -203,6 +203,29 @@ class ConfigJdbcSpec extends SparkSpec {
     assert(e.getMessage.contains("2 attempt(s)"), e.getMessage)
   }
 
+  test("jdbc offsets resolve through the per-run read-through cache; opt-out restores raw") {
+    SharedDbFactory.reset()
+    val base = java.nio.file.Files.createTempDirectory("cfg_jdbc_ocache_").toString
+    val cachedStores = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base)), new Bookkeeper())
+    assert(cachedStores.offsets.exists(_.isInstanceOf[graft.offset.OffsetStoreCached]),
+      "jdbc offsets must default to the cached wrapper")
+    // one store read per table per run: repeated lookups hit the db once
+    val before = SharedDbFactory.current.prepared.size
+    val os = cachedStores.offsets.get
+    (1 to 20).foreach(_ => os.getLatestOffset("ev_in"))
+    val readsAfter = SharedDbFactory.current.prepared.count { case (sql, _) =>
+      sql.startsWith("SELECT") && sql.contains("\"offsets\"")
+    }
+    assert(readsAfter == 1, s"20 lookups must cost 1 offsets read, got $readsAfter " +
+      s"(prepared grew by ${SharedDbFactory.current.prepared.size - before})")
+    val raw = PipelineConfig.resolveStores(
+      PipelineConfig.parse(baseConfig(base) + "bookkeeping.offsets.cache = false\n"),
+      new Bookkeeper())
+    assert(raw.offsets.exists(_.isInstanceOf[graft.rdb.OffsetStoreJdbc]),
+      "cache=false must resolve the raw store")
+  }
+
   test("task journal lands in the config-declared database; visible across drivers in order") {
     SharedDbFactory.reset()
     val base = java.nio.file.Files.createTempDirectory("cfg_jdbc_journal_").toString

@@ -79,6 +79,31 @@ class SqlGeneratorSpec extends AnyFunSuite {
     assert(SqlDialect.All.size == 11)
   }
 
+  test("migration DDL matrix: every dialect's column-retype statement parses in ITS grammar") {
+    // r18 ADVICE: Databricks inherited the generic 'ALTER COLUMN ...
+    // SET DATA TYPE' + VARCHAR(32000) — Spark SQL's grammar is
+    // 'ALTER COLUMN col TYPE type' and Delta restricts retypes, so the
+    // v1->v2 offsets migration would brick a Databricks-backed
+    // bookkeeping DB exactly like the Hive case fixed in r17
+    def alter(d: SqlDialect) = d.alterColumnType("t", "c", d.longTextType)
+    assert(alter(SqlDialect.Databricks) == "ALTER TABLE t ALTER COLUMN c TYPE STRING")
+    assert(alter(SqlDialect.Hive) == "ALTER TABLE t CHANGE c c STRING")
+    assert(alter(SqlDialect.Postgres) == "ALTER TABLE t ALTER COLUMN c TYPE TEXT")
+    assert(alter(SqlDialect.MySql) == "ALTER TABLE t MODIFY c TEXT NOT NULL")
+    assert(alter(SqlDialect.Oracle) == "ALTER TABLE t MODIFY (c VARCHAR2(4000))")
+    assert(alter(SqlDialect.SqlServer) == "ALTER TABLE t ALTER COLUMN c VARCHAR(MAX) NOT NULL")
+    assert(alter(SqlDialect.Db2) == "ALTER TABLE t ALTER COLUMN c SET DATA TYPE VARCHAR(3500)")
+    // no dialect keeps BOTH generic defaults by accident: anything on
+    // the generic 'SET DATA TYPE' spelling must be a dialect where
+    // that grammar is real (generic itself, DB2, HSQLDB, Denodo, SAS)
+    val genericOk = Set[SqlDialect](SqlDialect.Generic, SqlDialect.Db2,
+      SqlDialect.HsqlDb, SqlDialect.Denodo, SqlDialect.Sas)
+    SqlDialect.All.filterNot(genericOk).foreach { d =>
+      assert(!alter(d).contains("SET DATA TYPE"),
+        s"${d.name} must override the generic retype spelling: ${alter(d)}")
+    }
+  }
+
   test("info-date column typed STRING or NUMBER renders app-format literals") {
     val str = new SqlGenerator(SqlDialect.Generic,
       SqlConfig("d", dateFormatApp = "yyyy-MM-dd", infoDateType = SqlColumnType.StringType))
