@@ -611,6 +611,37 @@ object SparkEntry {
         TextFunctions.lineQualityKeep(aug, 0.5, 0.25, 0.4).as("keep"))
     }),
 
+    "q_token_budget" -> ((s, dir) => {
+      // L68 exact budget-bound mix assembly: per-source char quotas
+      // (src3's quota of 1 pins the include-the-crossing-doc rule:
+      // exactly the hash-first doc survives); sources without a quota
+      // drop. DuckDB replays the multiplicative rank, the exclusive
+      // cumulative sum and the budget cut
+      graft.operators.Sampling.budgetSample(docs(s, dir), "source", "doc_id",
+          "n_chars", Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 6000L, "src3" -> 1L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
+    "q_line_scrub" -> ((s, dir) => {
+      // L67 line-wise CORRECTION (fix-the-doc): junk lines planted
+      // in-gate — a short bullet fragment, a letterless counter, a
+      // verbatim repeat of the first line on every doc; per doc_id%3 a
+      // LONG bulleted prose line (must survive the bullet rule) or a
+      // short "..." teaser (must drop). DuckDB replays the plant, the
+      // trim/split, every keep rule, the within-doc first-occurrence
+      // dedup and the md5 of the rebuilt text
+      val planted = docs(s, dir).withColumn("text2", concat(
+        col("text"), lit("\n- see\n12345\n"), col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit("\n- "), col("text")))
+          .when(col("doc_id") % 3 === 1, lit("\nRead more..."))
+          .otherwise(lit(""))))
+      graft.operators.TextPrep.cleanLines(planted, "text2")
+        .select(col("doc_id"), col("lines_kept"), col("lines_dropped"),
+          col("line_drop_frac"),
+          md5(col("text_clean").cast("binary")).as("clean_md5"))
+    }),
+
     "q_url_filter" -> ((s, dir) => {
       // URL/domain curation: deterministic URLs synthesized in-gate
       // (one mega-domain holding 25% of docs, a long tail of small
@@ -3901,6 +3932,56 @@ object SparkEntry {
       // decision is the plant rule itself
       """SELECT doc_id, (doc_id % 5 = 0) AS is_quality
         |FROM documents""".stripMargin,
+
+    "q_token_budget" ->
+      // replays the L68 budget cut: multiplicative rank, per-source
+      // exclusive cumsum, keep while the weight BEFORE the doc is
+      // under quota (the crossing doc is included)
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS r,
+        |    CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+        |                WHEN 'src2' THEN 6000 WHEN 'src3' THEN 1 END AS budget
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |cum AS (
+        |  SELECT source, n_chars, budget,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY r, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM ranked)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM cum WHERE before < budget GROUP BY source""".stripMargin,
+
+    "q_line_scrub" ->
+      // replays the L67 line correction: plant, trim/split, letter /
+      // short-bullet / short-teaser rules, within-doc first-occurrence
+      // dedup (list slice + position), rebuilt-text md5
+      """WITH planted AS (
+        |  SELECT doc_id, text || chr(10) || '- see' || chr(10) || '12345' || chr(10) || text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- ' || text
+        |         WHEN doc_id % 3 = 1 THEN chr(10) || 'Read more...'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(replace(t2, chr(13), ''), chr(10)),
+        |      x -> trim(x)), x -> length(x) > 0) AS cand
+        |  FROM planted),
+        |k AS (
+        |  SELECT doc_id, cand,
+        |    list_filter(cand, (x, i) ->
+        |      regexp_matches(x, '[A-Za-z]')
+        |      AND NOT (length(x) < 30 AND regexp_matches(x, '^[-*•]'))
+        |      AND NOT (length(x) < 30 AND suffix(x, '...'))
+        |      AND coalesce(list_position(cand[1:i-1], x), 0) = 0) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(len(kept) AS INTEGER) AS lines_kept,
+        |  CAST(len(cand) - len(kept) AS INTEGER) AS lines_dropped,
+        |  CASE WHEN len(cand) = 0 THEN 0.0
+        |       ELSE round((len(cand) - len(kept)) * 1.0 / len(cand), 4) END AS line_drop_frac,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k""".stripMargin,
 
     // r18 (judge item 6): the composed curation pipelines replay
     // end-to-end — every stage formula is the SAME text its per-stage

@@ -176,6 +176,22 @@ final class DynamoDbClient(endpoint: String, region: String,
   /** PutItem, optionally guarded by a ConditionExpression; returns
     * false when the conditional check failed (the item was NOT
     * written) — the primitive monotonic offset commits build on. */
+  /** Append a ConditionExpression (+ values) to a request body. The
+    * real service REJECTS an empty ExpressionAttributeValues map, so a
+    * value-free condition (attribute_not_exists) must omit the key
+    * entirely — shared by putItem and deleteItem so the conditional
+    * put and conditional delete encodings can never diverge. */
+  private def withCondition(base: Seq[(String, String)],
+                            condition: Option[(String, Map[String, (String, String)])])
+      : Seq[(String, String)] =
+    condition.fold(base) { case (expr, values) =>
+      base ++ (Seq("ConditionExpression" -> Json.str(expr)) ++
+        (if (values.isEmpty) Nil
+         else Seq("ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
+           case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
+         }: _*))))
+    }
+
   def putItem(table: String, item: Map[String, (String, String)],
               condition: Option[(String, Map[String, (String, String)])] = None): Boolean = {
     val fields = item.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>
@@ -184,16 +200,7 @@ final class DynamoDbClient(endpoint: String, region: String,
     val base = Seq(
       "TableName" -> Json.str(table),
       "Item" -> Json.obj(fields: _*))
-    val withCond = condition.fold(base) { case (expr, values) =>
-      // the real service REJECTS an empty ExpressionAttributeValues
-      // map, so a value-free condition (attribute_not_exists) must
-      // omit the key entirely
-      base ++ (Seq("ConditionExpression" -> Json.str(expr)) ++
-        (if (values.isEmpty) Nil
-         else Seq("ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
-           case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
-         }: _*))))
-    }
+    val withCond = withCondition(base, condition)
     try { call("PutItem", Json.obj(withCond: _*)); true }
     catch {
       case e: RuntimeException if e.getMessage.contains("ConditionalCheckFailed") => false
@@ -210,13 +217,7 @@ final class DynamoDbClient(endpoint: String, region: String,
       "Key" -> Json.obj(key.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>
         k -> Json.obj(tpe -> Json.str(v))
       }: _*))
-    val withCond = condition.fold(base) { case (expr, values) =>
-      base ++ (Seq("ConditionExpression" -> Json.str(expr)) ++
-        (if (values.isEmpty) Nil
-         else Seq("ExpressionAttributeValues" -> Json.obj(values.toSeq.sortBy(_._1).map {
-           case (k, (tpe, v)) => k -> Json.obj(tpe -> Json.str(v))
-         }: _*))))
-    }
+    val withCond = withCondition(base, condition)
     try { call("DeleteItem", Json.obj(withCond: _*)); true }
     catch {
       case e: RuntimeException if e.getMessage.contains("ConditionalCheckFailed") => false

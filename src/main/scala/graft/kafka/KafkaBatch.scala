@@ -34,6 +34,36 @@ object KafkaBatch {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** Plan-time shippability check for the user's client factory: the
+    * factory re-runs on executors, so a non-serializable capture would
+    * die as an opaque NotSerializableException at task-serialization
+    * time. Serializing the CLOSURE itself is the precise test — a
+    * factory that CONSTRUCTS its SSLContext inside the lambda captures
+    * nothing unserializable and passes (each executor builds its own
+    * context), while a captured driver-side context fails HERE with
+    * the actionable message (r18 review: probing only the driver
+    * client's `security` rejected the constructed-inside pattern that
+    * task serialization would in fact accept). */
+  private[kafka] def requireShippableFactory(
+      factory: Seq[(String, Int)] => KafkaWireClient,
+      probe: KafkaWireClient, context: String): Unit =
+    try {
+      val oos = new java.io.ObjectOutputStream(java.io.OutputStream.nullOutputStream())
+      try oos.writeObject(factory) finally oos.close()
+    } catch {
+      case e: java.io.NotSerializableException =>
+        val hint =
+          if (probe.security.tlsContext.isDefined)
+            " — a programmatic KafkaSecurity.tlsContext (an SSLContext) cannot be serialized " +
+              "into executor tasks; construct the SSLContext INSIDE the factory lambda so each " +
+              "executor builds its own, or use tls=true with the JVM-default trust store " +
+              "(javax.net.ssl.* system properties on executors)"
+          else ""
+        throw new IllegalArgumentException(
+          s"$context: the client factory cannot be serialized into executor tasks " +
+            s"(captured ${e.getMessage})$hint", e)
+    }
+
   sealed trait OffsetSpec
   case object Earliest extends OffsetSpec
   case object Latest extends OffsetSpec
@@ -284,11 +314,7 @@ object KafkaBatch {
     val bootstrap = parseBrokers(brokers)
     val planner = clientFactory(bootstrap)
     val ranges = try {
-      // the factory re-runs on executors: a programmatic SSLContext it
-      // captures would die as an opaque NotSerializableException at
-      // task-serialization time — probe the driver-side client and
-      // fail AT PLAN TIME with the actionable message instead
-      planner.security.requireSerializable("kafka batch read")
+      requireShippableFactory(clientFactory, planner, "kafka batch read")
       planRanges(planner, topic, starting, ending, bootstrap)
     } finally planner.close()
     val nonEmpty = ranges.filter(r => r.end > r.start)
@@ -351,8 +377,7 @@ object KafkaBatch {
 
     val planner = clientFactory(parseBrokers(brokers))
     val numPartitions = try {
-      // same plan-time guard as read: the factory ships to executors
-      planner.security.requireSerializable("kafka batch write")
+      requireShippableFactory(clientFactory, planner, "kafka batch write")
       planner.metadata(Seq(topic)).topics(topic).partitions.size
     } finally planner.close()
     val factory = clientFactory

@@ -99,10 +99,15 @@ object FitScaleProbe {
       FitPoint(n, sec, model.weights.size.toLong, model.weights.size.toLong * 24)
     }
 
-    // small first at each family so JIT/codegen warm-up inflates the
-    // SMALL point (conservative for the growth ratio), never the big
+    // throwaway warm-up per family BEFORE any timed point (r18 review:
+    // running small-first WITHOUT a warm-up inflates the denominator
+    // with JIT/codegen start-up cost, which UNDERSTATES the growth
+    // ratio — the opposite of conservative for the per-row-driver-work
+    // regression this probe exists to surface)
+    kmeansPoint(math.max(small / 50, 100))
     val ks = kmeansPoint(small)
     val kb = kmeansPoint(big)
+    clfPoint(math.max(small / 50, 100))
     val cs = clfPoint(small)
     val cb = clfPoint(big)
     Result(k, dim, vocabCap, ks, kb, cs, cb)

@@ -102,6 +102,52 @@ object Sampling {
       .drop("_gs_id", "_gs_group", "_gs_key")
   }
 
+  /**
+   * Exact budget-bound corpus selection (r18 — "give me N tokens of
+   * source X", the final assembly step of a training mix where quotas
+   * are TOKENS/chars/bytes, not document counts): within each key,
+   * documents are taken in deterministic multiplicative-hash order
+   * (an unbiased reproducible shuffle — the L50/L14b replayable-rank
+   * discipline, overflow-safe split arithmetic) until the budget
+   * fills. A document is kept iff the weight accumulated BEFORE it in
+   * that order is still under the key's budget — the first crossing
+   * document is included, so each key's kept total lands in
+   * [budget, budget + maxDocWeight) whenever the key has enough data.
+   * Keys absent from `budgets` are dropped (quota zero).
+   *
+   * Plan shape: selection runs on an (id, key, weight) PROJECTION —
+   * one per-key window cumsum whose sort carries ~24 bytes/row, never
+   * text — and survivors rejoin by id via left-semi (AQE broadcasts
+   * the kept side when small). The wide columns cross no shuffle.
+   * Replayable: rank = (id·2654435761) mod 2^32 and the cumulative
+   * sum are exact integer arithmetic any ANSI engine reproduces.
+   */
+  def budgetSample(df: DataFrame, keyCol: String, idCol: String,
+                   weightCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgetSample: budgets must be non-empty")
+    require(budgets.values.forall(_ >= 0), s"budgetSample: negative budget in $budgets")
+    // overflow-safe (id * 2654435761) mod 2^32 — see UrlCuration.capPerDomain
+    val m = pmod(col("_bs_id").cast("long"), lit(4294967296L))
+    val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
+    val rank = pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) +
+      m.bitwiseAND(lit(0xFFFFL)) * 2654435761L, lit(4294967296L))
+    val budget = element_at(
+      map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("_bs_key"))
+    val w = Window.partitionBy(col("_bs_key"))
+      .orderBy(col("_bs_rank"), col("_bs_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = df
+      .select(col(idCol).as("_bs_id"), col(keyCol).as("_bs_key"),
+        col(weightCol).cast("long").as("_bs_w"))
+      .where(col("_bs_key").isin(budgets.keys.toSeq: _*))
+      .withColumn("_bs_rank", rank)
+      .withColumn("_bs_before", coalesce(sum(col("_bs_w")).over(w), lit(0L)))
+      .where(col("_bs_before") < budget)
+      .select(col("_bs_id"))
+    df.join(kept, col(idCol) === col("_bs_id"), "left_semi")
+  }
+
   /** Seeded stratified sampling: per-stratum fractions (absent keys
     * drop to 0). Thin wrapper over Spark's `stat.sampleBy`. */
   def stratifiedSample(df: DataFrame, strataCol: String,

@@ -166,6 +166,56 @@ object TextPrep {
       t => split(t, "\n"), "\n", minRepeats)
 
   /**
+   * RefinedWeb-style line-wise CORRECTION (r18 — the fix-the-doc
+   * complement of the L51 drop-the-doc rules and the L21 cross-corpus
+   * boilerplate scrub): remove junk LINES and keep the document.
+   * RefinedWeb's line-correction stage removes social-media counters,
+   * navigation crumbs and lone bullets, then drops the whole doc only
+   * when the edit was too invasive; reduced here to deterministic,
+   * ANSI-replayable rules. A trimmed non-empty line is KEPT iff it
+   *  - contains at least one letter (drops lone counters/dividers),
+   *  - is not a short bullet fragment (starts with -, *, • and under
+   *    `shortLine` chars — real bulleted PROSE survives),
+   *  - is not a short "..."-truncated teaser (under `shortLine`),
+   *  - is the FIRST occurrence of its content in the document
+   *    (within-doc repeated headers/footers collapse; the cross-CORPUS
+   *    version of this rule is [[dedupLines]]).
+   * Blank lines are layout, not content: they are dropped from the
+   * rebuilt text but never counted in the drop fraction.
+   *
+   * Adds `text_clean`, `lines_kept`, `lines_dropped` and
+   * `line_drop_frac` (dropped / non-empty, 0 for line-less docs,
+   * rounded to 4); callers drop documents whose fraction exceeds
+   * their threshold (RefinedWeb removes docs mutilated past ~50%).
+   *
+   * Scale shape: pure per-row higher-order column expressions — no
+   * UDF, no shuffle, no state; the first-occurrence probe is
+   * O(lines²) per document in the worst case, bounded in practice by
+   * document line counts, never by the corpus.
+   */
+  def cleanLines(docs: DataFrame, textCol: String,
+                 shortLine: Int = 30): DataFrame = {
+    val trimmed = transform(split(regexp_replace(col(textCol), "\r", ""), "\n"),
+      l => trim(l))
+    val cand = filter(trimmed, l => length(l) > 0)
+    def keepRule(l: Column, i: Column, all: Column): Column =
+      l.rlike("[A-Za-z]") &&
+        !(length(l) < shortLine && l.rlike("^[-*•]")) &&
+        !(length(l) < shortLine && l.endsWith("...")) &&
+        !exists(slice(all, lit(1), i), p => p === l)
+    docs
+      .withColumn("_cand", cand)
+      .withColumn("_kept", filter(col("_cand"), (l, i) => keepRule(l, i, col("_cand"))))
+      .withColumn("text_clean", array_join(col("_kept"), "\n"))
+      .withColumn("lines_kept", size(col("_kept")))
+      .withColumn("lines_dropped", size(col("_cand")) - size(col("_kept")))
+      .withColumn("line_drop_frac",
+        when(size(col("_cand")) === 0, lit(0.0))
+          .otherwise(round(col("lines_dropped").cast("double") / size(col("_cand")), 4)))
+      .drop("_cand", "_kept")
+  }
+
+  /**
    * Remove segments that occur more than `minRepeats` times across the
    * WHOLE corpus (CCNet's paragraph/line dedup generalized to any
    * segmentation). `segmenter` maps the text column to an

@@ -946,7 +946,13 @@ object PipelineConfig {
     // journal backend precedence mirrors bookkeeping's: the jdbc
     // database (same-store discipline, reference JournalJdbc) wins;
     // otherwise `journal.path` selects the FS journal; else no journal
-    val fsJournal = parsed.journalPath.map(p => new Journal(Some(p)): TaskJournal)
+    // def, not val: the Journal constructor replays the directory
+    // (one read+parse per event file), so it must only construct when
+    // this backend actually wins — and never under undercover, whose
+    // journal is dropped below before anything could read it
+    def fsJournal =
+      if (parsed.undercover) None
+      else parsed.journalPath.map(p => new Journal(Some(p)): TaskJournal)
     // per-run read-through cache over the remote-RTT offset stores
     // (reference OffsetManagerCached): one store read per table per
     // run instead of one per lookup; the FS OffsetManager already

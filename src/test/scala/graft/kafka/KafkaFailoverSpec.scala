@@ -185,22 +185,36 @@ class KafkaFailoverSpec extends SparkSpec {
       .requireSerializable("ok")
   }
 
-  test("KafkaBatch.read/write with a tlsContext factory fail at plan time with the clear message") {
-    // the guard probes the DRIVER-side client the user factory builds,
-    // BEFORE any metadata call or task serialization — so a bogus
-    // broker address proves no connection is even attempted
+  test("KafkaBatch.read/write with a CAPTURED tlsContext fail at plan time with the clear message") {
+    // the guard serializes the factory CLOSURE itself, BEFORE any
+    // metadata call or task serialization — a bogus broker address
+    // proves no connection is even attempted
     val ctx = javax.net.ssl.SSLContext.getDefault
     val factory = (bs: Seq[(String, Int)]) =>
       new KafkaWireClient(bs, security = KafkaSecurity(tlsContext = Some(ctx)))
     val eR = intercept[IllegalArgumentException](
       KafkaBatch.read(spark, "localhost:1", "t", clientFactory = factory))
     assert(eR.getMessage.contains("kafka batch read") &&
-      eR.getMessage.contains("cannot be serialized"), eR.getMessage)
+      eR.getMessage.contains("cannot be serialized") &&
+      eR.getMessage.contains("INSIDE the factory lambda"), eR.getMessage)
     import spark.implicits._
     val df = Seq(("k", "v")).toDF("key", "value")
     val eW = intercept[IllegalArgumentException](
       KafkaBatch.write(df, "localhost:1", "t", clientFactory = factory))
     assert(eW.getMessage.contains("kafka batch write") &&
       eW.getMessage.contains("cannot be serialized"), eW.getMessage)
+  }
+
+  test("a factory that CONSTRUCTS its SSLContext inside the lambda passes the plan-time guard") {
+    // each executor builds its own context when the factory re-runs
+    // there — genuinely serializable, so rejecting it (the first r18
+    // guard draft probed only the driver client's security) would
+    // break a previously-working distributed TLS pattern
+    val factory = (bs: Seq[(String, Int)]) =>
+      new KafkaWireClient(bs, security =
+        KafkaSecurity(tlsContext = Some(javax.net.ssl.SSLContext.getDefault)))
+    val probe = factory(Seq(("localhost", 1)))
+    try KafkaBatch.requireShippableFactory(factory, probe, "kafka batch read")
+    finally probe.close()
   }
 }

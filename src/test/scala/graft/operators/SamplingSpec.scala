@@ -257,4 +257,34 @@ class SamplingSpec extends SparkSpec {
     val withMap = rows.withColumn("meta", map(lit("k"), lit("v")))
     assert(Sampling.capPerKey(withMap, "domain", 20, "score").count() == 60)
   }
+
+  test("L68 budgetSample: per-key weight quotas, crossing doc included, absent keys drop") {
+    val docs = (0L until 300L).map { i =>
+      (i, s"s${i % 3}", 10L + (i % 7), s"payload-$i")
+    }.toDF("id", "src", "w", "text")
+    val budgets = Map("s0" -> 200L, "s1" -> 1L)
+    val kept = Sampling.budgetSample(docs, "src", "id", "w", budgets)
+    val bySrc = kept.groupBy("src")
+      .agg(count(lit(1)).as("n"), sum("w").as("tot"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // s2 has no budget: dropped entirely
+    assert(!bySrc.contains("s2"), bySrc.toString)
+    // totals land in [budget, budget + maxDocWeight): the crossing doc
+    // is included, so a filled quota is never undershot
+    val (n0, t0) = bySrc("s0")
+    assert(t0 >= 200L && t0 < 200L + 17L, s"s0 total $t0 outside [200, 217)")
+    assert(n0 < 100, "the budget must genuinely subset s0")
+    // budget 1 keeps EXACTLY the hash-first doc (before = 0 < 1; the
+    // next doc's before >= 10)
+    assert(bySrc("s1")._1 == 1L, s"budget 1 must keep exactly one doc: ${bySrc("s1")}")
+    // full rows survive the semi join
+    assert(kept.columns.toSeq == Seq("id", "src", "w", "text"))
+    // membership is deterministic and partitioning-independent
+    val again = Sampling.budgetSample(docs.repartition(13), "src", "id", "w", budgets)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // huge ids: the overflow-safe rank must not throw under ANSI mode
+    val bigIds = Seq((5000000000L, "s0", 10L, "x")).toDF("id", "src", "w", "text")
+    assert(Sampling.budgetSample(bigIds, "src", "id", "w", Map("s0" -> 100L)).count() == 1)
+  }
 }

@@ -109,4 +109,38 @@ class TextPrepSpec extends SparkSpec {
       .select(TextPrep.piiCounts(col("text")).as("c")).select("c.phones", "c.ips").head()
     assert((bridge.getInt(0), bridge.getInt(1)) == ((0, 1)), s"got $bridge")
   }
+
+  test("L67 cleanLines: junk lines drop, prose survives, within-doc repeats collapse") {
+    val prose = "This is a perfectly reasonable paragraph of running text."
+    val doc = Seq(
+      prose,
+      "- see",                                    // short bullet fragment: drop
+      "12345",                                    // letterless counter: drop
+      "$9.99 + 42",                               // letterless debris: drop
+      "Read more...",                             // short teaser: drop
+      "- a bulleted line of real prose that is clearly long enough", // long bullet: KEEP
+      "This sentence genuinely continues beyond thirty characters...", // long "...": KEEP
+      "",                                         // blank: layout, uncounted
+      "   ",                                      // whitespace-only: layout
+      prose,                                      // repeat of line 1: drop
+      "A closing line that is new content here."  // KEEP
+    ).mkString("\n")
+    val out = TextPrep.cleanLines(Seq(Tuple1(doc)).toDF("text"), "text").head()
+    val clean = out.getAs[String]("text_clean")
+    assert(clean == Seq(prose,
+      "- a bulleted line of real prose that is clearly long enough",
+      "This sentence genuinely continues beyond thirty characters...",
+      "A closing line that is new content here.").mkString("\n"), clean)
+    assert(out.getAs[Int]("lines_kept") == 4)
+    assert(out.getAs[Int]("lines_dropped") == 5, "blank lines must not count as dropped")
+    assert(out.getAs[Double]("line_drop_frac") == 0.5556) // round(5/9, 4)
+    // CRLF endings and leading/trailing spaces normalize before rules
+    val crlf = TextPrep.cleanLines(
+      Seq(Tuple1("  left pad stays fine here as prose \r\n- see\r\n")).toDF("text"), "text").head()
+    assert(crlf.getAs[String]("text_clean") == "left pad stays fine here as prose")
+    // degenerate docs: no lines -> frac 0, empty clean text
+    val empty = TextPrep.cleanLines(Seq(Tuple1("\n  \n")).toDF("text"), "text").head()
+    assert(empty.getAs[Int]("lines_kept") == 0 && empty.getAs[Double]("line_drop_frac") == 0.0)
+    assert(empty.getAs[String]("text_clean") == "")
+  }
 }
