@@ -514,11 +514,19 @@ object Bench {
         // fit-scale probe (r18 judge item 9): the SemDeDup/IVF k-means
         // and classifier fits measured at two corpus decades — driver
         // model size bounded by k×dim / vocabSize, wall growth far
-        // under the 10× data growth
-        val fitJson = {
-          resetSessionState(spark)
-          graft.operators.FitScaleProbe.run(spark).json
-        }
+        // under the 10× data growth. Own catch: a failure in the
+        // heaviest, newest component must not discard the sf10 query
+        // timings, truncation and flood results already measured above
+        val fitJson =
+          try {
+            resetSessionState(spark)
+            graft.operators.FitScaleProbe.run(spark).json
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench sf10] fit probe failed: ${e.getMessage}")
+              "{\"error\":\"" + e.toString.replace("\\", "\\\\").replace("\"", "\\\"")
+                .replace("\n", " ") + "\"}"
+          }
         s""","sf10_dir":"$outDir","sf10_gen_sec":$genSec,"queries_sf10":$qs10,"sf10_bucket_truncation":$truncJson,"sf10_media_flood":$floodJson,"sf10_fit_probe":$fitJson"""
       } catch {
         case e: Throwable =>

@@ -173,9 +173,6 @@ final class DynamoDbClient(endpoint: String, region: String,
       case _ => "ACTIVE"
     }
 
-  /** PutItem, optionally guarded by a ConditionExpression; returns
-    * false when the conditional check failed (the item was NOT
-    * written) — the primitive monotonic offset commits build on. */
   /** Append a ConditionExpression (+ values) to a request body. The
     * real service REJECTS an empty ExpressionAttributeValues map, so a
     * value-free condition (attribute_not_exists) must omit the key
@@ -192,6 +189,9 @@ final class DynamoDbClient(endpoint: String, region: String,
          }: _*))))
     }
 
+  /** PutItem, optionally guarded by a ConditionExpression; returns
+    * false when the conditional check failed (the item was NOT
+    * written) — the primitive monotonic offset commits build on. */
   def putItem(table: String, item: Map[String, (String, String)],
               condition: Option[(String, Map[String, (String, String)])] = None): Boolean = {
     val fields = item.toSeq.sortBy(_._1).map { case (k, (tpe, v)) =>

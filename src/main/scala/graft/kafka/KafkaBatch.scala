@@ -45,15 +45,19 @@ object KafkaBatch {
     * client's `security` rejected the constructed-inside pattern that
     * task serialization would in fact accept). */
   private[kafka] def requireShippableFactory(
-      factory: Seq[(String, Int)] => KafkaWireClient,
-      probe: KafkaWireClient, context: String): Unit =
+      factory: Seq[(String, Int)] => KafkaWireClient, context: String): Unit =
     try {
       val oos = new java.io.ObjectOutputStream(java.io.OutputStream.nullOutputStream())
       try oos.writeObject(factory) finally oos.close()
     } catch {
       case e: java.io.NotSerializableException =>
+        // the hint keys off WHAT failed to serialize, not off the
+        // probe's config: a factory that already constructs its
+        // context inside the lambda but captures some OTHER
+        // non-serializable object must not be told to do what it
+        // already does (r18 review)
         val hint =
-          if (probe.security.tlsContext.isDefined)
+          if (Option(e.getMessage).exists(_.contains("SSLContext")))
             " — a programmatic KafkaSecurity.tlsContext (an SSLContext) cannot be serialized " +
               "into executor tasks; construct the SSLContext INSIDE the factory lambda so each " +
               "executor builds its own, or use tls=true with the JVM-default trust store " +
@@ -314,7 +318,7 @@ object KafkaBatch {
     val bootstrap = parseBrokers(brokers)
     val planner = clientFactory(bootstrap)
     val ranges = try {
-      requireShippableFactory(clientFactory, planner, "kafka batch read")
+      requireShippableFactory(clientFactory, "kafka batch read")
       planRanges(planner, topic, starting, ending, bootstrap)
     } finally planner.close()
     val nonEmpty = ranges.filter(r => r.end > r.start)
@@ -377,7 +381,7 @@ object KafkaBatch {
 
     val planner = clientFactory(parseBrokers(brokers))
     val numPartitions = try {
-      requireShippableFactory(clientFactory, planner, "kafka batch write")
+      requireShippableFactory(clientFactory, "kafka batch write")
       planner.metadata(Seq(topic)).topics(topic).partitions.size
     } finally planner.close()
     val factory = clientFactory

@@ -126,17 +126,29 @@ object Sampling {
                    weightCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty, "budgetSample: budgets must be non-empty")
     require(budgets.values.forall(_ >= 0), s"budgetSample: negative budget in $budgets")
-    // overflow-safe (id * 2654435761) mod 2^32 — see UrlCuration.capPerDomain
-    val m = pmod(col("_bs_id").cast("long"), lit(4294967296L))
-    val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
-    val rank = pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) +
-      m.bitwiseAND(lit(0xFFFFL)) * 2654435761L, lit(4294967296L))
+    require(df.columns.forall(!_.startsWith("_bs_")),
+      s"budgetSample: input must not carry _bs_* columns: ${df.columns.mkString(", ")}")
+    // numeric ids take the oracle-replayable rank; string ids fall back
+    // to xxhash64 — deterministic per id but NOT ANSI-replayable, and
+    // under ANSI mode the cast would have thrown (the capPerDomain
+    // dispatch; document the caveat when such a sample feeds an oracle)
+    val rank = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => replayableRank32(col("_bs_id"))
+      case _ => xxhash64(col("_bs_id"))
+    }
     val budget = element_at(
       map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
       col("_bs_key"))
     val w = Window.partitionBy(col("_bs_key"))
       .orderBy(col("_bs_rank"), col("_bs_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ids must be unique within a key for the quota bound to be exact:
+    // rows tied on (rank, id) sum order-independently, but their OWN
+    // membership at the budget edge would be order-dependent — the
+    // standard uniqueness contract of every id-keyed operator here.
+    // The rejoin matches on (id, KEY): with duplicate ids ACROSS keys,
+    // an id kept inside one key's quota must not resurrect its twin
+    // in a key whose window cut it.
     val kept = df
       .select(col(idCol).as("_bs_id"), col(keyCol).as("_bs_key"),
         col(weightCol).cast("long").as("_bs_w"))
@@ -144,8 +156,27 @@ object Sampling {
       .withColumn("_bs_rank", rank)
       .withColumn("_bs_before", coalesce(sum(col("_bs_w")).over(w), lit(0L)))
       .where(col("_bs_before") < budget)
-      .select(col("_bs_id"))
-    df.join(kept, col(idCol) === col("_bs_id"), "left_semi")
+      .select(col("_bs_id"), col("_bs_key"))
+    df.join(kept,
+      col(idCol) === col("_bs_id") && col(keyCol) === col("_bs_key"), "left_semi")
+  }
+
+  /** The oracle-replayable 32-bit multiplicative rank —
+    * (id·2654435761) mod 2^32 — in overflow-safe split arithmetic:
+    * ids above ~3.46e9 overflow the direct Long product, an
+    * ArithmeticException under ANSI mode (Spark 4's default). Every
+    * intermediate stays under 2^49 and the result is bit-identical to
+    * the wrapped product, so ANSI-SQL replays keep the plain-product
+    * spelling. Numeric inputs only (callers dispatch string ids to
+    * xxhash64). ONE spelling shared by [[budgetSample]], the
+    * CurationTransformer replayable split bucket and
+    * [[UrlCuration.capPerDomain]] — three copies could silently
+    * desynchronize their oracle replays. */
+  private[graft] def replayableRank32(c: Column): Column = {
+    val m = pmod(c.cast("long"), lit(4294967296L))
+    val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
+    pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) +
+      m.bitwiseAND(lit(0xFFFFL)) * 2654435761L, lit(4294967296L))
   }
 
   /** Seeded stratified sampling: per-stratum fractions (absent keys

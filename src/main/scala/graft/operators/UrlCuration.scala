@@ -234,18 +234,10 @@ object UrlCuration {
     // a cap feeds a DuckDB gate)
     val key = orderKey.getOrElse(df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        // (id * 2654435761) mod 2^32 computed WITHOUT the 64-bit
-        // overflow: ids above ~3.46e9 (snowflake/hash-derived) made
-        // the direct product overflow Long — an ArithmeticException
-        // under ANSI mode (Spark 4 default). Split arithmetic keeps
-        // every intermediate under 2^49 and is bit-identical to the
-        // wrapped product mod 2^32, so oracle replays are unchanged.
-        {
-          val m = pmod(col(idCol).cast("long"), lit(4294967296L))
-          val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
-          pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) + m.bitwiseAND(lit(0xFFFFL)) * 2654435761L,
-            lit(4294967296L)).cast("double")
-        }
+        // (id·2654435761) mod 2^32 in the one shared overflow-safe
+        // spelling — see Sampling.replayableRank32 (r18: three copies
+        // of the split arithmetic could desynchronize oracle replays)
+        Sampling.replayableRank32(col(idCol)).cast("double")
       case _ => xxhash64(col(idCol)).cast("double")
     })
 

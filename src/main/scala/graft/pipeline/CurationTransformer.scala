@@ -245,19 +245,10 @@ final class CurationTransformer extends Transformer {
     // bit-for-bit; the default keeps xxhash64's better distribution
     val bucketOf: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
       options.get("split.bucket") match {
-        case Some("replayable") => Some { c =>
-          // overflow-safe split arithmetic (the UrlCuration.capPerDomain
-          // form): ids above ~3.46e9 make the direct id*2654435761
-          // product overflow Long — ArithmeticException under ANSI mode
-          // (Spark 4 default). Every intermediate stays under 2^49 and
-          // the result is bit-identical to (id * 2654435761) mod 2^32,
-          // so SQL replays keep the plain-product spelling.
-          val m = pmod(c.cast("long"), lit(4294967296L))
-          val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
-          val h32 = pmod(hiPart.bitwiseAND(lit(0xFFFFFFFFL)) +
-            m.bitwiseAND(lit(0xFFFFL)) * 2654435761L, lit(4294967296L))
-          pmod(h32, lit(1000000L))
-        }
+        case Some("replayable") => Some(c =>
+          // (id·2654435761) mod 2^32 mod 1e6, the one shared
+          // overflow-safe spelling — see Sampling.replayableRank32
+          pmod(Sampling.replayableRank32(c), lit(1000000L)))
         case None | Some("default") => None
         case Some(other) => throw new IllegalArgumentException(
           s"split.bucket must be 'default' or 'replayable', got '$other'")

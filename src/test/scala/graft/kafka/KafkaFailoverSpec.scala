@@ -213,8 +213,6 @@ class KafkaFailoverSpec extends SparkSpec {
     val factory = (bs: Seq[(String, Int)]) =>
       new KafkaWireClient(bs, security =
         KafkaSecurity(tlsContext = Some(javax.net.ssl.SSLContext.getDefault)))
-    val probe = factory(Seq(("localhost", 1)))
-    try KafkaBatch.requireShippableFactory(factory, probe, "kafka batch read")
-    finally probe.close()
+    KafkaBatch.requireShippableFactory(factory, "kafka batch read")
   }
 }
