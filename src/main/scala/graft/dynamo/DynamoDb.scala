@@ -446,3 +446,52 @@ final class TokenLockDynamo(client: DynamoDbClient, token: String,
     ()
   }
 }
+
+/**
+ * Append-only task journal in DynamoDB (reference: pramen/core
+ * .../core/journal/JournalDynamoDB.scala — the journal lives in the
+ * SAME store as bookkeeping, so a dynamo-bookkeeping fleet never
+ * splits its audit trail). Same [[graft.pipeline.TaskJournal]]
+ * contract as the FS/JDBC/Mongo variants: EVERY event keeps an item.
+ * Key design: hash = writerId, range = zero-padded "atMs#seq" — one
+ * writer's events are strictly ordered under its own hash key, and
+ * cross-writer completion order (atMs, writerId, seq — the FS
+ * file-name tuple) is re-established by a client-side sort on read
+ * (`all` loads the full history by contract, like the FS reload, so
+ * the Scan + sort adds nothing).
+ */
+final class JournalDynamo(client: DynamoDbClient,
+                          tablePrefix: String = "graft")
+    extends graft.pipeline.TaskJournal {
+  import graft.pipeline.TaskEvent
+  private val table = s"${tablePrefix}_journal"
+  private val writerId = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  client.ensureTableActive(table, "writerId", Some("eventKey"))
+
+  override def append(e: TaskEvent): Unit = {
+    client.putItem(table, Map(
+      "writerId" -> ("S", writerId),
+      "eventKey" -> ("S", f"${e.atMs}%013d#${seq.getAndIncrement()}%06d"),
+      "pipeline" -> ("S", e.pipeline),
+      "job" -> ("S", e.job),
+      "tableName" -> ("S", e.table),
+      "infoDate" -> ("S", e.infoDate.map(_.toString).getOrElse("")),
+      "status" -> ("S", e.status),
+      "records" -> ("N", e.records.toString),
+      "detail" -> ("S", e.detail),
+      "atMs" -> ("N", e.atMs.toString)))
+    ()
+  }
+
+  override def all: Seq[TaskEvent] =
+    client.scan(table)
+      .sortBy(i => (i("atMs")._2.toLong, i("writerId")._2, i("eventKey")._2))
+      .map { i =>
+        val date = Option(i("infoDate")._2).filter(_.nonEmpty)
+        TaskEvent(i("pipeline")._2, i("job")._2, i("tableName")._2,
+          date.map(java.time.LocalDate.parse), i("status")._2,
+          i("records")._2.toLong, i("detail")._2, i("atMs")._2.toLong)
+      }
+}

@@ -256,3 +256,49 @@ final class BookkeeperMongo(client: MongoClient, db: String,
   override protected def allRecords: Seq[RunRecord] =
     client.find(db, collection).map(toRecord)
 }
+
+/**
+ * Append-only task journal in MongoDB (reference: pramen/core
+ * .../core/journal/JournalMongoDb.scala — the journal lives in the
+ * SAME store as bookkeeping, so a mongo-bookkeeping fleet never
+ * splits its audit trail across backends). Same
+ * [[graft.pipeline.TaskJournal]] contract as the FS and JDBC
+ * variants: EVERY event keeps a document, completion order is
+ * (atMs, writerId, seq) — the FS file-name tuple — re-established on
+ * read by a client-side sort (the read loads the full history by
+ * contract, exactly like the FS reload, so the sort adds nothing).
+ */
+final class JournalMongo(client: MongoClient, db: String,
+                         collection: String = "journal")
+    extends graft.pipeline.TaskJournal {
+  import graft.pipeline.TaskEvent
+  private val writerId = java.util.UUID.randomUUID().toString.take(8)
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def append(e: TaskEvent): Unit =
+    client.insert(db, collection, Seq(Seq(
+      "pipeline" -> e.pipeline,
+      "job" -> e.job,
+      "tableName" -> e.table,
+      "infoDate" -> e.infoDate.map(_.toString).getOrElse(""),
+      "status" -> e.status,
+      "records" -> e.records,
+      "detail" -> e.detail,
+      "atMs" -> e.atMs,
+      "writerId" -> writerId,
+      "seq" -> seq.getAndIncrement())))
+
+  override def all: Seq[TaskEvent] = {
+    def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
+    client.find(db, collection)
+      .sortBy(d => (asLong(d("atMs")), d("writerId").asInstanceOf[String],
+        asLong(d("seq"))))
+      .map { d =>
+        val date = Option(d("infoDate").asInstanceOf[String]).filter(_.nonEmpty)
+        TaskEvent(d("pipeline").asInstanceOf[String], d("job").asInstanceOf[String],
+          d("tableName").asInstanceOf[String], date.map(java.time.LocalDate.parse),
+          d("status").asInstanceOf[String], asLong(d("records")),
+          d("detail").asInstanceOf[String], asLong(d("atMs")))
+      }
+  }
+}

@@ -68,9 +68,11 @@ import java.time.LocalDate
  * bookkeeping.dynamodb.table.prefix = graft
  * bookkeeping.dynamodb.offsets = true   # conditional-put incremental offsets (default true)
  * bookkeeping.dynamodb.locks = true     # conditional-put (table, date) run locks (default true)
+ * bookkeeping.dynamodb.journal = true   # append-only task journal in the same store (default true)
  * bookkeeping.mongodb.uri = mongodb://mongo:27017/graftdb  # OP_MSG wire protocol
  * bookkeeping.mongodb.collection = bookkeeping
  * bookkeeping.mongodb.locks = true      # unique-index-arbitrated run locks (default true)
+ * bookkeeping.mongodb.journal = true    # append-only task journal in the same store (default true)
  * notification.html.dir = /data/reports   # optional HTML end-of-run reports
  * notification.email.to = ops@acme.com, oncall@acme.com  # validated at parse
  * notification.email.failures.to = oncall@acme.com  # failed runs go HERE instead
@@ -181,7 +183,7 @@ object PipelineConfig {
                             * offset store and conditional-put run locks on
                             * one shared client. Wins over the storage
                             * journals, loses to jdbc. */
-                          dynamoBookkeeping: Option[() => (graft.dynamo.BookkeeperDynamo, Option[graft.offset.OffsetStore], Option[(String, LocalDate) => RunLock])] = None,
+                          dynamoBookkeeping: Option[() => (graft.dynamo.BookkeeperDynamo, Option[graft.offset.OffsetStore], Option[(String, LocalDate) => RunLock], Option[TaskJournal])] = None,
                           /** MongoDB bookkeeping factory (reference:
                             * BookkeeperMongoDb.scala + MongoDbConnection +
                             * TokenLockMongoDb): lazy — the socket opens at
@@ -189,7 +191,7 @@ object PipelineConfig {
                             * bookkeeper plus (unless `locks = false`)
                             * unique-index-arbitrated run locks on the same
                             * connection. */
-                          mongoBookkeeping: Option[() => (graft.mongo.BookkeeperMongo, Option[(String, LocalDate) => RunLock])] = None,
+                          mongoBookkeeping: Option[() => (graft.mongo.BookkeeperMongo, Option[(String, LocalDate) => RunLock], Option[TaskJournal])] = None,
                           /** FS task-journal directory (`journal.path`
                             * — reference: core/journal/JournalHadoopFs).
                             * A `bookkeeping.jdbc` database journal wins
@@ -745,7 +747,10 @@ object PipelineConfig {
             }
           (new graft.dynamo.BookkeeperDynamo(client, prefix),
             if (withOffsets) Some(new graft.dynamo.OffsetStoreDynamo(client, prefix)) else None,
-            lockFactory)
+            lockFactory,
+            if (!kv.get("bookkeeping.dynamodb.journal").contains("false"))
+              Some(new graft.dynamo.JournalDynamo(client, prefix): TaskJournal)
+            else None)
         }
       },
       mongoBookkeeping = kv.get("bookkeeping.mongodb.uri").map { uri =>
@@ -773,7 +778,10 @@ object PipelineConfig {
                 new graft.mongo.TokenLockMongo(client, db, s"${t}_$dd",
                   ensureIndex = false): RunLock)
             }
-          (new graft.mongo.BookkeeperMongo(client, db, coll), lockFactory)
+          (new graft.mongo.BookkeeperMongo(client, db, coll), lockFactory,
+            if (!kv.get("bookkeeping.mongodb.journal").contains("false"))
+              Some(new graft.mongo.JournalMongo(client, db): TaskJournal)
+            else None)
         }
       },
       journalPath = kv.get("journal.path"),
@@ -980,11 +988,13 @@ object PipelineConfig {
           .orElse(parsed.textBookkeepingPath
             .map(p => new BookkeeperText(sparkFor("bookkeeping.text.path"), p): BookkeeperStore))
           .getOrElse(fallback)
-        // locks follow the bookkeeping backend (reference
-        // TokenLockFactory discipline: the arbiter must be a store ALL
-        // drivers share, which is whatever coordinates bookkeeping)
+        // locks and the journal follow the bookkeeping backend
+        // (reference TokenLockFactory / Journal* discipline: both must
+        // live in a store ALL drivers share, which is whatever
+        // coordinates bookkeeping)
         ResolvedStores(bk, dyn.flatMap(_._2).map(cached),
-          dyn.flatMap(_._3).orElse(mongo.flatMap(_._2)), None, fsJournal)
+          dyn.flatMap(_._3).orElse(mongo.flatMap(_._2)), None,
+          dyn.flatMap(_._4).orElse(mongo.flatMap(_._3)).orElse(fsJournal))
     }
     // undercover: decisions read the real history, nothing writes back
     // (the journal drops entirely — an audit row IS a trace)

@@ -340,6 +340,29 @@ class DynamoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("500"), e.getMessage)
   }
 
+  test("journal: every event keeps an item; completion order holds across writers") {
+    import graft.pipeline.TaskEvent
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    val a = new JournalDynamo(c)
+    val b = new JournalDynamo(c)
+    assert(fake.tables.contains("graft_journal"), "the journal table must auto-create")
+    a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 10L, "", 100L))
+    b.append(TaskEvent("p", "j2", "t", Some(d), "failed", 0L, "boom", 200L))
+    a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 12L, "re-run", 300L))
+    b.append(TaskEvent("p", "j3", "t", None, "skipped", 0L, "done", 250L))
+    val all = new JournalDynamo(c).all
+    assert(all.map(_.job) == Seq("j1", "j2", "j3", "j1"), all.map(_.job).toString)
+    assert(all.count(_.job == "j1") == 2, "re-runs must both stay visible")
+    assert(all(2).infoDate.isEmpty && all(1).detail == "boom")
+    // same-writer same-millisecond events order by seq (the range key)
+    val z = new JournalDynamo(c)
+    z.append(TaskEvent("p", "first", "t", None, "succeeded", 1L, "", 999L))
+    z.append(TaskEvent("p", "second", "t", None, "succeeded", 2L, "", 999L))
+    val tail = new JournalDynamo(c).all.takeRight(2).map(_.job)
+    assert(tail == Seq("first", "second"), tail.toString)
+  }
+
   test("token lock: 8-way same-token race admits exactly one winner") {
     val fake = new FakeDynamo()
     // the scripted fake is single-threaded by design; a synchronized

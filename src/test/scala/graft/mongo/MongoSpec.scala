@@ -147,7 +147,7 @@ class MongoSpec extends AnyFunSuite {
         s"""bookkeeping.mongodb.uri = mongodb://127.0.0.1:${srv.port}/graftdb
            |allow.empty.pipeline = true
            |""".stripMargin)
-      val (bk, _) = parsed.mongoBookkeeping.getOrElse(fail("factory must be declared"))()
+      val (bk, _, _) = parsed.mongoBookkeeping.getOrElse(fail("factory must be declared"))()
       bk.record(RunRecord("t", d, 5, "succeeded", 1, 2))
       assert(bk.isAlreadyRan("t", d))
       assert(srv.collections("bookkeeping").nonEmpty, "the record must land over the wire")
@@ -233,6 +233,25 @@ class MongoSpec extends AnyFunSuite {
       assert(n == 0, "the predicated delete must miss once the row changed")
       assert(!new TokenLockMongo(c, "graft", "t_d", staleMs = 60000L,
         nowMs = () => now).tryAcquire(), "C's fresh lock holds")
+    } finally { c.close(); srv.close() }
+  }
+
+  test("journal over the wire: every event keeps a document, completion order across writers") {
+    import graft.pipeline.TaskEvent
+    val srv = new FakeMongod()
+    val c = new MongoClient("127.0.0.1", srv.port)
+    try {
+      val a = new JournalMongo(c, "graft")
+      val b = new JournalMongo(c, "graft")
+      a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 10L, "", 100L))
+      b.append(TaskEvent("p", "j2", "t", Some(d), "failed", 0L, "boom \"q\" \\b", 200L))
+      a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 12L, "re-run", 300L))
+      b.append(TaskEvent("p", "j3", "t", None, "skipped", 0L, "done", 250L))
+      val all = new JournalMongo(c, "graft").all
+      assert(all.map(_.job) == Seq("j1", "j2", "j3", "j1"), all.map(_.job).toString)
+      assert(all.count(_.job == "j1") == 2, "re-runs must both stay visible")
+      assert(all(2).infoDate.isEmpty)
+      assert(all(1).detail == "boom \"q\" \\b", "BSON carries the bytes verbatim, no escaping layer")
     } finally { c.close(); srv.close() }
   }
 

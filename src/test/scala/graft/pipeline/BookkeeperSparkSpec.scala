@@ -152,24 +152,47 @@ class BookkeeperSparkSpec extends SparkSpec {
     val base = PipelineConfig.parse("allow.empty.pipeline = true\n")
     val dynLock = (t: String, dd: LocalDate) => new NoopLock: RunLock
     val withDyn = base.copy(dynamoBookkeeping = Some(() =>
-      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock))))
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock), None)))
     assert(PipelineConfig.resolveStores(withDyn, noopBk).lockFactory.contains(dynLock),
       "dynamo bookkeeping must carry its conditional-put lock factory")
     val mongoLock = (t: String, dd: LocalDate) => new NoopLock: RunLock
     val withMongo = base.copy(mongoBookkeeping = Some(() =>
-      (null.asInstanceOf[graft.mongo.BookkeeperMongo], Some(mongoLock))))
+      (null.asInstanceOf[graft.mongo.BookkeeperMongo], Some(mongoLock), None)))
     assert(PipelineConfig.resolveStores(withMongo, noopBk).lockFactory.contains(mongoLock),
       "mongo bookkeeping must carry its unique-index lock factory")
     // dynamo wins over mongo (bookkeeping precedence) and the losing
     // backend's factory must NOT be invoked (it would open a socket)
     val both = base.copy(
       dynamoBookkeeping = Some(() =>
-        (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock))),
+        (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, Some(dynLock), None)),
       mongoBookkeeping = Some(() => fail("losing backend must not connect")))
     assert(PipelineConfig.resolveStores(both, noopBk).lockFactory.contains(dynLock))
     // declining locks declines the factory
     val noLocks = base.copy(dynamoBookkeeping = Some(() =>
-      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, None)))
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, None, None)))
     assert(PipelineConfig.resolveStores(noLocks, noopBk).lockFactory.isEmpty)
+  }
+
+  test("journal follows the bookkeeping backend: dynamo > mongo > journal.path") {
+    val noopBk = new Bookkeeper()
+    val noopJournal = new Journal() // in-memory stand-in
+    val fsDir = tmp("bkjnl_fs_")
+    val base = PipelineConfig.parse(
+      s"allow.empty.pipeline = true\njournal.path = $fsDir\n")
+    // dynamo journal wins over journal.path
+    val withDyn = base.copy(dynamoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, None, Some(noopJournal))))
+    assert(PipelineConfig.resolveStores(withDyn, noopBk).journal.contains(noopJournal),
+      "the dynamo journal must win over journal.path")
+    // mongo journal wins over journal.path too
+    val withMongo = base.copy(mongoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.mongo.BookkeeperMongo], None, Some(noopJournal))))
+    assert(PipelineConfig.resolveStores(withMongo, noopBk).journal.contains(noopJournal))
+    // a backend that declines its journal falls back to journal.path
+    val declined = base.copy(dynamoBookkeeping = Some(() =>
+      (null.asInstanceOf[graft.dynamo.BookkeeperDynamo], None, None, None)))
+    val resolved = PipelineConfig.resolveStores(declined, noopBk).journal
+    assert(resolved.exists(_.isInstanceOf[Journal]),
+      "journal=false on the backend must fall back to the FS journal")
   }
 }
