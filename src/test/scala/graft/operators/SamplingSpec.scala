@@ -286,5 +286,18 @@ class SamplingSpec extends SparkSpec {
     // huge ids: the overflow-safe rank must not throw under ANSI mode
     val bigIds = Seq((5000000000L, "s0", 10L, "x")).toDF("id", "src", "w", "text")
     assert(Sampling.budgetSample(bigIds, "src", "id", "w", Map("s0" -> 100L)).count() == 1)
+    // plan shape: the window's sort runs over the (id, key, weight)
+    // PROJECTION — the wide text column must never enter that subtree
+    // (at 100 TB the cumsum shuffle carries ~24 bytes/row, not docs)
+    val plan = kept.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, s"expected a Window node:\n$plan")
+    windows.foreach { w =>
+      val inputCols = w.child.output.map(_.name)
+      assert(!inputCols.contains("text"),
+        s"the window subtree must not carry the text column: $inputCols")
+    }
   }
 }
