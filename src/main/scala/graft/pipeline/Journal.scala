@@ -36,6 +36,12 @@ trait TaskJournal {
   def append(e: TaskEvent): Unit
   /** All events in completion order (cross-writer order after a reload). */
   def all: Seq[TaskEvent]
+  /** Events with `atMs` in [fromMs, toMs], completion order —
+    * the reference `Journal.getEntries(from, to)` window ("what did
+    * the pipeline do last night"). Default filters the full reload;
+    * stores with a queryable time column push the window down. */
+  def entries(fromMs: Long, toMs: Long): Seq[TaskEvent] =
+    all.filter(e => e.atMs >= fromMs && e.atMs <= toMs)
 }
 
 /**

@@ -283,14 +283,21 @@ final class JournalJdbc(db: GraftDb) extends graft.pipeline.TaskJournal {
         e.status, e.records, e.detail, e.atMs, writerId, seq.getAndIncrement()))
 
   override def all: Seq[TaskEvent] =
-    db.executor.query(
-      s"SELECT * FROM $t ORDER BY ${d("at_ms")}, ${d("writer_id")}, ${d("seq")}")
-      .map { row =>
-        val date = Option(row.getOrElse("info_date", null)).filter(_.nonEmpty)
-        TaskEvent(row("pipeline"), row("job_name"), row("table_name"),
-          date.map(LocalDate.parse), row("status"), row("record_count").toLong,
-          Option(row.getOrElse("detail", null)).getOrElse(""), row("at_ms").toLong)
-      }
+    rows(s"SELECT * FROM $t ORDER BY ${d("at_ms")}, ${d("writer_id")}, ${d("seq")}")
+
+  /** Window pushdown: months of audit history never cross the wire
+    * for a "what ran last night" question. */
+  override def entries(fromMs: Long, toMs: Long): Seq[TaskEvent] =
+    rows(s"SELECT * FROM $t WHERE ${d("at_ms")} >= ? AND ${d("at_ms")} <= ? " +
+      s"ORDER BY ${d("at_ms")}, ${d("writer_id")}, ${d("seq")}", Seq(fromMs, toMs))
+
+  private def rows(sql: String, params: Seq[Any] = Nil): Seq[TaskEvent] =
+    db.executor.query(sql, params).map { row =>
+      val date = Option(row.getOrElse("info_date", null)).filter(_.nonEmpty)
+      TaskEvent(row("pipeline"), row("job_name"), row("table_name"),
+        date.map(LocalDate.parse), row("status"), row("record_count").toLong,
+        Option(row.getOrElse("detail", null)).getOrElse(""), row("at_ms").toLong)
+    }
 }
 
 /**

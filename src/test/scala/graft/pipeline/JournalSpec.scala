@@ -29,6 +29,16 @@ class JournalSpec extends SparkSpec {
     assert(reloaded.all(2).detail.contains("thin input"))
   }
 
+  test("entries(from, to) windows the history inclusively (the getEntries contract)") {
+    val j = new Journal()
+    Seq(100L, 200L, 250L, 300L, 400L).zipWithIndex.foreach { case (ms, i) =>
+      j.append(TaskEvent("p", s"j$i", "t", None, "succeeded", i.toLong, "", ms))
+    }
+    assert(j.entries(200L, 300L).map(_.atMs) == Seq(200L, 250L, 300L))
+    assert(j.entries(401L, 500L).isEmpty)
+    assert(j.entries(Long.MinValue, Long.MaxValue).size == 5)
+  }
+
   test("journal events with special characters survive the roundtrip") {
     val dir = tmpDir("journal_esc_")
     val j = new Journal(Some(dir))

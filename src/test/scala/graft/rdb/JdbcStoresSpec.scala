@@ -127,13 +127,21 @@ final class FakeDb extends SqlExecutor {
       case None => _ => true
       case Some(w) =>
         val conds = w.split(" AND ").map { c =>
-          val m = "(\\S+) (<=|=) (.*)".r.findFirstMatchIn(c.trim)
+          val m = "(\\S+) (<=|>=|=) (.*)".r.findFirstMatchIn(c.trim)
             .getOrElse(sys.error(s"unparsed condition: $c"))
           (unq(m.group(1)), m.group(2), unlit(m.group(3)))
         }
+        // numeric-looking operands compare numerically ("999" < "1000"
+        // — a BIGINT column must not compare lexicographically just
+        // because the fake stores strings); ISO dates fall through to
+        // string compare, where lexicographic == chronological
+        def cmp(a: String, b: String): Int =
+          try java.lang.Long.compare(a.toLong, b.toLong)
+          catch { case _: NumberFormatException => a.compareTo(b) }
         row => conds.forall {
           case (col, "=", v) => row.get(col).contains(v)
-          case (col, "<=", v) => row.get(col).exists(_ <= v)
+          case (col, "<=", v) => row.get(col).exists(cmp(_, v) <= 0)
+          case (col, ">=", v) => row.get(col).exists(cmp(_, v) >= 0)
           case other => sys.error(s"unhandled op: $other")
         }
     }
@@ -674,7 +682,17 @@ class JdbcStoresSpec extends AnyFunSuite {
     assert(all.count(_.job == "j1") == 2, "re-runs must both stay visible")
     assert(all(2).infoDate.isEmpty, "a skipped event has no info date")
     assert(all(1).detail == "boom")
+    // time-windowed read pushes the window into SQL (inclusive bounds,
+    // numeric comparison — 250 is inside [200, 300], 100 is not)
+    val win = new JournalJdbc(db).entries(200L, 300L)
+    assert(win.map(_.job) == Seq("j2", "j3", "j1"), win.map(_.job).toString)
+    val (sql, params) = fakeOf(db).prepared.last
+    assert(sql.contains(">= ?") && sql.contains("<= ?") && params == Seq(200L, 300L),
+      s"the window must be a pushed-down predicate: $sql $params")
   }
+
+  /** The FakeDb behind a GraftDb built by freshDb (same executor). */
+  private def fakeOf(db: GraftDb): FakeDb = db.executor.asInstanceOf[FakeDb]
 
   test("journal: quotes and backslashes ride bind parameters and round-trip") {
     import graft.pipeline.TaskEvent
