@@ -189,30 +189,48 @@ object TextPrep {
    * their threshold (RefinedWeb removes docs mutilated past ~50%).
    *
    * Scale shape: pure per-row higher-order column expressions — no
-   * UDF, no shuffle, no state; the first-occurrence probe is
-   * O(lines²) per document in the worst case, bounded in practice by
-   * document line counts, never by the corpus.
+   * UDF, no shuffle, no state. The first-occurrence probe is
+   * O(L log L) per document: (line, idx) pairs are array_sort'ed so
+   * equal lines become adjacent runs, run heads (the smallest idx of
+   * each distinct line) are flagged in one linear pass, and a second
+   * array_sort by idx realigns the flags with the candidate array —
+   * no per-line rescan of the prefix. The naive
+   * `exists(slice(all, 1, i), _ === l)` spelling is O(L²) and was a
+   * measured straggler hazard on pathological documents (a 50k-line
+   * doc is 2.5e9 string compares per ROW); the q_line_scrub oracle
+   * keeps the quadratic spelling because first-occurrence semantics
+   * are identical and DuckDB only ever replays sf0.01.
    */
   def cleanLines(docs: DataFrame, textCol: String,
                  shortLine: Int = 30): DataFrame = {
     val trimmed = transform(split(regexp_replace(col(textCol), "\r", ""), "\n"),
       l => trim(l))
     val cand = filter(trimmed, l => length(l) > 0)
-    def keepRule(l: Column, i: Column, all: Column): Column =
+    def keepRule(l: Column): Column =
       l.rlike("[A-Za-z]") &&
         !(length(l) < shortLine && l.rlike("^[-*•]")) &&
-        !(length(l) < shortLine && l.endsWith("...")) &&
-        !exists(slice(all, lit(1), i), p => p === l)
+        !(length(l) < shortLine && l.endsWith("..."))
     docs
       .withColumn("_cand", cand)
-      .withColumn("_kept", filter(col("_cand"), (l, i) => keepRule(l, i, col("_cand"))))
+      // (line, idx) sorted by (line, idx): duplicates of a line are an
+      // adjacent run whose head carries the doc's first occurrence
+      .withColumn("_byLine", array_sort(transform(col("_cand"),
+        (l, i) => struct(l.as("l"), i.as("i")))))
+      // flag run heads (null-safe compare: get(-1) is null at the run
+      // start of the whole array), then re-sort by original idx so the
+      // flags align positionally with _cand
+      .withColumn("_first", array_sort(transform(col("_byLine"), (x, j) =>
+        struct(x.getField("i").as("i"),
+          (!(x.getField("l") <=> get(col("_byLine"), j - 1).getField("l"))).as("f")))))
+      .withColumn("_kept", filter(col("_cand"), (l, i) =>
+        keepRule(l) && get(col("_first"), i).getField("f")))
       .withColumn("text_clean", array_join(col("_kept"), "\n"))
       .withColumn("lines_kept", size(col("_kept")))
       .withColumn("lines_dropped", size(col("_cand")) - size(col("_kept")))
       .withColumn("line_drop_frac",
         when(size(col("_cand")) === 0, lit(0.0))
           .otherwise(round(col("lines_dropped").cast("double") / size(col("_cand")), 4)))
-      .drop("_cand", "_kept")
+      .drop("_cand", "_byLine", "_first", "_kept")
   }
 
   /**

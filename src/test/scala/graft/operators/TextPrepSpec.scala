@@ -143,4 +143,26 @@ class TextPrepSpec extends SparkSpec {
     assert(empty.getAs[Int]("lines_kept") == 0 && empty.getAs[Double]("line_drop_frac") == 0.0)
     assert(empty.getAs[String]("text_clean") == "")
   }
+
+  test("L67 cleanLines: first-occurrence dedup is near-linear, not O(L^2), per doc") {
+    // 50k lines, every line duplicated once: the retired
+    // exists(slice(all, 1, i)) spelling is ~1.25e9 string compares for
+    // this ONE row (minutes); the sort-based pass is two array_sorts +
+    // one linear flag scan. The wall bound is deliberately loose (CI
+    // host noise) but sits orders of magnitude under the quadratic
+    // blow-up, so a regression back to per-line prefix rescans trips it.
+    val n = 25000
+    val doc = (0 until n).flatMap(i =>
+      Seq(s"prose line number $i with enough words to pass every keep rule",
+          s"prose line number $i with enough words to pass every keep rule"))
+      .mkString("\n")
+    val t0 = System.nanoTime()
+    val out = TextPrep.cleanLines(Seq(Tuple1(doc)).toDF("text"), "text")
+      .select("lines_kept", "lines_dropped", "line_drop_frac").head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.getAs[Int]("lines_kept") == n, out)
+    assert(out.getAs[Int]("lines_dropped") == n, out)
+    assert(out.getAs[Double]("line_drop_frac") == 0.5)
+    assert(sec < 30.0, f"cleanLines took $sec%.1f s on a 50k-line doc - quadratic regression?")
+  }
 }
