@@ -623,6 +623,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
 
+    "q_token_budget_str" -> ((s, dir) => {
+      // L68 with STRING doc ids (r19, judge item 6): the md5-hex rank
+      // replaces the non-replayable xxhash64 fallback — DuckDB computes
+      // the identical digest and hex strings binary-order the same, so
+      // the string-keyed budget cut hash-matches too
+      val dd = docs(s, dir)
+        .withColumn("sid", concat(lit("d"), col("doc_id").cast("string")))
+      graft.operators.Sampling.budgetSample(dd, "source", "sid",
+          "n_chars", Map("src0" -> 4000L, "src1" -> 2500L, "src2" -> 6000L, "src3" -> 1L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
     "q_line_scrub" -> ((s, dir) => {
       // L67 line-wise CORRECTION (fix-the-doc): junk lines planted
       // in-gate — a short bullet fragment, a letterless counter, a
@@ -3947,6 +3960,25 @@ object SparkEntry {
         |cum AS (
         |  SELECT source, n_chars, budget,
         |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY r, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM ranked)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM cum WHERE before < budget GROUP BY source""".stripMargin,
+
+    "q_token_budget_str" ->
+      // the string-id twin: rank = md5 of the id's UTF-8 bytes — both
+      // engines emit identical lowercase hex and binary-order it the
+      // same, so the cut point replays exactly
+      """WITH ranked AS (
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid, source, n_chars,
+        |    md5('d' || CAST(doc_id AS VARCHAR)) AS r,
+        |    CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+        |                WHEN 'src2' THEN 6000 WHEN 'src3' THEN 1 END AS budget
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |cum AS (
+        |  SELECT source, n_chars, budget,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY r, sid
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM ranked)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -120,7 +120,9 @@ object Sampling {
    * text — and survivors rejoin by id via left-semi (AQE broadcasts
    * the kept side when small). The wide columns cross no shuffle.
    * Replayable: rank = (id·2654435761) mod 2^32 and the cumulative
-   * sum are exact integer arithmetic any ANSI engine reproduces.
+   * sum are exact integer arithmetic any ANSI engine reproduces;
+   * string ids rank by `md5(id)` hex, which every engine computes and
+   * binary-orders identically.
    */
   def budgetSample(df: DataFrame, keyCol: String, idCol: String,
                    weightCol: String, budgets: Map[String, Long]): DataFrame = {
@@ -128,13 +130,17 @@ object Sampling {
     require(budgets.values.forall(_ >= 0), s"budgetSample: negative budget in $budgets")
     require(df.columns.forall(!_.startsWith("_bs_")),
       s"budgetSample: input must not carry _bs_* columns: ${df.columns.mkString(", ")}")
-    // numeric ids take the oracle-replayable rank; string ids fall back
-    // to xxhash64 — deterministic per id but NOT ANSI-replayable, and
-    // under ANSI mode the cast would have thrown (the capPerDomain
-    // dispatch; document the caveat when such a sample feeds an oracle)
+    // numeric ids take the multiplicative-hash rank; string ids rank by
+    // the md5 hex digest of their UTF-8 bytes (r19) — BOTH are
+    // oracle-replayable: every ANSI engine computes the identical
+    // lowercase-hex md5 and [0-9a-f] strings binary-order identically
+    // in Spark (UTF8String) and DuckDB (default collation). The former
+    // xxhash64 fallback was deterministic but nothing outside Spark
+    // could replay it, so a string-keyed sample could never hash-match
+    // a DuckDB gate. The window happily orders either rank type.
     val rank = df.schema(idCol).dataType match {
       case _: org.apache.spark.sql.types.NumericType => replayableRank32(col("_bs_id"))
-      case _ => xxhash64(col("_bs_id"))
+      case _ => md5(col("_bs_id").cast("binary"))
     }
     val budget = element_at(
       map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),

@@ -300,4 +300,28 @@ class SamplingSpec extends SparkSpec {
         s"the window subtree must not carry the text column: $inputCols")
     }
   }
+
+  test("L68 budgetSample: string ids rank by md5 hex - oracle-replayable order") {
+    val docs = (0L until 90L).map { i =>
+      (s"doc-$i", s"s${i % 3}", 10L, s"payload-$i")
+    }.toDF("id", "src", "w", "text")
+    val kept = Sampling.budgetSample(docs, "src", "id", "w",
+      Map("s0" -> 95L, "s1" -> 1L))
+    // budget 1 keeps exactly the md5-first id of s1 — the SAME pick any
+    // engine makes from the lowercase-hex digest (what makes a
+    // string-keyed gate hash-matchable, unlike the old xxhash64 rank)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectS1 = (0L until 90L).filter(_ % 3 == 1).map(i => s"doc-$i").minBy(md5hex)
+    val s1 = kept.where(col("src") === "s1").select("id").collect().map(_.getString(0))
+    assert(s1.toSeq == Seq(expectS1), s"got ${s1.toSeq}, want $expectS1")
+    // quota bound holds for the string-keyed path too: 95 < total <= 105
+    val t0 = kept.where(col("src") === "s0").agg(sum("w")).head().getLong(0)
+    assert(t0 == 100L, s"s0 total $t0 - 10 docs of weight 10, crossing doc included")
+    // deterministic across partitionings
+    val again = Sampling.budgetSample(docs.repartition(7), "src", "id", "w",
+      Map("s0" -> 95L, "s1" -> 1L)).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(again == kept.select("id").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
