@@ -233,6 +233,55 @@ class VerifyBenchSpec extends SparkSpec {
     assert(!json.contains("q_steady") && !json.contains("q_tiny"), json)
   }
 
+  test("hist_window: compounding sub-1.5x drifts flag vs min of the last 3 rounds' medians") {
+    // r18 post-mortem (judge item 3): two consecutive 1.4x drifts
+    // multiply to 1.96x without either round flagging, because each
+    // round compares only to the refreshed prior — and each unflagged
+    // median extends band_hi, so even a later flag would verdict
+    // noise_band. The window compares against min(last 3 priors) and
+    // its verdict must ignore the (self-extended) band.
+    val results: Seq[(String, Either[String, Double])] = Seq(
+      "q_creep" -> Right(1.96),  // 1.4x vs prior (unflagged), 1.96x vs hist floor
+      "q_flat" -> Right(1.05),   // inside both windows
+      "q_jump" -> Right(3.0))    // plain sweep flag: must NOT double-report as hist
+    val prior = Map("q_creep" -> 1.4, "q_flat" -> 1.0, "q_jump" -> 1.0)
+    val hist = Bench.histMinOf(prior,
+      h2 = Map("q_creep" -> 1.0, "q_flat" -> 1.0),
+      h3 = Map("q_creep" -> 1.2))
+    assert(hist("q_creep") == 1.0 && hist("q_flat") == 1.0 && hist("q_jump") == 1.0)
+    val (json, _, flagged) = Bench.attributedRegressionsJson(
+      spark, "/nonexistent", results, prior, floor = 0.5,
+      attribute = false, isolatedRuns = 1, histMin = hist)
+    assert(flagged === Set("q_creep", "q_jump"),
+      s"compound drift must flag and band-exclude: $flagged / $json")
+    assert(json.contains(""""query":"q_creep","prior":1.000""") &&
+      json.contains(""""source":"hist_window""""), json)
+    assert(!json.contains("q_flat"), json)
+    // the sweep-flagged query keeps its sweep entry only
+    assert(json.split("q_jump").length == 2, s"q_jump must appear exactly once: $json")
+  }
+
+  test("hist_window verdict ignores the self-extended band; history carry shifts by one round") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // q1_agg "crept" to 50x of its hist floor while the band absorbed
+    // the drift: a band covering the regressed value must NOT rescue it
+    // — expect suspect (first sighting), never noise_band
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
+    val (json, pend, _) = Bench.attributedRegressionsJson(spark, dir, results,
+      prior = Map("q1_agg" -> 40.0), floor = 0.1, attribute = true, isolatedRuns = 1,
+      band = Map("q1_agg" -> ((0.000001, 1000.0))),
+      histMin = Map("q1_agg" -> 0.001))
+    assert(json.contains(""""source":"hist_window""""), json)
+    assert(!json.contains("noise_band"), s"band must be ignored for hist flags: $json")
+    // isolated ~1 s vs hist floor 0.001 stays >1.5x -> suspect, pending
+    // carries the HIST floor so next round's two-round confirm fires
+    assert(json.contains(""""verdict":"suspect""""), json)
+    assert(pend === Map("q1_agg" -> 0.001), pend.toString)
+    // the carry: this round's medians become next round's h2, prior h2 -> h3
+    assert(Bench.mapJson(Map("q_b" -> 1.0, "q_a" -> 2.5)) == """{"q_a":2.500,"q_b":1.000}""")
+  }
+
   test("parsePriorSection extracts the right section of a prior bench line") {
     val line = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},""" +
       """"queries_sf1":{"q_a":12.5,"q_c":3.0},"value":1.75}"""
