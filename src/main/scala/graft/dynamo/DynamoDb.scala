@@ -459,6 +459,16 @@ final class TokenLockDynamo(client: DynamoDbClient, token: String,
  * file-name tuple) is re-established by a client-side sort on read
  * (`all` loads the full history by contract, like the FS reload, so
  * the Scan + sort adds nothing).
+ *
+ * Time-window reads (r19, the reference `getEntries(from, to)`): a
+ * writer REGISTRY partition (hash = "__writers__", range = the
+ * writer id, one item per writer ever seen, written once on the
+ * writer's first append) turns `entries(from, to)` into one registry
+ * Query plus one range-key BETWEEN Query per writer — the zero-padded
+ * "atMs#seq" range key makes `[from#000000, to#999999]` exactly the
+ * contract window, so months of history never cross the wire (or
+ * consume read units) for a one-night report. Registry items never
+ * surface through `all`/`entries`.
  */
 final class JournalDynamo(client: DynamoDbClient,
                           tablePrefix: String = "graft")
@@ -467,10 +477,19 @@ final class JournalDynamo(client: DynamoDbClient,
   private val table = s"${tablePrefix}_journal"
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val RegistryHash = "__writers__"
 
   client.ensureTableActive(table, "writerId", Some("eventKey"))
 
   override def append(e: TaskEvent): Unit = {
+    // one registry item per writer, written before its first event:
+    // a crash between the two writes leaves a writer with no events
+    // (harmless empty Query), never an event no window read can find
+    if (registered.compareAndSet(false, true))
+      client.putItem(table, Map(
+        "writerId" -> ("S", RegistryHash),
+        "eventKey" -> ("S", writerId)))
     client.putItem(table, Map(
       "writerId" -> ("S", writerId),
       "eventKey" -> ("S", f"${e.atMs}%013d#${seq.getAndIncrement()}%06d"),
@@ -485,13 +504,31 @@ final class JournalDynamo(client: DynamoDbClient,
     ()
   }
 
-  override def all: Seq[TaskEvent] =
-    client.scan(table)
-      .sortBy(i => (i("atMs")._2.toLong, i("writerId")._2, i("eventKey")._2))
+  private def toEvents(items: Seq[Map[String, (String, String)]]): Seq[TaskEvent] =
+    items.sortBy(i => (i("atMs")._2.toLong, i("writerId")._2, i("eventKey")._2))
       .map { i =>
         val date = Option(i("infoDate")._2).filter(_.nonEmpty)
         TaskEvent(i("pipeline")._2, i("job")._2, i("tableName")._2,
           date.map(java.time.LocalDate.parse), i("status")._2,
           i("records")._2.toLong, i("detail")._2, i("atMs")._2.toLong)
       }
+
+  override def all: Seq[TaskEvent] =
+    toEvents(client.scan(table)
+      .filterNot(_.get("writerId").exists(_._2 == RegistryHash)))
+
+  override def entries(fromMs: Long, toMs: Long): Seq[TaskEvent] = {
+    if (toMs < fromMs) return Seq.empty
+    // epoch-ms are non-negative; a negative `fromMs` would format with
+    // a sign and break the zero-padded string order, so clamp to 0
+    val lo = f"${math.max(fromMs, 0L)}%013d#000000"
+    // seq past 999999 still sorts BELOW "#999999" at the same atMs
+    // ('1' < '9' at the first digit), so the hi bound stays inclusive
+    val hi = f"${math.max(toMs, 0L)}%013d#999999"
+    val writers = client.query(table, "writerId = :t",
+      Map(":t" -> ("S", RegistryHash))).flatMap(_.get("eventKey")).map(_._2)
+    toEvents(writers.flatMap(w =>
+      client.query(table, "writerId = :t AND eventKey BETWEEN :lo AND :hi",
+        Map(":t" -> ("S", w), ":lo" -> ("S", lo), ":hi" -> ("S", hi)))))
+  }
 }

@@ -267,6 +267,11 @@ final class BookkeeperMongo(client: MongoClient, db: String,
  * (atMs, writerId, seq) — the FS file-name tuple — re-established on
  * read by a client-side sort (the read loads the full history by
  * contract, exactly like the FS reload, so the sort adds nothing).
+ *
+ * Time-window reads (r19, the reference `getEntries(from, to)`) push
+ * the window into the server as a `{atMs: {$gte, $lte}}` find filter
+ * riding the atMs index created below — months of history never
+ * cross the wire for a one-night report.
  */
 final class JournalMongo(client: MongoClient, db: String,
                          collection: String = "journal")
@@ -274,6 +279,8 @@ final class JournalMongo(client: MongoClient, db: String,
   import graft.pipeline.TaskEvent
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  client.createIndex(db, collection, Seq("atMs" -> 1), "atMs_1")
 
   override def append(e: TaskEvent): Unit =
     client.insert(db, collection, Seq(Seq(
@@ -288,9 +295,9 @@ final class JournalMongo(client: MongoClient, db: String,
       "writerId" -> writerId,
       "seq" -> seq.getAndIncrement())))
 
-  override def all: Seq[TaskEvent] = {
+  private def toEvents(docs: Seq[Map[String, Any]]): Seq[TaskEvent] = {
     def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
-    client.find(db, collection)
+    docs
       .sortBy(d => (asLong(d("atMs")), d("writerId").asInstanceOf[String],
         asLong(d("seq"))))
       .map { d =>
@@ -301,4 +308,10 @@ final class JournalMongo(client: MongoClient, db: String,
           d("detail").asInstanceOf[String], asLong(d("atMs")))
       }
   }
+
+  override def all: Seq[TaskEvent] = toEvents(client.find(db, collection))
+
+  override def entries(fromMs: Long, toMs: Long): Seq[TaskEvent] =
+    toEvents(client.find(db, collection,
+      Seq("atMs" -> Bson.Doc(Seq("$gte" -> fromMs, "$lte" -> toMs)))))
 }

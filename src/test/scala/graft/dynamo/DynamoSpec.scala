@@ -49,6 +49,9 @@ class DynamoSpec extends AnyFunSuite {
     // by primary key like the real service, not append
     val keySchemas = collection.mutable.Map.empty[String, (String, Option[String])]
     var calls = 0
+    /** Items that crossed the wire in Query/Scan responses — what the
+      * journal window-pushdown spec counts (RCU-proportional). */
+    var itemsReturned = 0
 
     private def attr(av: Any): (String, String) = {
       val m = av.asInstanceOf[Map[String, Any]].head
@@ -155,7 +158,14 @@ class DynamoSpec extends AnyFunSuite {
           val selected =
             if (cond.contains("begins_with"))
               base.filter(_.get("infoDateSortKey").exists(_._2.startsWith(vals(":p"))))
-            else base
+            else if (cond.contains("BETWEEN")) {
+              // range-key window (the journal's entries(from, to)):
+              // `attr BETWEEN :lo AND :hi`, inclusive, string order
+              val m = "(\\w+)\\s+BETWEEN\\s+:lo\\s+AND\\s+:hi".r.findFirstMatchIn(cond)
+                .getOrElse(sys.error(s"unparsed BETWEEN condition: $cond"))
+              base.filter(_.get(m.group(1)).exists(v =>
+                v._2 >= vals(":lo") && v._2 <= vals(":hi")))
+            } else base
           page(selected.toSeq, req)
         case "Scan" =>
           page(tables(tname).toSeq, req)
@@ -175,6 +185,7 @@ class DynamoSpec extends AnyFunSuite {
         sorted.indexWhere(_.get("infoDateSortKey").exists(_._2 == sk)) + 1
       }.getOrElse(0)
       val slice = sorted.slice(start, start + pageSize)
+      itemsReturned += slice.length
       val last = if (start + pageSize < sorted.length && slice.nonEmpty)
         s""", "LastEvaluatedKey": ${encode(Map("infoDateSortKey" -> slice.last("infoDateSortKey")))}"""
       else ""
@@ -361,6 +372,37 @@ class DynamoSpec extends AnyFunSuite {
     z.append(TaskEvent("p", "second", "t", None, "succeeded", 2L, "", 999L))
     val tail = new JournalDynamo(c).all.takeRight(2).map(_.job)
     assert(tail == Seq("first", "second"), tail.toString)
+  }
+
+  test("journal window: entries(from,to) pushes the range-key BETWEEN - months never cross the wire") {
+    import graft.pipeline.TaskEvent
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    val (a, b) = (new JournalDynamo(c), new JournalDynamo(c))
+    // ~100 days of history across two writers, one event each per 12h
+    val day = 86400000L
+    val base = 1700000000000L
+    (0 until 200).foreach { i =>
+      val w = if (i % 2 == 0) a else b
+      w.append(TaskEvent("p", s"j$i", "t", None, "succeeded", i.toLong, "", base + i * (day / 2)))
+    }
+    val (fromMs, toMs) = (base + 40 * day, base + 41 * day) // one night
+    val before = fake.itemsReturned
+    val win = new JournalDynamo(c).entries(fromMs, toMs)
+    val wireItems = fake.itemsReturned - before
+    val expect = (0 until 200).filter(i =>
+      base + i * (day / 2) >= fromMs && base + i * (day / 2) <= toMs)
+    assert(win.map(_.records) == expect.map(_.toLong), win.map(_.records).toString)
+    // wire cost = the 2 registry items + exactly the window's events,
+    // NOT the 200-event history (the full-reload shape this replaces)
+    assert(wireItems == 2 + expect.size,
+      s"window read must not reload history: $wireItems items for ${expect.size} events")
+    // inclusive bounds + the FS completion-order contract hold
+    assert(win.head.atMs == fromMs && win.last.atMs <= toMs)
+    assert(win == win.sortBy(e => e.atMs), "completion order")
+    // registry items never surface through all(); empty window is empty
+    assert(new JournalDynamo(c).all.size == 200)
+    assert(new JournalDynamo(c).entries(5, 1).isEmpty)
   }
 
   test("token lock: 8-way same-token race admits exactly one winner") {

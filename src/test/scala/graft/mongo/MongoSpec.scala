@@ -43,6 +43,9 @@ class MongoSpec extends AnyFunSuite {
   private final class FakeMongod(batchSize: Int = 1000) {
     val collections = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[Map[String, Any]]]
     val indexes = collection.mutable.ArrayBuffer.empty[String]
+    /** Documents that crossed the wire in find/getMore batches — what
+      * the journal window-pushdown spec counts. */
+    var docsReturned = 0
     // collection -> unique key sets declared via createIndexes
     private val uniqueIdx = collection.mutable.Map.empty[String, List[Seq[String]]]
     // cursor id -> (remaining hits) — explicit lists, not iterators
@@ -119,8 +122,23 @@ class MongoSpec extends AnyFunSuite {
         Seq("n" -> gone.size, "ok" -> 1.0)
       } else if (cmd.contains("find")) {
         val filter = cmd("filter").asInstanceOf[Map[String, Any]]
-        val hits = coll("find").filter(doc => filter.forall { case (k, v) => doc.get(k).contains(v) }).toList
+        // equality match, plus the {$gte,$lte} operator-document subset
+        // the journal's pushed-down time window sends
+        def matches(doc: Map[String, Any], k: String, v: Any): Boolean = v match {
+          case ops: Map[_, _] =>
+            val o = ops.asInstanceOf[Map[String, Any]]
+            def num(x: Any) = x.asInstanceOf[Number].longValue()
+            doc.get(k).exists(dv => o.forall {
+              case ("$gte", b) => num(dv) >= num(b)
+              case ("$lte", b) => num(dv) <= num(b)
+              case (op, _) => sys.error(s"FakeMongod: unsupported operator $op")
+            })
+          case _ => doc.get(k).contains(v)
+        }
+        val hits = coll("find").filter(doc =>
+          filter.forall { case (k, v) => matches(doc, k, v) }).toList
         val (first, rest) = hits.splitAt(batchSize)
+        docsReturned += first.size
         val id = if (rest.nonEmpty) { cursors(nextCursor) = rest; nextCursor += 1; nextCursor - 1 } else 0L
         Seq("cursor" -> Bson.Doc(Seq(
           "firstBatch" -> first.map(toBson),
@@ -129,6 +147,7 @@ class MongoSpec extends AnyFunSuite {
       } else if (cmd.contains("getMore")) {
         val id = cmd("getMore").asInstanceOf[Long]
         val (batch, rest) = cursors(id).splitAt(batchSize)
+        docsReturned += batch.size
         val nid = if (rest.nonEmpty) { cursors(id) = rest; id } else { cursors.remove(id); 0L }
         Seq("cursor" -> Bson.Doc(Seq(
           "nextBatch" -> batch.map(toBson),
@@ -252,6 +271,33 @@ class MongoSpec extends AnyFunSuite {
       assert(all.count(_.job == "j1") == 2, "re-runs must both stay visible")
       assert(all(2).infoDate.isEmpty)
       assert(all(1).detail == "boom \"q\" \\b", "BSON carries the bytes verbatim, no escaping layer")
+    } finally { c.close(); srv.close() }
+  }
+
+  test("journal window: entries(from,to) pushes an atMs find filter - months never cross the wire") {
+    import graft.pipeline.TaskEvent
+    val srv = new FakeMongod()
+    val c = new MongoClient("127.0.0.1", srv.port)
+    try {
+      val (a, b) = (new JournalMongo(c, "graft"), new JournalMongo(c, "graft"))
+      assert(srv.indexes.contains("atMs_1"), "the window filter must have an index to ride")
+      val day = 86400000L
+      val base = 1700000000000L
+      (0 until 200).foreach { i =>
+        val w = if (i % 2 == 0) a else b
+        w.append(TaskEvent("p", s"j$i", "t", None, "succeeded", i.toLong, "", base + i * (day / 2)))
+      }
+      val (fromMs, toMs) = (base + 40 * day, base + 41 * day)
+      val before = srv.docsReturned
+      val win = new JournalMongo(c, "graft").entries(fromMs, toMs)
+      val wireDocs = srv.docsReturned - before
+      val expect = (0 until 200).filter(i =>
+        base + i * (day / 2) >= fromMs && base + i * (day / 2) <= toMs)
+      assert(win.map(_.records) == expect.map(_.toLong), win.map(_.records).toString)
+      assert(wireDocs == expect.size,
+        s"window read must not reload history: $wireDocs docs for ${expect.size} events")
+      assert(win == win.sortBy(_.atMs), "completion order")
+      assert(new JournalMongo(c, "graft").entries(5, 1).isEmpty)
     } finally { c.close(); srv.close() }
   }
 
