@@ -166,9 +166,9 @@ class DynamoSpec extends AnyFunSuite {
               base.filter(_.get(m.group(1)).exists(v =>
                 v._2 >= vals(":lo") && v._2 <= vals(":hi")))
             } else base
-          page(selected.toSeq, req)
+          page(tname, selected.toSeq, req)
         case "Scan" =>
-          page(tables(tname).toSeq, req)
+          page(tname, tables(tname).toSeq, req)
         case other => (400, s"""{"__type":"UnknownOperationException","op":"$other"}""")
       }
     }
@@ -178,16 +178,25 @@ class DynamoSpec extends AnyFunSuite {
         k -> Json.obj(t -> Json.str(v))
       }: _*)
 
-    private def page(items: Seq[Map[String, (String, String)]], req: Map[String, Any]): (Int, String) = {
-      val sorted = items.sortBy(i => i.get("infoDateSortKey").map(_._2).getOrElse(""))
+    private def page(tname: String, items: Seq[Map[String, (String, String)]], req: Map[String, Any]): (Int, String) = {
+      // paginate by the table's FULL primary key like the real service
+      // (journal pages by (writerId, eventKey), bookkeeping by
+      // (tableName, infoDateSortKey)) — an infoDateSortKey-only resume
+      // would silently mis-page any other table's multi-page reads
+      val (hk, rk) = keySchemas.getOrElse(tname, ("tableName", Some("infoDateSortKey")))
+      def keyOf(i: Map[String, (String, String)]): (String, String) =
+        (i.get(hk).map(_._2).getOrElse(""), rk.flatMap(i.get).map(_._2).getOrElse(""))
+      val sorted = items.sortBy(keyOf)
       val start = req.get("ExclusiveStartKey").map { k =>
-        val sk = attr(k.asInstanceOf[Map[String, Any]]("infoDateSortKey"))._2
-        sorted.indexWhere(_.get("infoDateSortKey").exists(_._2 == sk)) + 1
+        val km = k.asInstanceOf[Map[String, Any]].map { case (a, v) => a -> attr(v)._2 }
+        val sk = (km.getOrElse(hk, ""), rk.map(km.getOrElse(_, "")).getOrElse(""))
+        sorted.indexWhere(keyOf(_) == sk) + 1
       }.getOrElse(0)
       val slice = sorted.slice(start, start + pageSize)
       itemsReturned += slice.length
       val last = if (start + pageSize < sorted.length && slice.nonEmpty)
-        s""", "LastEvaluatedKey": ${encode(Map("infoDateSortKey" -> slice.last("infoDateSortKey")))}"""
+        s""", "LastEvaluatedKey": ${encode(
+          Map(hk -> slice.last(hk)) ++ rk.map(r => r -> slice.last(r)))}"""
       else ""
       (200, s"""{"Items": [${slice.map(encode).mkString(",")}]$last}""")
     }
@@ -376,7 +385,9 @@ class DynamoSpec extends AnyFunSuite {
 
   test("journal window: entries(from,to) pushes the range-key BETWEEN - months never cross the wire") {
     import graft.pipeline.TaskEvent
-    val fake = new FakeDynamo()
+    // pageSize 7: window Queries must survive LastEvaluatedKey resumes
+    // keyed by the journal's OWN (writerId, eventKey) primary key
+    val fake = new FakeDynamo(pageSize = 7)
     val c = client(fake)
     val (a, b) = (new JournalDynamo(c), new JournalDynamo(c))
     // ~100 days of history across two writers, one event each per 12h
@@ -403,6 +414,14 @@ class DynamoSpec extends AnyFunSuite {
     // registry items never surface through all(); empty window is empty
     assert(new JournalDynamo(c).all.size == 200)
     assert(new JournalDynamo(c).entries(5, 1).isEmpty)
+    // a month-wide window spans multiple fake pages per writer (25
+    // events each vs pageSize 7): the BETWEEN Query must resume through
+    // LastEvaluatedKey without dropping or repeating events
+    val wide = new JournalDynamo(c).entries(base + 40 * day, base + 65 * day)
+    val expectWide = (0 until 200).filter(i =>
+      base + i * (day / 2) >= base + 40 * day && base + i * (day / 2) <= base + 65 * day)
+    assert(wide.map(_.records) == expectWide.map(_.toLong),
+      s"pagination must not drop/repeat: got ${wide.size}, want ${expectWide.size}")
   }
 
   test("token lock: 8-way same-token race admits exactly one winner") {
