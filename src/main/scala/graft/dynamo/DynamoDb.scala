@@ -527,8 +527,32 @@ final class JournalDynamo(client: DynamoDbClient,
     val hi = f"${math.max(toMs, 0L)}%013d#999999"
     val writers = client.query(table, "writerId = :t",
       Map(":t" -> ("S", RegistryHash))).flatMap(_.get("eventKey")).map(_._2)
-    toEvents(writers.flatMap(w =>
+    // LEGACY tables (events written before the registry existed) have
+    // no registry partition: fall back to the full-reload filter
+    // rather than silently answering an empty window. New-code tables
+    // always register BEFORE the first event, so a non-empty table
+    // with an empty registry can only be pre-registry history.
+    if (writers.isEmpty) super.entries(fromMs, toMs)
+    else toEvents(writers.flatMap(w =>
       client.query(table, "writerId = :t AND eventKey BETWEEN :lo AND :hi",
         Map(":t" -> ("S", w), ":lo" -> ("S", lo), ":hi" -> ("S", hi)))))
+  }
+
+  /** One-time backfill for tables MIXING pre-registry history with
+    * registered writers: scans once, registers every writer that has
+    * events but no registry item, and returns how many it added. Until
+    * this runs, a mixed table's `entries` window sees only registered
+    * writers (an all-legacy table falls back to the full reload — see
+    * `entries`). Idempotent; new deployments never need it. */
+  def registerLegacyWriters(): Int = {
+    val registered = client.query(table, "writerId = :t",
+      Map(":t" -> ("S", RegistryHash))).flatMap(_.get("eventKey")).map(_._2).toSet
+    val missing = client.scan(table)
+      .flatMap(_.get("writerId")).map(_._2).distinct
+      .filterNot(w => w == RegistryHash || registered.contains(w))
+    missing.foreach(w => client.putItem(table, Map(
+      "writerId" -> ("S", RegistryHash),
+      "eventKey" -> ("S", w))))
+    missing.size
   }
 }

@@ -424,6 +424,38 @@ class DynamoSpec extends AnyFunSuite {
       s"pagination must not drop/repeat: got ${wide.size}, want ${expectWide.size}")
   }
 
+  test("journal window: pre-registry (legacy) history stays visible; migration completes mixed tables") {
+    import graft.pipeline.TaskEvent
+    val fake = new FakeDynamo()
+    val c = client(fake)
+    val j = new JournalDynamo(c) // creates the table, registers NOTHING yet
+    // legacy r18-shaped items: events under a writer hash with NO
+    // registry partition (written by code that predates the registry)
+    def legacy(w: String, atMs: Long, rec: Long): Unit =
+      c.putItem("graft_journal", Map(
+        "writerId" -> ("S", w),
+        "eventKey" -> ("S", f"$atMs%013d#000000"),
+        "pipeline" -> ("S", "p"), "job" -> ("S", "old"), "tableName" -> ("S", "t"),
+        "infoDate" -> ("S", ""), "status" -> ("S", "succeeded"),
+        "records" -> ("N", rec.toString), "detail" -> ("S", ""),
+        "atMs" -> ("N", atMs.toString)))
+    legacy("w_old_a", 1000L, 1L)
+    legacy("w_old_b", 2000L, 2L)
+    // all-legacy table: empty registry -> full-reload fallback, correct
+    assert(new JournalDynamo(c).entries(500L, 1500L).map(_.records) == Seq(1L))
+    // a NEW writer registers itself; the mixed table now has a registry
+    // that doesn't know the legacy writers
+    j.append(TaskEvent("p", "new", "t", None, "succeeded", 3L, "", 1200L))
+    val mixedBefore = new JournalDynamo(c).entries(500L, 2500L)
+    assert(mixedBefore.map(_.records) == Seq(3L),
+      "mixed-table windows see only registered writers until migration (the documented gap)")
+    // one-time backfill registers the legacy writers, windows complete
+    assert(j.registerLegacyWriters() == 2)
+    assert(new JournalDynamo(c).entries(500L, 2500L).map(_.records) == Seq(1L, 3L, 2L))
+    assert(j.registerLegacyWriters() == 0, "idempotent")
+    assert(new JournalDynamo(c).all.size == 3, "registry items stay invisible")
+  }
+
   test("token lock: 8-way same-token race admits exactly one winner") {
     val fake = new FakeDynamo()
     // the scripted fake is single-threaded by design; a synchronized
