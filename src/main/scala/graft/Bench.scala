@@ -314,7 +314,12 @@ object Bench {
     // gates (decode + DCT/FFT per row) had no trend line, and their
     // decode-heavy profile is exactly where a regression hides behind
     // sf0.1's fixed overhead
-    "q_image_dedup", "q_audio_dedup", "q_video_dedup")
+    "q_image_dedup", "q_audio_dedup", "q_video_dedup",
+    // r19: the r18-born operators with a real scale surface — the
+    // linearized per-doc line scrub (a regression back to the O(L²)
+    // prefix rescan shows at 10× docs long before sf0.1 notices) and
+    // the budget cut's projection-only window sort
+    "q_line_scrub", "q_token_budget")
 
   /** sf1 queries that run ONCE instead of median-of-2: per-row media
     * decode makes each ~10× its sf0.1 cost, and (the q_curation_v2
