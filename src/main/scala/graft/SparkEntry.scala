@@ -636,6 +636,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
 
+    "q_temperature_mix" -> ((s, dir) => {
+      // L69 temperature mixing (mT5 α-sampling, α=0.5): the mix key
+      // is planted skewed ~4:2:1 (web/books/code); sqrt weights
+      // flatten it; largest-remainder apportionment spends exactly
+      // the 200-doc budget. DuckDB replays the IEEE-exact sqrt
+      // weights, the key-asc ordered weight sum, the floors and
+      // remainders, and the multiplicative-rank cut
+      val dd = docs(s, dir).withColumn("mix_key",
+        when(col("doc_id") % 7 < 4, "web")
+          .when(col("doc_id") % 7 < 6, "books").otherwise("code"))
+      graft.operators.Sampling.temperatureSample(dd, "mix_key", "doc_id", 0.5, 200L)
+        .groupBy("mix_key")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
     "q_line_scrub" -> ((s, dir) => {
       // L67 line-wise CORRECTION (fix-the-doc): junk lines planted
       // in-gate — a short bullet fragment, a letterless counter, a
@@ -3983,6 +3998,40 @@ object SparkEntry {
         |  FROM ranked)
         |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM cum WHERE before < budget GROUP BY source""".stripMargin,
+
+    "q_temperature_mix" ->
+      // replays the α=0.5 apportionment bit-exactly: sqrt is IEEE
+      // correctly rounded in both engines, the weight sum is spelled
+      // in key-ascending order (books + code + web — the Scala fold
+      // order), each share is (200.0 · w) / S in the same literal
+      // association, floors/remainders/largest-remainder bumps and
+      // the multiplicative rank are deterministic from there
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 7 < 4 THEN 'web'
+        |         WHEN doc_id % 7 < 6 THEN 'books' ELSE 'code' END AS mix_key
+        |  FROM documents),
+        |c AS (SELECT mix_key, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |s AS (SELECT
+        |    (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'books')
+        |  + (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'code')
+        |  + (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'web') AS tot),
+        |raw AS (SELECT mix_key, n,
+        |    (200.0 * sqrt(CAST(n AS DOUBLE))) / (SELECT tot FROM s) AS r
+        |  FROM c),
+        |t AS (SELECT mix_key, n,
+        |    CAST(floor(r) AS BIGINT)
+        |      + CASE WHEN row_number() OVER (ORDER BY r - floor(r) DESC, mix_key)
+        |               <= 200 - (SELECT CAST(sum(floor(r)) AS BIGINT) FROM raw)
+        |             THEN 1 ELSE 0 END AS tgt
+        |  FROM raw),
+        |sel AS (SELECT mix_key, n_chars,
+        |    row_number() OVER (PARTITION BY mix_key
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM d)
+        |SELECT sel.mix_key, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM sel JOIN t ON sel.mix_key = t.mix_key
+        |WHERE rn <= LEAST(tgt, n) GROUP BY 1""".stripMargin,
 
     "q_line_scrub" ->
       // replays the L67 line correction: plant, trim/split, letter /

@@ -286,6 +286,91 @@ object Sampling {
   }
 
   /**
+   * Temperature-based corpus mixing (r19 — the mT5/XLM-R α-sampling
+   * rule, arXiv:2010.11934 §3.1: sample source k with probability
+   * ∝ n_k^α, α ∈ (0, 1] — α = 1 is proportional, smaller α flattens
+   * the mix toward low-resource sources): select `totalBudget`
+   * documents across keys with per-key quotas apportioned by the
+   * temperature weights, exact to the document via largest-remainder
+   * rounding (floor every raw share, then +1 to the largest
+   * fractional remainders — ties by key asc — until the budget is
+   * spent; Σ targets == totalBudget whenever no key saturates). A key
+   * whose quota exceeds its size is capped at its size and the
+   * shortfall is NOT redistributed — up-weighting a small source past
+   * its actual data is replication (see [[weightedMix]]), not
+   * selection. Within a key, documents are taken in the replayable
+   * multiplicative-hash order (numeric ids) / md5-hex order (string
+   * ids) — the [[budgetSample]] discipline.
+   *
+   * Replayability contract: α = 0.5 computes weights with
+   * `math.sqrt` (IEEE-754 correctly rounded — bit-identical in every
+   * engine, unlike the general `pow`), the weight sum folds in
+   * key-ascending order, and each share is `(budget · w_k) / S` in
+   * that literal association — an oracle spelling the same ops in the
+   * same order reproduces every target exactly.
+   *
+   * Scale shape: per-key counts are the only corpus-wide aggregate
+   * (a (key, long) pair per key crosses the shuffle — bounded by
+   * `maxDriverKeys`, far under any real source cardinality);
+   * apportionment is O(K log K) driver arithmetic; selection is one
+   * per-key window row_number over an (id, key) PROJECTION (~16
+   * bytes/row through the sort) and a left-semi rejoin (AQE
+   * broadcasts the kept side when small). Wide columns cross no
+   * shuffle.
+   */
+  def temperatureSample(df: DataFrame, keyCol: String, idCol: String,
+                        alpha: Double, totalBudget: Long,
+                        maxDriverKeys: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureSample: alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0, s"temperatureSample: negative budget $totalBudget")
+    require(df.columns.forall(!_.startsWith("_ts_")),
+      s"temperatureSample: input must not carry _ts_* columns: ${df.columns.mkString(", ")}")
+    if (totalBudget == 0) return df.where(lit(false))
+    // keys compared by their STRING form (the target map's key type);
+    // null keys have no source to apportion to and are dropped; the
+    // per-key count rows are the only driver collect
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("_ts_k"))
+      .agg(count(lit(1)).as("_ts_n"))
+      .limit(maxDriverKeys + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxDriverKeys,
+      s"temperatureSample: over $maxDriverKeys distinct keys — temperature " +
+        "mixing apportions per SOURCE; a key this fine-grained is the wrong column")
+    if (counts.isEmpty) return df.where(lit(false))
+    val sorted = counts.sortBy(_._1)
+    val wts = sorted.map { case (k, n) =>
+      (k, n, if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+    }
+    val s = wts.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
+    val raw = wts.map { case (k, n, w) => (k, n, totalBudget.toDouble * w / s) }
+    val base = raw.map { case (k, n, r) => (k, n, r, math.floor(r).toLong) }
+    val leftover = (totalBudget - base.map(_._4).sum).toInt
+    val bumped = base.sortBy { case (k, _, r, b) => (-(r - b), k) }
+      .zipWithIndex.map { case ((k, n, _, b), i) =>
+        k -> math.min(if (i < leftover) b + 1 else b, n) // saturation cap
+      }.toMap
+    val target = element_at(
+      map(sorted.flatMap { case (k, _) => Seq(lit(k), lit(bumped(k))) }: _*),
+      col("_ts_k"))
+    val rank = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => replayableRank32(col("_ts_id"))
+      case _ => md5(col("_ts_id").cast("binary"))
+    }
+    val w = Window.partitionBy(col("_ts_k")).orderBy(col("_ts_rank"), col("_ts_id"))
+    val kept = df
+      .select(col(idCol).as("_ts_id"), col(keyCol).cast("string").as("_ts_k"))
+      .withColumn("_ts_rank", rank)
+      .withColumn("_ts_rn", row_number().over(w))
+      .where(col("_ts_rn") <= target)
+      .select(col("_ts_id"), col("_ts_k"))
+    df.join(kept,
+      col(idCol) === col("_ts_id") && col(keyCol).cast("string") === col("_ts_k"),
+      "left_semi")
+  }
+
+  /**
    * Weighted corpus mixing: deterministically sample each source at
    * its rate (rates > 1 replicate whole copies plus a sampled
    * remainder — epoch up-weighting) and union. The building block of

@@ -301,6 +301,48 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("L69 temperatureSample: alpha-flattened quotas, exact largest-remainder budget, saturation cap") {
+    // skewed 400/200/100 corpus; alpha=0.5 flattens toward small keys
+    val docs = ((0L until 400L).map(i => (i, "web")) ++
+      (400L until 600L).map(i => (i, "books")) ++
+      (600L until 700L).map(i => (i, "code"))).toDF("id", "src")
+    val kept = Sampling.temperatureSample(docs, "src", "id", 0.5, 200L)
+    val bySrc = kept.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected = the operator's own replayable math, recomputed here:
+    // weights sqrt(n_k), sum in key-asc order, (200·w)/S floored,
+    // largest remainders bumped — and it must spend EXACTLY the budget
+    val ns = Seq("books" -> 200L, "code" -> 100L, "web" -> 400L)
+    val s = ns.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    val raw = ns.map { case (k, n) => (k, n, 200.0 * math.sqrt(n.toDouble) / s) }
+    val base = raw.map { case (k, n, r) => (k, n, r, math.floor(r).toLong) }
+    val leftover = (200L - base.map(_._4).sum).toInt
+    val expect = base.sortBy { case (k, _, r, b) => (-(r - b), k) }.zipWithIndex
+      .map { case ((k, _, _, b), i) => k -> (if (i < leftover) b + 1 else b) }.toMap
+    assert(bySrc == expect, s"got $bySrc want $expect")
+    assert(bySrc.values.sum == 200L, "largest-remainder must spend the whole budget")
+    // alpha=1 is proportional: 400:200:100 on budget 70 -> 40/20/10
+    val prop = Sampling.temperatureSample(docs, "src", "id", 1.0, 70L)
+      .groupBy("src").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("web" -> 40L, "books" -> 20L, "code" -> 10L), prop.toString)
+    // saturation: alpha=0.5 with a budget big enough to over-ask the
+    // small key — capped at its size, shortfall NOT redistributed
+    val sat = Sampling.temperatureSample(docs, "src", "id", 0.5, 650L)
+      .groupBy("src").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sat("code") == 100L, s"saturated key keeps its whole data: $sat")
+    assert(sat.values.sum < 650L, s"shortfall is not redistributed: $sat")
+    // deterministic across partitioning; null keys drop; zero budget empty
+    val again = Sampling.temperatureSample(docs.repartition(13), "src", "id", 0.5, 200L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    val withNull = docs.withColumn("src", when(col("id") < 10, lit(null: String)).otherwise(col("src")))
+    assert(Sampling.temperatureSample(withNull, "src", "id", 0.5, 200L)
+      .where(col("src").isNull).count() == 0)
+    assert(Sampling.temperatureSample(docs, "src", "id", 0.5, 0L).count() == 0)
+  }
+
   test("L68 budgetSample: string ids rank by md5 hex - oracle-replayable order") {
     val docs = (0L until 90L).map { i =>
       (s"doc-$i", s"s${i % 3}", 10L, s"payload-$i")
