@@ -515,7 +515,10 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_bounded_min_k"),
       s"capped partial aggregate missing from plan:\n$plan")
     assert(!plan.contains("collect_list"), s"unbounded collector still present:\n$plan")
-    val stats = BucketTruncation.lastStats.get
+    // awaitStats, not lastStats: the observation resolves on a listener
+    // thread after the action returns — an immediate read races it
+    // under full-suite load (flaked once in 3 suite runs)
+    val stats = BucketTruncation.awaitStats().get
     assert(stats.truncatedBuckets == 1 && stats.droppedMembers == 49L * maxBucket,
       s"truncation must be observable, got $stats")
   }
@@ -526,7 +529,7 @@ class DedupSpec extends SparkSpec {
     val rows = (0L until 2000L).map(i => (i, (i + 1) << 32)).toDF("doc_id", "sh")
     val cand = Dedup.hammingCandidates(rows, maxHamming = 2, maxBucket = 20)
     cand.count() // localCheckpoint already ran; force for clarity
-    val stats = BucketTruncation.lastStats.get
+    val stats = BucketTruncation.awaitStats().get
     assert(stats.truncatedBuckets >= 1 && stats.droppedMembers > 0,
       s"MIH truncation must be observable, got $stats")
   }
