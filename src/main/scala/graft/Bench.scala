@@ -135,7 +135,16 @@ object Bench {
     * `histMin` (r19) is min(last 3 rounds' medians) per query — the
     * hist_window tripwire: a drift under 1.5× per round but over 1.5×
     * vs that floor is flagged too, band-ignored on verdict (the band
-    * self-extended through each unflagged step).
+    * self-extended through each unflagged step). Hist-origin suspects
+    * carry in `pendingHistPrior` (NOT `pendingPrior`) and their
+    * rechecks ("pending_recheck_hist") also ignore the band — the
+    * crept value already merged into band_hi during the unflagged
+    * steps, so a band-consulting recheck would stamp the confirmation
+    * "noise_band" and the compound drift could never confirm `real`
+    * (review finding, r19).
+    *
+    * Returns (entries JSON, new sweep-origin pending, new hist-origin
+    * pending, band-exclusion set).
     */
   private[graft] def attributedRegressionsJson(
       spark: SparkSession, dir: String,
@@ -144,7 +153,9 @@ object Bench {
       attribute: Boolean, isolatedRuns: Int,
       band: Map[String, (Double, Double)] = Map.empty,
       pendingPrior: Map[String, Double] = Map.empty,
-      histMin: Map[String, Double] = Map.empty): (String, Map[String, Double], Set[String]) = {
+      histMin: Map[String, Double] = Map.empty,
+      pendingHistPrior: Map[String, Double] = Map.empty)
+      : (String, Map[String, Double], Map[String, Double], Set[String]) = {
     val regs = results.collect {
       case (name, Right(now)) if prior.contains(name)
         && math.max(now, prior(name)) >= floor =>
@@ -158,13 +169,17 @@ object Bench {
     // The floor test mirrors the sweep flag's max(now, prior) — a
     // sub-floor ORIGINAL prior that regressed past the floor must not
     // silently drop its suspect from the recheck.
-    val pendingChecks = pendingPrior.toSeq.flatMap { case (n, origPrior) =>
-      val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
-      if (!flaggedNames.contains(n) && SparkEntry.queries.contains(n) &&
-          math.max(now, origPrior) >= floor)
-        Some((n, origPrior, now, now / math.max(origPrior, 1e-9)))
-      else None
-    }
+    def checksOf(m: Map[String, Double], skip: Set[String]) =
+      m.toSeq.flatMap { case (n, origPrior) =>
+        val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
+        if (!flaggedNames.contains(n) && !skip.contains(n) &&
+            SparkEntry.queries.contains(n) && math.max(now, origPrior) >= floor)
+          Some((n, origPrior, now, now / math.max(origPrior, 1e-9)))
+        else None
+      }
+    val pendingChecks = checksOf(pendingPrior, Set.empty)
+    // a name somehow in both pending sets rechecks once, sweep-origin
+    val pendingHistChecks = checksOf(pendingHistPrior, pendingPrior.keySet)
     // r19 (judge item 3): the sub-threshold COMPOUNDING hole — two
     // consecutive 1.4× drifts multiply past 1.5× without either round
     // flagging, because each round compares only to the immediately
@@ -177,7 +192,7 @@ object Bench {
     // the compound drift "noise_band" — the exact absorption hole this
     // window exists to close. Sweep/pending flags take precedence
     // (they carry more specific priors).
-    val pendingNames = pendingChecks.map(_._1).toSet
+    val pendingNames = pendingChecks.map(_._1).toSet ++ pendingHistChecks.map(_._1)
     val histRegs = results.collect {
       case (name, Right(now)) if !flaggedNames.contains(name)
         && !pendingNames.contains(name) && histMin.contains(name)
@@ -186,8 +201,11 @@ object Bench {
         (name, histMin(name), now, now / math.max(histMin(name), 1e-9))
     }.sortBy { case (_, _, _, ratio) => -ratio }
     val newPending = collection.mutable.Map.empty[String, Double]
+    val newPendingHist = collection.mutable.Map.empty[String, Double]
+    val histSources = Set("hist_window", "pending_recheck_hist")
     val entries = (regs.map((_, "sweep")) ++ histRegs.map((_, "hist_window")) ++
-        pendingChecks.map((_, "pending_recheck"))).map {
+        pendingChecks.map((_, "pending_recheck")) ++
+        pendingHistChecks.map((_, "pending_recheck_hist"))).map {
       case ((n, p, c, r), source) =>
         val head = f""""query":"$n","prior":$p%.3f,"in_sweep":$c%.3f,"ratio":$r%.2f,"source":"$source""""
         if (!attribute) s"{$head}"
@@ -197,8 +215,8 @@ object Bench {
           timeQuery(spark, n, SparkEntry.queries(n), dir, isolatedRuns, pickMin = true) match {
             case Right(iso) =>
               val (ri, verdict) = regressionVerdict(p, iso,
-                if (source == "hist_window") None else band.get(n),
-                priorPending = pendingPrior.contains(n))
+                if (histSources.contains(source)) None else band.get(n),
+                priorPending = pendingPrior.contains(n) || pendingHistPrior.contains(n))
               // only "suspect" carries forward: a confirmed "real" is
               // REPORTED and retired — without retirement an accepted
               // runtime change would re-confirm "real" every round
@@ -206,7 +224,12 @@ object Bench {
               // band keeps re-confirming), and the band could never
               // learn the new normal. After the report, next round's
               // refreshed prior and un-excluded band absorb the level.
-              if (verdict == "suspect") newPending(n) = p
+              // Suspects keep their ORIGIN: a hist suspect's recheck
+              // must stay band-exempt or it could never confirm.
+              if (verdict == "suspect") {
+                if (histSources.contains(source)) newPendingHist(n) = p
+                else newPending(n) = p
+              }
               f"""{$head,"isolated":$iso%.3f,"ratio_isolated":$ri%.2f,"verdict":"$verdict"}"""
             case Left(_) =>
               // a query that fails in isolation is loud through the
@@ -215,12 +238,13 @@ object Bench {
           }
         }
     }
-    // a pure-sweep run (attribute=false) must not LOSE the pending set
-    // — it took a confirmed isolated measurement to create it, and only
-    // another one may clear it
+    // a pure-sweep run (attribute=false) must not LOSE the pending sets
+    // — it took a confirmed isolated measurement to create them, and
+    // only another one may clear them
     (entries.mkString("[", ",", "]"),
       if (attribute) newPending.toMap else pendingPrior,
-      flaggedNames ++ histRegs.map(_._1) ++ pendingChecks.map(_._1))
+      if (attribute) newPendingHist.toMap else pendingHistPrior,
+      flaggedNames ++ histRegs.map(_._1) ++ pendingNames)
   }
 
   /** Re-serialize a parsed medians section (the queries_h2/h3 history
@@ -466,18 +490,20 @@ object Bench {
           val bandSf1 = loSf1.keySet.intersect(hiSf1.keySet)
             .map(k => k -> (loSf1(k), hiSf1(k))).toMap
           val pendingSf1 = parsePriorSection(priorTxt, "pending_real_sf1")
+          val pendingHistSf1 = parsePriorSection(priorTxt, "pending_real_hist_sf1")
           val h2Sf1 = parsePriorSection(priorTxt, "queries_sf1_h2")
           val h3Sf1 = parsePriorSection(priorTxt, "queries_sf1_h3")
           val (regs1, bandExclude1) =
             if (priorSf1.isEmpty) ("", Set.empty[String])
             else {
-              val (arr, newPending, flagged) = attributedRegressionsJson(spark, outDir,
-                sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
-                band = bandSf1, pendingPrior = pendingSf1,
-                histMin = histMinOf(priorSf1, h2Sf1, h3Sf1))
-              val pend = newPending.toSeq.sortBy(_._1)
-                .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-              (s""","regressions_sf1":$arr,"pending_real_sf1":$pend""" +
+              val (arr, newPending, newPendingHist, flagged) =
+                attributedRegressionsJson(spark, outDir,
+                  sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
+                  band = bandSf1, pendingPrior = pendingSf1,
+                  histMin = histMinOf(priorSf1, h2Sf1, h3Sf1),
+                  pendingHistPrior = pendingHistSf1)
+              (s""","regressions_sf1":$arr,"pending_real_sf1":${mapJson(newPending)}""" +
+                s""","pending_real_hist_sf1":${mapJson(newPendingHist)}""" +
                 s""","queries_sf1_h2":${mapJson(priorSf1)},"queries_sf1_h3":${mapJson(h2Sf1)}""",
                 flagged)
             }
@@ -617,6 +643,7 @@ object Bench {
       val hi = parsePriorSection(priorTxt, "band_hi")
       val band = lo.keySet.intersect(hi.keySet).map(k => k -> (lo(k), hi(k))).toMap
       val pending = parsePriorSection(priorTxt, "pending_real")
+      val pendingHist = parsePriorSection(priorTxt, "pending_real_hist")
       // last-3-rounds median history (judge r18 item 3): prior's
       // queries section is 1 round back, its queries_h2/h3 are 2 and 3
       // back; this round re-emits the carry shifted by one
@@ -626,13 +653,15 @@ object Bench {
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior))
         s""","band_lo":$bLo,"band_hi":$bHi"""
       } else {
-        val (arr, newPending, flagged) = attributedRegressionsJson(spark, sfDir,
-          results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
-          band = band, pendingPrior = pending, histMin = histMinOf(prior, h2, h3))
-        val pend = newPending.toSeq.sortBy(_._1)
-          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val (arr, newPending, newPendingHist, flagged) =
+          attributedRegressionsJson(spark, sfDir,
+            results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
+            band = band, pendingPrior = pending, histMin = histMinOf(prior, h2, h3),
+            pendingHistPrior = pendingHist)
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior, flagged))
-        s""","regressions":$arr,"pending_real":$pend,"band_lo":$bLo,"band_hi":$bHi""" +
+        s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
+          s""","pending_real_hist":${mapJson(newPendingHist)}""" +
+          s""","band_lo":$bLo,"band_hi":$bHi""" +
           s""","queries_h2":${mapJson(prior)},"queries_h3":${mapJson(h2)}"""
       }
     }

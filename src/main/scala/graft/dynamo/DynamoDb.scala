@@ -485,11 +485,17 @@ final class JournalDynamo(client: DynamoDbClient,
   override def append(e: TaskEvent): Unit = {
     // one registry item per writer, written before its first event:
     // a crash between the two writes leaves a writer with no events
-    // (harmless empty Query), never an event no window read can find
-    if (registered.compareAndSet(false, true))
+    // (harmless empty Query), never an event no window read can find.
+    // The flag flips only AFTER the put succeeds — a CAS-first
+    // spelling would mark a FAILED registration done and leave every
+    // retried event invisible to window reads forever; the worst case
+    // here is a redundant idempotent re-put under races/retries.
+    if (!registered.get()) {
       client.putItem(table, Map(
         "writerId" -> ("S", RegistryHash),
         "eventKey" -> ("S", writerId)))
+      registered.set(true)
+    }
     client.putItem(table, Map(
       "writerId" -> ("S", writerId),
       "eventKey" -> ("S", f"${e.atMs}%013d#${seq.getAndIncrement()}%06d"),

@@ -130,18 +130,7 @@ object Sampling {
     require(budgets.values.forall(_ >= 0), s"budgetSample: negative budget in $budgets")
     require(df.columns.forall(!_.startsWith("_bs_")),
       s"budgetSample: input must not carry _bs_* columns: ${df.columns.mkString(", ")}")
-    // numeric ids take the multiplicative-hash rank; string ids rank by
-    // the md5 hex digest of their UTF-8 bytes (r19) — BOTH are
-    // oracle-replayable: every ANSI engine computes the identical
-    // lowercase-hex md5 and [0-9a-f] strings binary-order identically
-    // in Spark (UTF8String) and DuckDB (default collation). The former
-    // xxhash64 fallback was deterministic but nothing outside Spark
-    // could replay it, so a string-keyed sample could never hash-match
-    // a DuckDB gate. The window happily orders either rank type.
-    val rank = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => replayableRank32(col("_bs_id"))
-      case _ => md5(col("_bs_id").cast("binary"))
-    }
+    val rank = rankFor(df.schema(idCol).dataType, col("_bs_id"))
     val budget = element_at(
       map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
       col("_bs_key"))
@@ -159,6 +148,10 @@ object Sampling {
       .select(col(idCol).as("_bs_id"), col(keyCol).as("_bs_key"),
         col(weightCol).cast("long").as("_bs_w"))
       .where(col("_bs_key").isin(budgets.keys.toSeq: _*))
+      // null ids sort FIRST on a null rank: they would eat the head of
+      // the key's budget in the cumsum while the id-equality rejoin
+      // can never resurrect them — filter them out of the window
+      .where(col("_bs_id").isNotNull)
       .withColumn("_bs_rank", rank)
       .withColumn("_bs_before", coalesce(sum(col("_bs_w")).over(w), lit(0L)))
       .where(col("_bs_before") < budget)
@@ -178,6 +171,26 @@ object Sampling {
     * CurationTransformer replayable split bucket and
     * [[UrlCuration.capPerDomain]] — three copies could silently
     * desynchronize their oracle replays. */
+  /** The replayable per-id rank, dispatched on the id column's type
+    * (ONE spelling for [[budgetSample]] and [[temperatureSample]]):
+    * numeric ids take the multiplicative hash, string ids the md5 hex
+    * digest of their UTF-8 bytes (r19) — BOTH oracle-replayable: every
+    * ANSI engine computes the identical lowercase-hex md5 and [0-9a-f]
+    * strings binary-order identically in Spark (UTF8String) and DuckDB
+    * (default collation); the former xxhash64 string fallback was
+    * deterministic but nothing outside Spark could replay it. Other id
+    * types (date, timestamp, …) keep the xxhash64 fallback — they
+    * cannot cast to binary, so the md5 spelling would fail ANALYSIS on
+    * columns the r18 signature accepted; such ids stay deterministic
+    * but non-replayable (document the caveat when they feed an
+    * oracle). The window happily orders any of the three rank types. */
+  private[graft] def rankFor(dt: org.apache.spark.sql.types.DataType, id: Column): Column =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => replayableRank32(id)
+      case org.apache.spark.sql.types.StringType => md5(id.cast("binary"))
+      case _ => xxhash64(id)
+    }
+
   private[graft] def replayableRank32(c: Column): Column = {
     val m = pmod(c.cast("long"), lit(4294967296L))
     val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
@@ -354,13 +367,14 @@ object Sampling {
     val target = element_at(
       map(sorted.flatMap { case (k, _) => Seq(lit(k), lit(bumped(k))) }: _*),
       col("_ts_k"))
-    val rank = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => replayableRank32(col("_ts_id"))
-      case _ => md5(col("_ts_id").cast("binary"))
-    }
+    val rank = rankFor(df.schema(idCol).dataType, col("_ts_id"))
     val w = Window.partitionBy(col("_ts_k")).orderBy(col("_ts_rank"), col("_ts_id"))
+    // null ids must not enter the window: a null rank sorts FIRST and
+    // would consume the key's leading quota slots while the id-equality
+    // rejoin can never match them — target-m docs returned, silently
     val kept = df
       .select(col(idCol).as("_ts_id"), col(keyCol).cast("string").as("_ts_k"))
+      .where(col("_ts_id").isNotNull)
       .withColumn("_ts_rank", rank)
       .withColumn("_ts_rn", row_number().over(w))
       .where(col("_ts_rn") <= target)

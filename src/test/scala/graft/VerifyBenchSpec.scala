@@ -185,7 +185,7 @@ class VerifyBenchSpec extends SparkSpec {
     // "regressed" last round (original prior 1.0, now ~3.0) and this
     // round's refreshed prior median is already 3.0: ratio 1.0, unflagged
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, newPending, flagged) = Bench.attributedRegressionsJson(
+    val (json, newPending, _, flagged) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 3.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 1.0))
@@ -205,7 +205,7 @@ class VerifyBenchSpec extends SparkSpec {
     // sweep claims 50x on q1_agg; the isolated re-run (a real ~1 s
     // query) lands back near prior / inside the wide band -> cleared
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), pendingPrior = Map("q1_agg" -> 1.0))
     assert(json.contains(""""verdict":"noise"""), s"expected a noise verdict: $json")
@@ -223,7 +223,7 @@ class VerifyBenchSpec extends SparkSpec {
       "q_fast" -> Right(0.5),    // 2x faster — also flagged (lost work?)
       "q_steady" -> Right(1.4),  // 1.4x — legitimate noise, unflagged
       "q_tiny" -> Right(0.4))    // 2x move but sub-floor both sides — never flagged
-    val (json, _, flagged) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q_drift" -> 1.0, "q_fast" -> 1.0, "q_steady" -> 1.0, "q_tiny" -> 0.2),
       floor = 0.5, attribute = false, isolatedRuns = 1)
@@ -249,7 +249,7 @@ class VerifyBenchSpec extends SparkSpec {
       h2 = Map("q_creep" -> 1.0, "q_flat" -> 1.0),
       h3 = Map("q_creep" -> 1.2))
     assert(hist("q_creep") == 1.0 && hist("q_flat") == 1.0 && hist("q_jump") == 1.0)
-    val (json, _, flagged) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results, prior, floor = 0.5,
       attribute = false, isolatedRuns = 1, histMin = hist)
     assert(flagged === Set("q_creep", "q_jump"),
@@ -268,18 +268,54 @@ class VerifyBenchSpec extends SparkSpec {
     // the drift: a band covering the regressed value must NOT rescue it
     // — expect suspect (first sighting), never noise_band
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, pendHist, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 40.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))),
       histMin = Map("q1_agg" -> 0.001))
     assert(json.contains(""""source":"hist_window""""), json)
     assert(!json.contains("noise_band"), s"band must be ignored for hist flags: $json")
-    // isolated ~1 s vs hist floor 0.001 stays >1.5x -> suspect, pending
-    // carries the HIST floor so next round's two-round confirm fires
+    // isolated ~1 s vs hist floor 0.001 stays >1.5x -> suspect; the
+    // HIST pending set carries the floor so next round's band-exempt
+    // recheck can confirm (sweep pending stays empty)
     assert(json.contains(""""verdict":"suspect""""), json)
-    assert(pend === Map("q1_agg" -> 0.001), pend.toString)
+    assert(pend.isEmpty && pendHist === Map("q1_agg" -> 0.001), s"$pend / $pendHist")
     // the carry: this round's medians become next round's h2, prior h2 -> h3
     assert(Bench.mapJson(Map("q_b" -> 1.0, "q_a" -> 2.5)) == """{"q_a":2.500,"q_b":1.000}""")
+  }
+
+  test("hist-origin pending rechecks stay band-exempt, so a compound drift CAN confirm real") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // review finding r19: a hist suspect's recheck used to run as a
+    // band-consulting pending_recheck — band_hi had self-extended
+    // through the unflagged creep, so the confirmation round stamped
+    // noise_band and cleared the pending; the drift could NEVER
+    // confirm. Hist pendings now carry separately and their recheck
+    // ignores the band: same crept band, real isolated ~1 s vs the
+    // 0.001 hist floor -> "real".
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(1.0))
+    val (json, pend, pendHist, flagged) = Bench.attributedRegressionsJson(
+      spark, dir, results,
+      prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
+      band = Map("q1_agg" -> ((0.000001, 1000.0))), // absorbed the creep
+      pendingHistPrior = Map("q1_agg" -> 0.001))
+    assert(json.contains(""""source":"pending_recheck_hist""""), json)
+    assert(json.contains(""""verdict":"real""""),
+      s"band-exempt confirm must fire despite the self-extended band: $json")
+    assert(pend.isEmpty && pendHist.isEmpty, "confirmed real is reported and retired")
+    assert(flagged === Set("q1_agg"), "rechecked names stay band-excluded")
+    // and a hist suspect lands in the HIST pending set, not the sweep one
+    val (_, pend2, pendHist2, _) = Bench.attributedRegressionsJson(
+      spark, dir, results,
+      prior = Map("q1_agg" -> 0.9), floor = 0.1, attribute = true, isolatedRuns = 1,
+      histMin = Map("q1_agg" -> 0.001))
+    assert(pend2.isEmpty && pendHist2 === Map("q1_agg" -> 0.001), s"$pend2 / $pendHist2")
+    // attribute=false passes BOTH pending sets through unchanged
+    val (_, p3, ph3, _) = Bench.attributedRegressionsJson(
+      spark, "/nonexistent", results,
+      prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = false, isolatedRuns = 1,
+      pendingPrior = Map("q_a" -> 1.0), pendingHistPrior = Map("q_b" -> 2.0))
+    assert(p3 === Map("q_a" -> 1.0) && ph3 === Map("q_b" -> 2.0))
   }
 
   test("parsePriorSection extracts the right section of a prior bench line") {
