@@ -156,8 +156,17 @@ object Bench {
       histMin: Map[String, Double] = Map.empty,
       pendingHistPrior: Map[String, Double] = Map.empty)
       : (String, Map[String, Double], Map[String, Double], Set[String]) = {
+    // pending names take PRECEDENCE over the sweep flag (review
+    // finding r19b): a pending that also trips the sweep used to ride
+    // the sweep entry — verdicted against the REFRESHED (already
+    // crept) prior with the band consulted — so one contention spike
+    // in the confirmation round retired the suspect on a noise verdict
+    // and its carried floor was lost. The recheck, with its original
+    // prior and origin-correct band policy, is the entry that matters.
+    val allPendingNames = pendingPrior.keySet ++ pendingHistPrior.keySet
     val regs = results.collect {
       case (name, Right(now)) if prior.contains(name)
+        && !allPendingNames.contains(name)
         && math.max(now, prior(name)) >= floor =>
         (name, prior(name), now, now / math.max(prior(name), 1e-9))
     }.filter { case (_, _, _, ratio) => ratio > 1.5 || ratio < 1.0 / 1.5 }
@@ -168,14 +177,19 @@ object Bench {
     // in_sweep value is this round's sweep median (not >3×-flagged).
     // The floor test mirrors the sweep flag's max(now, prior) — a
     // sub-floor ORIGINAL prior that regressed past the floor must not
-    // silently drop its suspect from the recheck.
+    // silently drop its suspect from the recheck. A pending whose
+    // query did NOT measure this round (failed / deselected) has
+    // nothing to recheck and carries forward unresolved below — the
+    // getOrElse fallback must not let max(floor-sized prior, itself)
+    // quietly delete it (review finding r19b).
     def checksOf(m: Map[String, Double], skip: Set[String]) =
       m.toSeq.flatMap { case (n, origPrior) =>
-        val now = results.collectFirst { case (`n`, Right(t)) => t }.getOrElse(origPrior)
-        if (!flaggedNames.contains(n) && !skip.contains(n) &&
-            SparkEntry.queries.contains(n) && math.max(now, origPrior) >= floor)
-          Some((n, origPrior, now, now / math.max(origPrior, 1e-9)))
-        else None
+        results.collectFirst { case (`n`, Right(t)) => t } match {
+          case Some(now) if !skip.contains(n) && SparkEntry.queries.contains(n) &&
+              math.max(now, origPrior) >= floor =>
+            Some((n, origPrior, now, now / math.max(origPrior, 1e-9)))
+          case _ => None
+        }
       }
     val pendingChecks = checksOf(pendingPrior, Set.empty)
     // a name somehow in both pending sets rechecks once, sweep-origin
@@ -238,6 +252,21 @@ object Bench {
           }
         }
     }
+    // a pending whose query never measured this round (failed sweep
+    // entry / deselected run) was not rechecked — carry it forward
+    // unresolved; only an isolated measurement may clear a suspect.
+    // Unregistered names (renamed/deleted queries) do drop: nothing
+    // could ever recheck them.
+    def carryUnmeasured(m: Map[String, Double],
+                        into: collection.mutable.Map[String, Double]): Unit =
+      m.foreach { case (n, p) =>
+        val measured = results.exists { case (`n`, Right(_)) => true; case _ => false }
+        if (!measured && SparkEntry.queries.contains(n) && !into.contains(n)) into(n) = p
+      }
+    carryUnmeasured(pendingPrior, newPending)
+    // overlap carries sweep-side only (mirrors the recheck dedupe)
+    carryUnmeasured(pendingHistPrior.view.filterKeys(!pendingPrior.contains(_)).toMap,
+      newPendingHist)
     // a pure-sweep run (attribute=false) must not LOSE the pending sets
     // — it took a confirmed isolated measurement to create them, and
     // only another one may clear them

@@ -160,37 +160,39 @@ object Sampling {
       col(idCol) === col("_bs_id") && col(keyCol) === col("_bs_key"), "left_semi")
   }
 
+  /** The replayable per-id rank, dispatched on the id column's type
+    * (ONE spelling for [[budgetSample]] and [[temperatureSample]]):
+    * numeric ids take the multiplicative hash, string/binary ids the
+    * md5 hex digest of their bytes (r19) — all oracle-replayable:
+    * every ANSI engine computes the identical lowercase-hex md5 and
+    * [0-9a-f] strings binary-order identically in Spark (UTF8String)
+    * and DuckDB (default collation); the former xxhash64 string
+    * fallback was deterministic but nothing outside Spark could
+    * replay it. Remaining id types (date, timestamp, …) keep the
+    * xxhash64 fallback — they cannot cast to binary, so the md5
+    * spelling would fail ANALYSIS on columns the r18 signature
+    * accepted; such ids stay deterministic but non-replayable
+    * (document the caveat when they feed an oracle). The window
+    * happily orders any of the three rank types. */
+  private[graft] def rankFor(dt: org.apache.spark.sql.types.DataType, id: Column): Column =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => replayableRank32(id)
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => md5(id.cast("binary"))
+      case _ => xxhash64(id)
+    }
+
   /** The oracle-replayable 32-bit multiplicative rank —
     * (id·2654435761) mod 2^32 — in overflow-safe split arithmetic:
     * ids above ~3.46e9 overflow the direct Long product, an
     * ArithmeticException under ANSI mode (Spark 4's default). Every
     * intermediate stays under 2^49 and the result is bit-identical to
     * the wrapped product, so ANSI-SQL replays keep the plain-product
-    * spelling. Numeric inputs only (callers dispatch string ids to
-    * xxhash64). ONE spelling shared by [[budgetSample]], the
+    * spelling. Numeric inputs only ([[rankFor]] dispatches other id
+    * types). ONE spelling shared by [[budgetSample]], the
     * CurationTransformer replayable split bucket and
     * [[UrlCuration.capPerDomain]] — three copies could silently
     * desynchronize their oracle replays. */
-  /** The replayable per-id rank, dispatched on the id column's type
-    * (ONE spelling for [[budgetSample]] and [[temperatureSample]]):
-    * numeric ids take the multiplicative hash, string ids the md5 hex
-    * digest of their UTF-8 bytes (r19) — BOTH oracle-replayable: every
-    * ANSI engine computes the identical lowercase-hex md5 and [0-9a-f]
-    * strings binary-order identically in Spark (UTF8String) and DuckDB
-    * (default collation); the former xxhash64 string fallback was
-    * deterministic but nothing outside Spark could replay it. Other id
-    * types (date, timestamp, …) keep the xxhash64 fallback — they
-    * cannot cast to binary, so the md5 spelling would fail ANALYSIS on
-    * columns the r18 signature accepted; such ids stay deterministic
-    * but non-replayable (document the caveat when they feed an
-    * oracle). The window happily orders any of the three rank types. */
-  private[graft] def rankFor(dt: org.apache.spark.sql.types.DataType, id: Column): Column =
-    dt match {
-      case _: org.apache.spark.sql.types.NumericType => replayableRank32(id)
-      case org.apache.spark.sql.types.StringType => md5(id.cast("binary"))
-      case _ => xxhash64(id)
-    }
-
   private[graft] def replayableRank32(c: Column): Column = {
     val m = pmod(c.cast("long"), lit(4294967296L))
     val hiPart = pmod(shiftright(m, 16) * 2654435761L, lit(4294967296L)) * 65536L
@@ -341,9 +343,13 @@ object Sampling {
       s"temperatureSample: input must not carry _ts_* columns: ${df.columns.mkString(", ")}")
     if (totalBudget == 0) return df.where(lit(false))
     // keys compared by their STRING form (the target map's key type);
-    // null keys have no source to apportion to and are dropped; the
-    // per-key count rows are the only driver collect
-    val counts = df.where(col(keyCol).isNotNull)
+    // null keys have no source to apportion to and are dropped, and
+    // null-ID rows are excluded HERE too — they are unselectable (the
+    // rejoin can never match them), so counting them would over-weight
+    // null-heavy keys and leave their stolen quota silently unfilled,
+    // and the saturation cap would trust a size the key can't deliver.
+    // The per-key count rows are the only driver collect.
+    val counts = df.where(col(keyCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("_ts_k"))
       .agg(count(lit(1)).as("_ts_n"))
       .limit(maxDriverKeys + 1)

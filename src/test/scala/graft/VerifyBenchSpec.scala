@@ -318,6 +318,44 @@ class VerifyBenchSpec extends SparkSpec {
     assert(p3 === Map("q_a" -> 1.0) && ph3 === Map("q_b" -> 2.0))
   }
 
+  test("a pending name that also trips the sweep rechecks as pending, keeping origin and floor") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // review finding r19b: the sweep entry used to swallow the recheck
+    // — verdicted against the refreshed (crept) prior WITH the band,
+    // so a contention spike in the confirmation round retired the
+    // suspect on noise_band and lost the carried floor forever
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
+    val (json, pend, pendHist, _) = Bench.attributedRegressionsJson(
+      spark, dir, results,
+      prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
+      band = Map("q1_agg" -> ((0.000001, 1000.0))),
+      pendingHistPrior = Map("q1_agg" -> 0.001))
+    assert(json.split("\"query\":\"q1_agg\"").length == 2,
+      s"exactly one entry for a pending+sweep name: $json")
+    assert(json.contains(""""source":"pending_recheck_hist"""") &&
+      json.contains(""""prior":0.001"""), json)
+    assert(json.contains(""""verdict":"real""""), s"band-exempt confirm: $json")
+    assert(pend.isEmpty && pendHist.isEmpty)
+  }
+
+  test("a pending whose query never measured this round carries forward unresolved") {
+    // review finding r19b: a failed/deselected query's pending used to
+    // fall into max(origPrior, origPrior) >= floor with the getOrElse
+    // fallback — a sub-floor HIST floor silently deleted the suspect
+    // without the second isolated measurement the contract requires
+    val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Left("boom"))
+    val (json, pend, pendHist, _) = Bench.attributedRegressionsJson(
+      spark, "/nonexistent", results,
+      prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
+      pendingPrior = Map("q1_agg" -> 0.05),
+      pendingHistPrior = Map("q_gone_forever" -> 0.02))
+    assert(pend === Map("q1_agg" -> 0.05), s"unmeasured pending must survive: $pend")
+    // unregistered names DO drop - nothing could ever recheck them
+    assert(pendHist.isEmpty, pendHist.toString)
+    assert(!json.contains("q1_agg"), s"no recheck entry without a measurement: $json")
+  }
+
   test("parsePriorSection extracts the right section of a prior bench line") {
     val line = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},""" +
       """"queries_sf1":{"q_a":12.5,"q_c":3.0},"value":1.75}"""

@@ -424,6 +424,35 @@ class DynamoSpec extends AnyFunSuite {
       s"pagination must not drop/repeat: got ${wide.size}, want ${expectWide.size}")
   }
 
+  test("journal window: a failed registration retries on the next append - events never go invisible") {
+    import graft.pipeline.TaskEvent
+    // review finding r19: a CAS-before-put spelling marked a FAILED
+    // registry write done; every retried event then landed under a
+    // writer no window read could find. The flag must flip only after
+    // the put succeeds.
+    val fake = new FakeDynamo()
+    var failPuts = 0
+    val flaky = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        if (failPuts > 0 && body.contains("__writers__")) {
+          failPuts -= 1; (500, """{"__type":"InternalServerError"}""")
+        } else fake.post(url, body, headers)
+      override def get(url: String, headers: Map[String, String]) = fake.get(url, headers)
+    }
+    val c = new DynamoDbClient("https://dynamodb.eu-west-1.amazonaws.com", "eu-west-1",
+      "AK", "SK", flaky)
+    val other = new JournalDynamo(c) // registers a DIFFERENT writer so the
+    other.append(TaskEvent("p", "other", "t", None, "succeeded", 0L, "", 50L))
+    val j = new JournalDynamo(c)     // legacy full-reload fallback can't mask the bug
+    failPuts = 1
+    intercept[Exception](
+      j.append(TaskEvent("p", "j1", "t", None, "succeeded", 1L, "", 100L)))
+    // the retry must re-attempt registration, then write the event
+    j.append(TaskEvent("p", "j1", "t", None, "succeeded", 1L, "", 100L))
+    val win = new JournalDynamo(c).entries(60L, 150L)
+    assert(win.map(_.job) == Seq("j1"), s"retried event must be window-visible: $win")
+  }
+
   test("journal window: pre-registry (legacy) history stays visible; migration completes mixed tables") {
     import graft.pipeline.TaskEvent
     val fake = new FakeDynamo()

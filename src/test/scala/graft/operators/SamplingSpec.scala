@@ -343,6 +343,43 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureSample(docs, "src", "id", 0.5, 0L).count() == 0)
   }
 
+  test("null ids never consume quota; exotic id types rank deterministically") {
+    // review findings r19: a null rank sorts FIRST in the selection
+    // window — null-id rows used to eat the head of a key's quota and
+    // then vanish at the id-equality rejoin (target-m docs returned,
+    // silently); and temperatureSample's per-key counts must count
+    // SELECTABLE rows only, or a null-heavy key steals budget it can
+    // never fill.
+    val docs = ((0L until 50L).map(i => (java.lang.Long.valueOf(i), "a")) ++
+      (0L until 50L).map(_ => (null.asInstanceOf[java.lang.Long], "a")) ++
+      (50L until 100L).map(i => (java.lang.Long.valueOf(i), "b")))
+      .toDF("id", "src")
+    // budgetSample: key a's budget of 30 units (weight 1/doc) must
+    // return 30 REAL docs, not 30-minus-nulls
+    val bs = Sampling.budgetSample(docs.withColumn("w", lit(1L)), "src", "id", "w",
+      Map("a" -> 30L))
+    assert(bs.count() == 30 && bs.where(col("id").isNull).count() == 0, bs.count().toString)
+    // temperatureSample at alpha=1, budget 50: selectable sizes are
+    // 50/50 -> 25 docs each; counting a's nulls would have skewed the
+    // apportionment 2:1 and returned only ~8 docs short for a
+    val ts = Sampling.temperatureSample(docs, "src", "id", 1.0, 50L)
+    val byKey = ts.groupBy("src").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 25L, "b" -> 25L), byKey.toString)
+    // date ids: the r18 signature accepted any type — the md5 branch
+    // must not break analysis for uncastable-to-binary ids (xxhash64
+    // fallback, deterministic but non-replayable by contract)
+    val dated = (1 to 60).map(i => (java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"), s"s${i % 2}", i))
+      .toDF("id", "src", "n").withColumn("w", lit(1L))
+      .dropDuplicates("id", "src")
+    assert(Sampling.budgetSample(dated, "src", "id", "w", Map("s0" -> 5L)).count() == 5)
+    assert(Sampling.temperatureSample(dated, "src", "id", 1.0, 10L).count() == 10)
+    // binary ids take the replayable md5 arm (md5 accepts them as-is)
+    val bin = (0 until 40).map(i => (Array(i.toByte, 7.toByte), "k"))
+      .toDF("id", "src").withColumn("w", lit(1L))
+    assert(Sampling.budgetSample(bin, "src", "id", "w", Map("k" -> 10L)).count() == 10)
+  }
+
   test("L68 budgetSample: string ids rank by md5 hex - oracle-replayable order") {
     val docs = (0L until 90L).map { i =>
       (s"doc-$i", s"s${i % 3}", 10L, s"payload-$i")
