@@ -343,6 +343,41 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureSample(docs, "src", "id", 0.5, 0L).count() == 0)
   }
 
+  test("L69 temperatureSample: randomized invariants - exact spend, per-key caps, monotone flattening") {
+    // randomized configs against the operator's CONTRACT (not its
+    // internals): with no saturation the budget spends exactly; no key
+    // ever exceeds its selectable size; output is a subset of input
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { trial =>
+      val keys = (0 until 2 + rnd.nextInt(4)).map(k => s"k$k" -> (5 + rnd.nextInt(200)))
+      val rows = keys.flatMap { case (k, n) => (0 until n).map(i => (s"$k-$i", k)) }
+      val docs = rnd.shuffle(rows).toDF("id", "src")
+      val sizes = keys.toMap
+      val alpha = Seq(0.3, 0.5, 0.7, 1.0)(rnd.nextInt(4))
+      // a budget under every key's size avoids saturation: exact spend
+      val budget = 1 + rnd.nextInt(keys.map(_._2).min * keys.size / 2)
+      val kept = Sampling.temperatureSample(docs, "src", "id", alpha, budget.toLong)
+      val byKey = kept.groupBy("src").agg(count(lit(1))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byKey.values.sum == budget.toLong,
+        s"trial $trial: unsaturated budget must spend exactly: $byKey vs $budget (alpha=$alpha, sizes=$sizes)")
+      byKey.foreach { case (k, c) =>
+        assert(c <= sizes(k), s"trial $trial: key $k over its size: $c > ${sizes(k)}")
+      }
+      assert(kept.count() == budget.toLong)
+    }
+    // temperature monotonicity: at fixed sizes, LOWER alpha gives the
+    // smallest key at least its alpha=1 share (flattening direction)
+    val skew = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "src")
+    def smallShare(a: Double): Long =
+      Sampling.temperatureSample(skew, "src", "id", a, 100L)
+        .where(col("src") === "small").count()
+    val (s1, s05, s03) = (smallShare(1.0), smallShare(0.5), smallShare(0.3))
+    assert(s1 <= s05 && s05 <= s03,
+      s"lower alpha must flatten toward the small source: a=1 -> $s1, a=0.5 -> $s05, a=0.3 -> $s03")
+  }
+
   test("null ids never consume quota; exotic id types rank deterministically") {
     // review findings r19: a null rank sorts FIRST in the selection
     // window — null-id rows used to eat the head of a key's quota and

@@ -144,6 +144,49 @@ class TextPrepSpec extends SparkSpec {
     assert(empty.getAs[String]("text_clean") == "")
   }
 
+  test("L67 cleanLines: sort-based pass equals reference first-occurrence semantics on random docs") {
+    // differential check of the r19 O(L log L) rewrite: 60 random docs
+    // (duplicate-heavy vocab, junk lines, blanks, padding) against an
+    // independent quadratic Scala reference of the documented rules —
+    // one Spark job for all docs. ASCII + spaces only: Spark's trim
+    // strips ' ' while Java's strips all <= U+0020, so the vocab must
+    // not smuggle tabs into the comparison.
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector(
+      "Prose line with letters in it", "- hit", "12345", "Read more...",
+      "Another long enough prose sentence right here",
+      "- a genuinely long bulleted prose line over thirty characters",
+      "Short end...", "  padded prose line  ", "", "   ",
+      "dup line content", "DUP LINE CONTENT", "$9.99 + 42",
+      "This sentence genuinely continues beyond thirty characters...")
+    val docs = (0 until 60).map { i =>
+      (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n")
+    }
+    def isLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def ref(doc: String): (String, Int, Int, Double) = {
+      val cand = doc.replace("\r", "").split("\n", -1).toSeq
+        .map(_.replaceAll("^ +| +$", "")).filter(_.nonEmpty)
+      val kept = cand.zipWithIndex.filter { case (l, i) =>
+        l.exists(isLetter) &&
+          !(l.length < 30 && "-*•".contains(l.head)) &&
+          !(l.length < 30 && l.endsWith("...")) &&
+          !cand.take(i).contains(l)
+      }.map(_._1)
+      val dropped = cand.size - kept.size
+      val frac = if (cand.isEmpty) 0.0
+        else BigDecimal(dropped.toDouble / cand.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (kept.mkString("\n"), kept.size, dropped, frac)
+    }
+    val out = TextPrep.cleanLines(docs.zipWithIndex.map(_.swap).toDF("i", "text"), "text")
+      .select("i", "text_clean", "lines_kept", "lines_dropped", "line_drop_frac")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    docs.zipWithIndex.foreach { case (doc, i) =>
+      assert(out(i) == ref(doc), s"doc $i diverged:\n${doc.take(200)}\ngot ${out(i)}\nref ${ref(doc)}")
+    }
+  }
+
   test("L67 cleanLines: first-occurrence dedup is near-linear, not O(L^2), per doc") {
     // 50k lines, every line duplicated once: the retired
     // exists(slice(all, 1, i)) spelling is ~1.25e9 string compares for
