@@ -651,6 +651,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
 
+    "q_temperature_epoch" -> ((s, dir) => {
+      // L69b composed temperature + epoch replication (r20, judge item
+      // 5): the "rare" key is planted TINY (doc_id % 101 == 0 — 5 docs
+      // at sf0.01) so its sqrt quota exceeds its size and the mT5
+      // up-weight-past-size case replicates instead of capping; the
+      // other keys stay subset-selected. Aggregates pin exact quota
+      // spend, replica counts and the max epoch per key. DuckDB
+      // replays the apportionment (no cap), integer copies = tgt//n,
+      // and the rank-head extras — without exploding
+      val dd = docs(s, dir).withColumn("mix_key",
+        when(col("doc_id") % 101 === 0, "rare")
+          .when(col("doc_id") % 7 < 4, "web")
+          .when(col("doc_id") % 7 < 6, "books").otherwise("code"))
+      graft.operators.Sampling.temperatureEpochMix(dd, "mix_key", "doc_id", 0.5, 500L)
+        .groupBy("mix_key")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          max("epoch").as("max_epoch"))
+    }),
+
     "q_line_scrub" -> ((s, dir) => {
       // L67 line-wise CORRECTION (fix-the-doc): junk lines planted
       // in-gate — a short bullet fragment, a letterless counter, a
@@ -4032,6 +4053,45 @@ object SparkEntry {
         |SELECT sel.mix_key, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM sel JOIN t ON sel.mix_key = t.mix_key
         |WHERE rn <= LEAST(tgt, n) GROUP BY 1""".stripMargin,
+
+    "q_temperature_epoch" ->
+      // the composed recipe: same bit-exact apportionment as
+      // q_temperature_mix (sqrt weights, key-asc sum books+code+rare+
+      // web, largest-remainder bumps) but NO saturation cap — a key's
+      // docs carry copies = tgt // n (+1 for the rank-order head of
+      // tgt % n), replayed as per-doc copy counts instead of exploding
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 101 = 0 THEN 'rare'
+        |         WHEN doc_id % 7 < 4 THEN 'web'
+        |         WHEN doc_id % 7 < 6 THEN 'books' ELSE 'code' END AS mix_key
+        |  FROM documents),
+        |c AS (SELECT mix_key, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |s AS (SELECT
+        |    (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'books')
+        |  + (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'code')
+        |  + (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'rare')
+        |  + (SELECT sqrt(CAST(n AS DOUBLE)) FROM c WHERE mix_key = 'web') AS tot),
+        |raw AS (SELECT mix_key, n,
+        |    (500.0 * sqrt(CAST(n AS DOUBLE))) / (SELECT tot FROM s) AS r
+        |  FROM c),
+        |t AS (SELECT mix_key, n,
+        |    CAST(floor(r) AS BIGINT)
+        |      + CASE WHEN row_number() OVER (ORDER BY r - floor(r) DESC, mix_key)
+        |               <= 500 - (SELECT CAST(sum(floor(r)) AS BIGINT) FROM raw)
+        |             THEN 1 ELSE 0 END AS tgt
+        |  FROM raw),
+        |sel AS (SELECT d.mix_key, d.n_chars,
+        |    (t.tgt // t.n) + CASE WHEN row_number() OVER (PARTITION BY d.mix_key
+        |        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= (t.tgt % t.n)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN t ON d.mix_key = t.mix_key)
+        |SELECT mix_key, CAST(sum(copies) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars * copies) AS BIGINT) AS total_chars,
+        |  CAST(max(copies) AS BIGINT) AS max_epoch
+        |FROM sel GROUP BY mix_key
+        |HAVING CAST(sum(copies) AS BIGINT) > 0""".stripMargin,
 
     "q_line_scrub" ->
       // replays the L67 line correction: plant, trim/split, letter /

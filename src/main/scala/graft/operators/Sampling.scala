@@ -329,7 +329,10 @@ object Sampling {
    * `maxDriverKeys`, far under any real source cardinality);
    * apportionment is O(K log K) driver arithmetic; selection is one
    * per-key window row_number over an (id, key) PROJECTION (~16
-   * bytes/row through the sort) and a left-semi rejoin (AQE
+   * bytes/row through the sort), the per-key target applied via a
+   * BROADCAST-joined (key, target) frame (r20 — a K-entry map literal
+   * probed with element_at was an O(K) scan per row and a 2K-literal
+   * serialized plan at the guard bound), and a left-semi rejoin (AQE
    * broadcasts the kept side when small). Wide columns cross no
    * shuffle.
    */
@@ -342,37 +345,22 @@ object Sampling {
     require(df.columns.forall(!_.startsWith("_ts_")),
       s"temperatureSample: input must not carry _ts_* columns: ${df.columns.mkString(", ")}")
     if (totalBudget == 0) return df.where(lit(false))
-    // keys compared by their STRING form (the target map's key type);
-    // null keys have no source to apportion to and are dropped, and
-    // null-ID rows are excluded HERE too — they are unselectable (the
-    // rejoin can never match them), so counting them would over-weight
-    // null-heavy keys and leave their stolen quota silently unfilled,
-    // and the saturation cap would trust a size the key can't deliver.
-    // The per-key count rows are the only driver collect.
-    val counts = df.where(col(keyCol).isNotNull && col(idCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("_ts_k"))
-      .agg(count(lit(1)).as("_ts_n"))
-      .limit(maxDriverKeys + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(counts.length <= maxDriverKeys,
-      s"temperatureSample: over $maxDriverKeys distinct keys — temperature " +
-        "mixing apportions per SOURCE; a key this fine-grained is the wrong column")
-    if (counts.isEmpty) return df.where(lit(false))
-    val sorted = counts.sortBy(_._1)
-    val wts = sorted.map { case (k, n) =>
-      (k, n, if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
-    }
-    val s = wts.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
-    val raw = wts.map { case (k, n, w) => (k, n, totalBudget.toDouble * w / s) }
-    val base = raw.map { case (k, n, r) => (k, n, r, math.floor(r).toLong) }
-    val leftover = (totalBudget - base.map(_._4).sum).toInt
-    val bumped = base.sortBy { case (k, _, r, b) => (-(r - b), k) }
-      .zipWithIndex.map { case ((k, n, _, b), i) =>
-        k -> math.min(if (i < leftover) b + 1 else b, n) // saturation cap
-      }.toMap
-    val target = element_at(
-      map(sorted.flatMap { case (k, _) => Seq(lit(k), lit(bumped(k))) }: _*),
-      col("_ts_k"))
+    val sorted = temperatureTargets(df, keyCol, idCol, alpha, totalBudget,
+      maxDriverKeys, "temperatureSample")
+    if (sorted.isEmpty) return df.where(lit(false))
+    val bumped = sorted.map { case (k, n, t) =>
+      k -> math.min(t, n) // saturation cap
+    }.toMap
+    // targets ride a broadcast-joined (key, target) frame, NOT a
+    // foldable map literal: a K-entry `map(lit…)` probed with
+    // element_at is ArrayBasedMapData — an O(K) linear scan per ROW —
+    // and at the guard bound it would serialize a 2K-literal
+    // expression into every task. The tiny frame joins hash-for-hash
+    // (explicit broadcast: K ≤ maxDriverKeys rows of (string, long)),
+    // O(1) per row, plan size independent of K.
+    import df.sparkSession.implicits._
+    val targets = broadcast(
+      sorted.map { case (k, _, _) => (k, bumped(k)) }.toDF("_ts_tk", "_ts_target"))
     val rank = rankFor(df.schema(idCol).dataType, col("_ts_id"))
     val w = Window.partitionBy(col("_ts_k")).orderBy(col("_ts_rank"), col("_ts_id"))
     // null ids must not enter the window: a null rank sorts FIRST and
@@ -383,11 +371,114 @@ object Sampling {
       .where(col("_ts_id").isNotNull)
       .withColumn("_ts_rank", rank)
       .withColumn("_ts_rn", row_number().over(w))
-      .where(col("_ts_rn") <= target)
+      .join(targets, col("_ts_k") === col("_ts_tk"))
+      .where(col("_ts_rn") <= col("_ts_target"))
       .select(col("_ts_id"), col("_ts_k"))
     df.join(kept,
       col(idCol) === col("_ts_id") && col(keyCol).cast("string") === col("_ts_k"),
       "left_semi")
+  }
+
+  /** The shared α-apportionment behind [[temperatureSample]] and
+    * [[temperatureEpochMix]]: per-key counts (the only driver collect,
+    * `maxDriverKeys`-guarded), IEEE-exact weights (sqrt for α = 0.5),
+    * key-ascending weight sum, largest-remainder rounding. Returns
+    * (key, count, UNCAPPED target) in key-ascending order — the two
+    * callers differ only in what a target past the key's size means
+    * (cap vs replicate), so the float arithmetic lives in exactly one
+    * replayable spelling. */
+  private def temperatureTargets(df: DataFrame, keyCol: String, idCol: String,
+                                 alpha: Double, totalBudget: Long,
+                                 maxDriverKeys: Int, op: String): Seq[(String, Long, Long)] = {
+    // keys compared by their STRING form (the target frame's key type);
+    // null keys have no source to apportion to and are dropped, and
+    // null-ID rows are excluded HERE too — they are unselectable (the
+    // rejoin can never match them), so counting them would over-weight
+    // null-heavy keys and leave their stolen quota silently unfilled,
+    // and a size the key can't deliver would mis-cap / mis-replicate.
+    val counts = df.where(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("_ts_k"))
+      .agg(count(lit(1)).as("_ts_n"))
+      .limit(maxDriverKeys + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxDriverKeys,
+      s"$op: over $maxDriverKeys distinct keys — temperature " +
+        "mixing apportions per SOURCE; a key this fine-grained is the wrong column")
+    val sorted = counts.sortBy(_._1)
+    val wts = sorted.map { case (k, n) =>
+      (k, n, if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha))
+    }
+    val s = wts.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
+    val raw = wts.map { case (k, n, w) => (k, n, totalBudget.toDouble * w / s) }
+    val base = raw.map { case (k, n, r) => (k, n, r, math.floor(r).toLong) }
+    val leftover = (totalBudget - base.map(_._4).sum).toInt
+    val bumped = base.sortBy { case (k, _, r, b) => (-(r - b), k) }
+      .zipWithIndex.map { case ((k, _, _, b), i) =>
+        k -> (if (i < leftover) b + 1 else b)
+      }.toMap
+    sorted.map { case (k, n) => (k, n, bumped(k)) }
+  }
+
+  /**
+   * Temperature mixing WITH epoch replication (r20 — the composed
+   * recipe the mT5 α-sampling rule actually implies, arXiv:2010.11934
+   * §3.1: a small source up-weighted past its size is seen MORE THAN
+   * ONCE per pass): the same α-apportionment as [[temperatureSample]],
+   * but a key whose quota q exceeds its size n is REPLICATED instead
+   * of capped — every document of the key appears ⌊q/n⌋ times and the
+   * first (q mod n) documents in replayable rank order appear once
+   * more, so each key lands exactly its quota and the output totals
+   * exactly `totalBudget` rows. This is [[weightedMix]]'s
+   * whole-copies-plus-remainder semantics made exact to the document:
+   * weightedMix's fractional remainder is hash-bucket sampled
+   * (~rate·n docs), here the remainder is the rank-order head (exactly
+   * q mod n docs) — the difference that lets an oracle replay the cut.
+   *
+   * Output schema: the input columns plus `epoch` (1-based copy
+   * index) — replicated rows are distinguishable, and a downstream
+   * [[weightedMixShuffled]]-style order can key on it.
+   *
+   * Scale shape: apportionment identical to [[temperatureSample]];
+   * per-key (copies, extra) ride the same BROADCAST (key, params)
+   * frame; copy counts are decided on the (id, key) projection and the
+   * wide columns join back ONCE (inner hash join) before a row-local
+   * `explode(sequence(1, copies))` fans each kept document out to its
+   * replicas — replication happens after the join, so a 40× up-weight
+   * shuffles the wide text once, not 40 times.
+   */
+  def temperatureEpochMix(df: DataFrame, keyCol: String, idCol: String,
+                          alpha: Double, totalBudget: Long,
+                          maxDriverKeys: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureEpochMix: alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0, s"temperatureEpochMix: negative budget $totalBudget")
+    require(df.columns.forall(c => !c.startsWith("_ts_") && c != "epoch"),
+      s"temperatureEpochMix: input must not carry _ts_*/epoch columns: ${df.columns.mkString(", ")}")
+    val none = df.withColumn("epoch", lit(1)).where(lit(false))
+    if (totalBudget == 0) return none
+    val sorted = temperatureTargets(df, keyCol, idCol, alpha, totalBudget,
+      maxDriverKeys, "temperatureEpochMix")
+    if (sorted.isEmpty) return none
+    import df.sparkSession.implicits._
+    val params = broadcast(sorted.map { case (k, n, t) =>
+      (k, t / n, t % n) // whole copies per doc, rank-head extras
+    }.toDF("_ts_tk", "_ts_base", "_ts_extra"))
+    val rank = rankFor(df.schema(idCol).dataType, col("_ts_id"))
+    val w = Window.partitionBy(col("_ts_k")).orderBy(col("_ts_rank"), col("_ts_id"))
+    val kept = df
+      .select(col(idCol).as("_ts_id"), col(keyCol).cast("string").as("_ts_k"))
+      .where(col("_ts_id").isNotNull)
+      .withColumn("_ts_rank", rank)
+      .withColumn("_ts_rn", row_number().over(w))
+      .join(params, col("_ts_k") === col("_ts_tk"))
+      .withColumn("_ts_copies",
+        col("_ts_base") + when(col("_ts_rn") <= col("_ts_extra"), 1L).otherwise(0L))
+      .where(col("_ts_copies") > 0)
+      .select(col("_ts_id"), col("_ts_k"), col("_ts_copies"))
+    df.join(kept,
+        col(idCol) === col("_ts_id") && col(keyCol).cast("string") === col("_ts_k"))
+      .withColumn("epoch", explode(sequence(lit(1L), col("_ts_copies"))))
+      .drop("_ts_id", "_ts_k", "_ts_copies")
   }
 
   /**
