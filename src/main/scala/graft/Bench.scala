@@ -144,14 +144,22 @@ object Bench {
     * (review finding, r19).
     *
     * Returns (entries JSON, new sweep-origin pending, new hist-origin
-    * pending, band-exclusion set, CONFIRMED levels). The confirmed map
-    * (r20, judge item 2 + ADVICE) carries each `real`-verdicted
-    * query's isolated level: the caller re-seeds that query's band to
-    * it (a retired improvement's stale band_hi must not hide a later
-    * regression back to the old cost) and lifts its queries_h2/h3
-    * history carry to it (histMin would otherwise keep the
-    * pre-change median for 2 more rounds and re-flag the accepted
-    * change, violating the retirement invariant).
+    * pending, band-exclusion set, CONFIRMED levels, ISOLATED levels).
+    * The confirmed map (r20, judge item 2 + ADVICE) carries each
+    * `real`-verdicted query's isolated level: the caller re-seeds that
+    * query's band to it (a retired improvement's stale band_hi must
+    * not hide a later regression back to the old cost) and lifts its
+    * queries_h2/h3 history carry to it (histMin would otherwise keep
+    * the pre-change median for 2 more rounds and re-flag the accepted
+    * change, violating the retirement invariant). The isolated map
+    * carries EVERY attributed entry's isolated measurement (all
+    * verdicts): the caller substitutes it into the emitted `queries`
+    * section, because that section feeds next round's prior and the
+    * h2/h3 rolling window — a contention round's 12× in-sweep median
+    * entering the history would re-enter the band max 1–2 rounds
+    * later (after the exclusion expires) and rubber-stamp a real
+    * regression `noise_band` (review finding r20); the in-sweep value
+    * stays visible in the regression entry itself.
     */
   private[graft] def attributedRegressionsJson(
       spark: SparkSession, dir: String,
@@ -162,7 +170,8 @@ object Bench {
       pendingPrior: Map[String, Double] = Map.empty,
       histMin: Map[String, Double] = Map.empty,
       pendingHistPrior: Map[String, Double] = Map.empty)
-      : (String, Map[String, Double], Map[String, Double], Set[String], Map[String, Double]) = {
+      : (String, Map[String, Double], Map[String, Double], Set[String],
+         Map[String, Double], Map[String, Double]) = {
     // pending names take PRECEDENCE over the sweep flag (review
     // finding r19b): a pending that also trips the sweep used to ride
     // the sweep entry — verdicted against the REFRESHED (already
@@ -224,6 +233,7 @@ object Bench {
     val newPending = collection.mutable.Map.empty[String, Double]
     val newPendingHist = collection.mutable.Map.empty[String, Double]
     val confirmed = collection.mutable.Map.empty[String, Double]
+    val isoLevels = collection.mutable.Map.empty[String, Double]
     val histSources = Set("hist_window", "pending_recheck_hist")
     val entries = (regs.map((_, "sweep")) ++ histRegs.map((_, "hist_window")) ++
         pendingChecks.map((_, "pending_recheck")) ++
@@ -236,6 +246,7 @@ object Bench {
           System.gc()
           timeQuery(spark, n, SparkEntry.queries(n), dir, isolatedRuns, pickMin = true) match {
             case Right(iso) =>
+              isoLevels(n) = iso
               val (ri, verdict) = regressionVerdict(p, iso,
                 if (histSources.contains(source)) None else band.get(n),
                 priorPending = pendingPrior.contains(n) || pendingHistPrior.contains(n))
@@ -287,7 +298,7 @@ object Bench {
       if (attribute) newPending.toMap else pendingPrior,
       if (attribute) newPendingHist.toMap else pendingHistPrior,
       flaggedNames ++ histRegs.map(_._1) ++ pendingNames,
-      confirmed.toMap)
+      confirmed.toMap, isoLevels.toMap)
   }
 
   /** Re-serialize a parsed medians section (the queries_h2/h3 history
@@ -476,8 +487,6 @@ object Bench {
       if (d > 0) cgByQuery(name) = d
       r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
-      .mkString("{", ",", "}")
     val total = results.values.collect { case Right(t) => t }.sum
     val nFailed = results.values.count(_.isLeft)
 
@@ -536,8 +545,6 @@ object Bench {
             val n1 = if (Sf1SingleRun(n)) 1 else 2
             n -> timeQuery(spark, n, fn, outDir, n1)
           }
-          val qs1 = sf1Results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
-            .mkString("{", ",", "}")
           // sf1 tripwire, self-attributing like the sf0.1 one: the
           // r15 round artifact's misleading entries were mostly sf1
           // in-sweep outliers (q_bm25_indexed 17.2 vs 6.9 isolated,
@@ -554,10 +561,11 @@ object Bench {
           val pendingHistSf1 = parsePriorSection(priorTxt, "pending_real_hist_sf1")
           val h2Sf1 = parsePriorSection(priorTxt, "queries_sf1_h2")
           val h3Sf1 = parsePriorSection(priorTxt, "queries_sf1_h3")
-          val (regs1, bandExclude1, confirmedSf1) =
-            if (priorSf1.isEmpty) ("", Set.empty[String], Map.empty[String, Double])
+          val (regs1, bandExclude1, confirmedSf1, isoSf1) =
+            if (priorSf1.isEmpty)
+              ("", Set.empty[String], Map.empty[String, Double], Map.empty[String, Double])
             else {
-              val (arr, newPending, newPendingHist, flagged, confirmed) =
+              val (arr, newPending, newPendingHist, flagged, confirmed, iso) =
                 attributedRegressionsJson(spark, outDir,
                   sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
                   band = bandSf1, pendingPrior = pendingSf1,
@@ -570,8 +578,17 @@ object Bench {
                 s""","pending_real_hist_sf1":${mapJson(newPendingHist)}""" +
                 s""","queries_sf1_h2":${mapJson(priorSf1 ++ confirmed)}""" +
                 s""","queries_sf1_h3":${mapJson(h2Sf1 ++ confirmed)}""",
-                flagged, confirmed)
+                flagged, confirmed, iso)
             }
+          // the emitted medians substitute each attributed query's
+          // ISOLATED measurement (review finding r20): this section is
+          // next round's prior and the h2/h3 rolling-window feed — a
+          // contention round's in-sweep outlier entering it would
+          // re-enter the band max once the exclusion expires
+          val qs1 = sf1Results.map { case (k, v) =>
+            val shown = isoSf1.get(k).map(x => Right(x): Either[String, Double]).getOrElse(v)
+            s"\"" + k + "\":" + jsonVal(shown)
+          }.mkString("{", ",", "}")
           val (bLo1, bHi1) = bandJson(mergedBands(sf1Results, loSf1, hiSf1,
             Seq(priorSf1, h2Sf1, h3Sf1), bandExclude1, confirmedSf1))
           s""","sf1_dir":"$outDir","sf1_gen_sec":$genSec,"queries_sf1":$qs1$regs1,"band_lo_sf1":$bLo1,"band_hi_sf1":$bHi1"""
@@ -705,7 +722,7 @@ object Bench {
     // in the JSON itself. SPARK_GRAFT_BENCH_ATTRIBUTE=0 skips
     // (pure-sweep mode for timing experiments). Sub-100ms medians are
     // fixed-overhead noise at sf0.1; a 3× swing there is not signal.
-    val regressionsJson: String = {
+    val (regressionsJson, isoSubst): (String, Map[String, Double]) = {
       val prior = parsePriorSection(priorTxt, "queries")
       val lo = parsePriorSection(priorTxt, "band_lo")
       val hi = parsePriorSection(priorTxt, "band_hi")
@@ -719,9 +736,9 @@ object Bench {
       val h3 = parsePriorSection(priorTxt, "queries_h3")
       if (prior.isEmpty) {
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, Seq(prior)))
-        s""","band_lo":$bLo,"band_hi":$bHi"""
+        (s""","band_lo":$bLo,"band_hi":$bHi""", Map.empty[String, Double])
       } else {
-        val (arr, newPending, newPendingHist, flagged, confirmed) =
+        val (arr, newPending, newPendingHist, flagged, confirmed, iso) =
           attributedRegressionsJson(spark, sfDir,
             results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
             band = band, pendingPrior = pending, histMin = histMinOf(prior, h2, h3),
@@ -730,12 +747,24 @@ object Bench {
           Seq(prior, h2, h3), flagged, confirmed))
         // confirmed reals lift the h2/h3 carry (ADVICE r19) so histMin
         // cannot re-flag a retired change with the pre-change median
-        s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
+        (s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
           s""","pending_real_hist":${mapJson(newPendingHist)}""" +
           s""","band_lo":$bLo,"band_hi":$bHi""" +
-          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}"""
+          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}""",
+          iso)
       }
     }
+    // the emitted medians substitute each attributed query's ISOLATED
+    // measurement (review finding r20): `queries` is next round's
+    // prior and the h2/h3 rolling-window feed — a contention round's
+    // 12x in-sweep outlier entering it would re-enter the band max
+    // once the one-round exclusion expires and rubber-stamp a later
+    // real regression "noise_band". The in-sweep value stays visible
+    // in the regression entry; `value` (total) remains the sweep sum.
+    val qs = results.map { case (k, v) =>
+      val shown = isoSubst.get(k).map(x => Right(x): Either[String, Double]).getOrElse(v)
+      s"\"" + k + "\":" + jsonVal(shown)
+    }.mkString("{", ",", "}")
     // "value" is emitted LAST: the round capture channel keeps only the
     // TAIL of long stdout lines (BENCH_r10/r11 both lost the head,
     // total included), so the headline number rides the end — and the

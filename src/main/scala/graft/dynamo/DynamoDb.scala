@@ -587,18 +587,23 @@ final class JournalDynamo(client: DynamoDbClient,
       // backfill was a documented manual remedy nothing invoked. It
       // now auto-runs on the FIRST window read of an unmigrated table
       // (one scan per table lifetime — the migration marker, written
-      // at table creation for new tables, retires it for everyone)
-      val complete =
-        if (regItems.contains(MigratedKey)) writers
-        else {
-          registerLegacyWriters()
-          client.query(table, "writerId = :t",
-            Map(":t" -> ("S", RegistryHash))).flatMap(_.get("eventKey")).map(_._2)
-            .filterNot(_ == MigratedKey)
-        }
-      toEvents(complete.flatMap(w =>
-        client.query(table, "writerId = :t AND eventKey BETWEEN :lo AND :hi",
-          Map(":t" -> ("S", w), ":lo" -> ("S", lo), ":hi" -> ("S", hi)))))
+      // at table creation for new tables, retires it for everyone).
+      if (regItems.contains(MigratedKey))
+        toEvents(writers.flatMap(w =>
+          client.query(table, "writerId = :t AND eventKey BETWEEN :lo AND :hi",
+            Map(":t" -> ("S", w), ":lo" -> ("S", lo), ":hi" -> ("S", hi)))))
+      else {
+        // an unmigrated table answers this read from ONE full scan
+        // (the r18 read shape — complete regardless of registry
+        // state), and the migration persists BEST-EFFORT: a read-only
+        // principal (Query/Scan but no PutItem) still gets the
+        // complete answer instead of an AccessDenied throw (review
+        // finding r20 — a pure read path must not require writes).
+        // The first writer-privileged reader migrates for everyone.
+        val window = super.entries(fromMs, toMs)
+        try { registerLegacyWriters(); () } catch { case _: Exception => () }
+        window
+      }
     }
   }
 

@@ -131,9 +131,14 @@ object Sampling {
     require(df.columns.forall(!_.startsWith("_bs_")),
       s"budgetSample: input must not carry _bs_* columns: ${df.columns.mkString(", ")}")
     val rank = rankFor(df.schema(idCol).dataType, col("_bs_id"))
-    val budget = element_at(
-      map(budgets.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-      col("_bs_key"))
+    // budgets ride a broadcast-joined frame, the same r20 discipline as
+    // temperatureSample: a K-entry foldable map literal probed with
+    // element_at is an O(K) ArrayBasedMapData scan per row and a
+    // 2K-literal serialized plan — user-written budget maps are small,
+    // but the two siblings must not contradict each other's plan shape
+    import df.sparkSession.implicits._
+    val budgetFrame = broadcast(
+      budgets.toSeq.sortBy(_._1).toDF("_bs_bk", "_bs_budget"))
     val w = Window.partitionBy(col("_bs_key"))
       .orderBy(col("_bs_rank"), col("_bs_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -154,7 +159,8 @@ object Sampling {
       .where(col("_bs_id").isNotNull)
       .withColumn("_bs_rank", rank)
       .withColumn("_bs_before", coalesce(sum(col("_bs_w")).over(w), lit(0L)))
-      .where(col("_bs_before") < budget)
+      .join(budgetFrame, col("_bs_key") === col("_bs_bk"))
+      .where(col("_bs_before") < col("_bs_budget"))
       .select(col("_bs_id"), col("_bs_key"))
     df.join(kept,
       col(idCol) === col("_bs_id") && col(keyCol) === col("_bs_key"), "left_semi")
@@ -454,7 +460,10 @@ object Sampling {
     require(totalBudget >= 0, s"temperatureEpochMix: negative budget $totalBudget")
     require(df.columns.forall(c => !c.startsWith("_ts_") && c != "epoch"),
       s"temperatureEpochMix: input must not carry _ts_*/epoch columns: ${df.columns.mkString(", ")}")
-    val none = df.withColumn("epoch", lit(1)).where(lit(false))
+    // 1L, not 1: the normal path's explode(sequence(1L, copies)) types
+    // epoch as bigint — an int-typed empty frame would fail unionByName
+    // with any non-empty sibling (review finding r20)
+    val none = df.withColumn("epoch", lit(1L)).where(lit(false))
     if (totalBudget == 0) return none
     val sorted = temperatureTargets(df, keyCol, idCol, alpha, totalBudget,
       maxDriverKeys, "temperatureEpochMix")

@@ -208,7 +208,7 @@ class VerifyBenchSpec extends SparkSpec {
     // "regressed" last round (original prior 1.0, now ~3.0) and this
     // round's refreshed prior median is already 3.0: ratio 1.0, unflagged
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, newPending, _, flagged, _) = Bench.attributedRegressionsJson(
+    val (json, newPending, _, flagged, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 3.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 1.0))
@@ -228,7 +228,7 @@ class VerifyBenchSpec extends SparkSpec {
     // sweep claims 50x on q1_agg; the isolated re-run (a real ~1 s
     // query) lands back near prior / inside the wide band -> cleared
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, _, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), pendingPrior = Map("q1_agg" -> 1.0))
     assert(json.contains(""""verdict":"noise"""), s"expected a noise verdict: $json")
@@ -246,7 +246,7 @@ class VerifyBenchSpec extends SparkSpec {
       "q_fast" -> Right(0.5),    // 2x faster — also flagged (lost work?)
       "q_steady" -> Right(1.4),  // 1.4x — legitimate noise, unflagged
       "q_tiny" -> Right(0.4))    // 2x move but sub-floor both sides — never flagged
-    val (json, _, _, flagged, _) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q_drift" -> 1.0, "q_fast" -> 1.0, "q_steady" -> 1.0, "q_tiny" -> 0.2),
       floor = 0.5, attribute = false, isolatedRuns = 1)
@@ -272,7 +272,7 @@ class VerifyBenchSpec extends SparkSpec {
       h2 = Map("q_creep" -> 1.0, "q_flat" -> 1.0),
       h3 = Map("q_creep" -> 1.2))
     assert(hist("q_creep") == 1.0 && hist("q_flat") == 1.0 && hist("q_jump") == 1.0)
-    val (json, _, _, flagged, _) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results, prior, floor = 0.5,
       attribute = false, isolatedRuns = 1, histMin = hist)
     assert(flagged === Set("q_creep", "q_jump"),
@@ -291,7 +291,7 @@ class VerifyBenchSpec extends SparkSpec {
     // the drift: a band covering the regressed value must NOT rescue it
     // — expect suspect (first sighting), never noise_band
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 40.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))),
       histMin = Map("q1_agg" -> 0.001))
@@ -317,7 +317,7 @@ class VerifyBenchSpec extends SparkSpec {
     // ignores the band: same crept band, real isolated ~1 s vs the
     // 0.001 hist floor -> "real".
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(1.0))
-    val (json, pend, pendHist, flagged, confirmed) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, flagged, confirmed, isoLevels) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), // absorbed the creep
@@ -334,14 +334,19 @@ class VerifyBenchSpec extends SparkSpec {
     assert(confirmed.keySet === Set("q1_agg"),
       s"a real verdict must surface its confirmed level: $confirmed")
     assert(confirmed("q1_agg") > 0.0 && confirmed("q1_agg") < 60.0)
+    // every attributed entry also surfaces its isolated level, which
+    // the caller substitutes into the emitted queries section so a
+    // contention round's in-sweep outlier never enters the history
+    // that feeds next round's prior / h2/h3 band window (r20 review)
+    assert(isoLevels.keySet === Set("q1_agg") && isoLevels("q1_agg") === confirmed("q1_agg"))
     // and a hist suspect lands in the HIST pending set, not the sweep one
-    val (_, pend2, pendHist2, _, _) = Bench.attributedRegressionsJson(
+    val (_, pend2, pendHist2, _, _, _) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 0.9), floor = 0.1, attribute = true, isolatedRuns = 1,
       histMin = Map("q1_agg" -> 0.001))
     assert(pend2.isEmpty && pendHist2 === Map("q1_agg" -> 0.001), s"$pend2 / $pendHist2")
     // attribute=false passes BOTH pending sets through unchanged
-    val (_, p3, ph3, _, _) = Bench.attributedRegressionsJson(
+    val (_, p3, ph3, _, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q_a" -> 1.0), pendingHistPrior = Map("q_b" -> 2.0))
@@ -356,7 +361,7 @@ class VerifyBenchSpec extends SparkSpec {
     // so a contention spike in the confirmation round retired the
     // suspect on noise_band and lost the carried floor forever
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))),
@@ -375,7 +380,7 @@ class VerifyBenchSpec extends SparkSpec {
     // fallback — a sub-floor HIST floor silently deleted the suspect
     // without the second isolated measurement the contract requires
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Left("boom"))
-    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 0.05),

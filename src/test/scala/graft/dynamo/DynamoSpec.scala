@@ -510,6 +510,51 @@ class DynamoSpec extends AnyFunSuite {
     assert(new JournalDynamo(c).all.size == 3, "registry items stay invisible")
   }
 
+  test("journal window: a READ-ONLY principal still gets complete windows from an unmigrated table") {
+    import graft.pipeline.TaskEvent
+    // review finding r20: the auto-migration writes (backfill puts +
+    // __migrated__ marker) ride a pure READ path — a principal with
+    // Query/Scan but no PutItem must still get the complete answer,
+    // not an AccessDenied throw. The migration is best-effort; the
+    // first writer-privileged reader persists it for everyone.
+    val fake = new FakeDynamo()
+    val writer = client(fake)
+    writer.ensureTableActive("graft_journal", "writerId", Some("eventKey"))
+    // legacy event + a registered writer = the unmigrated mixed shape
+    writer.putItem("graft_journal", Map(
+      "writerId" -> ("S", "w_legacy"),
+      "eventKey" -> ("S", f"${1000L}%013d#000000"),
+      "pipeline" -> ("S", "p"), "job" -> ("S", "old"), "tableName" -> ("S", "t"),
+      "infoDate" -> ("S", ""), "status" -> ("S", "succeeded"),
+      "records" -> ("N", "1"), "detail" -> ("S", ""), "atMs" -> ("N", "1000")))
+    new JournalDynamo(writer, writerIdOverride = Some("w_reg"))
+      .append(TaskEvent("p", "new", "t", None, "succeeded", 2L, "", 1500L))
+    // read-only transport: every PutItem is denied at the wire
+    val readOnly = new HttpTransport {
+      override def post(url: String, body: String, headers: Map[String, String]) =
+        if (headers.get("X-Amz-Target").exists(_.endsWith("PutItem")))
+          (400, """{"__type":"com.amazon.coral.service#AccessDeniedException"}""")
+        else fake.post(url, body, headers)
+      override def get(url: String, headers: Map[String, String]) = fake.get(url, headers)
+    }
+    val ro = new DynamoDbClient("https://dynamodb.eu-west-1.amazonaws.com", "eu-west-1",
+      "AK", "SK", readOnly)
+    val win = new JournalDynamo(ro, writerIdOverride = Some("w_ro"))
+      .entries(500L, 2000L)
+    assert(win.map(_.records) == Seq(1L, 2L),
+      s"read-only window must be COMPLETE despite denied migration writes: $win")
+    // the denied migration persisted nothing: a writer-privileged
+    // reader later migrates, and reads go scan-free from then on
+    assert(new JournalDynamo(writer).entries(500L, 2000L).map(_.records) == Seq(1L, 2L))
+    val before = fake.itemsReturned
+    assert(new JournalDynamo(ro, writerIdOverride = Some("w_ro2"))
+      .entries(500L, 2000L).map(_.records) == Seq(1L, 2L))
+    // marker + 2 writers + 2 window events, no scan (read-only reader
+    // benefits from the migration someone else persisted)
+    assert(fake.itemsReturned - before == 3 + 2,
+      s"migrated read must be scan-free: ${fake.itemsReturned - before}")
+  }
+
   test("token lock: 8-way same-token race admits exactly one winner") {
     val fake = new FakeDynamo()
     // the scripted fake is single-threaded by design; a synchronized

@@ -456,8 +456,14 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureEpochMix(docs.repartition(13), "src", "id", 0.5, 100L)
     assert(again.select("id", "epoch").except(out.select("id", "epoch")).count() == 0 &&
       out.select("id", "epoch").except(again.select("id", "epoch")).count() == 0)
-    // zero budget / zero rows keep the schema contract
-    assert(Sampling.temperatureEpochMix(docs, "src", "id", 0.5, 0L).count() == 0)
+    // zero budget / zero rows keep the schema contract — INCLUDING the
+    // epoch type (review finding r20: lit(1) typed the empty path's
+    // epoch as int while the explode path emits bigint, so unioning a
+    // zero-budget source with its siblings failed analysis)
+    val empty = Sampling.temperatureEpochMix(docs, "src", "id", 0.5, 0L)
+    assert(empty.count() == 0)
+    assert(empty.schema("epoch").dataType == org.apache.spark.sql.types.LongType)
+    assert(empty.unionByName(out).count() == 100L, "empty path must union with the explode path")
   }
 
   test("null ids never consume quota; exotic id types rank deterministically") {
