@@ -144,22 +144,22 @@ object Bench {
     * (review finding, r19).
     *
     * Returns (entries JSON, new sweep-origin pending, new hist-origin
-    * pending, band-exclusion set, CONFIRMED levels, ISOLATED levels).
-    * The confirmed map (r20, judge item 2 + ADVICE) carries each
-    * `real`-verdicted query's isolated level: the caller re-seeds that
-    * query's band to it (a retired improvement's stale band_hi must
-    * not hide a later regression back to the old cost) and lifts its
-    * queries_h2/h3 history carry to it (histMin would otherwise keep
-    * the pre-change median for 2 more rounds and re-flag the accepted
-    * change, violating the retirement invariant). The isolated map
-    * carries EVERY attributed entry's isolated measurement (all
-    * verdicts): the caller substitutes it into the emitted `queries`
-    * section, because that section feeds next round's prior and the
-    * h2/h3 rolling window — a contention round's 12× in-sweep median
-    * entering the history would re-enter the band max 1–2 rounds
-    * later (after the exclusion expires) and rubber-stamp a real
-    * regression `noise_band` (review finding r20); the in-sweep value
-    * stays visible in the regression entry itself.
+    * pending, band-exclusion set, CONFIRMED levels). The confirmed map
+    * (r20, judge item 2 + ADVICE) carries each `real`-verdicted
+    * query's isolated level: the caller re-seeds that query's band to
+    * it (a retired improvement's stale band_hi must not hide a later
+    * regression back to the old cost) and lifts its queries_h2/h3
+    * history carry to it (histMin would otherwise keep the
+    * pre-change median for 2 more rounds and re-flag the accepted
+    * change, violating the retirement invariant). The band-exclusion
+    * set is ALSO emitted as this round's `flagged` section and carried
+    * two rounds (`flagged_h2/h3`) so the band/hist windows can skip a
+    * flagged round's median — the sweep medians stay the ONE history
+    * estimator (substituting isolated minimums was tried and creates a
+    * permanent re-flag loop for any query whose steady-state sweep
+    * median exceeds 1.5× its isolated floor — review finding r20b),
+    * while a contention round's 12× outlier still never re-enters the
+    * band max after its one-round exclusion expires.
     */
   private[graft] def attributedRegressionsJson(
       spark: SparkSession, dir: String,
@@ -171,7 +171,7 @@ object Bench {
       histMin: Map[String, Double] = Map.empty,
       pendingHistPrior: Map[String, Double] = Map.empty)
       : (String, Map[String, Double], Map[String, Double], Set[String],
-         Map[String, Double], Map[String, Double]) = {
+         Map[String, Double]) = {
     // pending names take PRECEDENCE over the sweep flag (review
     // finding r19b): a pending that also trips the sweep used to ride
     // the sweep entry — verdicted against the REFRESHED (already
@@ -233,7 +233,6 @@ object Bench {
     val newPending = collection.mutable.Map.empty[String, Double]
     val newPendingHist = collection.mutable.Map.empty[String, Double]
     val confirmed = collection.mutable.Map.empty[String, Double]
-    val isoLevels = collection.mutable.Map.empty[String, Double]
     val histSources = Set("hist_window", "pending_recheck_hist")
     val entries = (regs.map((_, "sweep")) ++ histRegs.map((_, "hist_window")) ++
         pendingChecks.map((_, "pending_recheck")) ++
@@ -246,7 +245,6 @@ object Bench {
           System.gc()
           timeQuery(spark, n, SparkEntry.queries(n), dir, isolatedRuns, pickMin = true) match {
             case Right(iso) =>
-              isoLevels(n) = iso
               val (ri, verdict) = regressionVerdict(p, iso,
                 if (histSources.contains(source)) None else band.get(n),
                 priorPending = pendingPrior.contains(n) || pendingHistPrior.contains(n))
@@ -298,7 +296,7 @@ object Bench {
       if (attribute) newPending.toMap else pendingPrior,
       if (attribute) newPendingHist.toMap else pendingHistPrior,
       flaggedNames ++ histRegs.map(_._1) ++ pendingNames,
-      confirmed.toMap, isoLevels.toMap)
+      confirmed.toMap)
   }
 
   /** Re-serialize a parsed medians section (the queries_h2/h3 history
@@ -309,12 +307,16 @@ object Bench {
       .mkString("{", ",", "}")
 
   /** min(last-3-rounds median) per query: the hist_window tripwire's
-    * comparison floor. `prior` is last round, `h2`/`h3` two and three
-    * rounds back (prior file's queries/queries_h2 sections). */
-  private[graft] def histMinOf(prior: Map[String, Double], h2: Map[String, Double],
-                               h3: Map[String, Double]): Map[String, Double] =
-    (prior.keySet ++ h2.keySet ++ h3.keySet).map { k =>
-      k -> Seq(prior.get(k), h2.get(k), h3.get(k)).flatten.min
+    * comparison floor. Each round is (medians, names flagged THAT
+    * round) — a flagged round's value is skipped (r20b: an unexplained
+    * fast outlier that was flagged as a speedup suspect would
+    * otherwise deflate the floor and spray spurious hist flags). A
+    * query flagged in all three rounds has no floor and no hist flag. */
+  private[graft] def histMinOf(recent: Seq[(Map[String, Double], Set[String])])
+      : Map[String, Double] =
+    recent.flatMap(_._1.keySet).distinct.flatMap { k =>
+      val vals = recent.collect { case (m, fl) if m.contains(k) && !fl(k) => m(k) }
+      if (vals.isEmpty) None else Some(k -> vals.min)
     }.toMap
 
   /** Historical per-query band of round medians — since r20 a ROLLING
@@ -330,20 +332,25 @@ object Bench {
     * `exclude` names (this round's flagged/pending queries) keep their
     * PRIOR band unchanged — their current sweep median is either a
     * contention outlier or an unconfirmed regression, and either one
-    * entering the band would make future verdicts lie. `reseed` names
-    * (this round's confirmed `real` verdicts — always also excluded)
-    * collapse to their confirmed isolated level IMMEDIATELY: the
-    * 3-round age-out still leaves a window where a regression back to
-    * the old cost would read noise_band, and a retirement should not
-    * leave any of the old era behind. */
+    * entering the band would make future verdicts lie. The same rule
+    * applies RETROACTIVELY through the window (r20b): each `recent`
+    * round carries the names flagged in that round, and their medians
+    * are skipped — without this, a contention round's 12× outlier
+    * re-enters the band max as soon as its one-round exclusion
+    * expires and rubber-stamps a later real regression `noise_band`.
+    * `reseed` names (this round's confirmed `real` verdicts — always
+    * also excluded) collapse to their confirmed isolated level
+    * IMMEDIATELY: the 3-round age-out still leaves a window where a
+    * regression back to the old cost would read noise_band, and a
+    * retirement should not leave any of the old era behind. */
   private[graft] def mergedBands(results: Seq[(String, Either[String, Double])],
                                  priorLo: Map[String, Double],
                                  priorHi: Map[String, Double],
-                                 recent: Seq[Map[String, Double]],
+                                 recent: Seq[(Map[String, Double], Set[String])],
                                  exclude: Set[String] = Set.empty,
                                  reseed: Map[String, Double] = Map.empty): Seq[(String, Double, Double)] =
     results.flatMap { case (n, r) =>
-      val hist = recent.flatMap(_.get(n))
+      val hist = recent.collect { case (m, fl) if m.contains(n) && !fl(n) => m(n) }
       val seedLo = priorLo.get(n).orElse(hist.headOption)
       val seedHi = priorHi.get(n).orElse(hist.headOption)
       (r, reseed.get(n)) match {
@@ -366,6 +373,17 @@ object Bench {
   private[graft] def bandJson(bands: Seq[(String, Double, Double)]): (String, String) = (
     bands.map { case (n, lo, _) => f""""$n":$lo%.3f""" }.mkString("{", ",", "}"),
     bands.map { case (n, _, hi) => f""""$n":$hi%.3f""" }.mkString("{", ",", "}"))
+
+  /** Extract a `"<key>": ["name", ...]` name-list section of a prior
+    * bench line (the flagged/flagged_h2/h3 carry). */
+  private[graft] def parsePriorNames(txt: String, key: String): Set[String] = {
+    val sec = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\"".r.findAllMatchIn(sec).map(_.group(1)).toSet
+  }
+
+  private[graft] def namesJson(names: Set[String]): String =
+    names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   /** The sf1 (10× data) tracking subset — relational core + exact
     * dedup + ANN, PLUS the dedup/curation queries whose replicated
@@ -561,15 +579,24 @@ object Bench {
           val pendingHistSf1 = parsePriorSection(priorTxt, "pending_real_hist_sf1")
           val h2Sf1 = parsePriorSection(priorTxt, "queries_sf1_h2")
           val h3Sf1 = parsePriorSection(priorTxt, "queries_sf1_h3")
-          val (regs1, bandExclude1, confirmedSf1, isoSf1) =
+          // per-round flagged-name carry (r20b): a flagged round's
+          // median is excluded from the band/hist windows — the sweep
+          // medians stay the one history estimator, but a contention
+          // outlier can never re-enter the band max after its
+          // one-round live exclusion expires
+          val flSf1 = parsePriorNames(priorTxt, "flagged_sf1")
+          val flSf1h2 = parsePriorNames(priorTxt, "flagged_sf1_h2")
+          val flSf1h3 = parsePriorNames(priorTxt, "flagged_sf1_h3")
+          val recentSf1 = Seq(priorSf1 -> flSf1, h2Sf1 -> flSf1h2, h3Sf1 -> flSf1h3)
+          val (regs1, bandExclude1, confirmedSf1) =
             if (priorSf1.isEmpty)
-              ("", Set.empty[String], Map.empty[String, Double], Map.empty[String, Double])
+              ("", Set.empty[String], Map.empty[String, Double])
             else {
-              val (arr, newPending, newPendingHist, flagged, confirmed, iso) =
+              val (arr, newPending, newPendingHist, flagged, confirmed) =
                 attributedRegressionsJson(spark, outDir,
                   sf1Results, priorSf1, floor = 0.5, attribute, isolatedRuns = 2,
                   band = bandSf1, pendingPrior = pendingSf1,
-                  histMin = histMinOf(priorSf1, h2Sf1, h3Sf1),
+                  histMin = histMinOf(recentSf1),
                   pendingHistPrior = pendingHistSf1)
               // confirmed reals LIFT the history carry (ADVICE r19):
               // histMin would otherwise keep the pre-change median for
@@ -577,20 +604,16 @@ object Bench {
               (s""","regressions_sf1":$arr,"pending_real_sf1":${mapJson(newPending)}""" +
                 s""","pending_real_hist_sf1":${mapJson(newPendingHist)}""" +
                 s""","queries_sf1_h2":${mapJson(priorSf1 ++ confirmed)}""" +
-                s""","queries_sf1_h3":${mapJson(h2Sf1 ++ confirmed)}""",
-                flagged, confirmed, iso)
+                s""","queries_sf1_h3":${mapJson(h2Sf1 ++ confirmed)}""" +
+                s""","flagged_sf1":${namesJson(flagged)}""" +
+                s""","flagged_sf1_h2":${namesJson(flSf1)}""" +
+                s""","flagged_sf1_h3":${namesJson(flSf1h2)}""",
+                flagged, confirmed)
             }
-          // the emitted medians substitute each attributed query's
-          // ISOLATED measurement (review finding r20): this section is
-          // next round's prior and the h2/h3 rolling-window feed — a
-          // contention round's in-sweep outlier entering it would
-          // re-enter the band max once the exclusion expires
-          val qs1 = sf1Results.map { case (k, v) =>
-            val shown = isoSf1.get(k).map(x => Right(x): Either[String, Double]).getOrElse(v)
-            s"\"" + k + "\":" + jsonVal(shown)
-          }.mkString("{", ",", "}")
+          val qs1 = sf1Results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
+            .mkString("{", ",", "}")
           val (bLo1, bHi1) = bandJson(mergedBands(sf1Results, loSf1, hiSf1,
-            Seq(priorSf1, h2Sf1, h3Sf1), bandExclude1, confirmedSf1))
+            recentSf1, bandExclude1, confirmedSf1))
           s""","sf1_dir":"$outDir","sf1_gen_sec":$genSec,"queries_sf1":$qs1$regs1,"band_lo_sf1":$bLo1,"band_hi_sf1":$bHi1"""
         } catch {
           case e: Throwable =>
@@ -722,7 +745,7 @@ object Bench {
     // in the JSON itself. SPARK_GRAFT_BENCH_ATTRIBUTE=0 skips
     // (pure-sweep mode for timing experiments). Sub-100ms medians are
     // fixed-overhead noise at sf0.1; a 3× swing there is not signal.
-    val (regressionsJson, isoSubst): (String, Map[String, Double]) = {
+    val regressionsJson: String = {
       val prior = parsePriorSection(priorTxt, "queries")
       val lo = parsePriorSection(priorTxt, "band_lo")
       val hi = parsePriorSection(priorTxt, "band_hi")
@@ -731,40 +754,42 @@ object Bench {
       val pendingHist = parsePriorSection(priorTxt, "pending_real_hist")
       // last-3-rounds median history (judge r18 item 3): prior's
       // queries section is 1 round back, its queries_h2/h3 are 2 and 3
-      // back; this round re-emits the carry shifted by one
+      // back; this round re-emits the carry shifted by one. Each round
+      // also carries the names flagged THAT round (r20b): their
+      // medians are contention outliers or unconfirmed moves, and the
+      // band/hist windows skip them — sweep medians stay the one
+      // history estimator (an isolated-min substitute was tried and
+      // creates a permanent re-flag loop on persistently contended
+      // queries), but a flagged round's 12x outlier can never re-enter
+      // the band max once its live exclusion expires.
       val h2 = parsePriorSection(priorTxt, "queries_h2")
       val h3 = parsePriorSection(priorTxt, "queries_h3")
+      val fl1 = parsePriorNames(priorTxt, "flagged")
+      val fl2 = parsePriorNames(priorTxt, "flagged_h2")
+      val fl3 = parsePriorNames(priorTxt, "flagged_h3")
+      val recent = Seq(prior -> fl1, h2 -> fl2, h3 -> fl3)
       if (prior.isEmpty) {
-        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, Seq(prior)))
-        (s""","band_lo":$bLo,"band_hi":$bHi""", Map.empty[String, Double])
+        val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, recent))
+        s""","band_lo":$bLo,"band_hi":$bHi"""
       } else {
-        val (arr, newPending, newPendingHist, flagged, confirmed, iso) =
+        val (arr, newPending, newPendingHist, flagged, confirmed) =
           attributedRegressionsJson(spark, sfDir,
             results.toSeq, prior, floor = 0.1, attribute, isolatedRuns = 3,
-            band = band, pendingPrior = pending, histMin = histMinOf(prior, h2, h3),
+            band = band, pendingPrior = pending, histMin = histMinOf(recent),
             pendingHistPrior = pendingHist)
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi,
-          Seq(prior, h2, h3), flagged, confirmed))
+          recent, flagged, confirmed))
         // confirmed reals lift the h2/h3 carry (ADVICE r19) so histMin
         // cannot re-flag a retired change with the pre-change median
-        (s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
+        s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
           s""","pending_real_hist":${mapJson(newPendingHist)}""" +
           s""","band_lo":$bLo,"band_hi":$bHi""" +
-          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}""",
-          iso)
+          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}""" +
+          s""","flagged":${namesJson(flagged)},"flagged_h2":${namesJson(fl1)},"flagged_h3":${namesJson(fl2)}"""
       }
     }
-    // the emitted medians substitute each attributed query's ISOLATED
-    // measurement (review finding r20): `queries` is next round's
-    // prior and the h2/h3 rolling-window feed — a contention round's
-    // 12x in-sweep outlier entering it would re-enter the band max
-    // once the one-round exclusion expires and rubber-stamp a later
-    // real regression "noise_band". The in-sweep value stays visible
-    // in the regression entry; `value` (total) remains the sweep sum.
-    val qs = results.map { case (k, v) =>
-      val shown = isoSubst.get(k).map(x => Right(x): Either[String, Double]).getOrElse(v)
-      s"\"" + k + "\":" + jsonVal(shown)
-    }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
+      .mkString("{", ",", "}")
     // "value" is emitted LAST: the round capture channel keeps only the
     // TAIL of long stdout lines (BENCH_r10/r11 both lost the head,
     // total included), so the headline number rides the end — and the

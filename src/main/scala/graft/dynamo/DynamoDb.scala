@@ -595,13 +595,35 @@ final class JournalDynamo(client: DynamoDbClient,
       else {
         // an unmigrated table answers this read from ONE full scan
         // (the r18 read shape — complete regardless of registry
-        // state), and the migration persists BEST-EFFORT: a read-only
-        // principal (Query/Scan but no PutItem) still gets the
-        // complete answer instead of an AccessDenied throw (review
-        // finding r20 — a pure read path must not require writes).
-        // The first writer-privileged reader migrates for everyone.
-        val window = super.entries(fromMs, toMs)
-        try { registerLegacyWriters(); () } catch { case _: Exception => () }
+        // state), and the SAME scan feeds the best-effort migration:
+        // a read-only principal (Query/Scan but no PutItem) still
+        // gets the complete answer instead of an AccessDenied throw
+        // (review finding r20 — a pure read path must not require
+        // writes); the first writer-privileged reader migrates for
+        // everyone. The failure is logged, not silent: a chronically
+        // denied migration means every read re-pays this scan, and
+        // the operator should know why.
+        val items = client.scan(table)
+          .filterNot(_.get("writerId").exists(_._2 == RegistryHash))
+        val window = toEvents(items.filter { i =>
+          val at = i("atMs")._2.toLong
+          at >= fromMs && at <= toMs
+        })
+        try {
+          val known = writers.toSet
+          items.flatMap(_.get("writerId")).map(_._2).distinct
+            .filterNot(known.contains)
+            .foreach(w => client.putItem(table, Map(
+              "writerId" -> ("S", RegistryHash),
+              "eventKey" -> ("S", w))))
+          markMigrated()
+        } catch {
+          case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+          case e: Exception =>
+            System.err.println(s"[graft journal] $table migration deferred " +
+              s"(window reads stay scan-based until a writer-privileged " +
+              s"reader persists it): ${e.getMessage}")
+        }
         window
       }
     }

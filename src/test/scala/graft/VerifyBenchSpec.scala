@@ -142,9 +142,9 @@ class VerifyBenchSpec extends SparkSpec {
       priorLo = Map("q_aged" -> 0.1, "q_broken" -> 1.0),
       priorHi = Map("q_aged" -> 9.0, "q_broken" -> 1.4),
       recent = Seq(
-        Map("q_roll" -> 4.0, "q_aged" -> 1.0),
-        Map("q_roll" -> 3.0, "q_aged" -> 1.2),
-        Map("q_roll" -> 2.0, "q_aged" -> 1.0))).map(b => b._1 -> ((b._2, b._3))).toMap
+        Map("q_roll" -> 4.0, "q_aged" -> 1.0) -> Set.empty[String],
+        Map("q_roll" -> 3.0, "q_aged" -> 1.2) -> Set.empty[String],
+        Map("q_roll" -> 2.0, "q_aged" -> 1.0) -> Set.empty[String])).map(b => b._1 -> ((b._2, b._3))).toMap
     assert(bands("q_new") === ((2.0, 2.0)))
     assert(bands("q_roll") === ((2.0, 5.0)))
     // the PQ case: recent medians 1.0-1.2, stale hi 9.0 forgotten
@@ -162,11 +162,43 @@ class VerifyBenchSpec extends SparkSpec {
     val results: Seq[(String, Either[String, Double])] = Seq("q_imp" -> Right(0.24))
     val bands = Bench.mergedBands(results,
       priorLo = Map("q_imp" -> 0.4), priorHi = Map("q_imp" -> 2.9),
-      recent = Seq(Map("q_imp" -> 0.45), Map("q_imp" -> 0.5)),
+      recent = Seq(Map("q_imp" -> 0.45) -> Set.empty[String],
+        Map("q_imp" -> 0.5) -> Set.empty[String]),
       exclude = Set("q_imp"),                 // real names are always flagged
       reseed = Map("q_imp" -> 0.24)).map(b => b._1 -> ((b._2, b._3))).toMap
     assert(bands("q_imp") === ((0.24, 0.24)),
       s"retired change must leave none of the old era behind: $bands")
+  }
+
+  test("a flagged round's median is excluded from the band/hist windows when it ages in (r20b)") {
+    // review finding r20b: round N's 12x contention outlier is
+    // band-excluded LIVE, but it still lands in the queries section —
+    // one round later it would ride h2 into the rolling band max and
+    // rubber-stamp a later real regression noise_band. Each round's
+    // flagged-name list is carried alongside its medians, and both
+    // windows skip (name, flagged-round) values.
+    val results: Seq[(String, Either[String, Double])] = Seq("q" -> Right(1.0))
+    val recent = Seq(
+      Map("q" -> 12.0) -> Set("q"),   // the contention round: flagged
+      Map("q" -> 1.1) -> Set.empty[String],
+      Map("q" -> 0.9) -> Set.empty[String])
+    val bands = Bench.mergedBands(results, Map.empty, Map.empty, recent)
+      .map(b => b._1 -> ((b._2, b._3))).toMap
+    assert(bands("q") === ((0.9, 1.1)),
+      s"the flagged 12.0 must never enter the band: $bands")
+    // histMin skips flagged values too (an unexplained fast outlier
+    // would deflate the floor and spray spurious hist flags)
+    val hist = Bench.histMinOf(Seq(
+      Map("q" -> 0.01) -> Set("q"),
+      Map("q" -> 1.1) -> Set.empty[String]))
+    assert(hist("q") === 1.1, s"flagged speedup outlier must not set the floor: $hist")
+    // a query flagged in every carried round has no floor at all
+    assert(!Bench.histMinOf(Seq(Map("q" -> 0.01) -> Set("q"))).contains("q"))
+    // the name-list round-trip the carry rides on
+    assert(Bench.namesJson(Set("b", "a")) === """["a","b"]""")
+    assert(Bench.parsePriorNames("""{"flagged":["a","b"],"x":1}""", "flagged") === Set("a", "b"))
+    assert(Bench.parsePriorNames("""{"flagged":[]}""", "flagged") === Set.empty[String])
+    assert(Bench.parsePriorNames("not json", "flagged") === Set.empty[String])
   }
 
   test("flagged queries keep their PRIOR band — a suspect's regressed median must not absorb into band_hi") {
@@ -181,7 +213,7 @@ class VerifyBenchSpec extends SparkSpec {
       "q_fresh" -> Right(7.0)) // flagged, no band history
     val bands = Bench.mergedBands(results,
       priorLo = Map("q_reg" -> 0.9), priorHi = Map("q_reg" -> 1.1),
-      recent = Seq(Map("q_reg" -> 1.0, "q_fresh" -> 2.0)),
+      recent = Seq(Map("q_reg" -> 1.0, "q_fresh" -> 2.0) -> Set.empty[String]),
       exclude = Set("q_reg", "q_fresh")).map(b => b._1 -> ((b._2, b._3))).toMap
     assert(bands("q_reg") === ((0.9, 1.1)), s"prior band must survive untouched: $bands")
     // q_fresh seeds from the prior MEDIAN (honest history), not 7.0
@@ -208,7 +240,7 @@ class VerifyBenchSpec extends SparkSpec {
     // "regressed" last round (original prior 1.0, now ~3.0) and this
     // round's refreshed prior median is already 3.0: ratio 1.0, unflagged
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, newPending, _, flagged, _, _) = Bench.attributedRegressionsJson(
+    val (json, newPending, _, flagged, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 3.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 1.0))
@@ -228,7 +260,7 @@ class VerifyBenchSpec extends SparkSpec {
     // sweep claims 50x on q1_agg; the isolated re-run (a real ~1 s
     // query) lands back near prior / inside the wide band -> cleared
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, _, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), pendingPrior = Map("q1_agg" -> 1.0))
     assert(json.contains(""""verdict":"noise"""), s"expected a noise verdict: $json")
@@ -246,7 +278,7 @@ class VerifyBenchSpec extends SparkSpec {
       "q_fast" -> Right(0.5),    // 2x faster — also flagged (lost work?)
       "q_steady" -> Right(1.4),  // 1.4x — legitimate noise, unflagged
       "q_tiny" -> Right(0.4))    // 2x move but sub-floor both sides — never flagged
-    val (json, _, _, flagged, _, _) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q_drift" -> 1.0, "q_fast" -> 1.0, "q_steady" -> 1.0, "q_tiny" -> 0.2),
       floor = 0.5, attribute = false, isolatedRuns = 1)
@@ -268,11 +300,12 @@ class VerifyBenchSpec extends SparkSpec {
       "q_flat" -> Right(1.05),   // inside both windows
       "q_jump" -> Right(3.0))    // plain sweep flag: must NOT double-report as hist
     val prior = Map("q_creep" -> 1.4, "q_flat" -> 1.0, "q_jump" -> 1.0)
-    val hist = Bench.histMinOf(prior,
-      h2 = Map("q_creep" -> 1.0, "q_flat" -> 1.0),
-      h3 = Map("q_creep" -> 1.2))
+    val hist = Bench.histMinOf(Seq(
+      prior -> Set.empty[String],
+      Map("q_creep" -> 1.0, "q_flat" -> 1.0) -> Set.empty[String],
+      Map("q_creep" -> 1.2) -> Set.empty[String]))
     assert(hist("q_creep") == 1.0 && hist("q_flat") == 1.0 && hist("q_jump") == 1.0)
-    val (json, _, _, flagged, _, _) = Bench.attributedRegressionsJson(
+    val (json, _, _, flagged, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results, prior, floor = 0.5,
       attribute = false, isolatedRuns = 1, histMin = hist)
     assert(flagged === Set("q_creep", "q_jump"),
@@ -291,7 +324,7 @@ class VerifyBenchSpec extends SparkSpec {
     // the drift: a band covering the regressed value must NOT rescue it
     // — expect suspect (first sighting), never noise_band
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(50.0))
-    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
+    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(spark, dir, results,
       prior = Map("q1_agg" -> 40.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))),
       histMin = Map("q1_agg" -> 0.001))
@@ -317,7 +350,7 @@ class VerifyBenchSpec extends SparkSpec {
     // ignores the band: same crept band, real isolated ~1 s vs the
     // 0.001 hist floor -> "real".
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(1.0))
-    val (json, pend, pendHist, flagged, confirmed, isoLevels) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, flagged, confirmed) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))), // absorbed the creep
@@ -334,19 +367,14 @@ class VerifyBenchSpec extends SparkSpec {
     assert(confirmed.keySet === Set("q1_agg"),
       s"a real verdict must surface its confirmed level: $confirmed")
     assert(confirmed("q1_agg") > 0.0 && confirmed("q1_agg") < 60.0)
-    // every attributed entry also surfaces its isolated level, which
-    // the caller substitutes into the emitted queries section so a
-    // contention round's in-sweep outlier never enters the history
-    // that feeds next round's prior / h2/h3 band window (r20 review)
-    assert(isoLevels.keySet === Set("q1_agg") && isoLevels("q1_agg") === confirmed("q1_agg"))
     // and a hist suspect lands in the HIST pending set, not the sweep one
-    val (_, pend2, pendHist2, _, _, _) = Bench.attributedRegressionsJson(
+    val (_, pend2, pendHist2, _, _) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 0.9), floor = 0.1, attribute = true, isolatedRuns = 1,
       histMin = Map("q1_agg" -> 0.001))
     assert(pend2.isEmpty && pendHist2 === Map("q1_agg" -> 0.001), s"$pend2 / $pendHist2")
     // attribute=false passes BOTH pending sets through unchanged
-    val (_, p3, ph3, _, _, _) = Bench.attributedRegressionsJson(
+    val (_, p3, ph3, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = false, isolatedRuns = 1,
       pendingPrior = Map("q_a" -> 1.0), pendingHistPrior = Map("q_b" -> 2.0))
@@ -361,7 +389,7 @@ class VerifyBenchSpec extends SparkSpec {
     // so a contention spike in the confirmation round retired the
     // suspect on noise_band and lost the carried floor forever
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Right(3.0))
-    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(
       spark, dir, results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       band = Map("q1_agg" -> ((0.000001, 1000.0))),
@@ -380,7 +408,7 @@ class VerifyBenchSpec extends SparkSpec {
     // fallback — a sub-floor HIST floor silently deleted the suspect
     // without the second isolated measurement the contract requires
     val results: Seq[(String, Either[String, Double])] = Seq("q1_agg" -> Left("boom"))
-    val (json, pend, pendHist, _, _, _) = Bench.attributedRegressionsJson(
+    val (json, pend, pendHist, _, _) = Bench.attributedRegressionsJson(
       spark, "/nonexistent", results,
       prior = Map("q1_agg" -> 1.0), floor = 0.1, attribute = true, isolatedRuns = 1,
       pendingPrior = Map("q1_agg" -> 0.05),
