@@ -385,6 +385,37 @@ object Bench {
   private[graft] def namesJson(names: Set[String]): String =
     names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** The history-carry fragment, ONE spelling for the sf0.1
+    * (suffix "") and sf1 (suffix "_sf1") sections: this round's
+    * h2/h3 median shift (lifted by confirmed reals — ADVICE r19) and
+    * the flagged-name lists paired SLOT-FOR-SLOT with the medians
+    * they describe: next round's `queries{s}_h2` (= this `prior`)
+    * pairs with `flagged{s}_h2` (= this round's live `flagged` one
+    * shift earlier — i.e. the set that flagged when those medians
+    * were current). The r20b window skip depends entirely on this
+    * alignment, so it lives in one helper with an emit-then-reparse
+    * spec instead of two hand-maintained string assemblies. */
+  private[graft] def historyCarryJson(suffix: String,
+      prior: Map[String, Double], h2: Map[String, Double],
+      fl1: Set[String], fl2: Set[String],
+      flagged: Set[String], confirmed: Map[String, Double]): String =
+    s""","queries${suffix}_h2":${mapJson(prior ++ confirmed)}""" +
+      s""","queries${suffix}_h3":${mapJson(h2 ++ confirmed)}""" +
+      s""","flagged$suffix":${namesJson(flagged)}""" +
+      s""","flagged${suffix}_h2":${namesJson(fl1)}""" +
+      s""","flagged${suffix}_h3":${namesJson(fl2)}"""
+
+  /** Parse one history window (medians + that round's flagged names,
+    * slot-aligned) back out of a prior bench line — the inverse of
+    * [[historyCarryJson]] plus the live `queries` section. */
+  private[graft] def parseRecent(txt: String, suffix: String,
+      liveKey: String): Seq[(Map[String, Double], Set[String])] = Seq(
+    parsePriorSection(txt, liveKey) -> parsePriorNames(txt, s"flagged$suffix"),
+    parsePriorSection(txt, s"queries${suffix}_h2") ->
+      parsePriorNames(txt, s"flagged${suffix}_h2"),
+    parsePriorSection(txt, s"queries${suffix}_h3") ->
+      parsePriorNames(txt, s"flagged${suffix}_h3"))
+
   /** The sf1 (10× data) tracking subset — relational core + exact
     * dedup + ANN, PLUS the dedup/curation queries whose replicated
     * input deliberately exercises the mass-duplication adaptive
@@ -577,17 +608,12 @@ object Bench {
             .map(k => k -> (loSf1(k), hiSf1(k))).toMap
           val pendingSf1 = parsePriorSection(priorTxt, "pending_real_sf1")
           val pendingHistSf1 = parsePriorSection(priorTxt, "pending_real_hist_sf1")
-          val h2Sf1 = parsePriorSection(priorTxt, "queries_sf1_h2")
-          val h3Sf1 = parsePriorSection(priorTxt, "queries_sf1_h3")
           // per-round flagged-name carry (r20b): a flagged round's
           // median is excluded from the band/hist windows — the sweep
           // medians stay the one history estimator, but a contention
           // outlier can never re-enter the band max after its
           // one-round live exclusion expires
-          val flSf1 = parsePriorNames(priorTxt, "flagged_sf1")
-          val flSf1h2 = parsePriorNames(priorTxt, "flagged_sf1_h2")
-          val flSf1h3 = parsePriorNames(priorTxt, "flagged_sf1_h3")
-          val recentSf1 = Seq(priorSf1 -> flSf1, h2Sf1 -> flSf1h2, h3Sf1 -> flSf1h3)
+          val recentSf1 = parseRecent(priorTxt, "_sf1", "queries_sf1")
           val (regs1, bandExclude1, confirmedSf1) =
             if (priorSf1.isEmpty)
               ("", Set.empty[String], Map.empty[String, Double])
@@ -598,16 +624,10 @@ object Bench {
                   band = bandSf1, pendingPrior = pendingSf1,
                   histMin = histMinOf(recentSf1),
                   pendingHistPrior = pendingHistSf1)
-              // confirmed reals LIFT the history carry (ADVICE r19):
-              // histMin would otherwise keep the pre-change median for
-              // 2 more rounds and re-flag the retired change
               (s""","regressions_sf1":$arr,"pending_real_sf1":${mapJson(newPending)}""" +
                 s""","pending_real_hist_sf1":${mapJson(newPendingHist)}""" +
-                s""","queries_sf1_h2":${mapJson(priorSf1 ++ confirmed)}""" +
-                s""","queries_sf1_h3":${mapJson(h2Sf1 ++ confirmed)}""" +
-                s""","flagged_sf1":${namesJson(flagged)}""" +
-                s""","flagged_sf1_h2":${namesJson(flSf1)}""" +
-                s""","flagged_sf1_h3":${namesJson(flSf1h2)}""",
+                historyCarryJson("_sf1", priorSf1, recentSf1(1)._1,
+                  recentSf1(0)._2, recentSf1(1)._2, flagged, confirmed),
                 flagged, confirmed)
             }
           val qs1 = sf1Results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }
@@ -761,13 +781,13 @@ object Bench {
       // history estimator (an isolated-min substitute was tried and
       // creates a permanent re-flag loop on persistently contended
       // queries), but a flagged round's 12x outlier can never re-enter
-      // the band max once its live exclusion expires.
-      val h2 = parsePriorSection(priorTxt, "queries_h2")
-      val h3 = parsePriorSection(priorTxt, "queries_h3")
-      val fl1 = parsePriorNames(priorTxt, "flagged")
-      val fl2 = parsePriorNames(priorTxt, "flagged_h2")
-      val fl3 = parsePriorNames(priorTxt, "flagged_h3")
-      val recent = Seq(prior -> fl1, h2 -> fl2, h3 -> fl3)
+      // the band max once its live exclusion expires. Accepted cost of
+      // keeping the raw outlier in `queries`: it is also next round's
+      // ratio baseline, so the round AFTER an outlier pays one
+      // spurious "speedup" flag + its isolated re-measurement before
+      // the prior refreshes clean — a bounded, self-labeling round
+      // trip, unlike the unbounded loop the substitute created.
+      val recent = parseRecent(priorTxt, "", "queries")
       if (prior.isEmpty) {
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi, recent))
         s""","band_lo":$bLo,"band_hi":$bHi"""
@@ -779,13 +799,11 @@ object Bench {
             pendingHistPrior = pendingHist)
         val (bLo, bHi) = bandJson(mergedBands(results.toSeq, lo, hi,
           recent, flagged, confirmed))
-        // confirmed reals lift the h2/h3 carry (ADVICE r19) so histMin
-        // cannot re-flag a retired change with the pre-change median
         s""","regressions":$arr,"pending_real":${mapJson(newPending)}""" +
           s""","pending_real_hist":${mapJson(newPendingHist)}""" +
           s""","band_lo":$bLo,"band_hi":$bHi""" +
-          s""","queries_h2":${mapJson(prior ++ confirmed)},"queries_h3":${mapJson(h2 ++ confirmed)}""" +
-          s""","flagged":${namesJson(flagged)},"flagged_h2":${namesJson(fl1)},"flagged_h3":${namesJson(fl2)}"""
+          historyCarryJson("", prior, recent(1)._1,
+            recent(0)._2, recent(1)._2, flagged, confirmed)
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + jsonVal(v) }

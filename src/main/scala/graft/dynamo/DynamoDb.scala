@@ -609,15 +609,8 @@ final class JournalDynamo(client: DynamoDbClient,
           val at = i("atMs")._2.toLong
           at >= fromMs && at <= toMs
         })
-        try {
-          val known = writers.toSet
-          items.flatMap(_.get("writerId")).map(_._2).distinct
-            .filterNot(known.contains)
-            .foreach(w => client.putItem(table, Map(
-              "writerId" -> ("S", RegistryHash),
-              "eventKey" -> ("S", w))))
-          markMigrated()
-        } catch {
+        try registerAndMark(items, writers.toSet)
+        catch {
           case e: InterruptedException => Thread.currentThread().interrupt(); throw e
           case e: Exception =>
             System.err.println(s"[graft journal] $table migration deferred " +
@@ -644,9 +637,20 @@ final class JournalDynamo(client: DynamoDbClient,
   def registerLegacyWriters(): Int = {
     val registered = client.query(table, "writerId = :t",
       Map(":t" -> ("S", RegistryHash))).flatMap(_.get("eventKey")).map(_._2).toSet
-    val missing = client.scan(table)
+    registerAndMark(client.scan(table), registered)
+  }
+
+  /** ONE registration rule for the auto path (entries' shared-scan
+    * migration) and the manual operator path ([[registerLegacyWriters]])
+    * — two copies of the register-missing + mark invariant could
+    * silently desynchronize. Takes scanned items and the known
+    * registry; registers every event-bearing writer the registry
+    * lacks, writes the migration marker, returns how many it added. */
+  private def registerAndMark(items: Seq[Map[String, (String, String)]],
+                              known: Set[String]): Int = {
+    val missing = items
       .flatMap(_.get("writerId")).map(_._2).distinct
-      .filterNot(w => w == RegistryHash || registered.contains(w))
+      .filterNot(w => w == RegistryHash || known.contains(w))
     missing.foreach(w => client.putItem(table, Map(
       "writerId" -> ("S", RegistryHash),
       "eventKey" -> ("S", w))))

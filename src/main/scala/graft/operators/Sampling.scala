@@ -149,25 +149,29 @@ object Sampling {
     // The rejoin matches on (id, KEY): with duplicate ids ACROSS keys,
     // an id kept inside one key's quota must not resurrect its twin
     // in a key whose window cut it.
+    // two broadcast probes of the same K-row frame (both negligible):
+    // a LEFT-SEMI before the window drops unbudgeted keys without
+    // widening the projection — the cumsum sort still carries only
+    // (id, key, weight, rank), the stated ~24 bytes/row — and an
+    // inner join AFTER the window attaches each key's budget for the
+    // cut (r20c review: attaching it before the window made the
+    // budget column ride the shuffle). This replaces the former
+    // K-literal isin prefilter. The explicit string cast reproduces
+    // the old element_at(map<string,long>, key) lookup semantics for
+    // non-string key columns — a bare numeric-vs-string equality
+    // would coerce BOTH sides to double and match key 1 to budget key
+    // "01" (and mis-match longs past 2^53)
     val kept = df
       .select(col(idCol).as("_bs_id"), col(keyCol).as("_bs_key"),
         col(weightCol).cast("long").as("_bs_w"))
-      // the broadcast join BOTH applies each key's budget and drops
-      // unbudgeted keys BEFORE the window sort (it replaces the former
-      // K-literal isin prefilter — review finding r20b: keeping both
-      // retained the serialized-literal cost the rework removed). The
-      // explicit string cast reproduces the old element_at(map<string,
-      // long>, key) lookup semantics for non-string key columns — a
-      // bare numeric-vs-string equality would coerce BOTH sides to
-      // double and match key 1 to budget key "01" (and mis-match
-      // longs past 2^53)
-      .join(budgetFrame, col("_bs_key").cast("string") === col("_bs_bk"))
+      .join(budgetFrame, col("_bs_key").cast("string") === col("_bs_bk"), "left_semi")
       // null ids sort FIRST on a null rank: they would eat the head of
       // the key's budget in the cumsum while the id-equality rejoin
       // can never resurrect them — filter them out of the window
       .where(col("_bs_id").isNotNull)
       .withColumn("_bs_rank", rank)
       .withColumn("_bs_before", coalesce(sum(col("_bs_w")).over(w), lit(0L)))
+      .join(budgetFrame, col("_bs_key").cast("string") === col("_bs_bk"))
       .where(col("_bs_before") < col("_bs_budget"))
       .select(col("_bs_id"), col("_bs_key"))
     df.join(kept,

@@ -201,6 +201,56 @@ class VerifyBenchSpec extends SparkSpec {
     assert(Bench.parsePriorNames("not json", "flagged") === Set.empty[String])
   }
 
+  test("history carry emit-then-reparse: flagged sets stay slot-aligned with their medians across rounds") {
+    // r20c review: the whole window skip rests on flagged_h2 pairing
+    // with queries_h2 (the set that flagged WHEN those medians were
+    // current) — a one-slot mis-shift in the string assembly would
+    // re-admit the outliers the mechanism exists to exclude, while
+    // every helper-level test still passed. So the pairing is pinned
+    // END TO END: emit round N's carry, reparse it as round N+1's
+    // prior file, and verify the outlier round's median stays out of
+    // the band at every age.
+    // Round N state: q measured 12.0 THIS round and was flagged;
+    // its older history is clean (1.1 two rounds back, 0.9 three).
+    val emitted = s"""{"queries":{"q":12.000}""" +
+      Bench.historyCarryJson("",
+        prior = Map("q" -> 1.1),     // round N-1's median (clean)
+        h2 = Map("q" -> 0.9),        // round N-2's median (clean)
+        fl1 = Set.empty,             // round N-1 flagged nothing
+        fl2 = Set.empty,             // round N-2 flagged nothing
+        flagged = Set("q"),          // round N flags the 12.0
+        confirmed = Map.empty) + "}"
+    // Round N+1 reads that file: live queries=12.0 must carry the
+    // flag in slot 0; the clean 1.1/0.9 stay usable in slots 1/2
+    val recent = Bench.parseRecent(emitted, "", "queries")
+    assert(recent(0) === ((Map("q" -> 12.0), Set("q"))), recent.toString)
+    assert(recent(1) === ((Map("q" -> 1.1), Set.empty[String])), recent.toString)
+    assert(recent(2) === ((Map("q" -> 0.9), Set.empty[String])), recent.toString)
+    // the band over that window: now=1.0 + clean history, 12.0 OUT
+    val bands = Bench.mergedBands(Seq("q" -> Right(1.0)), Map.empty, Map.empty, recent)
+      .map(b => b._1 -> ((b._2, b._3))).toMap
+    assert(bands("q") === ((0.9, 1.1)), s"aged-in outlier must stay excluded: $bands")
+    // one round later: round N+1 emits with the 12.0 now in the h2
+    // slot — its flag must shift WITH it
+    val emitted2 = s"""{"queries":{"q":1.000}""" +
+      Bench.historyCarryJson("",
+        prior = Map("q" -> 12.0), h2 = Map("q" -> 1.1),
+        fl1 = Set("q"),              // round N's flag, now one back
+        fl2 = Set.empty,
+        flagged = Set.empty, confirmed = Map.empty) + "}"
+    val recent2 = Bench.parseRecent(emitted2, "", "queries")
+    assert(recent2(1) === ((Map("q" -> 12.0), Set("q"))),
+      s"the flag must ride its median into the h2 slot: $recent2")
+    assert(Bench.histMinOf(recent2) === Map("q" -> 1.0),
+      s"hist floor skips the flagged 12.0 but keeps live 1.0: ${Bench.histMinOf(recent2)}")
+    // the sf1 spelling round-trips through the same helper
+    val sf1 = s"""{"queries_sf1":{"q":2.000}""" +
+      Bench.historyCarryJson("_sf1", Map("q" -> 1.9), Map("q" -> 2.1),
+        Set.empty, Set("q"), Set.empty, Map.empty) + "}"
+    val recentSf1 = Bench.parseRecent(sf1, "_sf1", "queries_sf1")
+    assert(recentSf1(2) === ((Map("q" -> 2.1), Set("q"))), recentSf1.toString)
+  }
+
   test("flagged queries keep their PRIOR band — a suspect's regressed median must not absorb into band_hi") {
     // the absorption hole: round N stamps 'suspect' on a 4x regression;
     // if its sweep median entered band_hi, round N+1's pending recheck
