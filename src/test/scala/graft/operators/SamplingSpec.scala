@@ -298,6 +298,11 @@ class SamplingSpec extends SparkSpec {
       val inputCols = w.child.output.map(_.name)
       assert(!inputCols.contains("text"),
         s"the window subtree must not carry the text column: $inputCols")
+      // r20c: the budget attaches AFTER the window (semi-join filters
+      // before it) — an early inner join once put the budget column on
+      // every row crossing the cumsum shuffle
+      assert(!inputCols.contains("_bs_budget"),
+        s"the window subtree must not carry the budget column: $inputCols")
     }
   }
 
