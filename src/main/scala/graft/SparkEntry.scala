@@ -34,6 +34,18 @@ object SparkEntry {
     if (df.rdd.getNumPartitions >= min) df else df.repartition(2 * min)
   }
 
+  /** The same scan-starvation protection for the id lists feeding the
+   * media gates' executor-side fixture synthesis: each id becomes a
+   * full encode (WAV DSP / JPEG / MJPEG AVI) plus the decode+DCT/FFT
+   * fingerprint downstream — minutes of single-core work when the
+   * whole list rides the one split a small parquet scan produces
+   * (measured r20: q_audio_dedup's synthesis+fingerprint pass was one
+   * 3.6 s task at sf0.1 and 35 s of the sf1 sweep). The shuffle moves
+   * only 8-byte ids; at real scale the scan already has enough splits
+   * and this is a no-op. */
+  private def spreadIds(df: DataFrame, min: Int = 16): DataFrame =
+    if (df.rdd.getNumPartitions >= min) df else df.repartition(2 * min)
+
   /** The synthetic embeddings carry no true near-duplicates (max pair
    * cosine ~0.51), which would force the semantic-dedup gates to run at
    * artificial thresholds. Plant deterministic near-dups IN the gate
@@ -1539,7 +1551,7 @@ object SparkEntry {
       import graft.multimodal.Avi
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = t(s, dir, "documents").where(col("doc_id") % 7 === 0).select("doc_id")
+      val ids = spreadIds(t(s, dir, "documents").where(col("doc_id") % 7 === 0).select("doc_id"))
       val mediaSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("kind", StringType, nullable = false),
@@ -1577,7 +1589,7 @@ object SparkEntry {
       import graft.multimodal.ImageHash
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = t(s, dir, "documents").where(col("doc_id") % 17 === 0).select("doc_id")
+      val ids = spreadIds(t(s, dir, "documents").where(col("doc_id") % 17 === 0).select("doc_id"))
       val mediaSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("content", BinaryType, nullable = true)))
@@ -1605,7 +1617,7 @@ object SparkEntry {
       import graft.multimodal.AudioFingerprint
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = t(s, dir, "documents").where(col("doc_id") % 19 === 0).select("doc_id")
+      val ids = spreadIds(t(s, dir, "documents").where(col("doc_id") % 19 === 0).select("doc_id"))
       val mediaSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("content", BinaryType, nullable = true)))
@@ -1630,7 +1642,7 @@ object SparkEntry {
       import graft.multimodal.VideoHash
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val ids = t(s, dir, "documents").where(col("doc_id") % 23 === 0).select("doc_id")
+      val ids = spreadIds(t(s, dir, "documents").where(col("doc_id") % 23 === 0).select("doc_id"))
       val mediaSchema = StructType(Seq(
         StructField("media_id", LongType, nullable = false),
         StructField("content", BinaryType, nullable = true)))
@@ -2097,9 +2109,12 @@ object SparkEntry {
       // unigram_ppl probe. Oracle: DuckDB replays both fits and the
       // per-token log-ratio sum exactly.
       val dd = docs(s, dir)
-      val target = graft.operators.LmScore.fitUnigram(
-        dd.where(col("doc_id") % 7 === 0), "text")
-      val raw = graft.operators.LmScore.fitUnigram(dd, "text")
+      // one fused corpus pass for both models (r20): the pool CONTAINS
+      // the target sample, so two fitUnigram calls scanned and
+      // count-shuffled the same tokens twice; fitUnigramWithSubset
+      // aggregates (n_all, n_target) together, bit-identical models
+      val (raw, target) = graft.operators.LmScore.fitUnigramWithSubset(
+        dd, "text", col("doc_id") % 7 === 0)
       graft.expr.GraftFunctions.ensure(s)
       dd.select(col("doc_id"),
           round(graft.operators.Dsir.logWeightCol(col("text"), target, raw), 4)

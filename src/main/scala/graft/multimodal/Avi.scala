@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
  */
 object Avi {
 
+  // memory-backed ImageIO streams (see ImageHash — same rationale:
+  // the MJPEG encode/decode path round-trips thousands of tiny
+  // frames, and the default file-backed stream cache turns each into
+  // temp-file churn)
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def u32le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) | ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
   private def fourcc(b: Array[Byte], i: Int): String =

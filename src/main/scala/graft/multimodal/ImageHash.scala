@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
  */
 object ImageHash {
 
+  // ImageIO's default stream cache is FILE-backed: every read/write of
+  // an in-memory image creates and deletes a temp file. The media
+  // pipelines en/decode thousands of small frames per task (r20
+  // profile: the per-clip syscall churn dominated the decode stage),
+  // so back the streams with memory instead — bit-identical codec
+  // output, process-wide, idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val Size = 32
   // DCT-II basis, precomputed once per JVM: C[u][x] = cos((2x+1)uπ/64)
   private lazy val cosTable: Array[Array[Double]] = Array.tabulate(Size, Size) {

@@ -43,22 +43,73 @@ object LmScore {
   def fitUnigram(reference: DataFrame, textCol: String,
                  vocabSize: Int = 65536): UnigramLm = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
-    val toks = reference
+    // ONE exploded-token aggregation (r20, guide §2.3 "aggregate before
+    // you shuffle" / §2.4 "do fewer passes"): the former shape ran TWO
+    // full explode+shuffle passes over the reference — a scalar
+    // count/countDistinct agg AND the per-token count — when total,
+    // vocabulary size and the top-K boundary are all derivable from the
+    // (token, n) counts alone. The counts frame (one row per distinct
+    // token, ≤ vocab cardinality) is persisted for the two cheap
+    // follow-up jobs, then released.
+    val counts = tokenCounts(reference, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try unigramFromCounts(counts, vocabSize)
+    finally { counts.unpersist(); () }
+  }
+
+  /** (token, n) occurrence counts of the non-empty whitespace tokens —
+    * the single corpus pass every unigram-family fit derives from. */
+  private def tokenCounts(reference: DataFrame, textCol: String): DataFrame =
+    reference
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .where(col("tok") =!= "")
-    val stats = toks.agg(count(lit(1)).as("total"),
-      countDistinct(col("tok")).as("v")).head()
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+
+  /** Build the add-one-smoothed model from a (tok, n) counts frame:
+    * total = Σn, v = row count, top-`vocabSize` by the deterministic
+    * (count desc, token asc) boundary — bit-identical to fitting from
+    * the raw token stream. */
+  private def unigramFromCounts(counts: DataFrame, vocabSize: Int,
+                                nCol: String = "n"): UnigramLm = {
+    val stats = counts.agg(coalesce(sum(col(nCol)), lit(0L)).as("total"),
+      count(lit(1)).as("v")).head()
     val total = stats.getLong(0)
     require(total > 0, "cannot fit a unigram model on an empty reference corpus")
     val v = stats.getLong(1)
     val denom = (total + v + 1).toDouble
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = counts.select(col("tok"), col(nCol).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(vocabSize)
       .collect()
     UnigramLm(
       top.map(r => r.getString(0) -> math.log((r.getLong(1) + 1).toDouble / denom)).toMap,
       math.log(1.0 / denom))
+  }
+
+  /** Fit TWO unigram models in one corpus pass: the full reference and
+    * the `subset` rows (DSIR's target-vs-pool shape — the pool contains
+    * the target, so fitting them separately scans and shuffles the
+    * corpus twice for counts one pass already holds). Returns
+    * (fullModel, subsetModel), each bit-identical to `fitUnigram` on
+    * the corresponding frame: per-token counts aggregate as (n_all,
+    * n_subset) in one shuffle; totals, vocabulary sizes and the
+    * (count desc, token asc) top-K boundaries derive per model. */
+  def fitUnigramWithSubset(reference: DataFrame, textCol: String,
+                           subset: Column,
+                           vocabSize: Int = 65536): (UnigramLm, UnigramLm) = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val counts = reference
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"),
+        when(subset, 1L).otherwise(0L).as("_in"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"), sum(col("_in")).as("n_sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val full = unigramFromCounts(counts, vocabSize)
+      val sub = unigramFromCounts(counts.where(col("n_sub") > 0), vocabSize, "n_sub")
+      (full, sub)
+    } finally { counts.unpersist(); () }
   }
 
   /**
@@ -139,26 +190,34 @@ object LmScore {
                 bigramSize: Int = 1 << 18, alpha: Double = 0.4): BigramLm = {
     require(bigramSize >= 1, s"bigramSize must be >= 1: $bigramSize")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
-    val uni = fitUnigram(reference, textCol, vocabSize)
-    val toks = reference
-      .select(filter(TextFunctions.tokens(col(textCol)), t => t =!= "").as("_t"))
-    val tail = greatest(size(col("_t")) - 1, lit(0))
-    val pairs = toks.select(explode(zip_with(
-      slice(col("_t"), lit(1), tail),
-      slice(col("_t"), lit(2), tail),
-      (a, b) => concat(a, lit(" "), b))).as("_pair"))
-    val tokCounts = toks.select(explode(col("_t")).as("_tok"))
-      .groupBy(col("_tok")).agg(count(lit(1)).as("_cn"))
-    val top = pairs.groupBy(col("_pair")).agg(count(lit(1)).as("_n"))
-      .orderBy(col("_n").desc, col("_pair"))
-      .limit(bigramSize)
-    val rows = top
-      .withColumn("_prev", substring_index(col("_pair"), " ", 1))
-      .join(tokCounts, col("_prev") === col("_tok"))
-      .select(col("_pair"), log(col("_n").cast("double") / col("_cn")).as("_lp"))
-      .collect()
-    BigramLm(rows.map(r => r.getString(0) -> r.getDouble(1)).toMap,
-      uni, math.log(alpha))
+    // ONE token-count pass shared three ways (r20): the former shape
+    // aggregated the exploded tokens TWICE (once inside fitUnigram,
+    // once as `tokCounts` for the context denominators) on top of the
+    // pair pass. The cached (tok, n) frame feeds the unigram tier and
+    // the c(prev) join; only the pair counts need their own pass.
+    val counts = tokenCounts(reference, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val uni = unigramFromCounts(counts, vocabSize)
+      val toks = reference
+        .select(filter(TextFunctions.tokens(col(textCol)), t => t =!= "").as("_t"))
+      val tail = greatest(size(col("_t")) - 1, lit(0))
+      val pairs = toks.select(explode(zip_with(
+        slice(col("_t"), lit(1), tail),
+        slice(col("_t"), lit(2), tail),
+        (a, b) => concat(a, lit(" "), b))).as("_pair"))
+      val tokCounts = counts.select(col("tok").as("_tok"), col("n").as("_cn"))
+      val top = pairs.groupBy(col("_pair")).agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("_pair"))
+        .limit(bigramSize)
+      val rows = top
+        .withColumn("_prev", substring_index(col("_pair"), " ", 1))
+        .join(tokCounts, col("_prev") === col("_tok"))
+        .select(col("_pair"), log(col("_n").cast("double") / col("_cn")).as("_lp"))
+        .collect()
+      BigramLm(rows.map(r => r.getString(0) -> r.getDouble(1)).toMap,
+        uni, math.log(alpha))
+    } finally { counts.unpersist(); () }
   }
 
   /** Per-document stupid-backoff bigram perplexity as a row-local

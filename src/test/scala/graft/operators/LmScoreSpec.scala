@@ -187,4 +187,32 @@ class LmScoreSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"model must broadcast-join:\n$plan")
   }
+
+  test("fitUnigramWithSubset: both models bit-identical to separate fits (r20 fused pass)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (raw, target) = LmScore.fitUnigramWithSubset(real, "text", col("doc_id") % 7 === 0)
+    val rawRef = LmScore.fitUnigram(real, "text")
+    val targetRef = LmScore.fitUnigram(real.where(col("doc_id") % 7 === 0), "text")
+    assert(raw.oovLogProb == rawRef.oovLogProb && raw.logProbs == rawRef.logProbs,
+      "fused full model must equal the separate fit exactly")
+    assert(target.oovLogProb == targetRef.oovLogProb && target.logProbs == targetRef.logProbs,
+      "fused subset model must equal the separate fit exactly")
+    // the vocab-cap boundary must stay the per-model (count desc, token
+    // asc) rule under the fused counts too
+    val (cappedFull, cappedSub) =
+      LmScore.fitUnigramWithSubset(real, "text", col("doc_id") % 7 === 0, vocabSize = 5)
+    assert(cappedFull.logProbs == LmScore.fitUnigram(real, "text", vocabSize = 5).logProbs)
+    assert(cappedSub.logProbs ==
+      LmScore.fitUnigram(real.where(col("doc_id") % 7 === 0), "text", vocabSize = 5).logProbs)
+  }
+
+  test("fitUnigram single-pass rewrite: model unchanged on hand-computed and real corpora") {
+    // the r20 single-aggregation fit must reproduce the two-pass fit's
+    // exact totals: total=Σn and v=#types derive from the counts frame
+    val lm = LmScore.fitUnigram(Seq("a a b", "b c").toDF("text"), "text")
+    // total=5, v=3, denom=9: p(a)=3/9, p(b)=3/9, p(c)=2/9, oov=1/9
+    assert(math.abs(lm.logProbs("a") - math.log(3.0 / 9)) < 1e-12)
+    assert(math.abs(lm.logProbs("c") - math.log(2.0 / 9)) < 1e-12)
+    assert(math.abs(lm.oovLogProb - math.log(1.0 / 9)) < 1e-12)
+  }
 }
