@@ -2187,8 +2187,15 @@ object SparkEntry {
         .select((col("id") + 3000000L).as("doc_id"),
           concat_ws(" ", (0 until 30).map(j =>
             concat(lit("zq"), col("id"), lit(s"w$j"))): _*).as("text"))
+      // materialize the (tiny) probe batch before newDocsOnly (r20):
+      // lazy, the optimizer pushed the anti join below the batch's
+      // UNION and planned the whole banded-probe dup subtree once PER
+      // BRANCH — a 330 KB duplicated plan re-evaluating the probe
+      // aggregate; checkpointed, the batch is a leaf and the dup list
+      // plans (and runs) once
+      val batch = twins.unionByName(synth).localCheckpoint(true)
       graft.operators.MinHashIndex.newDocsOnly(
-          twins.unionByName(synth), "text", "doc_id",
+          batch, "text", "doc_id",
           s.read.parquet(path), "doc_id", threshold = 0.6)
         .select("doc_id")
     })

@@ -909,26 +909,50 @@ object Decontaminate {
    * Per-suite contamination report — the eval-integrity dashboard:
    * one row per named benchmark suite with how many training
    * documents leak it and how much (doc count + corpus share, total
-   * and worst-case distinct shared n-grams). Each suite runs the
-   * [[contaminatedIds]] broadcast shape (suites are few and small by
-   * construction — the loop is over suite NAMES, not data); the
-   * corpus cardinality attaches as a lazy one-row broadcast so the
-   * whole report is one lazy frame.
+   * and worst-case distinct shared n-grams). r20 (guide §2.4 "do fewer
+   * passes"): the per-suite [[contaminatedIds]] loop shingle-exploded
+   * the WHOLE CORPUS once per suite; the suites' distinct shingle
+   * hashes now broadcast as one suite-TAGGED union, so the corpus is
+   * exploded and probed exactly once however many suites ride the
+   * report. Per-(suite, doc) overlap counts are identical to the
+   * per-suite shape (distinct (suite, id, hash) matches); suites with
+   * zero leaks re-attach as zero rows from the literal name list —
+   * the row an empty per-suite aggregate used to produce. The corpus
+   * cardinality attaches as a lazy one-row broadcast so the whole
+   * report is one lazy frame.
    */
   def contaminationReport(docs: DataFrame, textCol: String, idCol: String,
                           suites: Seq[(String, DataFrame, String)],
                           shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
     require(suites.nonEmpty, "contaminationReport needs at least one suite")
+    graft.expr.GraftFunctions.ensure(docs.sparkSession)
+    def shingleHashes(df: DataFrame, c: String): DataFrame = df
+      .select(explode(graft.expr.GraftFunctions.wordShingles(
+        TextFunctions.tokens(col(c)), shingleSize)).as("_sh"))
+      .select(xxhash64(col("_sh")).as("_h"))
     val total = docs.agg(count(lit(1)).as("_n"))
-    val perSuite = suites.map { case (name, bench, benchTextCol) =>
-      contaminatedIds(docs, textCol, idCol, bench, benchTextCol, shingleSize, minOverlap)
-        .agg(
-          count(lit(1)).as("contaminated_docs"),
-          coalesce(sum(col("n_overlap")), lit(0L)).as("leaked_ngrams"),
-          coalesce(max(col("n_overlap")), lit(0L)).as("max_overlap"))
-        .select(lit(name).as("suite"), col("contaminated_docs"),
-          col("leaked_ngrams"), col("max_overlap"))
+    val taggedSuiteSh = suites.map { case (name, bench, benchTextCol) =>
+      shingleHashes(bench, benchTextCol).distinct()
+        .select(lit(name).as("suite"), col("_h"))
     }.reduce(_ unionByName _)
+    val overlaps = docs
+      .select(col(idCol), explode(graft.expr.GraftFunctions.wordShingles(
+        TextFunctions.tokens(col(textCol)), shingleSize)).as("_sh"))
+      .select(col(idCol), xxhash64(col("_sh")).as("_h"))
+      .join(broadcast(taggedSuiteSh), Seq("_h")) // corpus-side: filter+tag, no shuffle
+      .select(col("suite"), col(idCol), col("_h")).distinct()
+      .groupBy(col("suite"), col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+    val perSuiteAgg = overlaps.groupBy(col("suite"))
+      .agg(count(lit(1)).as("_cd"), sum(col("n_overlap")).as("_lk"),
+        max(col("n_overlap")).as("_mx"))
+    import docs.sparkSession.implicits._
+    val names = suites.map(_._1).toDF("suite")
+    val perSuite = names.join(perSuiteAgg, Seq("suite"), "left")
+      .select(col("suite"),
+        coalesce(col("_cd"), lit(0L)).as("contaminated_docs"),
+        coalesce(col("_lk"), lit(0L)).as("leaked_ngrams"),
+        coalesce(col("_mx"), lit(0L)).as("max_overlap"))
     perSuite.crossJoin(broadcast(total))
       .select(col("suite"), col("contaminated_docs"),
         round(col("contaminated_docs").cast("double") / col("_n"), 6).as("doc_share"),
