@@ -139,24 +139,75 @@ final class CurationTransformer extends Transformer {
     }
     val deduped = Dedup.exact(docs, textCol, idCol)
 
+    // ── r20 overlap (guide §2.6 "overlap independent jobs") ─────────
+    // Three of the pipeline's model constructions are EAGER chains of
+    // small driver-blocking jobs and mutually independent: the
+    // semantic-dedup fit + drop list, the perplexity reference fit,
+    // and the group-safe split's near-dup pair groups. Run serially,
+    // each chain leaves the cluster idle through every job tail;
+    // submitted from a small driver pool, the scheduler back-fills
+    // (FIFO: the earlier job keeps priority, later jobs use the idle
+    // slots). Every block's own math is UNTOUCHED — identical models
+    // and frames, awaited and composed in the original order — and
+    // every metastore read stays on the caller thread (the reader's
+    // bookkeeping is not part of the overlap). Blocks that are not
+    // enabled never submit; with one block the pool degenerates to
+    // the serial behavior.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+
+    val semInputs = if (!options.get("semdedup.enabled").contains("true")) None
+      else Some((
+        ms.getTable(options("semdedup.table"), Some(infoDate), Some(infoDate)),
+        options.getOrElse("semdedup.embedding.column", "embedding"),
+        options.getOrElse("semdedup.id.column", idCol),
+        options.getOrElse("semdedup.clusters", "8").toInt,
+        options.getOrElse("semdedup.threshold", "0.95").toDouble))
+    val pplEnabled = options.get("perplexity.enabled").contains("true")
+    val pplRef = if (!pplEnabled) None
+      else Some(options.get("perplexity.reference.table")
+        .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
+        .getOrElse(docs))
+    val groupSafe = options.get("split.group.safe").contains("true")
+    val nBlocks = Seq(semInputs.isDefined, pplRef.isDefined, groupSafe).count(identity)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, nBlocks))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+
     // semantic dedup: embeddings live in their OWN table (they are
     // produced by a different pipeline stage than the text); prune the
     // ids SemDeDup drops, via anti-join so embedding-less docs survive
-    val semDeduped =
-      if (!options.get("semdedup.enabled").contains("true")) deduped
-      else {
-        val emb = ms.getTable(options("semdedup.table"), Some(infoDate), Some(infoDate))
-        val embCol = options.getOrElse("semdedup.embedding.column", "embedding")
-        val embIdCol = options.getOrElse("semdedup.id.column", idCol)
-        val k = options.getOrElse("semdedup.clusters", "8").toInt
-        val thr = options.getOrElse("semdedup.threshold", "0.95").toDouble
+    val semFut = semInputs.map { case (emb, embCol, embIdCol, k, thr) =>
+      Future {
         val cents = Clustering.fit(emb, embCol, k, iters = 3)
         // SemDeDup builds the drop list internally; anti-join it
         // directly rather than re-deriving it from the survivor set
         // (which would run the whole SemDeDup DAG a second time)
-        val droppedIds = SemDeDup.dropList(emb, embCol, embIdCol, cents, threshold = thr)
-        deduped.join(droppedIds, col(idCol) === col("_drop_id"), "left_anti")
+        SemDeDup.dropList(emb, embCol, embIdCol, cents, threshold = thr)
       }
+    }
+    // perplexity fit (see the perplexity tier below for the input
+    // contract) and the group-safe pair groups launch BEFORE the
+    // semantic block is awaited, so all three chains overlap
+    val pplFut = pplRef.map(ref => Future { LmScore.fitUnigram(ref, textCol) })
+    val groupsFut = if (!groupSafe) None else Some(Future {
+      val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
+      // near-dup pairs come from the RAW input projection, not the
+      // curated frame: scoring them on withPpl would evaluate the
+      // whole curated DAG (dedup → semdedup → quality → perplexity)
+      // a SECOND time just to shingle two source columns — and
+      // full-corpus groups are the more conservative leakage rule
+      // anyway: near-dup chains THROUGH pruned docs still group, so
+      // surviving copies cannot straddle train/eval via a dropped
+      // intermediate.
+      val pairs = Dedup.minhashNearDups(
+        docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
+      DupGroups.connectedComponents(pairs, "id_a", "id_b")
+    })
+
+    val semDeduped = semFut.fold(deduped)(f =>
+      deduped.join(Await.result(f, Duration.Inf),
+        col(idCol) === col("_drop_id"), "left_anti"))
 
     val lineKeep =
       if (!options.get("line.rules.enabled").contains("true")) lit(true)
@@ -174,22 +225,20 @@ final class CurationTransformer extends Transformer {
       .withColumn("n_tokens", TextFunctions.tokenCountWs(col(textCol)))
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
 
-    // perplexity tier: bounded two-job fit (scalar agg + capped vocab)
-    // on the reference, broadcast-join scoring, left join back so
-    // tokenless docs keep a null score instead of vanishing
-    val withPpl =
-      if (!options.get("perplexity.enabled").contains("true")) scored
-      else {
-        // default fit input is the RAW read, not the curated frame: a
-        // trusted reference table is the production knob, and without
-        // one the fit must not RE-EXECUTE the dedup → semdedup DAG
-        // just to count tokens — at corpus scale that doubles the most
-        // expensive stages for a distribution estimate the raw scan
-        // approximates within the duplicates' weight shift
-        val ref = options.get("perplexity.reference.table")
-          .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
-          .getOrElse(docs)
-        val lm = LmScore.fitUnigram(ref, textCol)
+    // perplexity tier: bounded fit (one token-count aggregation +
+    // capped vocab) on the reference, row-local native scoring, left
+    // join back so tokenless docs keep a null score instead of
+    // vanishing. The fit input default is the RAW read, not the
+    // curated frame: a trusted reference table is the production
+    // knob, and without one the fit must not RE-EXECUTE the dedup →
+    // semdedup DAG just to count tokens — at corpus scale that
+    // doubles the most expensive stages for a distribution estimate
+    // the raw scan approximates within the duplicates' weight shift.
+    // (The fit itself was launched on the overlap pool above.)
+    val withPpl = pplFut match {
+      case None => scored
+      case Some(f) =>
+        val lm = Await.result(f, Duration.Inf)
         // row-local native scoring: no explode/join/shuffle, and no
         // second evaluation of the `scored` subtree (the join
         // formulation derived ppl FROM scored and joined it back —
@@ -202,7 +251,7 @@ final class CurationTransformer extends Transformer {
             withCol.where(col("perplexity").isNull || col("perplexity") <= maxPpl)
           case None => withCol
         }
-      }
+    }
 
     // DSIR + classifier tiers share the trusted target sample; both
     // fits are bounded (capped-vocab LM aggregates / sampled LBFGS)
@@ -253,24 +302,15 @@ final class CurationTransformer extends Transformer {
         case Some(other) => throw new IllegalArgumentException(
           s"split.bucket must be 'default' or 'replayable', got '$other'")
       }
-    if (!options.get("split.group.safe").contains("true"))
-      Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"),
-        bucketCol = bucketOf.map(_(col(idCol))))
-    else {
-      val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
-      // near-dup pairs come from the RAW input projection, not the
-      // curated frame: scoring them on withPpl would evaluate the
-      // whole curated DAG (dedup → semdedup → quality → perplexity)
-      // a SECOND time just to shingle two source columns — and
-      // full-corpus groups are the more conservative leakage rule
-      // anyway: near-dup chains THROUGH pruned docs still group, so
-      // surviving copies cannot straddle train/eval via a dropped
-      // intermediate.
-      val pairs = Dedup.minhashNearDups(
-        docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
-      val groups = DupGroups.connectedComponents(pairs, "id_a", "id_b")
-      Sampling.withGroupSafeSplitLabel(withClf, idCol, groups, weights,
-        Seq("train", "val", "test"), bucketOf = bucketOf)
+    groupsFut match {
+      case None =>
+        Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"),
+          bucketCol = bucketOf.map(_(col(idCol))))
+      case Some(f) =>
+        Sampling.withGroupSafeSplitLabel(withClf, idCol, Await.result(f, Duration.Inf),
+          weights, Seq("train", "val", "test"), bucketOf = bucketOf)
     }
+
+    } finally { pool.shutdown(); () }
   }
 }
