@@ -43,31 +43,39 @@ object QualityClassifier {
           vocabSize: Int = 65536, maxIter: Int = 50,
           regParam: Double = 1e-3): LinearTextModel = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    // the tokenized SAMPLE feeds two consumers — the vocabulary job and
+    // the featurize+LBFGS fit — and is bounded by the train/serve
+    // contract (samples, never the corpus), so persist it across both
+    // instead of tokenizing the texts twice (r20; MLlib persists only
+    // its own featurized instances, not this upstream)
     val labeled = positives.select(TextFunctions.tokens(col(textCol)).as("_toks"), lit(1.0).as("_label"))
       .unionByName(negatives.select(TextFunctions.tokens(col(textCol)).as("_toks"), lit(0.0).as("_label")))
-    // deterministic capped vocabulary by document frequency — the
-    // fitUnigram discipline (never a full-vocabulary collect)
-    val vocab = labeled
-      .select(explode(array_distinct(filter(col("_toks"), t => t =!= ""))).as("_tok"))
-      .groupBy("_tok").agg(count(lit(1)).as("_df"))
-      .orderBy(col("_df").desc, col("_tok"))
-      .limit(vocabSize)
-      .select("_tok")
-      .as(org.apache.spark.sql.Encoders.STRING)
-      .collect()
-    require(vocab.nonEmpty, "cannot fit a classifier on token-free samples")
-    val cv = new org.apache.spark.ml.feature.CountVectorizerModel(vocab)
-      .setInputCol("_toks").setOutputCol("_features")
-    val lr = new org.apache.spark.ml.classification.LogisticRegression()
-      .setFeaturesCol("_features").setLabelCol("_label")
-      .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
-    val model = lr.fit(cv.transform(labeled))
-    val coefs = model.coefficients
-    LinearTextModel(
-      vocab.iterator.zipWithIndex.collect {
-        case (t, i) if coefs(i) != 0.0 => t -> coefs(i)
-      }.toMap,
-      model.intercept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic capped vocabulary by document frequency — the
+      // fitUnigram discipline (never a full-vocabulary collect)
+      val vocab = labeled
+        .select(explode(array_distinct(filter(col("_toks"), t => t =!= ""))).as("_tok"))
+        .groupBy("_tok").agg(count(lit(1)).as("_df"))
+        .orderBy(col("_df").desc, col("_tok"))
+        .limit(vocabSize)
+        .select("_tok")
+        .as(org.apache.spark.sql.Encoders.STRING)
+        .collect()
+      require(vocab.nonEmpty, "cannot fit a classifier on token-free samples")
+      val cv = new org.apache.spark.ml.feature.CountVectorizerModel(vocab)
+        .setInputCol("_toks").setOutputCol("_features")
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol("_features").setLabelCol("_label")
+        .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
+      val model = lr.fit(cv.transform(labeled))
+      val coefs = model.coefficients
+      LinearTextModel(
+        vocab.iterator.zipWithIndex.collect {
+          case (t, i) if coefs(i) != 0.0 => t -> coefs(i)
+        }.toMap,
+        model.intercept)
+    } finally { labeled.unpersist(); () }
   }
 
   /** Logit (pre-sigmoid score) as a row-local column: bias +
