@@ -103,6 +103,28 @@ class DedupSpec extends SparkSpec {
     assert(report("unleaked") == ((0L, 0.0, 0L, 0L)), s"zero-leak suite must report zeros: $report")
   }
 
+  test("L16c report single-pass rewrite: identical to per-suite contaminatedIds on real data") {
+    // r20 differential pin: the suite-tagged single corpus pass must
+    // reproduce the per-suite contaminatedIds aggregates exactly
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val suites = Seq(
+      ("a", corpus.where(col("doc_id") % 40 === 0).select(col("text").as("q")), "q"),
+      ("b", corpus.where(col("doc_id") % 37 === 0).select(col("text").as("q")), "q"))
+    val got = Decontaminate.contaminationReport(corpus, "text", "doc_id", suites,
+        shingleSize = 5, minOverlap = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val total = corpus.count()
+    suites.foreach { case (name, bench, qc) =>
+      val per = Decontaminate.contaminatedIds(corpus, "text", "doc_id", bench, qc,
+        shingleSize = 5, minOverlap = 1).collect().map(_.getLong(1))
+      val want = (per.length.toLong,
+        BigDecimal(per.length.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        per.sum, if (per.isEmpty) 0L else per.max)
+      assert(got(name) == want, s"suite $name: got ${got(name)} want $want")
+    }
+  }
+
   test("L16b bloom decontamination: identical result to the exact path on real data") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = corpus.where(col("doc_id") % 40 === 0).select(col("text").as("q"))
