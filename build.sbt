@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Unprefixed program stdout (r21): with the default LoggedOutput
+// strategy sbt rewrote every forked stdout line as "[info] <line>",
+// which is why the driver's bench-line parse failed in EVERY round —
+// the r01 BENCH artifact shows the complete JSON line inside the
+// captured tail, unparseable behind the prefix. StdoutOutput passes
+// the forked process's stdout/stderr straight through to sbt's own.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -469,6 +469,27 @@ class VerifyBenchSpec extends SparkSpec {
     assert(!json.contains("q1_agg"), s"no recheck entry without a measurement: $json")
   }
 
+  test("stdout compact line: live medians only, failed entries kept, value LAST, no history sections") {
+    // r21 (verdict item 2): stdout carries a short parseable line — the
+    // full history line lives in bench.json only. The capture channel
+    // keeps a ~2 KB stdout tail, so the compact line must never grow
+    // the history carry / band / regression sections back.
+    val results: Seq[(String, Either[String, Double])] = Seq(
+      "q_a" -> Right(1.23456), "q_b" -> Left("boom"))
+    val cg = ""","codegen_failures":{"total":0,"queries":{}}"""
+    val line = Bench.compactLine(results, runs = 3, nFailed = 1,
+      sfDir = "/d", cgJson = cg, totalJson = "null")
+    assert(line.startsWith("""{"metric":"total""""), line)
+    assert(line.endsWith(""""value":null}"""), s"value must ride the tail: $line")
+    assert(line.contains(""""q_a":1.235"""), line)
+    assert(line.contains(""""q_b":"failed""""), line)
+    assert(!line.contains("queries_h2") && !line.contains("band_lo") &&
+      !line.contains("regressions") && !line.contains("pending_real"),
+      s"history sections must stay out of stdout: $line")
+    // the line is parseable by the same section parser the prior file uses
+    assert(Bench.parsePriorSection(line, "queries") === Map("q_a" -> 1.235))
+  }
+
   test("parsePriorSection extracts the right section of a prior bench line") {
     val line = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},""" +
       """"queries_sf1":{"q_a":12.5,"q_c":3.0},"value":1.75}"""

@@ -25,17 +25,23 @@ object JobProfile {
     case class JobRec(id: Int, t0: Long, var t1: Long = 0L, desc: String,
                       var nTasks: Int = 0, var taskTime: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    // stageId -> jobId (ADVICE r20): tasks used to be attributed to the
+    // newest unfinished job, which misreports exactly the overlapped
+    // (concurrent-job) operators this tool exists to profile
+    val stageJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties).flatMap(p =>
           Option(p.getProperty("spark.job.description"))).getOrElse("")
-        jobs.synchronized { jobs(e.jobId) = JobRec(e.jobId, e.time, desc = d) }
+        jobs.synchronized {
+          jobs(e.jobId) = JobRec(e.jobId, e.time, desc = d)
+          e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
-        // attribute to the newest unfinished job (local mode, mostly serial)
-        jobs.values.lastOption.foreach { j =>
+        stageJob.get(e.stageId).flatMap(jobs.get).foreach { j =>
           j.nTasks += 1
           if (e.taskInfo != null) j.taskTime += e.taskInfo.duration
         }
@@ -47,7 +53,7 @@ object JobProfile {
     for (r <- 1 to runs) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageJob.clear() }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
