@@ -2029,8 +2029,11 @@ object SparkEntry {
       // cosine in the synthetic embeddings is ~0.51.
       val emb = withPlantedNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         eps = 0.1)
-      val cents = graft.operators.Clustering.fit(emb, "embedding", k = 8, iters = 3)
-      graft.operators.SemDeDup.dedup(emb, "embedding", "vec_id", cents, threshold = 0.92)
+      // dedupWithFit == Clustering.fit + SemDeDup.dedup composed, with
+      // the fit's driver collects overlapped against the identity
+      // pre-group (r21, guide §2.6) — bit-identical centroids/survivors
+      graft.operators.SemDeDup.dedupWithFit(emb, "embedding", "vec_id",
+          k = 8, iters = 3, threshold = 0.92)
         .select((col("vec_id") % 1000000L).as("pair_key"))
         .groupBy("pair_key").agg(count(lit(1)).as("n"))
     }),

@@ -57,6 +57,14 @@ object Dedup {
     val dupFps = withFp.groupBy("_fp1", "_fp2")
       .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
       .select("_fp1", "_fp2")
+    exactOverDupFps(withFp, idCol, dupFps)
+  }
+
+  /** [[exact]]'s broadcast-plan tail over an already-derived duplicate
+    * fingerprint set — shared with [[exactFromProbe]] so the two plans
+    * can never drift. */
+  private def exactOverDupFps(withFp: DataFrame, idCol: String,
+                              dupFps: DataFrame): DataFrame = {
     val unique = withFp.join(broadcast(dupFps), Seq("_fp1", "_fp2"), "left_anti")
     val w = Window.partitionBy(col("_fp1"), col("_fp2")).orderBy(col(idCol))
     val keepers = withFp.join(broadcast(dupFps), Seq("_fp1", "_fp2"), "left_semi")
@@ -64,6 +72,56 @@ object Dedup {
       .where(col("_rn") === 1)
       .drop("_rn")
     unique.union(keepers).drop("_fp1", "_fp2")
+  }
+
+  /** One materialized duplicate-group probe over the (fp1, fp2) text
+    * fingerprints [[exact]] keys on, shared (r21, guide §2.4 — fewer
+    * corpus passes) between exact dedup and the MinHash candidate
+    * pass: a pipeline that runs both used to aggregate the corpus hash
+    * TWICE (exact's dupFps aggregation + minhash's single-hash dup
+    * probe). `dupGroups` is (_k1, _k2, rep) for every >1-copy text,
+    * MATERIALIZED (localCheckpoint) so consumers plan against a leaf;
+    * the plan-shape counters ride the SAME action as query metrics
+    * (`observe`), so the whole probe is one job. Determinism contract
+    * as [[exact]]: the input must evaluate identically across the
+    * consumers' re-scans. */
+  final case class DupProbe(dupRows: Long, nGroups: Long, totalRows: Long,
+                            dupGroups: DataFrame)
+
+  def dupProbe(docs: DataFrame, textCol: String, idCol: String): DupProbe = {
+    val byKey = docs.select(col(idCol).as("_pid"),
+        xxhash64(col(textCol)).as("_k1"),
+        xxhash64(lit(0x9E3779B9L), col(textCol)).as("_k2"))
+      .groupBy(col("_k1"), col("_k2"))
+      .agg(min(col("_pid")).as("rep"), count(lit(1)).as("_n"))
+    val obs = org.apache.spark.sql.Observation()
+    val g = byKey.observe(obs,
+        coalesce(sum(when(col("_n") > 1, col("_n") - 1).otherwise(0L)), lit(0L)).as("dupRows"),
+        count(when(col("_n") > 1, 1)).as("nGroups"),
+        coalesce(sum(col("_n")), lit(0L)).as("totalRows"))
+      .where(col("_n") > 1).select(col("_k1"), col("_k2"), col("rep"))
+      .localCheckpoint(true)
+    val m = obs.get
+    DupProbe(m("dupRows").asInstanceOf[Long], m("nGroups").asInstanceOf[Long],
+      m("totalRows").asInstanceOf[Long], g)
+  }
+
+  /** [[exact]] fed by a shared [[DupProbe]] instead of its own dupFps
+    * aggregation — identical keep set (same fingerprints, same
+    * keep-smallest-id rule); one fewer full corpus aggregation when the
+    * probe is shared with the MinHash pass. The probe's group count
+    * also gates the broadcast the plain path must assume: above
+    * [[MaxBroadcastDupGroups]] the classic full-window plan runs
+    * instead of broadcasting an oversized dup set. */
+  def exactFromProbe(docs: DataFrame, textCol: String, idCol: String,
+                     probe: DupProbe): DataFrame = {
+    if (probe.nGroups > MaxBroadcastDupGroups)
+      return exact(docs, textCol, idCol, broadcastDupSet = false)
+    val fp1 = xxhash64(col(textCol))
+    val fp2 = xxhash64(lit(0x9E3779B9L), col(textCol))
+    val withFp = docs.withColumn("_fp1", fp1).withColumn("_fp2", fp2)
+    exactOverDupFps(withFp, idCol,
+      probe.dupGroups.select(col("_k1").as("_fp1"), col("_k2").as("_fp2")))
   }
 
   /** Exact-dedup summary: groups with duplicates (keeper id + count). */
@@ -151,7 +209,8 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, k: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        precomputed: Option[DupProbe] = None): DataFrame = {
     val r = k / bands
     graft.expr.GraftFunctions.ensure(docs.sparkSession)
 
@@ -185,23 +244,47 @@ object Dedup {
     //    bands: g copies cost g-1 star pairs instead of O(g²) per
     //    band. Pair sets stay transitively complete in every branch.
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val keyed = base.select(col("doc_id"), xxhash64(col("text")).as("_k"))
-    val (dupRows, nGroups, totalRows, dupG) = dupGroupsOf(keyed)
+    // a shared DupProbe (r21) replaces the probe aggregation with the
+    // materialized (fp1, fp2)-keyed groups the exact-dedup pass already
+    // computed — a strictly FINER exact-text key than the single
+    // xxhash64, so group membership is identical absent 64-bit
+    // collisions and the corpus hash aggregation runs once per
+    // pipeline, not once per operator (guide §2.4).
+    val (dupRows, nGroups, totalRows, keyCols, keyed, dupG) = precomputed match {
+      case Some(p) =>
+        val keyed2 = base.select(col("doc_id"),
+          xxhash64(col("text")).as("_k1"),
+          xxhash64(lit(0x9E3779B9L), col("text")).as("_k2"))
+        (p.dupRows, p.nGroups, p.totalRows, Seq("_k1", "_k2"), keyed2, p.dupGroups)
+      case None =>
+        val keyed1 = base.select(col("doc_id"), xxhash64(col("text")).as("_k"))
+        val (dupRows, nGroups, totalRows, dupG) = dupGroupsOf(keyed1)
+        (dupRows, nGroups, totalRows, Seq("_k"), keyed1, dupG)
+    }
     DupPlan.choose(dupRows, nGroups, totalRows) match {
       case DupPlan.NoDups => banding(base)
       case DupPlan.BroadcastStars =>
-        val stars = keyed.join(broadcast(dupG), "_k")
+        val stars = keyed.join(broadcast(dupG), keyCols)
           .where(col("doc_id") =!= col("rep"))
           .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
         stars.unionByName(banding(base)).dropDuplicates("id_a", "id_b")
       case DupPlan.PreGroup =>
-        val withKey = base.withColumn("_k", xxhash64(col("text")))
-        val groups = withKey.groupBy(col("_k")).agg(min(col("doc_id")).as("rep"))
-        val stars = withKey.select(col("doc_id"), col("_k")).join(groups, "_k")
+        // groups maps distinct texts to their min-id representative;
+        // with a precomputed probe only the >1-copy groups exist (a
+        // unique text is its own rep by definition), so representatives
+        // are "the corpus minus non-representative members" — one
+        // anti-join by id, the same single full-text shuffle the
+        // self-computed path pays on its rep join
+        val groups = precomputed match {
+          case Some(_) => dupG
+          case None =>
+            keyed.groupBy(keyCols.map(col): _*).agg(min(col("doc_id")).as("rep"))
+        }
+        val nonReps = keyed.join(groups, keyCols)
           .where(col("doc_id") =!= col("rep"))
+        val stars = nonReps
           .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
-        val reps = withKey.join(groups, "_k").where(col("doc_id") === col("rep"))
-          .select(col("doc_id"), col("text"))
+        val reps = base.join(nonReps.select(col("doc_id")), Seq("doc_id"), "left_anti")
         stars.unionByName(banding(reps))
     }
   }
@@ -212,8 +295,10 @@ object Dedup {
    */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.8, shingleSize: Int = 3,
-                      k: Int = 64, bands: Int = 16): DataFrame = {
-    val cand = minhashCandidates(docs, textCol, idCol, shingleSize, k, bands)
+                      k: Int = 64, bands: Int = 16,
+                      precomputed: Option[DupProbe] = None): DataFrame = {
+    val cand = minhashCandidates(docs, textCol, idCol, shingleSize, k, bands,
+      precomputed = precomputed)
     NgramJaccard.verifyPairs(cand, docs, textCol, idCol, shingleSize)
       .where(col("jaccard") >= threshold)
   }

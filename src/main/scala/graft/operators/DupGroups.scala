@@ -58,6 +58,45 @@ object DupGroups {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
                           driverResolveMaxEdges: Long = DriverResolveMaxEdges): DataFrame = {
+    // small-graph fast path FIRST (r21, guide §1.2 fewer driver
+    // round-trips): candidate pairs are the small end of the funnel in
+    // every production composition, and the old shape paid THREE
+    // actions before any label existed — checkpoint the undirected
+    // edge list, count it, collect it. One limit-guarded collect of
+    // the RAW pair projection decides feasibility and fetches the
+    // edges together: the union-find handles duplicate pairs and both
+    // orientations natively, so the union+distinct shuffle was only
+    // ever feeding the count. (Raw pairs over-count distinct edges, so
+    // the threshold trips to the distributed path slightly earlier —
+    // the conservative direction.) Integral ids only; other key types
+    // take the distributed path below.
+    val aType = pairs.schema(aCol).dataType
+    val bType = pairs.schema(bCol).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)
+    if (integral(aType) && integral(bType) &&
+        driverResolveMaxEdges <= Int.MaxValue - 1) {
+      val raw = pairs
+        .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .limit(driverResolveMaxEdges.toInt + 1).collect()
+      if (raw.length <= driverResolveMaxEdges) {
+        val spark = pairs.sparkSession
+        val labels = unionFindLabels(raw.map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        val out = labels.toSeq.toDF("id", "group_id")
+        // both-int inputs keep int labels (the union in the distributed
+        // path coerces mixed int/long to long; mirror that here)
+        return if (aType == org.apache.spark.sql.types.IntegerType &&
+            bType == org.apache.spark.sql.types.IntegerType)
+          out.select(col("id").cast("int").as("id"),
+            col("group_id").cast("int").as("group_id"))
+        else out
+      }
+      // over the driver bound: fall through to the distributed rounds
+      // (the one oversized collect is the documented price of probing)
+    }
+
     // undirected adjacency: both orientations, self-loops dropped,
     // deduplicated once so repeated candidate pairs don't multiply
     // every subsequent join
@@ -66,28 +105,6 @@ object DupGroups {
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct())
-
-    // small-graph fast path: one count (ids only — und is checkpointed,
-    // so this is cheap and reused) decides whether the edge list fits on
-    // the driver; integral ids only, other key types take the
-    // distributed path below
-    val integralIds = und.schema.fields.forall(f =>
-      f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && und.count() <= driverResolveMaxEdges) {
-      val spark = pairs.sparkSession
-      val edges = und.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      // the edge list is on the driver now — release its checkpoint
-      // blocks instead of pinning them for the session's lifetime
-      CheckpointDiscipline.freeLocalCheckpoint(und)
-      val labels = unionFindLabels(edges)
-      import spark.implicits._
-      val out = labels.toSeq.toDF("id", "group_id")
-      return if (und.schema.head.dataType == org.apache.spark.sql.types.IntegerType)
-        out.select(col("id").cast("int").as("id"), col("group_id").cast("int").as("group_id"))
-      else out
-    }
 
     // initial labels: min of self and direct neighbors (a free first hook)
     var labels = CheckpointDiscipline.truncate(

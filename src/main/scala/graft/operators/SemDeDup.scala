@@ -160,8 +160,24 @@ object SemDeDup {
                centroids: Array[Array[Double]], threshold: Double = 0.95,
                maxClusterSize: Int = 20000, seed: Long = 42L,
                maxBroadcastIds: Long = 10000000L): DataFrame = {
-    require(centroids.nonEmpty, "centroids must be non-empty")
-    val dim = centroids(0).length
+    val st = identityStage(embeddings, vecCol, idCol, maxBroadcastIds)
+    semanticStage(embeddings, vecCol, idCol, centroids, threshold,
+      maxClusterSize, seed, st)
+  }
+
+  /** The centroid-independent half of [[dropList]]: identity
+    * pre-grouping (keyed fingerprints, per-group representatives) and
+    * the broadcast size gate. Split out (r21) so callers that also FIT
+    * the centroids can run this stage CONCURRENTLY with the fit
+    * ([[fitAndDropList]]) — the two touch disjoint columns and the
+    * fit's 1+iters driver collects otherwise serialize in front of it.
+    * `keyed` is left PERSISTED; [[semanticStage]] releases it. */
+  private[operators] final case class IdentityStage(
+      keyed: DataFrame, reps: DataFrame, broadcastDrop: Boolean)
+
+  private[operators] def identityStage(embeddings: DataFrame, vecCol: String,
+                                       idCol: String,
+                                       maxBroadcastIds: Long): IdentityStage = {
     // The drop-list DAG reads its two hot intermediates MANY times —
     // (id, hash) feeds the rep groupBy, the size gate and the copies
     // join; the assigned reps feed BOTH sides of the pair self-join,
@@ -176,28 +192,89 @@ object SemDeDup {
     val keyed = embeddings.select(col(idCol).as("_sd_id"), xxhash64(col(vecCol)).as("_k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = keyed.groupBy(col("_k")).agg(min(col("_sd_id")).as("_rep"))
+    val broadcastDrop =
+      if (maxBroadcastIds == Long.MaxValue) true
+      else if (maxBroadcastIds <= 0L) false
+      else {
+        // copies = Σ(group size − 1) exactly; semantic drops < #groups
+        val b = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_gn"))
+          .agg(coalesce(sum(col("_gn") - 1), lit(0L)), count(lit(1))).head()
+        b.getLong(0) + b.getLong(1) <= maxBroadcastIds
+      }
+    IdentityStage(keyed, reps, broadcastDrop)
+  }
+
+  private[operators] def semanticStage(embeddings: DataFrame, vecCol: String,
+                                       idCol: String,
+                                       centroids: Array[Array[Double]],
+                                       threshold: Double, maxClusterSize: Int,
+                                       seed: Long, st: IdentityStage): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids(0).length
     val repRows = embeddings.join(
-      reps.select(col("_rep")), col(idCol) === col("_rep"), "left_semi")
+      st.reps.select(col("_rep")), col(idCol) === col("_rep"), "left_semi")
     val assigned = Clustering.assign(repRows, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val broadcastDrop =
-        if (maxBroadcastIds == Long.MaxValue) true
-        else if (maxBroadcastIds <= 0L) false
-        else {
-          // copies = Σ(group size − 1) exactly; semantic drops < #groups
-          val b = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_gn"))
-            .agg(coalesce(sum(col("_gn") - 1), lit(0L)), count(lit(1))).head()
-          b.getLong(0) + b.getLong(1) <= maxBroadcastIds
-        }
       // identity copies: every non-representative member of an identity
       // group — dropped unconditionally (cosine exactly 1 to its rep)
-      val copies = keyed.join(reps, "_k").where(col("_sd_id") =!= col("_rep"))
+      val copies = st.keyed.join(st.reps, "_k").where(col("_sd_id") =!= col("_rep"))
         .select(col("_sd_id").as("_drop_id"))
       val pairs = dupPairs(assigned, vecCol, idCol, threshold, maxClusterSize, seed, dim)
       val semantic = dropIds(assigned, pairs, idCol).select(col("id").as("_drop_id"))
       val drop = copies.unionByName(semantic).distinct().localCheckpoint(true)
-      if (broadcastDrop) broadcast(drop) else drop
-    } finally { keyed.unpersist(); assigned.unpersist(); () }
+      if (st.broadcastDrop) broadcast(drop) else drop
+    } finally { st.keyed.unpersist(); assigned.unpersist(); () }
+  }
+
+  /** [[dedup]] composed over [[fitAndDropList]]: fit + prune in one
+    * call with the fit and the identity stage overlapped. Identical
+    * results to `dedup(emb, …, Clustering.fit(emb, …), …)`. */
+  def dedupWithFit(embeddings: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int = 5, fitSeed: Long = 42L,
+                   threshold: Double = 0.95, maxClusterSize: Int = 20000,
+                   seed: Long = 42L,
+                   maxBroadcastIds: Long = 10000000L): DataFrame =
+    embeddings.join(
+      fitAndDropList(embeddings, vecCol, idCol, k, iters, fitSeed, threshold,
+        maxClusterSize, seed, maxBroadcastIds)._2,
+      col(idCol) === col("_drop_id"), "left_anti")
+
+  /** [[Clustering.fit]] + [[dropList]] with the identity stage run
+    * CONCURRENTLY with the fit (guide §2.6 — the two are independent:
+    * the fit reads only the vector column, the identity stage only
+    * (id, xxhash64(vector))), composing to bit-identical results. The
+    * r21 q_curation_v2 profile measured the semdedup chain as the
+    * pipeline's critical path, ~40 serial driver-blocking jobs of
+    * which the fit's 1+iters collects and the identity gate aggregate
+    * have no ordering dependency at all. */
+  def fitAndDropList(embeddings: DataFrame, vecCol: String, idCol: String,
+                     k: Int, iters: Int = 5, fitSeed: Long = 42L,
+                     threshold: Double = 0.95, maxClusterSize: Int = 20000,
+                     seed: Long = 42L,
+                     maxBroadcastIds: Long = 10000000L): (Array[Array[Double]], DataFrame) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val sc = embeddings.sparkSession.sparkContext
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val idFut = Future {
+        sc.setJobDescription("semdedup: identity pre-group + size gate")
+        identityStage(embeddings, vecCol, idCol, maxBroadcastIds)
+      }
+      val cents =
+        try Clustering.fit(embeddings, vecCol, k, iters, fitSeed)
+        catch { case e: Throwable =>
+          // the identity stage left `keyed` persisted; a fit failure
+          // must not leak it for the session's lifetime
+          try Await.result(idFut, Duration.Inf).keyed.unpersist()
+          catch { case _: Throwable => () }
+          throw e
+        }
+      val st = Await.result(idFut, Duration.Inf)
+      (cents, semanticStage(embeddings, vecCol, idCol, cents, threshold,
+        maxClusterSize, seed, st))
+    } finally { pool.shutdown(); () }
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.TextFunctions
 import graft.meta.MetastoreReader
-import graft.operators.{Clustering, Dedup, DupGroups, LmScore, Sampling, SemDeDup}
+import graft.operators.{Dedup, DupGroups, LmScore, Sampling, SemDeDup}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -137,22 +137,22 @@ final class CurationTransformer extends Transformer {
             graft.operators.UrlCuration.capPerDomain(unblocked, urlCol, idCol, cap.toInt)
         }
     }
-    val deduped = Dedup.exact(docs, textCol, idCol)
-
     // ── r20 overlap (guide §2.6 "overlap independent jobs") ─────────
-    // Three of the pipeline's model constructions are EAGER chains of
-    // small driver-blocking jobs and mutually independent: the
-    // semantic-dedup fit + drop list, the perplexity reference fit,
-    // and the group-safe split's near-dup pair groups. Run serially,
-    // each chain leaves the cluster idle through every job tail;
-    // submitted from a small driver pool, the scheduler back-fills
-    // (FIFO: the earlier job keeps priority, later jobs use the idle
-    // slots). Every block's own math is UNTOUCHED — identical models
-    // and frames, awaited and composed in the original order — and
-    // every metastore read stays on the caller thread (the reader's
-    // bookkeeping is not part of the overlap). Blocks that are not
-    // enabled never submit; with one block the pool degenerates to
-    // the serial behavior.
+    // The pipeline's EAGER model constructions are chains of small
+    // driver-blocking jobs and mutually independent: the semantic-dedup
+    // fit + drop list, the perplexity reference fit, the group-safe
+    // split's near-dup pair groups, and (r21) the shared exact/minhash
+    // duplicate probe. Run serially, each chain leaves the cluster idle
+    // through every job tail; submitted from a small driver pool, the
+    // scheduler back-fills (FIFO: the earlier job keeps priority, later
+    // jobs use the idle slots). Every block's own math is UNTOUCHED —
+    // identical models and frames, awaited and composed in the original
+    // order — and every metastore read stays on the caller thread (the
+    // reader's bookkeeping is not part of the overlap). Blocks that are
+    // not enabled never submit; with one block the pool degenerates to
+    // the serial behavior. All blocks share one job group so a failure
+    // anywhere CANCELS the siblings' outstanding jobs (ADVICE r20)
+    // instead of letting them run to completion under a dead pipeline.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
 
@@ -169,28 +169,60 @@ final class CurationTransformer extends Transformer {
         .map(t => ms.getTable(t, Some(infoDate), Some(infoDate)))
         .getOrElse(docs))
     val groupSafe = options.get("split.group.safe").contains("true")
-    val nBlocks = Seq(semInputs.isDefined, pplRef.isDefined, groupSafe).count(identity)
+    // `overlap.timeout.seconds` bounds every block await (ADVICE r20:
+    // a hung fit job used to stall the pipeline forever); default Inf
+    // preserves the long-job posture of production batch runs.
+    val awaitDur = options.get("overlap.timeout.seconds")
+      .map(s => Duration(s.toLong, java.util.concurrent.TimeUnit.SECONDS))
+      .getOrElse(Duration.Inf)
+    val nBlocks = Seq(semInputs.isDefined, pplRef.isDefined, groupSafe, groupSafe)
+      .count(identity)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, nBlocks))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val sc = docs.sparkSession.sparkContext
+    val jobGroup = s"curation-overlap-${java.util.UUID.randomUUID()}"
+    // setJobGroup is thread-local like the description; each block sets
+    // (group, label) itself (guide §1.5 — pool threads would otherwise
+    // carry whatever the orchestrator happened to set at pool spin-up)
     try {
+
+    // r21 (guide §2.4 fewer passes + VERDICT item 1): exact dedup's
+    // duplicate-fingerprint aggregation and the minhash pass's dup
+    // probe aggregate the SAME corpus hash — when both consumers are
+    // enabled (group-safe split), ONE materialized probe feeds both.
+    val probeFut = if (!groupSafe) None else Some(Future {
+      sc.setJobGroup(jobGroup, "curation: shared exact/minhash dup probe",
+        interruptOnCancel = true)
+      Dedup.dupProbe(docs, textCol, idCol)
+    })
 
     // semantic dedup: embeddings live in their OWN table (they are
     // produced by a different pipeline stage than the text); prune the
     // ids SemDeDup drops, via anti-join so embedding-less docs survive
     val semFut = semInputs.map { case (emb, embCol, embIdCol, k, thr) =>
       Future {
-        val cents = Clustering.fit(emb, embCol, k, iters = 3)
+        sc.setJobGroup(jobGroup, "curation: semdedup fit + drop list",
+          interruptOnCancel = true)
         // SemDeDup builds the drop list internally; anti-join it
         // directly rather than re-deriving it from the survivor set
-        // (which would run the whole SemDeDup DAG a second time)
-        SemDeDup.dropList(emb, embCol, embIdCol, cents, threshold = thr)
+        // (which would run the whole SemDeDup DAG a second time).
+        // fitAndDropList (r21) additionally overlaps the k-means fit
+        // with the identity pre-group — same centroids, same list.
+        SemDeDup.fitAndDropList(emb, embCol, embIdCol, k, iters = 3,
+          threshold = thr)._2
       }
     }
     // perplexity fit (see the perplexity tier below for the input
     // contract) and the group-safe pair groups launch BEFORE the
-    // semantic block is awaited, so all three chains overlap
-    val pplFut = pplRef.map(ref => Future { LmScore.fitUnigram(ref, textCol) })
+    // semantic block is awaited, so all the chains overlap
+    val pplFut = pplRef.map(ref => Future {
+      sc.setJobGroup(jobGroup, "curation: perplexity reference fit",
+        interruptOnCancel = true)
+      LmScore.fitUnigram(ref, textCol)
+    })
     val groupsFut = if (!groupSafe) None else Some(Future {
+      sc.setJobGroup(jobGroup, "curation: near-dup pair groups",
+        interruptOnCancel = true)
       val jThr = options.getOrElse("split.group.jaccard", "0.8").toDouble
       // near-dup pairs come from the RAW input projection, not the
       // curated frame: scoring them on withPpl would evaluate the
@@ -201,12 +233,20 @@ final class CurationTransformer extends Transformer {
       // surviving copies cannot straddle train/eval via a dropped
       // intermediate.
       val pairs = Dedup.minhashNearDups(
-        docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr)
+        docs.select(col(idCol), col(textCol)), textCol, idCol, threshold = jThr,
+        precomputed = probeFut.map(Await.result(_, awaitDur)))
       DupGroups.connectedComponents(pairs, "id_a", "id_b")
     })
 
+    // composed AFTER every block has launched (the probe await must not
+    // serialize in front of the sibling chains)
+    val deduped = probeFut match {
+      case None => Dedup.exact(docs, textCol, idCol)
+      case Some(f) =>
+        Dedup.exactFromProbe(docs, textCol, idCol, Await.result(f, awaitDur))
+    }
     val semDeduped = semFut.fold(deduped)(f =>
-      deduped.join(Await.result(f, Duration.Inf),
+      deduped.join(Await.result(f, awaitDur),
         col(idCol) === col("_drop_id"), "left_anti"))
 
     val lineKeep =
@@ -238,7 +278,7 @@ final class CurationTransformer extends Transformer {
     val withPpl = pplFut match {
       case None => scored
       case Some(f) =>
-        val lm = Await.result(f, Duration.Inf)
+        val lm = Await.result(f, awaitDur)
         // row-local native scoring: no explode/join/shuffle, and no
         // second evaluation of the `scored` subtree (the join
         // formulation derived ppl FROM scored and joined it back —
@@ -307,10 +347,18 @@ final class CurationTransformer extends Transformer {
         Sampling.withSplitLabel(withClf, idCol, weights, Seq("train", "val", "test"),
           bucketCol = bucketOf.map(_(col(idCol))))
       case Some(f) =>
-        Sampling.withGroupSafeSplitLabel(withClf, idCol, Await.result(f, Duration.Inf),
+        Sampling.withGroupSafeSplitLabel(withClf, idCol, Await.result(f, awaitDur),
           weights, Seq("train", "val", "test"), bucketOf = bucketOf)
     }
 
+    } catch { case e: Throwable =>
+      // first failure (or await timeout) kills the SIBLING blocks'
+      // outstanding jobs and interrupts the pool threads (ADVICE r20):
+      // without this, a failed semdedup fit left the minhash chain
+      // burning cluster time under a pipeline that could only rethrow
+      sc.cancelJobGroup(jobGroup)
+      pool.shutdownNow()
+      throw e
     } finally { pool.shutdown(); () }
   }
 }

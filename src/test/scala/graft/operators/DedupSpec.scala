@@ -40,6 +40,39 @@ class DedupSpec extends SparkSpec {
     assert(classic == minority && minority == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("shared DupProbe: probe-fed exact + minhash equal their self-probing twins (r21)") {
+    // a corpus with exact copies AND a near-dup so every branch is live
+    val corpus = Seq(
+      (1L, base), (2L, base), (7L, base),      // 3-copy group, rep 1
+      (3L, nearDup), (4L, other), (8L, other), // 2-copy group, rep 4
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val probe = Dedup.dupProbe(corpus, "text", "doc_id")
+    assert(probe.totalRows == 7L && probe.nGroups == 2L && probe.dupRows == 3L, probe.toString)
+    assert(probe.dupGroups.collect().map(_.getLong(2)).sorted.toSeq == Seq(1L, 4L))
+    val plain = Dedup.exact(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fed = Dedup.exactFromProbe(corpus, "text", "doc_id", probe)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(plain == fed, s"probe-fed exact must keep the identical set: $plain vs $fed")
+    def pairsOf(p: Option[Dedup.DupProbe]) =
+      Dedup.minhashNearDups(corpus, "text", "doc_id", threshold = 0.5, precomputed = p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsOf(None) == pairsOf(Some(probe)),
+      "probe-fed minhash candidates must verify to the identical pair set")
+    // heavy-duplication regime (PreGroup: dupRows*20 >= totalRows) —
+    // the probe-fed representative derivation must agree there too
+    val mass = (0L until 60L).map(i => (i, if (i % 20 == 0) other else base)).toDF("doc_id", "text")
+    val massProbe = Dedup.dupProbe(mass, "text", "doc_id")
+    assert(Dedup.DupPlan.choose(massProbe.dupRows, massProbe.nGroups, massProbe.totalRows)
+      == Dedup.DupPlan.PreGroup)
+    def massPairs(p: Option[Dedup.DupProbe]) =
+      Dedup.minhashNearDups(mass, "text", "doc_id", threshold = 0.5, precomputed = p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(massPairs(None) == massPairs(Some(massProbe)),
+      "PreGroup regime: probe-fed pairs must match the self-probing plan")
+  }
+
   test("L16 decontamination removes docs sharing benchmark n-grams, keeps the rest") {
     val bench = Seq(
       (1L, "what is the capital of france and when was it founded exactly"),

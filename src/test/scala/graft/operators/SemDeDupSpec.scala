@@ -183,4 +183,21 @@ class SemDeDupSpec extends SparkSpec {
     val twice = SemDeDup.dedup(once, "embedding", "vec_id", cents, threshold = 0.995)
     assert(twice.count() == n1, "second pass must remove nothing new")
   }
+
+  test("fitAndDropList: overlapped fit+identity composes to the sequential result (r21)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Clustering.fit(e, "embedding", k = 4, iters = 3)
+    val seqDrop = SemDeDup.dropList(e, "embedding", "vec_id", cents, threshold = 0.995)
+      .as[Long].collect().toSet
+    val (cents2, drop2) = SemDeDup.fitAndDropList(e, "embedding", "vec_id",
+      k = 4, iters = 3, threshold = 0.995)
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq,
+      "the overlapped fit must produce bit-identical centroids")
+    assert(drop2.as[Long].collect().toSet == seqDrop,
+      "the overlapped drop list must equal the sequential one")
+    val kept = SemDeDup.dedupWithFit(e, "embedding", "vec_id",
+      k = 4, iters = 3, threshold = 0.995).count()
+    assert(kept == e.count() - seqDrop.size,
+      "dedupWithFit must prune exactly the drop list")
+  }
 }
